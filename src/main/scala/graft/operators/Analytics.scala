@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytical queries over the warehouse (SURVEY.md §2.6-2.8) plus the
+  * join/window/top-k surface Spark provides for free and the reference
+  * delegates to BigQuery.
+  *
+  * Money/measure sums go through DECIMAL so results are exact and
+  * reproducible regardless of partitioning / aggregation order — a double
+  * sum would drift between runs (and between engines) at 100 TB.
+  */
+object Analytics {
+
+  /** Exact, order-insensitive sum of a double measure: cast each value to
+    * DECIMAL (deterministic per-row), sum exactly, return as double.
+    */
+  def exactSum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(s"decimal(24,$scale)")).cast("double")
+
+  /** Q1 — the dashboard day-slice query
+    * (`/root/reference/visualization/app.py:40-51`): projection + timestamp
+    * range predicate + total sort. Filter and projection push down to the
+    * parquet scan; the only shuffle is the final range-partitioned sort.
+    */
+  def daySlice(df: DataFrame, tsCol: String, startTs: String, endTs: String,
+      cols: Seq[String], tieBreak: String): DataFrame =
+    df.select(cols.map(col).toIndexedSeq: _*)
+      .filter(col(tsCol) >= lit(startTs).cast("timestamp") &&
+        col(tsCol) <= lit(endTs).cast("timestamp"))
+      .orderBy(col(tsCol), col(tieBreak))
+
+  /** Hourly tumbling aggregate (W5/C3): the batch form of the reference's
+    * floor-to-hour loading spec. Partial aggregation map-side; one shuffle
+    * on the (coarse) hour key.
+    */
+  def hourlyAgg(df: DataFrame, tsCol: String, measure: String): DataFrame =
+    df.groupBy(date_trunc("hour", col(tsCol)).cast("timestamp_ntz").as("hour"))
+      .agg(count(lit(1)).as("n"), exactSum(col(measure)).as("sum_value"))
+      .orderBy("hour")
+
+  /** Star-schema rollup: fact joined through two dimension hops, aggregated
+    * by the coarsest attribute. Dimensions are tiny → explicit broadcast so
+    * the fact table never shuffles for the joins; the single shuffle is the
+    * final 5-group aggregate.
+    */
+  def revenueByRegion(orders: DataFrame, customer: DataFrame, nation: DataFrame,
+      region: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+        orders("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(exactSum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy("r_name")
+
+  /** Top-k entities by an exact-summed measure. Aggregate first (shuffle on
+    * the key), then a k-row sort — never a global sort of the fact.
+    */
+  def topKByMeasure(fact: DataFrame, key: String, measure: String, k: Int): DataFrame =
+    fact.groupBy(key)
+      .agg(exactSum(col(measure)).as("revenue"), count(lit(1)).as("n"))
+      .orderBy(col("revenue").desc, col(key))
+      .limit(k)
+
+  /** Per-key running total (window-function surface). DECIMAL accumulator →
+    * result independent of the window implementation's summation tree.
+    */
+  def runningTotal(df: DataFrame, key: String, tsCol: String, measure: String,
+      idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), col(key),
+      sum(col(measure).cast("decimal(24,2)")).over(w).cast("double").as("running_value"))
+  }
+
+  /** A3 — per-key partition summary (`transformations.py:107-115` builds
+    * per-station sorted tables; at scale that materializes as
+    * `write.partitionBy(key)` — see [[writePartitioned]]). The queryable
+    * summary: per-key count + time extent.
+    */
+  def partitionSummary(df: DataFrame, key: String, tsCol: String): DataFrame =
+    df.groupBy(key)
+      .agg(count(lit(1)).as("n"), min(col(tsCol)).as("min_ts"), max(col(tsCol)).as("max_ts"))
+      .orderBy(key)
+
+  /** A3's materialization: hive-style partitioned, sorted-within-partition
+    * parquet — the scalable rendering of "dict of per-station sorted frames".
+    */
+  def writePartitioned(df: DataFrame, key: String, tsCol: String, path: String): Unit =
+    df.repartition(col(key))
+      .sortWithinPartitions(key, tsCol)
+      .write.mode("overwrite").partitionBy(key).parquet(path)
+
+  /** F6/D3 batch form — per-key watermark freshness filter
+    * (`/root/reference/src/data_processing/kafka_stream.py:269-273`): given a
+    * state relation `(key, wm)` of already-ingested high-water marks, keep
+    * only records strictly newer than their key's mark; unseen keys pass.
+    * State side is small (one row per key) → broadcast left join, the
+    * incoming batch never shuffles.
+    */
+  def watermarkFilter(batch: DataFrame, state: DataFrame, key: String,
+      tsCol: String): DataFrame = {
+    val st = broadcast(state.withColumnRenamed(tsCol, "__wm"))
+    batch.join(st, Seq(key), "left")
+      .filter(col("__wm").isNull || col(tsCol) > col("__wm"))
+      .drop("__wm")
+  }
+}

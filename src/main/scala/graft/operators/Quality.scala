@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality / audit operators (SURVEY.md §2.5). All single-pass
+  * aggregations or broadcast-stats patterns — no driver-side loops, no
+  * repeated scans, safe at 100 TB.
+  */
+object Quality {
+
+  /** A1 — missingness summary
+    * (`/root/reference/src/data_processing/transformations.py:87-93`):
+    * per-column null counts as a long `(column_name, missing_count)` table.
+    *
+    * One aggregation pass over all columns (map-side partial agg), then a
+    * constant-width `stack` unpivot of the single result row — the scan cost
+    * is one pass regardless of column count.
+    */
+  def missingness(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.map(c => (count(lit(1)) - count(col(c))).as(c))
+    val wide = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+    val stackArgs = cols.map(c => s"'$c', `$c`").mkString(", ")
+    wide.selectExpr(s"stack(${cols.size}, $stackArgs) AS (column_name, missing_count)")
+      .orderBy("column_name")
+  }
+
+  /** A2 — z-score outlier detection (`transformations.py:96-104`): global
+    * mean and **population** std-dev (pandas `ddof=0` → `stddev_pop`) per
+    * metric column; rows where any |z| exceeds the threshold are flagged.
+    *
+    * Two-phase: a tiny stats aggregate (one row) broadcast-cross-joined back
+    * against the fact — at scale this is one scan + one broadcast, never a
+    * shuffle of the fact table.
+    */
+  def zscoreOutliers(df: DataFrame, cols: Seq[String], threshold: Double): DataFrame = {
+    val statAggs = cols.flatMap(c =>
+      Seq(avg(col(c)).as(s"__mu_$c"), stddev_pop(col(c)).as(s"__sd_$c")))
+    val stats = df.agg(statAggs.head, statAggs.tail.toIndexedSeq: _*)
+    val zs: Seq[Column] = cols.map(c =>
+      abs((col(c) - col(s"__mu_$c")) / col(s"__sd_$c")))
+    val anyOutlier = zs.map(_ > threshold).reduce(_ || _)
+    df.crossJoin(broadcast(stats))
+      .filter(anyOutlier)
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** A5 — duplicate-count audit (`/root/reference/README.md:162-168`):
+    * `GROUP BY keys HAVING COUNT(*) > 1 ORDER BY n DESC`.
+    */
+  def duplicateAudit(df: DataFrame, keys: Seq[Column]): DataFrame =
+    df.groupBy(keys.toIndexedSeq: _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+
+  /** A6/F5 — trailing-window row count (`README.md:171-175`), anchored to
+    * the table's own max timestamp so the result is deterministic (the
+    * reference anchors to `CURRENT_TIMESTAMP()`).
+    */
+  def trailingCount(df: DataFrame, tsCol: String, days: Int): DataFrame = {
+    val cutoff = df.agg(max(col(tsCol)).as("__max_ts"))
+      .select((col("__max_ts") - expr(s"INTERVAL $days DAYS")).as("__cutoff"))
+    df.crossJoin(broadcast(cutoff))
+      .filter(col(tsCol) >= col("__cutoff"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** A7 — distinct count (`/root/reference/visualization/app.py:86`).
+    * Exact; at 100 TB prefer [[approxDistinctCount]].
+    */
+  def distinctCount(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.agg(
+      countDistinct(col(cols.head), cols.tail.map(col).toIndexedSeq: _*).as("n_distinct"))
+
+  /** A7 at scale: HLL sketch, one pass, no shuffle of distinct values. */
+  def approxDistinctCount(df: DataFrame, c: String, rsd: Double = 0.01): DataFrame =
+    df.agg(approx_count_distinct(col(c), rsd).as("n_distinct_approx"))
+
+  /** A8 — load verification (`kafka_stream.py:161-193`): sink row count must
+    * cover the expected count.
+    */
+  def verifyRowPersistence(sink: DataFrame, expected: Long): Boolean =
+    sink.count() >= expected
+}
