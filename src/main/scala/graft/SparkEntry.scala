@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Analytics, Clean, Quality}
+import graft.functions.TextFns
+import graft.operators.{Analytics, Clean, Dedup, Multimodal, Quality, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -265,8 +266,265 @@ object SparkEntry {
         CAST(SUM(CAST(value AS DECIMAL(24,2))) OVER (
           PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
-        FROM events ORDER BY event_id"""))
+        FROM events ORDER BY event_id""")),
+
+    // ----- Training-data pipeline: dedup family over `documents` -------------
+
+    // Exact dedup by normalized-prefix fingerprint: deterministic lowest-id
+    // survivor per md5(first 80 normalized chars); ~23 dup groups at sf0.01.
+    "q19_exact_dedup" -> Q(
+      (s, dir) => Dedup.exactByFingerprint(t(s, dir, "documents"), "doc_id",
+          TextFns.prefixFingerprint(col("text"), 80))
+        .select("doc_id", "fingerprint", "group_size")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, fingerprint, group_size FROM (
+          SELECT doc_id, fingerprint,
+                 COUNT(*) OVER (PARTITION BY fingerprint) AS group_size,
+                 row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+          FROM (SELECT doc_id,
+                  md5(substr(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), 1, 80)) AS fingerprint
+                FROM documents))
+        WHERE rn = 1 ORDER BY doc_id""")),
+
+    // Exact word-3-gram Jaccard similarity join via inverted-index self-join
+    // (shuffle on the shingle, never the pair space).
+    "q20_ngram_jaccard" -> Q(
+      (s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id",
+          "text", 3, 0.5)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l
+               FROM documents),
+        sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, greatest(len(l) - 1, 1)),
+                 i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS sh
+               FROM toks WHERE len(l) >= 3),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+                  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT id_a, id_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+               CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+        FROM inter JOIN sizes sa ON id_a = sa.doc_id
+                   JOIN sizes sb ON id_b = sb.doc_id
+        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+        ORDER BY id_a, id_b""")),
+
+    // MinHash (k=32, 8 bands x 4 rows) + LSH bucket join + exact-Jaccard
+    // confirm. Oracle = brute-force exact Jaccard >= 0.8: LSH recall at this
+    // threshold is 1 - (1 - 0.8^4)^8 ~ 0.999+, and the fixed h60 hash makes
+    // the outcome deterministic — verified equal at sf0.001/0.01.
+    "q21_minhash_lsh" -> Q(
+      (s, dir) => Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id",
+          "text", 3, 32, 8, 0.8)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
+               FROM documents),
+        sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, greatest(len(l) - 1, 1)),
+                 i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS sh
+               FROM toks WHERE len(l) >= 3),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+                  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+        FROM inter JOIN sizes sa ON id_a = sa.doc_id
+                   JOIN sizes sb ON id_b = sb.doc_id
+        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8
+        ORDER BY id_a, id_b""")),
+
+    // 60-bit SimHash signatures (cross-engine h60 token hash), bit-exact.
+    "q22_simhash_sigs" -> Q(
+      (s, dir) => Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+               FROM documents),
+        th AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM toks),
+        bits AS (SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                 FROM th CROSS JOIN range(60) r(j) GROUP BY 1, 2)
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id ORDER BY doc_id""")),
+
+    // SimHash near-dup pairs (hamming <= 3) via pigeonhole band join —
+    // exact by construction (4 bands > 3 flipped bits), oracle brute-forces.
+    "q23_simhash_pairs" -> Q(
+      (s, dir) => Dedup.simhashNearDups(
+          Dedup.simhash(t(s, dir, "documents"), "doc_id", "text"), 3, 4)
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderBy("id_a", "id_b"),
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+               FROM documents),
+        th AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM toks),
+        bits AS (SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                 FROM th CROSS JOIN range(60) r(j) GROUP BY 1, 2),
+        sig AS (SELECT doc_id, CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+                FROM bits GROUP BY doc_id)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ORDER BY id_a, id_b""")),
+
+    // ----- Similarity search over `embeddings` -------------------------------
+
+    // Brute-force exact cosine top-5 for 10 query vectors. Cosine goes
+    // through DECIMAL-exact dot products so the doubles are bit-identical
+    // across engines and partitionings.
+    "q24_knn_exact" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.knnExact(emb, emb.filter(col("vec_id") < 10), "vec_id",
+            "embedding", 5)
+          .orderBy(col("query_id"), col("cos").desc, col("id"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id AS id, embedding AS cv FROM embeddings),
+        scored AS (SELECT query_id, id,
+          list_aggregate(list_transform(range(1, len(qv) + 1),
+            i -> round(CAST(qv[i] AS DOUBLE) * 1e7) * round(CAST(cv[i] AS DOUBLE) * 1e7)), 'sum')
+          / SQRT(
+            list_aggregate(list_transform(range(1, len(qv) + 1),
+              i -> round(CAST(qv[i] AS DOUBLE) * 1e7) * round(CAST(qv[i] AS DOUBLE) * 1e7)), 'sum')
+            * list_aggregate(list_transform(range(1, len(cv) + 1),
+              i -> round(CAST(cv[i] AS DOUBLE) * 1e7) * round(CAST(cv[i] AS DOUBLE) * 1e7)), 'sum')) AS cos
+          FROM q JOIN c ON query_id <> id)
+        SELECT query_id, id, cos FROM scored
+        QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) <= 5
+        ORDER BY query_id, cos DESC, id""")),
+
+    // Embedding-cosine near-duplicate pairs (exact all-pairs baseline; the
+    // scale path is Similarity.nearDupLsh with hyperplane buckets).
+    "q25_embedding_near_dup" -> Q(
+      (s, dir) => Similarity.nearDupExact(t(s, dir, "embeddings"), "vec_id",
+          "embedding", 0.45)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH v AS (SELECT vec_id AS id, embedding AS e FROM embeddings),
+        scored AS (SELECT a.id AS id_a, b.id AS id_b,
+          list_aggregate(list_transform(range(1, len(a.e) + 1),
+            i -> round(CAST(a.e[i] AS DOUBLE) * 1e7) * round(CAST(b.e[i] AS DOUBLE) * 1e7)), 'sum')
+          / SQRT(
+            list_aggregate(list_transform(range(1, len(a.e) + 1),
+              i -> round(CAST(a.e[i] AS DOUBLE) * 1e7) * round(CAST(a.e[i] AS DOUBLE) * 1e7)), 'sum')
+            * list_aggregate(list_transform(range(1, len(b.e) + 1),
+              i -> round(CAST(b.e[i] AS DOUBLE) * 1e7) * round(CAST(b.e[i] AS DOUBLE) * 1e7)), 'sum')) AS cos
+          FROM v a JOIN v b ON a.id < b.id)
+        SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.45
+        ORDER BY id_a, id_b""")),
+
+    // ----- Text analysis over `documents` ------------------------------------
+
+    // Language-ID heuristic (lexicon-hit argmax) as a confusion matrix
+    // against the labeled lang column.
+    "q26_lang_id" -> Q(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("lang"), TextOps.langIdPredict(col("text")).as("predicted"))
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted"),
+      Some {
+        val score = TextOps.langLexicons.map { case (lang, lex) =>
+          val list = lex.map(w => s"'$w'").mkString(", ")
+          s"len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t IN ($list))) AS s_$lang"
+        }.mkString(", ")
+        val langs = TextOps.langLexicons.map(_._1)
+        val greatestAll = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+        val caseChain = langs.map(l => s"WHEN s_$l >= $greatestAll AND s_$l > 0 THEN '$l'")
+          .mkString(" ")
+        s"""WITH scored AS (SELECT lang, $score FROM documents),
+          pred AS (SELECT lang, CASE $caseChain ELSE 'und' END AS predicted FROM scored)
+          SELECT lang, predicted, COUNT(*) AS n FROM pred
+          GROUP BY lang, predicted ORDER BY lang, predicted"""
+      }),
+
+    // Quality scoring: per-doc features quantized to DECIMAL at the row
+    // level, aggregated per lang (order-independent exact sums).
+    "q27_quality_by_lang" -> Q(
+      (s, dir) => {
+        val feats = TextOps.qualityFeatures(t(s, dir, "documents"), "doc_id", "text")
+          .join(t(s, dir, "documents").select("doc_id", "lang"), "doc_id")
+        feats.groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          (sum(col("quality_score")).cast("double") / count(lit(1))).as("avg_quality"),
+          (sum(col("punct_ratio")).cast("double") / count(lit(1))).as("avg_punct_ratio"),
+          (sum(col("stopword_ratio")).cast("double") / count(lit(1))).as("avg_stopword_ratio"))
+          .orderBy("lang")
+      },
+      Some("""WITH f AS (SELECT lang,
+          len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+          CAST(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+               / length(text) AS DECIMAL(18,9)) AS punct_ratio,
+          CAST(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                 t -> t IN ('the', 'a', 'of', 'and'))) AS DOUBLE)
+               / len(string_split_regex(lower(trim(text)), '\s+')) AS DECIMAL(18,9)) AS stopword_ratio
+          FROM documents),
+        g AS (SELECT lang, n_tokens, punct_ratio, stopword_ratio,
+          CAST(CAST(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) AS DECIMAL(18,9))
+               - punct_ratio * 2 + stopword_ratio AS DECIMAL(18,9)) AS quality_score
+          FROM f)
+        SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens,
+          CAST(SUM(quality_score) AS DOUBLE) / COUNT(*) AS avg_quality,
+          CAST(SUM(punct_ratio) AS DOUBLE) / COUNT(*) AS avg_punct_ratio,
+          CAST(SUM(stopword_ratio) AS DOUBLE) / COUNT(*) AS avg_stopword_ratio
+        FROM g GROUP BY lang ORDER BY lang""")),
+
+    // Token counting (whitespace + BPE-ish regex) rolled up per source.
+    "q28_token_counts" -> Q(
+      (s, dir) => TextOps.tokenCounts(t(s, dir, "documents"), "doc_id", "text")
+        .join(t(s, dir, "documents").select("doc_id", "source"), "doc_id")
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_ws_tokens")).as("sum_ws_tokens"),
+          sum(col("n_bpe_tokens")).as("sum_bpe_tokens"))
+        .orderBy("source"),
+      Some(s"""SELECT source, COUNT(*) AS n_docs,
+        SUM(len(string_split_regex(lower(trim(text)), '\\s+'))) AS sum_ws_tokens,
+        SUM(len(regexp_extract_all(text, '${TextFns.bpeTokenPattern}'))) AS sum_bpe_tokens
+        FROM documents GROUP BY source ORDER BY source""")),
+
+    // ----- Multimodal binary plumbing ----------------------------------------
+
+    // Opaque-binary feature extraction (sizes, magic bytes) over a
+    // manufactured media column; the stubbed mapPartitions decode path is
+    // exercised by the ScalaTest suite (no SQL surface).
+    "q29_binary_features" -> Q(
+      (s, dir) => Multimodal.binaryFeatures(
+          Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text"))
+        .select("doc_id", "mime", "n_bytes", "magic")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        'application/x-graft-' || CAST(doc_id % 3 AS VARCHAR) AS mime,
+        octet_length(encode(text)) AS n_bytes,
+        left(hex(encode(text)), 8) AS magic
+        FROM documents ORDER BY doc_id""")),
+
+    // ----- SQL API surface ---------------------------------------------------
+
+    // The spark.sql face of the engine: the same ANSI text runs on both
+    // engines (registered temp views stand in for warehouse tables).
+    "q30_sql_api" -> Q(
+      (s, dir) => {
+        Seq("lineitem", "orders", "customer", "nation").foreach { n =>
+          t(s, dir, n).createOrReplaceTempView(n)
+        }
+        s.sql(sqlApiQuery)
+      },
+      Some(sqlApiQuery))
   )
+
+  private def sqlApiQuery =
+    """SELECT n_name,
+      CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_items
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY n_name ORDER BY revenue DESC, n_name"""
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

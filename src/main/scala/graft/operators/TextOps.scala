@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Text-analysis operators for training-data curation: language ID, quality
+  * scoring, token counting. All pure per-row expressions (narrow, no
+  * shuffle, full codegen) — they pipeline into whatever aggregation follows.
+  */
+object TextOps {
+
+  /** Tiny per-language lexicons for the n-gram/stopword language-ID
+    * heuristic. Deliberately small and deterministic; real deployments swap
+    * in larger lexicons without changing the operator shape.
+    */
+  val langLexicons: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("agg", "window", "join", "group"),
+    "en" -> Seq("the", "a", "key", "row"),
+    "es" -> Seq("data", "stream", "big", "sort"),
+    "fr" -> Seq("query", "value", "small", "vector"),
+    "zh" -> Seq("merge", "batch", "line", "slow"))
+
+  /** Per-language lexicon hit count over whitespace tokens. */
+  def lexiconScore(textCol: Column, lexicon: Seq[String]): Column =
+    size(filter(TextFns.tokens(textCol), t => t.isInCollection(lexicon)))
+
+  /** Language-ID prediction: argmax of lexicon scores, ties broken by
+    * lexicon declaration order (alphabetical). A CASE chain, not a struct
+    * sort, so the tie-break is explicit and engine-independent.
+    */
+  def langIdPredict(textCol: Column): Column = {
+    val scores = langLexicons.map { case (lang, lex) => lang -> lexiconScore(textCol, lex) }
+    val all = scores.map(_._2)
+    scores.foldRight(lit("und")) { case ((lang, s), rest) =>
+      when(s >= greatest(all: _*) && s > 0, lang).otherwise(rest)
+    }
+  }
+
+  /** Quality features per document: char/token counts, mean token length,
+    * punctuation / digit / stopword ratios, and a composite [0,1] score.
+    * Ratios are quantized to DECIMAL(18,9) at the row level so downstream
+    * sums are order-independent (exact) across engines and partitionings.
+    */
+  def qualityFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = TextFns.tokens(t)
+    val nChars = length(t)
+    val nToks = size(toks)
+    val punct = nChars - length(regexp_replace(t, "[^A-Za-z0-9\\s]", ""))
+    val digits = nChars - length(regexp_replace(t, "[0-9]", ""))
+    val stops = size(filter(toks, x => x.isInCollection(Seq("the", "a", "of", "and"))))
+    def ratio(num: Column, den: Column): Column =
+      (num.cast("double") / den.cast("double")).cast("decimal(18,9)")
+    val meanTokLen =
+      ((nChars - (nToks - lit(1))).cast("double") / nToks.cast("double")).cast("decimal(18,9)")
+    val punctRatio = ratio(punct, nChars)
+    val stopRatio = ratio(stops, nToks)
+    // composite score: long enough, not punctuation-heavy, some stopwords
+    val score =
+      (least(nToks.cast("double") / 100.0, lit(1.0)).cast("decimal(18,9)")
+        - punctRatio * 2 + stopRatio).cast("decimal(18,9)")
+    df.select(col(idCol), nChars.as("n_chars"), nToks.as("n_tokens"),
+      meanTokLen.as("mean_token_len"), punctRatio.as("punct_ratio"),
+      ratio(digits, nChars).as("digit_ratio"), stopRatio.as("stopword_ratio"),
+      score.as("quality_score"))
+  }
+
+  /** Token counting: whitespace tokens and BPE-ish sub-word tokens. */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      size(TextFns.tokens(col(textCol))).as("n_ws_tokens"),
+      size(TextFns.bpeTokens(col(textCol))).as("n_bpe_tokens"))
+}
