@@ -106,7 +106,9 @@ object Clean {
     val present = dropNullKeys(coerced, Seq(keyCol, tsCol))
     val floored = present
       .withColumn("__orig_ts", col(tsCol))
-      .withColumn(tsCol, floorToHour(col(tsCol)))
+      // plain date_trunc (not the NTZ-flavored floorToHour): the warehouse
+      // schema types `timestamp` as an instant (TimestampType)
+      .withColumn(tsCol, date_trunc("hour", col(tsCol)))
     val deduped = dedupKeepLast(floored, Seq(keyCol, tsCol), Seq(col("__orig_ts")))
       .drop("__orig_ts")
     validInvalidSplit(deduped, schema)

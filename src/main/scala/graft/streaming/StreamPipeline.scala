@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.Clean
+import graft.schema.Observation
+
+/** The Structured Streaming rendering of the reference's
+  * producer → Kafka → consumer → warehouse pipeline (SURVEY.md §2.9, §3):
+  * the hand-rolled poll/buffer/flush loop (`kafka_stream.py:335-361`), the
+  * JSON codec (`:60, :299`), the per-key watermark dedup (`:237-284`) and
+  * the append sink with verification (`:195-217`) collapse into one
+  * streaming query with a checkpoint.
+  *
+  * Source-agnostic: any streaming DataFrame with a binary/string `value`
+  * column works (MemoryStream in tests; `kafkaSourceOptions` documents the
+  * production source — the kafka connector jar just needs to be on the
+  * classpath).
+  */
+object StreamPipeline {
+
+  /** S5/W4 — Kafka source options replicating the reference consumer's
+    * policy (`kafka_stream.py:287-308, 335-361`): earliest offsets, ~500
+    * records per micro-batch. Offsets live in the checkpoint (exactly-once
+    * accounting, vs the reference's at-least-once auto-commit, W3).
+    */
+  def kafkaSourceOptions(bootstrap: String, topic: String): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrap,
+    "subscribe" -> topic,
+    "startingOffsets" -> "earliest",
+    "maxOffsetsPerTrigger" -> "500")
+
+  /** S4 — observations → Kafka-wire JSON (`kafka_stream.py:60`). */
+  def toWire(obs: DataFrame): DataFrame =
+    obs.select(col("station_id").cast("string").as("key"),
+      to_json(struct(obs.columns.map(col).toIndexedSeq: _*)).as("value"))
+
+  /** S5 — wire JSON → typed observation rows (`kafka_stream.py:299` +
+    * `fmi_client.py:158-171`): parse with the explicit wire schema (never
+    * inferred), then coerce to the warehouse schema (C1/C2).
+    */
+  def parseWire(wire: DataFrame): DataFrame = {
+    val parsed = wire
+      .select(from_json(col("value").cast("string"), Observation.wireSchema).as("o"))
+      .select(col("o.*"))
+    Clean.coerceToSchema(parsed, Observation.schema)
+  }
+
+  /** W1 — per-key strictly-monotonic dedup on the typed stream. */
+  def dedupMonotonic(obs: DataFrame)(implicit spark: SparkSession): Dataset[Observation] = {
+    import spark.implicits._
+    MonotonicDedup.dedupe[String, Observation](
+      obs.as[Observation], _.station_id, _.timestamp.getTime)
+  }
+
+  /** S7/S8 + W4 — the full consumer: parse → monotonic dedup → hourly prep
+    * → parquet append, checkpointed. `foreachBatch` runs the batch-only
+    * window dedup (D2) per micro-batch, mirroring the reference's
+    * buffer-then-`prepare_hourly_for_bigquery` flush (`kafka_stream.py:
+    * 310-333`); a failed append fails the batch, so neither offsets nor
+    * watermark state advance (W3 exactly-once into the sink).
+    */
+  def writeHourly(wire: DataFrame, warehouseDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"))(
+      implicit spark: SparkSession): StreamingQuery = {
+    val deduped = dedupMonotonic(parseWire(wire))
+    deduped.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Observation], _: Long) =>
+        val (clean, _) = Clean.prepareHourly(batch.toDF(), Observation.schema)
+        clean.write.mode("append").parquet(warehouseDir)
+      }
+      .start()
+  }
+
+  /** A8 — post-load verification (`kafka_stream.py:161-193`): re-read the
+    * sink and check the row count reached the expected floor.
+    */
+  def verifyRowPersistence(spark: SparkSession, warehouseDir: String,
+      expectedAtLeast: Long): Boolean =
+    spark.read.parquet(warehouseDir).count() >= expectedAtLeast
+}

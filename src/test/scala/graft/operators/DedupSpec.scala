@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFns
+
+class DedupSpec extends SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+      (2L, "completely different words appear in this one"),
+      (3L, "THE  QUICK brown fox jumps over the lazy dog") // exact after norm
+    ).toDF("doc_id", "text")
+  }
+
+  test("exactByFingerprint keeps the lowest id per normalized text") {
+    val out = Dedup.exactByFingerprint(docs, "doc_id",
+      TextFns.fingerprint(col("text")))
+    val survivors = out.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(survivors.toSeq == Seq(0L, 1L, 2L)) // 3 collapses into 0
+    val g = out.filter(col("doc_id") === 0).collect()(0).getAs[Long]("group_size")
+    assert(g == 2L)
+  }
+
+  test("shingles produce size-n+1 overlapping word n-grams") {
+    val sh = docs.filter(col("doc_id") === 0)
+      .select(TextFns.shingles(col("text"), 3).as("sh"))
+      .collect()(0).getSeq[String](0)
+    assert(sh.length == 7) // 9 tokens → 7 tri-grams
+    assert(sh.head == "the quick brown" && sh.last == "the lazy dog")
+  }
+
+  test("ngramJaccardPairs finds the near-dup pair with the hand-computed score") {
+    val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3).collect()
+    // docs 0/1: 9 tokens → 7 trigrams; only 'the lazy dog|cat' differs →
+    // inter = 6, union = 8
+    val p01 = out.find(r => r.getAs[Long]("id_a") == 0L && r.getAs[Long]("id_b") == 1L)
+    assert(p01.isDefined)
+    assert(p01.get.getAs[Long]("inter") == 6L)
+    assert(math.abs(p01.get.getAs[Double]("jaccard") - 0.75) < 1e-12)
+    // 0/3 are identical after normalization → jaccard 1.0
+    val p03 = out.find(r => r.getAs[Long]("id_a") == 0L && r.getAs[Long]("id_b") == 3L)
+    assert(p03.get.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("minhashNearDups recalls the planted near-dups and exactly confirms") {
+    val out = Dedup.minhashNearDups(docs, "doc_id", "text", 3, 32, 8, 0.5)
+      .collect()
+    val pairs = out.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 3L)) && pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("simhash is identical for normalization-equal docs, near for near-dups") {
+    val sigs = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap
+    assert(sigs(0L) == sigs(3L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(0L), sigs(1L)) < ham(sigs(0L), sigs(2L)))
+  }
+
+  test("simhashNearDups via band join equals brute force for maxDist < bands") {
+    val sigs = Dedup.simhash(docs, "doc_id", "text")
+    val banded = Dedup.simhashNearDups(sigs, 3, 4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val all = sigs.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash"))
+    val brute = (for {
+      (ia, sa) <- all; (ib, sb) <- all if ia < ib
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    assert(banded == brute)
+  }
+}

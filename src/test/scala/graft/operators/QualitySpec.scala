@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class QualitySpec extends SparkSpec {
+
+  test("missingness counts nulls per column as a long table " +
+      "(test_detect_missing_values)") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1.0), Some("a")),
+      (None: Option[Double], Some("b")),
+      (None: Option[Double], None: Option[String])
+    ).toDF("temperature", "name")
+    val out = Quality.missingness(df, Seq("temperature", "name"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("temperature" -> 2L, "name" -> 1L))
+  }
+
+  test("zscoreOutliers flags an injected spike with population std " +
+      "(test_detect_outliers_flags_extreme_values)") {
+    import spark.implicits._
+    // 9 normal readings + one 1000-degree spike (the reference's test shape)
+    val df = ((1 to 9).map(i => 10.0 + i * 0.1) :+ 1000.0).toDF("temperature")
+    val out = Quality.zscoreOutliers(df, Seq("temperature"), 2.0)
+    assert(out.collect().map(_.getAs[Double]("temperature")).toSeq == Seq(1000.0))
+  }
+
+  test("duplicateAudit reports keys with count > 1, descending") {
+    import spark.implicits._
+    val df = Seq(("S1", "t1"), ("S1", "t1"), ("S1", "t1"), ("S2", "t1"),
+      ("S2", "t2"), ("S2", "t2")).toDF("station_id", "ts")
+    val out = Quality.duplicateAudit(df, Seq(col("station_id"), col("ts")))
+      .orderBy(desc("n")).collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("n") == 3L)
+  }
+
+  test("trailingCount bounds the window to days back from the max timestamp") {
+    import spark.implicits._
+    val df = Seq("2024-01-01 00:00:00", "2024-06-01 00:00:00",
+      "2024-12-31 00:00:00").map(java.sql.Timestamp.valueOf).toDF("ts")
+    // 365-day trailing window from 2024-12-31 covers all of 2024
+    assert(Quality.trailingCount(df, "ts", 365).collect()(0).getLong(0) == 3L)
+    assert(Quality.trailingCount(df, "ts", 30).collect()(0).getLong(0) == 1L)
+  }
+}

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+
+  private def vecs = {
+    import spark.implicits._
+    Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal to 0
+      (2L, Array(2.0f, 0.0f, 0.0f)),   // parallel to 0
+      (3L, Array(1.0f, 1.0f, 0.0f))    // 45° from 0
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("cosineExact: parallel → 1, orthogonal → 0, 45° → √2/2") {
+    val v = vecs
+    val out = v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        Similarity.cosineExact(col("a.embedding"), col("b.embedding")).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((0L, 2L)) == 1.0)
+    assert(out((0L, 1L)) == 0.0)
+    assert(math.abs(out((0L, 3L)) - math.sqrt(2) / 2) < 1e-9)
+  }
+
+  test("knnExact ranks by cosine desc with id tie-break and excludes self") {
+    val out = Similarity.knnExact(vecs, vecs.filter(col("vec_id") === 0),
+      "vec_id", "embedding", 3).collect()
+    assert(out.map(_.getAs[Long]("id")).toSeq == Seq(2L, 3L, 1L))
+    assert(out.forall(_.getAs[Long]("query_id") == 0L))
+  }
+
+  test("knnLsh finds the parallel vector (same half-space bucket)") {
+    val out = Similarity.knnLsh(vecs, vecs.filter(col("vec_id") === 0),
+      "vec_id", "embedding", 3, nPlanes = 2, dim = 3).collect()
+    assert(out.map(_.getAs[Long]("id")).contains(2L))
+  }
+
+  test("nearDupExact returns only pairs above the threshold") {
+    val out = Similarity.nearDupExact(vecs, "vec_id", "embedding", 0.99)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(out == Set((0L, 2L)))
+  }
+
+  test("nearDupLsh is a subset of nearDupExact") {
+    val exact = Similarity.nearDupExact(vecs, "vec_id", "embedding", 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val lsh = Similarity.nearDupLsh(vecs, "vec_id", "embedding", 0.5, 2, 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(lsh.subsetOf(exact))
+  }
+}

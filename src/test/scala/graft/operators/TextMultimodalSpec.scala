@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextMultimodalSpec extends SparkSpec {
+
+  test("langIdPredict scores lexicon hits with deterministic tie-break") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "the key row appears in the data"),     // en lexicon hits
+      (1L, "agg window join group agg window"),    // de lexicon hits
+      (2L, "xyzzy plugh nothing matches here")     // no hits → und
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextOps.langIdPredict(col("text")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == "en" && out(1L) == "de" && out(2L) == "und")
+  }
+
+  test("qualityFeatures computes exact counts and quantized ratios") {
+    import spark.implicits._
+    val df = Seq((0L, "the cat, the hat!")).toDF("doc_id", "text")
+    val r = TextOps.qualityFeatures(df, "doc_id", "text").collect()(0)
+    assert(r.getAs[Int]("n_chars") == 17)
+    assert(r.getAs[Int]("n_tokens") == 4)
+    // 2 punctuation chars of 17
+    assert(math.abs(r.getAs[java.math.BigDecimal]("punct_ratio").doubleValue()
+      - 2.0 / 17.0) < 1e-9)
+    // 'the' twice of 4 tokens (",!" stay attached → 'cat,'/'hat!' not stopwords)
+    assert(math.abs(r.getAs[java.math.BigDecimal]("stopword_ratio").doubleValue()
+      - 0.5) < 1e-9)
+  }
+
+  test("tokenCounts: whitespace vs BPE-ish tokens") {
+    import spark.implicits._
+    val df = Seq((0L, "hello world42, ok")).toDF("doc_id", "text")
+    val r = TextOps.tokenCounts(df, "doc_id", "text").collect()(0)
+    assert(r.getAs[Int]("n_ws_tokens") == 3)
+    // hello | world | 42 | , | ok
+    assert(r.getAs[Int]("n_bpe_tokens") == 5)
+  }
+
+  test("multimodal decode stub preserves ids, sizes, and is deterministic") {
+    import spark.implicits._
+    implicit val s = spark
+    val docs = Seq((0L, "abc"), (1L, "defghij")).toDF("doc_id", "text")
+    val media = Multimodal.asMedia(docs, "doc_id", "text")
+    val decoded = Multimodal.decode(media).collect().sortBy(_.doc_id)
+    assert(decoded.map(_.n_bytes).toSeq == Seq(3, 7))
+    assert(decoded.forall(d => d.width >= 1 && d.width <= 1920))
+    val again = Multimodal.decode(media).collect().sortBy(_.doc_id)
+    assert(decoded.map(_.feature_checksum).toSeq == again.map(_.feature_checksum).toSeq)
+  }
+
+  test("frame sampling emits every stride-th chunk") {
+    import spark.implicits._
+    implicit val s = spark
+    val docs = Seq((0L, "a" * 100)).toDF("doc_id", "text")
+    val media = Multimodal.asMedia(docs, "doc_id", "text")
+    // 100 bytes → 10 frames of 10 → stride 3 keeps frames 0,3,6,9
+    val frames = Multimodal.sampleFrames(media, 10, 3).collect()
+    assert(frames.map(_._2).sorted.toSeq == Seq(0, 3, 6, 9))
+  }
+
+  test("binaryFeatures magic bytes match the payload head") {
+    import spark.implicits._
+    val docs = Seq((0L, "abcdef")).toDF("doc_id", "text")
+    val r = Multimodal.binaryFeatures(Multimodal.asMedia(docs, "doc_id", "text"))
+      .collect()(0)
+    assert(r.getAs[Int]("n_bytes") == 6)
+    assert(r.getAs[String]("magic") == "61626364")
+  }
+}

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.schema.Observation
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def obs(st: String, t: String, temp: Double) =
+    Observation(st, Some(s"name-$st"), Some(60.0), Some(24.0), Some(10.0),
+      ts(t), Some(temp), Some(50.0), Some(3.0))
+
+  test("MonotonicDedup in batch mode: strictly-greater passes, equal drops, " +
+      "within-batch order is event time") {
+    import spark.implicits._
+    val ds = Seq(
+      obs("S1", "2024-01-01 10:00:00", 1.0),
+      obs("S1", "2024-01-01 10:00:00", 2.0), // equal ts → dropped
+      obs("S1", "2024-01-01 09:00:00", 3.0), // older, but processed FIRST (sorted)
+      obs("S2", "2024-01-01 10:00:00", 4.0)
+    ).toDS()
+    val out = MonotonicDedup.dedupe[String, Observation](
+      ds, _.station_id, _.timestamp.getTime).collect().sortBy(_.temperature)
+    // sorted-by-time processing: 09:00 emits, then 10:00 (first of the equal
+    // pair) emits, duplicate drops
+    assert(out.map(_.temperature.get).toSeq == Seq(1.0, 3.0, 4.0))
+  }
+
+  test("streaming pipeline: wire JSON → parse → monotonic dedup across " +
+      "micro-batches → hourly parquet append") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val warehouse = Files.createTempDirectory("graft-wh").toString
+    val checkpoint = Files.createTempDirectory("graft-ck").toString
+
+    val mem = MemoryStream[String]
+    val wire = mem.toDF().select(col("value"))
+
+    def feed(batch: Seq[Observation]): Unit = {
+      val json = batch.map { o =>
+        s"""{"station_id":"${o.station_id}","station_name":"${o.station_name.get}",
+           |"latitude":60.0,"longitude":24.0,"elevation":10.0,
+           |"timestamp":"${o.timestamp.toInstant}","temperature":${o.temperature.get},
+           |"humidity":50.0,"wind_speed":3.0}""".stripMargin.replace("\n", "")
+      }
+      mem.addData(json)
+      val q = StreamPipeline.writeHourly(wire, warehouse, checkpoint,
+        Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+
+    // batch 1: two readings in the same hour → keep-last lands in warehouse
+    feed(Seq(obs("S1", "2024-06-01 10:00:00", 1.0),
+      obs("S1", "2024-06-01 10:10:00", 2.0)))
+    val after1 = spark.read.parquet(warehouse)
+    assert(after1.count() == 1)
+    assert(after1.collect()(0).getAs[Double]("temperature") == 2.0)
+
+    // batch 2: a replay (same ts) and an older record → both rejected by the
+    // per-key watermark state carried in the checkpoint; a newer one passes
+    feed(Seq(obs("S1", "2024-06-01 10:10:00", 9.0),
+      obs("S1", "2024-06-01 09:00:00", 9.0),
+      obs("S1", "2024-06-01 11:00:00", 3.0)))
+    val after2 = spark.read.parquet(warehouse)
+    assert(after2.count() == 2)
+    assert(after2.agg(sum("temperature")).collect()(0).getDouble(0) == 5.0)
+    assert(StreamPipeline.verifyRowPersistence(spark, warehouse, 2))
+  }
+}
