@@ -294,10 +294,11 @@ object SparkEntry {
         .orderBy("id_a", "id_b"),
       Some(s"""WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l
                FROM documents),
-        sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        grams AS (SELECT doc_id, unnest(list_distinct(list_transform(
                  range(1, greatest(len(l) - 1, 1)),
-                 i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS sh
+                 i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS g
                FROM toks WHERE len(l) >= 3),
+        sh AS (SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS sh FROM grams),
         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
                   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -309,20 +310,22 @@ object SparkEntry {
         WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
         ORDER BY id_a, id_b""")),
 
-    // MinHash (k=32, 8 bands x 4 rows) + LSH bucket join + exact-Jaccard
-    // confirm. Oracle = brute-force exact Jaccard >= 0.8: LSH recall at this
-    // threshold is 1 - (1 - 0.8^4)^8 ~ 0.999+, and the fixed h60 hash makes
-    // the outcome deterministic — verified equal at sf0.001/0.01.
+    // MinHash (k=64, 16 bands x 4 rows) + LSH bucket join + exact-Jaccard
+    // confirm. Oracle = brute-force exact Jaccard >= 0.8: per-pair miss
+    // probability at the lowest observed true pair (jac 0.889) is
+    // (1 - 0.889^4)^16 ~ 1.6e-7, and the fixed seeded-xxhash64 families
+    // make the outcome deterministic — verified equal at sf0.001/0.01.
     "q21_minhash_lsh" -> Q(
       (s, dir) => Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id",
-          "text", 3, 32, 8, 0.8)
+          "text", 3, 64, 16, 0.8)
         .orderBy("id_a", "id_b"),
       Some("""WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
                FROM documents),
-        sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        grams AS (SELECT doc_id, unnest(list_distinct(list_transform(
                  range(1, greatest(len(l) - 1, 1)),
-                 i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS sh
+                 i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS g
                FROM toks WHERE len(l) >= 3),
+        sh AS (SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS sh FROM grams),
         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
                   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id

@@ -50,17 +50,35 @@ object Similarity {
     dot(a, b) / sqrt(dot(a, a) * dot(b, b))
   }
 
+  /** The 1e7-grid quantization of a float vector as integer-valued doubles
+    * — compute ONCE per vector (projection), so per-pair work is a single
+    * dot product instead of re-rounding every component per pair.
+    */
+  def quantized(vec: Column): Column =
+    transform(vec, x => round(x.cast("double") * lit(1e7)))
+
+  /** Exact squared norm of a quantized vector (integer-valued, ≤ 6.4e15). */
+  def qnorm2(q: Column): Column =
+    aggregate(q, lit(0.0), (acc, v) => acc + v * v)
+
+  /** Dot product of two pre-quantized vectors (exact in double). */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), (acc, v) => acc + v)
+
   /** Brute-force exact cosine top-k: for each row of `queries` (small,
     * broadcast), the `k` nearest corpus rows (excluding self-matches on
     * `idCol`). Returns (query_id, id, cos) ranked by (cos desc, id).
     */
   def knnExact(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, exact: Boolean = true): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val cosF: (Column, Column) => Column = if (exact) cosineExact else cosine
-    val scored = corpus.select(col(idCol).as("id"), col(vecCol).as("__cv"))
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      quantized(col(vecCol)).as("__qv"))
+      .withColumn("__qn", qnorm2(col("__qv")))
+    val scored = corpus.select(col(idCol).as("id"),
+        quantized(col(vecCol)).as("__cv"))
+      .withColumn("__cn", qnorm2(col("__cv")))
       .join(broadcast(q), col("query_id") =!= col("id"))
-      .withColumn("cos", cosF(col("__qv"), col("__cv")))
+      .withColumn("cos", qdot(col("__qv"), col("__cv")) / sqrt(col("__qn") * col("__cn")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("id"))
     scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
@@ -98,29 +116,81 @@ object Similarity {
   def knnLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nPlanes: Int, dim: Int): DataFrame = {
     val bucket = lshBucket(col(vecCol), nPlanes, dim)
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("__cv"), bucket.as("__bkt"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"), bucket.as("__bkt"))
+    val c = corpus.select(col(idCol).as("id"),
+        quantized(col(vecCol)).as("__cv"), bucket.as("__bkt"))
+      .withColumn("__cn", qnorm2(col("__cv")))
+    val q = queries.select(col(idCol).as("query_id"),
+        quantized(col(vecCol)).as("__qv"), bucket.as("__bkt"))
+      .withColumn("__qn", qnorm2(col("__qv")))
     val scored = c.join(broadcast(q), Seq("__bkt"))
       .filter(col("query_id") =!= col("id"))
-      .withColumn("cos", cosineExact(col("__qv"), col("__cv")))
+      .withColumn("cos", qdot(col("__qv"), col("__cv")) / sqrt(col("__qn") * col("__cn")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("id"))
     scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .select("query_id", "id", "cos")
   }
 
+  /** One block of quantized vectors for the all-pairs kernel. */
+  case class VecBlock(blk: Int, ids: Array[Long], vecs: Array[Array[Double]])
+
   /** Exact embedding near-duplicate pairs: all (a, b), a < b, with cosine
-    * ≥ minCos. Quadratic in corpus size — the correctness baseline. The
-    * scale path is [[nearDupLsh]].
+    * ≥ minCos — numerically identical to [[cosineExact]] (same quantized
+    * integer-valued-double arithmetic), but computed by a blocked kernel:
+    * vectors are hashed into `blocks` groups, the B(B+1)/2 block pairs fan
+    * out as independent tasks, and the inner loop is primitive-array code
+    * (the Catalyst higher-order functions interpret per element, which is
+    * ~1000x too slow for a quadratic kernel). Data amplification is O(B)
+    * — the standard distributed all-pairs trade; pick `blocks` ≈ 2-4x the
+    * cluster's cores. The sub-quadratic scale path is [[nearDupLsh]].
     */
   def nearDupExact(corpus: DataFrame, idCol: String, vecCol: String,
-      minCos: Double): DataFrame = {
-    val v = corpus.select(col(idCol).as("id"), col(vecCol).as("__v"))
-    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        cosineExact(col("a.__v"), col("b.__v")).as("cos"))
-      .filter(col("cos") >= minCos)
+      minCos: Double, blocks: Int = 32): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = corpus
+      .select(col(idCol).cast("long").as("id"), quantized(col(vecCol)).as("q"))
+      .as[(Long, Array[Double])]
+    val grouped = q.groupByKey { case (id, _) => (math.abs(id) % blocks).toInt }
+      .mapGroups { (blk, it) =>
+        val rows = it.toArray
+        VecBlock(blk, rows.map(_._1), rows.map(_._2))
+      }
+    grouped.as("a")
+      .joinWith(grouped.as("b"), col("a.blk") <= col("b.blk"))
+      .flatMap { case (a, b) =>
+        val same = a.blk == b.blk
+        val na = norms(a.vecs); val nb = if (same) na else norms(b.vecs)
+        val out = Seq.newBuilder[(Long, Long, Double)]
+        var i = 0
+        while (i < a.ids.length) {
+          val va = a.vecs(i)
+          var j = if (same) i + 1 else 0
+          while (j < b.ids.length) {
+            var dot = 0.0
+            val vb = b.vecs(j)
+            var d = 0
+            while (d < va.length) { dot += va(d) * vb(d); d += 1 }
+            val cos = dot / math.sqrt(na(i) * nb(j))
+            if (cos >= minCos) {
+              val (x, y) = (a.ids(i), b.ids(j))
+              out += (if (x < y) (x, y, cos) else (y, x, cos))
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out.result()
+      }
+      .toDF("id_a", "id_b", "cos")
   }
+
+  private def norms(vecs: Array[Array[Double]]): Array[Double] =
+    vecs.map { v =>
+      var s = 0.0; var d = 0
+      while (d < v.length) { s += v(d) * v(d); d += 1 }
+      s
+    }
 
   /** LSH-pruned near-duplicate pairs: only pairs sharing a bucket are
     * scored. Deterministic given the fixed hyperplanes; recall < 1 by
@@ -128,12 +198,15 @@ object Similarity {
     */
   def nearDupLsh(corpus: DataFrame, idCol: String, vecCol: String,
       minCos: Double, nPlanes: Int, dim: Int): DataFrame = {
-    val v = corpus.select(col(idCol).as("id"), col(vecCol).as("__v"),
-      lshBucket(col(vecCol), nPlanes, dim).as("__bkt"))
+    val v = corpus.select(col(idCol).as("id"),
+        quantized(col(vecCol)).as("__v"),
+        lshBucket(col(vecCol), nPlanes, dim).as("__bkt"))
+      .withColumn("__n", qnorm2(col("__v")))
     v.as("a").join(v.as("b"),
         col("a.__bkt") === col("b.__bkt") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        cosineExact(col("a.__v"), col("b.__v")).as("cos"))
+        (qdot(col("a.__v"), col("b.__v")) /
+          sqrt(col("a.__n") * col("b.__n"))).as("cos"))
       .filter(col("cos") >= minCos)
   }
 }
