@@ -58,12 +58,14 @@ object Similarity {
     transform(vec, x => round(x.cast("double") * lit(1e7)))
 
   /** Exact squared norm of a quantized vector (integer-valued, ≤ 6.4e15). */
-  def qnorm2(q: Column): Column =
-    aggregate(q, lit(0.0), (acc, v) => acc + v * v)
+  def qnorm2(q: Column): Column = qdot(q, q)
 
-  /** Dot product of two pre-quantized vectors (exact in double). */
-  def qdot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0), (acc, v) => acc + v)
+  /** Dot product of two pre-quantized vectors (exact in double) — the
+    * native codegen'd `array_dot` expression (graft.functions
+    * .ArrayDotProduct). Requires a session built through GraftSession /
+    * GraftExtensions, which registers the function.
+    */
+  def qdot(a: Column, b: Column): Column = call_function("array_dot", a, b)
 
   /** Brute-force exact cosine top-k: for each row of `queries` (small,
     * broadcast), the `k` nearest corpus rows (excluding self-matches on

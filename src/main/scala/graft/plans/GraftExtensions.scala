@@ -1,0 +1,23 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.ArrayDotProduct
+
+/** Session extensions registering graft's native expressions so they are
+  * callable from SQL and `call_function` (`spark.sql.extensions` or
+  * `builder.withExtensions`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "array_dot takes exactly 2 arguments")
+        ArrayDotProduct(children.head, children(1))
+      }))
+  }
+}

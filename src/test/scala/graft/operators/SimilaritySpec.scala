@@ -40,6 +40,16 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("id")).contains(2L))
   }
 
+  test("array_dot native expression: SQL surface and value") {
+    val r = spark.sql(
+      "SELECT array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").collect()(0)
+    assert(r.getDouble(0) == 11.0)
+    // null array → null, standard binary-expression semantics
+    val n = spark.sql(
+      "SELECT array_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS d").collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("nearDupExact returns only pairs above the threshold") {
     val out = Similarity.nearDupExact(vecs, "vec_id", "embedding", 0.99)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
