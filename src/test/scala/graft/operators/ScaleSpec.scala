@@ -1,0 +1,57 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Scale-mechanics tests: salted joins/aggregates match their plain
+  * equivalents, and partitioned writes prune at read time.
+  */
+class ScaleSpec extends SparkSpec {
+
+  private def skewed = {
+    import spark.implicits._
+    // one hot key (90%) + a tail
+    ((1 to 90).map(i => ("hot", i.toDouble)) ++
+      (1 to 10).map(i => (s"k$i", i.toDouble))).toDF("key", "v")
+  }
+
+  test("saltedJoin equals the plain join on skewed data") {
+    import spark.implicits._
+    val dim = Seq(("hot", "H"), ("k1", "A"), ("k2", "B")).toDF("key", "label")
+    val plain = skewed.join(dim, "key")
+      .groupBy("key", "label").agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSet
+    val salted = Skew.saltedJoin(skewed, dim, "key", 8)
+      .groupBy("key", "label").agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(salted == plain)
+  }
+
+  test("saltedAggregate equals the plain aggregate") {
+    val plain = skewed.groupBy("key")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val salted = Skew.saltedAggregate(skewed, "key", 8, Map("sv" -> col("v")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted == plain)
+  }
+
+  test("writePartitioned produces key-partitioned layout that prunes on read") {
+    import spark.implicits._
+    val df = Seq(("S1", "2024-01-01 00:00:00", 1.0), ("S2", "2024-01-01 00:00:00", 2.0),
+      ("S3", "2024-01-01 00:00:00", 3.0))
+      .toDF("station_id", "ts", "v")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val dir = Files.createTempDirectory("graft-part").toString
+    Analytics.writePartitioned(df, "station_id", "ts", dir)
+    // layout: one directory per station
+    assert(new java.io.File(dir).listFiles().count(_.getName.startsWith("station_id=")) == 3)
+    val read = spark.read.parquet(dir).filter(col("station_id") === "S2")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("station_id"))
+    assert(read.collect().map(_.getAs[Double]("v")).toSeq == Seq(2.0))
+  }
+}
