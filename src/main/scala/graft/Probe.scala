@@ -16,6 +16,19 @@ object Probe {
       println(s"\n########## $n ##########")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
     }
+    // skew utilities over real tables: salted orders-per-customer rollup
+    // must equal the plain aggregate
+    import org.apache.spark.sql.functions._
+    val orders = GraftSession.table(spark, sfDir, "orders")
+    val plain = orders.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("rev"))
+    val salted = graft.operators.Skew.saltedAggregate(orders, "o_custkey", 8,
+      Map("rev" -> col("o_totalprice")))
+    val diff = plain.as("p").join(salted.as("s"), col("p.o_custkey") === col("s.o_custkey"))
+      .filter(col("p.n") =!= col("s.n") ||
+        abs(col("p.rev") - col("s.rev")) > lit(1e-6)).count()
+    println(s"\n[probe] saltedAggregate vs plain: mismatched keys = $diff " +
+      s"(of ${plain.count()})")
     spark.stop()
   }
 }
