@@ -503,6 +503,19 @@ object SparkEntry {
         left(hex(encode(text)), 8) AS magic
         FROM documents ORDER BY doc_id""")),
 
+    // IVF approximate top-k (k-means coarse quantizer, nProbe cells probed,
+    // exact ranking inside). Approximate by design → no SQL oracle; the
+    // driver records the rows-only check. Exact-recall equivalence at full
+    // probing is asserted in SimilaritySpec.
+    "q31_knn_ivf" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.knnIvf(emb, emb.filter(col("vec_id") < 10), "vec_id",
+            "embedding", 5, nlist = 16, nProbe = 4)
+          .orderBy(col("query_id"), col("cos").desc, col("id"))
+      },
+      None),
+
     // ----- SQL API surface ---------------------------------------------------
 
     // The spark.sql face of the engine: the same ANSI text runs on both

@@ -53,6 +53,24 @@ object StreamDemo {
 
     println(s"rows persisted >= 3: " +
       StreamPipeline.verifyRowPersistence(spark, warehouse, 3))
+
+    // windowed streaming aggregation face (W5): hourly stats over a stream
+    import org.apache.spark.sql.functions.col
+    val mem2 = MemoryStream[graft.schema.Observation]
+    mem2.addData(
+      graft.schema.Observation("101104", Some("demo"), Some(60.17), Some(24.94),
+        Some(19.0), java.sql.Timestamp.valueOf("2024-06-01 10:05:00"),
+        Some(10.0), Some(50.0), Some(3.0)),
+      graft.schema.Observation("101104", Some("demo"), Some(60.17), Some(24.94),
+        Some(19.0), java.sql.Timestamp.valueOf("2024-06-01 10:45:00"),
+        Some(20.0), Some(50.0), Some(7.0)))
+    val agg = StreamPipeline.hourlyStats(mem2.toDF())
+      .writeStream.format("memory").queryName("demo_hourly")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    agg.awaitTermination()
+    println("=== streaming hourly stats ===")
+    spark.table("demo_hourly").orderBy(col("hour"), col("station_id"))
+      .show(10, truncate = false)
     spark.stop()
   }
 }

@@ -32,6 +32,19 @@ object Analytics {
         col(tsCol) <= lit(endTs).cast("timestamp"))
       .orderBy(col(tsCol), col(tieBreak))
 
+  /** Day bounds for the dashboard slice (F4): the reference computes the
+    * civil day in a FIXED UTC+2 offset (deliberately not Helsinki DST —
+    * `/root/reference/visualization/app.py:17-18, 32-36`) and converts to
+    * UTC instants. Returns [startInclusive, endInclusive] with
+    * microsecond-resolution end, driver-side `java.time` math.
+    */
+  def dayBoundsUtc(civilDate: java.time.LocalDate,
+      offsetHours: Int = 2): (java.sql.Timestamp, java.sql.Timestamp) = {
+    val startUtc = civilDate.atStartOfDay().minusHours(offsetHours)
+    val endUtc = startUtc.plusDays(1).minusNanos(1000)
+    (java.sql.Timestamp.valueOf(startUtc), java.sql.Timestamp.valueOf(endUtc))
+  }
+
   /** Hourly tumbling aggregate (W5/C3): the batch form of the reference's
     * floor-to-hour loading spec. Partial aggregation map-side; one shuffle
     * on the (coarse) hour key.

@@ -194,6 +194,90 @@ object Similarity {
       s
     }
 
+  /** IVF-style approximate top-k: a coarse quantizer (k-means with
+    * deterministic seeding, `ivfTrain`) partitions the corpus into nlist
+    * cells; each query probes only its `nProbe` nearest centroids and
+    * ranks exactly inside them. The 100 TB deployment materializes the
+    * assignment once (`write.partitionBy("cell")`) so a probe prunes file
+    * groups at scan time; here the assignment happens inline.
+    */
+  def knnIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int, nProbe: Int,
+      iters: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents = ivfTrain(corpus, idCol, vecCol, nlist, iters)
+    val centB = spark.sparkContext.broadcast(cents)
+    val assignUdf = udf { v: Seq[Float] => nearestCells(v, centB.value, 1).head }
+    val probeUdf = udf { v: Seq[Float] => nearestCells(v, centB.value, nProbe) }
+    val c = corpus.select(col(idCol).as("id"),
+        quantized(col(vecCol)).as("__cv"), assignUdf(col(vecCol)).as("__cell"))
+      .withColumn("__cn", qnorm2(col("__cv")))
+    val q = queries.select(col(idCol).as("query_id"),
+        quantized(col(vecCol)).as("__qv"),
+        explode(probeUdf(col(vecCol))).as("__cell"))
+      .withColumn("__qn", qnorm2(col("__qv")))
+    val scored = c.join(broadcast(q), Seq("__cell"))
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("cos", qdot(col("__qv"), col("__cv")) / sqrt(col("__qn") * col("__cn")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select("query_id", "id", "cos")
+  }
+
+  /** Deterministic Lloyd's k-means for the IVF coarse quantizer: centroids
+    * seeded from the nlist lowest-id vectors, `iters` assign/update rounds
+    * driver-side over a sampled corpus (coarse quantizers train on samples
+    * at scale; cell QUALITY affects recall, not correctness).
+    */
+  def ivfTrain(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int, sampleSize: Int = 10000): Array[Array[Double]] = {
+    val sample = corpus.orderBy(col(idCol)).limit(sampleSize)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    var cents = sample.take(nlist).map(_.clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(nlist)(new Array[Double](cents(0).length))
+      val counts = new Array[Int](nlist)
+      sample.foreach { v =>
+        val c = nearestCellDense(v, cents)
+        counts(c) += 1
+        var d = 0
+        while (d < v.length) { sums(c)(d) += v(d); d += 1 }
+      }
+      cents = Array.tabulate(nlist) { c =>
+        if (counts(c) == 0) cents(c)
+        else sums(c).map(_ / counts(c))
+      }
+      it += 1
+    }
+    cents
+  }
+
+  private def nearestCellDense(v: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < cents.length) {
+      var d2 = 0.0; var d = 0
+      while (d < v.length) { val t = v(d) - cents(c)(d); d2 += t * t; d += 1 }
+      if (d2 < bestD) { bestD = d2; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def nearestCells(v: Seq[Float], cents: Array[Array[Double]],
+      n: Int): Seq[Int] = {
+    val dists = cents.indices.map { c =>
+      var d2 = 0.0; var d = 0
+      while (d < cents(c).length) {
+        val t = v(d) - cents(c)(d); d2 += t * t; d += 1
+      }
+      c -> d2
+    }
+    dists.sortBy { case (c, d2) => (d2, c) }.take(n).map(_._1)
+  }
+
   /** LSH-pruned near-duplicate pairs: only pairs sharing a bucket are
     * scored. Deterministic given the fixed hyperplanes; recall < 1 by
     * design (raise by lowering nPlanes or adding band rotations).

@@ -77,6 +77,21 @@ object StreamPipeline {
       .start()
   }
 
+  /** W5 streaming face — tumbling hourly per-station stats with an
+    * event-time watermark bounding state (`window()` + `withWatermark`;
+    * the reference only ever materialized this hourly rollup in batch).
+    * In append mode a window emits once the watermark passes its end; use
+    * complete/update for live dashboards.
+    */
+  def hourlyStats(obs: DataFrame, lateness: String = "2 hours"): DataFrame =
+    obs.withWatermark("timestamp", lateness)
+      .groupBy(window(col("timestamp"), "1 hour").as("w"), col("station_id"))
+      .agg(count(lit(1)).as("n"),
+        avg(col("temperature")).as("avg_temperature"),
+        max(col("wind_speed")).as("max_wind_speed"))
+      .select(col("w.start").as("hour"), col("station_id"), col("n"),
+        col("avg_temperature"), col("max_wind_speed"))
+
   /** A8 — post-load verification (`kafka_stream.py:161-193`): re-read the
     * sink and check the row count reached the expected floor.
     */

@@ -56,6 +56,26 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Set((0L, 2L)))
   }
 
+  test("knnIvf with full probing equals knnExact; partial probing is a subset") {
+    import spark.implicits._
+    // 20 vectors in two well-separated clusters around (1,0,0) and (0,1,0)
+    val vs = ((0 until 10).map(i => (i.toLong,
+        Array(1.0f + i * 0.01f, i * 0.005f, 0.0f))) ++
+      (10 until 20).map(i => (i.toLong,
+        Array(i * 0.005f, 1.0f + i * 0.01f, 0.0f)))).toDF("vec_id", "embedding")
+    val queries = vs.filter(col("vec_id").isin(0, 10))
+    val exact = Similarity.knnExact(vs, queries, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Similarity.knnIvf(vs, queries, "vec_id", "embedding", 3,
+      nlist = 2, nProbe = 2).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact)
+    val one = Similarity.knnIvf(vs, queries, "vec_id", "embedding", 3,
+      nlist = 2, nProbe = 1).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(one.subsetOf(exact))
+    // cluster separation: probing 1 cell still finds all 3 same-cluster nns
+    assert(one == exact)
+  }
+
   test("nearDupLsh is a subset of nearDupExact") {
     val exact = Similarity.nearDupExact(vecs, "vec_id", "embedding", 0.5)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet

@@ -34,6 +34,28 @@ class StreamingSpec extends SparkSpec {
     assert(out.map(_.temperature.get).toSeq == Seq(1.0, 3.0, 4.0))
   }
 
+  test("hourlyStats: tumbling hourly windowed aggregation with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Observation]
+    mem.addData(
+      obs("S1", "2024-06-01 10:05:00", 10.0),
+      obs("S1", "2024-06-01 10:55:00", 20.0),
+      obs("S1", "2024-06-01 11:05:00", 30.0),
+      obs("S2", "2024-06-01 10:30:00", 5.0))
+    val q = StreamPipeline.hourlyStats(mem.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("hourly")
+      .collect().map(r => (r.getAs[Timestamp]("hour"), r.getAs[String]("station_id"),
+        r.getAs[Long]("n"), r.getAs[Double]("avg_temperature"))).toSet
+    assert(rows == Set(
+      (ts("2024-06-01 10:00:00"), "S1", 2L, 15.0),
+      (ts("2024-06-01 11:00:00"), "S1", 1L, 30.0),
+      (ts("2024-06-01 10:00:00"), "S2", 1L, 5.0)))
+  }
+
   test("streaming pipeline: wire JSON → parse → monotonic dedup across " +
       "micro-batches → hourly parquet append") {
     import spark.implicits._
