@@ -1,0 +1,96 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+import graft.schema.Observation
+import graft.streaming.MonotonicDedup
+
+/** Property tests for the invariants SURVEY.md §5 calls out: dedup
+  * idempotence and determinism, hour-floor bucketing, and strict
+  * per-key monotonicity of the streaming dedup output. Uses ScalaCheck
+  * generators with fixed seeds (scalatestplus bridge is not in the
+  * offline cache) — deterministic across runs.
+  */
+class PropertySpec extends SparkSpec {
+
+  /** Deterministic sampler: one generated value per seed 0..n-1. */
+  private def forAll[A](g: Gen[A], n: Int = 8)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      g.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(body)
+    }
+
+  private def whenever(cond: Boolean)(body: => Unit): Unit =
+    if (cond) body
+
+  private val genRow = for {
+    key <- Gen.oneOf("S1", "S2", "S3")
+    minute <- Gen.choose(0, 599) // ten hours of minutes
+    value <- Gen.choose(-50.0, 50.0)
+  } yield (key, minute, value)
+
+  private val genBatch = Gen.listOfN(60, genRow)
+
+  private def toDf(rows: List[(String, Int, Double)]) = {
+    import spark.implicits._
+    rows.map { case (k, m, v) =>
+      (k, new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime
+        + m * 60000L), v)
+    }.toDF("station_id", "timestamp", "temperature")
+  }
+
+  test("property: dedupKeepLast is idempotent and key-unique") {
+    forAll(genBatch) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = toDf(rows)
+        val once = Clean.dedupKeepLast(df, Seq("station_id", "timestamp"),
+          Seq(col("temperature")))
+        val twice = Clean.dedupKeepLast(once, Seq("station_id", "timestamp"),
+          Seq(col("temperature")))
+        val a = once.collect().map(_.toSeq).toSet
+        assert(a == twice.collect().map(_.toSeq).toSet)
+        val keys = once.select("station_id", "timestamp").collect().map(_.toSeq)
+        assert(keys.length == keys.toSet.size)
+      }
+    }
+  }
+
+  test("property: prepareHourly output has one row per (station, hour) and " +
+      "every timestamp is hour-aligned") {
+    forAll(genBatch) { rows =>
+      whenever(rows.nonEmpty) {
+        val (clean, _) = Clean.prepareHourly(toDf(rows), Observation.schema)
+        val out = clean.select("station_id", "timestamp").collect()
+        assert(out.length == out.map(_.toSeq).toSet.size)
+        assert(out.forall { r =>
+          val t = r.getAs[Timestamp]("timestamp")
+          t.getTime % 3600000L == 0
+        })
+      }
+    }
+  }
+
+  test("property: MonotonicDedup output is strictly increasing per key and " +
+      "equals the per-key distinct-timestamp count") {
+    import spark.implicits._
+    forAll(genBatch) { rows =>
+      whenever(rows.nonEmpty) {
+        val ds = toDf(rows).as[(String, Timestamp, Double)]
+          .map { case (k, t, v) => Observation(k, None, None, None, None, t,
+            Some(v), None, None) }
+        val out = MonotonicDedup.dedupe[String, Observation](
+          ds, _.station_id, _.timestamp.getTime).collect()
+        out.groupBy(_.station_id).foreach { case (k, obs) =>
+          val times = obs.map(_.timestamp.getTime).sorted
+          assert(times.distinct.length == times.length, s"dup times for $k")
+          val expected = rows.filter(_._1 == k).map(_._2).distinct.size
+          assert(times.length == expected, s"count for $k")
+        }
+      }
+    }
+  }
+}
