@@ -56,11 +56,18 @@ object StreamPipeline {
   }
 
   /** S7/S8 + W4 — the full consumer: parse → monotonic dedup → hourly prep
-    * → parquet append, checkpointed. `foreachBatch` runs the batch-only
+    * → parquet warehouse, checkpointed. `foreachBatch` runs the batch-only
     * window dedup (D2) per micro-batch, mirroring the reference's
     * buffer-then-`prepare_hourly_for_bigquery` flush (`kafka_stream.py:
-    * 310-333`); a failed append fails the batch, so neither offsets nor
-    * watermark state advance (W3 exactly-once into the sink).
+    * 310-333`).
+    *
+    * W3 exactly-once: each micro-batch OVERWRITES its own
+    * `batch_id=<n>` partition directory instead of blind-appending — a
+    * retried batch (crash between write and checkpoint commit) replaces
+    * its own partial output rather than duplicating it. The reference has
+    * exactly this hole (crash between upload and watermark-save ⇒
+    * duplicate rows, `kafka_stream.py:326-330`); partition-dir idempotence
+    * closes it.
     */
   def writeHourly(wire: DataFrame, warehouseDir: String, checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("10 seconds"))(
@@ -70,9 +77,11 @@ object StreamPipeline {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: Dataset[Observation], _: Long) =>
+      .foreachBatch { (batch: Dataset[Observation], batchId: Long) =>
         val (clean, _) = Clean.prepareHourly(batch.toDF(), Observation.schema)
-        clean.write.mode("append").parquet(warehouseDir)
+        if (!clean.isEmpty)
+          clean.write.mode("overwrite")
+            .parquet(s"$warehouseDir/batch_id=$batchId")
       }
       .start()
   }

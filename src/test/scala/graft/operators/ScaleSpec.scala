@@ -39,6 +39,28 @@ class ScaleSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-bucket-wh").toString
+    val facts = (1 to 1000).map(i => (i % 50, i.toDouble)).toDF("key", "v")
+    val dims = (0 until 50).map(i => (i, s"label$i")).toDF("key", "label")
+    facts.write.mode("overwrite").bucketBy(8, "key").sortBy("key")
+      .option("path", s"$wh/facts").saveAsTable("facts_bucketed")
+    dims.write.mode("overwrite").bucketBy(8, "key").sortBy("key")
+      .option("path", s"$wh/dims").saveAsTable("dims_bucketed")
+    // disable broadcast so the join would otherwise shuffle both sides
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("facts_bucketed")
+        .join(spark.table("dims_bucketed"), "key")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() == 1000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("writePartitioned produces key-partitioned layout that prunes on read") {
     import spark.implicits._
     val df = Seq(("S1", "2024-01-01 00:00:00", 1.0), ("S2", "2024-01-01 00:00:00", 2.0),
