@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
-import graft.operators.{Analytics, Clean, Dedup, Multimodal, Quality, Similarity, TextOps}
+import graft.operators.{Analytics, Clean, Dedup, Multimodal, Quality, Similarity, Temporal, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -515,6 +515,53 @@ object SparkEntry {
           .orderBy(col("query_id"), col("cos").desc, col("id"))
       },
       None),
+
+    // As-of join (point-in-time lookup): each view event gets the user's
+    // most recent purchase value at that instant (last-touch attribution).
+    // Oracle = DuckDB's native ASOF LEFT JOIN; the Spark side is the
+    // union + running-last-value window (one shuffle on the key).
+    "q32_asof_join" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val views = ev.filter(col("event_type") === "view")
+          .select("event_id", "user_id", "ts")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"),
+            col("value").as("last_purchase_value"))
+        Temporal.asofJoin(views, purchases, "user_id", "ts", "ts",
+            Seq("last_purchase_value"))
+          .select("event_id", "user_id", "last_purchase_value")
+          .orderBy("event_id")
+      },
+      Some("""WITH v AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t
+               FROM events WHERE event_type = 'view'),
+        p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value AS last_purchase_value
+              FROM events WHERE event_type = 'purchase')
+        SELECT v.event_id, v.user_id, p.last_purchase_value
+        FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.t >= p.t
+        ORDER BY v.event_id""")),
+
+    // Gap-based sessionization (30-min inactivity gap) via the built-in
+    // merging session_window; oracle = gaps-and-islands SQL.
+    "q33_sessionize" -> Q(
+      (s, dir) => Temporal.sessionize(t(s, dir, "events"), "user_id", "ts",
+          "30 minutes", col("value"))
+        .orderBy("user_id", "session_start"),
+      Some("""WITH o AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t, value,
+          CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER
+                 (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
+               OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER
+                 (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                 > INTERVAL 30 MINUTE
+               THEN 1 ELSE 0 END AS brk FROM events),
+        s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                ROWS UNBOUNDED PRECEDING) AS sess FROM o)
+        SELECT user_id, MIN(t) AS session_start,
+               MAX(t) + INTERVAL 30 MINUTE AS session_end,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(24,2))) AS DOUBLE) AS sum_value
+        FROM s GROUP BY user_id, sess
+        ORDER BY user_id, session_start""")),
 
     // ----- SQL API surface ---------------------------------------------------
 
