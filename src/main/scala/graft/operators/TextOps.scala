@@ -51,10 +51,13 @@ object TextOps {
     val punct = nChars - length(regexp_replace(t, "[^A-Za-z0-9\\s]", ""))
     val digits = nChars - length(regexp_replace(t, "[0-9]", ""))
     val stops = size(filter(toks, x => x.isInCollection(Seq("the", "a", "of", "and"))))
+    // guarded division: ANSI mode (Spark 4 default) throws DIVIDE_BY_ZERO,
+    // and a single empty document must not kill a 100 TB job — null ratio
     def ratio(num: Column, den: Column): Column =
-      (num.cast("double") / den.cast("double")).cast("decimal(18,9)")
+      when(den =!= 0, (num.cast("double") / den.cast("double")).cast("decimal(18,9)"))
     val meanTokLen =
-      ((nChars - (nToks - lit(1))).cast("double") / nToks.cast("double")).cast("decimal(18,9)")
+      when(nToks =!= 0, ((nChars - (nToks - lit(1))).cast("double") /
+        nToks.cast("double")).cast("decimal(18,9)"))
     val punctRatio = ratio(punct, nChars)
     val stopRatio = ratio(stops, nToks)
     // composite score: long enough, not punctuation-heavy, some stopwords

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.functions.TextFns
+import graft.schema.Observation
+
+/** Edge cases the 100 TB path will hit constantly: empty partitions/tables,
+  * null text, documents shorter than the shingle width, empty strings.
+  */
+class EdgeCaseSpec extends SparkSpec {
+
+  private def emptyDocs = {
+    import spark.implicits._
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+  }
+
+  test("dedup family on an empty table returns empty, not an error") {
+    assert(Dedup.exactByFingerprint(emptyDocs, "doc_id",
+      TextFns.fingerprint(col("text"))).count() == 0)
+    assert(Dedup.ngramJaccardPairs(emptyDocs, "doc_id", "text", 3, 0.5).count() == 0)
+    assert(Dedup.simhash(emptyDocs, "doc_id", "text").count() == 0)
+  }
+
+  test("null and too-short texts produce empty shingle sets, never nulls") {
+    import spark.implicits._
+    val docs = Seq((0L, null: String), (1L, ""), (2L, "one two"),
+      (3L, "one two three")).toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id"), TextFns.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getSeq[String](1)).map(_.length)).toMap
+    assert(sh(0L).contains(0))      // null text → EMPTY array (never null)
+    assert(sh(1L).contains(0))      // empty string → no 3-grams
+    assert(sh(2L).contains(0))      // 2 tokens < n
+    assert(sh(3L).contains(1))
+    // posting relation simply drops null/short docs
+    assert(Dedup.shingleSets(docs, "doc_id", "text", 3)
+      .select("id").distinct().count() == 1)
+  }
+
+  test("prepareHourly on an empty frame yields empty clean and rejected") {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("station_id", StringType),
+        StructField("timestamp", StringType))))
+    val (clean, rejected) = Clean.prepareHourly(empty, Observation.schema)
+    assert(clean.count() == 0 && rejected.count() == 0)
+    assert(clean.columns.toSeq == Observation.schema.fields.map(_.name).toSeq)
+  }
+
+  test("knnExact with an empty query set returns empty") {
+    import spark.implicits._
+    val vecs = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.knnExact(vecs, vecs.filter(col("vec_id") < 0),
+      "vec_id", "embedding", 3).count() == 0)
+  }
+
+  test("nearDupExact single-element and empty corpora") {
+    import spark.implicits._
+    val one = Seq((7L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.nearDupExact(one, "vec_id", "embedding", 0.0).count() == 0)
+    val none = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.nearDupExact(none, "vec_id", "embedding", 0.0).count() == 0)
+  }
+
+  test("quality features handle empty-ish text without division blowups") {
+    import spark.implicits._
+    val df = Seq((0L, ""), (1L, "   "), (2L, "x")).toDF("doc_id", "text")
+    val rows = TextOps.qualityFeatures(df, "doc_id", "text").collect()
+    assert(rows.length == 3) // no exceptions; ratios may be null for len 0
+  }
+}
