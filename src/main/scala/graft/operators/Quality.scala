@@ -37,8 +37,11 @@ object Quality {
     val statAggs = cols.flatMap(c =>
       Seq(avg(col(c)).as(s"__mu_$c"), stddev_pop(col(c)).as(s"__sd_$c")))
     val stats = df.agg(statAggs.head, statAggs.tail.toIndexedSeq: _*)
+    // sd=0 (constant column) must yield "no outliers", not an ANSI
+    // DIVIDE_BY_ZERO — Spark 4 throws even for double division
     val zs: Seq[Column] = cols.map(c =>
-      abs((col(c) - col(s"__mu_$c")) / col(s"__sd_$c")))
+      when(col(s"__sd_$c") =!= 0,
+        abs((col(c) - col(s"__mu_$c")) / col(s"__sd_$c"))))
     val anyOutlier = zs.map(_ > threshold).reduce(_ || _)
     df.crossJoin(broadcast(stats))
       .filter(anyOutlier)

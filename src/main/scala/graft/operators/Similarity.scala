@@ -39,7 +39,15 @@ object Similarity {
         zip_with(x, y, (p, q) =>
           round(p.cast("double") * lit(1e7)) * round(q.cast("double") * lit(1e7))),
         lit(0.0), (acc, v) => acc + v)
-    qdot(a, b) / sqrt(qdot(a, a) * qdot(b, b))
+    cosFrom(qdot(a, b), qdot(a, a), qdot(b, b))
+  }
+
+  /** cos = dot/sqrt(na*nb), null (not ANSI DIVIDE_BY_ZERO) on zero
+    * vectors — Spark 4 throws even on double division by zero.
+    */
+  private def cosFrom(dot: Column, na: Column, nb: Column): Column = {
+    val den = sqrt(na * nb)
+    when(den =!= 0, dot / den)
   }
 
   /** Fast double-accumulated cosine (bench path; last-ulp order-dependent). */
@@ -47,7 +55,7 @@ object Similarity {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
         lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+    cosFrom(dot(a, b), dot(a, a), dot(b, b))
   }
 
   /** The 1e7-grid quantization of a float vector as integer-valued doubles
@@ -80,7 +88,7 @@ object Similarity {
         quantized(col(vecCol)).as("__cv"))
       .withColumn("__cn", qnorm2(col("__cv")))
       .join(broadcast(q), col("query_id") =!= col("id"))
-      .withColumn("cos", qdot(col("__qv"), col("__cv")) / sqrt(col("__qn") * col("__cn")))
+      .withColumn("cos", cosFrom(qdot(col("__qv"), col("__cv")), col("__qn"), col("__cn")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("id"))
     scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
@@ -126,7 +134,7 @@ object Similarity {
       .withColumn("__qn", qnorm2(col("__qv")))
     val scored = c.join(broadcast(q), Seq("__bkt"))
       .filter(col("query_id") =!= col("id"))
-      .withColumn("cos", qdot(col("__qv"), col("__cv")) / sqrt(col("__qn") * col("__cn")))
+      .withColumn("cos", cosFrom(qdot(col("__qv"), col("__cv")), col("__qn"), col("__cn")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("id"))
     scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
@@ -218,7 +226,7 @@ object Similarity {
       .withColumn("__qn", qnorm2(col("__qv")))
     val scored = c.join(broadcast(q), Seq("__cell"))
       .filter(col("query_id") =!= col("id"))
-      .withColumn("cos", qdot(col("__qv"), col("__cv")) / sqrt(col("__qn") * col("__cn")))
+      .withColumn("cos", cosFrom(qdot(col("__qv"), col("__cv")), col("__qn"), col("__cn")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("id"))
     scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
@@ -291,8 +299,8 @@ object Similarity {
     v.as("a").join(v.as("b"),
         col("a.__bkt") === col("b.__bkt") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (qdot(col("a.__v"), col("b.__v")) /
-          sqrt(col("a.__n") * col("b.__n"))).as("cos"))
+        cosFrom(qdot(col("a.__v"), col("b.__v")),
+          col("a.__n"), col("b.__n")).as("cos"))
       .filter(col("cos") >= minCos)
   }
 }

@@ -28,6 +28,13 @@ class QualitySpec extends SparkSpec {
     assert(out.collect().map(_.getAs[Double]("temperature")).toSeq == Seq(1000.0))
   }
 
+  test("zscoreOutliers on a constant column flags nothing (sd=0 → NaN z, " +
+      "no ANSI error)") {
+    import spark.implicits._
+    val df = Seq.fill(5)(42.0).toDF("temperature")
+    assert(Quality.zscoreOutliers(df, Seq("temperature"), 1.0).count() == 0)
+  }
+
   test("duplicateAudit reports keys with count > 1, descending") {
     import spark.implicits._
     val df = Seq(("S1", "t1"), ("S1", "t1"), ("S1", "t1"), ("S2", "t1"),
