@@ -373,13 +373,15 @@ object SparkEntry {
 
     // ----- Similarity search over `embeddings` -------------------------------
 
-    // Brute-force exact cosine top-5 for 10 query vectors. Cosine goes
-    // through DECIMAL-exact dot products so the doubles are bit-identical
+    // Brute-force exact cosine top-5 for 10 query vectors, via the bounded
+    // top-k aggregator (map-side partial top-k; the shuffle carries <= k
+    // rows per query per task instead of every scored row). Cosine goes
+    // through quantized-exact dot products so the doubles are bit-identical
     // across engines and partitionings.
     "q24_knn_exact" -> Q(
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        Similarity.knnExact(emb, emb.filter(col("vec_id") < 10), "vec_id",
+        Similarity.knnExactAgg(emb, emb.filter(col("vec_id") < 10), "vec_id",
             "embedding", 5)
           .orderBy(col("query_id"), col("cos").desc, col("id"))
       },

@@ -95,6 +95,31 @@ object Similarity {
       .select("query_id", "id", "cos")
   }
 
+  /** [[knnExact]] with the bounded [[graft.functions.TopKAggregator]]
+    * instead of a window sort: scored rows partial-aggregate map-side into
+    * k-element buffers, so the shuffle carries ≤ k rows per (query, task)
+    * instead of every scored row — the scale form of top-k. Identical
+    * output (same cosine, same ordering).
+    */
+  def knnExactAgg(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    val q = queries.select(col(idCol).as("query_id"),
+      quantized(col(vecCol)).as("__qv"))
+      .withColumn("__qn", qnorm2(col("__qv")))
+    val scored = corpus.select(col(idCol).as("id"),
+        quantized(col(vecCol)).as("__cv"))
+      .withColumn("__cn", qnorm2(col("__cv")))
+      .join(broadcast(q), col("query_id") =!= col("id"))
+      .select(col("query_id"),
+        struct(cosFrom(qdot(col("__qv"), col("__cv")), col("__qn"), col("__cn"))
+          .as("_1"), col("id").as("_2")).as("__pair"))
+    scored.groupBy("query_id")
+      .agg(topk(col("__pair._1"), col("__pair._2")).as("__top"))
+      .select(col("query_id"), explode(col("__top")).as("__e"))
+      .select(col("query_id"), col("__e._2").as("id"), col("__e._1").as("cos"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: coefficient (p, d) is derived
     * from h60(s"plane:p:d"), mapped to [-0.5, 0.5). Returned as a literal
     * array-of-arrays column so the dot products stay in codegen.

@@ -56,6 +56,17 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Set((0L, 2L)))
   }
 
+  test("knnExactAgg (bounded top-k aggregator) equals the window-based knnExact") {
+    import spark.implicits._
+    val emb = graft.GraftSession.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val win = Similarity.knnExact(emb, queries, "vec_id", "embedding", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val agg = Similarity.knnExactAgg(emb, queries, "vec_id", "embedding", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(agg == win)
+  }
+
   test("knnIvf with full probing equals knnExact; partial probing is a subset") {
     import spark.implicits._
     // 20 vectors in two well-separated clusters around (1,0,0) and (0,1,0)
