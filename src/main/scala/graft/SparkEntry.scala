@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
-import graft.operators.{Analytics, Clean, Dedup, Multimodal, Quality, Similarity, Temporal, TextOps}
+import graft.operators.{Analytics, Clean, Curation, Dedup, Multimodal, Quality, Similarity, Temporal, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -564,6 +564,48 @@ object SparkEntry {
                CAST(SUM(CAST(value AS DECIMAL(24,2))) AS DOUBLE) AS sum_value
         FROM s GROUP BY user_id, sess
         ORDER BY user_id, session_start""")),
+
+    // The composed curation pipeline: per-document status across quality →
+    // language → exact-dedup → near-dup stages (first failing stage wins).
+    "q34_curation" -> Q(
+      (s, dir) => {
+        Curation.curate(t(s, dir, "documents"), "doc_id",
+          "text", "lang", minTokens = 20,
+          allowedLangs = Seq("de", "en", "es", "fr"),
+          fingerprintPrefix = 80, nearDupJac = 0.8)
+          .orderBy("doc_id")
+      },
+      Some("""WITH base AS (SELECT doc_id, lang,
+          len(string_split_regex(lower(trim(text)), '\s+')) AS n_toks,
+          md5(substr(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), 1, 80)) AS fp
+        FROM documents),
+        s1 AS (SELECT doc_id, n_toks >= 20 AS q_ok,
+               lang IN ('de', 'en', 'es', 'fr') AS l_ok, fp FROM base),
+        surv12 AS (SELECT * FROM s1 WHERE q_ok AND l_ok),
+        ex AS (SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+               FROM surv12),
+        exkept AS (SELECT doc_id FROM ex WHERE rn = 1),
+        toks AS (SELECT d.doc_id, string_split_regex(lower(trim(d.text)), '\s+') AS l
+                 FROM documents d JOIN exkept USING (doc_id)),
+        grams AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, greatest(len(l) - 1, 1)),
+                 i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS g
+               FROM toks WHERE len(l) >= 3),
+        sh AS (SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS sh FROM grams),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+                  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        nd AS (SELECT DISTINCT id_b AS doc_id FROM inter
+               JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+               WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8)
+        SELECT s1.doc_id, CASE
+            WHEN NOT q_ok THEN 'quality'
+            WHEN NOT l_ok THEN 'language'
+            WHEN s1.doc_id NOT IN (SELECT doc_id FROM exkept) THEN 'exact_dup'
+            WHEN s1.doc_id IN (SELECT doc_id FROM nd) THEN 'near_dup'
+            ELSE 'kept' END AS status
+        FROM s1 ORDER BY doc_id""")),
 
     // ----- SQL API surface ---------------------------------------------------
 

@@ -1,0 +1,30 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CurationSpec extends SparkSpec {
+
+  test("curate assigns the first-failing-stage reason per document") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "one two three four five six seven eight nine ten", "en"), // kept
+      (1L, "too short", "en"),                                         // quality
+      (2L, "one two three four five six seven eight nine ten", "zh"), // language
+      (3L, "ONE two three four five six seven eight nine ten", "en"), // exact dup of 0 (prefix-norm)
+      (4L, "one two three four five six seven eight nine zzz", "en"), // near dup of 0
+      (5L, "short and zh", "zh")                                       // quality wins over language
+    ).toDF("doc_id", "text", "lang")
+    val out = Curation.curate(docs, "doc_id", "text", "lang",
+        minTokens = 5, allowedLangs = Seq("de", "en", "es", "fr"),
+        fingerprintPrefix = 80, nearDupJac = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(0L -> "kept", 1L -> "quality", 2L -> "language",
+      3L -> "exact_dup", 4L -> "near_dup", 5L -> "quality"))
+    val keptRows = Curation.kept(docs,
+      Curation.curate(docs, "doc_id", "text", "lang", 5,
+        Seq("de", "en", "es", "fr"), 80, 0.5), "doc_id")
+    assert(keptRows.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(0L))
+  }
+}
