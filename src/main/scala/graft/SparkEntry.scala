@@ -607,6 +607,54 @@ object SparkEntry {
             ELSE 'kept' END AS status
         FROM s1 ORDER BY doc_id""")),
 
+    // Hierarchical ROLLUP totals (warehouse cube face): per (returnflag,
+    // linestatus), per returnflag subtotals, and a grand total. NULL
+    // ordering pinned explicitly (Spark defaults NULLS FIRST, DuckDB LAST).
+    "q35_rollup" -> Q(
+      (s, dir) => t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          Analytics.exactSum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,2))) AS DOUBLE) AS sum_price
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
+    // PIVOT: event counts per user fanned out to one column per event
+    // type — conditional aggregation on both engines (engine-independent
+    // form of Spark's .pivot()).
+    "q36_pivot" -> Q(
+      (s, dir) => {
+        val types = Seq("click", "view", "purchase", "signup", "error")
+        t(s, dir, "events").groupBy("user_id")
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+          .na.fill(0, types)
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+        COUNT(*) FILTER (event_type = 'click') AS click,
+        COUNT(*) FILTER (event_type = 'view') AS view,
+        COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        COUNT(*) FILTER (event_type = 'signup') AS signup,
+        COUNT(*) FILTER (event_type = 'error') AS error
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // Exact linear-interpolation percentiles of document length per source
+    // (Spark `percentile` ≡ DuckDB `quantile_cont`; integer inputs make
+    // the interpolation arithmetic engine-exact).
+    "q37_quantiles" -> Q(
+      (s, dir) => t(s, dir, "documents")
+        .groupBy("source")
+        .agg(expr("percentile(n_chars, 0.5)").as("p50"),
+          expr("percentile(n_chars, 0.9)").as("p90"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("source"),
+      Some("""SELECT source, quantile_cont(n_chars, 0.5) AS p50,
+        quantile_cont(n_chars, 0.9) AS p90, MAX(n_chars) AS max_chars
+        FROM documents GROUP BY source ORDER BY source""")),
+
     // ----- SQL API surface ---------------------------------------------------
 
     // The spark.sql face of the engine: the same ANSI text runs on both

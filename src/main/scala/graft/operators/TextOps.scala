@@ -38,6 +38,36 @@ object TextOps {
     }
   }
 
+  /** Character n-grams of the normalized text (overlapping, length n) —
+    * the classic language-ID feature. `Column.substr` with column offsets
+    * keeps this in codegen.
+    */
+  def charNgrams(textCol: Column, n: Int): Column = {
+    val t = graft.functions.TextFns.normalized(textCol)
+    when(length(t) >= n,
+      transform(sequence(lit(1), length(t) - (n - 1)),
+        i => t.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Char-n-gram profile language ID: score(lang) = fraction of the
+    * document's char trigrams found in that language's profile set;
+    * argmax with declaration-order tie-break. The lexicon variant
+    * ([[langIdPredict]]) scores whole tokens; this one works on unseen
+    * words — the standard n-gram heuristic.
+    */
+  def langIdCharNgram(textCol: Column,
+      profiles: Seq[(String, Seq[String])], n: Int = 3): Column = {
+    val grams = charNgrams(textCol, n)
+    val scores = profiles.map { case (lang, prof) =>
+      lang -> size(filter(grams, g => g.isInCollection(prof)))
+    }
+    val all = scores.map(_._2)
+    scores.foldRight(lit("und")) { case ((lang, s), rest) =>
+      when(s >= greatest(all: _*) && s > 0, lang).otherwise(rest)
+    }
+  }
+
   /** Quality features per document: char/token counts, mean token length,
     * punctuation / digit / stopword ratios, and a composite [0,1] score.
     * Ratios are quantized to DECIMAL(18,9) at the row level so downstream

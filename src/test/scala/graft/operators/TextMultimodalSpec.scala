@@ -18,6 +18,23 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out(0L) == "en" && out(1L) == "de" && out(2L) == "und")
   }
 
+  test("charNgrams and char-profile language ID") {
+    import spark.implicits._
+    val df = Seq((0L, "aber die und"), (1L, "the and with"), (2L, "zz"))
+      .toDF("doc_id", "text")
+    val grams = df.filter(col("doc_id") === 0)
+      .select(TextOps.charNgrams(col("text"), 3).as("g"))
+      .collect()(0).getSeq[String](0)
+    assert(grams.length == 10 && grams.head == "abe" && grams.contains("r d"))
+    val profiles = Seq(
+      "de" -> Seq("abe", "ber", "die", "und", "er "),
+      "en" -> Seq("the", "he ", "and", "wit", "ith"))
+    val out = df.select(col("doc_id"),
+        TextOps.langIdCharNgram(col("text"), profiles).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(0L -> "de", 1L -> "en", 2L -> "und"))
+  }
+
   test("qualityFeatures computes exact counts and quantized ratios") {
     import spark.implicits._
     val df = Seq((0L, "the cat, the hat!")).toDF("doc_id", "text")
