@@ -190,15 +190,30 @@ object Dedup {
     * single shuffle on the document id.
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // Packed-lane bit counting: instead of 60 separate sum(CASE) aggregates
+    // (one per signature bit), pack 4 × 15-bit per-bit counters into each
+    // of 15 longs — 16 aggregate expressions total, ~4x cheaper. Exact for
+    // documents up to 2^15 tokens (far beyond any sane document; larger
+    // inputs should chunk first). bit_j is set iff ones_j >= half the
+    // tokens, identical to the ±1-sum >= 0 formulation.
+    val laneBits = 15
+    val lanesPerLong = 4
     val toks = docs.select(col(idCol).as("id"),
       explode(TextFns.tokens(col(textCol))).as("tok"))
     val h = Hashing.h60(col("tok"))
-    val bitSums = (0 until 60).map { j =>
-      sum(when(shiftright(h, j) % 2 === 1, 1).otherwise(-1)).as(s"b$j")
+    val laneAggs = (0 until 15).map { k =>
+      val perToken = (0 until lanesPerLong).map { m =>
+        val j = lanesPerLong * k + m
+        (shiftright(h, j) % 2) * lit(1L << (laneBits * m))
+      }.reduce(_ + _)
+      sum(perToken).as(s"lane$k")
     }
-    val summed = toks.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val summed = toks.groupBy("id")
+      .agg(count(lit(1)).as("__n"), laneAggs: _*)
     val sig = (0 until 60).map { j =>
-      when(col(s"b$j") >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+      val ones = shiftright(col(s"lane${j / lanesPerLong}"),
+        laneBits * (j % lanesPerLong)).bitwiseAND(lit((1L << laneBits) - 1))
+      when(ones * 2 >= col("__n"), shiftleft(lit(1L), j)).otherwise(lit(0L))
     }.reduce(_ + _)
     summed.select(col("id"), sig.as("simhash"))
   }
@@ -214,11 +229,15 @@ object Dedup {
     require(maxDist < bands, "pigeonhole exactness needs maxDist < bands")
     val width = 60 / bands
     val mask = (1L << width) - 1
+    // the self-join below references the signature subtree on BOTH sides;
+    // without a cache Spark computes the (expensive, 60-aggregate) simhash
+    // twice
+    val cached = sigs.cache()
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         (shiftright(col("simhash"), b * width).bitwiseAND(lit(mask))).as("bucket"))
     }
-    val exploded = sigs.select(col("id"), col("simhash"),
+    val exploded = cached.select(col("id"), col("simhash"),
         explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("simhash"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     exploded.as("a").join(exploded.as("b"),
