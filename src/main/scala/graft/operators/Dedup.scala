@@ -96,6 +96,10 @@ object Dedup {
         .distinct()
       confirmJaccard(cands, sh, sizes, minJac)
     } else {
+      // note: a lossless size-ratio prune (min >= t*max inside the join
+      // condition) was measured SLOWER here — joining sizes into the
+      // postings costs more than the prune saves when doc sizes cluster;
+      // revisit only for heavy-tailed size distributions
       val inter = sh.as("a").join(sh.as("b"),
           col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
         .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
