@@ -655,6 +655,65 @@ object SparkEntry {
         quantile_cont(n_chars, 0.9) AS p90, MAX(n_chars) AS max_chars
         FROM documents GROUP BY source ORDER BY source""")),
 
+    // JSON-path extraction (the S3 payload-extraction face done properly:
+    // a JSON parser, not regex) — get_json_object ≡ json_extract_string.
+    "q38_json_path" -> Q(
+      (s, dir) => t(s, dir, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").try_cast("bigint").as("k"),
+        get_json_object(col("props"), "$.absent").as("absent"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+        TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        json_extract_string(props, '$.absent') AS absent
+        FROM events ORDER BY event_id""")),
+
+    // Set operations: customers active in 1995 INTERSECT 1996, and 1995
+    // EXCEPT 1996 — relational set algebra over the orders fact.
+    "q39_set_ops" -> Q(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        def custs(year: Int) = o
+          .filter(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp_ntz") &&
+            col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp_ntz"))
+          .select("o_custkey")
+        val both = custs(1995).intersect(custs(1996))
+          .withColumn("set_op", lit("both_years"))
+        val only95 = custs(1995).except(custs(1996))
+          .withColumn("set_op", lit("only_1995"))
+        both.unionByName(only95).orderBy("set_op", "o_custkey")
+      },
+      Some("""WITH c95 AS (SELECT DISTINCT o_custkey FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'),
+        c96 AS (SELECT DISTINCT o_custkey FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')
+        SELECT o_custkey, 'both_years' AS set_op FROM (SELECT * FROM c95 INTERSECT SELECT * FROM c96)
+        UNION ALL
+        SELECT o_custkey, 'only_1995' AS set_op FROM (SELECT * FROM c95 EXCEPT SELECT * FROM c96)
+        ORDER BY set_op, o_custkey""")),
+
+    // Date/time function battery over the orders dates (year/quarter/
+    // month/dayofweek extraction, month truncation, date arithmetic).
+    // Spark dayofweek is 1=Sunday; DuckDB dayofweek is 0=Sunday → +1.
+    "q40_datetime_funcs" -> Q(
+      (s, dir) => t(s, dir, "orders")
+        .groupBy(
+          year(col("o_orderdate")).as("y"),
+          quarter(col("o_orderdate")).as("q"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(dayofweek(col("o_orderdate"))).as("n_dows"),
+          countDistinct(date_trunc("month", col("o_orderdate"))).as("n_months"),
+          max(datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp_ntz")))
+            .as("max_days_since"))
+        .orderBy("y", "q"),
+      Some("""SELECT EXTRACT(YEAR FROM o_orderdate) AS y,
+        EXTRACT(QUARTER FROM o_orderdate) AS q,
+        COUNT(*) AS n,
+        COUNT(DISTINCT dayofweek(o_orderdate) + 1) AS n_dows,
+        COUNT(DISTINCT date_trunc('month', o_orderdate)) AS n_months,
+        MAX(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)) AS max_days_since
+        FROM orders GROUP BY 1, 2 ORDER BY y, q""")),
+
     // ----- SQL API surface ---------------------------------------------------
 
     // The spark.sql face of the engine: the same ANSI text runs on both
