@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
-import graft.operators.{Analytics, Clean, Curation, Dedup, Multimodal, Quality, Similarity, Temporal, TextOps}
+import graft.operators.{Analytics, Clean, Curation, Dedup, Multimodal, Quality, Similarity, Temporal, TextOps, Warehouse}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -713,6 +713,31 @@ object SparkEntry {
         COUNT(DISTINCT date_trunc('month', o_orderdate)) AS n_months,
         MAX(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)) AS max_days_since
         FROM orders GROUP BY 1, 2 ORDER BY y, q""")),
+
+    // MERGE/upsert warehouse maintenance: second-half events merged onto
+    // the first half per (user_id, event_type); greatest (ts, event_id)
+    // wins, updates side on full ties.
+    "q41_merge_upsert" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val cut = ev.agg(expr("max(event_id) div 2").as("__cut"))
+        val withCut = ev.crossJoin(broadcast(cut))
+        val base = withCut.filter(col("event_id") < col("__cut")).drop("__cut")
+        val upd = withCut.filter(col("event_id") >= col("__cut")).drop("__cut")
+        Warehouse.mergeByKey(base, upd, Seq("user_id", "event_type"),
+            Seq("ts", "event_id"))
+          .select("user_id", "event_type", "event_id", "value")
+          .orderBy("user_id", "event_type")
+      },
+      Some("""WITH m AS (SELECT MAX(event_id) // 2 AS cut FROM events),
+        tagged AS (SELECT e.*, CASE WHEN event_id >= cut THEN 1 ELSE 0 END AS src
+                   FROM events e CROSS JOIN m)
+        SELECT user_id, event_type, event_id, value FROM (
+          SELECT user_id, event_type, event_id, value,
+            row_number() OVER (PARTITION BY user_id, event_type
+              ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC, src DESC) AS rn
+          FROM tagged) WHERE rn = 1
+        ORDER BY user_id, event_type""")),
 
     // ----- SQL API surface ---------------------------------------------------
 
