@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
@@ -739,6 +740,68 @@ object SparkEntry {
           FROM tagged) WHERE rn = 1
         ORDER BY user_id, event_type""")),
 
+    // String function battery (lpad/instr≡strpos/reverse/translate/...).
+    "q42_string_funcs" -> Q(
+      (s, dir) => t(s, dir, "customer").select(
+        col("c_custkey"),
+        upper(col("c_name")).as("u"),
+        lpad(col("c_custkey").cast("string"), 12, "0").as("padded"),
+        instr(col("c_name"), "1").as("pos1"),
+        reverse(col("c_name")).as("rev"),
+        substring(col("c_name"), 1, 8).as("head8"),
+        translate(col("c_name"), "#", "-").as("dashed"),
+        length(col("c_name")).as("len"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, upper(c_name) AS u,
+        lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded,
+        strpos(c_name, '1') AS pos1, reverse(c_name) AS rev,
+        substr(c_name, 1, 8) AS head8, translate(c_name, '#', '-') AS dashed,
+        length(c_name) AS len
+        FROM customer ORDER BY c_custkey""")),
+
+    // Window function battery: per-user event sequence analytics over a
+    // unique (ts, event_id) ordering — rank/ntile/percent_rank/cume_dist/
+    // lag/lead all deterministic.
+    "q43_window_funcs" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events").select(
+          col("event_id"), col("user_id"),
+          row_number().over(w).as("seq"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("value"), 1).over(w).as("next_value"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+        row_number() OVER w AS seq, ntile(4) OVER w AS quartile,
+        percent_rank() OVER w AS pr, cume_dist() OVER w AS cd,
+        lag(value, 1) OVER w AS prev_value, lead(value, 1) OVER w AS next_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        ORDER BY event_id""")),
+
+    // Correlated subqueries: EXISTS + NOT EXISTS through the SQL surface.
+    "q44_exists_subquery" -> Q(
+      (s, dir) => {
+        Seq("customer", "orders").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+        s.sql(existsQuery)
+      },
+      Some(existsQuery))
+  )
+
+  private def existsQuery =
+    """SELECT c_custkey, c_name FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice < 50000)
+      ORDER BY c_custkey"""
+
+  private val registryTail: Map[String, Q] = Map(
     // ----- SQL API surface ---------------------------------------------------
 
     // The spark.sql face of the engine: the same ANSI text runs on both
@@ -769,12 +832,14 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     registry("q03_region_revenue").fn(spark, "/root/testdata/sf0.001")
 
+  private def allQueries: Map[String, Q] = registry ++ registryTail
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    registry.map { case (k, q) => k -> q.fn }
+    allQueries.map { case (k, q) => k -> q.fn }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    registry.collect { case (k, Q(_, Some(sql))) => k -> sql }
+    allQueries.collect { case (k, Q(_, Some(sql))) => k -> sql }
 }
