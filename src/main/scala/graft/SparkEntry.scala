@@ -784,6 +784,38 @@ object SparkEntry {
         WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
         ORDER BY event_id""")),
 
+    // Array/higher-order function battery over the embedding vectors
+    // (size/slice/element_at ≡ len/list_slice/list_extract; filter/
+    // aggregate lambdas ≡ list_filter/list_aggregate).
+    "q45_array_funcs" -> Q(
+      (s, dir) => t(s, dir, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).as("first_elem"),
+        size(filter(col("embedding"), x => x > 0)).as("n_positive"),
+        array_max(col("embedding")).as("max_elem"),
+        aggregate(slice(col("embedding"), 1, 8),
+          lit(0.0), (acc, x) => acc + round(x.cast("double") * 1e7))
+          .as("head8_qsum"))
+        .orderBy("vec_id"),
+      Some("""SELECT vec_id, len(embedding) AS dim,
+        embedding[1] AS first_elem,
+        len(list_filter(embedding, x -> x > 0)) AS n_positive,
+        list_max(embedding) AS max_elem,
+        list_aggregate(list_transform(list_slice(embedding, 1, 8),
+          x -> round(CAST(x AS DOUBLE) * 1e7)), 'sum') AS head8_qsum
+        FROM embeddings ORDER BY vec_id""")),
+
+    // Sketch face of A7 (distinct counts at 100 TB): HyperLogLog++
+    // approximate distincts. Engine-specific sketch → rows-only check;
+    // the exact face is q13.
+    "q46_approx_distinct" -> Q(
+      (s, dir) => t(s, dir, "events").agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        approx_count_distinct(col("props")).as("approx_props"),
+        count(lit(1)).as("n")),
+      None),
+
     // Correlated subqueries: EXISTS + NOT EXISTS through the SQL surface.
     "q44_exists_subquery" -> Q(
       (s, dir) => {

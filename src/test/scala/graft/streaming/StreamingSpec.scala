@@ -56,6 +56,32 @@ class StreamingSpec extends SparkSpec {
       (ts("2024-06-01 10:00:00"), "S2", 1L, 5.0)))
   }
 
+  test("stream-stream inner join with watermarks (views enriched by the " +
+      "user's purchases within the hour)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(String, Timestamp, Double)]
+    val purchases = MemoryStream[(String, Timestamp, Double)]
+    views.addData(("u1", ts("2024-06-01 10:10:00"), 1.0),
+      ("u2", ts("2024-06-01 10:20:00"), 2.0))
+    purchases.addData(("u1", ts("2024-06-01 10:05:00"), 99.0))
+    val v = views.toDF().toDF("user_id", "vts", "vval")
+      .withWatermark("vts", "1 hour")
+    val p = purchases.toDF().toDF("user_id", "pts", "pval")
+      .withWatermark("pts", "1 hour")
+    val q = v.as("v").join(p.as("p"),
+        col("v.user_id") === col("p.user_id") &&
+          col("pts") >= col("vts") - expr("INTERVAL 1 HOUR") &&
+          col("pts") <= col("vts"))
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("ss_join").collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[String]("user_id") == "u1")
+    assert(rows(0).getAs[Double]("pval") == 99.0)
+  }
+
   test("streaming pipeline: wire JSON → parse → monotonic dedup across " +
       "micro-batches → hourly parquet append") {
     import spark.implicits._
