@@ -425,8 +425,7 @@ object SparkEntry {
     // Language-ID heuristic (lexicon-hit argmax) as a confusion matrix
     // against the labeled lang column.
     "q26_lang_id" -> Q(
-      (s, dir) => t(s, dir, "documents")
-        .select(col("lang"), TextOps.langIdPredict(col("text")).as("predicted"))
+      (s, dir) => TextOps.langId(t(s, dir, "documents"), "text", "predicted")
         .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
         .orderBy("lang", "predicted"),
       Some {

@@ -38,6 +38,28 @@ object TextOps {
     }
   }
 
+  /** DataFrame-level language ID: tokenizes ONCE and materializes one
+    * score column per language before the argmax CASE. The pure-Column
+    * form ([[langIdPredict]]) embeds every score subtree ~7x inside the
+    * CASE/greatest chain — interpreted higher-order filters get no
+    * common-subexpression elimination, so that's ~30 tokenizations per
+    * row; this form keeps one. Same output.
+    */
+  def langId(df: DataFrame, textCol: String, out: String): DataFrame = {
+    val toks = df.withColumn("__toks", TextFns.tokens(col(textCol)))
+    val scored = langLexicons.foldLeft(toks) { case (d, (lang, lex)) =>
+      d.withColumn(s"__s_$lang",
+        size(filter(col("__toks"), t => t.isInCollection(lex))))
+    }
+    val all = langLexicons.map { case (lang, _) => col(s"__s_$lang") }
+    val chain = langLexicons.foldRight(lit("und")) { case ((lang, _), rest) =>
+      when(col(s"__s_$lang") >= greatest(all: _*) && col(s"__s_$lang") > 0,
+        lang).otherwise(rest)
+    }
+    scored.withColumn(out, chain)
+      .drop("__toks" +: langLexicons.map { case (l, _) => s"__s_$l" }: _*)
+  }
+
   /** Character n-grams of the normalized text (overlapping, length n) —
     * the classic language-ID feature. `Column.substr` with column offsets
     * keeps this in codegen.
