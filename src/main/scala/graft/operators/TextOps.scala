@@ -95,9 +95,13 @@ object TextOps {
     * Ratios are quantized to DECIMAL(18,9) at the row level so downstream
     * sums are order-independent (exact) across engines and partitionings.
     */
-  def qualityFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def qualityFeatures(df0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // materialize the token array once — several features reference it,
+    // and building it repeatedly inside one projection re-tokenizes per
+    // feature (interpreted HOFs get no CSE; see langId)
+    val df = df0.withColumn("__toks", TextFns.tokens(col(textCol)))
     val t = col(textCol)
-    val toks = TextFns.tokens(t)
+    val toks = col("__toks")
     val nChars = length(t)
     val nToks = size(toks)
     val punct = nChars - length(regexp_replace(t, "[^A-Za-z0-9\\s]", ""))
