@@ -26,6 +26,25 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     GraftSession.table(s, dir, name)
 
+  // Exact cosine top-5 for query vectors vec_id < 10 (quantized-exact dot
+  // products) — shared by q24 (brute-force path) and q31b (IVF at full
+  // probing, where the approximate index degenerates to the exact answer).
+  private val knnTop5OracleSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id AS id, embedding AS cv FROM embeddings),
+        scored AS (SELECT query_id, id,
+          list_aggregate(list_transform(range(1, len(qv) + 1),
+            i -> round(CAST(qv[i] AS DOUBLE) * 1e7) * round(CAST(cv[i] AS DOUBLE) * 1e7)), 'sum')
+          / SQRT(
+            list_aggregate(list_transform(range(1, len(qv) + 1),
+              i -> round(CAST(qv[i] AS DOUBLE) * 1e7) * round(CAST(qv[i] AS DOUBLE) * 1e7)), 'sum')
+            * list_aggregate(list_transform(range(1, len(cv) + 1),
+              i -> round(CAST(cv[i] AS DOUBLE) * 1e7) * round(CAST(cv[i] AS DOUBLE) * 1e7)), 'sum')) AS cos
+          FROM q JOIN c ON query_id <> id)
+        SELECT query_id, id, cos FROM scored
+        QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) <= 5
+        ORDER BY query_id, cos DESC, id"""
+
   private val registry: Map[String, Q] = Map(
 
     // ----- A-series aggregations / TPC-H-ish core ---------------------------
@@ -386,20 +405,7 @@ object SparkEntry {
             "embedding", 5)
           .orderBy(col("query_id"), col("cos").desc, col("id"))
       },
-      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
-        c AS (SELECT vec_id AS id, embedding AS cv FROM embeddings),
-        scored AS (SELECT query_id, id,
-          list_aggregate(list_transform(range(1, len(qv) + 1),
-            i -> round(CAST(qv[i] AS DOUBLE) * 1e7) * round(CAST(cv[i] AS DOUBLE) * 1e7)), 'sum')
-          / SQRT(
-            list_aggregate(list_transform(range(1, len(qv) + 1),
-              i -> round(CAST(qv[i] AS DOUBLE) * 1e7) * round(CAST(qv[i] AS DOUBLE) * 1e7)), 'sum')
-            * list_aggregate(list_transform(range(1, len(cv) + 1),
-              i -> round(CAST(cv[i] AS DOUBLE) * 1e7) * round(CAST(cv[i] AS DOUBLE) * 1e7)), 'sum')) AS cos
-          FROM q JOIN c ON query_id <> id)
-        SELECT query_id, id, cos FROM scored
-        QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) <= 5
-        ORDER BY query_id, cos DESC, id""")),
+      Some(knnTop5OracleSql)),
 
     // Embedding-cosine near-duplicate pairs (exact all-pairs baseline; the
     // scale path is Similarity.nearDupLsh with hyperplane buckets).
@@ -469,7 +475,7 @@ object SparkEntry {
           CAST(CAST(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) AS DECIMAL(18,9))
                - punct_ratio * 2 + stopword_ratio AS DECIMAL(18,9)) AS quality_score
           FROM f)
-        SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens,
+        SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
           CAST(SUM(quality_score) AS DOUBLE) / COUNT(*) AS avg_quality,
           CAST(SUM(punct_ratio) AS DOUBLE) / COUNT(*) AS avg_punct_ratio,
           CAST(SUM(stopword_ratio) AS DOUBLE) / COUNT(*) AS avg_stopword_ratio
@@ -485,8 +491,8 @@ object SparkEntry {
           sum(col("n_bpe_tokens")).as("sum_bpe_tokens"))
         .orderBy("source"),
       Some(s"""SELECT source, COUNT(*) AS n_docs,
-        SUM(len(string_split_regex(lower(trim(text)), '\\s+'))) AS sum_ws_tokens,
-        SUM(len(regexp_extract_all(text, '${TextFns.bpeTokenPattern}'))) AS sum_bpe_tokens
+        CAST(SUM(len(string_split_regex(lower(trim(text)), '\\s+'))) AS BIGINT) AS sum_ws_tokens,
+        CAST(SUM(len(regexp_extract_all(text, '${TextFns.bpeTokenPattern}'))) AS BIGINT) AS sum_bpe_tokens
         FROM documents GROUP BY source ORDER BY source""")),
 
     // ----- Multimodal binary plumbing ----------------------------------------
@@ -517,6 +523,20 @@ object SparkEntry {
           .orderBy(col("query_id"), col("cos").desc, col("id"))
       },
       None),
+
+    // IVF at FULL probing (nProbe = nlist): every cell is scanned, so the
+    // result is definitionally the exact top-k — which gives the IVF
+    // machinery (training, assignment, probe, ranking) a real DuckDB
+    // oracle (q24's), closing the only-rows-checked gap the approximate
+    // q31 necessarily leaves.
+    "q31b_knn_ivf_fullprobe" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.knnIvf(emb, emb.filter(col("vec_id") < 10), "vec_id",
+            "embedding", 5, nlist = 16, nProbe = 16)
+          .orderBy(col("query_id"), col("cos").desc, col("id"))
+      },
+      Some(knnTop5OracleSql)),
 
     // As-of join (point-in-time lookup): each view event gets the user's
     // most recent purchase value at that instant (last-touch attribution).
@@ -656,12 +676,18 @@ object SparkEntry {
         FROM documents GROUP BY source ORDER BY source""")),
 
     // JSON-path extraction (the S3 payload-extraction face done properly:
-    // a JSON parser, not regex) — get_json_object ≡ json_extract_string.
+    // a JSON parser, not regex). ONE from_json parse per row — two
+    // get_json_object calls each re-parse the document (measured 4.0s →
+    // ~2s at sf0.1); missing keys surface as null struct fields, matching
+    // json_extract_string's NULL.
     "q38_json_path" -> Q(
-      (s, dir) => t(s, dir, "events").select(
-        col("event_id"),
-        get_json_object(col("props"), "$.k").try_cast("bigint").as("k"),
-        get_json_object(col("props"), "$.absent").as("absent"))
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_id"),
+          from_json(col("props"), "k STRING, absent STRING",
+            Map.empty[String, String]).as("__p"))
+        .select(col("event_id"),
+          col("__p.k").try_cast("bigint").as("k"),
+          col("__p.absent").as("absent"))
         .orderBy("event_id"),
       Some("""SELECT event_id,
         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,

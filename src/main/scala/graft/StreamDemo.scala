@@ -71,6 +71,29 @@ object StreamDemo {
     println("=== streaming hourly stats ===")
     spark.table("demo_hourly").orderBy(col("hour"), col("station_id"))
       .show(10, truncate = false)
+
+    // stream-stream join face: two live streams (views, purchases) joined
+    // on user within a trailing 1-hour interval — watermarks bound the
+    // join state on both sides
+    import java.sql.Timestamp
+    val views = MemoryStream[(String, Timestamp, String)]
+    val purchases = MemoryStream[(String, Timestamp, Double)]
+    views.addData(
+      ("u1", Timestamp.valueOf("2024-06-01 10:10:00"), "product-page"),
+      ("u2", Timestamp.valueOf("2024-06-01 10:20:00"), "landing-page"),
+      ("u1", Timestamp.valueOf("2024-06-01 12:00:00"), "product-page"))
+    purchases.addData(
+      ("u1", Timestamp.valueOf("2024-06-01 10:05:00"), 99.0), // within the hour of view 1
+      ("u2", Timestamp.valueOf("2024-06-01 11:00:00"), 5.0))  // AFTER u2's view → no match
+    val joined = StreamPipeline.intervalJoin(
+        views.toDF().toDF("user_id", "vts", "page"),
+        purchases.toDF().toDF("user_id", "pts", "amount"),
+        "user_id", "vts", "pts", "1 hour")
+      .writeStream.format("memory").queryName("demo_ss_join")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    joined.awaitTermination()
+    println("=== stream-stream interval join (views ⋈ purchases ≤1h before) ===")
+    spark.table("demo_ss_join").orderBy(col("vts")).show(10, truncate = false)
     spark.stop()
   }
 }

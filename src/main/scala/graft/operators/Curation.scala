@@ -15,9 +15,15 @@ import graft.functions.TextFns
   *
   * Near-dup removal keeps the LOWER doc id of every similar pair (the
   * deterministic greedy rule; a clique-exact variant would need connected
-  * components). At scale, swap [[Dedup.ngramJaccardPairs]] for
-  * [[Dedup.minhashNearDups]] — same output contract, sub-quadratic
-  * candidate generation.
+  * components). Candidate generation uses the LOSSLESS PPJoin prefix
+  * filter (`prefixFilter = true`) — at curation thresholds (t >= ~0.7,
+  * where this pipeline lives) it wins over the direct inverted-index
+  * count, and unlike MinHash-LSH it provably finds every pair, so the
+  * output is bit-identical to the exact join. `maxShingleDf` additionally
+  * caps boilerplate-shingle fan-out (the Σdf² skew risk at 100 TB); the
+  * default keeps exact semantics. For probabilistic-recall-is-fine
+  * corpora, [[Dedup.minhashNearDups]] remains the drop-in alternative —
+  * same output contract, banded-LSH candidates.
   */
 object Curation {
 
@@ -26,7 +32,7 @@ object Curation {
     */
   def curate(docs: DataFrame, idCol: String, textCol: String, langCol: String,
       minTokens: Int, allowedLangs: Seq[String], fingerprintPrefix: Int,
-      nearDupJac: Double): DataFrame = {
+      nearDupJac: Double, maxShingleDf: Int = Int.MaxValue): DataFrame = {
     val id = col(idCol)
     val staged = docs.select(id,
       (size(TextFns.tokens(col(textCol))) >= minTokens).as("__q_ok"),
@@ -39,7 +45,8 @@ object Curation {
       .filter(col("__rn") === 1)
       .select(id)
     val nearDrops = Dedup.ngramJaccardPairs(
-        docs.join(exactKept, idCol), idCol, textCol, 3, nearDupJac)
+        docs.join(exactKept, idCol), idCol, textCol, 3, nearDupJac,
+        maxShingleDf = maxShingleDf, prefixFilter = true)
       .select(col("id_b").as(idCol)).distinct()
     staged
       .join(exactKept.withColumn("__exact_kept", lit(true)), Seq(idCol), "left")

@@ -114,6 +114,11 @@ object Similarity {
       .select(col("query_id"),
         struct(cosFrom(qdot(col("__qv"), col("__cv")), col("__qn"), col("__cn"))
           .as("_1"), col("id").as("_2")).as("__pair"))
+      // cosFrom is null for a zero vector; the aggregator's input encoder is
+      // primitive (Double, Long), so a null cosine would crash the query.
+      // Dropping the row matches knnExact, whose window sorts nulls last —
+      // a null cosine can never be in the top-k.
+      .filter(col("__pair._1").isNotNull)
     scored.groupBy("query_id")
       .agg(topk(col("__pair._1"), col("__pair._2")).as("__top"))
       .select(col("query_id"), explode(col("__top")).as("__e"))
@@ -237,17 +242,30 @@ object Similarity {
   def knnIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int, nProbe: Int,
       iters: Int = 5): DataFrame = {
-    val spark = corpus.sparkSession
     val cents = ivfTrain(corpus, idCol, vecCol, nlist, iters)
-    val centB = spark.sparkContext.broadcast(cents)
-    val assignUdf = udf { v: Seq[Float] => nearestCells(v, centB.value, 1).head }
-    val probeUdf = udf { v: Seq[Float] => nearestCells(v, centB.value, nProbe) }
-    val c = corpus.select(col(idCol).as("id"),
-        quantized(col(vecCol)).as("__cv"), assignUdf(col(vecCol)).as("__cell"))
+    // Cell assignment stays in whole-stage codegen: the ranking
+    //   argmin_c |v - c|²  =  argmin_c (|c|² - 2·v·c)
+    // drops the per-row-constant |v|² term, so each cell costs one
+    // codegen'd `array_dot` against a centroid literal plus a constant —
+    // no Scala-UDF ser/de boundary per row. argmin / arg-top-nProbe fall
+    // out of struct ordering: array_min / array_sort on (d2, cell).
+    def cellScores(vd: Column): Column = array(cents.zipWithIndex.map {
+      case (cent, i) =>
+        val cnorm2 = cent.map(x => x * x).sum
+        struct((lit(cnorm2) - lit(2.0) * qdot(vd, lit(cent))).as("d2"),
+          lit(i).as("cell"))
+    }: _*)
+    val vd = col("__vd")
+    val c = corpus
+      .withColumn("__vd", col(vecCol).cast("array<double>"))
+      .select(col(idCol).as("id"), quantized(col(vecCol)).as("__cv"),
+        array_min(cellScores(vd)).getField("cell").as("__cell"))
       .withColumn("__cn", qnorm2(col("__cv")))
-    val q = queries.select(col(idCol).as("query_id"),
-        quantized(col(vecCol)).as("__qv"),
-        explode(probeUdf(col(vecCol))).as("__cell"))
+    val q = queries
+      .withColumn("__vd", col(vecCol).cast("array<double>"))
+      .select(col(idCol).as("query_id"), quantized(col(vecCol)).as("__qv"),
+        explode(transform(slice(array_sort(cellScores(vd)), 1, nProbe),
+          s => s.getField("cell"))).as("__cell"))
       .withColumn("__qn", qnorm2(col("__qv")))
     val scored = c.join(broadcast(q), Seq("__cell"))
       .filter(col("query_id") =!= col("id"))
@@ -265,9 +283,19 @@ object Similarity {
     */
   def ivfTrain(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int, sampleSize: Int = 10000): Array[Array[Double]] = {
-    val sample = corpus.orderBy(col(idCol)).limit(sampleSize)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    // Deterministic sample WITHOUT ordering the corpus: an id-range filter
+    // is a pushed-down predicate (one partial scan), where orderBy+limit is
+    // a global TakeOrdered over every row. Seeding still needs a stable
+    // order, so the (bounded) sample is sorted driver-side. Falls back to
+    // the full-sort path only if ids turn out sparse in [0, sampleSize).
+    val ranged = corpus.filter(col(idCol) < sampleSize)
+      .select(col(idCol).cast("long"), col(vecCol)).collect()
+    val rows =
+      if (ranged.length >= math.max(nlist, sampleSize / 2)) ranged
+      else corpus.orderBy(col(idCol)).limit(sampleSize)
+        .select(col(idCol).cast("long"), col(vecCol)).collect()
+    val sample = rows.sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
     var cents = sample.take(nlist).map(_.clone())
     var it = 0
     while (it < iters) {
@@ -297,18 +325,6 @@ object Similarity {
       c += 1
     }
     best
-  }
-
-  private def nearestCells(v: Seq[Float], cents: Array[Array[Double]],
-      n: Int): Seq[Int] = {
-    val dists = cents.indices.map { c =>
-      var d2 = 0.0; var d = 0
-      while (d < cents(c).length) {
-        val t = v(d) - cents(c)(d); d2 += t * t; d += 1
-      }
-      c -> d2
-    }
-    dists.sortBy { case (c, d2) => (d2, c) }.take(n).map(_._1)
   }
 
   /** LSH-pruned near-duplicate pairs: only pairs sharing a bucket are

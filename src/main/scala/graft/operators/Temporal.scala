@@ -16,35 +16,48 @@ object Temporal {
     * Implementation is the classic union + running-last-value window —
     * one shuffle on (key), no range explosion, no per-row binary search:
     *   tag sides → union → window ordered by (ts, side, tie) →
-    *   `last(value, ignoreNulls)` carries the most recent right value
+    *   `last(carry, ignoreNulls)` carries the most recent right ROW
     *   forward onto each left row. Rights sort before lefts at equal ts,
     *   so an exactly-simultaneous right row IS matched (ASOF `>=`).
+    *
+    * The carried payload is a single STRUCT of all right-side values (the
+    * struct itself is null only on left rows), so a matched right row whose
+    * value columns are genuinely NULL is still the row that wins — carrying
+    * each value column separately with ignoreNulls would skip past it to an
+    * older non-null value, diverging from ASOF semantics. A deterministic
+    * tiebreak (hash of the right row's carried fields) orders multiple
+    * right rows at the same (key, ts), so reruns pick the same winner
+    * regardless of partitioning.
     *
     * `valueCols` are the right-side columns to carry; they must not
     * collide with left column names.
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, valueCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.StructType
     val leftCols = left.columns.toSeq
-    val l = valueCols.foldLeft(
-      left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))) {
-      (df, c) => df.withColumn(c, lit(null))
-    }
-    val r = leftCols.filterNot(c => c == key).foldLeft(
-      right.withColumn("__ts", col(rightTs)).withColumn("__side", lit(0))) {
+    val carryType = StructType(valueCols.map(c =>
+      right.schema(c).copy(nullable = true)).toArray)
+    val l = left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
+      .withColumn("__tie", lit(null).cast("long"))
+      .withColumn("__carry", lit(null).cast(carryType))
+    val r = right.withColumn("__ts", col(rightTs)).withColumn("__side", lit(0))
+      .withColumn("__tie", xxhash64((col(rightTs) +: valueCols.map(col)): _*))
+      .withColumn("__carry", struct(valueCols.map(col): _*))
+    val rPadded = leftCols.filterNot(c => c == key).foldLeft(r) {
       (df, c) => if (df.columns.contains(c)) df else df.withColumn(c, lit(null))
     }
-    val unioned = l.select((leftCols ++ valueCols ++ Seq("__ts", "__side"))
-        .map(col).toIndexedSeq: _*)
-      .unionByName(r.select((leftCols ++ valueCols ++ Seq("__ts", "__side"))
-        .map(col).toIndexedSeq: _*))
+    val meta = Seq("__ts", "__side", "__tie", "__carry")
+    val unioned = l.select((leftCols ++ meta).map(col).toIndexedSeq: _*)
+      .unionByName(rPadded.select((leftCols ++ meta).map(col).toIndexedSeq: _*))
     val w = Window.partitionBy(col(key))
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(col("__ts"), col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1).drop("__ts", "__side")
+    val carried = unioned
+      .withColumn("__carry", last(col("__carry"), ignoreNulls = true).over(w))
+    valueCols.foldLeft(carried) { (df, c) =>
+      df.withColumn(c, col("__carry").getField(c))
+    }.filter(col("__side") === 1).drop("__ts", "__side", "__tie", "__carry")
   }
 
   /** Gap-based sessionization: events for a key belong to one session

@@ -57,6 +57,23 @@ class EdgeCaseSpec extends SparkSpec {
       "vec_id", "embedding", 3).count() == 0)
   }
 
+  test("knnExactAgg survives an all-zero corpus vector (null cosine is " +
+      "dropped, matching knnExact's nulls-last window)") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 0.0f)), // zero vector → null cosine
+      (3L, Array(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 0)
+    val agg = Similarity.knnExactAgg(vecs, q, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val win = Similarity.knnExact(vecs, q, "vec_id", "embedding", 3)
+      .filter(col("cos").isNotNull)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(agg.nonEmpty && agg.toSeq == win.toSeq)
+    assert(!agg.map(_._1).contains(2L)) // the zero vector never ranks
+  }
+
   test("nearDupExact single-element and empty corpora") {
     import spark.implicits._
     val one = Seq((7L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")

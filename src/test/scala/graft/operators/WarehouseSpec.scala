@@ -41,4 +41,50 @@ class WarehouseSpec extends SparkSpec {
     assert(!new java.io.File(dir + ".old").exists())
     assert(!new java.io.File(dir + ".next").exists())
   }
+
+  test("recoverSwap rolls back a crash between the two publish renames " +
+      "(missing live dir + surviving .old)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-wh-crash").toString + "/t"
+    (1 to 10).toDF("id").write.parquet(dir)
+    // simulate the crash window: old generation moved aside, new one never
+    // renamed in — readers would find NO live directory
+    Files.move(java.nio.file.Paths.get(dir), java.nio.file.Paths.get(dir + ".old"))
+    (11 to 15).toDF("id").write.parquet(dir + ".next")
+    assert(!new java.io.File(dir).exists())
+    assert(Warehouse.recoverSwap(dir))
+    // the old snapshot is live again and fully readable
+    assert(Warehouse.snapshotCount(spark, dir) == 10)
+    // a retried publish then lands the new data normally
+    Warehouse.publish(spark, (11 to 15).toDF("id"), dir)
+    assert(Warehouse.snapshotCount(spark, dir) == 5)
+    assert(!Warehouse.recoverSwap(dir)) // healthy table → no-op
+  }
+
+  test("publishVersioned: manifest flip is the commit — readers always " +
+      "resolve a complete generation, crashed publishes are invisible") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft-wh-versioned").toString + "/t"
+    val g1 = Warehouse.publishVersioned(spark, (1 to 10).toDF("id"), table)
+    assert(g1 == "gen-00000001")
+    assert(Warehouse.readVersioned(spark, table).count() == 10)
+    // a reader that resolved gen-1 keeps a consistent snapshot across the
+    // next publish (no rename ever touches gen-1)
+    val pinned = spark.read.parquet(s"$table/$g1")
+    val g2 = Warehouse.publishVersioned(spark, (1 to 25).toDF("id"), table)
+    assert(Warehouse.readVersioned(spark, table).count() == 25)
+    assert(pinned.count() == 10)
+    // crash BEFORE the manifest flip = an orphan generation dir; readers
+    // still see gen-2, and the next publish skips past the orphan number
+    (1 to 3).toDF("id").write.parquet(s"$table/gen-00000003")
+    assert(Warehouse.liveGeneration(table).contains(g2))
+    assert(Warehouse.readVersioned(spark, table).count() == 25)
+    val g4 = Warehouse.publishVersioned(spark, (1 to 40).toDF("id"), table)
+    assert(g4 == "gen-00000004")
+    assert(Warehouse.readVersioned(spark, table).count() == 40)
+    // vacuum keeps the live gen + 1 of history, deletes the orphan
+    val deleted = Warehouse.vacuum(table, keepHistory = 1)
+    assert(deleted.contains("gen-00000001") && deleted.contains(g2))
+    assert(Warehouse.readVersioned(spark, table).count() == 40)
+  }
 }

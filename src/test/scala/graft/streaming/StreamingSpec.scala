@@ -65,14 +65,10 @@ class StreamingSpec extends SparkSpec {
     views.addData(("u1", ts("2024-06-01 10:10:00"), 1.0),
       ("u2", ts("2024-06-01 10:20:00"), 2.0))
     purchases.addData(("u1", ts("2024-06-01 10:05:00"), 99.0))
-    val v = views.toDF().toDF("user_id", "vts", "vval")
-      .withWatermark("vts", "1 hour")
-    val p = purchases.toDF().toDF("user_id", "pts", "pval")
-      .withWatermark("pts", "1 hour")
-    val q = v.as("v").join(p.as("p"),
-        col("v.user_id") === col("p.user_id") &&
-          col("pts") >= col("vts") - expr("INTERVAL 1 HOUR") &&
-          col("pts") <= col("vts"))
+    val q = StreamPipeline.intervalJoin(
+        views.toDF().toDF("user_id", "vts", "vval"),
+        purchases.toDF().toDF("user_id", "pts", "pval"),
+        "user_id", "vts", "pts", "1 hour")
       .writeStream.format("memory").queryName("ss_join")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()

@@ -45,6 +45,20 @@ def main(sf_dir, out_dir):
         status = []
         if sorted(exp_cols) != sorted(got_cols):
             status.append(f"cols exp={sorted(exp_cols)} got={sorted(got_cols)}")
+        else:
+            # Driver hash is TYPE-sensitive: DuckDB HUGEINT (SUM over ints)
+            # vs Spark BIGINT hash differently even when values match.
+            exp_types = {c: str(t) for c, t in
+                         zip(exp_cols, con.sql(sql).types)}
+            got_types = {c: str(t) for c, t in
+                         zip(got_cols, got_rel.types)}
+            for c in exp_cols:
+                if exp_types[c] != got_types[c]:
+                    msg = f"type col={c} oracle={exp_types[c]} spark={got_types[c]}"
+                    if "HUGEINT" in exp_types[c] or "HUGEINT" in got_types[c]:
+                        status.append(msg)  # known driver-hash breaker
+                    else:
+                        print(f"warn {name}: {msg}")
         if len(exp) != len(got):
             status.append(f"rows exp={len(exp)} got={len(got)}")
         if not status:
