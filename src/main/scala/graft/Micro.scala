@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Hashing, TextFns}
+import graft.operators.Dedup
+
+/** Micro-benchmark main for hot-path stages (dev tool; not part of the
+  * driver contract). Times each stage in isolation against
+  * SPARK_GRAFT_SF_DIR so optimization work targets the real cost, not a
+  * guess. Usage: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.Micro"
+  */
+object Micro {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(master = s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = GraftSession.table(spark, sfDir, "documents")
+
+    def time(name: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = body
+      println(f"[micro] $name%-34s ${(System.nanoTime() - t0) / 1e9}%7.2fs  (n=$n)")
+    }
+
+    // warm up scan + codegen
+    time("warmup: docs scan")(docs.count())
+    time("spark.range job overhead")(spark.range(1000000).count())
+    time("docs.count again (warm)")(docs.count())
+    time("docs id-only projection")(docs.select("doc_id").count())
+    time("docs text materialize") {
+      docs.select(length(col("text"))).agg(sum("length(text)")).count()
+    }
+    time("size(tokens) no explode") {
+      docs.select(size(TextFns.tokens(col("text"))).as("n")).agg(sum("n")).count()
+    }
+    time("explode(split) no lower/trim") {
+      docs.select(explode(split(col("text"), "\\s+"))).count()
+    }
+    time("tokens explode only") {
+      docs.select(explode(TextFns.tokens(col("text")))).count()
+    }
+    time("tokens explode repartition(32)") {
+      docs.repartition(32).select(explode(TextFns.tokens(col("text")))).count()
+    }
+    time("shingles explode only") {
+      docs.select(explode(array_distinct(TextFns.shingles(col("text"), 3)))).count()
+    }
+    time("shingleSets (explode+md5 h60)") {
+      Dedup.shingleSets(docs, "doc_id", "text", 3).count()
+    }
+    time("shingle explode + xxhash64") {
+      docs.select(col("doc_id"),
+        explode(array_distinct(TextFns.shingles(col("text"), 3))).as("__s"))
+        .select(col("doc_id"), Hashing.hFast(col("__s"), 0)).count()
+    }
+    time("postings groupBy sh (df count)") {
+      Dedup.shingleSets(docs, "doc_id", "text", 3)
+        .groupBy("sh").count().count()
+    }
+    time("minhash sigs (64 fams) from postings") {
+      Dedup.minhashSignatures(
+        Dedup.shingleSets(docs, "doc_id", "text", 3), 64).count()
+    }
+    time("q20 direct pair join end-to-end") {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5,
+        maxShingleDf = 1000).count()
+    }
+    graft.CacheScope.releaseAll()
+    time("q21 minhash end-to-end") {
+      Dedup.minhashNearDups(docs, "doc_id", "text", 3, 64, 16, 0.8).count()
+    }
+    graft.CacheScope.releaseAll()
+    spark.stop()
+  }
+}

@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Partitioning hygiene for compute-amplifying operators.
+  *
+  * A small or compacted input (one parquet row group) scans as ONE
+  * partition, and Spark plans narrow chains — explode → hash → aggregate —
+  * without a repartition, so a stage that amplifies work 50-100× per input
+  * row (shingling, per-token md5) serializes on a single core no matter how
+  * many the executor has (measured: tokenize+explode of the sf0.1 documents
+  * table 1.7s on 1 core vs 0.4s after repartition(32), shuffle included).
+  *
+  * [[ensureMin]] is the guard: fan out ONLY when the input arrives with
+  * fewer partitions than requested. At real scale a 100 TB table scans as
+  * tens of thousands of partitions and this is a no-op — it never inserts
+  * a shuffle where parallelism already exists.
+  */
+object Parallelism {
+
+  /** `df`, with at least `min` partitions (round-robin repartition only
+    * when the input has fewer — e.g. a single-row-group file).
+    */
+  def ensureMin(df: DataFrame, min: Int): DataFrame =
+    if (df.rdd.getNumPartitions >= min) df else df.repartition(min)
+
+  /** [[ensureMin]] at the session's default parallelism (cores). */
+  def fanOut(df: DataFrame): DataFrame =
+    ensureMin(df, df.sparkSession.sparkContext.defaultParallelism)
+}

@@ -307,10 +307,17 @@ object SparkEntry {
         WHERE rn = 1 ORDER BY doc_id""")),
 
     // Exact word-3-gram Jaccard similarity join via inverted-index self-join
-    // (shuffle on the shingle, never the pair space).
+    // (shuffle on the shingle, never the pair space). The boilerplate-
+    // shingle cap (maxShingleDf = 1000) is the 100 TB skew guard: a shingle
+    // appearing in d docs contributes d² join pairs, so one boilerplate
+    // phrase could dominate the whole job. The cap is replicated in the
+    // oracle (both engines drop the same postings — exact at any scale);
+    // it never binds at the tested SFs (max df 25 at sf0.1). For
+    // moderate-threshold fuzzy dedup at scale, prefer q21's MinHash-LSH
+    // form (sub-quadratic candidates, same confirm contract).
     "q20_ngram_jaccard" -> Q(
       (s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id",
-          "text", 3, 0.5)
+          "text", 3, 0.5, maxShingleDf = 1000)
         .orderBy("id_a", "id_b"),
       Some(s"""WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l
                FROM documents),
@@ -318,7 +325,10 @@ object SparkEntry {
                  range(1, greatest(len(l) - 1, 1)),
                  i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS g
                FROM toks WHERE len(l) >= 3),
-        sh AS (SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS sh FROM grams),
+        sh0 AS (SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS sh FROM grams),
+        sh AS (SELECT doc_id, sh FROM (
+                 SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS df FROM sh0)
+               WHERE df <= 1000),
         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
                   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -494,6 +504,31 @@ object SparkEntry {
         CAST(SUM(len(string_split_regex(lower(trim(text)), '\\s+'))) AS BIGINT) AS sum_ws_tokens,
         CAST(SUM(len(regexp_extract_all(text, '${TextFns.bpeTokenPattern}'))) AS BIGINT) AS sum_bpe_tokens
         FROM documents GROUP BY source ORDER BY source""")),
+
+    // Winnowing fingerprints (rolling-hash document sketch, MOSS): 3-token
+    // shingle hashes, window-of-4 minima, distinct per doc. The
+    // containment-style counterpart to MinHash's whole-doc similarity.
+    "q47_winnow_fingerprints" -> Q(
+      (s, dir) => TextOps.winnowFingerprints(t(s, dir, "documents"),
+          "doc_id", "text", 3, 4)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "fp"),
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
+               FROM documents),
+        grams AS (SELECT doc_id, len(l) - 2 AS ng,
+                 unnest(list_transform(range(1, greatest(len(l) - 1, 1)),
+                   i -> {'pos': i, 'g': l[i] || ' ' || l[i+1] || ' ' || l[i+2]})) AS u
+               FROM toks WHERE len(l) >= 3),
+        h AS (SELECT doc_id, ng, u.pos AS pos,
+                CAST('0x' || substr(md5(u.g), 1, 15) AS BIGINT) AS h FROM grams),
+        m AS (SELECT doc_id, ng, pos,
+                MIN(h) OVER win AS fp, COUNT(*) OVER win AS cnt
+              FROM h
+              WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING))
+        SELECT DISTINCT doc_id, fp FROM m
+        WHERE cnt = 4 OR (ng < 4 AND pos = 1)
+        ORDER BY doc_id, fp""")),
 
     // ----- Multimodal binary plumbing ----------------------------------------
 
@@ -847,8 +882,67 @@ object SparkEntry {
         Seq("customer", "orders").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
         s.sql(existsQuery)
       },
-      Some(existsQuery))
-  )
+      Some(existsQuery)),
+
+    // CUBE grouping-set rollups (every (flag, status) margin in one pass —
+    // Spark expands grouping sets before the single shuffle). Margin rows
+    // are labeled 'ALL' on both engines so null ordering never differs.
+    "q48_cube" -> Q(
+      (s, dir) => t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(Analytics.exactSum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n_rows"))
+        .orderBy("rf", "ls"),
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+          COALESCE(l_linestatus, 'ALL') AS ls,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(24,2))) AS DOUBLE) AS sum_qty,
+          COUNT(*) AS n_rows
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY rf, ls""")),
+
+    // Anti-join (the relational complement of q11's whitelist semi-join):
+    // churned customers — no order since 1999 — as a left_anti against the
+    // date-filtered fact (the filter pushes to the scan; the anti side
+    // carries only the key column).
+    "q49_anti_join" -> Q(
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp_ntz"))
+          .select("o_custkey")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '1999-01-01')
+        ORDER BY c_custkey""")),
+
+    // Per-label embedding centroids: posexplode to (label, dim) and
+    // average on the 1e7 quantization grid (sums of integer-valued doubles
+    // ≤ 2^53 — exact, order-independent, so the mean is bit-identical
+    // across engines). One shuffle on (label, dim); output is dims × labels
+    // rows, never a collected vector.
+    "q50_embedding_centroids" -> Q(
+      (s, dir) => t(s, dir, "embeddings")
+        .select(col("label"), posexplode(Similarity.quantized(col("embedding")))
+          .as(Seq("pos", "v")))
+        .groupBy("label", "pos")
+        .agg(((sum(col("v")) / count(lit(1))) / lit(1e7)).as("centroid"),
+          count(lit(1)).as("n_vecs"))
+        .orderBy("label", "pos"),
+      Some("""WITH e AS (SELECT label,
+          unnest(list_transform(range(0, len(embedding)),
+            i -> {'pos': i, 'v': round(CAST(embedding[i + 1] AS DOUBLE) * 1e7)})) AS u
+        FROM embeddings)
+        SELECT label, u.pos AS pos,
+          SUM(u.v) / COUNT(*) / 1e7 AS centroid, COUNT(*) AS n_vecs
+        FROM e GROUP BY label, u.pos ORDER BY label, pos""")))
 
   private def existsQuery =
     """SELECT c_custkey, c_name FROM customer c

@@ -15,15 +15,18 @@ import graft.functions.TextFns
   *
   * Near-dup removal keeps the LOWER doc id of every similar pair (the
   * deterministic greedy rule; a clique-exact variant would need connected
-  * components). Candidate generation uses the LOSSLESS PPJoin prefix
-  * filter (`prefixFilter = true`) — at curation thresholds (t >= ~0.7,
-  * where this pipeline lives) it wins over the direct inverted-index
-  * count, and unlike MinHash-LSH it provably finds every pair, so the
-  * output is bit-identical to the exact join. `maxShingleDf` additionally
-  * caps boilerplate-shingle fan-out (the Σdf² skew risk at 100 TB); the
-  * default keeps exact semantics. For probabilistic-recall-is-fine
-  * corpora, [[Dedup.minhashNearDups]] remains the drop-in alternative —
-  * same output contract, banded-LSH candidates.
+  * components). Candidate generation is [[Dedup.minhashNearDups]] — the
+  * sub-quadratic 100 TB path: banded-LSH buckets (shuffle on (band,
+  * bucket), never Σdf² shingle pairs) followed by exact-Jaccard
+  * confirmation, so false candidates never survive and the only deviation
+  * from the exact join is an LSH miss (~1.6e-7 per true pair at the
+  * corpus's observed similarity floor, per q21's banding analysis —
+  * deterministic given the fixed seeded hash families). `maxShingleDf`
+  * caps boilerplate-shingle postings before signatures (the default keeps
+  * exact semantics). For provably-lossless candidates at t >= ~0.7, the
+  * drop-in alternative is [[Dedup.ngramJaccardPairs]] with
+  * `prefixFilter = true` — same output contract, higher constant factor
+  * (measured slower on this corpus shape).
   */
 object Curation {
 
@@ -44,9 +47,9 @@ object Curation {
         Window.partitionBy(col("__fp")).orderBy(id)))
       .filter(col("__rn") === 1)
       .select(id)
-    val nearDrops = Dedup.ngramJaccardPairs(
-        docs.join(exactKept, idCol), idCol, textCol, 3, nearDupJac,
-        maxShingleDf = maxShingleDf, prefixFilter = true)
+    val nearDrops = Dedup.minhashNearDups(
+        docs.join(exactKept, idCol), idCol, textCol, 3, k = 64, bands = 16,
+        minJac = nearDupJac, maxShingleDf = maxShingleDf)
       .select(col("id_b").as(idCol)).distinct()
     staged
       .join(exactKept.withColumn("__exact_kept", lit(true)), Seq(idCol), "left")

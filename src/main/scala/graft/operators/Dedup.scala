@@ -34,7 +34,7 @@ object Dedup {
     */
   def exactByFingerprint(docs: DataFrame, idCol: String,
       fingerprint: Column): DataFrame = {
-    val fp = docs.withColumn("fingerprint", fingerprint)
+    val fp = graft.Parallelism.fanOut(docs).withColumn("fingerprint", fingerprint)
     val w = Window.partitionBy(col("fingerprint")).orderBy(col(idCol))
     fp.withColumn("__rn", row_number().over(w))
       .withColumn("group_size", count(lit(1)).over(Window.partitionBy(col("fingerprint"))))
@@ -50,7 +50,7 @@ object Dedup {
     * the oracle replays the same construction, so results agree exactly.
     */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol).as("id"),
+    graft.Parallelism.fanOut(docs).select(col(idCol).as("id"),
         explode(array_distinct(TextFns.shingles(col(textCol), n))).as("__s"))
       .select(col("id"), Hashing.h60(col("__s")).as("sh"))
 
@@ -75,13 +75,7 @@ object Dedup {
       n: Int, minJac: Double, maxShingleDf: Int = Int.MaxValue,
       prefixFilter: Boolean = false): DataFrame = {
     val sh0 = graft.CacheScope.register(shingleSets(docs, idCol, textCol, n))
-    val sh =
-      if (maxShingleDf == Int.MaxValue) sh0
-      else {
-        val dfCut = sh0.groupBy("sh").agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= maxShingleDf).select("sh")
-        sh0.join(dfCut, "sh") // drops boilerplate shingles entirely
-      }
+    val sh = capDf(sh0, maxShingleDf)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val confirmed = if (prefixFilter) {
       val dfs = sh.groupBy("sh").agg(count(lit(1)).as("__df"))
@@ -113,6 +107,19 @@ object Dedup {
     }
     confirmed.select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
   }
+
+  /** Drop shingles appearing in more than `maxShingleDf` documents — the
+    * boilerplate-skew relaxation (a shingle in d docs costs d² join pairs
+    * in the direct form and floods LSH buckets in the banded form).
+    * Int.MaxValue = keep everything (exact semantics).
+    */
+  private def capDf(sh0: DataFrame, maxShingleDf: Int): DataFrame =
+    if (maxShingleDf == Int.MaxValue) sh0
+    else {
+      val dfCut = sh0.groupBy("sh").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxShingleDf).select("sh")
+      sh0.join(dfCut, "sh") // drops boilerplate shingles entirely
+    }
 
   /** Exact-Jaccard confirmation for a candidate pair set: gather each
     * pair's postings by id, count the intersection, filter by threshold.
@@ -180,12 +187,33 @@ object Dedup {
     */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int, bands: Int, minJac: Double,
-      ): DataFrame = {
-    val sh = graft.CacheScope.register(shingleSets(docs, idCol, textCol, n))
+      maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    val sh = graft.CacheScope.register(
+      capDf(shingleSets(docs, idCol, textCol, n), maxShingleDf))
     val cands = lshCandidatePairs(minhashSignatures(sh, k), k, bands)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     confirmJaccard(cands, sh, sizes, minJac)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Benchmark decontamination: flag every training document that shares
+    * at least one word `n`-gram with any document of `benchmark` (the
+    * standard eval-leakage check — an n of 8-13 words approximates the
+    * "verbatim overlap" rule used for LLM training corpora). Returns
+    * (id, n_hits) per CONTAMINATED doc; anti-join the result to clean.
+    *
+    * Scale shape: both sides reduce to (id, gram-hash) postings; the
+    * benchmark side is tiny (eval suites are ≪ the corpus), so the join
+    * broadcasts it and the corpus is never shuffled at all — a map-side
+    * containment probe over the full 100 TB scan.
+    */
+  def contaminatedBy(docs: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val corpusGrams = shingleSets(docs, idCol, textCol, n)
+    val benchGrams = shingleSets(benchmark, idCol, textCol, n)
+      .select("sh").distinct()
+    corpusGrams.join(broadcast(benchGrams), "sh")
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
   }
 
   /** 60-bit SimHash per document: bit j of the signature is set iff the
@@ -209,7 +237,7 @@ object Dedup {
     // (measured: q23 13.6s → 4.7s at sf0.1).
     val laneBits = 15
     val lanesPerLong = 4
-    val weighted = docs.select(col(idCol).as("id"),
+    val weighted = graft.Parallelism.fanOut(docs).select(col(idCol).as("id"),
         explode(TextFns.tokens(col(textCol))).as("tok"))
       .groupBy("id", "tok").agg(count(lit(1)).as("__w"))
     val h = Hashing.h60(col("tok"))

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Deterministic sampling / splitting for training-data pipelines.
+  *
+  * `randomSplit` is the wrong tool for corpus curation: its assignment
+  * depends on partitioning and reshuffles between runs, so a document can
+  * change splits when the cluster size changes — leaking eval data into
+  * training. Hash-based assignment is a pure function of the ROW (id +
+  * salt), so any engine, any partitioning, any day produces the same
+  * split; the salt rotates assignments for a new experiment without
+  * touching the data.
+  */
+object Sampling {
+
+  /** 0..9999 assignment bucket: h60 of `salt:id` mod 10k — uniform (md5),
+    * deterministic, oracle-replayable.
+    */
+  def bucket(idCol: Column, salt: String): Column =
+    pmod(Hashing.h60(concat(lit(s"$salt:"), idCol.cast("string"))), lit(10000))
+
+  /** Assign each row to the first split whose cumulative fraction covers
+    * its bucket, e.g. `Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)`.
+    * Fractions must sum to ~1 (the last split absorbs rounding).
+    */
+  def hashSplit(df: DataFrame, idCol: String, salt: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1: $splits")
+    val b = bucket(col(idCol), salt)
+    val cuts = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+      .map(f => math.round(f * 10000).toInt)
+    val assign = splits.init.zip(cuts.init).foldRight(
+      lit(splits.last._1): Column) { case (((name, _), cut), rest) =>
+      when(b < cut, name).otherwise(rest)
+    }
+    df.withColumn("split", assign)
+  }
+
+  /** Deterministic p-percent sample: rows whose bucket falls below
+    * `fraction * 10000`. Stable across runs/partitionings (same rows every
+    * time), unlike `df.sample`.
+    */
+  def hashSample(df: DataFrame, idCol: String, salt: String,
+      fraction: Double): DataFrame =
+    df.filter(bucket(col(idCol), salt) < math.round(fraction * 10000).toInt)
+}

@@ -84,7 +84,7 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"),
       quantized(col(vecCol)).as("__qv"))
       .withColumn("__qn", qnorm2(col("__qv")))
-    val scored = corpus.select(col(idCol).as("id"),
+    val scored = graft.Parallelism.fanOut(corpus).select(col(idCol).as("id"),
         quantized(col(vecCol)).as("__cv"))
       .withColumn("__cn", qnorm2(col("__cv")))
       .join(broadcast(q), col("query_id") =!= col("id"))
@@ -107,7 +107,7 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"),
       quantized(col(vecCol)).as("__qv"))
       .withColumn("__qn", qnorm2(col("__qv")))
-    val scored = corpus.select(col(idCol).as("id"),
+    val scored = graft.Parallelism.fanOut(corpus).select(col(idCol).as("id"),
         quantized(col(vecCol)).as("__cv"))
       .withColumn("__cn", qnorm2(col("__cv")))
       .join(broadcast(q), col("query_id") =!= col("id"))
@@ -156,7 +156,7 @@ object Similarity {
   def knnLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nPlanes: Int, dim: Int): DataFrame = {
     val bucket = lshBucket(col(vecCol), nPlanes, dim)
-    val c = corpus.select(col(idCol).as("id"),
+    val c = graft.Parallelism.fanOut(corpus).select(col(idCol).as("id"),
         quantized(col(vecCol)).as("__cv"), bucket.as("__bkt"))
       .withColumn("__cn", qnorm2(col("__cv")))
     val q = queries.select(col(idCol).as("query_id"),
@@ -256,7 +256,7 @@ object Similarity {
           lit(i).as("cell"))
     }: _*)
     val vd = col("__vd")
-    val c = corpus
+    val c = graft.Parallelism.fanOut(corpus)
       .withColumn("__vd", col(vecCol).cast("array<double>"))
       .select(col(idCol).as("id"), quantized(col(vecCol)).as("__cv"),
         array_min(cellScores(vd)).getField("cell").as("__cell"))
@@ -333,7 +333,7 @@ object Similarity {
     */
   def nearDupLsh(corpus: DataFrame, idCol: String, vecCol: String,
       minCos: Double, nPlanes: Int, dim: Int): DataFrame = {
-    val v = corpus.select(col(idCol).as("id"),
+    val v = graft.Parallelism.fanOut(corpus).select(col(idCol).as("id"),
         quantized(col(vecCol)).as("__v"),
         lshBucket(col(vecCol), nPlanes, dim).as("__bkt"))
       .withColumn("__n", qnorm2(col("__v")))

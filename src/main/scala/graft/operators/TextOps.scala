@@ -46,7 +46,8 @@ object TextOps {
     * row; this form keeps one. Same output.
     */
   def langId(df: DataFrame, textCol: String, out: String): DataFrame = {
-    val toks = df.withColumn("__toks", TextFns.tokens(col(textCol)))
+    val toks = graft.Parallelism.fanOut(df)
+      .withColumn("__toks", TextFns.tokens(col(textCol)))
     val scored = langLexicons.foldLeft(toks) { case (d, (lang, lex)) =>
       d.withColumn(s"__s_$lang",
         size(filter(col("__toks"), t => t.isInCollection(lex))))
@@ -99,7 +100,8 @@ object TextOps {
     // materialize the token array once — several features reference it,
     // and building it repeatedly inside one projection re-tokenizes per
     // feature (interpreted HOFs get no CSE; see langId)
-    val df = df0.withColumn("__toks", TextFns.tokens(col(textCol)))
+    val df = graft.Parallelism.fanOut(df0)
+      .withColumn("__toks", TextFns.tokens(col(textCol)))
     val t = col(textCol)
     val toks = col("__toks")
     val nChars = length(t)
@@ -128,7 +130,77 @@ object TextOps {
 
   /** Token counting: whitespace tokens and BPE-ish sub-word tokens. */
   def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol),
+    graft.Parallelism.fanOut(df).select(col(idCol),
       size(TextFns.tokens(col(textCol))).as("n_ws_tokens"),
       size(TextFns.bpeTokens(col(textCol))).as("n_bpe_tokens"))
+
+  /** PII patterns shared by [[redactPii]] and its oracle — RE2-safe (no
+    * backrefs/lookaround) so Spark (Java regex) and DuckDB (RE2) agree.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+" -> "<EMAIL>",
+    "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}" -> "<PHONE>",
+    "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}" -> "<IP>")
+
+  /** PII scrubbing: replace emails / phone numbers / IPv4s with typed
+    * placeholder tokens, and count the redactions per document (the audit
+    * column curation jobs alert on). Pure per-row regex projection — no
+    * shuffle, pipelines into whatever follows.
+    */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val redacted = piiPatterns.foldLeft(col(textCol)) {
+      case (c, (pat, tok)) => regexp_replace(c, pat, tok)
+    }
+    val nRedactions = piiPatterns.map { case (pat, _) =>
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0)))
+    }.reduce(_ + _)
+    graft.Parallelism.fanOut(df).select(col(idCol),
+      redacted.as("text_redacted"), nRedactions.as("n_redactions"))
+  }
+
+  /** Corpus vocabulary: the `k` most frequent whitespace tokens with
+    * counts and document frequencies. Aggregate-then-limit: the full
+    * shuffle carries one row per distinct token (partial map-side counts),
+    * and only the k-row result is ever collected/sorted globally.
+    */
+  def topVocab(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    graft.Parallelism.fanOut(df)
+      .select(col(idCol).as("__doc"),
+        explode(TextFns.tokens(col(textCol))).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n"), countDistinct(col("__doc")).as("n_docs"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(k)
+
+  /** Winnowing document fingerprints (the MOSS algorithm, Schleimer et al.
+    * SIGMOD'03): hash every overlapping k-token shingle, slide a
+    * w-position window over the hash sequence, keep each window's MINIMUM
+    * hash; the distinct kept hashes are the document's fingerprints.
+    * Guarantee: two documents sharing a run of >= w+k-1 tokens share at
+    * least one fingerprint, while only ~2/(w+1) of positions are stored —
+    * the rolling-hash sketch for containment/plagiarism-style matching
+    * (where set-based MinHash answers whole-document similarity instead).
+    *
+    * Documents with fewer than w shingles keep their single global min, so
+    * short docs still fingerprint. Plan shape: one shuffle on the doc id
+    * (the per-doc position window), one partial-aggregated distinct —
+    * output volume ~n/w per doc, never the full shingle stream.
+    * Oracle-replayable: h60 shingle hash + the same SQL window min.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
+    val grams = graft.Parallelism.fanOut(docs).select(col(idCol).as("id"),
+      posexplode(TextFns.shingles(col(textCol), k)).as(Seq("pos", "gram")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
+    val nWin = org.apache.spark.sql.expressions.Window.partitionBy("id")
+    grams
+      .select(col("id"), col("pos"),
+        min(graft.functions.Hashing.h60(col("gram"))).over(win).as("fp"),
+        count(lit(1)).over(win).as("__full"),
+        count(lit(1)).over(nWin).as("__n"))
+      .filter(col("__full") === w || (col("__n") < w && col("pos") === 0))
+      .select("id", "fp").distinct()
+  }
 }

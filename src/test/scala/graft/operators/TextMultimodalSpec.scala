@@ -58,6 +58,35 @@ class TextMultimodalSpec extends SparkSpec {
     assert(r.getAs[Int]("n_bpe_tokens") == 5)
   }
 
+  test("winnowFingerprints: the MOSS guarantee — docs sharing a run of " +
+      ">= w+k-1 tokens share a fingerprint; disjoint docs share none") {
+    import spark.implicits._
+    val sharedRun = "alpha beta gamma delta epsilon zeta" // 6 tokens = w+k-1
+    val docs = Seq(
+      (0L, s"unrelated prefix words here $sharedRun and a suffix tail"),
+      (1L, s"$sharedRun completely different continuation text"),
+      (2L, "nothing in common with either of the others at all"))
+      .toDF("doc_id", "text")
+    val fps = TextOps.winnowFingerprints(docs, "doc_id", "text", k = 3, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (id, a) => id -> a.map(_._2).toSet }
+    assert((fps(0L) intersect fps(1L)).nonEmpty) // shared run detected
+    assert((fps(0L) intersect fps(2L)).isEmpty)
+    assert((fps(1L) intersect fps(2L)).isEmpty)
+  }
+
+  test("winnowFingerprints: short docs (< w shingles) keep their global " +
+      "min; sub-k docs yield nothing") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "just four little tokens"),  // 2 shingles < w=4 → 1 fingerprint
+      (1L, "two words")                 // < k tokens → no shingles
+    ).toDF("doc_id", "text")
+    val fps = TextOps.winnowFingerprints(docs, "doc_id", "text", k = 3, w = 4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(fps == Seq(0L))
+  }
+
   test("multimodal decode stub preserves ids, sizes, and is deterministic") {
     import spark.implicits._
     implicit val s = spark
