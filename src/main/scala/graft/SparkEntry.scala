@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
-import graft.operators.{Analytics, Clean, Curation, Dedup, Multimodal, Quality, Similarity, Temporal, TextOps, Warehouse}
+import graft.operators.{Analytics, Clean, Curation, Dedup, Multimodal, Quality, Sampling, Similarity, Temporal, TextOps, Warehouse}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -942,7 +942,89 @@ object SparkEntry {
         FROM embeddings)
         SELECT label, u.pos AS pos,
           SUM(u.v) / COUNT(*) / 1e7 AS centroid, COUNT(*) AS n_vecs
-        FROM e GROUP BY label, u.pos ORDER BY label, pos""")))
+        FROM e GROUP BY label, u.pos ORDER BY label, pos""")),
+
+    // Deterministic train/val/test split: assignment is a pure function of
+    // (salt, id) — the same document lands in the same split on any
+    // engine, partitioning, or cluster size (randomSplit cannot promise
+    // that, and split drift leaks eval data into training).
+    "q51_hash_split" -> Q(
+      (s, dir) => Sampling.hashSplit(t(s, dir, "documents"), "doc_id", "exp1",
+          Seq("train" -> 0.90, "val" -> 0.05, "test" -> 0.05))
+        .groupBy("split").agg(count(lit(1)).as("n"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("split"),
+      Some("""WITH b AS (SELECT doc_id,
+          CAST('0x' || substr(md5('exp1:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 AS bkt
+        FROM documents),
+        a AS (SELECT doc_id, CASE WHEN bkt < 9000 THEN 'train'
+                                  WHEN bkt < 9500 THEN 'val'
+                                  ELSE 'test' END AS split FROM b)
+        SELECT split, COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        FROM a GROUP BY split ORDER BY split""")),
+
+    // PII scrubbing audit: deterministic synthetic PII is planted on every
+    // doc_id % 5 = 0 row (the raw corpus has none), redacted by the shared
+    // RE2-safe patterns, and checked via a redacted-text fingerprint.
+    "q52_pii_redaction" -> Q(
+      (s, dir) => {
+        val planted = t(s, dir, "documents").select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" contact user5@example.com or 555-123-4567 at 10.0.0.1")))
+            .otherwise(col("text")).as("text"))
+        TextOps.redactPii(planted, "doc_id", "text")
+          .select(col("doc_id"), col("n_redactions"),
+            md5(col("text_redacted")).as("redacted_fp"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val planted = """CASE WHEN doc_id % 5 = 0
+            THEN text || ' contact user5@example.com or 555-123-4567 at 10.0.0.1'
+            ELSE text END"""
+        val redacted = TextOps.piiPatterns.foldLeft(s"($planted)") {
+          case (e, (pat, tok)) => s"regexp_replace($e, '$pat', '$tok', 'g')"
+        }
+        val counts = TextOps.piiPatterns.map { case (pat, _) =>
+          s"len(regexp_extract_all(($planted), '$pat'))"
+        }.mkString(" + ")
+        s"""SELECT doc_id, $counts AS n_redactions, md5($redacted) AS redacted_fp
+          FROM documents ORDER BY doc_id"""
+      }),
+
+    // Corpus vocabulary: top-25 tokens by frequency with document
+    // frequencies — aggregate-then-limit, one row per distinct token on
+    // the wire, k rows out.
+    "q53_top_vocab" -> Q(
+      (s, dir) => TextOps.topVocab(t(s, dir, "documents"), "doc_id", "text", 25),
+      Some("""WITH toks AS (SELECT doc_id,
+            unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+          FROM documents)
+        SELECT tok, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+        FROM toks GROUP BY tok ORDER BY n DESC, tok LIMIT 25""")),
+
+    // Benchmark decontamination: flag corpus docs sharing any verbatim
+    // 8-gram with a (pretend) eval set — the broadcast containment probe
+    // over the corpus scan.
+    "q54_decontamination" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.contaminatedBy(
+            docs.filter(col("doc_id") % 10 =!= 0),
+            docs.filter(col("doc_id") % 10 === 0),
+            "doc_id", "text", 8)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
+               FROM documents),
+        grams AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, greatest(len(l) - 6, 1)),
+                 i -> l[i]||' '||l[i+1]||' '||l[i+2]||' '||l[i+3]||' '||l[i+4]||' '||l[i+5]||' '||l[i+6]||' '||l[i+7]))) AS g
+               FROM toks WHERE len(l) >= 8),
+        bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0),
+        corpus AS (SELECT doc_id, g FROM grams WHERE doc_id % 10 <> 0)
+        SELECT doc_id, COUNT(*) AS n_hits FROM corpus JOIN bench USING (g)
+        GROUP BY doc_id ORDER BY doc_id""")))
 
   private def existsQuery =
     """SELECT c_custkey, c_name FROM customer c

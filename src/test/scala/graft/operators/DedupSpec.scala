@@ -63,6 +63,23 @@ class DedupSpec extends SparkSpec {
     assert(ham(sigs(0L), sigs(1L)) < ham(sigs(0L), sigs(2L)))
   }
 
+  test("contaminatedBy flags docs sharing an 8-gram run with the benchmark " +
+      "set, counts distinct hits, and ignores shorter overlaps") {
+    import spark.implicits._
+    val run = "one two three four five six seven eight" // exactly 8 tokens
+    val corpus = Seq(
+      (1L, s"prefix words then $run and trailing text"),   // contains the run
+      (2L, "one two three four nothing else shared here"), // only a 4-gram
+      (3L, "completely disjoint content in this document xyz")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, s"$run plus benchmark continuation"))
+      .toDF("doc_id", "text")
+    val out = Dedup.contaminatedBy(corpus, bench, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(1L))
+    assert(out(1L) == 1L) // exactly the one shared 8-gram
+  }
+
   test("simhashNearDups via band join equals brute force for maxDist < bands") {
     val sigs = Dedup.simhash(docs, "doc_id", "text")
     val banded = Dedup.simhashNearDups(sigs, 3, 4)

@@ -58,6 +58,31 @@ class TextMultimodalSpec extends SparkSpec {
     assert(r.getAs[Int]("n_bpe_tokens") == 5)
   }
 
+  test("redactPii replaces emails/phones/IPs with typed tokens and counts " +
+      "the redactions") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "reach me at jane.doe+x@corp.example.org or 555-123-4567 thanks"),
+      (1L, "server 192.168.0.42 responded"),
+      (2L, "no pii here at all")).toDF("doc_id", "text")
+    val out = TextOps.redactPii(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(out(0L)._1 == "reach me at <EMAIL> or <PHONE> thanks")
+    assert(out(0L)._2 == 2)
+    assert(out(1L)._1 == "server <IP> responded" && out(1L)._2 == 1)
+    assert(out(2L) == ("no pii here at all", 0))
+  }
+
+  test("topVocab returns the k most frequent tokens with doc frequencies, " +
+      "ties broken alphabetically") {
+    import spark.implicits._
+    val docs = Seq((0L, "apple apple banana"), (1L, "apple cherry banana"))
+      .toDF("doc_id", "text")
+    val out = TextOps.topVocab(docs, "doc_id", "text", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("apple", 3L, 2L), ("banana", 2L, 2L)))
+  }
+
   test("winnowFingerprints: the MOSS guarantee — docs sharing a run of " +
       ">= w+k-1 tokens share a fingerprint; disjoint docs share none") {
     import spark.implicits._
