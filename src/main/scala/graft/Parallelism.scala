@@ -15,6 +15,13 @@ import org.apache.spark.sql.DataFrame
   * fewer partitions than requested. At real scale a 100 TB table scans as
   * tens of thousands of partitions and this is a no-op — it never inserts
   * a shuffle where parallelism already exists.
+  *
+  * ALWAYS fan out a NARROW projection, never the raw table: Catalyst does
+  * not prune columns through a round-robin Repartition (and
+  * sortBeforeRepartition locally sorts whole rows), so repartitioning a
+  * wide row to parallelize work on two of its columns ships and sorts the
+  * dead weight too (measured: +6.8s on a window query whose events input
+  * was fanned out before its 3-column projection).
   */
 object Parallelism {
 

@@ -214,12 +214,14 @@ object SparkEntry {
     // C1/S3 — payload field extraction + null-on-failure coercion
     // (fmi_client.py:51-94, pandas errors="coerce" ≈ try_cast).
     "q14_json_coerce" -> Q(
-      (s, dir) => t(s, dir, "events").select(
-        col("event_id"),
-        regexp_extract(col("props"), "\"k\": *([0-9]+)", 1)
-          .try_cast("bigint").as("k"),
-        regexp_extract(col("props"), "\"missing\": *([0-9]+)", 1)
-          .try_cast("bigint").as("absent_field"))
+      (s, dir) => Parallelism.fanOut(
+          t(s, dir, "events").select("event_id", "props"))
+        .select(
+          col("event_id"),
+          regexp_extract(col("props"), "\"k\": *([0-9]+)", 1)
+            .try_cast("bigint").as("k"),
+          regexp_extract(col("props"), "\"missing\": *([0-9]+)", 1)
+            .try_cast("bigint").as("absent_field"))
         .orderBy("event_id"),
       Some("""SELECT event_id,
         TRY_CAST(regexp_extract(props, '"k": *([0-9]+)', 1) AS BIGINT) AS k,

@@ -50,8 +50,10 @@ object Dedup {
     * the oracle replays the same construction, so results agree exactly.
     */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    graft.Parallelism.fanOut(docs).select(col(idCol).as("id"),
-        explode(array_distinct(TextFns.shingles(col(textCol), n))).as("__s"))
+    graft.Parallelism.fanOut(
+        docs.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"),
+        explode(array_distinct(TextFns.shingles(col("__t"), n))).as("__s"))
       .select(col("id"), Hashing.h60(col("__s")).as("sh"))
 
   /** Exact n-gram Jaccard similarity join: all document pairs with
@@ -237,8 +239,9 @@ object Dedup {
     // (measured: q23 13.6s → 4.7s at sf0.1).
     val laneBits = 15
     val lanesPerLong = 4
-    val weighted = graft.Parallelism.fanOut(docs).select(col(idCol).as("id"),
-        explode(TextFns.tokens(col(textCol))).as("tok"))
+    val weighted = graft.Parallelism.fanOut(
+        docs.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"), explode(TextFns.tokens(col("__t"))).as("tok"))
       .groupBy("id", "tok").agg(count(lit(1)).as("__w"))
     val h = Hashing.h60(col("tok"))
     val laneAggs = (0 until 15).map { k =>

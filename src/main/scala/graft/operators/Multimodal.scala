@@ -31,7 +31,8 @@ object Multimodal {
     * stand-in for real image bytes: UTF-8 of the text). Pure projection.
     */
   def asMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    graft.Parallelism.fanOut(docs).select(col(idCol).as("doc_id"),
+    graft.Parallelism.fanOut(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("doc_id"),
       concat(lit("application/x-graft-"),
         pmod(col(idCol), lit(3)).cast("string")).as("mime"),
       encode(col(textCol), "UTF-8").as("payload"))

@@ -84,8 +84,9 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"),
       quantized(col(vecCol)).as("__qv"))
       .withColumn("__qn", qnorm2(col("__qv")))
-    val scored = graft.Parallelism.fanOut(corpus).select(col(idCol).as("id"),
-        quantized(col(vecCol)).as("__cv"))
+    val scored = graft.Parallelism.fanOut(
+        corpus.select(col(idCol).as("id"), col(vecCol).as("__v")))
+      .select(col("id"), quantized(col("__v")).as("__cv"))
       .withColumn("__cn", qnorm2(col("__cv")))
       .join(broadcast(q), col("query_id") =!= col("id"))
       .withColumn("cos", cosFrom(qdot(col("__qv"), col("__cv")), col("__qn"), col("__cn")))
@@ -107,8 +108,9 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"),
       quantized(col(vecCol)).as("__qv"))
       .withColumn("__qn", qnorm2(col("__qv")))
-    val scored = graft.Parallelism.fanOut(corpus).select(col(idCol).as("id"),
-        quantized(col(vecCol)).as("__cv"))
+    val scored = graft.Parallelism.fanOut(
+        corpus.select(col(idCol).as("id"), col(vecCol).as("__v")))
+      .select(col("id"), quantized(col("__v")).as("__cv"))
       .withColumn("__cn", qnorm2(col("__cv")))
       .join(broadcast(q), col("query_id") =!= col("id"))
       .select(col("query_id"),
@@ -156,7 +158,9 @@ object Similarity {
   def knnLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nPlanes: Int, dim: Int): DataFrame = {
     val bucket = lshBucket(col(vecCol), nPlanes, dim)
-    val c = graft.Parallelism.fanOut(corpus).select(col(idCol).as("id"),
+    val c = graft.Parallelism.fanOut(
+        corpus.select(col(idCol).as("id"), col(vecCol)))
+      .select(col("id"),
         quantized(col(vecCol)).as("__cv"), bucket.as("__bkt"))
       .withColumn("__cn", qnorm2(col("__cv")))
     val q = queries.select(col(idCol).as("query_id"),
@@ -256,9 +260,10 @@ object Similarity {
           lit(i).as("cell"))
     }: _*)
     val vd = col("__vd")
-    val c = graft.Parallelism.fanOut(corpus)
+    val c = graft.Parallelism.fanOut(
+        corpus.select(col(idCol).as("id"), col(vecCol)))
       .withColumn("__vd", col(vecCol).cast("array<double>"))
-      .select(col(idCol).as("id"), quantized(col(vecCol)).as("__cv"),
+      .select(col("id"), quantized(col(vecCol)).as("__cv"),
         array_min(cellScores(vd)).getField("cell").as("__cell"))
       .withColumn("__cn", qnorm2(col("__cv")))
     val q = queries
@@ -333,7 +338,9 @@ object Similarity {
     */
   def nearDupLsh(corpus: DataFrame, idCol: String, vecCol: String,
       minCos: Double, nPlanes: Int, dim: Int): DataFrame = {
-    val v = graft.Parallelism.fanOut(corpus).select(col(idCol).as("id"),
+    val v = graft.Parallelism.fanOut(
+        corpus.select(col(idCol).as("id"), col(vecCol)))
+      .select(col("id"),
         quantized(col(vecCol)).as("__v"),
         lshBucket(col(vecCol), nPlanes, dim).as("__bkt"))
       .withColumn("__n", qnorm2(col("__v")))

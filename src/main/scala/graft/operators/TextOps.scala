@@ -100,7 +100,7 @@ object TextOps {
     // materialize the token array once — several features reference it,
     // and building it repeatedly inside one projection re-tokenizes per
     // feature (interpreted HOFs get no CSE; see langId)
-    val df = graft.Parallelism.fanOut(df0)
+    val df = graft.Parallelism.fanOut(df0.select(col(idCol), col(textCol)))
       .withColumn("__toks", TextFns.tokens(col(textCol)))
     val t = col(textCol)
     val toks = col("__toks")
@@ -130,9 +130,10 @@ object TextOps {
 
   /** Token counting: whitespace tokens and BPE-ish sub-word tokens. */
   def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    graft.Parallelism.fanOut(df).select(col(idCol),
-      size(TextFns.tokens(col(textCol))).as("n_ws_tokens"),
-      size(TextFns.bpeTokens(col(textCol))).as("n_bpe_tokens"))
+    graft.Parallelism.fanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        size(TextFns.tokens(col(textCol))).as("n_ws_tokens"),
+        size(TextFns.bpeTokens(col(textCol))).as("n_bpe_tokens"))
 
   /** PII patterns shared by [[redactPii]] and its oracle — RE2-safe (no
     * backrefs/lookaround) so Spark (Java regex) and DuckDB (RE2) agree.
@@ -154,8 +155,9 @@ object TextOps {
     val nRedactions = piiPatterns.map { case (pat, _) =>
       size(regexp_extract_all(col(textCol), lit(pat), lit(0)))
     }.reduce(_ + _)
-    graft.Parallelism.fanOut(df).select(col(idCol),
-      redacted.as("text_redacted"), nRedactions.as("n_redactions"))
+    graft.Parallelism.fanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        redacted.as("text_redacted"), nRedactions.as("n_redactions"))
   }
 
   /** Corpus vocabulary: the `k` most frequent whitespace tokens with
@@ -164,7 +166,7 @@ object TextOps {
     * and only the k-row result is ever collected/sorted globally.
     */
   def topVocab(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    graft.Parallelism.fanOut(df)
+    graft.Parallelism.fanOut(df.select(col(idCol), col(textCol)))
       .select(col(idCol).as("__doc"),
         explode(TextFns.tokens(col(textCol))).as("tok"))
       .groupBy("tok")
@@ -189,8 +191,10 @@ object TextOps {
     */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int): DataFrame = {
-    val grams = graft.Parallelism.fanOut(docs).select(col(idCol).as("id"),
-      posexplode(TextFns.shingles(col(textCol), k)).as(Seq("pos", "gram")))
+    val grams = graft.Parallelism.fanOut(
+        docs.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"),
+        posexplode(TextFns.shingles(col("__t"), k)).as(Seq("pos", "gram")))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy("pos")
       .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
