@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
-import graft.operators.{Analytics, Clean, Curation, Dedup, Multimodal, Quality, Sampling, Similarity, Temporal, TextOps, Warehouse}
+import graft.operators.{Analytics, Clean, Curation, Dedup, Graphs, Multimodal, Quality, Sampling, Similarity, Temporal, TextOps, Warehouse}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -368,6 +368,48 @@ object SparkEntry {
                    JOIN sizes sb ON id_b = sb.doc_id
         WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8
         ORDER BY id_a, id_b""")),
+
+    // Near-dup CLUSTERS: minhash pairs → distributed connected components
+    // (iterative min-label propagation) → every clustered doc labeled with
+    // its component's minimum id. Pairs are not enough for dedup — A~B and
+    // B~C must group {A,B,C} even when A~C misses the threshold; the
+    // oracle replays the clustering as a recursive CTE over brute-force
+    // exact pairs.
+    "q55_dup_clusters" -> Q(
+      (s, dir) => {
+        val pairs = Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id",
+          "text", 3, 64, 16, 0.8)
+        Graphs.connectedComponents(pairs, "id_a", "id_b")
+          .select(col("id").as("doc_id"), col("component"),
+            count(lit(1)).over(Window.partitionBy(col("component")))
+              .as("cluster_size"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
+               FROM documents),
+        grams AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, greatest(len(l) - 1, 1)),
+                 i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS g
+               FROM toks WHERE len(l) >= 3),
+        sh AS (SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS sh FROM grams),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+                  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        pairs AS (SELECT id_a, id_b FROM inter
+                  JOIN sizes sa ON id_a = sa.doc_id
+                  JOIN sizes sb ON id_b = sb.doc_id
+                  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        walk(id, lbl) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.id = e.dst),
+        comp AS (SELECT id AS doc_id, MIN(lbl) AS component FROM walk GROUP BY id)
+        SELECT doc_id, component,
+               COUNT(*) OVER (PARTITION BY component) AS cluster_size
+        FROM comp ORDER BY doc_id""")),
 
     // 60-bit SimHash signatures (cross-engine h60 token hash), bit-exact.
     "q22_simhash_sigs" -> Q(

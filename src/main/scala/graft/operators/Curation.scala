@@ -14,8 +14,11 @@ import graft.functions.TextFns
   * on fingerprints / shingle hashes.
   *
   * Near-dup removal keeps the LOWER doc id of every similar pair (the
-  * deterministic greedy rule; a clique-exact variant would need connected
-  * components). Candidate generation is [[Dedup.minhashNearDups]] — the
+  * deterministic greedy rule — it can keep two mutually-dissimilar docs
+  * that share a dropped neighbor; for component-exact clustering compose
+  * the pairs with [[Graphs.connectedComponents]] and keep each
+  * component's min, as q55 does). Candidate generation is
+  * [[Dedup.minhashNearDups]] — the
   * sub-quadratic 100 TB path: banded-LSH buckets (shuffle on (band,
   * bucket), never Σdf² shingle pairs) followed by exact-Jaccard
   * confirmation, so false candidates never survive and the only deviation
