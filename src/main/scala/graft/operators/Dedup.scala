@@ -117,11 +117,13 @@ object Dedup {
     */
   private def capDf(sh0: DataFrame, maxShingleDf: Int): DataFrame =
     if (maxShingleDf == Int.MaxValue) sh0
-    else {
-      val dfCut = sh0.groupBy("sh").agg(count(lit(1)).as("__df"))
-        .filter(col("__df") <= maxShingleDf).select("sh")
-      sh0.join(dfCut, "sh") // drops boilerplate shingles entirely
-    }
+    else sh0
+      // window count instead of groupBy+join-back: ONE shuffle on sh whose
+      // hash partitioning the downstream self-join (also keyed on sh) then
+      // reuses, instead of an aggregate exchange plus a join exchange
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("sh")))
+      .filter(col("__df") <= maxShingleDf) // drops boilerplate shingles
+      .drop("__df")
 
   /** Exact-Jaccard confirmation for a candidate pair set: gather each
     * pair's postings by id, count the intersection, filter by threshold.

@@ -101,6 +101,20 @@ object StreamPipeline {
       .select(col("w.start").as("hour"), col("station_id"), col("n"),
         col("avg_temperature"), col("max_wind_speed"))
 
+  /** Streaming exact dedup with BOUNDED state (the W2 replay-drop for
+    * arbitrary keys): duplicate rows on `keys` arriving within the
+    * event-time watermark horizon are dropped, and per-key state is
+    * evicted once the watermark passes its timestamp — so state is
+    * O(keys per lateness window), not O(all keys ever) as with plain
+    * `dropDuplicates` on a stream. Use when the dedup key is an event id
+    * replayed by at-least-once sources; [[dedupMonotonic]] remains the
+    * per-key ordered-stream form.
+    */
+  def dedupWithinWatermark(df: DataFrame, tsCol: String, lateness: String,
+      keys: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Watermarked stream-stream INNER interval join: each left row is
     * enriched by right rows with the same key whose timestamp falls in
     * `[leftTs - lookback, leftTs]` (e.g. views joined to the user's

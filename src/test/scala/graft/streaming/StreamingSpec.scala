@@ -56,6 +56,26 @@ class StreamingSpec extends SparkSpec {
       (ts("2024-06-01 10:00:00"), "S2", 1L, 5.0)))
   }
 
+  test("dedupWithinWatermark drops replayed keys within the horizon, " +
+      "bounded state (distinct event ids survive)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    mem.addData(
+      (1L, ts("2024-06-01 10:00:00"), 1.0),
+      (1L, ts("2024-06-01 10:05:00"), 99.0), // same event id replayed late
+      (2L, ts("2024-06-01 10:00:30"), 2.0))
+    val q = StreamPipeline.dedupWithinWatermark(
+        mem.toDF().toDF("event_id", "ts", "value"), "ts", "1 hour",
+        Seq("event_id"))
+      .writeStream.format("memory").queryName("wm_dedup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("wm_dedup")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rows == Map(1L -> 1.0, 2L -> 2.0)) // first wins, replay dropped
+  }
+
   test("stream-stream inner join with watermarks (views enriched by the " +
       "user's purchases within the hour)") {
     import spark.implicits._
