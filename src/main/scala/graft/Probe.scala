@@ -10,12 +10,21 @@ object Probe {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q02_day_slice", "q03_region_revenue", "q04_top_customers",
-        "q21_minhash_lsh", "q30_sql_api")
+        "q21_minhash_lsh", "q30_sql_api", "q54_decontamination")
     val spark = GraftSession.getOrCreate()
     names.foreach { n =>
       println(s"\n########## $n ##########")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
     }
+    // scale-claim spot checks on physical plans
+    def plan(n: String): String = SparkEntry.queries(n)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    println("\n[probe] q54 benchmark side broadcast (corpus never shuffled " +
+      "for the probe): " + plan("q54_decontamination").contains("BroadcastHashJoin"))
+    println("[probe] q03 dims broadcast: " +
+      (plan("q03_region_revenue").split("BroadcastHashJoin").length - 1 >= 3))
+    println("[probe] q02 filter pushed to scan: " +
+      plan("q02_day_slice").contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual"))
     // skew utilities over real tables: salted orders-per-customer rollup
     // must equal the plain aggregate
     import org.apache.spark.sql.functions._
