@@ -1065,9 +1065,10 @@ object SparkEntry {
                  range(1, greatest(len(l) - 6, 1)),
                  i -> l[i]||' '||l[i+1]||' '||l[i+2]||' '||l[i+3]||' '||l[i+4]||' '||l[i+5]||' '||l[i+6]||' '||l[i+7]))) AS g
                FROM toks WHERE len(l) >= 8),
-        bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0),
-        corpus AS (SELECT doc_id, g FROM grams WHERE doc_id % 10 <> 0)
-        SELECT doc_id, COUNT(*) AS n_hits FROM corpus JOIN bench USING (g)
+        h AS (SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS sh FROM grams),
+        bench AS (SELECT DISTINCT sh FROM h WHERE doc_id % 10 = 0),
+        corpus AS (SELECT doc_id, sh FROM h WHERE doc_id % 10 <> 0)
+        SELECT doc_id, COUNT(*) AS n_hits FROM corpus JOIN bench USING (sh)
         GROUP BY doc_id ORDER BY doc_id""")))
 
   private def existsQuery =

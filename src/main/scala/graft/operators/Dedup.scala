@@ -34,6 +34,10 @@ object Dedup {
     */
   def exactByFingerprint(docs: DataFrame, idCol: String,
       fingerprint: Column): DataFrame = {
+    // full-width fan-out is deliberate here: the output contract keeps
+    // every input column, and the text payload (which dominates row
+    // width) is what the fingerprint expression reads — there is no
+    // narrow projection to prefer
     val fp = graft.Parallelism.fanOut(docs).withColumn("fingerprint", fingerprint)
     val w = Window.partitionBy(col("fingerprint")).orderBy(col(idCol))
     fp.withColumn("__rn", row_number().over(w))

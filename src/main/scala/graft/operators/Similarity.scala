@@ -113,18 +113,25 @@ object Similarity {
       .select(col("id"), quantized(col("__v")).as("__cv"))
       .withColumn("__cn", qnorm2(col("__cv")))
       .join(broadcast(q), col("query_id") =!= col("id"))
+      // cosFrom is null for a zero vector; the aggregator's input encoder
+      // is primitive (Double, Long), so nulls ride through as a -Infinity
+      // sentinel (cosine is in [-1, 1], so the sentinel cannot collide)
+      // and are restored after the top-k. -Inf ranks below every real
+      // cosine with ties broken by ascending id — exactly the window
+      // form's (cos DESC NULLS LAST, id) order, so a query with fewer
+      // than k finite candidates still returns its null-cosine rows, as
+      // knnExact and the DuckDB oracle do.
       .select(col("query_id"),
-        struct(cosFrom(qdot(col("__qv"), col("__cv")), col("__qn"), col("__cn"))
+        struct(coalesce(
+            cosFrom(qdot(col("__qv"), col("__cv")), col("__qn"), col("__cn")),
+            lit(Double.NegativeInfinity))
           .as("_1"), col("id").as("_2")).as("__pair"))
-      // cosFrom is null for a zero vector; the aggregator's input encoder is
-      // primitive (Double, Long), so a null cosine would crash the query.
-      // Dropping the row matches knnExact, whose window sorts nulls last —
-      // a null cosine can never be in the top-k.
-      .filter(col("__pair._1").isNotNull)
     scored.groupBy("query_id")
       .agg(topk(col("__pair._1"), col("__pair._2")).as("__top"))
       .select(col("query_id"), explode(col("__top")).as("__e"))
-      .select(col("query_id"), col("__e._2").as("id"), col("__e._1").as("cos"))
+      .select(col("query_id"), col("__e._2").as("id"),
+        when(col("__e._1") === lit(Double.NegativeInfinity), lit(null))
+          .otherwise(col("__e._1")).as("cos"))
   }
 
   /** Deterministic pseudo-random hyperplanes: coefficient (p, d) is derived
@@ -291,12 +298,16 @@ object Similarity {
     // Deterministic sample WITHOUT ordering the corpus: an id-range filter
     // is a pushed-down predicate (one partial scan), where orderBy+limit is
     // a global TakeOrdered over every row. Seeding still needs a stable
-    // order, so the (bounded) sample is sorted driver-side. Falls back to
-    // the full-sort path only if ids turn out sparse in [0, sampleSize).
+    // order, so the (bounded) sample is sorted driver-side. A short ranged
+    // result means EITHER a small corpus (the range already holds every
+    // row — use it, no second scan of consequence) OR genuinely sparse ids
+    // (fall back to the sort); one count() tells them apart without
+    // ordering anything.
     val ranged = corpus.filter(col(idCol) < sampleSize)
       .select(col(idCol).cast("long"), col(vecCol)).collect()
     val rows =
       if (ranged.length >= math.max(nlist, sampleSize / 2)) ranged
+      else if (corpus.count() == ranged.length) ranged
       else corpus.orderBy(col(idCol)).limit(sampleSize)
         .select(col(idCol).cast("long"), col(vecCol)).collect()
     val sample = rows.sortBy(_.getLong(0))

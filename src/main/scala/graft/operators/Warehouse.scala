@@ -68,10 +68,15 @@ object Warehouse {
     deleteRecursively(Paths.get(old))
   }
 
-  /** Roll back an interrupted [[publish]]: a missing live dir with a
-    * surviving `.old` means the crash fell between the two renames —
-    * restore the old generation (the `.next` data survives for forensics
-    * until the retried publish overwrites it).
+  /** Repair an interrupted [[publish]] (returns true if a rollback
+    * happened). Two crash windows exist:
+    *   - between the two renames: no live dir, `.old` survives → roll the
+    *     old generation back (the `.next` data survives for forensics
+    *     until the retried publish overwrites it);
+    *   - after the final rename but before `.old` cleanup: live dir AND a
+    *     stale `.old` both exist → finish the cleanup, else the NEXT
+    *     publish's move-aside would hit the non-empty `.old` and throw,
+    *     wedging the table read-only.
     */
   def recoverSwap(dir: String): Boolean = {
     val dirP = Paths.get(dir)
@@ -79,7 +84,10 @@ object Warehouse {
     if (!Files.exists(dirP) && Files.exists(old)) {
       Files.move(old, dirP, StandardCopyOption.ATOMIC_MOVE)
       true
-    } else false
+    } else {
+      if (Files.exists(dirP) && Files.exists(old)) deleteRecursively(old)
+      false
+    }
   }
 
   // ----- Versioned (manifest-pointer) tables --------------------------------
@@ -97,6 +105,7 @@ object Warehouse {
   //     assumed; concurrent writers additionally need a conditional PUT).
 
   private val ManifestName = "_MANIFEST"
+  private val CommitsName = "_COMMITS"
 
   /** The live generation name of a versioned table, if one was published. */
   def liveGeneration(table: String): Option[String] = {
@@ -105,19 +114,40 @@ object Warehouse {
     else None
   }
 
+  /** Every generation that completed its data write (the commit log) —
+    * the set `vacuum` may legally keep as history. An orphan dir whose
+    * publish crashed mid-write is on disk but never in this list, so it
+    * can never shadow a real, fully-written historical generation.
+    */
+  def committedGenerations(table: String): Seq[String] = {
+    val c = Paths.get(table, CommitsName)
+    if (!Files.exists(c)) Seq.empty
+    else Files.readString(c).split('\n').map(_.trim).filter(_.nonEmpty)
+      .toIndexedSeq.sorted
+  }
+
+  private def writeAtomic(path: Path, content: String): Unit = {
+    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+    Files.writeString(tmp, content)
+    Files.move(tmp, path,
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** Publish `df` as the next generation of `table`; returns the
-    * generation name. A crash before the manifest flip leaves an orphan
-    * generation dir (readers unaffected; the next publish skips past its
-    * number and `vacuum` removes it).
+    * generation name. Order: data write → commit-log append → manifest
+    * flip. A crash before the commit-log append leaves an orphan
+    * generation dir (readers unaffected, `vacuum` removes it, the next
+    * publish skips past its number); a crash between append and flip
+    * leaves a committed-but-never-live generation (complete data, ages
+    * out as history).
     */
   def publishVersioned(spark: SparkSession, df: DataFrame, table: String): String = {
     Files.createDirectories(Paths.get(table))
     val gen = f"gen-${nextGenNumber(table)}%08d"
     df.write.mode("overwrite").parquet(s"$table/$gen")
-    val tmp = Paths.get(table, ManifestName + ".tmp")
-    Files.writeString(tmp, gen)
-    Files.move(tmp, Paths.get(table, ManifestName),
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    writeAtomic(Paths.get(table, CommitsName),
+      (committedGenerations(table) :+ gen).mkString("\n"))
+    writeAtomic(Paths.get(table, ManifestName), gen)
     gen
   }
 
@@ -129,19 +159,21 @@ object Warehouse {
   }
 
   /** Drop every generation but the live one and the `keepHistory` most
-    * recent before it (reader grace / time travel). Returns what was
-    * deleted. Generations NEWER than the live pointer (orphans of a
-    * publish that crashed before its manifest flip) are dropped
-    * immediately; an orphan that later publishes leapfrogged simply ages
-    * out as history.
+    * recently COMMITTED before it (reader grace / time travel — only
+    * fully-written generations count; a partially-written orphan from a
+    * crashed publish is never retained as history, whatever its number).
+    * Returns what was deleted and prunes the commit log to match.
+    * Single-writer: run from the publisher, not concurrently with one.
     */
   def vacuum(table: String, keepHistory: Int = 1): Seq[String] = {
     val live = liveGeneration(table)
-    val gens = listGenerations(table)
+    val committed = committedGenerations(table)
     val keep = (live.toSeq ++
-      gens.filter(g => live.forall(g < _)).takeRight(keepHistory)).toSet
-    val doomed = gens.filterNot(keep)
+      committed.filter(g => live.forall(g < _)).takeRight(keepHistory)).toSet
+    val doomed = listGenerations(table).filterNot(keep)
     doomed.foreach(g => deleteRecursively(Paths.get(table, g)))
+    writeAtomic(Paths.get(table, CommitsName),
+      committed.filter(keep).mkString("\n"))
     doomed
   }
 
@@ -149,12 +181,15 @@ object Warehouse {
     val root = Paths.get(table)
     if (!Files.exists(root)) Seq.empty
     else {
-      val out = Seq.newBuilder[String]
-      Files.list(root).forEach { p =>
-        val n = p.getFileName.toString
-        if (n.startsWith("gen-") && Files.isDirectory(p)) out += n
-      }
-      out.result().sorted
+      val stream = Files.list(root)
+      try {
+        val out = Seq.newBuilder[String]
+        stream.forEach { p =>
+          val n = p.getFileName.toString
+          if (n.startsWith("gen-") && Files.isDirectory(p)) out += n
+        }
+        out.result().sorted
+      } finally stream.close()
     }
   }
 

@@ -130,9 +130,11 @@ object StreamPipeline {
       lateness: String = "1 hour"): DataFrame =
     left.withWatermark(leftTs, lateness).as("l")
       .join(right.withWatermark(rightTs, lateness).as("r"),
+        // every reference side-qualified: both streams naming their
+        // event-time column the same way (ts/ts) must not be ambiguous
         col(s"l.$key") === col(s"r.$key") &&
-          col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookback") &&
-          col(rightTs) <= col(leftTs))
+          col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $lookback") &&
+          col(s"r.$rightTs") <= col(s"l.$leftTs"))
       .drop(col(s"r.$key"))
 
   /** A8 — post-load verification (`kafka_stream.py:161-193`): re-read the

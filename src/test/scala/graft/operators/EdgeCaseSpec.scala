@@ -57,21 +57,28 @@ class EdgeCaseSpec extends SparkSpec {
       "vec_id", "embedding", 3).count() == 0)
   }
 
-  test("knnExactAgg survives an all-zero corpus vector (null cosine is " +
-      "dropped, matching knnExact's nulls-last window)") {
+  test("knnExactAgg matches knnExact exactly under zero vectors: null " +
+      "cosines rank last but still fill the top-k when candidates are " +
+      "scarce (the oracle's NULLS LAST semantics)") {
     import spark.implicits._
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
       (2L, Array(0.0f, 0.0f)), // zero vector → null cosine
       (3L, Array(0.5f, 0.5f))).toDF("vec_id", "embedding")
     val q = vecs.filter(col("vec_id") === 0)
-    val agg = Similarity.knnExactAgg(vecs, q, "vec_id", "embedding", 3)
-      .collect().map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1)
-    val win = Similarity.knnExact(vecs, q, "vec_id", "embedding", 3)
-      .filter(col("cos").isNotNull)
-      .collect().map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1)
-    assert(agg.nonEmpty && agg.toSeq == win.toSeq)
-    assert(!agg.map(_._1).contains(2L)) // the zero vector never ranks
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).sortBy(_._1)
+    // k=3 over 3 candidates: the zero vector MUST appear, cos = null
+    val agg = rows(Similarity.knnExactAgg(vecs, q, "vec_id", "embedding", 3))
+    val win = rows(Similarity.knnExact(vecs, q, "vec_id", "embedding", 3))
+    assert(agg.toSeq == win.toSeq)
+    assert(agg.toMap.apply(2L).isEmpty) // null cosine preserved, not dropped
+    // k=2: enough finite candidates, zero vector excluded by rank
+    val agg2 = rows(Similarity.knnExactAgg(vecs, q, "vec_id", "embedding", 2))
+    assert(agg2.toSeq ==
+      rows(Similarity.knnExact(vecs, q, "vec_id", "embedding", 2)).toSeq)
+    assert(!agg2.map(_._1).contains(2L))
   }
 
   test("nearDupExact single-element and empty corpora") {

@@ -82,9 +82,26 @@ class WarehouseSpec extends SparkSpec {
     val g4 = Warehouse.publishVersioned(spark, (1 to 40).toDF("id"), table)
     assert(g4 == "gen-00000004")
     assert(Warehouse.readVersioned(spark, table).count() == 40)
-    // vacuum keeps the live gen + 1 of history, deletes the orphan
+    // vacuum keeps the live gen + 1 of COMMITTED history (gen-2) — the
+    // never-committed orphan gen-3 must not shadow it, whatever its number
     val deleted = Warehouse.vacuum(table, keepHistory = 1)
-    assert(deleted.contains("gen-00000001") && deleted.contains(g2))
+    assert(deleted.toSet == Set("gen-00000001", "gen-00000003"))
     assert(Warehouse.readVersioned(spark, table).count() == 40)
+    assert(spark.read.parquet(s"$table/$g2").count() == 25) // history intact
+    assert(Warehouse.committedGenerations(table) == Seq(g2, g4))
+  }
+
+  test("publish self-heals from a crash after the final rename but " +
+      "before .old cleanup (stale .old must not wedge the table)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-wh-staleold").toString + "/t"
+    (1 to 10).toDF("id").write.parquet(dir)
+    // simulate: previous publish completed its renames but died before
+    // deleting the superseded generation
+    (91 to 95).toDF("id").write.parquet(dir + ".old")
+    // next publish must clean the stale .old and proceed, not throw
+    Warehouse.publish(spark, (1 to 20).toDF("id"), dir)
+    assert(Warehouse.snapshotCount(spark, dir) == 20)
+    assert(!new java.io.File(dir + ".old").exists())
   }
 }

@@ -76,6 +76,20 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Map(1L -> 1.0, 2L -> 2.0)) // first wins, replay dropped
   }
 
+  test("intervalJoin tolerates both sides naming their event-time column " +
+      "identically (references are side-qualified)") {
+    import spark.implicits._
+    // batch mode: watermarks are no-ops, same join semantics
+    val l = Seq(("u1", ts("2024-06-01 10:10:00"), 1.0))
+      .toDF("user_id", "ts", "lval")
+    val r = Seq(("u1", ts("2024-06-01 10:05:00"), 99.0),
+      ("u1", ts("2024-06-01 11:00:00"), 5.0)) // after the left ts → no match
+      .toDF("user_id", "ts", "rval")
+    val out = StreamPipeline.intervalJoin(l, r, "user_id", "ts", "ts", "1 hour")
+      .collect()
+    assert(out.length == 1 && out(0).getAs[Double]("rval") == 99.0)
+  }
+
   test("stream-stream inner join with watermarks (views enriched by the " +
       "user's purchases within the hour)") {
     import spark.implicits._
