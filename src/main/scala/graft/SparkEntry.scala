@@ -1069,7 +1069,37 @@ object SparkEntry {
         bench AS (SELECT DISTINCT sh FROM h WHERE doc_id % 10 = 0),
         corpus AS (SELECT doc_id, sh FROM h WHERE doc_id % 10 <> 0)
         SELECT doc_id, COUNT(*) AS n_hits FROM corpus JOIN bench USING (sh)
-        GROUP BY doc_id ORDER BY doc_id""")))
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Sequence packing: documents assigned (in id order per source shard)
+    // to consecutive ~2000-token training chunks via a windowed prefix
+    // sum — one shuffle on the shard, no global sort.
+    "q56_pack_sequences" -> Q(
+      (s, dir) => TextOps.packSequences(t(s, dir, "documents"),
+          "doc_id", "text", "source", 2000)
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, source,
+          CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens,
+          CAST(floor(CAST(
+            SUM(len(string_split_regex(lower(trim(text)), '\s+')))
+              OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE)
+            / 2000) AS BIGINT) AS seq_id
+        FROM documents ORDER BY doc_id""")),
+
+    // Deterministic stratified sample: 3 docs per language by hash rank —
+    // stable across engines, runs, and partitionings.
+    "q57_stratified_sample" -> Q(
+      (s, dir) => Sampling.stratifiedSample(t(s, dir, "documents"),
+          "doc_id", "lang", 3, "strat1")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, source FROM documents
+        QUALIFY row_number() OVER (PARTITION BY lang
+          ORDER BY CAST('0x' || substr(md5('strat1:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+                   doc_id) <= 3
+        ORDER BY doc_id""")))
 
   private def existsQuery =
     """SELECT c_custkey, c_name FROM customer c

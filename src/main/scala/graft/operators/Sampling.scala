@@ -48,4 +48,22 @@ object Sampling {
   def hashSample(df: DataFrame, idCol: String, salt: String,
       fraction: Double): DataFrame =
     df.filter(bucket(col(idCol), salt) < math.round(fraction * 10000).toInt)
+
+  /** Deterministic stratified sample: up to `perStratum` rows from every
+    * stratum, chosen by hash rank (h60 of salt:id, id tiebreak) — the
+    * "N examples per language/source" pipeline op. One shuffle on the
+    * stratum; rank state is per-stratum. Like [[hashSample]], membership
+    * is a pure row function given the stratum's population, so reruns and
+    * engines agree.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      perStratum: Int, salt: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(Hashing.h60(concat(lit(s"$salt:"), col(idCol).cast("string"))),
+        col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= perStratum)
+      .drop("__rk")
+  }
 }

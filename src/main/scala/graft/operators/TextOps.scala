@@ -174,6 +174,30 @@ object TextOps {
       .orderBy(col("n").desc, col("tok"))
       .limit(k)
 
+  /** Sequence packing for training: assign documents (in deterministic
+    * `idCol` order within each `shardCol` group) to consecutive chunks of
+    * ~`tokenBudget` tokens — chunk id = floor(exclusive-prefix-sum /
+    * budget), the streaming bin-packing rule whose only slack is that a
+    * chunk may overrun by less than one document (first-fit-exact would
+    * need sequential state). Output: (id, shard, n_tokens, seq_id).
+    *
+    * Scale shape: the prefix sum is a window per shard — one shuffle on
+    * the shard key, no global sort. Shard by source/date so no single
+    * window partition holds the corpus.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      shardCol: String, tokenBudget: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    graft.Parallelism.fanOut(df.select(col(idCol), col(shardCol), col(textCol)))
+      .withColumn("n_tokens", size(TextFns.tokens(col(textCol))).cast("long"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .select(col(idCol), col(shardCol), col("n_tokens"),
+        floor((col("__cum") - col("n_tokens")) / tokenBudget).as("seq_id"))
+  }
+
   /** Winnowing document fingerprints (the MOSS algorithm, Schleimer et al.
     * SIGMOD'03): hash every overlapping k-token shingle, slide a
     * w-position window over the hash sequence, keep each window's MINIMUM

@@ -41,6 +41,41 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("stratifiedSample: at most n per stratum, deterministic across " +
+      "partitionings, strata smaller than n survive whole") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, s"lang${i % 3}"))
+      .toDF("id", "lang")
+      .unionByName(Seq((1000L, "rare")).toDF("id", "lang")) // 1-row stratum
+    val s1 = Sampling.stratifiedSample(df, "id", "lang", 5, "s")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(s1.groupBy(_._2).forall { case (_, rows) => rows.length <= 5 })
+    assert(s1.count(_._2 == "rare") == 1)
+    assert(s1.groupBy(_._2).view.filterKeys(_ != "rare").forall(_._2.length == 5))
+    val s2 = Sampling.stratifiedSample(df.repartition(11), "id", "lang", 5, "s")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(s1.sortBy(_._1).toSeq == s2.sortBy(_._1).toSeq)
+  }
+
+  test("packSequences: chunks respect the budget except by less than one " +
+      "document, ids stay in order within a chunk") {
+    import spark.implicits._
+    val docs = (0L until 50L)
+      .map(i => (i, "shard0", Seq.fill(((i % 7) + 1).toInt)("tok").mkString(" ")))
+      .toDF("id", "shard", "text")
+    val out = TextOps.packSequences(docs, "id", "text", "shard", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val byChunk = out.groupBy(_._3).toSeq.sortBy(_._1)
+    byChunk.foreach { case (_, rows) =>
+      val total = rows.map(_._2).sum
+      val maxDoc = rows.map(_._2).max
+      assert(total < 10 + maxDoc) // overflow bounded by one document
+    }
+    // chunk ids are non-decreasing in doc order
+    val seqByDoc = out.sortBy(_._1).map(_._3)
+    assert(seqByDoc.zip(seqByDoc.tail).forall { case (a, b) => a <= b })
+  }
+
   test("hashSample: deterministic subset of the requested size, stable " +
       "across calls, and nested (10% within 20%)") {
     val s10 = Sampling.hashSample(ids, "id", "s", 0.10)
