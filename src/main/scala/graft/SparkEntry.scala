@@ -1088,6 +1088,27 @@ object SparkEntry {
             / 2000) AS BIGINT) AS seq_id
         FROM documents ORDER BY doc_id""")),
 
+    // TF-IDF top-5 terms per document (smoothed sklearn-style idf) — the
+    // keyword-extraction face; weight rounded to 6 decimals before
+    // ranking so libm ulp differences cannot flip top-k membership.
+    "q58_tfidf" -> Q(
+      (s, dir) => TextOps.tfidfTopTerms(t(s, dir, "documents"),
+          "doc_id", "text", 5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("tfidf").desc, col("term")),
+      Some("""WITH toks AS (SELECT doc_id,
+            unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        idf AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+        s AS (SELECT doc_id, term, tf, df,
+               round(tf * (ln(CAST(n.n + 1 AS DOUBLE) / (df + 1)) + 1), 6) AS tfidf
+              FROM tf JOIN idf USING (term) CROSS JOIN n)
+        SELECT doc_id, term, tf, df, tfidf FROM s
+        QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) <= 5
+        ORDER BY doc_id, tfidf DESC, term""")),
+
     // Deterministic stratified sample: 3 docs per language by hash rank —
     // stable across engines, runs, and partitionings.
     "q57_stratified_sample" -> Q(

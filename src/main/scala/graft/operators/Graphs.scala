@@ -30,12 +30,19 @@ object Graphs {
     * and coalesces to the node's own id.
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, driverThreshold: Long = 1L << 20): DataFrame = {
     val sym = graft.CacheScope.register(
       edges.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
         .unionByName(
           edges.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
         .distinct())
+    // Near-dup pair sets are tiny relative to their corpus (pairs are the
+    // EXCEPTION); below the threshold a driver union-find answers in one
+    // job where the distributed loop pays ~4 jobs per round. The loop
+    // below remains the path for genuinely large edge sets — the
+    // threshold bounds driver memory (1M edges ≈ 16 MB), like ivfTrain's
+    // bounded training sample.
+    if (sym.count() <= driverThreshold) return driverUnionFind(sym)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
@@ -58,5 +65,33 @@ object Graphs {
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     labels
+  }
+
+  /** Exact union-find (path compression + union by min) over a collected
+    * edge list; component label = minimum member id, identical to the
+    * distributed loop's fixpoint.
+    */
+  private def driverUnionFind(sym: DataFrame): DataFrame = {
+    val spark = sym.sparkSession
+    import spark.implicits._
+    val es = sym.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // min root wins → label IS the component minimum
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    parent.keys.toSeq.sorted.map(id => (id, find(id)))
+      .toDF("id", "component")
   }
 }

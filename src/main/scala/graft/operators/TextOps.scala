@@ -174,6 +174,38 @@ object TextOps {
       .orderBy(col("n").desc, col("tok"))
       .limit(k)
 
+  /** TF-IDF top terms per document: term frequency over whitespace tokens,
+    * inverse document frequency ln((N+1)/(df+1)) + 1 (the smoothed
+    * sklearn-style form — never division by zero, never negative), top
+    * `perDoc` terms per doc by weight with (term) tie-break.
+    *
+    * Plan shape: one (doc, token) count shuffle, one token-df aggregate
+    * joined back on the token, a corpus-count broadcast (1 row), and a
+    * per-doc window for the top-k.
+    *
+    * Cross-engine note: ln() is the one function here whose last ulp may
+    * differ between libm implementations, so the weight is rounded to 6
+    * decimals BEFORE ranking — both engines then rank identical values
+    * (term tie-break), instead of a near-tie flipping top-k membership.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      perDoc: Int): DataFrame = {
+    val tf = graft.Parallelism.fanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("id"), explode(TextFns.tokens(col(textCol))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.select(countDistinct(col(idCol)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("tfidf").desc, col("term"))
+    tf.join(idf, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * (log((col("__n") + 1).cast("double") / (col("df") + 1)) + 1), 6))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= perDoc)
+      .select(col("id"), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
   /** Sequence packing for training: assign documents (in deterministic
     * `idCol` order within each `shardCol` group) to consecutive chunks of
     * ~`tokenBudget` tokens — chunk id = floor(exclusive-prefix-sum /

@@ -4,10 +4,16 @@ import graft.SparkSpec
 
 class GraphsSpec extends SparkSpec {
 
-  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+  private def cc(edges: Seq[(Long, Long)], driverThreshold: Long = 1L << 20): Map[Long, Long] = {
     import spark.implicits._
-    Graphs.connectedComponents(edges.toDF("a", "b"), "a", "b")
+    Graphs.connectedComponents(edges.toDF("a", "b"), "a", "b",
+        driverThreshold = driverThreshold)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("driver union-find and distributed label propagation agree") {
+    val edges = Seq((3L, 7L), (7L, 9L), (9L, 12L), (20L, 25L), (1L, 25L))
+    assert(cc(edges) == cc(edges, driverThreshold = 0L)) // force the loop
   }
 
   test("connectedComponents labels every component with its minimum id") {
@@ -20,7 +26,7 @@ class GraphsSpec extends SparkSpec {
   test("connectedComponents handles a long chain (diameter > 2) and " +
       "reversed edge direction") {
     val chain = (0L until 12L).map(i => (i + 1, i)) // edges given high->low
-    val out = cc(chain)
+    val out = cc(chain, driverThreshold = 0L)       // force the loop path
     assert(out.values.toSet == Set(0L))
     assert(out.keySet == (0L to 12L).toSet)
   }
