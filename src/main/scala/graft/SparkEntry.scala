@@ -1089,13 +1089,14 @@ object SparkEntry {
         FROM documents ORDER BY doc_id""")),
 
     // TF-IDF top-5 terms per document (smoothed sklearn-style idf) — the
-    // keyword-extraction face; weight rounded to 6 decimals before
-    // ranking so libm ulp differences cannot flip top-k membership.
+    // keyword-extraction face; weight quantized to integer micro-units
+    // before ranking so libm ulp differences cannot flip top-k membership
+    // (integers are exactly representable; fractional rounding is not).
     "q58_tfidf" -> Q(
       (s, dir) => TextOps.tfidfTopTerms(t(s, dir, "documents"),
           "doc_id", "text", 5)
         .withColumnRenamed("id", "doc_id")
-        .orderBy(col("doc_id"), col("tfidf").desc, col("term")),
+        .orderBy(col("doc_id"), col("tfidf_micro").desc, col("term")),
       Some("""WITH toks AS (SELECT doc_id,
             unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
           FROM documents),
@@ -1103,11 +1104,11 @@ object SparkEntry {
         idf AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
         n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
         s AS (SELECT doc_id, term, tf, df,
-               round(tf * (ln(CAST(n.n + 1 AS DOUBLE) / (df + 1)) + 1), 6) AS tfidf
+               CAST(round(tf * (ln(CAST(n.n + 1 AS DOUBLE) / (df + 1)) + 1) * 1e6) AS BIGINT) AS tfidf_micro
               FROM tf JOIN idf USING (term) CROSS JOIN n)
-        SELECT doc_id, term, tf, df, tfidf FROM s
-        QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) <= 5
-        ORDER BY doc_id, tfidf DESC, term""")),
+        SELECT doc_id, term, tf, df, tfidf_micro FROM s
+        QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_micro DESC, term) <= 5
+        ORDER BY doc_id, tfidf_micro DESC, term""")),
 
     // Deterministic stratified sample: 3 docs per language by hash rank —
     // stable across engines, runs, and partitionings.

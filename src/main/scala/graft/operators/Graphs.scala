@@ -30,18 +30,22 @@ object Graphs {
     * and coalesces to the node's own id.
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 25, driverThreshold: Long = 1L << 20): DataFrame = {
+      maxIter: Int = 25, driverThreshold: Long = 1L << 18): DataFrame = {
     val sym = graft.CacheScope.register(
       edges.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull)
         .unionByName(
-          edges.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+          edges.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst"))
+            .filter(col("src").isNotNull && col("dst").isNotNull))
         .distinct())
     // Near-dup pair sets are tiny relative to their corpus (pairs are the
     // EXCEPTION); below the threshold a driver union-find answers in one
     // job where the distributed loop pays ~4 jobs per round. The loop
-    // below remains the path for genuinely large edge sets — the
-    // threshold bounds driver memory (1M edges ≈ 16 MB), like ivfTrain's
-    // bounded training sample.
+    // below remains the path for genuinely large edge sets. Threshold
+    // sizing: 256k edges ≈ 4 MB raw, but boxed HashMap entries and the
+    // intermediate collections cost ~30x raw — worst case ~150 MB
+    // transient on the driver, safe for typical driver heaps; raise it
+    // only with the heap.
     if (sym.count() <= driverThreshold) return driverUnionFind(sym)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
@@ -91,7 +95,7 @@ object Graphs {
         if (ra < rb) parent(rb) = ra else parent(ra) = rb
       }
     }
-    parent.keys.toSeq.sorted.map(id => (id, find(id)))
+    parent.keys.toSeq.map(id => (id, find(id)))
       .toDF("id", "component")
   }
 }

@@ -17,11 +17,18 @@ import graft.functions.Hashing
   */
 object Sampling {
 
+  /** Salted row hash — the single idiom every sampling op derives from
+    * (one definition, so split/sample/stratified can never silently
+    * diverge from each other or their oracle mirrors).
+    */
+  private def saltedH60(idCol: Column, salt: String): Column =
+    Hashing.h60(concat(lit(s"$salt:"), idCol.cast("string")))
+
   /** 0..9999 assignment bucket: h60 of `salt:id` mod 10k — uniform (md5),
     * deterministic, oracle-replayable.
     */
   def bucket(idCol: Column, salt: String): Column =
-    pmod(Hashing.h60(concat(lit(s"$salt:"), idCol.cast("string"))), lit(10000))
+    pmod(saltedH60(idCol, salt), lit(10000))
 
   /** Assign each row to the first split whose cumulative fraction covers
     * its bucket, e.g. `Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)`.
@@ -60,8 +67,7 @@ object Sampling {
       perStratum: Int, salt: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(strataCol))
-      .orderBy(Hashing.h60(concat(lit(s"$salt:"), col(idCol).cast("string"))),
-        col(idCol))
+      .orderBy(saltedH60(col(idCol), salt), col(idCol))
     df.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= perStratum)
       .drop("__rk")

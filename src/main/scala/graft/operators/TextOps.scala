@@ -184,26 +184,32 @@ object TextOps {
     * per-doc window for the top-k.
     *
     * Cross-engine note: ln() is the one function here whose last ulp may
-    * differ between libm implementations, so the weight is rounded to 6
-    * decimals BEFORE ranking — both engines then rank identical values
-    * (term tie-break), instead of a near-tie flipping top-k membership.
+    * differ between libm implementations, so the weight is quantized to
+    * INTEGER micro-units (round(w·1e6) as long) BEFORE ranking — integers
+    * are exactly representable, so the two engines' round algorithms
+    * cannot disagree post-quantization, and both rank identical values
+    * (term tie-break). Residual risk is an ln ulp landing exactly on a
+    * .5 micro-unit boundary (~1e-11 per value), not the ~1e-8 of
+    * fractional-decimal rounding.
     */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
       perDoc: Int): DataFrame = {
+    require(perDoc > 0, s"perDoc must be positive: $perDoc")
     val tf = graft.Parallelism.fanOut(df.select(col(idCol), col(textCol)))
       .select(col(idCol).as("id"), explode(TextFns.tokens(col(textCol))).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = df.select(countDistinct(col(idCol)).as("__n"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(col("tfidf").desc, col("term"))
+      .partitionBy("id").orderBy(col("tfidf_micro").desc, col("term"))
     tf.join(idf, "term")
       .crossJoin(broadcast(n))
-      .withColumn("tfidf",
-        round(col("tf") * (log((col("__n") + 1).cast("double") / (col("df") + 1)) + 1), 6))
+      .withColumn("tfidf_micro",
+        round(col("tf") * (log((col("__n") + 1).cast("double") / (col("df") + 1)) + 1)
+          * 1e6).cast("long"))
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= perDoc)
-      .select(col("id"), col("term"), col("tf"), col("df"), col("tfidf"))
+      .select(col("id"), col("term"), col("tf"), col("df"), col("tfidf_micro"))
   }
 
   /** Sequence packing for training: assign documents (in deterministic
@@ -219,6 +225,7 @@ object TextOps {
     */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
       shardCol: String, tokenBudget: Int): DataFrame = {
+    require(tokenBudget > 0, s"tokenBudget must be positive: $tokenBudget")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(shardCol)).orderBy(col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,

@@ -31,12 +31,13 @@ class GraphsSpec extends SparkSpec {
     assert(out.keySet == (0L to 12L).toSet)
   }
 
-  test("connectedComponents is deterministic across partitionings") {
+  test("connectedComponents is deterministic across partitionings " +
+      "(distributed loop path)") {
     import spark.implicits._
     val edges = Seq((1L, 5L), (5L, 2L), (8L, 9L), (2L, 7L), (10L, 9L))
-    val a = cc(edges)
+    val a = cc(edges, driverThreshold = 0L) // force the loop, not union-find
     val b = Graphs.connectedComponents(
-        edges.toDF("a", "b").repartition(13), "a", "b")
+        edges.toDF("a", "b").repartition(13), "a", "b", driverThreshold = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a == b)
     assert(a(7L) == 1L && a(10L) == 8L)
