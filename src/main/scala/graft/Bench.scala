@@ -1,11 +1,28 @@
 package graft
 
 /** Benchmark main: runs every SparkEntry query against
-  * $SPARK_GRAFT_SF_DIR and prints one JSON line of per-query wall times. */
+  * $SPARK_GRAFT_SF_DIR and prints one JSON line of per-query wall times.
+  *
+  * Measurement methodology (round 3): BENCH_r02 showed >2x swings on
+  * byte-identical queries (q35 1.5s -> 7.2s) because all 59 queries ran
+  * n=1 in one JVM, so a query's time absorbed neighbor effects (GC debt,
+  * storage-memory churn from cached shingle sets, codegen-cache misses).
+  * Each query is now measured `reps` times (default 3) and reports the
+  * MEDIAN, with cache + GC hygiene between queries so no query pays for
+  * its predecessor's garbage. The first rep still absorbs plan
+  * compilation/codegen for that query; the median discards it.
+  *
+  * Env knobs: SPARK_GRAFT_BENCH_REPS (default 3),
+  * SPARK_GRAFT_BENCH_ONLY (comma-separated query names, for isolated
+  * re-measurement of a suspect query).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = GraftSession.builder(master = s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
@@ -16,16 +33,32 @@ object Bench {
       df.write.format("noop").mode("overwrite").save()
     // warm the JVM/codegen paths once so measured numbers are steady-state
     try run(SparkEntry.entry(spark)) catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try run(fn(spark, sfDir)) catch { case _: Throwable => () }
-      finally CacheScope.releaseAll()
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    val results = names.map { name =>
+      val fn = SparkEntry.queries(name)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try run(fn(spark, sfDir)) catch { case _: Throwable => () }
+        finally CacheScope.releaseAll()
+        (System.nanoTime() - t0) / 1e9
+      }
+      // leave a clean slate for the next query: drop any cached blocks the
+      // query pinned outside CacheScope and collect its garbage now, so the
+      // next query's median doesn't absorb this one's memory debt
+      spark.catalog.clearCache()
+      System.gc()
+      name -> median(times)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"stat":"median"}""")
     spark.stop()
   }
 }
