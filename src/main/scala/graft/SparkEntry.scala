@@ -45,6 +45,42 @@ object SparkEntry {
         QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) <= 5
         ORDER BY query_id, cos DESC, id"""
 
+  /** DuckDB replay of [[Similarity.nearDupLshBanded]] — the same
+    * deterministic plane family (h60("plane:p:d") % 1e6 - 5e5 integer
+    * coefficients), the same exact integer-grid sign dots, the same
+    * (band, bucket) candidate join + distinct, the same quantized-exact
+    * confirm. Every intermediate is integer-valued double < 2^53, so both
+    * engines compute identical signs and cosines regardless of summation
+    * order.
+    */
+  private def nearDupLshOracleSql(minCos: Double, planesPerBand: Int,
+      bands: Int, dim: Int): String = {
+    val nPlanes = bands * planesPerBand
+    def qdotSql(a: String, b: String): String =
+      s"list_aggregate(list_transform(range(1, ${dim + 1}), i -> $a[i] * $b[i]), 'sum')"
+    s"""WITH v AS (SELECT vec_id AS id,
+          list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1e7)) AS qv
+        FROM embeddings),
+      pd AS (SELECT CAST(p AS INTEGER) AS p,
+          list(CAST(CAST('0x' || substr(md5('plane:' || p || ':' || d), 1, 15) AS BIGINT)
+               % 1000000 - 500000 AS DOUBLE) ORDER BY d) AS plane
+        FROM range($nPlanes) t1(p) CROSS JOIN range($dim) t2(d) GROUP BY p),
+      dots AS (SELECT v.id, pd.p, ${qdotSql("v.qv", "pd.plane")} AS dot
+        FROM v CROSS JOIN pd),
+      keys AS (SELECT id, p // $planesPerBand AS band,
+          SUM(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << (p % $planesPerBand) ELSE 0 END) AS bkt
+        FROM dots GROUP BY id, band),
+      cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM keys a JOIN keys b
+        ON a.band = b.band AND a.bkt = b.bkt AND a.id < b.id),
+      scored AS (SELECT id_a, id_b,
+          ${qdotSql("va.qv", "vb.qv")}
+          / SQRT(${qdotSql("va.qv", "va.qv")} * ${qdotSql("vb.qv", "vb.qv")}) AS cos
+        FROM cand JOIN v va ON va.id = cand.id_a JOIN v vb ON vb.id = cand.id_b)
+      SELECT id_a, id_b, cos FROM scored WHERE cos >= $minCos
+      ORDER BY id_a, id_b"""
+  }
+
   private val registry: Map[String, Q] = Map(
 
     // ----- A-series aggregations / TPC-H-ish core ---------------------------
@@ -479,6 +515,21 @@ object SparkEntry {
           FROM v a JOIN v b ON a.id < b.id)
         SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.45
         ORDER BY id_a, id_b""")),
+
+    // The SCALE path for embedding near-dup: banded hyperplane LSH
+    // candidates + exact-cosine confirm (sub-quadratic; q25 is the exact
+    // all-pairs baseline). The oracle replays the ENTIRE pipeline —
+    // integer-quantized plane dots, per-band sign buckets, candidate
+    // distinct, exact confirm — bit-for-bit in DuckDB, so the gate checks
+    // the LSH implementation itself, not just "some pairs came out".
+    // Recall vs the exact baseline is separately pinned in SimilaritySpec
+    // (1.0 on sf0.01 testdata with these parameters: 16 bands x 6 planes).
+    "q25b_embedding_near_dup_lsh" -> Q(
+      (s, dir) => Similarity.nearDupLshBanded(t(s, dir, "embeddings"),
+          "vec_id", "embedding", 0.45, planesPerBand = 6, bands = 16, dim = 64)
+        .orderBy("id_a", "id_b"),
+      Some(nearDupLshOracleSql(minCos = 0.45, planesPerBand = 6, bands = 16,
+        dim = 64))),
 
     // ----- Text analysis over `documents` ------------------------------------
 

@@ -343,9 +343,74 @@ object Similarity {
     best
   }
 
+  /** Per-band sign-pattern bucket ids for a PRE-QUANTIZED vector (see
+    * [[quantized]]), as an array of `bands` longs. Band `b` uses its own
+    * `planesPerBand` hyperplanes (disjoint slices of one deterministic
+    * family seeded from h60("plane:p:d")), so bands are independent and a
+    * pair is a candidate if it agrees on ALL planes of ANY band — the
+    * standard OR-of-ANDs amplification.
+    *
+    * The sign test is bit-exact across engines BY CONSTRUCTION: plane
+    * coefficients are integers in [-500000, 500000) and the vector is on
+    * the 1e7 grid, so every product is an integer-valued double ≤ ~5e13
+    * and every dim-term sum stays < 2^53 — exact, order-independent IEEE
+    * arithmetic that the DuckDB oracle reproduces term-for-term. A
+    * double-coefficient dot would risk a sign flip on near-zero dots from
+    * summation-order rounding.
+    */
+  def lshBandBuckets(qvec: Column, planesPerBand: Int, bands: Int,
+      dim: Int): Column = {
+    val coefs = (0 until bands * planesPerBand).map { p =>
+      (0 until dim).map(d => Hashing.h60Local(s"plane:$p:$d") % 1000000L - 500000L)
+    }
+    array((0 until bands).map { band =>
+      (0 until planesPerBand).map { j =>
+        val p = band * planesPerBand + j
+        val plane = array(coefs(p).map(c => lit(c.toDouble)): _*)
+        when(qdot(qvec, plane) >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+  }
+
+  /** Banded-LSH near-duplicate pairs with exact-cosine confirm — the
+    * sub-quadratic scale path for embedding dedup (the q21 contract shape:
+    * LSH only prunes the candidate space; every emitted pair carries its
+    * EXACT quantized cosine, so the output is a deterministic subset of
+    * [[nearDupExact]]).
+    *
+    * Plan shape at scale: one scan computes (id, qvec, norm, band
+    * buckets); candidates shuffle on (band, bucket) — bucket occupancy,
+    * not corpus size, bounds the join — then `distinct` collapses
+    * multi-band hits BEFORE the (expensive) confirm joins, so each
+    * surviving pair is scored exactly once. Recall is a tunable
+    * (planesPerBand ↓ or bands ↑ → recall ↑, candidates ↑);
+    * SimilaritySpec pins it against [[nearDupExact]] on the testdata.
+    */
+  def nearDupLshBanded(corpus: DataFrame, idCol: String, vecCol: String,
+      minCos: Double, planesPerBand: Int, bands: Int, dim: Int): DataFrame = {
+    val v = graft.CacheScope.register(
+      graft.Parallelism.fanOut(corpus.select(col(idCol).as("id"), col(vecCol)))
+        .select(col("id"), quantized(col(vecCol)).as("__v"))
+        .withColumn("__n", qnorm2(col("__v")))
+        .withColumn("__bkts", lshBandBuckets(col("__v"), planesPerBand, bands, dim)))
+    val keys = v.select(col("id"), posexplode(col("__bkts")).as(Seq("__band", "__bkt")))
+    val cands = keys.as("a").join(keys.as("b"),
+        col("a.__band") === col("b.__band") && col("a.__bkt") === col("b.__bkt") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val side = v.select(col("id"), col("__v"), col("__n"))
+    cands.join(side.as("va"), col("id_a") === col("va.id"))
+      .join(side.as("vb"), col("id_b") === col("vb.id"))
+      .select(col("id_a"), col("id_b"),
+        cosFrom(qdot(col("va.__v"), col("vb.__v")), col("va.__n"), col("vb.__n")).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
   /** LSH-pruned near-duplicate pairs: only pairs sharing a bucket are
     * scored. Deterministic given the fixed hyperplanes; recall < 1 by
     * design (raise by lowering nPlanes or adding band rotations).
+    * [[nearDupLshBanded]] is the amplified, oracle-gated form.
     */
   def nearDupLsh(corpus: DataFrame, idCol: String, vecCol: String,
       minCos: Double, nPlanes: Int, dim: Int): DataFrame = {

@@ -87,6 +87,48 @@ class SimilaritySpec extends SparkSpec {
     assert(one == exact)
   }
 
+  test("nearDupLshBanded finds parallel pairs (sign pattern invariant to scaling)") {
+    val out = Similarity.nearDupLshBanded(vecs, "vec_id", "embedding", 0.99,
+        planesPerBand = 2, bands = 4, dim = 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(out == Set((0L, 2L)))
+  }
+
+  test("nearDupLshBanded on testdata: subset of exact, identical cosines, full recall") {
+    val emb = graft.GraftSession.table(spark, "/root/testdata/sf0.01", "embeddings")
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("cos"))
+      .toMap
+    val exact = toMap(Similarity.nearDupExact(emb, "vec_id", "embedding", 0.45))
+    val banded = toMap(Similarity.nearDupLshBanded(emb, "vec_id", "embedding",
+      0.45, planesPerBand = 6, bands = 16, dim = 64))
+    graft.CacheScope.releaseAll()
+    // every banded pair is an exact pair with the SAME quantized cosine
+    banded.foreach { case (pair, cos) => assert(exact(pair) == cos) }
+    // recall floor the q25b parameters are chosen for: 1.0 on this data.
+    // If a plane/quantizer change silently drops recall, this goes red.
+    assert(banded.keySet == exact.keySet,
+      s"recall ${banded.size}/${exact.size}: missing ${exact.keySet -- banded.keySet}")
+  }
+
+  test("knnIvf recall@5 >= 0.9 vs exact kNN on testdata (q31's parameters)") {
+    // Gates ANN QUALITY, not just machinery: a quantizer/assignment change
+    // that silently tanks recall turns this red even though q31 itself is
+    // rows-only (approximate results have no SQL oracle).
+    val emb = graft.GraftSession.table(spark, "/root/testdata/sf0.01", "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    def top5(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("id")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = top5(Similarity.knnExact(emb, queries, "vec_id", "embedding", 5))
+    val ivf = top5(Similarity.knnIvf(emb, queries, "vec_id", "embedding", 5,
+      nlist = 16, nProbe = 4))
+    val hits = exact.map { case (q, ids) => (ids & ivf.getOrElse(q, Set.empty)).size }.sum
+    val total = exact.values.map(_.size).sum
+    val recall = hits.toDouble / total
+    assert(recall >= 0.9, s"recall@5 = $recall ($hits/$total)")
+  }
+
   test("nearDupLsh is a subset of nearDupExact") {
     val exact = Similarity.nearDupExact(vecs, "vec_id", "embedding", 0.5)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
