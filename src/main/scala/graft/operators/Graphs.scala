@@ -31,12 +31,18 @@ object Graphs {
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25, driverThreshold: Long = 1L << 18): DataFrame = {
+    // Symmetrize in ONE scan of `edges` (explode both directions per row),
+    // not a union of two selects: `edges` is typically the uncached output
+    // of an expensive pair pipeline (minhash LSH + confirm), and a
+    // two-branch union would execute that pipeline twice — measured as the
+    // bulk of q55's round-2 cost.
     val sym = graft.CacheScope.register(
-      edges.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      edges.select(explode(array(
+          struct(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")),
+          struct(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst"))))
+        .as("__e"))
+        .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
         .filter(col("src").isNotNull && col("dst").isNotNull)
-        .unionByName(
-          edges.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst"))
-            .filter(col("src").isNotNull && col("dst").isNotNull))
         .distinct())
     // Near-dup pair sets are tiny relative to their corpus (pairs are the
     // EXCEPTION); below the threshold a driver union-find answers in one
@@ -63,7 +69,10 @@ object Graphs {
             .as("component"),
           (col("__nmin") < col("component")).as("__changed"))
         .localCheckpoint(true)
-      converged = next.filter(col("__changed")).isEmpty
+      // one cheap aggregate over the just-checkpointed blocks (no
+      // recompute); coalesce covers the all-null edge case defensively
+      converged = !next.agg(coalesce(max(col("__changed")), lit(false)))
+        .first().getBoolean(0)
       labels = next.drop("__changed")
       it += 1
     }
