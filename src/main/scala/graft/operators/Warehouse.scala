@@ -140,22 +140,93 @@ object Warehouse {
     * publish skips past its number); a crash between append and flip
     * leaves a committed-but-never-live generation (complete data, ages
     * out as history).
+    *
+    * `statsCols` opts the generation into per-file min/max stats (the
+    * Delta/Iceberg feature a 100 TB reader hits first): after the data
+    * write, ONE column-pruned scan of the new files aggregates min/max
+    * per (file, stat column) into `<gen>/_stats` — an underscore-prefixed
+    * path, so data readers never see it. Stats keep each column's native
+    * parquet type, so range pruning compares typed values, never strings.
+    * The stats write happens before the commit-log append: a generation
+    * is only committed once its stats exist, and a crash in between
+    * leaves an orphan exactly as before. Stats die with their generation
+    * at vacuum time (they live inside the gen dir).
     */
-  def publishVersioned(spark: SparkSession, df: DataFrame, table: String): String = {
+  def publishVersioned(spark: SparkSession, df: DataFrame, table: String,
+      statsCols: Seq[String] = Seq.empty): String = {
     Files.createDirectories(Paths.get(table))
     val gen = f"gen-${nextGenNumber(table)}%08d"
     df.write.mode("overwrite").parquet(s"$table/$gen")
+    if (statsCols.nonEmpty) {
+      val written = spark.read.parquet(s"$table/$gen")
+        .select(col("_metadata.file_path").as("file") +: statsCols.map(col): _*)
+      val aggs = statsCols.flatMap(c =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      written.groupBy("file").agg(aggs.head, aggs.tail: _*)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$table/$gen/$StatsName")
+    }
     writeAtomic(Paths.get(table, CommitsName),
       (committedGenerations(table) :+ gen).mkString("\n"))
     writeAtomic(Paths.get(table, ManifestName), gen)
     gen
   }
 
+  private val StatsName = "_stats"
+
   /** The live snapshot of a versioned table. */
   def readVersioned(spark: SparkSession, table: String): DataFrame = {
     val gen = liveGeneration(table).getOrElse(
       sys.error(s"no published generation in $table"))
     spark.read.parquet(s"$table/$gen")
+  }
+
+  /** The data files of the live generation that can contain rows with
+    * `column` in [lo, hi], per the generation's `_stats` — plus the total
+    * file count, so callers (and WarehouseSpec) can observe the pruning
+    * ratio. Files whose stats row is missing or null-ranged are KEPT
+    * unless the column is all-null in that file (min==max==null means no
+    * row can pass a range predicate). Returns None when the generation
+    * has no stats for `column` (published without `statsCols`) — the
+    * caller must fall back to a full scan.
+    */
+  def pruneCandidates(spark: SparkSession, table: String, column: String,
+      lo: Any, hi: Any): Option[(Seq[String], Int)] = {
+    val gen = liveGeneration(table).getOrElse(
+      sys.error(s"no published generation in $table"))
+    val statsPath = s"$table/$gen/$StatsName"
+    val stats =
+      try spark.read.parquet(statsPath)
+      catch { case _: org.apache.spark.sql.AnalysisException => return None }
+    if (!stats.columns.contains(s"min_$column")) return None
+    // overlap test evaluated by Spark itself, so the comparison is typed
+    // (timestamp vs timestamp, long vs long), never stringly. An all-null
+    // column gives null min/max → predicate null → file skipped, which is
+    // correct: no all-null row can pass a range filter.
+    val keptFiles = stats
+      .filter(!(col(s"max_$column") < lit(lo) || col(s"min_$column") > lit(hi)))
+      .select("file").collect().map(_.getString(0)).toSeq
+    Some((keptFiles, stats.count().toInt))
+  }
+
+  /** Range-pruned snapshot read: rows of the live generation with
+    * `column` in [lo, hi] (inclusive), scanning ONLY the files whose
+    * per-file min/max can intersect the range. Semantically identical to
+    * `readVersioned(...).filter(column between lo and hi)` — the stats
+    * only skip files that cannot contribute. Falls back to the full scan
+    * (with the same filter) when the generation carries no stats for
+    * `column`.
+    */
+  def readVersionedRange(spark: SparkSession, table: String, column: String,
+      lo: Any, hi: Any): DataFrame = {
+    val range = col(column) >= lit(lo) && col(column) <= lit(hi)
+    pruneCandidates(spark, table, column, lo, hi) match {
+      case None => readVersioned(spark, table).filter(range)
+      case Some((files, _)) if files.isEmpty =>
+        readVersioned(spark, table).filter(lit(false))
+      case Some((files, _)) =>
+        spark.read.parquet(files: _*).filter(range)
+    }
   }
 
   /** Drop every generation but the live one and the `keepHistory` most

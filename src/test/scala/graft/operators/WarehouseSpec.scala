@@ -104,4 +104,46 @@ class WarehouseSpec extends SparkSpec {
     assert(Warehouse.snapshotCount(spark, dir) == 20)
     assert(!new java.io.File(dir + ".old").exists())
   }
+
+  test("stats-based file pruning: a day-slice reads fewer files, same rows") {
+    val table = Files.createTempDirectory("graft-wh-stats").toString + "/events"
+    // 10 days of events, range-partitioned on ts so files carry tight
+    // ranges (the layout a real ingest produces when data arrives in time
+    // order). 8 files over 10 days → a one-day slice must prune most.
+    val events = graft.GraftSession.table(spark, "/root/testdata/sf0.01", "events")
+      .select("event_id", "ts", "user_id", "value")
+      .repartitionByRange(8, col("ts"))
+    Warehouse.publishVersioned(spark, events, table, statsCols = Seq("ts"))
+
+    val full = Warehouse.readVersioned(spark, table)
+    val Some((lo, hi)) = Option(full
+      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+      .collect()(0)).map(r => (r.getAs[java.time.LocalDateTime](0),
+        r.getAs[java.time.LocalDateTime](1))): @unchecked
+    assert(java.time.Duration.between(lo, hi).toDays >= 2,
+      "testdata must span multiple days for this test to mean anything")
+    val (dayLo, dayHi) = (lo.toLocalDate.plusDays(1).atStartOfDay(),
+      lo.toLocalDate.plusDays(2).atStartOfDay())
+
+    val Some((kept, total)) =
+      Warehouse.pruneCandidates(spark, table, "ts", dayLo, dayHi): @unchecked
+    assert(total >= 8, s"expected >=8 data files, saw $total")
+    assert(kept.size < total / 2,
+      s"day slice kept ${kept.size}/$total files — stats pruned nothing")
+
+    val pruned = Warehouse.readVersionedRange(spark, table, "ts", dayLo, dayHi)
+      .collect().map(_.getAs[Long]("event_id")).sorted
+    val expect = full
+      .filter(col("ts") >= lit(dayLo) && col("ts") <= lit(dayHi))
+      .collect().map(_.getAs[Long]("event_id")).sorted
+    assert(pruned.sameElements(expect) && expect.nonEmpty)
+
+    // a generation published WITHOUT stats falls back to the full scan
+    val t2 = Files.createTempDirectory("graft-wh-nostats").toString + "/e2"
+    Warehouse.publishVersioned(spark, full.limit(100), t2)
+    assert(Warehouse.pruneCandidates(spark, t2, "ts", dayLo, dayHi).isEmpty)
+    assert(Warehouse.readVersionedRange(spark, t2, "ts", dayLo, dayHi).count() ==
+      Warehouse.readVersioned(spark, t2)
+        .filter(col("ts") >= lit(dayLo) && col("ts") <= lit(dayHi)).count())
+  }
 }
