@@ -593,11 +593,13 @@ object SparkEntry {
         .groupBy("source").agg(
           count(lit(1)).as("n_docs"),
           sum(col("n_ws_tokens")).as("sum_ws_tokens"),
-          sum(col("n_bpe_tokens")).as("sum_bpe_tokens"))
+          sum(col("n_bpe_tokens")).as("sum_bpe_tokens"),
+          sum(col("n_real_bpe_tokens")).as("sum_real_bpe_tokens"))
         .orderBy("source"),
       Some(s"""SELECT source, COUNT(*) AS n_docs,
         CAST(SUM(len(string_split_regex(lower(trim(text)), '\\s+'))) AS BIGINT) AS sum_ws_tokens,
-        CAST(SUM(len(regexp_extract_all(text, '${TextFns.bpeTokenPattern}'))) AS BIGINT) AS sum_bpe_tokens
+        CAST(SUM(len(regexp_extract_all(text, '${TextFns.bpeTokenPattern}'))) AS BIGINT) AS sum_bpe_tokens,
+        CAST(SUM(${TextOps.bpe.tokenCountSql("text")}) AS BIGINT) AS sum_real_bpe_tokens
         FROM documents GROUP BY source ORDER BY source""")),
 
     // Winnowing fingerprints (rolling-hash document sketch, MOSS): 3-token

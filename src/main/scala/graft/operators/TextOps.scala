@@ -128,12 +128,25 @@ object TextOps {
       score.as("quality_score"))
   }
 
-  /** Token counting: whitespace tokens and BPE-ish sub-word tokens. */
+  /** The shipped merge-table tokenizer (64 merges learned from the
+    * documents corpus by [[graft.functions.BpeTrainer]]; regenerate with
+    * `runMain graft.BpeVocabGen`). Loaded once per JVM — the merge table
+    * becomes literal arguments of the codegen'd replace chain.
+    */
+  lazy val bpe: graft.functions.BpeTokenizer =
+    graft.functions.BpeTokenizer.fromResource()
+
+  /** Token counting: whitespace tokens, the regex sub-word approximation,
+    * and REAL merge-table BPE ([[bpe]] — deterministic, loadable vocab,
+    * all-builtin replace chain, so the count stays in whole-stage codegen
+    * and the DuckDB oracle replays it exactly).
+    */
   def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
     graft.Parallelism.fanOut(df.select(col(idCol), col(textCol)))
       .select(col(idCol),
         size(TextFns.tokens(col(textCol))).as("n_ws_tokens"),
-        size(TextFns.bpeTokens(col(textCol))).as("n_bpe_tokens"))
+        size(TextFns.bpeTokens(col(textCol))).as("n_bpe_tokens"),
+        bpe.tokenCountExpr(col(textCol)).as("n_real_bpe_tokens"))
 
   /** PII patterns shared by [[redactPii]] and its oracle — RE2-safe (no
     * backrefs/lookaround) so Spark (Java regex) and DuckDB (RE2) agree.
