@@ -28,6 +28,14 @@ object Parallelism {
   /** `df`, with at least `min` partitions (round-robin repartition only
     * when the input has fewer — e.g. a single-row-group file).
     */
+  // Why `.rdd` and not a planning-free probe: the true partition count of
+  // a scan needs physical planning (file splitting by maxPartitionBytes —
+  // `inputFiles.length` under-counts large files and over-counts tiny
+  // ones). The cost is driver-only and NOT paid twice in the common no-op
+  // branch: `df.rdd` materializes `df.queryExecution.executedPlan`, a
+  // lazy val the later action on the SAME df reuses. Only the repartition
+  // branch discards one child planning pass — ms-scale, once per query
+  // build, nothing at executor scale.
   def ensureMin(df: DataFrame, min: Int): DataFrame =
     if (df.rdd.getNumPartitions >= min) df else df.repartition(min)
 

@@ -118,8 +118,19 @@ object Dedup {
     * boilerplate-skew relaxation (a shingle in d docs costs d² join pairs
     * in the direct form and floods LSH buckets in the banded form).
     * Int.MaxValue = keep everything (exact semantics).
+    *
+    * Choosing the cap: a shingle shared by d docs contributes d(d-1)/2
+    * candidate pairs, so worst-case candidates ≈ Σ capped-df² — pick the
+    * cap so (#docs/cap) · cap² = #docs · cap stays within your pair
+    * budget; cap ≈ 100-1000 works for web-scale corpora where genuine
+    * near-dup clusters are far smaller than boilerplate cliques
+    * (headers/disclaimers/templates span 10-50% of a crawl). Semantics
+    * shift with the cap — jaccard is computed over the SURVIVING
+    * shingles — so the oracle must apply the same cap (q20 does), and a
+    * true near-dup pair loses nothing unless its entire overlap is
+    * boilerplate. ScaleSpec's planted-skew test pins both properties.
     */
-  private def capDf(sh0: DataFrame, maxShingleDf: Int): DataFrame =
+  private[operators] def capDf(sh0: DataFrame, maxShingleDf: Int): DataFrame =
     if (maxShingleDf == Int.MaxValue) sh0
     else sh0
       // window count instead of groupBy+join-back: ONE shuffle on sh whose

@@ -76,4 +76,48 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("station_id"))
     assert(read.collect().map(_.getAs[Double]("v")).toSeq == Seq(2.0))
   }
+
+  test("shingle-df cap keeps dedup sub-quadratic under planted boilerplate skew") {
+    import spark.implicits._
+    // 30% of docs share one boilerplate sentence (the classic web-corpus
+    // skew: headers, disclaimers, templates); each doc also has unique
+    // text. Uncapped, the inverted-index self-join explodes quadratically
+    // on the boilerplate shingles; the df cap must collapse that while
+    // still finding the one TRUE near-dup pair planted in rare shingles.
+    val nDocs = 200
+    val boiler = "standard legal disclaimer applies to this document in full force"
+    val docs = (0 until nDocs).map { i =>
+      val unique = s"doc $i alpha$i bravo$i charlie$i delta$i echo$i foxtrot$i"
+      (i.toLong, if (i < 60) s"$unique $boiler" else unique)
+    }.toDF("doc_id", "text")
+    val nearDup = Seq(
+      (1000L, "repeated payload alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+      (1001L, "repeated payload alpha bravo charlie delta echo foxtrot golf hotel india kilo"))
+      .toDF("doc_id", "text")
+    val all = docs.unionByName(nearDup)
+    val cap = 30
+
+    // candidate-space accounting straight off the operator's own postings
+    def candidates(maxDf: Int): Long = {
+      val sh = Dedup.capDf(Dedup.shingleSets(all, "doc_id", "text", 3), maxDf)
+      sh.as("a").join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+        .select(col("a.id"), col("b.id")).distinct().count()
+    }
+    val uncapped = candidates(Int.MaxValue)
+    val capped = candidates(cap)
+    assert(uncapped >= 60L * 59 / 2, // the 30% clique alone is quadratic
+      s"expected boilerplate blowup, saw $uncapped candidates")
+    assert(capped <= 5, s"df cap left $capped candidates — not sub-quadratic")
+
+    // semantics under the cap: jaccard over the CAPPED postings — the
+    // planted docs are 12 tokens → 10 shingles each, sharing the 9 that
+    // exclude the differing last word → exactly 9/11
+    val out = Dedup.ngramJaccardPairs(all, "doc_id", "text", 3, 0.5,
+      maxShingleDf = cap).collect()
+    graft.CacheScope.releaseAll()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1000L, 1001L)))
+    val r = out.head
+    assert(r.getAs[Long]("inter") == 9 && r.getAs[Double]("jaccard") == 9.0 / 11.0)
+  }
 }
