@@ -1163,6 +1163,60 @@ object SparkEntry {
         QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_micro DESC, term) <= 5
         ORDER BY doc_id, tfidf_micro DESC, term""")),
 
+    // Context-window chunking (fixed-context training / RAG prep):
+    // 64-token windows advancing by 48 (16-token overlap). Pure
+    // projection+explode, no shuffle; last chunk reaches the document end.
+    "q59_chunk_windows" -> Q(
+      (s, dir) => TextOps.chunkTokens(t(s, dir, "documents"),
+          "doc_id", "text", window = 64, stride = 48)
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH toks AS (SELECT doc_id,
+            string_split_regex(lower(trim(text)), '\s+') AS l FROM documents),
+        c AS (SELECT doc_id, l, len(l) AS n,
+               CASE WHEN len(l) <= 64 THEN 1
+                    ELSE (len(l) - 64 + 47) // 48 + 1 END AS nchunks
+              FROM toks),
+        e AS (SELECT doc_id, l, unnest(range(nchunks)) AS ci FROM c)
+        SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+          CAST(len(list_slice(l, ci*48 + 1, ci*48 + 64)) AS INT) AS n_chunk_tokens,
+          array_to_string(list_slice(l, ci*48 + 1, ci*48 + 64), ' ') AS chunk_text
+        FROM e ORDER BY doc_id, chunk_idx""")),
+
+    // Deterministic mixture resampling: per-source keep rates (downsample
+    // over-represented sources to a target mixture). Same salted-h60
+    // bucket as every sampler — reproducible across runs and engines.
+    "q60_mixture_sample" -> Q(
+      (s, dir) => Sampling.mixtureSample(t(s, dir, "documents"), "doc_id",
+          "source",
+          rates = Seq("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+          defaultRate = 0.1, salt = "mix1")
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))
+        .orderBy("source"),
+      Some(s"""SELECT source, COUNT(*) AS n_kept FROM documents
+        WHERE ${graft.functions.Hashing.h60Sql("'mix1:' || CAST(doc_id AS VARCHAR)")} % 10000 <
+          CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+                      WHEN 'src2' THEN 2500 ELSE 1000 END
+        GROUP BY source ORDER BY source""")),
+
+    // Repetition signals (Gopher-rules family): total/top/duplicate word
+    // 2-gram occurrences per doc — the "is this document saying the same
+    // thing over and over" pre-training filter inputs.
+    "q61_repetition" -> Q(
+      (s, dir) => TextOps.repetitionSignals(t(s, dir, "documents"),
+          "doc_id", "text", 2)
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (SELECT doc_id,
+            string_split_regex(lower(trim(text)), '\s+') AS l FROM documents),
+        grams AS (SELECT doc_id, unnest(list_transform(range(1, len(l)),
+                   i -> l[i] || ' ' || l[i+1])) AS g
+                  FROM toks WHERE len(l) >= 2),
+        tf AS (SELECT doc_id, g, COUNT(*) AS tf FROM grams GROUP BY 1, 2)
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_ngrams,
+          CAST(MAX(tf) AS BIGINT) AS top_ngram_n,
+          CAST(1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE)
+               AS DECIMAL(18,9)) AS dup_ngram_ratio
+        FROM tf GROUP BY doc_id ORDER BY doc_id""")),
+
     // Deterministic stratified sample: 3 docs per language by hash rank —
     // stable across engines, runs, and partitionings.
     "q57_stratified_sample" -> Q(

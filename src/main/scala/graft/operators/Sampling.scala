@@ -56,6 +56,27 @@ object Sampling {
       fraction: Double): DataFrame =
     df.filter(bucket(col(idCol), salt) < math.round(fraction * 10000).toInt)
 
+  /** Deterministic mixture resampling: per-group keep rates, the "hit the
+    * target domain mixture" op (downsample over-represented sources,
+    * keep the rest). Rates are fractions in [0, 1] by group value;
+    * groups absent from `rates` use `defaultRate`. Membership is a pure
+    * row function (same salted hash as every sampler here), so the
+    * mixture is reproducible across runs, engines, and partitionings,
+    * and composes with [[hashSplit]] without correlation (different
+    * salts → independent md5 families). Pure filter — no shuffle.
+    */
+  def mixtureSample(df: DataFrame, idCol: String, groupCol: String,
+      rates: Seq[(String, Double)], defaultRate: Double,
+      salt: String): DataFrame = {
+    (rates.map(_._2) :+ defaultRate).foreach(r =>
+      require(r >= 0 && r <= 1, s"rate out of [0,1]: $r"))
+    val cut = rates.foldRight(lit(math.round(defaultRate * 10000).toInt): Column) {
+      case ((g, r), rest) =>
+        when(col(groupCol) === g, lit(math.round(r * 10000).toInt)).otherwise(rest)
+    }
+    df.filter(bucket(col(idCol), salt) < cut)
+  }
+
   /** Deterministic stratified sample: up to `perStratum` rows from every
     * stratum, chosen by hash rank (h60 of salt:id, id tiebreak) — the
     * "N examples per language/source" pipeline op. One shuffle on the

@@ -236,6 +236,67 @@ object TextOps {
     * the shard key, no global sort. Shard by source/date so no single
     * window partition holds the corpus.
     */
+  /** Repetition signals (the Gopher-rules family): how much of a document
+    * is the same n-gram said again. Per document, over its word n-grams
+    * WITH multiplicity:
+    *   - `n_ngrams` — total n-gram occurrences,
+    *   - `top_ngram_n` — occurrences of the single most frequent n-gram,
+    *   - `dup_ngram_ratio` — fraction of occurrences beyond each gram's
+    *     first (1 - distinct/total), DECIMAL(18,9) quantized.
+    * Boilerplate-heavy and degenerate-loop documents spike both ratios;
+    * filter on them before training. Two shuffles: (id, gram) count,
+    * then per-id aggregate — no per-doc state on the driver. Documents
+    * with fewer than `n` tokens have no n-grams and are absent from the
+    * output (callers treat missing as "no repetition evidence").
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val grams = graft.Parallelism.fanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        explode(TextFns.shingles(col(textCol), n)).as("__g"))
+    val tf = grams.groupBy(col(idCol), col("__g"))
+      .agg(count(lit(1)).as("__tf"))
+    tf.groupBy(col(idCol)).agg(
+        sum(col("__tf")).as("n_ngrams"),
+        max(col("__tf")).as("top_ngram_n"),
+        count(lit(1)).as("__distinct"))
+      .select(col(idCol), col("n_ngrams"), col("top_ngram_n"),
+        (lit(1.0) - col("__distinct").cast("double") /
+          col("n_ngrams").cast("double")).cast("decimal(18,9)")
+          .as("dup_ngram_ratio"))
+  }
+
+  /** Context-window chunking: split each document into token windows of
+    * `window` tokens advancing by `stride` (overlap = window - stride),
+    * the standard prep for fixed-context training and RAG indexing.
+    * Chunk starts are 0, stride, 2·stride, …; the chunk count is
+    * 1 for n ≤ window, else (n - window + stride - 1) / stride + 1
+    * (integer arithmetic — both engines compute it exactly), so the last
+    * chunk always reaches the end of the document and may be short, and
+    * no chunk is a pure subset of its predecessor.
+    *
+    * Output: (id, chunk_idx, n_chunk_tokens, chunk_text). Pure
+    * projection + explode — no shuffle; data amplification is
+    * ~window/stride, the caller's overlap choice.
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"need 1 <= stride <= window, got window=$window stride=$stride")
+    val nChunks = when(col("__n") <= window, lit(1))
+      .otherwise(floor((col("__n") - window + (stride - 1)) / stride).cast("int") + 1)
+    graft.Parallelism.fanOut(df.select(col(idCol), col(textCol)))
+      .withColumn("__toks", TextFns.tokens(col(textCol)))
+      .withColumn("__n", size(col("__toks")))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => slice(col("__toks"), i * stride + 1, lit(window)))))
+      .withColumnRenamed("pos", "chunk_idx")
+      .select(col(idCol), col("chunk_idx"),
+        size(col("col")).as("n_chunk_tokens"),
+        array_join(col("col"), " ").as("chunk_text"))
+  }
+
   def packSequences(df: DataFrame, idCol: String, textCol: String,
       shardCol: String, tokenBudget: Int): DataFrame = {
     require(tokenBudget > 0, s"tokenBudget must be positive: $tokenBudget")

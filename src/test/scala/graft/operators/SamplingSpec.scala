@@ -86,4 +86,22 @@ class SamplingSpec extends SparkSpec {
     // bucket < 1000 implies bucket < 2000: the 10% sample nests in the 20%
     assert(s10.join(s20, Seq("id"), "left_anti").count() == 0)
   }
+
+  test("mixtureSample: per-group rates hit their targets, rate-1 groups " +
+      "survive intact, and membership is stable across partitionings") {
+    import spark.implicits._
+    val rows = (0 until 3000).map(i => (i.toLong, s"g${i % 3}"))
+      .toDF("id", "grp")
+    val out = Sampling.mixtureSample(rows, "id", "grp",
+      rates = Seq("g0" -> 1.0, "g1" -> 0.5), defaultRate = 0.1, salt = "m")
+    val byGrp = out.groupBy("grp").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGrp("g0") == 1000) // rate 1.0 keeps everything
+    assert(math.abs(byGrp("g1") - 500L) < 120)
+    assert(math.abs(byGrp.getOrElse("g2", 0L) - 100L) < 60)
+    val repartitioned = Sampling.mixtureSample(rows.repartition(7), "id",
+      "grp", Seq("g0" -> 1.0, "g1" -> 0.5), 0.1, "m")
+    assert(out.select("id").except(repartitioned.select("id")).count() == 0)
+    assert(repartitioned.count() == out.count())
+  }
 }

@@ -142,4 +142,43 @@ class TextMultimodalSpec extends SparkSpec {
     assert(r.getAs[Int]("n_bytes") == 6)
     assert(r.getAs[String]("magic") == "61626364")
   }
+
+  test("chunkTokens: window/stride coverage, short last chunk, short docs") {
+    import spark.implicits._
+    // 10 tokens, window 4, stride 3: nchunks = floor((10-4+3-1)/3)+1 = 3
+    // → starts 0, 3, 6; the last chunk ends exactly at the document end
+    val docs = Seq(
+      (0L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),
+      (1L, "a b"), // shorter than the window → one whole-doc chunk
+      (2L, "solo")).toDF("doc_id", "text")
+    val out = TextOps.chunkTokens(docs, "doc_id", "text", window = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getInt(2), r.getString(3))).toMap
+    assert(out((0L, 0)) == (4, "t0 t1 t2 t3"))
+    assert(out((0L, 1)) == (4, "t3 t4 t5 t6"))
+    assert(out((0L, 2)) == (4, "t6 t7 t8 t9")) // last chunk reaches the end
+    assert(!out.contains((0L, 3)))
+    assert(out((1L, 0)) == (2, "a b"))
+    assert(out((2L, 0)) == (1, "solo"))
+    // overlap reconstruction: dropping each chunk's first (window-stride)
+    // tokens after chunk 0 re-yields the document exactly
+    val doc0 = out.collect { case ((0L, i), (_, txt)) => (i, txt) }.toSeq
+      .sortBy(_._1).map(_._2)
+    val rebuilt = doc0.head +: doc0.tail.map(_.split(" ").drop(1).mkString(" "))
+    assert(rebuilt.mkString(" ") == "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")
+  }
+
+  test("repetitionSignals: degenerate repetition spikes the ratios") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "spam spam spam spam spam"),        // 4 bigrams, all the same
+      (1L, "all words here are fully unique"), // 5 distinct bigrams
+      (2L, "one")).toDF("doc_id", "text")      // < 2 tokens → absent
+    val out = TextOps.repetitionSignals(docs, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDecimal(3).doubleValue)).toMap
+    assert(out(0L) == ((4L, 4L, 0.75)))  // 1 - 1/4
+    assert(out(1L) == ((5L, 1L, 0.0)))
+    assert(!out.contains(2L))
+  }
 }
