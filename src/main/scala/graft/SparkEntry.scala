@@ -1217,6 +1217,32 @@ object SparkEntry {
                AS DECIMAL(18,9)) AS dup_ngram_ratio
         FROM tf GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Statistical-LM quality scoring (CCNet/KenLM stage): corpus-trained
+    // add-one bigram model, per-doc summed log-prob in exact micro-units
+    // (each ln taken of an integer, rounded before summing — libm-proof).
+    "q62_lm_score" -> Q(
+      (s, dir) => TextOps.bigramLmScores(t(s, dir, "documents"),
+          "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (SELECT doc_id,
+            string_split_regex(lower(trim(text)), '\s+') AS l FROM documents),
+        bg AS (SELECT doc_id, unnest(list_transform(range(1, len(l)),
+                 i -> l[i] || ' ' || l[i+1])) AS bg
+               FROM toks WHERE len(l) >= 2),
+        b AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM bg),
+        bgc AS (SELECT bg, COUNT(*) AS c12 FROM b GROUP BY bg),
+        uni AS (SELECT w1, COUNT(*) AS c1
+                FROM (SELECT unnest(l) AS w1 FROM toks) GROUP BY w1),
+        v AS (SELECT COUNT(*) AS v FROM uni),
+        lp AS (SELECT doc_id,
+            CAST(round(ln(CAST(c12 + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+            - CAST(round(ln(CAST(c1 + v.v AS DOUBLE)) * 1e6) AS BIGINT) AS lp_micro
+          FROM b JOIN bgc USING (bg) JOIN uni USING (w1) CROSS JOIN v)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+          CAST(SUM(lp_micro) AS BIGINT) AS sum_lp_micro
+        FROM lp GROUP BY doc_id ORDER BY doc_id""")),
+
     // Deterministic stratified sample: 3 docs per language by hash rank —
     // stable across engines, runs, and partitionings.
     "q57_stratified_sample" -> Q(

@@ -236,6 +236,42 @@ object TextOps {
     * the shard key, no global sort. Shard by source/date so no single
     * window partition holds the corpus.
     */
+  /** Statistical-LM quality scoring (the CCNet/KenLM filter stage): score
+    * each document by the corpus-trained add-one-smoothed bigram model,
+    *   P(w2|w1) = (C(w1 w2) + 1) / (C(w1) + V),
+    * where C(w1) counts ALL occurrences of w1 and V is the distinct-token
+    * vocabulary size. Output per doc: (id, n_bigrams, sum_lp_micro) with
+    * sum_lp_micro = Σ [round(ln(C12+1)·1e6) − round(ln(C1+V)·1e6)] — each
+    * ln is taken of an INTEGER both engines agree on and rounded to
+    * micro-units BEFORE summing, so the sum is exact integer arithmetic
+    * (the tfidf libm-proofing pattern). Low mean log-prob ⇒ improbable
+    * word sequences ⇒ filter candidate. Docs with <2 tokens are absent.
+    *
+    * Scale shape: two count aggregations over the corpus (bigram,
+    * unigram — the "training" pass), then the scoring joins shuffle on
+    * the bigram/first-token keys; V travels as a 1-row broadcast. At
+    * 100 TB you train the counts on a sample or reference corpus once and
+    * reuse them; this inline form trains on the scored corpus itself.
+    */
+  def bigramLmScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = graft.Parallelism.fanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("id"), explode(TextFns.shingles(col(textCol), 2)).as("bg"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+    val bgCounts = bg.groupBy("bg").agg(count(lit(1)).as("c12"))
+    val uniCounts = graft.Parallelism.fanOut(df.select(col(textCol)))
+      .select(explode(TextFns.tokens(col(textCol))).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = uniCounts.select(count(lit(1)).as("__v"))
+    bg.join(bgCounts, "bg")
+      .join(uniCounts, "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp_micro",
+        round(log((col("c12") + 1).cast("double")) * 1e6).cast("long") -
+          round(log((col("c1") + col("__v")).cast("double")) * 1e6).cast("long"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_micro")).as("sum_lp_micro"))
+  }
+
   /** Repetition signals (the Gopher-rules family): how much of a document
     * is the same n-gram said again. Per document, over its word n-grams
     * WITH multiplicity:

@@ -168,6 +168,19 @@ class TextMultimodalSpec extends SparkSpec {
     assert(rebuilt.mkString(" ") == "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")
   }
 
+  test("bigramLmScores: add-one bigram log-probs in exact micro-units") {
+    import spark.implicits._
+    // corpus: a b | a b | a c → V=3, C(a)=3, C(a b)=2, C(a c)=1
+    val docs = Seq((0L, "a b"), (1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextOps.bigramLmScores(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def u(x: Double) = math.round(math.log(x) * 1e6)
+    assert(out(0L) == ((1L, u(3) - u(6))))  // (2+1)/(3+3)
+    assert(out(1L) == out(0L))
+    assert(out(2L) == ((1L, u(2) - u(6))))  // (1+1)/(3+3): rarer → lower
+    assert(out(2L)._2 < out(0L)._2)
+  }
+
   test("repetitionSignals: degenerate repetition spikes the ratios") {
     import spark.implicits._
     val docs = Seq(
