@@ -101,6 +101,23 @@ object StreamPipeline {
       .select(col("w.start").as("hour"), col("station_id"), col("n"),
         col("avg_temperature"), col("max_wind_speed"))
 
+  /** Streaming sessionization — the streaming face of the batch
+    * sessionize operator (q33): events of a key separated by less than
+    * `gap` of event-time silence coalesce into one session row via
+    * `session_window` (dynamic, gap-merged windows — not expressible by
+    * tumbling windows). Watermarked, so an open session's state is
+    * evicted once the watermark passes its close: state is bounded by
+    * ACTIVE sessions per key, never by history. Works identically on
+    * batch frames (the watermark is a no-op there).
+    */
+  def sessionStats(events: DataFrame, keyCol: String, tsCol: String,
+      gap: String, lateness: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, lateness)
+      .groupBy(session_window(col(tsCol), gap).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col(keyCol), col("n_events"))
+
   /** Streaming exact dedup with BOUNDED state (the W2 replay-drop for
     * arbitrary keys): duplicate rows on `keys` arriving within the
     * event-time watermark horizon are dropped, and per-key state is

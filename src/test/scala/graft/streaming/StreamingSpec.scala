@@ -56,6 +56,32 @@ class StreamingSpec extends SparkSpec {
       (ts("2024-06-01 10:00:00"), "S2", 1L, 5.0)))
   }
 
+  test("sessionStats: session_window merges events within the gap and " +
+      "splits on silence, per key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Observation]
+    mem.addData(
+      obs("S1", "2024-06-01 10:00:00", 1.0),
+      obs("S1", "2024-06-01 10:10:00", 2.0),  // 10 min gap → same session
+      obs("S1", "2024-06-01 11:00:00", 3.0),  // 50 min silence → new session
+      obs("S2", "2024-06-01 10:05:00", 4.0))  // other key: own session
+    val q = StreamPipeline.sessionStats(mem.toDF(), "station_id",
+        "timestamp", gap = "15 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("sessions")
+      .collect().map(r => (r.getAs[Timestamp]("session_start"),
+        r.getAs[Timestamp]("session_end"), r.getAs[String]("station_id"),
+        r.getAs[Long]("n_events"))).toSet
+    assert(rows == Set(
+      // session end = last event + gap (session_window semantics)
+      (ts("2024-06-01 10:00:00"), ts("2024-06-01 10:25:00"), "S1", 2L),
+      (ts("2024-06-01 11:00:00"), ts("2024-06-01 11:15:00"), "S1", 1L),
+      (ts("2024-06-01 10:05:00"), ts("2024-06-01 10:20:00"), "S2", 1L)))
+  }
+
   test("dedupWithinWatermark drops replayed keys within the horizon, " +
       "bounded state (distinct event ids survive)") {
     import spark.implicits._
