@@ -25,6 +25,21 @@ object Probe {
       (plan("q03_region_revenue").split("BroadcastHashJoin").length - 1 >= 3))
     println("[probe] q02 filter pushed to scan: " +
       plan("q02_day_slice").contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual"))
+    // operator-level shuffle claims (probed without the driver-contract
+    // final sort, and ignoring the fan-out's round-robin repartition —
+    // the only legitimate exchange in a "shuffle-free" projection op)
+    def dataShuffles(df: org.apache.spark.sql.DataFrame): Int = {
+      val p = df.queryExecution.executedPlan.toString
+      (p.split("Exchange hashpartitioning").length - 1) +
+        (p.split("Exchange rangepartitioning").length - 1)
+    }
+    val docs = GraftSession.table(spark, sfDir, "documents")
+    println("[probe] chunkTokens shuffle-free (projection+explode): " +
+      (dataShuffles(graft.operators.TextOps.chunkTokens(
+        docs, "doc_id", "text", 64, 48)) == 0))
+    println("[probe] mixtureSample is a pure filter (no shuffle): " +
+      (dataShuffles(graft.operators.Sampling.mixtureSample(docs, "doc_id",
+        "source", Seq("src0" -> 1.0), 0.1, "mix1")) == 0))
     // skew utilities over real tables: salted orders-per-customer rollup
     // must equal the plain aggregate
     import org.apache.spark.sql.functions._
