@@ -46,6 +46,30 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Incremental ingestion dedup — the "new crawl batch vs published
+    * corpus" op: drop incoming rows whose fingerprint already exists in
+    * the corpus (anti-join on the 128-bit fingerprint), then keep one
+    * survivor per fingerprint WITHIN the batch (min id, same
+    * deterministic rule as [[exactByFingerprint]]).
+    *
+    * Scale shape: `corpusFps` is a fingerprint-only table (at 100 TB, a
+    * warehouse column, not the corpus itself); the anti-join shuffles on
+    * the fingerprint — or broadcasts when a day's corpus delta is small —
+    * and the within-batch pass shuffles only the incoming batch. The
+    * corpus is never re-scanned per batch beyond its fingerprint column.
+    */
+  def incrementalDedup(incoming: DataFrame, corpusFps: DataFrame,
+      idCol: String, fingerprint: Column): DataFrame = {
+    val fp = graft.Parallelism.fanOut(incoming)
+      .withColumn("fingerprint", fingerprint)
+    val fresh = fp.join(corpusFps.select(col("fingerprint")).distinct(),
+      Seq("fingerprint"), "left_anti")
+    val w = Window.partitionBy(col("fingerprint")).orderBy(col(idCol))
+    fresh.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** Distinct (id, shingle-hash) postings — the inverted-index relation
     * every fuzzy path builds on. Each shingle string is hashed ONCE to a
     * 60-bit key (md5-prefix, oracle-replayable: the DuckDB side builds the

@@ -91,4 +91,22 @@ class DedupSpec extends SparkSpec {
     } yield (ia, ib)).toSet
     assert(banded == brute)
   }
+
+  test("incrementalDedup: corpus-known rows dropped, within-batch keep-first") {
+    import spark.implicits._
+    import graft.functions.TextFns
+    val corpus = Seq("known text one", "known text two").toDF("text")
+      .select(TextFns.fingerprint(col("text")).as("fingerprint"))
+    val incoming = Seq(
+      (10L, "known text one"),   // already in the corpus → dropped
+      (11L, "fresh text"),       // new → kept
+      (12L, "fresh text"),       // within-batch dup of 11 → dropped
+      (13L, "Known  Text two"),  // normalization catches case/ws → dropped
+      (14L, "another fresh one") // new → kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(incoming, corpus, "doc_id",
+        TextFns.fingerprint(col("text")))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(out == Set(11L, 14L))
+  }
 }
