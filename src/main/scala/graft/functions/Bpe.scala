@@ -74,6 +74,20 @@ final case class BpeTokenizer(merges: Seq[(String, String)]) {
   def tokenCountExpr(text: Column): Column =
     length(encodeExpr(text)).cast("long")
 
+  /** Token strings as an array Column: split the symbol string per code
+    * point, decode merged symbols through a map literal (base chars pass
+    * through). All builtin expressions — stays in codegen.
+    */
+  def tokensExpr(text: Column): Column = {
+    val decode = map(tokenOf.toSeq.sortBy(_._1)
+      .flatMap { case (s, tok) => Seq(lit(s), lit(tok)) }: _*)
+    val enc = encodeExpr(text)
+    // split("", "") yields [""], not [] — align with encode("") = Nil
+    when(length(enc) === 0, array().cast("array<string>"))
+      .otherwise(transform(split(enc, ""),
+        c => coalesce(element_at(decode, c), c)))
+  }
+
   /** DuckDB replay of [[tokenCountExpr]] over SQL expression `e` — the
     * same replace chain, the same length. DuckDB `length` counts code
     * points, matching Spark's `length` on the BMP symbols used here.
