@@ -181,6 +181,22 @@ object Warehouse {
     spark.read.parquet(s"$table/$gen")
   }
 
+  /** Time travel: read a specific COMMITTED generation (the snapshot a
+    * reader resolved before a later publish, or any history `vacuum`
+    * still retains). Schema evolution falls out of the generation model:
+    * every generation is a full, self-describing rewrite, so a publish
+    * may change the schema atomically — old snapshots keep their old
+    * schema, the manifest flip is the only switch, and no reader ever
+    * sees a half-migrated table.
+    */
+  def readVersionedAt(spark: SparkSession, table: String,
+      gen: String): DataFrame = {
+    require(committedGenerations(table).contains(gen),
+      s"$gen is not a committed generation of $table " +
+        s"(have: ${committedGenerations(table).mkString(", ")})")
+    spark.read.parquet(s"$table/$gen")
+  }
+
   /** The data files of the live generation that can contain rows with
     * `column` in [lo, hi], per the generation's `_stats` — plus the total
     * file count, so callers (and WarehouseSpec) can observe the pruning

@@ -105,6 +105,30 @@ class WarehouseSpec extends SparkSpec {
     assert(!new java.io.File(dir + ".old").exists())
   }
 
+  test("schema evolution across generations + time travel reads") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft-wh-evolve").toString + "/t"
+    val g1 = Warehouse.publishVersioned(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), table)
+    // atomic schema change: next generation adds a column
+    val g2 = Warehouse.publishVersioned(spark,
+      Seq((1L, "a", 0.5), (2L, "b", 0.7)).toDF("id", "v", "score"), table)
+    assert(Warehouse.readVersioned(spark, table).columns.toSeq ==
+      Seq("id", "v", "score"))
+    // time travel: the pre-migration snapshot keeps its pre-migration schema
+    val old = Warehouse.readVersionedAt(spark, table, g1)
+    assert(old.columns.toSeq == Seq("id", "v") && old.count() == 2)
+    // only committed generations are addressable
+    intercept[IllegalArgumentException] {
+      Warehouse.readVersionedAt(spark, table, "gen-99999999")
+    }
+    // vacuum keeps the addressable history it promises (keepHistory=1)
+    Warehouse.vacuum(table, keepHistory = 1)
+    assert(Warehouse.readVersionedAt(spark, table, g1).count() == 2)
+    assert(Warehouse.readVersioned(spark, table).count() == 2)
+    assert(g1 != g2)
+  }
+
   test("stats-based file pruning: a day-slice reads fewer files, same rows") {
     val table = Files.createTempDirectory("graft-wh-stats").toString + "/events"
     // 10 days of events, range-partitioned on ts so files carry tight
