@@ -93,4 +93,42 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: BPE encode is lossless and never exceeds the char count") {
+    val t = graft.operators.TextOps.bpe
+    val genText = Gen.listOfN(40,
+      Gen.frequency(8 -> Gen.alphaLowerChar, 2 -> Gen.const(' ')))
+      .map(_.mkString)
+    forAll(genText, n = 24) { s =>
+      val toks = t.encode(s)
+      assert(toks.mkString == s, s"round-trip broke for '$s'")
+      assert(toks.size <= s.length)
+      assert(toks.forall(_.nonEmpty) || s.isEmpty)
+      // idempotence of the table: re-encoding each token yields itself
+      // (every merged token is a single symbol after its own passes)
+      assert(t.encode(toks.mkString) == toks)
+    }
+  }
+
+  test("property: chunkTokens covers every token exactly and in order") {
+    import spark.implicits._
+    val genDoc = for {
+      n <- Gen.choose(1, 40)
+      w <- Gen.choose(2, 8)
+      s <- Gen.choose(1, 8)
+    } yield (n, w, math.min(s, w))
+    forAll(genDoc, n = 12) { case (n, w, s) =>
+      val text = (0 until n).map(i => s"t$i").mkString(" ")
+      val chunks = graft.operators.TextOps.chunkTokens(
+          Seq((0L, text)).toDF("doc_id", "text"), "doc_id", "text", w, s)
+        .orderBy("chunk_idx")
+        .collect().map(_.getString(3).split(" ").toSeq).toSeq
+      // stitching chunks at their stride offsets reproduces the document
+      val stitched = chunks.head ++ chunks.tail.flatMap(_.drop(w - s))
+      assert(stitched == text.split(" ").toSeq,
+        s"n=$n w=$w s=$s: $chunks")
+      // every chunk except the last is full-width
+      assert(chunks.init.forall(_.size == w))
+    }
+  }
 }
