@@ -95,4 +95,40 @@ class EdgeCaseSpec extends SparkSpec {
     val rows = TextOps.qualityFeatures(df, "doc_id", "text").collect()
     assert(rows.length == 3) // no exceptions; ratios may be null for len 0
   }
+
+  test("round-3 ops: null text rows drop out cleanly, never throw") {
+    import spark.implicits._
+    val df = Seq((0L, Option("a b c")), (1L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    // null text → null token array → the explode/posexplode drops the row
+    assert(TextOps.chunkTokens(df, "doc_id", "text", 2, 1)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSeq == Seq(0L))
+    assert(TextOps.repetitionSignals(df, "doc_id", "text", 2)
+      .collect().map(_.getLong(0)).toSeq == Seq(0L))
+    assert(TextOps.bigramLmScores(df, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSeq == Seq(0L))
+  }
+
+  test("mixtureSample: null ids and boundary rates filter deterministically") {
+    import spark.implicits._
+    val df = Seq((Option(1L), "g0"), (Option(2L), "g1"), (Option.empty[Long], "g0"))
+      .toDF("id", "grp")
+    // rate 0 drops its whole group; null id hashes to null → dropped
+    val kept = Sampling.mixtureSample(df, "id", "grp",
+        Seq("g1" -> 0.0), defaultRate = 1.0, salt = "s")
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(kept == Set(1L))
+  }
+
+  test("incrementalDedup with an empty corpus degrades to within-batch dedup") {
+    import spark.implicits._
+    import graft.functions.TextFns
+    val empty = Seq.empty[String].toDF("text")
+      .select(TextFns.fingerprint(col("text")).as("fingerprint"))
+    val incoming = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(incoming, empty, "doc_id",
+        TextFns.fingerprint(col("text")))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(out == Set(1L, 3L))
+  }
 }
