@@ -81,6 +81,69 @@ object SparkEntry {
       ORDER BY id_a, id_b"""
   }
 
+  /** DuckDB replay of the q64 multi-signal edge set: exact word-3-gram
+    * Jaccard pairs at `minJac` (text signal — LSH-candidates + exact
+    * confirm ≡ the exact join at full recall, as q55's oracle relies on)
+    * UNIONed with the banded-LSH embedding pairs replayed bit-for-bit
+    * (the q25b construction — correct at every recall), then min-label
+    * components via a recursive CTE. Joins documents and embeddings on
+    * doc_id = vec_id (the testdata's shared id domain).
+    */
+  private def multiSignalOracleSql(minJac: Double, minCos: Double,
+      planesPerBand: Int, bands: Int, dim: Int): String = {
+    val nPlanes = bands * planesPerBand
+    def qdotSql(a: String, b: String): String =
+      s"list_aggregate(list_transform(range(1, ${dim + 1}), i -> $a[i] * $b[i]), 'sum')"
+    s"""WITH RECURSIVE
+      toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l
+               FROM documents),
+      grams AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, greatest(len(l) - 1, 1)),
+                 i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS g
+               FROM toks WHERE len(l) >= 3),
+      sh AS (SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS sh FROM grams),
+      sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+                FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      tpairs AS (SELECT id_a, id_b FROM inter
+                JOIN sizes sa ON id_a = sa.doc_id
+                JOIN sizes sb ON id_b = sb.doc_id
+                WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= $minJac),
+      v AS (SELECT vec_id AS id,
+          list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1e7)) AS qv
+        FROM embeddings),
+      pd AS (SELECT CAST(p AS INTEGER) AS p,
+          list(CAST(CAST('0x' || substr(md5('plane:' || p || ':' || d), 1, 15) AS BIGINT)
+               % 1000000 - 500000 AS DOUBLE) ORDER BY d) AS plane
+        FROM range($nPlanes) t1(p) CROSS JOIN range($dim) t2(d) GROUP BY p),
+      dots AS (SELECT v.id, pd.p, ${qdotSql("v.qv", "pd.plane")} AS dot
+        FROM v CROSS JOIN pd),
+      keys AS (SELECT id, p // $planesPerBand AS band,
+          SUM(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << (p % $planesPerBand) ELSE 0 END) AS bkt
+        FROM dots GROUP BY id, band),
+      ecand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM keys a JOIN keys b
+        ON a.band = b.band AND a.bkt = b.bkt AND a.id < b.id),
+      epairs AS (SELECT id_a, id_b FROM (SELECT id_a, id_b,
+          ${qdotSql("va.qv", "vb.qv")}
+          / SQRT(${qdotSql("va.qv", "va.qv")} * ${qdotSql("vb.qv", "vb.qv")}) AS cos
+        FROM ecand JOIN v va ON va.id = ecand.id_a JOIN v vb ON vb.id = ecand.id_b)
+        WHERE cos >= $minCos),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM tpairs
+                UNION SELECT id_b, id_a FROM tpairs
+                UNION SELECT id_a, id_b FROM epairs
+                UNION SELECT id_b, id_a FROM epairs),
+      walk(id, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.id = e.dst),
+      comp AS (SELECT id AS doc_id, MIN(lbl) AS component FROM walk GROUP BY id)
+      SELECT doc_id, component,
+             COUNT(*) OVER (PARTITION BY component) AS cluster_size
+      FROM comp ORDER BY doc_id"""
+  }
+
   private val registry: Map[String, Q] = Map(
 
     // ----- A-series aggregations / TPC-H-ish core ---------------------------
@@ -343,6 +406,32 @@ object SparkEntry {
                   md5(substr(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), 1, 80)) AS fingerprint
                 FROM documents))
         WHERE rn = 1 ORDER BY doc_id""")),
+
+    // Multi-signal dedup clusters: a pair is duplicate evidence if EITHER
+    // the text signal (minhash LSH + exact-Jaccard confirm) OR the
+    // embedding signal (banded hyperplane LSH + exact-cosine confirm)
+    // fires; connected components fuse the union into clusters — the
+    // production shape where template-rewritten docs are caught by
+    // embeddings and verbatim copies by text. One id domain (doc_id =
+    // vec_id in the testdata).
+    "q64_multisignal_clusters" -> Q(
+      (s, dir) => {
+        val textPairs = Dedup.minhashNearDups(t(s, dir, "documents"),
+            "doc_id", "text", 3, 64, 16, 0.8)
+          .select("id_a", "id_b")
+        val embPairs = Similarity.nearDupLshBanded(t(s, dir, "embeddings"),
+            "vec_id", "embedding", 0.45, planesPerBand = 6, bands = 16,
+            dim = 64)
+          .select("id_a", "id_b")
+        Graphs.connectedComponents(textPairs.unionByName(embPairs),
+            "id_a", "id_b")
+          .select(col("id").as("doc_id"), col("component"),
+            count(lit(1)).over(Window.partitionBy(col("component")))
+              .as("cluster_size"))
+          .orderBy("doc_id")
+      },
+      Some(multiSignalOracleSql(minJac = 0.8, minCos = 0.45,
+        planesPerBand = 6, bands = 16, dim = 64))),
 
     // Incremental ingestion dedup: the batch with doc_id >= 250 arrives
     // against the already-published corpus (doc_id < 250) — drop
