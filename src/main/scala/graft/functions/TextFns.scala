@@ -31,13 +31,17 @@ object TextFns {
     * strings joined by a single space. Empty array when the document has
     * fewer than `n` tokens (guards Spark's descending-`sequence` pitfall).
     */
-  def shingles(c: Column, n: Int): Column = {
-    val t = tokens(c)
+  def shingles(c: Column, n: Int): Column = shinglesOfTokens(tokens(c), n)
+
+  /** [[shingles]] over an ALREADY-TOKENIZED array column — for pipelines
+    * that materialize the token array once and derive several relations
+    * from it (tokenizing is the dominant projection cost on long texts).
+    */
+  def shinglesOfTokens(t: Column, n: Int): Column =
     when(size(t) >= n,
       transform(sequence(lit(1), size(t) - (n - 1)),
         i => concat_ws(" ", slice(t, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** Exact-dedup document fingerprint: md5 of the normalized text.
     * Identical in DuckDB: `md5(normalized)`.

@@ -254,12 +254,17 @@ object TextOps {
     * reuse them; this inline form trains on the scored corpus itself.
     */
   def bigramLmScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bg = graft.Parallelism.fanOut(df.select(col(idCol), col(textCol)))
-      .select(col(idCol).as("id"), explode(TextFns.shingles(col(textCol), 2)).as("bg"))
+    // tokenize ONCE: the bigram and unigram relations both derive from a
+    // cached token-array frame instead of re-tokenizing the corpus twice
+    val toks = graft.CacheScope.register(
+      graft.Parallelism.fanOut(df.select(col(idCol), col(textCol)))
+        .select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("__t")))
+    val bg = toks
+      .select(col("id"), explode(TextFns.shinglesOfTokens(col("__t"), 2)).as("bg"))
       .withColumn("w1", split(col("bg"), " ").getItem(0))
     val bgCounts = bg.groupBy("bg").agg(count(lit(1)).as("c12"))
-    val uniCounts = graft.Parallelism.fanOut(df.select(col(textCol)))
-      .select(explode(TextFns.tokens(col(textCol))).as("w1"))
+    val uniCounts = toks
+      .select(explode(col("__t")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("c1"))
     val vocab = uniCounts.select(count(lit(1)).as("__v"))
     bg.join(bgCounts, "bg")
