@@ -181,6 +181,59 @@ object Warehouse {
     spark.read.parquet(s"$table/$gen")
   }
 
+  /** Morton (z-order) interleave of two bit-grids: bit i of `a` lands at
+    * position 2i, bit i of `b` at 2i+1. Inputs must already be integers
+    * in [0, 2^bits); all shifts/masks are builtin expressions (codegen).
+    */
+  private def morton(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column, bits: Int): org.apache.spark.sql.Column =
+    (0 until bits).flatMap { i =>
+      Seq(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i),
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** Z-order clustering: return `df` range-partitioned and sorted by the
+    * Morton interleave of two min/max-normalized cluster columns, so that
+    * when the result is written, EVERY file carries a tight min/max range
+    * on BOTH columns at once — the multi-column file-pruning layout
+    * (Delta's OPTIMIZE ZORDER BY); a plain sort by one column leaves the
+    * other column's per-file ranges spanning the whole domain, so its
+    * predicates prune nothing. Compose with
+    * `publishVersioned(..., statsCols = cols)` and [[readVersionedRange]].
+    *
+    * Normalization is min/max to a 2^bits grid (two cheap aggregates);
+    * nulls land at grid 0. Cost at scale: one range shuffle on the
+    * z-value — exactly a global sort, which is what clustering IS.
+    */
+  def zorderBy(df: DataFrame, colA: String, colB: String,
+      targetFiles: Int, bits: Int = 16): DataFrame = {
+    // timestamps (incl. NTZ) don't cast to double directly — go through
+    // epoch micros; ordering is all the z-value needs
+    def numeric(c: String): org.apache.spark.sql.Column =
+      df.schema(c).dataType match {
+        case _: org.apache.spark.sql.types.TimestampNTZType |
+             _: org.apache.spark.sql.types.TimestampType =>
+          unix_micros(col(c).cast("timestamp")).cast("double")
+        case _ => col(c).cast("double")
+      }
+    val mm = df.agg(
+      min(numeric(colA)).as("la"), max(numeric(colA)).as("ha"),
+      min(numeric(colB)).as("lb"), max(numeric(colB)).as("hb"))
+      .collect()(0)
+    val grid = (1L << bits) - 1
+    def norm(c: String, lo: Double, hi: Double) =
+      if (hi == lo) lit(0L)
+      else coalesce(
+        ((numeric(c) - lit(lo)) / lit(hi - lo) * grid).cast("long"),
+        lit(0L))
+    val z = morton(norm(colA, mm.getDouble(0), mm.getDouble(1)),
+      norm(colB, mm.getDouble(2), mm.getDouble(3)), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(targetFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
+
   /** Time travel: read a specific COMMITTED generation (the snapshot a
     * reader resolved before a later publish, or any history `vacuum`
     * still retains). Schema evolution falls out of the generation model:

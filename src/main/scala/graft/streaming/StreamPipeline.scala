@@ -132,6 +132,24 @@ object StreamPipeline {
     df.withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Streaming incremental ingestion dedup — the streaming face of
+    * [[graft.operators.Dedup.incrementalDedup]]: a STREAM-STATIC
+    * left-anti join drops rows whose fingerprint is already in the
+    * published corpus (the static side is re-planned per micro-batch, so
+    * readers pick up corpus updates between batches), then
+    * `dropDuplicatesWithinWatermark` removes within-stream replays with
+    * state bounded by the watermark horizon. The corpus side never
+    * holds streaming state — it is a plain table join per batch.
+    */
+  def incrementalDedupStream(stream: DataFrame, corpusFps: DataFrame,
+      fingerprint: org.apache.spark.sql.Column, tsCol: String,
+      lateness: String): DataFrame =
+    stream.withColumn("fingerprint", fingerprint)
+      .join(corpusFps.select(col("fingerprint")).distinct(),
+        Seq("fingerprint"), "left_anti")
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
   /** Watermarked stream-stream INNER interval join: each left row is
     * enriched by right rows with the same key whose timestamp falls in
     * `[leftTs - lookback, leftTs]` (e.g. views joined to the user's

@@ -105,6 +105,48 @@ class WarehouseSpec extends SparkSpec {
     assert(!new java.io.File(dir + ".old").exists())
   }
 
+  test("z-order clustering prunes on BOTH columns; single-column sort does not") {
+    val events = graft.GraftSession.table(spark, "/root/testdata/sf0.01", "events")
+      .select("event_id", "ts", "user_id", "value")
+    val files = 16
+
+    // layout A: plain range-partition on ts (the q-style single-column sort)
+    val tA = Files.createTempDirectory("graft-wh-zorder").toString + "/plain"
+    Warehouse.publishVersioned(spark,
+      events.repartitionByRange(files, col("ts")), tA,
+      statsCols = Seq("ts", "user_id"))
+    // layout B: z-ordered on (ts, user_id)
+    val tB = Files.createTempDirectory("graft-wh-zorder").toString + "/zord"
+    Warehouse.publishVersioned(spark,
+      Warehouse.zorderBy(events, "ts", "user_id", files), tB,
+      statsCols = Seq("ts", "user_id"))
+
+    val Seq(uLo, uHi) = events.agg(min("user_id"), max("user_id"))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long])
+    val width = (uHi - uLo) / 8 // a ~12% slice of the user domain
+    val (qLo, qHi) = (uLo + width * 3, uLo + width * 4)
+
+    val Some((keptPlain, totalPlain)) =
+      Warehouse.pruneCandidates(spark, tA, "user_id", qLo, qHi): @unchecked
+    val Some((keptZ, totalZ)) =
+      Warehouse.pruneCandidates(spark, tB, "user_id", qLo, qHi): @unchecked
+    assert(totalPlain >= files && totalZ >= files)
+    // the ts-sorted layout cannot prune a user_id slice (every file spans
+    // the whole user domain); the z-ordered layout must
+    assert(keptPlain.size >= totalPlain - 1,
+      s"expected no pruning on the plain layout, kept ${keptPlain.size}/$totalPlain")
+    assert(keptZ.size <= totalZ / 2,
+      s"z-order pruned nothing: kept ${keptZ.size}/$totalZ")
+
+    // and the z-layout still answers correctly
+    val got = Warehouse.readVersionedRange(spark, tB, "user_id", qLo, qHi)
+      .collect().map(_.getAs[Long]("event_id")).sorted
+    val expect = events
+      .filter(col("user_id") >= qLo && col("user_id") <= qHi)
+      .collect().map(_.getAs[Long]("event_id")).sorted
+    assert(got.sameElements(expect) && expect.nonEmpty)
+  }
+
   test("schema evolution across generations + time travel reads") {
     import spark.implicits._
     val table = Files.createTempDirectory("graft-wh-evolve").toString + "/t"

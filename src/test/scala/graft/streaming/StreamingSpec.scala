@@ -102,6 +102,30 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Map(1L -> 1.0, 2L -> 2.0)) // first wins, replay dropped
   }
 
+  test("incrementalDedupStream: stream-static anti-join vs corpus, then " +
+      "bounded-state within-stream dedup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.TextFns
+    val corpus = Seq("known doc").toDF("text")
+      .select(TextFns.fingerprint(col("text")).as("fingerprint"))
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    mem.addData(
+      (1L, "known doc", ts("2024-06-01 10:00:00")),   // in corpus → dropped
+      (2L, "fresh doc", ts("2024-06-01 10:01:00")),   // kept
+      (3L, "fresh doc", ts("2024-06-01 10:02:00")),   // stream replay → dropped
+      (4L, "another doc", ts("2024-06-01 10:03:00"))) // kept
+    val q = StreamPipeline.incrementalDedupStream(
+        mem.toDF().toDF("id", "text", "event_ts"), corpus,
+        TextFns.fingerprint(col("text")), "event_ts", "10 minutes")
+      .writeStream.format("memory").queryName("incdedup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val kept = spark.table("incdedup").collect()
+      .map(_.getAs[Long]("id")).toSet
+    assert(kept == Set(2L, 4L))
+  }
+
   test("intervalJoin tolerates both sides naming their event-time column " +
       "identically (references are side-qualified)") {
     import spark.implicits._
