@@ -57,6 +57,15 @@ object Dedup {
     * the fingerprint — or broadcasts when a day's corpus delta is small —
     * and the within-batch pass shuffles only the incoming batch. The
     * corpus is never re-scanned per batch beyond its fingerprint column.
+    * When even the fingerprint column is too large to shuffle per batch,
+    * the standard refinement is a broadcast Bloom filter over corpus
+    * fingerprints (`corpusFps.stat.bloomFilter`): rows the filter
+    * rejects are provably fresh and skip the join entirely; only the
+    * might-contain minority pays the exact anti-join — exactness is
+    * preserved because Bloom false positives merely route a fresh row
+    * through the exact check. Not wired here (the per-row probe needs a
+    * UDF; this repo keeps hot paths UDF-free), recorded as the 100 TB
+    * deployment note.
     */
   def incrementalDedup(incoming: DataFrame, corpusFps: DataFrame,
       idCol: String, fingerprint: Column): DataFrame = {
