@@ -407,6 +407,34 @@ object SparkEntry {
                 FROM documents))
         WHERE rn = 1 ORDER BY doc_id""")),
 
+    // Time-series gap filling: hourly spine per user over their active
+    // range, last observation carried forward across silent hours
+    // (struct-carry, so a genuinely-NULL observed value is carried, not
+    // skipped — same contract as the as-of join).
+    "q65_gap_fill" -> Q(
+      (s, dir) => Temporal.gapFillHourly(t(s, dir, "events"),
+          "user_id", "ts", "value", "event_id")
+        .orderBy("user_id", "hour"),
+      Some("""WITH e AS (SELECT user_id, date_trunc('hour', ts) AS h, ts, event_id, value
+               FROM events),
+        ph AS (SELECT user_id, h, {'v': value} AS obs FROM (
+                SELECT user_id, h, value,
+                       row_number() OVER (PARTITION BY user_id, h
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM e) WHERE rn = 1),
+        spine AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+                  FROM (SELECT user_id, MIN(h) AS lo, MAX(h) AS hi
+                        FROM e GROUP BY user_id)),
+        joined AS (SELECT s.user_id, s.h, ph.obs
+                   FROM spine s LEFT JOIN ph ON ph.user_id = s.user_id AND ph.h = s.h),
+        filled AS (SELECT user_id, h,
+            last_value(obs IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f,
+            obs IS NOT NULL AS was_observed
+          FROM joined)
+        SELECT user_id, h AS hour, f.v AS value, was_observed
+        FROM filled ORDER BY user_id, hour""")),
+
     // Multi-signal dedup clusters: a pair is duplicate evidence if EITHER
     // the text signal (minhash LSH + exact-Jaccard confirm) OR the
     // embedding signal (banded hyperplane LSH + exact-cosine confirm)

@@ -73,4 +73,50 @@ object Temporal {
         sum(measure.cast("decimal(24,2)")).cast("double").as("sum_value"))
       .select(col(key), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+
+  /** Hourly gap-filling (time-series densification): for every key, an
+    * hour spine from its first to its last observed hour, carrying the
+    * last observation forward across silent hours — the op a dashboard
+    * needs to chart a sensor that reports irregularly.
+    *
+    *   - per (key, hour), the LAST observation wins (keep-last by
+    *     (ts, tieCol) — deterministic, the reference's D2 rule);
+    *   - the spine is `sequence(first_hour, last_hour, 1 hour)` per key
+    *     (explodes only each key's own active range, never a global
+    *     calendar cross-join);
+    *   - fill is `last(value, ignoreNulls)` over the hour order, so a
+    *     filled row shows the most recent real value; `was_observed`
+    *     distinguishes carried rows. A genuinely-NULL observed value is
+    *     carried as the struct, same contract as [[asofJoin]].
+    *
+    * One shuffle on the key for the spine + one for the per-hour
+    * keep-last; the forward-fill window rides the same key partitioning.
+    */
+  def gapFillHourly(df: DataFrame, key: String, tsCol: String,
+      valCol: String, tieCol: String): DataFrame = {
+    // date_trunc yields an instant-flavored TIMESTAMP even over NTZ input;
+    // cast back so the output keeps the repo's single timestamp flavor
+    // (session is UTC, so the cast is a pure re-label)
+    val hour = date_trunc("hour", col(tsCol)).cast("timestamp_ntz")
+    val perHour = df
+      .withColumn("__hour", hour)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(key), col("__hour"))
+          .orderBy(col(tsCol).desc, col(tieCol).desc)))
+      .filter(col("__rn") === 1)
+      .select(col(key), col("__hour"),
+        struct(col(valCol).as("v")).as("__obs"))
+    val spine = df.groupBy(col(key))
+      .agg(min(hour).as("__lo"), max(hour).as("__hi"))
+      .select(col(key),
+        explode(sequence(col("__lo"), col("__hi"),
+          expr("INTERVAL 1 HOUR"))).as("__hour"))
+    val w = Window.partitionBy(col(key)).orderBy(col("__hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(perHour, Seq(key, "__hour"), "left")
+      .withColumn("__filled", last(col("__obs"), ignoreNulls = true).over(w))
+      .select(col(key), col("__hour").as("hour"),
+        col("__filled.v").as("value"),
+        col("__obs").isNotNull.as("was_observed"))
+  }
 }

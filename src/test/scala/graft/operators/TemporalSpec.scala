@@ -49,4 +49,27 @@ class TemporalSpec extends SparkSpec {
     assert(first.getAs[Double]("sum_value") == 3.0)
     assert(out(1).getAs[Long]("n_events") == 1L)
   }
+
+  test("gapFillHourly: silent hours filled forward, NULL observations carried") {
+    import spark.implicits._
+    val df = Seq(
+      ("A", ts("2024-01-01 10:10:00"), Option(1.0), 1L),
+      ("A", ts("2024-01-01 10:40:00"), Option(2.0), 2L),  // same hour: later wins
+      ("A", ts("2024-01-01 13:05:00"), Option.empty[Double], 3L), // NULL observed
+      ("A", ts("2024-01-01 14:30:00"), Option(4.0), 4L),
+      ("B", ts("2024-01-01 00:00:00"), Option(9.0), 5L))
+      .toDF("k", "t", "v", "id")
+    val out = Temporal.gapFillHourly(df, "k", "t", "v", "id")
+      .collect().map(r => (r.getString(0),
+          r.getAs[java.time.LocalDateTime](1).toString) ->
+        (Option(r.get(2)).map(_.asInstanceOf[Double]), r.getBoolean(3))).toMap
+    assert(out(("A", "2024-01-01T10:00")) == ((Some(2.0), true)))
+    assert(out(("A", "2024-01-01T11:00")) == ((Some(2.0), false))) // filled
+    assert(out(("A", "2024-01-01T12:00")) == ((Some(2.0), false)))
+    // hour 13's observation is genuinely NULL: carried, NOT skipped back to 2.0
+    assert(out(("A", "2024-01-01T13:00")) == ((None, true)))
+    assert(out(("A", "2024-01-01T14:00")) == ((Some(4.0), true)))
+    assert(out(("B", "2024-01-01T00:00")) == ((Some(9.0), true)))
+    assert(out.count(_._1._1 == "A") == 5) // spine covers 10:00..14:00
+  }
 }
