@@ -936,6 +936,25 @@ object SparkEntry {
         COUNT(*) FILTER (event_type = 'error') AS error
         FROM events GROUP BY user_id ORDER BY user_id""")),
 
+    // Unpivot/melt — the wide→long complement of q36's pivot (Spark 3.4+
+    // native `unpivot`; DuckDB UNPIVOT). Exact DECIMAL sums per measure.
+    "q66_unpivot" -> Q(
+      (s, dir) => t(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+        .unpivot(Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "measure", "val")
+        .groupBy("measure")
+        .agg(count(lit(1)).as("n"), Analytics.exactSum(col("val")).as("total"))
+        .orderBy("measure"),
+      Some("""SELECT measure, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(val AS DECIMAL(24,2))) AS DOUBLE) AS total
+        FROM (UNPIVOT (SELECT l_orderkey, l_quantity, l_extendedprice, l_discount
+                       FROM lineitem)
+              ON l_quantity, l_extendedprice, l_discount
+              INTO NAME measure VALUE val)
+        GROUP BY measure ORDER BY measure""")),
+
     // Exact linear-interpolation percentiles of document length per source
     // (Spark `percentile` ≡ DuckDB `quantile_cont`; integer inputs make
     // the interpolation arithmetic engine-exact).
