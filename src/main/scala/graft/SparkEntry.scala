@@ -969,6 +969,26 @@ object SparkEntry {
         quantile_cont(n_chars, 0.9) AS p90, MAX(n_chars) AS max_chars
         FROM documents GROUP BY source ORDER BY source""")),
 
+    // Robust outliers per source: median/MAD of doc length and the count
+    // of docs beyond k*MAD — the heavy-tail-safe complement of q10's
+    // z-score fence (percentile ≡ quantile_cont keeps it engine-exact).
+    "q67_mad_outliers" -> Q(
+      (s, dir) => Quality.madOutlierStats(t(s, dir, "documents"),
+          "source", "n_chars", 3.0)
+        .orderBy("source"),
+      Some("""WITH med AS (SELECT source, quantile_cont(n_chars, 0.5) AS median_val
+               FROM documents GROUP BY source),
+        dev AS (SELECT d.source, abs(d.n_chars - m.median_val) AS adev, m.median_val
+                FROM documents d JOIN med m ON d.source = m.source),
+        mad AS (SELECT source, quantile_cont(adev, 0.5) AS mad
+                FROM dev GROUP BY source)
+        SELECT dev.source, CAST(COUNT(*) AS BIGINT) AS n,
+          first(dev.median_val) AS median_val, first(mad.mad) AS mad,
+          CAST(SUM(CASE WHEN dev.adev > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_outliers
+        FROM dev JOIN mad ON dev.source = mad.source
+        GROUP BY dev.source ORDER BY dev.source""")),
+
     // JSON-path extraction (the S3 payload-extraction face done properly:
     // a JSON parser, not regex). ONE from_json parse per row — two
     // get_json_object calls each re-parse the document (measured 4.0s →

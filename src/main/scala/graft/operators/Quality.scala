@@ -84,4 +84,37 @@ object Quality {
     */
   def verifyRowPersistence(sink: DataFrame, expected: Long): Boolean =
     sink.count() >= expected
+
+  /** Robust outlier stats per group: median and MAD (median absolute
+    * deviation) of `valCol`, plus how many rows sit more than
+    * `k * MAD` from the median — the robust complement of [[zscoreOutliers]]
+    * (a single wild value shifts a mean/stddev fence; it cannot move a
+    * median/MAD one). Heavy-tailed quality metrics (doc length, token
+    * count) want this form.
+    *
+    * Exactness: `percentile` (linear interpolation) over integer inputs
+    * yields integer-or-half values — identical in DuckDB's
+    * `quantile_cont` — and the deviation column stays integer-valued, so
+    * the whole statistic is engine-exact. Two grouped aggregations (the
+    * median must exist before deviations do) + one broadcast join back.
+    */
+  def madOutlierStats(df: DataFrame, groupCol: String, valCol: String,
+      k: Double): DataFrame = {
+    // agg + broadcast-join (twice) rather than whole-partition windows:
+    // a window form would pull every row of a group into one partition —
+    // group skew becomes a straggler at scale; small stats tables don't
+    val med = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valCol, 0.5)").as("median_val"))
+    val dev = df.join(broadcast(med), groupCol)
+      .withColumn("__adev", abs(col(valCol) - col("median_val")))
+    val mad = dev.groupBy(col(groupCol))
+      .agg(expr("percentile(__adev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), groupCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        first(col("median_val")).as("median_val"),
+        first(col("mad")).as("mad"),
+        sum(when(col("__adev") > lit(k) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
 }

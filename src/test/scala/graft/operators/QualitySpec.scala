@@ -68,4 +68,18 @@ class QualitySpec extends SparkSpec {
     assert(Quality.trailingCount(df, "ts", 365).collect()(0).getLong(0) == 3L)
     assert(Quality.trailingCount(df, "ts", 30).collect()(0).getLong(0) == 1L)
   }
+
+  test("madOutlierStats: robust to the wild value a z-score fence is not") {
+    import spark.implicits._
+    // 9 values near 100 plus one at 10000: median 100, MAD small, the
+    // wild row flagged; the wild row cannot drag the fence (unlike mean/sd)
+    val vals = Seq(98, 99, 100, 100, 100, 100, 101, 101, 102, 10000)
+    val df = vals.zipWithIndex.map { case (v, i) => ("g", i.toLong, v) }
+      .toDF("grp", "id", "v")
+    val r = Quality.madOutlierStats(df, "grp", "v", 3.0).collect()(0)
+    assert(r.getAs[Long]("n") == 10)
+    assert(r.getAs[Double]("median_val") == 100.0)
+    assert(r.getAs[Double]("mad") == 1.0)
+    assert(r.getAs[Long]("n_outliers") == 1) // only the 10000 (adev 9900 > 3*MAD)
+  }
 }
