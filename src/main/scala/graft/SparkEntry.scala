@@ -487,6 +487,35 @@ object SparkEntry {
           FROM fresh)
         WHERE rn = 1 ORDER BY doc_id""")),
 
+    // Same semantics as q63, Bloom-accelerated: a corpus-fingerprint Bloom
+    // filter (native bloom_might_contain expression, no UDF) proves most
+    // incoming rows fresh without touching the join; only might-contain
+    // rows pay the exact anti-join. Identical oracle — false positives
+    // cost time, never correctness.
+    "q63b_incremental_dedup_bloom" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val corpusFps = docs.filter(col("doc_id") < 250)
+          .select(TextFns.prefixFingerprint(col("text"), 80).as("fingerprint"))
+        Dedup.incrementalDedupBloom(docs.filter(col("doc_id") >= 250), corpusFps,
+            "doc_id", TextFns.prefixFingerprint(col("text"), 80),
+            expectedItems = 10000L, fpp = 0.01)
+          .select("doc_id", "fingerprint")
+          .orderBy("doc_id")
+      },
+      Some("""WITH f AS (SELECT doc_id,
+            md5(substr(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), 1, 80)) AS fingerprint
+          FROM documents),
+        corpus AS (SELECT DISTINCT fingerprint FROM f WHERE doc_id < 250),
+        fresh AS (SELECT doc_id, fingerprint FROM f
+                  WHERE doc_id >= 250
+                    AND fingerprint NOT IN (SELECT fingerprint FROM corpus))
+        SELECT doc_id, fingerprint FROM (
+          SELECT doc_id, fingerprint,
+                 row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+          FROM fresh)
+        WHERE rn = 1 ORDER BY doc_id""")),
+
     // Exact word-3-gram Jaccard similarity join via inverted-index self-join
     // (shuffle on the shingle, never the pair space). The boilerplate-
     // shingle cap (maxShingleDf = 1000) is the 100 TB skew guard: a shingle

@@ -58,14 +58,8 @@ object Dedup {
     * and the within-batch pass shuffles only the incoming batch. The
     * corpus is never re-scanned per batch beyond its fingerprint column.
     * When even the fingerprint column is too large to shuffle per batch,
-    * the standard refinement is a broadcast Bloom filter over corpus
-    * fingerprints (`corpusFps.stat.bloomFilter`): rows the filter
-    * rejects are provably fresh and skip the join entirely; only the
-    * might-contain minority pays the exact anti-join — exactness is
-    * preserved because Bloom false positives merely route a fresh row
-    * through the exact check. Not wired here (the per-row probe needs a
-    * UDF; this repo keeps hot paths UDF-free), recorded as the 100 TB
-    * deployment note.
+    * use [[incrementalDedupBloom]]: a Bloom filter over corpus
+    * fingerprints proves most incoming rows fresh without any join.
     */
   def incrementalDedup(incoming: DataFrame, corpusFps: DataFrame,
       idCol: String, fingerprint: Column): DataFrame = {
@@ -73,6 +67,58 @@ object Dedup {
       .withColumn("fingerprint", fingerprint)
     val fresh = fp.join(corpusFps.select(col("fingerprint")).distinct(),
       Seq("fingerprint"), "left_anti")
+    keepFirstPerFingerprint(fresh, idCol)
+  }
+
+  /** Bloom-accelerated [[incrementalDedup]] — identical output, different
+    * 100 TB cost shape. A Bloom filter is built over the corpus
+    * fingerprints (`stat.bloomFilter`: distributed partial build, driver
+    * merge — one pass over the corpus fingerprint column) and probed on
+    * every incoming row by the native codegen'd `bloom_might_contain`
+    * expression (graft.functions.BloomMightContain — no UDF, no codegen
+    * break):
+    *
+    *   - probe-negative rows are PROVABLY fresh (Bloom has no false
+    *     negatives) → they skip the anti-join entirely;
+    *   - probe-positive rows (true dups + fpp false positives) pay the
+    *     exact anti-join against the corpus, so false positives cost time,
+    *     never correctness.
+    *
+    * At a steady-state crawl, almost all incoming rows are fresh, so the
+    * expensive exact join shrinks from |batch| to ~(dups + fpp·|batch|)
+    * rows — usually small enough that Spark broadcasts... nothing: the
+    * tiny might-contain side shuffles against the corpus fingerprints, or
+    * the corpus delta broadcasts. `expectedItems`/`fpp` size the filter
+    * (Spark's sketch: ~1.2 GB per 1e9 items at 1%; beyond that, shard the
+    * corpus and probe per shard).
+    */
+  def incrementalDedupBloom(incoming: DataFrame, corpusFps: DataFrame,
+      idCol: String, fingerprint: Column,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val corpus = corpusFps.select(col("fingerprint")).distinct()
+    // Spark's sketch aggregate returns a null buffer over zero rows
+    // (NPE in readFrom) — an empty corpus means an always-false filter
+    val bf =
+      if (corpus.isEmpty) org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
+      else corpus.stat.bloomFilter("fingerprint", expectedItems, fpp)
+    val bytes = {
+      val out = new java.io.ByteArrayOutputStream()
+      bf.writeTo(out)
+      out.toByteArray
+    }
+    val fp = graft.Parallelism.fanOut(incoming)
+      .withColumn("fingerprint", fingerprint)
+      .withColumn("__maybe",
+        call_function("bloom_might_contain", col("fingerprint"), lit(bytes)))
+    val provablyFresh = fp.filter(!col("__maybe")).drop("__maybe")
+    val checked = fp.filter(col("__maybe")).drop("__maybe")
+      .join(corpus, Seq("fingerprint"), "left_anti")
+    keepFirstPerFingerprint(provablyFresh.unionByName(checked), idCol)
+  }
+
+  /** Within-batch survivor rule shared by the incremental-dedup variants:
+    * one row (min id) per fingerprint. */
+  private def keepFirstPerFingerprint(fresh: DataFrame, idCol: String): DataFrame = {
     val w = Window.partitionBy(col("fingerprint")).orderBy(col(idCol))
     fresh.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.ArrayDotProduct
+import graft.functions.{ArrayDotProduct, BloomMightContain}
 
 /** Session extensions registering graft's native expressions so they are
   * callable from SQL and `call_function` (`spark.sql.extensions` or
@@ -18,6 +18,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 2, "array_dot takes exactly 2 arguments")
         ArrayDotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "bloom_might_contain takes exactly 2 arguments")
+        BloomMightContain(children.head, children(1))
       }))
   }
 }

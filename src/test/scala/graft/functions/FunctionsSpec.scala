@@ -24,6 +24,34 @@ class FunctionsSpec extends SparkSpec {
     assert(hs.distinct.length == hs.length) // no collisions in 1k values
   }
 
+  test("bloom_might_contain: no false negatives, codegen stage intact, " +
+      "string and long probes") {
+    import spark.implicits._
+    val bfS = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    (0 until 50).foreach(i => bfS.putString(s"key$i"))
+    val bytesS = { val o = new java.io.ByteArrayOutputStream(); bfS.writeTo(o); o.toByteArray }
+    // range source (not a local relation) so the plan exercises real
+    // whole-stage codegen rather than ConvertToLocalRelation's eval path
+    val dfS = spark.range(100)
+      .withColumn("s", concat(lit("key"), col("id")))
+      .withColumn("hit", call_function("bloom_might_contain", col("s"), lit(bytesS)))
+    // every inserted key must hit (no false negatives)
+    assert(dfS.filter(col("id") < 50).filter(!col("hit")).count() == 0)
+    // the probe must not break whole-stage codegen: the projection that
+    // computes `hit` must carry the `*(n)` codegen-stage marker
+    val plan = dfS.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+        l.contains("bloom_might_contain") && l.trim.startsWith("*(")),
+      s"bloom probe fell out of codegen:\n$plan")
+    val bfL = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    (0L until 50L).foreach(bfL.putLong)
+    val bytesL = { val o = new java.io.ByteArrayOutputStream(); bfL.writeTo(o); o.toByteArray }
+    val hitsL = spark.range(100)
+      .withColumn("hit", call_function("bloom_might_contain", col("id"), lit(bytesL)))
+      .filter(col("id") < 50).filter(!col("hit")).count()
+    assert(hitsL == 0)
+  }
+
   test("property: TopKAggregator == sort.take(k) regardless of split/merge order") {
     val gen = for {
       n <- Gen.choose(0, 40)

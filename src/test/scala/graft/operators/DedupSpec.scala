@@ -109,4 +109,43 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(out == Set(11L, 14L))
   }
+
+  test("incrementalDedupBloom: identical output to the exact anti-join, " +
+      "including under a saturated (high-fpp) filter") {
+    import spark.implicits._
+    import graft.functions.TextFns
+    val docs = (0L until 200L).map(i => (i, s"document body number ${i % 120}"))
+      .toDF("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") < 90)
+      .select(TextFns.fingerprint(col("text")).as("fingerprint"))
+    val incoming = docs.filter(col("doc_id") >= 90)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "fingerprint").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    val exact = run(Dedup.incrementalDedup(incoming, corpus, "doc_id",
+      TextFns.fingerprint(col("text"))))
+    // normal sizing: few false positives
+    val bloom = run(Dedup.incrementalDedupBloom(incoming, corpus, "doc_id",
+      TextFns.fingerprint(col("text")), expectedItems = 1000L, fpp = 0.01))
+    assert(bloom == exact)
+    // deliberately undersized filter → many false positives; everything
+    // routes through the exact join and the result must not change
+    val saturated = run(Dedup.incrementalDedupBloom(incoming, corpus, "doc_id",
+      TextFns.fingerprint(col("text")), expectedItems = 2L, fpp = 0.5))
+    assert(saturated == exact)
+  }
+
+  test("incrementalDedupBloom: empty corpus — every row provably fresh, " +
+      "within-batch keep-first still applies") {
+    import spark.implicits._
+    import graft.functions.TextFns
+    val incoming = Seq((1L, "alpha"), (2L, "alpha"), (3L, "beta"))
+      .toDF("doc_id", "text")
+    val empty = incoming.filter(lit(false))
+      .select(TextFns.fingerprint(col("text")).as("fingerprint"))
+    val out = Dedup.incrementalDedupBloom(incoming, empty, "doc_id",
+        TextFns.fingerprint(col("text")), expectedItems = 10L)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(out == Set(1L, 3L))
+  }
 }
