@@ -1018,6 +1018,58 @@ object SparkEntry {
         FROM dev JOIN mad ON dev.source = mad.source
         GROUP BY dev.source ORDER BY dev.source""")),
 
+    // Per-domain quota cap: no source may contribute more than `cap` docs,
+    // survivors chosen by an explicit quality ordering (longest first,
+    // id tiebreak) — the web-crawl "no domain dominates" rule. One shuffle
+    // on source; rank state per group.
+    "q68_source_cap" -> Q(
+      (s, dir) => Sampling.capPerGroup(t(s, dir, "documents"), "source",
+          Seq(col("n_chars").desc, col("doc_id").asc), 10)
+        .select("doc_id", "source", "n_chars", "rank_in_group")
+        .orderBy("source", "rank_in_group"),
+      Some("""SELECT doc_id, source, n_chars, rank_in_group FROM (
+          SELECT doc_id, source, n_chars,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id) AS rank_in_group
+          FROM documents)
+        WHERE rank_in_group <= 10 ORDER BY source, rank_in_group""")),
+
+    // Fuzzy benchmark decontamination: training docs whose 3-gram Jaccard
+    // vs ANY eval doc (doc_id % 5 = 0 plays the benchmark) clears 0.8 —
+    // catches the paraphrased leakage q54's verbatim 8-gram rule misses.
+    // MinHash-LSH candidates (corpus bands probe the BROADCAST benchmark
+    // bands — the corpus never self-joins), then exact-Jaccard confirm;
+    // the oracle replays the exact cross-pair join, the same
+    // LSH-is-only-a-prune contract q21 pins.
+    "q69_fuzzy_decontam" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.fuzzyDecontaminate(
+            docs.filter(col("doc_id") % 5 =!= 0),
+            docs.filter(col("doc_id") % 5 === 0),
+            "doc_id", "text", 3, 64, 16, 0.8)
+          .orderBy("corpus_id", "bench_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
+               FROM documents),
+        grams AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, greatest(len(l) - 1, 1)),
+                 i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS g
+               FROM toks WHERE len(l) >= 3),
+        sh AS (SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS sh FROM grams),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        inter AS (SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id, COUNT(*) AS inter
+                  FROM sh c JOIN sh b ON c.sh = b.sh
+                  WHERE c.doc_id % 5 != 0 AND b.doc_id % 5 = 0
+                  GROUP BY 1, 2)
+        SELECT corpus_id, bench_id,
+               CAST(inter AS DOUBLE) / (sc.sz + sb.sz - inter) AS jaccard
+        FROM inter
+        JOIN sizes sc ON sc.doc_id = corpus_id
+        JOIN sizes sb ON sb.doc_id = bench_id
+        WHERE CAST(inter AS DOUBLE) / (sc.sz + sb.sz - inter) >= 0.8
+        ORDER BY corpus_id, bench_id""")),
+
     // JSON-path extraction (the S3 payload-extraction face done properly:
     // a JSON parser, not regex). ONE from_json parse per row — two
     // get_json_object calls each re-parse the document (measured 4.0s →

@@ -264,19 +264,26 @@ object Dedup {
     * skew — not data size — bounds the cost.
     */
   def lshCandidatePairs(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    val exploded = lshBands(sigs, k, bands)
+    exploded.as("a").join(exploded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Signature rows → (id, band, bucket) banding relation (`bands` rows
+    * per doc). Shared by the self-join candidate path and the cross-corpus
+    * decontamination path. */
+  private def lshBands(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, s"k=$k not divisible by bands=$bands")
     val r = k / bands
     val bandCols = (0 until bands).map { b =>
       val slots = (b * r until (b + 1) * r).map(i => col(s"s$i"))
       struct(lit(b).as("band"), Hashing.hFast(concat_ws(",", slots: _*), b).as("bucket"))
     }
-    val exploded = sigs.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+    sigs.select(col("id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    exploded.as("a").join(exploded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
   }
 
   /** Full MinHash near-dup pipeline: shingle → sign → band → candidate →
@@ -312,6 +319,48 @@ object Dedup {
       .select("sh").distinct()
     corpusGrams.join(broadcast(benchGrams), "sh")
       .groupBy("id").agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** FUZZY benchmark decontamination — [[contaminatedBy]]'s verbatim
+    * n-gram rule misses paraphrased/lightly-edited leakage, so this flags
+    * training documents whose n-gram Jaccard against ANY benchmark doc
+    * clears `minJac`, using MinHash-LSH to avoid scoring the cross
+    * product. Returns (corpus_id, bench_id, jaccard) for every confirmed
+    * cross pair (exact Jaccard confirm — LSH only prunes candidates, same
+    * contract as [[minhashNearDups]]).
+    *
+    * Scale shape: the corpus NEVER self-joins. Both sides shingle and
+    * sign (one shuffle each on doc id); the corpus banding relation
+    * (bands rows/doc) then joins the BENCHMARK banding relation, which is
+    * tiny (eval suites ≪ corpus) and broadcast — so candidate generation
+    * is a map-side probe over the corpus scan, and only candidate pairs
+    * (a ≪ |corpus| set) reach the exact confirm. Ids must be disjoint
+    * across the two inputs.
+    */
+  def fuzzyDecontaminate(docs: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int, k: Int, bands: Int,
+      minJac: Double, maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    val both = docs.select(col(idCol), col(textCol))
+      .unionByName(benchmark.select(col(idCol), col(textCol)))
+    // one posting relation for both sides: shingle df (and so the cap and
+    // the confirm) is computed over the SAME universe the oracle replays
+    val sh = graft.CacheScope.register(
+      capDf(shingleSets(both, idCol, textCol, n), maxShingleDf))
+    val benchIds = benchmark.select(col(idCol).as("id")).distinct()
+    val sigs = minhashSignatures(sh, k)
+    val corpusBands = lshBands(
+      sigs.join(broadcast(benchIds), Seq("id"), "left_anti"), k, bands)
+    val benchBands = lshBands(
+      sigs.join(broadcast(benchIds), Seq("id"), "left_semi"), k, bands)
+    val cands = corpusBands.as("c")
+      .join(broadcast(benchBands.as("b")),
+        col("c.band") === col("b.band") && col("c.bucket") === col("b.bucket"))
+      .select(col("c.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    confirmJaccard(cands, sh, sizes, minJac)
+      .select(col("id_a").as("corpus_id"), col("id_b").as("bench_id"),
+        col("jaccard"))
   }
 
   /** 60-bit SimHash per document: bit j of the signature is set iff the

@@ -93,4 +93,23 @@ object Sampling {
       .filter(col("__rk") <= perStratum)
       .drop("__rk")
   }
+
+  /** Per-group quota cap by an explicit QUALITY ordering — the web-crawl
+    * "no domain may dominate the corpus" rule (cap documents per
+    * source/domain, keeping the best-ranked ones), vs [[stratifiedSample]]
+    * which keeps a hash-random subset. `ordering` must be deterministic
+    * and total within a group (add an id tiebreak) or survivors are
+    * partition-order-dependent. Adds `rank_in_group` (1-based) to the
+    * survivors. One shuffle on the group column; rank state is per-group,
+    * so group-count skew — not data size — bounds a task (salt the group
+    * upstream if one domain is half the crawl).
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, ordering: Seq[Column],
+      cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive: $cap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(ordering: _*)
+    df.withColumn("rank_in_group", row_number().over(w))
+      .filter(col("rank_in_group") <= cap)
+  }
 }

@@ -135,6 +135,26 @@ class DedupSpec extends SparkSpec {
     assert(saturated == exact)
   }
 
+  test("fuzzyDecontaminate: cross pairs only — corpus-corpus and " +
+      "bench-bench near-dups are never reported") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base + " one"),   // corpus near-dup of bench 100 → flagged
+      (2L, base + " one"),   // corpus EXACT dup of 1 → flagged vs bench, but
+                             // the (1,2) corpus-corpus pair must NOT appear
+      (3L, "completely different words nothing shared here at all today")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, base + " one"),
+      (101L, base + " one")  // bench-bench dup — must NOT appear either
+    ).toDF("doc_id", "text")
+    val out = Dedup.fuzzyDecontaminate(docs, bench, "doc_id", "text",
+        3, 64, 16, 0.8)
+      .collect().map(r => (r.getAs[Long]("corpus_id"), r.getAs[Long]("bench_id"))).toSet
+    assert(out == Set((1L, 100L), (1L, 101L), (2L, 100L), (2L, 101L)))
+  }
+
   test("incrementalDedupBloom: empty corpus — every row provably fresh, " +
       "within-batch keep-first still applies") {
     import spark.implicits._

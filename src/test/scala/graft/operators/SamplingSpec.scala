@@ -104,4 +104,29 @@ class SamplingSpec extends SparkSpec {
     assert(out.select("id").except(repartitioned.select("id")).count() == 0)
     assert(repartitioned.count() == out.count())
   }
+
+  test("capPerGroup: keeps the cap best rows per group by the given " +
+      "ordering, small groups survive whole, ranks are 1..n") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "a", 100L), (2L, "a", 300L), (3L, "a", 200L), (4L, "a", 50L),
+      (5L, "b", 10L), (6L, "b", 20L),
+      (7L, "c", 5L)
+    ).toDF("id", "grp", "score")
+    val out = Sampling.capPerGroup(rows, "grp",
+        Seq(col("score").desc, col("id").asc), 2)
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("id"),
+        r.getAs[Int]("rank_in_group"))).toSet
+    assert(out == Set(
+      ("a", 2L, 1), ("a", 3L, 2),   // top-2 by score, id order stable
+      ("b", 6L, 1), ("b", 5L, 2),   // whole group under the cap
+      ("c", 7L, 1)))
+    // ties broken by id: two equal scores keep the lower id first
+    val tied = Seq((1L, "t", 9L), (2L, "t", 9L), (3L, "t", 9L))
+      .toDF("id", "grp", "score")
+    val kept = Sampling.capPerGroup(tied, "grp",
+        Seq(col("score").desc, col("id").asc), 2)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(kept == Set(1L, 2L))
+  }
 }
