@@ -17,13 +17,14 @@ object BpeVocabGen {
     val out = args.lift(2).getOrElse("src/main/resources/graft/bpe_merges.tsv")
     val spark = GraftSession.builder(master = "local[8]").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val corpus = GraftSession.table(spark, sfDir, "documents")
-      .select(col("text")).collect().map(_.getString(0)).toSeq
-    val merges = BpeTrainer.learn(corpus, numMerges)
+    val corpus = GraftSession.table(spark, sfDir, "documents").select(col("text"))
+    // distributed trainer: the corpus never leaves the cluster (only pair
+    // statistics do); spec-pinned equal to BpeTrainer.learn
+    val merges = BpeTrainer.learnDistributed(corpus, "text", numMerges)
     val outPath = java.nio.file.Paths.get(out)
     java.nio.file.Files.createDirectories(outPath.getParent)
     BpeTrainer.save(merges, outPath)
-    println(s"[bpe] learned ${merges.size} merges from ${corpus.size} docs -> $out")
+    println(s"[bpe] learned ${merges.size} merges -> $out")
     spark.stop()
   }
 }

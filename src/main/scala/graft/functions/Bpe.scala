@@ -119,12 +119,42 @@ object BpeTokenizer {
 
 /** Classic BPE training: repeatedly merge the most frequent adjacent
   * symbol pair (ties broken lexicographically, so the learned table is
-  * deterministic). Driver-side — vocabulary building is an offline step
-  * over a bounded sample, not a per-query path; at 100 TB the pair
-  * counting would run as two-round Spark aggregations, but the merge
-  * table it produces is the same artifact this produces from a sample.
+  * deterministic). [[learn]] is the driver-side reference;
+  * [[learnDistributed]] runs the identical algorithm over a DataFrame
+  * with map-side pair counting, so at 100 TB the corpus never leaves
+  * the cluster — only pair statistics do.
   */
 object BpeTrainer {
+
+  /** Accumulate one document's adjacent-pair counts into `into`,
+    * left-to-right with the non-overlap rule (aaa = ONE "aa", matching
+    * what a replace pass would actually consume). SHARED by the driver
+    * and distributed trainers so their counting can never diverge.
+    */
+  private def countPairsInto(t: String,
+      into: scala.collection.mutable.Map[(Char, Char), Long]): Unit = {
+    var i = 0
+    while (i < t.length - 1) {
+      val key = (t(i), t(i + 1))
+      into(key) = into.getOrElse(key, 0L) + 1L
+      // skip the middle of an overlapping run (aaa = one "aa" for a
+      // left-to-right replace pass, not two)
+      if (t(i) == t(i + 1) && i + 2 < t.length && t(i + 2) == t(i)) i += 1
+      i += 1
+    }
+  }
+
+  /** Pick the winning pair: most frequent, then lexicographically first —
+    * or None if merging can't help (no pair occurs twice). Shared
+    * tie-break for both trainers. */
+  private def argmax(counts: Iterable[((Char, Char), Long)]): Option[(Char, Char)] =
+    if (counts.isEmpty) None
+    else {
+      val ((a, b), n) = counts.maxBy { case ((a, b), n) =>
+        (n, -a.toInt, -b.toInt)
+      }
+      if (n < 2) None else Some((a, b))
+    }
 
   def learn(corpus: Seq[String], numMerges: Int): Seq[(String, String)] = {
     corpus.foreach(s => require(!s.exists(c => c >= 0xE000 && c <= 0xF8FF),
@@ -136,24 +166,10 @@ object BpeTrainer {
     var done = false
     while (r < numMerges && !done) {
       val counts = scala.collection.mutable.HashMap.empty[(Char, Char), Long]
-        .withDefaultValue(0L)
-      texts.foreach { t =>
-        var i = 0
-        while (i < t.length - 1) {
-          counts((t(i), t(i + 1))) += 1
-          // skip the middle of an overlapping run (aaa = one "aa" for a
-          // left-to-right replace pass, not two)
-          if (t(i) == t(i + 1) && i + 2 < t.length && t(i + 2) == t(i)) i += 1
-          i += 1
-        }
-      }
-      if (counts.isEmpty) done = true
-      else {
-        val ((a, b), n) = counts.maxBy { case ((a, b), n) =>
-          (n, -a.toInt, -b.toInt) // most frequent, then lexicographically first
-        }
-        if (n < 2) done = true // merging singletons helps nothing
-        else {
+      texts.foreach(countPairsInto(_, counts))
+      argmax(counts) match {
+        case None => done = true
+        case Some((a, b)) =>
           val symbol = (0xE000 + r).toChar
           val search = s"$a$b"
           texts = texts.map(_.replace(search, symbol.toString))
@@ -161,7 +177,64 @@ object BpeTrainer {
           merges += ((tok(a), tok(b)))
           tokenOf(symbol) = tok(a) + tok(b)
           r += 1
-        }
+      }
+    }
+    merges.result()
+  }
+
+  /** Distributed trainer — identical output to [[learn]] (same counting,
+    * same tie-break; the equality is spec-pinned), but the corpus never
+    * leaves the cluster. Per round:
+    *
+    *   1. pair counting: `mapPartitions` accumulates a per-task hashmap
+    *      (map-side combine — the map-reduce wordcount shape), so the
+    *      shuffle carries only DISTINCT (pair, count) rows per task,
+    *      bounded by alphabet², never corpus size;
+    *   2. the tiny aggregated count relation (≤ a few thousand rows)
+    *      is collected and the winner picked with [[argmax]] — the only
+    *      driver-side data is pair statistics, never text;
+    *   3. the merge is applied as one codegen'd `replace` projection and
+    *      the result `localCheckpoint`ed, so round r+1 counts a
+    *      materialized corpus instead of replaying r replace passes
+    *      (lineage stays O(1) per round — at 100 TB swap the local
+    *      checkpoint for a reliable one or a table write).
+    *
+    * numMerges rounds = numMerges corpus passes, the same asymptotics as
+    * [[learn]]; each pass is a full-parallel scan.
+    */
+  def learnDistributed(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      numMerges: Int): Seq[(String, String)] = {
+    import org.apache.spark.sql.Encoders
+    require(docs.filter(col(textCol).rlike("[\\uE000-\\uF8FF]")).isEmpty,
+      "corpus collides with the BPE symbol space U+E000..U+F8FF")
+    var texts = graft.Parallelism.fanOut(
+      docs.select(col(textCol).cast("string").as("t")).na.drop())
+    val merges = Seq.newBuilder[(String, String)]
+    val tokenOf = scala.collection.mutable.HashMap.empty[Char, String]
+    var r = 0
+    var done = false
+    while (r < numMerges && !done) {
+      val counts = texts.select(col("t")).as(Encoders.STRING)
+        .mapPartitions { it =>
+          val m = scala.collection.mutable.HashMap.empty[(Char, Char), Long]
+          it.foreach(countPairsInto(_, m))
+          m.iterator.map { case ((a, b), n) => (a.toInt, b.toInt, n) }
+        }(Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt, Encoders.scalaLong))
+        .toDF("a", "b", "n")
+        .groupBy("a", "b").agg(sum("n").as("n"))
+        .collect()
+        .map(row => ((row.getInt(0).toChar, row.getInt(1).toChar), row.getLong(2)))
+      argmax(counts) match {
+        case None => done = true
+        case Some((a, b)) =>
+          val symbol = (0xE000 + r).toChar
+          texts = texts
+            .select(replace(col("t"), lit(s"$a$b"), lit(symbol.toString)).as("t"))
+            .localCheckpoint()
+          def tok(c: Char) = tokenOf.getOrElse(c, c.toString)
+          merges += ((tok(a), tok(b)))
+          tokenOf(symbol) = tok(a) + tok(b)
+          r += 1
       }
     }
     merges.result()

@@ -37,6 +37,32 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("distributed trainer == driver trainer: same merges on a corpus " +
+      "with ties, runs, and early exhaustion") {
+    import spark.implicits._
+    // ties ("xy" vs "yx" same count -> lexicographic), runs ("aaaa"
+    // exercises the overlap discount), multi-round merge-of-merge
+    val corpus = Seq("aaab aaab", "aab ab ab", "xy yx xy yx",
+      "aaaa aaaa", "cd cd cd", "unique")
+    val driver = BpeTrainer.learn(corpus, 12)
+    val dist = BpeTrainer.learnDistributed(
+      corpus.toDF("text").repartition(3), "text", 12)
+    assert(dist == driver)
+    // exhaustion: a corpus with no repeating pair stops early on both
+    val tiny = Seq("ab", "cd", "ef")
+    assert(BpeTrainer.learnDistributed(tiny.toDF("text"), "text", 8) ==
+      BpeTrainer.learn(tiny, 8))
+  }
+
+  test("distributed trainer reproduces the driver vocab on real docs") {
+    val docs = graft.GraftSession.table(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("text")).limit(120)
+    val corpus = docs.collect().map(_.getString(0)).toSeq
+    val n = 16 // enough rounds to hit merge-of-merge on the real corpus
+    assert(BpeTrainer.learnDistributed(docs, "text", n) ==
+      BpeTrainer.learn(corpus, n))
+  }
+
   test("column encode == driver encode on the real corpus (shipped vocab)") {
     val t = graft.operators.TextOps.bpe
     assert(t.passes.nonEmpty)
