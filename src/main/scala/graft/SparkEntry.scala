@@ -1034,6 +1034,30 @@ object SparkEntry {
           FROM documents)
         WHERE rank_in_group <= 10 ORDER BY source, rank_in_group""")),
 
+    // Weighted sampling without replacement (Efraimidis–Spirakis A-ES with
+    // a deterministic hash uniform): sample 50 docs with inclusion odds
+    // proportional to length. key = ln(u)/w reduces to (micro-rounded
+    // ln(h+1) - ln(2^60) integers)/w — one exact double division, so both
+    // engines rank identically; top-k plans as TakeOrderedAndProject
+    // (per-task k rows, no global sort).
+    "q70_weighted_sample" -> Q(
+      (s, dir) => Sampling.weightedSample(
+          t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+          "doc_id", "n_chars", 50, "ws")
+        .orderBy("sample_rank"),
+      Some("""WITH h AS (SELECT doc_id, source, n_chars,
+            CAST('0x' || substr(md5('ws:' || doc_id), 1, 15) AS BIGINT) AS h
+          FROM documents),
+        keyed AS (SELECT doc_id, source, n_chars,
+            CAST(CAST(round(ln(h + 1) * 1000000) AS BIGINT) - 41588831 AS DOUBLE)
+              / n_chars AS key
+          FROM h)
+        SELECT doc_id, source, n_chars, sample_rank FROM (
+          SELECT doc_id, source, n_chars,
+                 row_number() OVER (ORDER BY key DESC, doc_id) AS sample_rank
+          FROM keyed)
+        WHERE sample_rank <= 50 ORDER BY sample_rank""")),
+
     // Fuzzy benchmark decontamination: training docs whose 3-gram Jaccard
     // vs ANY eval doc (doc_id % 5 = 0 plays the benchmark) clears 0.8 —
     // catches the paraphrased leakage q54's verbatim 8-gram rule misses.

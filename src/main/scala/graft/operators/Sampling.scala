@@ -94,6 +94,46 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    * each row gets key = ln(u)/w for a uniform u and weight w, and the
+    * k largest keys are the sample — inclusion odds scale with weight,
+    * no replacement, single pass. Deterministic twist: u is the salted
+    * row hash mapped into (0, 1], so the sample is a pure row function
+    * (stable across runs/partitionings/engines) like every sampler here.
+    *
+    * Engine-exactness: u = (h+1)/2^60 means ln(u) = ln(h+1) - 60·ln 2 —
+    * a log of an INTEGER, which both engines round to micro-units before
+    * use (the q62 libm-proofing trick), minus an integer constant. The
+    * key is then (integer difference)/w: one exact double division, so
+    * ranking agrees bit-for-bit cross-engine. Weights must be positive
+    * integers (doc length, quality grade); id breaks ties.
+    *
+    * Scale shape: keys are a pure projection; the top-k is a single
+    * TopK sort (Spark plans global-limit-after-local-limit, so each
+    * task forwards at most k rows — no full sort at 100 TB).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, salt: String): DataFrame = {
+    require(k > 0, s"sample size must be positive: $k")
+    // round(60*ln(2)*1e6): ln(2^60) in the same micro-unit lattice
+    val ln2to60Micro = 41588831L
+    val lnMicro = round(log(saltedH60(col(idCol), salt) + lit(1)) * lit(1e6))
+      .cast("long")
+    val key = (lnMicro - lit(ln2to60Micro)).cast("double") /
+      col(weightCol).cast("double")
+    // sort+limit plans as TakeOrderedAndProject: each task forwards at
+    // most k rows, the driver merges — never a global sort. (A global
+    // row_number window here would funnel ALL rows through one task.)
+    val top = df.withColumn("__key", key)
+      .orderBy(col("__key").desc, col(idCol))
+      .limit(k)
+    // ranking the k survivors is a k-row window — driver-trivial
+    top.withColumn("sample_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__key").desc, col(idCol))))
+      .drop("__key")
+  }
+
   /** Per-group quota cap by an explicit QUALITY ordering — the web-crawl
     * "no domain may dominate the corpus" rule (cap documents per
     * source/domain, keeping the best-ranked ones), vs [[stratifiedSample]]

@@ -105,6 +105,30 @@ class SamplingSpec extends SparkSpec {
     assert(repartitioned.count() == out.count())
   }
 
+  test("weightedSample: inclusion tracks weight, sample is exact-size, " +
+      "stable across partitionings, and plans as distributed top-k") {
+    import spark.implicits._
+    // 2000 light rows (w=10) vs 2000 heavy rows (w=100): heavy rows
+    // should dominate a 400-row sample roughly 10:1
+    val rows = (0L until 4000L).map(i =>
+      (i, if (i < 2000) 10L else 100L)).toDF("id", "w")
+    val out = Sampling.weightedSample(rows, "id", "w", 400, "t")
+    val picked = out.collect()
+    assert(picked.length == 400)
+    assert(picked.map(_.getAs[Int]("sample_rank")).sorted.toSeq == (1 to 400))
+    val heavy = picked.count(_.getAs[Long]("w") == 100L)
+    assert(heavy > 300, s"heavy rows under-sampled: $heavy/400") // E≈364
+    // determinism: same sample whatever the physical layout
+    val again = Sampling.weightedSample(rows.repartition(13), "id", "w", 400, "t")
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(again == picked.map(_.getAs[Long]("id")).toSet)
+    // scale shape: top-k must plan as TakeOrderedAndProject, not a
+    // global sort or single-task window
+    val plan = Sampling.weightedSample(rows, "id", "w", 400, "t")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("capPerGroup: keeps the cap best rows per group by the given " +
       "ordering, small groups survive whole, ranks are 1..n") {
     import spark.implicits._
