@@ -1034,6 +1034,26 @@ object SparkEntry {
           FROM documents)
         WHERE rank_in_group <= 10 ORDER BY source, rank_in_group""")),
 
+    // N-gram novelty: fraction of each doc's distinct 3-grams occurring in
+    // no other document — the corpus-level boilerplate/originality signal.
+    // One shuffle on the gram hash (window df), one on the doc id.
+    "q71_ngram_novelty" -> Q(
+      (s, dir) => TextOps.ngramNovelty(t(s, dir, "documents"),
+          "doc_id", "text", 3)
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
+               FROM documents),
+        grams AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, greatest(len(l) - 1, 1)),
+                 i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS g
+               FROM toks WHERE len(l) >= 3),
+        sh AS (SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS sh FROM grams),
+        wdf AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY sh) AS df FROM sh)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+               CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS novelty
+        FROM wdf GROUP BY doc_id ORDER BY doc_id""")),
+
     // Weighted sampling without replacement (Efraimidis–Spirakis A-ES with
     // a deterministic hash uniform): sample 50 docs with inclusion odds
     // proportional to length. key = ln(u)/w reduces to (micro-rounded

@@ -385,4 +385,30 @@ object TextOps {
       .filter(col("__full") === w || (col("__n") < w && col("pos") === 0))
       .select("id", "fp").distinct()
   }
+
+  /** N-gram novelty: per document, the fraction of its DISTINCT word
+    * n-grams that occur in no other document — high novelty = original
+    * prose, low novelty = boilerplate/templated/duplicated content (the
+    * corpus-level complement of [[repetitionSignals]]' within-doc view;
+    * a standard web-curation quality signal).
+    *
+    * Plan shape: the posting relation (one row per distinct (doc, gram))
+    * gets its corpus document-frequency via a window count over the gram
+    * hash — ONE shuffle, whose partitioning-by-gram is exactly what the
+    * fuzzy-dedup paths also key on — then a per-doc aggregate (second
+    * shuffle on doc id). Nothing is ever joined against the cross
+    * product, and the gram strings themselves travel as 60-bit hashes.
+    * novelty = exact double division of two exact counts.
+    */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val sh = Dedup.shingleSets(docs, idCol, textCol, n)
+    val withDf = sh.withColumn("__df", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+    withDf.groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty",
+        col("n_unique").cast("double") / col("n_grams"))
+  }
 }

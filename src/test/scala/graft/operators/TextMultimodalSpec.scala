@@ -194,4 +194,22 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out(1L) == ((5L, 1L, 0.0)))
     assert(!out.contains(2L))
   }
+
+  test("ngramNovelty: shared grams zero out novelty, unique prose scores 1") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),      // shares both grams with doc 1
+      (1L, "alpha beta gamma delta"),      // exact dup of 0 → novelty 0
+      (2L, "wholly original text here"),   // no gram shared → novelty 1
+      (3L, "alpha beta gamma nine ten"),   // 1 of 3 grams shared with 0/1
+      (4L, "too short")).toDF("doc_id", "text") // < 3 tokens → absent
+    val out = TextOps.ngramNovelty(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(0L) == ((2L, 0L, 0.0)))
+    assert(out(1L) == ((2L, 0L, 0.0)))
+    assert(out(2L) == ((2L, 2L, 1.0)))
+    assert(out(3L)._1 == 3L && out(3L)._2 == 2L) // "beta gamma nine","gamma nine ten"
+    assert(!out.contains(4L))
+  }
 }
