@@ -89,8 +89,11 @@ object Temporal {
     *     distinguishes carried rows. A genuinely-NULL observed value is
     *     carried as the struct, same contract as [[asofJoin]].
     *
-    * One shuffle on the key for the spine + one for the per-hour
-    * keep-last; the forward-fill window rides the same key partitioning.
+    * The raw input is scanned and shuffled ONCE (the per-hour keep-last):
+    * the spine's min/max derive from the keep-last output — the set of
+    * (key, hour) rows it keeps is exactly the set of active hours — so
+    * Catalyst reuses the keep-last exchange for both the join side and
+    * the spine aggregate instead of re-reading the events table.
     */
   def gapFillHourly(df: DataFrame, key: String, tsCol: String,
       valCol: String, tieCol: String): DataFrame = {
@@ -106,8 +109,8 @@ object Temporal {
       .filter(col("__rn") === 1)
       .select(col(key), col("__hour"),
         struct(col(valCol).as("v")).as("__obs"))
-    val spine = df.groupBy(col(key))
-      .agg(min(hour).as("__lo"), max(hour).as("__hi"))
+    val spine = perHour.groupBy(col(key))
+      .agg(min(col("__hour")).as("__lo"), max(col("__hour")).as("__hi"))
       .select(col(key),
         explode(sequence(col("__lo"), col("__hi"),
           expr("INTERVAL 1 HOUR"))).as("__hour"))
