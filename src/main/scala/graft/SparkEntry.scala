@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
-import graft.operators.{Analytics, Clean, Curation, Dedup, Graphs, Multimodal, Quality, Sampling, Similarity, Temporal, TextOps, Warehouse}
+import graft.operators.{Analytics, Clean, Curation, Dedup, Graphs, Joins, Multimodal, Quality, Sampling, Similarity, Temporal, TextOps, Warehouse}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1033,6 +1033,35 @@ object SparkEntry {
                    ORDER BY n_chars DESC, doc_id) AS rank_in_group
           FROM documents)
         WHERE rank_in_group <= 10 ORDER BY source, rank_in_group""")),
+
+    // Range join via covering-bucket equi-join: orders priced into
+    // irregular bands WITHOUT the nested-loop join Spark plans for
+    // non-equi conditions — each band replicates into the fixed-width
+    // buckets it overlaps, the join is a plain equi-join on the bucket,
+    // and the residual range predicate confirms exactly.
+    "q72_range_join_bands" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val bands = Seq(
+          ("b1_tiny", 0.0, 40000.0), ("b2_small", 40000.0, 110000.0),
+          ("b3_mid", 110000.0, 190000.0), ("b4_large", 190000.0, 310000.0),
+          ("b5_huge", 310000.0, 500000.0)
+        ).toDF("band", "lo", "hi")
+        Joins.rangeJoin(t(s, dir, "orders"), "o_totalprice",
+            bands, "lo", "hi", 25000.0)
+          .groupBy("band")
+          .agg(count(lit(1)).as("n_orders"),
+            Analytics.exactSum(col("o_totalprice")).as("revenue"))
+          .orderBy("band")
+      },
+      Some("""WITH bands(band, lo, hi) AS (VALUES
+          ('b1_tiny', 0.0, 40000.0), ('b2_small', 40000.0, 110000.0),
+          ('b3_mid', 110000.0, 190000.0), ('b4_large', 190000.0, 310000.0),
+          ('b5_huge', 310000.0, 500000.0))
+        SELECT band, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(24,2))) AS DOUBLE) AS revenue
+        FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+        GROUP BY band ORDER BY band""")),
 
     // N-gram novelty: fraction of each doc's distinct 3-grams occurring in
     // no other document — the corpus-level boilerplate/originality signal.
