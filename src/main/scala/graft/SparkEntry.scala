@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
-import graft.operators.{Analytics, Clean, Curation, Dedup, Graphs, Joins, Multimodal, Quality, Sampling, Similarity, Temporal, TextOps, Warehouse}
+import graft.operators.{Analytics, Clean, Curation, Dedup, Graphs, Joins, Multimodal, Quality, Sampling, Similarity, Sketches, Temporal, TextOps, Warehouse}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1307,6 +1307,25 @@ object SparkEntry {
         approx_count_distinct(col("user_id")).as("approx_users"),
         approx_count_distinct(col("props")).as("approx_props"),
         count(lit(1)).as("n")),
+      None),
+
+    // Approximate per-group quantiles — the fixed-memory scale path next
+    // to q37's exact percentile (which buffers every value per group).
+    // Approximate ⇒ rows-only; QualitySpec bounds the rank error vs the
+    // exact quantiles (twin pattern of q31/q46).
+    "q73_approx_quantiles" -> Q(
+      (s, dir) => Sketches.approxQuantilesByGroup(
+          t(s, dir, "documents"), "source", "n_chars", 100)
+        .orderBy("source"),
+      None),
+
+    // Heavy hitters with Count-Min-Sketch verification: exact top-25
+    // tokens probed against a one-pass fixed-memory CMS of the full
+    // token stream. Approximate ⇒ rows-only; QualitySpec enforces the
+    // CMS contract (never under, over by <= eps*N).
+    "q74_heavy_hitters_cms" -> Q(
+      (s, dir) => Sketches.heavyHittersCms(
+        t(s, dir, "documents"), "text", 25, 0.001, 0.99),
       None),
 
     // Correlated subqueries: EXISTS + NOT EXISTS through the SQL surface.

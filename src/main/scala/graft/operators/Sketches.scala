@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sketch-based scale paths for aggregations whose exact forms need a
+  * full shuffle or sort. Together with the HLL distinct sketch (q46),
+  * the Bloom incremental-dedup probe, MinHash/SimHash signatures, and
+  * the winnowing fingerprints, this completes the classic sketch family.
+  *
+  * Sketch results are APPROXIMATE — they get rows-only driver checks,
+  * and their error contracts are enforced by ScalaTest bounds against
+  * the exact operators (the same twin pattern as q31 IVF vs q24 exact).
+  */
+object Sketches {
+
+  /** Heavy hitters with Count-Min-Sketch verification: the exact top-k
+    * tokens (one aggregate — the candidate set), each probed against a
+    * CMS of the FULL token stream. At 100 TB the exact aggregate over
+    * all distinct tokens is the expensive part; the CMS is one pass with
+    * fixed memory (d·w counters), so the scale deployment keeps only a
+    * cheap candidate-generation pass (per-partition local top-m, or a
+    * prior vocabulary) and recounts candidates through the sketch.
+    * CMS contract: estimate >= true count, and <= true + eps·N with
+    * probability >= confidence — the spec enforces both sides.
+    *
+    * Returns (token, n_exact, n_cms), exact-descending.
+    */
+  def heavyHittersCms(df: DataFrame, textCol: String, k: Int,
+      eps: Double, confidence: Double): DataFrame = {
+    val toks = graft.Parallelism.fanOut(df.select(col(textCol).as("__t")))
+      .select(explode(split(lower(trim(col("__t"))), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+    val cms = toks.stat.countMinSketch(col("token"), eps, confidence, 42)
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(cms)
+    val top = toks.groupBy("token").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("token"))
+      .limit(k)
+    import org.apache.spark.sql.Encoders
+    val probe = top.select(col("token"), col("n_exact")).as(
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+    probe.map { case (t, n) => (t, n, bc.value.estimateCount(t)) }(
+        Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong))
+      .toDF("token", "n_exact", "n_cms")
+      .orderBy(col("n_exact").desc, col("token"))
+  }
+
+  /** Approximate per-group quantiles: `approx_percentile` with an
+    * explicit `accuracy` knob (rank error <= n/accuracy) — the scale
+    * path beside q37's exact `percentile`, which buffers every value
+    * per group. Output shape mirrors the exact form so the two are
+    * drop-in swappable; the spec bounds the rank error against the
+    * exact quantiles.
+    */
+  def approxQuantilesByGroup(df: DataFrame, groupCol: String,
+      valCol: String, accuracy: Int): DataFrame =
+    df.groupBy(groupCol)
+      .agg(expr(s"approx_percentile($valCol, 0.5, $accuracy)").as("p50"),
+        expr(s"approx_percentile($valCol, 0.9, $accuracy)").as("p90"),
+        max(col(valCol)).as("max_val"))
+}

@@ -82,4 +82,49 @@ class QualitySpec extends SparkSpec {
     assert(r.getAs[Double]("mad") == 1.0)
     assert(r.getAs[Long]("n_outliers") == 1) // only the 10000 (adev 9900 > 3*MAD)
   }
+
+  test("approxQuantilesByGroup: rank error within n/accuracy of the " +
+      "exact quantiles (the q73 contract)") {
+    import spark.implicits._
+    val n = 2000
+    val acc = 100
+    // heavy-tailed values so approx vs exact can actually differ
+    val df = (0 until n).map(i => ("g", (i * i).toLong)).toDF("grp", "v")
+    val sorted = (0 until n).map(i => (i.toLong * i)).sorted
+    val out = graft.operators.Sketches.approxQuantilesByGroup(df, "grp", "v", acc)
+      .collect()(0)
+    val slack = n / acc + 1
+    for ((p, got) <- Seq(0.5 -> out.getAs[Long]("p50"), 0.9 -> out.getAs[Long]("p90"))) {
+      val r = math.ceil(p * n).toInt - 1
+      val lo = sorted(math.max(0, r - slack))
+      val hi = sorted(math.min(n - 1, r + slack))
+      assert(got >= lo && got <= hi, s"p=$p got=$got not in [$lo,$hi]")
+    }
+    assert(out.getAs[Long]("max_val") == sorted.last)
+  }
+
+  test("heavyHittersCms: estimates never undercount and overshoot by " +
+      "at most eps*N (the q74 contract)") {
+    import spark.implicits._
+    // zipf-ish: token t_i appears ~ n/i times
+    val words = (1 to 40).flatMap(i => Seq.fill(400 / i)(s"t$i"))
+    val docs = words.grouped(25).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val eps = 0.01
+    val total = words.size
+    val out = graft.operators.Sketches.heavyHittersCms(docs, "text", 10, eps, 0.99)
+      .collect()
+    assert(out.length == 10)
+    val exactTop = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    out.foreach { r =>
+      val (tok, nEx, nCms) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(nEx == exactTop(tok))
+      assert(nCms >= nEx, s"$tok: CMS undercounted $nCms < $nEx")
+      assert(nCms <= nEx + math.ceil(eps * total).toLong,
+        s"$tok: CMS overshoot $nCms vs $nEx + ${eps * total}")
+    }
+    // the exact column really is the descending top-10
+    assert(out.map(_.getLong(1)).toSeq == out.map(_.getLong(1)).sortBy(-_).toSeq)
+  }
 }
