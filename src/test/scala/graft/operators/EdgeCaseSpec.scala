@@ -131,4 +131,29 @@ class EdgeCaseSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(out == Set(1L, 3L))
   }
+
+  test("session-3 ops: null text, empty benchmark, and oversized sample " +
+      "degrade cleanly, never throw") {
+    import spark.implicits._
+    val docs = Seq((1L, Option("alpha beta gamma delta")), (2L, None),
+      (3L, Option("alpha beta gamma delta")))
+      .toDF("doc_id", "text")
+    // novelty: null text drops out; the two dups zero each other
+    val nov = TextOps.ngramNovelty(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(nov == Map(1L -> 0.0, 3L -> 0.0))
+    // fuzzy decontamination vs an EMPTY benchmark: nothing is flagged
+    val noBench = docs.filter(lit(false))
+    assert(Dedup.fuzzyDecontaminate(docs, noBench, "doc_id", "text",
+      3, 64, 16, 0.8).isEmpty)
+    // weighted sample with k > n: everything sampled, ranks complete;
+    // null-weight rows sink to the end rather than exploding
+    val weighted = Seq((1L, Option(5L)), (2L, Option(9L)), (3L, Option.empty[Long]))
+      .toDF("id", "w")
+    val ws = Sampling.weightedSample(weighted, "id", "w", 10, "e")
+      .collect().map(r => r.getLong(0) -> r.getInt(r.fieldIndex("sample_rank"))).toMap
+    assert(ws.keySet == Set(1L, 2L, 3L))
+    assert(ws.values.toSeq.sorted == Seq(1, 2, 3))
+    assert(ws(3L) == 3) // null key ranks last
+  }
 }
