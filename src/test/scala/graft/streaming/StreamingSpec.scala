@@ -126,6 +126,50 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Set(2L, 4L))
   }
 
+  test("HeavyHitters: state stays bounded at m counters per bucket, " +
+      "space-saving guarantees hold across checkpointed micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // zipf-ish token stream, fed TWICE as separate micro-batches through
+    // a shared checkpoint; m is far smaller than the distinct-token
+    // count so eviction must happen
+    val zipf = (1 to 20).flatMap(i => Seq.fill(40 / i)(s"tok$i"))
+    val mem = MemoryStream[String]
+    val byBatch = scala.collection.mutable.Map.empty[Long, Array[(Int, String, Long, Long)]]
+    val q = HeavyHitters.topTokensStream(mem.toDS(), 2, 4)
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[HeavyHitter], id: Long) =>
+        byBatch.synchronized {
+          byBatch(id) = df.collect().map(h => (h.bucket, h.token, h.count, h.err))
+        }
+        ()
+      }
+      .start()
+    mem.addData(zipf: _*)
+    q.processAllAvailable()
+    mem.addData(zipf: _*) // second micro-batch: state must carry over
+    q.processAllAvailable()
+    q.stop()
+    // assert on the FINAL snapshot only (update mode re-emits per batch)
+    val snap = byBatch(byBatch.keys.max)
+    assert(snap.nonEmpty)
+    // bounded state: at most m counters per bucket, ever
+    snap.groupBy(_._1).foreach { case (b, rows) =>
+      assert(rows.length <= 4, s"bucket $b overflowed: ${rows.length}")
+    }
+    // guarantees vs the TOTAL (both batches) truth: estimate never below
+    // true, and count - err is a certified lower bound
+    val truth = (zipf ++ zipf).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    snap.foreach { case (_, tok, c, e) =>
+      val t = truth(tok)
+      assert(c >= t, s"$tok: estimate $c below true $t")
+      assert(c - e <= t, s"$tok: lower bound ${c - e} above true $t")
+    }
+    // the overall top token cannot be evicted (tok1: 80 occurrences >
+    // any possible N_bucket/m)
+    assert(snap.exists(_._2 == "tok1"))
+  }
+
   test("intervalJoin tolerates both sides naming their event-time column " +
       "identically (references are side-qualified)") {
     import spark.implicits._
