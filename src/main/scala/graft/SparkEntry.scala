@@ -1355,6 +1355,27 @@ object SparkEntry {
         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         ORDER BY rf, ls""")),
 
+    // Explicit GROUPING SETS (the general form rollup/cube specialize):
+    // per-source, per-lang, the cross, and the grand total in ONE pass —
+    // Spark expands the sets before a single shuffle, same as q35/q48.
+    "q75_grouping_sets" -> Q(
+      (s, dir) => {
+        t(s, dir, "documents").createOrReplaceTempView("documents")
+        s.sql("""SELECT COALESCE(source, 'ALL') AS source,
+            COALESCE(lang, 'ALL') AS lang,
+            COUNT(*) AS n, SUM(n_chars) AS total_chars
+          FROM documents
+          GROUP BY GROUPING SETS ((source), (lang), (source, lang), ())
+          ORDER BY source, lang""")
+      },
+      Some("""SELECT COALESCE(source, 'ALL') AS source,
+          COALESCE(lang, 'ALL') AS lang,
+          CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY GROUPING SETS ((source), (lang), (source, lang), ())
+        ORDER BY source, lang""")),
+
     // Anti-join (the relational complement of q11's whitelist semi-join):
     // churned customers — no order since 1999 — as a left_anti against the
     // date-filtered fact (the filter pushes to the scan; the anti side
