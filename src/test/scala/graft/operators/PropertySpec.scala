@@ -131,4 +131,34 @@ class PropertySpec extends SparkSpec {
       assert(chunks.init.forall(_.size == w))
     }
   }
+
+  test("property: rangeJoin == naive non-equi join on random facts, " +
+      "intervals, and bucket widths") {
+    import spark.implicits._
+    val gen = for {
+      nFacts <- Gen.choose(0, 60)
+      facts <- Gen.listOfN(nFacts, Gen.choose(-100.0, 100.0))
+      nDims <- Gen.choose(0, 12)
+      dims <- Gen.listOfN(nDims, for {
+        lo <- Gen.choose(-120.0, 110.0)
+        len <- Gen.choose(0.0, 60.0)
+      } yield (lo, lo + len))
+      width <- Gen.oneOf(0.7, 3.0, 17.0, 250.0)
+    } yield (facts, dims, width)
+    forAll(gen, n = 10) { case (facts, dims, width) =>
+      val factDf = facts.zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      val dimDf = dims.zipWithIndex
+        .map { case ((lo, hi), i) => (s"d$i", lo, hi) }.toDF("band", "lo", "hi")
+      val naive = factDf.join(dimDf,
+          col("v") >= col("lo") && col("v") < col("hi"))
+        .select("id", "band").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val bucketed = Joins.rangeJoin(factDf, "v", dimDf, "lo", "hi", width)
+        .select("id", "band").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(bucketed == naive,
+        s"width=$width facts=${facts.size} dims=$dims")
+    }
+  }
 }
