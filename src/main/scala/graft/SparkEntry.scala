@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
-import graft.operators.{Analytics, Clean, Curation, Dedup, Graphs, Joins, Multimodal, Quality, Sampling, Similarity, Sketches, Temporal, TextOps, Warehouse}
+import graft.operators.{Analytics, Clean, Curation, Dedup, Graphs, Joins, Multimodal, Quality, Sampling, Similarity, Sketches, Skew, Temporal, TextOps, Warehouse}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1416,6 +1416,56 @@ object SparkEntry {
         SELECT label, u.pos AS pos,
           SUM(u.v) / COUNT(*) / 1e7 AS centroid, COUNT(*) AS n_vecs
         FROM e GROUP BY label, u.pos ORDER BY label, pos""")),
+
+    // Skew-safe join must be SEMANTICALLY TRANSPARENT: q76 runs the salted
+    // form (hot keys spread across 8 shuffle partitions) against the plain
+    // join's oracle — identical revenue per nation or the salting leaked.
+    "q76_salted_join" -> Q(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+        val c = t(s, dir, "customer")
+          .select(col("c_custkey").as("custkey"), col("c_nationkey"))
+        Skew.saltedJoin(o, c, "custkey", 8)
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_orders"),
+            Analytics.exactSum(col("o_totalprice")).as("revenue"))
+          .orderBy("c_nationkey")
+      },
+      Some("""SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(24,2))) AS DOUBLE) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
+    // One distributed Lloyd (k-means) iteration, bit-exact cross-engine:
+    // quantized-grid distances make the argmin assignment and the
+    // per-dimension means exact (see Similarity.lloydStep scaladoc); the
+    // oracle replays assignment via an n×k cross join + rank, the engine
+    // keeps k centroid literals inside codegen and shuffles only the
+    // (cid, dim) means.
+    "q77_kmeans_step" -> Q(
+      (s, dir) => Similarity.lloydStep(t(s, dir, "embeddings"),
+          "vec_id", "embedding", 8)
+        .orderBy("cid", "pos"),
+      Some("""WITH q AS (SELECT vec_id,
+            list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1e7)) AS qv
+          FROM embeddings),
+        seeds AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < 8),
+        scored AS (SELECT q.vec_id, s.cid,
+            list_sum(list_transform(s.cv, x -> x * x))
+              - 2.0 * list_inner_product(q.qv, s.cv) AS d2
+          FROM q CROSS JOIN seeds s),
+        assigned AS (SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM scored) WHERE rn = 1),
+        dims AS (SELECT a.cid,
+            unnest(list_transform(range(0, len(q.qv)),
+              i -> {'pos': i, 'v': q.qv[i + 1]})) AS u
+          FROM q JOIN assigned a ON a.vec_id = q.vec_id)
+        SELECT cid, u.pos AS pos, SUM(u.v) / COUNT(*) / 1e7 AS centroid,
+               COUNT(*) AS n_vecs
+        FROM dims GROUP BY cid, u.pos ORDER BY cid, pos""")),
 
     // Deterministic train/val/test split: assignment is a pure function of
     // (salt, id) — the same document lands in the same split on any

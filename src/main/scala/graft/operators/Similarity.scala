@@ -288,6 +288,47 @@ object Similarity {
       .select("query_id", "id", "cos")
   }
 
+  /** ONE distributed Lloyd (k-means) iteration, oracle-exact: assignment
+    * is argmin over k seed centroids of |v − c|² on the 1e7 quantization
+    * grid, new centroids are the exact per-dimension means of each
+    * cell's members. Seeds are the k lowest-id vectors (deterministic).
+    *
+    * Exactness argument (the reason this is gateable cross-engine where
+    * textbook k-means is not): with quantized integer-valued doubles,
+    * |c|² and v·c are sums of products ≤ 1e14 over ≤ 64 dims — below
+    * 2^53, so EXACT in any summation order; the ranking score
+    * |c|² − 2·v·c is then the same IEEE double in both engines, ties
+    * break on centroid id, and the mean is an exact integer sum divided
+    * by a count. At 100 TB this is also the right plan: k centroid
+    * literals ride inside whole-stage codegen (one `array_dot` each —
+    * no UDF, no crossJoin against a centroid table), and the only
+    * shuffle is the (cid, dim) mean aggregation. Iterating = calling
+    * this again with the output as the next seed table.
+    *
+    * Returns (cid, pos, centroid, n_vecs) — the q50 output shape with a
+    * LEARNED assignment instead of a given label.
+    */
+  def lloydStep(embs: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val seeds = embs.filter(col(idCol) < k)
+      .select(col(idCol).cast("long").as("cid"), quantized(col(vecCol)).as("cv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(seeds.nonEmpty, s"no seed vectors with $idCol < $k")
+    def scores(qv: Column): Column = array(seeds.map { case (cid, cent) =>
+      val cn = cent.map(x => x * x).sum
+      struct((lit(cn) - lit(2.0) * qdot(qv, lit(cent))).as("d2"),
+        lit(cid).as("cid"))
+    }.toIndexedSeq: _*)
+    graft.Parallelism.fanOut(embs.select(col(idCol).as("id"), col(vecCol)))
+      .select(col("id"), quantized(col(vecCol)).as("__qv"))
+      .withColumn("cid", array_min(scores(col("__qv"))).getField("cid"))
+      .select(col("cid"), posexplode(col("__qv")).as(Seq("pos", "v")))
+      .groupBy("cid", "pos")
+      .agg(((sum(col("v")) / count(lit(1))) / lit(1e7)).as("centroid"),
+        count(lit(1)).as("n_vecs"))
+  }
+
   /** Deterministic Lloyd's k-means for the IVF coarse quantizer: centroids
     * seeded from the nlist lowest-id vectors, `iters` assign/update rounds
     * driver-side over a sampled corpus (coarse quantizers train on samples

@@ -136,4 +136,26 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(lsh.subsetOf(exact))
   }
+
+  test("lloydStep: members join their nearest seed, means are exact, " +
+      "and a step from planted clusters recovers the cluster means") {
+    import spark.implicits._
+    // two tight clusters around (1,0) and (0,1); seeds = ids 0 and 1,
+    // one in each cluster
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (4L, Seq(0.8f, 0.0f)),
+      (1L, Seq(0.0f, 1.0f)), (3L, Seq(0.1f, 0.9f)), (5L, Seq(0.0f, 0.8f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.lloydStep(vecs, "vec_id", "embedding", 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3)))
+      .toMap
+    // every (cid, pos) cell has the full cluster membership of 3
+    assert(out.values.forall(_._2 == 3L))
+    // exact means: cluster 0 dims = (1.0+0.9+0.8)/3, (0.0+0.1+0.0)/3
+    assert(math.abs(out((0L, 0))._1 - 0.9) < 1e-9)
+    assert(math.abs(out((0L, 1))._1 - (0.1 / 3)) < 1e-9)
+    assert(math.abs(out((1L, 0))._1 - (0.1 / 3)) < 1e-9)
+    assert(math.abs(out((1L, 1))._1 - 0.9) < 1e-9)
+  }
 }
