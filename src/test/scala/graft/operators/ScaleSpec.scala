@@ -120,4 +120,25 @@ class ScaleSpec extends SparkSpec {
     val r = out.head
     assert(r.getAs[Long]("inter") == 9 && r.getAs[Double]("jaccard") == 9.0 / 11.0)
   }
+
+  test("fuzzyDecontaminate candidate generation broadcasts the benchmark " +
+      "bands — the corpus side never self-joins or shuffle-joins") {
+    import spark.implicits._
+    val docs = (0L until 300L)
+      .map(i => (i, s"filler words number ${i} padding the corpus body"))
+      .toDF("doc_id", "text")
+    val bench = Seq((9000L, "filler words number 7 padding the corpus body"))
+      .toDF("doc_id", "text")
+    val plan = Dedup.fuzzyDecontaminate(docs, bench, "doc_id", "text",
+        3, 64, 16, 0.8)
+      .queryExecution.executedPlan.toString
+    graft.CacheScope.releaseAll()
+    // the band-bucket candidate join must be broadcast (bench side tiny)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // and no plan node joins the corpus banding relation to itself via a
+    // shuffled join on (band, bucket) — the self-join shape would show as
+    // a SortMergeJoin over the two banding branches
+    assert(!plan.contains("SortMergeJoin"),
+      s"unexpected shuffle join in decontamination plan:\n$plan")
+  }
 }
