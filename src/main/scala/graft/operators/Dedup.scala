@@ -347,7 +347,10 @@ object Dedup {
     val sh = graft.CacheScope.register(
       capDf(shingleSets(both, idCol, textCol, n), maxShingleDf))
     val benchIds = benchmark.select(col(idCol).as("id")).distinct()
-    val sigs = minhashSignatures(sh, k)
+    // cached: the signature aggregation (k min-hashes over the postings)
+    // feeds BOTH the corpus and benchmark banding branches — without the
+    // cache each branch would recompute the most expensive stage
+    val sigs = graft.CacheScope.register(minhashSignatures(sh, k))
     val corpusBands = lshBands(
       sigs.join(broadcast(benchIds), Seq("id"), "left_anti"), k, bands)
     val benchBands = lshBands(
