@@ -106,10 +106,13 @@ object Dedup {
       bf.writeTo(out)
       out.toByteArray
     }
-    val fp = graft.Parallelism.fanOut(incoming)
+    // cached: both the provably-fresh and the might-contain branch read
+    // this relation — without the cache the batch would be scanned (and
+    // every row bloom-probed) twice
+    val fp = graft.CacheScope.register(graft.Parallelism.fanOut(incoming)
       .withColumn("fingerprint", fingerprint)
       .withColumn("__maybe",
-        call_function("bloom_might_contain", col("fingerprint"), lit(bytes)))
+        call_function("bloom_might_contain", col("fingerprint"), lit(bytes))))
     val provablyFresh = fp.filter(!col("__maybe")).drop("__maybe")
     val checked = fp.filter(col("__maybe")).drop("__maybe")
       .join(corpus, Seq("fingerprint"), "left_anti")
