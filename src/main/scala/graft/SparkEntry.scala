@@ -407,6 +407,21 @@ object SparkEntry {
                 FROM documents))
         WHERE rn = 1 ORDER BY doc_id""")),
 
+    // Duplication profile (dataset-card staple): how many fingerprint
+    // groups exist at each multiplicity — "how duplicated is this
+    // corpus" in one small table, derived from the q19 grouping.
+    "q78_dup_size_histogram" -> Q(
+      (s, dir) => Dedup.exactByFingerprint(t(s, dir, "documents"), "doc_id",
+          TextFns.prefixFingerprint(col("text"), 80))
+        .groupBy("group_size").agg(count(lit(1)).as("n_groups"))
+        .orderBy("group_size"),
+      Some("""WITH g AS (SELECT
+            md5(substr(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), 1, 80)) AS fp,
+            COUNT(*) AS group_size
+          FROM documents GROUP BY fp)
+        SELECT group_size, CAST(COUNT(*) AS BIGINT) AS n_groups
+        FROM g GROUP BY group_size ORDER BY group_size""")),
+
     // Time-series gap filling: hourly spine per user over their active
     // range, last observation carried forward across silent hours
     // (struct-carry, so a genuinely-NULL observed value is carried, not
