@@ -1482,6 +1482,51 @@ object SparkEntry {
                COUNT(*) AS n_vecs
         FROM dims GROUP BY cid, u.pos ORDER BY cid, pos""")),
 
+    // ITERATIVE k-means (two Lloyd rounds), still bit-exact: each round
+    // re-quantizes the means onto the 1e7 grid (round(sum/n) — identical
+    // IEEE division + half-away rounding in both engines), so round 2's
+    // distances are again exact integer sums. The oracle replays both
+    // rounds of n×k assignment; the engine ships only the k×dims grid
+    // means through the driver between rounds.
+    "q79_kmeans_2rounds" -> Q(
+      (s, dir) => Similarity.lloydIterate(t(s, dir, "embeddings"),
+          "vec_id", "embedding", 8, 2)
+        .orderBy("cid", "pos"),
+      Some("""WITH q AS (SELECT vec_id,
+            list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1e7)) AS qv
+          FROM embeddings),
+        seeds0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < 8),
+        s1 AS (SELECT q.vec_id, s.cid,
+            list_sum(list_transform(s.cv, x -> x * x))
+              - 2.0 * list_inner_product(q.qv, s.cv) AS d2
+          FROM q CROSS JOIN seeds0 s),
+        a1 AS (SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM s1) WHERE rn = 1),
+        d1 AS (SELECT a.cid,
+            unnest(list_transform(range(0, len(q.qv)),
+              i -> {'pos': i, 'v': q.qv[i + 1]})) AS u
+          FROM q JOIN a1 a ON a.vec_id = q.vec_id),
+        m1 AS (SELECT cid, u.pos AS pos, round(SUM(u.v) / COUNT(*)) AS gv
+          FROM d1 GROUP BY cid, u.pos),
+        c1 AS (SELECT cid, list(gv ORDER BY pos) AS cv FROM m1 GROUP BY cid),
+        s2 AS (SELECT q.vec_id, c.cid,
+            list_sum(list_transform(c.cv, x -> x * x))
+              - 2.0 * list_inner_product(q.qv, c.cv) AS d2
+          FROM q CROSS JOIN c1 c),
+        a2 AS (SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM s2) WHERE rn = 1),
+        d2 AS (SELECT a.cid,
+            unnest(list_transform(range(0, len(q.qv)),
+              i -> {'pos': i, 'v': q.qv[i + 1]})) AS u
+          FROM q JOIN a2 a ON a.vec_id = q.vec_id)
+        SELECT cid, u.pos AS pos,
+               round(SUM(u.v) / COUNT(*)) / 1e7 AS centroid, COUNT(*) AS n_vecs
+        FROM d2 GROUP BY cid, u.pos ORDER BY cid, pos""")),
+
     // Deterministic train/val/test split: assignment is a pure function of
     // (salt, id) — the same document lands in the same split on any
     // engine, partitioning, or cluster size (randomSplit cannot promise

@@ -329,6 +329,62 @@ object Similarity {
         count(lit(1)).as("n_vecs"))
   }
 
+  /** ITERATIVE distributed k-means, oracle-exact through every round:
+    * [[lloydStep]]'s exactness argument survives iteration because each
+    * round's new centroids are RE-QUANTIZED onto the 1e7 grid
+    * (`round(sum/n)` — the division is the same IEEE double in both
+    * engines and `round` half-away-from-zero agrees), so round r+1's
+    * scores are again sums of sub-2^53 integer products. Per round: one
+    * distributed assign + (cid, dim) mean shuffle; only the k×dims grid
+    * means (a few KB) visit the driver to become the next round's
+    * codegen literals. Empty clusters drop out (their cid simply stops
+    * existing), matching the SQL replay's join semantics.
+    *
+    * Returns the final round's (cid, pos, centroid, n_vecs) with the
+    * centroid de-quantized (gridmean / 1e7).
+    */
+  def lloydIterate(embs: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val base = graft.CacheScope.register(
+      graft.Parallelism.fanOut(embs.select(col(idCol).as("id"), col(vecCol)))
+        .select(col("id"), quantized(col(vecCol)).as("__qv")))
+    var seeds = embs.filter(col(idCol) < k)
+      .select(col(idCol).cast("long").as("cid"), quantized(col(vecCol)).as("cv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+    require(seeds.nonEmpty, s"no seed vectors with $idCol < $k")
+    def assignGridMeans(ss: Seq[(Long, Array[Double])]): DataFrame = {
+      def scores(qv: Column): Column = array(ss.map { case (cid, cent) =>
+        val cn = cent.map(x => x * x).sum
+        struct((lit(cn) - lit(2.0) * qdot(qv, lit(cent))).as("d2"),
+          lit(cid).as("cid"))
+      }.toIndexedSeq: _*)
+      base
+        .withColumn("cid", array_min(scores(col("__qv"))).getField("cid"))
+        .select(col("cid"), posexplode(col("__qv")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos")
+        .agg(round(sum(col("v")) / count(lit(1))).as("gridmean"),
+          count(lit(1)).as("n_vecs"))
+    }
+    var r = 0
+    var means: DataFrame = null
+    while (r < iters) {
+      means = assignGridMeans(seeds)
+      r += 1
+      if (r < iters) {
+        seeds = means.select("cid", "pos", "gridmean").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+          .groupBy(_._1).toSeq.sortBy(_._1)
+          .map { case (cid, rows) =>
+            (cid, rows.sortBy(_._2).map(_._3).toArray)
+          }
+      }
+    }
+    means.select(col("cid"), col("pos"),
+      (col("gridmean") / lit(1e7)).as("centroid"), col("n_vecs"))
+  }
+
   /** Deterministic Lloyd's k-means for the IVF coarse quantizer: centroids
     * seeded from the nlist lowest-id vectors, `iters` assign/update rounds
     * driver-side over a sampled corpus (coarse quantizers train on samples

@@ -158,4 +158,23 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(out((1L, 0))._1 - (0.1 / 3)) < 1e-9)
     assert(math.abs(out((1L, 1))._1 - 0.9) < 1e-9)
   }
+
+  test("lloydIterate: a converged clustering is a fixed point — the " +
+      "second round reproduces the first round's centroids") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (4L, Seq(0.8f, 0.0f)),
+      (1L, Seq(0.0f, 1.0f)), (3L, Seq(0.1f, 0.9f)), (5L, Seq(0.0f, 0.8f))
+    ).toDF("vec_id", "embedding")
+    def run(iters: Int) =
+      Similarity.lloydIterate(vecs, "vec_id", "embedding", 2, iters)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3)))
+        .toMap
+    val one = run(1)
+    val two = run(2)
+    graft.CacheScope.releaseAll()
+    assert(two == one) // clusters are well-separated → round 2 changes nothing
+    assert(one.values.forall(_._2 == 3L))
+  }
 }
