@@ -1115,7 +1115,7 @@ object SparkEntry {
         keyed AS (SELECT doc_id, source, n_chars,
             CAST(CAST(round(ln(h + 1) * 1000000) AS BIGINT) - 41588831 AS DOUBLE)
               / n_chars AS key
-          FROM h)
+          FROM h WHERE n_chars > 0)
         SELECT doc_id, source, n_chars, sample_rank FROM (
           SELECT doc_id, source, n_chars,
                  row_number() OVER (ORDER BY key DESC, doc_id) AS sample_rank
@@ -1699,8 +1699,8 @@ object SparkEntry {
         tf AS (SELECT doc_id, g, COUNT(*) AS tf FROM grams GROUP BY 1, 2)
         SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_ngrams,
           CAST(MAX(tf) AS BIGINT) AS top_ngram_n,
-          CAST(1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE)
-               AS DECIMAL(18,9)) AS dup_ngram_ratio
+          1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE)
+              AS dup_ngram_ratio
         FROM tf GROUP BY doc_id ORDER BY doc_id""")),
 
     // Statistical-LM quality scoring (CCNet/KenLM stage): corpus-trained

@@ -79,13 +79,17 @@ final case class BpeTokenizer(merges: Seq[(String, String)]) {
     * through). All builtin expressions — stays in codegen.
     */
   def tokensExpr(text: Column): Column = {
-    val decode = map(tokenOf.toSeq.sortBy(_._1)
-      .flatMap { case (s, tok) => Seq(lit(s), lit(tok)) }: _*)
     val enc = encodeExpr(text)
     // split("", "") yields [""], not [] — align with encode("") = Nil
-    when(length(enc) === 0, array().cast("array<string>"))
-      .otherwise(transform(split(enc, ""),
-        c => coalesce(element_at(decode, c), c)))
+    val split1 = when(length(enc) === 0, array().cast("array<string>"))
+      .otherwise(split(enc, ""))
+    if (tokenOf.isEmpty) split1 // map() with 0 entries is map<null,null>;
+    // element_at on it fails analysis — with no merges every char is itself
+    else {
+      val decode = map(tokenOf.toSeq.sortBy(_._1)
+        .flatMap { case (s, tok) => Seq(lit(s), lit(tok)) }: _*)
+      transform(split1, c => coalesce(element_at(decode, c), c))
+    }
   }
 
   /** DuckDB replay of [[tokenCountExpr]] over SQL expression `e` — the

@@ -124,7 +124,12 @@ object Sampling {
     // sort+limit plans as TakeOrderedAndProject: each task forwards at
     // most k rows, the driver merges — never a global sort. (A global
     // row_number window here would funnel ALL rows through one task.)
-    val top = df.withColumn("__key", key)
+    // enforce the documented positive-weight contract: a zero/negative
+    // weight would make the key ±Infinity or NaN, and NaN sorts above
+    // every double in a descending Spark sort — silently admitting the
+    // invalid row. Drop such rows instead (they carry no sampling mass).
+    val top = df.filter(col(weightCol).cast("double") > 0)
+      .withColumn("__key", key)
       .orderBy(col("__key").desc, col(idCol))
       .limit(k)
     // ranking the k survivors is a k-row window — driver-trivial

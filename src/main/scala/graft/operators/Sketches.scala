@@ -28,9 +28,12 @@ object Sketches {
     */
   def heavyHittersCms(df: DataFrame, textCol: String, k: Int,
       eps: Double, confidence: Double): DataFrame = {
-    val toks = graft.Parallelism.fanOut(df.select(col(textCol).as("__t")))
-      .select(explode(split(lower(trim(col("__t"))), "\\s+")).as("token"))
-      .filter(col("token") =!= "")
+    // the token stream feeds two actions (CMS build, exact aggregate) —
+    // cache it so the tokenize/explode scan runs once
+    val toks = graft.CacheScope.register(
+      graft.Parallelism.fanOut(df.select(col(textCol).as("__t")))
+        .select(explode(split(lower(trim(col("__t"))), "\\s+")).as("token"))
+        .filter(col("token") =!= ""))
     val cms = toks.stat.countMinSketch(col("token"), eps, confidence, 42)
     val spark = df.sparkSession
     val bc = spark.sparkContext.broadcast(cms)

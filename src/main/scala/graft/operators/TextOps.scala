@@ -283,7 +283,10 @@ object TextOps {
     *   - `n_ngrams` — total n-gram occurrences,
     *   - `top_ngram_n` — occurrences of the single most frequent n-gram,
     *   - `dup_ngram_ratio` — fraction of occurrences beyond each gram's
-    *     first (1 - distinct/total), DECIMAL(18,9) quantized.
+    *     first (1 - distinct/total), a plain double: one IEEE division of
+    *     two exact integer counts plus one subtraction, so the value is
+    *     bit-identical in any IEEE-754 engine (no decimal quantization,
+    *     which rounds differently across engines).
     * Boilerplate-heavy and degenerate-loop documents spike both ratios;
     * filter on them before training. Two shuffles: (id, gram) count,
     * then per-id aggregate — no per-doc state on the driver. Documents
@@ -303,8 +306,7 @@ object TextOps {
         count(lit(1)).as("__distinct"))
       .select(col(idCol), col("n_ngrams"), col("top_ngram_n"),
         (lit(1.0) - col("__distinct").cast("double") /
-          col("n_ngrams").cast("double")).cast("decimal(18,9)")
-          .as("dup_ngram_ratio"))
+          col("n_ngrams").cast("double")).as("dup_ngram_ratio"))
   }
 
   /** Context-window chunking: split each document into token windows of

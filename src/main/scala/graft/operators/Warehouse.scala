@@ -220,6 +220,9 @@ object Warehouse {
       min(numeric(colA)).as("la"), max(numeric(colA)).as("ha"),
       min(numeric(colB)).as("lb"), max(numeric(colB)).as("hb"))
       .collect()(0)
+    // empty input (or all-null columns): the agg row is all null and
+    // getDouble would NPE-unbox — nothing to cluster, return unchanged
+    if (mm.isNullAt(0) || mm.isNullAt(2)) return df
     val grid = (1L << bits) - 1
     def norm(c: String, lo: Double, hi: Double) =
       if (hi == lo) lit(0L)

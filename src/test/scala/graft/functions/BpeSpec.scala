@@ -95,6 +95,17 @@ class BpeSpec extends SparkSpec {
     assert(r.getSeq[String](0).isEmpty)
   }
 
+  test("tokensExpr with an EMPTY merge table: chars pass through " +
+      "(no map() analysis failure)") {
+    import spark.implicits._
+    val t = BpeTokenizer(Nil)
+    val r = Seq(("abc", 0), ("", 1)).toDF("s", "i").orderBy("i")
+      .select(t.tokensExpr(col("s")).as("toks")).collect()
+    assert(r(0).getSeq[String](0) == Seq("a", "b", "c"))
+    assert(r(1).getSeq[String](0).isEmpty)
+    assert(t.encode("abc") == Seq("a", "b", "c")) // driver form agrees
+  }
+
   test("round-trip: concatenated decoded tokens reproduce the input") {
     val t = BpeTokenizer(Seq(("a", "b"), ("ab", "c"), ("x", "y")))
     for (s <- Seq("abcabcxyxab", "aaa", "cbacba", "xyzzy"))

@@ -146,14 +146,16 @@ class EdgeCaseSpec extends SparkSpec {
     val noBench = docs.filter(lit(false))
     assert(Dedup.fuzzyDecontaminate(docs, noBench, "doc_id", "text",
       3, 64, 16, 0.8).isEmpty)
-    // weighted sample with k > n: everything sampled, ranks complete;
-    // null-weight rows sink to the end rather than exploding
-    val weighted = Seq((1L, Option(5L)), (2L, Option(9L)), (3L, Option.empty[Long]))
+    // weighted sample with k > n: every VALID row sampled, ranks complete.
+    // Null/zero/negative weights carry no sampling mass and are dropped —
+    // a zero weight would otherwise make the key ±Inf/NaN, and NaN sorts
+    // ABOVE all doubles descending, silently admitting the invalid row.
+    val weighted = Seq((1L, Option(5L)), (2L, Option(9L)),
+      (3L, Option.empty[Long]), (4L, Option(0L)), (5L, Option(-2L)))
       .toDF("id", "w")
     val ws = Sampling.weightedSample(weighted, "id", "w", 10, "e")
       .collect().map(r => r.getLong(0) -> r.getInt(r.fieldIndex("sample_rank"))).toMap
-    assert(ws.keySet == Set(1L, 2L, 3L))
-    assert(ws.values.toSeq.sorted == Seq(1, 2, 3))
-    assert(ws(3L) == 3) // null key ranks last
+    assert(ws.keySet == Set(1L, 2L)) // invalid-weight rows excluded
+    assert(ws.values.toSeq.sorted == Seq(1, 2))
   }
 }

@@ -105,6 +105,17 @@ class WarehouseSpec extends SparkSpec {
     assert(!new java.io.File(dir + ".old").exists())
   }
 
+  test("zorderBy on an empty frame returns it unchanged (no NPE from " +
+      "the all-null min/max row)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Warehouse.zorderBy(empty, "a", "b", 4).isEmpty)
+    // all-null column: same degenerate agg row, same graceful path
+    val allNull = Seq[(Option[Long], Option[Long])](
+      (None, Some(1L)), (None, Some(2L))).toDF("a", "b")
+    assert(Warehouse.zorderBy(allNull, "a", "b", 4).count() == 2)
+  }
+
   test("z-order clustering prunes on BOTH columns; single-column sort does not") {
     val events = graft.GraftSession.table(spark, "/root/testdata/sf0.01", "events")
       .select("event_id", "ts", "user_id", "value")
