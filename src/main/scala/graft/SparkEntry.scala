@@ -1750,6 +1750,205 @@ object SparkEntry {
                         WHERE o.o_custkey = c.c_custkey AND o.o_totalprice < 50000)
       ORDER BY c_custkey"""
 
+  // ----- Round 4: warehouse change tracking + corpus curation additions -----
+  private val registryR4: Map[String, Q] = Map(
+
+    // SCD Type-2 dimension build: the event log collapsed into versioned
+    // rows with half-open validity intervals — per user, each run of a
+    // repeated event_type becomes one version with effective_from/to and
+    // is_current. The warehousing change-tracking op the reference's
+    // append-only table never expresses.
+    "q80_scd2" -> Q(
+      (s, dir) => Warehouse.scd2Build(t(s, dir, "events"),
+          keys = Seq("user_id"), tsCol = "ts", tieCols = Seq("event_id"),
+          tracked = Seq("event_type"))
+        .select("user_id", "version", "event_type",
+          "effective_from", "effective_to", "is_current")
+        .orderBy("user_id", "version"),
+      Some("""WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+                 FROM events),
+        chg AS (SELECT *, CASE WHEN event_type IS DISTINCT FROM lag(event_type) OVER w
+                                THEN 1 ELSE 0 END AS c
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        ver AS (SELECT *, SUM(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+                FROM chg),
+        g AS (SELECT user_id, version, event_type, MIN(ts) AS effective_from
+              FROM ver GROUP BY user_id, version, event_type)
+        SELECT user_id, CAST(version AS BIGINT) AS version, event_type, effective_from,
+               lead(effective_from) OVER wv AS effective_to,
+               lead(effective_from) OVER wv IS NULL AS is_current
+        FROM g WINDOW wv AS (PARTITION BY user_id ORDER BY version)
+        ORDER BY user_id, version""")),
+
+    // Snapshot diff (CDC): the changeset between the half-history state
+    // (events below the median id, keep-latest per key) and the full
+    // state — inserts for keys born after the cut, updates where the
+    // latest row moved. Incremental consumers replay this instead of
+    // re-reading the table.
+    "q81_snapshot_diff" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val cut = ev.agg(expr("max(event_id) div 2").as("__cut"))
+        val oldRows = ev.crossJoin(broadcast(cut))
+          .filter(col("event_id") < col("__cut")).drop("__cut")
+        def latest(d: DataFrame) = Clean.dedupKeepLast(d,
+          Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")))
+        Warehouse.snapshotDiff(latest(oldRows), latest(ev),
+            keys = Seq("user_id", "event_type"),
+            compareCols = Seq("event_id", "value"))
+          .orderBy("user_id", "event_type")
+      },
+      Some("""WITH m AS (SELECT MAX(event_id) // 2 AS cut FROM events),
+        o AS (SELECT user_id, event_type, event_id, value FROM (
+               SELECT e.user_id, e.event_type, e.event_id, e.value,
+                 row_number() OVER (PARTITION BY e.user_id, e.event_type
+                   ORDER BY CAST(e.ts AS TIMESTAMP) DESC, e.event_id DESC) AS rn
+               FROM events e CROSS JOIN m WHERE e.event_id < m.cut) WHERE rn = 1),
+        n AS (SELECT user_id, event_type, event_id, value FROM (
+               SELECT user_id, event_type, event_id, value,
+                 row_number() OVER (PARTITION BY user_id, event_type
+                   ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+               FROM events) WHERE rn = 1)
+        SELECT coalesce(o.user_id, n.user_id) AS user_id,
+               coalesce(o.event_type, n.event_type) AS event_type,
+               CASE WHEN o.user_id IS NULL THEN 'insert'
+                    WHEN n.user_id IS NULL THEN 'delete'
+                    ELSE 'update' END AS change_type,
+               o.event_id AS old_event_id, n.event_id AS new_event_id,
+               o.value AS old_value, n.value AS new_value
+        FROM o FULL JOIN n ON o.user_id = n.user_id AND o.event_type = n.event_type
+        WHERE NOT (o.event_id IS NOT DISTINCT FROM n.event_id
+                   AND o.value IS NOT DISTINCT FROM n.value)
+        ORDER BY user_id, event_type""")),
+
+    // Segment-level dedup (CCNet/RefinedWeb paragraph stage): drop every
+    // 8-token segment that occurs in more than one document, reassemble
+    // the survivors — catches cross-document boilerplate that document-
+    // level dedup misses. Segments travel as h60 hashes (oracle replays
+    // the identical hashing).
+    "q82_segment_dedup" -> Q(
+      (s, dir) => TextOps.dedupSegments(t(s, dir, "documents"),
+          "doc_id", "text", segTokens = 8, maxDocFreq = 1)
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
+                 FROM documents),
+        segs AS (SELECT doc_id, unnest(list_transform(range((len(l) + 7) // 8),
+                   i -> {'pos': CAST(i AS INTEGER),
+                         'seg': array_to_string(list_slice(l, i*8 + 1, i*8 + 8), ' ')})) AS s
+                 FROM toks),
+        hashed AS (SELECT doc_id, s.pos AS pos, s.seg AS seg,
+                   CAST('0x' || substr(md5(s.seg), 1, 15) AS BIGINT) AS h FROM segs),
+        dfreq AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM hashed GROUP BY h)
+        SELECT doc_id, COUNT(*) AS n_segments,
+               CAST(SUM(CASE WHEN df <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               string_agg(CASE WHEN df <= 1 THEN seg END, ' ' ORDER BY pos) AS kept_text
+        FROM hashed JOIN dfreq USING (h)
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Schema-evolution union: two relations with drifted schemas unioned
+    // BY NAME, absent columns null-filled — the reader-side half of
+    // schema evolution (the writer-side half is the versioned warehouse's
+    // per-generation schema).
+    "q83_union_evolve" -> Q(
+      (s, dir) => {
+        val c = t(s, dir, "customer").select(
+          col("c_custkey").as("entity_id"), col("c_name").as("name"),
+          col("c_acctbal").as("acctbal"), lit("customer").as("kind"))
+        val sup = t(s, dir, "supplier").select(
+          col("s_suppkey").as("entity_id"), col("s_name").as("name"),
+          col("s_acctbal").as("acctbal"), col("s_nationkey").as("nationkey"),
+          lit("supplier").as("kind"))
+        c.unionByName(sup, allowMissingColumns = true)
+          .orderBy("kind", "entity_id")
+      },
+      Some("""SELECT * FROM (
+          SELECT c_custkey AS entity_id, c_name AS name, c_acctbal AS acctbal,
+                 'customer' AS kind FROM customer
+          UNION ALL BY NAME
+          SELECT s_suppkey AS entity_id, s_name AS name, s_acctbal AS acctbal,
+                 s_nationkey AS nationkey, 'supplier' AS kind FROM supplier)
+        ORDER BY kind, entity_id""")),
+
+    // Johnson–Lindenstrauss random projection: 64-dim embeddings to 16
+    // deterministic ±1-signed coordinates on the integer grid — the
+    // train-free dimensionality reduction in front of ANN/near-dup at
+    // scale. Bit-exact in both engines (every sum is integer < 2^53).
+    "q84_random_projection" -> Q(
+      (s, dir) => Similarity.randomProjection(t(s, dir, "embeddings"),
+          "vec_id", "embedding", outDim = 16, dim = 64)
+        .orderBy("vec_id", "j"),
+      Some("""WITH v AS (SELECT vec_id,
+            list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1e7)) AS qv
+          FROM embeddings),
+        s AS (SELECT CAST(j AS INTEGER) AS j,
+                list(CASE WHEN CAST('0x' || substr(md5('rp:' || j || ':' || d), 1, 15) AS BIGINT) % 2 = 0
+                          THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END ORDER BY d) AS sg
+              FROM range(16) t1(j) CROSS JOIN range(64) t2(d) GROUP BY j)
+        SELECT vec_id, j,
+          CAST(list_aggregate(list_transform(range(1, 65), i -> qv[i] * sg[i]), 'sum') AS BIGINT) AS proj
+        FROM v CROSS JOIN s
+        ORDER BY vec_id, j""")),
+
+    // Lexical-richness profile: tokens, types, hapaxes, type-token ratio
+    // per document — the vocabulary-diversity quality signals next to
+    // q61's repetition view.
+    "q85_lexical_stats" -> Q(
+      (s, dir) => TextOps.lexicalStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM (
+                 SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+                 FROM documents) GROUP BY doc_id, tok)
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+               COUNT(*) AS n_types,
+               CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+               CAST(COUNT(*) AS DOUBLE) / CAST(SUM(tf) AS BIGINT) AS ttr
+        FROM tf GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Regex function battery (RE2-safe patterns, so Java regex and RE2
+    // agree): extract-all counts, group extraction, boolean match, global
+    // replace.
+    "q86_regex_battery" -> Q(
+      (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).as("n_alpha_runs"),
+        regexp_extract(col("text"), "([a-z]{5,})", 1).as("first_long_word"),
+        col("text").rlike("query").as("has_query"),
+        substring(regexp_replace(col("text"), "[aeiou]", "_"), 1, 40).as("devoweled_head"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '[a-z]+')) AS INTEGER) AS n_alpha_runs,
+          regexp_extract(text, '([a-z]{5,})', 1) AS first_long_word,
+          regexp_matches(text, 'query') AS has_query,
+          substr(regexp_replace(text, '[aeiou]', '_', 'g'), 1, 40) AS devoweled_head
+        FROM documents ORDER BY doc_id""")),
+
+    // Bounded-frame rolling windows (ROWS BETWEEN 3 PRECEDING AND CURRENT
+    // ROW): the moving-aggregate complement of q43's unbounded analytics;
+    // the sum rides micro-unit longs so frame accumulation order can't
+    // produce engine-specific FP drift.
+    "q87_rolling_frames" -> Q(
+      (s, dir) => {
+        val w4 = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id")).rowsBetween(-3, 0)
+        t(s, dir, "events").select(
+          col("event_id"), col("user_id"),
+          sum(round(col("value") * 1e6).cast("long")).over(w4).as("roll4_sum_micro"),
+          min(col("value")).over(w4).as("roll4_min"),
+          max(col("value")).over(w4).as("roll4_max"),
+          count(lit(1)).over(w4).as("n_in_frame"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+          CAST(SUM(CAST(round(value * 1e6) AS BIGINT)) OVER w AS BIGINT) AS roll4_sum_micro,
+          MIN(value) OVER w AS roll4_min,
+          MAX(value) OVER w AS roll4_max,
+          COUNT(*) OVER w AS n_in_frame
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id""")))
+
   private val registryTail: Map[String, Q] = Map(
     // ----- SQL API surface ---------------------------------------------------
 
@@ -1781,7 +1980,7 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     registry("q03_region_revenue").fn(spark, "/root/testdata/sf0.001")
 
-  private def allQueries: Map[String, Q] = registry ++ registryTail
+  private def allQueries: Map[String, Q] = registry ++ registryR4 ++ registryTail
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -145,6 +145,39 @@ object Similarity {
       }
     }
 
+  /** Johnson–Lindenstrauss random projection: map each vector to `outDim`
+    * coordinates, coordinate j = Σ_d q(v_d) · s(j,d) with q the 1e7
+    * integer quantization and s(j,d) ∈ {−1, +1} derived from
+    * h60(s"rp:j:d") — the deterministic Achlioptas ±1 construction, which
+    * preserves pairwise distances within (1±ε) at outDim = O(log n / ε²)
+    * without any training pass. Every term and partial sum is an integer
+    * < 2^53, so the projection is bit-exact in any engine regardless of
+    * summation order (the property the DuckDB oracle relies on).
+    *
+    * Output: (id, j, proj) — long-valued, one row per (vector, output
+    * coordinate). Pure projection + explode: no shuffle, no state; the
+    * sign matrix rides along as codegen literals. The 100 TB use: shrink
+    * 1k-dim embeddings ~16× before an ANN index or near-dup pass whose
+    * cost is linear in the dimension.
+    */
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
+      outDim: Int, dim: Int): DataFrame = {
+    require(outDim >= 1 && dim >= 1, s"need positive dims: $outDim, $dim")
+    val signs: Seq[Seq[Double]] = (0 until outDim).map { j =>
+      (0 until dim).map { d =>
+        if (Hashing.h60Local(s"rp:$j:$d") % 2 == 0) 1.0 else -1.0
+      }
+    }
+    val q = quantized(col(vecCol))
+    val coords = signs.map { s =>
+      aggregate(zip_with(q, array(s.map(lit): _*), (v, c) => v * c),
+        lit(0.0), (acc, x) => acc + x)
+    }
+    graft.Parallelism.fanOut(df.select(col(idCol), col(vecCol)))
+      .select(col(idCol), posexplode(array(coords: _*)).as(Seq("j", "proj")))
+      .select(col(idCol), col("j"), col("proj").cast("long").as("proj"))
+  }
+
   /** Sign-pattern LSH bucket id for a vector column. */
   def lshBucket(vec: Column, nPlanes: Int, dim: Int): Column = {
     val planes = hyperplanes(nPlanes, dim)

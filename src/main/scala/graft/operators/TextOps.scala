@@ -388,6 +388,72 @@ object TextOps {
       .select("id", "fp").distinct()
   }
 
+  /** Segment-level dedup (the CCNet/RefinedWeb paragraph-dedup stage,
+    * adapted to unstructured text): split each document into consecutive
+    * `segTokens`-token segments, drop every segment that occurs in more
+    * than `maxDocFreq` distinct documents corpus-wide, and reassemble the
+    * survivors in order. Catches boilerplate shared across documents
+    * (headers, navboxes, license blocks) that document-level dedup can
+    * never remove because the surrounding text differs.
+    *
+    * Output per doc: (id, n_segments, n_kept, kept_text) — `kept_text`
+    * null when every segment was boilerplate (the doc is pure template).
+    *
+    * Scale shape: segments travel as 60-bit hashes into ONE
+    * document-frequency aggregate (distinct (doc, hash) postings, then a
+    * count per hash), joined back on the hash — both shuffles are keyed by
+    * the segment hash, the same skew-safe domain the fuzzy-dedup paths
+    * use; reassembly is a per-doc aggregate. No pair join, no driver
+    * state. The oracle replays the identical h60 hashing.
+    */
+  def dedupSegments(df: DataFrame, idCol: String, textCol: String,
+      segTokens: Int, maxDocFreq: Int = 1): DataFrame = {
+    require(segTokens >= 1, s"segTokens must be positive: $segTokens")
+    require(maxDocFreq >= 1, s"maxDocFreq must be positive: $maxDocFreq")
+    val segs = graft.Parallelism.fanOut(df.select(col(idCol), col(textCol)))
+      .withColumn("__toks", TextFns.tokens(col(textCol)))
+      .withColumn("__n", size(col("__toks")))
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0), floor((col("__n") - 1) / segTokens).cast("int")),
+          i => array_join(slice(col("__toks"), i * segTokens + 1, lit(segTokens)), " ")))
+          .as(Seq("pos", "seg")))
+      .withColumn("__h", graft.functions.Hashing.h60(col("seg")))
+    val dfreq = segs.select(col(idCol), col("__h")).distinct()
+      .groupBy("__h").agg(count(lit(1)).as("__df"))
+    val kept = col("__df") <= maxDocFreq
+    segs.join(dfreq, "__h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(kept, struct(col("pos"), col("seg"))))),
+          x => x.getField("seg")), " ").as("__joined"))
+      .withColumn("kept_text", when(col("n_kept") > 0, col("__joined")))
+      .drop("__joined")
+  }
+
+  /** Lexical-richness statistics per document: token count, distinct-type
+    * count, hapax-legomenon count (tokens occurring exactly once in the
+    * doc), and type-token ratio — the cheap vocabulary-diversity signals
+    * (low TTR = repetitive/templated text; used alongside
+    * [[repetitionSignals]] in quality filtering). `ttr` is one exact IEEE
+    * division of two exact counts — bit-identical across engines.
+    *
+    * Two shuffles: (doc, token) count, then the per-doc aggregate — the
+    * same shape as [[repetitionSignals]]; no driver state.
+    */
+  def lexicalStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = graft.Parallelism.fanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(TextFns.tokens(col(textCol))).as("__tok"))
+      .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__tf"))
+    tf.groupBy(col(idCol)).agg(
+        sum(col("__tf")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("__tf") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("ttr", col("n_types").cast("double") / col("n_tokens"))
+  }
+
   /** N-gram novelty: per document, the fraction of its DISTINCT word
     * n-grams that occur in no other document — high novelty = original
     * prose, low novelty = boilerplate/templated/duplicated content (the

@@ -34,6 +34,85 @@ object Warehouse {
       .drop("__src")
   }
 
+  /** SCD Type-2 history build: collapse a keyed event log into versioned
+    * dimension rows — the classic warehousing change-tracking shape the
+    * reference's append-only fact table (S7) never gets to express. Per
+    * key (ordered by `tsCol` with `tieCols` making the order unique),
+    * consecutive runs of identical `tracked` values become ONE version row
+    * carrying:
+    *   - the tracked attribute values of the run,
+    *   - `version` — 1-based change counter per key,
+    *   - `effective_from` — the run's first `tsCol`,
+    *   - `effective_to` — the next version's `effective_from` (null on the
+    *     latest version: half-open [from, to) validity intervals),
+    *   - `is_current` — `effective_to IS NULL`.
+    *
+    * Change detection is null-safe (`IS DISTINCT FROM` semantics), so a
+    * tracked attribute moving to/from null opens a new version. Scale
+    * shape: one shuffle for the per-key ordering window, one for the
+    * per-(key, version) collapse, one for the effective_to lead — all on
+    * the same key domain, no driver state, no cross-key traffic.
+    */
+  def scd2Build(df: DataFrame, keys: Seq[String], tsCol: String,
+      tieCols: Seq[String], tracked: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && tracked.nonEmpty, "need keys and tracked cols")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol) +: tieCols.map(col): _*)
+    val changed = tracked
+      .map(c => !(col(c) <=> lag(col(c), 1).over(w)))
+      .reduce(_ || _)
+    val versioned = df
+      .withColumn("__chg", when(changed, 1L).otherwise(0L))
+      .withColumn("version", sum(col("__chg")).over(w))
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col("version"))
+    versioned
+      .groupBy((keys ++ Seq("version") ++ tracked).map(col): _*)
+      .agg(min(col(tsCol)).as("effective_from"))
+      .withColumn("effective_to", lead(col("effective_from"), 1).over(wv))
+      .withColumn("is_current", col("effective_to").isNull)
+  }
+
+  /** Snapshot diff (CDC between two table states): full outer join on
+    * `keys`, classifying every key as `insert` (new only), `delete` (old
+    * only), or `update` (present in both with any `compareCols` value
+    * differing, null-safely). Unchanged keys are dropped — the output IS
+    * the changeset, the thing incremental downstream consumers replay
+    * instead of re-reading 100 TB. Output: keys, `change_type`, and
+    * `old_<c>` / `new_<c>` for each compare column.
+    *
+    * One shuffle per side on the keys (sort-merge full outer); nothing
+    * wider than the changeset is ever materialized.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && compareCols.nonEmpty, "need keys and compare cols")
+    // both sides often derive from the same source frame (self-join): give
+    // the key columns side-distinct names so resolution is unambiguous
+    val o = oldDf.select(
+      keys.map(k => col(k).as(s"__ok_$k")) ++
+        compareCols.map(c => col(c).as(s"old_$c")) :+
+        lit(true).as("__in_old"): _*)
+    val n = newDf.select(
+      keys.map(k => col(k).as(s"__nk_$k")) ++
+        compareCols.map(c => col(c).as(s"new_$c")) :+
+        lit(true).as("__in_new"): _*)
+    val cond = keys.map(k => col(s"__ok_$k") <=> col(s"__nk_$k")).reduce(_ && _)
+    val sameValues = compareCols
+      .map(c => col(s"old_$c") <=> col(s"new_$c"))
+      .reduce(_ && _)
+    o.join(n, cond, "full_outer")
+      .select(
+        keys.map(k => coalesce(col(s"__ok_$k"), col(s"__nk_$k")).as(k)) ++ Seq(
+          when(col("__in_old").isNull, "insert")
+            .when(col("__in_new").isNull, "delete")
+            .when(!sameValues, "update")
+            .otherwise("unchanged").as("change_type")) ++
+          compareCols.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c"))): _*)
+      .filter(col("change_type") =!= "unchanged")
+  }
+
   /** Compaction: rewrite a directory into ~`targetFiles` files (small-file
     * pathology from frequent micro-batch appends). Reads the CURRENT
     * snapshot, writes a new generation dir, atomically swaps.

@@ -177,4 +177,24 @@ class SimilaritySpec extends SparkSpec {
     assert(two == one) // clusters are well-separated → round 2 changes nothing
     assert(one.values.forall(_._2 == 3L))
   }
+
+  test("randomProjection: deterministic ±1 signs, integer-exact coordinates") {
+    import spark.implicits._
+    val xs = Seq(0.5, -0.25, 0.125, 1.0)
+    val v = Seq((1L, xs.map(_.toFloat))).toDF("vec_id", "embedding")
+    val out = Similarity.randomProjection(v, "vec_id", "embedding", 2, 4)
+      .orderBy("j").collect().map(r => r.getInt(1) -> r.getLong(2)).toSeq
+    val expected = (0 until 2).map { j =>
+      j -> (0 until 4).map { d =>
+        val s = if (graft.functions.Hashing.h60Local(s"rp:$j:$d") % 2 == 0) 1L else -1L
+        s * math.round(xs(d) * 1e7)
+      }.sum
+    }
+    assert(out == expected)
+    // linearity sanity: projecting 2x doubles every coordinate exactly
+    val v2 = Seq((1L, xs.map(x => (x * 2).toFloat))).toDF("vec_id", "embedding")
+    val out2 = Similarity.randomProjection(v2, "vec_id", "embedding", 2, 4)
+      .orderBy("j").collect().map(_.getLong(2)).toSeq
+    assert(out2 == expected.map(_._2 * 2))
+  }
 }

@@ -189,7 +189,7 @@ class TextMultimodalSpec extends SparkSpec {
       (2L, "one")).toDF("doc_id", "text")      // < 2 tokens → absent
     val out = TextOps.repetitionSignals(docs, "doc_id", "text", 2)
       .collect().map(r => r.getLong(0) ->
-        (r.getLong(1), r.getLong(2), r.getDecimal(3).doubleValue)).toMap
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
     assert(out(0L) == ((4L, 4L, 0.75)))  // 1 - 1/4
     assert(out(1L) == ((5L, 1L, 0.0)))
     assert(!out.contains(2L))
@@ -211,5 +211,38 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out(2L) == ((2L, 2L, 1.0)))
     assert(out(3L)._1 == 3L && out(3L)._2 == 2L) // "beta gamma nine","gamma nine ten"
     assert(!out.contains(4L))
+  }
+
+  test("dedupSegments: cross-document segments drop, unique ones survive " +
+      "in order; all-boilerplate docs get null kept_text") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d e f"),   // "a b c" shared with 1 and 2; "d e f" unique
+      (1L, "a b c x y z"),   // "a b c" shared; "x y z" unique
+      (2L, "a b c"),         // pure boilerplate → kept_text null
+      (3L, "p q r s"))       // "p q r" + short tail "s", both unique
+      .toDF("doc_id", "text")
+    val out = TextOps.dedupSegments(docs, "doc_id", "text", segTokens = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)))).toMap
+    assert(out(0L) == ((2L, 1L, Some("d e f"))))
+    assert(out(1L) == ((2L, 1L, Some("x y z"))))
+    assert(out(2L) == ((1L, 0L, None)))
+    assert(out(3L) == ((2L, 2L, Some("p q r s"))))
+  }
+
+  test("lexicalStats: token/type/hapax counts and exact TTR") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the cat the dog"),        // 4 tokens, 3 types, 2 hapax
+      (1L, "one one one"),            // 3 tokens, 1 type, 0 hapax
+      (2L, "all unique words here"))  // 4 tokens, 4 types, 4 hapax
+      .toDF("doc_id", "text")
+    val out = TextOps.lexicalStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out(0L) == ((4L, 3L, 2L, 0.75)))
+    assert(out(1L) == ((3L, 1L, 0L, 1.0 / 3.0)))
+    assert(out(2L) == ((4L, 4L, 4L, 1.0)))
   }
 }

@@ -223,4 +223,50 @@ class WarehouseSpec extends SparkSpec {
       Warehouse.readVersioned(spark, t2)
         .filter(col("ts") >= lit(dayLo) && col("ts") <= lit(dayHi)).count())
   }
+
+  test("scd2Build: runs collapse into chained validity intervals; a value " +
+      "returning later opens a NEW version") {
+    import spark.implicits._
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val log = Seq(
+      (1L, ts(0), 1L, "A"), (1L, ts(1), 2L, "A"), // run 1: A (2 rows)
+      (1L, ts(2), 3L, "B"),                       // run 2: B
+      (1L, ts(3), 4L, "A"),                       // run 3: A again — not merged
+      (2L, ts(5), 5L, "X"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Warehouse.scd2Build(log, Seq("user_id"), "ts",
+        Seq("event_id"), Seq("event_type"))
+      .orderBy("user_id", "version").collect()
+    def f(r: org.apache.spark.sql.Row, c: String) = r.get(r.fieldIndex(c))
+    val u1 = out.filter(_.getLong(0) == 1L)
+    assert(u1.map(r => (f(r, "version"), f(r, "event_type"))).toSeq ==
+      Seq((1L, "A"), (2L, "B"), (3L, "A")))
+    // half-open chain: to(k) == from(k+1); only the last version is current
+    assert(u1.map(r => f(r, "effective_from")).toSeq ==
+      Seq(ts(0), ts(2), ts(3)))
+    assert(u1.map(r => f(r, "effective_to")).toSeq ==
+      Seq(ts(2), ts(3), null))
+    assert(u1.map(r => f(r, "is_current")).toSeq ==
+      Seq(false, false, true))
+    val u2 = out.filter(_.getLong(0) == 2L)
+    assert(u2.length == 1 && f(u2(0), "version") == 1L &&
+      f(u2(0), "is_current") == true)
+  }
+
+  test("snapshotDiff: classifies insert/delete/update and drops unchanged keys") {
+    import spark.implicits._
+    val old = Seq((1L, "a", 10L, 1.0), (2L, "a", 20L, 2.0), (3L, "b", 30L, 3.0))
+      .toDF("k", "g", "ver", "v")
+    val nw = Seq((1L, "a", 10L, 1.0),   // unchanged → absent
+      (2L, "a", 21L, 2.0),              // version moved → update
+      (4L, "c", 40L, 4.0))              // new key → insert; (3,b) gone → delete
+      .toDF("k", "g", "ver", "v")
+    val out = Warehouse.snapshotDiff(old, nw, Seq("k", "g"), Seq("ver", "v"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getString(2), Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(out.keySet == Set((2L, "a"), (3L, "b"), (4L, "c")))
+    assert(out((2L, "a")) == (("update", Some(20L), Some(21L))))
+    assert(out((3L, "b")) == (("delete", Some(30L), None)))
+    assert(out((4L, "c")) == (("insert", None, Some(40L))))
+  }
 }
