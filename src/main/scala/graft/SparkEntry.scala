@@ -1923,6 +1923,46 @@ object SparkEntry {
           substr(regexp_replace(text, '[aeiou]', '_', 'g'), 1, 40) AS devoweled_head
         FROM documents ORDER BY doc_id""")),
 
+    // Per-group winsorization: events.value clipped into its event_type's
+    // [p05, p95] band — heavy-tail taming that keeps the row (exact
+    // interpolated percentiles, broadcast bounds, fact never shuffles).
+    "q88_winsorize" -> Q(
+      (s, dir) => Quality.winsorize(t(s, dir, "events"),
+          "event_type", "value", 0.05, 0.95)
+        .select("event_id", "event_type", "value", "value_winsorized")
+        .orderBy("event_id"),
+      Some("""WITH b AS (SELECT event_type, quantile_cont(value, 0.05) AS lo,
+                 quantile_cont(value, 0.95) AS hi
+               FROM events GROUP BY event_type)
+        SELECT event_id, e.event_type, value,
+               least(greatest(value, lo), hi) AS value_winsorized
+        FROM events e JOIN b USING (event_type)
+        ORDER BY event_id""")),
+
+    // Character-distribution entropy (gibberish/spam signal): integer
+    // micro-nat identity n·L(n) − Σ k·L(k) — every ln is of an integer,
+    // rounded to micro-units before any arithmetic, so both engines agree
+    // bit-for-bit (the q62 libm-proofing pattern).
+    "q89_char_entropy" -> Q(
+      (s, dir) => TextOps.charEntropy(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH s AS (SELECT doc_id,
+                 regexp_replace(lower(trim(text)), '\s', '', 'g') AS s
+               FROM documents),
+        chars AS (SELECT doc_id,
+                   unnest(list_transform(range(1, len(s) + 1),
+                     i -> substr(s, CAST(i AS INTEGER), 1))) AS ch
+                  FROM s),
+        k AS (SELECT doc_id, ch, COUNT(*) AS k FROM chars GROUP BY doc_id, ch),
+        agg AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n,
+                 CAST(SUM(k * CAST(round(ln(CAST(k AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT)
+                   AS sum_klk
+                FROM k GROUP BY doc_id)
+        SELECT doc_id, n AS n_chars_nospace,
+               n * CAST(round(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) - sum_klk
+                 AS ent_micro_sum
+        FROM agg ORDER BY doc_id""")),
+
     // Bounded-frame rolling windows (ROWS BETWEEN 3 PRECEDING AND CURRENT
     // ROW): the moving-aggregate complement of q43's unbounded analytics;
     // the sum rides micro-unit longs so frame accumulation order can't

@@ -48,6 +48,31 @@ object Quality {
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
+  /** Per-group winsorization: clip `valueCol` into the [lo, hi] quantile
+    * band of its `groupCol` group — the standard heavy-tail taming step
+    * before averaging quality scores or training-weight computation
+    * (clipping, unlike dropping, keeps the row and its other columns).
+    * Adds `<valueCol>_winsorized`; exact interpolated percentiles
+    * (`percentile` ≡ DuckDB `quantile_cont`), so the clip bounds are
+    * engine-exact.
+    *
+    * Scale shape: one small per-group quantile aggregate (the only pass
+    * that buffers values — at 100 TB swap in approx_percentile with the
+    * same clip logic) broadcast back onto the fact scan; the fact table
+    * itself never shuffles.
+    */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+      lo: Double, hi: Double): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo <= hi, s"need 0 <= lo <= hi <= 1: $lo, $hi")
+    val bounds = df.groupBy(groupCol).agg(
+      expr(s"percentile($valueCol, $lo)").as("__lo"),
+      expr(s"percentile($valueCol, $hi)").as("__hi"))
+    df.join(broadcast(bounds), groupCol)
+      .withColumn(s"${valueCol}_winsorized",
+        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
   /** A5 — duplicate-count audit (`/root/reference/README.md:162-168`):
     * `GROUP BY keys HAVING COUNT(*) > 1 ORDER BY n DESC`.
     */

@@ -454,6 +454,37 @@ object TextOps {
       .withColumn("ttr", col("n_types").cast("double") / col("n_tokens"))
   }
 
+  /** Character-distribution entropy per document — the gibberish/spam
+    * detector among the quality signals (natural text sits near the
+    * language's characteristic char entropy; keyboard-mash and
+    * single-char spam fall far below, base64 blobs far above). Computed
+    * over non-whitespace characters of the lowercased text.
+    *
+    * Exactness: entropy in micro-nats is returned as the INTEGER
+    *   ent_micro_sum = n·L(n) − Σ_c k_c·L(k_c),  L(x) = round(ln(x)·1e6),
+    * which equals n · H(doc) in micro-nats up to per-term rounding — every
+    * ln is taken of an integer both engines agree on and rounded to
+    * micro-units before any arithmetic (the q62 libm-proofing pattern), so
+    * the result is bit-exact cross-engine. Divide by n for mean entropy.
+    *
+    * Two shuffles: (doc, char) count, then the per-doc aggregate. Docs
+    * that are all whitespace have no characters and are absent.
+    */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def lmicro(c: Column): Column = round(log(c.cast("double")) * 1e6).cast("long")
+    val chars = graft.Parallelism.fanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        explode(split(regexp_replace(lower(trim(col(textCol))), "\\s", ""), ""))
+          .as("__ch"))
+      .filter(length(col("__ch")) > 0)
+    val k = chars.groupBy(col(idCol), col("__ch")).agg(count(lit(1)).as("__k"))
+    k.groupBy(col(idCol)).agg(
+        sum(col("__k")).as("__n"),
+        sum(col("__k") * lmicro(col("__k"))).as("__sum_klk"))
+      .select(col(idCol), col("__n").as("n_chars_nospace"),
+        (col("__n") * lmicro(col("__n")) - col("__sum_klk")).as("ent_micro_sum"))
+  }
+
   /** N-gram novelty: per document, the fraction of its DISTINCT word
     * n-grams that occur in no other document — high novelty = original
     * prose, low novelty = boilerplate/templated/duplicated content (the

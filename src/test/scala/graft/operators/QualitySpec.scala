@@ -127,4 +127,20 @@ class QualitySpec extends SparkSpec {
     // the exact column really is the descending top-10
     assert(out.map(_.getLong(1)).toSeq == out.map(_.getLong(1)).sortBy(-_).toSeq)
   }
+
+  test("winsorize: values clip into the per-group quantile band, rows and " +
+      "other columns survive") {
+    import spark.implicits._
+    // group a: 0..10 with p0=0, p1=10 quantiles at lo=0.1/hi=0.9 → [1.0, 9.0]
+    val df = ((0 to 10).map(i => ("a", i.toLong, i.toDouble)) :+
+      (("b", 99L, 5.0))).toDF("g", "id", "v")
+    val out = graft.operators.Quality.winsorize(df, "g", "v", 0.1, 0.9)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Double]("v"), r.getAs[Double]("v_winsorized"))).toMap
+    assert(out.size == 12)               // every row kept
+    assert(out(0L) == ((0.0, 1.0)))      // below lo → clipped up
+    assert(out(5L) == ((5.0, 5.0)))      // inside band → untouched
+    assert(out(10L) == ((10.0, 9.0)))    // above hi → clipped down
+    assert(out(99L) == ((5.0, 5.0)))     // singleton group: lo = hi = value
+  }
 }

@@ -231,6 +231,22 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out(3L) == ((2L, 2L, Some("p q r s"))))
   }
 
+  test("charEntropy: uniform chars maximize, single-char spam zeroes, " +
+      "exact micro-nat identity") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "abcd"),      // 4 distinct chars → H = ln 4, sum = 4·L(4) − 4·0
+      (1L, "aaaa"),      // one char → H = 0
+      (2L, "aa bb"))     // whitespace ignored: k(a)=2, k(b)=2, n=4
+      .toDF("doc_id", "text")
+    def L(x: Long) = math.round(math.log(x.toDouble) * 1e6)
+    val out = TextOps.charEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(0L) == ((4L, 4 * L(4))))           // 4·ln4 micro-nats
+    assert(out(1L) == ((4L, 4 * L(4) - 4 * L(4)))) // = 0
+    assert(out(2L) == ((4L, 4 * L(4) - 2 * L(2) - 2 * L(2))))
+  }
+
   test("lexicalStats: token/type/hapax counts and exact TTR") {
     import spark.implicits._
     val docs = Seq(
