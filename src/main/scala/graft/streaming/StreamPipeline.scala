@@ -172,6 +172,26 @@ object StreamPipeline {
           col(s"r.$rightTs") <= col(s"l.$leftTs"))
       .drop(col(s"r.$key"))
 
+  /** LEFT OUTER [[intervalJoin]]: left rows with no in-window right match
+    * are still emitted (right side null) — but only once the watermark
+    * proves no match can arrive, so unmatched results trail the stream by
+    * the lateness + lookback bound instead of being wrong-then-retracted.
+    * Structured Streaming requires the watermark + time-range bound for
+    * exactly this reason: it is what makes "no match" a decidable,
+    * evictable fact. The "views that never converted" shape — the outer
+    * complement of the inner join's "views that converted".
+    */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, lookback: String,
+      lateness: String = "1 hour"): DataFrame =
+    left.withWatermark(leftTs, lateness).as("l")
+      .join(right.withWatermark(rightTs, lateness).as("r"),
+        col(s"l.$key") === col(s"r.$key") &&
+          col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $lookback") &&
+          col(s"r.$rightTs") <= col(s"l.$leftTs"),
+        "left_outer")
+      .drop(col(s"r.$key"))
+
   /** A8 — post-load verification (`kafka_stream.py:161-193`): re-read the
     * sink and check the row count reached the expected floor.
     */

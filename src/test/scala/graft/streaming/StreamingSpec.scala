@@ -206,6 +206,42 @@ class StreamingSpec extends SparkSpec {
     assert(rows(0).getAs[Double]("pval") == 99.0)
   }
 
+  test("stream-stream LEFT OUTER interval join: unmatched views emit with " +
+      "null purchase once the watermark proves no match can arrive") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = Files.createTempDirectory("graft-loj-out").toString
+    val ckDir = Files.createTempDirectory("graft-loj-ck").toString
+    val views = MemoryStream[(String, Timestamp, Double)]
+    val purchases = MemoryStream[(String, Timestamp, Double)]
+    def runOnce(): Unit = {
+      val q = StreamPipeline.intervalJoinLeftOuter(
+          views.toDF().toDF("user_id", "vts", "vval"),
+          purchases.toDF().toDF("user_id", "pts", "pval"),
+          "user_id", "vts", "pts", "1 hour")
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckDir)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // u1 converts within the hour; u2 never converts
+    views.addData(("u1", ts("2024-06-01 10:10:00"), 1.0),
+      ("u2", ts("2024-06-01 10:20:00"), 2.0))
+    purchases.addData(("u1", ts("2024-06-01 10:05:00"), 99.0))
+    runOnce()
+    // sentinels far past u2's join window advance BOTH watermarks (the
+    // join watermark is their min), making "u2 never matched" decidable
+    views.addData(("u9", ts("2024-06-01 15:00:00"), 9.0))
+    purchases.addData(("u9", ts("2024-06-01 14:59:00"), 9.0))
+    runOnce()
+    runOnce() // one more cycle so the advanced watermark evicts + emits
+    val rows = spark.read.parquet(outDir).collect()
+      .map(r => r.getAs[String]("user_id") ->
+        Option(r.getAs[Any]("pval"))).toMap
+    assert(rows("u1") == Some(99.0))   // matched: purchase value attached
+    assert(rows.contains("u2") && rows("u2").isEmpty) // unmatched: null right
+  }
+
   test("streaming pipeline: wire JSON → parse → monotonic dedup across " +
       "micro-batches → hourly parquet append") {
     import spark.implicits._
