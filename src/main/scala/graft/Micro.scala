@@ -74,6 +74,28 @@ object Micro {
       Dedup.minhashNearDups(docs, "doc_id", "text", 3, 64, 16, 0.8).count()
     }
     graft.CacheScope.releaseAll()
+    // array-path stage breakdown (transform lambdas are interpreted, not
+    // codegen'd — these isolate whether that costs more than the explode
+    // form's extra shuffle)
+    time("shingleArrays (transform h60)") {
+      Dedup.shingleArrays(docs, "doc_id", "text", 3).count()
+    }
+    val arrCached = Dedup.shingleArrays(docs, "doc_id", "text", 3).cache()
+    time("shingleArrays cache materialize")(arrCached.count())
+    time("sigsArr (64 fams) from cached arr") {
+      Dedup.minhashSignaturesArr(arrCached, 64)
+        .agg(sum(col("s0"))).count()
+    }
+    val shCached = Dedup.shingleSets(docs, "doc_id", "text", 3).cache()
+    time("postings cache materialize")(shCached.count())
+    time("sigs (64 fams) from cached postings") {
+      Dedup.minhashSignatures(shCached, 64).agg(sum(col("s0"))).count()
+    }
+    arrCached.unpersist(); shCached.unpersist()
+    time("q21 minhash end-to-end (2nd run)") {
+      Dedup.minhashNearDups(docs, "doc_id", "text", 3, 64, 16, 0.8).count()
+    }
+    graft.CacheScope.releaseAll()
     spark.stop()
   }
 }

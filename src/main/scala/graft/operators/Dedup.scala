@@ -142,6 +142,33 @@ object Dedup {
         explode(array_distinct(TextFns.shingles(col("__t"), n))).as("__s"))
       .select(col("id"), Hashing.h60(col("__s")).as("sh"))
 
+  /** Per-document distinct shingle-hash ARRAYS — the shuffle-free sibling
+    * of [[shingleSets]]: (id, shs array<long>, sz). Same 60-bit
+    * oracle-replayable hash per shingle, but kept as one array row per
+    * document instead of exploded postings, so set size is `size(shs)`
+    * (a projection, not a groupBy) and MinHash signatures become a pure
+    * projection too ([[minhashSignaturesArr]]). Documents with no
+    * shingles (fewer than `n` tokens, or null text) are absent, matching
+    * the exploded form where they contribute zero posting rows.
+    *
+    * Scale trade-off vs postings: arrays keep each document's set on one
+    * row — ideal while per-doc set sizes are bounded (web documents:
+    * 10²-10⁵ shingles); the exploded [[shingleSets]] relation remains the
+    * right base when a frequency cap (`maxShingleDf`) must be computed,
+    * since document frequency is inherently a shuffle on the shingle.
+    */
+  def shingleArrays(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    // built by re-aggregating the EXPLODED postings, not by a
+    // transform(...) lambda over the shingle array: higher-order-function
+    // lambdas are interpreted (no whole-stage codegen), and the per-element
+    // md5 inside one measured 4x slower than the codegen'd explode form —
+    // one collect_list shuffle on the id buys codegen'd hashing and is
+    // still the ONLY aggregate exchange in the array pipeline
+    shingleSets(docs, idCol, textCol, n)
+      .groupBy("id")
+      .agg(collect_list(col("sh")).as("shs"), count(lit(1)).as("sz"))
+
   /** Exact n-gram Jaccard similarity join: all document pairs with
     * `|A∩B| / |A∪B| >= minJac`, computed by counting intersections
     * directly on the inverted-index self-join (shuffle key = shingle hash,
@@ -240,6 +267,27 @@ object Dedup {
       .filter(col("jaccard") >= minJac)
   }
 
+  /** Exact-Jaccard confirmation over the ARRAY relation: each candidate
+    * pair fetches both documents' shingle arrays (two id-keyed joins —
+    * the candidate set is the small side) and counts the intersection
+    * with `array_intersect` in the projection. Zero aggregate shuffles,
+    * versus [[confirmJaccard]]'s postings join + pair groupBy; use the
+    * postings form when per-document sets are too large to sit on one row.
+    */
+  private def confirmJaccardArr(cands: DataFrame, arr: DataFrame,
+      minJac: Double): DataFrame = {
+    val a = arr.select(col("id").as("id_a"), col("shs").as("__sa"),
+      col("sz").as("size_a"))
+    val b = arr.select(col("id").as("id_b"), col("shs").as("__sb"),
+      col("sz").as("size_b"))
+    cands.join(a, "id_a").join(b, "id_b")
+      .withColumn("inter", size(array_intersect(col("__sa"), col("__sb"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("size_a") + col("size_b") - col("inter")))
+      .filter(col("jaccard") >= minJac)
+      .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
+  }
+
   /** MinHash signatures: k INDEPENDENT hash families over the posting
     * keys via seeded xxHash64 (codegen'd, ~2ns/hash), one `min` aggregate
     * per family — a single shuffle on the document id, k columns
@@ -258,6 +306,20 @@ object Dedup {
       min(Hashing.hFast(col("sh"), i)).as(s"s$i")
     }
     shingles.groupBy("id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** [[minhashSignatures]] over the array relation of [[shingleArrays]]:
+    * the same k seeded-xxHash64 families and the same argmin per family
+    * (bit-identical signatures — `xxhash64(seed, x)` over the same 60-bit
+    * keys), but as `array_min(transform(...))` in a single PROJECTION.
+    * The signature stage costs no shuffle at all; at 100 TB that removes
+    * a full-corpus exchange from the dedup critical path.
+    */
+  def minhashSignaturesArr(docShingles: DataFrame, k: Int): DataFrame = {
+    val sigCols = (0 until k).map { i =>
+      array_min(transform(col("shs"), x => Hashing.hFast(x, i))).as(s"s$i")
+    }
+    docShingles.select(col("id") +: sigCols: _*)
   }
 
   /** LSH banding: signature → `bands` rows of (id, band, bucket) where the
@@ -296,12 +358,27 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int, bands: Int, minJac: Double,
       maxShingleDf: Int = Int.MaxValue): DataFrame = {
-    val sh = graft.CacheScope.register(
-      capDf(shingleSets(docs, idCol, textCol, n), maxShingleDf))
-    val cands = lshCandidatePairs(minhashSignatures(sh, k), k, bands)
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    confirmJaccard(cands, sh, sizes, minJac)
-      .select("id_a", "id_b", "jaccard")
+    if (maxShingleDf == Int.MaxValue) {
+      // Uncapped fast path: per-doc arrays make signatures and set sizes
+      // pure projections, and the confirm an array_intersect — the only
+      // shuffles left are the (band, bucket) candidate join itself. The
+      // signature relation is cached because the LSH self-join references
+      // it on BOTH sides; uncached, the k-family hashing would run twice.
+      val arr = graft.CacheScope.register(shingleArrays(docs, idCol, textCol, n))
+      val sigs = graft.CacheScope.register(minhashSignaturesArr(arr, k))
+      val cands = lshCandidatePairs(sigs, k, bands)
+      confirmJaccardArr(cands, arr, minJac)
+        .select("id_a", "id_b", "jaccard")
+    } else {
+      // Frequency-capped path: the df computation is a shuffle on the
+      // shingle anyway, so the exploded postings relation stays the base.
+      val sh = graft.CacheScope.register(
+        capDf(shingleSets(docs, idCol, textCol, n), maxShingleDf))
+      val cands = lshCandidatePairs(minhashSignatures(sh, k), k, bands)
+      val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+      confirmJaccard(cands, sh, sizes, minJac)
+        .select("id_a", "id_b", "jaccard")
+    }
   }
 
   /** Benchmark decontamination: flag every training document that shares
@@ -345,15 +422,27 @@ object Dedup {
       minJac: Double, maxShingleDf: Int = Int.MaxValue): DataFrame = {
     val both = docs.select(col(idCol), col(textCol))
       .unionByName(benchmark.select(col(idCol), col(textCol)))
-    // one posting relation for both sides: shingle df (and so the cap and
-    // the confirm) is computed over the SAME universe the oracle replays
-    val sh = graft.CacheScope.register(
-      capDf(shingleSets(both, idCol, textCol, n), maxShingleDf))
     val benchIds = benchmark.select(col(idCol).as("id")).distinct()
-    // cached: the signature aggregation (k min-hashes over the postings)
-    // feeds BOTH the corpus and benchmark banding branches — without the
-    // cache each branch would recompute the most expensive stage
-    val sigs = graft.CacheScope.register(minhashSignatures(sh, k))
+    // cached in both paths: the signature relation feeds BOTH the corpus
+    // and benchmark banding branches — without the cache each branch
+    // would recompute the most expensive stage
+    val (sigs, confirm) = if (maxShingleDf == Int.MaxValue) {
+      // Uncapped fast path — see [[minhashNearDups]]: signatures and set
+      // sizes are projections over the per-doc array relation, confirm is
+      // an array_intersect; no aggregate shuffle anywhere in the pipeline.
+      val arr = graft.CacheScope.register(shingleArrays(both, idCol, textCol, n))
+      (graft.CacheScope.register(minhashSignaturesArr(arr, k)),
+        (cands: DataFrame) => confirmJaccardArr(cands, arr, minJac))
+    } else {
+      // one posting relation for both sides: shingle df (and so the cap
+      // and the confirm) is computed over the SAME universe the oracle
+      // replays
+      val sh = graft.CacheScope.register(
+        capDf(shingleSets(both, idCol, textCol, n), maxShingleDf))
+      val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+      (graft.CacheScope.register(minhashSignatures(sh, k)),
+        (cands: DataFrame) => confirmJaccard(cands, sh, sizes, minJac))
+    }
     val corpusBands = lshBands(
       sigs.join(broadcast(benchIds), Seq("id"), "left_anti"), k, bands)
     val benchBands = lshBands(
@@ -363,8 +452,7 @@ object Dedup {
         col("c.band") === col("b.band") && col("c.bucket") === col("b.bucket"))
       .select(col("c.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    confirmJaccard(cands, sh, sizes, minJac)
+    confirm(cands)
       .select(col("id_a").as("corpus_id"), col("id_b").as("bench_id"),
         col("jaccard"))
   }
