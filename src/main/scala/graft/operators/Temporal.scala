@@ -109,17 +109,23 @@ object Temporal {
       .filter(col("__rn") === 1)
       .select(col(key), col("__hour"),
         struct(col(valCol).as("v")).as("__obs"))
-    val spine = perHour.groupBy(col(key))
-      .agg(min(col("__hour")).as("__lo"), max(col("__hour")).as("__hi"))
-      .select(col(key),
-        explode(sequence(col("__lo"), col("__hi"),
-          expr("INTERVAL 1 HOUR"))).as("__hour"))
+    // Segment form instead of spine-join: each observed hour OWNS the gap
+    // up to (but excluding) the user's next observed hour, so one lead()
+    // window + one explode(sequence(...)) generates the filled series
+    // directly — LOCF value = the segment owner's observation. Equivalent
+    // to the build-spine / left-join / last(ignoreNulls) formulation but
+    // with ONE window exchange instead of a groupBy + join + window (and
+    // perHour referenced once, not twice). The last observed hour owns
+    // just itself, so the series still ends at the user's max hour.
     val w = Window.partitionBy(col(key)).orderBy(col("__hour"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spine.join(perHour, Seq(key, "__hour"), "left")
-      .withColumn("__filled", last(col("__obs"), ignoreNulls = true).over(w))
-      .select(col(key), col("__hour").as("hour"),
-        col("__filled.v").as("value"),
-        col("__obs").isNotNull.as("was_observed"))
+    perHour
+      .withColumn("__next", lead(col("__hour"), 1).over(w))
+      .select(col(key), col("__obs"), col("__hour"),
+        explode(sequence(col("__hour"),
+          coalesce(col("__next") - expr("INTERVAL 1 HOUR"), col("__hour")),
+          expr("INTERVAL 1 HOUR"))).as("__h"))
+      .select(col(key), col("__h").as("hour"),
+        col("__obs.v").as("value"),
+        (col("__h") === col("__hour")).as("was_observed"))
   }
 }

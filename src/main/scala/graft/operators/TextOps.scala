@@ -262,12 +262,16 @@ object TextOps {
     val bg = toks
       .select(col("id"), explode(TextFns.shinglesOfTokens(col("__t"), 2)).as("bg"))
       .withColumn("w1", split(col("bg"), " ").getItem(0))
-    val bgCounts = bg.groupBy("bg").agg(count(lit(1)).as("c12"))
     val uniCounts = toks
       .select(explode(col("__t")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("c1"))
     val vocab = uniCounts.select(count(lit(1)).as("__v"))
-    bg.join(bgCounts, "bg")
+    // bigram counts as a window over the occurrence relation, not a
+    // groupBy + join-back: one shuffle on the bigram key serves both the
+    // count and the per-occurrence scoring rows, and `bg` (the expensive
+    // explode) is referenced exactly once in the plan
+    bg.withColumn("c12", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("bg"))))
       .join(uniCounts, "w1")
       .crossJoin(broadcast(vocab))
       .withColumn("lp_micro",
