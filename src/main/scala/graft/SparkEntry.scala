@@ -1987,7 +1987,130 @@ object SparkEntry {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
-        ORDER BY event_id""")))
+        ORDER BY event_id""")),
+
+    // ----- Product quantization (the billion-vector ANN layout) --------------
+
+    // PQ ENCODE: 64 dims -> 8 subspaces x 32 sub-centroids = 8-byte code
+    // words. The oracle replays the full deterministic pipeline — 1e7
+    // quantization, seeded codebook, integer-exact argmin per subspace —
+    // so the gate checks the encoder itself. Map-only at any scale: the
+    // codebook rides as codegen literals.
+    "q90_pq_encode" -> Q(
+      (s, dir) => Similarity.pqEncode(t(s, dir, "embeddings"), "vec_id",
+          "embedding", m = 8, ksub = 32, dim = 64)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id", "subspace"),
+      Some(s"""$pqCommonSql
+        SELECT vec_id, j AS subspace, code FROM best ORDER BY vec_id, subspace""")),
+
+    // PQ SEARCH, production shape: asymmetric-distance shortlist (per-query
+    // m x ksub inner-product table; corpus scan touches only the 8-byte
+    // codes) then EXACT cosine re-rank of the 50-candidate shortlist.
+    // Every step is deterministic (exact integer table entries, DECIMAL
+    // sums, id tie-breaks), so unlike most ANN this has a full bit-exact
+    // oracle replaying shortlist AND re-rank; recall vs the exact q24
+    // ranking is pinned in SimilaritySpec.
+    "q91_pq_adc_rerank" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.pqSearchRerank(emb, emb.filter(col("vec_id") < 10),
+            "vec_id", "embedding", k = 5, shortlist = 50, m = 8, ksub = 32,
+            dim = 64)
+          .orderBy(col("query_id"), col("cos").desc, col("id"))
+      },
+      Some(s"""$pqCommonSql,
+        queries AS (SELECT vec_id AS qid, qv FROM q WHERE vec_id < 10),
+        qsub AS (SELECT qid, j, list_slice(qv, CAST(j*8+1 AS INTEGER), CAST(j*8+8 AS INTEGER)) AS v
+                 FROM queries, (SELECT unnest(range(0, 8)) AS j)),
+        tabl AS (SELECT qs.qid, qs.j, c.sid AS code,
+              CAST(list_inner_product(qs.v, c.c) AS DECIMAL(20,0)) AS t
+            FROM qsub qs JOIN cent c ON qs.j = c.j),
+        scoredq AS (SELECT t.qid AS query_id, b.vec_id AS id,
+              CAST(SUM(t.t) AS DECIMAL(23,0)) AS ip_part
+            FROM best b JOIN tabl t ON t.j = b.j AND t.code = b.code
+            GROUP BY 1, 2),
+        short AS (SELECT query_id, id FROM (
+            SELECT query_id, id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY ip_part DESC, id) AS rn
+            FROM scoredq WHERE query_id <> id) WHERE rn <= 50),
+        rr AS (SELECT s.query_id, s.id,
+              list_inner_product(qa.qv, qb.qv)
+                / sqrt(list_inner_product(qa.qv, qa.qv) * list_inner_product(qb.qv, qb.qv)) AS cos
+            FROM short s
+            JOIN q qa ON qa.vec_id = s.query_id
+            JOIN q qb ON qb.vec_id = s.id),
+        ranked AS (SELECT query_id, id, cos,
+              row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rn
+            FROM rr)
+        SELECT query_id, id, cos FROM ranked WHERE rn <= 5
+        ORDER BY query_id, cos DESC, id""")),
+
+    // Symmetric int8 quantization per vector (the standard serving-side
+    // embedding compression): scale = max|component| on the 1e7 grid,
+    // codes = round-half-up(|q|*127/maxq) with sign — every step integer
+    // arithmetic (the one division is a bounded-denominator rational whose
+    // floor is IEEE-safe), so codes are engine-exact.
+    "q92_int8_quant" -> Q(
+      (s, dir) => Similarity.int8Quantize(t(s, dir, "embeddings"), "vec_id",
+          "embedding")
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id"),
+      Some("""WITH q AS (SELECT vec_id,
+            list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1e7)) AS qv
+          FROM embeddings),
+        m AS (SELECT vec_id, qv,
+            CAST(list_max(list_transform(qv, x -> abs(x))) AS BIGINT) AS maxq
+          FROM q),
+        c AS (SELECT vec_id, maxq,
+            list_transform(qv, x -> CASE WHEN maxq = 0 THEN 0
+              ELSE CAST(sign(x) * floor((abs(x)*254 + maxq) / (2*maxq)) AS INTEGER)
+              END) AS codes
+          FROM m)
+        SELECT vec_id, maxq AS scale_micro, codes,
+          CAST(len(list_filter(codes, x -> abs(x) = 127)) AS INTEGER) AS n_saturated
+        FROM c ORDER BY vec_id""")))
+
+  /** Shared DuckDB replay of the PQ codebook + encode (m=8 subspaces of 8
+    * dims, ksub=32 sub-centroids over the 1e7 grid, seeded from the first
+    * 32 vectors then refined by ONE Lloyd round with grid-requantized
+    * means — the exact pipeline of Similarity.pqCodebooks): `cent` is the
+    * trained codebook, `best` the (vec_id, j, code) encoding. */
+  private def pqCommonSql =
+    """WITH q AS (SELECT vec_id,
+          list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1e7)) AS qv
+        FROM embeddings),
+      seeds AS (SELECT vec_id AS sid, qv AS sv FROM q WHERE vec_id < 32),
+      sub AS (SELECT vec_id, j, list_slice(qv, CAST(j*8+1 AS INTEGER), CAST(j*8+8 AS INTEGER)) AS v
+              FROM q, (SELECT unnest(range(0, 8)) AS j)),
+      cent0 AS (SELECT sid, j, list_slice(sv, CAST(j*8+1 AS INTEGER), CAST(j*8+8 AS INTEGER)) AS c
+               FROM seeds, (SELECT unnest(range(0, 8)) AS j)),
+      scored0 AS (SELECT s.vec_id, s.j, c.sid AS code,
+            list_sum(list_transform(c.c, x -> x*x))
+              - 2.0 * list_inner_product(s.v, c.c) AS d2
+          FROM sub s JOIN cent0 c ON s.j = c.j),
+      best0 AS (SELECT vec_id, j, code FROM (
+          SELECT vec_id, j, code,
+                 row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS rn
+          FROM scored0) WHERE rn = 1),
+      dims AS (SELECT b.j, b.code,
+            unnest(list_transform(range(0, 8), p -> {'pos': p, 'v': s.v[CAST(p + 1 AS INTEGER)]})) AS u
+          FROM best0 b JOIN sub s ON s.vec_id = b.vec_id AND s.j = b.j),
+      means AS (SELECT j, code, u.pos AS pos, round(SUM(u.v) / COUNT(*)) AS gm
+                FROM dims GROUP BY j, code, u.pos),
+      trained AS (SELECT j, code, list(gm ORDER BY pos) AS cl
+                  FROM means GROUP BY j, code),
+      cent AS (SELECT c.sid, c.j, coalesce(t.cl, c.c) AS c
+               FROM cent0 c LEFT JOIN trained t
+                 ON t.j = c.j AND t.code = c.sid),
+      scored AS (SELECT s.vec_id, s.j, c.sid AS code,
+            list_sum(list_transform(c.c, x -> x*x))
+              - 2.0 * list_inner_product(s.v, c.c) AS d2
+          FROM sub s JOIN cent c ON s.j = c.j),
+      best AS (SELECT vec_id, j, code FROM (
+          SELECT vec_id, j, code,
+                 row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS rn
+          FROM scored) WHERE rn = 1)"""
 
   private val registryTail: Map[String, Q] = Map(
     // ----- SQL API surface ---------------------------------------------------

@@ -542,6 +542,207 @@ object Similarity {
     * design (raise by lowering nPlanes or adding band rotations).
     * [[nearDupLshBanded]] is the amplified, oracle-gated form.
     */
+  /** Symmetric int8 quantization per vector: scale = max|component| on
+    * the 1e7 integer grid, code_i = round-half-up(|q_i|·127/scale) with
+    * the component's sign (so codes span [-127, 127]; a zero vector
+    * quantizes to all-zero codes with scale 0). Engine-exact: the only
+    * division is (|q|·254 + maxq) / (2·maxq) whose floor is IEEE-safe —
+    * the quotient's distance from any integer is ≥ 1/(2·maxq) ≈ 1e-7,
+    * orders of magnitude above double rounding error. Pure projection:
+    * quantizing 100 TB of embeddings is a map-only scan.
+    *
+    * Returns (id, scale_micro, codes array<int>, n_saturated).
+    */
+  def int8Quantize(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+    graft.Parallelism.fanOut(corpus.select(col(idCol).as("id"), col(vecCol)))
+      .select(col("id"), quantized(col(vecCol)).as("__qv"))
+      .withColumn("__maxq", array_max(transform(col("__qv"), x => abs(x))).cast("long"))
+      .withColumn("codes", transform(col("__qv"), x =>
+        when(col("__maxq") === 0, lit(0))
+          .otherwise((signum(x) * floor((abs(x).cast("long") * 254 + col("__maxq")) /
+            (col("__maxq") * 2))).cast("int"))))
+      .select(col("id"), col("__maxq").as("scale_micro"), col("codes"),
+        size(filter(col("codes"), x => abs(x) === 127)).as("n_saturated"))
+
+  /** Product-quantization ENCODE: split each `dim`-vector into `m`
+    * subspaces of dim/m components; per subspace, assign the subvector to
+    * its nearest of `ksub` sub-centroids (the first `ksub` corpus
+    * vectors' subvectors — the same deterministic seeding as
+    * [[lloydStep]], so the codebook is oracle-replayable without an
+    * RNG). Returns (id, subspace, code) exploded rows.
+    *
+    * Exactness: subvectors are 1e7-grid quantized, so |c|² − 2·v·c over
+    * dim/m ≤ 8 components is an exact integer-valued double in any
+    * engine; argmin ties break on the smaller code. Scale shape: the
+    * m×ksub codebook rides as codegen literals inside one projection —
+    * encoding a 100 TB corpus is a map-only pass (no join, no shuffle),
+    * which is exactly why PQ is the standard billion-vector ANN layout
+    * (Jégou et al., "Product quantization for nearest neighbor search",
+    * IEEE TPAMI 2011).
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, dim: Int): DataFrame =
+    pqEncodeWide(corpus, idCol, vecCol, m, ksub, dim,
+        pqCodebooks(corpus, idCol, vecCol, m, ksub, dim))
+      .select(col("id"), posexplode(col("__codes")).as(Seq("subspace", "code")))
+
+  /** Argmin sub-centroid for one subspace: |c|² − 2·v·c over the
+    * codebook's literal centroids, ties to the smaller code. */
+  private def pqCodeOf(books: IndexedSeq[IndexedSeq[Array[Double]]], j: Int,
+      sub: Column): Column =
+    array_min(array(books(j).zipWithIndex.map { case (cent, c) =>
+      val cn = cent.map(x => x * x).sum
+      struct((lit(cn) - lit(2.0) * qdot(sub, lit(cent))).as("d2"),
+        lit(c).as("code"))
+    }.toIndexedSeq: _*)).getField("code")
+
+  /** [[pqEncode]] keeping the code word as one array column per vector:
+    * (id, __qv quantized vector, __codes array<int> of length m). */
+  private def pqEncodeWide(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, dim: Int,
+      books: IndexedSeq[IndexedSeq[Array[Double]]]): DataFrame = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    graft.Parallelism.fanOut(
+        corpus.select(col(idCol).as("id"), col(vecCol)))
+      .select(col("id"), quantized(col(vecCol)).as("__qv"))
+      .withColumn("__codes", array((0 until m).map { j =>
+        pqCodeOf(books, j, slice(col("__qv"), j * dsub + 1, dsub))
+      }: _*))
+  }
+
+  /** The m×ksub PQ codebook: initialized from the first `ksub` corpus
+    * vectors' subvectors (deterministic, no RNG), then refined by ONE
+    * distributed Lloyd round per subspace with the means RE-QUANTIZED
+    * onto the 1e7 grid — [[lloydIterate]]'s exactness argument, so the
+    * trained codebook is still bit-replayable by the oracle. Sub-clusters
+    * that capture no vectors keep their seed centroid (codes stay dense).
+    * Driver transfers are bounded: ksub×dim seed doubles in, m×ksub×dsub
+    * grid means out (a few KB); the training pass itself is one
+    * distributed assign + (subspace, code, pos) mean shuffle.
+    * books(j)(c) = centroid c of subspace j.
+    */
+  private def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, dim: Int): IndexedSeq[IndexedSeq[Array[Double]]] = {
+    val dsub = dim / m
+    val seeds = corpus.filter(col(idCol) < ksub)
+      .select(col(idCol).cast("long").as("sid"), quantized(col(vecCol)).as("qv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(seeds.length == ksub, s"need $ksub seed vectors with $idCol < $ksub, got ${seeds.length}")
+    val books0: IndexedSeq[IndexedSeq[Array[Double]]] =
+      (0 until m).map(j => seeds.toIndexedSeq.map { case (_, qv) =>
+        qv.slice(j * dsub, j * dsub + dsub)
+      })
+    val assignExpr = array((0 until m).map { j =>
+      val sub = slice(col("__qv"), j * dsub + 1, dsub)
+      struct(lit(j).as("j"), pqCodeOf(books0, j, sub).as("cid"), sub.as("sv"))
+    }: _*)
+    val means = graft.Parallelism.fanOut(
+        corpus.select(col(idCol).as("id"), col(vecCol)))
+      .select(quantized(col(vecCol)).as("__qv"))
+      .select(explode(assignExpr).as("e"))
+      .select(col("e.j").as("j"), col("e.cid").as("cid"),
+        posexplode(col("e.sv")).as(Seq("pos", "v")))
+      .groupBy("j", "cid", "pos")
+      .agg(round(sum(col("v")) / count(lit(1))).as("gm"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getDouble(3)))
+      .toMap
+    (0 until m).map(j => (0 until ksub).map { c =>
+      if (means.contains((j, c, 0))) (0 until dsub).map(p => means((j, c, p))).toArray
+      else books0(j)(c)
+    })
+  }
+
+  /** PQ top-k search by ASYMMETRIC DISTANCE COMPUTATION: each query
+    * precomputes an m×ksub table of exact sub-INNER-PRODUCTS q_j·c_j; a
+    * corpus vector's approximate score is then m table lookups on its
+    * code word — the corpus scan never touches the original vectors.
+    * Inner-product (not L2) scoring because the corpus is unit-normalized
+    * embedding space: IP ranking equals cosine ranking for the true
+    * vectors, and unlike the L2 form it carries no |reconstruction|² bias
+    * (the ScaNN/MIPS convention). Queries are collected (bounded, ≪
+    * corpus — the [[lloydStep]] seed contract) so each table entry
+    * becomes a codegen literal and the whole scan is ONE map-only
+    * projection plus the top-k window; with a large query batch you would
+    * broadcast-join the table relation instead.
+    *
+    * Each table term is an exact integer-valued double cast to
+    * DECIMAL(20,0) before the m-way sum, so `ip_part` is exact and
+    * engine-independent in any summation order. Ranked desc, ties break
+    * on id. Self-matches (query_id = id) are excluded, mirroring
+    * [[knnExact]].
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int, ksub: Int, dim: Int): DataFrame = {
+    val dsub = dim / m
+    val books = pqCodebooks(corpus, idCol, vecCol, m, ksub, dim)
+    val qs = queries.select(col(idCol).cast("long").as("qid"),
+        quantized(col(vecCol)).as("qv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(qs.nonEmpty, "empty query set")
+    // table(qid)(j)(c): exact double q_j·c, computed on the driver over
+    // the same quantized grid the oracle replays
+    def tab(qv: Array[Double], j: Int, c: Int): Double = {
+      val cent = books(j)(c)
+      val qsub = qv.slice(j * dsub, j * dsub + dsub)
+      cent.zip(qsub).map { case (a, b) => a * b }.sum
+    }
+    val encoded = pqEncodeWide(corpus, idCol, vecCol, m, ksub, dim, books)
+    val perQuery = qs.toIndexedSeq.map { case (qid, qv) =>
+      val ip = (0 until m).map { j =>
+        // element_at on a ksub-entry literal array: one lookup per
+        // subspace; DECIMAL(20,0) per term keeps the sum exact
+        element_at(lit((0 until ksub).map(c => tab(qv, j, c)).toArray),
+          col("__codes").getItem(j) + 1).cast("decimal(20,0)")
+      }.reduce(_ + _)
+      struct(lit(qid).as("query_id"), ip.cast("decimal(23,0)").as("ip_part"))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("ip_part").desc, col("id"))
+    encoded
+      .select(col("id"), posexplode(array(perQuery: _*)).as(Seq("__q", "__s")))
+      .select(col("id"), col("__s.query_id").as("query_id"),
+        col("__s.ip_part").as("ip_part"))
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select("query_id", "id", "ip_part")
+  }
+
+  /** The production PQ pattern: ADC SHORTLIST (cheap, approximate, code
+    * scan only) → EXACT cosine re-rank of the shortlist (`shortlist`
+    * candidate vector fetches per query — bounded random reads). Final
+    * quality is the shortlist's recall@`shortlist`, far above raw ADC
+    * recall@k; the output carries the exact quantized cosine, so every
+    * emitted (query, id, cos) is independently verifiable. Deterministic
+    * end to end — shortlist ties break on id, rank ties on (cos desc, id).
+    */
+  def pqSearchRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, shortlist: Int, m: Int, ksub: Int,
+      dim: Int): DataFrame = {
+    val cands = pqTopK(corpus, queries, idCol, vecCol, shortlist, m, ksub, dim)
+      .select(col("query_id"), col("id"))
+    val side = graft.Parallelism.fanOut(
+        corpus.select(col(idCol).as("id"), col(vecCol)))
+      .select(col("id"), quantized(col(vecCol)).as("__cv"))
+      .withColumn("__cn", qnorm2(col("__cv")))
+    val qside = queries.select(col(idCol).cast("long").as("query_id"),
+        quantized(col(vecCol)).as("__qv"))
+      .withColumn("__qn", qnorm2(col("__qv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("id"))
+    cands.join(side, "id")
+      .join(broadcast(qside), "query_id")
+      .withColumn("cos",
+        cosFrom(qdot(col("__qv"), col("__cv")), col("__qn"), col("__cn")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select("query_id", "id", "cos")
+  }
+
   def nearDupLsh(corpus: DataFrame, idCol: String, vecCol: String,
       minCos: Double, nPlanes: Int, dim: Int): DataFrame = {
     val v = graft.Parallelism.fanOut(

@@ -129,6 +129,39 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"recall@5 = $recall ($hits/$total)")
   }
 
+  test("pqSearchRerank recall@5 vs exact kNN on testdata (q91's parameters)") {
+    // PQ is approximate by construction (codes, not vectors, shortlist);
+    // the q91 oracle pins the approximation bit-exact, and THIS pins its
+    // quality: a codebook/encode change that tanks recall goes red here.
+    // Final recall = the ADC shortlist's recall@50, which is what the
+    // rerank pattern buys over raw ADC top-5.
+    val emb = graft.GraftSession.table(spark, "/root/testdata/sf0.01", "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    def topIds(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("id")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = topIds(Similarity.knnExact(emb, queries, "vec_id", "embedding", 5))
+    val pq = topIds(Similarity.pqSearchRerank(emb, queries, "vec_id", "embedding",
+      k = 5, shortlist = 50, m = 8, ksub = 32, dim = 64))
+    val hits = exact.map { case (q, ids) => (ids & pq.getOrElse(q, Set.empty)).size }.sum
+    val total = exact.values.map(_.size).sum
+    val recall = hits.toDouble / total
+    assert(recall >= 0.8, s"recall@5 = $recall ($hits/$total)")
+  }
+
+  test("int8Quantize: codes bounded, max component saturates, dequant error <= scale/254") {
+    val q = Similarity.int8Quantize(vecs, "vec_id", "embedding").collect()
+    assert(q.nonEmpty)
+    q.foreach { r =>
+      val scale = r.getAs[Long]("scale_micro")
+      val codes = r.getSeq[Int](r.fieldIndex("codes"))
+      assert(codes.forall(c => math.abs(c) <= 127))
+      // the max-|component| entry must hit exactly +/-127
+      assert(codes.exists(c => math.abs(c) == 127) || scale == 0)
+      assert(r.getAs[Int]("n_saturated") == codes.count(c => math.abs(c) == 127))
+    }
+  }
+
   test("nearDupLsh is a subset of nearDupExact") {
     val exact = Similarity.nearDupExact(vecs, "vec_id", "embedding", 0.5)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
