@@ -2069,7 +2069,72 @@ object SparkEntry {
           FROM m)
         SELECT vec_id, maxq AS scale_micro, codes,
           CAST(len(list_filter(codes, x -> abs(x) = 127)) AS INTEGER) AS n_saturated
-        FROM c ORDER BY vec_id""")))
+        FROM c ORDER BY vec_id""")),
+
+    // Gopher-rules quality gate with NAMED failures: word count, mean
+    // word length, distinct-stopword floor, top-bigram repetition cap.
+    // The repetition rule is cross-multiplied (integers only) and the
+    // mean length stays a raw IEEE division — no decimal quantization
+    // anywhere, so the verdicts and reason lists are engine-exact.
+    "q93_gopher_filter" -> Q(
+      (s, dir) => TextOps.gopherFilter(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (SELECT doc_id, text,
+            string_split_regex(lower(trim(text)), '\s+') AS l FROM documents),
+        feat AS (SELECT doc_id, len(l) AS n_tokens,
+            CASE WHEN len(l) <> 0 THEN
+              CAST(length(text) - (len(l) - 1) AS DOUBLE) / len(l) END AS mtl,
+            len(list_filter(list_distinct(l),
+              t -> t IN ('the', 'a', 'of', 'and'))) AS n_stop_kinds
+          FROM toks),
+        bg AS (SELECT doc_id, unnest(list_transform(range(1, len(l)),
+              i -> l[i] || ' ' || l[i+1])) AS g
+            FROM toks WHERE len(l) >= 2),
+        tf AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        rep AS (SELECT doc_id, MAX(c) AS top_bg, CAST(SUM(c) AS BIGINT) AS n_bg
+                FROM tf GROUP BY doc_id),
+        rules AS (SELECT f.doc_id, f.n_tokens,
+            f.n_tokens BETWEEN 50 AND 100000 AS wc_ok,
+            f.mtl IS NOT NULL AND f.mtl >= 3.0 AND f.mtl <= 10.0 AS ml_ok,
+            f.n_stop_kinds >= 2 AS stop_ok,
+            r.top_bg IS NULL OR r.top_bg * 50 <= r.n_bg * 3 AS rep_ok
+          FROM feat f LEFT JOIN rep r ON r.doc_id = f.doc_id)
+        SELECT doc_id, n_tokens,
+          (wc_ok AND ml_ok AND stop_ok AND rep_ok) AS passes,
+          list_filter(list_value(
+            CASE WHEN NOT wc_ok THEN 'word_count' END,
+            CASE WHEN NOT ml_ok THEN 'mean_word_len' END,
+            CASE WHEN NOT stop_ok THEN 'stopwords' END,
+            CASE WHEN NOT rep_ok THEN 'repetition' END), x -> x IS NOT NULL)
+            AS fail_reasons
+        FROM rules ORDER BY doc_id""")),
+
+    // Exact-substring-dedup measurement (Lee et al. 2022): per document,
+    // how many token positions sit under a word 3-gram shared by more
+    // than 5 documents. Inverted-index shuffles only; keep_ratio is one
+    // IEEE division of exact counts.
+    "q94_repeated_spans" -> Q(
+      (s, dir) => TextOps.repeatedSpanCoverage(t(s, dir, "documents"),
+          "doc_id", "text", n = 3, maxDocFreq = 5)
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (SELECT doc_id,
+            string_split_regex(lower(trim(text)), '\s+') AS l FROM documents),
+        grams AS (SELECT doc_id, u.pos AS pos,
+            CAST('0x' || substr(md5(u.g), 1, 15) AS BIGINT) AS gh
+          FROM (SELECT doc_id, unnest(list_transform(range(1, greatest(len(l) - 1, 1)),
+              i -> {'pos': i - 1, 'g': l[i] || ' ' || l[i+1] || ' ' || l[i+2]})) AS u
+            FROM toks WHERE len(l) >= 3)),
+        rep AS (SELECT gh FROM (
+            SELECT gh, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, gh FROM grams)
+            GROUP BY gh) WHERE df > 5),
+        cov0 AS (SELECT DISTINCT g.doc_id, tp FROM grams g JOIN rep USING (gh),
+            LATERAL (SELECT unnest(range(g.pos, g.pos + 3)) AS tp) u),
+        cov AS (SELECT doc_id, COUNT(*) AS n_covered FROM cov0 GROUP BY doc_id)
+        SELECT t.doc_id, len(t.l) AS n_tokens,
+          coalesce(c.n_covered, 0) AS n_covered,
+          CASE WHEN len(t.l) <> 0 THEN
+            1.0 - CAST(coalesce(c.n_covered, 0) AS DOUBLE) / len(t.l) END AS keep_ratio
+        FROM toks t LEFT JOIN cov c USING (doc_id) ORDER BY doc_id""")))
 
   /** Shared DuckDB replay of the PQ codebook + encode (m=8 subspaces of 8
     * dims, ksub=32 sub-centroids over the 1e7 grid, seeded from the first

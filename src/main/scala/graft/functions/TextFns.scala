@@ -9,6 +9,11 @@ import org.apache.spark.sql.functions._
   */
 object TextFns {
 
+  /** The shared stopword lexicon (quality scoring, Gopher-style gating).
+    * Tiny by design: the signal is "has function words at all", not
+    * linguistic coverage. */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and")
+
   /** Whitespace-collapsed, lower-cased canonical form — the normalization
     * step of document fingerprinting.
     */

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFns
+import graft.functions.{Hashing, TextFns}
 
 /** Text-analysis operators for training-data curation: language ID, quality
   * scoring, token counting. All pure per-row expressions (narrow, no
@@ -311,6 +311,103 @@ object TextOps {
       .select(col(idCol), col("n_ngrams"), col("top_ngram_n"),
         (lit(1.0) - col("__distinct").cast("double") /
           col("n_ngrams").cast("double")).as("dup_ngram_ratio"))
+  }
+
+  /** Corpus-repeated SPAN coverage — the measurement step of exact
+    * substring deduplication (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL 2022): a token position is
+    * COVERED when any word n-gram through it occurs in more than
+    * `maxDocFreq` distinct documents. Returns per document
+    * (id, n_tokens, n_covered, keep_ratio) — the removal step is then a
+    * caller-side trim of covered positions.
+    *
+    * Scale shape: positional grams shuffle once on the gram hash for the
+    * document-frequency count and once more for the coverage join — the
+    * same inverted-index discipline as [[graft.operators.Dedup]]; no
+    * per-pair work anywhere (cost is Σ df, not Σ df²). Both the gram
+    * relation and the token base are cached: each feeds two branches.
+    * keep_ratio is one exact IEEE division of integer counts (null for
+    * zero-token docs — ANSI-safe).
+    */
+  def repeatedSpanCoverage(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, maxDocFreq: Int): DataFrame = {
+    val toks = graft.CacheScope.register(
+      graft.Parallelism.fanOut(docs.select(col(idCol), col(textCol)))
+        .select(col(idCol), TextFns.tokens(col(textCol)).as("__t"))
+        .select(col(idCol), size(col("__t")).as("n_tokens"), col("__t")))
+    val grams = graft.CacheScope.register(
+      toks.select(col(idCol),
+          posexplode(TextFns.shinglesOfTokens(col("__t"), n)).as(Seq("pos", "__g")))
+        .select(col(idCol), col("pos"), Hashing.h60(col("__g")).as("gh")))
+    val repeated = grams.select(col(idCol), col("gh")).distinct()
+      .groupBy("gh").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDocFreq)
+      .select("gh")
+    val covered = grams.join(repeated, "gh")
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("__tp"))
+      .distinct()
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_covered"))
+    toks.select(col(idCol), col("n_tokens"))
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        when(col("n_tokens") =!= 0,
+          lit(1.0) - coalesce(col("n_covered"), lit(0L)).cast("double") /
+            col("n_tokens").cast("double")).as("keep_ratio"))
+  }
+
+  /** Composite Gopher-style quality gate (Rae et al., "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher", 2021,
+    * §A1.1.1): a document passes only if every rule holds, and each
+    * failure is NAMED so the filter is auditable — the pipeline property
+    * you need when a threshold change moves billions of documents.
+    * Rules (thresholds scaled to the corpus at hand):
+    *   - `word_count`:    minTokens ≤ n_tokens ≤ maxTokens
+    *   - `mean_word_len`: mean token length within [minMeanLen, maxMeanLen]
+    *   - `stopwords`:     at least `minStopKinds` DISTINCT stopwords occur
+    *   - `repetition`:    top bigram ≤ (topFracNum/topFracDen) of bigrams
+    *
+    * Engine-exactness: mean length is one IEEE division of exact integer
+    * counts (never a DECIMAL quantization — engines disagree on double →
+    * decimal rounding); the repetition rule is cross-multiplied so it
+    * compares integers only. Scale shape: the token-derived features are
+    * a pure projection; only the bigram stats shuffle (the
+    * [[repetitionSignals]] pair of aggregations), then one id-keyed join.
+    *
+    * Returns (id, n_tokens, passes, fail_reasons array<string> in fixed
+    * rule order).
+    */
+  def gopherFilter(df0: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 50, maxTokens: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minStopKinds: Int = 2,
+      topFracNum: Int = 3, topFracDen: Int = 50): DataFrame = {
+    val df = graft.Parallelism.fanOut(df0.select(col(idCol), col(textCol)))
+      .withColumn("__toks", TextFns.tokens(col(textCol)))
+    val nToks = size(col("__toks"))
+    val mtl = when(nToks =!= 0,
+      (length(col(textCol)) - (nToks - lit(1))).cast("double") / nToks.cast("double"))
+    val stopKinds = size(array_intersect(array_distinct(col("__toks")),
+      array(TextFns.stopwords.map(lit): _*)))
+    val feat = df.select(col(idCol), nToks.as("n_tokens"), mtl.as("__mtl"),
+      stopKinds.as("__stops"))
+    val rep = repetitionSignals(df0, idCol, textCol, 2)
+      .select(col(idCol), col("top_ngram_n"), col("n_ngrams"))
+    val wcOk = col("n_tokens").between(minTokens, maxTokens)
+    val mlOk = col("__mtl").isNotNull &&
+      col("__mtl") >= minMeanLen && col("__mtl") <= maxMeanLen
+    val stopOk = col("__stops") >= minStopKinds
+    // docs too short to have bigrams carry no repetition evidence → rule holds
+    val repOk = col("top_ngram_n").isNull ||
+      col("top_ngram_n") * topFracDen <= col("n_ngrams") * topFracNum
+    feat.join(rep, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (wcOk && mlOk && stopOk && repOk).as("passes"),
+        array_compact(array(
+          when(!wcOk, lit("word_count")),
+          when(!mlOk, lit("mean_word_len")),
+          when(!stopOk, lit("stopwords")),
+          when(!repOk, lit("repetition")))).as("fail_reasons"))
   }
 
   /** Context-window chunking: split each document into token windows of

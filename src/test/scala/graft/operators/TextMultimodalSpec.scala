@@ -195,6 +195,45 @@ class TextMultimodalSpec extends SparkSpec {
     assert(!out.contains(2L))
   }
 
+  test("gopherFilter: each rule fails independently and is named") {
+    import spark.implicits._
+    // 60 tokens alternating fresh content words with the 4 stopword kinds:
+    // every bigram is unique, mean length ~4, all rules hold
+    val stops = Seq("the", "of", "and", "a")
+    val long = (1 to 30).flatMap(i => Seq(s"word$i", stops(i % 4))).mkString(" ")
+    val docs = Seq(
+      (0L, long),                                   // passes everything
+      (1L, "the of and just a few words here"),     // too short → word_count
+      (2L, ("the of and a " + Seq.fill(30)("spam spam spam").mkString(" "))), // repetition
+      (3L, (1 to 60).map(i => s"tok$i").mkString(" "))) // no stopwords
+      .toDF("doc_id", "text")
+    val out = TextOps.gopherFilter(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(2), r.getSeq[String](3).toList)).toMap
+    assert(out(0L) == ((true, Nil)))
+    assert(out(1L)._2.contains("word_count") && !out(1L)._1)
+    assert(out(2L)._2.contains("repetition"))
+    assert(out(3L)._2 == List("stopwords"))
+  }
+
+  test("repeatedSpanCoverage: planted cross-doc trigram covers its span, " +
+      "unique docs keep ratio 1") {
+    import spark.implicits._
+    // "common gram here" appears in docs 0,1,2 (df=3 > maxDocFreq=2);
+    // it covers positions 0-2 in each. Doc 3 is wholly unique.
+    val docs = Seq(
+      (0L, "common gram here tail0 a b c"),
+      (1L, "common gram here tail1 d e f"),
+      (2L, "common gram here tail2 g h i"),
+      (3L, "nothing shared at all in this one")).toDF("doc_id", "text")
+    val out = TextOps.repeatedSpanCoverage(docs, "doc_id", "text", 3, 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(0L) == ((7, 3L, 1.0 - 3.0 / 7)))
+    assert(out(1L)._2 == 3L && out(2L)._2 == 3L)
+    assert(out(3L) == ((7, 0L, 1.0)))
+  }
+
   test("ngramNovelty: shared grams zero out novelty, unique prose scores 1") {
     import spark.implicits._
     val docs = Seq(

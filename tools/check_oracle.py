@@ -33,6 +33,9 @@ def main(sf_dir, out_dir):
     ok = fail = 0
     for name, sql in sorted(oracle.items()):
         try:
+            import os
+            if not os.path.isdir(f"{out_dir}/{name}"):
+                continue  # query not part of this (filtered) Verify run
             exp = con.sql(sql).fetchall()
             exp_cols = [d[0] for d in con.sql(sql).description]
             got_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
