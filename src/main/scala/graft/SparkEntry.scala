@@ -2134,7 +2134,62 @@ object SparkEntry {
           coalesce(c.n_covered, 0) AS n_covered,
           CASE WHEN len(t.l) <> 0 THEN
             1.0 - CAST(coalesce(c.n_covered, 0) AS DOUBLE) / len(t.l) END AS keep_ratio
-        FROM toks t LEFT JOIN cov c USING (doc_id) ORDER BY doc_id""")))
+        FROM toks t LEFT JOIN cov c USING (doc_id) ORDER BY doc_id""")),
+
+    // Quality-aware dedup survivor election: cluster near-dups (q55's
+    // pipeline), then keep each cluster's HIGHEST-quality member instead
+    // of the arbitrary min-id — the real curation rule. The oracle replays
+    // clustering (recursive CTE) + the DECIMAL quality score + the argmax.
+    "q95_cluster_survivors" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", 3, 64, 16, 0.8)
+        val clusters = Graphs.connectedComponents(pairs, "id_a", "id_b")
+        val scored = TextOps.qualityFeatures(docs, "doc_id", "text")
+          .select(col("doc_id"), col("quality_score"))
+        Curation.electSurvivors(clusters, scored, "doc_id", "quality_score")
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
+               FROM documents),
+        grams AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, greatest(len(l) - 1, 1)),
+                 i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS g
+               FROM toks WHERE len(l) >= 3),
+        sh AS (SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS sh FROM grams),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+                  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        pairs AS (SELECT id_a, id_b FROM inter
+                  JOIN sizes sa ON id_a = sa.doc_id
+                  JOIN sizes sb ON id_b = sb.doc_id
+                  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        walk(id, lbl) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.id = e.dst),
+        comp AS (SELECT id AS doc_id, MIN(lbl) AS component FROM walk GROUP BY id),
+        f AS (SELECT doc_id,
+          len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+          CAST(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+               / length(text) AS DECIMAL(18,9)) AS punct_ratio,
+          CAST(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                 t -> t IN ('the', 'a', 'of', 'and'))) AS DOUBLE)
+               / len(string_split_regex(lower(trim(text)), '\s+')) AS DECIMAL(18,9)) AS stopword_ratio
+          FROM documents),
+        q AS (SELECT doc_id,
+          CAST(CAST(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) AS DECIMAL(18,9))
+               - punct_ratio * 2 + stopword_ratio AS DECIMAL(18,9)) AS quality_score
+          FROM f),
+        r AS (SELECT c.doc_id, c.component, q.quality_score,
+              row_number() OVER (PARTITION BY c.component
+                                 ORDER BY q.quality_score DESC, c.doc_id) AS rn
+          FROM comp c JOIN q USING (doc_id))
+        SELECT doc_id, component, quality_score, rn = 1 AS is_survivor
+        FROM r ORDER BY doc_id""")))
 
   /** Shared DuckDB replay of the PQ codebook + encode (m=8 subspaces of 8
     * dims, ksub=32 sub-centroids over the 1e7 grid, seeded from the first

@@ -67,4 +67,30 @@ object Curation {
   /** The surviving documents (full rows) for a curate() run. */
   def kept(docs: DataFrame, statuses: DataFrame, idCol: String): DataFrame =
     docs.join(statuses.filter(col("status") === "kept").select(idCol), idCol)
+
+  /** QUALITY-AWARE survivor election per duplicate cluster: instead of the
+    * arbitrary keep-min-id rule, keep the member with the highest score
+    * (ties to the smaller id — fully deterministic given an engine-exact
+    * score column such as qualityFeatures' DECIMAL quality_score). This is
+    * the curation step after near-dup clustering: of N copies, retain the
+    * cleanest one, not the first-crawled one.
+    *
+    * `clusters` is connectedComponents output (id, component); `scored`
+    * carries (idCol, scoreCol). One id-keyed join plus one per-component
+    * window — the window partitions on the cluster label, whose groups are
+    * duplicate cliques (small by construction), so no skew risk at scale.
+    * Returns (idCol, component, scoreCol, is_survivor) for every
+    * CLUSTERED document; unclustered documents never enter the edge list
+    * and survive by default (callers anti-join on the non-survivors).
+    */
+  def electSurvivors(clusters: DataFrame, scored: DataFrame, idCol: String,
+      scoreCol: String): DataFrame = {
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    clusters.select(col("id").as(idCol), col("component"))
+      .join(scored.select(col(idCol), col(scoreCol)), idCol)
+      .withColumn("__rn", row_number().over(w))
+      .select(col(idCol), col("component"), col(scoreCol),
+        (col("__rn") === 1).as("is_survivor"))
+  }
 }

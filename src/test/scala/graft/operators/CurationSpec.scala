@@ -27,4 +27,16 @@ class CurationSpec extends SparkSpec {
         Seq("de", "en", "es", "fr"), 80, 0.5), "doc_id")
     assert(keptRows.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(0L))
   }
+
+  test("electSurvivors keeps the highest-scored member per cluster, ties to min id") {
+    import spark.implicits._
+    val clusters = Seq((10L, 10L), (11L, 10L), (12L, 10L), (20L, 20L), (21L, 20L))
+      .toDF("id", "component")
+    val scored = Seq((10L, 1.0), (11L, 3.0), (12L, 2.0), (20L, 5.0), (21L, 5.0))
+      .toDF("doc_id", "score")
+    val out = Curation.electSurvivors(clusters, scored, "doc_id", "score")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out == Map(10L -> false, 11L -> true, 12L -> false,
+      20L -> true, 21L -> false))
+  }
 }
