@@ -40,6 +40,13 @@ object Probe {
     println("[probe] mixtureSample is a pure filter (no shuffle): " +
       (dataShuffles(graft.operators.Sampling.mixtureSample(docs, "doc_id",
         "source", Seq("src0" -> 1.0), 0.1, "mix1")) == 0))
+    val embs = GraftSession.table(spark, sfDir, "embeddings")
+    println("[probe] pqEncode corpus scan map-only (codebook as literals): " +
+      (dataShuffles(graft.operators.Similarity.pqEncode(
+        embs, "vec_id", "embedding", 8, 32, 64)) == 0))
+    println("[probe] int8Quantize is a pure projection (no shuffle): " +
+      (dataShuffles(graft.operators.Similarity.int8Quantize(
+        embs, "vec_id", "embedding")) == 0))
     // skew utilities over real tables: salted orders-per-customer rollup
     // must equal the plain aggregate
     import org.apache.spark.sql.functions._

@@ -158,4 +158,34 @@ class EdgeCaseSpec extends SparkSpec {
     assert(ws.keySet == Set(1L, 2L)) // invalid-weight rows excluded
     assert(ws.values.toSeq.sorted == Seq(1, 2))
   }
+
+  test("round-4 ops: null text, zero vectors, and empty frames degrade " +
+      "cleanly, never throw") {
+    import spark.implicits._
+    val docs = Seq((1L, Option("the of and a pqr stu vwx yz")), (2L, None),
+      (3L, Option("")))
+      .toDF("doc_id", "text")
+    // gopherFilter: null/empty text fails rules, never divides by zero
+    val gf = TextOps.gopherFilter(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(gf.keySet == Set(1L, 2L, 3L))
+    assert(!gf(2L) && !gf(3L)) // degenerate docs never pass
+    // repeatedSpanCoverage: null text → token base may drop the row (null
+    // token array), but surviving rows carry exact counts
+    val cov = TextOps.repeatedSpanCoverage(docs, "doc_id", "text", 3, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(cov.getOrElse(1L, 0L) == 0L) // nothing repeated across docs
+    // int8Quantize: the zero vector takes scale 0 and all-zero codes
+    val zv = Seq((0L, Array(0.0f, 0.0f, 0.0f)), (1L, Array(1.0f, 0.0f, -0.5f)))
+      .toDF("vec_id", "embedding")
+    val iq = Similarity.int8Quantize(zv, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getSeq[Int](2).toList)).toMap
+    assert(iq(0L) == ((0L, List(0, 0, 0))))
+    assert(iq(1L)._2 == List(127, 0, -64)) // round-half-up(0.5*127) with sign
+    // electSurvivors on an empty cluster set returns empty
+    val noClusters = Seq.empty[(Long, Long)].toDF("id", "component")
+    val scored = Seq((1L, 1.0)).toDF("doc_id", "s")
+    assert(Curation.electSurvivors(noClusters, scored, "doc_id", "s").isEmpty)
+  }
 }
