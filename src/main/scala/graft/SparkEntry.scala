@@ -2189,7 +2189,44 @@ object SparkEntry {
                                  ORDER BY q.quality_score DESC, c.doc_id) AS rn
           FROM comp c JOIN q USING (doc_id))
         SELECT doc_id, component, quality_score, rn = 1 AS is_survivor
-        FROM r ORDER BY doc_id""")))
+        FROM r ORDER BY doc_id""")),
+
+    // Water-filling token-budget allocation: fit the per-source corpus
+    // into 60% of its own token total — sources under the fill level keep
+    // everything, bigger ones are clipped to the common cap. Closed-form
+    // (no iteration), integer-exact; the oracle replays tiers and cap.
+    "q96_token_budget" -> Q(
+      (s, dir) => {
+        val per = t(s, dir, "documents")
+          .select(col("source"), size(TextFns.tokens(col("text"))).as("__nt"))
+          .groupBy("source").agg(sum(col("__nt")).as("n_tokens"))
+        // one-row bounded driver transfer (the budget scalar), same
+        // contract as the k-means seed collect
+        val total = per.agg(sum(col("n_tokens"))).first().getLong(0)
+        Sampling.waterFillAllocation(per, "source", "n_tokens",
+            math.floor(0.6 * total).toLong)
+          .orderBy("source")
+      },
+      Some("""WITH per AS (SELECT source,
+            CAST(SUM(len(string_split_regex(lower(trim(text)), '\s+'))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source),
+        tot AS (SELECT CAST(floor(0.6 * SUM(n_tokens)) AS BIGINT) AS budget,
+                       COUNT(*) AS nsrc FROM per),
+        s AS (SELECT source, n_tokens,
+            row_number() OVER (ORDER BY n_tokens, source) AS i,
+            coalesce(SUM(n_tokens) OVER (ORDER BY n_tokens, source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumprev
+          FROM per),
+        t AS (SELECT source, n_tokens, i,
+            CAST(floor(CAST(budget - cumprev AS DOUBLE) / (nsrc - i + 1)) AS BIGINT) AS ti
+          FROM s, tot),
+        c AS (SELECT ti AS cap FROM t,
+            (SELECT MIN(i) AS mi FROM t WHERE ti < n_tokens) m
+          WHERE t.i = m.mi)
+        SELECT t.source, t.n_tokens,
+          CAST(CASE WHEN cap IS NULL THEN t.n_tokens
+               ELSE least(t.n_tokens, cap) END AS BIGINT) AS allocated
+        FROM t LEFT JOIN c ON TRUE ORDER BY source""")))
 
   /** Shared DuckDB replay of the PQ codebook + encode (m=8 subspaces of 8
     * dims, ksub=32 sub-centroids over the 1e7 grid, seeded from the first

@@ -157,4 +157,47 @@ object Sampling {
     df.withColumn("rank_in_group", row_number().over(w))
       .filter(col("rank_in_group") <= cap)
   }
+
+  /** WATER-FILLING token-budget allocation across sources: find the
+    * largest common cap `c` such that Σ min(size_i, c) ≤ budget, and
+    * allocate min(size_i, c) to each source — the standard way to fit a
+    * heterogeneous corpus into a fixed training-token budget without
+    * letting the biggest crawl drown the mixture (sources below the
+    * water level keep everything; sources above are clipped to it).
+    *
+    * Closed form, no iteration: with sources sorted by size ascending,
+    * the fill level at tier i is tᵢ = ⌊(budget − Σ_{j<i} size_j) /
+    * (N − i + 1)⌋; the cap is tᵢ of the FIRST tier where tᵢ < sizeᵢ
+    * (min over a (i, tᵢ) struct — NOT min over tᵢ, which would pick a
+    * later tier's meaningless negative level), or no cap if every tier
+    * is fully funded. Integer arithmetic throughout; the one division is
+    * a bounded-denominator floor, IEEE-safe in any engine.
+    *
+    * `df` is a per-source AGGREGATE (one row per source — cardinality
+    * ≪ data), so the single-partition ordering window is a few thousand
+    * rows at worst; the 100 TB work happened in the upstream groupBy
+    * that produced it. Returns (keyCol, sizeCol, allocated).
+    */
+  def waterFillAllocation(df: DataFrame, keyCol: String, sizeCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative: $budget")
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .orderBy(col(sizeCol), col(keyCol))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    df.select(col(keyCol), col(sizeCol).cast("long").as(sizeCol))
+      .withColumn("__i", row_number().over(wOrd))
+      .withColumn("__cumprev", coalesce(
+        sum(col(sizeCol)).over(wOrd.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__ti", floor(
+        (lit(budget) - col("__cumprev")).cast("double") /
+          (col("__n") - col("__i") + 1).cast("double")).cast("long"))
+      .withColumn("__cap", min(when(col("__ti") < col(sizeCol),
+        struct(col("__i"), col("__ti").as("ti")))).over(wAll).getField("ti"))
+      .select(col(keyCol), col(sizeCol),
+        when(col("__cap").isNull, col(sizeCol))
+          .otherwise(least(col(sizeCol), col("__cap"))).as("allocated"))
+  }
 }

@@ -153,4 +153,22 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("id")).toSet
     assert(kept == Set(1L, 2L))
   }
+
+  test("waterFillAllocation: small sources keep everything, big ones clip " +
+      "to the FIRST binding tier's level") {
+    import spark.implicits._
+    val per = Seq(("s_small", 1L), ("s_big1", 10L), ("s_big2", 10L))
+      .toDF("source", "n_tokens")
+    def alloc(budget: Long) =
+      Sampling.waterFillAllocation(per, "source", "n_tokens", budget)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // budget 11: tier 1 fully funds the small source; remaining 10 over 2
+    // big sources → level 5. (A min-over-tᵢ bug would pick the last
+    // tier's ⌊0/1⌋ = 0 and allocate nothing to the big sources.)
+    assert(alloc(11L) == Map("s_small" -> 1L, "s_big1" -> 5L, "s_big2" -> 5L))
+    // budget covers everything → no cap
+    assert(alloc(100L) == Map("s_small" -> 1L, "s_big1" -> 10L, "s_big2" -> 10L))
+    // zero budget → zero everywhere
+    assert(alloc(0L) == Map("s_small" -> 0L, "s_big1" -> 0L, "s_big2" -> 0L))
+  }
 }
