@@ -581,10 +581,20 @@ object Similarity {
     * IEEE TPAMI 2011).
     */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int, ksub: Int, dim: Int): DataFrame =
-    pqEncodeWide(corpus, idCol, vecCol, m, ksub, dim,
-        pqCodebooks(corpus, idCol, vecCol, m, ksub, dim))
+      m: Int, ksub: Int, dim: Int): DataFrame = {
+    val base = pqBase(corpus, idCol, vecCol)
+    pqEncodeWide(base, m, ksub, dim, pqCodebooks(base, m, ksub, dim))
       .select(col("id"), posexplode(col("__codes")).as(Seq("subspace", "code")))
+  }
+
+  /** The cached quantized corpus (id, __qv) every PQ stage reads —
+    * codebook seeds, the training pass, the encode scan, and the rerank
+    * side all share ONE materialization instead of re-scanning and
+    * re-quantizing the corpus per stage. */
+  private def pqBase(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+    graft.CacheScope.register(graft.Parallelism.fanOut(
+        corpus.select(col(idCol).as("id"), col(vecCol)))
+      .select(col("id"), quantized(col(vecCol)).as("__qv")))
 
   /** Argmin sub-centroid for one subspace: |c|² − 2·v·c over the
     * codebook's literal centroids, ties to the smaller code. */
@@ -598,17 +608,13 @@ object Similarity {
 
   /** [[pqEncode]] keeping the code word as one array column per vector:
     * (id, __qv quantized vector, __codes array<int> of length m). */
-  private def pqEncodeWide(corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int, ksub: Int, dim: Int,
+  private def pqEncodeWide(base: DataFrame, m: Int, ksub: Int, dim: Int,
       books: IndexedSeq[IndexedSeq[Array[Double]]]): DataFrame = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
     val dsub = dim / m
-    graft.Parallelism.fanOut(
-        corpus.select(col(idCol).as("id"), col(vecCol)))
-      .select(col("id"), quantized(col(vecCol)).as("__qv"))
-      .withColumn("__codes", array((0 until m).map { j =>
-        pqCodeOf(books, j, slice(col("__qv"), j * dsub + 1, dsub))
-      }: _*))
+    base.withColumn("__codes", array((0 until m).map { j =>
+      pqCodeOf(books, j, slice(col("__qv"), j * dsub + 1, dsub))
+    }: _*))
   }
 
   /** The m×ksub PQ codebook: initialized from the first `ksub` corpus
@@ -622,14 +628,14 @@ object Similarity {
     * distributed assign + (subspace, code, pos) mean shuffle.
     * books(j)(c) = centroid c of subspace j.
     */
-  private def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+  private def pqCodebooks(base: DataFrame,
       m: Int, ksub: Int, dim: Int): IndexedSeq[IndexedSeq[Array[Double]]] = {
     val dsub = dim / m
-    val seeds = corpus.filter(col(idCol) < ksub)
-      .select(col(idCol).cast("long").as("sid"), quantized(col(vecCol)).as("qv"))
+    val seeds = base.filter(col("id") < ksub)
+      .select(col("id").cast("long").as("sid"), col("__qv"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
-    require(seeds.length == ksub, s"need $ksub seed vectors with $idCol < $ksub, got ${seeds.length}")
+    require(seeds.length == ksub, s"need $ksub seed vectors with id < $ksub, got ${seeds.length}")
     val books0: IndexedSeq[IndexedSeq[Array[Double]]] =
       (0 until m).map(j => seeds.toIndexedSeq.map { case (_, qv) =>
         qv.slice(j * dsub, j * dsub + dsub)
@@ -638,9 +644,7 @@ object Similarity {
       val sub = slice(col("__qv"), j * dsub + 1, dsub)
       struct(lit(j).as("j"), pqCodeOf(books0, j, sub).as("cid"), sub.as("sv"))
     }: _*)
-    val means = graft.Parallelism.fanOut(
-        corpus.select(col(idCol).as("id"), col(vecCol)))
-      .select(quantized(col(vecCol)).as("__qv"))
+    val means = base
       .select(explode(assignExpr).as("e"))
       .select(col("e.j").as("j"), col("e.cid").as("cid"),
         posexplode(col("e.sv")).as(Seq("pos", "v")))
@@ -676,8 +680,15 @@ object Similarity {
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, m: Int, ksub: Int, dim: Int): DataFrame = {
+    val base = pqBase(corpus, idCol, vecCol)
+    pqTopKFromBase(base, queries, idCol, vecCol, k, m, ksub, dim)
+  }
+
+  private def pqTopKFromBase(base: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, m: Int, ksub: Int,
+      dim: Int): DataFrame = {
     val dsub = dim / m
-    val books = pqCodebooks(corpus, idCol, vecCol, m, ksub, dim)
+    val books = pqCodebooks(base, m, ksub, dim)
     val qs = queries.select(col(idCol).cast("long").as("qid"),
         quantized(col(vecCol)).as("qv"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
@@ -690,7 +701,7 @@ object Similarity {
       val qsub = qv.slice(j * dsub, j * dsub + dsub)
       cent.zip(qsub).map { case (a, b) => a * b }.sum
     }
-    val encoded = pqEncodeWide(corpus, idCol, vecCol, m, ksub, dim, books)
+    val encoded = pqEncodeWide(base, m, ksub, dim, books)
     val perQuery = qs.toIndexedSeq.map { case (qid, qv) =>
       val ip = (0 until m).map { j =>
         // element_at on a ksub-entry literal array: one lookup per
@@ -723,11 +734,12 @@ object Similarity {
   def pqSearchRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, shortlist: Int, m: Int, ksub: Int,
       dim: Int): DataFrame = {
-    val cands = pqTopK(corpus, queries, idCol, vecCol, shortlist, m, ksub, dim)
+    val base = pqBase(corpus, idCol, vecCol)
+    val cands = pqTopKFromBase(base, queries, idCol, vecCol, shortlist,
+        m, ksub, dim)
       .select(col("query_id"), col("id"))
-    val side = graft.Parallelism.fanOut(
-        corpus.select(col(idCol).as("id"), col(vecCol)))
-      .select(col("id"), quantized(col(vecCol)).as("__cv"))
+    // the rerank side reads the SAME cached base the shortlist encoded from
+    val side = base.select(col("id"), col("__qv").as("__cv"))
       .withColumn("__cn", qnorm2(col("__cv")))
     val qside = queries.select(col(idCol).cast("long").as("query_id"),
         quantized(col(vecCol)).as("__qv"))
