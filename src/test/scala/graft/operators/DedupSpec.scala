@@ -168,4 +168,37 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(out == Set(1L, 3L))
   }
+
+  test("minhashNearDups: the array fast path and the capped postings path " +
+      "produce identical pairs and jaccards on testdata") {
+    // Two implementations of one contract: maxShingleDf = MaxValue takes
+    // the per-doc-array pipeline (projection signatures, array_intersect
+    // confirm); any finite cap takes the exploded-postings pipeline. A cap
+    // above every real df must not change the output — this cross-gates
+    // the array path against the postings path the oracle was built on.
+    val docs = graft.GraftSession.table(spark, "/root/testdata/sf0.001", "documents")
+    def pairs(cap: Int) = Dedup.minhashNearDups(docs, "doc_id", "text",
+        3, 64, 16, 0.8, maxShingleDf = cap)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    val arrayPath = pairs(Int.MaxValue)
+    graft.CacheScope.releaseAll()
+    val postingsPath = pairs(Int.MaxValue - 1) // finite → postings machinery
+    graft.CacheScope.releaseAll()
+    assert(arrayPath.nonEmpty)
+    assert(arrayPath == postingsPath)
+    // same dual-path contract for the cross-corpus decontamination form
+    def cross(cap: Int) = Dedup.fuzzyDecontaminate(
+        docs.filter(col("doc_id") % 5 =!= 0), docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", 3, 64, 16, 0.8, maxShingleDf = cap)
+      .collect()
+      .map(r => (r.getAs[Long]("corpus_id"), r.getAs[Long]("bench_id")) ->
+        r.getAs[Double]("jaccard")).toMap
+    val crossArray = cross(Int.MaxValue)
+    graft.CacheScope.releaseAll()
+    val crossPostings = cross(Int.MaxValue - 1)
+    graft.CacheScope.releaseAll()
+    assert(crossArray == crossPostings)
+  }
 }
