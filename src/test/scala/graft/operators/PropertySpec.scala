@@ -161,4 +161,33 @@ class PropertySpec extends SparkSpec {
         s"width=$width facts=${facts.size} dims=$dims")
     }
   }
+
+  test("property: waterFillAllocation fits the budget, is maximal, and " +
+      "equals min(size, cap) for random sources and budgets") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 12)
+      sizes <- Gen.listOfN(n, Gen.choose(0L, 200L))
+      budget <- Gen.choose(0L, 800L)
+    } yield (sizes, budget)
+    forAll(gen, n = 12) { case (sizes, budget) =>
+      val df = sizes.zipWithIndex.map { case (s, i) => (s"s$i", s) }
+        .toDF("source", "n_tokens")
+      val out = Sampling.waterFillAllocation(df, "source", "n_tokens", budget)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val total = out.map(_._3).sum
+      assert(total <= budget || out.forall(r => r._3 == r._2),
+        s"overspent: $total > $budget on $sizes")
+      // every allocation is min(size, some common cap): the distinct
+      // allocated values below their size must all be equal (= the cap)
+      val clipped = out.filter(r => r._3 < r._2).map(_._3).distinct
+      assert(clipped.size <= 1, s"inconsistent caps $clipped on $sizes")
+      // maximality: raising the cap by one must break the budget
+      clipped.headOption.foreach { cap =>
+        val plusOne = out.map(r => math.min(r._2, cap + 1)).sum
+        assert(plusOne > budget,
+          s"cap $cap not maximal (cap+1 still fits $plusOne <= $budget) on $sizes")
+      }
+    }
+  }
 }
