@@ -2226,7 +2226,40 @@ object SparkEntry {
         SELECT t.source, t.n_tokens,
           CAST(CASE WHEN cap IS NULL THEN t.n_tokens
                ELSE least(t.n_tokens, cap) END AS BIGINT) AS allocated
-        FROM t LEFT JOIN c ON TRUE ORDER BY source""")))
+        FROM t LEFT JOIN c ON TRUE ORDER BY source""")),
+
+    // Per-language relative quality gate: drop each language's bottom
+    // decile by quality score — the dynamic-threshold curation rule.
+    // cume_dist is tie-stable and one exact IEEE division, so verdicts
+    // are engine-exact.
+    "q97_decile_gate" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val scored = TextOps.qualityFeatures(docs, "doc_id", "text")
+          .select("doc_id", "quality_score")
+          .join(docs.select("doc_id", "lang"), "doc_id")
+        Quality.percentileGate(scored, "lang", "quality_score", 0.1)
+          .select("doc_id", "lang", "quality_score", "pct", "kept")
+          .orderBy("doc_id")
+      },
+      Some("""WITH f AS (SELECT doc_id,
+          len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+          CAST(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+               / length(text) AS DECIMAL(18,9)) AS punct_ratio,
+          CAST(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                 t -> t IN ('the', 'a', 'of', 'and'))) AS DOUBLE)
+               / len(string_split_regex(lower(trim(text)), '\s+')) AS DECIMAL(18,9)) AS stopword_ratio
+          FROM documents),
+        q AS (SELECT doc_id,
+          CAST(CAST(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) AS DECIMAL(18,9))
+               - punct_ratio * 2 + stopword_ratio AS DECIMAL(18,9)) AS quality_score
+          FROM f),
+        j AS (SELECT q.doc_id, d.lang, q.quality_score
+              FROM q JOIN documents d USING (doc_id))
+        SELECT doc_id, lang, quality_score,
+          cume_dist() OVER (PARTITION BY lang ORDER BY quality_score) AS pct,
+          cume_dist() OVER (PARTITION BY lang ORDER BY quality_score) > 0.1 AS kept
+        FROM j ORDER BY doc_id""")))
 
   /** Shared DuckDB replay of the PQ codebook + encode (m=8 subspaces of 8
     * dims, ksub=32 sub-centroids over the 1e7 grid, seeded from the first

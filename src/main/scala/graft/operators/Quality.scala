@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-quality / audit operators (SURVEY.md §2.5). All single-pass
@@ -141,5 +142,25 @@ object Quality {
         first(col("mad")).as("mad"),
         sum(when(col("__adev") > lit(k) * col("mad"), 1L).otherwise(0L))
           .as("n_outliers"))
+  }
+
+  /** Per-group RELATIVE quality gate: keep a row only if its score sits
+    * above the group's `dropBelow` quantile — "drop the bottom decile per
+    * language", the dynamic-threshold form of quality filtering (an
+    * absolute threshold is meaningless when score distributions differ by
+    * group). `cume_dist` is tie-stable (equal scores share a rank, so the
+    * verdict never depends on partitioning order) and its value is one
+    * exact IEEE division of counts — engine-exact against any oracle.
+    * One shuffle on the group column; group size bounds a task, so salt
+    * upstream only if a single group dominates the corpus.
+    *
+    * Returns the input plus (pct, kept).
+    */
+  def percentileGate(df: DataFrame, groupCol: String, scoreCol: String,
+      dropBelow: Double): DataFrame = {
+    require(dropBelow >= 0 && dropBelow < 1, s"dropBelow in [0,1): $dropBelow")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol))
+    df.withColumn("pct", cume_dist().over(w))
+      .withColumn("kept", col("pct") > dropBelow)
   }
 }

@@ -143,4 +143,18 @@ class QualitySpec extends SparkSpec {
     assert(out(10L) == ((10.0, 9.0)))    // above hi → clipped down
     assert(out(99L) == ((5.0, 5.0)))     // singleton group: lo = hi = value
   }
+
+  test("percentileGate drops each group's bottom decile, ties share a verdict") {
+    import spark.implicits._
+    // group a: 10 distinct scores → exactly the lowest is dropped at 0.1
+    // group b: all-tied scores → cume_dist = 1 for every row, all kept
+    val rows = (1 to 10).map(i => (i.toLong, "a", i.toDouble)) ++
+      (11 to 14).map(i => (i.toLong, "b", 7.0))
+    val out = Quality.percentileGate(rows.toDF("id", "grp", "score"),
+        "grp", "score", 0.1)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("kept"))).toMap
+    assert(!out(1L))                       // lowest of a: cume_dist 0.1, dropped
+    assert((2L to 10L).forall(out(_)))     // rest of a kept
+    assert((11L to 14L).forall(out(_)))    // tied group all kept
+  }
 }
