@@ -2259,7 +2259,32 @@ object SparkEntry {
         SELECT doc_id, lang, quality_score,
           cume_dist() OVER (PARTITION BY lang ORDER BY quality_score) AS pct,
           cume_dist() OVER (PARTITION BY lang ORDER BY quality_score) > 0.1 AS kept
-        FROM j ORDER BY doc_id""")))
+        FROM j ORDER BY doc_id""")),
+
+    // Temperature-scaled mixture targets (α = 1/2): sample ∝ sqrt(size),
+    // up-weighting small sources — the multilingual balancing rule. sqrt
+    // is correctly-rounded IEEE everywhere (no libm pow), weights ride
+    // micro-unit integers, targets are exact floor divisions.
+    "q98_temperature_mix" -> Q(
+      (s, dir) => {
+        val per = t(s, dir, "documents")
+          .select(col("source"), size(TextFns.tokens(col("text"))).as("__nt"))
+          .groupBy("source").agg(sum(col("__nt")).as("n_tokens"))
+        Sampling.temperatureWeights(per, "source", "n_tokens", 10000L)
+          .orderBy("source")
+      },
+      Some("""WITH per AS (SELECT source,
+            CAST(SUM(len(string_split_regex(lower(trim(text)), '\s+'))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source),
+        w AS (SELECT source, n_tokens,
+            CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS w_micro
+          FROM per),
+        t AS (SELECT source, n_tokens, w_micro,
+            CAST(SUM(w_micro) OVER () AS BIGINT) AS wsum FROM w)
+        SELECT source, n_tokens, w_micro,
+          CAST(CASE WHEN wsum = 0 THEN 0
+               ELSE floor(10000.0 * w_micro / wsum) END AS BIGINT) AS target
+        FROM t ORDER BY source""")))
 
   /** Shared DuckDB replay of the PQ codebook + encode (m=8 subspaces of 8
     * dims, ksub=32 sub-centroids over the 1e7 grid, seeded from the first

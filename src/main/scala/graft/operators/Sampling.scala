@@ -158,6 +158,35 @@ object Sampling {
       .filter(col("rank_in_group") <= cap)
   }
 
+  /** Temperature-scaled mixture weights (the multilingual-balancing rule:
+    * sample source i proportional to size_i^α with α < 1, so small
+    * sources are UP-weighted relative to their share — α = 1 is natural
+    * sampling, α → 0 uniform). Fixed at α = 1/2 because sqrt is a single
+    * correctly-rounded IEEE op in every engine, which makes the weights
+    * engine-exact without a libm-dependent pow(); the weight is then
+    * quantized to micro-units so the normalizing sum is an exact integer
+    * in any summation order. Targets are floor-allocated from the
+    * micro-weight share of `totalTarget` — one more exact integer
+    * division per row.
+    *
+    * Input is the per-source aggregate (one row per source). Returns
+    * (keyCol, sizeCol, w_micro, target) — Σ target ≤ totalTarget (floor
+    * remainders are deliberately left unassigned; deterministic).
+    */
+  def temperatureWeights(df: DataFrame, keyCol: String, sizeCol: String,
+      totalTarget: Long): DataFrame = {
+    require(totalTarget >= 0, s"totalTarget must be non-negative: $totalTarget")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    df.select(col(keyCol), col(sizeCol).cast("long").as(sizeCol))
+      .withColumn("w_micro", round(sqrt(col(sizeCol).cast("double")) * 1e6).cast("long"))
+      .withColumn("__wsum", sum(col("w_micro")).over(wAll))
+      .withColumn("target",
+        when(col("__wsum") === 0, lit(0L)).otherwise(
+          floor(lit(totalTarget).cast("double") * col("w_micro") / col("__wsum"))
+            .cast("long")))
+      .select(col(keyCol), col(sizeCol), col("w_micro"), col("target"))
+  }
+
   /** WATER-FILLING token-budget allocation across sources: find the
     * largest common cap `c` such that Σ min(size_i, c) ≤ budget, and
     * allocate min(size_i, c) to each source — the standard way to fit a

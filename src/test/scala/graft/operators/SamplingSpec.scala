@@ -171,4 +171,15 @@ class SamplingSpec extends SparkSpec {
     // zero budget → zero everywhere
     assert(alloc(0L) == Map("s_small" -> 0L, "s_big1" -> 0L, "s_big2" -> 0L))
   }
+
+  test("temperatureWeights: sqrt up-weights small sources; targets fit the total") {
+    import spark.implicits._
+    val per = Seq(("big", 10000L), ("small", 100L)).toDF("source", "n")
+    val out = Sampling.temperatureWeights(per, "source", "n", 1000L)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // natural shares are 99%/1%; sqrt shares are 100/110 and 10/110
+    assert(out("big") == ((100000000L, 909L)))   // sqrt(10000)=100 → 1e8 micro
+    assert(out("small") == ((10000000L, 90L)))   // sqrt(100)=10 → 1e7 micro
+    assert(out.values.map(_._2).sum <= 1000L)
+  }
 }
