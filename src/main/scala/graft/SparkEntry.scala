@@ -2197,9 +2197,11 @@ object SparkEntry {
     // (no iteration), integer-exact; the oracle replays tiers and cap.
     "q96_token_budget" -> Q(
       (s, dir) => {
-        val per = t(s, dir, "documents")
+        // cached: the eager budget collect below and the allocation both
+        // read this aggregate — uncached, the tokenize+groupBy would run twice
+        val per = graft.CacheScope.register(t(s, dir, "documents")
           .select(col("source"), size(TextFns.tokens(col("text"))).as("__nt"))
-          .groupBy("source").agg(sum(col("__nt")).as("n_tokens"))
+          .groupBy("source").agg(sum(col("__nt")).as("n_tokens")))
         // one-row bounded driver transfer (the budget scalar), same
         // contract as the k-means seed collect
         val total = per.agg(sum(col("n_tokens"))).first().getLong(0)

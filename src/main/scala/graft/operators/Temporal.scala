@@ -74,26 +74,28 @@ object Temporal {
       .select(col(key), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("sum_value"))
 
-  /** Hourly gap-filling (time-series densification): for every key, an
-    * hour spine from its first to its last observed hour, carrying the
-    * last observation forward across silent hours — the op a dashboard
-    * needs to chart a sensor that reports irregularly.
+  /** Hourly gap-filling (time-series densification): for every key, the
+    * filled hourly series from its first to its last observed hour,
+    * carrying the last observation forward across silent hours — the op
+    * a dashboard needs to chart a sensor that reports irregularly.
     *
     *   - per (key, hour), the LAST observation wins (keep-last by
     *     (ts, tieCol) — deterministic, the reference's D2 rule);
-    *   - the spine is `sequence(first_hour, last_hour, 1 hour)` per key
-    *     (explodes only each key's own active range, never a global
-    *     calendar cross-join);
-    *   - fill is `last(value, ignoreNulls)` over the hour order, so a
-    *     filled row shows the most recent real value; `was_observed`
-    *     distinguishes carried rows. A genuinely-NULL observed value is
-    *     carried as the struct, same contract as [[asofJoin]].
+    *   - each observed hour then OWNS the gap up to (but excluding) the
+    *     key's next observed hour: one `lead()` window per key plus an
+    *     `explode(sequence(...))` generates the filled series directly,
+    *     with the segment owner's observation as the carried value
+    *     (LOCF) — only each key's own active range is ever expanded,
+    *     never a global calendar cross-join;
+    *   - `was_observed` distinguishes carried rows; a genuinely-NULL
+    *     observed value is carried as the struct, same contract as
+    *     [[asofJoin]].
     *
-    * The raw input is scanned and shuffled ONCE (the per-hour keep-last):
-    * the spine's min/max derive from the keep-last output — the set of
-    * (key, hour) rows it keeps is exactly the set of active hours — so
-    * Catalyst reuses the keep-last exchange for both the join side and
-    * the spine aggregate instead of re-reading the events table.
+    * The raw input is scanned and shuffled once for the keep-last, then
+    * one more window exchange on the key for lead() — no spine build, no
+    * self-join, and the per-hour relation is referenced exactly once in
+    * the plan (the build-spine / left-join / last(ignoreNulls) shape this
+    * replaced referenced it twice and paid a groupBy + join + window).
     */
   def gapFillHourly(df: DataFrame, key: String, tsCol: String,
       valCol: String, tieCol: String): DataFrame = {

@@ -108,7 +108,7 @@ object TextOps {
     val nToks = size(toks)
     val punct = nChars - length(regexp_replace(t, "[^A-Za-z0-9\\s]", ""))
     val digits = nChars - length(regexp_replace(t, "[0-9]", ""))
-    val stops = size(filter(toks, x => x.isInCollection(Seq("the", "a", "of", "and"))))
+    val stops = size(filter(toks, x => x.isInCollection(TextFns.stopwords)))
     // guarded division: ANSI mode (Spark 4 default) throws DIVIDE_BY_ZERO,
     // and a single empty document must not kill a 100 TB job — null ratio
     def ratio(num: Column, den: Column): Column =
@@ -382,8 +382,12 @@ object TextOps {
       minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
       minStopKinds: Int = 2,
       topFracNum: Int = 3, topFracDen: Int = 50): DataFrame = {
-    val df = graft.Parallelism.fanOut(df0.select(col(idCol), col(textCol)))
-      .withColumn("__toks", TextFns.tokens(col(textCol)))
+    // ONE cached token relation feeds both the projection features and
+    // the bigram stats — without it, repetitionSignals would re-read and
+    // re-tokenize the corpus for a second full scan
+    val df = graft.CacheScope.register(
+      graft.Parallelism.fanOut(df0.select(col(idCol), col(textCol)))
+        .withColumn("__toks", TextFns.tokens(col(textCol))))
     val nToks = size(col("__toks"))
     val mtl = when(nToks =!= 0,
       (length(col(textCol)) - (nToks - lit(1))).cast("double") / nToks.cast("double"))
@@ -391,8 +395,15 @@ object TextOps {
       array(TextFns.stopwords.map(lit): _*)))
     val feat = df.select(col(idCol), nToks.as("n_tokens"), mtl.as("__mtl"),
       stopKinds.as("__stops"))
-    val rep = repetitionSignals(df0, idCol, textCol, 2)
-      .select(col(idCol), col("top_ngram_n"), col("n_ngrams"))
+    // same aggregation shape as repetitionSignals(n = 2), derived from
+    // the cached tokens instead of a fresh text scan
+    val rep = df
+      .select(col(idCol),
+        explode(TextFns.shinglesOfTokens(col("__toks"), 2)).as("__g"))
+      .groupBy(col(idCol), col("__g"))
+      .agg(count(lit(1)).as("__tf"))
+      .groupBy(col(idCol))
+      .agg(max(col("__tf")).as("top_ngram_n"), sum(col("__tf")).as("n_ngrams"))
     val wcOk = col("n_tokens").between(minTokens, maxTokens)
     val mlOk = col("__mtl").isNotNull &&
       col("__mtl") >= minMeanLen && col("__mtl") <= maxMeanLen

@@ -31,11 +31,16 @@ def main(sf_dir, out_dir):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     ok = fail = 0
+    skipped = []
     for name, sql in sorted(oracle.items()):
         try:
             import os
             if not os.path.isdir(f"{out_dir}/{name}"):
-                continue  # query not part of this (filtered) Verify run
+                # query not part of this (filtered) Verify run — count and
+                # report so a CRASHED query in a FULL run can't silently
+                # read as "0 fail" (the skip total is printed at the end)
+                skipped.append(name)
+                continue
             exp = con.sql(sql).fetchall()
             exp_cols = [d[0] for d in con.sql(sql).description]
             got_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
@@ -94,7 +99,8 @@ def main(sf_dir, out_dir):
         else:
             print(f"ok   {name} ({len(exp)} rows)")
             ok += 1
-    print(f"== {ok} ok, {fail} fail")
+    tail = f", {len(skipped)} skipped (no output dir: {', '.join(skipped[:5])}{'...' if len(skipped) > 5 else ''})" if skipped else ""
+    print(f"== {ok} ok, {fail} fail{tail}")
     return 1 if fail else 0
 
 
