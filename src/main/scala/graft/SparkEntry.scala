@@ -2286,7 +2286,37 @@ object SparkEntry {
         SELECT source, n_tokens, w_micro,
           CAST(CASE WHEN wsum = 0 THEN 0
                ELSE floor(10000.0 * w_micro / wsum) END AS BIGINT) AS target
-        FROM t ORDER BY source""")))
+        FROM t ORDER BY source""")),
+
+    // Exact Pearson correlation matrix over lineitem's numeric columns:
+    // DECIMAL moment sums (order-independent), one aggregation pass for
+    // all pairs, final r in mirrored IEEE double — engine-exact where the
+    // built-in corr's streaming accumulation is not.
+    "q99_corr_matrix" -> Q(
+      (s, dir) => Quality.pearsonMatrix(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col_a", "col_b"),
+      Some {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        def m(c: String) = s"CAST(CAST(round($c * 1e6) AS BIGINT) AS DECIMAL(19,0))"
+        val sums = cols.map(c => s"CAST(SUM(${m(c)}) AS DECIMAL(38,0)) AS s_$c") ++
+          cols.map(c => s"CAST(SUM(${m(c)} * ${m(c)}) AS DECIMAL(38,0)) AS ss_$c") ++
+          cols.combinations(2).map { case Seq(a, b) =>
+            s"CAST(SUM(${m(a)} * ${m(b)}) AS DECIMAL(38,0)) AS sx_${a}_$b"
+          }
+        val pairs = cols.combinations(2).toSeq.map { case Seq(a, b) =>
+          s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
+             CASE WHEN (CAST(n AS DOUBLE) * CAST(ss_$a AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE)) > 0
+                   AND (CAST(n AS DOUBLE) * CAST(ss_$b AS DOUBLE) - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE)) > 0
+             THEN (CAST(n AS DOUBLE) * CAST(sx_${a}_$b AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))
+                  / sqrt((CAST(n AS DOUBLE) * CAST(ss_$a AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(ss_$b AS DOUBLE) - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE)))
+             END AS r FROM w"""
+        }
+        s"""WITH w AS (SELECT COUNT(*) AS n, ${sums.mkString(", ")} FROM lineitem)
+          ${pairs.mkString(" UNION ALL ")}
+          ORDER BY col_a, col_b"""
+      }))
 
   /** Shared DuckDB replay of the PQ codebook + encode (m=8 subspaces of 8
     * dims, ksub=32 sub-centroids over the 1e7 grid, seeded from the first

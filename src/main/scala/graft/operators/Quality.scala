@@ -156,6 +156,52 @@ object Quality {
     *
     * Returns the input plus (pct, kept).
     */
+  /** Exact Pearson correlation matrix over numeric columns — the data-
+    * profiling staple (collinear feature detection, schema drift checks).
+    * Every input is quantized to 1e-6-grid longs; all moment sums
+    * (Σx, Σx², Σxy) accumulate as DECIMAL(38,0) products of DECIMAL(19,0)
+    * casts, so they are exact in any partitioning/order; only the final
+    * r = (nΣxy − ΣxΣy) / √((nΣx²−Σx²ₜ)(nΣy²−Σy²ₜ)) runs in double — the
+    * same IEEE op sequence in any engine, hence engine-exact (unlike
+    * built-in `corr`, whose streaming-covariance accumulation is
+    * order-dependent). Degenerate (constant) columns yield null r.
+    *
+    * ONE aggregation pass computes all k + k + k(k−1)/2 sums (map-side
+    * partial, single scan of the fact table); the pair rows are exploded
+    * from the 1-row wide result. DECIMAL(38,0) headroom: |x|·1e6 ≤ 1e12
+    * and ~1e9 rows keep Σx² ≤ 1e33 — beyond that, drop the grid to 1e3.
+    *
+    * Returns (col_a, col_b, n, r) for each unordered column pair.
+    */
+  def pearsonMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need at least 2 columns: $cols")
+    def micro(c: String) =
+      round(col(c).cast("double") * 1e6).cast("long").cast("decimal(19,0)")
+    val aggs = Seq(count(lit(1)).as("__n")) ++
+      cols.map(c => sum(micro(c)).cast("decimal(38,0)").as(s"__s_$c")) ++
+      cols.map(c => sum(micro(c) * micro(c)).cast("decimal(38,0)").as(s"__ss_$c")) ++
+      cols.combinations(2).toSeq.map { case Seq(a, b) =>
+        sum(micro(a) * micro(b)).cast("decimal(38,0)").as(s"__sx_${a}_$b")
+      }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val pairRows = cols.combinations(2).toSeq.map { case Seq(a, b) =>
+      val n = col("__n").cast("double")
+      val sa = col(s"__s_$a").cast("double")
+      val sb = col(s"__s_$b").cast("double")
+      val ssa = col(s"__ss_$a").cast("double")
+      val ssb = col(s"__ss_$b").cast("double")
+      val sxy = col(s"__sx_${a}_$b").cast("double")
+      val da = n * ssa - sa * sa
+      val db = n * ssb - sb * sb
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), col("__n").as("n"),
+        when(da > 0 && db > 0,
+          (n * sxy - sa * sb) / sqrt(da * db)).as("r"))
+    }
+    wide.select(explode(array(pairRows: _*)).as("__e"))
+      .select(col("__e.col_a").as("col_a"), col("__e.col_b").as("col_b"),
+        col("__e.n").as("n"), col("__e.r").as("r"))
+  }
+
   def percentileGate(df: DataFrame, groupCol: String, scoreCol: String,
       dropBelow: Double): DataFrame = {
     require(dropBelow >= 0 && dropBelow < 1, s"dropBelow in [0,1): $dropBelow")

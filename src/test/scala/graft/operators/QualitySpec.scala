@@ -157,4 +157,19 @@ class QualitySpec extends SparkSpec {
     assert((2L to 10L).forall(out(_)))     // rest of a kept
     assert((11L to 14L).forall(out(_)))    // tied group all kept
   }
+
+  test("pearsonMatrix: r = +1 / -1 on linear columns, null on a constant") {
+    import spark.implicits._
+    val rows = (1 to 20).map(i =>
+      (i.toDouble, 2.0 * i + 3, -0.5 * i + 7, 42.0))
+    val out = Quality.pearsonMatrix(
+        rows.toDF("x", "y_pos", "y_neg", "c"),
+        Seq("x", "y_pos", "y_neg", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(out(("x", "y_pos")).get == 1.0)
+    assert(out(("x", "y_neg")).get == -1.0)
+    assert(out(("x", "c")).isEmpty)       // zero variance → null, not NaN
+    assert(out(("y_pos", "y_neg")).get == -1.0)
+  }
 }
