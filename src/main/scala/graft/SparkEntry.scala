@@ -2316,6 +2316,28 @@ object SparkEntry {
         s"""WITH w AS (SELECT COUNT(*) AS n, ${sums.mkString(", ")} FROM lineitem)
           ${pairs.mkString(" UNION ALL ")}
           ORDER BY col_a, col_b"""
+      }),
+
+    // One-pass table profile over events: nulls, exact distincts, and
+    // numeric min/max on the micro grid per column (string/timestamp
+    // extrema deliberately omitted — engines render them differently).
+    "q100_profile" -> Q(
+      (s, dir) => Quality.profileTable(t(s, dir, "events"),
+          Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+        .orderBy("column_name"),
+      Some {
+        val numeric = Set("event_id", "user_id", "value")
+        val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+        val rows = cols.map { c =>
+          val mm = if (numeric(c))
+            s"CAST(MIN(CAST(round($c * 1e6) AS BIGINT)) AS BIGINT) AS min_micro, " +
+              s"CAST(MAX(CAST(round($c * 1e6) AS BIGINT)) AS BIGINT) AS max_micro"
+          else "CAST(NULL AS BIGINT) AS min_micro, CAST(NULL AS BIGINT) AS max_micro"
+          s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+              COUNT(*) - COUNT($c) AS n_nulls,
+              COUNT(DISTINCT $c) AS n_distinct, $mm FROM events"""
+        }
+        rows.mkString(" UNION ALL ") + " ORDER BY column_name"
       }))
 
   /** Shared DuckDB replay of the PQ codebook + encode (m=8 subspaces of 8

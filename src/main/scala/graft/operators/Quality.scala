@@ -144,6 +144,46 @@ object Quality {
           .as("n_outliers"))
   }
 
+  /** One-pass table profile — the dataset-card / ingest-audit staple:
+    * per column, row count, null count, EXACT distinct count, and (for
+    * numeric columns) min/max on the 1e-6 grid as longs. String/timestamp
+    * columns get null min/max rather than string-rendered extrema,
+    * because engines disagree on double/timestamp→string formatting and
+    * the profile must stay engine-exact.
+    *
+    * Cost note: multiple exact COUNT(DISTINCT)s in one aggregate make
+    * Spark expand the input k-fold — the exact form is for audits at
+    * moderate scale; at 100 TB swap `countDistinct` for
+    * `approx_count_distinct` (same shape, HLL sketch, no expand) and
+    * drop the oracle to rows-only as q46 does.
+    *
+    * Returns (column_name, n_rows, n_nulls, n_distinct, min_micro,
+    * max_micro) — one row per profiled column.
+    */
+  def profileTable(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val numeric = df.schema.fields
+      .filter(f => cols.contains(f.name))
+      .collect { case f if Set("long", "integer", "short", "double", "float")
+        .contains(f.dataType.typeName) => f.name }.toSet
+    def micro(c: String) = round(col(c).cast("double") * 1e6).cast("long")
+    val aggs = Seq(count(lit(1)).as("__n")) ++ cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"), countDistinct(col(c)).as(s"__nd_$c")) ++
+        (if (numeric(c))
+          Seq(min(micro(c)).as(s"__min_$c"), max(micro(c)).as(s"__max_$c"))
+        else Nil)
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("column_name"), col("__n").as("n_rows"),
+        (col("__n") - col(s"__nn_$c")).as("n_nulls"),
+        col(s"__nd_$c").as("n_distinct"),
+        (if (numeric(c)) col(s"__min_$c") else lit(null).cast("long")).as("min_micro"),
+        (if (numeric(c)) col(s"__max_$c") else lit(null).cast("long")).as("max_micro"))
+    }
+    wide.select(explode(array(rows: _*)).as("__e")).select(col("__e.*"))
+  }
+
   /** Per-group RELATIVE quality gate: keep a row only if its score sits
     * above the group's `dropBelow` quantile — "drop the bottom decile per
     * language", the dynamic-threshold form of quality filtering (an

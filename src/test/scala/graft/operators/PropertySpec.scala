@@ -190,4 +190,25 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: pearsonMatrix agrees with Spark's built-in corr within " +
+      "quantization epsilon on random data") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(5, 60)
+      xs <- Gen.listOfN(n, Gen.choose(-50.0, 50.0))
+      slope <- Gen.choose(-3.0, 3.0)
+      noise <- Gen.listOfN(n, Gen.choose(-10.0, 10.0))
+    } yield xs.zip(noise).map { case (x, e) => (x, slope * x + e) }
+    forAll(gen, n = 6) { pts =>
+      val df = pts.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+        .toDF("id", "x", "y")
+      val builtin = df.agg(corr(col("x"), col("y"))).first().getDouble(0)
+      val ours = Quality.pearsonMatrix(df, Seq("x", "y"))
+        .collect()(0).getAs[Double]("r")
+      // 1e-6 quantization + different accumulation orders: micro-level
+      // agreement is the contract, bit-level is ours alone
+      assert(math.abs(ours - builtin) < 1e-4, s"$ours vs $builtin")
+    }
+  }
 }

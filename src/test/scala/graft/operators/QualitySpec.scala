@@ -172,4 +172,19 @@ class QualitySpec extends SparkSpec {
     assert(out(("x", "c")).isEmpty)       // zero variance → null, not NaN
     assert(out(("y_pos", "y_neg")).get == -1.0)
   }
+
+  test("profileTable: exact nulls/distincts per column, micro min/max only " +
+      "for numerics") {
+    import spark.implicits._
+    val df = Seq((1L, Option("a"), Option(1.5)), (2L, Option("a"), None),
+      (3L, Option.empty[String], Option(2.5))).toDF("id", "s", "v")
+    val out = Quality.profileTable(df, Seq("id", "s", "v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[Long]))).toMap
+    assert(out("id") == ((3L, 0L, 3L, Some(1000000L), Some(3000000L))))
+    assert(out("s") == ((3L, 1L, 1L, None, None)))
+    assert(out("v") == ((3L, 1L, 2L, Some(1500000L), Some(2500000L))))
+  }
 }

@@ -126,6 +126,38 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Set(2L, 4L))
   }
 
+  test("stream-static enrichment against the SCD2 CURRENT dimension view") {
+    // The standard streaming enrichment: facts join the slowly-changing
+    // dimension's is_current slice. Spark re-plans the static side per
+    // micro-batch, so a republished dimension is picked up without
+    // restarting the query; here we pin the semantics — only current
+    // attribute values enrich, superseded history rows never match.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dimHistory = Seq(
+      ("u1", ts("2024-06-01 00:00:00"), "bronze"),
+      ("u1", ts("2024-06-02 00:00:00"), "gold"),   // current for u1
+      ("u2", ts("2024-06-01 00:00:00"), "silver")) // current for u2
+      .toDF("user_id", "updated_at", "tier")
+    val scd2 = graft.operators.Warehouse.scd2Build(dimHistory,
+      keys = Seq("user_id"), tsCol = "updated_at", tieCols = Nil,
+      tracked = Seq("tier"))
+    val current = scd2.filter(col("is_current")).select("user_id", "tier")
+    val mem = MemoryStream[(String, Timestamp, Double)]
+    mem.addData(("u1", ts("2024-06-03 10:00:00"), 5.0),
+      ("u2", ts("2024-06-03 10:01:00"), 7.0),
+      ("u3", ts("2024-06-03 10:02:00"), 9.0)) // no dimension row
+    val q = mem.toDF().toDF("user_id", "event_ts", "amount")
+      .join(current, Seq("user_id"), "left")
+      .writeStream.format("memory").queryName("scd2enrich")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table("scd2enrich").collect()
+      .map(r => r.getString(0) -> Option(r.getAs[String]("tier"))).toMap
+    assert(out == Map("u1" -> Some("gold"), "u2" -> Some("silver"),
+      "u3" -> None))
+  }
+
   test("HeavyHitters: state stays bounded at m counters per bucket, " +
       "space-saving guarantees hold across checkpointed micro-batches") {
     import spark.implicits._
