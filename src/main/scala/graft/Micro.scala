@@ -100,6 +100,18 @@ object Micro {
       Dedup.minhashNearDups(docs, "doc_id", "text", 3, 64, 16, 0.8).count()
     }
     graft.CacheScope.releaseAll()
+    // scale linearity probe: a 10x corpus (disjoint id ranges, so near-dup
+    // pair structure replicates 10x, not 100x) through the full MinHash
+    // pipeline — wall time should grow ~linearly with the corpus if the
+    // candidate join stays bucket-bounded, and super-linearly if any
+    // stage degenerated to pair enumeration
+    val docs10 = (0 until 10).map { r =>
+      docs.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"), col("text"))
+    }.reduce(_ unionByName _)
+    time("minhash end-to-end on 10x corpus") {
+      Dedup.minhashNearDups(docs10, "doc_id", "text", 3, 64, 16, 0.8).count()
+    }
+    graft.CacheScope.releaseAll()
     spark.stop()
   }
 }
