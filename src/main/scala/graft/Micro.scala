@@ -100,11 +100,15 @@ object Micro {
       Dedup.minhashNearDups(docs, "doc_id", "text", 3, 64, 16, 0.8).count()
     }
     graft.CacheScope.releaseAll()
-    // scale linearity probe: a 10x corpus (disjoint id ranges, so near-dup
-    // pair structure replicates 10x, not 100x) through the full MinHash
-    // pipeline — wall time should grow ~linearly with the corpus if the
-    // candidate join stays bucket-bounded, and super-linearly if any
-    // stage degenerated to pair enumeration
+    // scale linearity probe: a 10x corpus through the full MinHash
+    // pipeline. Disjoint id ranges only prevent doc_id collisions — the
+    // cloned TEXTS are identical, so every original near-dup pair
+    // replicates ~100x (10x10 copy combinations) plus C(10,2) = 45
+    // identical-copy pairs per doc: the TRUE pair count grows ~1000x
+    // (measured 250,600 vs 256). That's the point: wall time should
+    // track the 10x corpus (bucket-bounded candidates), NOT the 1000x
+    // pair density — super-linear growth here means a stage degenerated
+    // to pair enumeration
     val docs10 = (0 until 10).map { r =>
       docs.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"), col("text"))
     }.reduce(_ unionByName _)

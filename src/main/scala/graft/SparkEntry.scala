@@ -2299,23 +2299,28 @@ object SparkEntry {
       Some {
         val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         def m(c: String) = s"CAST(CAST(round($c * 1e6) AS BIGINT) AS DECIMAL(19,0))"
-        val sums = cols.map(c => s"CAST(SUM(${m(c)}) AS DECIMAL(38,0)) AS s_$c") ++
-          cols.map(c => s"CAST(SUM(${m(c)} * ${m(c)}) AS DECIMAL(38,0)) AS ss_$c") ++
-          cols.combinations(2).map { case Seq(a, b) =>
-            s"CAST(SUM(${m(a)} * ${m(b)}) AS DECIMAL(38,0)) AS sx_${a}_$b"
-          }
+        def v(c: String) = s"$c IS NOT NULL AND NOT isnan(CAST($c AS DOUBLE))"
+        // pairwise-complete: each pair's moments conditioned on BOTH
+        // columns valid, mirroring Quality.pearsonMatrix
         val pairs = cols.combinations(2).toSeq.map { case Seq(a, b) =>
-          s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
-             CASE WHEN (CAST(n AS DOUBLE) * CAST(ss_$a AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE)) > 0
-                   AND (CAST(n AS DOUBLE) * CAST(ss_$b AS DOUBLE) - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE)) > 0
-             THEN (CAST(n AS DOUBLE) * CAST(sx_${a}_$b AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))
-                  / sqrt((CAST(n AS DOUBLE) * CAST(ss_$a AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))
-                         * (CAST(n AS DOUBLE) * CAST(ss_$b AS DOUBLE) - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE)))
-             END AS r FROM w"""
+          val f = s"FILTER (WHERE ${v(a)} AND ${v(b)})"
+          s"""SELECT col_a, col_b, n,
+             CASE WHEN (CAST(n AS DOUBLE) * CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) > 0
+                   AND (CAST(n AS DOUBLE) * CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) > 0
+             THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                  / sqrt((CAST(n AS DOUBLE) * CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
+             END AS r FROM (
+               SELECT '$a' AS col_a, '$b' AS col_b,
+                 COUNT(*) $f AS n,
+                 CAST(SUM(${m(a)}) $f AS DECIMAL(38,0)) AS sa,
+                 CAST(SUM(${m(b)}) $f AS DECIMAL(38,0)) AS sb,
+                 CAST(SUM(${m(a)} * ${m(a)}) $f AS DECIMAL(38,0)) AS ssa,
+                 CAST(SUM(${m(b)} * ${m(b)}) $f AS DECIMAL(38,0)) AS ssb,
+                 CAST(SUM(${m(a)} * ${m(b)}) $f AS DECIMAL(38,0)) AS sxy
+               FROM lineitem)"""
         }
-        s"""WITH w AS (SELECT COUNT(*) AS n, ${sums.mkString(", ")} FROM lineitem)
-          ${pairs.mkString(" UNION ALL ")}
-          ORDER BY col_a, col_b"""
+        pairs.mkString(" UNION ALL ") + " ORDER BY col_a, col_b"
       }),
 
     // One-pass table profile over events: nulls, exact distincts, and
@@ -2326,13 +2331,20 @@ object SparkEntry {
           Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
         .orderBy("column_name"),
       Some {
-        val numeric = Set("event_id", "user_id", "value")
+        val integral = Set("event_id", "user_id")
+        val fractional = Set("value")
         val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
         val rows = cols.map { c =>
-          val mm = if (numeric(c))
-            s"CAST(MIN(CAST(round($c * 1e6) AS BIGINT)) AS BIGINT) AS min_micro, " +
-              s"CAST(MAX(CAST(round($c * 1e6) AS BIGINT)) AS BIGINT) AS max_micro"
-          else "CAST(NULL AS BIGINT) AS min_micro, CAST(NULL AS BIGINT) AS max_micro"
+          // integral columns: raw min/max, exact long multiply (mirrors
+          // Quality.profileTable's integral path — no double round-trip)
+          val mm =
+            if (integral(c))
+              s"CAST(MIN($c) AS BIGINT) * 1000000 AS min_micro, " +
+                s"CAST(MAX($c) AS BIGINT) * 1000000 AS max_micro"
+            else if (fractional(c))
+              s"CAST(MIN(CAST(round($c * 1e6) AS BIGINT)) AS BIGINT) AS min_micro, " +
+                s"CAST(MAX(CAST(round($c * 1e6) AS BIGINT)) AS BIGINT) AS max_micro"
+            else "CAST(NULL AS BIGINT) AS min_micro, CAST(NULL AS BIGINT) AS max_micro"
           s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
               COUNT(*) - COUNT($c) AS n_nulls,
               COUNT(DISTINCT $c) AS n_distinct, $mm FROM events"""

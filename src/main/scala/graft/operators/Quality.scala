@@ -162,15 +162,26 @@ object Quality {
     */
   def profileTable(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column")
-    val numeric = df.schema.fields
-      .filter(f => cols.contains(f.name))
-      .collect { case f if Set("long", "integer", "short", "double", "float")
-        .contains(f.dataType.typeName) => f.name }.toSet
-    def micro(c: String) = round(col(c).cast("double") * 1e6).cast("long")
+    import org.apache.spark.sql.types._
+    val fields = df.schema.fields.filter(f => cols.contains(f.name))
+    val numeric = fields.collect {
+      case f if f.dataType.isInstanceOf[NumericType] => f.name
+    }.toSet
+    val integral = fields.collect {
+      case f if Seq(ByteType, ShortType, IntegerType, LongType)
+        .contains(f.dataType) => f.name
+    }.toSet
+    // integral columns: min/max on the RAW long, micro-scaled by exact
+    // long multiply (exact to |v| <= 9.2e12) — routing a bigint key
+    // through double would lose low digits past 2^53/1e6 ≈ 9e9.
+    // Fractional/decimal: 1e-6-grid round (exact to the same 9e9 bound).
+    def microAgg(f: Column => Column, c: String): Column =
+      if (integral(c)) f(col(c).cast("long")) * 1000000L
+      else f(round(col(c).cast("double") * 1e6).cast("long"))
     val aggs = Seq(count(lit(1)).as("__n")) ++ cols.flatMap { c =>
       Seq(count(col(c)).as(s"__nn_$c"), countDistinct(col(c)).as(s"__nd_$c")) ++
         (if (numeric(c))
-          Seq(min(micro(c)).as(s"__min_$c"), max(micro(c)).as(s"__max_$c"))
+          Seq(microAgg(min, c).as(s"__min_$c"), microAgg(max, c).as(s"__max_$c"))
         else Nil)
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
@@ -182,6 +193,75 @@ object Quality {
         (if (numeric(c)) col(s"__max_$c") else lit(null).cast("long")).as("max_micro"))
     }
     wide.select(explode(array(rows: _*)).as("__e")).select(col("__e.*"))
+  }
+
+  /** Exact Pearson correlation matrix over numeric columns — the data-
+    * profiling staple (collinear feature detection, schema drift checks).
+    * PAIRWISE-COMPLETE semantics: each pair's moments (n, Σx, Σy, Σx²,
+    * Σy², Σxy) are computed over the rows where BOTH columns are non-null
+    * and non-NaN — mixing a global count with null-skipping sums would
+    * silently corrupt r on any table with missing values (and a NaN
+    * would either throw under ANSI or poison a sum).
+    *
+    * Every input is quantized to 1e-6-grid longs; all moment sums
+    * accumulate as DECIMAL(38,0) products of DECIMAL(19,0) casts, so
+    * they are exact in any partitioning/order; only the final
+    * r = (nΣxy − ΣxΣy) / √((nΣx²−Σx²ₜ)(nΣy²−Σy²ₜ)) runs in double — the
+    * same IEEE op sequence in any engine, hence engine-exact (unlike
+    * built-in `corr`, whose streaming-covariance accumulation is
+    * order-dependent). Degenerate (constant) pairs yield null r.
+    *
+    * ONE aggregation pass computes all 6·k(k−1)/2 conditioned sums
+    * (map-side partial, single scan of the fact table); the pair rows
+    * are exploded from the 1-row wide result. DECIMAL(38,0) headroom:
+    * |x|·1e6 ≤ 1e12 and ~1e9 rows keep Σx² ≤ 1e33 — beyond that, drop
+    * the grid to 1e3.
+    *
+    * Returns (col_a, col_b, n, r) for each unordered column pair, with
+    * n the pair's complete-case count.
+    */
+  def pearsonMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need at least 2 columns: $cols")
+    // evaluate validity + quantization ONCE per column in a projection —
+    // inlined into all 6·k(k−1)/2 aggregate expressions they would be
+    // re-evaluated (round/cast/isnan) per aggregate per row, measured 4x
+    // slower on a 4-column matrix
+    val prep = df.select(cols.flatMap { c =>
+      Seq((col(c).isNotNull && !isnan(col(c).cast("double"))).as(s"__v_$c"),
+        round(col(c).cast("double") * 1e6).cast("long")
+          .cast("decimal(19,0)").as(s"__m_$c"))
+    }: _*)
+    val pairs = cols.combinations(2).toSeq
+    def cond(a: String, b: String, e: Column) =
+      sum(when(col(s"__v_$a") && col(s"__v_$b"), e)).cast("decimal(38,0)")
+    def m(c: String) = col(s"__m_$c")
+    val aggs = pairs.flatMap { case Seq(a, b) =>
+      Seq(
+        count(when(col(s"__v_$a") && col(s"__v_$b"), lit(1))).as(s"__n_${a}_$b"),
+        cond(a, b, m(a)).as(s"__sa_${a}_$b"),
+        cond(a, b, m(b)).as(s"__sb_${a}_$b"),
+        cond(a, b, m(a) * m(a)).as(s"__ssa_${a}_$b"),
+        cond(a, b, m(b) * m(b)).as(s"__ssb_${a}_$b"),
+        cond(a, b, m(a) * m(b)).as(s"__sxy_${a}_$b"))
+    }
+    val wide = prep.agg(aggs.head, aggs.tail: _*)
+    val pairRows = pairs.map { case Seq(a, b) =>
+      val sfx = s"${a}_$b"
+      val n = col(s"__n_$sfx").cast("double")
+      val sa = col(s"__sa_$sfx").cast("double")
+      val sb = col(s"__sb_$sfx").cast("double")
+      val ssa = col(s"__ssa_$sfx").cast("double")
+      val ssb = col(s"__ssb_$sfx").cast("double")
+      val sxy = col(s"__sxy_$sfx").cast("double")
+      val da = n * ssa - sa * sa
+      val db = n * ssb - sb * sb
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), col(s"__n_$sfx").as("n"),
+        when(da > 0 && db > 0,
+          (n * sxy - sa * sb) / sqrt(da * db)).as("r"))
+    }
+    wide.select(explode(array(pairRows: _*)).as("__e"))
+      .select(col("__e.col_a").as("col_a"), col("__e.col_b").as("col_b"),
+        col("__e.n").as("n"), col("__e.r").as("r"))
   }
 
   /** Per-group RELATIVE quality gate: keep a row only if its score sits
@@ -196,52 +276,6 @@ object Quality {
     *
     * Returns the input plus (pct, kept).
     */
-  /** Exact Pearson correlation matrix over numeric columns — the data-
-    * profiling staple (collinear feature detection, schema drift checks).
-    * Every input is quantized to 1e-6-grid longs; all moment sums
-    * (Σx, Σx², Σxy) accumulate as DECIMAL(38,0) products of DECIMAL(19,0)
-    * casts, so they are exact in any partitioning/order; only the final
-    * r = (nΣxy − ΣxΣy) / √((nΣx²−Σx²ₜ)(nΣy²−Σy²ₜ)) runs in double — the
-    * same IEEE op sequence in any engine, hence engine-exact (unlike
-    * built-in `corr`, whose streaming-covariance accumulation is
-    * order-dependent). Degenerate (constant) columns yield null r.
-    *
-    * ONE aggregation pass computes all k + k + k(k−1)/2 sums (map-side
-    * partial, single scan of the fact table); the pair rows are exploded
-    * from the 1-row wide result. DECIMAL(38,0) headroom: |x|·1e6 ≤ 1e12
-    * and ~1e9 rows keep Σx² ≤ 1e33 — beyond that, drop the grid to 1e3.
-    *
-    * Returns (col_a, col_b, n, r) for each unordered column pair.
-    */
-  def pearsonMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
-    require(cols.size >= 2, s"need at least 2 columns: $cols")
-    def micro(c: String) =
-      round(col(c).cast("double") * 1e6).cast("long").cast("decimal(19,0)")
-    val aggs = Seq(count(lit(1)).as("__n")) ++
-      cols.map(c => sum(micro(c)).cast("decimal(38,0)").as(s"__s_$c")) ++
-      cols.map(c => sum(micro(c) * micro(c)).cast("decimal(38,0)").as(s"__ss_$c")) ++
-      cols.combinations(2).toSeq.map { case Seq(a, b) =>
-        sum(micro(a) * micro(b)).cast("decimal(38,0)").as(s"__sx_${a}_$b")
-      }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
-    val pairRows = cols.combinations(2).toSeq.map { case Seq(a, b) =>
-      val n = col("__n").cast("double")
-      val sa = col(s"__s_$a").cast("double")
-      val sb = col(s"__s_$b").cast("double")
-      val ssa = col(s"__ss_$a").cast("double")
-      val ssb = col(s"__ss_$b").cast("double")
-      val sxy = col(s"__sx_${a}_$b").cast("double")
-      val da = n * ssa - sa * sa
-      val db = n * ssb - sb * sb
-      struct(lit(a).as("col_a"), lit(b).as("col_b"), col("__n").as("n"),
-        when(da > 0 && db > 0,
-          (n * sxy - sa * sb) / sqrt(da * db)).as("r"))
-    }
-    wide.select(explode(array(pairRows: _*)).as("__e"))
-      .select(col("__e.col_a").as("col_a"), col("__e.col_b").as("col_b"),
-        col("__e.n").as("n"), col("__e.r").as("r"))
-  }
-
   def percentileGate(df: DataFrame, groupCol: String, scoreCol: String,
       dropBelow: Double): DataFrame = {
     require(dropBelow >= 0 && dropBelow < 1, s"dropBelow in [0,1): $dropBelow")

@@ -173,6 +173,19 @@ class QualitySpec extends SparkSpec {
     assert(out(("y_pos", "y_neg")).get == -1.0)
   }
 
+  test("pearsonMatrix is pairwise-complete: a null in either column drops " +
+      "the ROW for that pair only") {
+    import spark.implicits._
+    // (1,1),(2,2) correlate perfectly; the (null,3) row must be excluded
+    // from the x-y pair — a global-count implementation would mix moments
+    // over different row sets and report r = -0.5 here
+    val df = Seq((Option(1.0), Option(1.0)), (Option(2.0), Option(2.0)),
+      (Option.empty[Double], Option(3.0))).toDF("x", "y")
+    val row = Quality.pearsonMatrix(df, Seq("x", "y")).collect()(0)
+    assert(row.getAs[Long]("n") == 2L)
+    assert(row.getAs[Double]("r") == 1.0)
+  }
+
   test("profileTable: exact nulls/distincts per column, micro min/max only " +
       "for numerics") {
     import spark.implicits._
