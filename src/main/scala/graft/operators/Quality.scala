@@ -227,8 +227,11 @@ object Quality {
     // re-evaluated (round/cast/isnan) per aggregate per row, measured 4x
     // slower on a 4-column matrix
     val prep = df.select(cols.flatMap { c =>
-      Seq((col(c).isNotNull && !isnan(col(c).cast("double"))).as(s"__v_$c"),
-        round(col(c).cast("double") * 1e6).cast("long")
+      val valid = col(c).isNotNull && !isnan(col(c).cast("double"))
+      // quantize only valid values: an unconditional ANSI cast would
+      // throw CAST_OVERFLOW on the very NaN rows the filter excludes
+      Seq(valid.as(s"__v_$c"),
+        when(valid, round(col(c).cast("double") * 1e6).cast("long"))
           .cast("decimal(19,0)").as(s"__m_$c"))
     }: _*)
     val pairs = cols.combinations(2).toSeq

@@ -188,4 +188,19 @@ class EdgeCaseSpec extends SparkSpec {
     val scored = Seq((1L, 1.0)).toDF("doc_id", "s")
     assert(Curation.electSurvivors(noClusters, scored, "doc_id", "s").isEmpty)
   }
+
+  test("profiling ops on empty frames: zero counts and null stats, no errors") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Double, Double)].toDF("id", "x", "y")
+    val prof = Quality.profileTable(empty, Seq("id", "x"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(3), r.isNullAt(4))).toMap
+    assert(prof == Map("id" -> ((0L, 0L, true)), "x" -> ((0L, 0L, true))))
+    val corr = Quality.pearsonMatrix(empty, Seq("x", "y")).collect()
+    assert(corr.length == 1 && corr(0).getAs[Long]("n") == 0L && corr(0).isNullAt(3))
+    // NaN rows are excluded like nulls (pairwise-complete contract)
+    val withNaN = Seq((1.0, 1.0), (2.0, 2.0), (Double.NaN, 3.0)).toDF("x", "y")
+    val r = Quality.pearsonMatrix(withNaN, Seq("x", "y")).collect()(0)
+    assert(r.getAs[Long]("n") == 2L && r.getAs[Double]("r") == 1.0)
+  }
 }
