@@ -2350,7 +2350,33 @@ object SparkEntry {
               COUNT(DISTINCT $c) AS n_distinct, $mm FROM events"""
         }
         rows.mkString(" UNION ALL ") + " ORDER BY column_name"
-      }))
+      }),
+
+    // Embedding-space outlier pruning: nearest-seed-centroid assignment
+    // with the FULL exact grid distance; vectors far from every centroid
+    // are flagged for dropping/down-weighting. Map-only scan, centroids
+    // as codegen literals; the oracle replays assignment and distances
+    // bit-exact.
+    "q101_embed_outliers" -> Q(
+      (s, dir) => Similarity.embeddingOutliers(t(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 8, maxD2 = 1.9e14)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id"),
+      Some("""WITH q AS (SELECT vec_id,
+            list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1e7)) AS qv
+          FROM embeddings),
+        seeds AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < 8),
+        scored AS (SELECT q.vec_id, s.cid,
+            list_sum(list_transform(q.qv, x -> x*x)) AS vn,
+            list_sum(list_transform(s.cv, x -> x*x))
+              - 2.0 * list_inner_product(q.qv, s.cv) AS d2p
+          FROM q CROSS JOIN seeds s),
+        best AS (SELECT vec_id, cid, vn + d2p AS d2 FROM (
+            SELECT vec_id, cid, vn, d2p,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2p, cid) AS rn
+            FROM scored) WHERE rn = 1)
+        SELECT vec_id, cid, d2, d2 > 1.9e14 AS is_outlier
+        FROM best ORDER BY vec_id""")))
 
   /** Shared DuckDB replay of the PQ codebook + encode (m=8 subspaces of 8
     * dims, ksub=32 sub-centroids over the 1e7 grid, seeded from the first

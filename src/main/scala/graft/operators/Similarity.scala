@@ -542,6 +542,38 @@ object Similarity {
     * design (raise by lowering nPlanes or adding band rotations).
     * [[nearDupLshBanded]] is the amplified, oracle-gated form.
     */
+  /** Embedding-space outlier pruning (the SemDeDup-adjacent curation
+    * step): assign each vector to its nearest seed centroid and flag
+    * vectors whose FULL squared distance ||v − c||² exceeds `maxD2` —
+    * far-from-every-centroid points are OOD/noise candidates a training
+    * mix usually drops or down-weights. Distances are exact on the 1e7
+    * grid (|v|² + |c|² − 2v·c, every term an integer-valued double), the
+    * argmin ties to the smaller centroid id, and the centroids ride as
+    * codegen literals — one map-only scan, the [[lloydStep]] contract.
+    *
+    * Returns (id, cid, d2, is_outlier).
+    */
+  def embeddingOutliers(embs: DataFrame, idCol: String, vecCol: String,
+      k: Int, maxD2: Double): DataFrame = {
+    val seeds = embs.filter(col(idCol) < k)
+      .select(col(idCol).cast("long").as("cid"), quantized(col(vecCol)).as("cv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(seeds.nonEmpty, s"no seed vectors with $idCol < $k")
+    def scores(qv: Column): Column = array(seeds.map { case (cid, cent) =>
+      val cn = cent.map(x => x * x).sum
+      struct((lit(cn) - lit(2.0) * qdot(qv, lit(cent))).as("d2p"),
+        lit(cid).as("cid"))
+    }.toIndexedSeq: _*)
+    graft.Parallelism.fanOut(embs.select(col(idCol).as("id"), col(vecCol)))
+      .select(col("id"), quantized(col(vecCol)).as("__qv"))
+      .withColumn("__vn", qnorm2(col("__qv")))
+      .withColumn("__best", array_min(scores(col("__qv"))))
+      .select(col("id"), col("__best.cid").as("cid"),
+        (col("__vn") + col("__best.d2p")).as("d2"),
+        (col("__vn") + col("__best.d2p") > maxD2).as("is_outlier"))
+  }
+
   /** Symmetric int8 quantization per vector: scale = max|component| on
     * the 1e7 integer grid, code_i = round-half-up(|q_i|·127/scale) with
     * the component's sign (so codes span [-127, 127]; a zero vector

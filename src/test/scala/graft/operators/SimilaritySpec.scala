@@ -162,6 +162,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("embeddingOutliers flags the far vector, assigns near ones to their seed") {
+    import spark.implicits._
+    // seeds are ids 0,1 (axis-aligned); id 2 hugs seed 0, id 3 is far
+    // from both (distance² to either ≈ 2 + 100² in grid² units)
+    val vs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.99f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 100.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.embeddingOutliers(vs, "vec_id", "embedding",
+        k = 2, maxD2 = 1e14 /* (1 unit)² on the 1e7 grid = 1e14 */)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getBoolean(3))).toMap
+    assert(out(0L) == ((0L, false)) && out(1L) == ((1L, false)))
+    assert(out(2L) == ((0L, false)))   // near seed 0, inside the fence
+    assert(out(3L)._2)                 // far from every centroid
+  }
+
   test("nearDupLsh is a subset of nearDupExact") {
     val exact = Similarity.nearDupExact(vecs, "vec_id", "embedding", 0.5)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
