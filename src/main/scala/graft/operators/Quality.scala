@@ -227,11 +227,16 @@ object Quality {
     // re-evaluated (round/cast/isnan) per aggregate per row, measured 4x
     // slower on a 4-column matrix
     val prep = df.select(cols.flatMap { c =>
-      val valid = col(c).isNotNull && !isnan(col(c).cast("double"))
-      // quantize only valid values: an unconditional ANSI cast would
-      // throw CAST_OVERFLOW on the very NaN rows the filter excludes
+      // a row is valid for correlation only if the value is present,
+      // finite, and inside the quantization range (|x| < 9.2e12 keeps the
+      // micro long from overflowing) — NaN/±Inf/oversized values are
+      // excluded like nulls, and the quantization runs only on valid rows
+      // (an unconditional ANSI cast would throw CAST_OVERFLOW on exactly
+      // the rows the filter excludes)
+      val d = col(c).cast("double")
+      val valid = col(c).isNotNull && !isnan(d) && abs(d) < 9.2e12
       Seq(valid.as(s"__v_$c"),
-        when(valid, round(col(c).cast("double") * 1e6).cast("long"))
+        when(valid, round(d * 1e6).cast("long"))
           .cast("decimal(19,0)").as(s"__m_$c"))
     }: _*)
     val pairs = cols.combinations(2).toSeq

@@ -341,18 +341,35 @@ object Similarity {
     * Returns (cid, pos, centroid, n_vecs) — the q50 output shape with a
     * LEARNED assignment instead of a given label.
     */
-  def lloydStep(embs: DataFrame, idCol: String, vecCol: String,
-      k: Int): DataFrame = {
+  /** First-`k` quantized seed centroids (cid, grid vector), sorted by id
+    * — the shared deterministic seeding of every centroid-based op here.
+    * ONE definition on purpose: the seed contract and the score
+    * expression below are oracle-parity-sensitive, and divergent copies
+    * would break only some queries. */
+  private def seedCentroids(embs: DataFrame, idCol: String, vecCol: String,
+      k: Int): IndexedSeq[(Long, Array[Double])] = {
     val seeds = embs.filter(col(idCol) < k)
       .select(col(idCol).cast("long").as("cid"), quantized(col(vecCol)).as("cv"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
+      .sortBy(_._1).toIndexedSeq
     require(seeds.nonEmpty, s"no seed vectors with $idCol < $k")
-    def scores(qv: Column): Column = array(seeds.map { case (cid, cent) =>
+    seeds
+  }
+
+  /** Per-centroid partial-distance scores |c|² − 2·v·c as an array of
+    * (d2p, cid) structs — array_min picks the nearest centroid with ties
+    * to the smaller cid; add |v|² for the full distance. Centroids ride
+    * as codegen literals (one `array_dot` each). */
+  private def centroidScores(ss: Seq[(Long, Array[Double])])(qv: Column): Column =
+    array(ss.map { case (cid, cent) =>
       val cn = cent.map(x => x * x).sum
-      struct((lit(cn) - lit(2.0) * qdot(qv, lit(cent))).as("d2"),
+      struct((lit(cn) - lit(2.0) * qdot(qv, lit(cent))).as("d2p"),
         lit(cid).as("cid"))
     }.toIndexedSeq: _*)
+
+  def lloydStep(embs: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val scores = centroidScores(seedCentroids(embs, idCol, vecCol, k)) _
     graft.Parallelism.fanOut(embs.select(col(idCol).as("id"), col(vecCol)))
       .select(col("id"), quantized(col(vecCol)).as("__qv"))
       .withColumn("cid", array_min(scores(col("__qv"))).getField("cid"))
@@ -382,17 +399,9 @@ object Similarity {
     val base = graft.CacheScope.register(
       graft.Parallelism.fanOut(embs.select(col(idCol).as("id"), col(vecCol)))
         .select(col("id"), quantized(col(vecCol)).as("__qv")))
-    var seeds = embs.filter(col(idCol) < k)
-      .select(col(idCol).cast("long").as("cid"), quantized(col(vecCol)).as("cv"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1).toSeq
-    require(seeds.nonEmpty, s"no seed vectors with $idCol < $k")
+    var seeds: Seq[(Long, Array[Double])] = seedCentroids(embs, idCol, vecCol, k)
     def assignGridMeans(ss: Seq[(Long, Array[Double])]): DataFrame = {
-      def scores(qv: Column): Column = array(ss.map { case (cid, cent) =>
-        val cn = cent.map(x => x * x).sum
-        struct((lit(cn) - lit(2.0) * qdot(qv, lit(cent))).as("d2"),
-          lit(cid).as("cid"))
-      }.toIndexedSeq: _*)
+      val scores = centroidScores(ss) _
       base
         .withColumn("cid", array_min(scores(col("__qv"))).getField("cid"))
         .select(col("cid"), posexplode(col("__qv")).as(Seq("pos", "v")))
@@ -555,16 +564,7 @@ object Similarity {
     */
   def embeddingOutliers(embs: DataFrame, idCol: String, vecCol: String,
       k: Int, maxD2: Double): DataFrame = {
-    val seeds = embs.filter(col(idCol) < k)
-      .select(col(idCol).cast("long").as("cid"), quantized(col(vecCol)).as("cv"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
-    require(seeds.nonEmpty, s"no seed vectors with $idCol < $k")
-    def scores(qv: Column): Column = array(seeds.map { case (cid, cent) =>
-      val cn = cent.map(x => x * x).sum
-      struct((lit(cn) - lit(2.0) * qdot(qv, lit(cent))).as("d2p"),
-        lit(cid).as("cid"))
-    }.toIndexedSeq: _*)
+    val scores = centroidScores(seedCentroids(embs, idCol, vecCol, k)) _
     graft.Parallelism.fanOut(embs.select(col(idCol).as("id"), col(vecCol)))
       .select(col("id"), quantized(col(vecCol)).as("__qv"))
       .withColumn("__vn", qnorm2(col("__qv")))
