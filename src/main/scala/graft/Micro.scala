@@ -84,16 +84,20 @@ object Micro {
     time("shingleArrays cache materialize")(arrCached.count())
     // reference ALL 64 signature columns: an s0-only aggregate lets
     // ColumnPruning drop the other 63 projections/aggregates, and the
-    // timing would measure 1/64th of the hashing it claims to isolate
-    val allSigs = (0 until 64).map(i => col(s"s$i")).reduce(_ + _)
+    // timing would measure 1/64th of the hashing it claims to isolate.
+    // Forced through xxhash64 + max, NOT a 64-way long addition — the
+    // signatures span the full 64-bit range (array_min over xxhash64),
+    // so `s0+…+s63` overflows with near-certainty and ANSI mode (Spark 4
+    // default) turns that into ARITHMETIC_OVERFLOW mid-probe
+    val allSigs = xxhash64((0 until 64).map(i => col(s"s$i")): _*)
     time("sigsArr (64 fams) from cached arr") {
       Dedup.minhashSignaturesArr(arrCached, 64)
-        .agg(sum(allSigs)).count()
+        .agg(max(allSigs)).count()
     }
     val shCached = Dedup.shingleSets(docs, "doc_id", "text", 3).cache()
     time("postings cache materialize")(shCached.count())
     time("sigs (64 fams) from cached postings") {
-      Dedup.minhashSignatures(shCached, 64).agg(sum(allSigs)).count()
+      Dedup.minhashSignatures(shCached, 64).agg(max(allSigs)).count()
     }
     arrCached.unpersist(); shCached.unpersist()
     time("q21 minhash end-to-end (2nd run)") {

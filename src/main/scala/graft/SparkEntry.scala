@@ -741,8 +741,10 @@ object SparkEntry {
           GROUP BY lang, predicted ORDER BY lang, predicted"""
       }),
 
-    // Quality scoring: per-doc features quantized to DECIMAL at the row
-    // level, aggregated per lang (order-independent exact sums).
+    // Quality scoring: per-doc micro-unit integer features (see
+    // qualityFeatures — no double→DECIMAL casts), aggregated per lang
+    // with exact order-independent long sums; the averages are one IEEE
+    // division chain over exact integers, mirrored verbatim in the oracle.
     "q27_quality_by_lang" -> Q(
       (s, dir) => {
         val feats = TextOps.qualityFeatures(t(s, dir, "documents"), "doc_id", "text")
@@ -750,28 +752,20 @@ object SparkEntry {
         feats.groupBy("lang").agg(
           count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("sum_tokens"),
-          (sum(col("quality_score")).cast("double") / count(lit(1))).as("avg_quality"),
-          (sum(col("punct_ratio")).cast("double") / count(lit(1))).as("avg_punct_ratio"),
-          (sum(col("stopword_ratio")).cast("double") / count(lit(1))).as("avg_stopword_ratio"))
+          (sum(col("quality_score_micro")).cast("double") / count(lit(1)) / 1e6)
+            .as("avg_quality"),
+          (sum(col("punct_ratio_micro")).cast("double") / count(lit(1)) / 1e6)
+            .as("avg_punct_ratio"),
+          (sum(col("stopword_ratio_micro")).cast("double") / count(lit(1)) / 1e6)
+            .as("avg_stopword_ratio"))
           .orderBy("lang")
       },
-      Some("""WITH f AS (SELECT lang,
-          len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
-          CAST(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
-               / length(text) AS DECIMAL(18,9)) AS punct_ratio,
-          CAST(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-                 t -> t IN ('the', 'a', 'of', 'and'))) AS DOUBLE)
-               / len(string_split_regex(lower(trim(text)), '\s+')) AS DECIMAL(18,9)) AS stopword_ratio
-          FROM documents),
-        g AS (SELECT lang, n_tokens, punct_ratio, stopword_ratio,
-          CAST(CAST(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) AS DECIMAL(18,9))
-               - punct_ratio * 2 + stopword_ratio AS DECIMAL(18,9)) AS quality_score
-          FROM f)
+      Some(s"""WITH ${qualityMicroSql("lang")}
         SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
-          CAST(SUM(quality_score) AS DOUBLE) / COUNT(*) AS avg_quality,
-          CAST(SUM(punct_ratio) AS DOUBLE) / COUNT(*) AS avg_punct_ratio,
-          CAST(SUM(stopword_ratio) AS DOUBLE) / COUNT(*) AS avg_stopword_ratio
-        FROM g GROUP BY lang ORDER BY lang""")),
+          CAST(SUM(quality_score_micro) AS DOUBLE) / COUNT(*) / 1000000.0 AS avg_quality,
+          CAST(SUM(punct_ratio_micro) AS DOUBLE) / COUNT(*) / 1000000.0 AS avg_punct_ratio,
+          CAST(SUM(stopword_ratio_micro) AS DOUBLE) / COUNT(*) / 1000000.0 AS avg_stopword_ratio
+        FROM __qm GROUP BY lang ORDER BY lang""")),
 
     // Token counting (whitespace + BPE-ish regex) rolled up per source.
     "q28_token_counts" -> Q(
@@ -2050,11 +2044,17 @@ object SparkEntry {
     // embedding compression): scale = max|component| on the 1e7 grid,
     // codes = round-half-up(|q|*127/maxq) with sign — every step integer
     // arithmetic (the one division is a bounded-denominator rational whose
-    // floor is IEEE-safe), so codes are engine-exact.
+    // floor is IEEE-safe), so codes are engine-exact. The operator stays
+    // array-native; THIS projection flattens codes to a CSV string because
+    // the driver's comparator cannot sort array-typed columns (round-4
+    // q92 `err`) — int→string rendering is locale-free in both engines.
     "q92_int8_quant" -> Q(
       (s, dir) => Similarity.int8Quantize(t(s, dir, "embeddings"), "vec_id",
           "embedding")
         .withColumnRenamed("id", "vec_id")
+        .select(col("vec_id"), col("scale_micro"),
+          array_join(col("codes").cast("array<string>"), ",").as("codes_csv"),
+          col("n_saturated"))
         .orderBy("vec_id"),
       Some("""WITH q AS (SELECT vec_id,
             list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1e7)) AS qv
@@ -2067,7 +2067,8 @@ object SparkEntry {
               ELSE CAST(sign(x) * floor((abs(x)*254 + maxq) / (2*maxq)) AS INTEGER)
               END) AS codes
           FROM m)
-        SELECT vec_id, maxq AS scale_micro, codes,
+        SELECT vec_id, maxq AS scale_micro,
+          array_to_string(list_transform(codes, x -> CAST(x AS VARCHAR)), ',') AS codes_csv,
           CAST(len(list_filter(codes, x -> abs(x) = 127)) AS INTEGER) AS n_saturated
         FROM c ORDER BY vec_id""")),
 
@@ -2078,6 +2079,11 @@ object SparkEntry {
     // anywhere, so the verdicts and reason lists are engine-exact.
     "q93_gopher_filter" -> Q(
       (s, dir) => TextOps.gopherFilter(t(s, dir, "documents"), "doc_id", "text")
+        // fail_reasons stays array-native in the operator; the gate
+        // projection flattens it (fixed rule order, so the CSV is
+        // deterministic) — the driver comparator cannot sort arrays
+        .withColumn("fail_csv", array_join(col("fail_reasons"), ","))
+        .drop("fail_reasons")
         .orderBy("doc_id"),
       Some("""WITH toks AS (SELECT doc_id, text,
             string_split_regex(lower(trim(text)), '\s+') AS l FROM documents),
@@ -2101,12 +2107,12 @@ object SparkEntry {
           FROM feat f LEFT JOIN rep r ON r.doc_id = f.doc_id)
         SELECT doc_id, n_tokens,
           (wc_ok AND ml_ok AND stop_ok AND rep_ok) AS passes,
-          list_filter(list_value(
+          coalesce(array_to_string(list_filter(list_value(
             CASE WHEN NOT wc_ok THEN 'word_count' END,
             CASE WHEN NOT ml_ok THEN 'mean_word_len' END,
             CASE WHEN NOT stop_ok THEN 'stopwords' END,
-            CASE WHEN NOT rep_ok THEN 'repetition' END), x -> x IS NOT NULL)
-            AS fail_reasons
+            CASE WHEN NOT rep_ok THEN 'repetition' END), x -> x IS NOT NULL), ','),
+            '') AS fail_csv
         FROM rules ORDER BY doc_id""")),
 
     // Exact-substring-dedup measurement (Lee et al. 2022): per document,
@@ -2139,18 +2145,19 @@ object SparkEntry {
     // Quality-aware dedup survivor election: cluster near-dups (q55's
     // pipeline), then keep each cluster's HIGHEST-quality member instead
     // of the arbitrary min-id — the real curation rule. The oracle replays
-    // clustering (recursive CTE) + the DECIMAL quality score + the argmax.
+    // clustering (recursive CTE) + the micro-unit integer quality score +
+    // the argmax (exact long comparisons, no decimal rounding anywhere).
     "q95_cluster_survivors" -> Q(
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", 3, 64, 16, 0.8)
         val clusters = Graphs.connectedComponents(pairs, "id_a", "id_b")
         val scored = TextOps.qualityFeatures(docs, "doc_id", "text")
-          .select(col("doc_id"), col("quality_score"))
-        Curation.electSurvivors(clusters, scored, "doc_id", "quality_score")
+          .select(col("doc_id"), col("quality_score_micro"))
+        Curation.electSurvivors(clusters, scored, "doc_id", "quality_score_micro")
           .orderBy("doc_id")
       },
-      Some("""WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
+      Some(s"""WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l
                FROM documents),
         grams AS (SELECT doc_id, unnest(list_distinct(list_transform(
                  range(1, greatest(len(l) - 1, 1)),
@@ -2172,23 +2179,12 @@ object SparkEntry {
           UNION
           SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.id = e.dst),
         comp AS (SELECT id AS doc_id, MIN(lbl) AS component FROM walk GROUP BY id),
-        f AS (SELECT doc_id,
-          len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
-          CAST(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
-               / length(text) AS DECIMAL(18,9)) AS punct_ratio,
-          CAST(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-                 t -> t IN ('the', 'a', 'of', 'and'))) AS DOUBLE)
-               / len(string_split_regex(lower(trim(text)), '\s+')) AS DECIMAL(18,9)) AS stopword_ratio
-          FROM documents),
-        q AS (SELECT doc_id,
-          CAST(CAST(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) AS DECIMAL(18,9))
-               - punct_ratio * 2 + stopword_ratio AS DECIMAL(18,9)) AS quality_score
-          FROM f),
-        r AS (SELECT c.doc_id, c.component, q.quality_score,
+        ${qualityMicroSql("doc_id")},
+        r AS (SELECT c.doc_id, c.component, q.quality_score_micro,
               row_number() OVER (PARTITION BY c.component
-                                 ORDER BY q.quality_score DESC, c.doc_id) AS rn
-          FROM comp c JOIN q USING (doc_id))
-        SELECT doc_id, component, quality_score, rn = 1 AS is_survivor
+                                 ORDER BY q.quality_score_micro DESC, c.doc_id) AS rn
+          FROM comp c JOIN __qm q USING (doc_id))
+        SELECT doc_id, component, quality_score_micro, rn = 1 AS is_survivor
         FROM r ORDER BY doc_id""")),
 
     // Water-filling token-budget allocation: fit the per-source corpus
@@ -2232,35 +2228,26 @@ object SparkEntry {
 
     // Per-language relative quality gate: drop each language's bottom
     // decile by quality score — the dynamic-threshold curation rule.
-    // cume_dist is tie-stable and one exact IEEE division, so verdicts
-    // are engine-exact.
+    // percentileGate computes cume_dist's exact value from grouped counts
+    // (no whole-group sort — see Quality.scala for the 100 TB shape);
+    // the oracle's cume_dist window is value-identical: same exact count
+    // division over the same micro-unit integer scores.
     "q97_decile_gate" -> Q(
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val scored = TextOps.qualityFeatures(docs, "doc_id", "text")
-          .select("doc_id", "quality_score")
+          .select("doc_id", "quality_score_micro")
           .join(docs.select("doc_id", "lang"), "doc_id")
-        Quality.percentileGate(scored, "lang", "quality_score", 0.1)
-          .select("doc_id", "lang", "quality_score", "pct", "kept")
+        Quality.percentileGate(scored, "lang", "quality_score_micro", 0.1)
+          .select("doc_id", "lang", "quality_score_micro", "pct", "kept")
           .orderBy("doc_id")
       },
-      Some("""WITH f AS (SELECT doc_id,
-          len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
-          CAST(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
-               / length(text) AS DECIMAL(18,9)) AS punct_ratio,
-          CAST(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-                 t -> t IN ('the', 'a', 'of', 'and'))) AS DOUBLE)
-               / len(string_split_regex(lower(trim(text)), '\s+')) AS DECIMAL(18,9)) AS stopword_ratio
-          FROM documents),
-        q AS (SELECT doc_id,
-          CAST(CAST(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) AS DECIMAL(18,9))
-               - punct_ratio * 2 + stopword_ratio AS DECIMAL(18,9)) AS quality_score
-          FROM f),
-        j AS (SELECT q.doc_id, d.lang, q.quality_score
-              FROM q JOIN documents d USING (doc_id))
-        SELECT doc_id, lang, quality_score,
-          cume_dist() OVER (PARTITION BY lang ORDER BY quality_score) AS pct,
-          cume_dist() OVER (PARTITION BY lang ORDER BY quality_score) > 0.1 AS kept
+      Some(s"""WITH ${qualityMicroSql("doc_id")},
+        j AS (SELECT q.doc_id, d.lang, q.quality_score_micro
+              FROM __qm q JOIN documents d USING (doc_id))
+        SELECT doc_id, lang, quality_score_micro,
+          cume_dist() OVER (PARTITION BY lang ORDER BY quality_score_micro) AS pct,
+          cume_dist() OVER (PARTITION BY lang ORDER BY quality_score_micro) > 0.1 AS kept
         FROM j ORDER BY doc_id""")),
 
     // Temperature-scaled mixture targets (α = 1/2): sample ∝ sqrt(size),
@@ -2299,7 +2286,12 @@ object SparkEntry {
       Some {
         val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         def m(c: String) = s"CAST(CAST(round($c * 1e6) AS BIGINT) AS DECIMAL(19,0))"
-        def v(c: String) = s"$c IS NOT NULL AND NOT isnan(CAST($c AS DOUBLE))"
+        // mirrors Quality.pearsonMatrix's validity gate exactly: present,
+        // finite, and inside the |x| < 1e9 quantization range — a looser
+        // oracle filter would count different n/moments on any table
+        // with infinite or very large values
+        def v(c: String) = s"$c IS NOT NULL AND isfinite(CAST($c AS DOUBLE)) " +
+          s"AND abs(CAST($c AS DOUBLE)) < 1e9"
         // pairwise-complete: each pair's moments conditioned on BOTH
         // columns valid, mirroring Quality.pearsonMatrix
         val pairs = cols.combinations(2).toSeq.map { case Seq(a, b) =>
@@ -2383,6 +2375,34 @@ object SparkEntry {
     * 32 vectors then refined by ONE Lloyd round with grid-requantized
     * means — the exact pipeline of Similarity.pqCodebooks): `cent` is the
     * trained codebook, `best` the (vec_id, j, code) encoding. */
+  /** Shared oracle CTEs replaying [[TextOps.qualityFeatures]]' micro-unit
+    * integer ratios over `documents`: `__qc` (raw exact counts) and
+    * `__qm` (`n_tokens`, `punct_ratio_micro`, `stopword_ratio_micro`,
+    * `quality_score_micro`, plus `extraCols` carried through). Mirrors
+    * `ratioMicro` — floor((num·2e6 + den) / (2·den)) on exact integer
+    * counts, one IEEE division, no decimal quantization — so every
+    * consumer (q27 aggregates, q95 argmax, q97 percentile) replays the
+    * engine bit-for-bit.
+    */
+  private def qualityMicroSql(extraCols: String): String = {
+    val punctM = "CASE WHEN n_chars <> 0 THEN " +
+      "CAST(floor((n_punct*2000000 + n_chars) / (2*n_chars)) AS BIGINT) END"
+    val stopM = "CASE WHEN n_tokens <> 0 THEN " +
+      "CAST(floor((n_stop*2000000 + n_tokens) / (2*n_tokens)) AS BIGINT) END"
+    s"""__qc AS (SELECT $extraCols,
+          length(text) AS n_chars,
+          len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
+          length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+          len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                t -> t IN ('the', 'a', 'of', 'and'))) AS n_stop
+        FROM documents),
+      __qm AS (SELECT $extraCols, n_tokens,
+          $punctM AS punct_ratio_micro,
+          $stopM AS stopword_ratio_micro,
+          least(n_tokens*10000, 1000000) - 2*($punctM) + ($stopM) AS quality_score_micro
+        FROM __qc)"""
+  }
+
   private def pqCommonSql =
     """WITH q AS (SELECT vec_id,
           list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1e7)) AS qv

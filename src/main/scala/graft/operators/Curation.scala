@@ -71,7 +71,8 @@ object Curation {
   /** QUALITY-AWARE survivor election per duplicate cluster: instead of the
     * arbitrary keep-min-id rule, keep the member with the highest score
     * (ties to the smaller id — fully deterministic given an engine-exact
-    * score column such as qualityFeatures' DECIMAL quality_score). This is
+    * score column such as qualityFeatures' micro-unit integer
+    * quality_score_micro). This is
     * the curation step after near-dup clustering: of N copies, retain the
     * cleanest one, not the first-crawled one.
     *

@@ -213,9 +213,15 @@ object Quality {
     *
     * ONE aggregation pass computes all 6·k(k−1)/2 conditioned sums
     * (map-side partial, single scan of the fact table); the pair rows
-    * are exploded from the 1-row wide result. DECIMAL(38,0) headroom:
-    * |x|·1e6 ≤ 1e12 and ~1e9 rows keep Σx² ≤ 1e33 — beyond that, drop
-    * the grid to 1e3.
+    * are exploded from the 1-row wide result. DECIMAL(38,0) headroom is
+    * ENFORCED by the validity gate: |x| < 1e9 keeps each micro long ≤
+    * 1e15 and each product ≤ 1e30, so Σx²/Σxy stay inside DECIMAL(38,0)
+    * to 1e8 rows of worst-case values (typical magnitudes give far more);
+    * the moment sums additionally ride `try_sum`, so a pathological
+    * corpus surfaces overflow as a null r instead of an ANSI
+    * ARITHMETIC_OVERFLOW killing the whole profile job. Values at or
+    * past the gate (epoch-millis columns, say) are excluded like nulls —
+    * rescale such columns before correlating.
     *
     * Returns (col_a, col_b, n, r) for each unordered column pair, with
     * n the pair's complete-case count.
@@ -228,20 +234,21 @@ object Quality {
     // slower on a 4-column matrix
     val prep = df.select(cols.flatMap { c =>
       // a row is valid for correlation only if the value is present,
-      // finite, and inside the quantization range (|x| < 9.2e12 keeps the
-      // micro long from overflowing) — NaN/±Inf/oversized values are
+      // finite, and inside the quantization range (|x| < 1e9 bounds the
+      // micro long at 1e15 so the DECIMAL(38,0) moment sums hold — see
+      // the headroom note above) — NaN/±Inf/oversized values are
       // excluded like nulls, and the quantization runs only on valid rows
       // (an unconditional ANSI cast would throw CAST_OVERFLOW on exactly
       // the rows the filter excludes)
       val d = col(c).cast("double")
-      val valid = col(c).isNotNull && !isnan(d) && abs(d) < 9.2e12
+      val valid = col(c).isNotNull && !isnan(d) && abs(d) < 1e9
       Seq(valid.as(s"__v_$c"),
         when(valid, round(d * 1e6).cast("long"))
           .cast("decimal(19,0)").as(s"__m_$c"))
     }: _*)
     val pairs = cols.combinations(2).toSeq
     def cond(a: String, b: String, e: Column) =
-      sum(when(col(s"__v_$a") && col(s"__v_$b"), e)).cast("decimal(38,0)")
+      try_sum(when(col(s"__v_$a") && col(s"__v_$b"), e)).cast("decimal(38,0)")
     def m(c: String) = col(s"__m_$c")
     val aggs = pairs.flatMap { case Seq(a, b) =>
       Seq(
@@ -276,19 +283,43 @@ object Quality {
     * above the group's `dropBelow` quantile — "drop the bottom decile per
     * language", the dynamic-threshold form of quality filtering (an
     * absolute threshold is meaningless when score distributions differ by
-    * group). `cume_dist` is tie-stable (equal scores share a rank, so the
-    * verdict never depends on partitioning order) and its value is one
-    * exact IEEE division of counts — engine-exact against any oracle.
-    * One shuffle on the group column; group size bounds a task, so salt
-    * upstream only if a single group dominates the corpus.
+    * group). `pct` is exactly `cume_dist`'s value — (# rows in the group
+    * with score ≤ this row's) / (group size), tie-stable (equal scores
+    * share a rank) and one IEEE division of exact counts, engine-exact
+    * against any oracle's cume_dist window.
+    *
+    * 100 TB shape: a `cume_dist().over(Window.partitionBy(group))` would
+    * sort each group's ENTIRE corpus slice in one task (~20 TB through a
+    * single partition for a dominant language). Instead: ONE shuffle
+    * aggregates (group, score) → count, the running sum that turns counts
+    * into ranks windows over DISTINCT scores only — bounded by score-grid
+    * cardinality (micro-unit scores: ≤ a few million rows per group however
+    * big the corpus), not corpus size — and the per-row verdict comes back
+    * via a join on (group, score). No row-level sort anywhere.
+    *
+    * Null group/score values join null-safely (a null score forms its own
+    * tie-class, ranked first like SQL's NULLS FIRST); NaN scores are the
+    * caller's problem (quantize first — NaN breaks any ordering rule).
     *
     * Returns the input plus (pct, kept).
     */
   def percentileGate(df: DataFrame, groupCol: String, scoreCol: String,
       dropBelow: Double): DataFrame = {
     require(dropBelow >= 0 && dropBelow < 1, s"dropBelow in [0,1): $dropBelow")
-    val w = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol))
-    df.withColumn("pct", cume_dist().over(w))
+    val counts = df.groupBy(col(groupCol), col(scoreCol))
+      .agg(count(lit(1)).as("__c"))
+    // running sum over distinct (group, score) rows — the bounded relation
+    val wRun = Window.partitionBy(col(groupCol))
+      .orderBy(asc_nulls_first(scoreCol))
+    val wAll = Window.partitionBy(col(groupCol))
+    val pcts = counts
+      .withColumn("pct",
+        sum(col("__c")).over(wRun).cast("double") /
+          sum(col("__c")).over(wAll).cast("double"))
+      .select(col(groupCol).as("__g"), col(scoreCol).as("__s"), col("pct"))
+    df.join(pcts,
+        col(groupCol) <=> col("__g") && col(scoreCol) <=> col("__s"))
+      .drop("__g", "__s")
       .withColumn("kept", col("pct") > dropBelow)
   }
 }

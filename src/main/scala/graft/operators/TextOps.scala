@@ -92,9 +92,24 @@ object TextOps {
   }
 
   /** Quality features per document: char/token counts, mean token length,
-    * punctuation / digit / stopword ratios, and a composite [0,1] score.
-    * Ratios are quantized to DECIMAL(18,9) at the row level so downstream
-    * sums are order-independent (exact) across engines and partitionings.
+    * punctuation / digit / stopword ratios, and a composite score.
+    *
+    * Ratios ride MICRO-UNIT LONGS (round-half-up of num·1e6/den), never a
+    * double→DECIMAL cast: Spark rounds a double's shortest-string repr
+    * into DECIMAL while DuckDB rounds the exact binary expansion, so the
+    * 9th decimal diverges on some inputs (the q61→q95/q97 bug class). The
+    * micro rounding here is `floor((num·2e6 + den) / (2·den))` — numerator
+    * and denominator are exact integers ≤ 2e15, both engines cast them to
+    * the same doubles, one IEEE division, one floor: bit-identical
+    * everywhere, and long sums of the result are order-independent, so
+    * row-level consumers (survivor argmax, percentile gates) and
+    * aggregate consumers (per-lang means) are both engine-exact.
+    * `mean_token_len` stays one raw IEEE division of exact counts (the
+    * q61/q71 pattern — correctly rounded, identical in any engine).
+    *
+    * Composite score in micro units: min(n_tokens·1e4, 1e6)
+    * − 2·punct_micro + stop_micro — all-integer, so even its sums are
+    * exact (overflow at ~4.6e12 docs per group, far past any corpus).
     */
   def qualityFeatures(df0: DataFrame, idCol: String, textCol: String): DataFrame = {
     // materialize the token array once — several features reference it,
@@ -109,24 +124,36 @@ object TextOps {
     val punct = nChars - length(regexp_replace(t, "[^A-Za-z0-9\\s]", ""))
     val digits = nChars - length(regexp_replace(t, "[0-9]", ""))
     val stops = size(filter(toks, x => x.isInCollection(TextFns.stopwords)))
-    // guarded division: ANSI mode (Spark 4 default) throws DIVIDE_BY_ZERO,
-    // and a single empty document must not kill a 100 TB job — null ratio
-    def ratio(num: Column, den: Column): Column =
-      when(den =!= 0, (num.cast("double") / den.cast("double")).cast("decimal(18,9)"))
+    // guarded: ANSI mode (Spark 4 default) throws DIVIDE_BY_ZERO, and a
+    // single empty document must not kill a 100 TB job — null ratio
+    val punctMicro = ratioMicro(punct, nChars)
+    val stopMicro = ratioMicro(stops, nToks)
     val meanTokLen =
-      when(nToks =!= 0, ((nChars - (nToks - lit(1))).cast("double") /
-        nToks.cast("double")).cast("decimal(18,9)"))
-    val punctRatio = ratio(punct, nChars)
-    val stopRatio = ratio(stops, nToks)
+      when(nToks =!= 0, (nChars - (nToks - lit(1))).cast("double") /
+        nToks.cast("double"))
     // composite score: long enough, not punctuation-heavy, some stopwords
     val score =
-      (least(nToks.cast("double") / 100.0, lit(1.0)).cast("decimal(18,9)")
-        - punctRatio * 2 + stopRatio).cast("decimal(18,9)")
+      least(nToks.cast("long") * 10000L, lit(1000000L)) -
+        punctMicro * 2 + stopMicro
     df.select(col(idCol), nChars.as("n_chars"), nToks.as("n_tokens"),
-      meanTokLen.as("mean_token_len"), punctRatio.as("punct_ratio"),
-      ratio(digits, nChars).as("digit_ratio"), stopRatio.as("stopword_ratio"),
-      score.as("quality_score"))
+      meanTokLen.as("mean_token_len"), punctMicro.as("punct_ratio_micro"),
+      ratioMicro(digits, nChars).as("digit_ratio_micro"),
+      stopMicro.as("stopword_ratio_micro"),
+      score.as("quality_score_micro"))
   }
+
+  /** Round-half-up micro-unit ratio of two non-negative exact integer
+    * counts, as exact integer arithmetic both engines replay bit-for-bit:
+    * floor((num·2e6 + den) / (2·den)). The operands stay ≤ 2e15 (exact in
+    * double for any num ≤ 1e9), the division is one correctly-rounded
+    * IEEE op on identical inputs, and floor of that identical double is
+    * identical — engine-exact with no decimal quantization anywhere.
+    * Null (not a throw, not a poison value) when the denominator is 0.
+    */
+  private[graft] def ratioMicro(num: Column, den: Column): Column =
+    when(den =!= 0,
+      floor((num.cast("long") * 2000000L + den.cast("long")) /
+        (den.cast("long") * 2L)).cast("long"))
 
   /** The shipped merge-table tokenizer (64 merges learned from the
     * documents corpus by [[graft.functions.BpeTrainer]]; regenerate with

@@ -35,18 +35,21 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out == Map(0L -> "de", 1L -> "en", 2L -> "und"))
   }
 
-  test("qualityFeatures computes exact counts and quantized ratios") {
+  test("qualityFeatures computes exact counts and micro-unit ratios") {
     import spark.implicits._
     val df = Seq((0L, "the cat, the hat!")).toDF("doc_id", "text")
     val r = TextOps.qualityFeatures(df, "doc_id", "text").collect()(0)
     assert(r.getAs[Int]("n_chars") == 17)
     assert(r.getAs[Int]("n_tokens") == 4)
-    // 2 punctuation chars of 17
-    assert(math.abs(r.getAs[java.math.BigDecimal]("punct_ratio").doubleValue()
-      - 2.0 / 17.0) < 1e-9)
-    // 'the' twice of 4 tokens (",!" stay attached → 'cat,'/'hat!' not stopwords)
-    assert(math.abs(r.getAs[java.math.BigDecimal]("stopword_ratio").doubleValue()
-      - 0.5) < 1e-9)
+    // 2 punctuation chars of 17: round-half-up(2e6/17) = floor(4000017/34)
+    assert(r.getAs[Long]("punct_ratio_micro") == 117647L)
+    // 'the' twice of 4 tokens (",!" stay attached → 'cat,'/'hat!' not
+    // stopwords): exactly half a million micro units
+    assert(r.getAs[Long]("stopword_ratio_micro") == 500000L)
+    // mean token length (17 - 3 separators) / 4 — raw IEEE division
+    assert(r.getAs[Double]("mean_token_len") == 3.5)
+    // min(4·1e4, 1e6) − 2·117647 + 500000
+    assert(r.getAs[Long]("quality_score_micro") == 40000L - 2 * 117647L + 500000L)
   }
 
   test("tokenCounts: whitespace vs BPE-ish tokens") {
