@@ -58,7 +58,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"stat":"median"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"stat":"median"}"""
+    println(line)
+    // The driver's BENCH_r{N}.json preserves only a truncated tail of this
+    // stdout line (~q42 onward), which blinds round-over-round comparison
+    // for q01–q41 — so ALSO persist the full per-query map to a file the
+    // judge can read. Overwritten per run; skipped (not fatal) if the
+    // location is unwritable.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outPath: $e") }
     spark.stop()
   }
 }

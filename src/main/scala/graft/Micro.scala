@@ -120,6 +120,29 @@ object Micro {
       Dedup.minhashNearDups(docs10, "doc_id", "text", 3, 64, 16, 0.8).count()
     }
     graft.CacheScope.releaseAll()
+    // PQ stage breakdown (q90): where do the seconds go — the codebook
+    // training collects (run eagerly at DataFrame CONSTRUCTION), the
+    // driver-side plan work over ~256 codebook-literal argmin expressions
+    // (analyze+optimize+codegen, paid per plan), or the encode scan
+    // itself? At 100 TB only the scan grows; construction+plan are fixed.
+    val emb = GraftSession.table(spark, sfDir, "embeddings")
+    var pqDf: org.apache.spark.sql.DataFrame = null
+    time("pq q90: construct (training jobs)") {
+      pqDf = graft.operators.Similarity.pqEncode(emb, "vec_id", "embedding",
+        8, 32, 64)
+      1L
+    }
+    time("pq q90: plan (analyze+opt+codegen)") {
+      pqDf.queryExecution.executedPlan
+      1L
+    }
+    time("pq q90: execute encode scan")(pqDf.count())
+    graft.CacheScope.releaseAll()
+    time("pq q90: repeat end-to-end (warm)") {
+      graft.operators.Similarity.pqEncode(emb, "vec_id", "embedding",
+        8, 32, 64).count()
+    }
+    graft.CacheScope.releaseAll()
     spark.stop()
   }
 }

@@ -629,14 +629,25 @@ object Similarity {
       .select(col("id"), quantized(col(vecCol)).as("__qv")))
 
   /** Argmin sub-centroid for one subspace: |c|² − 2·v·c over the
-    * codebook's literal centroids, ties to the smaller code. */
+    * codebook's literal centroids, ties to the smaller code.
+    *
+    * Flat double array + `array_position(d2s, array_min(d2s))` instead of
+    * an array of (d2, code) structs: the struct form generated ~2× the
+    * Janino surface (per-centroid struct alloc + field extraction), which
+    * dominated q90's wall time at small SF as plan-compile cost. The two
+    * `d2s` occurrences are one evaluation — codegen subexpression
+    * elimination unifies the identical trees. Ties still break to the
+    * smaller code: `array_position` returns the FIRST index holding the
+    * minimum, and d2 values are exact integer-valued doubles so the
+    * equality probe is safe. */
   private def pqCodeOf(books: IndexedSeq[IndexedSeq[Array[Double]]], j: Int,
-      sub: Column): Column =
-    array_min(array(books(j).zipWithIndex.map { case (cent, c) =>
+      sub: Column): Column = {
+    val d2s = array(books(j).map { cent =>
       val cn = cent.map(x => x * x).sum
-      struct((lit(cn) - lit(2.0) * qdot(sub, lit(cent))).as("d2"),
-        lit(c).as("code"))
-    }.toIndexedSeq: _*)).getField("code")
+      lit(cn) - lit(2.0) * qdot(sub, lit(cent))
+    }.toIndexedSeq: _*)
+    (array_position(d2s, array_min(d2s)) - 1).cast("int")
+  }
 
   /** [[pqEncode]] keeping the code word as one array column per vector:
     * (id, __qv quantized vector, __codes array<int> of length m). */
@@ -701,11 +712,11 @@ object Similarity {
     * (the ScaNN/MIPS convention). Queries are collected (bounded, ≪
     * corpus — the [[lloydStep]] seed contract) so each table entry
     * becomes a codegen literal and the whole scan is ONE map-only
-    * projection plus the top-k window; with a large query batch you would
-    * broadcast-join the table relation instead.
+    * projection plus a bounded top-k aggregation; with a large query
+    * batch you would broadcast-join the table relation instead.
     *
-    * Each table term is an exact integer-valued double cast to
-    * DECIMAL(20,0) before the m-way sum, so `ip_part` is exact and
+    * Each table term is an exact integer-valued double ≤ 8e14, so the
+    * m-way sum stays under 2^53 and `ip_part` is exact and
     * engine-independent in any summation order. Ranked desc, ties break
     * on id. Self-matches (query_id = id) are excluded, mirroring
     * [[knnExact]].
@@ -737,22 +748,32 @@ object Similarity {
     val perQuery = qs.toIndexedSeq.map { case (qid, qv) =>
       val ip = (0 until m).map { j =>
         // element_at on a ksub-entry literal array: one lookup per
-        // subspace; DECIMAL(20,0) per term keeps the sum exact
+        // subspace. Each term is an exact integer-valued double ≤ 8e14
+        // (1e7-grid components, dsub ≤ 8), so the m-way double sum stays
+        // ≤ 6.4e15 < 2^53 — exact in ANY fold order, no decimal needed
+        // until the output cast.
         element_at(lit((0 until ksub).map(c => tab(qv, j, c)).toArray),
-          col("__codes").getItem(j) + 1).cast("decimal(20,0)")
+          col("__codes").getItem(j) + 1)
       }.reduce(_ + _)
-      struct(lit(qid).as("query_id"), ip.cast("decimal(23,0)").as("ip_part"))
+      struct(lit(qid).as("query_id"), ip.as("ip"))
     }
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("ip_part").desc, col("id"))
+    // Bounded top-k via TopKAggregator, NOT row_number over a window: the
+    // window form shuffles corpus×queries scored rows into one exchange
+    // and sorts whole partitions — at 100 TB that replicates the full
+    // corpus per query. The aggregator partial-aggregates map-side, so
+    // the shuffle carries ≤ k rows per (query, task). Same ordering
+    // contract (score desc, ties to smaller id).
+    val topk = udaf(new graft.functions.TopKAggregator(k))
     encoded
       .select(col("id"), posexplode(array(perQuery: _*)).as(Seq("__q", "__s")))
       .select(col("id"), col("__s.query_id").as("query_id"),
-        col("__s.ip_part").as("ip_part"))
+        col("__s.ip").as("ip"))
       .filter(col("query_id") =!= col("id"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .select("query_id", "id", "ip_part")
+      .groupBy("query_id")
+      .agg(topk(col("ip"), col("id")).as("__top"))
+      .select(col("query_id"), explode(col("__top")).as("__e"))
+      .select(col("query_id"), col("__e._2").as("id"),
+        col("__e._1").cast("decimal(23,0)").as("ip_part"))
   }
 
   /** The production PQ pattern: ADC SHORTLIST (cheap, approximate, code

@@ -30,6 +30,42 @@ class PlanLintSpec extends SparkSpec {
     "q62_lm_score" -> "broadcast 1-row vocabulary-size aggregate (crossJoin V)",
     "q81_snapshot_diff" -> "broadcast 1-row snapshot-cut scalar; the diff itself is a null-safe equi join")
 
+  /** Queries allowed to plan a GLOBAL window (no partition columns, or a
+    * constant partition) — each must window over a provably BOUNDED
+    * relation (per-group aggregates, a top-k cap), never a corpus-scale
+    * one: a global window moves every input row into one task, the
+    * single-partition sort that killed q97's first percentileGate shape.
+    */
+  private val globalWindowAllowed: Map[String, String] = Map(
+    "q70_weighted_sample" -> "ranks the k survivors AFTER TakeOrderedAndProject's limit(k) — a k-row window",
+    "q96_token_budget" -> "water-filling closed form over per-source aggregates (one row per source)",
+    "q98_temperature_mix" -> "micro-weight normalizing sum over per-source aggregates (one row per source)")
+
+  test("no query plans a global window over an unbounded relation") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def globalWindows(p: SparkPlan): Seq[WindowExec] = p match {
+      case a: AdaptiveSparkPlanExec => globalWindows(a.executedPlan)
+      case w: WindowExec =>
+        (if (w.partitionSpec.isEmpty || w.partitionSpec.forall(_.foldable))
+          Seq(w) else Nil) ++ w.children.flatMap(globalWindows)
+      case other => other.children.flatMap(globalWindows)
+    }
+    val sfDir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val gw =
+          try globalWindows(fn(spark, sfDir).queryExecution.executedPlan)
+          finally CacheScope.releaseAll()
+        if (gw.nonEmpty) Some(name) else None
+    }
+    info(s"global-window queries: ${offenders.mkString(", ")}")
+    val unexplained = offenders.filterNot(globalWindowAllowed.contains)
+    assert(unexplained.isEmpty,
+      s"global window without allowlist justification: ${unexplained.mkString(", ")}")
+  }
+
   test("no query plans a cartesian product; nested-loop joins are " +
       "allowlisted with a tiny broadcast side") {
     val sfDir = "/root/testdata/sf0.001"

@@ -39,6 +39,58 @@ class ScaleSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("percentileGate windows over distinct (group, score) rows only — " +
+      "a dominant group never funnels its corpus slice through one task") {
+    import spark.implicits._
+    // 10_000 rows, ONE group, but only 7 distinct scores: the naive
+    // cume_dist-over-the-group form would sort all 10_000 rows in a
+    // single task; the grouped-counts form must window over ≤ 7 rows
+    val df = spark.range(10000)
+      .select(lit("en").as("lang"), (col("id") % 7).cast("long").as("score"))
+    val out = Quality.percentileGate(df, "lang", "score", 0.2)
+    // collect() drives the Dataset's OWN QueryExecution (a noop write
+    // would execute a fresh one, leaving these metrics at zero)
+    out.collect()
+    def windows(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.window.WindowExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        windows(a.executedPlan)
+      // the finalized adaptive plan wraps materialized subtrees in
+      // leaf-like QueryStageExec nodes — descend into them explicitly
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        windows(q.plan)
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w +: w.children.flatMap(windows)
+      case other => other.children.flatMap(windows)
+    }
+    val wins = windows(out.queryExecution.executedPlan)
+    assert(wins.nonEmpty, "expected the running-sum window in the plan")
+    // every window must consume the groupBy(group, score) COUNTS relation
+    // (an aggregate strictly below it), never the raw input rows — that
+    // aggregate is what bounds the windowed row count by distinct scores
+    def hasAggBelow(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          hasAggBelow(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          hasAggBelow(r.child)
+        case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+        case other => other.children.exists(hasAggBelow)
+      }
+    wins.foreach { w =>
+      assert(hasAggBelow(w.child),
+        s"window consumes a non-aggregated relation:\n$w")
+    }
+    // and the verdicts are still exact: id%7 gives scores 0–3 1429 rows
+    // and 4–6 1428, so pct(0) = 0.1429 ≤ 0.2 (dropped, every row agrees)
+    // and pct(1) = 0.2858 > 0.2 (kept) — all higher scores kept too
+    val kept = out.groupBy("score").agg(min(col("kept")).as("k1"),
+        max(col("kept")).as("k2"))
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2)))).toMap
+    assert(kept(0L) == ((false, false)))
+    (1L to 6L).foreach(s => assert(kept(s) == ((true, true))))
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
     import spark.implicits._
     val wh = Files.createTempDirectory("graft-bucket-wh").toString

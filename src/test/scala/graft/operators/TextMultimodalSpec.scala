@@ -219,6 +219,54 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out(3L)._2 == List("stopwords"))
   }
 
+  test("gopherFilter boundaries: every rule flips EXACTLY at its default " +
+      "threshold, so a threshold edit cannot silently shift verdicts") {
+    import spark.implicits._
+    // Each fixture pins ONE rule at its boundary while satisfying every
+    // other rule with margin; the paired fixture sits one minimal step
+    // past the boundary and must fail ONLY that rule.
+    def doc(toks: Seq[String]) = toks.mkString(" ")
+    val f4 = (1 to 48).map(i => f"w$i%02da")              // unique, 4 chars
+    val t3 = (1 to 48).map(i => f"t$i%02d")               // unique, 3 chars
+    val u10 = (1 to 46).map(i => "u" + f"$i%02d" + "a" * 7)  // unique, 10 chars
+    val docs = Seq(
+      // word_count: exactly minTokens=50 passes; 49 fails only word_count
+      (0L, doc("the" +: "and" +: f4.take(48))),
+      (1L, doc("the" +: "and" +: f4.take(47))),
+      // mean_word_len lower bound: 50 three-char tokens → (199-49)/50 =
+      // exactly 3.0 passes; swapping one for a 2-char token → 2.98 fails
+      (2L, doc("the" +: "and" +: t3.take(48))),
+      (3L, doc("the" +: "and" +: (t3.take(47) :+ "zz"))),
+      // mean_word_len upper bound: 46×10 + 2×17 + the + and = 500 chars
+      // over 50 tokens → exactly 10.0 passes; +1 char → 10.02 fails
+      (4L, doc("the" +: "and" +: (u10 ++ Seq("v01" + "a" * 14, "v02" + "a" * 14)))),
+      (5L, doc("the" +: "and" +: (u10.tail ++
+        Seq("x01" + "a" * 8, "v01" + "a" * 14, "v02" + "a" * 14)))),
+      // stopwords: exactly minStopKinds=2 DISTINCT kinds passes (fixture
+      // 0); the same shape with one kind repeated fails only stopwords
+      (6L, doc("the" +: "the" +: f4.take(48))),
+      // repetition: top bigram 3 of 50 → 3·50 ≤ 50·3 passes (equality);
+      // 4 of 50 → fails only repetition. Phrase "pp qq" planted with
+      // unique 4-char separators, stopword pair kept adjacent once.
+      (7L, doc(Seq("pp", "qq", f4(0), "pp", "qq", f4(1), "pp", "qq", f4(2),
+        "the", "and") ++ f4.slice(3, 43))),
+      (8L, doc(Seq("pp", "qq", f4(0), "pp", "qq", f4(1), "pp", "qq", f4(2),
+        "pp", "qq", "the", "and") ++ f4.slice(3, 41)))
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherFilter(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(2), r.getSeq[String](3).toList))).toMap
+    assert(out(0L) == ((true, Nil)))
+    assert(out(1L) == ((false, List("word_count"))))
+    assert(out(2L) == ((true, Nil)))
+    assert(out(3L) == ((false, List("mean_word_len"))))
+    assert(out(4L) == ((true, Nil)))
+    assert(out(5L) == ((false, List("mean_word_len"))))
+    assert(out(6L) == ((false, List("stopwords"))))
+    assert(out(7L) == ((true, Nil)))
+    assert(out(8L) == ((false, List("repetition"))))
+  }
+
   test("repeatedSpanCoverage: planted cross-doc trigram covers its span, " +
       "unique docs keep ratio 1") {
     import spark.implicits._
