@@ -2368,7 +2368,148 @@ object SparkEntry {
                    row_number() OVER (PARTITION BY vec_id ORDER BY d2p, cid) AS rn
             FROM scored) WHERE rn = 1)
         SELECT vec_id, cid, d2, d2 > 1.9e14 AS is_outlier
-        FROM best ORDER BY vec_id""")))
+        FROM best ORDER BY vec_id""")),
+
+    // Hard-negative mining for contrastive training: per query vector,
+    // the top-3 most-similar corpus vectors with a DIFFERENT label (the
+    // closest wrong answers). Quantized-exact cosine, bounded
+    // TopKAggregator — never a corpus-wide window.
+    "q102_hard_negatives" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10),
+            "vec_id", "embedding", "label", 3)
+          .orderBy(col("query_id"), col("cos").desc, col("id"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, label AS ql, embedding AS qv
+            FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id AS id, label AS cl, embedding AS cv FROM embeddings),
+        scored AS (SELECT query_id, id,
+          list_aggregate(list_transform(range(1, len(qv) + 1),
+            i -> round(CAST(qv[i] AS DOUBLE) * 1e7) * round(CAST(cv[i] AS DOUBLE) * 1e7)), 'sum')
+          / SQRT(
+            list_aggregate(list_transform(range(1, len(qv) + 1),
+              i -> round(CAST(qv[i] AS DOUBLE) * 1e7) * round(CAST(qv[i] AS DOUBLE) * 1e7)), 'sum')
+            * list_aggregate(list_transform(range(1, len(cv) + 1),
+              i -> round(CAST(cv[i] AS DOUBLE) * 1e7) * round(CAST(cv[i] AS DOUBLE) * 1e7)), 'sum')) AS cos
+          FROM q JOIN c ON query_id <> id AND ql <> cl)
+        SELECT query_id, id, cos FROM scored
+        QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) <= 3
+        ORDER BY query_id, cos DESC, id""")),
+
+    // Edit-distance near-dup confirm: q21's LSH candidates re-gated by a
+    // relative Levenshtein budget (lev ≤ 5% of the longer normalized
+    // text — a budget that actually splits the candidate set: observed
+    // ratios at sf0.01 span 0.8–6.3%), cross-multiplied to integers. The
+    // O(len²) distance runs only on bucket-bounded candidate pairs.
+    "q103_edit_distance_dedup" -> Q(
+      (s, dir) => Dedup.editDistanceNearDups(t(s, dir, "documents"),
+          "doc_id", "text", 3, 64, 16, 0.8, 1, 20)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
+               FROM documents),
+        grams AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, greatest(len(l) - 1, 1)),
+                 i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS g
+               FROM toks WHERE len(l) >= 3),
+        sh AS (SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS sh FROM grams),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+                  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        pairs AS (SELECT id_a, id_b,
+               CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+               FROM inter JOIN sizes sa ON id_a = sa.doc_id
+                          JOIN sizes sb ON id_b = sb.doc_id
+               WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8),
+        nt AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+               FROM documents)
+        SELECT p.id_a, p.id_b, p.jaccard,
+          CAST(levenshtein(a.t, b.t) AS INTEGER) AS lev,
+          CAST(greatest(length(a.t), length(b.t)) AS INTEGER) AS max_len
+        FROM pairs p JOIN nt a ON a.doc_id = p.id_a JOIN nt b ON b.doc_id = p.id_b
+        WHERE levenshtein(a.t, b.t) * 20 <= greatest(length(a.t), length(b.t)) * 1
+        ORDER BY id_a, id_b""")),
+
+    // Sequence-length histogram (fixed 16-token bins): the distribution
+    // check before choosing packing window / truncation length. Exact
+    // integer bins; shares ride micro-unit ratios; the share window runs
+    // over the BINNED aggregate (≤ max_len/16 rows — PlanLintSpec
+    // allowlist documents the bound).
+    "q104_length_histogram" -> Q(
+      (s, dir) => {
+        val n = size(TextFns.tokens(col("text"))).cast("long")
+        val binned = t(s, dir, "documents")
+          .select((n - pmod(n, lit(16L))).as("bin_lo"), n.as("__n"))
+          .groupBy("bin_lo")
+          .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("sum_tokens"))
+        binned
+          .withColumn("__total", sum(col("n_docs")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+          .select(col("bin_lo"), col("n_docs"), col("sum_tokens"),
+            TextOps.ratioMicro(col("n_docs"), col("__total")).as("share_micro"))
+          .orderBy("bin_lo")
+      },
+      Some("""WITH t AS (SELECT len(string_split_regex(lower(trim(text)), '\s+')) AS n
+               FROM documents),
+        b AS (SELECT n - (n % 16) AS bin_lo, COUNT(*) AS n_docs,
+               CAST(SUM(n) AS BIGINT) AS sum_tokens FROM t GROUP BY 1),
+        w AS (SELECT *, CAST(SUM(n_docs) OVER () AS BIGINT) AS total FROM b)
+        SELECT bin_lo, n_docs, sum_tokens,
+          CAST(floor((n_docs*2000000 + total) / (2*total)) AS BIGINT) AS share_micro
+        FROM w ORDER BY bin_lo""")),
+
+    // Count-based bigram LM statistics (the perplexity-filter training
+    // pass): bigram counts, left-context totals, MLE conditionals in
+    // micro units. minCount=3 prunes the hapax tail (rows only — c1
+    // keeps pruned mass, so probabilities stay true MLE).
+    "q105_bigram_lm" -> Q(
+      (s, dir) => TextOps.bigramLm(t(s, dir, "documents"), "text", 3L)
+        .orderBy("w1", "w2"),
+      Some("""WITH toks AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS l
+               FROM documents),
+        g AS (SELECT unnest(list_transform(range(1, greatest(len(l), 1)),
+                 i -> l[i] || ' ' || l[i+1])) AS g
+               FROM toks WHERE len(l) >= 2),
+        c AS (SELECT g, COUNT(*) AS c12 FROM g GROUP BY g),
+        s AS (SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2, c12 FROM c),
+        w AS (SELECT w1, w2, c12,
+               CAST(SUM(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1 FROM s)
+        SELECT w1, w2, c12, c1,
+          CAST(floor((c12*2000000 + c1) / (2*c1)) AS BIGINT) AS p_micro
+        FROM w WHERE c12 >= 3 ORDER BY w1, w2""")),
+
+    // Per-source curation rollup — the "which domains are worth crawling"
+    // dashboard: doc counts, exact-dup rows (count − distinct
+    // fingerprints), and mean quality per source. Composes the micro-unit
+    // quality score with the 128-bit exact-dedup fingerprint; one shuffle
+    // on source.
+    "q106_source_rollup" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val scored = TextOps.qualityFeatures(docs, "doc_id", "text")
+          .select("doc_id", "quality_score_micro")
+        docs.select(col("doc_id"), col("source"),
+            graft.functions.TextFns.fingerprint(col("text")).as("__fp"))
+          .join(scored, "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("__fp")).as("n_unique"),
+            (count(lit(1)) - countDistinct(col("__fp"))).as("n_dup_rows"),
+            (sum(col("quality_score_micro")).cast("double") / count(lit(1)) / 1e6)
+              .as("avg_quality"))
+          .orderBy("source")
+      },
+      Some(s"""WITH ${qualityMicroSql("doc_id")},
+        fp AS (SELECT doc_id, source,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+               FROM documents)
+        SELECT source, COUNT(*) AS n_docs,
+          COUNT(DISTINCT f.fp) AS n_unique,
+          COUNT(*) - COUNT(DISTINCT f.fp) AS n_dup_rows,
+          CAST(SUM(q.quality_score_micro) AS DOUBLE) / COUNT(*) / 1000000.0 AS avg_quality
+        FROM fp f JOIN __qm q USING (doc_id)
+        GROUP BY source ORDER BY source""")))
 
   /** Shared DuckDB replay of the PQ codebook + encode (m=8 subspaces of 8
     * dims, ksub=32 sub-centroids over the 1e7 grid, seeded from the first

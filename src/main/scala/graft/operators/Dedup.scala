@@ -381,6 +381,43 @@ object Dedup {
     }
   }
 
+  /** Edit-distance near-duplicate pairs: [[minhashNearDups]] candidates
+    * re-confirmed by LEVENSHTEIN distance over the normalized text — the
+    * dedup rule for "same document, light edits" where token-set Jaccard
+    * is blind to ordering (a shuffled paragraph keeps its shingle-set
+    * Jaccard low-ish but scrambles meaning; edit distance catches it, and
+    * vice versa a heavy in-place synonym pass can hold Jaccard while
+    * blowing past an edit budget). A pair survives when
+    * `lev · maxDistDen ≤ max(len_a, len_b) · maxDistNum` — the relative
+    * edit budget as a cross-multiplied INTEGER comparison (never a double
+    * ratio), both engines replaying the identical classic Levenshtein.
+    *
+    * Scale shape: levenshtein is O(len²) per pair — the one operation you
+    * must never run on a cross product. It runs here ONLY on
+    * LSH-confirmed candidate pairs (bucket-bounded, ≪ quadratic), and the
+    * normalized text is joined back by id for exactly those pairs — two
+    * id-keyed joins of a pair relation against the corpus, each shuffling
+    * only pair-side rows at corpus-partition cost.
+    *
+    * Returns (id_a, id_b, jaccard, lev, max_len) ordered-pair rows.
+    */
+  def editDistanceNearDups(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, bands: Int, minJac: Double,
+      maxDistNum: Int, maxDistDen: Int): DataFrame = {
+    require(maxDistNum >= 0 && maxDistDen > 0,
+      s"edit budget must be a non-negative ratio: $maxDistNum/$maxDistDen")
+    val pairs = minhashNearDups(docs, idCol, textCol, n, k, bands, minJac)
+    val txt = docs.select(col(idCol).as("__tid"),
+      TextFns.normalized(col(textCol)).as("__t"))
+    pairs
+      .join(txt.select(col("__tid").as("id_a"), col("__t").as("__ta")), "id_a")
+      .join(txt.select(col("__tid").as("id_b"), col("__t").as("__tb")), "id_b")
+      .withColumn("lev", levenshtein(col("__ta"), col("__tb")))
+      .withColumn("max_len", greatest(length(col("__ta")), length(col("__tb"))))
+      .filter(col("lev") * maxDistDen <= col("max_len") * maxDistNum)
+      .select("id_a", "id_b", "jaccard", "lev", "max_len")
+  }
+
   /** Benchmark decontamination: flag every training document that shares
     * at least one word `n`-gram with any document of `benchmark` (the
     * standard eval-leakage check — an n of 8-13 words approximates the

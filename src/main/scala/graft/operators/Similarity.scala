@@ -134,6 +134,48 @@ object Similarity {
           .otherwise(col("__e._1")).as("cos"))
   }
 
+  /** HARD-NEGATIVE MINING for contrastive training: for each query
+    * vector, the top-k most-similar corpus vectors carrying a DIFFERENT
+    * label — the "closest wrong answers" that make the highest-value
+    * negatives when training embedding/reranker models (the in-batch
+    * random negative is too easy; the nearest other-label neighbor is
+    * exactly the decision boundary). Same quantized-exact cosine and the
+    * same bounded [[graft.functions.TopKAggregator]] shape as
+    * [[knnExactAgg]]: ≤ k rows per (query, task) reach the shuffle, and
+    * the label inequality rides the broadcast-join condition so same-label
+    * pairs are never materialized at all. Rows with a null label are
+    * excluded (null =!= anything is null — not a valid negative).
+    *
+    * Returns (query_id, id, cos) ranked (cos desc, id) within each query.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    val q = queries.select(col(idCol).as("query_id"), col(labelCol).as("__ql"),
+        quantized(col(vecCol)).as("__qv"))
+      .withColumn("__qn", qnorm2(col("__qv")))
+    val scored = graft.Parallelism.fanOut(
+        corpus.select(col(idCol).as("id"), col(labelCol).as("__cl"),
+          col(vecCol).as("__v")))
+      .select(col("id"), col("__cl"), quantized(col("__v")).as("__cv"))
+      .withColumn("__cn", qnorm2(col("__cv")))
+      .join(broadcast(q),
+        col("query_id") =!= col("id") && col("__ql") =!= col("__cl"))
+      // null cosine (zero vector) rides as the -Inf sentinel — see
+      // knnExactAgg for the restore-after-top-k contract
+      .select(col("query_id"),
+        struct(coalesce(
+            cosFrom(qdot(col("__qv"), col("__cv")), col("__qn"), col("__cn")),
+            lit(Double.NegativeInfinity))
+          .as("_1"), col("id").as("_2")).as("__pair"))
+    scored.groupBy("query_id")
+      .agg(topk(col("__pair._1"), col("__pair._2")).as("__top"))
+      .select(col("query_id"), explode(col("__top")).as("__e"))
+      .select(col("query_id"), col("__e._2").as("id"),
+        when(col("__e._1") === lit(Double.NegativeInfinity), lit(null))
+          .otherwise(col("__e._1")).as("cos"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: coefficient (p, d) is derived
     * from h60(s"plane:p:d"), mapped to [-0.5, 0.5). Returned as a literal
     * array-of-arrays column so the dot products stay in codegen.

@@ -324,6 +324,40 @@ object TextOps {
     * with fewer than `n` tokens have no n-grams and are absent from the
     * output (callers treat missing as "no repetition evidence").
     */
+  /** Count-based bigram language model — the statistics pass behind
+    * KenLM-style n-gram LMs and the classic "train a tiny LM on the
+    * target corpus to perplexity-filter the crawl" recipe (Moore–Lewis
+    * selection): bigram counts c(w1,w2), left-context totals
+    * c1(w1) = Σ_w2 c(w1,w2), and the MLE conditional P(w2|w1) in
+    * engine-exact micro units ([[ratioMicro]] — one IEEE division of
+    * exact integer counts, no decimal quantization). `minCount` prunes
+    * the hapax tail (rows, not counts: c1 still includes pruned mass, so
+    * surviving probabilities are true MLE, not renormalized).
+    *
+    * Scale shape: ONE shuffle counts bigrams (map-side partial
+    * aggregation collapses repeats before the exchange); the c1 totals
+    * come from a window over the AGGREGATED bigram relation partitioned
+    * by w1 — rows per partition = distinct successors of w1, bounded by
+    * vocabulary, not corpus size. No driver-side anything.
+    *
+    * Returns (w1, w2, c12, c1, p_micro).
+    */
+  def bigramLm(df: DataFrame, textCol: String, minCount: Long): DataFrame = {
+    val grams = graft.Parallelism.fanOut(df.select(col(textCol)))
+      .select(explode(TextFns.shingles(col(textCol), 2)).as("__g"))
+    // tokens are \s+-split, so the bigram's single joining space is the
+    // only space in __g — substring_index splits it back exactly
+    val counts = grams.groupBy(col("__g")).agg(count(lit(1)).as("c12"))
+      .select(substring_index(col("__g"), " ", 1).as("w1"),
+        substring_index(col("__g"), " ", -1).as("w2"), col("c12"))
+    counts
+      .withColumn("c1", sum(col("c12")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))))
+      .filter(col("c12") >= minCount)
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        ratioMicro(col("c12"), col("c1")).as("p_micro"))
+  }
+
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     val grams = graft.Parallelism.fanOut(df.select(col(idCol), col(textCol)))

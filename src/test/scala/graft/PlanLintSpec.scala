@@ -24,6 +24,7 @@ class PlanLintSpec extends SparkSpec {
     "q12_trailing_count" -> "broadcast 1-row max-timestamp aggregate",
     "q15_watermark_filter" -> "broadcast per-key max-watermark aggregate, non-equi ts bound",
     "q24_knn_exact" -> "broadcast bounded query set, =!= self-match exclusion",
+    "q102_hard_negatives" -> "broadcast bounded query set, =!= self-match + label-inequality conditions",
     "q25_embedding_near_dup" -> "exact all-pairs baseline BY DESIGN; the scale path is q25b's banded LSH",
     "q41_merge_upsert" -> "broadcast updates batch (deltas << base)",
     "q58_tfidf" -> "broadcast 1-row corpus-size aggregate (crossJoin N)",
@@ -39,7 +40,8 @@ class PlanLintSpec extends SparkSpec {
   private val globalWindowAllowed: Map[String, String] = Map(
     "q70_weighted_sample" -> "ranks the k survivors AFTER TakeOrderedAndProject's limit(k) — a k-row window",
     "q96_token_budget" -> "water-filling closed form over per-source aggregates (one row per source)",
-    "q98_temperature_mix" -> "micro-weight normalizing sum over per-source aggregates (one row per source)")
+    "q98_temperature_mix" -> "micro-weight normalizing sum over per-source aggregates (one row per source)",
+    "q104_length_histogram" -> "share-of-total window over the BINNED aggregate (≤ max_len/16 rows)")
 
   test("no query plans a global window over an unbounded relation") {
     import org.apache.spark.sql.execution.SparkPlan

@@ -55,6 +55,23 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("editDistanceNearDups: the relative edit budget gates candidate " +
+      "pairs by cross-multiplied integers") {
+    // normalized pairs above jac 0.5: (0,1) lev=3 (dog→cat), (0,3) lev=0
+    // (normalization-equal), (1,3) lev=3; max_len=43 everywhere.
+    // Budget 1/10: 3·10=30 ≤ 43 → all three pass.
+    val loose = Dedup.editDistanceNearDups(docs, "doc_id", "text",
+        3, 32, 8, 0.5, 1, 10)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Int]("lev")).toMap
+    assert(loose == Map((0L, 1L) -> 3, (0L, 3L) -> 0, (1L, 3L) -> 3))
+    // Budget 1/20: 3·20=60 > 43 → only the lev-0 pair survives
+    val tight = Dedup.editDistanceNearDups(docs, "doc_id", "text",
+        3, 32, 8, 0.5, 1, 20)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(tight == Set((0L, 3L)))
+  }
+
   test("simhash is identical for normalization-equal docs, near for near-dups") {
     val sigs = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap

@@ -34,6 +34,22 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("query_id") == 0L))
   }
 
+  test("hardNegatives: nearest OTHER-label vectors only; same-label and " +
+      "null-label rows never appear") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), Some(1)),
+      (1L, Array(0.99f, 0.1f, 0.0f), Some(1)),   // closest, but same label
+      (2L, Array(0.9f, 0.3f, 0.0f), Some(2)),    // closest other-label
+      (3L, Array(0.0f, 1.0f, 0.0f), Some(2)),    // orthogonal other-label
+      (4L, Array(0.95f, 0.2f, 0.0f), None)       // null label → excluded
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(emb, emb.filter(col("vec_id") === 0),
+        "vec_id", "embedding", "label", 2)
+      .orderBy(col("cos").desc).collect()
+    assert(out.map(_.getAs[Long]("id")).toSeq == Seq(2L, 3L))
+  }
+
   test("knnLsh finds the parallel vector (same half-space bucket)") {
     val out = Similarity.knnLsh(vecs, vecs.filter(col("vec_id") === 0),
       "vec_id", "embedding", 3, nPlanes = 2, dim = 3).collect()

@@ -267,6 +267,20 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out(8L) == ((false, List("repetition"))))
   }
 
+  test("bigramLm: MLE conditionals over exact counts, pruned rows keep " +
+      "their mass in c1") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b a b a c"), (1L, "a b x")).toDF("doc_id", "text")
+    // bigram counts: (a b)=3, (b a)=2, (a c)=1, (b x)=1
+    // c1 totals: a→4, b→3 (pruned hapax rows still count toward c1)
+    val out = TextOps.bigramLm(docs, "text", 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("c12"), r.getAs[Long]("c1"), r.getAs[Long]("p_micro")))).toMap
+    assert(out.keySet == Set(("a", "b"), ("b", "a")))
+    assert(out(("a", "b")) == ((3L, 4L, 750000L)))   // 3/4 exactly
+    assert(out(("b", "a")) == ((2L, 3L, 666667L)))   // 2/3 round-half-up
+  }
+
   test("repeatedSpanCoverage: planted cross-doc trigram covers its span, " +
       "unique docs keep ratio 1") {
     import spark.implicits._
