@@ -2509,7 +2509,100 @@ object SparkEntry {
           COUNT(*) - COUNT(DISTINCT f.fp) AS n_dup_rows,
           CAST(SUM(q.quality_score_micro) AS DOUBLE) / COUNT(*) / 1000000.0 AS avg_quality
         FROM fp f JOIN __qm q USING (doc_id)
-        GROUP BY source ORDER BY source""")))
+        GROUP BY source ORDER BY source""")),
+
+    // Asymmetric shingle containment |A∩B|/|A| — catches a document
+    // CONTAINED in a larger one (quoted article, boilerplate wrapper)
+    // where the size imbalance keeps Jaccard tiny. Same inverted-index
+    // shuffle as q20; containments are exact IEEE divisions of counts.
+    "q107_containment_pairs" -> Q(
+      (s, dir) => Dedup.containmentPairs(t(s, dir, "documents"),
+          "doc_id", "text", 3, 0.8)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
+               FROM documents),
+        grams AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, greatest(len(l) - 1, 1)),
+                 i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS g
+               FROM toks WHERE len(l) >= 3),
+        sh AS (SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS sh FROM grams),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+                  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT id_a, id_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+          CAST(inter AS DOUBLE) / sa.sz AS cont_a,
+          CAST(inter AS DOUBLE) / sb.sz AS cont_b
+        FROM inter JOIN sizes sa ON id_a = sa.doc_id
+                   JOIN sizes sb ON id_b = sb.doc_id
+        WHERE CAST(inter AS DOUBLE) / sa.sz >= 0.8
+           OR CAST(inter AS DOUBLE) / sb.sz >= 0.8
+        ORDER BY id_a, id_b""")),
+
+    // Feature-hashing bag-of-words (HashingTF): sparse (doc, bucket, cnt)
+    // triplets, no vocabulary pass — the streaming-safe vectorizer.
+    "q108_hashed_bow" -> Q(
+      (s, dir) => TextOps.hashedBow(t(s, dir, "documents"),
+          "doc_id", "text", 1024)
+        .orderBy("doc_id", "bucket"),
+      Some("""WITH toks AS (SELECT doc_id,
+            unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+          FROM documents)
+        SELECT doc_id,
+          CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 1024 AS bucket,
+          COUNT(*) AS cnt
+        FROM toks GROUP BY 1, 2 ORDER BY doc_id, bucket""")),
+
+    // CCNet-style perplexity bucketing: per-doc corpus-LM score (q62's
+    // add-one bigram log-prob), averaged per bigram, then per-language
+    // head/middle/tail terciles from percentileGate's grouped-counts pct
+    // (no whole-group sort). Low average log-prob = high perplexity =
+    // tail; the bucket CASE uses the identical pct expression both
+    // engines compute from the same exact counts.
+    "q109_perplexity_buckets" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val scored = TextOps.bigramLmScores(docs, "doc_id", "text")
+          .withColumnRenamed("id", "doc_id")
+          // avg log-prob per bigram: one IEEE division of exact integers
+          .select(col("doc_id"),
+            (col("sum_lp_micro").cast("double") / col("n_bigrams").cast("double"))
+              .as("avg_lp"))
+          .join(docs.select("doc_id", "lang"), "doc_id")
+        Quality.percentileGate(scored, "lang", "avg_lp", 0.0)
+          .select(col("doc_id"), col("lang"), col("avg_lp"), col("pct"),
+            when(col("pct") * 3 <= lit(1.0), lit("tail"))
+              .when(col("pct") * 3 <= lit(2.0), lit("middle"))
+              .otherwise(lit("head")).as("bucket"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+            string_split_regex(lower(trim(text)), '\s+') AS l FROM documents),
+        bg AS (SELECT doc_id, unnest(list_transform(range(1, len(l)),
+                 i -> l[i] || ' ' || l[i+1])) AS bg
+               FROM toks WHERE len(l) >= 2),
+        b AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM bg),
+        bgc AS (SELECT bg, COUNT(*) AS c12 FROM b GROUP BY bg),
+        uni AS (SELECT w1, COUNT(*) AS c1
+                FROM (SELECT unnest(l) AS w1 FROM toks) GROUP BY w1),
+        v AS (SELECT COUNT(*) AS v FROM uni),
+        lp AS (SELECT doc_id,
+            CAST(round(ln(CAST(c12 + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+            - CAST(round(ln(CAST(c1 + v.v AS DOUBLE)) * 1e6) AS BIGINT) AS lp_micro
+          FROM b JOIN bgc USING (bg) JOIN uni USING (w1) CROSS JOIN v),
+        d AS (SELECT doc_id,
+            CAST(SUM(lp_micro) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_lp
+          FROM lp GROUP BY doc_id),
+        j AS (SELECT d.doc_id, dd.lang, d.avg_lp
+              FROM d JOIN documents dd USING (doc_id)),
+        p AS (SELECT doc_id, lang, avg_lp,
+              cume_dist() OVER (PARTITION BY lang ORDER BY avg_lp) AS pct
+              FROM j)
+        SELECT doc_id, lang, avg_lp, pct,
+          CASE WHEN pct * 3 <= 1.0 THEN 'tail'
+               WHEN pct * 3 <= 2.0 THEN 'middle'
+               ELSE 'head' END AS bucket
+        FROM p ORDER BY doc_id""")))
 
   /** Shared DuckDB replay of the PQ codebook + encode (m=8 subspaces of 8
     * dims, ksub=32 sub-centroids over the 1e7 grid, seeded from the first

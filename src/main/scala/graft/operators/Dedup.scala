@@ -223,6 +223,41 @@ object Dedup {
     confirmed.select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
   }
 
+  /** Shingle-set CONTAINMENT pairs — the asymmetric near-dup relation
+    * Jaccard cannot see: C(A→B) = |A∩B| / |A| finds documents mostly
+    * CONTAINED in a larger one (a quoted article inside a commentary
+    * page, boilerplate wrapping syndicated content) even when the size
+    * imbalance keeps Jaccard tiny (|A∩B|/|A∪B| → 0 as |B| grows). The
+    * standard curation rule drops the contained copy and keeps the
+    * superset document.
+    *
+    * Emits (id_a, id_b, inter, size_a, size_b, cont_a, cont_b) for every
+    * ordered pair where EITHER direction clears `minCont` — containments
+    * are exact IEEE divisions of exact integer counts. Scale shape:
+    * identical to [[ngramJaccardPairs]]' inverted-index form (the one
+    * shuffle is the postings self-join keyed on the shingle;
+    * `maxShingleDf` caps boilerplate fan-out), with the same
+    * df-cap-changes-semantics caveat.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minCont: Double, maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    val sh = capDf(
+      graft.CacheScope.register(shingleSets(docs, idCol, textCol, n)),
+      maxShingleDf)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "size_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "size_b"), "id_b")
+      .withColumn("cont_a", col("inter").cast("double") / col("size_a"))
+      .withColumn("cont_b", col("inter").cast("double") / col("size_b"))
+      .filter(col("cont_a") >= minCont || col("cont_b") >= minCont)
+      .select("id_a", "id_b", "inter", "size_a", "size_b", "cont_a", "cont_b")
+  }
+
   /** Drop shingles appearing in more than `maxShingleDf` documents — the
     * boilerplate-skew relaxation (a shingle in d docs costs d² join pairs
     * in the direct form and floods LSH buckets in the banded form).

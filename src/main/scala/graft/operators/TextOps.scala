@@ -358,6 +358,29 @@ object TextOps {
         ratioMicro(col("c12"), col("c1")).as("p_micro"))
   }
 
+  /** Feature-hashing bag-of-words vectorization (the HashingTF trick):
+    * token → bucket = h60(token) mod k, per-document bucket counts in
+    * LONG format (id, bucket, cnt). Long format IS the scale design: the
+    * sparse triplet layout stores only occupied buckets (≈ distinct
+    * tokens per doc), where a dense k-vector column at k = 2^18 would be
+    * a megabyte of mostly-zeros per row across a 100 TB corpus. Hash
+    * collisions are the accepted trade (pick k ≫ working vocabulary);
+    * the h60 bucket is oracle-replayable, unlike a trained vocabulary
+    * lookup, and needs NO vocabulary pass at all — the property that
+    * makes feature hashing the streaming/incremental-safe vectorizer.
+    *
+    * One shuffle on (id, bucket) with map-side combine; everything else
+    * is a projection.
+    */
+  def hashedBow(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"bucket count must be positive: $k")
+    graft.Parallelism.fanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(TextFns.tokens(col(textCol))).as("__tok"))
+      .groupBy(col(idCol), pmod(Hashing.h60(col("__tok")), lit(k.toLong)).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     val grams = graft.Parallelism.fanOut(df.select(col(idCol), col(textCol)))

@@ -55,6 +55,23 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("containmentPairs: a contained document is found even where " +
+      "Jaccard stays below threshold (asymmetry)") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "a b c d e f"),              // 4 trigrams, all inside doc 1
+      (1L, "a b c d e f g h"),          // 6 trigrams (superset of doc 0)
+      (2L, "totally different text lives here now")
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(d, "doc_id", "text", 3, 0.9)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        ((r.getAs[Long]("inter"), r.getAs[Double]("cont_a"), r.getAs[Double]("cont_b"))))
+      .toMap
+    // cont_a = 4/4 = 1.0 clears 0.9; jaccard would be 4/6 ≈ 0.67 and miss
+    assert(out.keySet == Set((0L, 1L)))
+    assert(out((0L, 1L)) == ((4L, 1.0, 4.0 / 6.0)))
+  }
+
   test("editDistanceNearDups: the relative edit budget gates candidate " +
       "pairs by cross-multiplied integers") {
     // normalized pairs above jac 0.5: (0,1) lev=3 (dog→cat), (0,3) lev=0

@@ -267,6 +267,19 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out(8L) == ((false, List("repetition"))))
   }
 
+  test("hashedBow: sparse (doc, bucket, cnt) triplets with exact counts") {
+    import spark.implicits._
+    val docs = Seq((0L, "x y X"), (1L, "")).toDF("doc_id", "text")
+    // tokens lowercase → x appears twice; empty doc contributes one
+    // empty-string token (split of "" is [""]) — a real bucket
+    val out = TextOps.hashedBow(docs, "doc_id", "text", 1024)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("bucket"), r.getAs[Long]("cnt")))
+    val doc0 = out.filter(_._1 == 0L)
+    assert(doc0.map(_._3).sorted.toSeq == Seq(1L, 2L))   // y once, x twice
+    assert(doc0.forall(t => t._2 >= 0 && t._2 < 1024))
+    assert(out.count(_._1 == 1L) == 1)
+  }
+
   test("bigramLm: MLE conditionals over exact counts, pruned rows keep " +
       "their mass in c1") {
     import spark.implicits._
