@@ -29,6 +29,7 @@ class PlanLintSpec extends SparkSpec {
     "q41_merge_upsert" -> "broadcast updates batch (deltas << base)",
     "q58_tfidf" -> "broadcast 1-row corpus-size aggregate (crossJoin N)",
     "q62_lm_score" -> "broadcast 1-row vocabulary-size aggregate (crossJoin V)",
+    "q109_perplexity_buckets" -> "inherits q62's broadcast 1-row vocabulary-size aggregate (crossJoin V)",
     "q81_snapshot_diff" -> "broadcast 1-row snapshot-cut scalar; the diff itself is a null-safe equi join")
 
   /** Queries allowed to plan a GLOBAL window (no partition columns, or a
