@@ -2602,7 +2602,35 @@ object SparkEntry {
           CASE WHEN pct * 3 <= 1.0 THEN 'tail'
                WHEN pct * 3 <= 2.0 THEN 'middle'
                ELSE 'head' END AS bucket
-        FROM p ORDER BY doc_id""")))
+        FROM p ORDER BY doc_id""")),
+
+    // Per-document unigram KL divergence from the corpus distribution —
+    // the domain-shift / boilerplate detector. Every ln is taken of an
+    // integer and micro-rounded before any arithmetic (q62's
+    // libm-proofing), so kl_sum_micro is an exact long and kl_micro one
+    // IEEE division.
+    "q110_unigram_kl" -> Q(
+      (s, dir) => TextOps.unigramKl(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (SELECT doc_id,
+            unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+          FROM documents),
+        dc AS (SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        cc AS (SELECT w, COUNT(*) AS cw FROM toks GROUP BY 1),
+        nn AS (SELECT COUNT(*) AS nn FROM toks),
+        pd AS (SELECT doc_id,
+            CAST(SUM(c * (CAST(round(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT)
+                        - CAST(round(ln(CAST(cw AS DOUBLE)) * 1e6) AS BIGINT))) AS BIGINT) AS s1,
+            CAST(SUM(c) AS BIGINT) AS n_tokens
+          FROM dc JOIN cc USING (w) GROUP BY doc_id)
+        SELECT doc_id, n_tokens,
+          s1 + n_tokens * (CAST(round(ln(CAST(nn.nn AS DOUBLE)) * 1e6) AS BIGINT)
+                         - CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT))
+            AS kl_sum_micro,
+          CAST(s1 + n_tokens * (CAST(round(ln(CAST(nn.nn AS DOUBLE)) * 1e6) AS BIGINT)
+                              - CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT))
+               AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS kl_micro
+        FROM pd CROSS JOIN nn ORDER BY doc_id""")))
 
   /** Shared DuckDB replay of the PQ codebook + encode (m=8 subspaces of 8
     * dims, ksub=32 sub-centroids over the 1e7 grid, seeded from the first

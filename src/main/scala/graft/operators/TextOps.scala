@@ -381,6 +381,49 @@ object TextOps {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Per-document unigram KL divergence from the corpus distribution —
+    * the domain-shift / template-detector signal: KL(doc ‖ corpus) is
+    * near 0 for documents whose word mix matches the corpus and large for
+    * boilerplate, navigation junk, or off-domain text. Computed exactly:
+    *
+    *   KL = (1/n)·Σ_w c_w·[ln c_w − ln C_w] + (ln N − ln n)
+    *
+    * with every ln taken OF AN INTEGER and rounded to micro units before
+    * any arithmetic (the q62 libm-proofing trick — raw ln is
+    * libm-dependent, micro-rounded ln of identical integers is engine
+    * -exact), so `kl_sum_micro = Σ c_w·(lnμc_w − lnμC_w) + n·(lnμN − lnμn)`
+    * is an exact long and `kl_micro = kl_sum_micro / n` one IEEE division.
+    *
+    * Scale shape: ONE cached token relation feeds the per-doc counts, the
+    * corpus counts, and the total; the only corpus-keyed shuffle is the
+    * token join of per-doc counts against corpus counts (Σdf rows,
+    * inverted-index cost); N rides a broadcast 1-row aggregate.
+    * Overflow headroom: |lnμ| ≤ 2.1e7·ln-range ≈ 4e7, so Σ ≤ n·8e7 —
+    * exact in a long to n ≈ 1e11 tokens per document.
+    *
+    * Returns (id, n_tokens, kl_sum_micro, kl_micro).
+    */
+  def unigramKl(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = graft.CacheScope.register(
+      graft.Parallelism.fanOut(df.select(col(idCol), col(textCol)))
+        .select(col(idCol), explode(TextFns.tokens(col(textCol))).as("__w")))
+    def lnMicro(c: Column): Column =
+      round(log(c.cast("double")) * 1e6).cast("long")
+    val dc = toks.groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("c"))
+    val cc = toks.groupBy(col("__w")).agg(count(lit(1)).as("cw"))
+    val nTot = toks.agg(count(lit(1)).as("__nn"))
+    val perDoc = dc.join(cc, "__w")
+      .groupBy(col(idCol))
+      .agg(sum(col("c") * (lnMicro(col("c")) - lnMicro(col("cw")))).as("__s1"),
+        sum(col("c")).as("n_tokens"))
+    perDoc.crossJoin(broadcast(nTot))
+      .select(col(idCol), col("n_tokens"),
+        (col("__s1") + col("n_tokens") *
+          (lnMicro(col("__nn")) - lnMicro(col("n_tokens")))).as("kl_sum_micro"))
+      .withColumn("kl_micro",
+        col("kl_sum_micro").cast("double") / col("n_tokens").cast("double"))
+  }
+
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     val grams = graft.Parallelism.fanOut(df.select(col(idCol), col(textCol)))

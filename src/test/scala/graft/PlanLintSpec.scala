@@ -30,6 +30,7 @@ class PlanLintSpec extends SparkSpec {
     "q58_tfidf" -> "broadcast 1-row corpus-size aggregate (crossJoin N)",
     "q62_lm_score" -> "broadcast 1-row vocabulary-size aggregate (crossJoin V)",
     "q109_perplexity_buckets" -> "inherits q62's broadcast 1-row vocabulary-size aggregate (crossJoin V)",
+    "q110_unigram_kl" -> "broadcast 1-row corpus-token-total aggregate (crossJoin N)",
     "q81_snapshot_diff" -> "broadcast 1-row snapshot-cut scalar; the diff itself is a null-safe equi join")
 
   /** Queries allowed to plan a GLOBAL window (no partition columns, or a

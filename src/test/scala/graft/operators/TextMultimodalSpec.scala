@@ -267,6 +267,21 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out(8L) == ((false, List("repetition"))))
   }
 
+  test("unigramKl: hand-computed micro-exact divergence from the corpus " +
+      "unigram distribution") {
+    import spark.implicits._
+    // corpus: N=7, C_a=3, C_b=3, C_c=1. doc0 (a a b): n=3, c_a=2, c_b=1.
+    // lnμ: ln2→693147, ln3→1098612, ln7→1945910.
+    // s1 = 2(693147−1098612) + (0−1098612) = −1909542
+    // kl_sum = s1 + 3(1945910−1098612) = 632352; true KL ≈ 0.210784 ✓
+    val docs = Seq((0L, "a a b"), (1L, "a b b c")).toDF("doc_id", "text")
+    val out = TextOps.unigramKl(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("kl_sum_micro"),
+          r.getAs[Double]("kl_micro")))).toMap
+    assert(out(0L) == ((3L, 632352L, 632352.0 / 3.0)))
+  }
+
   test("hashedBow: sparse (doc, bucket, cnt) triplets with exact counts") {
     import spark.implicits._
     val docs = Seq((0L, "x y X"), (1L, "")).toDF("doc_id", "text")
