@@ -24,6 +24,27 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Dedup.simhash(emptyDocs, "doc_id", "text").count() == 0)
   }
 
+  test("round-5 text/dedup operators survive empty and degenerate input") {
+    import spark.implicits._
+    // empty corpus → empty output everywhere, no ANSI throws
+    assert(Dedup.containmentPairs(emptyDocs, "doc_id", "text", 3, 0.5).count() == 0)
+    assert(Dedup.editDistanceNearDups(emptyDocs, "doc_id", "text",
+      3, 32, 8, 0.5, 1, 10).count() == 0)
+    assert(TextOps.bigramLm(emptyDocs, "text", 1L).count() == 0)
+    assert(TextOps.hashedBow(emptyDocs, "doc_id", "text", 64).count() == 0)
+    assert(TextOps.unigramKl(emptyDocs, "doc_id", "text").count() == 0)
+    // null text and sub-shingle docs: pair ops drop them, row ops keep
+    // well-defined rows (split(null) → null token array → no explode rows)
+    val degenerate = Seq((0L, null: String), (1L, ""), (2L, "one"))
+      .toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(degenerate, "doc_id", "text", 3, 0.5).count() == 0)
+    assert(TextOps.bigramLm(degenerate, "text", 1L).count() == 0)
+    val bow = TextOps.hashedBow(degenerate, "doc_id", "text", 64)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("cnt")).toMap
+    assert(!bow.contains(0L))        // null text contributes no tokens
+    assert(bow(1L) == 1L && bow(2L) == 1L)  // "" and "one": one token each
+  }
+
   test("null and too-short texts produce empty shingle sets, never nulls") {
     import spark.implicits._
     val docs = Seq((0L, null: String), (1L, ""), (2L, "one two"),
