@@ -34,6 +34,28 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("query_id") == 0L))
   }
 
+  test("pqTopK plans a bounded aggregation — no window anywhere (the " +
+      "corpus x queries row_number shape must not regress)") {
+    val emb = graft.GraftSession.table(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val df = Similarity.pqTopK(emb, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", 5, 8, 32, 64)
+    try {
+      def hasWindow(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            hasWindow(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            hasWindow(q.plan)
+          case _: org.apache.spark.sql.execution.window.WindowExec => true
+          case other => other.children.exists(hasWindow)
+        }
+      assert(!hasWindow(df.queryExecution.executedPlan),
+        "ADC top-k planned a window — the bounded TopKAggregator shape regressed")
+      assert(df.count() == 3 * 5)
+    } finally graft.CacheScope.releaseAll()
+  }
+
   test("hardNegatives: nearest OTHER-label vectors only; same-label and " +
       "null-label rows never appear") {
     import spark.implicits._
