@@ -120,6 +120,18 @@ object Micro {
       Dedup.minhashNearDups(docs10, "doc_id", "text", 3, 64, 16, 0.8).count()
     }
     graft.CacheScope.releaseAll()
+    // containment probe: the direct inverted-index join costs Σ df² — on
+    // the 10x clone corpus every shingle's df is 10x, so UNCAPPED cost
+    // would be ~100x; the df cap is what keeps the op linear-ish at scale
+    time("containment direct (1x)") {
+      Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.8).count()
+    }
+    graft.CacheScope.releaseAll()
+    time("containment capped df=100 (10x corpus)") {
+      Dedup.containmentPairs(docs10, "doc_id", "text", 3, 0.8,
+        maxShingleDf = 100).count()
+    }
+    graft.CacheScope.releaseAll()
     // PQ stage breakdown (q90): where do the seconds go — the codebook
     // training collects (run eagerly at DataFrame CONSTRUCTION), the
     // driver-side plan work over ~256 codebook-literal argmin expressions

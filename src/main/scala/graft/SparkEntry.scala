@@ -2630,7 +2630,23 @@ object SparkEntry {
           CAST(s1 + n_tokens * (CAST(round(ln(CAST(nn.nn AS DOUBLE)) * 1e6) AS BIGINT)
                               - CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT))
                AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS kl_micro
-        FROM pd CROSS JOIN nn ORDER BY doc_id""")))
+        FROM pd CROSS JOIN nn ORDER BY doc_id""")),
+
+    // Deterministic global shuffle into write shards — the last step of
+    // training-data prep (break source locality). (shard, pos) is a
+    // reproducible permutation from (salt, shards) alone; the per-shard
+    // window is bounded by corpus/shards, never one global sort task.
+    "q111_shuffle_shards" -> Q(
+      (s, dir) => Sampling.shuffleIntoShards(t(s, dir, "documents"),
+          "doc_id", 8, "shuf1")
+        .select("doc_id", "shard", "pos")
+        .orderBy("doc_id"),
+      Some("""WITH h AS (SELECT doc_id,
+            CAST('0x' || substr(md5('shuf1:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hh
+          FROM documents)
+        SELECT doc_id, hh % 8 AS shard,
+          CAST(row_number() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id) AS INTEGER) AS pos
+        FROM h ORDER BY doc_id""")))
 
   /** Shared DuckDB replay of the PQ codebook + encode (m=8 subspaces of 8
     * dims, ksub=32 sub-centroids over the 1e7 grid, seeded from the first

@@ -94,6 +94,30 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Deterministic global shuffle into write shards — the LAST step of
+    * training-data prep: break crawl/source locality so every training
+    * batch is an unbiased corpus sample. A true global sort by random key
+    * is the naive form; at 100 TB you want the SHARDED form the data
+    * loader actually consumes: shard = pmod(h60(salt:id), shards) spreads
+    * rows uniformly, and the within-shard position orders by the salted
+    * hash — so (shard, pos) is a deterministic permutation of the corpus,
+    * reproducible bit-for-bit from (salt, shards) alone, with each
+    * shard writable in parallel and the per-shard window bounded by
+    * corpus/shards (never a single global sort task).
+    *
+    * Returns the input plus (shard, pos) — pos is 1-based within shard.
+    */
+  def shuffleIntoShards(df: DataFrame, idCol: String, shards: Int,
+      salt: String): DataFrame = {
+    require(shards > 0, s"shard count must be positive: $shards")
+    val h = saltedH60(col(idCol), salt)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(h, lit(shards.toLong)))
+      .orderBy(h, col(idCol))
+    df.withColumn("shard", pmod(h, lit(shards.toLong)))
+      .withColumn("pos", row_number().over(w))
+  }
+
   /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
     * each row gets key = ln(u)/w for a uniform u and weight w, and the
     * k largest keys are the sample — inclusion odds scale with weight,

@@ -129,6 +129,31 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("shuffleIntoShards: a deterministic permutation — every shard in " +
+      "range, positions contiguous from 1, stable across runs") {
+    import spark.implicits._
+    val rows = (0L until 200L).map(i => (i, s"doc$i")).toDF("id", "payload")
+    val a = Sampling.shuffleIntoShards(rows, "id", 8, "s1")
+      .select("id", "shard", "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(a.length == 200)
+    assert(a.forall { case (_, s, _) => s >= 0 && s < 8 })
+    // per shard: positions are exactly 1..n_shard (a permutation)
+    a.groupBy(_._2).foreach { case (_, g) =>
+      assert(g.map(_._3).sorted.toSeq == (1 to g.length).toSeq)
+    }
+    // deterministic: a second run reproduces the identical assignment
+    val b = Sampling.shuffleIntoShards(rows, "id", 8, "s1")
+      .select("id", "shard", "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq)
+    // a different salt produces a different permutation
+    val c = Sampling.shuffleIntoShards(rows, "id", 8, "s2")
+      .select("id", "shard", "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(a.sortBy(_._1).toSeq != c.sortBy(_._1).toSeq)
+  }
+
   test("capPerGroup: keeps the cap best rows per group by the given " +
       "ordering, small groups survive whole, ranks are 1..n") {
     import spark.implicits._
