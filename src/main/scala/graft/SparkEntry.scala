@@ -2646,7 +2646,28 @@ object SparkEntry {
           FROM documents)
         SELECT doc_id, hh % 8 AS shard,
           CAST(row_number() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id) AS INTEGER) AS pos
-        FROM h ORDER BY doc_id""")))
+        FROM h ORDER BY doc_id""")),
+
+    // Cavnar–Trenkle char-ngram profile TRAINING: top-10 trigrams per
+    // language from the labeled corpus — the relation langIdCharNgram
+    // consumes, closing the train→predict loop. Ranking window runs over
+    // per-language aggregated gram counts (alphabet^n-bounded).
+    "q112_char_profiles" -> Q(
+      (s, dir) => TextOps.trainCharNgramProfiles(t(s, dir, "documents"),
+          "lang", "text", 3, 10)
+        .orderBy("lang", "rk"),
+      Some("""WITH t AS (SELECT lang,
+            lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s
+          FROM documents),
+        g AS (SELECT lang, unnest(list_transform(range(1, greatest(length(s) - 1, 1)),
+                 i -> substr(s, CAST(i AS INTEGER), 3))) AS gram
+               FROM t WHERE length(s) >= 3),
+        c AS (SELECT lang, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+        r AS (SELECT lang, gram, cnt,
+               CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gram) AS INTEGER) AS rk
+               FROM c)
+        SELECT lang, gram, cnt, rk FROM r WHERE rk <= 10
+        ORDER BY lang, rk""")))
 
   /** Shared DuckDB replay of the PQ codebook + encode (m=8 subspaces of 8
     * dims, ksub=32 sub-centroids over the 1e7 grid, seeded from the first

@@ -73,6 +73,32 @@ object TextOps {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** TRAINING pass for [[langIdCharNgram]]: the top-K character n-grams
+    * per language from a labeled corpus — the Cavnar–Trenkle n-gram
+    * profile. Deterministic rank (count desc, gram asc); the output
+    * relation IS the `profiles` argument the predictor consumes, closing
+    * the train→predict loop without any external model artifact.
+    *
+    * Scale shape: one shuffle on (lang, gram) with map-side combine; the
+    * ranking window partitions by language over the AGGREGATED gram
+    * counts (rows per partition = distinct grams per language, bounded
+    * by alphabet^n, not corpus size).
+    *
+    * Returns (langCol, gram, cnt, rk ≤ topK).
+    */
+  def trainCharNgramProfiles(df: DataFrame, langCol: String,
+      textCol: String, n: Int, topK: Int): DataFrame = {
+    require(topK > 0, s"profile size must be positive: $topK")
+    val grams = graft.Parallelism.fanOut(df.select(col(langCol), col(textCol)))
+      .select(col(langCol), explode(charNgrams(col(textCol), n)).as("gram"))
+    val counts = grams.groupBy(col(langCol), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(langCol)).orderBy(col("cnt").desc, col("gram"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+  }
+
   /** Char-n-gram profile language ID: score(lang) = fraction of the
     * document's char trigrams found in that language's profile set;
     * argmax with declaration-order tie-break. The lexicon variant

@@ -211,4 +211,35 @@ class PropertySpec extends SparkSpec {
       assert(math.abs(ours - builtin) < 1e-4, s"$ours vs $builtin")
     }
   }
+
+  test("property: percentileGate's grouped-counts pct equals the " +
+      "cume_dist window form on random tied data") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(5, 80)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("a", "b", "c")
+        s <- Gen.choose(0L, 6L)   // small range forces heavy ties
+      } yield (g, s))
+    } yield rows
+    forAll(gen, n = 6) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((g, s), i) => (i.toLong, g, s) }
+        .toDF("id", "grp", "score")
+      val ours = Quality.percentileGate(df, "grp", "score", 0.3)
+        .select("id", "pct", "kept")
+        .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2))))
+        .toMap
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("grp")).orderBy(col("score"))
+      val ref = df.withColumn("pct", cume_dist().over(w))
+        .withColumn("kept", col("pct") > 0.3)
+        .select("id", "pct", "kept")
+        .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2))))
+        .toMap
+      // bit-equal, not approximately equal: both are the same exact
+      // count division, so the rewrite must be value-identical
+      assert(ours == ref)
+    }
+  }
 }

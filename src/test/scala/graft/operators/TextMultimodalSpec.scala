@@ -267,6 +267,30 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out(8L) == ((false, List("repetition"))))
   }
 
+  test("trainCharNgramProfiles → langIdCharNgram round-trip: trained " +
+      "profiles re-classify their own training languages") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "de", "aber die und aber die und aber"),
+      (1L, "de", "die und aber die und"),
+      (2L, "en", "the and with the and with the"),
+      (3L, "en", "and with the and with")).toDF("doc_id", "lang", "text")
+    val prof = TextOps.trainCharNgramProfiles(docs, "lang", "text", 3, 5)
+    val rows = prof.collect()
+    // deterministic rank: every lang has exactly topK rows, ranks 1..5
+    assert(rows.groupBy(_.getString(0)).forall { case (_, g) =>
+      g.map(_.getAs[Int]("rk")).sorted.toSeq == (1 to 5)
+    })
+    val profiles = rows.groupBy(_.getString(0)).toSeq.sortBy(_._1).map {
+      case (lang, g) => lang -> g.sortBy(_.getAs[Int]("rk"))
+        .map(_.getAs[String]("gram")).toSeq
+    }
+    val pred = docs.select(col("doc_id"),
+        TextOps.langIdCharNgram(col("text"), profiles).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred == Map(0L -> "de", 1L -> "de", 2L -> "en", 3L -> "en"))
+  }
+
   test("unigramKl: hand-computed micro-exact divergence from the corpus " +
       "unigram distribution") {
     import spark.implicits._
