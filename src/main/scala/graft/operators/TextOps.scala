@@ -175,6 +175,14 @@ object TextOps {
     * IEEE op on identical inputs, and floor of that identical double is
     * identical — engine-exact with no decimal quantization anywhere.
     * Null (not a throw, not a poison value) when the denominator is 0.
+    *
+    * Exactness window: num ≤ ~4.5e9 keeps num·2e6 + den below 2^53, so
+    * both operands are exactly representable and the result is
+    * bit-identical everywhere. Beyond that (single counts in the
+    * billions — corpus-wide bigram totals at 100 TB, not per-document
+    * features) the +den term can be absorbed by rounding and the floor
+    * may differ by one micro unit between engines exactly at .5
+    * boundaries; route such magnitudes through DECIMAL division instead.
     */
   private[graft] def ratioMicro(num: Column, den: Column): Column =
     when(den =!= 0,
@@ -358,7 +366,10 @@ object TextOps {
     * engine-exact micro units ([[ratioMicro]] — one IEEE division of
     * exact integer counts, no decimal quantization). `minCount` prunes
     * the hapax tail (rows, not counts: c1 still includes pruned mass, so
-    * surviving probabilities are true MLE, not renormalized).
+    * surviving probabilities are true MLE, not renormalized). Counts here
+    * are corpus-wide — see [[ratioMicro]]'s exactness window note for
+    * the (billions-of-occurrences) regime where the micro rounding
+    * should move to DECIMAL division.
     *
     * Scale shape: ONE shuffle counts bigrams (map-side partial
     * aggregation collapses repeats before the exchange); the c1 totals
