@@ -2667,7 +2667,34 @@ object SparkEntry {
                CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gram) AS INTEGER) AS rk
                FROM c)
         SELECT lang, gram, cnt, rk FROM r WHERE rk <= 10
-        ORDER BY lang, rk""")))
+        ORDER BY lang, rk""")),
+
+    // Multiset set operations — INTERSECT ALL / EXCEPT ALL preserve
+    // duplicate counts (min(a,b) and max(a−b, 0) per value), the bag
+    // semantics q39's distinct forms cannot express. Output aggregated
+    // per key so the oracle compare stays compact.
+    "q113_set_ops_all" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val a = li.filter(col("l_quantity") < 10).select("l_partkey")
+        val b = li.filter(col("l_discount") > 0.05).select("l_partkey")
+        val ia = a.intersectAll(b).groupBy("l_partkey")
+          .agg(count(lit(1)).as("n")).withColumn("set_op", lit("intersect_all"))
+        val ea = a.exceptAll(b).groupBy("l_partkey")
+          .agg(count(lit(1)).as("n")).withColumn("set_op", lit("except_all"))
+        ia.unionByName(ea).select("set_op", "l_partkey", "n")
+          .orderBy("set_op", "l_partkey")
+      },
+      Some("""WITH a AS (SELECT l_partkey FROM lineitem WHERE l_quantity < 10),
+        b AS (SELECT l_partkey FROM lineitem WHERE l_discount > 0.05),
+        ia AS (SELECT l_partkey FROM a INTERSECT ALL SELECT l_partkey FROM b),
+        ea AS (SELECT l_partkey FROM a EXCEPT ALL SELECT l_partkey FROM b)
+        SELECT 'intersect_all' AS set_op, l_partkey, COUNT(*) AS n
+        FROM ia GROUP BY 2
+        UNION ALL
+        SELECT 'except_all' AS set_op, l_partkey, COUNT(*) AS n
+        FROM ea GROUP BY 2
+        ORDER BY set_op, l_partkey""")))
 
   /** Shared DuckDB replay of the PQ codebook + encode (m=8 subspaces of 8
     * dims, ksub=32 sub-centroids over the 1e7 grid, seeded from the first
