@@ -373,17 +373,22 @@ object Dedup {
   }
 
   /** Signature rows → (id, band, bucket) banding relation (`bands` rows
-    * per doc). Shared by the self-join candidate path and the cross-corpus
-    * decontamination path. */
-  private def lshBands(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    * per doc). Shared by the self-join candidate path, the cross-corpus
+    * decontamination path, and the streaming flag path
+    * ([[graft.streaming.StreamNearDup]], which also threads `carry`
+    * columns through the explode — a streaming consumer cannot join the
+    * carried array back by id without a stream-stream join). */
+  private[graft] def lshBands(sigs: DataFrame, k: Int, bands: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     require(k % bands == 0, s"k=$k not divisible by bands=$bands")
     val r = k / bands
     val bandCols = (0 until bands).map { b =>
       val slots = (b * r until (b + 1) * r).map(i => col(s"s$i"))
       struct(lit(b).as("band"), Hashing.hFast(concat_ws(",", slots: _*), b).as("bucket"))
     }
-    sigs.select(col("id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val kept = col("id") +: carry.map(col)
+    sigs.select(kept :+ explode(array(bandCols: _*)).as("bb"): _*)
+      .select(kept :+ col("bb.band").as("band") :+ col("bb.bucket").as("bucket"): _*)
   }
 
   /** Full MinHash near-dup pipeline: shingle → sign → band → candidate →

@@ -315,4 +315,41 @@ class StreamingSpec extends SparkSpec {
     assert(after2.agg(sum("temperature")).collect()(0).getDouble(0) == 5.0)
     assert(StreamPipeline.verifyRowPersistence(spark, warehouse, 2))
   }
+
+  test("StreamNearDup: stateless append-mode near-dup flags against a " +
+      "static corpus — near-dup flagged, fresh doc passes, no state store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 40 tokens: one edited word flips only 3 of 38 trigrams →
+    // jaccard 35/41 ≈ 0.854, above the 0.8 gate (a short doc would
+    // dilute below it: 1 edit in 12 tokens → 7/13 ≈ 0.54)
+    val base = (1 to 40).map(i => f"tok$i%02d")
+    val corpus = Seq(
+      (100L, base.mkString(" ")),
+      (101L, "completely unrelated corpus text about warehouse partitions")
+    ).toDF("doc_id", "text")
+    val (arr0, bands0) = StreamNearDup.corpusIndex(corpus, "doc_id", "text",
+      3, 32, 8)
+    val (arr, bands) = (arr0.cache(), bands0.cache())
+    val mem = MemoryStream[(Long, String)]
+    val flags = StreamNearDup.flagNearDups(
+      mem.toDF().toDF("doc_id", "text"), arr, bands,
+      "doc_id", "text", 3, 32, 8, 0.8)
+    val q = flags.writeStream.format("memory").queryName("neardup_flags")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    mem.addData(
+      // one-word edit of corpus doc 100 → jaccard 0.854, must flag
+      (1L, base.updated(19, "edited").mkString(" ")),
+      // fresh text → no flag row at all
+      (2L, "entirely novel content that matches nothing in the corpus"))
+    q.awaitTermination()
+    val rows = spark.table("neardup_flags")
+      .select("sid", "corpus_id").distinct()   // band collisions may repeat rows
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set((1L, 100L)))
+    // and the plan really is stateless: no state-store operator ran
+    assert(q.lastProgress == null ||
+      Option(q.lastProgress.stateOperators).forall(_.isEmpty))
+    arr.unpersist(); bands.unpersist()
+  }
 }
