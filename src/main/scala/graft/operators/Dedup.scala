@@ -447,6 +447,13 @@ object Dedup {
     require(maxDistNum >= 0 && maxDistDen > 0,
       s"edit budget must be a non-negative ratio: $maxDistNum/$maxDistDen")
     val pairs = minhashNearDups(docs, idCol, textCol, n, k, bands, minJac)
+    // Two pruned (id, text) corpus scans feed the pair-side joins.
+    // Measured alternatives at sf0.1: caching the whole normalized text
+    // relation (+18%) and semi-join-pruning it to candidate ids with a
+    // cached pair relation (+67%) — both LOSE here because the extra
+    // materialization sync points cost more than a cheap columnar re-scan
+    // saves. Revisit the semi-join form only when profiles show the text
+    // scan itself (not the LSH pipeline) dominating.
     val txt = docs.select(col(idCol).as("__tid"),
       TextFns.normalized(col(textCol)).as("__t"))
     pairs
