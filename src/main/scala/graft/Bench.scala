@@ -65,7 +65,10 @@ object Bench {
     // for q01–q41 — so ALSO persist the full per-query map to a file the
     // judge can read. Overwritten per run; skipped (not fatal) if the
     // location is unwritable.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    // an ONLY-filtered re-measure must never clobber the full-suite
+    // artifact the judge reads — route it to its own default file
+    val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse(
+      if (only.isDefined) "bench_only.json" else "bench_full.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>
