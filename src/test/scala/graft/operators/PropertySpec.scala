@@ -242,4 +242,34 @@ class PropertySpec extends SparkSpec {
       assert(ours == ref)
     }
   }
+
+  test("property: bigramLm conserves probability mass per context and " +
+      "unigramKl respects Gibbs' inequality under micro rounding") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(2, 6)
+      docs <- Gen.listOfN(n, Gen.listOfN(12,
+        Gen.oneOf("a", "b", "c", "d", "e")).map(_.mkString(" ")))
+    } yield docs
+    forAll(gen, n = 5) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      // unpruned MLE conditionals per context w1 must sum to 1e6 within
+      // the accumulated round-half-up slack (±0.5 micro per successor)
+      val mass = TextOps.bigramLm(df, "text", 1L)
+        .groupBy("w1").agg(sum(col("p_micro")).as("m"),
+          count(lit(1)).as("succ"))
+        .collect()
+      mass.foreach { r =>
+        val (m, succ) = (r.getLong(1), r.getLong(2))
+        assert(math.abs(m - 1000000L) <= succ,
+          s"context ${r.getString(0)}: mass $m over $succ successors")
+      }
+      // KL(doc ‖ corpus) ≥ 0 exactly; micro-rounded logs can dip at most
+      // ~2 micro units below zero (±0.5 micro per ln, two per term)
+      val kl = TextOps.unigramKl(df, "doc_id", "text")
+        .select("kl_micro").collect().map(_.getDouble(0))
+      kl.foreach(v => assert(v >= -2.0, s"kl_micro $v < -2"))
+    }
+  }
 }
