@@ -2694,7 +2694,212 @@ object SparkEntry {
         UNION ALL
         SELECT 'except_all' AS set_op, l_partkey, COUNT(*) AS n
         FROM ea GROUP BY 2
-        ORDER BY set_op, l_partkey""")))
+        ORDER BY set_op, l_partkey""")),
+
+    // SemDeDup (Abbas et al. 2023): cluster-then-prune semantic dedup —
+    // the pairwise cosine work is confined to single k-means cells, so
+    // candidate cost is Σ n_c² (cluster-bounded), never corpus². The
+    // oracle replays the ENTIRE pipeline — seed assignment (q77's CTE),
+    // intra-cluster pairs, exact 1e7-grid cosines, keep-lowest-id — so
+    // the gate checks clustering AND pruning, not just row counts.
+    "q114_semdedup" -> Q(
+      (s, dir) => Similarity.semDedup(t(s, dir, "embeddings"),
+          "vec_id", "embedding", 8, 0.40)
+        .orderBy("vec_id"),
+      Some("""WITH q AS (SELECT vec_id,
+            list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1e7)) AS qv
+          FROM embeddings),
+        seeds AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < 8),
+        scored AS (SELECT q.vec_id, s.cid,
+            list_sum(list_transform(s.cv, x -> x * x))
+              - 2.0 * list_inner_product(q.qv, s.cv) AS d2
+          FROM q CROSS JOIN seeds s),
+        assigned AS (SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM scored) WHERE rn = 1),
+        m AS (SELECT a.vec_id, a.cid, q.qv,
+            list_inner_product(q.qv, q.qv) AS n2
+          FROM assigned a JOIN q ON q.vec_id = a.vec_id),
+        pairs AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
+            list_inner_product(a.qv, b.qv) / sqrt(a.n2 * b.n2) AS cos
+          FROM m a JOIN m b ON a.cid = b.cid AND b.vec_id < a.vec_id),
+        pruned AS (SELECT ida, MIN(idb) AS pruned_by
+          FROM pairs WHERE cos >= 0.40 GROUP BY ida)
+        SELECT m.vec_id, m.cid, (p.pruned_by IS NULL) AS is_kept, p.pruned_by
+        FROM m LEFT JOIN pruned p ON p.ida = m.vec_id
+        ORDER BY m.vec_id""")),
+
+    // Model-based domain classification (fastText/CCNet-style filter):
+    // multiclass Naive Bayes over hashed BoW, trained and scored in exact
+    // micro-unit integer log-space — the oracle replays training AND
+    // scoring, so the gate checks the whole model pipeline. On this
+    // synthetic corpus the per-lang token tilts are tiny, so prediction
+    // collapses to the prior-dominant class (textbook NB behavior,
+    // margins stay informative); TextMultimodalSpec pins discriminative
+    // behavior on a separable fixture.
+    "q115_naive_bayes" -> Q(
+      (s, dir) => TextOps.naiveBayesClassify(t(s, dir, "documents"),
+          "doc_id", "text", "lang", 1024)
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (SELECT doc_id, lang,
+            unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+          FROM documents),
+        tb AS (SELECT doc_id, lang,
+            CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 1024 AS b
+          FROM toks),
+        ctot AS (SELECT lang AS lbl, COUNT(*) AS t FROM tb GROUP BY 1),
+        model AS (SELECT lang AS lbl, b,
+            CAST(round(ln(COUNT(*) + 1) * 1e6) AS BIGINT)
+              - CAST(round(ln(t + 1024) * 1e6) AS BIGINT) AS lp
+          FROM tb JOIN ctot ON ctot.lbl = tb.lang GROUP BY tb.lang, b, t),
+        zerolp AS (SELECT lbl,
+            CAST(round(ln(1) * 1e6) AS BIGINT)
+              - CAST(round(ln(t + 1024) * 1e6) AS BIGINT) AS lp0 FROM ctot),
+        pri AS (SELECT lang AS lbl,
+            CAST(round(ln(COUNT(*)) * 1e6) AS BIGINT)
+              - CAST(round(ln((SELECT COUNT(*) FROM documents)) * 1e6) AS BIGINT)
+              AS prior
+          FROM documents GROUP BY 1),
+        db AS (SELECT doc_id, b, COUNT(*) AS cnt FROM tb GROUP BY 1, 2),
+        sc AS (SELECT db.doc_id, l.lbl,
+            l.prior + CAST(SUM(db.cnt * COALESCE(m.lp, z.lp0)) AS BIGINT) AS score
+          FROM db CROSS JOIN pri l
+          LEFT JOIN model m ON m.lbl = l.lbl AND m.b = db.b
+          JOIN zerolp z ON z.lbl = l.lbl
+          GROUP BY db.doc_id, l.lbl, l.prior),
+        rk AS (SELECT doc_id, lbl, score,
+            row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lbl ASC)
+              AS rn
+          FROM sc),
+        agg AS (SELECT doc_id,
+            MAX(CASE WHEN rn = 1 THEN lbl END) AS pred,
+            MAX(CASE WHEN rn = 1 THEN score END) AS lp_micro,
+            MAX(CASE WHEN rn = 2 THEN score END) AS s2
+          FROM rk GROUP BY doc_id)
+        SELECT a.doc_id, d.lang AS label, a.pred, a.lp_micro,
+          COALESCE(a.lp_micro - a.s2, 0) AS margin_micro
+        FROM agg a JOIN documents d USING (doc_id) ORDER BY a.doc_id""")),
+
+    // Source-overlap audit: exact shingle-set Jaccard + directional
+    // containment between every pair of sources — the "is src7 a
+    // re-crawl of src3" curation signal. Pair fan-out per shingle is
+    // bounded by the number of sources (20), so the inverted-index join
+    // is skew-proof by construction — no df cap needed, unlike the
+    // document-pair joins (q20/q107).
+    "q116_source_overlap" -> Q(
+      (s, dir) => Dedup.sourceOverlap(t(s, dir, "documents"),
+          "source", "text", 3)
+        .orderBy("src_a", "src_b"),
+      Some("""WITH toks AS (SELECT source,
+            string_split_regex(lower(trim(text)), '\s+') AS l FROM documents),
+        grams AS (SELECT source, unnest(list_transform(
+              range(1, greatest(len(l) - 1, 1)),
+              i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS g
+          FROM toks WHERE len(l) >= 3),
+        sh AS (SELECT DISTINCT source AS grp,
+            CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS h FROM grams),
+        sizes AS (SELECT grp, COUNT(*) AS sz FROM sh GROUP BY 1),
+        pairs AS (SELECT a.grp AS src_a, b.grp AS src_b, COUNT(*) AS n_common
+          FROM sh a JOIN sh b ON a.h = b.h AND a.grp < b.grp GROUP BY 1, 2)
+        SELECT p.src_a, p.src_b, sa.sz AS size_a, sb.sz AS size_b, p.n_common,
+          CAST(p.n_common AS DOUBLE) / (sa.sz + sb.sz - p.n_common) AS jaccard,
+          CAST(p.n_common AS DOUBLE) / sa.sz AS cont_a_in_b,
+          CAST(p.n_common AS DOUBLE) / sb.sz AS cont_b_in_a
+        FROM pairs p JOIN sizes sa ON sa.grp = p.src_a
+          JOIN sizes sb ON sb.grp = p.src_b
+        ORDER BY src_a, src_b""")),
+
+    // Per-dimension z-scoring of the embedding corpus: dims×3 exact moment
+    // rows (pass 1) broadcast back into a map-only standardizing
+    // projection (pass 2). The oracle replays moments and z end-to-end —
+    // grid mean via round(sum/n), centered second moment as an exact
+    // integer, one sqrt + one division per value.
+    "q117_standardize_embeddings" -> Q(
+      (s, dir) => Similarity.standardizeEmbeddings(t(s, dir, "embeddings"),
+          "vec_id", "embedding")
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id", "pos"),
+      Some("""WITH c AS (SELECT vec_id AS id, u.pos AS pos, u.v AS v FROM (
+            SELECT vec_id, unnest(list_transform(range(0, len(embedding)),
+              i -> {'pos': i, 'v': round(CAST(embedding[i + 1] AS DOUBLE) * 1e7)})) AS u
+            FROM embeddings)),
+        mo AS (SELECT pos, COUNT(*) AS n,
+            SUM(CAST(v AS HUGEINT)) AS s1,
+            SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS s2
+          FROM c GROUP BY pos),
+        mm AS (SELECT pos,
+            CAST(round(CAST(s1 AS DOUBLE) / n) AS BIGINT) AS m,
+            sqrt(CAST(s2 - 2 * CAST(round(CAST(s1 AS DOUBLE) / n) AS BIGINT) * s1
+                   + n * CAST(round(CAST(s1 AS DOUBLE) / n) AS BIGINT)
+                       * CAST(round(CAST(s1 AS DOUBLE) / n) AS BIGINT) AS DOUBLE)
+                 / n) AS std
+          FROM mo)
+        SELECT c.id AS vec_id, c.pos AS pos,
+          CASE WHEN mm.std <> 0 THEN (c.v - mm.m) / mm.std END AS z
+        FROM c JOIN mm ON mm.pos = c.pos
+        ORDER BY vec_id, c.pos""")),
+
+    // Dup-cluster quality audit: for each connected component of the
+    // MinHash near-dup graph (q55's pipeline), edge density and mean
+    // confirmed Jaccard — low-density / low-cohesion clusters are LSH
+    // chaining artifacts (A~B~C where A!~C), exactly what a curation run
+    // reviews before electing survivors (q95). Per-pair jaccard is
+    // micro-rounded BEFORE the sum so the cluster mean is an exact
+    // integer division, not an order-dependent double fold.
+    "q118_cluster_cohesion" -> Q(
+      (s, dir) => {
+        val pairs = graft.CacheScope.register(
+          Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id",
+            "text", 3, 64, 16, 0.8))
+        val cc = Graphs.connectedComponents(pairs, "id_a", "id_b")
+        val members = cc.groupBy("component").agg(count(lit(1)).as("n_members"))
+        pairs
+          .join(cc.withColumnRenamed("id", "id_a"), "id_a")
+          .withColumn("jm", round(col("jaccard") * 1e6).cast("long"))
+          .groupBy("component")
+          .agg(count(lit(1)).as("n_edges"), sum(col("jm")).as("sj"))
+          .join(broadcast(members), "component")
+          .select(col("component"), col("n_members"), col("n_edges"),
+            ((col("n_edges") * 2).cast("double") /
+              (col("n_members") * (col("n_members") - 1))).as("density"),
+            (col("sj").cast("double") / col("n_edges")).as("mean_jac_micro"))
+          .orderBy("component")
+      },
+      Some("""WITH RECURSIVE toks AS (SELECT doc_id,
+            string_split_regex(lower(trim(text)), '\s+') AS l FROM documents),
+        grams AS (SELECT doc_id, unnest(list_distinct(list_transform(
+              range(1, greatest(len(l) - 1, 1)),
+              i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS g
+          FROM toks WHERE len(l) >= 3),
+        sh AS (SELECT doc_id,
+            CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS sh FROM grams),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (SELECT id_a, id_b,
+            CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jac
+          FROM inter JOIN sizes sa ON id_a = sa.doc_id
+          JOIN sizes sb ON id_b = sb.doc_id
+          WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        walk(id, lbl) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.id = e.dst),
+        comp AS (SELECT id AS doc_id, MIN(lbl) AS component FROM walk GROUP BY id),
+        members AS (SELECT component, COUNT(*) AS n_members FROM comp GROUP BY 1),
+        ej AS (SELECT c.component, CAST(round(p.jac * 1e6) AS BIGINT) AS jm
+          FROM pairs p JOIN comp c ON c.doc_id = p.id_a),
+        agg AS (SELECT component, COUNT(*) AS n_edges,
+            CAST(SUM(jm) AS BIGINT) AS sj FROM ej GROUP BY 1)
+        SELECT m.component, m.n_members, a.n_edges,
+          CAST(2 * a.n_edges AS DOUBLE) / (m.n_members * (m.n_members - 1))
+            AS density,
+          CAST(a.sj AS DOUBLE) / a.n_edges AS mean_jac_micro
+        FROM members m JOIN agg a USING (component) ORDER BY component""")))
 
   /** Shared DuckDB replay of the PQ codebook + encode (m=8 subspaces of 8
     * dims, ksub=32 sub-centroids over the 1e7 grid, seeded from the first

@@ -258,6 +258,47 @@ object Dedup {
       .select("id_a", "id_b", "inter", "size_a", "size_b", "cont_a", "cont_b")
   }
 
+  /** Corpus-curation audit: exact shingle-set overlap between GROUPS of
+    * documents (sources, crawls, snapshots) — "is src7 mostly a re-crawl
+    * of src3?" answered with exact Jaccard and directional containment
+    * per group pair, the aggregate face of [[containmentPairs]].
+    *
+    * Scale shape: the per-group distinct shingle relation is ONE shuffle
+    * on (group, h60); the pair join is an inverted index on the shingle
+    * hash whose per-key fan-out is bounded by the NUMBER OF GROUPS (a
+    * shingle contributes at most G(G−1)/2 pairs however many documents
+    * contain it) — so unlike document-pair joins, no df cap is needed:
+    * worst case is Σ_shingle G², linear in distinct shingles for fixed G.
+    * Group sizes (a handful of rows) broadcast back onto the pair counts.
+    * Zero-overlap pairs are absent by construction (inner join).
+    *
+    * Returns (src_a, src_b, size_a, size_b, n_common, jaccard,
+    * cont_a_in_b, cont_b_in_a); divisions are single IEEE ops on exact
+    * integer counts.
+    */
+  def sourceOverlap(docs: DataFrame, groupCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val sh = graft.CacheScope.register(
+      graft.Parallelism.fanOut(docs.select(col(groupCol), col(textCol)))
+        .select(col(groupCol).as("grp"),
+          explode(TextFns.shingles(col(textCol), n)).as("g"))
+        .select(col("grp"), Hashing.h60(col("g")).as("h"))
+        .distinct())
+    val sizes = sh.groupBy("grp").agg(count(lit(1)).as("sz"))
+    sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.grp") < col("b.grp"))
+      .groupBy(col("a.grp").as("src_a"), col("b.grp").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.select(col("grp").as("src_a"), col("sz").as("size_a"))), "src_a")
+      .join(broadcast(sizes.select(col("grp").as("src_b"), col("sz").as("size_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("size_a"), col("size_b"),
+        col("n_common"),
+        (col("n_common").cast("double") /
+          (col("size_a") + col("size_b") - col("n_common"))).as("jaccard"),
+        (col("n_common").cast("double") / col("size_a")).as("cont_a_in_b"),
+        (col("n_common").cast("double") / col("size_b")).as("cont_b_in_a"))
+  }
+
   /** Drop shingles appearing in more than `maxShingleDf` documents — the
     * boilerplate-skew relaxation (a shingle in d docs costs d² join pairs
     * in the direct form and floods LSH buckets in the banded form).

@@ -616,6 +616,97 @@ object Similarity {
         (col("__vn") + col("__best.d2p") > maxD2).as("is_outlier"))
   }
 
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540):
+    * cluster the embeddings (deterministic seed centroids — the
+    * [[lloydStep]] contract), then prune, within each cluster, every
+    * vector whose cosine to a LOWER-id cluster member is >= `minCos`;
+    * the lowest id of each semantic-duplicate group survives. The whole
+    * point vs [[nearDupExact]]: pairwise work is confined to single
+    * clusters (Σ n_c² instead of n²), so candidate cost tracks cluster
+    * occupancy — the property that lets the recipe run at web scale.
+    * At 100 TB the cluster id doubles as the shuffle/partition key; a
+    * skewed (oversized) cluster is the signal to raise k, exactly as in
+    * the paper.
+    *
+    * Exactness: assignment distances and cosines are 1e7-grid integer
+    * sums (exact in double, see [[cosineExact]]); the final sqrt/divide
+    * are single scalar IEEE ops both engines round identically. Zero
+    * vectors cosine as null in the engine (ANSI-safe guard) and are
+    * never pruned — the oracle-side parity holds only on corpora
+    * without zero vectors (testdata has none; EdgeCaseSpec pins the
+    * engine behavior).
+    *
+    * Returns (vec_id, cid, is_kept, pruned_by) with pruned_by the
+    * smallest lower-id member at cos >= minCos, null for survivors.
+    */
+  def semDedup(embs: DataFrame, idCol: String, vecCol: String,
+      k: Int, minCos: Double): DataFrame = {
+    val scores = centroidScores(seedCentroids(embs, idCol, vecCol, k)) _
+    // quantize + assign + norm ONCE per vector in a cached projection —
+    // both sides of the intra-cluster join and the final survivor join
+    // read it, so the corpus is scanned a single time
+    val m = graft.CacheScope.register(
+      graft.Parallelism.fanOut(
+          embs.select(col(idCol).cast("long").as("id"), col(vecCol)))
+        .select(col("id"), quantized(col(vecCol)).as("qv"))
+        .withColumn("cid", array_min(scores(col("qv"))).getField("cid"))
+        .withColumn("n2", qnorm2(col("qv"))))
+    val a = m.select(col("cid"), col("id").as("id_a"), col("qv").as("qa"),
+      col("n2").as("na"))
+    val b = m.select(col("cid"), col("id").as("id_b"), col("qv").as("qb"),
+      col("n2").as("nb"))
+    val den = sqrt(col("na") * col("nb"))
+    val cos = when(den =!= 0, qdot(col("qa"), col("qb")) / den)
+    val pruned = a.join(b, Seq("cid"))
+      .where(col("id_b") < col("id_a") && cos >= minCos)
+      .groupBy(col("id_a").as("id"))
+      .agg(min(col("id_b")).as("pruned_by"))
+    m.join(pruned, Seq("id"), "left")
+      .select(col("id").as("vec_id"), col("cid"),
+        col("pruned_by").isNull.as("is_kept"), col("pruned_by"))
+  }
+
+  /** Per-dimension standardization (z-scoring) of an embedding column —
+    * the feature-normalization pass that precedes clustering / ANN when
+    * dimensions carry different scales. Engine-exact: components live on
+    * the 1e7 grid, per-dimension moments are DECIMAL(38,0) sums of
+    * integer-valued doubles (exact at any corpus size — Σx² over 1e12
+    * rows ≈ 1e26 stays far inside 38 digits), the grid mean is one
+    * round(sum/n) and the final std/z are single IEEE divisions + a
+    * correctly-rounded sqrt — both engines round identically from the
+    * same exact integers.
+    *
+    * Scale shape: pass 1 aggregates dims×3 moment rows (64 rows here —
+    * bounded by the dimension, not the corpus); pass 2 broadcast-joins
+    * them back and standardizes in a map-only projection. A constant
+    * dimension (std 0) z-scores to null rather than ±Inf/ANSI error.
+    *
+    * Returns (id, pos, z) exploded rows.
+    */
+  def standardizeEmbeddings(embs: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val comps = graft.CacheScope.register(
+      graft.Parallelism.fanOut(embs.select(col(idCol).as("id"), col(vecCol)))
+        .select(col("id"), posexplode(quantized(col(vecCol))).as(Seq("pos", "v"))))
+    val moments = comps.groupBy("pos")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(38,0)")).as("s1"),
+        sum((col("v") * col("v")).cast("decimal(38,0)")).as("s2"))
+      // grid mean; centered second moment Σ(x−m)² = Σx² − 2mΣx + nm²
+      // stays an exact integer in DECIMAL — no cancellation, no FP drift
+      .withColumn("m", round(col("s1").cast("double") / col("n")).cast("long"))
+      .withColumn("ss",
+        (col("s2") - lit(2) * col("m") * col("s1") +
+          col("n").cast("decimal(38,0)") * col("m") * col("m")).cast("double"))
+      .withColumn("std", sqrt(col("ss") / col("n")))
+      .select(col("pos"), col("m"), col("std"))
+    comps.join(broadcast(moments), "pos")
+      .select(col("id"), col("pos"),
+        when(col("std") =!= 0,
+          (col("v") - col("m")).cast("double") / col("std")).as("z"))
+  }
+
   /** Symmetric int8 quantization per vector: scale = max|component| on
     * the 1e7 integer grid, code_i = round-half-up(|q_i|·127/scale) with
     * the component's sign (so codes span [-127, 127]; a zero vector

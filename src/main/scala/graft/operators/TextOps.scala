@@ -418,6 +418,83 @@ object TextOps {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Multiclass Naive Bayes classifier over hashed bag-of-words features
+    * — the fastText/CCNet-style "model-based domain/quality filter"
+    * reduced to exact integer arithmetic. Trains on `labelCol` with
+    * add-one smoothing over the `k` hash buckets and scores every
+    * document with micro-rounded integer log-probabilities (every ln is
+    * taken OF AN INTEGER and rounded to micro units before any sum — the
+    * q62 libm-proofing trick, so both engines add identical longs):
+    *
+    *   score(d, l) = lnμD_l − lnμD + Σ_b cnt_db·[lnμ(c_lb+1) − lnμ(T_l+k)]
+    *
+    * Prediction is the argmax with ties to the smaller label string.
+    *
+    * Scale shape: ONE cached (id, label, bucket) token relation feeds
+    * training and scoring. The model is at most k×L rows (buckets ×
+    * labels) — bounded by construction, broadcast to the scorers; priors
+    * are L rows. Corpus-keyed work: the (id, bucket) count and an
+    * L-expanded (id, label) score sum — linear in corpus tokens times
+    * the (small, fixed) label count; the per-id argmax window sees L
+    * rows per partition key. Train-then-score-elsewhere is the same
+    * function applied to a frozen model: the relations are separable.
+    *
+    * Overflow headroom: |lp| ≤ lnμ(T+k) ≈ 2e7, per-doc Σ ≤ n_tokens·4e7
+    * — exact in a long to ~2e11 tokens per document.
+    *
+    * Returns (id, label, pred, lp_micro, margin_micro) — margin the
+    * winner's lead over the runner-up, 0 when L == 1.
+    */
+  def naiveBayesClassify(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String, k: Int): DataFrame = {
+    require(k > 0, s"bucket count must be positive: $k")
+    def lnMicro(c: Column): Column =
+      round(log(c.cast("double")) * 1e6).cast("long")
+    val toks = graft.CacheScope.register(
+      graft.Parallelism.fanOut(
+          df.select(col(idCol), col(labelCol), col(textCol)))
+        .select(col(idCol), col(labelCol).as("__lbl"),
+          explode(TextFns.tokens(col(textCol))).as("__tok"))
+        .select(col(idCol), col("__lbl"),
+          pmod(Hashing.h60(col("__tok")), lit(k.toLong)).as("__b")))
+    // model: per-(label, bucket) smoothed log-likelihood; absent buckets
+    // fall back to the label's zero-count term at scoring time
+    val classTot = toks.groupBy("__lbl").agg(count(lit(1)).as("__t"))
+    val model = toks.groupBy("__lbl", "__b").agg(count(lit(1)).as("__c"))
+      .join(classTot, "__lbl")
+      .select(col("__lbl"), col("__b"),
+        (lnMicro(col("__c") + 1) - lnMicro(col("__t") + k)).as("__lp"))
+    val zeroLp = classTot.select(col("__lbl"),
+      (lnMicro(lit(1)) - lnMicro(col("__t") + k)).as("__lp0"))
+    val priors = df.groupBy(col(labelCol).as("__lbl"))
+      .agg(count(lit(1)).as("__d"))
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("__dn"))))
+      .select(col("__lbl"),
+        (lnMicro(col("__d")) - lnMicro(col("__dn"))).as("__prior"))
+    val docBuckets = toks.groupBy(col(idCol), col("__b"))
+      .agg(count(lit(1)).as("__cnt"))
+    val scored = docBuckets
+      .crossJoin(broadcast(priors.select(col("__lbl"), col("__prior"))))
+      .join(broadcast(model), Seq("__lbl", "__b"), "left")
+      .join(broadcast(zeroLp), Seq("__lbl"))
+      .withColumn("__lpz", coalesce(col("__lp"), col("__lp0")))
+      .groupBy(col(idCol), col("__lbl"), col("__prior"))
+      .agg(sum(col("__cnt") * col("__lpz")).as("__s"))
+      .select(col(idCol), col("__lbl"), (col("__prior") + col("__s")).as("__score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__score").desc, col("__lbl").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .groupBy(col(idCol))
+      .agg(max(when(col("__rn") === 1, col("__lbl"))).as("pred"),
+        max(when(col("__rn") === 1, col("__score"))).as("lp_micro"),
+        max(when(col("__rn") === 2, col("__score"))).as("__s2"))
+      .withColumn("margin_micro",
+        coalesce(col("lp_micro") - col("__s2"), lit(0L)))
+      .join(df.select(col(idCol), col(labelCol).as("label")), Seq(idCol))
+      .select(col(idCol), col("label"), col("pred"), col("lp_micro"),
+        col("margin_micro"))
+  }
+
   /** Per-document unigram KL divergence from the corpus distribution —
     * the domain-shift / template-detector signal: KL(doc ‖ corpus) is
     * near 0 for documents whose word mix matches the corpus and large for

@@ -31,7 +31,8 @@ class PlanLintSpec extends SparkSpec {
     "q62_lm_score" -> "broadcast 1-row vocabulary-size aggregate (crossJoin V)",
     "q109_perplexity_buckets" -> "inherits q62's broadcast 1-row vocabulary-size aggregate (crossJoin V)",
     "q110_unigram_kl" -> "broadcast 1-row corpus-token-total aggregate (crossJoin N)",
-    "q81_snapshot_diff" -> "broadcast 1-row snapshot-cut scalar; the diff itself is a null-safe equi join")
+    "q81_snapshot_diff" -> "broadcast 1-row snapshot-cut scalar; the diff itself is a null-safe equi join",
+    "q115_naive_bayes" -> "broadcast L-row class-prior relation (crossJoin labels; L = #classes)")
 
   /** Queries allowed to plan a GLOBAL window (no partition columns, or a
     * constant partition) — each must window over a provably BOUNDED

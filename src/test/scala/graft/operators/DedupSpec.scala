@@ -72,6 +72,28 @@ class DedupSpec extends SparkSpec {
     assert(out((0L, 1L)) == ((4L, 1.0, 4.0 / 6.0)))
   }
 
+  test("sourceOverlap: exact group-level Jaccard and containment, " +
+      "within-group duplicates collapse, zero-overlap pairs absent") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "g1", "a b c d"),   // {abc, bcd}
+      (1L, "g1", "a b c"),     // {abc} — already counted for g1
+      (2L, "g2", "b c d e"),   // {bcd, cde}
+      (3L, "g3", "x y z w")    // {xyz, yzw} — disjoint from g1/g2
+    ).toDF("doc_id", "source", "text")
+    try {
+      val out = Dedup.sourceOverlap(d, "source", "text", 3)
+        .collect().map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
+          ((r.getAs[Long]("size_a"), r.getAs[Long]("size_b"),
+            r.getAs[Long]("n_common"), r.getAs[Double]("jaccard"),
+            r.getAs[Double]("cont_a_in_b"), r.getAs[Double]("cont_b_in_a"))))
+        .toMap
+      // only g1-g2 overlap (shared 'b c d'); g3 pairs must not appear
+      assert(out.keySet == Set(("g1", "g2")))
+      assert(out(("g1", "g2")) == ((2L, 2L, 1L, 1.0 / 3.0, 0.5, 0.5)))
+    } finally graft.CacheScope.releaseAll()
+  }
+
   test("editDistanceNearDups: the relative edit budget gates candidate " +
       "pairs by cross-multiplied integers") {
     // normalized pairs above jac 0.5: (0,1) lev=3 (dog→cat), (0,3) lev=0

@@ -88,6 +88,52 @@ class SimilaritySpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("semDedup prunes to the lowest-id member per semantic group, " +
+      "within clusters only") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),      // seed cid 0
+      (1L, Array(0.0f, 1.0f, 0.0f)),      // seed cid 1
+      (2L, Array(0.999f, 0.01f, 0.0f)),   // cid 0, near-dup of 0
+      (3L, Array(0.0f, 0.999f, 0.04f)),   // cid 1, near-dup of 1
+      (4L, Array(0.7f, 0.7f, 0.0f)),      // equidistant → tie to cid 0; cos≈.707 < τ
+      (5L, Array(0.999f, 0.012f, 0.0f))   // cid 0, near-dup of BOTH 0 and 2 → min id 0
+    ).toDF("vec_id", "embedding")
+    try {
+      val out = Similarity.semDedup(emb, "vec_id", "embedding", k = 2, minCos = 0.9)
+        .collect().map(r => r.getAs[Long]("vec_id") ->
+          ((r.getAs[Long]("cid"), r.getAs[Boolean]("is_kept"),
+            Option(r.getAs[java.lang.Long]("pruned_by"))))).toMap
+      assert(out(0L) == ((0L, true, None)))
+      assert(out(1L) == ((1L, true, None)))
+      assert(out(2L) == ((0L, false, Some(0L))))
+      assert(out(3L) == ((1L, false, Some(1L))))
+      assert(out(4L) == ((0L, true, None)))
+      assert(out(5L) == ((0L, false, Some(0L))))
+    } finally graft.CacheScope.releaseAll()
+  }
+
+  test("standardizeEmbeddings z-scores per dimension; constant dims go " +
+      "null, not Inf") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(0.0f, 5.0f)),
+      (1L, Array(2.0f, 5.0f)),
+      (2L, Array(4.0f, 5.0f))).toDF("vec_id", "embedding")
+    try {
+      val out = Similarity.standardizeEmbeddings(emb, "vec_id", "embedding")
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("pos")) ->
+          Option(r.getAs[java.lang.Double]("z"))).toMap
+      // dim 0: m = 2e7 grid, ss = 8e14, std = sqrt(8e14/3)
+      val std = math.sqrt(8e14 / 3.0)
+      assert(math.abs(out((0L, 0)).get - (-2e7 / std)) < 1e-12)
+      assert(out((1L, 0)).get == 0.0)
+      assert(math.abs(out((2L, 0)).get - (2e7 / std)) < 1e-12)
+      // dim 1 constant → null z on every row
+      Seq(0L, 1L, 2L).foreach(i => assert(out((i, 1)).isEmpty))
+    } finally graft.CacheScope.releaseAll()
+  }
+
   test("nearDupExact returns only pairs above the threshold") {
     val out = Similarity.nearDupExact(vecs, "vec_id", "embedding", 0.99)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet

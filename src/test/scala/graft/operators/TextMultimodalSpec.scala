@@ -417,4 +417,43 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out(1L) == ((3L, 1L, 0L, 1.0 / 3.0)))
     assert(out(2L) == ((4L, 4L, 4L, 1.0)))
   }
+
+  test("naiveBayesClassify separates disjoint-vocabulary classes and " +
+      "marks every prediction with a positive margin") {
+    import spark.implicits._
+    // two classes with DISJOINT vocabularies: the likelihood term alone
+    // decides, and every doc must classify to its own class — held-out
+    // word mixes ('code code', 'wine bread') score correctly too
+    val docs = Seq(
+      (0L, "tech", "code compile deploy code"),
+      (1L, "tech", "compile code server deploy"),
+      (2L, "tech", "server code compile"),
+      (3L, "food", "wine bread cheese wine"),
+      (4L, "food", "bread wine cheese"),
+      (5L, "food", "cheese bread wine bread wine"))
+      .toDF("doc_id", "label", "text")
+    try {
+      val out = TextOps.naiveBayesClassify(docs, "doc_id", "text", "label", 64)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[String]("pred"), r.getAs[Long]("margin_micro")))).toMap
+      assert(out.size == 6)
+      (0L to 2L).foreach(i => assert(out(i)._1 == "tech", s"doc $i"))
+      (3L to 5L).foreach(i => assert(out(i)._1 == "food", s"doc $i"))
+      // disjoint vocabularies → the winner leads by a real margin
+      out.values.foreach { case (_, m) => assert(m > 0L) }
+    } finally graft.CacheScope.releaseAll()
+  }
+
+  test("naiveBayesClassify: single-label corpus predicts that label with " +
+      "margin 0") {
+    import spark.implicits._
+    val docs = Seq((0L, "only", "a b"), (1L, "only", "b c"))
+      .toDF("doc_id", "label", "text")
+    try {
+      val out = TextOps.naiveBayesClassify(docs, "doc_id", "text", "label", 16)
+        .collect().map(r => (r.getAs[String]("pred"), r.getAs[Long]("margin_micro")))
+      assert(out.length == 2)
+      out.foreach { case (p, m) => assert(p == "only" && m == 0L) }
+    } finally graft.CacheScope.releaseAll()
+  }
 }
