@@ -2899,7 +2899,96 @@ object SparkEntry {
           CAST(2 * a.n_edges AS DOUBLE) / (m.n_members * (m.n_members - 1))
             AS density,
           CAST(a.sj AS DOUBLE) / a.n_edges AS mean_jac_micro
-        FROM members m JOIN agg a USING (component) ORDER BY component""")))
+        FROM members m JOIN agg a USING (component) ORDER BY component""")),
+
+    // Quality-stratified eval holdout: strata are the JOINT
+    // (language x quality-tercile) cells — percentileGate's exact
+    // grouped-counts pct defines the terciles, then a deterministic
+    // per-stratum hash-rank takes exactly 5 docs from each cell, so the
+    // holdout mirrors the corpus across both axes (a plain hash split
+    // only matches proportions in expectation; an eval set skewed toward
+    // one language's tail measures the wrong model).
+    "q119_stratified_holdout" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val scored = TextOps.qualityFeatures(docs, "doc_id", "text")
+          .select("doc_id", "quality_score_micro")
+          .join(docs.select("doc_id", "lang"), "doc_id")
+        val bucketed = Quality.percentileGate(
+            scored, "lang", "quality_score_micro", 0.0)
+          .withColumn("bucket",
+            when(col("pct") * 3 <= lit(1.0), lit("tail"))
+              .when(col("pct") * 3 <= lit(2.0), lit("middle"))
+              .otherwise(lit("head")))
+          .withColumn("stratum", concat_ws(":", col("lang"), col("bucket")))
+        Sampling.stratifiedSample(bucketed, "doc_id", "stratum", 5, "holdout")
+          .select("doc_id", "lang", "bucket", "quality_score_micro")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${qualityMicroSql("doc_id")},
+        j AS (SELECT q.doc_id, d.lang, q.quality_score_micro
+              FROM __qm q JOIN documents d USING (doc_id)),
+        p AS (SELECT doc_id, lang, quality_score_micro,
+            cume_dist() OVER (PARTITION BY lang ORDER BY quality_score_micro)
+              AS pct
+          FROM j),
+        b AS (SELECT doc_id, lang, quality_score_micro,
+            CASE WHEN pct * 3 <= 1.0 THEN 'tail'
+                 WHEN pct * 3 <= 2.0 THEN 'middle'
+                 ELSE 'head' END AS bucket
+          FROM p)
+        SELECT doc_id, lang, bucket, quality_score_micro FROM b
+        QUALIFY row_number() OVER (PARTITION BY lang || ':' || bucket
+          ORDER BY CAST('0x' || substr(md5('holdout:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+                   doc_id) <= 5
+        ORDER BY doc_id""")),
+
+    // Multi-epoch data schedule: budget 1.5x the corpus with a 2.5-epoch
+    // repetition cap — water-fill over per-source CAPACITIES
+    // (size x max-epochs) instead of raw sizes, q96's closed form
+    // unchanged. Sources below the water level repeat fully; the rest
+    // clip at it. epochs_micro replays as the exact ratioMicro floor.
+    "q120_repetition_schedule" -> Q(
+      (s, dir) => {
+        val per = graft.CacheScope.register(t(s, dir, "documents")
+          .select(col("source"), size(TextFns.tokens(col("text"))).as("__nt"))
+          .groupBy("source").agg(sum(col("__nt")).as("n_tokens")))
+        val total = per.agg(sum(col("n_tokens"))).first().getLong(0)
+        Sampling.repetitionSchedule(per, "source", "n_tokens",
+            math.floor(1.5 * total).toLong, 2500000L)
+          .orderBy("source")
+      },
+      Some("""WITH per AS (SELECT source,
+            CAST(SUM(len(string_split_regex(lower(trim(text)), '\s+'))) AS BIGINT)
+              AS n_tokens
+          FROM documents GROUP BY source),
+        tot AS (SELECT CAST(floor(1.5 * SUM(n_tokens)) AS BIGINT) AS budget,
+                       COUNT(*) AS nsrc FROM per),
+        cap0 AS (SELECT source, n_tokens,
+            CAST(floor(CAST(n_tokens AS DOUBLE) * 2500000 / 1e6) AS BIGINT)
+              AS capacity
+          FROM per),
+        s AS (SELECT source, n_tokens, capacity,
+            row_number() OVER (ORDER BY capacity, source) AS i,
+            coalesce(SUM(capacity) OVER (ORDER BY capacity, source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumprev
+          FROM cap0),
+        t AS (SELECT source, n_tokens, capacity, i,
+            CAST(floor(CAST(budget - cumprev AS DOUBLE) / (nsrc - i + 1)) AS BIGINT)
+              AS ti
+          FROM s, tot),
+        c AS (SELECT ti AS cap FROM t,
+            (SELECT MIN(i) AS mi FROM t WHERE ti < capacity) m
+          WHERE t.i = m.mi),
+        a AS (SELECT t.source, t.n_tokens, t.capacity,
+            CAST(CASE WHEN cap IS NULL THEN t.capacity
+                 ELSE least(t.capacity, cap) END AS BIGINT) AS allocated
+          FROM t LEFT JOIN c ON TRUE)
+        SELECT source, n_tokens, capacity, allocated,
+          CASE WHEN n_tokens <> 0 THEN
+            CAST(floor((allocated * 2000000 + n_tokens) / (2 * n_tokens)) AS BIGINT)
+          ELSE 0 END AS epochs_micro
+        FROM a ORDER BY source""")))
 
   /** Shared DuckDB replay of the PQ codebook + encode (m=8 subspaces of 8
     * dims, ksub=32 sub-centroids over the 1e7 grid, seeded from the first

@@ -79,19 +79,34 @@ object Sampling {
 
   /** Deterministic stratified sample: up to `perStratum` rows from every
     * stratum, chosen by hash rank (h60 of salt:id, id tiebreak) — the
-    * "N examples per language/source" pipeline op. One shuffle on the
-    * stratum; rank state is per-stratum. Like [[hashSample]], membership
-    * is a pure row function given the stratum's population, so reruns and
-    * engines agree.
+    * "N examples per language/source" pipeline op. Like [[hashSample]],
+    * membership is a pure row function given the stratum's population,
+    * so reruns and engines agree.
+    *
+    * Scale shape: the winners are a bounded
+    * [[graft.functions.MinKPairsAggregator]] bottom-k (≤ perStratum rows
+    * per stratum per task reach the shuffle — EXACT long comparison on
+    * the 60-bit hash, which does not fit a double mantissa), then a
+    * broadcast semi-join recovers the full rows. The previous
+    * `row_number().over(partitionBy(stratum))` form sorted each
+    * stratum's ENTIRE corpus slice in one task — with 15 strata over
+    * 100 TB that is ~7 TB through a single partition, the q97/q91
+    * scale-killer shape. Requires `idCol` values unique per stratum (they
+    * are document ids).
     */
   def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
       perStratum: Int, salt: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(strataCol))
-      .orderBy(saltedH60(col(idCol), salt), col(idCol))
-    df.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= perStratum)
-      .drop("__rk")
+    val bottomK = udaf(new graft.functions.MinKPairsAggregator(perStratum))
+    val winners = df
+      .select(col(strataCol).as("__st"),
+        saltedH60(col(idCol), salt).as("__h"), col(idCol).cast("long").as("__id"))
+      .groupBy("__st")
+      .agg(bottomK(col("__h"), col("__id")).as("__top"))
+      .select(col("__st"), explode(col("__top")).as("__e"))
+      .select(col("__st"), col("__e._2").as("__id"))
+    df.join(broadcast(winners),
+      col(strataCol) <=> col("__st") && col(idCol).cast("long") === col("__id"),
+      "left_semi")
   }
 
   /** Deterministic global shuffle into write shards — the LAST step of
@@ -231,6 +246,40 @@ object Sampling {
     * rows at worst; the 100 TB work happened in the upstream groupBy
     * that produced it. Returns (keyCol, sizeCol, allocated).
     */
+  /** Repetition-aware token-budget allocation — the multi-epoch data
+    * schedule of modern pretraining runs: a source may be repeated up to
+    * `maxEpochsMicro/1e6` passes, so its CAPACITY is
+    * ⌊size·maxEpochsMicro/1e6⌋ tokens and the budget water-fills over
+    * capacities ([[waterFillAllocation]]'s closed form, unchanged)
+    * instead of raw sizes — small high-quality sources repeat while the
+    * big crawl is clipped at the water level. epochs_micro is the
+    * resulting passes-per-source in micro units (round-half-up of
+    * alloc/size — exact integer cross-multiply, one bounded-denominator
+    * floor, the ratioMicro contract).
+    *
+    * Like its base op this runs on a per-source AGGREGATE (one row per
+    * source); capacity uses a double multiply of exact integers
+    * (size < 2^53), deterministic in any engine.
+    *
+    * Returns (keyCol, sizeCol, capacity, allocated, epochs_micro).
+    */
+  def repetitionSchedule(df: DataFrame, keyCol: String, sizeCol: String,
+      budget: Long, maxEpochsMicro: Long): DataFrame = {
+    require(maxEpochsMicro > 0, s"maxEpochsMicro must be positive: $maxEpochsMicro")
+    val caps = df
+      .select(col(keyCol), col(sizeCol).cast("long").as(sizeCol))
+      .withColumn("capacity",
+        floor(col(sizeCol).cast("double") * maxEpochsMicro / 1e6).cast("long"))
+    waterFillAllocation(caps.select(col(keyCol), col("capacity")),
+        keyCol, "capacity", budget)
+      .join(broadcast(caps.select(col(keyCol), col(sizeCol))), Seq(keyCol))
+      .select(col(keyCol), col(sizeCol), col("capacity"), col("allocated"),
+        when(col(sizeCol) =!= 0,
+          floor((col("allocated") * 2000000L + col(sizeCol)) /
+            (col(sizeCol) * 2L)).cast("long")).otherwise(lit(0L))
+          .as("epochs_micro"))
+  }
+
   def waterFillAllocation(df: DataFrame, keyCol: String, sizeCol: String,
       budget: Long): DataFrame = {
     require(budget >= 0, s"budget must be non-negative: $budget")

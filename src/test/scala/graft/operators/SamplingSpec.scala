@@ -197,6 +197,41 @@ class SamplingSpec extends SparkSpec {
     assert(alloc(0L) == Map("s_small" -> 0L, "s_big1" -> 0L, "s_big2" -> 0L))
   }
 
+  test("stratifiedSample plans a bounded aggregation — no window (the " +
+      "per-stratum whole-slice sort shape must not regress)") {
+    import spark.implicits._
+    val d = (0L until 200L).map(i => (i, s"g${i % 4}")).toDF("id", "grp")
+    val df = Sampling.stratifiedSample(d, "id", "grp", 3, "s1")
+    def hasWindow(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          hasWindow(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          hasWindow(q.plan)
+        case _: org.apache.spark.sql.execution.window.WindowExec => true
+        case other => other.children.exists(hasWindow)
+      }
+    assert(!hasWindow(df.queryExecution.executedPlan),
+      "stratifiedSample planned a window — the bounded bottom-k shape regressed")
+    assert(df.count() == 12) // 4 strata x 3
+  }
+
+  test("repetitionSchedule: small sources repeat to the epoch cap, big " +
+      "ones clip at the water level over CAPACITIES") {
+    import spark.implicits._
+    val per = Seq(("s_small", 100L), ("s_big", 1000L))
+      .toDF("source", "n_tokens")
+    val out = Sampling.repetitionSchedule(per, "source", "n_tokens",
+        budget = 1500L, maxEpochsMicro = 2000000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("capacity"), r.getAs[Long]("allocated"),
+          r.getAs[Long]("epochs_micro")))).toMap
+    // capacities 200/2000; tier 1 funds the small source (750 ≥ 200),
+    // tier 2's level is 1300 < 2000 → big source clips there
+    assert(out("s_small") == ((200L, 200L, 2000000L)))  // full 2.0 epochs
+    assert(out("s_big") == ((2000L, 1300L, 1300000L)))  // 1.3 epochs
+  }
+
   test("temperatureWeights: sqrt up-weights small sources; targets fit the total") {
     import spark.implicits._
     val per = Seq(("big", 10000L), ("small", 100L)).toDF("source", "n")
