@@ -2943,6 +2943,87 @@ object SparkEntry {
                    doc_id) <= 5
         ORDER BY doc_id""")),
 
+    // Robust per-dimension scaling: lower median + raw MAD from grouped
+    // counts — the windows run over (pos, value) count rows whose
+    // partitions are bounded by the 1e7 GRID, never a whole-dimension
+    // sort (the percentileGate argument applied to embeddings). One
+    // far-outlier vector cannot inflate the scale the way it inflates
+    // q117's std.
+    "q121_robust_scale" -> Q(
+      (s, dir) => Similarity.robustScaleEmbeddings(t(s, dir, "embeddings"),
+          "vec_id", "embedding")
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id", "pos"),
+      Some("""WITH c AS (SELECT vec_id AS id, u.pos AS pos, u.v AS v FROM (
+            SELECT vec_id, unnest(list_transform(range(0, len(embedding)),
+              i -> {'pos': i, 'v': round(CAST(embedding[i + 1] AS DOUBLE) * 1e7)})) AS u
+            FROM embeddings)),
+        cnt AS (SELECT pos, v, COUNT(*) AS c FROM c GROUP BY 1, 2),
+        cum AS (SELECT pos, v,
+            SUM(c) OVER (PARTITION BY pos ORDER BY v) AS cum,
+            SUM(c) OVER (PARTITION BY pos) AS n FROM cnt),
+        med AS (SELECT pos, MIN(CASE WHEN cum * 2 >= n THEN v END) AS med
+          FROM cum GROUP BY pos),
+        d AS (SELECT c.pos, abs(c.v - m.med) AS dv
+          FROM c JOIN med m ON m.pos = c.pos),
+        dc AS (SELECT pos, dv, COUNT(*) AS c FROM d GROUP BY 1, 2),
+        dcum AS (SELECT pos, dv,
+            SUM(c) OVER (PARTITION BY pos ORDER BY dv) AS cum,
+            SUM(c) OVER (PARTITION BY pos) AS n FROM dc),
+        mad AS (SELECT pos, MIN(CASE WHEN cum * 2 >= n THEN dv END) AS mad
+          FROM dcum GROUP BY pos)
+        SELECT c.id AS vec_id, c.pos AS pos,
+          CASE WHEN mad.mad <> 0 THEN (c.v - med.med) / mad.mad END AS rz
+        FROM c JOIN med ON med.pos = c.pos JOIN mad ON mad.pos = c.pos
+        ORDER BY vec_id, c.pos""")),
+
+    // HELD-OUT perplexity: deterministic 90/10 hash split, bigram LM
+    // counts from the TRAIN side only, validation docs scored against
+    // that model (q62 scores in-corpus, which rewards memorization —
+    // every doc co-trains the model that scores it). Unseen bigrams and
+    // contexts ride add-one smoothing through left joins.
+    "q122_heldout_perplexity" -> Q(
+      (s, dir) => {
+        val split = graft.CacheScope.register(
+          Sampling.hashSplit(t(s, dir, "documents"), "doc_id", "lm1",
+            Seq("train" -> 0.90, "val" -> 0.10)))
+        TextOps.bigramLmScoresOn(
+            split.filter(col("split") === "train"),
+            split.filter(col("split") === "val"), "doc_id", "text")
+          .withColumnRenamed("id", "doc_id")
+          .withColumn("avg_lp",
+            col("sum_lp_micro").cast("double") / col("n_bigrams").cast("double"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH b0 AS (SELECT doc_id, text,
+            CAST('0x' || substr(md5('lm1:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+              % 10000 AS bkt
+          FROM documents),
+        ttk AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS l
+          FROM b0 WHERE bkt < 9000),
+        tbg AS (SELECT unnest(list_transform(range(1, len(l)),
+              i -> l[i] || ' ' || l[i+1])) AS bg
+          FROM ttk WHERE len(l) >= 2),
+        bgc AS (SELECT bg, COUNT(*) AS c12 FROM tbg GROUP BY bg),
+        uni AS (SELECT w1, COUNT(*) AS c1
+          FROM (SELECT unnest(l) AS w1 FROM ttk) GROUP BY w1),
+        v AS (SELECT COUNT(*) AS v FROM uni),
+        stk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
+          FROM b0 WHERE bkt >= 9000),
+        sb AS (SELECT doc_id, unnest(list_transform(range(1, len(l)),
+              i -> l[i] || ' ' || l[i+1])) AS bg
+          FROM stk WHERE len(l) >= 2),
+        s2 AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM sb),
+        lp AS (SELECT doc_id,
+            CAST(round(ln(CAST(coalesce(c12, 0) + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+            - CAST(round(ln(CAST(coalesce(c1, 0) + v.v AS DOUBLE)) * 1e6) AS BIGINT)
+              AS lp_micro
+          FROM s2 LEFT JOIN bgc USING (bg) LEFT JOIN uni USING (w1) CROSS JOIN v)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+          CAST(SUM(lp_micro) AS BIGINT) AS sum_lp_micro,
+          CAST(SUM(lp_micro) AS DOUBLE) / COUNT(*) AS avg_lp
+        FROM lp GROUP BY doc_id ORDER BY doc_id""")),
+
     // Multi-epoch data schedule: budget 1.5x the corpus with a 2.5-epoch
     // repetition cap — water-fill over per-source CAPACITIES
     // (size x max-epochs) instead of raw sizes, q96's closed form

@@ -707,6 +707,49 @@ object Similarity {
           (col("v") - col("m")).cast("double") / col("std")).as("z"))
   }
 
+  /** Robust per-dimension scaling — [[standardizeEmbeddings]]' outlier-
+    * proof sibling: center on the LOWER MEDIAN and scale by the raw MAD
+    * (median absolute deviation), both computed EXACTLY from grouped
+    * counts over the 1e7 value grid. The key scale property: the median
+    * windows run over the per-(pos, value) COUNT relation, whose
+    * partition size is bounded by the GRID (≤ 2·10⁷ + 1 distinct values
+    * per dimension) however large the corpus — the percentileGate
+    * argument, not a whole-dimension sort. Two count passes (values,
+    * then absolute deviations), each followed by a tiny broadcast
+    * join-back; the final z is one integer subtraction and one IEEE
+    * division. A dimension with MAD 0 (more than half its values at the
+    * median) scales to null, like q117's constant-dim rule. The lower
+    * median (smallest v with 2·cum ≥ n) avoids cross-engine averaging
+    * of middle pairs; no 1.4826 consistency factor — callers can apply
+    * it, exactness first.
+    *
+    * Returns (id, pos, rz).
+    */
+  def robustScaleEmbeddings(embs: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comps = graft.CacheScope.register(
+      graft.Parallelism.fanOut(embs.select(col(idCol).as("id"), col(vecCol)))
+        .select(col("id"), posexplode(quantized(col(vecCol))).as(Seq("pos", "v"))))
+    // lower median of column c over (pos, c)-count rows
+    def medianOf(df: DataFrame, c: String, out: String): DataFrame = {
+      val wRun = Window.partitionBy("pos").orderBy(col(c))
+      val wAll = Window.partitionBy("pos")
+      df.groupBy(col("pos"), col(c)).agg(count(lit(1)).as("__c"))
+        .withColumn("__cum", sum(col("__c")).over(wRun))
+        .withColumn("__n", sum(col("__c")).over(wAll))
+        .groupBy("pos")
+        .agg(min(when(col("__cum") * 2 >= col("__n"), col(c))).as(out))
+    }
+    val med = medianOf(comps, "v", "med")
+    val devs = comps.join(broadcast(med), "pos")
+      .select(col("pos"), abs(col("v") - col("med")).as("d"))
+    val mad = medianOf(devs, "d", "mad")
+    comps.join(broadcast(med), "pos").join(broadcast(mad), "pos")
+      .select(col("id"), col("pos"),
+        when(col("mad") =!= 0, (col("v") - col("med")) / col("mad")).as("rz"))
+  }
+
   /** Symmetric int8 quantization per vector: scale = max|component| on
     * the 1e7 integer grid, code_i = round-half-up(|q_i|·127/scale) with
     * the component's sign (so codes span [-127, 127]; a zero vector

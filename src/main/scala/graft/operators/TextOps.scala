@@ -342,6 +342,55 @@ object TextOps {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_micro")).as("sum_lp_micro"))
   }
 
+  /** [[bigramLmScores]] with a TRAIN/SCORE split: the model's bigram and
+    * unigram counts come exclusively from `train`, and `score`'s
+    * documents are evaluated against that model — HELD-OUT perplexity,
+    * the measurement a curation pipeline actually wants (in-corpus
+    * perplexity rewards memorization; every document co-trains the model
+    * that scores it). Add-one smoothing handles unseen events: an unseen
+    * bigram scores lnμ(1) − lnμ(c1 + V), an unseen context lnμ(1) −
+    * lnμ(V), with V the TRAIN-side unigram vocabulary — identical
+    * arithmetic to q62's formula, just with train-only counts and
+    * left joins for the misses.
+    *
+    * Scale shape mirrors [[bigramLmScores]]: each side tokenizes once,
+    * the train counts shuffle on the bigram key (map-side combine), V
+    * rides a broadcast 1-row aggregate, and the score side joins the
+    * count relations on (bg) then (w1) — inverted-index cost. Score
+    * documents with fewer than 2 tokens have no bigrams and are absent
+    * from the output, as in the in-corpus form.
+    *
+    * Returns (id, n_bigrams, sum_lp_micro).
+    */
+  def bigramLmScoresOn(train: DataFrame, score: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def lnMicro(c: Column): Column =
+      round(log(c.cast("double")) * 1e6).cast("long")
+    val tToks = graft.CacheScope.register(
+      graft.Parallelism.fanOut(train.select(col(textCol)))
+        .select(TextFns.tokens(col(textCol)).as("__t")))
+    val bgCounts = tToks
+      .select(explode(TextFns.shinglesOfTokens(col("__t"), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c12"))
+    val uniCounts = tToks
+      .select(explode(col("__t")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = uniCounts.select(count(lit(1)).as("__v"))
+    val sBg = graft.Parallelism.fanOut(score.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("id"),
+        explode(TextFns.shingles(col(textCol), 2)).as("bg"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+    sBg
+      .join(bgCounts, Seq("bg"), "left")
+      .join(uniCounts, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp_micro",
+        lnMicro(coalesce(col("c12"), lit(0L)) + 1) -
+          lnMicro(coalesce(col("c1"), lit(0L)) + col("__v")))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_micro")).as("sum_lp_micro"))
+  }
+
   /** Repetition signals (the Gopher-rules family): how much of a document
     * is the same n-gram said again. Per document, over its word n-grams
     * WITH multiplicity:

@@ -32,7 +32,8 @@ class PlanLintSpec extends SparkSpec {
     "q109_perplexity_buckets" -> "inherits q62's broadcast 1-row vocabulary-size aggregate (crossJoin V)",
     "q110_unigram_kl" -> "broadcast 1-row corpus-token-total aggregate (crossJoin N)",
     "q81_snapshot_diff" -> "broadcast 1-row snapshot-cut scalar; the diff itself is a null-safe equi join",
-    "q115_naive_bayes" -> "broadcast L-row class-prior relation (crossJoin labels; L = #classes)")
+    "q115_naive_bayes" -> "broadcast L-row class-prior relation (crossJoin labels; L = #classes)",
+    "q122_heldout_perplexity" -> "broadcast 1-row TRAIN-vocabulary-size aggregate (crossJoin V, the q62 shape)")
 
   /** Queries allowed to plan a GLOBAL window (no partition columns, or a
     * constant partition) — each must window over a provably BOUNDED

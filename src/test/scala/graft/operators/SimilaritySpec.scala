@@ -134,6 +134,28 @@ class SimilaritySpec extends SparkSpec {
     } finally graft.CacheScope.releaseAll()
   }
 
+  test("robustScaleEmbeddings: outliers cannot inflate the MAD scale; " +
+      "zero-MAD dims go null") {
+    import spark.implicits._
+    // dim 0 grid values: 1e6, 2e6, 2e6, 3e6, 1e8 → lower median 2e6,
+    // |dev| = {1e6, 0, 0, 1e6, 9.8e7} → MAD 1e6 (std would be ~4e7)
+    // dim 1 constant → MAD 0 → null
+    val emb = Seq(
+      (0L, Array(0.1f, 0.5f)), (1L, Array(0.2f, 0.5f)),
+      (2L, Array(0.2f, 0.5f)), (3L, Array(0.3f, 0.5f)),
+      (4L, Array(10f, 0.5f))).toDF("vec_id", "embedding")
+    try {
+      val out = Similarity.robustScaleEmbeddings(emb, "vec_id", "embedding")
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("pos")) ->
+          Option(r.getAs[java.lang.Double]("rz"))).toMap
+      assert(out((0L, 0)).get == -1.0)
+      assert(out((1L, 0)).get == 0.0)
+      assert(out((3L, 0)).get == 1.0)
+      assert(out((4L, 0)).get == 98.0)
+      Seq(0L, 1L, 2L, 3L, 4L).foreach(i => assert(out((i, 1)).isEmpty))
+    } finally graft.CacheScope.releaseAll()
+  }
+
   test("nearDupExact returns only pairs above the threshold") {
     val out = Similarity.nearDupExact(vecs, "vec_id", "embedding", 0.99)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet

@@ -418,6 +418,25 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out(2L) == ((4L, 4L, 4L, 1.0)))
   }
 
+  test("bigramLmScoresOn: train-only counts; unseen bigrams and unseen " +
+      "contexts smooth to the add-one floor") {
+    import spark.implicits._
+    val train = Seq((10L, "a b"), (11L, "a b"), (12L, "b c"))
+      .toDF("doc_id", "text")
+    val score = Seq((0L, "a b"), (1L, "c d x")).toDF("doc_id", "text")
+    def L(x: Long) = math.round(math.log(x.toDouble) * 1e6)
+    try {
+      val out = TextOps.bigramLmScoresOn(train, score, "doc_id", "text")
+        .collect().map(r => r.getAs[Long]("id") ->
+          ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("sum_lp_micro")))).toMap
+      // V = |{a,b,c}| = 3; doc 0: "a b" seen twice, context 'a' count 2
+      assert(out(0L) == ((1L, L(2 + 1) - L(2 + 3))))
+      // doc 1: "c d" unseen bigram, seen context c1('c')=1 → L(1)−L(4);
+      //        "d x" unseen bigram AND context → L(1)−L(3)
+      assert(out(1L) == ((2L, (0 - L(4)) + (0 - L(3)))))
+    } finally graft.CacheScope.releaseAll()
+  }
+
   test("naiveBayesClassify separates disjoint-vocabulary classes and " +
       "marks every prediction with a positive margin") {
     import spark.implicits._
