@@ -2943,6 +2943,160 @@ object SparkEntry {
                    doc_id) <= 5
         ORDER BY doc_id""")),
 
+    // Tokenizer fertility per language: chars-per-BPE-token and
+    // BPE-tokens-per-word from exact corpus sums — the multilingual
+    // equity diagnostic (a language whose fertility runs high pays more
+    // tokens for the same text, which skews both mixture weights and
+    // cost estimates). Reuses q28's real merge-table BPE count, which
+    // the oracle replays via the same all-builtin replace chain.
+    "q123_tokenizer_fertility" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        TextOps.tokenCounts(docs, "doc_id", "text")
+          .join(docs.select("doc_id", "lang", "n_chars"), "doc_id")
+          .groupBy("lang").agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(col("n_ws_tokens")).as("sum_ws_tokens"),
+            sum(col("n_real_bpe_tokens")).as("sum_bpe_tokens"))
+          .withColumn("chars_per_bpe_token",
+            col("sum_chars").cast("double") / col("sum_bpe_tokens").cast("double"))
+          .withColumn("bpe_per_ws_token",
+            col("sum_bpe_tokens").cast("double") / col("sum_ws_tokens").cast("double"))
+          .orderBy("lang")
+      },
+      Some(s"""SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        CAST(SUM(len(string_split_regex(lower(trim(text)), '\\s+'))) AS BIGINT)
+          AS sum_ws_tokens,
+        CAST(SUM(${TextOps.bpe.tokenCountSql("text")}) AS BIGINT) AS sum_bpe_tokens,
+        CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE)
+          / CAST(SUM(${TextOps.bpe.tokenCountSql("text")}) AS BIGINT)
+          AS chars_per_bpe_token,
+        CAST(CAST(SUM(${TextOps.bpe.tokenCountSql("text")}) AS BIGINT) AS DOUBLE)
+          / CAST(SUM(len(string_split_regex(lower(trim(text)), '\\s+'))) AS BIGINT)
+          AS bpe_per_ws_token
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // Ordered-funnel analysis over the event stream: per user, first
+    // view, first click AT-OR-AFTER that view, first purchase
+    // at-or-after that click — stage counts and step conversions. The
+    // per-stage relations are per-user min aggregates joined on the one
+    // user_id key domain; no window over the raw event log.
+    "q124_funnel" -> Q(
+      (s, dir) => {
+        val ev = graft.CacheScope.register(t(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts")))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, "user_id").where(col("ts") >= col("t_view"))
+          .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c, "user_id").where(col("ts") >= col("t_click"))
+          .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+        val nv = v.agg(count(lit(1)).as("n")).withColumn("stage", lit("1_view"))
+        val nc = c.agg(count(lit(1)).as("n")).withColumn("stage", lit("2_click"))
+        val np = p.agg(count(lit(1)).as("n")).withColumn("stage", lit("3_purchase"))
+        val staged = nv.unionByName(nc).unionByName(np)
+        val w = org.apache.spark.sql.expressions.Window.orderBy("stage")
+        staged.select(col("stage"), col("n"),
+            (col("n").cast("double") /
+              lag(col("n"), 1).over(w).cast("double")).as("conv_from_prev"))
+          .orderBy("stage")
+      },
+      Some("""WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, MIN(e.ts) AS t_click FROM events e
+            JOIN v ON v.user_id = e.user_id
+            WHERE e.event_type = 'click' AND e.ts >= v.t_view
+            GROUP BY e.user_id),
+        p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase FROM events e
+            JOIN c ON c.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+            GROUP BY e.user_id),
+        staged AS (
+          SELECT '1_view' AS stage, (SELECT COUNT(*) FROM v) AS n
+          UNION ALL SELECT '2_click', (SELECT COUNT(*) FROM c)
+          UNION ALL SELECT '3_purchase', (SELECT COUNT(*) FROM p))
+        SELECT stage, n,
+          CAST(n AS DOUBLE) / lag(n) OVER (ORDER BY stage) AS conv_from_prev
+        FROM staged ORDER BY stage""")),
+
+    // Active-user rollup: DAU, trailing-7-day WAU, and stickiness per
+    // day. WAU comes from EXPLODING each distinct (day, user) pair to
+    // the 7 target days it serves — two bounded distinct shuffles over
+    // the (day, user) relation — instead of re-scanning a sliding
+    // 7-day window per day (the naive shape re-reads the log 7x and a
+    // sliding DISTINCT cannot merge incrementally without sketches).
+    "q125_active_users" -> Q(
+      (s, dir) => {
+        val du = graft.CacheScope.register(t(s, dir, "events")
+          .select(to_date(col("ts")).as("day"), col("user_id")).distinct())
+        val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
+        val wau = du
+          .select(explode(sequence(lit(0), lit(6))).as("__i"),
+            col("day"), col("user_id"))
+          .select(date_add(col("day"), col("__i")).as("day"), col("user_id"))
+          .distinct()
+          .groupBy("day").agg(count(lit(1)).as("wau"))
+        dau.join(wau, "day")
+          .select(col("day"), col("dau"), col("wau"),
+            (col("dau").cast("double") / col("wau").cast("double"))
+              .as("stickiness"))
+          .orderBy("day")
+      },
+      Some("""WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+            FROM events),
+        dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY 1),
+        ex AS (SELECT DISTINCT day + CAST(i AS INTEGER) AS day, user_id
+            FROM du CROSS JOIN range(7) r(i)),
+        wau AS (SELECT day, COUNT(*) AS wau FROM ex GROUP BY 1)
+        SELECT d.day, d.dau, w.wau,
+          CAST(d.dau AS DOUBLE) / w.wau AS stickiness
+        FROM dau d JOIN wau w ON w.day = d.day ORDER BY d.day""")),
+
+    // Cohort retention matrix: users grouped by FIRST active day, week
+    // offsets as integer day-diffs (floor(diff/7) — no week truncation,
+    // whose start-of-week convention differs across engines), retained
+    // share vs the cohort's size. Per-user first day is one aggregate;
+    // the matrix is a second aggregate over the joined (pair, cohort)
+    // relation; cohort sizes broadcast back for the ratio.
+    "q126_cohort_retention" -> Q(
+      (s, dir) => {
+        val du = graft.CacheScope.register(t(s, dir, "events")
+          .select(to_date(col("ts")).as("day"), col("user_id")).distinct())
+        val cohorts = du.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+        val cells = du.join(cohorts, "user_id")
+          .select(col("cohort_day"),
+            floor(datediff(col("day"), col("cohort_day")) / 7).cast("long")
+              .as("week_offset"), col("user_id"))
+          .distinct()
+          .groupBy("cohort_day", "week_offset")
+          .agg(count(lit(1)).as("n_users"))
+        val sizes = cohorts.groupBy("cohort_day").agg(count(lit(1)).as("cohort_size"))
+        cells.join(broadcast(sizes), "cohort_day")
+          .select(col("cohort_day"), col("week_offset"), col("n_users"),
+            col("cohort_size"),
+            (col("n_users").cast("double") / col("cohort_size").cast("double"))
+              .as("retention"))
+          .orderBy("cohort_day", "week_offset")
+      },
+      Some("""WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+            FROM events),
+        coh AS (SELECT user_id, MIN(day) AS cohort_day FROM du GROUP BY 1),
+        cells AS (SELECT cohort_day, week_offset, COUNT(*) AS n_users FROM (
+            SELECT DISTINCT c.cohort_day,
+              CAST(floor((du.day - c.cohort_day) / 7.0) AS BIGINT) AS week_offset,
+              du.user_id
+            FROM du JOIN coh c ON c.user_id = du.user_id)
+          GROUP BY 1, 2),
+        sizes AS (SELECT cohort_day, COUNT(*) AS cohort_size FROM coh GROUP BY 1)
+        SELECT ce.cohort_day, ce.week_offset, ce.n_users, s.cohort_size,
+          CAST(ce.n_users AS DOUBLE) / s.cohort_size AS retention
+        FROM cells ce JOIN sizes s ON s.cohort_day = ce.cohort_day
+        ORDER BY ce.cohort_day, ce.week_offset""")),
+
     // Robust per-dimension scaling: lower median + raw MAD from grouped
     // counts — the windows run over (pos, value) count rows whose
     // partitions are bounded by the 1e7 GRID, never a whole-dimension

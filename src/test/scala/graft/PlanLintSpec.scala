@@ -46,7 +46,8 @@ class PlanLintSpec extends SparkSpec {
     "q96_token_budget" -> "water-filling closed form over per-source aggregates (one row per source)",
     "q98_temperature_mix" -> "micro-weight normalizing sum over per-source aggregates (one row per source)",
     "q104_length_histogram" -> "share-of-total window over the BINNED aggregate (≤ max_len/16 rows)",
-    "q120_repetition_schedule" -> "q96's water-fill closed form over per-source aggregates (one row per source)")
+    "q120_repetition_schedule" -> "q96's water-fill closed form over per-source aggregates (one row per source)",
+    "q124_funnel" -> "lag over the 3-row staged-count aggregate (one row per funnel stage)")
 
   test("no query plans a global window over an unbounded relation") {
     import org.apache.spark.sql.execution.SparkPlan
