@@ -3097,6 +3097,87 @@ object SparkEntry {
         FROM cells ce JOIN sizes s ON s.cohort_day = ce.cohort_day
         ORDER BY ce.cohort_day, ce.week_offset""")),
 
+    // First-order Markov transition matrix over per-user event
+    // sequences: P(next event type | current) from exact adjacent-pair
+    // counts. The only window is per-user (bounded by one user's
+    // activity); the matrix aggregate emits <= |types|^2 rows and the
+    // per-from totals broadcast back for the conditional probability.
+    "q127_event_transitions" -> Q(
+      (s, dir) => Analytics.transitionMatrix(t(s, dir, "events"),
+          "user_id", "event_type", "ts", "event_id")
+        .orderBy("from_type", "to_type"),
+      Some("""WITH pairs AS (SELECT event_type AS from_type,
+            lead(event_type) OVER (PARTITION BY user_id
+              ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
+          FROM events),
+        c AS (SELECT from_type, to_type, COUNT(*) AS n FROM pairs
+          WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+          FROM c GROUP BY 1)
+        SELECT c.from_type, c.to_type, c.n,
+          CAST(c.n AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS p
+        FROM c JOIN tot t ON t.from_type = c.from_type
+        ORDER BY c.from_type, c.to_type""")),
+
+    // Sparse lexical cosine near-dup through the inverted index: q58's
+    // TF-IDF weights as exact milli-unit integers, pairs scored only via
+    // shared terms with df <= 100 (posting lists bounded -> Sigma df^2
+    // join cost, skew-proof), cosine from exact integer dots/norms via
+    // IEEE-only ops. The lexical complement of q25's embedding cosine.
+    "q128_sparse_cosine" -> Q(
+      (s, dir) => TextOps.sparseCosinePairs(t(s, dir, "documents"),
+          "doc_id", "text", dfCap = 100, minCos = 0.6)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH toks AS (SELECT doc_id,
+            unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        idf AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+          HAVING COUNT(*) <= 100),
+        n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+        w AS (SELECT doc_id, term,
+            CAST(round(tf * (ln(CAST(n.n + 1 AS DOUBLE) / (df + 1)) + 1) * 1e3)
+              AS BIGINT) AS w
+          FROM tf JOIN idf USING (term) CROSS JOIN n),
+        norms AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2
+          FROM w GROUP BY 1),
+        dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+          FROM w a JOIN w b USING (term) WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        scored AS (SELECT d.id_a, d.id_b,
+            CAST(d.dot AS DOUBLE) /
+              (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))) AS cos
+          FROM dots d JOIN norms na ON na.doc_id = d.id_a
+            JOIN norms nb ON nb.doc_id = d.id_b)
+        SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.6
+        ORDER BY id_a, id_b""")),
+
+    // Corpus n-gram diversity per language (distinct-n / total-n for
+    // n = 1..3): the Self-BLEU-adjacent repetitiveness diagnostic for
+    // generated/templated data. N-grams form as a pure projection; one
+    // (lang, n) aggregate with a gram-keyed distinct; <= |langs|*3 rows.
+    "q129_ngram_diversity" -> Q(
+      (s, dir) => TextOps.ngramDiversity(t(s, dir, "documents"),
+          "lang", "text", maxN = 3)
+        .orderBy("lang", "n"),
+      Some("""WITH toks AS (SELECT lang,
+            string_split_regex(lower(trim(text)), '\s+') AS l FROM documents),
+        g AS (
+          SELECT lang, 1 AS n, unnest(l) AS g FROM toks
+          UNION ALL
+          SELECT lang, 2 AS n, unnest(list_transform(range(1, len(l)),
+              i -> l[i] || ' ' || l[i+1])) AS g
+            FROM toks WHERE len(l) >= 2
+          UNION ALL
+          SELECT lang, 3 AS n, unnest(list_transform(range(1, len(l) - 1),
+              i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS g
+            FROM toks WHERE len(l) >= 3)
+        SELECT lang, n, CAST(COUNT(*) AS BIGINT) AS n_total,
+          CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
+          CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*) AS diversity
+        FROM g GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // Robust per-dimension scaling: lower median + raw MAD from grouped
     // counts — the windows run over (pos, value) count rows whose
     // partitions are bounded by the 1e7 GRID, never a whole-dimension

@@ -123,4 +123,32 @@ object Analytics {
       .filter(col("__wm").isNull || col(tsCol) > col("__wm"))
       .drop("__wm")
   }
+
+  /** First-order Markov transition matrix over per-entity event
+    * sequences: for each (from, to) adjacent pair in `typeCol` ordered by
+    * (`tsCol`, `tieCol`) within an entity, the pair count and the
+    * conditional probability P(to | from) as an exact double division of
+    * two exact counts.
+    *
+    * Scale shape: the only window runs PER ENTITY (`keyCol` partitions —
+    * bounded by one entity's activity, never the corpus); the matrix is a
+    * (from, to) aggregate whose output is ≤ |event types|², and the
+    * per-from totals derive from the matrix itself (tiny) and broadcast
+    * back for the ratio. The raw log is read once.
+    */
+  def transitionMatrix(events: DataFrame, keyCol: String, typeCol: String,
+      tsCol: String, tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .select(col(keyCol), col(typeCol), col(tsCol), col(tieCol))
+      .select(col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+    val counts = pairs.groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("from_type").agg(sum(col("n")).as("__n_from"))
+    counts.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("__n_from").cast("double")).as("p"))
+  }
 }

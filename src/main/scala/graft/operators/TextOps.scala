@@ -912,4 +912,84 @@ object TextOps {
       .withColumn("novelty",
         col("n_unique").cast("double") / col("n_grams"))
   }
+
+  /** Sparse lexical cosine near-dup: pairwise document cosine over
+    * TF-IDF weights, computed through the INVERTED INDEX — a pair is
+    * scored only if it shares at least one surviving term, and every
+    * term's posting list is bounded by `dfCap` (terms in more than
+    * `dfCap` documents are stop-terms for near-dup purposes and are
+    * pruned — the standard rare-term trick that also bounds the
+    * self-join fan-out to Σ df² ≤ dfCap·Σ df, skew-proof without
+    * salting). Complements the embedding cosine paths (q25) with a
+    * lexical signal that needs no model.
+    *
+    * Engine-exactness: weights are the q58 smoothed TF-IDF quantized to
+    * MILLI-unit integers (round(tf·idf·1e3) as long — the one ln() is
+    * quantized away exactly as in [[tfidfTopTerms]]); dot products and
+    * norms are then exact integer sums (bounded: w ≤ ~1e7, w² ≤ 1e14,
+    * corpus-safe vs the 9.2e18 long range), and the final cosine is
+    * int→double conversion, sqrt, multiply, divide — all IEEE
+    * correctly-rounded, so both engines emit identical doubles.
+    *
+    * Returns (id_a, id_b, cos) for pairs with cosine ≥ `minCos`.
+    */
+  def sparseCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+      dfCap: Int, minCos: Double): DataFrame = {
+    require(dfCap > 0, s"dfCap must be positive: $dfCap")
+    val tf = graft.Parallelism.fanOut(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("id"),
+        explode(graft.functions.TextFns.tokens(col(textCol))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+    val n = docs.select(countDistinct(col(idCol)).as("__n"))
+    val postings = graft.CacheScope.register(
+      tf.join(idf, "term").crossJoin(broadcast(n))
+        .select(col("id"), col("term"),
+          round(col("tf") * (log((col("__n") + 1).cast("double") / (col("df") + 1)) + 1)
+            * 1e3).cast("long").as("w")))
+    val norms = postings.groupBy("id").agg(sum(col("w") * col("w")).as("n2"))
+    val a = postings.select(col("term"), col("id").as("id_a"), col("w").as("__wa"))
+    val b = postings.select(col("term"), col("id").as("id_b"), col("w").as("__wb"))
+    a.join(b, "term").where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(sum(col("__wa") * col("__wb")).as("__dot"))
+      .join(norms.select(col("id").as("id_a"), col("n2").as("__na")), "id_a")
+      .join(norms.select(col("id").as("id_b"), col("n2").as("__nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("__dot").cast("double") /
+          (sqrt(col("__na").cast("double")) * sqrt(col("__nb").cast("double"))))
+          .as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
+  /** Corpus n-gram diversity (distinct-n over total-n, n = 1..`maxN`) per
+    * group — the Self-BLEU-adjacent repetitiveness diagnostic for
+    * generated or templated data: a corpus whose trigram diversity
+    * collapses is repeating itself even when each document individually
+    * looks clean ([[repetitionSignals]] is the within-doc view; this is
+    * the corpus view).
+    *
+    * Plan shape: n-grams are formed as a pure projection per document
+    * (transform over the token array — no window, no join), then one
+    * (group, n)-keyed count + distinct-count aggregate; the distinct
+    * shuffle keys on the gram itself, which is exactly how the dedup
+    * paths partition, and output is ≤ |groups|·maxN rows. diversity is
+    * an exact double division of two exact counts.
+    */
+  def ngramDiversity(docs: DataFrame, groupCol: String, textCol: String,
+      maxN: Int): DataFrame = {
+    require(maxN >= 1, s"maxN must be >= 1: $maxN")
+    val toks = graft.Parallelism.fanOut(docs.select(col(groupCol), col(textCol)))
+      .select(col(groupCol), graft.functions.TextFns.tokens(col(textCol)).as("__l"))
+    val grams = (1 to maxN).map { n =>
+      toks.filter(size(col("__l")) >= n)
+        .select(col(groupCol), lit(n).as("n"),
+          explode(transform(sequence(lit(0), size(col("__l")) - n),
+            i => concat_ws(" ", slice(col("__l"), i + lit(1), lit(n))))).as("__g"))
+    }.reduce(_ unionByName _)
+    grams.groupBy(col(groupCol), col("n"))
+      .agg(count(lit(1)).as("n_total"), countDistinct(col("__g")).as("n_distinct"))
+      .withColumn("diversity",
+        col("n_distinct").cast("double") / col("n_total"))
+  }
 }

@@ -28,6 +28,7 @@ class PlanLintSpec extends SparkSpec {
     "q25_embedding_near_dup" -> "exact all-pairs baseline BY DESIGN; the scale path is q25b's banded LSH",
     "q41_merge_upsert" -> "broadcast updates batch (deltas << base)",
     "q58_tfidf" -> "broadcast 1-row corpus-size aggregate (crossJoin N)",
+    "q128_sparse_cosine" -> "broadcast 1-row corpus-size aggregate (crossJoin N, q58's idf)",
     "q62_lm_score" -> "broadcast 1-row vocabulary-size aggregate (crossJoin V)",
     "q109_perplexity_buckets" -> "inherits q62's broadcast 1-row vocabulary-size aggregate (crossJoin V)",
     "q110_unigram_kl" -> "broadcast 1-row corpus-token-total aggregate (crossJoin N)",

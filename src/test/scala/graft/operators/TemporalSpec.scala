@@ -72,4 +72,39 @@ class TemporalSpec extends SparkSpec {
     assert(out(("B", "2024-01-01T00:00")) == ((Some(9.0), true)))
     assert(out.count(_._1._1 == "A") == 5) // spine covers 10:00..14:00
   }
+
+  test("transitionMatrix: adjacency within user only, probabilities sum to 1 " +
+      "per from-state") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: view -> click -> view -> click   (v->c ×2, c->v ×1)
+      (1L, "view", ts("2024-01-01 10:00:00"), 1L),
+      (1L, "click", ts("2024-01-01 10:01:00"), 2L),
+      (1L, "view", ts("2024-01-01 10:02:00"), 3L),
+      (1L, "click", ts("2024-01-01 10:03:00"), 4L),
+      // user 2: view -> buy; the cross-user (click, view) gap is NOT a pair
+      (2L, "view", ts("2024-01-01 09:00:00"), 5L),
+      (2L, "buy", ts("2024-01-01 09:05:00"), 6L))
+      .toDF("user_id", "event_type", "t", "event_id")
+    val out = Analytics.transitionMatrix(ev, "user_id", "event_type", "t", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("p")))).toMap
+    assert(out.size == 3)
+    assert(out(("view", "click")) == ((2L, 2.0 / 3)))
+    assert(out(("view", "buy")) == ((1L, 1.0 / 3)))
+    assert(out(("click", "view")) == ((1L, 1.0)))
+    // per-from probability mass is exactly 1
+    val mass = out.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2._2).sum)
+    mass.foreach { case (_, m) => assert(math.abs(m - 1.0) < 1e-15) }
+  }
+
+  test("transitionMatrix: same-timestamp events order by the tie column") {
+    import spark.implicits._
+    val t0 = ts("2024-01-01 10:00:00")
+    val ev = Seq((1L, "a", t0, 2L), (1L, "b", t0, 1L), (1L, "c", t0, 3L))
+      .toDF("user_id", "event_type", "t", "event_id")
+    val out = Analytics.transitionMatrix(ev, "user_id", "event_type", "t", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(("b", "a"), ("a", "c")))  // order is b(1), a(2), c(3)
+  }
 }

@@ -475,4 +475,47 @@ class TextMultimodalSpec extends SparkSpec {
       out.foreach { case (p, m) => assert(p == "only" && m == 0L) }
     } finally graft.CacheScope.releaseAll()
   }
+
+  test("sparseCosinePairs: identical docs score 1.0, disjoint docs never pair, " +
+      "dfCap prunes ubiquitous terms") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma"),
+      (1L, "alpha beta gamma"),   // exact dup of 0 → cos exactly 1.0
+      (2L, "delta epsilon zeta"), // disjoint from 0/1 → no pair
+      (3L, "common x1"), (4L, "common x2"), (5L, "common x3")
+    ).toDF("doc_id", "text")
+    try {
+      val out = TextOps.sparseCosinePairs(docs, "doc_id", "text",
+          dfCap = 2, minCos = 0.1)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          r.getAs[Double]("cos")))
+      // docs 3/4/5 share ONLY "common" (df=3 > dfCap=2) → pruned, never pair;
+      // the only surviving pair is the exact dup (0,1) at cosine exactly 1.
+      assert(out.toSeq == Seq((0L, 1L, 1.0)))
+    } finally graft.CacheScope.releaseAll()
+  }
+
+  test("ngramDiversity: hand-computed distinct/total ratios per n") {
+    import spark.implicits._
+    val docs = Seq(
+      ("en", "a b a b"),  // 1grams: a,b,a,b; 2grams: "a b","b a","a b"; 3grams: "a b a","b a b"
+      ("en", "a b c")     // 1grams: a,b,c;   2grams: "a b","b c";       3grams: "a b c"
+    ).toDF("lang", "text")
+    val out = TextOps.ngramDiversity(docs, "lang", "text", 3)
+      .collect().map(r => r.getAs[Int]("n") ->
+        ((r.getAs[Long]("n_total"), r.getAs[Long]("n_distinct"),
+          r.getAs[Double]("diversity")))).toMap
+    assert(out(1) == ((7L, 3L, 3.0 / 7)))   // a,b,c distinct of 7 tokens
+    assert(out(2) == ((5L, 3L, 3.0 / 5)))   // "a b","b a","b c" of 5
+    assert(out(3) == ((3L, 3L, 1.0)))       // all three trigrams distinct
+  }
+
+  test("ngramDiversity: a doc shorter than n contributes nothing at that n") {
+    import spark.implicits._
+    val docs = Seq(("en", "solo"), ("en", "x y")).toDF("lang", "text")
+    val out = TextOps.ngramDiversity(docs, "lang", "text", 3)
+      .collect().map(r => r.getAs[Int]("n") -> r.getAs[Long]("n_total")).toMap
+    assert(out(1) == 3L && out(2) == 1L && !out.contains(3))
+  }
 }
