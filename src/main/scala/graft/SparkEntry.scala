@@ -3178,6 +3178,100 @@ object SparkEntry {
           CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*) AS diversity
         FROM g GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // Conversion-lag histogram: whole-hour buckets of first-view ->
+    // first-purchase-at-or-after-view latency (q124's per-user min
+    // aggregates — no window over the raw log), bucket shares against a
+    // broadcast 1-row total. Lags are integer seconds (unix floor on
+    // both engines, UTC session), so every number is an exact count or
+    // an exact-count ratio.
+    "q130_conversion_lag" -> Q(
+      (s, dir) => {
+        val ev = graft.CacheScope.register(t(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts")))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(v, "user_id").where(col("ts") >= col("t_view"))
+          .groupBy("user_id").agg(min(col("ts")).as("t_purchase"),
+            min(col("t_view")).as("t_view0"))
+        val lags = p.select(
+          (unix_timestamp(col("t_purchase")) - unix_timestamp(col("t_view0")))
+            .as("lag_s"))
+        val hist = lags
+          .select(floor(col("lag_s") / 3600).cast("long").as("lag_hours"))
+          .groupBy("lag_hours").agg(count(lit(1)).as("n"))
+        val tot = hist.agg(sum(col("n")).as("__total"))
+        hist.crossJoin(broadcast(tot))
+          .select(col("lag_hours"), col("n"),
+            (col("n").cast("double") / col("__total").cast("double")).as("share"))
+          .orderBy("lag_hours")
+      },
+      Some("""WITH v AS (SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_view
+            FROM events WHERE event_type = 'view' GROUP BY user_id),
+        p AS (SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_purchase,
+              MIN(v.t_view) AS t_view0
+            FROM events e JOIN v ON v.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= v.t_view
+            GROUP BY e.user_id),
+        hist AS (SELECT CAST(floor(date_diff('second', t_view0, t_purchase)
+              / 3600) AS BIGINT) AS lag_hours, COUNT(*) AS n
+            FROM p GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM hist)
+        SELECT lag_hours, n, CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share
+        FROM hist CROSS JOIN tot ORDER BY lag_hours""")),
+
+    // Benford leading-digit audit on l_extendedprice: a fabricated or
+    // truncated numeric column drifts from the log10(1+1/d) law. The
+    // leading digit comes from the INTEGER part's decimal string (no
+    // libm log10 on data); expected shares are shared literal constants,
+    // so share and deviation are exact-count ratios and IEEE
+    // subtractions — engine-identical. One scan, 9 output rows.
+    "q131_benford" -> Q(
+      (s, dir) => {
+        val benford = Map(1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
+          3 -> 0.12493873660829992, 4 -> 0.09691001300805642,
+          5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+          7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+          9 -> 0.04575749056067514)
+        val expected = benford.foldLeft(lit(null).cast("double")) {
+          case (acc, (d, pr)) => when(col("digit") === d, lit(pr)).otherwise(acc)
+        }
+        val digits = t(s, dir, "lineitem")
+          .filter(col("l_extendedprice") >= 1)
+          .select(substring(floor(col("l_extendedprice")).cast("long")
+            .cast("string"), 1, 1).cast("int").as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n"))
+        val tot = digits.agg(sum(col("n")).as("__total"))
+        digits.crossJoin(broadcast(tot))
+          .withColumn("share",
+            col("n").cast("double") / col("__total").cast("double"))
+          .withColumn("benford_p", expected)
+          .select(col("digit"), col("n"), col("share"), col("benford_p"),
+            (col("share") - col("benford_p")).as("dev"))
+          .orderBy("digit")
+      },
+      Some("""WITH d AS (SELECT CAST(substr(CAST(CAST(floor(l_extendedprice)
+              AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+            FROM lineitem WHERE l_extendedprice >= 1),
+        c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+        e AS (SELECT c.digit, c.n,
+            CAST(c.n AS DOUBLE) / CAST(tot.total AS DOUBLE) AS share,
+            CASE c.digit
+              WHEN 1 THEN CAST('0.3010299956639812' AS DOUBLE)
+              WHEN 2 THEN CAST('0.17609125905568124' AS DOUBLE)
+              WHEN 3 THEN CAST('0.12493873660829992' AS DOUBLE)
+              WHEN 4 THEN CAST('0.09691001300805642' AS DOUBLE)
+              WHEN 5 THEN CAST('0.07918124604762482' AS DOUBLE)
+              WHEN 6 THEN CAST('0.06694678963061322' AS DOUBLE)
+              WHEN 7 THEN CAST('0.05799194697768673' AS DOUBLE)
+              WHEN 8 THEN CAST('0.05115252244738129' AS DOUBLE)
+              WHEN 9 THEN CAST('0.04575749056067514' AS DOUBLE)
+            END AS benford_p
+          FROM c CROSS JOIN tot)
+        SELECT digit, n, share, benford_p, share - benford_p AS dev
+        FROM e ORDER BY digit""")),
+
     // Robust per-dimension scaling: lower median + raw MAD from grouped
     // counts — the windows run over (pos, value) count rows whose
     // partitions are bounded by the 1e7 GRID, never a whole-dimension
