@@ -3272,6 +3272,63 @@ object SparkEntry {
         SELECT digit, n, share, benford_p, share - benford_p AS dev
         FROM e ORDER BY digit""")),
 
+    // Per-group OLS regression (l_extendedprice ~ l_quantity by return
+    // flag): q99's exact DECIMAL moment machinery solved in closed form —
+    // slope/intercept/R² as the identical IEEE op sequence on both
+    // engines. One aggregation pass, |groups| output rows.
+    "q132_ols_regression" -> Q(
+      (s, dir) => Quality.olsRegression(t(s, dir, "lineitem"),
+          "l_returnflag", "l_quantity", "l_extendedprice")
+        .orderBy("l_returnflag"),
+      Some {
+        def m(c: String) = s"CAST(CAST(round($c * 1e6) AS BIGINT) AS DECIMAL(19,0))"
+        def v(c: String) = s"$c IS NOT NULL AND isfinite(CAST($c AS DOUBLE)) " +
+          s"AND abs(CAST($c AS DOUBLE)) < 1e9"
+        val f = s"FILTER (WHERE ${v("l_quantity")} AND ${v("l_extendedprice")})"
+        // the same double-expression nesting as Quality.olsRegression
+        val n = "CAST(n AS DOUBLE)"
+        val sx = "CAST(sx AS DOUBLE)"; val sy = "CAST(sy AS DOUBLE)"
+        val sxx = "CAST(sxx AS DOUBLE)"; val syy = "CAST(syy AS DOUBLE)"
+        val sxy = "CAST(sxy AS DOUBLE)"
+        val varx = s"($n * $sxx - $sx * $sx)"
+        val vary = s"($n * $syy - $sy * $sy)"
+        val cov = s"($n * $sxy - $sx * $sy)"
+        s"""WITH a AS (SELECT l_returnflag,
+            COUNT(*) $f AS n,
+            CAST(SUM(${m("l_quantity")}) $f AS DECIMAL(38,0)) AS sx,
+            CAST(SUM(${m("l_extendedprice")}) $f AS DECIMAL(38,0)) AS sy,
+            CAST(SUM(${m("l_quantity")} * ${m("l_quantity")}) $f AS DECIMAL(38,0)) AS sxx,
+            CAST(SUM(${m("l_extendedprice")} * ${m("l_extendedprice")}) $f AS DECIMAL(38,0)) AS syy,
+            CAST(SUM(${m("l_quantity")} * ${m("l_extendedprice")}) $f AS DECIMAL(38,0)) AS sxy
+          FROM lineitem GROUP BY 1)
+        SELECT l_returnflag, n,
+          CASE WHEN $varx > 0 THEN $cov / $varx END AS slope,
+          CASE WHEN $varx > 0
+            THEN (($sy - ($cov / $varx) * $sx) / $n) / 1e6 END AS intercept,
+          CASE WHEN $varx > 0 AND $vary > 0
+            THEN ($cov * $cov) / ($varx * $vary) END AS r2
+        FROM a ORDER BY l_returnflag"""
+      }),
+
+    // Boilerplate-prefix detection: documents sharing their first 16
+    // whitespace tokens are template instances (headers, scraped chrome)
+    // — the prefix complement of q82's segment dedup. One aggregate on
+    // the prefix string; ≥2-doc groups surface with an example doc id.
+    "q133_boilerplate_prefix" -> Q(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat_ws(" ", slice(graft.functions.TextFns.tokens(col("text")), 1, 16))
+            .as("prefix"))
+        .groupBy("prefix")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("example_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("prefix")),
+      Some("""SELECT array_to_string(list_slice(
+            string_split_regex(lower(trim(text)), '\s+'), 1, 16), ' ') AS prefix,
+          COUNT(*) AS n_docs, MIN(doc_id) AS example_doc
+        FROM documents GROUP BY 1 HAVING COUNT(*) >= 2
+        ORDER BY n_docs DESC, prefix""")),
+
     // Robust per-dimension scaling: lower median + raw MAD from grouped
     // counts — the windows run over (pos, value) count rows whose
     // partitions are bounded by the 1e7 GRID, never a whole-dimension

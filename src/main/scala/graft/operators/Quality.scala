@@ -322,4 +322,50 @@ object Quality {
       .drop("__g", "__s")
       .withColumn("kept", col("pct") > dropBelow)
   }
+
+  /** Per-group simple OLS regression y ~ x — slope, intercept, and R²
+    * from the same exact-moment machinery as [[pearsonMatrix]]: inputs
+    * quantized to 1e-6-grid longs, the five moment sums accumulated as
+    * DECIMAL(38,0) (order-independent, `try_sum`-guarded), and only the
+    * closed-form solution runs in double — the identical IEEE op
+    * sequence in any engine. Because x and y share the 1e6 quantization
+    * scale, the slope's micro factors cancel exactly; the intercept is
+    * de-scaled by one final /1e6. Complete-case semantics (a row counts
+    * only when BOTH values are present, finite, and inside the |v| < 1e9
+    * grid — the [[pearsonMatrix]] validity gate); a constant-x group
+    * yields null slope/intercept/r2.
+    *
+    * ONE aggregation pass (map-side partial) over the fact table; output
+    * is |groups| rows.
+    */
+  def olsRegression(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val dx = col(xCol).cast("double")
+    val dy = col(yCol).cast("double")
+    val valid = col(xCol).isNotNull && !isnan(dx) && abs(dx) < 1e9 &&
+      col(yCol).isNotNull && !isnan(dy) && abs(dy) < 1e9
+    val prep = df.select(col(groupCol), valid.as("__v"),
+      when(valid, round(dx * 1e6).cast("long")).cast("decimal(19,0)").as("__mx"),
+      when(valid, round(dy * 1e6).cast("long")).cast("decimal(19,0)").as("__my"))
+    def cond(e: Column) = try_sum(when(col("__v"), e)).cast("decimal(38,0)")
+    val agg = prep.groupBy(col(groupCol)).agg(
+      count(when(col("__v"), lit(1))).as("n"),
+      cond(col("__mx")).as("__sx"), cond(col("__my")).as("__sy"),
+      cond(col("__mx") * col("__mx")).as("__sxx"),
+      cond(col("__my") * col("__my")).as("__syy"),
+      cond(col("__mx") * col("__my")).as("__sxy"))
+    val n = col("n").cast("double")
+    val sx = col("__sx").cast("double")
+    val sy = col("__sy").cast("double")
+    val sxx = col("__sxx").cast("double")
+    val syy = col("__syy").cast("double")
+    val sxy = col("__sxy").cast("double")
+    val varx = n * sxx - sx * sx
+    val vary = n * syy - sy * sy
+    val cov = n * sxy - sx * sy
+    agg.select(col(groupCol), col("n"),
+      when(varx > 0, cov / varx).as("slope"),
+      when(varx > 0, ((sy - (cov / varx) * sx) / n) / 1e6).as("intercept"),
+      when(varx > 0 && vary > 0, (cov * cov) / (varx * vary)).as("r2"))
+  }
 }

@@ -200,4 +200,26 @@ class QualitySpec extends SparkSpec {
     assert(out("s") == ((3L, 1L, 1L, None, None)))
     assert(out("v") == ((3L, 1L, 2L, Some(1500000L), Some(2500000L))))
   }
+
+  test("olsRegression: exact fit on a perfect line, complete-case nulls, " +
+      "constant-x group degenerates to null") {
+    import spark.implicits._
+    val df = Seq(
+      // group a: y = 2x + 1 exactly → slope 2, intercept 1, r2 1
+      ("a", Option(1.0), Option(3.0)), ("a", Option(2.0), Option(5.0)),
+      ("a", Option(3.0), Option(7.0)),
+      // an incomplete row never enters the moments (complete-case)
+      ("a", Option(4.0), Option.empty[Double]),
+      // group b: constant x → var(x)=0 → null slope/intercept/r2
+      ("b", Option(5.0), Option(1.0)), ("b", Option(5.0), Option(2.0)))
+      .toDF("g", "x", "y")
+    val out = Quality.olsRegression(df, "g", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n"), Option(r.get(2)), Option(r.get(3)),
+          Option(r.get(4))))).toMap
+    assert(out("a")._1 == 3L)
+    assert(out("a")._2 == Some(2.0) && out("a")._3 == Some(1.0) &&
+      out("a")._4 == Some(1.0))
+    assert(out("b") == ((2L, None, None, None)))
+  }
 }
