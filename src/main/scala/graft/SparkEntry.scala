@@ -3329,6 +3329,73 @@ object SparkEntry {
         FROM documents GROUP BY 1 HAVING COUNT(*) >= 2
         ORDER BY n_docs DESC, prefix""")),
 
+    // Welch's two-sample t between return-flag groups on extended price:
+    // the A/B-comparison primitive from q99/q132's exact DECIMAL moment
+    // machinery — t and Welch-Satterthwaite df as fixed IEEE op
+    // sequences (micro scale cancels); no p-value by design (t-CDFs are
+    // libm territory). Pair join runs on the 3-row aggregate.
+    "q134_welch_ttest" -> Q(
+      (s, dir) => Quality.welchTTest(t(s, dir, "lineitem"),
+          "l_returnflag", "l_extendedprice")
+        .orderBy("group_a", "group_b"),
+      Some {
+        val m = "CAST(CAST(round(l_extendedprice * 1e6) AS BIGINT) AS DECIMAL(19,0))"
+        val v = "l_extendedprice IS NOT NULL AND " +
+          "isfinite(CAST(l_extendedprice AS DOUBLE)) AND " +
+          "abs(CAST(l_extendedprice AS DOUBLE)) < 1e9"
+        // mirrors Quality.welchTTest's double nesting exactly
+        def n(p: String) = s"CAST($p.n AS DOUBLE)"
+        def sm(p: String) = s"CAST($p.s AS DOUBLE)"
+        def ss(p: String) = s"CAST($p.ss AS DOUBLE)"
+        def mean(p: String) = s"((${sm(p)} / ${n(p)}) / 1e6)"
+        def vOverN(p: String) =
+          s"(((${n(p)} * ${ss(p)} - ${sm(p)} * ${sm(p)}) / " +
+            s"(${n(p)} * (${n(p)} - 1))) / ${n(p)})"
+        val se2 = s"(${vOverN("x")} + ${vOverN("y")})"
+        val tOk = s"x.n >= 2 AND y.n >= 2 AND $se2 > 0"
+        s"""WITH a AS (SELECT l_returnflag AS g,
+            COUNT(*) FILTER (WHERE $v) AS n,
+            CAST(SUM($m) FILTER (WHERE $v) AS DECIMAL(38,0)) AS s,
+            CAST(SUM($m * $m) FILTER (WHERE $v) AS DECIMAL(38,0)) AS ss
+          FROM lineitem GROUP BY 1)
+        SELECT x.g AS group_a, y.g AS group_b, x.n AS n_a, y.n AS n_b,
+          CASE WHEN x.n >= 1 THEN ${mean("x")} END AS mean_a,
+          CASE WHEN y.n >= 1 THEN ${mean("y")} END AS mean_b,
+          CASE WHEN $tOk THEN
+            ((${mean("x")} - ${mean("y")}) * 1e6) / sqrt($se2) END AS t,
+          CASE WHEN $tOk THEN
+            ($se2 * $se2) /
+              (${vOverN("x")} * ${vOverN("x")} / (${n("x")} - 1) +
+               ${vOverN("y")} * ${vOverN("y")} / (${n("y")} - 1)) END AS df
+        FROM a x JOIN a y ON x.g < y.g
+        ORDER BY group_a, group_b"""
+      }),
+
+    // Top user-journey prefixes: each user's first 8 event types in
+    // exact (ts, event_id) order, joined into a path string, counted,
+    // top-20. The prefix comes from a BOUNDED min-k aggregator (≤ 8
+    // triples per user per task map-side — never a collect_list of a
+    // power user's whole history), and the top-20 plans as
+    // TakeOrderedAndProject.
+    "q135_session_paths" -> Q(
+      (s, dir) => {
+        val firstK = udaf(new graft.functions.MinKOrderedStringsAggregator(8))
+        t(s, dir, "events")
+          .select(col("user_id"),
+            unix_micros(col("ts").cast("timestamp")).as("__t"),
+            col("event_id"), col("event_type"))
+          .groupBy("user_id")
+          .agg(firstK(col("__t"), col("event_id"), col("event_type")).as("__seq"))
+          .select(array_join(col("__seq"), ">").as("path"))
+          .groupBy("path").agg(count(lit(1)).as("n_users"))
+          .orderBy(col("n_users").desc, col("path")).limit(20)
+      },
+      Some("""WITH seq AS (SELECT user_id,
+            list(event_type ORDER BY CAST(ts AS TIMESTAMP), event_id)[1:8] AS l
+          FROM events GROUP BY user_id)
+        SELECT array_to_string(l, '>') AS path, COUNT(*) AS n_users
+        FROM seq GROUP BY 1 ORDER BY n_users DESC, path LIMIT 20""")),
+
     // Robust per-dimension scaling: lower median + raw MAD from grouped
     // counts — the windows run over (pos, value) count rows whose
     // partitions are bounded by the 1e7 GRID, never a whole-dimension

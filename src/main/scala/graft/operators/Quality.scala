@@ -368,4 +368,62 @@ object Quality {
       when(varx > 0, ((sy - (cov / varx) * sx) / n) / 1e6).as("intercept"),
       when(varx > 0 && vary > 0, (cov * cov) / (varx * vary)).as("r2"))
   }
+
+  /** Welch's two-sample t statistic between every pair of groups — the
+    * A/B-comparison primitive (unequal variances, unequal sizes):
+    * t = (m₁−m₂)/√(s₁²/n₁+s₂²/n₂) with the Welch–Satterthwaite degrees
+    * of freedom. Same exactness contract as [[olsRegression]]: per-group
+    * moments are exact DECIMAL sums of 1e-6-grid longs (one aggregation
+    * pass, map-side partial), and the statistic is a fixed IEEE op
+    * sequence on exact inputs — engine-identical. The micro scale
+    * cancels in t (numerator and denominator both carry one 1e6 factor)
+    * and in df. No p-value on purpose: Student-t CDFs are libm territory
+    * (incomplete beta) and engines disagree in the last ulps; downstream
+    * can threshold |t| with df, which is the decision procedure anyway.
+    *
+    * Groups with n < 2 or zero variance yield null t/df. Output:
+    * (group_a, group_b, n_a, n_b, mean_a, mean_b, t, df) for unordered
+    * pairs (group_a < group_b); the pair join runs on the |groups|-row
+    * aggregate, not the fact table.
+    */
+  def welchTTest(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val d = col(valueCol).cast("double")
+    val valid = col(valueCol).isNotNull && !isnan(d) && abs(d) < 1e9
+    val prep = df.select(col(groupCol).as("g"), valid.as("__v"),
+      when(valid, round(d * 1e6).cast("long")).cast("decimal(19,0)").as("__m"))
+    val agg = prep.groupBy(col("g")).agg(
+      count(when(col("__v"), lit(1))).as("n"),
+      try_sum(when(col("__v"), col("__m"))).cast("decimal(38,0)").as("__s"),
+      try_sum(when(col("__v"), col("__m") * col("__m"))).cast("decimal(38,0)")
+        .as("__ss"))
+    def stats(side: String) = {
+      val n = col(s"n_$side").cast("double")
+      val s = col(s"__s_$side").cast("double")
+      val ss = col(s"__ss_$side").cast("double")
+      // mean in original units; variance-over-n in micro² (cancels in t)
+      val mean = (s / n) / 1e6
+      val vOverN = ((n * ss - s * s) / (n * (n - 1))) / n
+      (n, mean, vOverN)
+    }
+    val a = agg.select(col("g").as("group_a"), col("n").as("n_a"),
+      col("__s").as("__s_a"), col("__ss").as("__ss_a"))
+    val b = agg.select(col("g").as("group_b"), col("n").as("n_b"),
+      col("__s").as("__s_b"), col("__ss").as("__ss_b"))
+    // |groups| rows on each side — broadcast the right side so the
+    // inequality pair join can only ever plan as a BNLJ over the tiny
+    // aggregate, never a partitioned cartesian
+    val joined = a.join(broadcast(b), col("group_a") < col("group_b"))
+    val (na, ma, va) = stats("a")
+    val (nb, mb, vb) = stats("b")
+    val se2 = va + vb
+    val tOk = col("n_a") >= 2 && col("n_b") >= 2 && se2 > 0 &&
+      col("__s_a").isNotNull && col("__ss_a").isNotNull &&
+      col("__s_b").isNotNull && col("__ss_b").isNotNull
+    joined.select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+      when(col("n_a") >= 1 && col("__s_a").isNotNull, ma).as("mean_a"),
+      when(col("n_b") >= 1 && col("__s_b").isNotNull, mb).as("mean_b"),
+      when(tOk, (ma - mb) * 1e6 / sqrt(se2)).as("t"),
+      when(tOk, (se2 * se2) /
+        (va * va / (na - 1) + vb * vb / (nb - 1))).as("df"))
+  }
 }

@@ -31,6 +31,7 @@ class PlanLintSpec extends SparkSpec {
     "q128_sparse_cosine" -> "broadcast 1-row corpus-size aggregate (crossJoin N, q58's idf)",
     "q130_conversion_lag" -> "broadcast 1-row histogram-total aggregate (crossJoin share denominator)",
     "q131_benford" -> "broadcast 1-row digit-total aggregate (crossJoin share denominator)",
+    "q134_welch_ttest" -> "inequality pair join over the |groups|-row moment aggregate (3 rows broadcast)",
     "q62_lm_score" -> "broadcast 1-row vocabulary-size aggregate (crossJoin V)",
     "q109_perplexity_buckets" -> "inherits q62's broadcast 1-row vocabulary-size aggregate (crossJoin V)",
     "q110_unigram_kl" -> "broadcast 1-row corpus-token-total aggregate (crossJoin N)",

@@ -70,4 +70,24 @@ class FunctionsSpec extends SparkSpec {
       }
     }
   }
+
+  test("property: MinKOrderedStringsAggregator == sortBy(keys).take(k).labels " +
+      "regardless of split/merge order") {
+    val gen = for {
+      n <- Gen.choose(0, 40)
+      xs <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 10L), Gen.choose(0L, 50L)))
+      cut <- Gen.choose(0, n)
+    } yield (xs.map { case (a, b) => (a, b, s"v$a-$b") }, cut)
+    (0 until 30).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach { case (xs, cut) =>
+        val agg = new graft.functions.MinKOrderedStringsAggregator(8)
+        val (l, r) = xs.splitAt(cut)
+        val bufL = l.foldLeft(agg.zero)(agg.reduce)
+        val bufR = r.foldLeft(agg.zero)(agg.reduce)
+        val merged = agg.finish(agg.merge(bufL, bufR))
+        val expected = xs.sortBy { case (a, b, _) => (a, b) }.take(8).map(_._3)
+        assert(merged == expected, s"seed $i")
+      }
+    }
+  }
 }

@@ -222,4 +222,32 @@ class QualitySpec extends SparkSpec {
       out("a")._4 == Some(1.0))
     assert(out("b") == ((2L, None, None, None)))
   }
+
+  test("welchTTest: equal-variance symmetric fixture reduces to the pooled " +
+      "t; zero-variance group yields null t") {
+    import spark.implicits._
+    val df = Seq(
+      // a: mean 2, var 1 (n=3); b: mean 5, var 1 (n=3)
+      ("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 4.0), ("b", 5.0), ("b", 6.0),
+      // c: constant → zero variance → t/df null against anyone
+      ("c", 7.0), ("c", 7.0)).toDF("g", "x")
+    val out = Quality.welchTTest(df, "g", "x")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Double]("mean_a"), r.getAs[Double]("mean_b"),
+          Option(r.get(6)).map(_.asInstanceOf[Double]),
+          Option(r.get(7)).map(_.asInstanceOf[Double])))).toMap
+    assert(out.size == 3)
+    val (na, nb, ma, mb, tOpt, dfOpt) = out(("a", "b"))
+    assert(na == 3L && nb == 3L && ma == 2.0 && mb == 5.0)
+    // t = (2-5)/sqrt(1/3+1/3) and Welch df = 4 for the symmetric case
+    val tExp = -3.0 / math.sqrt(2.0 / 3.0)
+    assert(math.abs(tOpt.get - tExp) < 1e-9)
+    assert(math.abs(dfOpt.get - 4.0) < 1e-9)
+    // c has zero variance: se2 > 0 fails for (b,c) only if b also had
+    // zero variance — (a,c)/(b,c) keep a positive se2 from a/b's side,
+    // so t exists; means are exact
+    assert(out(("a", "c"))._4 == 7.0 && out(("b", "c"))._4 == 7.0)
+  }
 }
