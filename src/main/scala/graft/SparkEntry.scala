@@ -3396,6 +3396,45 @@ object SparkEntry {
         SELECT array_to_string(l, '>') AS path, COUNT(*) AS n_users
         FROM seq GROUP BY 1 ORDER BY n_users DESC, path LIMIT 20""")),
 
+    // Perceptual (pHash-style) near-dup over the multimodal binary column:
+    // 64-bit mean-hash of a deterministic 64-cell payload downscale, paired
+    // by Hamming <= 7 through the 8x8-bit band index (pigeonhole-exact at
+    // that threshold, sub-quadratic at scale). Integer-only bit decisions
+    // make the DuckDB replay bit-exact. Exercises the dedup stack on
+    // non-text bytes — the codec-dependent downscale is the only stub.
+    "q136_phash_near_dup" -> Q(
+      (s, dir) => Multimodal.phashNearDup(
+          Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text"), 7)
+        .orderBy("doc_a", "doc_b"),
+      Some("""WITH hx AS (SELECT doc_id, hex(encode(text)) AS h,
+              octet_length(encode(text)) AS n FROM documents),
+        cells AS (SELECT doc_id, list_transform(range(64), j ->
+            16 * (strpos('0123456789ABCDEF',
+                         substring(h, 2*(1 + (j*n)//64) - 1, 1)) - 1)
+               + (strpos('0123456789ABCDEF',
+                         substring(h, 2*(1 + (j*n)//64), 1)) - 1)) AS cells
+          FROM hx),
+        tot AS (SELECT doc_id, cells, list_aggregate(cells, 'sum') AS total
+          FROM cells),
+        bands AS (SELECT doc_id, list_transform(range(8), b ->
+            list_aggregate(list_transform(range(8), k ->
+              CASE WHEN cells[8*b + k + 1] * 64 > total
+                   THEN (1 << k) ELSE 0 END), 'sum')) AS bands
+          FROM tot)
+        SELECT doc_a, doc_b, hamming FROM (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            CAST(bit_count(xor(a.bands[1]::BIGINT, b.bands[1]::BIGINT))
+               + bit_count(xor(a.bands[2]::BIGINT, b.bands[2]::BIGINT))
+               + bit_count(xor(a.bands[3]::BIGINT, b.bands[3]::BIGINT))
+               + bit_count(xor(a.bands[4]::BIGINT, b.bands[4]::BIGINT))
+               + bit_count(xor(a.bands[5]::BIGINT, b.bands[5]::BIGINT))
+               + bit_count(xor(a.bands[6]::BIGINT, b.bands[6]::BIGINT))
+               + bit_count(xor(a.bands[7]::BIGINT, b.bands[7]::BIGINT))
+               + bit_count(xor(a.bands[8]::BIGINT, b.bands[8]::BIGINT))
+              AS INTEGER) AS hamming
+          FROM bands a JOIN bands b ON a.doc_id < b.doc_id)
+        WHERE hamming <= 7 ORDER BY doc_a, doc_b""")),
+
     // Robust per-dimension scaling: lower median + raw MAD from grouped
     // counts — the windows run over (pos, value) count rows whose
     // partitions are bounded by the 1e7 GRID, never a whole-dimension

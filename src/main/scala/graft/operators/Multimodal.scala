@@ -47,6 +47,80 @@ object Multimodal {
       hex(substring(col("payload"), 1, 4)).as("magic"),
       crc32(col("payload")).as("payload_crc32"))
 
+  // === Perceptual hash (pHash-style) =======================================
+  // A mean-hash over a deterministic 64-cell "downscale" of the payload —
+  // the classic aHash/pHash recipe (downscale to an 8x8 luma grid, hash
+  // bit = cell > mean), with the codec-dependent downscale stubbed as
+  // position sampling: cell j = byte at offset floor(j*n/64). A real
+  // deployment swaps the sampling for decoded-pixel block means; every
+  // stage after the grid (mean threshold, banding, Hamming pairing) is
+  // codec-agnostic and exactly what production image dedup runs.
+  //
+  // All arithmetic is INTEGER (bit j set iff cell*64 > sum of cells), so
+  // the DuckDB oracle replays it bit-exactly. The 64-bit signature is kept
+  // as 8 x 8-bit bands, which is simultaneously (a) the LSH banding for
+  // sub-quadratic pairing and (b) a pigeonhole-EXACT index for Hamming
+  // <= 7: two signatures differing in at most 7 bits must agree on at
+  // least one of 8 disjoint bands, so the band join misses nothing.
+
+  /** Per-payload perceptual signature: (doc_id, mime, bands: array<int>)
+    * with 8 bands of 8 bits each. Pure codegen'd projection (hex +
+    * substring + higher-order array functions) — map-only, never shuffles
+    * the payload.
+    */
+  def perceptualHash(media: DataFrame): DataFrame = {
+    val n = octet_length(col("payload"))
+    val h = hex(col("payload")) // uppercase hex, same as DuckDB's hex()
+    // cell j = payload byte at 1-based offset 1 + floor(j*n/64); decoded
+    // from the hex string because neither engine indexes raw binary.
+    // Magnitudes (j*n <= 63 * payload bytes) stay far under 2^53, so the
+    // floor(double) round-trip is exact.
+    val cells = transform(sequence(lit(0), lit(63)), j => {
+      val pos = (floor(j * n / lit(64)) + 1).cast("int")
+      conv(h.substr(lit(2) * pos - 1, lit(2)), 16, 10).cast("int")
+    })
+    media.select(col("doc_id"), col("mime"), cells.as("__cells"))
+      .withColumn("__total", aggregate(col("__cells"), lit(0), (acc, x) => acc + x))
+      .select(col("doc_id"), col("mime"),
+        transform(sequence(lit(0), lit(7)), b =>
+          (0 to 7).map(k =>
+            when(element_at(col("__cells"), (b * 8 + k + 1).cast("int"))
+                   * 64 > col("__total"), lit(1 << k)).otherwise(lit(0)))
+            .reduce(_ + _)
+        ).as("bands"))
+  }
+
+  /** All pairs of payloads whose perceptual hashes differ in at most
+    * `maxHamming` of 64 bits (must be <= 7 — the pigeonhole bound that
+    * makes the band index exact). One shuffle on (band index, band value);
+    * candidate volume is bounded by band-bucket sizes, never the corpus
+    * pair count, and the 16-byte signatures — not payloads — are what
+    * moves.
+    */
+  def phashNearDup(media: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 7,
+      s"maxHamming=$maxHamming breaks pigeonhole exactness over 8 bands")
+    val sig = graft.CacheScope.register(perceptualHash(media))
+    val bands = sig.select(col("doc_id"), col("bands"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_val")))
+    val a = bands.as("a")
+    val b = bands.as("b")
+    val cand = a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.bands").as("__ba"), col("b.bands").as("__bb"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        aggregate(zip_with(col("__ba"), col("__bb"),
+            (x, y) => bit_count(x.bitwiseXOR(y)).cast("int")),
+          lit(0), (acc, x) => acc + x))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   // === Stubbed codec ========================================================
   // A real deployment replaces `decodeOne` with the native library call
   // (e.g. javax.imageio / ffmpeg bindings). STUB: dimensions are derived

@@ -146,6 +146,51 @@ class TextMultimodalSpec extends SparkSpec {
     assert(r.getAs[String]("magic") == "61626364")
   }
 
+  test("perceptualHash: hand-computed bands on a two-level payload") {
+    import spark.implicits._
+    // 32 'a' (0x61) then 32 'z' (0x7A): n=64 so cell j = byte j. Mean is
+    // strictly between the two levels, so exactly the 'z' half sets bits:
+    // bands 0-3 (bits 0-31) = 0, bands 4-7 (bits 32-63) = 255.
+    val docs = Seq((0L, "a" * 32 + "z" * 32), (1L, "a" * 64)).toDF("doc_id", "text")
+    val sig = Multimodal.perceptualHash(
+        Multimodal.asMedia(docs, "doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[scala.collection.Seq[Int]]("bands").toSeq).toMap
+    assert(sig(0L) == Seq(0, 0, 0, 0, 255, 255, 255, 255))
+    // constant payload: no cell exceeds the mean strictly -> all-zero hash
+    assert(sig(1L) == Seq(0, 0, 0, 0, 0, 0, 0, 0))
+  }
+
+  test("phashNearDup: banded pairing is EXACTLY brute force at Hamming <= 7 " +
+      "and finds planted dups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def randText(len: Int) =
+      (0 until len).map(_ => (32 + rnd.nextInt(95)).toChar).mkString
+    val base = (0L until 60L).map(i => (i, randText(80 + rnd.nextInt(60))))
+    // planted: 100 = exact copy of 0 (hamming 0); 101 = same-length
+    // perturbation of 1 (a few bytes touched -> few cells move)
+    val perturbed = base(1)._2.toCharArray
+    perturbed(5) = 'X'; perturbed(40) = 'Y'
+    val docs = (base :+ (100L, base(0)._2) :+ (101L, new String(perturbed)))
+      .toDF("doc_id", "text")
+    val media = Multimodal.asMedia(docs, "doc_id", "text")
+
+    val got = Multimodal.phashNearDup(media, 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val bands = Multimodal.perceptualHash(media).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[scala.collection.Seq[Int]]("bands").toSeq)
+    val brute = (for {
+      (ida, ba) <- bands; (idb, bb) <- bands if ida < idb
+      ham = ba.zip(bb).map { case (x, y) =>
+        java.lang.Integer.bitCount(x ^ y) }.sum
+      if ham <= 7
+    } yield (ida, idb, ham)).toSet
+    assert(got == brute)
+    assert(got.contains((0L, 100L, 0)))
+  }
+
   test("chunkTokens: window/stride coverage, short last chunk, short docs") {
     import spark.implicits._
     // 10 tokens, window 4, stride 3: nchunks = floor((10-4+3-1)/3)+1 = 3
