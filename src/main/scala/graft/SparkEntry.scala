@@ -3435,6 +3435,163 @@ object SparkEntry {
           FROM bands a JOIN bands b ON a.doc_id < b.doc_id)
         WHERE hamming <= 7 ORDER BY doc_a, doc_b""")),
 
+    // Heaps-law vocabulary-growth curve: cumulative docs/tokens/vocab per
+    // doc-id decile — does more of this corpus still buy new vocabulary?
+    // Each token contributes at its MIN bucket (one groupBy); the only
+    // window runs over the 10-row bucket aggregate.
+    "q137_vocab_growth" -> Q(
+      (s, dir) => TextOps.vocabGrowth(t(s, dir, "documents"), "doc_id",
+          "text", 10)
+        .orderBy("bucket"),
+      Some("""WITH mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+        toks AS (SELECT doc_id, (doc_id * 10) // (mx + 1) AS bucket,
+            unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+          FROM documents, mx),
+        pb AS (SELECT bucket, COUNT(*) AS toks,
+            COUNT(DISTINCT doc_id) AS docs FROM toks GROUP BY 1),
+        nv AS (SELECT bucket, COUNT(*) AS new_vocab FROM (
+            SELECT tok, MIN(bucket) AS bucket FROM toks GROUP BY tok)
+          GROUP BY 1)
+        SELECT pb.bucket,
+          CAST(SUM(pb.docs) OVER w AS BIGINT) AS docs_cum,
+          CAST(SUM(pb.toks) OVER w AS BIGINT) AS tokens_cum,
+          CAST(SUM(COALESCE(nv.new_vocab, 0)) OVER w AS BIGINT) AS vocab_cum
+        FROM pb LEFT JOIN nv ON nv.bucket = pb.bucket
+        WINDOW w AS (ORDER BY pb.bucket)
+        ORDER BY pb.bucket""")),
+
+    // Zipf rank-frequency slope per source: OLS of ln(freq) on ln(rank)
+    // over each source's top-20 tokens — a flat slope flags templated /
+    // unnatural text. The ranked prefix is the bounded
+    // MinKLongStringAggregator (no per-source vocabulary sort);
+    // micro-unit integer logs make the slope a ratio of reproducible
+    // BIGINTs.
+    "q138_zipf_slope" -> Q(
+      (s, dir) => TextOps.zipfSlope(t(s, dir, "documents"), "source",
+          "text", 20)
+        .withColumnRenamed("grp", "source")
+        .orderBy("source"),
+      Some("""WITH toks AS (SELECT source,
+            unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+          FROM documents),
+        freq AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        ranked AS (SELECT source, c, row_number() OVER (
+            PARTITION BY source ORDER BY c DESC, tok) AS rnk FROM freq),
+        m AS (SELECT source, CAST(round(ln(rnk) * 1e6) AS BIGINT) AS x,
+            CAST(round(ln(c) * 1e6) AS BIGINT) AS y
+          FROM ranked WHERE rnk <= 20),
+        s AS (SELECT source, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+            SUM(x*y) AS sxy, SUM(x*x) AS sxx FROM m GROUP BY 1)
+        SELECT source, CAST(n AS BIGINT) AS n_ranks,
+          CAST(CAST(n*sxy - sx*sy AS BIGINT) AS DOUBLE)
+            / CAST(n*sxx - sx*sx AS BIGINT) AS slope
+        FROM s ORDER BY source""")),
+
+    // PSI drift report over the event-value distribution: reference half
+    // vs current half at the time midpoint, 10 fixed-width buckets,
+    // add-one-smoothed contributions in micro-units (integer per-bucket
+    // rows keep the report summation-order-independent).
+    "q139_psi_drift" -> Q(
+      (s, dir) => Quality.psiDrift(t(s, dir, "events"), "ts", "value", 10)
+        .orderBy("bucket"),
+      Some("""WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS t, value
+          FROM events WHERE value IS NOT NULL),
+        bounds AS (SELECT MIN(t) mn, MAX(t) mx, MIN(value) vmn,
+            MAX(value) vmx FROM e),
+        tagged AS (SELECT
+            CASE WHEN t * 2 < mn + mx THEN 'ref' ELSE 'cur' END AS side,
+            LEAST(9, CAST(floor((value - vmn) * 10 / (vmx - vmn))
+              AS INTEGER)) AS bucket
+          FROM e, bounds),
+        c AS (SELECT bucket,
+            SUM(CASE WHEN side = 'ref' THEN 1 ELSE 0 END) AS c_ref,
+            SUM(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS c_cur
+          FROM tagged GROUP BY 1),
+        n AS (SELECT SUM(c_ref) AS n_ref, SUM(c_cur) AS n_cur FROM c)
+        SELECT CAST(bucket AS INTEGER) AS bucket,
+          CAST(c_ref AS BIGINT) AS c_ref,
+          CAST(c_cur AS BIGINT) AS c_cur,
+          CAST(round((((c_cur + 1.0) / (n_cur + 10))
+                    - ((c_ref + 1.0) / (n_ref + 10))) *
+            (CAST(round(ln((c_cur + 1) * (n_ref + 10)) * 1e6) AS BIGINT)
+           - CAST(round(ln((c_ref + 1) * (n_cur + 10)) * 1e6) AS BIGINT)))
+            AS BIGINT) AS contrib_micro
+        FROM c, n ORDER BY bucket""")),
+
+    // Cross-source quantile normalization of n_chars: every (source,
+    // score) maps to the global score at the same quantile, putting
+    // per-source distributions on one comparable scale before mixing.
+    // Both CDFs are distinct-score-grid aggregates; the lookup is an
+    // as-of merge of the two grids by CDF fraction.
+    "q140_quantile_normalize" -> Q(
+      (s, dir) => Quality.quantileNormalize(t(s, dir, "documents"),
+          "source", "n_chars")
+        .withColumnRenamed("grp", "source")
+        .orderBy("source", "score"),
+      Some("""WITH sc AS (SELECT source, n_chars AS score, COUNT(*) AS c
+          FROM documents GROUP BY 1, 2),
+        scum AS (SELECT source, score,
+            SUM(c) OVER (PARTITION BY source ORDER BY score) AS cum,
+            SUM(c) OVER (PARTITION BY source) AS n FROM sc),
+        g AS (SELECT n_chars AS gscore, COUNT(*) AS gc
+          FROM documents GROUP BY 1),
+        gcum AS (SELECT gscore, SUM(gc) OVER (ORDER BY gscore) AS gcum,
+            SUM(gc) OVER () AS gn FROM g)
+        SELECT s.source, s.score, MIN(gc.gscore) AS normalized
+        FROM scum s JOIN gcum gc
+          ON CAST(gc.gcum AS DOUBLE) / gc.gn >= CAST(s.cum AS DOUBLE) / s.n
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Train/eval split-leakage audit: near-dup pairs (q21's MinHash+LSH
+    // machinery, exact-Jaccard >= 0.8) that CROSS the q51 hash split —
+    // each row is an eval document whose near-duplicate sits in train,
+    // i.e. silent benchmark contamination. Composition stays
+    // sub-quadratic: the pair list is LSH-bounded, the split assignment
+    // is a pure projection joined twice by id.
+    "q141_split_leakage" -> Q(
+      (s, dir) => {
+        val docs = graft.CacheScope.register(t(s, dir, "documents"))
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", 3, 64, 16, 0.8)
+        val split = Sampling.hashSplit(docs, "doc_id", "exp1",
+            Seq("train" -> 0.90, "val" -> 0.05, "test" -> 0.05))
+          .select(col("doc_id"), col("split"))
+        pairs
+          .join(split.withColumnRenamed("doc_id", "id_a")
+            .withColumnRenamed("split", "split_a"), "id_a")
+          .join(split.withColumnRenamed("doc_id", "id_b")
+            .withColumnRenamed("split", "split_b"), "id_b")
+          .filter(col("split_a") =!= col("split_b"))
+          .select("id_a", "id_b", "jaccard", "split_a", "split_b")
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
+               FROM documents),
+        grams AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, greatest(len(l) - 1, 1)),
+                 i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS g
+               FROM toks WHERE len(l) >= 3),
+        sh AS (SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS sh FROM grams),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+                  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        pairs AS (SELECT id_a, id_b,
+                  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+                  FROM inter JOIN sizes sa ON id_a = sa.doc_id
+                             JOIN sizes sb ON id_b = sb.doc_id
+                  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8),
+        b AS (SELECT doc_id,
+            CAST('0x' || substr(md5('exp1:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 AS bkt
+          FROM documents),
+        spl AS (SELECT doc_id, CASE WHEN bkt < 9000 THEN 'train'
+                                    WHEN bkt < 9500 THEN 'val'
+                                    ELSE 'test' END AS split FROM b)
+        SELECT id_a, id_b, jaccard, sa.split AS split_a, sb.split AS split_b
+        FROM pairs JOIN spl sa ON id_a = sa.doc_id
+                   JOIN spl sb ON id_b = sb.doc_id
+        WHERE sa.split <> sb.split
+        ORDER BY id_a, id_b""")),
+
     // Robust per-dimension scaling: lower median + raw MAD from grouped
     // counts — the windows run over (pos, value) count rows whose
     // partitions are bounded by the 1e7 GRID, never a whole-dimension

@@ -426,4 +426,87 @@ object Quality {
       when(tOk, (se2 * se2) /
         (va * va / (na - 1) + vb * vb / (nb - 1))).as("df"))
   }
+
+  /** Population Stability Index drift report: the stream is cut at its
+    * time midpoint into a reference and a current half, values are binned
+    * into `nBuckets` fixed-width buckets over the global range, and each
+    * bucket row carries its add-one-smoothed PSI contribution in
+    * micro-units. Integer per-bucket contributions make the report
+    * order-independent (a double PSI total would depend on summation
+    * order); ln arguments are INTEGER products — (c+1)·(N'+nB) — so the
+    * micro-log pattern stays libm-proof. Two scans (bounds, counts), all
+    * joins broadcast 1-row aggregates.
+    */
+  def psiDrift(events: DataFrame, tsCol: String, valueCol: String,
+      nBuckets: Int): DataFrame = {
+    val e = events.filter(col(valueCol).isNotNull)
+      .select(unix_micros(col(tsCol).cast("timestamp")).as("t"),
+        col(valueCol).as("v"))
+    val bounds = e.agg(min("t").as("mn"), max("t").as("mx"),
+      min("v").as("vmn"), max("v").as("vmx"))
+    val nb = lit(nBuckets)
+    val tagged = e.crossJoin(broadcast(bounds))
+      .select(
+        when(col("t") * 2 < col("mn") + col("mx"), lit("ref"))
+          .otherwise(lit("cur")).as("side"),
+        least(lit(nBuckets - 1),
+          floor((col("v") - col("vmn")) * nb / (col("vmx") - col("vmn")))
+            .cast("int")).as("bucket"))
+    val c = tagged.groupBy("bucket").agg(
+      sum(when(col("side") === "ref", 1L).otherwise(0L)).as("c_ref"),
+      sum(when(col("side") === "cur", 1L).otherwise(0L)).as("c_cur"))
+    val n = c.agg(sum("c_ref").as("n_ref"), sum("c_cur").as("n_cur"))
+    c.crossJoin(broadcast(n)).select(col("bucket"), col("c_ref"), col("c_cur"),
+      round(((col("c_cur") + lit(1.0)) / (col("n_cur") + nb)
+             - (col("c_ref") + lit(1.0)) / (col("n_ref") + nb)) *
+        (round(log((col("c_cur") + 1) * (col("n_ref") + nb)) * 1e6).cast("long")
+         - round(log((col("c_ref") + 1) * (col("n_cur") + nb)) * 1e6).cast("long")))
+        .cast("long").as("contrib_micro"))
+  }
+
+  /** Cross-group quantile normalization: each (group, score) is mapped to
+    * the global score at the same quantile — the rank-preserving transform
+    * that puts per-source quality scores on one comparable scale before
+    * mixing. Scale-safe shape: both CDFs are built from DISTINCT-score
+    * count aggregates (the q97 percentileGate argument — window input is
+    * the score grid, never the corpus), and the inverse-CDF lookup is a
+    * single ordered window over the two grids interleaved by CDF fraction
+    * (an as-of merge, not an inequality join). Fractions are
+    * double-divided from identical integers on both engines, so ordering
+    * and ties reproduce bit-exactly.
+    */
+  def quantileNormalize(df: DataFrame, groupCol: String,
+      scoreCol: String): DataFrame = {
+    val sc = df.groupBy(col(groupCol).as("grp"),
+        col(scoreCol).cast("long").as("score"))
+      .agg(count(lit(1)).as("c"))
+    val wg = Window.partitionBy("grp").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scum = sc.select(col("grp"), col("score"),
+      sum("c").over(wg).as("cum"),
+      sum("c").over(Window.partitionBy("grp")).as("n"))
+    val g = df.groupBy(col(scoreCol).cast("long").as("gscore"))
+      .agg(count(lit(1)).as("gc"))
+    val wgl = Window.orderBy("gscore")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gcum = g.select(col("gscore"),
+      sum("gc").over(wgl).as("gcum"),
+      sum("gc").over(Window.partitionBy()).as("gn"))
+    val sRows = scum.select(
+      (col("cum").cast("double") / col("n")).as("frac"), lit(0).as("is_g"),
+      col("grp"), col("score"), lit(null).cast("long").as("gscore"))
+    val gRows = gcum.select(
+      (col("gcum").cast("double") / col("gn")).as("frac"), lit(1).as("is_g"),
+      lit(null).cast("string").as("grp"), lit(null).cast("long").as("score"),
+      col("gscore"))
+    // first global row at-or-after this fraction: global rows sort AFTER
+    // source rows at equal frac, so the current-to-following min sees them
+    val wm = Window.orderBy("frac", "is_g")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    sRows.unionByName(gRows)
+      .select(col("grp"), col("score"), col("is_g"),
+        min("gscore").over(wm).as("normalized"))
+      .filter(col("is_g") === 0)
+      .select(col("grp"), col("score"), col("normalized"))
+  }
 }

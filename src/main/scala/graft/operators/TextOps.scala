@@ -992,4 +992,68 @@ object TextOps {
       .withColumn("diversity",
         col("n_distinct").cast("double") / col("n_total"))
   }
+
+  /** Heaps-law vocabulary-growth curve: the corpus is cut into `nBuckets`
+    * equal doc-id ranges and each bucket row reports the CUMULATIVE docs,
+    * tokens, and distinct-vocabulary counts up through that bucket — the
+    * curve data teams plot to decide whether more of a source still buys
+    * new vocabulary. Distributed form: a token's contribution to the
+    * cumulative vocab is fully determined by its MIN bucket (one groupBy),
+    * so no prefix is ever re-scanned; the only window runs over the
+    * nBuckets-row aggregate.
+    */
+  def vocabGrowth(docs: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int): DataFrame = {
+    val bounds = docs.agg(max(col(idCol).cast("long")).as("__mx"))
+    val toks = graft.Parallelism.fanOut(
+        docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__t")))
+      .crossJoin(broadcast(bounds))
+      .select(col("doc_id"),
+        expr(s"doc_id * $nBuckets DIV (__mx + 1)").as("bucket"),
+        explode(TextFns.tokens(col("__t"))).as("tok"))
+    val perBucket = toks.groupBy("bucket")
+      .agg(count(lit(1)).as("toks"), countDistinct(col("doc_id")).as("docs"))
+    val newVocab = toks.groupBy("tok").agg(min(col("bucket")).as("fb"))
+      .groupBy(col("fb").as("bucket")).agg(count(lit(1)).as("new_vocab"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    perBucket.join(newVocab, Seq("bucket"), "left")
+      .na.fill(0L, Seq("new_vocab"))
+      .select(col("bucket"),
+        sum("docs").over(w).as("docs_cum"),
+        sum("toks").over(w).as("tokens_cum"),
+        sum("new_vocab").over(w).as("vocab_cum"))
+  }
+
+  /** Zipf rank-frequency slope per group: OLS of ln(freq) on ln(rank) over
+    * each group's top-`topK` tokens. The ranked prefix comes from the
+    * bounded [[graft.functions.MinKLongStringAggregator]] fed (-count,
+    * token) — deterministic under count ties, at most topK rows per group
+    * per task on the shuffle, no per-group vocabulary sort. Logs are
+    * micro-unit integers (the q62 libm-proof pattern), so the slope is a
+    * ratio of exactly-reproducible BIGINTs.
+    */
+  def zipfSlope(docs: DataFrame, groupCol: String, textCol: String,
+      topK: Int): DataFrame = {
+    val minK = udaf(new graft.functions.MinKLongStringAggregator(topK))
+    val freq = graft.Parallelism.fanOut(
+        docs.select(col(groupCol).as("grp"), col(textCol).as("__t")))
+      .select(col("grp"), explode(TextFns.tokens(col("__t"))).as("tok"))
+      .groupBy("grp", "tok").agg(count(lit(1)).as("c"))
+    val ranked = freq.groupBy("grp")
+      .agg(minK(-col("c"), col("tok")).as("__top"))
+      .select(col("grp"), posexplode(col("__top")).as(Seq("__i", "__kv")))
+      .select(col("grp"), (col("__i") + 1).cast("long").as("rnk"),
+        (-col("__kv._1")).as("c"))
+    val m = ranked.select(col("grp"),
+      round(log(col("rnk")) * 1e6).cast("long").as("x"),
+      round(log(col("c")) * 1e6).cast("long").as("y"))
+    m.groupBy("grp").agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("grp"), col("n").as("n_ranks"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+         (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"))
+  }
 }

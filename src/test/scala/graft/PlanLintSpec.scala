@@ -37,7 +37,9 @@ class PlanLintSpec extends SparkSpec {
     "q110_unigram_kl" -> "broadcast 1-row corpus-token-total aggregate (crossJoin N)",
     "q81_snapshot_diff" -> "broadcast 1-row snapshot-cut scalar; the diff itself is a null-safe equi join",
     "q115_naive_bayes" -> "broadcast L-row class-prior relation (crossJoin labels; L = #classes)",
-    "q122_heldout_perplexity" -> "broadcast 1-row TRAIN-vocabulary-size aggregate (crossJoin V, the q62 shape)")
+    "q122_heldout_perplexity" -> "broadcast 1-row TRAIN-vocabulary-size aggregate (crossJoin V, the q62 shape)",
+    "q137_vocab_growth" -> "broadcast 1-row max-doc-id aggregate (bucket bounds)",
+    "q139_psi_drift" -> "broadcast 1-row bounds and totals aggregates (crossJoin min/max and N)")
 
   /** Queries allowed to plan a GLOBAL window (no partition columns, or a
     * constant partition) — each must window over a provably BOUNDED
@@ -51,7 +53,9 @@ class PlanLintSpec extends SparkSpec {
     "q98_temperature_mix" -> "micro-weight normalizing sum over per-source aggregates (one row per source)",
     "q104_length_histogram" -> "share-of-total window over the BINNED aggregate (≤ max_len/16 rows)",
     "q120_repetition_schedule" -> "q96's water-fill closed form over per-source aggregates (one row per source)",
-    "q124_funnel" -> "lag over the 3-row staged-count aggregate (one row per funnel stage)")
+    "q124_funnel" -> "lag over the 3-row staged-count aggregate (one row per funnel stage)",
+    "q137_vocab_growth" -> "cumulative sums over the nBuckets-row bucket aggregate (10 rows)",
+    "q140_quantile_normalize" -> "CDF windows over DISTINCT-score count grids (q97's bounded-grid argument), incl. the merged as-of grid")
 
   test("no query plans a global window over an unbounded relation") {
     import org.apache.spark.sql.execution.SparkPlan

@@ -250,4 +250,49 @@ class QualitySpec extends SparkSpec {
     // so t exists; means are exact
     assert(out(("a", "c"))._4 == 7.0 && out(("b", "c"))._4 == 7.0)
   }
+
+  test("psiDrift: identical halves give near-zero PSI, a shifted current " +
+      "half drives positive contributions") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(hour: Int) = Timestamp.valueOf(f"2024-01-01 $hour%02d:00:00")
+    // ref half (hours 0-9): values around 10; cur half (hours 10-19):
+    // half around 10, half shifted to 90 -> mass moves to the top bucket
+    val rows =
+      (0 until 10).map(h => (ts(h), 10.0 + h % 3)) ++
+      (10 until 15).map(h => (ts(h), 10.0 + h % 3)) ++
+      (15 until 20).map(h => (ts(h), 90.0))
+    val df = rows.toDF("ts", "value")
+    val out = Quality.psiDrift(df, "ts", "value", 10)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    // bottom bucket: ref keeps all 10, cur only 5 -> negative-direction
+    // drift still yields a POSITIVE contribution (sign-matched product)
+    val (cRef0, cCur0, contrib0) = out(0)
+    assert(cRef0 == 10L && cCur0 == 5L && contrib0 > 0L)
+    // top bucket: ref 0, cur 5 -> large positive contribution
+    val (cRef9, cCur9, contrib9) = out(9)
+    assert(cRef9 == 0L && cCur9 == 5L && contrib9 > contrib0)
+    assert(out.values.forall(_._3 >= 0L), "PSI contributions are never negative")
+  }
+
+  test("quantileNormalize maps each group's CDF onto the global " +
+      "inverse-CDF and preserves within-group order") {
+    import spark.implicits._
+    // group lo = {1,2,3,4}, group hi = {11,12,13,14}; global CDF over all
+    // eight: lo's quartiles map onto global scores at fractions
+    // 1/8..4/8, hi's onto 5/8..8/8
+    val df = (Seq(1, 2, 3, 4).map(("lo", _)) ++
+      Seq(11, 12, 13, 14).map(("hi", _))).toDF("src", "score")
+    val out = Quality.quantileNormalize(df, "src", "score")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // lo: fractions 0.25/0.5/0.75/1.0 -> global scores 2/4/12/14
+    assert(out(("lo", 1L)) == 2L && out(("lo", 2L)) == 4L)
+    assert(out(("lo", 3L)) == 12L && out(("lo", 4L)) == 14L)
+    // hi: same fractions -> identical normalized ladder (rank-preserving)
+    assert(out(("hi", 11L)) == 2L && out(("hi", 14L)) == 14L)
+    // monotone within each group
+    val lo = Seq(1L, 2L, 3L, 4L).map(s => out(("lo", s)))
+    assert(lo == lo.sorted)
+  }
 }

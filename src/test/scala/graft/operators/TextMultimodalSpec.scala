@@ -191,6 +191,43 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got.contains((0L, 100L, 0)))
   }
 
+  test("vocabGrowth: cumulative docs/tokens/vocab per bucket, new words " +
+      "counted at first appearance only") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // ids 0..3 with 4 buckets -> one doc per bucket; vocab grows
+    // 2 -> 3 -> 3 -> 4 (only "c" then "d" are new)
+    val docs = Seq((0L, "a b"), (1L, "a c"), (2L, "b c"), (3L, "d d d"))
+      .toDF("doc_id", "text")
+    val out = TextOps.vocabGrowth(docs, "doc_id", "text", 4)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (0L, 1L, 2L, 2L), (1L, 2L, 4L, 3L), (2L, 3L, 6L, 3L),
+      (3L, 4L, 9L, 4L)))
+  }
+
+  test("zipfSlope: pure power-law counts recover the exponent; count ties " +
+      "rank tokens alphabetically (deterministic)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // freq(tok at rank r) = 24 / r  ->  ln f = ln 24 - 1 * ln r: slope -1
+    val words = Seq("a" -> 24, "b" -> 12, "c" -> 8, "d" -> 6)
+    val text = words.flatMap { case (w, n) => Seq.fill(n)(w) }.mkString(" ")
+    val docs = Seq(("s1", text)).toDF("source", "text")
+    val slope = TextOps.zipfSlope(docs, "source", "text", 4)
+      .collect()(0).getAs[Double]("slope")
+    // micro-unit log rounding keeps it within ~1e-6 of the exact -1
+    assert(math.abs(slope - (-1.0)) < 1e-5, s"slope was $slope")
+
+    // tie case: equal counts must rank alphabetically on both engines --
+    // the slope over tied counts is exactly 0 and n_ranks is capped by k
+    val tied = Seq(("s1", "x y z x y z")).toDF("source", "text")
+    val r = TextOps.zipfSlope(tied, "source", "text", 2).collect()(0)
+    assert(r.getAs[Long]("n_ranks") == 2L)
+    assert(r.getAs[Double]("slope") == 0.0)
+  }
+
   test("chunkTokens: window/stride coverage, short last chunk, short docs") {
     import spark.implicits._
     // 10 tokens, window 4, stride 3: nchunks = floor((10-4+3-1)/3)+1 = 3
