@@ -3592,6 +3592,44 @@ object SparkEntry {
         WHERE sa.split <> sb.split
         ORDER BY id_a, id_b""")),
 
+    // Exact sample covariance matrix of the embedding dimensions (upper
+    // triangle): integer micro-grid moments in DECIMAL, one double
+    // expression at the end — bit-exact vs the oracle. Partial
+    // aggregation collapses the d(d+1)/2 pair fan-out map-side.
+    "q142_embedding_covariance" -> Q(
+      (s, dir) => Similarity.embeddingCovariance(t(s, dir, "embeddings"),
+          "vec_id", "embedding")
+        .orderBy("i", "j"),
+      Some("""WITH m AS (SELECT vec_id,
+            unnest(list_transform(range(0, len(embedding)), i ->
+              {'i': i, 'v': round(CAST(embedding[i + 1] AS DOUBLE) * 1e7)}))
+              AS u
+          FROM embeddings),
+        t AS (SELECT vec_id, CAST(u.i AS INTEGER) AS i,
+            CAST(u.v AS BIGINT) AS v FROM m),
+        p AS (SELECT a.i AS i, b.i AS j, COUNT(*) AS n,
+            SUM(a.v) AS s_i, SUM(b.v) AS s_j, SUM(a.v * b.v) AS s_ij
+          FROM t a JOIN t b ON a.vec_id = b.vec_id AND a.i <= b.i
+          GROUP BY 1, 2)
+        SELECT i, j, CAST(n AS BIGINT) AS n,
+          ((CAST(s_ij AS DOUBLE)
+            - CAST(s_i AS DOUBLE) * CAST(s_j AS DOUBLE) / n)
+           / (n - 1)) / 1e14 AS cov
+        FROM p ORDER BY i, j""")),
+
+    // PCA projection onto the top-8 principal components: driver-side
+    // deterministic Jacobi eigen over q142's exact covariance (d x d,
+    // bounded), then a map-only projection against literal component
+    // arrays. Eigen rotation is not SQL-expressible -> rows-only check;
+    // SimilaritySpec pins orthonormality, eigenvalue ordering, and that
+    // projected coordinates are decorrelated with variance = eigenvalue.
+    "q143_pca_project" -> Q(
+      (s, dir) => Similarity.pcaProject(t(s, dir, "embeddings"),
+          "vec_id", "embedding", 8)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id", "component"),
+      None),
+
     // Robust per-dimension scaling: lower median + raw MAD from grouped
     // counts — the windows run over (pos, value) count rows whose
     // partitions are bounded by the 1e7 GRID, never a whole-dimension

@@ -1028,4 +1028,145 @@ object Similarity {
           col("a.__n"), col("b.__n")).as("cos"))
       .filter(col("cos") >= minCos)
   }
+
+  /** Exact sample covariance matrix of the embedding dimensions, upper
+    * triangle (i <= j). Moments are integer micro-grid sums in
+    * DECIMAL(38,0) (the standardize/robust-scale quantization), so the
+    * matrix replays bit-exactly in the oracle; the covariance itself is
+    * one double expression over those exact integers. Shape: each row
+    * fans out to its d(d+1)/2 index pairs and partial aggregation
+    * collapses them to 2080 (d=64) running sums per task BEFORE the one
+    * shuffle — the reduce side sees #tasks x 2080 rows regardless of
+    * corpus size.
+    */
+  def embeddingCovariance(embs: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val q = graft.Parallelism.fanOut(
+        embs.select(col(idCol).as("id"), col(vecCol)))
+      .select(col("id"), quantized(col(vecCol)).as("__m"))
+    val d = size(col("__m"))
+    val pairs = q.select(explode(flatten(
+        transform(sequence(lit(0), d - 1), i =>
+          transform(sequence(i, d - 1), j =>
+            struct(i.cast("int").as("i"), j.cast("int").as("j"),
+              element_at(col("__m"), i + 1).as("mi"),
+              element_at(col("__m"), j + 1).as("mj")))))).as("e"))
+      .select(col("e.i"), col("e.j"), col("e.mi"), col("e.mj"))
+    pairs.groupBy("i", "j").agg(
+        count(lit(1)).as("n"),
+        sum(col("mi").cast("decimal(38,0)")).as("s_i"),
+        sum(col("mj").cast("decimal(38,0)")).as("s_j"),
+        sum((col("mi") * col("mj")).cast("decimal(38,0)")).as("s_ij"))
+      .select(col("i"), col("j"), col("n"),
+        (((col("s_ij").cast("double")
+           - col("s_i").cast("double") * col("s_j").cast("double") / col("n"))
+          / (col("n") - 1)) / lit(1e14)).as("cov"))
+  }
+
+  /** Deterministic cyclic Jacobi eigendecomposition of a small symmetric
+    * matrix (the d x d covariance — driver-side by design, d^2 doubles).
+    * Fixed sweep order and thresholds make the result a pure function of
+    * the input. Returns (eigenvalues, eigenvector matrix V with
+    * eigenvector c in COLUMN c).
+    */
+  private[operators] def jacobiEigen(
+      a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < n) { var j = i + 1; while (j < n) { s += a(i)(j) * a(i)(j); j += 1 }; i += 1 }
+      s
+    }
+    var sweep = 0
+    while (sweep < 64 && off() > 1e-20) {
+      var p = 0
+      while (p < n - 1) {
+        var qq = p + 1
+        while (qq < n) {
+          val apq = a(p)(qq)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(qq)(qq) - a(p)(p)) / (2 * apq)
+            val t =
+              if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1))
+              else -1.0 / (-theta + math.sqrt(theta * theta + 1))
+            val c = 1.0 / math.sqrt(t * t + 1)
+            val s = t * c
+            val app = a(p)(p); val aqq2 = a(qq)(qq)
+            a(p)(p) = app - t * apq
+            a(qq)(qq) = aqq2 + t * apq
+            a(p)(qq) = 0.0; a(qq)(p) = 0.0
+            var i = 0
+            while (i < n) {
+              if (i != p && i != qq) {
+                val aip = a(i)(p); val aiq = a(i)(qq)
+                a(i)(p) = c * aip - s * aiq; a(p)(i) = a(i)(p)
+                a(i)(qq) = s * aip + c * aiq; a(qq)(i) = a(i)(qq)
+              }
+              val vip = v(i)(p); val viq = v(i)(qq)
+              v(i)(p) = c * vip - s * viq
+              v(i)(qq) = s * vip + c * viq
+              i += 1
+            }
+          }
+          qq += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(n)(i => a(i)(i)), v)
+  }
+
+  /** PCA projection onto the top-k principal components of the exact
+    * covariance matrix. The eigenproblem is solved on the driver (d x d,
+    * bounded — same contract as the k-means centroid collects); the
+    * projection itself is a pure map-only expression over literal
+    * component arrays, so the corpus scan never shuffles. Component signs
+    * are canonicalized (largest-|coord| entry positive, ties to the
+    * lowest index) so the output is reproducible across runs. Eigen
+    * rotation is not SQL-expressible -> no DuckDB oracle; the spec pins
+    * orthonormality, variance ordering, and decorrelation instead.
+    */
+  def pcaProject(embs: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val cov = embeddingCovariance(embs, idCol, vecCol).collect()
+    val d = cov.iterator.map(_.getInt(0)).max + 1
+    val a = Array.ofDim[Double](d, d)
+    cov.foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1)
+      val c = r.getAs[Double]("cov")
+      a(i)(j) = c; a(j)(i) = c
+    }
+    val (vals, vecs) = jacobiEigen(a)
+    val order = vals.indices.sortBy(i => (-vals(i), i)).take(k)
+    val comps = order.map { c =>
+      val raw = Array.tabulate(d)(i => vecs(i)(c))
+      // canonical sign: the largest-|coord| entry (lowest index on ties)
+      // is positive
+      val pivot = raw.indices.maxBy(i => (math.abs(raw(i)), -i))
+      if (raw(pivot) < 0) raw.map(x => -x) else raw
+    }
+    val meanRows = embs
+      .select(posexplode(quantized(col(vecCol))).as(Seq("pos", "v")))
+      .groupBy("pos").agg(avg(col("v")).as("mu")).collect()
+    val mu = Array.ofDim[Double](d)
+    meanRows.foreach(r => mu(r.getInt(0)) = r.getAs[Double]("mu"))
+    val muLit = array(mu.map(lit(_)): _*)
+    val evalLit = array(order.map(c => lit(vals(c))): _*)
+    val projArr = array(comps.map { comp =>
+      val compLit = array(comp.map(lit(_)): _*)
+      aggregate(
+        zip_with(zip_with(quantized(col(vecCol)), muLit, (x, m) => x - m),
+          compLit, (x, w) => x * w),
+        lit(0.0), (acc, x) => acc + x) / lit(1e7)
+    }: _*)
+    graft.Parallelism.fanOut(embs.select(col(idCol).as("id"), col(vecCol)))
+      .select(col("id"), posexplode(projArr).as(Seq("component", "coord")))
+      .select(col("id"), col("component"),
+        element_at(evalLit, col("component") + 1).as("eigenvalue"),
+        col("coord"))
+  }
 }

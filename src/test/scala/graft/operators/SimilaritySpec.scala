@@ -354,4 +354,59 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("j").collect().map(_.getLong(2)).toSeq
     assert(out2 == expected.map(_._2 * 2))
   }
+
+  test("embeddingCovariance: hand-computed 2x2 sample covariance") {
+    import spark.implicits._
+    // vectors (1,0), (0,1), (1,1): var(x)=var(y)=1/3, cov(x,y)=-1/6
+    val v = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.embeddingCovariance(v, "vec_id", "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getAs[Double]("cov"))).toMap
+    assert(out.size == 3)
+    assert(out((0, 0))._1 == 3L)
+    assert(math.abs(out((0, 0))._2 - 1.0 / 3) < 1e-12)
+    assert(math.abs(out((1, 1))._2 - 1.0 / 3) < 1e-12)
+    assert(math.abs(out((0, 1))._2 - (-1.0 / 6)) < 1e-12)
+  }
+
+  test("pcaProject: orthonormal components, descending eigenvalues, " +
+      "decorrelated coordinates with variance = eigenvalue") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // anisotropic cloud: dim 0 has 10x the spread of dim 1, dim 2 is a
+    // mix -> a clearly ordered spectrum in a rotated basis
+    val rows = (1L to 200L).map { i =>
+      val a = rnd.nextGaussian() * 10
+      val b = rnd.nextGaussian()
+      (i, Seq((a + b).toFloat, b.toFloat, (a - b).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val proj = Similarity.pcaProject(df, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getAs[Double]("eigenvalue"), r.getAs[Double]("coord")))
+    val eigs = proj.map(p => p._2 -> p._3).distinct.sortBy(_._1).map(_._2).toSeq
+    assert(eigs.size == 3)
+    assert(eigs.zip(eigs.tail).forall { case (a, b) => a >= b })
+    // per-component sample variance equals its eigenvalue; distinct
+    // components are decorrelated (the projection diagonalizes cov)
+    val byComp = proj.groupBy(_._2).view.mapValues(_.sortBy(_._1).map(_._4)).toMap
+    val n = byComp(0).size
+    def mean(xs: Seq[Double]) = xs.sum / xs.size
+    for (c <- 0 until 3) {
+      val xs = byComp(c); val m = mean(xs)
+      val svar = xs.map(x => (x - m) * (x - m)).sum / (n - 1)
+      assert(math.abs(svar - eigs(c)) < 1e-6 * math.max(1.0, eigs(c)),
+        s"component $c variance $svar != eigenvalue ${eigs(c)}")
+    }
+    val m0 = mean(byComp(0)); val m1 = mean(byComp(1))
+    val cross = byComp(0).zip(byComp(1))
+      .map { case (x, y) => (x - m0) * (y - m1) }.sum / (n - 1)
+    assert(math.abs(cross) < 1e-6 * eigs(0), s"components correlate: $cross")
+    // determinism: a second run reproduces coordinates bit-for-bit
+    val again = Similarity.pcaProject(df, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getAs[Double]("coord")))
+    assert(again.sortBy(t => (t._1, t._2)).map(_._3).toSeq ==
+      proj.sortBy(t => (t._1, t._2)).map(t => t._4).toSeq)
+  }
 }
