@@ -3630,6 +3630,39 @@ object SparkEntry {
         .orderBy("vec_id", "component"),
       None),
 
+    // Which sources cover the same embedding region: pairwise L2 between
+    // per-source centroids. Centroids are micro-grid integers (rounded
+    // exact-DECIMAL means), the squared distance an exact BIGINT sum —
+    // only the final sqrt is floating point, so the oracle replays it
+    // bit-exactly. One corpus scan; everything after is |sources|-sized.
+    "q144_source_centroid_distances" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+        val emb = t(s, dir, "embeddings")
+          .join(docs, col("vec_id") === col("doc_id"))
+        Similarity.groupCentroidDistances(emb, "source", "embedding")
+          .withColumnRenamed("grp_a", "source_a")
+          .withColumnRenamed("grp_b", "source_b")
+          .orderBy("source_a", "source_b")
+      },
+      Some("""WITH e AS (SELECT d.source, m.embedding
+          FROM embeddings m JOIN documents d ON m.vec_id = d.doc_id),
+        c AS (SELECT source, u.pos AS pos, u.v AS v FROM (
+            SELECT source, unnest(list_transform(range(0, len(embedding)),
+              i -> {'pos': i,
+                    'v': CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1e7)
+                         AS BIGINT)})) AS u
+            FROM e)),
+        cent AS (SELECT source, pos,
+            CAST(round(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mu
+          FROM c GROUP BY 1, 2)
+        SELECT a.source AS source_a, b.source AS source_b,
+          sqrt(CAST(SUM((a.mu - b.mu) * (a.mu - b.mu)) AS DOUBLE)) / 1e7
+            AS dist
+        FROM cent a JOIN cent b
+          ON a.pos = b.pos AND a.source < b.source
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // Robust per-dimension scaling: lower median + raw MAD from grouped
     // counts — the windows run over (pos, value) count rows whose
     // partitions are bounded by the 1e7 GRID, never a whole-dimension

@@ -1120,6 +1120,32 @@ object Similarity {
     (Array.tabulate(n)(i => a(i)(i)), v)
   }
 
+  /** Pairwise L2 distances between per-group embedding centroids — the
+    * corpus-level similarity audit ("which sources cover the same
+    * region?"). Centroids are micro-grid integers (rounded exact-decimal
+    * means), so the squared distance is an exact BIGINT sum — engine-
+    * identical regardless of summation order — and only the final sqrt
+    * is floating point. Relation sizes: |groups| x d centroid rows,
+    * |groups|^2/2 output rows; the corpus is touched exactly once.
+    */
+  def groupCentroidDistances(embs: DataFrame, groupCol: String,
+      vecCol: String): DataFrame = {
+    val comps = graft.Parallelism.fanOut(
+        embs.select(col(groupCol).as("grp"), col(vecCol)))
+      .select(col("grp"), posexplode(quantized(col(vecCol))).as(Seq("pos", "v")))
+    val cent = comps.groupBy("grp", "pos")
+      .agg(count(lit(1)).as("n"), sum(col("v").cast("decimal(38,0)")).as("s"))
+      .select(col("grp"), col("pos"),
+        round(col("s").cast("double") / col("n")).cast("long").as("mu"))
+    cent.as("a").join(cent.as("b"),
+        col("a.pos") === col("b.pos") && col("a.grp") < col("b.grp"))
+      .groupBy(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"))
+      .agg(sum((col("a.mu") - col("b.mu")) * (col("a.mu") - col("b.mu")))
+        .as("__d2"))
+      .select(col("grp_a"), col("grp_b"),
+        (sqrt(col("__d2").cast("double")) / lit(1e7)).as("dist"))
+  }
+
   /** PCA projection onto the top-k principal components of the exact
     * covariance matrix. The eigenproblem is solved on the driver (d x d,
     * bounded — same contract as the k-means centroid collects); the

@@ -370,6 +370,18 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(out((0, 1))._2 - (-1.0 / 6)) < 1e-12)
   }
 
+  test("groupCentroidDistances: hand-computed centroid L2") {
+    import spark.implicits._
+    // a: centroid (1,0); b: centroid (0,4) -> dist = sqrt(17)
+    val df = Seq(("a", Seq(0f, 0f)), ("a", Seq(2f, 0f)),
+      ("b", Seq(0f, 3f)), ("b", Seq(0f, 5f))).toDF("src", "embedding")
+    val out = Similarity.groupCentroidDistances(df, "src", "embedding")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Double]("dist")).toMap
+    assert(out.size == 1)
+    assert(math.abs(out(("a", "b")) - math.sqrt(17.0)) < 1e-9)
+  }
+
   test("pcaProject: orthonormal components, descending eigenvalues, " +
       "decorrelated coordinates with variance = eigenvalue") {
     import spark.implicits._
