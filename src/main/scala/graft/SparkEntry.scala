@@ -3663,6 +3663,60 @@ object SparkEntry {
           ON a.pos = b.pos AND a.source < b.source
         GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // Document stitching: suffix->prefix 8-token overlap pairs re-join
+    // pagination/crawl fragments before dedup counts them as distinct
+    // docs. The raw corpus has no split documents, so splits are PLANTED
+    // deterministically (q52's planted-PII pattern): every doc_id % 7 = 0
+    // with >= 40 tokens is emitted as two fragments sharing an 8-token
+    // seam; the operator must recover exactly those seams (plus any
+    // coincidental ones, which both engines see identically).
+    "q145_doc_stitching" -> Q(
+      (s, dir) => {
+        val toks = graft.functions.TextFns.tokens(col("text"))
+        val base = t(s, dir, "documents")
+          .select(col("doc_id"), toks.as("__l"))
+          .withColumn("__n", size(col("__l")))
+        val isSplit = col("doc_id") % 7 === 0 && col("__n") >= 40
+        val m = expr("CAST(__n DIV 2 AS INT)")
+        val frags = base.select(explode(when(isSplit,
+            array(
+              struct((col("doc_id") * 10 + 1).as("doc_id"),
+                concat_ws(" ", slice(col("__l"), lit(1), m + 8)).as("text")),
+              struct((col("doc_id") * 10 + 2).as("doc_id"),
+                concat_ws(" ", slice(col("__l"), m + 1, col("__n") - m))
+                  .as("text"))))
+          .otherwise(array(
+            struct((col("doc_id") * 10).as("doc_id"),
+              concat_ws(" ", col("__l")).as("text"))))).as("f"))
+          .select(col("f.doc_id").as("doc_id"), col("f.text").as("text"))
+        TextOps.stitchCandidates(frags, "doc_id", "text", 8)
+          .orderBy("id_tail", "id_head")
+      },
+      Some("""WITH base AS (SELECT doc_id,
+            string_split_regex(lower(trim(text)), '\s+') AS l,
+            len(string_split_regex(lower(trim(text)), '\s+')) AS n
+          FROM documents),
+        frags AS (
+          SELECT doc_id * 10 + 1 AS doc_id,
+            array_to_string(list_slice(l, 1, n // 2 + 8), ' ') AS text
+          FROM base WHERE doc_id % 7 = 0 AND n >= 40
+          UNION ALL
+          SELECT doc_id * 10 + 2,
+            array_to_string(list_slice(l, n // 2 + 1, n), ' ')
+          FROM base WHERE doc_id % 7 = 0 AND n >= 40
+          UNION ALL
+          SELECT doc_id * 10, array_to_string(l, ' ')
+          FROM base WHERE NOT (doc_id % 7 = 0 AND n >= 40)),
+        tk2 AS (SELECT doc_id,
+            string_split_regex(lower(trim(text)), '\s+') AS l FROM frags),
+        e AS (SELECT doc_id,
+            array_to_string(list_slice(l, 1, 8), ' ') AS head,
+            array_to_string(list_slice(l, len(l) - 7, len(l)), ' ') AS tail
+          FROM tk2 WHERE len(l) >= 8)
+        SELECT a.doc_id AS id_tail, b.doc_id AS id_head, a.tail AS overlap
+        FROM e a JOIN e b ON a.tail = b.head AND a.doc_id <> b.doc_id
+        ORDER BY id_tail, id_head""")),
+
     // Robust per-dimension scaling: lower median + raw MAD from grouped
     // counts — the windows run over (pos, value) count rows whose
     // partitions are bounded by the 1e7 GRID, never a whole-dimension

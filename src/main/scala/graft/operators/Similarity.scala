@@ -855,8 +855,10 @@ object Similarity {
     scala.collection.concurrent.TrieMap
       .empty[(Int, Int, Int, Int), IndexedSeq[IndexedSeq[Array[Double]]]]
 
-  /** Drop memoized PQ codebooks (tests / underlying-data mutation). */
-  def clearModelCache(): Unit = codebookCache.clear()
+  /** Drop memoized trained models — PQ codebooks and PCA bases (tests /
+    * underlying-data mutation).
+    */
+  def clearModelCache(): Unit = { codebookCache.clear(); pcaCache.clear() }
 
   /** Memoizing front of [[trainPqCodebooks]] — see [[codebookCache]]. */
   private def pqCodebooks(base: DataFrame,
@@ -1158,6 +1160,46 @@ object Similarity {
     */
   def pcaProject(embs: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
+    val (mu, comps, evals) = pcaModel(embs, idCol, vecCol, k)
+    val muLit = array(mu.map(lit(_)): _*)
+    val evalLit = array(evals.map(lit(_)): _*)
+    val projArr = array(comps.map { comp =>
+      val compLit = array(comp.map(lit(_)): _*)
+      aggregate(
+        zip_with(zip_with(quantized(col(vecCol)), muLit, (x, m) => x - m),
+          compLit, (x, w) => x * w),
+        lit(0.0), (acc, x) => acc + x) / lit(1e7)
+    }: _*)
+    graft.Parallelism.fanOut(embs.select(col(idCol).as("id"), col(vecCol)))
+      .select(col("id"), posexplode(projArr).as(Seq("component", "coord")))
+      .select(col("id"), col("component"),
+        element_at(evalLit, col("component") + 1).as("eigenvalue"),
+        col("coord"))
+  }
+
+  /** Driver-side registry of trained PCA models, keyed like
+    * [[codebookCache]] (semantic hash of the corpus plan + k): training is
+    * a pure deterministic function of the corpus — exact-integer moments,
+    * fixed-order Jacobi — so re-running it per encode batch (or per bench
+    * rep) would recompute identical components; the PCA basis is a model
+    * artifact, not per-query state. Bounded: d(k+1)+k doubles per entry.
+    * Same invalidation caveat as Spark's relation cache — in-place
+    * mutation of the same files needs [[clearModelCache]].
+    */
+  private val pcaCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, Int), (Array[Double], Seq[Array[Double]], Seq[Double])]
+
+  private def pcaModel(embs: DataFrame, idCol: String, vecCol: String,
+      k: Int): (Array[Double], Seq[Array[Double]], Seq[Double]) =
+    pcaCache.getOrElseUpdate(
+      (embs.queryExecution.analyzed.semanticHash(), k),
+      trainPcaModel(embs, idCol, vecCol, k))
+
+  /** Collect the exact covariance + means and eigensolve (see
+    * [[pcaProject]]); (means_micro, components, eigenvalues).
+    */
+  private def trainPcaModel(embs: DataFrame, idCol: String, vecCol: String,
+      k: Int): (Array[Double], Seq[Array[Double]], Seq[Double]) = {
     val cov = embeddingCovariance(embs, idCol, vecCol).collect()
     val d = cov.iterator.map(_.getInt(0)).max + 1
     val a = Array.ofDim[Double](d, d)
@@ -1175,24 +1217,15 @@ object Similarity {
       val pivot = raw.indices.maxBy(i => (math.abs(raw(i)), -i))
       if (raw(pivot) < 0) raw.map(x => -x) else raw
     }
+    // exact-DECIMAL mean (a double avg would be partial-agg-order
+    // dependent in its last bits, breaking cross-run reproducibility)
     val meanRows = embs
       .select(posexplode(quantized(col(vecCol))).as(Seq("pos", "v")))
-      .groupBy("pos").agg(avg(col("v")).as("mu")).collect()
+      .groupBy("pos")
+      .agg((sum(col("v").cast("decimal(38,0)")).cast("double") /
+        count(lit(1))).as("mu")).collect()
     val mu = Array.ofDim[Double](d)
     meanRows.foreach(r => mu(r.getInt(0)) = r.getAs[Double]("mu"))
-    val muLit = array(mu.map(lit(_)): _*)
-    val evalLit = array(order.map(c => lit(vals(c))): _*)
-    val projArr = array(comps.map { comp =>
-      val compLit = array(comp.map(lit(_)): _*)
-      aggregate(
-        zip_with(zip_with(quantized(col(vecCol)), muLit, (x, m) => x - m),
-          compLit, (x, w) => x * w),
-        lit(0.0), (acc, x) => acc + x) / lit(1e7)
-    }: _*)
-    graft.Parallelism.fanOut(embs.select(col(idCol).as("id"), col(vecCol)))
-      .select(col("id"), posexplode(projArr).as(Seq("component", "coord")))
-      .select(col("id"), col("component"),
-        element_at(evalLit, col("component") + 1).as("eigenvalue"),
-        col("coord"))
+    (mu, comps, order.map(vals))
   }
 }

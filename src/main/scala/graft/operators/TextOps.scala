@@ -993,6 +993,30 @@ object TextOps {
         col("n_distinct").cast("double") / col("n_total"))
   }
 
+  /** Suffix→prefix continuation candidates: pairs where doc A's last `k`
+    * tokens equal doc B's first `k` tokens — how pagination/crawl
+    * fragments of one original document are found and re-assembled
+    * before dedup counts them as distinct documents. One projection
+    * computes both k-token edges; the pair list is an equi-join on the
+    * edge string, so candidate volume is bounded by edge-group sizes
+    * (boilerplate edges can be df-capped upstream), never the corpus
+    * pair count.
+    */
+  def stitchCandidates(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val toks = TextFns.tokens(col(textCol))
+    val edges = graft.Parallelism.fanOut(
+        df.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"), size(toks).as("__n"),
+        concat_ws(" ", slice(toks, 1, k)).as("__head"),
+        concat_ws(" ", slice(toks, -k, k)).as("__tail"))
+      .filter(col("__n") >= k)
+    edges.as("a").join(edges.as("b"),
+        col("a.__tail") === col("b.__head") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id_tail"), col("b.id").as("id_head"),
+        col("a.__tail").as("overlap"))
+  }
+
   /** Heaps-law vocabulary-growth curve: the corpus is cut into `nBuckets`
     * equal doc-id ranges and each bucket row reports the CUMULATIVE docs,
     * tokens, and distinct-vocabulary counts up through that bucket — the

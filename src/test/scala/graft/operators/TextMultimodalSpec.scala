@@ -191,6 +191,20 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got.contains((0L, 100L, 0)))
   }
 
+  test("stitchCandidates: tail-k == head-k pairs found, short docs and " +
+      "self-pairs excluded") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),      // tail-3 = "c d e"
+      (2L, "c d e f g"),      // head-3 = "c d e"  -> (1, 2)
+      (3L, "x y z w v"),      // unrelated
+      (4L, "c d")             // shorter than k: excluded
+    ).toDF("doc_id", "text")
+    val out = TextOps.stitchCandidates(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq == Seq((1L, 2L, "c d e")))
+  }
+
   test("vocabGrowth: cumulative docs/tokens/vocab per bucket, new words " +
       "counted at first appearance only") {
     import org.apache.spark.sql.functions.col
