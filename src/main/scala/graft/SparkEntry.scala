@@ -3717,6 +3717,43 @@ object SparkEntry {
         FROM e a JOIN e b ON a.tail = b.head AND a.doc_id <> b.doc_id
         ORDER BY id_tail, id_head""")),
 
+    // Content-defined chunking dedup: boundaries where the rolling 4-gram
+    // h60 is 0 mod 8 — content-addressed, so an inserted token shifts
+    // every FIXED segment (q82) but CDC boundaries re-synchronize right
+    // after the edit. Shared (>= 2 docs) chunks with occurrence stats;
+    // the dup aggregate is keyed by the 60-bit chunk hash.
+    "q146_cdc_chunk_dedup" -> Q(
+      (s, dir) => TextOps.cdcDupChunks(t(s, dir, "documents"), "doc_id",
+          "text", 4, 8)
+        .orderBy("chunk_fp"),
+      Some("""WITH toks AS (SELECT doc_id,
+            string_split_regex(lower(trim(text)), '\s+') AS l FROM documents),
+        pos AS (SELECT doc_id, l, len(l) AS n,
+            unnest(range(1, len(l) + 1)) AS p FROM toks),
+        g AS (SELECT doc_id, p, l[p] AS tok,
+            CASE WHEN p <= n - 3 THEN
+              CAST('0x' || substr(md5(l[p] || ' ' || l[p+1] || ' ' ||
+                l[p+2] || ' ' || l[p+3]), 1, 15) AS BIGINT)
+            END AS gh
+          FROM pos),
+        f AS (SELECT doc_id, p, tok,
+            CASE WHEN gh IS NOT NULL AND gh % 8 = 0 THEN 1 ELSE 0 END AS cut
+          FROM g),
+        c AS (SELECT doc_id, p, tok,
+            SUM(cut) OVER (PARTITION BY doc_id ORDER BY p) AS chunk_id
+          FROM f),
+        chunks AS (SELECT doc_id, chunk_id,
+            array_to_string(list(tok ORDER BY p), ' ') AS chunk,
+            COUNT(*) AS tok_len
+          FROM c GROUP BY 1, 2)
+        SELECT CAST('0x' || substr(md5(chunk), 1, 15) AS BIGINT) AS chunk_fp,
+          CAST(MIN(tok_len) AS BIGINT) AS tok_len,
+          CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+          CAST(COUNT(*) AS BIGINT) AS n_occ,
+          MIN(doc_id) AS example_doc
+        FROM chunks GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+        ORDER BY chunk_fp""")),
+
     // Robust per-dimension scaling: lower median + raw MAD from grouped
     // counts — the windows run over (pos, value) count rows whose
     // partitions are bounded by the 1e7 GRID, never a whole-dimension

@@ -993,6 +993,54 @@ object TextOps {
         col("n_distinct").cast("double") / col("n_total"))
   }
 
+  /** Content-defined chunking (CDC) dedup: chunk boundaries are cut where
+    * the rolling `gramLen`-token hash satisfies h % `avgChunk` == 0, so
+    * boundaries depend on CONTENT, not position — one inserted token
+    * shifts every fixed segment (q82's dedupSegments misses everything)
+    * but CDC boundaries re-synchronize right after the edit, which is
+    * why production dedup/storage systems chunk this way. Emits chunks
+    * shared by >= 2 documents with occurrence stats.
+    *
+    * Scale shape: one corpus scan; the per-doc cumulative-cut window and
+    * the chunk re-assembly buffer are bounded by a single document's
+    * length (the q47/q56 per-doc window contract); the dup aggregate is
+    * keyed by the 60-bit chunk hash — the skew-safe domain all the
+    * fingerprint dedup paths share. Expected chunk length is `avgChunk`
+    * grams, tunable per corpus.
+    */
+  def cdcDupChunks(df: DataFrame, idCol: String, textCol: String,
+      gramLen: Int, avgChunk: Int): DataFrame = {
+    require(gramLen >= 1 && avgChunk >= 2, s"bad CDC params: $gramLen/$avgChunk")
+    val W = org.apache.spark.sql.expressions.Window
+    val toks = graft.Parallelism.fanOut(
+        df.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"), TextFns.tokens(col("__t")).as("__l"))
+      .select(col("id"), col("__l"), posexplode(col("__l")).as(Seq("__p0", "tok")))
+      .select(col("id"), (col("__p0") + 1).as("p"), col("tok"),
+        when(col("__p0") + gramLen <= size(col("__l")),
+          graft.functions.Hashing.h60(
+            concat_ws(" ", slice(col("__l"), col("__p0") + 1, lit(gramLen)))))
+          .as("__gh"))
+      .select(col("id"), col("p"), col("tok"),
+        when(col("__gh").isNotNull && pmod(col("__gh"), lit(avgChunk)) === 0, 1)
+          .otherwise(0).as("__cut"))
+    val chunks = toks
+      .withColumn("chunk_id", sum(col("__cut")).over(
+        W.partitionBy("id").orderBy("p")))
+      .groupBy(col("id"), col("chunk_id"))
+      .agg(count(lit(1)).as("tok_len"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("p"), col("tok")))),
+          s => s.getField("tok")), " ").as("__chunk"))
+    chunks
+      .groupBy(graft.functions.Hashing.h60(col("__chunk")).as("chunk_fp"))
+      .agg(min(col("tok_len")).as("tok_len"),
+        countDistinct(col("id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("id")).as("example_doc"))
+      .filter(col("n_docs") >= 2)
+  }
+
   /** Suffix→prefix continuation candidates: pairs where doc A's last `k`
     * tokens equal doc B's first `k` tokens — how pagination/crawl
     * fragments of one original document are found and re-assembled

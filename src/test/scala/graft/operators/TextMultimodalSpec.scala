@@ -191,6 +191,25 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got.contains((0L, 100L, 0)))
   }
 
+  test("cdcDupChunks: content-defined boundaries re-sync after a 1-token " +
+      "insertion, exact dups share every chunk") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val words = (0 until 120).map(_ => "w" + rnd.nextInt(500)).mkString(" ")
+    // a fixed segmenter shares ZERO 32-token segments after a 1-token
+    // prefix shift; CDC chunks re-synchronize at the first content cut
+    val docs = Seq((1L, words), (2L, "zzz " + words)).toDF("doc_id", "text")
+    val out = TextOps.cdcDupChunks(docs, "doc_id", "text", 4, 8).collect()
+    assert(out.length >= 3, s"only ${out.length} shared chunks after shift")
+    assert(out.forall(_.getAs[Long]("n_docs") == 2L))
+    // exact duplicates share every chunk, each occurring twice
+    val dup = Seq((3L, words), (4L, words)).toDF("doc_id", "text")
+    val out2 = TextOps.cdcDupChunks(dup, "doc_id", "text", 4, 8).collect()
+    assert(out2.nonEmpty)
+    assert(out2.forall(r => r.getAs[Long]("n_occ") == 2L &&
+      r.getAs[Long]("example_doc") == 3L))
+  }
+
   test("stitchCandidates: tail-k == head-k pairs found, short docs and " +
       "self-pairs excluded") {
     import spark.implicits._
