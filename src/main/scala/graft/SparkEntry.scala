@@ -3754,6 +3754,50 @@ object SparkEntry {
         FROM chunks GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
         ORDER BY chunk_fp""")),
 
+    // Per-source dataset card: docs, tokens, token-length p50/p90 (from
+    // distinct-length count grids), language entropy (q89's micro-log
+    // identity over integer counts), exact-dup share (q19's fingerprint
+    // domain) — every stat exact-integer-derived, one row per source.
+    "q147_dataset_card" -> Q(
+      (s, dir) => Quality.datasetCard(t(s, dir, "documents"),
+          "source", "lang", "doc_id", "text")
+        .orderBy("source"),
+      Some("""WITH base AS (SELECT source, lang, doc_id,
+            len(string_split_regex(lower(trim(text)), '\s+')) AS tlen,
+            md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+          FROM documents),
+        core AS (SELECT source, COUNT(*) AS n_docs, SUM(tlen) AS n_tokens
+          FROM base GROUP BY 1),
+        lc AS (SELECT source, tlen, COUNT(*) AS c FROM base GROUP BY 1, 2),
+        lcum AS (SELECT source, tlen,
+            SUM(c) OVER (PARTITION BY source ORDER BY tlen) AS cum,
+            SUM(c) OVER (PARTITION BY source) AS n FROM lc),
+        pct AS (SELECT source,
+            CAST(MIN(CASE WHEN cum * 2 >= n THEN tlen END) AS INTEGER)
+              AS tok_p50,
+            CAST(MIN(CASE WHEN cum * 10 >= n * 9 THEN tlen END) AS INTEGER)
+              AS tok_p90
+          FROM lcum GROUP BY 1),
+        lg AS (SELECT source, lang, COUNT(*) AS c FROM base GROUP BY 1, 2),
+        ent AS (SELECT source, SUM(c) AS n,
+            SUM(c * CAST(round(ln(c) * 1e6) AS BIGINT)) AS sclc
+          FROM lg GROUP BY 1),
+        ent2 AS (SELECT source,
+            CAST(CAST(round(ln(n) * 1e6) AS BIGINT) AS DOUBLE)
+              - CAST(sclc AS DOUBLE) / n AS lang_entropy_micro FROM ent),
+        fpc AS (SELECT fp, COUNT(*) AS fcnt FROM base GROUP BY 1),
+        dup AS (SELECT source,
+            SUM(CASE WHEN fcnt >= 2 THEN 1 ELSE 0 END) AS dup_docs
+          FROM base JOIN fpc USING (fp) GROUP BY 1)
+        SELECT c.source, CAST(c.n_docs AS BIGINT) AS n_docs,
+          CAST(c.n_tokens AS BIGINT) AS n_tokens,
+          pct.tok_p50, pct.tok_p90, ent2.lang_entropy_micro,
+          CAST(dup.dup_docs AS BIGINT) AS dup_docs,
+          CAST(dup.dup_docs AS DOUBLE) / c.n_docs AS dup_share
+        FROM core c JOIN pct USING (source) JOIN ent2 USING (source)
+          JOIN dup USING (source)
+        ORDER BY c.source""")),
+
     // Robust per-dimension scaling: lower median + raw MAD from grouped
     // counts — the windows run over (pos, value) count rows whose
     // partitions are bounded by the 1e7 GRID, never a whole-dimension

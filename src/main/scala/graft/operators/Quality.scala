@@ -464,6 +464,50 @@ object Quality {
         .cast("long").as("contrib_micro"))
   }
 
+  /** Per-source dataset card: the one-row-per-source summary a data team
+    * exports with a corpus (docs, tokens, token-length p50/p90, language
+    * entropy, exact-dup share). Every statistic is exact-integer-derived
+    * so the card hash-matches the oracle: percentiles come from
+    * DISTINCT-length count grids (windows bounded by the length grid,
+    * q97's argument), entropy from the q89 micro-log identity
+    * H = ln n − (Σ c·ln c)/n over integer counts, and the dup share from
+    * the corpus-wide full-text fingerprint counts (q19's domain).
+    */
+  def datasetCard(docs: DataFrame, sourceCol: String, langCol: String,
+      idCol: String, textCol: String): DataFrame = {
+    val base = graft.CacheScope.register(graft.Parallelism.fanOut(
+        docs.select(col(sourceCol).as("source"), col(langCol).as("lang"),
+          col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("source"), col("lang"), col("id"),
+        size(graft.functions.TextFns.tokens(col("__t"))).as("len"),
+        graft.functions.TextFns.fingerprint(col("__t")).as("fp")))
+    val core = base.groupBy("source").agg(
+      count(lit(1)).as("n_docs"), sum(col("len")).as("n_tokens"))
+    val lc = base.groupBy("source", "len").agg(count(lit(1)).as("c"))
+    val wsrc = Window.partitionBy("source").orderBy("len")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lcum = lc.select(col("source"), col("len"),
+      sum("c").over(wsrc).as("cum"),
+      sum("c").over(Window.partitionBy("source")).as("n"))
+    val pct = lcum.groupBy("source").agg(
+      min(when(col("cum") * 2 >= col("n"), col("len"))).as("tok_p50"),
+      min(when(col("cum") * 10 >= col("n") * 9, col("len"))).as("tok_p90"))
+    val lang = base.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      .groupBy("source").agg(sum(col("c")).as("n"),
+        sum(col("c") * round(log(col("c")) * 1e6).cast("long")).as("sclc"))
+      .select(col("source"),
+        (round(log(col("n")) * 1e6).cast("long").cast("double")
+          - col("sclc").cast("double") / col("n")).as("lang_entropy_micro"))
+    val fpc = base.groupBy("fp").agg(count(lit(1)).as("fcnt"))
+    val dup = base.join(fpc, "fp").groupBy("source").agg(
+      sum(when(col("fcnt") >= 2, 1L).otherwise(0L)).as("dup_docs"))
+    core.join(pct, "source").join(lang, "source").join(dup, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("tok_p50"), col("tok_p90"), col("lang_entropy_micro"),
+        col("dup_docs"),
+        (col("dup_docs").cast("double") / col("n_docs")).as("dup_share"))
+  }
+
   /** Cross-group quantile normalization: each (group, score) is mapped to
     * the global score at the same quantile — the rank-preserving transform
     * that puts per-source quality scores on one comparable scale before

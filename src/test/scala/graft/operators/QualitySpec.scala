@@ -276,6 +276,31 @@ class QualitySpec extends SparkSpec {
     assert(out.values.forall(_._3 >= 0L), "PSI contributions are never negative")
   }
 
+  test("datasetCard: hand-computed per-source stats (counts, percentiles, " +
+      "entropy, dup share)") {
+    import spark.implicits._
+    val docs = Seq(
+      // src a: 4 docs, two exact dups, langs en/en/de/de, lens 2,2,2,3
+      (1L, "a", "en", "x y"), (2L, "a", "en", "x y"),
+      (3L, "a", "de", "p q"), (4L, "a", "de", "p q r"),
+      // src b: 1 doc, single lang -> entropy 0, no dups
+      (5L, "b", "en", "m n o")
+    ).toDF("doc_id", "source", "lang", "text")
+    val out = Quality.datasetCard(docs, "source", "lang", "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Long]("n_docs") == 4L && a.getAs[Long]("n_tokens") == 9L)
+    assert(a.getAs[Int]("tok_p50") == 2 && a.getAs[Int]("tok_p90") == 3)
+    // two equally-likely langs -> H = ln 2
+    assert(math.abs(a.getAs[Double]("lang_entropy_micro") -
+      math.log(2) * 1e6) < 1.0)
+    assert(a.getAs[Long]("dup_docs") == 2L &&
+      a.getAs[Double]("dup_share") == 0.5)
+    val b = out("b")
+    assert(math.abs(b.getAs[Double]("lang_entropy_micro")) < 1.0)
+    assert(b.getAs[Long]("dup_docs") == 0L)
+  }
+
   test("quantileNormalize maps each group's CDF onto the global " +
       "inverse-CDF and preserves within-group order") {
     import spark.implicits._
