@@ -118,6 +118,42 @@ object StreamPipeline {
       .select(col("w.start").as("session_start"),
         col("w.end").as("session_end"), col(keyCol), col("n_events"))
 
+  /** Streaming drift monitor — the streaming face of the batch PSI
+    * report (q139): each tumbling window's value histogram is compared
+    * to a REFERENCE histogram (the small per-bucket counts of a
+    * training/baseline corpus, provided by the driver), emitting one
+    * add-one-smoothed PSI row per closed window. The histogram is
+    * unrolled into per-bucket sum columns of a SINGLE windowed
+    * aggregation (one stateful operator, watermark-bounded state —
+    * chained streaming aggregations would need a second state store),
+    * and the PSI arithmetic is a stateless projection after it. Works
+    * identically on batch frames (the watermark is a no-op).
+    */
+  def driftMonitor(df: DataFrame, tsCol: String, valueCol: String,
+      lo: Double, hi: Double, reference: Seq[Long],
+      windowLen: String = "1 hour", lateness: String = "1 hour"): DataFrame = {
+    require(reference.nonEmpty && hi > lo, "need buckets and a real range")
+    val nb = reference.size
+    val nRef = reference.sum
+    val bucket = least(lit(nb - 1), greatest(lit(0),
+      floor((col(valueCol) - lo) * nb / (hi - lo)).cast("int")))
+    val counts = (0 until nb).map(b =>
+      sum(when(col("__b") === b, 1L).otherwise(0L)).as(s"c$b"))
+    val agg = df.filter(col(valueCol).isNotNull)
+      .withColumn("__b", bucket)
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowLen).as("w"))
+      .agg(counts.head, counts.tail: _*)
+    val nCur = (0 until nb).map(b => col(s"c$b")).reduce(_ + _)
+    val psi = (0 until nb).map { b =>
+      val pc = (col(s"c$b") + 1.0) / (nCur + nb)
+      val pr = lit((reference(b) + 1.0) / (nRef.toDouble + nb))
+      (pc - pr) * (log(pc) - log(pr))
+    }.reduce(_ + _)
+    agg.select(col("w.start").as("window_start"), nCur.as("n_events"),
+      psi.as("psi"))
+  }
+
   /** Streaming exact dedup with BOUNDED state (the W2 replay-drop for
     * arbitrary keys): duplicate rows on `keys` arriving within the
     * event-time watermark horizon are dropped, and per-key state is

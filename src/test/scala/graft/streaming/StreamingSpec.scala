@@ -56,6 +56,36 @@ class StreamingSpec extends SparkSpec {
       (ts("2024-06-01 10:00:00"), "S2", 1L, 5.0)))
   }
 
+  test("driftMonitor: per-window PSI vs a reference histogram — matching " +
+      "window scores near zero, shifted window scores high") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Observation]
+    // reference: uniform over 2 buckets of [0, 10)
+    val reference = Seq(50L, 50L)
+    // hour 10: balanced (matches reference); hour 11: all mass in bucket 1
+    mem.addData(
+      obs("S1", "2024-06-01 10:05:00", 2.0),
+      obs("S1", "2024-06-01 10:10:00", 8.0),
+      obs("S1", "2024-06-01 11:05:00", 9.0),
+      obs("S1", "2024-06-01 11:10:00", 9.5),
+      obs("S1", "2024-06-01 11:15:00", 8.5))
+    val q = StreamPipeline.driftMonitor(mem.toDF(), "timestamp",
+        "temperature", 0.0, 10.0, reference)
+      .writeStream.format("memory").queryName("drift")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("drift").collect()
+      .map(r => r.getAs[Timestamp]("window_start") ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("psi"))).toMap
+    val (nBal, psiBal) = rows(ts("2024-06-01 10:00:00"))
+    val (nShift, psiShift) = rows(ts("2024-06-01 11:00:00"))
+    assert(nBal == 2L && nShift == 3L)
+    assert(psiBal >= 0.0 && psiShift > psiBal,
+      s"balanced $psiBal should undercut shifted $psiShift")
+    assert(psiShift > 0.1, s"fully-shifted window should alarm: $psiShift")
+  }
+
   test("sessionStats: session_window merges events within the gap and " +
       "splits on silence, per key") {
     import spark.implicits._
