@@ -17,11 +17,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * vectorizes, and it composes with the rest of the operator's codegen
   * stage (no pipeline break).
   *
-  * Evaluates over the element-count minimum of the two arrays; null array
-  * → null (standard BinaryExpression null semantics); elements are assumed
-  * non-null (the quantization projections produce them).
+  * Two modes:
+  *   - default (`strict = false`, the hand-written similarity kernels):
+  *     evaluates over the element-count minimum, elements assumed non-null
+  *     (the quantization projections produce them).
+  *   - `strict = true` (the [[graft.plans.DotProductRewrite]] optimizer
+  *     rule): NULL on length mismatch or any null element — exactly the
+  *     semantics of `aggregate(zip_with(a, b, _ * _), 0.0, _ + _)`, whose
+  *     zip null-pads the shorter array and poisons the sum. The rewrite
+  *     must preserve those semantics bit-for-bit, and the summation order
+  *     (ascending index) already matches the sequential fold.
   */
-case class ArrayDotProduct(left: Expression, right: Expression)
+case class ArrayDotProduct(left: Expression, right: Expression,
+    strict: Boolean = false)
     extends BinaryExpression with Serializable {
 
   override def checkInputDataTypes(): TypeCheckResult = {
@@ -37,13 +45,20 @@ case class ArrayDotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  override def nullable: Boolean = strict || super.nullable
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    if (strict && x.numElements() != y.numElements()) return null
     val n = math.min(x.numElements(), y.numElements())
     var sum = 0.0
     var i = 0
-    while (i < n) { sum += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (strict && (x.isNullAt(i) || y.isNullAt(i))) return null
+      sum += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     sum
   }
 
@@ -52,13 +67,27 @@ case class ArrayDotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val sum = ctx.freshName("sum")
+      val strictPre =
+        if (strict)
+          s"""
+             |if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
+           """.stripMargin
+        else ""
+      val strictNullCheck =
+        if (strict)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $sum = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $sum += $a.getDouble($i) * $b.getDouble($i);
+         |$strictPre
+         |if (!${ev.isNull}) {
+         |  int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |  double $sum = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $strictNullCheck
+         |    $sum += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $sum; }
          |}
-         |${ev.value} = $sum;
        """.stripMargin
     })
 

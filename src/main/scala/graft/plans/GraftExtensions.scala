@@ -12,6 +12,9 @@ import graft.functions.{ArrayDotProduct, BloomMightContain}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // declarative aggregate(zip_with(a,b,*),0,+) dot products -> native
+    // codegen'd array_dot (strict mode preserves null/length semantics)
+    ext.injectOptimizerRule(_ => DotProductRewrite)
     ext.injectFunction((
       FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot"),
