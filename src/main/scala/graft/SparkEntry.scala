@@ -3798,6 +3798,49 @@ object SparkEntry {
           JOIN dup USING (source)
         ORDER BY c.source""")),
 
+    // Duplicate-token share per source: the fraction of each source's
+    // tokens inside CDC chunks shared by >= 2 docs corpus-wide — the
+    // impact metric that decides whether chunk-level dedup is worth
+    // running on a source. Exact integer token counts from q146's
+    // chunking; one double ratio.
+    "q148_dup_token_share" -> Q(
+      (s, dir) => TextOps.dupTokenShare(t(s, dir, "documents"), "doc_id",
+          "source", "text", 4, 8)
+        .withColumnRenamed("grp", "source")
+        .orderBy("source"),
+      Some("""WITH toks AS (SELECT doc_id,
+            string_split_regex(lower(trim(text)), '\s+') AS l FROM documents),
+        pos AS (SELECT doc_id, l, len(l) AS n,
+            unnest(range(1, len(l) + 1)) AS p FROM toks),
+        g AS (SELECT doc_id, p, l[p] AS tok,
+            CASE WHEN p <= n - 3 THEN
+              CAST('0x' || substr(md5(l[p] || ' ' || l[p+1] || ' ' ||
+                l[p+2] || ' ' || l[p+3]), 1, 15) AS BIGINT)
+            END AS gh
+          FROM pos),
+        f AS (SELECT doc_id, p, tok,
+            CASE WHEN gh IS NOT NULL AND gh % 8 = 0 THEN 1 ELSE 0 END AS cut
+          FROM g),
+        c AS (SELECT doc_id, p, tok,
+            SUM(cut) OVER (PARTITION BY doc_id ORDER BY p) AS chunk_id
+          FROM f),
+        chunks AS (SELECT doc_id, chunk_id,
+            CAST('0x' || substr(md5(array_to_string(list(tok ORDER BY p), ' ')), 1, 15)
+              AS BIGINT) AS chunk_fp,
+            COUNT(*) AS tok_len
+          FROM c GROUP BY 1, 2),
+        shared AS (SELECT chunk_fp,
+            COUNT(DISTINCT doc_id) >= 2 AS is_shared FROM chunks GROUP BY 1)
+        SELECT d.source,
+          CAST(SUM(ch.tok_len) AS BIGINT) AS n_tokens,
+          CAST(SUM(CASE WHEN s.is_shared THEN ch.tok_len ELSE 0 END)
+            AS BIGINT) AS dup_tokens,
+          CAST(SUM(CASE WHEN s.is_shared THEN ch.tok_len ELSE 0 END)
+            AS DOUBLE) / SUM(ch.tok_len) AS dup_share
+        FROM chunks ch JOIN shared s USING (chunk_fp)
+          JOIN documents d USING (doc_id)
+        GROUP BY 1 ORDER BY 1""")),
+
     // Robust per-dimension scaling: lower median + raw MAD from grouped
     // counts — the windows run over (pos, value) count rows whose
     // partitions are bounded by the 1e7 GRID, never a whole-dimension

@@ -1008,7 +1008,12 @@ object TextOps {
     * fingerprint dedup paths share. Expected chunk length is `avgChunk`
     * grams, tunable per corpus.
     */
-  def cdcDupChunks(df: DataFrame, idCol: String, textCol: String,
+  /** CDC chunk INSTANCES: one row per (doc, chunk) with the chunk's
+    * 60-bit content hash — the shared kernel of [[cdcDupChunks]] and
+    * [[dupTokenShare]]. See cdcDupChunks for the boundary rule and scale
+    * contract.
+    */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
       gramLen: Int, avgChunk: Int): DataFrame = {
     require(gramLen >= 1 && avgChunk >= 2, s"bad CDC params: $gramLen/$avgChunk")
     val W = org.apache.spark.sql.expressions.Window
@@ -1024,7 +1029,7 @@ object TextOps {
       .select(col("id"), col("p"), col("tok"),
         when(col("__gh").isNotNull && pmod(col("__gh"), lit(avgChunk)) === 0, 1)
           .otherwise(0).as("__cut"))
-    val chunks = toks
+    toks
       .withColumn("chunk_id", sum(col("__cut")).over(
         W.partitionBy("id").orderBy("p")))
       .groupBy(col("id"), col("chunk_id"))
@@ -1032,13 +1037,41 @@ object TextOps {
         array_join(transform(
           array_sort(collect_list(struct(col("p"), col("tok")))),
           s => s.getField("tok")), " ").as("__chunk"))
-    chunks
-      .groupBy(graft.functions.Hashing.h60(col("__chunk")).as("chunk_fp"))
+      .select(col("id"), col("chunk_id"), col("tok_len"),
+        graft.functions.Hashing.h60(col("__chunk")).as("chunk_fp"))
+  }
+
+  def cdcDupChunks(df: DataFrame, idCol: String, textCol: String,
+      gramLen: Int, avgChunk: Int): DataFrame =
+    cdcChunks(df, idCol, textCol, gramLen, avgChunk)
+      .groupBy("chunk_fp")
       .agg(min(col("tok_len")).as("tok_len"),
         countDistinct(col("id")).as("n_docs"),
         count(lit(1)).as("n_occ"),
         min(col("id")).as("example_doc"))
       .filter(col("n_docs") >= 2)
+
+  /** Duplicate-token share per group: the fraction of each group's tokens
+    * sitting inside CDC chunks shared by >= 2 documents corpus-wide —
+    * "how much of this source would chunk-level dedup delete", the
+    * impact metric that decides whether running the dedup is worth it.
+    * Exact integer token counts; one double ratio at the end.
+    */
+  def dupTokenShare(df: DataFrame, idCol: String, groupCol: String,
+      textCol: String, gramLen: Int, avgChunk: Int): DataFrame = {
+    val inst = graft.CacheScope.register(
+      cdcChunks(df, idCol, textCol, gramLen, avgChunk))
+    val shared = inst.groupBy("chunk_fp")
+      .agg(countDistinct(col("id")).as("__nd"))
+      .select(col("chunk_fp"), (col("__nd") >= 2).as("__shared"))
+    val grouped = df.select(col(idCol).as("id"), col(groupCol).as("grp"))
+    inst.join(shared, "chunk_fp").join(grouped, "id")
+      .groupBy("grp")
+      .agg(sum(col("tok_len")).as("n_tokens"),
+        sum(when(col("__shared"), col("tok_len")).otherwise(0L))
+          .as("dup_tokens"))
+      .select(col("grp"), col("n_tokens"), col("dup_tokens"),
+        (col("dup_tokens").cast("double") / col("n_tokens")).as("dup_share"))
   }
 
   /** Suffix→prefix continuation candidates: pairs where doc A's last `k`
