@@ -3841,6 +3841,40 @@ object SparkEntry {
           JOIN documents d USING (doc_id)
         GROUP BY 1 ORDER BY 1""")),
 
+    // Linear multi-touch attribution: each purchase's value split equally
+    // across the user's views in the preceding 7 days, rolled up by the
+    // view's hour-of-day — the multi-touch complement of q32's
+    // last-touch. Credits are micro-units rounded per (purchase, hour)
+    // cell, so the rollup is an order-independent BIGINT sum; the pair
+    // join is equi on the user with the window as residual.
+    "q149_linear_attribution" -> Q(
+      (s, dir) => Analytics.linearAttribution(t(s, dir, "events"),
+          "user_id", "ts", "event_type", "value", "view", "purchase", 7)
+        .orderBy("view_hour"),
+      Some("""WITH v AS (SELECT user_id AS u,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS vt,
+            hour(CAST(ts AS TIMESTAMP)) AS view_hour
+          FROM events WHERE event_type = 'view'),
+        p AS (SELECT user_id AS u, event_id AS pid,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS pt,
+            CAST(round(value * 1e6) AS BIGINT) AS v_micro
+          FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+        pairs AS (SELECT p.pid, p.v_micro, v.view_hour
+          FROM p JOIN v ON p.u = v.u AND v.vt <= p.pt
+            AND v.vt >= p.pt - 604800000000),
+        per_purchase AS (SELECT pid, v_micro, COUNT(*) AS n_views
+          FROM pairs GROUP BY 1, 2),
+        per_cell AS (SELECT pr.view_hour,
+            CAST(round(pp.v_micro * pr.c_h / pp.n_views) AS BIGINT)
+              AS credit_micro
+          FROM (SELECT pid, view_hour, COUNT(*) AS c_h
+                FROM pairs GROUP BY 1, 2) pr
+          JOIN per_purchase pp USING (pid))
+        SELECT CAST(view_hour AS INTEGER) AS view_hour,
+          CAST(COUNT(*) AS BIGINT) AS n_cells,
+          CAST(SUM(credit_micro) AS BIGINT) AS attributed_micro
+        FROM per_cell GROUP BY 1 ORDER BY 1""")),
+
     // Robust per-dimension scaling: lower median + raw MAD from grouped
     // counts — the windows run over (pos, value) count rows whose
     // partitions are bounded by the 1e7 GRID, never a whole-dimension

@@ -67,28 +67,35 @@ case class ArrayDotProduct(left: Expression, right: Expression,
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val sum = ctx.freshName("sum")
-      val strictPre =
-        if (strict)
-          s"""
-             |if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
-           """.stripMargin
-        else ""
-      val strictNullCheck =
-        if (strict)
-          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
-        else ""
-      s"""
-         |$strictPre
-         |if (!${ev.isNull}) {
-         |  int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |  double $sum = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $strictNullCheck
-         |    $sum += $a.getDouble($i) * $b.getDouble($i);
-         |  }
-         |  if (!${ev.isNull}) { ${ev.value} = $sum; }
-         |}
-       """.stripMargin
+      if (!strict) {
+        // pristine hot path: no isNull references (safe under codegen
+        // function splitting), exactly the pre-strict code
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $sum = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $sum += $a.getDouble($i) * $b.getDouble($i);
+           |}
+           |${ev.value} = $sum;
+         """.stripMargin
+      } else {
+        // strict: may flip ev.isNull (nullSafeCodeGen documents that the
+        // result code may change nullability); bad-state tracked in a
+        // local so ev.isNull is touched exactly once
+        val bad = ctx.freshName("bad")
+        s"""
+           |boolean $bad = $a.numElements() != $b.numElements();
+           |double $sum = 0.0;
+           |if (!$bad) {
+           |  int $n = $a.numElements();
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+           |    $sum += $a.getDouble($i) * $b.getDouble($i);
+           |  }
+           |}
+           |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $sum; }
+         """.stripMargin
+      }
     })
 
   override protected def withNewChildrenInternal(

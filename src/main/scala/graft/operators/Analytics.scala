@@ -151,4 +151,51 @@ object Analytics {
       .select(col("from_type"), col("to_type"), col("n"),
         (col("n").cast("double") / col("__n_from").cast("double")).as("p"))
   }
+
+  /** Linear multi-touch attribution: each purchase's value is split
+    * EQUALLY across the user's qualifying views (at-or-before the
+    * purchase, within `windowDays`), then rolled up by the view's
+    * hour-of-day — "which hours' impressions actually convert", the
+    * multi-touch complement of q32's last-touch as-of join. Credits are
+    * integer micro-units rounded PER (purchase, hour) cell — round(v·c/n)
+    * — so the rollup is a summation-order-independent BIGINT aggregate.
+    *
+    * Scale shape: the view×purchase pair join is an EQUI join on the
+    * user (hash/SMJ, never a nested loop) with the time window as a
+    * residual condition, so pair volume is bounded by per-user activity
+    * within the window, the q32/q130 contract; everything after is a
+    * ≤ 24-row rollup.
+    */
+  def linearAttribution(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, valueCol: String, viewType: String,
+      purchaseType: String, windowDays: Int,
+      purchaseIdCol: String = "event_id"): DataFrame = {
+    val micros = (c: Column) => unix_micros(c.cast("timestamp"))
+    val windowMicros = windowDays.toLong * 86400L * 1000000L
+    val v = events.filter(col(typeCol) === viewType)
+      .select(col(userCol).as("u"), micros(col(tsCol)).as("vt"),
+        hour(col(tsCol).cast("timestamp")).as("view_hour"))
+    val p = events.filter(col(typeCol) === purchaseType &&
+        col(valueCol).isNotNull)
+      .select(col(userCol).as("u"), col(purchaseIdCol).as("pid"),
+        micros(col(tsCol)).as("pt"),
+        round(col(valueCol) * 1e6).cast("long").as("v_micro"))
+    val pairs = p.as("p").join(v.as("v"),
+        col("p.u") === col("v.u")
+          && col("v.vt") <= col("p.pt")
+          && col("v.vt") >= col("p.pt") - windowMicros)
+      .select(col("p.pid").as("pid"), col("p.v_micro").as("v_micro"),
+        col("v.view_hour").as("view_hour"))
+    val perPurchase = pairs.groupBy("pid", "v_micro")
+      .agg(count(lit(1)).as("n_views"))
+    val perCell = pairs.groupBy("pid", "view_hour")
+      .agg(count(lit(1)).as("c_h"))
+      .join(perPurchase, "pid")
+      .select(col("view_hour"),
+        round(col("v_micro") * col("c_h") / col("n_views")).cast("long")
+          .as("credit_micro"))
+    perCell.groupBy("view_hour")
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("credit_micro")).as("attributed_micro"))
+  }
 }

@@ -107,4 +107,24 @@ class TemporalSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(out == Set(("b", "a"), ("a", "c")))  // order is b(1), a(2), c(3)
   }
+
+  test("linearAttribution: purchase value split equally over in-window " +
+      "views, out-of-window and other-user views excluded") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: two views (hours 9, 10) then a 3.0 purchase at 11
+      (1L, 1L, "view", ts("2024-01-05 09:00:00"), Option.empty[Double]),
+      (2L, 1L, "view", ts("2024-01-05 10:00:00"), Option.empty[Double]),
+      (3L, 1L, "purchase", ts("2024-01-05 11:00:00"), Some(3.0)),
+      // user 1: a view 8 days earlier — outside the 7-day window
+      (4L, 1L, "view", ts("2023-12-28 09:00:00"), Option.empty[Double]),
+      // user 2's view must not absorb user 1's purchase
+      (5L, 2L, "view", ts("2024-01-05 09:30:00"), Option.empty[Double])
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    val out = Analytics.linearAttribution(ev, "user_id", "ts", "event_type",
+        "value", "view", "purchase", 7)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    // 3.0 split over the two qualifying views -> 1.5e6 micro each
+    assert(out == Map(9 -> 1500000L, 10 -> 1500000L))
+  }
 }
