@@ -3875,6 +3875,46 @@ object SparkEntry {
           CAST(SUM(credit_micro) AS BIGINT) AS attributed_micro
         FROM per_cell GROUP BY 1 ORDER BY 1""")),
 
+    // Language-ID accuracy per source with a Wilson 95% interval: the
+    // classifier-eval staple (rate ± CI per slice). The interval is a
+    // fixed closed-form IEEE sequence over exact (k, n) counts and the
+    // literal z — sqrt is correctly rounded per IEEE, so the oracle
+    // replays it bit-exactly; no t/normal CDFs involved.
+    "q150_langid_accuracy_ci" -> Q(
+      (s, dir) => Quality.groupedWilson(
+          TextOps.langId(t(s, dir, "documents"), "text", "predicted"),
+          "source", col("predicted") === col("lang"))
+        .withColumnRenamed("grp", "source")
+        .orderBy("source"),
+      Some {
+        val score = TextOps.langLexicons.map { case (lang, lex) =>
+          val list = lex.map(w => s"'$w'").mkString(", ")
+          s"len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t IN ($list))) AS s_$lang"
+        }.mkString(", ")
+        val langs = TextOps.langLexicons.map(_._1)
+        val greatestAll = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+        val caseChain = langs.map(l => s"WHEN s_$l >= $greatestAll AND s_$l > 0 THEN '$l'")
+          .mkString(" ")
+        // CAST the z literal: DuckDB parses bare 1.96 as DECIMAL, making
+        // 1.96*1.96 the exact 3.8416 rather than the IEEE double product
+        // Spark computes — a 1-ulp drift in the interval
+        val p = "CAST(k AS DOUBLE) / n"
+        val zz = "(CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))"
+        val denom = s"(1.0 + $zz / n)"
+        val center = s"(($p + $zz / (2.0 * n)) / $denom)"
+        val half = s"((1.96 * sqrt($p * (1.0 - $p) / n + $zz / (4.0 * n * n))) / $denom)"
+        s"""WITH scored AS (SELECT source, lang, $score FROM documents),
+          pred AS (SELECT source,
+            (CASE $caseChain ELSE 'und' END) = lang AS hit FROM scored),
+          agg AS (SELECT source, COUNT(*) AS n,
+            SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS k FROM pred GROUP BY 1)
+          SELECT source, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+            $p AS rate,
+            greatest(CAST(0.0 AS DOUBLE), $center - $half) AS ci_lo,
+            least(CAST(1.0 AS DOUBLE), $center + $half) AS ci_hi
+          FROM agg ORDER BY source"""
+      }),
+
     // Robust per-dimension scaling: lower median + raw MAD from grouped
     // counts — the windows run over (pos, value) count rows whose
     // partitions are bounded by the 1e7 GRID, never a whole-dimension

@@ -464,6 +464,32 @@ object Quality {
         .cast("long").as("contrib_micro"))
   }
 
+  /** Per-group binomial rate with a Wilson 95% score interval — the
+    * classifier-eval staple (accuracy/pass-rate ± CI per slice). The
+    * interval is a fixed closed-form IEEE sequence over the two exact
+    * counts (k, n) and the literal z, so it reproduces bit-for-bit in
+    * the oracle (sqrt is correctly rounded per IEEE 754); no libm
+    * distribution functions involved. One aggregate; output is
+    * |groups|-sized.
+    */
+  def groupedWilson(df: DataFrame, groupCol: String, hitCol: Column,
+      z: Double = 1.96): DataFrame = {
+    val agg = df.groupBy(col(groupCol).as("grp")).agg(
+      count(lit(1)).as("n"),
+      sum(when(hitCol, 1L).otherwise(0L)).as("k"))
+    val zz = lit(z) * lit(z)
+    val p = col("k").cast("double") / col("n")
+    val denom = lit(1.0) + zz / col("n")
+    val center = (p + zz / (lit(2.0) * col("n"))) / denom
+    val half = (lit(z) * sqrt(p * (lit(1.0) - p) / col("n") +
+      zz / (lit(4.0) * col("n") * col("n")))) / denom
+    // clamp to [0,1]: the Wilson bounds are mathematically inside the
+    // unit interval but the IEEE sequence can overshoot by an ulp
+    agg.select(col("grp"), col("n"), col("k"), p.as("rate"),
+      greatest(lit(0.0), center - half).as("ci_lo"),
+      least(lit(1.0), center + half).as("ci_hi"))
+  }
+
   /** Per-source dataset card: the one-row-per-source summary a data team
     * exports with a corpus (docs, tokens, token-length p50/p90, language
     * entropy, exact-dup share). Every statistic is exact-integer-derived

@@ -301,6 +301,29 @@ class QualitySpec extends SparkSpec {
     assert(b.getAs[Long]("dup_docs") == 0L)
   }
 
+  test("groupedWilson: closed-form interval matches a hand computation " +
+      "and brackets the rate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = (Seq.fill(3)(("a", true)) ++ Seq.fill(22)(("a", false)) ++
+      Seq.fill(5)(("b", true))).toDF("src", "hit")
+    val out = Quality.groupedWilson(df, "src", col("hit"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getAs[Double]("rate"),
+          r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))).toMap
+    val (n, k, rate, lo, hi) = out("a")
+    assert(n == 25L && k == 3L && rate == 0.12)
+    val z = 1.96; val zz = z * z; val p = 3.0 / 25
+    val denom = 1.0 + zz / 25
+    val center = (p + zz / (2.0 * 25)) / denom
+    val half = (z * math.sqrt(p * (1.0 - p) / 25 + zz / (4.0 * 25 * 25))) / denom
+    assert(lo == center - half && hi == center + half)
+    assert(lo > 0 && lo < rate && rate < hi && hi < 1)
+    // all-hit group: interval still proper (Wilson never exceeds [0,1])
+    val (_, _, rb, lob, hib) = out("b")
+    assert(rb == 1.0 && lob > 0.5 && hib <= 1.0)
+  }
+
   test("quantileNormalize maps each group's CDF onto the global " +
       "inverse-CDF and preserves within-group order") {
     import spark.implicits._
