@@ -3875,6 +3875,31 @@ object SparkEntry {
           CAST(SUM(credit_micro) AS BIGINT) AS attributed_micro
         FROM per_cell GROUP BY 1 ORDER BY 1""")),
 
+    // Pairwise vocabulary Jaccard between sources — the lexical face of
+    // the corpus-overlap audit (q144 embeddings, q116 shingles). Exact
+    // counts; per-token pair fan-out bounded by the source count.
+    "q151_source_vocab_jaccard" -> Q(
+      (s, dir) => TextOps.vocabJaccard(t(s, dir, "documents"), "source",
+          "text")
+        .withColumnRenamed("grp_a", "source_a")
+        .withColumnRenamed("grp_b", "source_b")
+        .orderBy("source_a", "source_b"),
+      Some("""WITH post AS (SELECT DISTINCT source,
+            unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+          FROM documents),
+        sizes AS (SELECT source, COUNT(*) AS sz FROM post GROUP BY 1),
+        inter AS (SELECT a.source AS source_a, b.source AS source_b,
+            COUNT(*) AS inter
+          FROM post a JOIN post b
+            ON a.tok = b.tok AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT source_a, source_b, CAST(inter AS BIGINT) AS inter,
+          CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
+          CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+        FROM inter JOIN sizes sa ON source_a = sa.source
+                   JOIN sizes sb ON source_b = sb.source
+        ORDER BY source_a, source_b""")),
+
     // Language-ID accuracy per source with a Wilson 95% interval: the
     // classifier-eval staple (rate ± CI per slice). The interval is a
     // fixed closed-form IEEE sequence over exact (k, n) counts and the

@@ -993,6 +993,35 @@ object TextOps {
         col("n_distinct").cast("double") / col("n_total"))
   }
 
+  /** Pairwise vocabulary Jaccard between groups: |Va ∩ Vb| over
+    * |Va ∪ Vb| from the distinct (group, token) posting relation — the
+    * lexical face of the corpus-overlap audit (q144 is the embedding
+    * face, q116 the shingle face). Per-token fan-out in the intersection
+    * join is bounded by the GROUP count (≤ |groups|² pairs per token),
+    * never the corpus size — the q116 argument.
+    */
+  def vocabJaccard(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val post = graft.CacheScope.register(graft.Parallelism.fanOut(
+        docs.select(col(groupCol).as("grp"), col(textCol).as("__t")))
+      .select(col("grp"), explode(TextFns.tokens(col("__t"))).as("tok"))
+      .distinct())
+    val sizes = post.groupBy("grp").agg(count(lit(1)).as("sz"))
+    val inter = post.as("a").join(post.as("b"),
+        col("a.tok") === col("b.tok") && col("a.grp") < col("b.grp"))
+      .groupBy(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("grp", "grp_a")
+        .withColumnRenamed("sz", "sz_a"), "grp_a")
+      .join(sizes.withColumnRenamed("grp", "grp_b")
+        .withColumnRenamed("sz", "sz_b"), "grp_b")
+      .select(col("grp_a"), col("grp_b"), col("inter"),
+        col("sz_a"), col("sz_b"),
+        (col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
+  }
+
   /** Content-defined chunking (CDC) dedup: chunk boundaries are cut where
     * the rolling `gramLen`-token hash satisfies h % `avgChunk` == 0, so
     * boundaries depend on CONTENT, not position — one inserted token

@@ -191,6 +191,20 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got.contains((0L, 100L, 0)))
   }
 
+  test("vocabJaccard: hand-computed overlap, token multiplicity ignored") {
+    import spark.implicits._
+    // a: {x,y,z}; b: {y,z,w} (repeats collapse) -> inter 2, union 4
+    val docs = Seq(("a", "x y z"), ("a", "y y"), ("b", "y z"), ("b", "w w"))
+      .toDF("source", "text")
+    val out = TextOps.vocabJaccard(docs, "source", "text").collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert((r.getString(0), r.getString(1)) == ("a", "b"))
+    assert(r.getAs[Long]("inter") == 2L &&
+      r.getAs[Long]("sz_a") == 3L && r.getAs[Long]("sz_b") == 3L)
+    assert(r.getAs[Double]("jaccard") == 0.5)
+  }
+
   test("cdcDupChunks: content-defined boundaries re-sync after a 1-token " +
       "insertion, exact dups share every chunk") {
     import spark.implicits._
