@@ -22,6 +22,22 @@ package graft
   *     JSON line. Chunk cost (JVM + session start + warmup, ~10-15 s) is
   *     paid OUTSIDE the per-query timers, so the recorded numbers track
   *     isolated medians instead of suite position.
+  *   - round 7: COST-BALANCED CHUNKS. Round-6's chunks were alphabetical
+  *     slices, which concentrated the MinHash/LSH family (q55-q69,
+  *     q103-q118) into shared JVMs and re-created in-suite debt at chunk
+  *     scale: the driver's round-close artifact showed q64 at 23.1 s vs
+  *     4.46 s judge-isolated (round-6 verdict). Chunks are now packed by
+  *     DESCENDING previous-run cost (greedy min-load bin packing over the
+  *     last full-suite line of bench_history.jsonl, capacity = chunk
+  *     size), so each heavy query lands in a different child JVM and no
+  *     chunk stacks multiple heavy LSH pipelines. Queries with no history
+  *     (new this round) are assigned the median known cost. With no
+  *     history at all, assignment falls back to stride (i mod nChunks) —
+  *     still family-interleaving for the alphabetical name ranges.
+  *     Provenance: if a forked chunk fails and its queries are re-measured
+  *     in the shared parent JVM, those names are listed in a "fallback"
+  *     array in the output JSON (their numbers carry parent-JVM debt and
+  *     must not be read as isolated medians).
   *
   * Env knobs: SPARK_GRAFT_BENCH_REPS (default 3),
   * SPARK_GRAFT_BENCH_CHUNK (queries per forked JVM, default 8; 0 = no
@@ -34,6 +50,61 @@ object Bench {
 
   private def allNames(only: Option[Set[String]]): Seq[String] =
     SparkEntry.queries.keys.toSeq.sorted.filter(n => only.forall(_.contains(n)))
+
+  /** Per-query costs from the most recent FULL-SUITE line of
+    * bench_history.jsonl (tolerant "name":number scan — no JSON lib).
+    * Empty map when the file is absent/unreadable (first run on a box).
+    */
+  private[graft] def historyCosts(path: java.nio.file.Path =
+      java.nio.file.Paths.get("bench_history.jsonl")): Map[String, Double] = {
+    val pair = "\"(q[^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r
+    try {
+      import scala.jdk.CollectionConverters._
+      val lines = java.nio.file.Files.readAllLines(path).asScala
+      lines.reverseIterator.find(_.contains("\"queries\":{")) match {
+        case Some(line) =>
+          val body = line.split("\"queries\":\\{", 2)(1)
+          pair.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        case None => Map.empty
+      }
+    } catch { case _: Exception => Map.empty }
+  }
+
+  /** Pack `names` into ceil(n/chunk)-many chunks of at most `chunk`
+    * queries so the per-chunk cost totals are balanced: greedy min-load
+    * bin packing over descending previous-run cost (LPT). Unknown queries
+    * get the median known cost; with an empty cost map this degrades to a
+    * stride assignment (i mod nBins), which still interleaves the
+    * alphabetically-clustered heavy families.
+    */
+  private[graft] def packChunks(names: Seq[String], chunk: Int,
+      costs: Map[String, Double]): Seq[Seq[String]] = {
+    if (names.isEmpty) return Seq.empty
+    val nBins = (names.size + chunk - 1) / chunk
+    if (nBins <= 1) return Seq(names)
+    if (costs.isEmpty) {
+      // stride: q01,q09,... / q02,q10,... — keeps name-adjacent (often
+      // family-adjacent) queries in different JVMs
+      return (0 until nBins).map(b => names.zipWithIndex.collect {
+        case (n, i) if i % nBins == b => n })
+    }
+    val known = costs.values.toSeq.sorted
+    val defaultCost = known(known.size / 2)
+    val byCost = names.sortBy(n => -costs.getOrElse(n, defaultCost))
+    val binCost = Array.fill(nBins)(0.0)
+    val binItems = Array.fill(nBins)(Seq.newBuilder[String])
+    val binSize = Array.fill(nBins)(0)
+    byCost.foreach { n =>
+      val open = (0 until nBins).filter(binSize(_) < chunk)
+      val b = open.minBy(binCost(_))
+      binCost(b) += costs.getOrElse(n, defaultCost)
+      binItems(b) += n
+      binSize(b) += 1
+    }
+    // within a chunk keep registry order (stable, readable child logs)
+    binItems.toSeq.map(_.result().sorted)
+  }
 
   /** Measure `names` in THIS JVM (median-of-reps, hygiene between queries). */
   private def measureInProcess(names: Seq[String], sfDir: String, cpus: String,
@@ -72,11 +143,15 @@ object Bench {
   }
 
   private def toJsonLine(results: Seq[(String, Double)], sfDir: String,
-      reps: Int, chunk: Int): String = {
+      reps: Int, chunk: Int, fallback: Seq[String] = Nil): String = {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"stat":"median","isolation":"jvm-per-$chunk"}"""
+    // fallback = queries whose fork failed and were re-measured in the
+    // SHARED parent JVM: their numbers are not isolated medians
+    val fb = if (fallback.isEmpty) ""
+      else fallback.sorted.map("\"" + _ + "\"").mkString(",\"fallback\":[", ",", "]")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"stat":"median","isolation":"jvm-per-$chunk"$fb}"""
   }
 
   /** Fork one child JVM measuring `chunkNames`; returns its per-query map,
@@ -112,15 +187,20 @@ object Bench {
         System.err.println(s"[bench] child JVM exited $code for chunk ${chunkNames.head}..${chunkNames.last}")
         None
       } else {
-        // child wrote {"...","queries":{"name":sec,...},...} — extract the
-        // per-query pairs (flat map of string->number; no JSON lib needed)
+        // child wrote {"...","queries":{"name":sec,...},...} — tolerant
+        // key-value scan (no brittle brace splitting, no JSON lib); only
+        // accept the names we asked this chunk to measure
         val line = new String(java.nio.file.Files.readAllBytes(outFile), "UTF-8")
-        val body = line.split("\"queries\":\\{", 2)(1).split("\\}", 2)(0)
-        val pairs = body.split(",").filter(_.nonEmpty).toSeq.map { kv =>
-          val Array(k, v) = kv.split(":", 2)
-          k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble
+        val want = chunkNames.toSet
+        val pair = "\"(q[^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r
+        val pairs = pair.findAllMatchIn(line)
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .filter { case (k, _) => want.contains(k) }.toSeq
+        if (pairs.size == chunkNames.size) Some(pairs)
+        else {
+          System.err.println(s"[bench] child wrote ${pairs.size}/${chunkNames.size} results for chunk ${chunkNames.head}..; falling back in-process")
+          None
         }
-        Some(pairs)
       }
     } catch {
       case e: Exception =>
@@ -139,17 +219,23 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = allNames(only)
 
+    val fallback = Seq.newBuilder[String]
     val results: Seq[(String, Double)] =
       if (isChild || chunk <= 0) measureInProcess(names, sfDir, cpus, reps)
       else {
         val tmpDir = java.nio.file.Files.createTempDirectory("graft-bench")
-        names.grouped(chunk).zipWithIndex.flatMap { case (cn, i) =>
+        val chunks = packChunks(names, chunk, historyCosts())
+        chunks.zipWithIndex.foreach { case (cn, i) =>
+          System.err.println(s"[bench] chunk $i: ${cn.mkString(",")}")
+        }
+        chunks.zipWithIndex.flatMap { case (cn, i) =>
           runChunkForked(cn, tmpDir.resolve(s"chunk$i.json"))
-            .getOrElse(measureInProcess(cn, sfDir, cpus, reps))
-        }.toSeq
+            .getOrElse { fallback ++= cn; measureInProcess(cn, sfDir, cpus, reps) }
+        }.sortBy(_._1)
       }
 
-    val line = toJsonLine(results, sfDir, reps, if (isChild) 0 else chunk)
+    val line = toJsonLine(results, sfDir, reps, if (isChild) 0 else chunk,
+      fallback.result())
     println(line)
     // The driver's BENCH_r{N}.json preserves only a truncated tail of this
     // stdout line (~q42 onward), which blinds round-over-round comparison

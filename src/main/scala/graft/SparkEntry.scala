@@ -3483,8 +3483,9 @@ object SparkEntry {
         s AS (SELECT source, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
             SUM(x*y) AS sxy, SUM(x*x) AS sxx FROM m GROUP BY 1)
         SELECT source, CAST(n AS BIGINT) AS n_ranks,
-          CAST(CAST(n*sxy - sx*sy AS BIGINT) AS DOUBLE)
-            / CAST(n*sxx - sx*sx AS BIGINT) AS slope
+          CASE WHEN n >= 2 THEN
+            CAST(CAST(n*sxy - sx*sy AS BIGINT) AS DOUBLE)
+              / CAST(n*sxx - sx*sx AS BIGINT) END AS slope
         FROM s ORDER BY source""")),
 
     // PSI drift report over the event-value distribution: reference half

