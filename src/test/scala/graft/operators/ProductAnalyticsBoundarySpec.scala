@@ -1,0 +1,129 @@
+package graft.operators
+
+import graft.{CacheScope, SparkEntry, SparkSpec}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Boundary fixtures for the product-analytics registry queries
+  * q124/q125/q126/q130/q131 (round-6 verdict item #2). The DuckDB oracle
+  * replays the same logic, so a shared misreading — funnel stage order,
+  * the WAU window edge, the cohort week boundary, negative conversion
+  * lags, Benford's domain filter — would pass both sides; these fixtures
+  * pin the intended semantics against hand-computed answers. Each test
+  * drives the REAL registry closure over a temp dir shaped like the
+  * driver's testdata (events.parquet / lineitem.parquet).
+  */
+class ProductAnalyticsBoundarySpec extends SparkSpec {
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-fixture").toString
+
+  private def writeEvents(dir: String, rows: Seq[(String, String, String)]): Unit = {
+    import spark.implicits._
+    rows.toDF("user_id", "event_type", "__ts")
+      .withColumn("ts", to_timestamp(col("__ts")).cast("timestamp_ntz"))
+      .drop("__ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+  }
+
+  private def q(name: String, dir: String): Seq[Row] =
+    try SparkEntry.queries(name)(spark, dir).collect().toSeq
+    finally CacheScope.releaseAll()
+
+  test("q124 funnel: out-of-order stages do not count; stage-equal " +
+      "timestamps do (>= semantics)") {
+    val dir = tmpDir()
+    writeEvents(dir, Seq(
+      // A: clean view -> click -> purchase (all three stages)
+      ("A", "view", "2024-01-01 10:00:00"),
+      ("A", "click", "2024-01-01 11:00:00"),
+      ("A", "purchase", "2024-01-01 12:00:00"),
+      // B: click BEFORE the first view — must not reach stage 2
+      ("B", "click", "2024-01-01 09:00:00"),
+      ("B", "view", "2024-01-01 10:00:00"),
+      // C: purchase BEFORE the qualifying click — stages 1,2 only
+      ("C", "view", "2024-01-01 10:00:00"),
+      ("C", "purchase", "2024-01-01 10:30:00"),
+      ("C", "click", "2024-01-01 11:00:00"),
+      // D: purchase with no view at all — appears nowhere
+      ("D", "purchase", "2024-01-01 10:00:00"),
+      // E: click at EXACTLY the first-view instant — >= lets it count
+      ("E", "view", "2024-01-01 10:00:00"),
+      ("E", "click", "2024-01-01 10:00:00")))
+    val out = q("q124_funnel", dir)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("1_view" -> 4L, "2_click" -> 3L, "3_purchase" -> 1L),
+      s"funnel counts: $out")
+  }
+
+  test("q125 DAU/WAU: a user active on exactly day t-6 is in WAU(t); " +
+      "day t-7 is not") {
+    val dir = tmpDir()
+    writeEvents(dir, Seq(
+      ("u", "view", "2024-01-01 12:00:00"),            // day D
+      ("w", "view", "2024-01-07 12:00:00"),            // day D+6
+      ("w", "view", "2024-01-08 12:00:00")))           // day D+7
+    val out = q("q125_active_users", dir)
+      .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2)))).toMap
+    // WAU(D+6) spans [D, D+6] -> {u, w}; WAU(D+7) spans [D+1, D+7] -> u
+    // has aged out
+    assert(out("2024-01-07") == ((1L, 2L)), s"D+6 row: $out")
+    assert(out("2024-01-08") == ((1L, 1L)), s"D+7 row: $out")
+    assert(out("2024-01-01") == ((1L, 1L)), s"D row: $out")
+  }
+
+  test("q126 cohort retention: day 6 stays in week_offset 0, day 7 rolls " +
+      "to week_offset 1") {
+    val dir = tmpDir()
+    writeEvents(dir, Seq(
+      ("x", "view", "2024-01-01 08:00:00"),            // cohort day C
+      ("x", "view", "2024-01-07 08:00:00"),            // C+6 -> offset 0
+      ("x", "view", "2024-01-08 08:00:00"),            // C+7 -> offset 1
+      ("y", "view", "2024-01-01 09:00:00")))           // cohort C, week 0 only
+    val out = q("q126_cohort_retention", dir)
+      .map(r => (r.getDate(0).toString, r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out.keySet == Set(("2024-01-01", 0L), ("2024-01-01", 1L)))
+    assert(out(("2024-01-01", 0L)) == ((2L, 2L, 1.0)), s"week 0: $out")
+    assert(out(("2024-01-01", 1L)) == ((1L, 2L, 0.5)), s"week 1: $out")
+  }
+
+  test("q130 conversion lag: purchase before the first view never yields " +
+      "a negative-lag row; the 3600 s histogram edge floors correctly") {
+    val dir = tmpDir()
+    writeEvents(dir, Seq(
+      // A: only purchase is BEFORE the first view -> no qualifying
+      // purchase, A contributes no lag row at all
+      ("A", "purchase", "2024-01-01 09:00:00"),
+      ("A", "view", "2024-01-01 10:00:00"),
+      // B: lag 3599 s -> bucket 0
+      ("B", "view", "2024-01-01 10:00:00"),
+      ("B", "purchase", "2024-01-01 10:59:59"),
+      // C: lag exactly 3600 s -> bucket 1
+      ("C", "view", "2024-01-01 10:00:00"),
+      ("C", "purchase", "2024-01-01 11:00:00")))
+    val out = q("q130_conversion_lag", dir)
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.keySet == Set(0L, 1L), s"lag buckets: $out")
+    assert(out.keys.forall(_ >= 0), "negative lag bucket leaked through")
+    assert(out(0L) == ((1L, 0.5)) && out(1L) == ((1L, 0.5)), s"rows: $out")
+  }
+
+  test("q131 Benford: zero, negative, and sub-1 prices are outside the " +
+      "domain; the digit comes from the integer part") {
+    import spark.implicits._
+    val dir = tmpDir()
+    Seq(0.5, -123.0, 0.0, 1.0, 9.99, 123.45, 987.0)
+      .toDF("l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = q("q131_benford", dir)
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // only 1.0, 9.99, 123.45, 987.0 are in-domain: digits 1,9,1,9
+    assert(out.keySet == Set(1, 9), s"digits: $out")
+    assert(out(1) == ((2L, 0.5)) && out(9) == ((2L, 0.5)), s"rows: $out")
+    // dev = share - benford_p, pinned against the shared literal table
+    val dev = q("q131_benford", dir).map(r => r.getInt(0) -> r.getDouble(4)).toMap
+    assert(math.abs(dev(1) - (0.5 - 0.3010299956639812)) < 1e-15)
+    assert(math.abs(dev(9) - (0.5 - 0.04575749056067514)) < 1e-15)
+  }
+}
