@@ -423,6 +423,154 @@ object Warehouse {
     ((fromDirs ++ fromManifest) :+ 0L).max + 1
   }
 
+  // ----- Delta-compatible transaction-log export / import -------------------
+  //
+  // The manifest format above is capability-par with a table format but
+  // private to this library; these two functions bridge it to the OPEN
+  // Delta Lake transaction-log layout (delta.io protocol: an ordered
+  // `_delta_log/<version padded to 20 digits>.json` of newline-delimited
+  // protocol/metaData/add/remove actions with data paths relative to the
+  // table root — public spec, no jars needed for pure JSON). Export makes
+  // the table root a valid Delta table a Delta reader can open at the
+  // live snapshot (each committed generation becomes one log version, so
+  // time travel maps too); import replays a Delta log back into a fresh
+  // manifest table, generation per version. Only the metadata travels —
+  // data files stay in place (export) or are rewritten per snapshot
+  // (import reads through the log's file lists).
+
+  private val DeltaLogDir = "_delta_log"
+
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** The data files of one generation, relative to the table root —
+    * underscore/dot-prefixed entries (`_stats`, `_SUCCESS`, hidden files)
+    * are metadata, never data.
+    */
+  private def generationDataFiles(table: String, gen: String): Seq[String] = {
+    val dir = Paths.get(table, gen)
+    val stream = Files.list(dir)
+    try {
+      val out = Seq.newBuilder[String]
+      stream.forEach { p =>
+        val n = p.getFileName.toString
+        if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+          out += s"$gen/$n"
+      }
+      out.result().sorted
+    } finally stream.close()
+  }
+
+  /** Export the COMMITTED history of a versioned table as a Delta
+    * transaction log at `<table>/_delta_log`, one log version per
+    * committed generation (oldest = version 0). Version 0 carries the
+    * protocol and metaData actions; a generation whose schema differs
+    * from its predecessor re-emits metaData in its version (Delta's
+    * schema-evolution convention). Every later version removes the prior
+    * generation's files and adds its own — the full-rewrite semantics of
+    * [[publishVersioned]] expressed as add/remove actions. Returns the
+    * number of log versions written. Deterministic: the table id is a
+    * name-UUID of the table path, and timestamps come from the data
+    * files' own modification times, so re-exporting an unchanged table
+    * rewrites byte-identical actions (modulo filesystem mtimes).
+    *
+    * Scale note: the log write is pure metadata — O(files) driver work,
+    * the same bounded collect class as the manifest itself; no data scan
+    * except one schema read per generation (footer-only).
+    */
+  def exportDeltaLog(spark: SparkSession, table: String): Int = {
+    val gens = committedGenerations(table)
+    require(gens.nonEmpty, s"no committed generations to export in $table")
+    val logDir = Paths.get(table, DeltaLogDir)
+    Files.createDirectories(logDir)
+    val tableId = java.util.UUID
+      .nameUUIDFromBytes(table.getBytes("UTF-8")).toString
+    var prevFiles: Seq[String] = Seq.empty
+    var prevSchema: String = null
+    gens.zipWithIndex.foreach { case (gen, v) =>
+      val files = generationDataFiles(table, gen)
+      val schemaJson = spark.read.parquet(s"$table/$gen").schema.json
+      val actions = Seq.newBuilder[String]
+      if (v == 0)
+        actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+      if (v == 0 || schemaJson != prevSchema)
+        actions += s"""{"metaData":{"id":"$tableId","format":{"provider":"parquet","options":{}},"schemaString":"${jsonEscape(schemaJson)}","partitionColumns":[],"configuration":{},"createdTime":0}}"""
+      prevFiles.foreach { f =>
+        val ts = Files.getLastModifiedTime(Paths.get(table, f)).toMillis
+        actions += s"""{"remove":{"path":"${jsonEscape(f)}","deletionTimestamp":$ts,"dataChange":true}}"""
+      }
+      files.foreach { f =>
+        val p = Paths.get(table, f)
+        actions += s"""{"add":{"path":"${jsonEscape(f)}","partitionValues":{},"size":${Files.size(p)},"modificationTime":${Files.getLastModifiedTime(p).toMillis},"dataChange":true}}"""
+      }
+      writeAtomic(logDir.resolve(f"$v%020d.json"),
+        actions.result().mkString("", "\n", "\n"))
+      prevFiles = files
+      prevSchema = schemaJson
+    }
+    gens.size
+  }
+
+  /** The file set live at each version of a Delta log, replayed in
+    * order: Seq of (version, data files relative to the Delta root).
+    * Pure metadata — each NNN.json is newline-delimited JSON, parsed
+    * with Spark's own JSON reader (schema inferred per file; absent
+    * action kinds simply don't surface as columns).
+    */
+  def deltaVersions(spark: SparkSession,
+      deltaRoot: String): Seq[(Long, Seq[String])] = {
+    val logDir = Paths.get(deltaRoot, DeltaLogDir)
+    require(Files.exists(logDir), s"no $DeltaLogDir under $deltaRoot")
+    val versionFiles = {
+      val stream = Files.list(logDir)
+      try {
+        val out = Seq.newBuilder[(Long, Path)]
+        stream.forEach { p =>
+          val n = p.getFileName.toString
+          if (n.endsWith(".json") && n.stripSuffix(".json").forall(_.isDigit))
+            out += ((n.stripSuffix(".json").toLong, p))
+        }
+        out.result().sortBy(_._1)
+      } finally stream.close()
+    }
+    require(versionFiles.nonEmpty, s"empty $DeltaLogDir under $deltaRoot")
+    val active = scala.collection.mutable.LinkedHashSet.empty[String]
+    versionFiles.map { case (v, p) =>
+      val actions = spark.read.json(p.toString)
+      def paths(kind: String): Seq[String] =
+        if (!actions.columns.contains(kind)) Seq.empty
+        else actions.select(col(s"$kind.path").as("p"))
+          .filter(col("p").isNotNull).collect().map(_.getString(0)).toSeq
+      paths("remove").foreach(active -= _)
+      paths("add").foreach(active += _)
+      (v, active.toSeq.sorted)
+    }
+  }
+
+  /** Replay a Delta transaction log into a fresh manifest table at
+    * `destTable`: each log version becomes one committed generation
+    * (data read through the version's add-file set, rewritten under the
+    * destination), the last version is the live one. Returns the
+    * generation names in version order. Together with [[exportDeltaLog]]
+    * this round-trips a versioned table through the open format with
+    * identical rows per version and identical history depth.
+    */
+  def importDeltaLog(spark: SparkSession, deltaRoot: String,
+      destTable: String): Seq[String] = {
+    deltaVersions(spark, deltaRoot).map { case (_, files) =>
+      require(files.nonEmpty, s"version with empty file set in $deltaRoot")
+      val df = spark.read.parquet(files.map(f => s"$deltaRoot/$f"): _*)
+      publishVersioned(spark, df, destTable)
+    }
+  }
+
   /** A8-style snapshot check: rows in the directory. */
   def snapshotCount(spark: SparkSession, dir: String): Long =
     spark.read.parquet(dir).count()

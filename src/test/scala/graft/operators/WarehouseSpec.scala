@@ -269,4 +269,54 @@ class WarehouseSpec extends SparkSpec {
     assert(out((3L, "b")) == (("delete", Some(30L), None)))
     assert(out((4L, "c")) == (("insert", None, Some(40L))))
   }
+
+  test("Delta-log round trip: publishVersioned x3 -> exportDeltaLog -> " +
+      "importDeltaLog reproduces every version's rows and the history depth") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft-wh-delta").toString + "/t"
+    val dest = Files.createTempDirectory("graft-wh-delta").toString + "/imported"
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+      df.select("id", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val v2 = Seq((1L, "a2"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val v3 = Seq((2L, "b"), (3L, "c3")).toDF("id", "v")
+    Warehouse.publishVersioned(spark, v1.repartition(2), table)
+    Warehouse.publishVersioned(spark, v2.repartition(2), table)
+    Warehouse.publishVersioned(spark, v3.repartition(1), table)
+
+    val nVersions = Warehouse.exportDeltaLog(spark, table)
+    assert(nVersions == 3)
+    // the log is well-formed: 20-digit zero-padded version files, and the
+    // replayed live set equals the live generation's data files
+    val logFiles = Files.list(java.nio.file.Paths.get(table, "_delta_log"))
+      .toArray.map(_.toString).sorted
+    assert(logFiles.map(_.split('/').last).toSeq ==
+      Seq("00000000000000000000.json", "00000000000000000001.json",
+        "00000000000000000002.json"))
+    val versions = Warehouse.deltaVersions(spark, table)
+    assert(versions.map(_._1) == Seq(0L, 1L, 2L))
+    val liveGen = Warehouse.liveGeneration(table).get
+    assert(versions.last._2.forall(_.startsWith(liveGen + "/")),
+      s"live file set ${versions.last._2} not from $liveGen")
+    // version 0 carries protocol + metaData with the escaped Spark schema
+    val v0 = Files.readString(java.nio.file.Paths.get(table,
+      "_delta_log", "00000000000000000000.json"))
+    assert(v0.contains("\"protocol\"") && v0.contains("\"metaData\"") &&
+      v0.contains("schemaString"))
+    // versions 1+ remove the prior generation's files before adding
+    val v1log = Files.readString(java.nio.file.Paths.get(table,
+      "_delta_log", "00000000000000000001.json"))
+    assert(v1log.contains("\"remove\"") && v1log.contains("\"add\""))
+
+    val gens = Warehouse.importDeltaLog(spark, table, dest)
+    assert(gens.size == 3)
+    assert(Warehouse.committedGenerations(dest).size == 3)
+    // every version's rows survive the trip; the live snapshots agree
+    val origGens = Warehouse.committedGenerations(table)
+    origGens.zip(gens).foreach { case (og, ng) =>
+      assert(rows(Warehouse.readVersionedAt(spark, table, og)) ==
+        rows(Warehouse.readVersionedAt(spark, dest, ng)), s"version $og != $ng")
+    }
+    assert(rows(Warehouse.readVersioned(spark, dest)) == rows(v3))
+  }
 }
