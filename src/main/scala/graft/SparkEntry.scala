@@ -3879,6 +3879,41 @@ object SparkEntry {
     // Pairwise vocabulary Jaccard between sources — the lexical face of
     // the corpus-overlap audit (q144 embeddings, q116 shingles). Exact
     // counts; per-token pair fan-out bounded by the source count.
+    // Exact substring dedup, REMOVAL step (Lee et al. 2022): spans of >= 3
+    // tokens that any other document repeats are cut and the survivors
+    // re-joined — completes q94 (which only measures coverage) and closes
+    // the case q146's fixed-position CDC chunks miss: a duplicated run
+    // straddling a chunk boundary. Oracle replays the positional-gram
+    // index (same md5-60 hash), the coverage union, and the ordered
+    // string reassembly.
+    "q152_substring_dedup" -> Q(
+      (s, dir) => TextOps.substringDedup(t(s, dir, "documents"),
+          "doc_id", "text", n = 3, maxDocFreq = 1)
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (SELECT doc_id,
+            string_split_regex(lower(trim(text)), '\s+') AS l FROM documents),
+        grams AS (SELECT doc_id, u.pos AS pos,
+            CAST('0x' || substr(md5(u.g), 1, 15) AS BIGINT) AS gh
+          FROM (SELECT doc_id, unnest(list_transform(range(1, greatest(len(l) - 1, 1)),
+              i -> {'pos': i - 1, 'g': l[i] || ' ' || l[i+1] || ' ' || l[i+2]})) AS u
+            FROM toks WHERE len(l) >= 3)),
+        rep AS (SELECT gh FROM (
+            SELECT gh, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, gh FROM grams)
+            GROUP BY gh) WHERE df > 1),
+        cov AS (SELECT DISTINCT g.doc_id, tp FROM grams g JOIN rep USING (gh),
+            LATERAL (SELECT unnest(range(g.pos, g.pos + 3)) AS tp) u),
+        ptoks AS (SELECT doc_id, u.pos AS pos, u.tok AS tok
+          FROM (SELECT doc_id, unnest(list_transform(range(1, len(l) + 1),
+              i -> {'pos': i - 1, 'tok': l[i]})) AS u FROM toks)),
+        kept AS (SELECT p.doc_id, p.pos, p.tok FROM ptoks p
+          ANTI JOIN cov c ON c.doc_id = p.doc_id AND c.tp = p.pos),
+        agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS cleaned,
+            COUNT(*) AS n_kept FROM kept GROUP BY doc_id)
+        SELECT t.doc_id, len(t.l) AS n_tokens,
+          coalesce(a.cleaned, '') AS cleaned_text,
+          CAST(len(t.l) - coalesce(a.n_kept, 0) AS BIGINT) AS removed_tokens
+        FROM toks t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""")),
+
     "q151_source_vocab_jaccard" -> Q(
       (s, dir) => TextOps.vocabJaccard(t(s, dir, "documents"), "source",
           "text")

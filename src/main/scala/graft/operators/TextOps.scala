@@ -646,6 +646,64 @@ object TextOps {
             col("n_tokens").cast("double")).as("keep_ratio"))
   }
 
+  /** Exact substring DEDUPLICATION — the removal step completing
+    * [[repeatedSpanCoverage]] (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL 2022: drop every span that the
+    * corpus repeats, keep the rest of the document). A token position is
+    * removed when any word `n`-gram through it occurs in more than
+    * `maxDocFreq` DISTINCT documents; the surviving tokens are re-joined
+    * in order. Returns (id, n_tokens, cleaned_text, removed_tokens) — a
+    * fully-duplicated document comes back with cleaned_text = "" rather
+    * than disappearing, so callers can distinguish "all boilerplate"
+    * from "missing".
+    *
+    * Unlike q146's content-defined chunk dedup, the positional-gram index
+    * sees spans that STRADDLE any chunk boundary: coverage is per token
+    * position, not per chunk, so a duplicated run split across two chunks
+    * is still removed in full.
+    *
+    * Scale shape: the df count and the coverage join are [[repeatedSpanCoverage]]'s
+    * inverted-index discipline (Σdf cost, never pairwise). Reassembly
+    * explodes tokens once and collapses them back with one id-keyed
+    * aggregate whose state is bounded by the document's own length
+    * (sorted (pos, token) structs) — token-volume shuffles, all codegen,
+    * no per-element lambda in the df/coverage path. The same 60-bit
+    * oracle-replayable gram hash as the dedup family.
+    */
+  def substringDedup(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, maxDocFreq: Int = 1): DataFrame = {
+    val toks = graft.CacheScope.register(
+      graft.Parallelism.fanOut(docs.select(col(idCol), col(textCol)))
+        .select(col(idCol), TextFns.tokens(col(textCol)).as("__t"))
+        .select(col(idCol), size(col("__t")).as("n_tokens"), col("__t")))
+    val grams = graft.CacheScope.register(
+      toks.select(col(idCol),
+          posexplode(TextFns.shinglesOfTokens(col("__t"), n)).as(Seq("pos", "__g")))
+        .select(col(idCol), col("pos"), Hashing.h60(col("__g")).as("gh")))
+    val repeated = grams.select(col(idCol), col("gh")).distinct()
+      .groupBy("gh").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDocFreq)
+      .select("gh")
+    val covered = grams.join(repeated, "gh")
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("__tp"))
+      .distinct()
+    val posToks = toks.select(col(idCol),
+      posexplode(col("__t")).as(Seq("__tp", "__tok")))
+    val kept = posToks.join(covered, Seq(idCol, "__tp"), "left_anti")
+    val cleaned = kept.groupBy(col(idCol))
+      .agg(array_join(
+          transform(array_sort(collect_list(struct(col("__tp"), col("__tok")))),
+            s => s.getField("__tok")), " ").as("__cleaned"),
+        count(lit(1)).as("__n_kept"))
+    toks.select(col(idCol), col("n_tokens"))
+      .join(cleaned, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("__cleaned"), lit("")).as("cleaned_text"),
+        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L)))
+          .as("removed_tokens"))
+  }
+
   /** Composite Gopher-style quality gate (Rae et al., "Scaling Language
     * Models: Methods, Analysis & Insights from Training Gopher", 2021,
     * §A1.1.1): a document passes only if every rule holds, and each

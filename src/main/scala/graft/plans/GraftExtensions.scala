@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{ArrayDotProduct, BloomMightContain}
+import graft.functions.{ArrayDotProduct, ArrayIntersectCount, BloomMightContain}
 
 /** Session extensions registering graft's native expressions so they are
   * callable from SQL and `call_function` (`spark.sql.extensions` or
@@ -15,12 +15,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // declarative aggregate(zip_with(a,b,*),0,+) dot products -> native
     // codegen'd array_dot (strict mode preserves null/length semantics)
     ext.injectOptimizerRule(_ => DotProductRewrite)
+    // size(array_intersect(a,b)) -> native counting kernel (the LSH
+    // families' Jaccard confirm), no intersection-array materialization
+    ext.injectOptimizerRule(_ => IntersectCountRewrite)
     ext.injectFunction((
       FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 2, "array_dot takes exactly 2 arguments")
         ArrayDotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("array_intersect_count"),
+      new ExpressionInfo(classOf[ArrayIntersectCount].getName,
+        "array_intersect_count"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          "array_intersect_count takes exactly 2 arguments")
+        ArrayIntersectCount(children.head, children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("bloom_might_contain"),

@@ -647,4 +647,43 @@ class TextMultimodalSpec extends SparkSpec {
       .collect().map(r => r.getAs[Int]("n") -> r.getAs[Long]("n_total")).toMap
     assert(out(1) == 3L && out(2) == 1L && !out.contains(3))
   }
+
+  test("substringDedup removes a cross-doc span straddling a chunk " +
+      "boundary, keeps unique text, and leaves single shared tokens alone") {
+    import spark.implicits._
+    // the 6-token span "dup1 dup2 dup3 dup4 dup5 dup6" appears in A at
+    // positions 6..11 (straddling a fixed 8-token chunk boundary — the
+    // case q146's CDC chunking misses) and in B at positions 0..5; all
+    // context tokens are unique per doc so only the span's 3-grams repeat
+    val span = "dup1 dup2 dup3 dup4 dup5 dup6"
+    val docs = Seq(
+      (1L, s"a1 a2 a3 a4 a5 a6 $span a7 a8"),
+      (2L, s"$span b1 b2 b3"),
+      // C shares the single token "dup1" but no 3-gram -> untouched
+      (3L, "c1 dup1 c2 c3"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextOps.substringDedup(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getString(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((14, "a1 a2 a3 a4 a5 a6 a7 a8", 6L)), s"A: ${out(1L)}")
+    assert(out(2L) == ((9, "b1 b2 b3", 6L)), s"B: ${out(2L)}")
+    assert(out(3L) == ((4, "c1 dup1 c2 c3", 0L)), s"C: ${out(3L)}")
+    // empty doc: split('') is [''] — 1 token, nothing removed, '' back
+    assert(out(4L) == ((1, "", 0L)), s"empty doc: ${out(4L)}")
+  }
+
+  test("substringDedup: a fully-duplicated document returns empty " +
+      "cleaned_text with every token removed, not a missing row") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x1 x2 x3 x4"),
+      (2L, "x1 x2 x3 x4"),
+      (3L, "solo u1 u2 u3")).toDF("doc_id", "text")
+    val out = TextOps.substringDedup(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getString(2), r.getLong(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == ((4, "", 4L)) && out(2L) == ((4, "", 4L)))
+    assert(out(3L) == ((4, "solo u1 u2 u3", 0L)))
+  }
 }
