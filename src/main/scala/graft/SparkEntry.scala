@@ -3879,6 +3879,122 @@ object SparkEntry {
     // Pairwise vocabulary Jaccard between sources — the lexical face of
     // the corpus-overlap audit (q144 embeddings, q116 shingles). Exact
     // counts; per-token pair fan-out bounded by the source count.
+    // Duplication-quality interaction per source: Pearson r between a
+    // document's near-dup cluster size (1 for singletons) and its quality
+    // score — the corpus-health diagnostic ("is our duplicated content
+    // also our low-quality content?") that decides whether dedup and
+    // quality filtering are redundant or complementary. Exact integer
+    // moments (both inputs are integers), q99's IEEE correlation
+    // sequence; oracle replays clustering, the micro quality score, and
+    // the moment algebra.
+    "q154_dup_quality_corr" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", 3, 64, 16, 0.8)
+        val comps = Graphs.connectedComponents(pairs, "id_a", "id_b")
+          .select(col("id").as("doc_id"), col("component"))
+        val sizes = comps.groupBy("component").agg(count(lit(1)).as("__cs"))
+        val deg = docs.select(col("doc_id"), col("source"))
+          .join(comps, Seq("doc_id"), "left")
+          .join(broadcast(sizes), Seq("component"), "left")
+          .select(col("doc_id"), col("source"),
+            coalesce(col("__cs"), lit(1L)).as("dup_degree"))
+        val scored = TextOps.qualityFeatures(docs, "doc_id", "text")
+          .select(col("doc_id"), col("quality_score_micro"))
+        Quality.groupedPearson(deg.join(scored, "doc_id"),
+            "source", "dup_degree", "quality_score_micro")
+          .withColumnRenamed("grp", "source")
+          .orderBy("source")
+      },
+      Some(s"""WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l
+               FROM documents),
+        grams AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, greatest(len(l) - 1, 1)),
+                 i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS g
+               FROM toks WHERE len(l) >= 3),
+        sh AS (SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS sh FROM grams),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+                  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        prs AS (SELECT id_a, id_b FROM inter
+                  JOIN sizes sa ON id_a = sa.doc_id
+                  JOIN sizes sb ON id_b = sb.doc_id
+                  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+                  UNION SELECT id_b, id_a FROM prs),
+        walk(id, lbl) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.id = e.dst),
+        comp AS (SELECT id AS doc_id, MIN(lbl) AS component FROM walk GROUP BY id),
+        cs AS (SELECT component, COUNT(*) AS csize FROM comp GROUP BY 1),
+        deg AS (SELECT d.doc_id, d.source,
+            coalesce(cs.csize, 1) AS x
+          FROM documents d LEFT JOIN comp c USING (doc_id)
+          LEFT JOIN cs ON c.component = cs.component),
+        ${qualityMicroSql("doc_id")},
+        j AS (SELECT deg.source, deg.x, q.quality_score_micro AS y
+          FROM deg JOIN __qm q USING (doc_id)
+          WHERE deg.x IS NOT NULL AND q.quality_score_micro IS NOT NULL),
+        m AS (SELECT source, COUNT(*) AS n,
+            CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+            CAST(SUM(x*y) AS BIGINT) AS sxy,
+            CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy
+          FROM j GROUP BY 1)
+        SELECT source, CAST(n AS BIGINT) AS n,
+          CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+            THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+            END AS pearson_r
+        FROM m ORDER BY source""")),
+
+    // CLUSTER-AWARE train/val/test split: split membership is decided by
+    // the hash of the near-dup CLUSTER id, not the doc id, so near-dups
+    // can never straddle a split — preventing at assignment time the
+    // leakage q141 audits. Singletons (their own cluster) split exactly
+    // as q51 would split them. Oracle replays q55's clustering CTE plus
+    // q51's md5 bucket on the component id.
+    "q153_cluster_split" -> Q(
+      (s, dir) => Curation.clusterAwareSplit(t(s, dir, "documents"),
+          "doc_id", "text", 3, 64, 16, 0.8, "exp1",
+          Seq("train" -> 0.90, "val" -> 0.05, "test" -> 0.05))
+        .orderBy("doc_id"),
+      Some("""WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
+               FROM documents),
+        grams AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, greatest(len(l) - 1, 1)),
+                 i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS g
+               FROM toks WHERE len(l) >= 3),
+        sh AS (SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS sh FROM grams),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+                  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        pairs AS (SELECT id_a, id_b FROM inter
+                  JOIN sizes sa ON id_a = sa.doc_id
+                  JOIN sizes sb ON id_b = sb.doc_id
+                  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        walk(id, lbl) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.id = e.dst),
+        comp AS (SELECT id AS doc_id, MIN(lbl) AS component FROM walk GROUP BY id),
+        allc AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+                 FROM documents d LEFT JOIN comp c USING (doc_id)),
+        b AS (SELECT doc_id, component,
+            CAST('0x' || substr(md5('exp1:' || CAST(component AS VARCHAR)), 1, 15) AS BIGINT) % 10000 AS bkt
+          FROM allc)
+        SELECT doc_id, component,
+          CASE WHEN bkt < 9000 THEN 'train'
+               WHEN bkt < 9500 THEN 'val'
+               ELSE 'test' END AS split
+        FROM b ORDER BY doc_id""")),
+
     // Exact substring dedup, REMOVAL step (Lee et al. 2022): spans of >= 3
     // tokens that any other document repeats are cut and the survivors
     // re-joined — completes q94 (which only measures coverage) and closes

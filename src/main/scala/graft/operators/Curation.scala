@@ -94,4 +94,33 @@ object Curation {
       .select(col(idCol), col("component"), col(scoreCol),
         (col("__rn") === 1).as("is_survivor"))
   }
+
+  /** CLUSTER-AWARE train/val/test split: the split is decided by the hash
+    * of each document's near-dup CLUSTER id, not its own id, so
+    * near-duplicates can never straddle a split boundary — the leakage
+    * mode q141 AUDITS (a test doc near-duplicating a train doc inflates
+    * eval), prevented at assignment time instead of patched afterwards.
+    * Singleton documents are their own cluster (component = own id), so
+    * they split exactly like [[Sampling.hashSplit]] would split them.
+    *
+    * Returns (idCol, component, split). Deterministic end to end: LSH
+    * candidate generation uses the fixed seeded hash families, clustering
+    * is min-label propagation, and the split is the md5 bucket of
+    * `salt:component` — the same replayable bucket as hashSplit, so the
+    * oracle can rebuild the whole assignment. Scale shape: q55's
+    * sub-quadratic near-dup pipeline plus ONE id-keyed left join and a
+    * projection; the split adds no shuffle of its own.
+    */
+  def clusterAwareSplit(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, bands: Int, minJac: Double, salt: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    val pairs = Dedup.minhashNearDups(docs, idCol, textCol, n, k, bands, minJac)
+    val comps = Graphs.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id").as(idCol), col("component"))
+    val withComp = docs.select(col(idCol))
+      .join(comps, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("component"))
+    Sampling.hashSplit(withComp, "component", salt, splits)
+  }
 }

@@ -226,6 +226,39 @@ object Quality {
     * Returns (col_a, col_b, n, r) for each unordered column pair, with
     * n the pair's complete-case count.
     */
+  /** Per-group Pearson correlation of two INTEGER-valued columns (both
+    * must already be exact integers — counts, micro-unit scores): moments
+    * accumulate in DECIMAL(38,0) (order-independent, bit-exact), the
+    * correlation itself is [[pearsonMatrix]]'s proven IEEE sequence over
+    * those exact integers (each moment cast to double once, then
+    * identical multiply/subtract/sqrt order on both engines). Null in
+    * either column drops the row (pairwise-complete); a zero variance on
+    * either side yields NULL r. One aggregation pass, |groups| rows out.
+    */
+  def groupedPearson(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val x = col(xCol).cast("decimal(19,0)")
+    val y = col(yCol).cast("decimal(19,0)")
+    val agg = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("decimal(38,0)").as("__sx"),
+        sum(y).cast("decimal(38,0)").as("__sy"),
+        sum(x * y).cast("decimal(38,0)").as("__sxy"),
+        sum(x * x).cast("decimal(38,0)").as("__sxx"),
+        sum(y * y).cast("decimal(38,0)").as("__syy"))
+    val n = col("n").cast("double")
+    val sx = col("__sx").cast("double"); val sy = col("__sy").cast("double")
+    val sxy = col("__sxy").cast("double")
+    val sxx = col("__sxx").cast("double"); val syy = col("__syy").cast("double")
+    val dx = n * sxx - sx * sx
+    val dy = n * syy - sy * sy
+    agg.select(col("grp"), col("n"),
+      when(dx > 0 && dy > 0, (n * sxy - sx * sy) / sqrt(dx * dy))
+        .as("pearson_r"))
+  }
+
   def pearsonMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, s"need at least 2 columns: $cols")
     // evaluate validity + quantization ONCE per column in a projection —

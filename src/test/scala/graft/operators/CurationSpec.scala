@@ -39,4 +39,33 @@ class CurationSpec extends SparkSpec {
     assert(out == Map(10L -> false, 11L -> true, 12L -> false,
       20L -> true, 21L -> false))
   }
+
+  test("clusterAwareSplit: near-dup clusters never straddle a split; " +
+      "singletons split like plain hashSplit") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = (
+      // a 3-doc near-dup cluster (tiny tail edits keep jaccard >= 0.8)
+      Seq((1L, shared), (2L, shared + " mu"), (3L, shared + " nu")) ++
+      // singletons: unique vocabularies, no shared 3-grams
+      (10L to 40L).map(i => (i, (0 until 12).map(j => s"u${i}w$j").mkString(" ")))
+    ).toDF("doc_id", "text")
+    val out = Curation.clusterAwareSplit(docs, "doc_id", "text",
+        3, 64, 16, 0.8, "exp1",
+        Seq("train" -> 0.90, "val" -> 0.05, "test" -> 0.05))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // the cluster collapsed to component 1 and shares ONE split
+    assert(Set(1L, 2L, 3L).map(out(_)._1) == Set(1L))
+    assert(Set(1L, 2L, 3L).map(out(_)._2).size == 1,
+      s"cluster straddles splits: ${Set(1L, 2L, 3L).map(out)}")
+    // singletons are their own component and match hashSplit's assignment
+    val single = Sampling.hashSplit(docs.filter($"doc_id" >= 10L), "doc_id",
+        "exp1", Seq("train" -> 0.90, "val" -> 0.05, "test" -> 0.05))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    (10L to 40L).foreach { i =>
+      assert(out(i)._1 == i, s"doc $i not its own component: ${out(i)}")
+      assert(out(i)._2 == single(i),
+        s"doc $i: cluster-aware ${out(i)._2} != hashSplit ${single(i)}")
+    }
+  }
 }

@@ -158,6 +158,23 @@ class QualitySpec extends SparkSpec {
     assert((11L to 14L).forall(out(_)))    // tied group all kept
   }
 
+  test("groupedPearson: exact +1/-1 on linear integer columns per group, " +
+      "null on zero variance, nulls drop pairwise") {
+    import spark.implicits._
+    val rows =
+      (1L to 10L).map(i => ("up", Some(i), Some(3 * i + 7))) ++
+      (1L to 10L).map(i => ("down", Some(i), Some(100 - 2 * i))) ++
+      Seq(("flat", Some(5L), Some(1L)), ("flat", Some(5L), Some(2L)),
+        ("up", None, Some(99L)), ("up", Some(99L), None))  // dropped rows
+    val out = Quality.groupedPearson(
+        rows.toDF("grp", "x", "y"), "grp", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    assert(out("up") == ((10L, Some(1.0))))
+    assert(out("down") == ((10L, Some(-1.0))))
+    assert(out("flat") == ((2L, None)), "zero x-variance must be null, not NaN")
+  }
+
   test("pearsonMatrix: r = +1 / -1 on linear columns, null on a constant") {
     import spark.implicits._
     val rows = (1 to 20).map(i =>
