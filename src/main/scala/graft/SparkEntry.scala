@@ -4289,7 +4289,138 @@ object SparkEntry {
                  row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS rn
           FROM scored) WHERE rn = 1)"""
 
+  /** DuckDB replay of [[graft.operators.Dedup.minhashNearDups]] (3-gram,
+    * exact-Jaccard ≥ 0.8 confirm) — the shared candidate relation of the
+    * round-7 graph queries. Same text as the q153/q154 oracles: candidates
+    * = any shared shingle hash (a superset of the LSH bands), confirmed by
+    * exact set Jaccard, so both engines derive the identical pair set.
+    * Yields CTEs `toks, grams, sh, sizes, inter, prs(id_a, id_b)` and the
+    * symmetrized `edges(src, dst)`.
+    */
+  private def nearDupEdgesCte(minJac: Double): String =
+    s"""toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l
+               FROM documents),
+        grams AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, greatest(len(l) - 1, 1)),
+                 i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS g
+               FROM toks WHERE len(l) >= 3),
+        sh AS (SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS sh FROM grams),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+                  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        prs AS (SELECT id_a, id_b,
+                  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+                  FROM inter
+                  JOIN sizes sa ON id_a = sa.doc_id
+                  JOIN sizes sb ON id_b = sb.doc_id
+                  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= $minJac),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+                  UNION SELECT id_b, id_a FROM prs)"""
+
+  /** One unrolled fixed-point PageRank iteration (oracle side) — integer
+    * arithmetic identical to [[graft.operators.Graphs.pageRank]]:
+    * contribution `r // outdeg`, damping `(85 * x) // 100`, dangling mass
+    * redistributed as `total // n`.
+    */
+  private def pageRankIterSql(prev: String, cur: String): String =
+    s"""d$cur AS (SELECT COALESCE(SUM(r), 0) AS dt
+          FROM r$prev LEFT JOIN deg USING (id) WHERE outdeg IS NULL),
+        in$cur AS (SELECT e.dst AS id, SUM(rp.r // dg.outdeg) AS s
+          FROM edges e
+          JOIN r$prev rp ON e.src = rp.id
+          JOIN deg dg ON e.src = dg.id
+          GROUP BY 1),
+        r$cur AS (SELECT u.id,
+            (15 * (1000000000000 // (SELECT n FROM nn))) // 100
+            + (85 * (COALESCE(i.s, 0)
+                     + (SELECT dt FROM d$cur) // (SELECT n FROM nn))) // 100 AS r
+          FROM r0 u LEFT JOIN in$cur i USING (id))"""
+
+  /** DuckDB replay of [[graft.operators.Temporal.ewmaTrailing]]: the same
+    * `depth` shared-window lag() terms, the same power-of-two fixed-point
+    * numerator/denominator, one final double division.
+    */
+  private def ewmaOracleSql(depth: Int): String = {
+    val num = (0 until depth).map(j =>
+      s"COALESCE(lag(vm, $j) OVER w * ${1L << (depth - 1 - j)}, 0)")
+      .mkString(" + ")
+    val den = (0 until depth).map(j =>
+      s"(CASE WHEN lag(vm, $j) OVER w IS NOT NULL THEN ${1L << (depth - 1 - j)} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH q AS (SELECT user_id, event_id, value,
+          CAST(round(value * 1e6) AS BIGINT) AS vm, ts FROM events),
+        e AS (SELECT user_id, event_id, value,
+          CAST($num AS BIGINT) AS num, CAST($den AS BIGINT) AS den
+          FROM q
+          WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id))
+        SELECT user_id, event_id, value,
+          CAST(num AS DOUBLE) / CAST(den * 1000000 AS DOUBLE) AS ewma
+        FROM e ORDER BY event_id"""
+  }
+
   private val registryTail: Map[String, Q] = Map(
+    // ----- Graph centrality over the near-dup graph --------------------------
+
+    // Fixed-point PageRank (3 power iterations, damping 0.85) over the
+    // MinHash near-dup graph: a centrality signal for canonical-document
+    // selection inside dup neighborhoods (bridges outrank leaves, which
+    // degree-count canonical picking cannot see). Integer micro-unit
+    // arithmetic end to end, so the DuckDB replay is bit-exact — see
+    // Graphs.pageRank for the scale/exactness contract.
+    "q155_pagerank" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", 3, 64, 16, 0.8)
+        Graphs.pageRank(docs.select(col("doc_id")), "doc_id",
+            pairs, "id_a", "id_b", iters = 3)
+          .orderBy(desc("rank_micro"), col("doc_id"))
+      },
+      Some(s"""WITH ${nearDupEdgesCte(0.8)},
+        deg AS (SELECT src AS id, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+        nn AS (SELECT COUNT(*) AS n FROM documents),
+        r0 AS (SELECT doc_id AS id,
+            1000000000000 // (SELECT n FROM nn) AS r FROM documents),
+        ${pageRankIterSql("0", "1")},
+        ${pageRankIterSql("1", "2")},
+        ${pageRankIterSql("2", "3")}
+        SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_micro FROM r3
+        ORDER BY rank_micro DESC, doc_id""")),
+
+    // Fuzzy record linkage: loose exact-Jaccard blocking (≥ 0.5,
+    // lossless prefix-filtered postings join) re-scored by graft's native
+    // codegen'd jaro_winkler expression, keep ≥ 0.9 — the record-linkage
+    // confirm that tolerates transpositions and boosts shared prefixes
+    // where plain edit distance (q103) charges every edit equally. The
+    // oracle runs DuckDB's own jaro_winkler_similarity, which the kernel
+    // matches bit-exact (10k-pair fixture, JaroWinklerSpec) —
+    // similarities hash-compare raw.
+    "q156_jw_linkage" -> Q(
+      (s, dir) => Dedup.jaroWinklerLinkage(t(s, dir, "documents"),
+          "doc_id", "text", 3, 0.5, 0.9)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH ${nearDupEdgesCte(0.5)},
+        nt AS (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+               FROM documents)
+        SELECT p.id_a, p.id_b, p.jaccard,
+          jaro_winkler_similarity(a.t, b.t) AS jw
+        FROM prs p JOIN nt a ON a.doc_id = p.id_a JOIN nt b ON b.doc_id = p.id_b
+        WHERE jaro_winkler_similarity(a.t, b.t) >= 0.9
+        ORDER BY id_a, id_b""")),
+
+    // EWMA smoothing (α = 1/2, 24-deep trailing horizon) per user over the
+    // event stream — the time-series denoiser for drifting per-user
+    // metrics. Power-of-two weights + micro-unit fixed point keep both
+    // engines' arithmetic exact until the single final double division;
+    // see Temporal.ewmaTrailing for the scheme and the one-window-exchange
+    // scale shape.
+    "q157_ewma" -> Q(
+      (s, dir) => Temporal.ewmaTrailing(t(s, dir, "events"),
+          "user_id", "ts", "event_id", "value", depth = 24)
+        .select("user_id", "event_id", "value", "ewma")
+        .orderBy("event_id"),
+      Some(ewmaOracleSql(24))),
+
     // ----- SQL API surface ---------------------------------------------------
 
     // The spark.sql face of the engine: the same ANSI text runs on both

@@ -506,6 +506,42 @@ object Dedup {
       .select("id_a", "id_b", "jaccard", "lev", "max_len")
   }
 
+  /** Fuzzy record linkage: loose EXACT-Jaccard blocking (the recall net —
+    * [[ngramJaccardPairs]] with the lossless positional prefix filter, so
+    * blocking recall is 1.0 by construction, unlike a banded-LSH block
+    * whose per-pair recall at a LOW threshold decays to coin-flip levels)
+    * re-scored by JARO-WINKLER similarity over the normalized text and
+    * kept at `minJw`. The edit-distance confirm (q103) charges every edit
+    * equally; Jaro-Winkler is the record-linkage weighting
+    * (transposition-tolerant, shared-prefix boosted) that matches "same
+    * entity, reformatted fields" — the classic dedup rule for
+    * titles/names/citations inside a web corpus.
+    *
+    * `jaro_winkler` is graft's native codegen'd expression
+    * ([[graft.functions.JaroWinkler]]), validated BIT-EXACT against the
+    * DuckDB oracle's implementation on a 10k-pair fixture
+    * (JaroWinklerSpec), so the output similarity is replayable.
+    *
+    * Scale shape: the O(len_a · len_b) scorer runs only on blocked
+    * candidate pairs (prefix-filtered postings join, ≪ quadratic); two
+    * id-keyed joins fetch exactly the candidate texts.
+    *
+    * Returns (id_a, id_b, jaccard, jw) ordered-pair rows.
+    */
+  def jaroWinklerLinkage(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, blockJac: Double, minJw: Double): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, idCol, textCol, n, blockJac,
+      prefixFilter = true)
+    val txt = docs.select(col(idCol).as("__tid"),
+      TextFns.normalized(col(textCol)).as("__t"))
+    pairs
+      .join(txt.select(col("__tid").as("id_a"), col("__t").as("__ta")), "id_a")
+      .join(txt.select(col("__tid").as("id_b"), col("__t").as("__tb")), "id_b")
+      .withColumn("jw", call_function("jaro_winkler", col("__ta"), col("__tb")))
+      .filter(col("jw") >= minJw)
+      .select("id_a", "id_b", "jaccard", "jw")
+  }
+
   /** Benchmark decontamination: flag every training document that shares
     * at least one word `n`-gram with any document of `benchmark` (the
     * standard eval-leakage check — an n of 8-13 words approximates the

@@ -80,6 +80,71 @@ object Graphs {
     labels
   }
 
+  /** Fixed-point PageRank over an undirected edge list (k power
+    * iterations, damping 0.85), used to rank documents inside near-dup
+    * neighborhoods (a centrality-based canonical-pick signal that degree
+    * alone misses: a doc bridging two clusters outranks a leaf of one).
+    *
+    * Ranks are carried as BIGINT micro-units (`scaleMicro` = 1e12 ≡ rank
+    * 1.0) and every step is integer arithmetic — contribution =
+    * `rank div degree`, damping = `(85 * x) div 100` — so the result is
+    * bit-identical regardless of partitioning, summation order, or engine
+    * (the DuckDB oracle replays the same truncating divisions). Total
+    * fixed-point truncation loss per iteration is < N ulps of 1e-12 —
+    * irrelevant for ranking, essential for replayability.
+    *
+    * Scale shape: each iteration is one broadcast-or-shuffle join of the
+    * edge list against the rank table plus one sum-aggregate on the
+    * destination — O(E) per round, `iters` rounds, lineage flattened per
+    * round via localCheckpoint. Dangling mass (isolated nodes — near-dup
+    * singletons) is a scalar aggregate redistributed uniformly, exactly as
+    * the canonical formulation requires; without it total mass leaks and
+    * ranks of connected docs inflate.
+    *
+    * `nodes` is the full node universe (isolated nodes get base rank and
+    * donate their dangling mass); `edges` is one row per undirected pair.
+    */
+  def pageRank(nodes: DataFrame, idCol: String, edges: DataFrame,
+      aCol: String, bCol: String, iters: Int = 3,
+      scaleMicro: Long = 1000000000000L): DataFrame = {
+    val sym = graft.CacheScope.register(
+      edges.select(explode(array(
+          struct(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")),
+          struct(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst"))))
+        .as("__e"))
+        .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull)
+        .distinct())
+    val deg = graft.CacheScope.register(
+      sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg")))
+    val ids = nodes.select(col(idCol).cast("long").as("id"))
+    val n = ids.count()
+    require(n > 0, "pageRank: empty node universe")
+    val init = scaleMicro / n
+    val base = (15L * init) / 100L
+    var rank = ids.withColumn("r", lit(init))
+    var it = 0
+    while (it < iters) {
+      // dangling mass: nodes with no outgoing edge donate their whole rank,
+      // redistributed uniformly (scalar agg — one tiny driver round-trip)
+      val dangTotal = rank.join(deg, Seq("id"), "left_anti")
+        .agg(coalesce(sum(col("r")), lit(0L))).first().getLong(0)
+      val dangShare = dangTotal / n
+      val in = sym
+        .join(rank.withColumnRenamed("id", "src"), "src")
+        .join(deg.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), expr("r div outdeg").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("s"))
+      rank = ids.join(in, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + expr(s"(85 * (coalesce(s, 0L) + ${dangShare}L)) div 100"))
+            .as("r"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    rank.select(col("id").as(idCol), col("r").as("rank_micro"))
+  }
+
   /** Exact union-find (path compression + union by min) over a collected
     * edge list; component label = minimum member id, identical to the
     * distributed loop's fixpoint.

@@ -130,4 +130,46 @@ object Temporal {
         col("__obs.v").as("value"),
         (col("__h") === col("__hour")).as("was_observed"))
   }
+
+  /** Exponentially-weighted trailing average (EWMA, α = 1/2, horizon
+    * `depth` ≤ 32): per key, ordered by (ts, tie), each row's smoothed
+    * value over its last `depth` observations with weights 0.5^j
+    * (j = 0 for the current row).
+    *
+    * Exactness scheme: the true EWMA recursion multiplies doubles whose
+    * products depend on summation order; instead both engines compute
+    *   num = Σ_j round(value·1e6) · 2^(depth-1-j)   (BIGINT, exact)
+    *   den = Σ_j 2^(depth-1-j)                      (over PRESENT rows)
+    * and emit `ewma = num / (den·1e6)` as ONE double division of two exact
+    * integers — bit-identical across engines and partitionings. α = 1/2
+    * makes every weight a power of two, so the fixed-point sum is exact;
+    * |value| ≤ 8e9 keeps |num| < 2^53+ safely inside BIGINT for
+    * depth ≤ 32.
+    *
+    * Scale shape: ONE window exchange on the key; the `depth` lag() calls
+    * all share that window (one sort, one frame pass — not `depth`
+    * shuffles), and the whole expression tree stays in whole-stage
+    * codegen. A recursion-faithful implementation would need a
+    * sequential per-key scan (mapGroups — no codegen, full group
+    * materialization); the finite-horizon form loses < 0.5^depth of mass,
+    * far below the 1e-6 quantization floor for depth ≥ 21.
+    */
+  def ewmaTrailing(df: DataFrame, key: String, tsCol: String, tieCol: String,
+      valCol: String, depth: Int = 24): DataFrame = {
+    require(depth >= 1 && depth <= 32, s"depth must be in [1, 32]: $depth")
+    val w = Window.partitionBy(col(key)).orderBy(col(tsCol), col(tieCol))
+    val vm = round(col(valCol) * 1e6).cast("long")
+    val terms = (0 until depth).map { j =>
+      val weight = 1L << (depth - 1 - j)
+      val l = lag(vm, j).over(w)
+      (when(l.isNotNull, l * weight).otherwise(lit(0L)),
+        when(l.isNotNull, lit(weight)).otherwise(lit(0L)))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    // den·1e6 un-scales the micro quantization in the same single
+    // division (2^32·1e6 < 2^53 — still an exact long)
+    df.select(col(key), col(tsCol), col(tieCol), col(valCol))
+      .withColumn("ewma", num.cast("double") / (den * 1000000L).cast("double"))
+  }
 }

@@ -42,4 +42,54 @@ class GraphsSpec extends SparkSpec {
     assert(a == b)
     assert(a(7L) == 1L && a(10L) == 8L)
   }
+
+  private def pr(nodes: Seq[Long], edges: Seq[(Long, Long)],
+      iters: Int = 3): Map[Long, Long] = {
+    import spark.implicits._
+    Graphs.pageRank(nodes.toDF("id"), "id",
+        edges.toDF("a", "b"), "a", "b", iters = iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("pageRank: star center outranks leaves, leaves tie by symmetry") {
+    val out = pr(Seq(1L, 2L, 3L, 4L), Seq((1L, 2L), (1L, 3L), (1L, 4L)))
+    assert(out(1L) > out(2L))
+    assert(out(2L) == out(3L) && out(3L) == out(4L))
+  }
+
+  test("pageRank: conserves total mass up to integer truncation") {
+    val nodes = (1L to 50L).toSeq
+    val edges = (1L until 50L).map(i => (i, i + 1)) // path graph
+    val out = pr(nodes, edges)
+    val total = out.values.sum
+    val scale = 1000000000000L
+    // each truncating division loses < 1 micro-unit; 3 iterations over
+    // N nodes + E directed edges bounds the loss far below this slack
+    assert(total <= scale)
+    assert(total > scale - 3L * (nodes.size + 2 * edges.size + 2) - 100)
+  }
+
+  test("pageRank: fully disconnected graph keeps every node at base rank") {
+    val out = pr(Seq(1L, 2L, 3L, 4L, 5L), Seq.empty)
+    // all nodes dangling: rank = 0.15/N + 0.85*(danglingShare) each round,
+    // which fixes at ~1/N for every node
+    assert(out.values.toSet.size == 1)
+    val r = out.values.head
+    assert(math.abs(r - 200000000000L) < 5) // 1/5 in micro-units
+  }
+
+  test("pageRank: isolated node holds base-level rank while a clique " +
+      "concentrates mass, and reruns are bit-identical across partitionings") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L, 9L)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)) // triangle + isolated 9
+    val a = pr(nodes, edges)
+    // triangle members tie; isolated node keeps less than a member
+    assert(a(1L) == a(2L) && a(2L) == a(3L))
+    assert(a(9L) < a(1L))
+    val b = Graphs.pageRank(nodes.toDF("id").repartition(7), "id",
+        edges.toDF("a", "b").repartition(5), "a", "b", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
 }

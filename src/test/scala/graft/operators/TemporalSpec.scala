@@ -127,4 +127,56 @@ class TemporalSpec extends SparkSpec {
     // 3.0 split over the two qualifying views -> 1.5e6 micro each
     assert(out == Map(9 -> 1500000L, 10 -> 1500000L))
   }
+
+  test("ewmaTrailing: hand-computed fixed-point weights, per-key isolation, " +
+      "and short-history denominators") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 7L, ts("2024-01-05 09:00:00"), 1.0),
+      (2L, 7L, ts("2024-01-05 10:00:00"), 2.0),
+      (3L, 7L, ts("2024-01-05 11:00:00"), 4.0),
+      (4L, 8L, ts("2024-01-05 09:30:00"), 10.0) // other key: untouched
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = Temporal.ewmaTrailing(ev, "user_id", "ts", "event_id",
+        "value", depth = 2)
+      .collect().map(r => r.getLong(2) -> r.getDouble(4)).toMap
+    // depth=2, weights current=2, prev=1 (micro-quantized):
+    //  e1: 2*1e6 / (2*1e6)                  = 1.0
+    //  e2: (2*2e6 + 1e6) / (3*1e6)          = 5/3
+    //  e3: (2*4e6 + 2e6) / (3*1e6)          = 10/3
+    assert(out(1L) == 1.0)
+    assert(out(2L) == 5e6 / 3e6)
+    assert(out(3L) == 10e6 / 3e6)
+    assert(out(4L) == 10.0)
+  }
+
+  test("ewmaTrailing is bit-identical across partitionings and converges " +
+      "to the recursion within quantization error at full depth") {
+    import spark.implicits._
+    val rows = (1 to 100).map(i =>
+      (i.toLong, (i % 2).toLong, ts(f"2024-01-05 ${9 + i / 60}%02d:${i % 60}%02d:00"),
+        math.sin(i) * 100))
+    val df = rows.toDF("event_id", "user_id", "ts", "value")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Temporal.ewmaTrailing(d, "user_id", "ts", "event_id", "value", depth = 24)
+        .collect().map(r => r.getLong(2) -> r.getDouble(4)).toMap
+    val a = run(df)
+    val b = run(df.repartition(13))
+    assert(a == b) // bit-identical, not approximately
+    // reference recursion ewma_t = (x_t + ewma_{t-1}) / 2 per key; past the
+    // warm-up the trailing form differs only by the 0.5^24 horizon tail and
+    // the 1e-6 quantization — both far under 1e-4. Early rows legitimately
+    // differ (the trailing form renormalizes over available lags; the
+    // recursion double-weights the seed), so compare from index 24 on.
+    rows.groupBy(_._2).foreach { case (_, es) =>
+      var ref = Double.NaN
+      es.sortBy(e => (e._3.getTime, e._1)).zipWithIndex.foreach { case (e, idx) =>
+        ref = if (ref.isNaN) e._4 else (e._4 + ref) / 2.0
+        if (idx >= 24) {
+          assert(math.abs(a(e._1) - ref) < 1e-4,
+            s"event ${e._1}: got ${a(e._1)} want ~$ref")
+        }
+      }
+    }
+  }
 }
