@@ -4421,6 +4421,117 @@ object SparkEntry {
         .orderBy("event_id"),
       Some(ewmaOracleSql(24))),
 
+    // Pareto frontier (skyline) on the maximize-(token count, quality
+    // score) plane: the multi-criteria curation shortlist no single
+    // weighted score can express. The operator never windows the corpus
+    // globally — bucketed cross-bucket pruning + partitioned windows (see
+    // Curation.paretoFrontier2D); the oracle is the O(n²) NOT EXISTS
+    // dominance definition, which only the gate scale can afford.
+    "q158_pareto_frontier" -> Q(
+      (s, dir) => {
+        val scored = TextOps.qualityFeatures(t(s, dir, "documents"),
+            "doc_id", "text")
+          .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+            col("quality_score_micro"))
+        Curation.paretoFrontier2D(scored, "n_tokens", "quality_score_micro")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${qualityMicroSql("doc_id")},
+        m AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                CAST(quality_score_micro AS BIGINT) AS quality_score_micro
+              FROM __qm
+              WHERE n_tokens IS NOT NULL AND quality_score_micro IS NOT NULL)
+        SELECT doc_id, n_tokens, quality_score_micro
+        FROM m t
+        WHERE NOT EXISTS (SELECT 1 FROM m o
+          WHERE o.n_tokens >= t.n_tokens
+            AND o.quality_score_micro >= t.quality_score_micro
+            AND (o.n_tokens > t.n_tokens
+                 OR o.quality_score_micro > t.quality_score_micro))
+        ORDER BY doc_id""")),
+
+    // Z-ORDER curve profile: Morton-interleave (customer grid, order-day
+    // grid) and aggregate zone-map stats per 64th of the curve — the
+    // digestible face of Warehouse.zorderBy's layout claim: every curve
+    // range carries a TIGHT min/max box on BOTH dimensions at once (a
+    // single-column sort leaves the other column's per-file range spanning
+    // the domain, pruning nothing). The oracle replays the identical
+    // 32-term shift/mask interleave, so the driver gate pins the bit math
+    // that zorderBy's file layout rides on. Map-side only + one 64-group
+    // aggregate at any scale.
+    "q159_zorder_profile" -> Q(
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val day = datediff(col("o_orderdate").cast("date"),
+          lit("1992-01-01").cast("date")).cast("long")
+        // min/max grid bounds: two tiny driver scalars (integers —
+        // deterministic; the precedent is pageRank's dangling-mass agg)
+        val mm = orders.agg(
+          min(col("o_custkey")).as("xl"), max(col("o_custkey")).as("xh"),
+          min(day).as("yl"), max(day).as("yh")).first()
+        val (xl, xh, yl, yh) =
+          (mm.getLong(0), mm.getLong(1), mm.getLong(2), mm.getLong(3))
+        val xgd = expr(s"((o_custkey - $xl) * 65535) div ${math.max(xh - xl, 1L)}")
+        val ygd = expr(
+          s"((datediff(CAST(o_orderdate AS DATE), DATE'1992-01-01') - $yl) * 65535) div ${math.max(yh - yl, 1L)}")
+        orders
+          .select(Warehouse.morton(xgd.cast("long"), ygd.cast("long"), 16).as("z"),
+            xgd.cast("long").as("x"), ygd.cast("long").as("y"))
+          .groupBy(expr("z div 67108864").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+            min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+          .orderBy("bucket")
+      },
+      Some {
+        val terms = (0 until 16).flatMap(i => Seq(
+          s"(((x >> $i) & 1) << ${2 * i})",
+          s"(((y >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+        s"""WITH d AS (SELECT o_custkey AS ck,
+              date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS dy
+            FROM orders),
+          mm AS (SELECT MIN(ck) AS xl, MAX(ck) AS xh, MIN(dy) AS yl, MAX(dy) AS yh
+                 FROM d),
+          g AS (SELECT
+              CAST(((ck - (SELECT xl FROM mm)) * 65535)
+                // greatest((SELECT xh - xl FROM mm), 1) AS BIGINT) AS x,
+              CAST(((dy - (SELECT yl FROM mm)) * 65535)
+                // greatest((SELECT yh - yl FROM mm), 1) AS BIGINT) AS y
+            FROM d),
+          z AS (SELECT x, y, ($terms) AS z FROM g)
+          SELECT z // 67108864 AS bucket, COUNT(*) AS n,
+            MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y
+          FROM z GROUP BY 1 ORDER BY 1"""
+      }),
+
+    // Logistic quality calibrator (distributed Newton/IRLS, 4 iterations):
+    // fits P(lang = 'en' | quality score, log token count) over the corpus
+    // — the one-probability replacement for hand-weighted filter scores.
+    // NO SQL oracle by design (an iterative optimizer isn't expressible as
+    // one replayable query); the contract is spec-enforced in QualitySpec:
+    // bit-identical coefficients across partitionings, exact match to a
+    // local reference implementation of the same fixed-point reduction,
+    // monotone log-likelihood, and correct separation direction. The
+    // exactness scheme (1e-9-grid DECIMAL sums) makes the driver's
+    // rows>0 dump reproducible bit-for-bit.
+    "q160_logistic_calibrator" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val f = TextOps.qualityFeatures(docs, "doc_id", "text")
+          .select(col("doc_id"),
+            (col("quality_score_micro").cast("double") / 1e6).as("q"),
+            log(col("n_tokens").cast("double") + 1.0).as("lt"))
+        val labeled = docs.select(col("doc_id"),
+            (col("lang") === "en").cast("double").as("y"))
+          .join(f, "doc_id")
+        Quality.logisticCalibrator(labeled, "y", Seq("q", "lt"), iters = 4)
+          .select(col("iter"), col("loglik_nano"), col("beta_intercept"),
+            col("betas")(0).as("beta_quality"),
+            col("betas")(1).as("beta_logtokens"))
+          .orderBy("iter")
+      },
+      None),
+
     // ----- SQL API surface ---------------------------------------------------
 
     // The spark.sql face of the engine: the same ANSI text runs on both

@@ -111,6 +111,57 @@ object Curation {
     * sub-quadratic near-dup pipeline plus ONE id-keyed left join and a
     * projection; the split adds no shuffle of its own.
     */
+  /** 2-D Pareto frontier (skyline): the rows not dominated on the
+    * MAXIMIZE-(x, y) plane — `other` dominates `t` iff `other.x ≥ t.x ∧
+    * other.y ≥ t.y` with at least one strict. The multi-criteria
+    * curation primitive ("no doc on the frontier is beaten on BOTH
+    * length and quality") that a single weighted score cannot express —
+    * ties on BOTH coordinates are mutually non-dominating and all kept.
+    *
+    * Scale shape — NO global window over the input (the naive skyline
+    * sorts the corpus into one task; the all-pairs oracle form is
+    * O(n²)). x is bucketed at `bucketWidth`; any dominator has x' ≥ x,
+    * hence lives in the same or a higher bucket, so domination splits
+    * exactly into:
+    *   - higher buckets: covered by the running max of per-bucket y
+    *     maxima (a #buckets-row aggregate — the only global window,
+    *     bounded by max(x)/bucketWidth — broadcast back);
+    *   - same bucket: two PARTITIONED windows (x' > x via a desc range
+    *     frame; x' = x via a (bucket, x) partition max).
+    * Cost: one shuffle for the bucket aggregate + one window exchange on
+    * the bucket. Anti-correlated (x, y) makes the TRUE frontier O(n) —
+    * then the output, not the algorithm, is inherently large. Rows with
+    * NULL x or y carry no dominance information and are dropped.
+    *
+    * `xCol` must be integral (the range frame and bucket floor are
+    * integer-exact); returns the input rows (all columns) on the
+    * frontier.
+    */
+  def paretoFrontier2D(df: DataFrame, xCol: String, yCol: String,
+      bucketWidth: Long = 64L): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1: $bucketWidth")
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    val pts = df.filter(x.isNotNull && y.isNotNull)
+      .withColumn("__b", expr(s"CAST($xCol AS BIGINT) div $bucketWidth"))
+    val bmax = pts.groupBy(col("__b")).agg(max(y).as("__bm"))
+    // running max of y over STRICTLY higher buckets — #buckets rows
+    val hmax = bmax.withColumn("__hmax",
+      max(col("__bm")).over(Window.orderBy(col("__b").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("__b"), col("__hmax"))
+    val wGt = Window.partitionBy(col("__b")).orderBy(x.desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wEq = Window.partitionBy(col("__b"), x)
+    pts.join(broadcast(hmax), "__b")
+      .withColumn("__gtmax", max(y).over(wGt))
+      .withColumn("__eqmax", max(y).over(wEq))
+      .filter((col("__hmax").isNull || y > col("__hmax")) &&
+        (col("__gtmax").isNull || y > col("__gtmax")) &&
+        y === col("__eqmax"))
+      .drop("__b", "__hmax", "__gtmax", "__eqmax")
+  }
+
   def clusterAwareSplit(docs: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int, bands: Int, minJac: Double, salt: String,
       splits: Seq[(String, Double)]): DataFrame = {

@@ -612,4 +612,119 @@ object Quality {
       .filter(col("is_g") === 0)
       .select(col("grp"), col("score"), col("normalized"))
   }
+
+  /** Distributed logistic regression (Newton/IRLS) — the quality-filter
+    * CALIBRATOR: fit P(label | features) so heuristic feature scores
+    * (length, punctuation, perplexity…) become one calibrated probability
+    * per document, the way production corpus filters weight their signals
+    * (a fixed hand-weighted sum is exactly what this replaces).
+    *
+    * Exactness/determinism contract (the [[olsRegression]] scheme lifted
+    * to an iterative model): per row the gradient and Hessian
+    * contributions are pure codegen'd doubles, quantized to a 1e-9 grid
+    * (`round(c·1e9)` longs) and summed as DECIMAL(38,0) — an
+    * order-independent exact reduction, so the fitted coefficients are
+    * BIT-IDENTICAL across partitionings, reruns, and cluster sizes. The
+    * tiny (m+1)² normal system is solved on the driver (partial-pivot
+    * Gaussian elimination on exact-sum-derived doubles — a fixed IEEE op
+    * sequence), with a `ridge` L2 diagonal for separation safety.
+    * p is clamped to [1e-12, 1−1e-12] before the log-likelihood so a
+    * saturated row cannot emit ±Inf.
+    *
+    * Scale shape: `iters` whole-stage-codegen aggregation passes over the
+    * (cached) feature projection — one global partial+final agg each, no
+    * shuffle of the corpus, no per-row state on the driver. Rows with any
+    * NULL/NaN feature or label are dropped (complete-case, as
+    * [[olsRegression]]).
+    *
+    * Returns one row per iteration: (iter, loglik_nano, beta_0 …
+    * beta_m) — beta_0 the intercept, beta_j the coefficient of
+    * `xCols(j-1)`; loglik_nano the exact 1e-9-grid log-likelihood sum
+    * AFTER that iteration's update (monotone non-decreasing on sane
+    * data; the convergence audit rides the output).
+    */
+  def logisticCalibrator(df: DataFrame, labelCol: String, xCols: Seq[String],
+      iters: Int = 4, ridge: Double = 1e-6): DataFrame = {
+    require(xCols.nonEmpty && iters >= 1)
+    val m = xCols.size + 1 // + intercept
+    val spark = df.sparkSession
+    val y = col(labelCol).cast("double")
+    val feats = lit(1.0) +: xCols.map(c => col(c).cast("double"))
+    val valid = (col(labelCol).isNotNull && !isnan(y) &&
+      (y === 0.0 || y === 1.0)) &&
+      xCols.map(c => col(c).isNotNull && !isnan(col(c).cast("double")) &&
+        abs(col(c).cast("double")) < lit(1e9)).reduce(_ && _)
+    val prep = graft.CacheScope.register(
+      df.filter(valid)
+        .select((y.as("__y") +: feats.zipWithIndex.map {
+          case (f, j) => f.as(s"__x$j") }).toIndexedSeq: _*))
+    def nano(e: Column): Column =
+      try_sum(round(e * 1e9).cast("long").cast("decimal(38,0)"))
+    var beta = Array.fill(m)(0.0)
+    val out = Seq.newBuilder[(Int, Long, Seq[Double])]
+    for (it <- 1 to iters) {
+      val eta = beta.zipWithIndex.map { case (b, j) =>
+        lit(b) * col(s"__x$j") }.reduce(_ + _)
+      val p0 = lit(1.0) / (lit(1.0) + exp(-eta))
+      val p = least(greatest(p0, lit(1e-12)), lit(1.0 - 1e-12))
+      val w = p * (lit(1.0) - p)
+      val r = col("__y") - p
+      val gradCols = (0 until m).map(j => nano(r * col(s"__x$j")).as(s"g$j"))
+      val hessCols = for (j <- 0 until m; k <- j until m)
+        yield nano(w * col(s"__x$j") * col(s"__x$k")).as(s"h${j}_$k")
+      val row = prep.agg(gradCols.head, (gradCols.tail ++ hessCols): _*).first()
+      def bd(name: String): Double = {
+        val d = row.getAs[java.math.BigDecimal](name)
+        if (d == null) 0.0 else d.movePointLeft(9).doubleValue()
+      }
+      val g = Array.tabulate(m)(j => bd(s"g$j"))
+      val h = Array.tabulate(m, m)((j, k) =>
+        (if (j <= k) bd(s"h${j}_$k") else bd(s"h${k}_$j")) +
+          (if (j == k) ridge else 0.0))
+      val delta = solve(h, g)
+      beta = beta.zipWithIndex.map { case (b, j) => b + delta(j) }
+      // log-likelihood AFTER the update (exact nano-grid sum)
+      val eta2 = beta.zipWithIndex.map { case (b, j) =>
+        lit(b) * col(s"__x$j") }.reduce(_ + _)
+      val p2 = least(greatest(lit(1.0) / (lit(1.0) + exp(-eta2)),
+        lit(1e-12)), lit(1.0 - 1e-12))
+      val llRow = prep.agg(nano(col("__y") * log(p2) +
+        (lit(1.0) - col("__y")) * log(lit(1.0) - p2)).as("ll")).first()
+      val ll = Option(llRow.getAs[java.math.BigDecimal]("ll"))
+        .map(_.longValueExact()).getOrElse(0L)
+      out += ((it, ll, beta.toSeq))
+    }
+    import spark.implicits._
+    out.result()
+      .map { case (it, ll, b) => (it, ll, b.head, b.tail) }
+      .toDF("iter", "loglik_nano", "beta_intercept", "betas")
+  }
+
+  /** In-place partial-pivot Gaussian elimination for the tiny (m ≤ ~8)
+    * Newton system — deterministic fixed op sequence on the driver.
+    */
+  private def solve(h0: Array[Array[Double]], g0: Array[Double]): Array[Double] = {
+    val m = g0.length
+    val a = Array.tabulate(m, m)((i, j) => h0(i)(j))
+    val b = g0.clone()
+    for (c <- 0 until m) {
+      var piv = c
+      for (r2 <- c + 1 until m) if (math.abs(a(r2)(c)) > math.abs(a(piv)(c))) piv = r2
+      if (piv != c) { val t = a(piv); a(piv) = a(c); a(c) = t
+        val tb = b(piv); b(piv) = b(c); b(c) = tb }
+      require(math.abs(a(c)(c)) > 1e-300, "singular Newton system")
+      for (r2 <- c + 1 until m) {
+        val f = a(r2)(c) / a(c)(c)
+        for (k <- c until m) a(r2)(k) -= f * a(c)(k)
+        b(r2) -= f * b(c)
+      }
+    }
+    val x = new Array[Double](m)
+    for (c <- m - 1 to 0 by -1) {
+      var s = b(c)
+      for (k <- c + 1 until m) s -= a(c)(k) * x(k)
+      x(c) = s / a(c)(c)
+    }
+    x
+  }
 }

@@ -263,8 +263,10 @@ object Warehouse {
   /** Morton (z-order) interleave of two bit-grids: bit i of `a` lands at
     * position 2i, bit i of `b` at 2i+1. Inputs must already be integers
     * in [0, 2^bits); all shifts/masks are builtin expressions (codegen).
+    * Public: q159 oracle-gates this exact bit math (the DuckDB replay is
+    * the same 32-term shift/mask OR), and [[zorderBy]] builds on it.
     */
-  private def morton(a: org.apache.spark.sql.Column,
+  def morton(a: org.apache.spark.sql.Column,
       b: org.apache.spark.sql.Column, bits: Int): org.apache.spark.sql.Column =
     (0 until bits).flatMap { i =>
       Seq(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i),

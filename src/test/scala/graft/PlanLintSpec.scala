@@ -55,7 +55,8 @@ class PlanLintSpec extends SparkSpec {
     "q120_repetition_schedule" -> "q96's water-fill closed form over per-source aggregates (one row per source)",
     "q124_funnel" -> "lag over the 3-row staged-count aggregate (one row per funnel stage)",
     "q137_vocab_growth" -> "cumulative sums over the nBuckets-row bucket aggregate (10 rows)",
-    "q140_quantile_normalize" -> "CDF windows over DISTINCT-score count grids (q97's bounded-grid argument), incl. the merged as-of grid")
+    "q140_quantile_normalize" -> "CDF windows over DISTINCT-score count grids (q97's bounded-grid argument), incl. the merged as-of grid",
+    "q158_pareto_frontier" -> "running cross-bucket max over the per-bucket aggregate (≤ max_tokens/64 rows); the corpus itself sees only bucket-partitioned windows")
 
   test("no query plans a global window over an unbounded relation") {
     import org.apache.spark.sql.execution.SparkPlan

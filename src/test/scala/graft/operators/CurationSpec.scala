@@ -68,4 +68,35 @@ class CurationSpec extends SparkSpec {
         s"doc $i: cluster-aware ${out(i)._2} != hashSplit ${single(i)}")
     }
   }
+
+  test("paretoFrontier2D matches the brute-force dominance definition, " +
+      "keeps both members of an (x, y) tie, drops nulls, and is stable " +
+      "across bucket widths and partitionings") {
+    import spark.implicits._
+    val rows: Seq[(Long, Option[Long], Option[Long])] = Seq(
+      (1L, Some(10L), Some(100L)),  // dominated by 3 (both strictly)
+      (2L, Some(10L), Some(300L)),  // frontier (nothing has x>=10,y>=300 both-strict)
+      (3L, Some(50L), Some(200L)),  // frontier
+      (4L, Some(50L), Some(200L)),  // exact tie with 3 — BOTH kept
+      (5L, Some(50L), Some(150L)),  // same x as 3, lower y → dominated
+      (6L, Some(300L), Some(50L)),  // frontier (max x)
+      (7L, Some(299L), Some(50L)),  // dominated by 6 (x strict, y equal)
+      (8L, None, Some(999L)),       // null x → dropped
+      (9L, Some(999L), None)        // null y → dropped
+    )
+    val df = rows.toDF("id", "x", "y")
+    def ids(width: Long, parts: Int) =
+      Curation.paretoFrontier2D(df.repartition(parts), "x", "y", width)
+        .select("id").collect().map(_.getLong(0)).toSet
+    // brute force over the same definition
+    val pts = rows.collect { case (id, Some(x), Some(y)) => (id, x, y) }
+    val brute = pts.filterNot { case (_, x, y) =>
+      pts.exists { case (_, ox, oy) =>
+        ox >= x && oy >= y && (ox > x || oy > y) }
+    }.map(_._1).toSet
+    assert(brute == Set(2L, 3L, 4L, 6L))
+    for (width <- Seq(1L, 7L, 64L, 1000L); parts <- Seq(1, 13)) {
+      assert(ids(width, parts) == brute, s"width=$width parts=$parts")
+    }
+  }
 }

@@ -360,4 +360,116 @@ class QualitySpec extends SparkSpec {
     val lo = Seq(1L, 2L, 3L, 4L).map(s => out(("lo", s)))
     assert(lo == lo.sorted)
   }
+
+  test("logisticCalibrator: separation direction, monotone log-likelihood, " +
+      "perfect accuracy on a margin-separated set, null rows dropped") {
+    import spark.implicits._
+    // y = 1 iff x > 0, margin 1: cleanly separable on one feature
+    val rows = ((-50 to -1).map(i => (i / 10.0 - 1.0, 0.0)) ++
+      (1 to 50).map(i => (i / 10.0 + 1.0, 1.0)) ++
+      Seq((Double.NaN, 1.0))).map { case (x, y) => (x, y) }
+    val df = rows.toDF("x", "y")
+    val out = Quality.logisticCalibrator(df, "y", Seq("x"), iters = 5)
+      .orderBy("iter").collect()
+    assert(out.length == 5)
+    val lls = out.map(_.getLong(1))
+    assert(lls.zip(lls.tail).forall { case (a, b) => b >= a },
+      s"log-likelihood not monotone: ${lls.mkString(",")}")
+    val beta = out.last
+    val b1 = beta.getSeq[Double](3).head
+    assert(b1 > 0, s"separation direction wrong: beta_x = $b1")
+    // every training point classified correctly by the final model
+    val b0 = beta.getDouble(2)
+    rows.filterNot(_._1.isNaN).foreach { case (x, y) =>
+      val p = 1.0 / (1.0 + math.exp(-(b0 + b1 * x)))
+      assert((p > 0.5) == (y == 1.0), s"x=$x p=$p y=$y")
+    }
+  }
+
+  test("logisticCalibrator: coefficients BIT-IDENTICAL across partitionings " +
+      "and equal to a local reference of the same fixed-point reduction") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val rows = (1 to 400).map { _ =>
+      val x1 = rng.nextDouble() * 4 - 2
+      val x2 = rng.nextDouble() * 4 - 2
+      val p = 1.0 / (1.0 + math.exp(-(0.5 + 1.5 * x1 - 0.7 * x2)))
+      (x1, x2, if (rng.nextDouble() < p) 1.0 else 0.0)
+    }
+    val df = rows.toDF("x1", "x2", "y")
+    def fit(d: org.apache.spark.sql.DataFrame) =
+      Quality.logisticCalibrator(d, "y", Seq("x1", "x2"), iters = 3)
+        .orderBy("iter").collect()
+        .map(r => (r.getLong(1), r.getDouble(2), r.getSeq[Double](3)))
+    val a = fit(df)
+    val b = fit(df.repartition(17))
+    assert(a.toSeq == b.toSeq, "not partition-deterministic")
+
+    // local reference: identical per-row doubles, 1e-9 quantization,
+    // order-independent BigInt sums, same ridge + solve
+    var beta = Array(0.0, 0.0, 0.0)
+    val ridge = 1e-6
+    def sigmoid(eta: Double) = 1.0 / (1.0 + math.exp(-eta))
+    def clamp(p: Double) = math.min(math.max(p, 1e-12), 1.0 - 1e-12)
+    for (it <- 0 until 3) {
+      val feats = rows.map { case (x1, x2, y) => (Array(1.0, x1, x2), y) }
+      // Spark's round() on doubles is BigDecimal HALF_UP — mirror it
+      // exactly (math.round floors at negative .5 boundaries)
+      def q(c: Double) = BigInt(java.math.BigDecimal.valueOf(c * 1e9)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact())
+      val g = Array.tabulate(3) { j =>
+        feats.map { case (x, y) =>
+          // mirror the operator's column algebra exactly:
+          // beta-major eta sum, clamp, r*x_j
+          val eta = (0 until 3).map(k => beta(k) * x(k)).sum
+          val p = clamp(sigmoid(eta))
+          q((y - p) * x(j))
+        }.sum
+      }
+      val h = Array.tabulate(3, 3) { (j, k) =>
+        val jj = math.min(j, k); val kk = math.max(j, k)
+        feats.map { case (x, _) =>
+          val eta = (0 until 3).map(t => beta(t) * x(t)).sum
+          val p = clamp(sigmoid(eta))
+          q(p * (1.0 - p) * x(jj) * x(kk))
+        }.sum
+      }
+      def toD(b: BigInt) = new java.math.BigDecimal(b.bigInteger)
+        .movePointLeft(9).doubleValue()
+      val hm = Array.tabulate(3, 3)((j, k) =>
+        toD(h(j)(k)) + (if (j == k) ridge else 0.0))
+      val gv = g.map(toD)
+      // same partial-pivot solve via the public surface: reuse by fitting?
+      // the solve is private — re-derive with a local copy of the algorithm
+      val delta = localSolve(hm, gv)
+      beta = beta.zipWithIndex.map { case (v, j) => v + delta(j) }
+    }
+    val sparkBetas = a.last._2 +: a.last._3
+    assert(sparkBetas.toSeq == beta.toSeq,
+      s"spark ${sparkBetas.mkString(",")} != reference ${beta.mkString(",")}")
+  }
+
+  private def localSolve(h0: Array[Array[Double]], g0: Array[Double]): Array[Double] = {
+    val m = g0.length
+    val a = Array.tabulate(m, m)((i, j) => h0(i)(j))
+    val b = g0.clone()
+    for (c <- 0 until m) {
+      var piv = c
+      for (r <- c + 1 until m) if (math.abs(a(r)(c)) > math.abs(a(piv)(c))) piv = r
+      if (piv != c) { val t = a(piv); a(piv) = a(c); a(c) = t
+        val tb = b(piv); b(piv) = b(c); b(c) = tb }
+      for (r <- c + 1 until m) {
+        val f = a(r)(c) / a(c)(c)
+        for (k <- c until m) a(r)(k) -= f * a(c)(k)
+        b(r) -= f * b(c)
+      }
+    }
+    val x = new Array[Double](m)
+    for (c <- m - 1 to 0 by -1) {
+      var s = b(c)
+      for (k <- c + 1 until m) s -= a(c)(k) * x(k)
+      x(c) = s / a(c)(c)
+    }
+    x
+  }
 }
