@@ -4532,6 +4532,149 @@ object SparkEntry {
       },
       None),
 
+    // BM25-ranked keyword search over the corpus (Okapi, k1=1.2 b=0.75):
+    // the retrieval face q58's TF-IDF vectors don't expose. The rational
+    // constants are cleared to integer coefficients so the tf-saturation
+    // is one pinned IEEE op sequence over exact integers; idf rides the
+    // micro-log grid; per-term contributions round ONCE then sum as
+    // BIGINT. The oracle mirrors the identical expression tree.
+    "q161_bm25_search" -> Q(
+      (s, dir) => TextOps.bm25Search(t(s, dir, "documents"),
+          "doc_id", "text", Seq("hash", "join", "vector"), 20)
+        .withColumnRenamed("id", "doc_id"),
+      Some("""WITH base AS (SELECT doc_id,
+            string_split_regex(lower(trim(text)), '\s+') AS l
+          FROM documents),
+        d AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS dl, l FROM base),
+        nn AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS s FROM d),
+        hits AS (SELECT doc_id, dl, unnest(l) AS term FROM d),
+        tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM hits
+               WHERE term IN ('hash', 'join', 'vector')
+               GROUP BY 1, 2, 3),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        idf AS (SELECT term,
+            CAST(round(ln((((CAST((SELECT n FROM nn) AS DOUBLE) - CAST(df AS DOUBLE)) + 0.5)
+                           / (CAST(df AS DOUBLE) + 0.5)) + 1.0) * 1e6) AS BIGINT) AS idf_micro
+          FROM df),
+        scored AS (SELECT tf.doc_id,
+            CAST(round((CAST(idf_micro AS DOUBLE) * ((22.0 * CAST(tf AS DOUBLE)) * CAST((SELECT s FROM nn) AS DOUBLE)))
+              / ((((10.0 * CAST((SELECT s FROM nn) AS DOUBLE)) * CAST(tf AS DOUBLE))
+                  + (3.0 * CAST((SELECT s FROM nn) AS DOUBLE)))
+                 + ((9.0 * CAST((SELECT n FROM nn) AS DOUBLE)) * CAST(dl AS DOUBLE)))) AS BIGINT) AS c
+          FROM tf JOIN idf USING (term))
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score_micro,
+          COUNT(*) AS n_terms
+        FROM scored GROUP BY 1
+        ORDER BY score_micro DESC, doc_id LIMIT 20""")),
+
+    // Triangle census of the near-dup graph: per-doc triangle count,
+    // degree, and local clustering coefficient — separates genuine
+    // quasi-clique dup neighborhoods (coefficient ~1) from template hubs
+    // that glue unrelated docs (high degree, no closure). Exact ordered
+    // a<b<c path-closure joins; all counts BIGINT; coefficient on the
+    // half-up micro grid.
+    "q162_triangle_census" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", 3, 64, 16, 0.8)
+        Graphs.triangleStats(pairs, "id_a", "id_b")
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${nearDupEdgesCte(0.8)},
+        deg AS (SELECT id, COUNT(*) AS degree FROM (
+            SELECT id_a AS id FROM prs UNION ALL SELECT id_b FROM prs)
+          GROUP BY 1),
+        tri AS (SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+          FROM prs e1
+          JOIN prs e2 ON e1.id_b = e2.id_a
+          JOIN prs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
+        pern AS (SELECT id, COUNT(*) AS t FROM (
+            SELECT a AS id FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+          GROUP BY 1)
+        SELECT deg.id AS doc_id, CAST(degree AS BIGINT) AS degree,
+          CAST(COALESCE(t, 0) AS BIGINT) AS n_triangles,
+          CASE WHEN degree >= 2 THEN
+            CAST(floor((COALESCE(t, 0) * 2000000 + (degree * (degree - 1)) // 2)
+              / (((degree * (degree - 1)) // 2) * 2)) AS BIGINT)
+          END AS clustering_micro
+        FROM deg LEFT JOIN pern USING (id)
+        ORDER BY doc_id""")),
+
+    // Mutual information lang × source with marginal entropies and NMI —
+    // "how much does a document's source determine its language?" — the
+    // categorical-association audit (q99's Pearson can't see unordered
+    // facets). Exact micro-log-identity integer sums (the q110 scheme);
+    // NMI is one pinned IEEE division/sqrt over the exact sums.
+    "q163_mutual_information" -> Q(
+      (s, dir) => Quality.mutualInformation(t(s, dir, "documents"),
+        "lang", "source"),
+      Some("""WITH base AS (SELECT lang AS a, source AS b FROM documents
+               WHERE lang IS NOT NULL AND source IS NOT NULL),
+        nn AS (SELECT COUNT(*) AS n FROM base),
+        lnn AS (SELECT CAST(round(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS v
+                FROM nn),
+        joint AS (SELECT a, b, COUNT(*) AS nab FROM base GROUP BY 1, 2),
+        ma AS (SELECT a, COUNT(*) AS na FROM base GROUP BY 1),
+        mb AS (SELECT b, COUNT(*) AS nb FROM base GROUP BY 1),
+        mi AS (SELECT CAST(SUM(nab * ((CAST(round(ln(CAST(nab AS DOUBLE)) * 1e6) AS BIGINT)
+                 + (SELECT v FROM lnn))
+                 - CAST(round(ln(CAST(na AS DOUBLE)) * 1e6) AS BIGINT)
+                 - CAST(round(ln(CAST(nb AS DOUBLE)) * 1e6) AS BIGINT))) AS BIGINT)
+               AS mi_micro_sum
+          FROM joint JOIN ma USING (a) JOIN mb USING (b)),
+        ha AS (SELECT CAST(SUM(na * ((SELECT v FROM lnn)
+                 - CAST(round(ln(CAST(na AS DOUBLE)) * 1e6) AS BIGINT))) AS BIGINT)
+               AS h_a_micro_sum FROM ma),
+        hb AS (SELECT CAST(SUM(nb * ((SELECT v FROM lnn)
+                 - CAST(round(ln(CAST(nb AS DOUBLE)) * 1e6) AS BIGINT))) AS BIGINT)
+               AS h_b_micro_sum FROM mb)
+        SELECT (SELECT n FROM nn) AS n, mi_micro_sum,
+          h_a_micro_sum, h_b_micro_sum,
+          CASE WHEN h_a_micro_sum > 0 AND h_b_micro_sum > 0 THEN
+            CAST(mi_micro_sum AS DOUBLE)
+              / sqrt(CAST(h_a_micro_sum AS DOUBLE) * CAST(h_b_micro_sum AS DOUBLE))
+          END AS nmi
+        FROM mi CROSS JOIN ha CROSS JOIN hb""")),
+
+    // Canonical-document election by PageRank: near-dup components (q55's
+    // clustering) elect the member with the highest q155 centrality as
+    // survivor (tie → min doc id) — the composition that replaces
+    // "keep lowest id" with "keep the most-linked representative", which
+    // on bridge-shaped components keeps the doc nearest the cluster core.
+    // The oracle composes the two already-gated CTE families (fixed-point
+    // rank iterations + recursive min-label components).
+    "q164_pagerank_survivors" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", 3, 64, 16, 0.8)
+        val comps = Graphs.connectedComponents(pairs, "id_a", "id_b")
+        val ranks = Graphs.pageRank(docs.select(col("doc_id")), "doc_id",
+          pairs, "id_a", "id_b", iters = 3)
+        Curation.electSurvivors(comps, ranks, "doc_id", "rank_micro")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE ${nearDupEdgesCte(0.8)},
+        walk(id, lbl) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.id = e.dst),
+        comp AS (SELECT id AS doc_id, MIN(lbl) AS component FROM walk GROUP BY id),
+        deg AS (SELECT src AS id, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+        nn AS (SELECT COUNT(*) AS n FROM documents),
+        r0 AS (SELECT doc_id AS id,
+            1000000000000 // (SELECT n FROM nn) AS r FROM documents),
+        ${pageRankIterSql("0", "1")},
+        ${pageRankIterSql("1", "2")},
+        ${pageRankIterSql("2", "3")}
+        SELECT c.doc_id, c.component, CAST(r3.r AS BIGINT) AS rank_micro,
+          (row_number() OVER (PARTITION BY c.component
+             ORDER BY r3.r DESC, c.doc_id)) = 1 AS is_survivor
+        FROM comp c JOIN r3 ON c.doc_id = r3.id
+        ORDER BY c.doc_id""")),
+
     // ----- SQL API surface ---------------------------------------------------
 
     // The spark.sql face of the engine: the same ANSI text runs on both

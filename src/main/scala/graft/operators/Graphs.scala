@@ -145,6 +145,54 @@ object Graphs {
     rank.select(col("id").as(idCol), col("r").as("rank_micro"))
   }
 
+  /** Per-node triangle count, degree, and local clustering coefficient
+    * over an undirected edge list — the cohesion microscope for near-dup
+    * neighborhoods: a high-degree node with NO triangles is a hub
+    * stitching unrelated docs (template/boilerplate gluing clusters — the
+    * thing to cut before electing survivors), while a clique member's
+    * coefficient is ~1.
+    *
+    * Algorithm: canonicalize each edge to (lo < hi), then count each
+    * triangle exactly once as an ordered a < b < c path closed by the
+    * (a, c) edge — two equi-joins over the edge list, no windows, no
+    * cartesian. This is the id-oriented variant of compact-forward;
+    * orienting by degree instead tightens the worst case on power-law
+    * graphs (documented trade: id-orientation keeps the oracle replay
+    * trivially identical). Near-dup graphs are unions of small
+    * quasi-cliques, so the join fan-out stays ∝ Σ_b deg²(b) within
+    * components — bounded by the same argument as the LSH bucket join.
+    *
+    * clustering_micro = triangles / wedges on the half-up micro grid
+    * (wedges = d(d−1)/2), NULL for degree-1 nodes; every count is an
+    * exact BIGINT, so both engines agree bit-for-bit.
+    */
+  def triangleStats(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val canon = graft.CacheScope.register(
+      edges.select(
+        least(col(aCol).cast("long"), col(bCol).cast("long")).as("lo"),
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("hi"))
+        .filter(col("lo").isNotNull && col("lo") =!= col("hi"))
+        .distinct())
+    val deg = canon.select(explode(array(col("lo"), col("hi"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    val tri = canon.as("e1")
+      .join(canon.as("e2"), col("e1.hi") === col("e2.lo"))
+      .join(canon.as("e3"),
+        col("e3.lo") === col("e1.lo") && col("e3.hi") === col("e2.hi"))
+      .select(col("e1.lo").as("a"), col("e1.hi").as("b"), col("e2.hi").as("c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          floor((coalesce(col("n_triangles"), lit(0L)) * 2000000L +
+            expr("CAST(degree * (degree - 1) div 2 AS BIGINT)")) /
+            (expr("CAST(degree * (degree - 1) div 2 AS BIGINT)") * 2L))
+            .cast("long")).as("clustering_micro"))
+  }
+
   /** Exact union-find (path compression + union by min) over a collected
     * edge list; component label = minimum member id, identical to the
     * distributed loop's fixpoint.

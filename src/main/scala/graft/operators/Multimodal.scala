@@ -163,4 +163,52 @@ object Multimodal {
         .map { case (chunk, idx) => (rec.doc_id, idx, chunk) }
     }
   }
+
+  /** A resized fixed-grid representation: `pixels` is `w*h` row-major
+    * cells, each an exact integer mean of its source span. */
+  case class ResizedMedia(doc_id: Long, mime: String, w: Int, h: Int,
+      pixels: Array[Int])
+
+  /** RESIZE to a fixed (w × h) grid by average pooling — the normalization
+    * every vision pipeline runs before batching (models take fixed
+    * shapes; raw media doesn't). The pooling itself is the real
+    * algorithm — equal-area source spans, exact integer means, identical
+    * output for identical payloads regardless of partitioning; only the
+    * byte→luma interpretation is the container's codec stub (a real
+    * deployment pools decoded pixel rows instead of the byte stream —
+    * one line in `cell`).
+    *
+    * Scale shape: `mapPartitions` streaming (one codec/buffer context per
+    * task), output rows are small fixed-size arrays — this is the stage
+    * that SHRINKS media rows so later stages (batch assembly, embedding)
+    * can shuffle them safely; never shuffle the raw payload (see object
+    * scaladoc).
+    */
+  def resizePooled(media: DataFrame, w: Int, h: Int)(
+      implicit spark: SparkSession): Dataset[ResizedMedia] = {
+    require(w >= 1 && h >= 1, s"bad target grid ${w}x$h")
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { rec =>
+        val n = rec.payload.length
+        val cells = w * h
+        val pixels = new Array[Int](cells)
+        if (n > 0) {
+          var j = 0
+          while (j < cells) {
+            // equal-area span [j*n/cells, (j+1)*n/cells) — covers every
+            // byte exactly once across cells, never empty when n >= cells
+            val lo = (j.toLong * n / cells).toInt
+            val hi = (((j + 1).toLong * n / cells).toInt).max(lo + 1).min(n)
+            var s = 0L
+            var i = lo
+            while (i < hi) { s += rec.payload(i) & 0xFF; i += 1 }
+            pixels(j) = (s / (hi - lo)).toInt
+            j += 1
+          }
+        }
+        ResizedMedia(rec.doc_id, rec.mime, w, h, pixels)
+      }
+    }
+  }
 }

@@ -613,6 +613,50 @@ object Quality {
       .select(col("grp"), col("score"), col("normalized"))
   }
 
+  /** Mutual information between two CATEGORICAL columns (complete-case),
+    * with both marginal entropies and the normalized MI — the association
+    * audit between corpus facets ("how much does source determine
+    * language?"): correlation only sees ordered numerics; MI is the
+    * categorical analogue.
+    *
+    * Exactness: the q89/q110 micro-log identity — every term is
+    * `count · (lnµ(n_ab) + lnµ(N) − lnµ(n_a) − lnµ(n_b))` over EXACT
+    * integer counts, where lnµ(k) = round(ln(k)·1e6); sums are
+    * order-independent BIGINT. `mi_micro_sum / (N·1e6)` ≈ MI in nats;
+    * `nmi` divides the integer sums directly (the scale cancels), with
+    * the product taken in DOUBLE so a 100 TB-scale entropy sum cannot
+    * overflow the long.
+    *
+    * Scale shape: one scan for the joint (shuffle on (a, b)), marginals
+    * as two |A|-/|B|-row aggregates joined back (broadcast-sized), three
+    * 1-row aggregates assembled by trivial cross joins. Output: ONE row
+    * (n, mi_micro_sum, h_a_micro_sum, h_b_micro_sum, nmi).
+    */
+  def mutualInformation(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val base = graft.CacheScope.register(
+      df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+        .select(col(aCol).as("__a"), col(bCol).as("__b")))
+    val n = base.count()
+    require(n > 0, "mutualInformation: no complete-case rows")
+    def lnM(c: Column): Column = round(log(c.cast("double")) * 1e6).cast("long")
+    val lnN = lnM(lit(n))
+    val joint = base.groupBy("__a", "__b").agg(count(lit(1)).as("nab"))
+    val ma = base.groupBy("__a").agg(count(lit(1)).as("na"))
+    val mb = base.groupBy("__b").agg(count(lit(1)).as("nb"))
+    val mi = joint.join(ma, "__a").join(mb, "__b")
+      .agg(sum(col("nab") * (lnM(col("nab")) + lnN -
+        lnM(col("na")) - lnM(col("nb")))).as("mi_micro_sum"))
+    val ha = ma.agg(sum(col("na") * (lnN - lnM(col("na")))).as("h_a_micro_sum"))
+    val hb = mb.agg(sum(col("nb") * (lnN - lnM(col("nb")))).as("h_b_micro_sum"))
+    mi.crossJoin(ha).crossJoin(hb)
+      .select(lit(n).as("n"), col("mi_micro_sum"),
+        col("h_a_micro_sum"), col("h_b_micro_sum"),
+        when(col("h_a_micro_sum") > 0 && col("h_b_micro_sum") > 0,
+          col("mi_micro_sum").cast("double") /
+            sqrt(col("h_a_micro_sum").cast("double") *
+              col("h_b_micro_sum").cast("double"))).as("nmi"))
+  }
+
   /** Distributed logistic regression (Newton/IRLS) — the quality-filter
     * CALIBRATOR: fit P(label | features) so heuristic feature scores
     * (length, punctuation, perplexity…) become one calibrated probability

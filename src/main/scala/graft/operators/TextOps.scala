@@ -1253,4 +1253,61 @@ object TextOps {
           (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
           (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"))
   }
+
+  /** BM25-ranked keyword search (Okapi BM25, k1 = 1.2, b = 0.75): score
+    * every document against a LITERAL term set and return the top `k` —
+    * the retrieval face of the corpus (q58's TF-IDF builds doc vectors;
+    * this ranks docs for a query, which is what decontamination triage
+    * and eval-set curation actually run).
+    *
+    * Exactness: every input to the score is an exact integer (tf, df,
+    * dl, N, S = Σdl), idf rides the micro-log grid
+    * (`round(ln(·)·1e6)` — the q89/q105 pattern), and the tf
+    * saturation is ONE pinned IEEE op sequence on those exact inputs
+    * (the b/k1 rationals are cleared to integer coefficients:
+    * tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl)) ≡ 22·tf·S / (10·S·tf + 3·S +
+    * 9·N·dl)) — identical in any engine evaluating the same tree. The
+    * per-term contribution is rounded to an integer ONCE, so the per-doc
+    * sum over matched terms is an order-independent BIGINT sum.
+    *
+    * Scale shape: one token explode filtered to the query terms (the
+    * inverted-index probe — rows ∝ postings of the queried terms, not
+    * the corpus), one (doc, term) count, a broadcast |terms|-row df
+    * join, and a TakeOrderedAndProject top-k. N and S are two driver
+    * scalars from one aggregate.
+    */
+  def bm25Search(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty && k >= 1)
+    val base = graft.CacheScope.register(
+      docs.select(col(idCol).as("id"),
+        TextFns.tokens(col(textCol)).as("__toks"))
+        .withColumn("dl", size(col("__toks")).cast("long")))
+    val tot = base.agg(count(lit(1)), sum(col("dl"))).first()
+    val nDocs = tot.getLong(0)
+    val sTokens = if (tot.isNullAt(1)) 0L else tot.getLong(1)
+    require(nDocs > 0 && sTokens > 0, "bm25Search: empty corpus")
+    val hits = base
+      .select(col("id"), col("dl"), explode(col("__toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+    val tf = hits.groupBy("id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val Nd = lit(nDocs.toDouble)
+    val Sd = lit(sTokens.toDouble)
+    val dfd = col("df").cast("double")
+    val tfd = col("tf").cast("double")
+    val dld = col("dl").cast("double")
+    val idfMicro =
+      round(log((Nd - dfd + lit(0.5)) / (dfd + lit(0.5)) + lit(1.0)) * 1e6)
+        .cast("long")
+    tf.join(broadcast(df.select(col("term"), idfMicro.as("__idf"))), "term")
+      .withColumn("__c", round(
+        col("__idf").cast("double") * (lit(22.0) * tfd * Sd) /
+          (lit(10.0) * Sd * tfd + lit(3.0) * Sd + lit(9.0) * Nd * dld))
+        .cast("long"))
+      .groupBy("id")
+      .agg(sum(col("__c")).as("score_micro"), count(lit(1)).as("n_terms"))
+      .orderBy(desc("score_micro"), col("id"))
+      .limit(k)
+  }
 }

@@ -425,6 +425,107 @@ object Warehouse {
     ((fromDirs ++ fromManifest) :+ 0L).max + 1
   }
 
+  // ----- Keyed deletion vectors (soft delete without file rewrite) ----------
+
+  private val DeletesName = "_deletes"
+
+  /** Soft-delete: record the KEYS matched by `predicate` in the live
+    * generation's `_deletes` sidecar WITHOUT rewriting any data file —
+    * the Delta/Iceberg deletion-vector idea in keyed form (this warehouse
+    * tracks rows by key, not file/row-position, so the tombstone is the
+    * key set; same read-time-merge contract, same O(deleted) write cost
+    * instead of O(table) rewrite — the operation a GDPR erasure request
+    * needs on a 100 TB table TODAY, with the physical purge deferred to
+    * [[compactDeletes]]).
+    *
+    * Each call appends one numbered parquet sidecar under
+    * `<gen>/_deletes/` (underscore-prefixed — data readers never see it,
+    * the `_stats` trick), written to a dot-temp dir and atomically
+    * renamed, so a crashed delete is invisible. Keys already tombstoned
+    * are subtracted first: re-issuing a delete is idempotent and the
+    * return value counts only NEWLY deleted keys. Single-writer, like
+    * every maintenance op here.
+    */
+  def deleteWhere(spark: SparkSession, table: String, keyCol: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    val gen = liveGeneration(table).getOrElse(
+      sys.error(s"no published generation in $table"))
+    val matched = spark.read.parquet(s"$table/$gen")
+      .filter(predicate).select(col(keyCol)).distinct()
+    val fresh = deletedKeys(spark, table, gen) match {
+      case Some(existing) =>
+        matched.join(existing.withColumnRenamed(existing.columns.head, keyCol),
+          Seq(keyCol), "left_anti")
+      case None => matched
+    }
+    val n = fresh.count()
+    if (n > 0) {
+      val dir = Paths.get(table, gen, DeletesName)
+      Files.createDirectories(dir)
+      val next = listDeleteFiles(table, gen).size
+      val tmp = dir.resolve(s".d-tmp-$next")
+      fresh.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      Files.move(tmp, dir.resolve(f"d-$next%04d"),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    n
+  }
+
+  private def listDeleteFiles(table: String, gen: String): Seq[String] = {
+    val dir = Paths.get(table, gen, DeletesName)
+    if (!Files.exists(dir)) Seq.empty
+    else {
+      val stream = Files.list(dir)
+      try {
+        val out = Seq.newBuilder[String]
+        stream.forEach { p =>
+          if (p.getFileName.toString.startsWith("d-")) out += p.toString
+        }
+        out.result().sorted
+      } finally stream.close()
+    }
+  }
+
+  /** The union of a generation's tombstoned keys (one column, named as
+    * the delete key), or None when nothing was deleted.
+    */
+  def deletedKeys(spark: SparkSession, table: String,
+      gen: String): Option[DataFrame] = {
+    val files = listDeleteFiles(table, gen)
+    if (files.isEmpty) None
+    else Some(spark.read.parquet(files: _*).distinct())
+  }
+
+  /** The live snapshot MINUS its deletion vectors — the read path every
+    * query should use on a table that takes deletes. Tombstone sets are
+    * deletes-sized (≪ table), so the anti-join broadcasts: a map-side
+    * probe over the full scan, no shuffle of the data. (A delete set too
+    * large to broadcast is the signal to [[compactDeletes]] — exactly
+    * Delta's DV-compaction guidance.)
+    */
+  def readVersionedClean(spark: SparkSession, table: String): DataFrame = {
+    val gen = liveGeneration(table).getOrElse(
+      sys.error(s"no published generation in $table"))
+    val df = spark.read.parquet(s"$table/$gen")
+    deletedKeys(spark, table, gen) match {
+      case Some(d) =>
+        val k = d.columns.head
+        df.join(broadcast(d), Seq(k), "left_anti")
+      case None => df
+    }
+  }
+
+  /** Physically purge: rewrite the live snapshot with its deletion
+    * vectors applied as the NEXT generation (which starts tombstone-free)
+    * — the deferred O(table) cost a soft delete postpones, run on the
+    * maintenance schedule, per partition at real scale. History keeps the
+    * pre-purge generation until `vacuum` ages it out (legal erasure
+    * completes at vacuum, as in every snapshot store).
+    */
+  def compactDeletes(spark: SparkSession, table: String,
+      statsCols: Seq[String] = Seq.empty): String =
+    publishVersioned(spark, readVersionedClean(spark, table), table, statsCols)
+
   // ----- Delta-compatible transaction-log export / import -------------------
   //
   // The manifest format above is capability-par with a table format but

@@ -39,7 +39,8 @@ class PlanLintSpec extends SparkSpec {
     "q115_naive_bayes" -> "broadcast L-row class-prior relation (crossJoin labels; L = #classes)",
     "q122_heldout_perplexity" -> "broadcast 1-row TRAIN-vocabulary-size aggregate (crossJoin V, the q62 shape)",
     "q137_vocab_growth" -> "broadcast 1-row max-doc-id aggregate (bucket bounds)",
-    "q139_psi_drift" -> "broadcast 1-row bounds and totals aggregates (crossJoin min/max and N)")
+    "q139_psi_drift" -> "broadcast 1-row bounds and totals aggregates (crossJoin min/max and N)",
+    "q163_mutual_information" -> "assembly crossJoin of three 1-row aggregates (MI + two entropies)")
 
   /** Queries allowed to plan a GLOBAL window (no partition columns, or a
     * constant partition) — each must window over a provably BOUNDED

@@ -43,6 +43,39 @@ class GraphsSpec extends SparkSpec {
     assert(a(7L) == 1L && a(10L) == 8L)
   }
 
+  test("triangleStats: exact counts on a triangle + pendant, reversed and " +
+      "duplicate edges collapse, degree-1 coefficient is NULL") {
+    import spark.implicits._
+    // triangle 1-2-3, pendant 4 on 1; (2,1) duplicates (1,2) reversed
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L), (2L, 1L))
+      .toDF("a", "b")
+    val out = Graphs.triangleStats(edges, "a", "b").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    // node 1: degree 3, 1 triangle, cc = 1/3 wedges → floor((2e6+3)/6)
+    assert(out(1L) == ((3L, 1L, Some(333333L))))
+    // nodes 2,3: degree 2, 1 triangle, cc = 1/1 → 1e6
+    assert(out(2L) == ((2L, 1L, Some(1000000L))))
+    assert(out(3L) == ((2L, 1L, Some(1000000L))))
+    // pendant: no wedge, NULL coefficient
+    assert(out(4L) == ((1L, 0L, None)))
+  }
+
+  test("triangleStats: two disjoint K4 cliques — every node deg 3, " +
+      "3 triangles, coefficient exactly 1") {
+    import spark.implicits._
+    def k4(base: Long) = for {
+      i <- 0 until 4; j <- i + 1 until 4
+    } yield (base + i, base + j)
+    val edges = (k4(0L) ++ k4(100L)).toDF("a", "b")
+    val out = Graphs.triangleStats(edges, "a", "b").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out.size == 8)
+    out.values.foreach(v => assert(v == ((3L, 3L, 1000000L))))
+  }
+
   private def pr(nodes: Seq[Long], edges: Seq[(Long, Long)],
       iters: Int = 3): Map[Long, Long] = {
     import spark.implicits._

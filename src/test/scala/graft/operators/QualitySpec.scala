@@ -361,6 +361,30 @@ class QualitySpec extends SparkSpec {
     assert(lo == lo.sorted)
   }
 
+  test("mutualInformation: exact 0 for independent facets, NMI exactly 1 " +
+      "for a bijective dependency, entropies match the closed form, " +
+      "nulls dropped") {
+    import spark.implicits._
+    // independent 2x2 uniform: every micro-log term cancels EXACTLY
+    val indep = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v"))
+      .toDF("a", "b")
+    val r0 = Quality.mutualInformation(indep, "a", "b").collect()(0)
+    assert(r0.getLong(0) == 4L)
+    assert(r0.getLong(1) == 0L)
+    // H = n·lnµ(n) − Σ n_a·lnµ(n_a) for uniform 2-way over 4 rows
+    val h = 4L * math.round(math.log(4.0) * 1e6) -
+      2 * (2L * math.round(math.log(2.0) * 1e6))
+    assert(r0.getLong(2) == h && r0.getLong(3) == h)
+    // bijective a↔b (plus a null row that must be dropped): MI = H, NMI = 1
+    val dep = Seq(Some("x") -> "u", Some("x") -> "u", Some("y") -> "v",
+      Option.empty[String] -> "w")
+      .toDF("a", "b")
+    val r1 = Quality.mutualInformation(dep, "a", "b").collect()(0)
+    assert(r1.getLong(0) == 3L)
+    assert(r1.getLong(1) == r1.getLong(2) && r1.getLong(2) == r1.getLong(3))
+    assert(r1.getDouble(4) == 1.0)
+  }
+
   test("logisticCalibrator: separation direction, monotone log-likelihood, " +
       "perfect accuracy on a margin-separated set, null rows dropped") {
     import spark.implicits._

@@ -137,6 +137,27 @@ class TextMultimodalSpec extends SparkSpec {
     assert(frames.map(_._2).sorted.toSeq == Seq(0, 3, 6, 9))
   }
 
+  test("resizePooled: exact equal-area integer means, full-byte coverage " +
+      "at 1x1, fixed output shape, partition determinism") {
+    import spark.implicits._
+    implicit val s = spark
+    // payload "abcd" = bytes 97,98,99,100
+    val docs = Seq((0L, "abcd"), (1L, "a")).toDF("doc_id", "text")
+    val media = Multimodal.asMedia(docs, "doc_id", "text")
+    val r21 = Multimodal.resizePooled(media, 2, 1).collect().sortBy(_.doc_id)
+    // doc 0 → cells [mean(97,98), mean(99,100)] = [97, 99] (floor)
+    assert(r21(0).pixels.toSeq == Seq(97, 99))
+    // doc 1 (1 byte into 2 cells): spans clamp to ≥1 byte — both cells see it
+    assert(r21(1).pixels.toSeq == Seq(97, 97))
+    // 1x1 = exact floor-mean of the whole payload
+    val r11 = Multimodal.resizePooled(media, 1, 1).collect().sortBy(_.doc_id)
+    assert(r11(0).pixels.toSeq == Seq((97 + 98 + 99 + 100) / 4))
+    assert(r11.forall(m => m.w == 1 && m.h == 1 && m.pixels.length == 1))
+    val again = Multimodal.resizePooled(media.repartition(5), 2, 1)
+      .collect().sortBy(_.doc_id)
+    assert(again.map(_.pixels.toSeq).toSeq == r21.map(_.pixels.toSeq).toSeq)
+  }
+
   test("binaryFeatures magic bytes match the payload head") {
     import spark.implicits._
     val docs = Seq((0L, "abcdef")).toDF("doc_id", "text")
@@ -685,5 +706,38 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out.keySet == Set(1L, 2L, 3L))
     assert(out(1L) == ((4, "", 4L)) && out(2L) == ((4, "", 4L)))
     assert(out(3L) == ((4, "solo u1 u2 u3", 0L)))
+  }
+
+  test("bm25Search: hand-replayed scores, tf saturation by doc length, " +
+      "top-k order, and partition determinism") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a"),       // tf(a)=2, tf(b)=1, dl=3
+      (2L, "a c"),         // tf(a)=1, dl=2
+      (3L, "c c c b"),     // tf(b)=1, dl=4
+      (4L, "z z z z z"))   // no query terms → absent from results
+      .toDF("doc_id", "text")
+    val out = TextOps.bm25Search(docs, "doc_id", "text", Seq("a", "b"), 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+    // local replay of the operator's exact arithmetic
+    val N = 4.0; val S = 14.0
+    def idfMicro(df: Double) =
+      math.round(math.log((N - df + 0.5) / (df + 0.5) + 1.0) * 1e6)
+    def c(df: Double, tf: Double, dl: Double) =
+      math.round(idfMicro(df).toDouble * (22.0 * tf * S) /
+        (10.0 * S * tf + 3.0 * S + 9.0 * N * dl))
+    val exp = Map(
+      1L -> (c(2, 2, 3) + c(2, 1, 3), 2L),  // both terms hit doc 1
+      2L -> (c(2, 1, 2), 1L),
+      3L -> (c(2, 1, 4), 1L))
+    assert(out.toMap == exp)
+    // ranked by score desc: doc 1 (two terms) first
+    assert(out.head._1 == 1L)
+    // same-tf higher-dl doc scores LOWER (length normalization works)
+    assert(exp(2L)._1 > exp(3L)._1)
+    val out2 = TextOps.bm25Search(docs.repartition(7), "doc_id", "text",
+        Seq("a", "b"), 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+    assert(out2.toSeq == out.toSeq)
   }
 }

@@ -319,4 +319,33 @@ class WarehouseSpec extends SparkSpec {
     }
     assert(rows(Warehouse.readVersioned(spark, dest)) == rows(v3))
   }
+
+  test("deletion vectors: soft delete hides keys without a rewrite, " +
+      "re-delete is idempotent, appends union, compact purges physically") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft-wh-dv").toString + "/t"
+    val gen1 = Warehouse.publishVersioned(spark,
+      (1L to 10L).map(i => (i, s"row$i")).toDF("id", "v"), table)
+    // soft delete two keys
+    assert(Warehouse.deleteWhere(spark, table, "id", col("id") <= 2L) == 2L)
+    val clean = Warehouse.readVersionedClean(spark, table)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(clean == (3L to 10L).toSet)
+    // the RAW snapshot still has every row — no data file was touched
+    assert(Warehouse.readVersioned(spark, table).count() == 10L)
+    // idempotent: same predicate deletes nothing new
+    assert(Warehouse.deleteWhere(spark, table, "id", col("id") <= 2L) == 0L)
+    // a second delete appends a second sidecar; both apply
+    assert(Warehouse.deleteWhere(spark, table, "id", col("id") === 5L) == 1L)
+    assert(Warehouse.readVersionedClean(spark, table)
+      .select("id").collect().map(_.getLong(0)).toSet == ((3L to 10L).toSet - 5L))
+    // physical purge: next generation is tombstone-free and clean by RAW read
+    val gen2 = Warehouse.compactDeletes(spark, table)
+    assert(gen2 != gen1)
+    assert(Warehouse.deletedKeys(spark, table, gen2).isEmpty)
+    assert(Warehouse.readVersioned(spark, table)
+      .select("id").collect().map(_.getLong(0)).toSet == ((3L to 10L).toSet - 5L))
+    // pre-purge generation (with its tombstones) survives as history
+    assert(Warehouse.readVersionedAt(spark, table, gen1).count() == 10L)
+  }
 }
