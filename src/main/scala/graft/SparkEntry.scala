@@ -4234,6 +4234,55 @@ object SparkEntry {
     * consumer (q27 aggregates, q95 argmax, q97 percentile) replays the
     * engine bit-for-bit.
     */
+  /** DuckDB replay of [[Similarity.mmrRerank]]: the same exact top-poolK
+    * pool (quantized-exact cosines, (cos DESC, id) order), the same
+    * micro-integer relevance/similarity grid, and the greedy selection
+    * UNROLLED as a sel1..selK CTE chain (the q164 pageRankIterSql
+    * pattern) — every argmax compares the identical exact integers with
+    * ties on ascending id, so the two engines select the same sequence.
+    */
+  private def mmrOracleSql(queryId: Long, poolK: Int, selectK: Int,
+      lambdaTenths: Int): String = {
+    val lam = lambdaTenths
+    val mu = 10 - lambdaTenths
+    def qd(a: String, b: String): String =
+      s"list_aggregate(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), 'sum')"
+    // every chained CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+    // reference, and the sel-chain references sel_{k-1} three times —
+    // un-materialized, the expansion is 3^K re-scans of the parquet
+    val steps = (2 to selectK).map { k =>
+      s"""pick$k AS MATERIALIZED (SELECT CAST($k AS BIGINT) AS step, c.id,
+            c.rel AS rel_micro,
+            $lam * c.rel - $mu * (SELECT MAX(s.sim) FROM sims s
+              WHERE s.ia = c.id AND s.ib IN (SELECT id FROM sel${k - 1}))
+              AS mmr_scaled
+          FROM cands c WHERE c.id NOT IN (SELECT id FROM sel${k - 1})
+          ORDER BY mmr_scaled DESC, c.id LIMIT 1),
+        sel$k AS MATERIALIZED (SELECT * FROM sel${k - 1} UNION ALL
+          SELECT step, id, rel_micro, mmr_scaled FROM pick$k)"""
+    }.mkString(",\n      ")
+    s"""WITH q AS MATERIALIZED (SELECT list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1e7)) AS qv
+          FROM embeddings WHERE vec_id = $queryId),
+      c AS MATERIALIZED (SELECT vec_id AS id,
+          list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1e7)) AS cv
+        FROM embeddings WHERE vec_id <> $queryId),
+      scored AS (SELECT id, cv,
+          ${qd("cv", "qv")} / SQRT(${qd("qv", "qv")} * ${qd("cv", "cv")}) AS cos
+        FROM c CROSS JOIN q),
+      cands AS MATERIALIZED (SELECT id, cv, CAST(round(cos * 1e6) AS BIGINT) AS rel
+        FROM scored WHERE cos IS NOT NULL
+        QUALIFY row_number() OVER (ORDER BY cos DESC, id) <= $poolK),
+      sims AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib,
+          CAST(round(${qd("a.cv", "b.cv")}
+            / SQRT(${qd("a.cv", "a.cv")} * ${qd("b.cv", "b.cv")}) * 1e6) AS BIGINT) AS sim
+        FROM cands a JOIN cands b ON a.id <> b.id),
+      sel1 AS MATERIALIZED (SELECT CAST(1 AS BIGINT) AS step, id, rel AS rel_micro,
+          CAST($lam AS BIGINT) * rel AS mmr_scaled
+        FROM cands ORDER BY rel DESC, id LIMIT 1),
+      $steps
+      SELECT step, id, rel_micro, mmr_scaled FROM sel$selectK ORDER BY step"""
+  }
+
   private def qualityMicroSql(extraCols: String): String = {
     val punctM = "CASE WHEN n_chars <> 0 THEN " +
       "CAST(floor((n_punct*2000000 + n_chars) / (2*n_chars)) AS BIGINT) END"
@@ -4674,6 +4723,574 @@ object SparkEntry {
              ORDER BY r3.r DESC, c.doc_id)) = 1 AS is_survivor
         FROM comp c JOIN r3 ON c.doc_id = r3.id
         ORDER BY c.doc_id""")),
+
+    // Exact ROC AUC of the heuristic quality score as an English-detector
+    // — the Mann-Whitney rank-sum with exact tie handling: the integer
+    // numerator auc_num2 (denominator 2·P·N) is gated bit-for-bit, the
+    // window runs over the DISTINCT-score grid (q97's bounded-grid
+    // argument), and `auc` is the one final IEEE division.
+    "q165_roc_auc" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val f = TextOps.qualityFeatures(docs, "doc_id", "text")
+          .select(col("doc_id"), col("quality_score_micro"))
+        val j = docs.select(col("doc_id"), col("lang")).join(f, "doc_id")
+        Quality.rocAuc(j, col("lang") === "en", col("quality_score_micro"))
+      },
+      Some(s"""WITH ${qualityMicroSql("doc_id")},
+        j AS (SELECT d.lang = 'en' AS y,
+                CAST(q.quality_score_micro AS BIGINT) AS score
+              FROM __qm q JOIN documents d USING (doc_id)
+              WHERE q.quality_score_micro IS NOT NULL AND d.lang IS NOT NULL),
+        grid AS (SELECT score, SUM(CASE WHEN y THEN 1 ELSE 0 END) AS c_pos,
+                 SUM(CASE WHEN y THEN 0 ELSE 1 END) AS c_neg
+                 FROM j GROUP BY 1),
+        acc AS (SELECT c_pos, c_neg,
+            COALESCE(SUM(c_neg) OVER (ORDER BY score
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+          FROM grid)
+        SELECT CAST(SUM(c_pos) AS BIGINT) AS n_pos,
+          CAST(SUM(c_neg) AS BIGINT) AS n_neg,
+          CAST(SUM(c_pos * (neg_below * 2 + c_neg)) AS BIGINT) AS auc_num2,
+          CASE WHEN SUM(c_pos) > 0 AND SUM(c_neg) > 0 THEN
+            CAST(SUM(c_pos * (neg_below * 2 + c_neg)) AS DOUBLE)
+              / (CAST(SUM(c_pos) AS DOUBLE) * CAST(SUM(c_neg) AS DOUBLE) * 2.0)
+          END AS auc
+        FROM acc""")),
+
+    // Reliability diagram + Brier inputs for the stopword-ratio heuristic
+    // read as P(lang = 'en'): per-decile counts, positives, and the two
+    // exact micro-integer sums (mean-predicted and squared-error); the
+    // corpus Brier·1e12 is Σ brier_num_sum. All integers gated exactly;
+    // the two rates are final pinned divisions.
+    "q166_calibration_bins" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val f = TextOps.qualityFeatures(docs, "doc_id", "text")
+          .select(col("doc_id"),
+            least(lit(1000000L), col("stopword_ratio_micro") * 4).as("p"))
+        val j = docs.select(col("doc_id"), col("lang")).join(f, "doc_id")
+        Quality.calibrationBins(j, col("lang") === "en", col("p"), 10)
+          .orderBy("bin")
+      },
+      Some(s"""WITH ${qualityMicroSql("doc_id")},
+        j AS (SELECT d.lang = 'en' AS y,
+                least(1000000, q.stopword_ratio_micro * 4) AS p
+              FROM __qm q JOIN documents d USING (doc_id)
+              WHERE q.stopword_ratio_micro IS NOT NULL AND d.lang IS NOT NULL),
+        b AS (SELECT least(9, (p * 10) // 1000000) AS bin,
+                CASE WHEN y THEN 1 ELSE 0 END AS yi, p FROM j)
+        SELECT CAST(bin AS BIGINT) AS bin, COUNT(*) AS n,
+          CAST(SUM(yi) AS BIGINT) AS k,
+          CAST(SUM(p) AS BIGINT) AS sum_p_micro,
+          CAST(SUM((p - yi * 1000000) * (p - yi * 1000000)) AS BIGINT)
+            AS brier_num_sum,
+          CAST(SUM(p) AS DOUBLE) / (COUNT(*) * 1000000.0) AS mean_p,
+          CAST(SUM(yi) AS DOUBLE) / COUNT(*) AS rate
+        FROM b GROUP BY 1 ORDER BY 1""")),
+
+    // Cohen's kappa between the lexicon language-ID labeler and the gold
+    // lang label — chance-corrected agreement (q150's Wilson CI reports
+    // raw accuracy; κ subtracts what majority-class guessing would get).
+    // κ = (n·A − E)/(n² − E) over exact integer count tables; one final
+    // division.
+    "q167_cohens_kappa" -> Q(
+      (s, dir) => Quality.cohensKappa(
+        TextOps.langId(t(s, dir, "documents"), "text", "predicted"),
+        col("predicted"), col("lang")),
+      Some {
+        val score = TextOps.langLexicons.map { case (lang, lex) =>
+          val list = lex.map(w => s"'$w'").mkString(", ")
+          s"len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t IN ($list))) AS s_$lang"
+        }.mkString(", ")
+        val langs = TextOps.langLexicons.map(_._1)
+        val greatestAll = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+        val caseChain = langs.map(l => s"WHEN s_$l >= $greatestAll AND s_$l > 0 THEN '$l'")
+          .mkString(" ")
+        s"""WITH scored AS (SELECT lang, $score FROM documents),
+          pred AS (SELECT CASE $caseChain ELSE 'und' END AS a, lang AS b
+                   FROM scored WHERE lang IS NOT NULL),
+          tot AS (SELECT COUNT(*) AS n,
+                  SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree FROM pred),
+          ma AS (SELECT a AS cls, COUNT(*) AS na FROM pred GROUP BY 1),
+          mb AS (SELECT b AS cls, COUNT(*) AS nb FROM pred GROUP BY 1),
+          e AS (SELECT CAST(SUM(na * nb) AS BIGINT) AS e
+                FROM ma JOIN mb USING (cls))
+          SELECT CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS agree,
+            e AS chance_num,
+            CASE WHEN n * n <> e THEN
+              CAST(n * agree - e AS DOUBLE) / CAST(n * n - e AS DOUBLE)
+            END AS kappa
+          FROM tot CROSS JOIN e"""
+      }),
+
+    // Autocorrelation of the hourly event-count series at lags 1..24 —
+    // the seasonality audit (daily cycle ⇒ peak at lag 24). Dense hour
+    // grid (absent hours are zeros), n-scaled integer centering, exact
+    // DECIMAL numerator/denominator, one final division per lag.
+    "q168_acf" -> Q(
+      (s, dir) => Temporal.hourlyAcf(t(s, dir, "events"), "ts", 24),
+      Some("""WITH obs AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+                COUNT(*) AS c
+              FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM obs),
+        grid AS (SELECT g.h, COALESCE(o.c, 0) AS x
+          FROM (SELECT unnest(generate_series((SELECT lo FROM bounds),
+                  (SELECT hi FROM bounds), INTERVAL 1 HOUR)) AS h) g
+          LEFT JOIN obs o ON o.h = g.h),
+        tot AS (SELECT COUNT(*) AS n, SUM(x) AS s FROM grid),
+        cen AS (SELECT h, (SELECT n FROM tot) * x - (SELECT s FROM tot) AS cx
+                FROM grid),
+        den AS (SELECT SUM(cx * cx) AS den FROM cen),
+        pairs AS (SELECT k.lag, SUM(a.cx * b.cx) AS num, COUNT(*) AS n_pairs
+          FROM (SELECT unnest(range(1, 25)) AS lag) k
+          CROSS JOIN cen a
+          JOIN cen b ON b.h = a.h + k.lag * INTERVAL 1 HOUR
+          GROUP BY 1)
+        SELECT CAST(lag AS BIGINT) AS lag, CAST(n_pairs AS BIGINT) AS n_pairs,
+          CAST(num AS BIGINT) AS num_scaled,
+          CAST((SELECT den FROM den) AS BIGINT) AS den_scaled,
+          CASE WHEN (SELECT den FROM den) <> 0 THEN
+            CAST(num AS DOUBLE) / CAST((SELECT den FROM den) AS DOUBLE)
+          END AS acf
+        FROM pairs ORDER BY lag""")),
+
+    // CUSUM changepoint curve over daily order revenue: running sum of
+    // n-scaled mean-centered daily micro totals on a dense day grid;
+    // extremum flagged as the most likely changepoint. The prefix sums
+    // compare as exact DECIMALs for the peak test; the emitted curve is
+    // cusum/n (one pinned division per day).
+    "q169_cusum" -> Q(
+      (s, dir) => Temporal.dailyCusum(t(s, dir, "orders"),
+          "o_orderdate", "o_totalprice")
+        .orderBy("day"),
+      Some("""WITH obs AS (SELECT CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS d,
+                CAST(SUM(CAST(round(o_totalprice * 1e6) AS BIGINT)) AS BIGINT) AS s
+              FROM orders
+              WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+              GROUP BY 1),
+        bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM obs),
+        grid AS (SELECT CAST(g.h AS DATE) AS d, COALESCE(o.s, 0) AS s
+          FROM (SELECT unnest(generate_series(CAST((SELECT lo FROM bounds) AS TIMESTAMP),
+                  CAST((SELECT hi FROM bounds) AS TIMESTAMP), INTERVAL 1 DAY)) AS h) g
+          LEFT JOIN obs o ON o.d = CAST(g.h AS DATE)),
+        tot AS (SELECT COUNT(*) AS n, SUM(s) AS t FROM grid),
+        curve AS (SELECT d,
+            SUM((SELECT n FROM tot) * s - (SELECT t FROM tot))
+              OVER (ORDER BY d) AS cu
+          FROM grid),
+        peak AS (SELECT MAX(abs(cu)) AS m FROM curve)
+        SELECT d AS day,
+          CAST(cu AS DOUBLE) / CAST((SELECT n FROM tot) AS DOUBLE) AS cusum_micro,
+          abs(cu) = (SELECT m FROM peak) AS is_peak
+        FROM curve ORDER BY day""")),
+
+    // Key-skew report for the lineitem→supplier join key: Gini, entropy,
+    // top-1 share over per-key counts — the diagnostic that triggers
+    // q76's salting. Exact integer Gini numerator/denominator; windows
+    // over the key grid only.
+    "q170_skew_gini" -> Q(
+      (s, dir) => Quality.keySkewReport(t(s, dir, "lineitem"),
+        col("l_suppkey")),
+      Some("""WITH counts AS (SELECT CAST(l_suppkey AS VARCHAR) AS key,
+                COUNT(*) AS x
+              FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1),
+        r AS (SELECT x, row_number() OVER (ORDER BY x, key) AS i FROM counts),
+        agg AS (SELECT COUNT(*) AS n_keys, SUM(x) AS total, MAX(x) AS top1,
+            SUM(i * x) AS six,
+            SUM(x * CAST(round(ln(x) * 1e6) AS BIGINT)) AS sxlx
+          FROM r)
+        SELECT CAST(n_keys AS BIGINT) AS n_keys, CAST(total AS BIGINT) AS total,
+          CAST(top1 AS BIGINT) AS top1,
+          CAST(six * 2 - (n_keys + 1) * total AS BIGINT) AS gini_num,
+          CAST(n_keys * total AS BIGINT) AS gini_den,
+          CAST(six * 2 - (n_keys + 1) * total AS DOUBLE)
+            / CAST(n_keys * total AS DOUBLE) AS gini,
+          CAST(CAST(round(ln(total) * 1e6) AS BIGINT) AS DOUBLE)
+            - CAST(sxlx AS DOUBLE) / total AS entropy_micro,
+          CAST(top1 AS DOUBLE) / total AS top1_share
+        FROM agg""")),
+
+    // Newman modularity of the near-dup connected-components partition —
+    // "are the dup clusters denser than random wiring?". Per-community
+    // exact integers q_scaled = 4m·e_c − d_c² plus ONE total row
+    // (community NULL) carrying the final Q division.
+    "q171_modularity" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", 3, 64, 16, 0.8)
+        val comps = Graphs.connectedComponents(pairs, "id_a", "id_b")
+        Graphs.modularity(pairs, "id_a", "id_b", comps, "id", "component")
+          .orderBy(col("community").asc_nulls_last)
+      },
+      Some(s"""WITH RECURSIVE ${nearDupEdgesCte(0.8)},
+        walk(id, lbl) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.id = e.dst),
+        comp AS (SELECT id, MIN(lbl) AS lbl FROM walk GROUP BY id),
+        canon AS (SELECT id_a AS lo, id_b AS hi FROM prs),
+        m AS (SELECT COUNT(*) AS m FROM canon),
+        lab AS (SELECT c.lo, c.hi, ca.lbl AS la, cb.lbl AS lb FROM canon c
+          JOIN comp ca ON ca.id = c.lo JOIN comp cb ON cb.id = c.hi),
+        intra AS (SELECT la AS community, COUNT(*) AS intra_edges
+          FROM lab WHERE la = lb GROUP BY 1),
+        degsum AS (SELECT community, COUNT(*) AS degree_sum FROM (
+            SELECT la AS community FROM lab
+            UNION ALL SELECT lb FROM lab) GROUP BY 1),
+        per AS (SELECT d.community,
+            COALESCE(i.intra_edges, 0) AS intra_edges, d.degree_sum,
+            4 * (SELECT m FROM m) * COALESCE(i.intra_edges, 0)
+              - d.degree_sum * d.degree_sum AS q_scaled
+          FROM degsum d LEFT JOIN intra i USING (community))
+        SELECT CAST(community AS BIGINT) AS community,
+          CAST(intra_edges AS BIGINT) AS intra_edges,
+          CAST(degree_sum AS BIGINT) AS degree_sum,
+          CAST(q_scaled AS BIGINT) AS q_scaled,
+          CAST(NULL AS DOUBLE) AS modularity
+        FROM per
+        UNION ALL
+        SELECT NULL, CAST(SUM(intra_edges) AS BIGINT),
+          CAST(SUM(degree_sum) AS BIGINT), CAST(SUM(q_scaled) AS BIGINT),
+          CAST(SUM(q_scaled) AS DOUBLE)
+            / (4.0 * CAST((SELECT m FROM m) AS DOUBLE)
+               * CAST((SELECT m FROM m) AS DOUBLE))
+        FROM per
+        ORDER BY community NULLS LAST""")),
+
+    // Interpolated Kneser-Ney bigram probabilities (d = 3/4) for the 100
+    // most frequent bigrams — continuation-count smoothing with the
+    // discount cleared to exact integers: num/den gated as BIGINTs, p_kn
+    // the single final division.
+    "q172_kneser_ney" -> Q(
+      (s, dir) => TextOps.knBigramLm(t(s, dir, "documents"), "text", 100),
+      Some("""WITH toks AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS l
+               FROM documents),
+        g AS (SELECT unnest(list_transform(range(1, greatest(len(l), 1)),
+                 i -> l[i] || ' ' || l[i+1])) AS g
+               FROM toks WHERE len(l) >= 2),
+        c AS (SELECT g, COUNT(*) AS c12 FROM g GROUP BY g),
+        s AS (SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2,
+              c12 FROM c),
+        b AS (SELECT COUNT(*) AS b FROM s),
+        w AS (SELECT w1, w2, c12,
+               CAST(SUM(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+               CAST(COUNT(*) OVER (PARTITION BY w1) AS BIGINT) AS n1_fwd,
+               CAST(COUNT(*) OVER (PARTITION BY w2) AS BIGINT) AS n1_bwd
+              FROM s)
+        SELECT w1, w2, c12, c1, n1_fwd, n1_bwd,
+          CAST(greatest(4 * c12 - 3, 0) * (SELECT b FROM b)
+            + 3 * n1_fwd * n1_bwd AS BIGINT) AS p_num,
+          CAST(4 * (SELECT b FROM b) * c1 AS BIGINT) AS p_den,
+          CAST(greatest(4 * c12 - 3, 0) * (SELECT b FROM b)
+            + 3 * n1_fwd * n1_bwd AS DOUBLE)
+            / CAST(4 * (SELECT b FROM b) * c1 AS DOUBLE) AS p_kn
+        FROM w ORDER BY c12 DESC, w1, w2 LIMIT 100""")),
+
+    // MMR diversity re-ranking over the exact top-50 pool for query
+    // vector 0: greedy λ=0.7 selection on the exact micro-integer
+    // relevance/similarity grid — every argmax compares integers, so the
+    // oracle's unrolled greedy replays the identical selection sequence.
+    "q173_mmr_rerank" -> Q(
+      (s, dir) => Similarity.mmrRerank(t(s, dir, "embeddings"), "vec_id",
+          "embedding", queryId = 0L, poolK = 50, selectK = 10,
+          lambdaTenths = 7)
+        .orderBy("step"),
+      Some(mmrOracleSql(queryId = 0, poolK = 50, selectK = 10,
+        lambdaTenths = 7))),
+
+    // Unicode NFC normalization via the native codegen'd nfc_normalize
+    // expression: deterministic decomposed suffixes (combining acute /
+    // diaeresis) appended to each doc, normalized, and audited per source
+    // — chars shrink exactly where composition fires. Exercises the
+    // expression against DuckDB's utf8proc NFC (same Unicode normal
+    // form).
+    "q174_nfc_normalize" -> Q(
+      (s, dir) => {
+        // NOTE: Spark's chr() is ASCII-mod-256, NOT a code-point
+        // constructor — the DECOMPOSED suffix (e+U+0301, x+U+0308, o) is a
+        // unicode-escaped literal
+        val aug = t(s, dir, "documents").select(col("source"),
+          concat(substring(col("text"), 1, 40), lit("e\u0301x\u0308o"))
+            .as("s"))
+        aug.select(col("source"), col("s"),
+            call_function("nfc_normalize", col("s")).as("n"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("s"))).as("chars_before"),
+            sum(length(col("n"))).as("chars_after"),
+            sum(when(col("s") =!= col("n"), 1L).otherwise(0L)).as("n_changed"))
+          .orderBy("source")
+      },
+      Some("""WITH aug AS (SELECT source,
+                substr(text, 1, 40) || 'e' || chr(769) || 'x' || chr(776) || 'o' AS s
+              FROM documents),
+        n AS (SELECT source, s, nfc_normalize(s) AS n FROM aug)
+        SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(length(s)) AS BIGINT) AS chars_before,
+          CAST(SUM(length(n)) AS BIGINT) AS chars_after,
+          CAST(SUM(CASE WHEN s <> n THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+        FROM n GROUP BY 1 ORDER BY 1""")),
+
+    // Isotonic (PAV) calibration of the q166 reliability bins via the
+    // closed-form minimax iso(i) = max_{j≤i} min_{k≥i} avg[j..k] — no
+    // driver loop, three bounded grid joins; segment averages are single
+    // IEEE divisions of exact cumulative BIGINTs, so min/max agree
+    // across engines bit-for-bit.
+    "q175_isotonic_calibration" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val f = TextOps.qualityFeatures(docs, "doc_id", "text")
+          .select(col("doc_id"),
+            least(lit(1000000L), col("stopword_ratio_micro") * 4).as("p"))
+        val j = docs.select(col("doc_id"), col("lang")).join(f, "doc_id")
+        val bins = Quality.calibrationBins(j, col("lang") === "en", col("p"), 10)
+        Quality.isotonicCalibration(bins, "bin", "k", "n").orderBy("bin")
+      },
+      Some(s"""WITH ${qualityMicroSql("doc_id")},
+        j AS (SELECT d.lang = 'en' AS y,
+                least(1000000, q.stopword_ratio_micro * 4) AS p
+              FROM __qm q JOIN documents d USING (doc_id)
+              WHERE q.stopword_ratio_micro IS NOT NULL AND d.lang IS NOT NULL),
+        bb AS (SELECT least(9, (p * 10) // 1000000) AS b,
+                SUM(CASE WHEN y THEN 1 ELSE 0 END) AS k, COUNT(*) AS n
+               FROM j GROUP BY 1),
+        cum AS (SELECT b, k, n, SUM(k) OVER (ORDER BY b) AS ck,
+                SUM(n) OVER (ORDER BY b) AS cn FROM bb),
+        segs AS (SELECT a.b AS j, c.b AS kk,
+            CAST(c.ck - a.ck + a.k AS DOUBLE)
+              / CAST(c.cn - a.cn + a.n AS DOUBLE) AS avg
+          FROM cum a JOIN cum c ON a.b <= c.b),
+        mn AS (SELECT s.j, i.b AS i, MIN(s.avg) AS mn
+          FROM segs s JOIN cum i ON s.j <= i.b AND i.b <= s.kk
+          GROUP BY 1, 2),
+        iso AS (SELECT i, MAX(mn) AS iso_rate FROM mn GROUP BY 1)
+        SELECT CAST(cum.b AS BIGINT) AS bin, CAST(cum.n AS BIGINT) AS n,
+          CAST(cum.k AS BIGINT) AS k,
+          CAST(cum.k AS DOUBLE) / cum.n AS rate, iso_rate
+        FROM cum JOIN iso ON iso.i = cum.b ORDER BY bin""")),
+
+    // Market-basket association rules over lineitem baskets: same-order
+    // part pairs with support ≥ 2, directed confidence, and lift — the
+    // "bought X also bought Y" join whose fan-out is bounded by basket
+    // size (Σ_b s_b²), never corpus size.
+    "q176_copurchase_lift" -> Q(
+      (s, dir) => Analytics.copurchasePairs(t(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", minSupport = 2L, k = 50)
+        .withColumnRenamed("item_a", "part_a")
+        .withColumnRenamed("item_b", "part_b"),
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+              FROM lineitem
+              WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        nb AS (SELECT COUNT(DISTINCT bk) AS n FROM items),
+        marg AS (SELECT it, COUNT(*) AS n_item FROM items GROUP BY 1),
+        pairs AS (SELECT a.it AS part_a, b.it AS part_b, COUNT(*) AS support
+          FROM items a JOIN items b ON a.bk = b.bk AND a.it < b.it
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        SELECT part_a, part_b, CAST(support AS BIGINT) AS support,
+          CAST(ma.n_item AS BIGINT) AS n_a, CAST(mb.n_item AS BIGINT) AS n_b,
+          CAST((SELECT n FROM nb) AS BIGINT) AS n_baskets,
+          CAST(support AS DOUBLE) / CAST(ma.n_item AS DOUBLE) AS confidence_ab,
+          CAST(support * (SELECT n FROM nb) AS DOUBLE)
+            / CAST(ma.n_item * mb.n_item AS DOUBLE) AS lift
+        FROM pairs JOIN marg ma ON ma.it = part_a
+        JOIN marg mb ON mb.it = part_b
+        ORDER BY support DESC, part_a, part_b LIMIT 50""")),
+
+    // RFM segmentation of customers: recency/frequency/monetary with
+    // deterministic strictly-below quintile codes — ties share a code,
+    // windows run over distinct-value count grids only.
+    "q177_rfm_segments" -> Q(
+      (s, dir) => Analytics.rfmSegments(t(s, dir, "orders"),
+          "o_custkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_custkey"),
+      Some {
+        def codeCte(metric: String): String =
+          s"""${metric}_c AS (SELECT v, 1 + (cb * 5) // (SELECT n FROM nn) AS code
+            FROM (SELECT v, COALESCE(SUM(cnt) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+              FROM (SELECT $metric AS v, COUNT(*) AS cnt FROM agg GROUP BY 1)))"""
+        s"""WITH base AS (SELECT o_custkey AS c,
+              CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS d,
+              CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders WHERE o_custkey IS NOT NULL
+              AND o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
+          mx AS (SELECT MAX(d) AS mx FROM base),
+          agg AS (SELECT c,
+              MIN(date_diff('day', d, (SELECT mx FROM mx))) AS r_days,
+              COUNT(*) AS f, CAST(SUM(cents) AS BIGINT) AS m_cents
+            FROM base GROUP BY 1),
+          nn AS (SELECT COUNT(*) AS n FROM agg),
+          ${codeCte("r_days")},
+          ${codeCte("f")},
+          ${codeCte("m_cents")}
+          SELECT c AS o_custkey, CAST(r_days AS BIGINT) AS r_days,
+            CAST(f AS BIGINT) AS f, m_cents,
+            CAST(rc.code AS BIGINT) AS r_days_code,
+            CAST(fc.code AS BIGINT) AS f_code,
+            CAST(mc.code AS BIGINT) AS m_cents_code
+          FROM agg
+          JOIN r_days_c rc ON rc.v = agg.r_days
+          JOIN f_c fc ON fc.v = agg.f
+          JOIN m_cents_c mc ON mc.v = agg.m_cents
+          ORDER BY o_custkey"""
+      }),
+
+    // Normalization-aware dedup audit: prefix keys carrying DECOMPOSED
+    // vs precomposed accent variants collapse only after the full
+    // cleaning chain (trim → lower → whitespace-collapse → NFC via the
+    // native expression) — distinct-count deltas quantify what raw
+    // fingerprinting misses.
+    "q178_normalize_dedup" -> Q(
+      (s, dir) => {
+        val aug = t(s, dir, "documents").select(col("doc_id"),
+          concat(substring(col("text"), 1, 20),
+            when(pmod(col("doc_id"), lit(3)) === 0, lit(" e\u0301"))
+              .otherwise(lit(" \u00e9"))).as("s"))
+        aug.select(col("s"),
+            call_function("nfc_normalize",
+              regexp_replace(lower(trim(col("s"))), "\\s+", " ")).as("t"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("s")).as("n_raw"),
+            countDistinct(col("t")).as("n_norm"))
+      },
+      Some("""WITH aug AS (SELECT doc_id, substr(text, 1, 20) ||
+                (CASE WHEN doc_id % 3 = 0 THEN ' e' || chr(769)
+                      ELSE ' ' || chr(233) END) AS s
+              FROM documents),
+        norm AS (SELECT s,
+            nfc_normalize(regexp_replace(lower(trim(s)), '\s+', ' ', 'g')) AS t
+          FROM aug)
+        SELECT COUNT(*) AS n_docs, COUNT(DISTINCT s) AS n_raw,
+          COUNT(DISTINCT t) AS n_norm
+        FROM norm""")),
+
+    // Kaplan-Meier view→purchase conversion curve with right censoring
+    // (users who never purchase are censored at the corpus horizon):
+    // at-risk counts, events, and the log-survival curve as an exact
+    // micro-log integer prefix sum — no float product chain, no libm
+    // exp in the gate.
+    "q179_kaplan_meier" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("v0"))
+        val buys = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("pt"))
+        val firstBuy = views.join(buys, Seq("user_id"), "left")
+          .groupBy("user_id", "v0")
+          .agg(min(when(col("pt") >= col("v0"), col("pt"))).as("p1"))
+        val mx = ev.agg(max(col("ts")).as("m"))
+        val subjects = firstBuy.crossJoin(broadcast(mx))
+          .select(
+            when(col("p1").isNotNull,
+              datediff(col("p1").cast("date"), col("v0").cast("date")))
+              .otherwise(
+                datediff(col("m").cast("date"), col("v0").cast("date")))
+              .as("dur"),
+            col("p1").isNotNull.as("ev"))
+        Temporal.kaplanMeier(subjects, "dur", "ev").orderBy("t")
+      },
+      Some("""WITH v AS (SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS v0
+              FROM events WHERE event_type = 'view' GROUP BY 1),
+        b AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS pt FROM events
+              WHERE event_type = 'purchase'),
+        s0 AS (SELECT v.user_id, v.v0,
+            MIN(CASE WHEN b.pt >= v.v0 THEN b.pt END) AS p1
+          FROM v LEFT JOIN b ON b.user_id = v.user_id GROUP BY 1, 2),
+        mx AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS m FROM events),
+        subj AS (SELECT CASE WHEN p1 IS NOT NULL
+              THEN date_diff('day', CAST(v0 AS DATE), CAST(p1 AS DATE))
+              ELSE date_diff('day', CAST(v0 AS DATE),
+                CAST((SELECT m FROM mx) AS DATE)) END AS t,
+            p1 IS NOT NULL AS e FROM s0),
+        grid AS (SELECT t, SUM(CASE WHEN e THEN 1 ELSE 0 END) AS d_event,
+            SUM(CASE WHEN e THEN 0 ELSE 1 END) AS d_censored
+          FROM subj GROUP BY 1),
+        tot AS (SELECT SUM(d_event + d_censored) AS n FROM grid),
+        risked AS (SELECT t, d_event, d_censored,
+            (SELECT n FROM tot) - COALESCE(SUM(d_event + d_censored)
+              OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING), 0) AS n_risk
+          FROM grid),
+        terms AS (SELECT t, n_risk, d_event, d_censored,
+            CASE WHEN d_event > 0 THEN
+              CASE WHEN n_risk - d_event > 0 THEN
+                CAST(round(ln(n_risk - d_event) * 1e6) AS BIGINT)
+                  - CAST(round(ln(n_risk) * 1e6) AS BIGINT)
+              ELSE -1000000000000 END
+            ELSE 0 END AS term FROM risked)
+        SELECT CAST(t AS BIGINT) AS t, CAST(n_risk AS BIGINT) AS n_risk,
+          CAST(d_event AS BIGINT) AS d_event,
+          CAST(d_censored AS BIGINT) AS d_censored,
+          CAST(SUM(term) OVER (ORDER BY t) AS BIGINT) AS log_surv_micro
+        FROM terms ORDER BY t""")),
+
+    // Chi-square test of independence lang × source (zero-observed cells
+    // included) with Cramér's V — the significance face of q163's
+    // mutual information. Micro-grid per-cell contributions summed as
+    // BIGINT; V is one final sqrt/division chain.
+    "q180_chi_square" -> Q(
+      (s, dir) => Quality.chiSquare(t(s, dir, "documents"), "lang", "source"),
+      Some("""WITH base AS (SELECT lang AS a, source AS b FROM documents
+               WHERE lang IS NOT NULL AND source IS NOT NULL),
+        nn AS (SELECT COUNT(*) AS n FROM base),
+        joint AS (SELECT a, b, COUNT(*) AS o FROM base GROUP BY 1, 2),
+        ma AS (SELECT a, COUNT(*) AS na FROM base GROUP BY 1),
+        mb AS (SELECT b, COUNT(*) AS nb FROM base GROUP BY 1),
+        ka AS (SELECT COUNT(*) AS k FROM ma),
+        kb AS (SELECT COUNT(*) AS k FROM mb),
+        cells AS (SELECT ma.na, mb.nb, COALESCE(j.o, 0) AS o
+          FROM ma CROSS JOIN mb
+          LEFT JOIN joint j ON j.a = ma.a AND j.b = mb.b),
+        agg AS (SELECT CAST(SUM(CAST(round(
+              (CAST(o AS DOUBLE) * (SELECT n FROM nn) - CAST(na AS DOUBLE) * nb)
+              * (CAST(o AS DOUBLE) * (SELECT n FROM nn) - CAST(na AS DOUBLE) * nb)
+              / (CAST(na AS DOUBLE) * nb * (SELECT n FROM nn)) * 1e6)
+            AS BIGINT)) AS BIGINT) AS chi2,
+            COUNT(*) AS n_cells FROM cells)
+        SELECT CAST((SELECT n FROM nn) AS BIGINT) AS n, n_cells,
+          CAST(((SELECT k FROM ka) - 1) * ((SELECT k FROM kb) - 1) AS BIGINT)
+            AS dof,
+          chi2 AS chi2_micro_sum,
+          CASE WHEN least((SELECT k FROM ka), (SELECT k FROM kb)) > 1 THEN
+            sqrt(CAST(chi2 AS DOUBLE) / (1e6 * (SELECT n FROM nn)
+              * least((SELECT k FROM ka) - 1, (SELECT k FROM kb) - 1)))
+          END AS cramers_v
+        FROM agg""")),
+
+    // Semi-supervised label propagation over the near-dup graph: 10% of
+    // docs seed their lang label; 2 frontier-extending iterations of
+    // frozen-seed majority vote (ties → smallest label). The oracle
+    // replays both iterations CTE-for-CTE.
+    "q181_label_prop" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", 3, 64, 16, 0.8)
+        val seeds = docs.select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(10)) === 0, col("lang")).as("seed"))
+        Graphs.labelPropagation(seeds, "doc_id", "seed", pairs,
+            "id_a", "id_b", iters = 2)
+          .orderBy("doc_id")
+      },
+      Some {
+        def iterCte(prev: Int, cur: Int): String =
+          s"""v$cur AS (SELECT e.dst AS id, l.lbl, COUNT(*) AS c
+              FROM edges e JOIN lp$prev l ON l.id = e.src
+              WHERE l.lbl IS NOT NULL GROUP BY 1, 2),
+            w$cur AS (SELECT id, lbl FROM (
+                SELECT id, lbl, row_number() OVER (PARTITION BY id
+                  ORDER BY c DESC, lbl) AS rn FROM v$cur) WHERE rn = 1),
+            lp$cur AS MATERIALIZED (SELECT l.id, COALESCE(l.lbl, w.lbl) AS lbl
+              FROM lp$prev l LEFT JOIN w$cur w ON w.id = l.id)"""
+        s"""WITH ${nearDupEdgesCte(0.8)},
+          lp0 AS MATERIALIZED (SELECT doc_id AS id,
+              CASE WHEN doc_id % 10 = 0 THEN lang END AS lbl
+            FROM documents),
+          ${iterCte(0, 1)},
+          ${iterCte(1, 2)}
+          SELECT id AS doc_id, lbl AS label FROM lp2 ORDER BY doc_id"""
+      }),
 
     // ----- SQL API surface ---------------------------------------------------
 

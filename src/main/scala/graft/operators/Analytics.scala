@@ -198,4 +198,96 @@ object Analytics {
       .agg(count(lit(1)).as("n_cells"),
         sum(col("credit_micro")).as("attributed_micro"))
   }
+
+  /** Market-basket co-occurrence with association-rule statistics: pairs
+    * of items appearing in the same basket, with support, directed
+    * confidence, and lift — the query behind "customers who bought X
+    * also bought" and behind corpus-side co-occurrence mining.
+    *
+    * Scale shape: baskets are DISTINCT (basket, item) first (repeat
+    * lines collapse before any join), then one self-equi-join on the
+    * basket key with `item_a < item_b` — fan-out is Σ_b s_b², bounded by
+    * basket SIZE (tens), never corpus size: the same budget argument as
+    * the LSH bucket join. Item marginals are an |items|-row aggregate
+    * joined back; N is one broadcast scalar. Top-k via ordered limit.
+    *
+    * Exactness: support/marginals are exact BIGINTs; confidence and
+    * lift are single IEEE divisions — lift = (support·N)/(n_a·n_b) with
+    * the integer products taken first.
+    */
+  def copurchasePairs(lines: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long, k: Int): DataFrame = {
+    val items = graft.CacheScope.register(
+      lines.select(col(basketCol).cast("long").as("bk"),
+          col(itemCol).cast("long").as("it"))
+        .filter(col("bk").isNotNull && col("it").isNotNull)
+        .distinct())
+    val nBaskets = items.select(col("bk")).distinct().count()
+    val marg = items.groupBy(col("it")).agg(count(lit(1)).as("n_item"))
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
+      .groupBy(col("a.it").as("item_a"), col("b.it").as("item_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    pairs
+      .join(marg.select(col("it").as("item_a"), col("n_item").as("n_a")),
+        "item_a")
+      .join(marg.select(col("it").as("item_b"), col("n_item").as("n_b")),
+        "item_b")
+      .select(col("item_a"), col("item_b"), col("support"),
+        col("n_a"), col("n_b"), lit(nBaskets).as("n_baskets"),
+        (col("support").cast("double") / col("n_a").cast("double"))
+          .as("confidence_ab"),
+        ((col("support") * nBaskets).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+      .orderBy(col("support").desc, col("item_a"), col("item_b"))
+      .limit(k)
+  }
+
+  /** RFM (recency / frequency / monetary) customer segmentation with
+    * deterministic quintile codes — the warehouse-side cohorting query.
+    * Per customer: days since last order (vs the corpus max date),
+    * order count, exact micro spend; each metric coded 1..5 by
+    *   code = 1 + (5 · |{rows with value strictly below}|) div n
+    * — ties share a code, replayable without any rank nondeterminism.
+    *
+    * Scale shape: one shuffle to the customer aggregate; the three code
+    * assignments are windows over DISTINCT-VALUE count grids (the q97
+    * bounded-grid argument — recency is calendar-bounded, frequency is
+    * basket-bounded, and monetary is quantized to a 1e-2 grid by the
+    * DECIMAL cast), joined back to the aggregate by value.
+    */
+  def rfmSegments(orders: DataFrame, custCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val base = graft.CacheScope.register(
+      orders.filter(col(custCol).isNotNull && col(tsCol).isNotNull &&
+          col(valueCol).isNotNull)
+        .select(col(custCol).cast("long").as("c"),
+          col(tsCol).cast("date").as("d"),
+          round(col(valueCol) * 100).cast("long").as("cents")))
+    val maxD = base.agg(max(col("d")).as("mx"))
+    val agg = graft.CacheScope.register(
+      base.crossJoin(broadcast(maxD))
+        .groupBy("c")
+        .agg(min(datediff(col("mx"), col("d"))).cast("long").as("r_days"),
+          count(lit(1)).as("f"), sum(col("cents")).as("m_cents")))
+    val n = agg.count()
+    def codeFor(metric: String): DataFrame = {
+      val grid = agg.groupBy(col(metric).as("v")).agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      grid
+        .select(col("v"), coalesce(sum("cnt").over(w), lit(0L)).as("cb"))
+        .select(col("v"),
+          expr(s"1L + ((cb * 5L) div ${n}L)").cast("long")
+            .as(s"${metric}_code"))
+    }
+    agg
+      .join(codeFor("r_days").withColumnRenamed("v", "r_days"), "r_days")
+      .join(codeFor("f").withColumnRenamed("v", "f"), "f")
+      .join(codeFor("m_cents").withColumnRenamed("v", "m_cents"), "m_cents")
+      .select(col("c").as(custCol), col("r_days"), col("f"), col("m_cents"),
+        col("r_days_code"), col("f_code"), col("m_cents_code"))
+  }
 }

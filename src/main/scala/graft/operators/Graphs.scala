@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed graph primitives for dedup clustering.
@@ -191,6 +192,118 @@ object Graphs {
             expr("CAST(degree * (degree - 1) div 2 AS BIGINT)")) /
             (expr("CAST(degree * (degree - 1) div 2 AS BIGINT)") * 2L))
             .cast("long")).as("clustering_micro"))
+  }
+
+  /** Semi-supervised label propagation with FIXED seeds: unlabeled nodes
+    * adopt the majority label among their already-labeled neighbors
+    * (ties → lexicographically smallest label); once set, a label never
+    * changes, so each iteration extends the labeled frontier one hop —
+    * the cheap transductive classifier over the near-dup graph ("label
+    * 10% of docs, let duplicates inherit").
+    *
+    * Determinism: votes are exact counts; the argmax window orders
+    * (count DESC, label ASC) — no randomness, no oscillation (the
+    * freeze-on-set rule removes classic label-prop flip-flopping), and
+    * the fixpoint is replayable iteration-for-iteration in SQL.
+    *
+    * Scale shape: per iteration ONE join of the edge list against the
+    * current labels + one (node, label)-grid aggregate + one window
+    * partitioned by node (votes per node ≤ degree). Lineage is cut per
+    * iteration (localCheckpoint) exactly as [[pageRank]].
+    */
+  def labelPropagation(nodes: DataFrame, idCol: String, labelCol: String,
+      edges: DataFrame, aCol: String, bCol: String,
+      iters: Int = 2): DataFrame = {
+    val sym = graft.CacheScope.register(
+      edges.select(explode(array(
+          struct(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")),
+          struct(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst"))))
+        .as("__e"))
+        .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull)
+        .distinct())
+    var cur = nodes.select(col(idCol).cast("long").as("id"),
+      col(labelCol).cast("string").as("lbl"))
+    var it = 0
+    while (it < iters) {
+      val votes = sym
+        .join(cur.select(col("id").as("src"), col("lbl").as("nlbl")), "src")
+        .filter(col("nlbl").isNotNull)
+        .groupBy(col("dst").as("id"), col("nlbl"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("id").orderBy(col("c").desc, col("nlbl"))
+      val winner = votes
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("id"), col("nlbl").as("newlbl"))
+      cur = cur.join(winner, Seq("id"), "left")
+        .select(col("id"), coalesce(col("lbl"), col("newlbl")).as("lbl"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    cur.select(col("id").as(idCol), col("lbl").as("label"))
+  }
+
+  /** Newman modularity of a node partition over an undirected edge list —
+    * the quality score of [[connectedComponents]]' clustering: per
+    * community c with e_c intra-community edges and degree sum d_c,
+    *   Q = Σ_c [ e_c/m − (d_c/2m)² ]
+    * High-modularity components are genuine dup families; a partition
+    * whose Q ≈ 0 means the "clusters" are no denser than random wiring
+    * (template hubs gluing unrelated docs).
+    *
+    * Exactness: everything is cleared to the common denominator 4m² —
+    *   q_scaled_c = 4·m·e_c − d_c²,  Q = (Σ q_scaled_c) / (4m²)
+    * — exact BIGINTs (DECIMAL(38,0) sums for the corpus-scale bound); Q
+    * itself is never emitted as a double per community, only the exact
+    * integers plus the one final division in the TOTAL row (community
+    * = NULL), so both engines agree bit-for-bit.
+    *
+    * Scale shape: edges canonicalized once, labels joined on both
+    * endpoints (the membership relation is |nodes|-sized — same join
+    * budget as the CC loop itself), one shuffle to the community grid,
+    * one grid-sized total aggregate. Output: |communities| rows + 1
+    * total row.
+    */
+  def modularity(edges: DataFrame, aCol: String, bCol: String,
+      membership: DataFrame, idCol: String, labelCol: String): DataFrame = {
+    val canon = graft.CacheScope.register(
+      edges.select(
+        least(col(aCol).cast("long"), col(bCol).cast("long")).as("lo"),
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("hi"))
+        .filter(col("lo").isNotNull && col("lo") =!= col("hi"))
+        .distinct())
+    val m = canon.count()
+    require(m > 0, "modularity: empty edge list")
+    val lbl = membership.select(col(idCol).cast("long").as("id"),
+      col(labelCol).cast("long").as("lbl"))
+    val labeled = canon
+      .join(lbl.withColumnRenamed("id", "lo").withColumnRenamed("lbl", "la"), "lo")
+      .join(lbl.withColumnRenamed("id", "hi").withColumnRenamed("lbl", "lb"), "hi")
+    val intra = labeled.filter(col("la") === col("lb"))
+      .groupBy(col("la").as("community")).agg(count(lit(1)).as("intra_edges"))
+    val degSum = labeled
+      .select(explode(array(col("la"), col("lb"))).as("community"))
+      .groupBy("community").agg(count(lit(1)).as("degree_sum"))
+    val per = degSum.join(intra, Seq("community"), "left")
+      .select(col("community"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        col("degree_sum"),
+        (lit(4L) * m * coalesce(col("intra_edges"), lit(0L)) -
+          col("degree_sum") * col("degree_sum")).as("q_scaled"))
+    val total = per.agg(
+        sum(col("intra_edges")).as("intra_edges"),
+        sum(col("degree_sum")).as("degree_sum"),
+        sum(col("q_scaled").cast("decimal(38,0)")).cast("decimal(38,0)")
+          .as("qs"))
+      .select(lit(null).cast("long").as("community"),
+        col("intra_edges"), col("degree_sum"),
+        col("qs").cast("long").as("q_scaled"),
+        (col("qs").cast("double") / (4.0 * m.toDouble * m.toDouble))
+          .as("modularity"))
+    per.select(col("community"), col("intra_edges"), col("degree_sum"),
+        col("q_scaled"), lit(null).cast("double").as("modularity"))
+      .unionByName(total)
   }
 
   /** Exact union-find (path compression + union by min) over a collected

@@ -744,6 +744,252 @@ object Quality {
       .toDF("iter", "loglik_nano", "beta_intercept", "betas")
   }
 
+  /** Exact ROC AUC of an integer score against a boolean label — the
+    * Mann-Whitney rank-sum face: AUC = P(score⁺ > score⁻) + ½P(tie). The
+    * classifier-eval companion to [[groupedWilson]]: "does the quality
+    * score actually rank English docs above the rest?".
+    *
+    * Exactness: scores collapse to a DISTINCT-score grid of
+    * (c_pos, c_neg) counts; one ordered window over THAT GRID (the q97
+    * percentileGate argument — window input is the score grid, never the
+    * corpus) accumulates negatives strictly below each score, and
+    *   auc_num2 = Σ_s c_pos(s) · (2·cum_neg_below(s) + c_neg(s))
+    * is an exact BIGINT with denominator 2·P·N; `auc` is the single
+    * final IEEE division. Ties contribute the exact half weight with no
+    * floating point anywhere before the last op.
+    *
+    * Scale shape: one shuffle to the score grid, one grid-sized window,
+    * one 1-row aggregate. Output: ONE row (n_pos, n_neg, auc_num2, auc).
+    */
+  def rocAuc(df: DataFrame, labelCol: Column, scoreCol: Column): DataFrame = {
+    val grid = df.filter(scoreCol.isNotNull && labelCol.isNotNull)
+      .groupBy(scoreCol.cast("long").as("score"))
+      .agg(sum(when(labelCol, 1L).otherwise(0L)).as("c_pos"),
+        sum(when(labelCol, 0L).otherwise(1L)).as("c_neg"))
+    val w = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    grid
+      .select(col("c_pos"), col("c_neg"),
+        coalesce(sum("c_neg").over(w), lit(0L)).as("neg_below"))
+      .agg(sum("c_pos").as("n_pos"), sum("c_neg").as("n_neg"),
+        sum(col("c_pos") * (col("neg_below") * 2 + col("c_neg")))
+          .as("auc_num2"))
+      .select(col("n_pos"), col("n_neg"), col("auc_num2"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          col("auc_num2").cast("double") /
+            (col("n_pos").cast("double") * col("n_neg") * 2.0)).as("auc"))
+  }
+
+  /** Reliability diagram + Brier decomposition inputs for a
+    * micro-integer probability column (0..1e6) against a boolean label:
+    * per fixed-width bin — row count, positives, the exact
+    * Σ p_micro (mean predicted = one final division) and the exact
+    * squared-error sum Σ (p_micro − y·1e6)² (corpus Brier·1e12 = the
+    * BIGINT total across bins). The calibration-audit face of q160's
+    * calibrator: "when the score says 70%, is it right 70% of the time?"
+    *
+    * Exactness: bin id, counts, and both sums are pure integer
+    * arithmetic (p ≤ 1e6 ⇒ each square ≤ 1e12; DECIMAL(38,0) sum is
+    * overflow-proof at any corpus size); the two rate doubles are final
+    * pinned divisions. One shuffle to `bins` groups; output ≤ bins rows.
+    */
+  def calibrationBins(df: DataFrame, labelCol: Column, pMicroCol: Column,
+      bins: Int = 10): DataFrame = {
+    val p = pMicroCol.cast("long")
+    val y = when(labelCol, 1L).otherwise(0L)
+    val bin = least(lit(bins - 1L), (p * bins).cast("long") / lit(1000000L))
+      .cast("long")
+    df.filter(pMicroCol.isNotNull && labelCol.isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"), sum(y).as("k"),
+        sum(p.cast("decimal(38,0)")).cast("decimal(38,0)").as("sum_p_micro"),
+        sum(((p - y * 1000000L) * (p - y * 1000000L)).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("brier_num_sum"))
+      .select(col("bin"), col("n"), col("k"),
+        col("sum_p_micro").cast("long").as("sum_p_micro"),
+        col("brier_num_sum").cast("long").as("brier_num_sum"),
+        (col("sum_p_micro").cast("double") / (col("n") * lit(1e6)))
+          .as("mean_p"),
+        (col("k").cast("double") / col("n")).as("rate"))
+  }
+
+  /** Cohen's kappa between two categorical labelers — chance-corrected
+    * agreement, the standard audit when two independent heuristics (e.g.
+    * the lexicon and char-ngram language-ID faces) label the same corpus:
+    * raw agreement flatters any pair that both predict the majority
+    * class.
+    *
+    * Exactness: κ = (n·A − E) / (n² − E) where A = exact agreement
+    * count and E = Σ_c n₁(c)·n₂(c) over the marginal count tables —
+    * all BIGINT (marginal products ≤ n² ≤ 2^63 for n ≤ 3·10⁹ per
+    * labeler-slice; the sums ride DECIMAL(38,0) so even that bound is
+    * soft); κ itself is the one final IEEE division.
+    *
+    * Scale shape: one agreement aggregate + two |classes|-row marginal
+    * aggregates joined on class (broadcast-sized); output ONE row.
+    */
+  def cohensKappa(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val base = graft.CacheScope.register(
+      df.filter(aCol.isNotNull && bCol.isNotNull)
+        .select(aCol.as("__a"), bCol.as("__b")))
+    val tot = base.agg(count(lit(1)).as("n"),
+      sum(when(col("__a") === col("__b"), 1L).otherwise(0L)).as("agree"))
+    val ma = base.groupBy(col("__a").as("cls")).agg(count(lit(1)).as("na"))
+    val mb = base.groupBy(col("__b").as("cls")).agg(count(lit(1)).as("nb"))
+    val e = ma.join(mb, "cls")
+      .agg(sum((col("na") * col("nb")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("e"))
+    tot.crossJoin(e).select(col("n"), col("agree"),
+      col("e").cast("long").as("chance_num"),
+      when(col("n") * col("n") =!= col("e").cast("long"),
+        (col("n") * col("agree") - col("e").cast("long")).cast("double") /
+          (col("n") * col("n") - col("e").cast("long")).cast("double"))
+        .as("kappa"))
+  }
+
+  /** Pearson chi-square test of independence between two categorical
+    * columns, with Cramér's V — the significance companion to
+    * [[mutualInformation]] (MI measures association strength in nats;
+    * χ² answers "could this contingency arise under independence?").
+    *
+    * Exactness: each cell's contribution
+    *   (O·n − n_a·n_b)² / (n_a·n_b·n)
+    * is computed as a fixed IEEE sequence over exact integer counts,
+    * rounded HALF_UP to the 1e-6 grid, and summed as BIGINT — the PSI/
+    * chi2 micro-contribution scheme (order-independent). Exactness
+    * window: |O·n| and |n_a·n_b| must stay below 2^53 (n ≤ ~9·10⁶ rows
+    * per slice at worst-case marginals) — beyond that route the products
+    * through DECIMAL first, as embeddingCovariance does.
+    *
+    * Scale shape: one shuffle to the (a, b) contingency grid, two
+    * marginal aggregates joined back, one 1-row total. Output: ONE row
+    * (n, n_cells, dof, chi2_micro_sum, cramers_v).
+    */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val base = graft.CacheScope.register(
+      df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+        .select(col(aCol).as("__a"), col(bCol).as("__b")))
+    val n = base.count()
+    require(n > 0, "chiSquare: no complete-case rows")
+    val joint = base.groupBy("__a", "__b").agg(count(lit(1)).as("o"))
+    val ma = base.groupBy("__a").agg(count(lit(1)).as("na"))
+    val mb = base.groupBy("__b").agg(count(lit(1)).as("nb"))
+    val ka = ma.count()
+    val kb = mb.count()
+    // all (a, b) marginal pairs, INCLUDING zero-observed cells — their
+    // (0·n − na·nb)²/(na·nb·n) contribution is na·nb/n, not zero
+    val cells = ma.crossJoin(mb)
+      .join(joint, Seq("__a", "__b"), "left")
+      .select(col("na"), col("nb"), coalesce(col("o"), lit(0L)).as("o"))
+    val contrib = {
+      val num = col("o").cast("double") * n - col("na").cast("double") * col("nb")
+      val den = col("na").cast("double") * col("nb") * n
+      round(num * num / den * 1e6).cast("long")
+    }
+    cells.agg(sum(contrib).as("chi2_micro_sum"),
+        count(lit(1)).as("n_cells"))
+      .select(lit(n).as("n"), col("n_cells"),
+        lit((ka - 1) * (kb - 1)).as("dof"),
+        col("chi2_micro_sum"),
+        when(lit(math.min(ka, kb)) > 1,
+          sqrt(col("chi2_micro_sum").cast("double") /
+            (lit(1e6) * n * math.min(ka - 1, kb - 1).toDouble)))
+          .as("cramers_v"))
+  }
+
+  /** Isotonic (PAV) calibration over a binned score→rate table — the
+    * nonparametric alternative to [[logisticCalibrator]]: given per-bin
+    * (positives k, totals n) ordered by bin, the least-squares MONOTONE
+    * rate curve. Pool-adjacent-violators is the textbook algorithm, but
+    * its sequential pooling is hostile to both SQL replay and
+    * distribution; this uses the equivalent CLOSED FORM
+    *   iso(i) = max_{j ≤ i} min_{k ≥ i} avg(y[j..k])
+    * — three bounded grid joins (B³ rows for B bins), no driver loop, no
+    * iteration, embarrassingly parallel.
+    *
+    * Exactness: segment averages are single IEEE divisions of exact
+    * BIGINT (K, N) cumulative differences; min/max over identical
+    * doubles agree across engines; ties cost nothing (min/max, not
+    * argmin). One global window builds the B-row cumulative table —
+    * bin-grid bounded.
+    *
+    * Returns (bin, n, k, rate, iso_rate) with iso_rate non-decreasing.
+    */
+  def isotonicCalibration(bins: DataFrame, binCol: String, kCol: String,
+      nCol: String): DataFrame = {
+    val w = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = graft.CacheScope.register(
+      bins.select(col(binCol).cast("long").as("b"),
+          col(kCol).cast("long").as("k"), col(nCol).cast("long").as("n"))
+        .select(col("b"), col("k"), col("n"),
+          sum("k").over(w).as("ck"), sum("n").over(w).as("cn")))
+    // segment (j..k) totals from cumulative differences: B² rows. The
+    // range conditions are non-equi — broadcast the (tiny, bin-grid)
+    // build sides explicitly so the planner nests loops over a broadcast
+    // instead of falling into a cartesian
+    val segs = cum.select(col("b").as("j"), col("ck").as("ckj"),
+        col("cn").as("cnj"), col("k").as("kj"), col("n").as("nj"))
+      .join(broadcast(cum.select(col("b").as("kk"), col("ck").as("ckk"),
+        col("cn").as("cnk"))), col("j") <= col("kk"))
+      .select(col("j"), col("kk"),
+        ((col("ckk") - col("ckj") + col("kj")).cast("double") /
+          (col("cnk") - col("cnj") + col("nj")).cast("double")).as("avg"))
+    // min over k ≥ i per (j, i), then max over j ≤ i per i: B³ join
+    val iso = segs
+      .join(broadcast(cum.select(col("b").as("i"))),
+        col("j") <= col("i") && col("i") <= col("kk"))
+      .groupBy("j", "i").agg(min("avg").as("mn"))
+      .groupBy("i").agg(max("mn").as("iso_rate"))
+    cum.join(iso, col("b") === col("i"))
+      .select(col("b").as(binCol), col("n"), col("k"),
+        (col("k").cast("double") / col("n")).as("rate"), col("iso_rate"))
+  }
+
+  /** Key-skew report over a grouping column: Gini coefficient, Shannon
+    * entropy (micro-log identity), top-1 share, and effective key count
+    * of the per-key row-count distribution — the diagnostic that decides
+    * when a join/agg needs [[graft.operators.Skew]]'s salting (a Gini
+    * near 1 or a top-1 share over 1/shufflePartitions means one reducer
+    * owns the stage).
+    *
+    * Exactness: with per-key counts x₍₁₎ ≤ … ≤ x₍n₎ (ties broken by key
+    * — Σ i·xᵢ is invariant within a tie block, so the order is
+    * deterministic AND canonical),
+    *   gini_num = 2·Σ i·x₍ᵢ₎ − (n+1)·Σx,  gini_den = n·Σx,
+    * both exact via DECIMAL(38,0); entropy rides the q89 micro-log
+    * identity H·n = n·lnµ(N) − Σ x·lnµ(x) over exact counts. The two
+    * doubles are final pinned divisions.
+    *
+    * Scale shape: one shuffle to the key grid, one window + aggregate
+    * over |keys| rows (grid-bounded, the q97 argument — dimension
+    * cardinality, not corpus size). Output: ONE row.
+    */
+  def keySkewReport(df: DataFrame, keyCol: Column): DataFrame = {
+    val counts = df.filter(keyCol.isNotNull)
+      .groupBy(keyCol.cast("string").as("key"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.orderBy("x", "key")
+    def lnM(c: Column): Column = round(log(c.cast("double")) * 1e6).cast("long")
+    counts
+      .select(col("x"), row_number().over(w).cast("long").as("i"))
+      .agg(count(lit(1)).as("n_keys"), sum("x").as("total"),
+        max("x").as("top1"),
+        sum((col("i") * col("x")).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("six"),
+        sum(col("x") * lnM(col("x"))).as("sxlx"))
+      .select(col("n_keys"), col("total"), col("top1"),
+        (col("six").cast("long") * 2 - (col("n_keys") + 1) * col("total"))
+          .as("gini_num"),
+        (col("n_keys") * col("total")).as("gini_den"),
+        ((col("six").cast("long") * 2 - (col("n_keys") + 1) * col("total"))
+          .cast("double") / (col("n_keys") * col("total")).cast("double"))
+          .as("gini"),
+        (lnM(col("total")).cast("double") -
+          col("sxlx").cast("double") / col("total")).as("entropy_micro"),
+        (col("top1").cast("double") / col("total")).as("top1_share"))
+  }
+
   /** In-place partial-pivot Gaussian elimination for the tiny (m ≤ ~8)
     * Newton system — deterministic fixed op sequence on the driver.
     */

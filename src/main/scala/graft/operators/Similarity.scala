@@ -177,6 +177,86 @@ object Similarity {
           .otherwise(col("__e._1")).as("cos"))
   }
 
+  /** Maximal-Marginal-Relevance re-ranking: from the exact cosine
+    * top-`poolK` pool for one query, greedily select `selectK` results
+    * balancing relevance against redundancy —
+    *   MMR(c) = λ·rel(c) − (1−λ)·max_{s ∈ selected} sim(c, s)
+    * — the diversity-aware retrieval face: the raw top-k of a near-dup
+    * corpus is the same document ten times; MMR is the standard fix
+    * (Carbonell & Goldstein 1998).
+    *
+    * Determinism/exactness: relevance and pairwise similarities are the
+    * quantized-exact cosines rounded HALF_UP to the 1e-6 grid (BIGINT),
+    * and λ = lambdaTenths/10 clears to integers —
+    *   mmr_scaled = lambdaTenths·rel_micro − (10−lambdaTenths)·maxsim_micro
+    * — so every greedy argmax compares exact integers (ties → min id)
+    * and both engines select identical sequences. Step 1 has an empty
+    * selected set: maxsim_micro = 0 by definition.
+    *
+    * Scale shape: the pool is built DISTRIBUTED (the [[knnExactAgg]]
+    * bounded top-k — map-side k-element buffers, one scan); only the
+    * ≤ poolK (id, cos, vector) triples ever reach the driver (the
+    * bounded-collect precedent of the IVF sample/Jacobi), where the
+    * O(selectK·poolK) integer greedy runs. The corpus is never joined
+    * against itself — pairwise similarity exists only inside the
+    * poolK-sized pool.
+    *
+    * Returns (step, id, rel_micro, mmr_scaled) — step 1-based selection
+    * order.
+    */
+  def mmrRerank(corpus: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, poolK: Int, selectK: Int,
+      lambdaTenths: Int = 7): DataFrame = {
+    require(poolK >= 1 && poolK <= 1024, s"poolK must be in [1, 1024]: $poolK")
+    require(selectK >= 1 && selectK <= poolK,
+      s"selectK must be in [1, poolK]: $selectK")
+    require(lambdaTenths >= 0 && lambdaTenths <= 10,
+      s"lambdaTenths must be in [0, 10]: $lambdaTenths")
+    val spark = corpus.sparkSession
+    val queries = corpus.filter(col(idCol) === queryId)
+    val pool = knnExactAgg(corpus, queries, idCol, vecCol, poolK)
+      .filter(col("cos").isNotNull)
+      .select(col("id").cast("long"), col("cos"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val ids = pool.map(_._1)
+    val vecs: Map[Long, Array[Double]] =
+      corpus.filter(col(idCol).isin(ids.map(Long.box).toSeq: _*))
+        .select(col(idCol).cast("long"), quantized(col(vecCol)))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    // HALF_UP on the already-multiplied double — the exact op sequence of
+    // round(cos · 1e6) in both engines
+    def micro(cos: Double): Long =
+      java.math.BigDecimal.valueOf(cos * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    def simMicro(a: Array[Double], b: Array[Double]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { // integer-valued products, exact in double
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      micro(dot / math.sqrt(na * nb))
+    }
+    val relMicro = pool.map { case (id, cos) => id -> micro(cos) }.toMap
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val remaining = scala.collection.mutable.LinkedHashSet(ids.toSeq: _*)
+    while (selected.size < selectK && remaining.nonEmpty) {
+      val scored = remaining.toSeq.map { c =>
+        val maxSim =
+          if (selected.isEmpty) 0L
+          else selected.map(s => simMicro(vecs(c), vecs(s._1))).max
+        (c, lambdaTenths * relMicro(c) - (10 - lambdaTenths) * maxSim)
+      }
+      val (best, score) = scored.minBy { case (id, s) => (-s, id) }
+      selected += ((best, relMicro(best), score))
+      remaining -= best
+    }
+    import spark.implicits._
+    selected.toSeq.zipWithIndex
+      .map { case ((id, rel, score), i) => (i + 1L, id, rel, score) }
+      .toDF("step", "id", "rel_micro", "mmr_scaled")
+  }
+
   /** Deterministic pseudo-random hyperplanes: coefficient (p, d) is derived
     * from h60(s"plane:p:d"), mapped to [-0.5, 0.5). Returned as a literal
     * array-of-arrays column so the dot products stay in codegen.

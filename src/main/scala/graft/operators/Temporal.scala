@@ -172,4 +172,155 @@ object Temporal {
     df.select(col(key), col(tsCol), col(tieCol), col(valCol))
       .withColumn("ewma", num.cast("double") / (den * 1000000L).cast("double"))
   }
+
+  /** Autocorrelation function of the hourly event-count series at lags
+    * 1..`maxLag` — the seasonality audit (a daily cycle shows as a peak
+    * at lag 24) that tells a pipeline whether "last hour" is a usable
+    * forecast baseline.
+    *
+    * Exactness scheme: with hourly counts x_t (dense grid — absent hours
+    * count 0, generated from one min/max aggregate via
+    * explode(sequence)), n hours and S = Σx, both engines compute the
+    * mean-centered products on the INTEGER grid scaled by n:
+    *   num(k) = Σ_t (n·x_t − S)(n·x_{t+k} − S)   over the n−k pairs
+    *   den    = Σ_t (n·x_t − S)²                 over all n
+    * as DECIMAL(38,0) sums (n ≤ 10⁶ hours and x ≤ 10¹² rows/hour stay
+    * far inside 38 digits), and `acf = num/den` is one final double
+    * division. No floating point touches the data path.
+    *
+    * Scale shape: one shuffle to the hour grid (bounded by calendar
+    * span, not corpus size), a self-join on hour+k over that grid
+    * (equi-join, broadcast-sized both sides), one |lags|-row aggregate.
+    */
+  def hourlyAcf(df: DataFrame, tsCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1: $maxLag")
+    val hour = date_trunc("hour", col(tsCol)).cast("timestamp_ntz")
+    val observed = df.filter(col(tsCol).isNotNull)
+      .groupBy(hour.as("h")).agg(count(lit(1)).as("c"))
+    // dense grid: absent hours are genuine zero counts, and the lag
+    // alignment below must see them
+    val bounds = observed.agg(min("h").as("lo"), max("h").as("hi"))
+    val grid = bounds.select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 HOUR"))).as("h"))
+      .join(observed, Seq("h"), "left")
+      .select(col("h"), coalesce(col("c"), lit(0L)).as("x"))
+    val gridC = graft.CacheScope.register(grid)
+    val tot = gridC.agg(count(lit(1)).as("n"), sum("x").as("s"))
+    val centered = gridC.crossJoin(broadcast(tot))
+      .select(col("h"), (col("n") * col("x") - col("s")).as("cx"),
+        col("n"), col("s"))
+    val den = centered
+      .agg(sum((col("cx") * col("cx")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("den"))
+    // one equi-join for ALL lags: each row (h, cx) fans out to maxLag
+    // shifted copies (h − k, k, cx) that meet their lag-k partner at h
+    val shifted = centered.select(
+        explode(expr(s"sequence(1, $maxLag)")).as("k"),
+        col("h"), col("cx").as("cx2"))
+      .select(col("k").cast("long").as("lag"),
+        (col("h") - expr("make_interval(0, 0, 0, 0, k)")).as("h"),
+        col("cx2"))
+    val pairs = centered.select(col("h"), col("cx"))
+      .join(shifted, "h")
+      .groupBy("lag")
+      .agg(sum((col("cx") * col("cx2")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("num"),
+        count(lit(1)).as("n_pairs"))
+    pairs.crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"),
+        col("num").cast("long").as("num_scaled"),
+        col("den").cast("long").as("den_scaled"),
+        when(col("den") =!= 0,
+          col("num").cast("double") / col("den").cast("double")).as("acf"))
+      .orderBy("lag")
+  }
+
+  /** Kaplan-Meier survival estimator over integer durations with right
+    * censoring — time-to-event analytics (signup→conversion, doc
+    * ingest→removal): per duration day, the at-risk count, events,
+    * censored exits, and the LOG survival curve
+    *   log S(t)·1e6 = Σ_{t'≤t, event day} lnµ(n_risk−d) − lnµ(n_risk)
+    * on the exact micro-log grid (the q89 identity per factor), so the
+    * curve is an integer prefix sum both engines replay bit-for-bit —
+    * no floating-point product chain, no libm exp in the gate.
+    *
+    * When the last at-risk subject dies (n_risk = d), survival is 0:
+    * the factor emits the −1e12 "−∞ micro" sentinel (both engines), and
+    * every later prefix stays below any real value.
+    *
+    * Scale shape: one shuffle to the duration-day grid
+    * (calendar-bounded), two windows + one broadcast total over THAT
+    * GRID. Output: one row per distinct duration.
+    */
+  def kaplanMeier(subjects: DataFrame, durCol: String,
+      eventCol: String): DataFrame = {
+    def lnM(c: Column): Column = round(log(c.cast("double")) * 1e6).cast("long")
+    val grid = subjects
+      .filter(col(durCol).isNotNull && col(eventCol).isNotNull)
+      .groupBy(col(durCol).cast("long").as("t"))
+      .agg(sum(when(col(eventCol), 1L).otherwise(0L)).as("d_event"),
+        sum(when(col(eventCol), 0L).otherwise(1L)).as("d_censored"))
+    val tot = grid.agg(sum(col("d_event") + col("d_censored")).as("n"))
+    val wBefore = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wInc = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risked = grid.crossJoin(broadcast(tot))
+      .select(col("t"), col("d_event"), col("d_censored"),
+        (col("n") - coalesce(
+          sum(col("d_event") + col("d_censored")).over(wBefore), lit(0L)))
+          .as("n_risk"))
+    val term = when(col("d_event") > 0,
+      when(col("n_risk") - col("d_event") > 0,
+        lnM(col("n_risk") - col("d_event")) - lnM(col("n_risk")))
+        .otherwise(lit(-1000000000000L)))
+      .otherwise(lit(0L))
+    risked.select(col("t"), col("n_risk"), col("d_event"), col("d_censored"),
+      sum(term).over(wInc).as("log_surv_micro"))
+  }
+
+  /** CUSUM changepoint curve over a daily micro-integer measure: per
+    * day, the running sum of mean-centered daily totals, scaled by n to
+    * stay integer —
+    *   cusum_d = Σ_{d'≤d} (n·S_{d'} − T)
+    * with S_d the exact daily micro total, n the day count and T = ΣS.
+    * The curve's extremum marks the most likely single changepoint
+    * (classic CUSUM statistic); `is_peak` flags it. Dense day grid —
+    * absent days are genuine zeros, which the running sum must see.
+    *
+    * Exactness: daily totals are BIGINT micro sums; the prefix sum rides
+    * DECIMAL(38,0) (n·S ~ 10⁵·10¹⁸ exceeds the long); the peak test
+    * compares exact decimals. No doubles anywhere.
+    *
+    * Scale shape: one shuffle to the day grid (calendar-bounded), one
+    * global window over THAT GRID (≤ tens of thousands of rows at any
+    * corpus scale — the q97 bounded-grid argument), one 1-row max
+    * aggregate broadcast back.
+    */
+  def dailyCusum(df: DataFrame, tsCol: String, valCol: String): DataFrame = {
+    val day = col(tsCol).cast("date")
+    val observed = df.filter(col(tsCol).isNotNull && col(valCol).isNotNull)
+      .groupBy(day.as("d"))
+      .agg(sum(round(col(valCol) * 1e6).cast("long")).as("s"))
+    val bounds = observed.agg(min("d").as("lo"), max("d").as("hi"))
+    val grid = bounds.select(explode(sequence(col("lo"), col("hi"))).as("d"))
+      .join(observed, Seq("d"), "left")
+      .select(col("d"), coalesce(col("s"), lit(0L)).as("s"))
+    val tot = grid.agg(count(lit(1)).as("n"), sum("s").as("t"))
+    val w = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val curve = grid.crossJoin(broadcast(tot))
+      .select(col("d"), col("n"),
+        sum((col("n") * col("s") - col("t")).cast("decimal(38,0)")).over(w)
+          .cast("decimal(38,0)").as("cusum_scaled"))
+    val peak = curve.agg(max(abs(col("cusum_scaled"))).as("m"))
+    // emit cusum/n (un-scales the n factor — one pinned division per
+    // day; the exact decimal never leaves the plan, so no long overflow
+    // at any scale), peak test on the EXACT decimals
+    curve.crossJoin(broadcast(peak))
+      .select(col("d").as("day"),
+        (col("cusum_scaled").cast("double") / col("n").cast("double"))
+          .as("cusum_micro"),
+        (abs(col("cusum_scaled")) === col("m")).as("is_peak"))
+  }
 }

@@ -444,6 +444,53 @@ object TextOps {
         ratioMicro(col("c12"), col("c1")).as("p_micro"))
   }
 
+  /** Interpolated Kneser-Ney bigram probabilities (absolute discount
+    * d = 3/4) for the `topK` most frequent bigrams — the smoothing that
+    * actually ships in n-gram LMs ([[bigramLm]] is raw MLE; KN backs off
+    * to CONTINUATION counts, so "Francisco" — frequent but only ever
+    * after "San" — stops inflating unseen-context probabilities):
+    *
+    *   P(w2|w1) = (c12 − d)⁺/c1 + d·N1+(w1·)/c1 · N1+(·w2)/B
+    *
+    * with N1+(w1·) = distinct successors of w1, N1+(·w2) = distinct
+    * predecessors of w2, B = total distinct bigram types.
+    *
+    * Exactness: d = 3/4 clears to integers — both engines emit
+    *   num = (4·c12 − 3)⁺·B + 3·N1+(w1·)·N1+(·w2),  den = 4·B·c1
+    * as exact BIGINTs (counts ≤ 10⁹ keep the products < 2^63 by orders
+    * of magnitude) and `p_kn` as the single final IEEE division.
+    *
+    * Scale shape: ONE bigram-count shuffle (map-side combine), the
+    * three continuation statistics are windows/aggregates over the
+    * AGGREGATED bigram relation (successor/predecessor partitions are
+    * vocabulary-bounded, the [[bigramLm]] argument), top-k via ordered
+    * limit (TakeOrderedAndProject — no global sort materialization).
+    */
+  def knBigramLm(df: DataFrame, textCol: String, topK: Int): DataFrame = {
+    val grams = graft.Parallelism.fanOut(df.select(col(textCol)))
+      .select(explode(TextFns.shingles(col(textCol), 2)).as("__g"))
+    val counts = graft.CacheScope.register(
+      grams.groupBy(col("__g")).agg(count(lit(1)).as("c12"))
+        .select(substring_index(col("__g"), " ", 1).as("w1"),
+          substring_index(col("__g"), " ", -1).as("w2"), col("c12")))
+    val w1w = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
+    val w2w = org.apache.spark.sql.expressions.Window.partitionBy(col("w2"))
+    val b = counts.count() // distinct bigram types: one tiny driver scalar
+    counts
+      .withColumn("c1", sum(col("c12")).over(w1w))
+      .withColumn("n1_fwd", count(lit(1)).over(w1w))
+      .withColumn("n1_bwd", count(lit(1)).over(w2w))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        col("n1_fwd"), col("n1_bwd"),
+        (greatest(lit(4L) * col("c12") - 3L, lit(0L)) * b +
+          lit(3L) * col("n1_fwd") * col("n1_bwd")).as("p_num"),
+        (lit(4L) * b * col("c1")).as("p_den"))
+      .withColumn("p_kn",
+        col("p_num").cast("double") / col("p_den").cast("double"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** Feature-hashing bag-of-words vectorization (the HashingTF trick):
     * token → bucket = h60(token) mod k, per-document bucket counts in
     * LONG format (id, bucket, cnt). Long format IS the scale design: the

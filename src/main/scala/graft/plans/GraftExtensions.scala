@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{ArrayDotProduct, ArrayIntersectCount, BloomMightContain, JaroWinkler}
+import graft.functions.{ArrayDotProduct, ArrayIntersectCount, BloomMightContain, JaroWinkler, NfcNormalize}
 
 /** Session extensions registering graft's native expressions so they are
   * callable from SQL and `call_function` (`spark.sql.extensions` or
@@ -40,6 +40,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 2, "bloom_might_contain takes exactly 2 arguments")
         BloomMightContain(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "nfc_normalize takes exactly 1 argument")
+        NfcNormalize(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("jaro_winkler"),

@@ -40,7 +40,14 @@ class PlanLintSpec extends SparkSpec {
     "q122_heldout_perplexity" -> "broadcast 1-row TRAIN-vocabulary-size aggregate (crossJoin V, the q62 shape)",
     "q137_vocab_growth" -> "broadcast 1-row max-doc-id aggregate (bucket bounds)",
     "q139_psi_drift" -> "broadcast 1-row bounds and totals aggregates (crossJoin min/max and N)",
-    "q163_mutual_information" -> "assembly crossJoin of three 1-row aggregates (MI + two entropies)")
+    "q163_mutual_information" -> "assembly crossJoin of three 1-row aggregates (MI + two entropies)",
+    "q167_cohens_kappa" -> "assembly crossJoin of two 1-row aggregates (agreement total + chance numerator)",
+    "q168_acf" -> "broadcast 1-row (n, S) and denominator aggregates over the hour grid (crossJoin centering/normalization)",
+    "q169_cusum" -> "broadcast 1-row (n, T) and peak aggregates over the day grid (crossJoin centering/peak flag)",
+    "q175_isotonic_calibration" -> "non-equi range joins over the broadcast ≤10-row bin grid (minimax closed form)",
+    "q177_rfm_segments" -> "broadcast 1-row max-date aggregate (recency anchor)",
+    "q179_kaplan_meier" -> "broadcast 1-row subject-total and max-ts aggregates (at-risk base, censoring horizon)",
+    "q180_chi_square" -> "marginal-grid crossJoin |A|x|B| (contingency cells incl. zero-observed; both sides are class-count aggregates)")
 
   /** Queries allowed to plan a GLOBAL window (no partition columns, or a
     * constant partition) — each must window over a provably BOUNDED
@@ -57,7 +64,13 @@ class PlanLintSpec extends SparkSpec {
     "q124_funnel" -> "lag over the 3-row staged-count aggregate (one row per funnel stage)",
     "q137_vocab_growth" -> "cumulative sums over the nBuckets-row bucket aggregate (10 rows)",
     "q140_quantile_normalize" -> "CDF windows over DISTINCT-score count grids (q97's bounded-grid argument), incl. the merged as-of grid",
-    "q158_pareto_frontier" -> "running cross-bucket max over the per-bucket aggregate (≤ max_tokens/64 rows); the corpus itself sees only bucket-partitioned windows")
+    "q158_pareto_frontier" -> "running cross-bucket max over the per-bucket aggregate (≤ max_tokens/64 rows); the corpus itself sees only bucket-partitioned windows",
+    "q165_roc_auc" -> "negatives-below cumulation over the DISTINCT-score count grid (q97's bounded-grid argument)",
+    "q169_cusum" -> "running prefix over the day grid (calendar-bounded — tens of thousands of rows at any corpus scale)",
+    "q170_skew_gini" -> "rank window over the per-key count grid (dimension cardinality, not corpus size)",
+    "q175_isotonic_calibration" -> "cumulative window over the ≤10-row calibration-bin grid",
+    "q177_rfm_segments" -> "strictly-below cumulations over distinct-value count grids (recency calendar-bounded, frequency basket-bounded, monetary cent-quantized)",
+    "q179_kaplan_meier" -> "at-risk/survival cumulations over the duration-day grid (calendar-bounded)")
 
   test("no query plans a global window over an unbounded relation") {
     import org.apache.spark.sql.execution.SparkPlan
