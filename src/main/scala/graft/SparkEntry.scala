@@ -5292,6 +5292,114 @@ object SparkEntry {
           SELECT id AS doc_id, lbl AS label FROM lp2 ORDER BY doc_id"""
       }),
 
+    // Two-sample Kolmogorov-Smirnov: does the quality-score distribution
+    // of English docs differ from the rest? D as an exact integer
+    // numerator over the merged distinct-score grid; at_value = smallest
+    // score attaining the max.
+    "q182_ks_test" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val f = TextOps.qualityFeatures(docs, "doc_id", "text")
+          .select(col("doc_id"), col("quality_score_micro"))
+        val j = docs.select(col("doc_id"), col("lang")).join(f, "doc_id")
+        Quality.ksTest(j, col("lang") === "en", col("quality_score_micro"))
+      },
+      Some(s"""WITH ${qualityMicroSql("doc_id")},
+        j AS (SELECT d.lang = 'en' AS g,
+                CAST(q.quality_score_micro AS BIGINT) AS v
+              FROM __qm q JOIN documents d USING (doc_id)
+              WHERE q.quality_score_micro IS NOT NULL AND d.lang IS NOT NULL),
+        grid AS (SELECT v, SUM(CASE WHEN g THEN 1 ELSE 0 END) AS c1,
+                 SUM(CASE WHEN g THEN 0 ELSE 1 END) AS c2
+                 FROM j GROUP BY 1),
+        tot AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM grid),
+        cum AS (SELECT v, SUM(c1) OVER (ORDER BY v) AS k1,
+                SUM(c2) OVER (ORDER BY v) AS k2 FROM grid),
+        dev AS (SELECT v, abs(k1 * (SELECT n2 FROM tot)
+                - k2 * (SELECT n1 FROM tot)) AS dev FROM cum),
+        mx AS (SELECT MAX(dev) AS d_num FROM dev)
+        SELECT CAST((SELECT n1 FROM tot) AS BIGINT) AS n1,
+          CAST((SELECT n2 FROM tot) AS BIGINT) AS n2,
+          CAST((SELECT d_num FROM mx) AS BIGINT) AS d_num,
+          CAST((SELECT d_num FROM mx) AS DOUBLE)
+            / (CAST((SELECT n1 FROM tot) AS DOUBLE) * (SELECT n2 FROM tot))
+            AS d,
+          CAST(MIN(v) AS BIGINT) AS at_value
+        FROM dev WHERE dev = (SELECT d_num FROM mx)""")),
+
+    // 7×24 seasonality profile of the event stream — per (dow, hod)
+    // cell: count, weekday calendar days, exact micro events/day mean
+    // and deviation from the global events/hour grand mean. Absent
+    // cells are genuine zeros from the calendar spine.
+    "q183_seasonality_profile" -> Q(
+      (s, dir) => Analytics.seasonalityProfile(t(s, dir, "events"), "ts")
+        .orderBy("dow", "hod"),
+      Some("""WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS t FROM events
+               WHERE ts IS NOT NULL),
+        bounds AS (SELECT CAST(MIN(t) AS DATE) AS lo,
+                   CAST(MAX(t) AS DATE) AS hi FROM ev),
+        dates AS (SELECT CAST(g.h AS DATE) AS d FROM
+          (SELECT unnest(generate_series(
+              CAST((SELECT lo FROM bounds) AS TIMESTAMP),
+              CAST((SELECT hi FROM bounds) AS TIMESTAMP),
+              INTERVAL 1 DAY)) AS h) g),
+        dd AS (SELECT dayofweek(d) + 1 AS dow, COUNT(*) AS n_days
+               FROM dates GROUP BY 1),
+        nh AS (SELECT COUNT(*) * 24 AS n_hours FROM dates),
+        nn AS (SELECT COUNT(*) AS n FROM ev),
+        cnt AS (SELECT dayofweek(CAST(t AS DATE)) + 1 AS dow,
+                hour(t) AS hod, COUNT(*) AS n_events FROM ev GROUP BY 1, 2),
+        cells AS (SELECT dd.dow, g.hod, dd.n_days,
+            COALESCE(c.n_events, 0) AS n_events
+          FROM dd CROSS JOIN (SELECT unnest(range(0, 24)) AS hod) g
+          LEFT JOIN cnt c ON c.dow = dd.dow AND c.hod = g.hod)
+        SELECT CAST(dow AS BIGINT) AS dow, CAST(hod AS BIGINT) AS hod,
+          CAST(n_events AS BIGINT) AS n_events,
+          CAST(n_days AS BIGINT) AS n_days,
+          CAST(floor((n_events * 2000000 + n_days) / (2 * n_days)) AS BIGINT)
+            AS mean_micro,
+          CAST(floor(((SELECT n FROM nn) * 2000000 + (SELECT n_hours FROM nh))
+            / (2 * (SELECT n_hours FROM nh))) AS BIGINT) AS grand_mean_micro,
+          CAST(floor((n_events * 2000000 + n_days) / (2 * n_days)) AS BIGINT)
+            - CAST(floor(((SELECT n FROM nn) * 2000000 + (SELECT n_hours FROM nh))
+              / (2 * (SELECT n_hours FROM nh))) AS BIGINT) AS deviation_micro
+        FROM cells ORDER BY dow, hod""")),
+
+    // Conditional entropy rate H(next | current) of the per-user event
+    // process — the predictability scalar over q127's transition matrix
+    // (micro-log identity, per-state rows + one total row with the
+    // final division).
+    "q184_entropy_rate" -> Q(
+      (s, dir) => {
+        val counts = Analytics.transitionMatrix(t(s, dir, "events"),
+          "user_id", "event_type", "ts", "event_id")
+        Quality.entropyRate(counts, "from_type", "n")
+          .withColumnRenamed("state", "from_type")
+          .orderBy(col("from_type").asc_nulls_last)
+      },
+      Some("""WITH ordered AS (SELECT event_type AS f,
+            lead(event_type) OVER (PARTITION BY user_id
+              ORDER BY CAST(ts AS TIMESTAMP), event_id) AS t2
+          FROM events),
+        c AS (SELECT f AS from_type, t2 AS to_type, COUNT(*) AS n
+              FROM ordered WHERE t2 IS NOT NULL GROUP BY 1, 2),
+        w AS (SELECT from_type, n,
+              SUM(n) OVER (PARTITION BY from_type) AS ni FROM c),
+        per AS (SELECT from_type, CAST(MAX(ni) AS BIGINT) AS n_from,
+            CAST(SUM(n * (CAST(round(ln(ni) * 1e6) AS BIGINT)
+              - CAST(round(ln(n) * 1e6) AS BIGINT))) AS BIGINT)
+              AS h_micro_sum
+          FROM w GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n_from) AS BIGINT) AS n,
+                CAST(SUM(h_micro_sum) AS BIGINT) AS h FROM per)
+        SELECT from_type, n_from, h_micro_sum,
+          CAST(NULL AS DOUBLE) AS entropy_rate FROM per
+        UNION ALL
+        SELECT NULL, (SELECT n FROM tot), (SELECT h FROM tot),
+          CAST((SELECT h FROM tot) AS DOUBLE)
+            / ((SELECT n FROM tot) * 1000000.0)
+        ORDER BY from_type NULLS LAST""")),
+
     // ----- SQL API surface ---------------------------------------------------
 
     // The spark.sql face of the engine: the same ANSI text runs on both

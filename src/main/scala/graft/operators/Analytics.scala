@@ -199,6 +199,48 @@ object Analytics {
         sum(col("credit_micro")).as("attributed_micro"))
   }
 
+  /** Seasonality profile of an event stream: per (day-of-week,
+    * hour-of-day) cell, the event count, the number of calendar days of
+    * that weekday in the corpus span (absent cells are genuine zeros —
+    * generated from the calendar, not the data), the exact half-up
+    * micro mean events/day, and the deviation from the global
+    * events/hour grand mean — the 7×24 heat-map behind "when does this
+    * system actually run".
+    *
+    * Exactness: means use the [[TextOps.ratioMicro]] integer identity
+    * over exact counts; the deviation is a difference of two such
+    * integers. One shuffle to the 7×24 cell grid; the calendar spine is
+    * one 1-row bounds aggregate exploded driver-free.
+    */
+  def seasonalityProfile(events: DataFrame, tsCol: String): DataFrame = {
+    val ev = events.filter(col(tsCol).isNotNull)
+    val bounds = ev.agg(min(col(tsCol).cast("date")).as("lo"),
+      max(col(tsCol).cast("date")).as("hi"), count(lit(1)).as("n"))
+    val dates = graft.CacheScope.register(
+      bounds.select(col("n"),
+        explode(sequence(col("lo"), col("hi"))).as("d")))
+    val dd = dates.groupBy(dayofweek(col("d")).cast("long").as("dow"))
+      .agg(count(lit(1)).as("n_days"))
+    val nh = dates.agg((count(lit(1)) * 24L).as("n_hours"),
+      max(col("n")).as("n"))
+    val cnt = ev.groupBy(
+        dayofweek(col(tsCol).cast("date")).cast("long").as("dow"),
+        hour(col(tsCol)).cast("long").as("hod"))
+      .agg(count(lit(1)).as("n_events"))
+    val hods = bounds.select(explode(sequence(lit(0L), lit(23L))).as("hod"))
+    val mean = TextOps.ratioMicro(col("n_events"), col("n_days"))
+    val grand = TextOps.ratioMicro(col("n"), col("n_hours"))
+    dd.crossJoin(broadcast(hods))
+      .join(cnt, Seq("dow", "hod"), "left")
+      .crossJoin(broadcast(nh))
+      .select(col("dow"), col("hod"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"), col("n_days"),
+        col("n"), col("n_hours"))
+      .select(col("dow"), col("hod"), col("n_events"), col("n_days"),
+        mean.as("mean_micro"), grand.as("grand_mean_micro"),
+        (mean - grand).as("deviation_micro"))
+  }
+
   /** Market-basket co-occurrence with association-rule statistics: pairs
     * of items appearing in the same basket, with support, directed
     * confidence, and lift — the query behind "customers who bought X

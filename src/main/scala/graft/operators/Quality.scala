@@ -897,6 +897,72 @@ object Quality {
           .as("cramers_v"))
   }
 
+  /** Two-sample Kolmogorov-Smirnov statistic over an integer score —
+    * the distribution-shift audit between two corpus slices (does the
+    * quality-score distribution of English docs differ from the rest?):
+    * D = max_v |F₁(v) − F₂(v)|, computed EXACTLY as the integer
+    *   d_num = max_v |K₁(v)·n₂ − K₂(v)·n₁|
+    * over the merged DISTINCT-score grid (denominator n₁·n₂), with
+    * `at_value` the smallest score attaining the max — no floating
+    * point before the one final division.
+    *
+    * Scale shape: one shuffle to the score grid, one grid window, two
+    * 1-row aggregates broadcast back. Exactness window: K·n products
+    * stay in BIGINT for samples ≤ ~3·10⁹ rows each. Output: ONE row.
+    */
+  def ksTest(df: DataFrame, sampleCol: Column, valueCol: Column): DataFrame = {
+    val grid = df.filter(valueCol.isNotNull && sampleCol.isNotNull)
+      .groupBy(valueCol.cast("long").as("v"))
+      .agg(sum(when(sampleCol, 1L).otherwise(0L)).as("c1"),
+        sum(when(sampleCol, 0L).otherwise(1L)).as("c2"))
+    val tot = grid.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dev = graft.CacheScope.register(
+      grid.select(col("v"), sum("c1").over(w).as("k1"),
+          sum("c2").over(w).as("k2"))
+        .crossJoin(broadcast(tot))
+        .select(col("v"), col("n1"), col("n2"),
+          abs(col("k1") * col("n2") - col("k2") * col("n1")).as("dev")))
+    val mx = dev.agg(max(col("dev")).as("d_num"))
+    dev.join(broadcast(mx), col("dev") === col("d_num"))
+      .agg(max("n1").as("n1"), max("n2").as("n2"),
+        max("dev").as("d_num"), min("v").as("at_value"))
+      .select(col("n1"), col("n2"), col("d_num"),
+        (col("d_num").cast("double") /
+          (col("n1").cast("double") * col("n2"))).as("d"),
+        col("at_value"))
+  }
+
+  /** Conditional entropy rate H(next | current) of a first-order
+    * transition process, from a (from, to, n) count relation — "how
+    * predictable is the next event given the current one": H = 0 means
+    * deterministic flows, H = ln(k) means uniform chaos. The scalar
+    * summary of q127's full transition matrix.
+    *
+    * Exactness: the q89/q110 micro-log identity per cell —
+    * n_ij·(lnµ(n_i) − lnµ(n_ij)) — summed as BIGINT; per-state rows
+    * carry exact integers, and ONE total row (state NULL) carries the
+    * final division H = Σ/(N·1e6) in nats.
+    */
+  def entropyRate(counts: DataFrame, fromCol: String,
+      nCol: String): DataFrame = {
+    def lnM(c: Column): Column = round(log(c.cast("double")) * 1e6).cast("long")
+    val withTot = counts.select(col(fromCol).as("state"),
+        col(nCol).cast("long").as("n"))
+      .withColumn("ni", sum("n").over(Window.partitionBy("state")))
+    val per = withTot.groupBy("state")
+      .agg(max("ni").as("n_from"),
+        sum(col("n") * (lnM(col("ni")) - lnM(col("n")))).as("h_micro_sum"))
+    val tot = per.agg(sum("n_from").as("n"), sum("h_micro_sum").as("h"))
+    per.select(col("state"), col("n_from"), col("h_micro_sum"),
+        lit(null).cast("double").as("entropy_rate"))
+      .unionByName(tot.select(lit(null).cast("string").as("state"),
+        col("n").as("n_from"), col("h").as("h_micro_sum"),
+        (col("h").cast("double") / (col("n") * lit(1000000.0)))
+          .as("entropy_rate")))
+  }
+
   /** Isotonic (PAV) calibration over a binned score→rate table — the
     * nonparametric alternative to [[logisticCalibrator]]: given per-bin
     * (positives k, totals n) ordered by bin, the least-squares MONOTONE

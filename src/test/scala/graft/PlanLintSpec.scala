@@ -47,7 +47,9 @@ class PlanLintSpec extends SparkSpec {
     "q175_isotonic_calibration" -> "non-equi range joins over the broadcast ≤10-row bin grid (minimax closed form)",
     "q177_rfm_segments" -> "broadcast 1-row max-date aggregate (recency anchor)",
     "q179_kaplan_meier" -> "broadcast 1-row subject-total and max-ts aggregates (at-risk base, censoring horizon)",
-    "q180_chi_square" -> "marginal-grid crossJoin |A|x|B| (contingency cells incl. zero-observed; both sides are class-count aggregates)")
+    "q180_chi_square" -> "marginal-grid crossJoin |A|x|B| (contingency cells incl. zero-observed; both sides are class-count aggregates)",
+    "q182_ks_test" -> "broadcast 1-row (n1, n2) totals and max-deviation aggregates over the score grid",
+    "q183_seasonality_profile" -> "broadcast 24-row hour spine and 1-row totals against the 7-row weekday aggregate")
 
   /** Queries allowed to plan a GLOBAL window (no partition columns, or a
     * constant partition) — each must window over a provably BOUNDED
@@ -70,7 +72,8 @@ class PlanLintSpec extends SparkSpec {
     "q170_skew_gini" -> "rank window over the per-key count grid (dimension cardinality, not corpus size)",
     "q175_isotonic_calibration" -> "cumulative window over the ≤10-row calibration-bin grid",
     "q177_rfm_segments" -> "strictly-below cumulations over distinct-value count grids (recency calendar-bounded, frequency basket-bounded, monetary cent-quantized)",
-    "q179_kaplan_meier" -> "at-risk/survival cumulations over the duration-day grid (calendar-bounded)")
+    "q179_kaplan_meier" -> "at-risk/survival cumulations over the duration-day grid (calendar-bounded)",
+    "q182_ks_test" -> "CDF cumulations over the merged DISTINCT-score count grid (q97's bounded-grid argument)")
 
   test("no query plans a global window over an unbounded relation") {
     import org.apache.spark.sql.execution.SparkPlan

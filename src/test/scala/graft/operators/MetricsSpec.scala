@@ -336,6 +336,81 @@ class MetricsSpec extends SparkSpec {
     assert(one == Seq("en", "en", null, null, "en", "de", "de"))
   }
 
+  test("ksTest: disjoint samples → D = 1, identical samples → D = 0, " +
+      "hand-computed mixed case with smallest argmax score") {
+    import spark.implicits._
+    val disjoint = Seq((true, 1L), (true, 2L), (true, 3L),
+      (false, 4L), (false, 5L), (false, 6L)).toDF("g", "v")
+    val r1 = Quality.ksTest(disjoint, col("g"), col("v")).collect()(0)
+    assert(r1.getAs[Double]("d") == 1.0)
+    assert(r1.getAs[Long]("at_value") == 3L)
+
+    val same = Seq((true, 1L), (true, 2L), (false, 1L), (false, 2L))
+      .toDF("g", "v")
+    val r2 = Quality.ksTest(same, col("g"), col("v")).collect()(0)
+    assert(r2.getAs[Long]("d_num") == 0L)
+    assert(r2.getAs[Long]("at_value") == 1L) // ties → smallest score
+
+    // s1 = {1,3}, s2 = {2,3}: max dev at v=1 (|1·2 − 0·2| = 2), D = 1/2
+    val mixed = Seq((true, 1L), (true, 3L), (false, 2L), (false, 3L))
+      .toDF("g", "v")
+    val r3 = Quality.ksTest(mixed, col("g"), col("v")).collect()(0)
+    assert(r3.getAs[Long]("d_num") == 2L)
+    assert(r3.getAs[Double]("d") == 0.5)
+    assert(r3.getAs[Long]("at_value") == 1L)
+  }
+
+  test("seasonalityProfile: full 7x24 calendar spine with genuine zero " +
+      "cells, exact micro means, weekday day-counting over the span") {
+    import spark.implicits._
+    // span 2024-01-01 (Mon) .. 2024-01-08 (Mon): Mondays appear twice,
+    // every other weekday once; 3 events Monday@10, 1 event Tuesday@5
+    val ev = Seq(
+      "2024-01-01 10:15:00", "2024-01-01 10:45:00", "2024-01-08 10:30:00",
+      "2024-01-02 05:00:00"
+    ).map(ts).toDF("ts")
+    val out = Analytics.seasonalityProfile(ev, "ts").collect()
+      .map(r => (r.getAs[Long]("dow"), r.getAs[Long]("hod")) -> r).toMap
+    assert(out.size == 7 * 24)
+    // Spark dayofweek: Monday = 2, Tuesday = 3
+    val mon10 = out((2L, 10L))
+    assert(mon10.getAs[Long]("n_events") == 3L)
+    assert(mon10.getAs[Long]("n_days") == 2L)
+    assert(mon10.getAs[Long]("mean_micro") == 1500000L)
+    // grand mean: 4 events / (8 days · 24 h) = floor((8e6+192)/384)
+    assert(mon10.getAs[Long]("grand_mean_micro") == (4L * 2000000L + 192L) / 384L)
+    val tue5 = out((3L, 5L))
+    assert(tue5.getAs[Long]("n_events") == 1L && tue5.getAs[Long]("n_days") == 1L)
+    assert(tue5.getAs[Long]("mean_micro") == 1000000L)
+    // an untouched cell is a genuine zero with a negative deviation
+    val mon0 = out((2L, 0L))
+    assert(mon0.getAs[Long]("n_events") == 0L)
+    assert(mon0.getAs[Long]("mean_micro") == 0L)
+    assert(mon0.getAs[Long]("deviation_micro") ==
+      -mon0.getAs[Long]("grand_mean_micro"))
+  }
+
+  test("entropyRate: 0 for a deterministic process; hand micro-log value " +
+      "for a skewed row; total row carries the division") {
+    import spark.implicits._
+    def lnM(x: Long): Long = math.round(math.log(x.toDouble) * 1e6)
+    val det = Seq(("A", "B", 5L), ("B", "A", 5L)).toDF("f", "t2", "n")
+    val rows = Quality.entropyRate(det, "f", "n")
+      .orderBy(col("state").asc_nulls_last).collect()
+    assert(rows.map(_.getAs[Long]("h_micro_sum")).toSeq == Seq(0L, 0L, 0L))
+    assert(rows.last.getAs[Double]("entropy_rate") == 0.0)
+
+    // A → {A×2, B×1}: h = 2(lnµ3 − lnµ2) + (lnµ3 − lnµ1)
+    val skew = Seq(("A", "A", 2L), ("A", "B", 1L)).toDF("f", "t2", "n")
+    val out = Quality.entropyRate(skew, "f", "n")
+      .orderBy(col("state").asc_nulls_last).collect()
+    val expected = 2L * (lnM(3) - lnM(2)) + (lnM(3) - lnM(1))
+    assert(out(0).getAs[Long]("h_micro_sum") == expected)
+    assert(out(1).getAs[Long]("n_from") == 3L)
+    assert(out(1).getAs[Double]("entropy_rate") ==
+      expected.toDouble / (3L * 1000000.0))
+  }
+
   test("mmrRerank: diversification at low λ — the exact duplicate of the " +
       "first pick is deferred behind the orthogonal candidate; greedy " +
       "invariant recomputes from the output") {
