@@ -5400,6 +5400,103 @@ object SparkEntry {
             / ((SELECT n FROM tot) * 1000000.0)
         ORDER BY from_type NULLS LAST""")),
 
+    // HITS hubs & authorities on the customer→part purchase graph —
+    // integer fixed point (1e9 grid, truncating renormalization; the
+    // pageRank contract), 2 unrolled rounds in the oracle.
+    "q185_hits" -> Q(
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+        val edges = o.join(li, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
+        Graphs.hits(edges, "src", "dst", iters = 2)
+          .orderBy("side", "id")
+      },
+      Some {
+        def half(src: String, dst: String, score: String, prev: String,
+            cur: String): String =
+          s"""${cur}r AS (SELECT e.$dst AS id, SUM(p.$score) AS v
+              FROM e JOIN $prev p ON p.id = e.$src GROUP BY 1),
+            ${cur}t AS (SELECT SUM(v) AS t FROM ${cur}r),
+            $cur AS MATERIALIZED (SELECT id,
+              (v * 1000000000) // (SELECT t FROM ${cur}t) AS v FROM ${cur}r)"""
+        s"""WITH e AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS src,
+              l.l_partkey AS dst
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_custkey IS NOT NULL AND l.l_partkey IS NOT NULL),
+          nh AS (SELECT COUNT(DISTINCT src) AS n FROM e),
+          h0 AS MATERIALIZED (SELECT DISTINCT src AS id,
+            1000000000 // (SELECT n FROM nh) AS v FROM e),
+          ${half("src", "dst", "v", "h0", "a1")},
+          ${half("dst", "src", "v", "a1", "h1")},
+          ${half("src", "dst", "v", "h1", "a2")},
+          ${half("dst", "src", "v", "a2", "h2")}
+          SELECT id, side, score_scaled FROM (
+            SELECT id, 'hub' AS side, CAST(v AS BIGINT) AS score_scaled
+            FROM h2
+            UNION ALL
+            SELECT id, 'authority', CAST(v AS BIGINT) FROM a2)
+          ORDER BY side, id"""
+      }),
+
+    // Fano factor (var/mean of hourly counts) per event type on the
+    // shared dense hour grid — the burstiness audit: Poisson ≈ 1,
+    // bursty ≫ 1. Exact cleared-form (n·Q − S²)/(n·S).
+    "q186_fano_burstiness" -> Q(
+      (s, dir) => Temporal.hourlyFano(t(s, dir, "events"),
+          "event_type", "ts")
+        .orderBy("event_type"),
+      Some("""WITH ev AS (SELECT event_type AS k,
+                date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h
+              FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+        counts AS (SELECT k, h, COUNT(*) AS x FROM ev GROUP BY 1, 2),
+        nh AS (SELECT date_diff('hour', MIN(h), MAX(h)) + 1 AS n FROM ev),
+        agg AS (SELECT k, CAST(SUM(x) AS BIGINT) AS s,
+                CAST(SUM(x * x) AS BIGINT) AS q FROM counts GROUP BY 1)
+        SELECT k AS event_type, CAST((SELECT n FROM nh) AS BIGINT) AS n_hours,
+          s, q AS sum_sq,
+          CAST((SELECT n FROM nh) * q - s * s AS DOUBLE)
+            / CAST((SELECT n FROM nh) * s AS DOUBLE) AS fano
+        FROM agg ORDER BY event_type""")),
+
+    // Lead-lag cross-correlation view ↔ purchase at lags −12..12 hours
+    // — the aggregate-level conversion-latency face of q130. q168's
+    // exactness scheme lifted to two series.
+    "q187_lead_lag" -> Q(
+      (s, dir) => Temporal.crossCorrHourly(t(s, dir, "events"), "ts",
+        "event_type", "view", "purchase", 12),
+      Some("""WITH obs AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+                SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cx,
+                SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cy
+              FROM events
+              WHERE ts IS NOT NULL AND event_type IN ('view', 'purchase')
+              GROUP BY 1),
+        bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM obs),
+        grid AS (SELECT g.h, COALESCE(o.cx, 0) AS x, COALESCE(o.cy, 0) AS y
+          FROM (SELECT unnest(generate_series((SELECT lo FROM bounds),
+                  (SELECT hi FROM bounds), INTERVAL 1 HOUR)) AS h) g
+          LEFT JOIN obs o ON o.h = g.h),
+        tot AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy FROM grid),
+        cen AS (SELECT h,
+            (SELECT n FROM tot) * x - (SELECT sx FROM tot) AS ex,
+            (SELECT n FROM tot) * y - (SELECT sy FROM tot) AS ey
+          FROM grid),
+        dens AS (SELECT SUM(ex * ex) AS dx, SUM(ey * ey) AS dy FROM cen),
+        pairs AS (SELECT k.lag, SUM(a.ex * b.ey) AS num, COUNT(*) AS n_pairs
+          FROM (SELECT unnest(range(-12, 13)) AS lag) k
+          CROSS JOIN cen a
+          JOIN cen b ON b.h = a.h + k.lag * INTERVAL 1 HOUR
+          GROUP BY 1)
+        SELECT CAST(lag AS BIGINT) AS lag, CAST(n_pairs AS BIGINT) AS n_pairs,
+          CAST(num AS BIGINT) AS num_scaled,
+          CASE WHEN (SELECT dx FROM dens) <> 0
+               AND (SELECT dy FROM dens) <> 0 THEN
+            CAST(num AS DOUBLE) / sqrt(CAST((SELECT dx FROM dens) AS DOUBLE)
+              * CAST((SELECT dy FROM dens) AS DOUBLE))
+          END AS r
+        FROM pairs ORDER BY lag""")),
+
     // ----- SQL API surface ---------------------------------------------------
 
     // The spark.sql face of the engine: the same ANSI text runs on both

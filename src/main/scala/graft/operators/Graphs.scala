@@ -306,6 +306,58 @@ object Graphs {
       .unionByName(total)
   }
 
+  /** HITS hubs & authorities over a DIRECTED (src → dst) edge list in
+    * integer fixed point — on the customer→part bipartite graph this
+    * ranks "authoritative" items (bought by well-connected buyers) the
+    * way raw purchase counts can't: a part bought by one whale outranks
+    * one bought by the same-count drive-bys.
+    *
+    * Fixed-point scheme (the [[pageRank]] contract): scores live on a
+    * 1e9 integer grid; each half-step sums neighbor scores exactly
+    * (BIGINT) and re-normalizes by TRUNCATING division
+    * `v · scale div Σv` — deterministic in any partitioning and
+    * replayable in SQL (no sqrt/L2 norm, no floats). Magnitude bound:
+    * initial hub mass is `scale div |hubs|` so every round's total ≈
+    * scale, any single raw score ≤ the total, and the `raw · scale`
+    * product stays ≤ scale² = 10¹⁸ < 2⁶³ at ANY graph size. `iters`
+    * full hub→authority→hub rounds; O(E) joins per round, one scalar
+    * total per half-step, lineage cut per round.
+    *
+    * Returns (id, side ∈ {hub, authority}, score_scaled).
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 2, scale: Long = 1000000000L): DataFrame = {
+    val e = graft.CacheScope.register(
+      edges.select(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull)
+        .distinct())
+    val hubs0 = e.select(col("src").as("id")).distinct()
+    val nHubs = hubs0.count()
+    require(nHubs > 0, "hits: no source nodes")
+    var hub = hubs0.withColumn("h", lit(scale / nHubs))
+    var auth: DataFrame = null
+    var it = 0
+    while (it < iters) {
+      val aRaw = e.join(hub.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(sum(col("h")).as("a"))
+      val aTot = aRaw.agg(sum("a")).first().getLong(0)
+      auth = aRaw.select(col("id"),
+          expr(s"(a * ${scale}L) div ${aTot}L").as("a"))
+        .localCheckpoint(true)
+      val hRaw = e.join(auth.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id")).agg(sum(col("a")).as("h"))
+      val hTot = hRaw.agg(sum("h")).first().getLong(0)
+      hub = hRaw.select(col("id"),
+          expr(s"(h * ${scale}L) div ${hTot}L").as("h"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    hub.select(col("id"), lit("hub").as("side"), col("h").as("score_scaled"))
+      .unionByName(auth.select(col("id"), lit("authority").as("side"),
+        col("a").as("score_scaled")))
+  }
+
   /** Exact union-find (path compression + union by min) over a collected
     * edge list; component label = minimum member id, identical to the
     * distributed loop's fixpoint.

@@ -235,6 +235,106 @@ object Temporal {
       .orderBy("lag")
   }
 
+  /** Fano factor (index of dispersion, var/mean) of each key's hourly
+    * count series over the SHARED dense hour grid — the burstiness
+    * audit: Poisson-like arrivals give F ≈ 1, batchy/bursty streams
+    * F ≫ 1, metronomic ones F < 1. The scalar that decides whether a
+    * per-hour capacity plan can assume smooth arrivals.
+    *
+    * Exactness: with n grid hours, per key S = Σx and Q = Σx²,
+    *   fano = (n·Q − S²) / (n·S)
+    * — exact BIGINT-through-DECIMAL numerator/denominator, ONE final
+    * division (population variance / mean, algebraically cleared).
+    * Absent (key, hour) cells are genuine zeros from the shared grid.
+    *
+    * Scale shape: one shuffle to the (key, hour) grid, one |keys|-row
+    * aggregate; the spine is a 1-row bounds aggregate exploded.
+    */
+  def hourlyFano(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val ev = df.filter(col(tsCol).isNotNull && col(keyCol).isNotNull)
+    val hour = date_trunc("hour", col(tsCol)).cast("timestamp_ntz")
+    val counts = ev.groupBy(col(keyCol).as("k"), hour.as("h"))
+      .agg(count(lit(1)).as("x"))
+    val bounds = ev.agg(min(hour).as("lo"), max(hour).as("hi"))
+    val nHours = bounds.select(
+      (expr("timestampdiff(HOUR, lo, hi)") + 1L).cast("long").as("n"))
+    // zero cells enter S as 0 and Q as 0 — only n needs the grid size,
+    // so the dense grid itself never materializes
+    counts.groupBy("k")
+      .agg(sum("x").as("s"),
+        sum((col("x") * col("x")).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("q"))
+      .crossJoin(broadcast(nHours))
+      .select(col("k").as(keyCol), col("n").as("n_hours"),
+        col("s"), col("q").cast("long").as("sum_sq"),
+        ((col("n").cast("decimal(38,0)") * col("q") -
+          (col("s") * col("s")).cast("decimal(38,0)")).cast("double") /
+          (col("n") * col("s")).cast("double")).as("fano"))
+  }
+
+  /** Lead-lag cross-correlation between two event types' hourly count
+    * series at lags −maxLag..maxLag — "do views LEAD purchases, and by
+    * how many hours?": the peak lag is the conversion latency at the
+    * aggregate level (q130 measures it per user; this is the
+    * time-series face).
+    *
+    * Same exactness scheme as [[hourlyAcf]]: shared dense hour grid
+    * (absent hours are zeros), n-scaled integer centering for both
+    * series, DECIMAL numerators per lag, the two centered
+    * sum-of-squares as scalars, and r = num/sqrt(denx·deny) as one
+    * final IEEE sequence. Positive lag = y lags x by k hours.
+    */
+  def crossCorrHourly(df: DataFrame, tsCol: String, typeCol: String,
+      typeX: String, typeY: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 0, s"maxLag must be >= 0: $maxLag")
+    val hour = date_trunc("hour", col(tsCol)).cast("timestamp_ntz")
+    val ev = df.filter(col(tsCol).isNotNull &&
+      col(typeCol).isin(typeX, typeY))
+    val observed = ev.groupBy(hour.as("h"))
+      .agg(sum(when(col(typeCol) === typeX, 1L).otherwise(0L)).as("cx"),
+        sum(when(col(typeCol) === typeY, 1L).otherwise(0L)).as("cy"))
+    val bounds = observed.agg(min("h").as("lo"), max("h").as("hi"))
+    val grid = bounds.select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 HOUR"))).as("h"))
+      .join(observed, Seq("h"), "left")
+      .select(col("h"), coalesce(col("cx"), lit(0L)).as("x"),
+        coalesce(col("cy"), lit(0L)).as("y"))
+    val gridC = graft.CacheScope.register(grid)
+    val tot = gridC.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+      sum("y").as("sy"))
+    val centered = graft.CacheScope.register(
+      gridC.crossJoin(broadcast(tot))
+        .select(col("h"), (col("n") * col("x") - col("sx")).as("ex"),
+          (col("n") * col("y") - col("sy")).as("ey")))
+    val dens = centered.agg(
+      sum((col("ex") * col("ex")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("denx"),
+      sum((col("ey") * col("ey")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("deny"))
+    // one equi-join for all lags: y-side rows fan out to each lag k,
+    // shifted so the lag-k partner of hour t meets it at t
+    val shifted = centered.select(
+        explode(expr(s"sequence(${-maxLag}, $maxLag)")).as("k"),
+        col("h"), col("ey").as("ey2"))
+      .select(col("k").cast("long").as("lag"),
+        (col("h") - expr("make_interval(0, 0, 0, 0, k)")).as("h"),
+        col("ey2"))
+    val pairs = centered.select(col("h"), col("ex"))
+      .join(shifted, "h")
+      .groupBy("lag")
+      .agg(sum((col("ex") * col("ey2")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("num"),
+        count(lit(1)).as("n_pairs"))
+    pairs.crossJoin(broadcast(dens))
+      .select(col("lag"), col("n_pairs"),
+        col("num").cast("long").as("num_scaled"),
+        when(col("denx") =!= 0 && col("deny") =!= 0,
+          col("num").cast("double") /
+            sqrt(col("denx").cast("double") * col("deny").cast("double")))
+          .as("r"))
+      .orderBy("lag")
+  }
+
   /** Kaplan-Meier survival estimator over integer durations with right
     * censoring — time-to-event analytics (signup→conversion, doc
     * ingest→removal): per duration day, the at-risk count, events,

@@ -49,7 +49,9 @@ class PlanLintSpec extends SparkSpec {
     "q179_kaplan_meier" -> "broadcast 1-row subject-total and max-ts aggregates (at-risk base, censoring horizon)",
     "q180_chi_square" -> "marginal-grid crossJoin |A|x|B| (contingency cells incl. zero-observed; both sides are class-count aggregates)",
     "q182_ks_test" -> "broadcast 1-row (n1, n2) totals and max-deviation aggregates over the score grid",
-    "q183_seasonality_profile" -> "broadcast 24-row hour spine and 1-row totals against the 7-row weekday aggregate")
+    "q183_seasonality_profile" -> "broadcast 24-row hour spine and 1-row totals against the 7-row weekday aggregate",
+    "q186_fano_burstiness" -> "broadcast 1-row hour-span aggregate against the |types|-row moment aggregate",
+    "q187_lead_lag" -> "broadcast 1-row (n, Sx, Sy) and denominator aggregates over the hour grid (q168's shape for two series)")
 
   /** Queries allowed to plan a GLOBAL window (no partition columns, or a
     * constant partition) — each must window over a provably BOUNDED

@@ -411,6 +411,71 @@ class MetricsSpec extends SparkSpec {
       expected.toDouble / (3L * 1000000.0))
   }
 
+  test("hits: integer fixed point matches an exact scalar replica of the " +
+      "recursion; the better-connected hub and authority rank higher") {
+    import spark.implicits._
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("s", "d")
+    val out = Graphs.hits(edges, "s", "d", iters = 2)
+      .collect()
+      .map(r => (r.getAs[String]("side"), r.getAs[Long]("id")) ->
+        r.getAs[Long]("score_scaled")).toMap
+    // exact scalar replica of the same truncating integer recursion
+    val scale = 1000000000L
+    val es = Seq((1L, 10L), (1L, 11L), (2L, 10L))
+    var h = Map(1L -> scale / 2, 2L -> scale / 2)
+    var a = Map.empty[Long, Long]
+    for (_ <- 1 to 2) {
+      val aRaw = es.groupBy(_._2).view.mapValues(_.map(e => h(e._1)).sum).toMap
+      val aTot = aRaw.values.sum
+      a = aRaw.view.mapValues(v => v * scale / aTot).toMap
+      val hRaw = es.groupBy(_._1).view.mapValues(_.map(e => a(e._2)).sum).toMap
+      val hTot = hRaw.values.sum
+      h = hRaw.view.mapValues(v => v * scale / hTot).toMap
+    }
+    assert(out(("hub", 1L)) == h(1L) && out(("hub", 2L)) == h(2L))
+    assert(out(("authority", 10L)) == a(10L) && out(("authority", 11L)) == a(11L))
+    assert(out(("hub", 1L)) > out(("hub", 2L)))
+    assert(out(("authority", 10L)) > out(("authority", 11L)))
+  }
+
+  test("hourlyFano: alternating series gives F = 1 for these counts, " +
+      "metronomic series gives F = 0, shared grid supplies the zeros") {
+    import spark.implicits._
+    // span h0..h3 (B pins the bounds); A = [2,0,2,0], B = [1,1,1,1]
+    val ev = Seq(
+      ("A", "2024-01-01 00:10:00"), ("A", "2024-01-01 00:20:00"),
+      ("A", "2024-01-01 02:10:00"), ("A", "2024-01-01 02:20:00"),
+      ("B", "2024-01-01 00:30:00"), ("B", "2024-01-01 01:30:00"),
+      ("B", "2024-01-01 02:30:00"), ("B", "2024-01-01 03:30:00")
+    ).map { case (k, t) => (k, ts(t)) }.toDF("k", "ts")
+    val rows = Temporal.hourlyFano(ev, "k", "ts").orderBy("k").collect()
+    val a = rows(0)
+    assert(a.getAs[Long]("n_hours") == 4L)
+    assert(a.getAs[Long]("s") == 4L && a.getAs[Long]("sum_sq") == 8L)
+    assert(a.getAs[Double]("fano") == (4.0 * 8 - 16) / 16.0) // = 1.0
+    val b = rows(1)
+    assert(b.getAs[Double]("fano") == 0.0)
+  }
+
+  test("crossCorrHourly: a 1-hour lead shows r = -1 at lag 0 and " +
+      "positive correlation at ±1 for an alternating pair") {
+    import spark.implicits._
+    val ev = Seq(
+      ("view", "2024-01-01 00:10:00"), ("purchase", "2024-01-01 01:10:00"),
+      ("view", "2024-01-01 02:10:00"), ("purchase", "2024-01-01 03:10:00")
+    ).map { case (k, t) => (k, ts(t)) }.toDF("event_type", "ts")
+    val out = Temporal.crossCorrHourly(ev, "ts", "event_type",
+        "view", "purchase", 1)
+      .orderBy("lag").collect()
+    assert(out.map(_.getAs[Long]("lag")).toSeq == Seq(-1L, 0L, 1L))
+    // x = [1,0,1,0], y = [0,1,0,1]: ex = [2,-2,2,-2], ey = [-2,2,-2,2]
+    assert(out(1).getAs[Long]("num_scaled") == -16L)
+    assert(out(1).getAs[Double]("r") == -1.0)
+    assert(out(0).getAs[Long]("num_scaled") == 12L)
+    assert(out(2).getAs[Long]("num_scaled") == 12L)
+    assert(out(2).getAs[Double]("r") == 12.0 / 16.0)
+  }
+
   test("mmrRerank: diversification at low λ — the exact duplicate of the " +
       "first pick is deferred behind the orthogonal candidate; greedy " +
       "invariant recomputes from the output") {
