@@ -4698,7 +4698,10 @@ object SparkEntry {
     "q164_pagerank_survivors" -> Q(
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", 3, 64, 16, 0.8)
+        // pairs feed BOTH the CC fixpoint and pageRank — cache, or the
+        // LSH pipeline executes twice
+        val pairs = graft.CacheScope.register(
+          Dedup.minhashNearDups(docs, "doc_id", "text", 3, 64, 16, 0.8))
         val comps = Graphs.connectedComponents(pairs, "id_a", "id_b")
         val ranks = Graphs.pageRank(docs.select(col("doc_id")), "doc_id",
           pairs, "id_a", "id_b", iters = 3)
@@ -4918,7 +4921,10 @@ object SparkEntry {
     "q171_modularity" -> Q(
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", 3, 64, 16, 0.8)
+        // pairs feed BOTH the CC fixpoint and the modularity joins —
+        // cache, or the whole LSH pipeline executes twice
+        val pairs = graft.CacheScope.register(
+          Dedup.minhashNearDups(docs, "doc_id", "text", 3, 64, 16, 0.8))
         val comps = Graphs.connectedComponents(pairs, "id_a", "id_b")
         Graphs.modularity(pairs, "id_a", "id_b", comps, "id", "component")
           .orderBy(col("community").asc_nulls_last)
@@ -5496,6 +5502,117 @@ object SparkEntry {
               * CAST((SELECT dy FROM dens) AS DOUBLE))
           END AS r
         FROM pairs ORDER BY lag""")),
+
+    // Nearest-centroid (Rocchio) classifier confusion matrix over the
+    // labeled embeddings: per-label grid-mean centroids (the kmeans
+    // re-quantization), exact integer-product distances, ties to the
+    // smaller label.
+    "q188_nearest_centroid" -> Q(
+      (s, dir) => Similarity.nearestCentroidConfusion(
+          t(s, dir, "embeddings"), "vec_id", "embedding", "label")
+        .orderBy("label", "predicted"),
+      Some("""WITH q AS (SELECT vec_id, label,
+            list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1e7)) AS qv
+          FROM embeddings WHERE label IS NOT NULL),
+        dims AS (SELECT label, unnest(list_transform(range(0, len(qv)),
+            i -> {'pos': i, 'v': qv[i + 1]})) AS u FROM q),
+        cm AS (SELECT label, u.pos AS pos, round(SUM(u.v) / COUNT(*)) AS gm
+               FROM dims GROUP BY 1, 2),
+        cl AS (SELECT label AS cid, list(gm ORDER BY pos) AS cv
+               FROM cm GROUP BY 1),
+        scored AS (SELECT q.vec_id, q.label, c.cid,
+            list_sum(list_transform(c.cv, x -> x * x))
+              - 2.0 * list_inner_product(q.qv, c.cv) AS d2
+          FROM q CROSS JOIN cl c),
+        pred AS (SELECT vec_id, label, cid FROM (
+            SELECT vec_id, label, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, cid) AS rn
+            FROM scored) WHERE rn = 1)
+        SELECT CAST(label AS BIGINT) AS label, CAST(cid AS BIGINT) AS predicted,
+          COUNT(*) AS n
+        FROM pred GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Near-dup component-size histogram — the dedup shape summary: how
+    // many pair-clusters vs giant template families. Composes the gated
+    // CC fixpoint; output is (size, n_components).
+    "q189_component_sizes" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", 3, 64, 16, 0.8)
+        Graphs.connectedComponents(pairs, "id_a", "id_b")
+          .groupBy("component").agg(count(lit(1)).as("size"))
+          .groupBy("size").agg(count(lit(1)).as("n_components"))
+          .orderBy("size")
+      },
+      Some(s"""WITH RECURSIVE ${nearDupEdgesCte(0.8)},
+        walk(id, lbl) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.id = e.dst),
+        comp AS (SELECT id, MIN(lbl) AS component FROM walk GROUP BY id),
+        csizes AS (SELECT component, COUNT(*) AS size FROM comp GROUP BY 1)
+        SELECT CAST(size AS BIGINT) AS size, COUNT(*) AS n_components
+        FROM csizes GROUP BY 1 ORDER BY 1""")),
+
+    // Degree distribution of the near-dup graph with a power-law slope
+    // fitted on the micro-log grid over the HISTOGRAM rows (q138's
+    // Zipf machinery): histogram rows + one total row (degree NULL)
+    // carrying the OLS slope of ln(n_nodes) on ln(degree).
+    "q190_degree_powerlaw" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", 3, 64, 16, 0.8)
+        val deg = pairs
+          .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+          .groupBy("id").agg(count(lit(1)).as("degree"))
+        val hist = graft.CacheScope.register(
+          deg.groupBy("degree").agg(count(lit(1)).as("n_nodes")))
+        def lnM(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          round(log(c.cast("double")) * 1e6).cast("long")
+        val fit = hist
+          .select(lnM(col("degree")).as("x"), lnM(col("n_nodes")).as("y"),
+            col("n_nodes"))
+          .agg(count(lit(1)).as("np"), sum(col("n_nodes")).as("tot"),
+            sum(col("x").cast("decimal(38,0)")).cast("decimal(38,0)").as("sx"),
+            sum(col("y").cast("decimal(38,0)")).cast("decimal(38,0)").as("sy"),
+            sum((col("x") * col("x")).cast("decimal(38,0)"))
+              .cast("decimal(38,0)").as("sxx"),
+            sum((col("x") * col("y")).cast("decimal(38,0)"))
+              .cast("decimal(38,0)").as("sxy"))
+          .select(lit(null).cast("long").as("degree"), col("tot").as("n_nodes"),
+            when(col("np") >= 2 &&
+              (col("np") * col("sxx") - col("sx") * col("sx")) =!= 0,
+              (col("np") * col("sxy") - col("sx") * col("sy")).cast("double") /
+                (col("np") * col("sxx") - col("sx") * col("sx")).cast("double"))
+              .as("slope"))
+        hist.select(col("degree"), col("n_nodes"),
+            lit(null).cast("double").as("slope"))
+          .unionByName(fit)
+          .orderBy(col("degree").asc_nulls_last)
+      },
+      Some(s"""WITH ${nearDupEdgesCte(0.8)},
+        deg AS (SELECT id, COUNT(*) AS degree FROM (
+            SELECT id_a AS id FROM prs UNION ALL SELECT id_b FROM prs)
+          GROUP BY 1),
+        hist AS (SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY 1),
+        pts AS (SELECT CAST(round(ln(degree) * 1e6) AS BIGINT) AS x,
+                CAST(round(ln(n_nodes) * 1e6) AS BIGINT) AS y, n_nodes
+                FROM hist),
+        fit AS (SELECT COUNT(*) AS np, SUM(n_nodes) AS tot,
+                SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx,
+                SUM(x * y) AS sxy FROM pts)
+        SELECT CAST(degree AS BIGINT) AS degree,
+          CAST(n_nodes AS BIGINT) AS n_nodes, CAST(NULL AS DOUBLE) AS slope
+        FROM hist
+        UNION ALL
+        SELECT NULL, CAST(tot AS BIGINT),
+          CASE WHEN np >= 2 AND np * sxx - sx * sx <> 0 THEN
+            CAST(np * sxy - sx * sy AS DOUBLE)
+              / CAST(np * sxx - sx * sx AS DOUBLE)
+          END
+        FROM fit
+        ORDER BY degree NULLS LAST""")),
 
     // ----- SQL API surface ---------------------------------------------------
 

@@ -339,18 +339,21 @@ object Graphs {
     var auth: DataFrame = null
     var it = 0
     while (it < iters) {
+      // checkpoint the RAW sums before the total scalar: the total and
+      // the normalization both read them, and without the cut the edge
+      // join would execute twice per half-step
       val aRaw = e.join(hub.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(sum(col("h")).as("a"))
+        .localCheckpoint(true)
       val aTot = aRaw.agg(sum("a")).first().getLong(0)
       auth = aRaw.select(col("id"),
-          expr(s"(a * ${scale}L) div ${aTot}L").as("a"))
-        .localCheckpoint(true)
+        expr(s"(a * ${scale}L) div ${aTot}L").as("a"))
       val hRaw = e.join(auth.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(sum(col("a")).as("h"))
+        .localCheckpoint(true)
       val hTot = hRaw.agg(sum("h")).first().getLong(0)
       hub = hRaw.select(col("id"),
-          expr(s"(h * ${scale}L) div ${hTot}L").as("h"))
-        .localCheckpoint(true)
+        expr(s"(h * ${scale}L) div ${hTot}L").as("h"))
       it += 1
     }
     hub.select(col("id"), lit("hub").as("side"), col("h").as("score_scaled"))

@@ -490,6 +490,40 @@ object Similarity {
         lit(cid).as("cid"))
     }.toIndexedSeq: _*)
 
+  /** Nearest-centroid (Rocchio) classification with confusion matrix —
+    * the cheapest embedding-space classifier and the standard probe for
+    * "are these labels linearly clusterable": train = per-label grid-mean
+    * centroid, predict = nearest centroid, output = (label, predicted,
+    * n) confusion cells.
+    *
+    * Exactness: centroids are RE-QUANTIZED grid means
+    * (round(sum/n) — [[lloydIterate]]'s argument), so every distance is
+    * again a sum of sub-2^53 integer products; ties break to the
+    * smaller label via the (d2, cid) struct min. Only the
+    * |labels|×dims grid means visit the driver (codegen literals).
+    * One assignment scan + one |labels|²-bounded aggregate.
+    */
+  def nearestCentroidConfusion(embs: DataFrame, idCol: String,
+      vecCol: String, labelCol: String): DataFrame = {
+    val base = graft.CacheScope.register(
+      graft.Parallelism.fanOut(
+        embs.filter(col(labelCol).isNotNull)
+          .select(col(labelCol).cast("long").as("lbl"), col(vecCol)))
+        .select(col("lbl"), quantized(col(vecCol)).as("__qv")))
+    val cents: Seq[(Long, Array[Double])] = base
+      .select(col("lbl"), posexplode(col("__qv")).as(Seq("pos", "v")))
+      .groupBy("lbl", "pos")
+      .agg(round(sum(col("v")) / count(lit(1))).as("gm"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (l, rows) => (l, rows.sortBy(_._2).map(_._3).toArray) }
+    val scores = centroidScores(cents) _
+    base
+      .withColumn("predicted", array_min(scores(col("__qv"))).getField("cid"))
+      .groupBy(col("lbl").as("label"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   def lloydStep(embs: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
     val scores = centroidScores(seedCentroids(embs, idCol, vecCol, k)) _

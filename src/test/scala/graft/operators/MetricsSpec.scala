@@ -476,6 +476,27 @@ class MetricsSpec extends SparkSpec {
     assert(out(2).getAs[Double]("r") == 12.0 / 16.0)
   }
 
+  test("nearestCentroidConfusion: clean clusters give a diagonal matrix, " +
+      "a point in the wrong cluster lands in the off-diagonal cell") {
+    import spark.implicits._
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.1f), 0),
+      (2L, Array(0.0f, 1.0f), 1),
+      (3L, Array(0.1f, 1.0f), 1),
+      (4L, Array(0.0f, 0.9f), 0) // labeled 0 but sits in cluster 1
+    ).toDF("vec_id", "embedding", "label")
+    val cells = Similarity.nearestCentroidConfusion(embs, "vec_id",
+        "embedding", "label")
+      .collect()
+      .map(r => (r.getAs[Long]("label"), r.getAs[Long]("predicted")) ->
+        r.getAs[Long]("n")).toMap
+    assert(cells((0L, 0L)) == 2L)
+    assert(cells((1L, 1L)) == 2L)
+    assert(cells((0L, 1L)) == 1L)
+    assert(!cells.contains((1L, 0L)))
+  }
+
   test("mmrRerank: diversification at low λ — the exact duplicate of the " +
       "first pick is deferred behind the orthogonal candidate; greedy " +
       "invariant recomputes from the output") {
