@@ -5614,6 +5614,105 @@ object SparkEntry {
         FROM fit
         ORDER BY degree NULLS LAST""")),
 
+    // Degree assortativity of the near-dup graph — do high-degree docs
+    // link to high-degree docs (template families, r > 0) or to leaves
+    // (hub-and-spoke boilerplate, r < 0)? Pearson over the symmetrized
+    // edge endpoint degrees, exact DECIMAL moments, one final IEEE
+    // chain.
+    "q191_assortativity" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = graft.CacheScope.register(
+          Dedup.minhashNearDups(docs, "doc_id", "text", 3, 64, 16, 0.8))
+        val deg = pairs
+          .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+          .groupBy("id").agg(count(lit(1)).as("d"))
+        val pts = pairs
+          .join(deg.select(col("id").as("id_a"), col("d").as("da")), "id_a")
+          .join(deg.select(col("id").as("id_b"), col("d").as("db")), "id_b")
+          .select(explode(array(
+            struct(col("da").as("x"), col("db").as("y")),
+            struct(col("db").as("x"), col("da").as("y")))).as("p"))
+          .select(col("p.x").as("x"), col("p.y").as("y"))
+        def dsum(c: org.apache.spark.sql.Column) =
+          sum(c.cast("decimal(38,0)")).cast("decimal(38,0)")
+        pts.agg(count(lit(1)).as("n_points"),
+            dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+            dsum(col("x") * col("x")).as("sxx"),
+            dsum(col("y") * col("y")).as("syy"),
+            dsum(col("x") * col("y")).as("sxy"))
+          .select(col("n_points"),
+            col("sx").cast("long").as("sx"), col("sxy").cast("long").as("sxy"),
+            col("sxx").cast("long").as("sxx"),
+            when((col("n_points") * col("sxx") - col("sx") * col("sy")) =!= 0,
+              (col("n_points") * col("sxy") - col("sx") * col("sy"))
+                .cast("double") /
+                sqrt((col("n_points") * col("sxx") - col("sx") * col("sx"))
+                  .cast("double") *
+                  (col("n_points") * col("syy") - col("sy") * col("sy"))
+                    .cast("double"))).as("assortativity"))
+      },
+      Some(s"""WITH ${nearDupEdgesCte(0.8)},
+        deg AS (SELECT id, COUNT(*) AS d FROM (
+            SELECT id_a AS id FROM prs UNION ALL SELECT id_b FROM prs)
+          GROUP BY 1),
+        pts AS (SELECT da.d AS x, db.d AS y FROM prs
+            JOIN deg da ON da.id = prs.id_a JOIN deg db ON db.id = prs.id_b
+          UNION ALL
+          SELECT db.d, da.d FROM prs
+            JOIN deg da ON da.id = prs.id_a JOIN deg db ON db.id = prs.id_b),
+        agg AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+                FROM pts)
+        SELECT CAST(n AS BIGINT) AS n_points, CAST(sx AS BIGINT) AS sx,
+          CAST(sxy AS BIGINT) AS sxy, CAST(sxx AS BIGINT) AS sxx,
+          CASE WHEN n * sxx - sx * sy <> 0 THEN
+            CAST(n * sxy - sx * sy AS DOUBLE)
+              / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE))
+          END AS assortativity
+        FROM agg""")),
+
+    // Source concentration (Lorenz) curve: sources ranked by token mass
+    // with exact cumulative tokens and share — "90% of the corpus is 3
+    // domains" in one relation. Windows over the |sources| grid only.
+    "q192_source_concentration" -> Q(
+      (s, dir) => {
+        val perSource = t(s, dir, "documents")
+          .select(col("source"),
+            size(graft.functions.TextFns.tokens(col("text"))).cast("long")
+              .as("tk"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("tk").as("n_tokens"))
+        val w = Window.orderBy(col("n_tokens").desc, col("source"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = perSource.agg(sum("n_tokens").as("t"))
+        perSource.crossJoin(broadcast(tot))
+          .select(
+            row_number().over(Window.orderBy(col("n_tokens").desc,
+              col("source"))).cast("long").as("rank"),
+            col("source"), col("n_docs"), col("n_tokens"),
+            sum("n_tokens").over(w).as("cum_tokens"),
+            (sum("n_tokens").over(w).cast("double") / col("t").cast("double"))
+              .as("cum_share"))
+          .orderBy("rank")
+      },
+      Some("""WITH ps AS (SELECT source, COUNT(*) AS n_docs,
+              CAST(SUM(len(string_split_regex(lower(trim(text)), '\s+'))) AS BIGINT)
+                AS n_tokens
+            FROM documents GROUP BY 1),
+        tot AS (SELECT SUM(n_tokens) AS t FROM ps)
+        SELECT CAST(row_number() OVER (ORDER BY n_tokens DESC, source) AS BIGINT)
+            AS rank,
+          source, n_docs, n_tokens,
+          CAST(SUM(n_tokens) OVER (ORDER BY n_tokens DESC, source
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum_tokens,
+          CAST(SUM(n_tokens) OVER (ORDER BY n_tokens DESC, source
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+            / CAST((SELECT t FROM tot) AS DOUBLE) AS cum_share
+        FROM ps ORDER BY rank""")),
+
     // ----- SQL API surface ---------------------------------------------------
 
     // The spark.sql face of the engine: the same ANSI text runs on both

@@ -257,4 +257,35 @@ class DedupSpec extends SparkSpec {
     graft.CacheScope.releaseAll()
     assert(crossArray == crossPostings)
   }
+
+  test("minhash ESTIMATOR calibration: matching-slot fraction tracks the " +
+      "exact Jaccard on real pairs (per-pair band, unbiased-ish mean)") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val k = 64
+    val arr = graft.CacheScope.register(
+      Dedup.shingleArrays(docs, "doc_id", "text", 3))
+    val sigs = Dedup.minhashSignaturesArr(arr, k)
+      .select(col("id"), array((0 until k).map(i => col(s"s$i")): _*).as("sig"))
+    // exact pairs at a low threshold so the estimator is tested across a
+    // RANGE of true similarities, not only near-1 dups
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.4)
+    val est = pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sa")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sb")), "id_b")
+      .select(col("jaccard"),
+        (aggregate(zip_with(col("sa"), col("sb"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)
+          .cast("double") / k).as("est"))
+      .collect()
+    graft.CacheScope.releaseAll()
+    assert(est.nonEmpty)
+    val errs = est.map(r => r.getDouble(1) - r.getDouble(0))
+    // per-pair: a 64-hash MinHash estimate has sd ≤ 1/16 at J=0.5;
+    // 4 sd ≈ 0.25 is a safe deterministic band for this fixed corpus
+    assert(errs.forall(e => math.abs(e) <= 0.25),
+      s"worst error ${errs.map(math.abs).max}")
+    val mean = errs.sum / errs.length
+    assert(math.abs(mean) <= 0.06, s"mean error $mean")
+  }
 }

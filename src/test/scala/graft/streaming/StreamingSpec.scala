@@ -132,6 +132,39 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Map(1L -> 1.0, 2L -> 2.0)) // first wins, replay dropped
   }
 
+  test("StreamEwma: exact integer recursion continues across batches, " +
+      "batch order is (ts, tie)-deterministic, state is one long per key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // rows: (key, eventTimeMillis, tie, vMicro)
+    val mem = MemoryStream[(String, Long, Long, Long)]
+    val q = StreamEwma.smooth(mem.toDS())
+      .toDF("key", "t", "v_micro", "ewma_micro")
+      .writeStream.format("memory").queryName("sewma")
+      .outputMode("append").start()
+    // batch 1 arrives out of order — absorbed ascending (t, tie):
+    // 1000000 → (1000000+3000000)/2 = 2000000
+    mem.addData(("a", 1L, 1L, 1000000L), ("a", 2L, 1L, 3000000L))
+    q.processAllAvailable()
+    // batch 2 continues the SAME recursion from checkpointed state:
+    // (2000000+5000001)/2 = 3500000 (truncating)
+    mem.addData(("a", 3L, 1L, 5000001L), ("b", 1L, 1L, 7L))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sewma").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(out == Map(("a", 1L) -> 1000000L, ("a", 2L) -> 2000000L,
+      ("a", 3L) -> 3500000L, ("b", 1L) -> 7L))
+
+    // batch-mode call: same recursion, fresh state, tie order decides
+    val batch = Seq(("k", 5L, 2L, 100L), ("k", 5L, 1L, 300L))
+      .toDS()
+    val bout = StreamEwma.smooth(batch).collect()
+      .map(r => (r._2, r._3) -> r._4).toMap
+    // tie 1 first: s = 300; then v = 100: (300+100)/2 = 200
+    assert(bout == Map((5L, 300L) -> 300L, (5L, 100L) -> 200L))
+  }
+
   test("incrementalDedupStream: stream-static anti-join vs corpus, then " +
       "bounded-state within-stream dedup") {
     import spark.implicits._
