@@ -194,11 +194,15 @@ object Dedup {
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val confirmed = if (prefixFilter) {
       val dfs = sh.groupBy("sh").agg(count(lit(1)).as("__df"))
-      val prefix = sh.join(dfs, "sh").join(sizes, "id")
-        .withColumn("__rnk", row_number().over(
-          Window.partitionBy("id").orderBy(col("__df"), col("sh"))))
-        .filter(col("__rnk") <= col("sz") - ceil(lit(minJac) * col("sz")) + 1)
-        .select("id", "sh")
+      // cached: the candidate self-join references the prefix relation on
+      // BOTH sides — uncached, the df join + ranking window run twice
+      // (measured as the bulk of q156's cost)
+      val prefix = graft.CacheScope.register(
+        sh.join(dfs, "sh").join(sizes, "id")
+          .withColumn("__rnk", row_number().over(
+            Window.partitionBy("id").orderBy(col("__df"), col("sh"))))
+          .filter(col("__rnk") <= col("sz") - ceil(lit(minJac) * col("sz")) + 1)
+          .select("id", "sh"))
       val cands = prefix.as("a").join(prefix.as("b"),
           col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
