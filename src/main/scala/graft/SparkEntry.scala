@@ -5327,9 +5327,10 @@ object SparkEntry {
         SELECT CAST((SELECT n1 FROM tot) AS BIGINT) AS n1,
           CAST((SELECT n2 FROM tot) AS BIGINT) AS n2,
           CAST((SELECT d_num FROM mx) AS BIGINT) AS d_num,
-          CAST((SELECT d_num FROM mx) AS DOUBLE)
-            / (CAST((SELECT n1 FROM tot) AS DOUBLE) * (SELECT n2 FROM tot))
-            AS d,
+          CASE WHEN (SELECT n1 FROM tot) > 0 AND (SELECT n2 FROM tot) > 0 THEN
+            CAST((SELECT d_num FROM mx) AS DOUBLE)
+              / (CAST((SELECT n1 FROM tot) AS DOUBLE) * (SELECT n2 FROM tot))
+          END AS d,
           CAST(MIN(v) AS BIGINT) AS at_value
         FROM dev WHERE dev = (SELECT d_num FROM mx)""")),
 
@@ -5712,6 +5713,106 @@ object SparkEntry {
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
             / CAST((SELECT t FROM tot) AS DOUBLE) AS cum_share
         FROM ps ORDER BY rank""")),
+
+    // Media dedup CLUSTERS: q136's pHash near-dup pairs → connected
+    // components → per-cluster size + min-id survivor — the multimodal
+    // face of q55's text clustering (payloads never shuffle; only
+    // 16-byte signatures and the pair relation move).
+    "q193_phash_clusters" -> Q(
+      (s, dir) => {
+        val pairs = Multimodal.phashNearDup(
+          Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text"), 7)
+        Graphs.connectedComponents(pairs, "doc_a", "doc_b")
+          .groupBy("component")
+          .agg(count(lit(1)).as("n_members"), min(col("id")).as("survivor"))
+          .orderBy("component")
+      },
+      Some("""WITH RECURSIVE hx AS (SELECT doc_id, hex(encode(text)) AS h,
+              octet_length(encode(text)) AS n FROM documents),
+        cells AS (SELECT doc_id, list_transform(range(64), j ->
+            16 * (strpos('0123456789ABCDEF',
+                         substring(h, 2*(1 + (j*n)//64) - 1, 1)) - 1)
+               + (strpos('0123456789ABCDEF',
+                         substring(h, 2*(1 + (j*n)//64), 1)) - 1)) AS cells
+          FROM hx),
+        tot AS (SELECT doc_id, cells, list_aggregate(cells, 'sum') AS total
+          FROM cells),
+        bands AS (SELECT doc_id, list_transform(range(8), b ->
+            list_aggregate(list_transform(range(8), k ->
+              CASE WHEN cells[8*b + k + 1] * 64 > total
+                   THEN (1 << k) ELSE 0 END), 'sum')) AS bands
+          FROM tot),
+        prs2 AS MATERIALIZED (SELECT doc_a, doc_b FROM (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            CAST(bit_count(xor(a.bands[1]::BIGINT, b.bands[1]::BIGINT))
+               + bit_count(xor(a.bands[2]::BIGINT, b.bands[2]::BIGINT))
+               + bit_count(xor(a.bands[3]::BIGINT, b.bands[3]::BIGINT))
+               + bit_count(xor(a.bands[4]::BIGINT, b.bands[4]::BIGINT))
+               + bit_count(xor(a.bands[5]::BIGINT, b.bands[5]::BIGINT))
+               + bit_count(xor(a.bands[6]::BIGINT, b.bands[6]::BIGINT))
+               + bit_count(xor(a.bands[7]::BIGINT, b.bands[7]::BIGINT))
+               + bit_count(xor(a.bands[8]::BIGINT, b.bands[8]::BIGINT))
+              AS INTEGER) AS hamming
+          FROM bands a JOIN bands b ON a.doc_id < b.doc_id)
+          WHERE hamming <= 7),
+        edges2 AS (SELECT doc_a AS src, doc_b AS dst FROM prs2
+                   UNION SELECT doc_b, doc_a FROM prs2),
+        walk(id, lbl) AS (
+          SELECT src, src FROM edges2
+          UNION
+          SELECT e.src, w.lbl FROM edges2 e JOIN walk w ON w.id = e.dst),
+        comp AS (SELECT id, MIN(lbl) AS component FROM walk GROUP BY id)
+        SELECT component, COUNT(*) AS n_members,
+          MIN(id) AS survivor
+        FROM comp GROUP BY 1 ORDER BY 1""")),
+
+    // Joint text+embedding curation gate: a doc survives only if its
+    // heuristic quality clears the bar AND its embedding is not a
+    // centroid-distance outlier — the cross-modal filter rule (bad text
+    // OR off-manifold embedding both disqualify). Composes the two
+    // gated families; inner join = docs with an embedding.
+    "q194_joint_curation_gate" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val emb = t(s, dir, "embeddings")
+        val outliers = Similarity.embeddingOutliers(emb, "vec_id",
+            "embedding", k = 8, maxD2 = 1.9e14)
+          .select(col("id").as("doc_id"), col("is_outlier"))
+        val feats = TextOps.qualityFeatures(docs, "doc_id", "text")
+          .select(col("doc_id"), col("quality_score_micro"))
+        docs.select(col("doc_id")).join(feats, "doc_id")
+          .join(outliers, "doc_id")
+          .select(col("doc_id"),
+            (col("quality_score_micro") >= 500000L).as("pass_quality"),
+            (!col("is_outlier")).as("pass_embedding"),
+            ((col("quality_score_micro") >= 500000L) && !col("is_outlier"))
+              .as("kept"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${qualityMicroSql("doc_id")},
+        q AS (SELECT vec_id,
+            list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1e7)) AS qv
+          FROM embeddings),
+        seeds AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < 8),
+        scored AS (SELECT q.vec_id, s.cid,
+            list_sum(list_transform(q.qv, x -> x*x)) AS vn,
+            list_sum(list_transform(s.cv, x -> x*x))
+              - 2.0 * list_inner_product(q.qv, s.cv) AS d2p
+          FROM q CROSS JOIN seeds s),
+        best AS (SELECT vec_id, vn + d2p AS d2 FROM (
+            SELECT vec_id, vn, d2p,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2p, cid) AS rn
+            FROM scored) WHERE rn = 1),
+        eg AS (SELECT vec_id AS doc_id, d2 > 1.9e14 AS is_outlier FROM best)
+        SELECT d.doc_id,
+          qm.quality_score_micro >= 500000 AS pass_quality,
+          NOT e.is_outlier AS pass_embedding,
+          (qm.quality_score_micro >= 500000 AND NOT e.is_outlier) AS kept
+        FROM documents d
+        JOIN __qm qm USING (doc_id)
+        JOIN eg e USING (doc_id)
+        ORDER BY doc_id""")),
 
     // ----- SQL API surface ---------------------------------------------------
 

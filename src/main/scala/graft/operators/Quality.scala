@@ -929,8 +929,9 @@ object Quality {
       .agg(max("n1").as("n1"), max("n2").as("n2"),
         max("dev").as("d_num"), min("v").as("at_value"))
       .select(col("n1"), col("n2"), col("d_num"),
-        (col("d_num").cast("double") /
-          (col("n1").cast("double") * col("n2"))).as("d"),
+        when(col("n1") > 0 && col("n2") > 0,
+          col("d_num").cast("double") /
+            (col("n1").cast("double") * col("n2"))).as("d"),
         col("at_value"))
   }
 

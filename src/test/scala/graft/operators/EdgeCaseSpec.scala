@@ -224,4 +224,34 @@ class EdgeCaseSpec extends SparkSpec {
     val r = Quality.pearsonMatrix(withNaN, Seq("x", "y")).collect()(0)
     assert(r.getAs[Long]("n") == 2L && r.getAs[Double]("r") == 1.0)
   }
+
+  test("round-7 metric operators survive degenerate input: single class, " +
+      "empty tables, all-null keys") {
+    import spark.implicits._
+    // single-class AUC and KS: no division blowups, null doubles
+    val mono = Seq((true, 1L), (true, 2L)).toDF("y", "s")
+    val auc = Quality.rocAuc(mono, col("y"), col("s")).collect()(0)
+    assert(auc.getAs[Long]("n_neg") == 0L && auc.isNullAt(3))
+    val ks = Quality.ksTest(mono, col("y"), col("s")).collect()(0)
+    assert(ks.getAs[Long]("n2") == 0L && ks.isNullAt(3))
+    // empty inputs → empty (or empty-grid) outputs, never a throw
+    val emptyLS = Seq.empty[(java.lang.Boolean, java.lang.Long)].toDF("y", "s")
+    assert(Quality.rocAuc(emptyLS, col("y"), col("s"))
+      .collect()(0).getAs[Long]("auc_num2") == 0L ||
+      Quality.rocAuc(emptyLS, col("y"), col("s")).collect()(0).isNullAt(2))
+    assert(Quality.calibrationBins(emptyLS, col("y"), col("s"), 10)
+      .count() == 0)
+    val emptyTs = Seq.empty[(java.sql.Timestamp, java.lang.Double)]
+      .toDF("ts", "v")
+    assert(Temporal.dailyCusum(emptyTs, "ts", "v").count() == 0)
+    assert(Temporal.hourlyAcf(emptyTs.select(col("ts")), "ts", 3).count() == 0)
+    assert(Temporal.kaplanMeier(
+      Seq.empty[(java.lang.Long, java.lang.Boolean)].toDF("dur", "ev"),
+      "dur", "ev").count() == 0)
+    // keySkewReport with all-null keys → the filter leaves nothing and
+    // the single aggregate row carries zero keys without dividing
+    val nullKeys = Seq.empty[String].toDF("k")
+    val skew = Quality.keySkewReport(nullKeys, col("k")).collect()(0)
+    assert(skew.getAs[Long]("n_keys") == 0L)
+  }
 }
