@@ -5814,6 +5814,92 @@ object SparkEntry {
         JOIN eg e USING (doc_id)
         ORDER BY doc_id""")),
 
+    // Strict in-session funnel view→click→purchase (30-min gap
+    // sessions): each stage must follow the previous one INSIDE the
+    // session — the conversion question q124's global funnel can't
+    // answer. One row of exact session counts.
+    "q195_session_funnel" -> Q(
+      (s, dir) => Temporal.sessionFunnel(t(s, dir, "events"), "user_id",
+        "ts", "event_id", "view", "click", "purchase", "event_type", 30),
+      Some("""WITH ev AS (SELECT user_id, event_id, event_type,
+                epoch_us(CAST(ts AS TIMESTAMP)) AS t
+              FROM events WHERE ts IS NOT NULL
+                AND event_type IN ('view', 'click', 'purchase')),
+        tagged AS (SELECT *, CASE WHEN t - lag(t) OVER
+              (PARTITION BY user_id ORDER BY t, event_id) > 1800000000
+            THEN 1 ELSE 0 END AS nw
+          FROM ev),
+        sess AS (SELECT *, SUM(nw) OVER (PARTITION BY user_id
+            ORDER BY t, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM tagged),
+        st1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN t END)
+            OVER (PARTITION BY user_id, sid ORDER BY t, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rv
+          FROM sess),
+        st2 AS (SELECT *, CASE WHEN event_type = 'click'
+            AND rv IS NOT NULL THEN t END AS qc FROM st1),
+        st3 AS (SELECT *, MIN(qc) OVER (PARTITION BY user_id, sid
+            ORDER BY t, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rqc
+          FROM st2),
+        per AS (SELECT user_id, sid,
+            MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s1,
+            MAX(CASE WHEN qc IS NOT NULL THEN 1 ELSE 0 END) AS s2,
+            MAX(CASE WHEN event_type = 'purchase' AND rqc IS NOT NULL
+                THEN 1 ELSE 0 END) AS s3
+          FROM st3 GROUP BY 1, 2)
+        SELECT COUNT(*) AS n_sessions, CAST(SUM(s1) AS BIGINT) AS n_stage1,
+          CAST(SUM(s2) AS BIGINT) AS n_stage2,
+          CAST(SUM(s3) AS BIGINT) AS n_stage3
+        FROM per""")),
+
+    // Weighted PageRank over the near-dup graph — Jaccard-micro edge
+    // weights pull rank proportionally ((r·w) div W_out, truncating
+    // integer fixed point); 3 unrolled weighted iterations in the
+    // oracle.
+    "q196_weighted_pagerank" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", 3, 64, 16, 0.8)
+          .select(col("id_a"), col("id_b"),
+            round(col("jaccard") * 1e6).cast("long").as("w_micro"))
+        Graphs.weightedPageRank(docs.select(col("doc_id")), "doc_id",
+            pairs, "id_a", "id_b", "w_micro", iters = 3)
+          .orderBy("doc_id")
+      },
+      Some {
+        def iter(prev: String, cur: String): String =
+          s"""d$cur AS (SELECT COALESCE(SUM(r), 0) AS dt
+              FROM r$prev LEFT JOIN outw USING (id) WHERE w_out IS NULL),
+            in$cur AS (SELECT e.dst AS id, SUM((rp.r * e.w) // ow.w_out) AS s
+              FROM ew e
+              JOIN r$prev rp ON e.src = rp.id
+              JOIN outw ow ON e.src = ow.id
+              GROUP BY 1),
+            r$cur AS MATERIALIZED (SELECT u.id,
+                (15 * (1000000000000 // (SELECT n FROM nn))) // 100
+                + (85 * (COALESCE(i.s, 0)
+                         + (SELECT dt FROM d$cur) // (SELECT n FROM nn))) // 100 AS r
+              FROM r0 u LEFT JOIN in$cur i USING (id))"""
+        s"""WITH ${nearDupEdgesCte(0.8)},
+          wp AS (SELECT id_a, id_b,
+              CAST(round(jaccard * 1e6) AS BIGINT) AS w FROM prs),
+          ew AS MATERIALIZED (SELECT src, dst, MAX(w) AS w FROM (
+              SELECT id_a AS src, id_b AS dst, w FROM wp
+              UNION ALL SELECT id_b, id_a, w FROM wp)
+            WHERE w > 0 GROUP BY 1, 2),
+          outw AS (SELECT src AS id, SUM(w) AS w_out FROM ew GROUP BY 1),
+          nn AS (SELECT COUNT(*) AS n FROM documents),
+          r0 AS (SELECT doc_id AS id,
+              1000000000000 // (SELECT n FROM nn) AS r FROM documents),
+          ${iter("0", "1")},
+          ${iter("1", "2")},
+          ${iter("2", "3")}
+          SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_micro
+          FROM r3 ORDER BY doc_id"""
+      }),
+
     // ----- SQL API surface ---------------------------------------------------
 
     // The spark.sql face of the engine: the same ANSI text runs on both

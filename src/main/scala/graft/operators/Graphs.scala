@@ -146,6 +146,60 @@ object Graphs {
     rank.select(col("id").as(idCol), col("r").as("rank_micro"))
   }
 
+  /** WEIGHTED PageRank: [[pageRank]] with per-edge integer micro weights
+    * — a near-dup edge at Jaccard 0.99 should pull rank harder than one
+    * scraping the 0.8 threshold. Contribution of src to dst is
+    * `(r · w) div W_out(src)` (truncating integer ops, exact in any
+    * partitioning); dangling mass, damping (85/100), and the fixed-point
+    * grid are identical to the unweighted operator, and with all weights
+    * equal the two operators coincide.
+    *
+    * Magnitude: r ≤ scaleMicro (mass is conserved up to truncation) and
+    * w ≤ 1e6 keep r·w ≤ 10¹⁸ < 2⁶³ at any graph size.
+    */
+  def weightedPageRank(nodes: DataFrame, idCol: String, edges: DataFrame,
+      aCol: String, bCol: String, wMicroCol: String, iters: Int = 3,
+      scaleMicro: Long = 1000000000000L): DataFrame = {
+    val sym = graft.CacheScope.register(
+      edges.select(explode(array(
+          struct(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"),
+            col(wMicroCol).cast("long").as("w")),
+          struct(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst"),
+            col(wMicroCol).cast("long").as("w"))))
+        .as("__e"))
+        .select(col("__e.src").as("src"), col("__e.dst").as("dst"),
+          col("__e.w").as("w"))
+        .filter(col("src").isNotNull && col("dst").isNotNull &&
+          col("w").isNotNull && col("w") > 0)
+        .groupBy("src", "dst").agg(max("w").as("w")))
+    val outW = graft.CacheScope.register(
+      sym.groupBy(col("src").as("id")).agg(sum(col("w")).as("w_out")))
+    val ids = nodes.select(col(idCol).cast("long").as("id"))
+    val n = ids.count()
+    require(n > 0, "weightedPageRank: empty node universe")
+    val init = scaleMicro / n
+    val base = (15L * init) / 100L
+    var rank = ids.withColumn("r", lit(init))
+    var it = 0
+    while (it < iters) {
+      val dangTotal = rank.join(outW, Seq("id"), "left_anti")
+        .agg(coalesce(sum(col("r")), lit(0L))).first().getLong(0)
+      val dangShare = dangTotal / n
+      val in = sym
+        .join(rank.withColumnRenamed("id", "src"), "src")
+        .join(outW.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), expr("(r * w) div w_out").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("s"))
+      rank = ids.join(in, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + expr(s"(85 * (coalesce(s, 0L) + ${dangShare}L)) div 100"))
+            .as("r"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    rank.select(col("id").as(idCol), col("r").as("rank_micro"))
+  }
+
   /** Per-node triangle count, degree, and local clustering coefficient
     * over an undirected edge list — the cohesion microscope for near-dup
     * neighborhoods: a high-degree node with NO triangles is a hub

@@ -235,6 +235,59 @@ object Temporal {
       .orderBy("lag")
   }
 
+  /** Strict IN-SESSION funnel: stage counts where each stage must occur
+    * after the previous one WITHIN THE SAME SESSION (gap-split) — the
+    * conversion question q124's global per-user funnel can't answer: a
+    * view on Monday doesn't get credit for Friday's purchase.
+    *
+    * Mechanics: sessions split on inactivity > `gapMinutes` (cumulative
+    * gap flags over the per-user order — q33's rule); within a session,
+    * running windows carry the earliest stage-1 timestamp and the
+    * earliest QUALIFYING stage-2 timestamp (one that saw a prior
+    * stage-1), so a stage-3 event qualifies iff a qualifying stage-2
+    * precedes it. All comparisons are exact timestamps with the tie
+    * column making the order total; output is ONE row of session
+    * counts.
+    *
+    * Scale shape: two window passes partitioned by (user) then (user,
+    * session) — never global; one final aggregate.
+    */
+  def sessionFunnel(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, stage1: String, stage2: String, stage3: String,
+      typeCol: String, gapMinutes: Int): DataFrame = {
+    val gapMicros = gapMinutes.toLong * 60L * 1000000L
+    val wUser = Window.partitionBy(userCol)
+      .orderBy(col(tsCol), col(tieCol))
+    val tagged = events
+      .filter(col(tsCol).isNotNull &&
+        col(typeCol).isin(stage1, stage2, stage3))
+      .withColumn("__t", unix_micros(col(tsCol).cast("timestamp")))
+      .withColumn("__new", when(
+        col("__t") - lag(col("__t"), 1).over(wUser) > gapMicros, 1L)
+        .otherwise(lit(0L)))
+      .withColumn("__sess", sum(col("__new")).over(
+        wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wSess = Window.partitionBy(col(userCol), col("__sess"))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = tagged
+      .withColumn("__rv",
+        min(when(col(typeCol) === stage1, col("__t"))).over(wSess))
+      .withColumn("__qc",
+        when(col(typeCol) === stage2 && col("__rv").isNotNull, col("__t")))
+      .withColumn("__rqc", min(col("__qc")).over(wSess))
+    staged.groupBy(col(userCol), col("__sess"))
+      .agg(
+        max(when(col(typeCol) === stage1, 1L).otherwise(0L)).as("s1"),
+        max(when(col("__qc").isNotNull, 1L).otherwise(0L)).as("s2"),
+        max(when(col(typeCol) === stage3 && col("__rqc").isNotNull, 1L)
+          .otherwise(0L)).as("s3"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("s1")).as("n_stage1"),
+        sum(col("s2")).as("n_stage2"),
+        sum(col("s3")).as("n_stage3"))
+  }
+
   /** Fano factor (index of dispersion, var/mean) of each key's hourly
     * count series over the SHARED dense hour grid — the burstiness
     * audit: Poisson-like arrivals give F ≈ 1, batchy/bursty streams

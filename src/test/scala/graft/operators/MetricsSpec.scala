@@ -497,6 +497,53 @@ class MetricsSpec extends SparkSpec {
     assert(!cells.contains((1L, 0L)))
   }
 
+  test("sessionFunnel: stage order is enforced WITHIN a session — " +
+      "cross-session credit and out-of-order stages never count") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1 session 1: full ordered funnel → counts at every stage
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (1L, "2024-01-01 10:05:00", 2L, "click"),
+      (1L, "2024-01-01 10:10:00", 3L, "purchase"),
+      // u1 session 2 (90-min gap): purchase BEFORE click/view → only the
+      // view stage counts; the purchase must NOT inherit session 1's click
+      (1L, "2024-01-01 12:00:00", 4L, "purchase"),
+      (1L, "2024-01-01 12:01:00", 5L, "view"),
+      // u2: click then view (out of order) → view counts, click doesn't
+      (2L, "2024-01-01 10:00:00", 6L, "click"),
+      (2L, "2024-01-01 10:01:00", 7L, "view")
+    ).map { case (u, t, e, ty) => (u, ts(t), e, ty) }
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val r = Temporal.sessionFunnel(ev, "user_id", "ts", "event_id",
+      "view", "click", "purchase", "event_type", 30).collect()(0)
+    assert(r.getAs[Long]("n_sessions") == 3L)
+    assert(r.getAs[Long]("n_stage1") == 3L) // all three sessions saw a view
+    assert(r.getAs[Long]("n_stage2") == 1L) // only u1/s1's click qualifies
+    assert(r.getAs[Long]("n_stage3") == 1L) // only u1/s1 converts
+  }
+
+  test("weightedPageRank: equal weights coincide with the unweighted " +
+      "operator; a heavier edge pulls measurably more rank") {
+    import spark.implicits._
+    val nodes = (1L to 4L).toDF("id")
+    val edges = Seq((1L, 2L), (3L, 2L), (3L, 4L)).toDF("a", "b")
+    val flat = edges.withColumn("w", lit(1000000L))
+    val wpr = Graphs.weightedPageRank(nodes, "id", flat, "a", "b", "w",
+        iters = 3).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("rank_micro")).toMap
+    val pr = Graphs.pageRank(nodes, "id", edges, "a", "b", iters = 3)
+      .collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("rank_micro")).toMap
+    assert(wpr == pr)
+    // tilt node 3's mass toward 4: rank(4) rises, rank(2) falls
+    val tilted = Seq((1L, 2L, 1000000L), (3L, 2L, 100000L),
+      (3L, 4L, 1000000L)).toDF("a", "b", "w")
+    val tpr = Graphs.weightedPageRank(nodes, "id", tilted, "a", "b", "w",
+        iters = 3).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("rank_micro")).toMap
+    assert(tpr(4L) > wpr(4L) && tpr(2L) < wpr(2L))
+  }
+
   test("mmrRerank: diversification at low λ — the exact duplicate of the " +
       "first pick is deferred behind the orthogonal candidate; greedy " +
       "invariant recomputes from the output") {
