@@ -5900,6 +5900,122 @@ object SparkEntry {
           FROM r3 ORDER BY doc_id"""
       }),
 
+    // Discount elasticity: per order-priority OLS of quantity on
+    // discount — "does discounting move volume, and where" (q132's
+    // exact-moment machinery pointed at the pricing question).
+    "q197_discount_elasticity" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders").select(col("o_orderkey"),
+            col("o_orderpriority")), col("l_orderkey") === col("o_orderkey"))
+        Quality.olsRegression(li, "o_orderpriority", "l_discount",
+            "l_quantity")
+          .orderBy("o_orderpriority")
+      },
+      Some {
+        def m(c: String) = s"CAST(CAST(round($c * 1e6) AS BIGINT) AS DECIMAL(19,0))"
+        def v(c: String) = s"$c IS NOT NULL AND isfinite(CAST($c AS DOUBLE)) " +
+          s"AND abs(CAST($c AS DOUBLE)) < 1e9"
+        val f = s"FILTER (WHERE ${v("l_discount")} AND ${v("l_quantity")})"
+        val n = "CAST(n AS DOUBLE)"
+        val sx = "CAST(sx AS DOUBLE)"; val sy = "CAST(sy AS DOUBLE)"
+        val sxx = "CAST(sxx AS DOUBLE)"; val syy = "CAST(syy AS DOUBLE)"
+        val sxy = "CAST(sxy AS DOUBLE)"
+        val varx = s"($n * $sxx - $sx * $sx)"
+        val vary = s"($n * $syy - $sy * $sy)"
+        val cov = s"($n * $sxy - $sx * $sy)"
+        s"""WITH li AS (SELECT o.o_orderpriority, l.l_discount, l.l_quantity
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+          a AS (SELECT o_orderpriority,
+            COUNT(*) $f AS n,
+            CAST(SUM(${m("l_discount")}) $f AS DECIMAL(38,0)) AS sx,
+            CAST(SUM(${m("l_quantity")}) $f AS DECIMAL(38,0)) AS sy,
+            CAST(SUM(${m("l_discount")} * ${m("l_discount")}) $f AS DECIMAL(38,0)) AS sxx,
+            CAST(SUM(${m("l_quantity")} * ${m("l_quantity")}) $f AS DECIMAL(38,0)) AS syy,
+            CAST(SUM(${m("l_discount")} * ${m("l_quantity")}) $f AS DECIMAL(38,0)) AS sxy
+          FROM li GROUP BY 1)
+        SELECT o_orderpriority, n,
+          CASE WHEN $varx > 0 THEN $cov / $varx END AS slope,
+          CASE WHEN $varx > 0
+            THEN (($sy - ($cov / $varx) * $sx) / $n) / 1e6 END AS intercept,
+          CASE WHEN $varx > 0 AND $vary > 0
+            THEN ($cov * $cov) / ($varx * $vary) END AS r2
+        FROM a ORDER BY o_orderpriority"""
+      }),
+
+    // ABC inventory classification: parts ranked by exact micro revenue,
+    // cumulative share, and the classic A (≤70%), B (≤90%), C buckets —
+    // the warehouse curation rule for stocking attention. Windows over
+    // the |parts| dimension grid only; classification thresholds compare
+    // exact integers (cum·100 vs total·k), never float shares.
+    "q198_inventory_abc" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val perPart = li.groupBy(col("l_partkey"))
+          .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 1e2).cast("long")).as("rev_cents"))
+        val wOrd = Window.orderBy(col("rev_cents").desc, col("l_partkey"))
+        val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = perPart.agg(sum("rev_cents").as("t"))
+        perPart.crossJoin(broadcast(tot))
+          .select(
+            row_number().over(wOrd).cast("long").as("rank"),
+            col("l_partkey"), col("rev_cents"),
+            sum("rev_cents").over(wCum).as("cum_cents"), col("t"))
+          .select(col("rank"), col("l_partkey"), col("rev_cents"),
+            col("cum_cents"),
+            when(col("cum_cents") * 100L <= col("t") * 70L, "A")
+              .when(col("cum_cents") * 100L <= col("t") * 90L, "B")
+              .otherwise("C").as("abc_class"))
+          .orderBy("rank")
+      },
+      Some("""WITH pp AS (SELECT l_partkey,
+              CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 1e2)
+                AS BIGINT)) AS BIGINT) AS rev_cents
+            FROM lineitem GROUP BY 1),
+        tot AS (SELECT SUM(rev_cents) AS t FROM pp),
+        r AS (SELECT CAST(row_number() OVER
+              (ORDER BY rev_cents DESC, l_partkey) AS BIGINT) AS rank,
+            l_partkey, rev_cents,
+            CAST(SUM(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS cum_cents
+          FROM pp)
+        SELECT rank, l_partkey, rev_cents, cum_cents,
+          CASE WHEN cum_cents * 100 <= (SELECT t FROM tot) * 70 THEN 'A'
+               WHEN cum_cents * 100 <= (SELECT t FROM tot) * 90 THEN 'B'
+               ELSE 'C' END AS abc_class
+        FROM r ORDER BY rank""")),
+
+    // Cross-source duplication matrix — "which sources copy from which":
+    // near-dup pairs joined to both endpoints' sources, counted per
+    // ordered (source_a ≤ source_b) cell. The provenance face of the
+    // dedup family.
+    "q199_cross_source_dups" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", 3, 64, 16, 0.8)
+        val src = docs.select(col("doc_id"), col("source"))
+        pairs
+          .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")),
+            "id_a")
+          .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")),
+            "id_b")
+          .groupBy(least(col("sa"), col("sb")).as("source_a"),
+            greatest(col("sa"), col("sb")).as("source_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("source_a", "source_b")
+      },
+      Some(s"""WITH ${nearDupEdgesCte(0.8)},
+        src AS (SELECT doc_id, source FROM documents)
+        SELECT least(sa.source, sb.source) AS source_a,
+          greatest(sa.source, sb.source) AS source_b,
+          COUNT(*) AS n_pairs
+        FROM prs
+        JOIN src sa ON sa.doc_id = prs.id_a
+        JOIN src sb ON sb.doc_id = prs.id_b
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // ----- SQL API surface ---------------------------------------------------
 
     // The spark.sql face of the engine: the same ANSI text runs on both

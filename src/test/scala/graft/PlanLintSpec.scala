@@ -51,6 +51,7 @@ class PlanLintSpec extends SparkSpec {
     "q182_ks_test" -> "broadcast 1-row (n1, n2) totals and max-deviation aggregates over the score grid",
     "q183_seasonality_profile" -> "broadcast 24-row hour spine and 1-row totals against the 7-row weekday aggregate",
     "q192_source_concentration" -> "broadcast 1-row token-total aggregate (crossJoin share denominator)",
+    "q198_inventory_abc" -> "broadcast 1-row revenue-total aggregate (crossJoin classification denominator)",
     "q186_fano_burstiness" -> "broadcast 1-row hour-span aggregate against the |types|-row moment aggregate",
     "q187_lead_lag" -> "broadcast 1-row (n, Sx, Sy) and denominator aggregates over the hour grid (q168's shape for two series)")
 
@@ -77,7 +78,8 @@ class PlanLintSpec extends SparkSpec {
     "q177_rfm_segments" -> "strictly-below cumulations over distinct-value count grids (recency calendar-bounded, frequency basket-bounded, monetary cent-quantized)",
     "q179_kaplan_meier" -> "at-risk/survival cumulations over the duration-day grid (calendar-bounded)",
     "q182_ks_test" -> "CDF cumulations over the merged DISTINCT-score count grid (q97's bounded-grid argument)",
-    "q192_source_concentration" -> "rank/cumulative windows over the per-source aggregate (one row per source)")
+    "q192_source_concentration" -> "rank/cumulative windows over the per-source aggregate (one row per source)",
+    "q198_inventory_abc" -> "rank/cumulative windows over the per-part revenue aggregate (part-dimension grid, not the fact table)")
 
   test("no query plans a global window over an unbounded relation") {
     import org.apache.spark.sql.execution.SparkPlan
