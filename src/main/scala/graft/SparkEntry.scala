@@ -6016,6 +6016,373 @@ object SparkEntry {
         JOIN src sb ON sb.doc_id = prs.id_b
         GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // Rolling exact-median anomaly: per event_type daily volumes vs the
+    // trailing-7-observed-days median — robust alerting (a spike day
+    // cannot drag its own baseline). median×2 via sorted-window-list
+    // extraction keeps even-n averaging in the integers; anomaly tests
+    // are pure BIGINT (4·cnt vs 1|3·median×2). No doubles anywhere.
+    "q200_rolling_median" -> Q(
+      (s, dir) => Temporal.rollingMedianAnomaly(t(s, dir, "events"),
+          "event_type", "ts", 7)
+        .orderBy("event_type", "day"),
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+              COUNT(*) AS cnt
+            FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY 1, 2),
+        win AS (SELECT event_type, day, cnt,
+            list_sort(list(cnt) OVER (PARTITION BY event_type ORDER BY day
+              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS l
+          FROM daily),
+        med AS (SELECT event_type, day, cnt,
+            CAST(len(l) AS BIGINT) AS n_window,
+            CAST(l[CAST((len(l) + 1) // 2 AS INT)]
+               + l[CAST((len(l) + 2) // 2 AS INT)] AS BIGINT) AS median_x2
+          FROM win)
+        SELECT event_type, day, cnt, n_window, median_x2,
+          (n_window >= 4 AND (cnt * 4 > median_x2 * 3
+            OR cnt * 4 < median_x2)) AS is_anomaly
+        FROM med ORDER BY event_type, day""")),
+
+    // Spearman rank correlation per return flag: quantity vs extended
+    // price — the monotone-association twin of q99's Pearson. Tie-aware
+    // doubled-average-rank integers (2r̄ = 2·rank + ties − 1); exact
+    // DECIMAL moments; one pinned IEEE division/sqrt.
+    "q201_spearman" -> Q(
+      (s, dir) => Quality.spearman(t(s, dir, "lineitem"), "l_returnflag",
+          "l_quantity", "l_extendedprice")
+        .orderBy("l_returnflag"),
+      Some {
+        def v(c: String) = s"$c IS NOT NULL AND isfinite(CAST($c AS DOUBLE)) " +
+          s"AND abs(CAST($c AS DOUBLE)) < 1e9"
+        val n = "CAST(n AS DOUBLE)"
+        val sx = "CAST(sx AS DOUBLE)"; val sy = "CAST(sy AS DOUBLE)"
+        val sxx = "CAST(sxx AS DOUBLE)"; val syy = "CAST(syy AS DOUBLE)"
+        val sxy = "CAST(sxy AS DOUBLE)"
+        s"""WITH base AS (SELECT l_returnflag AS g,
+            CAST(round(CAST(l_quantity AS DOUBLE) * 1e6) AS BIGINT) AS xm,
+            CAST(round(CAST(l_extendedprice AS DOUBLE) * 1e6) AS BIGINT) AS ym
+          FROM lineitem
+          WHERE ${v("l_quantity")} AND ${v("l_extendedprice")}),
+        r AS (SELECT g,
+            CAST(rank() OVER (PARTITION BY g ORDER BY xm) AS BIGINT) * 2
+              + CAST(COUNT(*) OVER (PARTITION BY g, xm) AS BIGINT) - 1 AS rx2,
+            CAST(rank() OVER (PARTITION BY g ORDER BY ym) AS BIGINT) * 2
+              + CAST(COUNT(*) OVER (PARTITION BY g, ym) AS BIGINT) - 1 AS ry2
+          FROM base),
+        a AS (SELECT g, COUNT(*) AS n,
+            CAST(SUM(rx2 * ry2) AS DOUBLE) AS sxy,
+            CAST(SUM(rx2 * rx2) AS DOUBLE) AS sxx,
+            CAST(SUM(ry2 * ry2) AS DOUBLE) AS syy,
+            CAST(SUM(rx2) AS DOUBLE) AS sx,
+            CAST(SUM(ry2) AS DOUBLE) AS sy
+          FROM r GROUP BY 1)
+        SELECT g AS l_returnflag, n,
+          CASE WHEN ($n * $sxx - $sx * $sx) > 0
+                AND ($n * $syy - $sy * $sy) > 0 THEN
+            ($n * $sxy - $sx * $sy)
+              / sqrt(($n * $sxx - $sx * $sx) * ($n * $syy - $sy * $sy)) END
+            AS rho
+        FROM a ORDER BY l_returnflag"""
+      }),
+
+    // Retrieval evaluation over the embedding index: MRR@10 and P@10 per
+    // label (relevance = label match, queries = every 50th vector) —
+    // "is the ANN stack actually retrieving the right neighborhood", the
+    // eval face the kNN family (q24/q31/q102) computes but never grades.
+    // Reciprocal ranks and precision on the integer micro grid (floor
+    // division) — no float accumulation.
+    "q202_retrieval_mrr" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val lab = emb.select(col("vec_id"), col("label"))
+        val qs = emb.filter(col("vec_id") % 50 === 0)
+        val top = Similarity.knnExactAgg(emb, qs, "vec_id", "embedding", 10)
+        val wr = Window.partitionBy("query_id")
+          .orderBy(col("cos").desc_nulls_last, col("id"))
+        // the ranked relation is |queries|×10 rows — broadcast IT into
+        // the label joins (labels are corpus-sized, never broadcast)
+        val ranked = broadcast(top.withColumn("rn",
+          row_number().over(wr).cast("long")))
+        val perq = ranked
+          .join(lab.select(col("vec_id").as("id"), col("label").as("lc")), "id")
+          .join(broadcast(lab.select(col("vec_id").as("query_id"),
+            col("label").as("lq"))), "query_id")
+          .groupBy("query_id", "lq")
+          .agg(min(when(col("lc") === col("lq"), col("rn"))).as("fr"),
+            sum(when(col("lc") === col("lq"), 1L).otherwise(0L)).as("hits"))
+        perq.groupBy(col("lq").as("label"))
+          .agg(count(lit(1)).as("n_queries"),
+            sum(coalesce(expr("1000000 div fr"), lit(0L))).as("sum_rr_micro"),
+            sum("hits").as("n_hits"))
+          .select(col("label"), col("n_queries"), col("sum_rr_micro"),
+            col("n_hits"),
+            expr("(n_hits * 1000000) div (n_queries * 10)").as("prec10_micro"))
+          .orderBy("label")
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS lq
+              FROM embeddings WHERE vec_id % 50 = 0),
+        c AS (SELECT vec_id AS id, embedding AS cv, label AS lc FROM embeddings),
+        scored AS (SELECT query_id, lq, id, lc,
+          list_aggregate(list_transform(range(1, len(qv) + 1),
+            i -> round(CAST(qv[i] AS DOUBLE) * 1e7) * round(CAST(cv[i] AS DOUBLE) * 1e7)), 'sum')
+          / SQRT(
+            list_aggregate(list_transform(range(1, len(qv) + 1),
+              i -> round(CAST(qv[i] AS DOUBLE) * 1e7) * round(CAST(qv[i] AS DOUBLE) * 1e7)), 'sum')
+            * list_aggregate(list_transform(range(1, len(cv) + 1),
+              i -> round(CAST(cv[i] AS DOUBLE) * 1e7) * round(CAST(cv[i] AS DOUBLE) * 1e7)), 'sum')) AS cos
+          FROM q JOIN c ON query_id <> id),
+        ranked AS (SELECT query_id, lq, lc,
+            row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rn
+          FROM scored
+          QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) <= 10),
+        perq AS (SELECT query_id, lq,
+            MIN(CASE WHEN lc = lq THEN rn END) AS fr,
+            SUM(CASE WHEN lc = lq THEN 1 ELSE 0 END) AS hits
+          FROM ranked GROUP BY 1, 2)
+        SELECT lq AS label, COUNT(*) AS n_queries,
+          CAST(SUM(COALESCE(1000000 // fr, 0)) AS BIGINT) AS sum_rr_micro,
+          CAST(SUM(hits) AS BIGINT) AS n_hits,
+          CAST((SUM(hits) * 1000000) // (COUNT(*) * 10) AS BIGINT) AS prec10_micro
+        FROM perq GROUP BY 1 ORDER BY label""")),
+
+    // Suppliers who kept multi-supplier orders waiting (the TPC-H Q21
+    // shape): the order shipped >60 days after placement by EXACTLY this
+    // supplier, among orders with ≥2 suppliers. The Spark plan is ONE
+    // per-order aggregation (distinct-supplier and late-supplier counts)
+    // + a dimension join — no correlated re-scans; the oracle states the
+    // same semantics the classic way (EXISTS / NOT EXISTS), so the two
+    // formulations check each other.
+    "q203_waiting_suppliers" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders").select(col("o_orderkey"),
+            col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            (col("l_shipdate") > col("o_orderdate")
+              + expr("INTERVAL 60 DAYS")).as("late"))
+        val perOrder = li.groupBy("l_orderkey").agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"),
+          min(when(col("late"), col("l_suppkey"))).as("late_supp"))
+        perOrder.filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+          .join(broadcast(t(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_name"))),
+            col("late_supp") === col("s_suppkey"))
+          .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(20)
+      },
+      Some("""SELECT s_name, COUNT(DISTINCT l1.l_orderkey) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name LIMIT 20""")),
+
+    // Kendall τ-b per event type between daily distinct users and daily
+    // event volume — "is growth breadth or whale-driven": τ≈1 means the
+    // two series move together rank-for-rank; low τ with q201-high ρ
+    // flags outlier-driven agreement. Pair join over the calendar-bounded
+    // daily grid only (never raw events).
+    "q204_kendall_tau" -> Q(
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .filter(col("ts").isNotNull && col("event_type").isNotNull)
+          .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+          .agg(countDistinct(col("user_id")).as("du"),
+            count(lit(1)).as("ne"))
+        Quality.kendallTau(daily, "event_type", "day", "du", "ne")
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (SELECT event_type AS g, CAST(ts AS DATE) AS o,
+            CAST(COUNT(DISTINCT user_id) AS BIGINT) * 1000000 AS x,
+            CAST(COUNT(*) AS BIGINT) * 1000000 AS y
+          FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+          GROUP BY 1, 2),
+        p AS (SELECT a.g,
+            CASE WHEN a.x < b.x THEN -1 WHEN a.x > b.x THEN 1 ELSE 0 END AS cx,
+            CASE WHEN a.y < b.y THEN -1 WHEN a.y > b.y THEN 1 ELSE 0 END AS cy
+          FROM daily a JOIN daily b ON a.g = b.g AND a.o < b.o),
+        agg AS (SELECT g AS event_type, COUNT(*) AS n_pairs,
+            COUNT(CASE WHEN cx * cy = 1 THEN 1 END) AS concordant,
+            COUNT(CASE WHEN cx * cy = -1 THEN 1 END) AS discordant,
+            COUNT(CASE WHEN cx = 0 THEN 1 END) AS tied_x,
+            COUNT(CASE WHEN cy = 0 THEN 1 END) AS tied_y
+          FROM p GROUP BY 1)
+        SELECT event_type, n_pairs, concordant, discordant, tied_x, tied_y,
+          CASE WHEN (CAST(n_pairs - tied_x AS DOUBLE)
+                   * CAST(n_pairs - tied_y AS DOUBLE)) > 0 THEN
+            CAST(concordant - discordant AS DOUBLE)
+              / sqrt(CAST(n_pairs - tied_x AS DOUBLE)
+                   * CAST(n_pairs - tied_y AS DOUBLE)) END AS tau_b
+        FROM agg ORDER BY event_type""")),
+
+    // Flesch-style readability per source from deterministic surface
+    // counts (vowel-group syllable proxy) — the reading-ease face of the
+    // quality family; integer-coefficient milli output keeps the IEEE op
+    // sequence engine-identical.
+    "q205_readability" -> Q(
+      (s, dir) => TextOps.readability(t(s, dir, "documents"), "source",
+          "text")
+        .orderBy("source"),
+      Some("""WITH d AS (SELECT source,
+            greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT),
+              1) AS s,
+            CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS w,
+            CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT)
+              AS v
+          FROM documents WHERE text IS NOT NULL),
+        a AS (SELECT source, COUNT(*) AS n_docs,
+            CAST(SUM(s) AS BIGINT) AS n_sentences,
+            CAST(SUM(w) AS BIGINT) AS n_words,
+            CAST(SUM(v) AS BIGINT) AS n_vowel_groups
+          FROM d GROUP BY 1)
+        SELECT source, n_docs, n_sentences, n_words, n_vowel_groups,
+          CASE WHEN n_words > 0 THEN
+            CAST(206835 AS DOUBLE)
+              - CAST(1015 AS DOUBLE)
+                * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+              - CAST(84600 AS DOUBLE)
+                * (CAST(n_vowel_groups AS DOUBLE) / CAST(n_words AS DOUBLE))
+            END AS flesch_milli
+        FROM a ORDER BY source""")),
+
+    // Top collocations by PMI over adjacent bigrams (min support 5) —
+    // the association face of the bigram family (q105 scores sequences;
+    // this ranks pairs). Micro-log integer identity, engine-exact.
+    "q206_bigram_pmi" -> Q(
+      (s, dir) => TextOps.bigramPmi(t(s, dir, "documents"), "text", 5L, 30),
+      Some {
+        def lnM(x: String) = s"CAST(round(ln(CAST($x AS DOUBLE)) * 1e6) AS BIGINT)"
+        s"""WITH toks AS (SELECT string_split_regex(lower(trim(text)), '\\s+') AS l
+            FROM documents WHERE text IS NOT NULL),
+        d AS (SELECT l FROM toks WHERE len(l) >= 2),
+        tot AS (SELECT CAST(SUM(len(l)) AS BIGINT) AS n_tok,
+            CAST(SUM(len(l) - 1) AS BIGINT) AS n_big FROM d),
+        uni AS (SELECT unnest(l) AS w FROM d),
+        uc AS (SELECT w, COUNT(*) AS nw FROM uni GROUP BY 1),
+        g AS (SELECT unnest(list_transform(range(1, len(l)),
+            i -> l[i] || ' ' || l[i+1])) AS bg FROM d),
+        bc AS (SELECT bg, COUNT(*) AS nab FROM g GROUP BY 1
+               HAVING COUNT(*) >= 5),
+        sp AS (SELECT split_part(bg, ' ', 1) AS w1,
+            split_part(bg, ' ', 2) AS w2, nab FROM bc),
+        j AS (SELECT w1, w2, nab, a.nw AS na, b.nw AS nb FROM sp
+          JOIN uc a ON a.w = sp.w1 JOIN uc b ON b.w = sp.w2)
+        SELECT w1, w2, nab, na, nb,
+          ${lnM("nab")} + 2 * ${lnM("(SELECT n_tok FROM tot)")}
+            - ${lnM("(SELECT n_big FROM tot)")}
+            - ${lnM("na")} - ${lnM("nb")} AS pmi_micro
+        FROM j ORDER BY pmi_micro DESC, w1, w2 LIMIT 30"""
+      }),
+
+    // Laspeyres price index by ship month: Σp_t·q₀ / Σp₀·q₀ over parts
+    // traded in both the base (first) month and month t — "what do the
+    // SAME goods cost now". Unit prices are pinned IEEE divisions of
+    // exact micro sums; each index term is rounded to an integer before
+    // summation, so the aggregation is order-independent; the index is
+    // one final pinned division.
+    "q207_price_index" -> Q(
+      (s, dir) => {
+        val pm = graft.CacheScope.register(
+          t(s, dir, "lineitem").filter(col("l_shipdate").isNotNull)
+            .groupBy(col("l_partkey").as("pk"),
+              trunc(col("l_shipdate").cast("date"), "month").as("month"))
+            .agg(sum(round(col("l_quantity") * 1e6).cast("long")).as("qty_micro"),
+              sum(round(col("l_extendedprice") * 1e6).cast("long")).as("ext_micro")))
+        val m0 = pm.agg(min("month").as("m0"))
+        val base = pm.join(broadcast(m0), col("month") === col("m0"))
+          .select(col("pk"), col("qty_micro").as("q0"),
+            (col("ext_micro").cast("double") / col("qty_micro").cast("double"))
+              .as("p0"))
+        pm.join(base, "pk")
+          .select(col("month"),
+            round((col("ext_micro").cast("double")
+                / col("qty_micro").cast("double"))
+              * col("q0").cast("double")).cast("long").as("__num"),
+            round(col("p0") * col("q0").cast("double")).cast("long").as("__den"))
+          .groupBy("month")
+          .agg(count(lit(1)).as("n_parts"),
+            sum("__num").as("num_micro"), sum("__den").as("den_micro"))
+          .select(col("month"), col("n_parts"), col("num_micro"),
+            col("den_micro"),
+            (col("num_micro").cast("double") / col("den_micro").cast("double"))
+              .as("index"))
+          .orderBy("month")
+      },
+      Some("""WITH pm AS (SELECT l_partkey AS pk,
+            CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+            CAST(SUM(CAST(round(l_quantity * 1e6) AS BIGINT)) AS BIGINT)
+              AS qty_micro,
+            CAST(SUM(CAST(round(l_extendedprice * 1e6) AS BIGINT)) AS BIGINT)
+              AS ext_micro
+          FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1, 2),
+        m0 AS (SELECT min(month) AS m0 FROM pm),
+        base AS (SELECT pk, qty_micro AS q0,
+            CAST(ext_micro AS DOUBLE) / CAST(qty_micro AS DOUBLE) AS p0
+          FROM pm WHERE month = (SELECT m0 FROM m0)),
+        terms AS (SELECT pm.month,
+            CAST(round((CAST(pm.ext_micro AS DOUBLE)
+                / CAST(pm.qty_micro AS DOUBLE))
+              * CAST(base.q0 AS DOUBLE)) AS BIGINT) AS num,
+            CAST(round(base.p0 * CAST(base.q0 AS DOUBLE)) AS BIGINT) AS den
+          FROM pm JOIN base ON pm.pk = base.pk)
+        SELECT month, COUNT(*) AS n_parts,
+          CAST(SUM(num) AS BIGINT) AS num_micro,
+          CAST(SUM(den) AS BIGINT) AS den_micro,
+          CAST(SUM(num) AS DOUBLE) / CAST(SUM(den) AS DOUBLE) AS index
+        FROM terms GROUP BY 1 ORDER BY month""")),
+
+    // Month-over-month and year-over-year revenue deltas on the calendar
+    // month grid — gap-safe: the comparison joins on add_months
+    // arithmetic, not row adjacency, so a silent empty month cannot
+    // shift the YoY base. Cents-exact integers; growth is one pinned
+    // division.
+    "q208_mom_growth" -> Q(
+      (s, dir) => {
+        val rev = graft.CacheScope.register(
+          t(s, dir, "lineitem").filter(col("l_shipdate").isNotNull)
+            .groupBy(trunc(col("l_shipdate").cast("date"), "month").as("month"))
+            .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+              * 1e2).cast("long")).as("rev_cents")))
+        rev
+          .join(rev.select(add_months(col("month"), 1).as("month"),
+            col("rev_cents").as("prev_cents")), Seq("month"), "left")
+          .join(rev.select(add_months(col("month"), 12).as("month"),
+            col("rev_cents").as("yoy_cents")), Seq("month"), "left")
+          .select(col("month"), col("rev_cents"), col("prev_cents"),
+            (col("rev_cents") - col("prev_cents")).as("mom_diff_cents"),
+            when(col("prev_cents") > 0, col("rev_cents").cast("double")
+              / col("prev_cents").cast("double")).as("mom_ratio"),
+            col("yoy_cents"),
+            (col("rev_cents") - col("yoy_cents")).as("yoy_diff_cents"))
+          .orderBy("month")
+      },
+      Some("""WITH rev AS (SELECT
+            CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+            CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 1e2)
+              AS BIGINT)) AS BIGINT) AS rev_cents
+          FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1)
+        SELECT r.month, r.rev_cents, p.rev_cents AS prev_cents,
+          r.rev_cents - p.rev_cents AS mom_diff_cents,
+          CASE WHEN p.rev_cents > 0 THEN
+            CAST(r.rev_cents AS DOUBLE) / CAST(p.rev_cents AS DOUBLE) END
+            AS mom_ratio,
+          y.rev_cents AS yoy_cents,
+          r.rev_cents - y.rev_cents AS yoy_diff_cents
+        FROM rev r
+        LEFT JOIN rev p ON r.month = p.month + INTERVAL 1 MONTH
+        LEFT JOIN rev y ON r.month = y.month + INTERVAL 12 MONTH
+        ORDER BY r.month""")),
+
     // ----- SQL API surface ---------------------------------------------------
 
     // The spark.sql face of the engine: the same ANSI text runs on both

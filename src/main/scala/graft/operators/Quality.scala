@@ -1057,6 +1057,93 @@ object Quality {
         (col("top1").cast("double") / col("total")).as("top1_share"))
   }
 
+  /** Spearman rank correlation per group — the monotone-association
+    * audit (Pearson/[[olsRegression]] see only linear structure; a
+    * perfect x→x³ relation scores ρ=1 here and r²<1 there).
+    *
+    * Tie-aware: each row's doubled average rank 2·r̄ = 2·rank + c − 1
+    * (rank = min rank of its tie group, c = tie-group size) is an exact
+    * integer, so ρ = Pearson over the (2rx̄, 2rȳ) integers — the tie
+    * correction is implicit and no fractional rank ever materializes.
+    * Values are ranked on the 1e-6 micro grid (ties well-defined and
+    * engine-identical); moments ride DECIMAL(38,0) (2r̄ ≤ 2n, so
+    * n·Σ(2r̄)² ~ n⁴ stays exact to n ~ 10⁹ rows per group); ρ is one
+    * pinned IEEE division/sqrt over the exact sums.
+    *
+    * Scale shape: two rank windows per group partition (sort-based, the
+    * same shuffle), one aggregation. No driver collection.
+    */
+  def spearman(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val dx = col(xCol).cast("double")
+    val dy = col(yCol).cast("double")
+    val valid = col(xCol).isNotNull && !isnan(dx) && abs(dx) < 1e9 &&
+      col(yCol).isNotNull && !isnan(dy) && abs(dy) < 1e9
+    val base = df.filter(valid)
+      .select(col(groupCol).as("g"),
+        round(dx * 1e6).cast("long").as("__xm"),
+        round(dy * 1e6).cast("long").as("__ym"))
+    val wx = Window.partitionBy("g").orderBy("__xm")
+    val wy = Window.partitionBy("g").orderBy("__ym")
+    val ranked = base
+      .withColumn("__rx2", (rank().over(wx).cast("long") * 2
+        + count(lit(1)).over(Window.partitionBy("g", "__xm")) - 1))
+      .withColumn("__ry2", (rank().over(wy).cast("long") * 2
+        + count(lit(1)).over(Window.partitionBy("g", "__ym")) - 1))
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val agg = ranked.groupBy(col("g").as(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(d(col("__rx2")) * d(col("__ry2"))).cast("decimal(38,0)").as("__sxy"),
+      sum(d(col("__rx2")) * d(col("__rx2"))).cast("decimal(38,0)").as("__sxx"),
+      sum(d(col("__ry2")) * d(col("__ry2"))).cast("decimal(38,0)").as("__syy"),
+      sum(d(col("__rx2"))).cast("decimal(38,0)").as("__sx"),
+      sum(d(col("__ry2"))).cast("decimal(38,0)").as("__sy"))
+    val n = col("n").cast("double")
+    val sx = col("__sx").cast("double"); val sy = col("__sy").cast("double")
+    val sxx = col("__sxx").cast("double"); val syy = col("__syy").cast("double")
+    val sxy = col("__sxy").cast("double")
+    val varx = n * sxx - sx * sx
+    val vary = n * syy - sy * sy
+    agg.select(col(groupCol), col("n"),
+      when(varx > 0 && vary > 0,
+        (n * sxy - sx * sy) / sqrt(varx * vary)).as("rho"))
+  }
+
+  /** Kendall τ-b per group over a SMALL keyed series (caller aggregates
+    * first — e.g. one row per day; the within-group pair join is
+    * |series|², calendar-bounded, NOT corpus-bounded). `orderCol` must be
+    * unique within a group (it only de-duplicates the unordered pairs).
+    *
+    * Exact concordant/discordant/tie counts on the 1e-6 micro grid;
+    * τ-b = (C−D)/√((n₀−Tx)(n₀−Ty)) is one pinned IEEE op sequence over
+    * the exact integers (Tx = pairs tied in x, incl. both-tied).
+    */
+  def kendallTau(df: DataFrame, groupCol: String, orderCol: String,
+      xCol: String, yCol: String): DataFrame = {
+    def m(c: Column) = round(c.cast("double") * 1e6).cast("long")
+    val b = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol).as("g"), col(orderCol).as("o"),
+        m(col(xCol)).as("x"), m(col(yCol)).as("y"))
+    val pairs = b.as("a").join(b.as("b"),
+      col("a.g") === col("b.g") && col("a.o") < col("b.o"))
+    def cmp(l: Column, r: Column): Column =
+      when(l < r, -1).when(l > r, 1).otherwise(0)
+    val cx = cmp(col("a.x"), col("b.x"))
+    val cy = cmp(col("a.y"), col("b.y"))
+    val agg = pairs.groupBy(col("a.g").as(groupCol)).agg(
+      count(lit(1)).as("n_pairs"),
+      count(when(cx * cy === 1, lit(1))).as("concordant"),
+      count(when(cx * cy === -1, lit(1))).as("discordant"),
+      count(when(cx === 0, lit(1))).as("tied_x"),
+      count(when(cy === 0, lit(1))).as("tied_y"))
+    val den = (col("n_pairs") - col("tied_x")).cast("double") *
+      (col("n_pairs") - col("tied_y")).cast("double")
+    agg.select(col(groupCol), col("n_pairs"), col("concordant"),
+      col("discordant"), col("tied_x"), col("tied_y"),
+      when(den > 0, (col("concordant") - col("discordant")).cast("double")
+        / sqrt(den)).as("tau_b"))
+  }
+
   /** In-place partial-pivot Gaussian elimination for the tiny (m ≤ ~8)
     * Newton system — deterministic fixed op sequence on the driver.
     */

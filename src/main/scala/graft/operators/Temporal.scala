@@ -476,4 +476,42 @@ object Temporal {
           .as("cusum_micro"),
         (abs(col("cusum_scaled")) === col("m")).as("is_peak"))
   }
+
+  /** Per-key daily volume anomalies against an EXACT trailing median —
+    * the robust complement to z-score alerting ([[Quality]] q10): one
+    * spike day cannot drag its own baseline the way it drags a mean.
+    *
+    * The trailing window is the last `window` OBSERVED days (rows, not
+    * calendar — a key dark for a week resumes against its own history).
+    * The median is exact via the sorted window list: median×2 =
+    * l[(n+1)/2] + l[(n+2)/2] (1-based int division; equal middles when n
+    * is odd), so even-n averaging never leaves the integers. Anomaly =
+    * count outside [0.5, 1.5]× median, tested as 4·cnt vs (1|3)·median×2
+    * — pure BIGINT comparisons, no doubles anywhere. Warm-up rows (fewer
+    * than ceil(window/2) observations) report the median but never flag.
+    *
+    * Scale shape: one shuffle to the (key, day) grid (calendar×keys-
+    * bounded, the q97 argument), then a per-key window whose collected
+    * list is ≤ `window` longs — constant state per row, any corpus size.
+    */
+  def rollingMedianAnomaly(df: DataFrame, keyCol: String, tsCol: String,
+      window: Int = 7): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val daily = df.filter(col(tsCol).isNotNull && col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("__k"), col(tsCol).cast("date").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("__k").orderBy("day")
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val nw = size(col("__win"))
+    daily
+      .withColumn("__win", sort_array(collect_list(col("cnt")).over(w)))
+      .select(col("__k").as(keyCol), col("day"), col("cnt"),
+        nw.cast("long").as("n_window"),
+        (element_at(col("__win"), ((nw + 1) / 2).cast("int")) +
+         element_at(col("__win"), ((nw + 2) / 2).cast("int"))).as("median_x2"))
+      .withColumn("is_anomaly",
+        col("n_window") >= lit((window + 1) / 2) &&
+          (col("cnt") * 4 > col("median_x2") * 3 ||
+           col("cnt") * 4 < col("median_x2")))
+  }
 }

@@ -1357,4 +1357,95 @@ object TextOps {
       .orderBy(desc("score_micro"), col("id"))
       .limit(k)
   }
+
+  /** Collocation mining: top-k adjacent bigrams by pointwise mutual
+    * information — "which word pairs are a unit" (of the bigram family:
+    * q105's LM wants P(w2|w1) for scoring; PMI wants the association
+    * strength itself, normalized by BOTH unigram frequencies, so
+    * stopword-stopword pairs rank low however common).
+    *
+    * PMI = ln(P(ab)/(P(a)P(b))) over the exact counts: pmi_micro =
+    * lnµ(n_ab) + 2·lnµ(N) − lnµ(B) − lnµ(n_a) − lnµ(n_b) (N tokens, B
+    * bigram slots, both from docs with ≥2 tokens) — the micro-log
+    * integer identity (q110/q163 scheme), engine-exact.
+    *
+    * Scale shape: one cached token relation feeds both count families
+    * (corpus tokenized once); the min-count filter lands BEFORE the
+    * unigram joins, so the join fan-in is the candidate set, not the
+    * bigram vocabulary; top-k is a TakeOrderedAndProject, never a global
+    * sort of the vocabulary.
+    */
+  def bigramPmi(docs: DataFrame, textCol: String, minCount: Long,
+      k: Int): DataFrame = {
+    require(minCount >= 1 && k >= 1)
+    def lnM(c: Column): Column = round(log(c.cast("double")) * 1e6).cast("long")
+    val toks = graft.CacheScope.register(
+      graft.Parallelism.fanOut(docs.filter(col(textCol).isNotNull)
+          .select(col(textCol)))
+        .select(TextFns.tokens(col(textCol)).as("__t"))
+        .filter(size(col("__t")) >= 2))
+    val totals = broadcast(toks.agg(
+      sum(size(col("__t")).cast("long")).as("n_tok"),
+      sum((size(col("__t")) - 1).cast("long")).as("n_big")))
+    val uni = toks.select(explode(col("__t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("nw"))
+    val big = toks
+      .select(explode(TextFns.shinglesOfTokens(col("__t"), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("nab"))
+      .filter(col("nab") >= minCount)
+      .select(split(col("bg"), " ").getItem(0).as("w1"),
+        split(col("bg"), " ").getItem(1).as("w2"), col("nab"))
+    big
+      .join(uni.select(col("w").as("w1"), col("nw").as("na")), "w1")
+      .join(uni.select(col("w").as("w2"), col("nw").as("nb")), "w2")
+      .crossJoin(totals)
+      .select(col("w1"), col("w2"), col("nab"), col("na"), col("nb"),
+        (lnM(col("nab")) + lnM(col("n_tok")) * 2 - lnM(col("n_big"))
+          - lnM(col("na")) - lnM(col("nb"))).as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  /** Per-source Flesch-style readability from deterministic surface
+    * counts — the classic reading-ease face of the quality family
+    * (Gopher/entropy measure noise; this measures *difficulty*).
+    *
+    * Syllables are approximated by maximal vowel-group runs
+    * `[aeiouyAEIOUY]+` (the standard regex proxy; no dictionary, so the
+    * count is reproducible in ANY engine), words by `[A-Za-z]+` runs,
+    * sentences by terminal-punctuation runs `[.!?]+` clamped to ≥ 1 per
+    * document. Emitted ×1000 (flesch_milli = 206835 − 1015·(W/S) −
+    * 84600·(V/W)) so every constant is an integer-valued double —
+    * decimal literals round differently across engines; integers don't.
+    * Computed left-to-right over the exact BIGINT totals — a pinned IEEE
+    * op sequence, engine-identical.
+    *
+    * Scale shape: three codegen'd regexp counts per document (one scan,
+    * map-side), one aggregation to the |sources| grid. No token
+    * explosion — counts never materialize match arrays in the Spark
+    * plan.
+    */
+  def readability(docs: DataFrame, sourceCol: String,
+      textCol: String): DataFrame = {
+    val txt = col(textCol)
+    val perDoc = docs.filter(txt.isNotNull)
+      .select(col(sourceCol).as("source"),
+        greatest(regexp_count(txt, lit("[.!?]+")), lit(1)).cast("long")
+          .as("__s"),
+        regexp_count(txt, lit("[A-Za-z]+")).cast("long").as("__w"),
+        regexp_count(txt, lit("[aeiouyAEIOUY]+")).cast("long").as("__v"))
+    val agg = perDoc.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("__s").as("n_sentences"),
+      sum("__w").as("n_words"),
+      sum("__v").as("n_vowel_groups"))
+    val sd = col("n_sentences").cast("double")
+    val wd = col("n_words").cast("double")
+    val vd = col("n_vowel_groups").cast("double")
+    agg.select(col("source"), col("n_docs"), col("n_sentences"),
+      col("n_words"), col("n_vowel_groups"),
+      when(col("n_words") > 0,
+        lit(206835.0) - lit(1015.0) * (wd / sd) - lit(84600.0) * (vd / wd))
+        .as("flesch_milli"))
+  }
 }

@@ -24,6 +24,8 @@ class PlanLintSpec extends SparkSpec {
     "q12_trailing_count" -> "broadcast 1-row max-timestamp aggregate",
     "q15_watermark_filter" -> "broadcast per-key max-watermark aggregate, non-equi ts bound",
     "q24_knn_exact" -> "broadcast bounded query set, =!= self-match exclusion",
+    "q202_retrieval_mrr" -> "knnExactAgg's broadcast bounded query set (q24's shape); label joins are equi",
+    "q206_bigram_pmi" -> "crossJoin against the broadcast 1-row totals aggregate (q110/q163 shape)",
     "q102_hard_negatives" -> "broadcast bounded query set, =!= self-match + label-inequality conditions",
     "q25_embedding_near_dup" -> "exact all-pairs baseline BY DESIGN; the scale path is q25b's banded LSH",
     "q41_merge_upsert" -> "broadcast updates batch (deltas << base)",

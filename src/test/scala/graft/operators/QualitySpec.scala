@@ -6,6 +6,57 @@ import graft.SparkSpec
 
 class QualitySpec extends SparkSpec {
 
+  test("spearman: monotone nonlinear = exactly 1, reversed = -1, " +
+      "tie-aware hand example") {
+    import spark.implicits._
+    val mono = (1 to 6).map(i => ("m", i.toDouble, (i * i * i).toDouble))
+    val anti = (1 to 6).map(i => ("a", i.toDouble, -i.toDouble))
+    val tied = Seq(("t", 1.0, 1.0), ("t", 2.0, 2.0), ("t", 2.0, 3.0),
+      ("t", 3.0, 4.0))
+    val df = (mono ++ anti ++ tied).toDF("g", "x", "y")
+    val out = Quality.spearman(df, "g", "x", "y")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out("m") == 1.0)  // x³ is monotone: rank-perfect despite r² < 1
+    assert(out("a") == -1.0)
+    // x=[1,2,2,3] → 2r̄=[2,5,5,8]; y untied → [2,4,6,8];
+    // ρ = 72/√(72·80) — the exact IEEE value
+    assert(out("t") == 72.0 / math.sqrt(72.0 * 80.0))
+  }
+
+  test("spearman r² vs rho: x³ group separates monotone from linear") {
+    import spark.implicits._
+    val df = (1 to 6).map(i => ("m", i.toDouble, (i * i * i).toDouble))
+      .toDF("g", "x", "y")
+    val r2 = Quality.olsRegression(df, "g", "x", "y")
+      .collect()(0).getAs[Double]("r2")
+    assert(r2 < 1.0 && r2 > 0.8) // linear fit imperfect; rank fit perfect
+  }
+
+  test("kendallTau: hand-counted concordant/discordant/ties and exact " +
+      "tau-b") {
+    import spark.implicits._
+    // x=[1,2,2,3], y=[1,3,2,4] over o=1..4:
+    // pairs (1,2)(1,3)(1,4)(2,4)(3,4) concordant; (2,3) tied in x
+    val df = Seq(("g", 1L, 1.0, 1.0), ("g", 2L, 2.0, 3.0),
+      ("g", 3L, 2.0, 2.0), ("g", 4L, 3.0, 4.0)).toDF("g", "o", "x", "y")
+    val r = Quality.kendallTau(df, "g", "o", "x", "y").collect()(0)
+    assert(r.getAs[Long]("n_pairs") == 6L)
+    assert(r.getAs[Long]("concordant") == 5L)
+    assert(r.getAs[Long]("discordant") == 0L)
+    assert(r.getAs[Long]("tied_x") == 1L)
+    assert(r.getAs[Long]("tied_y") == 0L)
+    assert(r.getAs[Double]("tau_b") == 5.0 / math.sqrt(5.0 * 6.0))
+  }
+
+  test("kendallTau: all-tied series yields null tau (zero denominator)") {
+    import spark.implicits._
+    val df = Seq(("g", 1L, 7.0, 1.0), ("g", 2L, 7.0, 2.0),
+      ("g", 3L, 7.0, 3.0)).toDF("g", "o", "x", "y")
+    val r = Quality.kendallTau(df, "g", "o", "x", "y").collect()(0)
+    assert(r.getAs[Long]("tied_x") == 3L)
+    assert(r.isNullAt(r.fieldIndex("tau_b")))
+  }
+
   test("missingness counts nulls per column as a long table " +
       "(test_detect_missing_values)") {
     import spark.implicits._

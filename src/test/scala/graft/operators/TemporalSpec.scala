@@ -10,6 +10,35 @@ class TemporalSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("rollingMedianAnomaly: exact even/odd medians, warm-up guard, " +
+      "high and low flags") {
+    import spark.implicits._
+    // key a: counts 4,5,4,5,100 on five days; key b: 10,10,10,1 on four
+    val counts = Seq(
+      ("a", "2024-01-01", 4), ("a", "2024-01-02", 5), ("a", "2024-01-03", 4),
+      ("a", "2024-01-04", 5), ("a", "2024-01-05", 100),
+      ("b", "2024-01-01", 10), ("b", "2024-01-02", 10),
+      ("b", "2024-01-03", 10), ("b", "2024-01-04", 1))
+    val ev = counts.flatMap { case (k, d, n) =>
+      (1 to n).map(_ => (k, ts(s"$d 12:00:00")))
+    }.toDF("event_type", "ts")
+    val out = Temporal.rollingMedianAnomaly(ev, "event_type", "ts", 7)
+      .orderBy("event_type", "day").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString,
+        r.getAs[Long]("cnt"), r.getAs[Long]("n_window"),
+        r.getAs[Long]("median_x2"), r.getAs[Boolean]("is_anomaly")))
+    val a = out.filter(_._1 == "a").map(t => (t._3, t._4, t._5, t._6))
+    // odd window [4,4,5]: median×2 = 8; even window [4,4,5,5]: l[2]+l[3]=9
+    assert(a.toSeq == Seq((4L, 1L, 8L, false), (5L, 2L, 9L, false),
+      (4L, 3L, 8L, false), (5L, 4L, 9L, false), (100L, 5L, 10L, true)))
+    val b = out.filter(_._1 == "b").map(t => (t._3, t._4, t._5, t._6))
+    // low-side flag: 1 < 0.5·median(=10 via sorted [1,10,10,10] → 20/2)
+    assert(b.toSeq == Seq((10L, 1L, 20L, false), (10L, 2L, 20L, false),
+      (10L, 3L, 20L, false), (1L, 4L, 20L, true)))
+    // warm-up: n_window < 4 never flags even when deviant
+    assert(out.filter(_._4 < 4).forall(t => !t._6))
+  }
+
   test("asofJoin attaches the latest right row at or before each left ts") {
     import spark.implicits._
     val quotes = Seq( // (key, ts, px)

@@ -6,6 +6,26 @@ import graft.SparkSpec
 
 class TextMultimodalSpec extends SparkSpec {
 
+  test("readability: hand-counted sentences/words/vowel groups, " +
+      "sentence clamp, null text excluded") {
+    import spark.implicits._
+    val df = Seq(
+      ("s1", "Hello world."),   // 1 sentence, 2 words, 3 vowel groups
+      ("s2", "abc xyz"),        // no terminal punct → clamps to 1 sentence
+      ("s3", null: String)      // excluded entirely
+    ).toDF("source", "text")
+    val out = TextOps.readability(df, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_sentences"), r.getAs[Long]("n_words"),
+          r.getAs[Long]("n_vowel_groups"),
+          r.getAs[Double]("flesch_milli")))).toMap
+    assert(out.keySet == Set("s1", "s2"))
+    // 206835 − 1015·(2/1) − 84600·(3/2): every term integer-exact
+    assert(out("s1") == ((1L, 2L, 3L, 206835.0 - 2030.0 - 126900.0)))
+    // "abc"→a, "xyz"→y: 2 vowel groups; 206835 − 2030 − 84600·(2/2)
+    assert(out("s2") == ((1L, 2L, 2L, 206835.0 - 2030.0 - 84600.0)))
+  }
+
   test("langIdPredict scores lexicon hits with deterministic tie-break") {
     import spark.implicits._
     val df = Seq(
