@@ -6383,6 +6383,175 @@ object SparkEntry {
         LEFT JOIN rev y ON r.month = y.month + INTERVAL 12 MONTH
         ORDER BY r.month""")),
 
+    // Simpson's-paradox audit: per-priority discount→quantity slope vs
+    // the pooled slope — flags groups whose within-group trend CONTRADICTS
+    // the aggregate trend (the aggregation-bias trap every dashboard
+    // rollup invites). Pure composition of q197's exact-moment OLS run
+    // grouped and ungrouped; the flip test is a sign product on exact
+    // doubles.
+    "q209_simpson_paradox" -> Q(
+      (s, dir) => {
+        val li = graft.CacheScope.register(
+          t(s, dir, "lineitem")
+            .join(t(s, dir, "orders").select(col("o_orderkey"),
+              col("o_orderpriority")), col("l_orderkey") === col("o_orderkey"))
+            .select(col("o_orderpriority"), col("l_discount"),
+              col("l_quantity")))
+        val grouped = Quality.olsRegression(li, "o_orderpriority",
+          "l_discount", "l_quantity")
+        val pooled = Quality.olsRegression(li.withColumn("__all", lit("ALL")),
+          "__all", "l_discount", "l_quantity")
+          .select(col("slope").as("pooled_slope"))
+        grouped.crossJoin(broadcast(pooled))
+          .select(col("o_orderpriority"), col("n"), col("slope"),
+            col("pooled_slope"),
+            when(col("slope").isNotNull && col("pooled_slope").isNotNull,
+              col("slope") * col("pooled_slope") < 0).as("sign_flip"))
+          .orderBy("o_orderpriority")
+      },
+      Some {
+        def m(c: String) = s"CAST(CAST(round($c * 1e6) AS BIGINT) AS DECIMAL(19,0))"
+        def v(c: String) = s"$c IS NOT NULL AND isfinite(CAST($c AS DOUBLE)) " +
+          s"AND abs(CAST($c AS DOUBLE)) < 1e9"
+        val f = s"FILTER (WHERE ${v("l_discount")} AND ${v("l_quantity")})"
+        def momentCte(name: String, groupExpr: String) =
+          s"""$name AS (SELECT $groupExpr AS g,
+            COUNT(*) $f AS n,
+            CAST(SUM(${m("l_discount")}) $f AS DECIMAL(38,0)) AS sx,
+            CAST(SUM(${m("l_quantity")}) $f AS DECIMAL(38,0)) AS sy,
+            CAST(SUM(${m("l_discount")} * ${m("l_discount")}) $f AS DECIMAL(38,0)) AS sxx,
+            CAST(SUM(${m("l_discount")} * ${m("l_quantity")}) $f AS DECIMAL(38,0)) AS sxy
+          FROM li GROUP BY 1)"""
+        val slope = "CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) " +
+          "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0 THEN " +
+          "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) " +
+          "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) " +
+          "/ (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) " +
+          "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END"
+        s"""WITH li AS (SELECT o.o_orderpriority, l.l_discount, l.l_quantity
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+          ${momentCte("ga", "o_orderpriority")},
+          ${momentCte("pa", "'ALL'")},
+          gs AS (SELECT g AS o_orderpriority, n, $slope AS slope FROM ga),
+          ps AS (SELECT $slope AS pooled_slope FROM pa)
+        SELECT o_orderpriority, n, slope, pooled_slope,
+          CASE WHEN slope IS NOT NULL AND pooled_slope IS NOT NULL
+            THEN slope * pooled_slope < 0 END AS sign_flip
+        FROM gs CROSS JOIN ps ORDER BY o_orderpriority"""
+      }),
+
+    // Lexical richness per source: type/token counts, hapax and dis
+    // legomena (once/twice words), TTR and hapax share on the integer
+    // micro grid — the classic vocabulary-tail profile (q137's growth
+    // curve says how fast vocab grows; this says how thin its tail is,
+    // the strongest single signal of templated/bot text).
+    "q210_hapax_richness" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val wc = docs.filter(col("text").isNotNull)
+          .select(col("source"),
+            explode(TextFns.tokens(col("text"))).as("w"))
+          .groupBy("source", "w").agg(count(lit(1)).as("c"))
+        wc.groupBy("source")
+          .agg(count(lit(1)).as("n_types"),
+            sum("c").as("n_tokens"),
+            count(when(col("c") === 1, lit(1))).as("hapax"),
+            count(when(col("c") === 2, lit(1))).as("dis"))
+          .select(col("source"), col("n_types"), col("n_tokens"),
+            col("hapax"), col("dis"),
+            expr("(n_types * 1000000) div n_tokens").as("ttr_micro"),
+            expr("(hapax * 1000000) div n_types").as("hapax_share_micro"))
+          .orderBy("source")
+      },
+      Some("""WITH toks AS (SELECT source,
+            unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+          FROM documents WHERE text IS NOT NULL),
+        wc AS (SELECT source, w, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        a AS (SELECT source, COUNT(*) AS n_types,
+            CAST(SUM(c) AS BIGINT) AS n_tokens,
+            COUNT(CASE WHEN c = 1 THEN 1 END) AS hapax,
+            COUNT(CASE WHEN c = 2 THEN 1 END) AS dis
+          FROM wc GROUP BY 1)
+        SELECT source, n_types, n_tokens, hapax, dis,
+          (n_types * 1000000) // n_tokens AS ttr_micro,
+          (hapax * 1000000) // n_types AS hapax_share_micro
+        FROM a ORDER BY source""")),
+
+    // Estimator quality as a first-class query: precision/recall/F1 of
+    // the SimHash hamming≤3 detector against exact trigram-Jaccard ≥0.8
+    // ground truth — the dedup family grading its own cheap detector
+    // (DedupSpec pins the MinHash estimator; this gates the SimHash one
+    // in the driver loop, so a hash-family regression fails correctness,
+    // not just a spec). Full-outer pair join; counts and rates on the
+    // integer micro grid.
+    "q211_estimator_pr" -> Q(
+      (s, dir) => {
+        val docs = graft.CacheScope.register(t(s, dir, "documents"))
+        val truth = Dedup.minhashNearDups(docs, "doc_id", "text", 3, 64, 16,
+            0.8)
+          .select(col("id_a"), col("id_b"), lit(1).as("t"))
+        val pred = Dedup.simhashNearDups(
+            Dedup.simhash(docs, "doc_id", "text"), 3, 4)
+          .select(col("id_a"), col("id_b"), lit(1).as("p"))
+        truth.join(pred, Seq("id_a", "id_b"), "full_outer")
+          .agg(sum(coalesce(col("p"), lit(0))).as("n_pred"),
+            sum(coalesce(col("t"), lit(0))).as("n_truth"),
+            count(when(col("p").isNotNull && col("t").isNotNull, lit(1)))
+              .as("tp"))
+          .select(col("n_pred"), col("n_truth"), col("tp"),
+            when(col("n_pred") > 0, expr("(tp * 1000000) div n_pred"))
+              .as("precision_micro"),
+            when(col("n_truth") > 0, expr("(tp * 1000000) div n_truth"))
+              .as("recall_micro"),
+            when(col("n_pred") + col("n_truth") > 0,
+              expr("(2 * tp * 1000000) div (n_pred + n_truth)"))
+              .as("f1_micro"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
+               FROM documents),
+        grams AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, greatest(len(l) - 1, 1)),
+                 i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS g
+               FROM toks WHERE len(l) >= 3),
+        sh AS (SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS sh FROM grams),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+                  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        truth AS (SELECT id_a, id_b FROM inter
+                  JOIN sizes sa ON id_a = sa.doc_id
+                  JOIN sizes sb ON id_b = sb.doc_id
+                  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8),
+        tw AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+               FROM documents),
+        th AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM tw),
+        bits AS (SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                 FROM th CROSS JOIN range(60) r(j) GROUP BY 1, 2),
+        sig AS (SELECT doc_id, CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+                FROM bits GROUP BY doc_id),
+        pred AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+                 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+        u AS (SELECT COALESCE(t.id_a, p.id_a) AS id_a,
+                COALESCE(t.id_b, p.id_b) AS id_b,
+                (p.id_a IS NOT NULL) AS in_pred,
+                (t.id_a IS NOT NULL) AS in_truth
+              FROM truth t
+              FULL OUTER JOIN pred p ON t.id_a = p.id_a AND t.id_b = p.id_b),
+        agg AS (SELECT
+            CAST(COUNT(CASE WHEN in_pred THEN 1 END) AS BIGINT) AS n_pred,
+            CAST(COUNT(CASE WHEN in_truth THEN 1 END) AS BIGINT) AS n_truth,
+            CAST(COUNT(CASE WHEN in_pred AND in_truth THEN 1 END) AS BIGINT) AS tp
+          FROM u)
+        SELECT n_pred, n_truth, tp,
+          CASE WHEN n_pred > 0 THEN (tp * 1000000) // n_pred END
+            AS precision_micro,
+          CASE WHEN n_truth > 0 THEN (tp * 1000000) // n_truth END
+            AS recall_micro,
+          CASE WHEN n_pred + n_truth > 0
+            THEN (2 * tp * 1000000) // (n_pred + n_truth) END AS f1_micro
+        FROM agg""")),
+
     // ----- SQL API surface ---------------------------------------------------
 
     // The spark.sql face of the engine: the same ANSI text runs on both
