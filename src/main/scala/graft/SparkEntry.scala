@@ -6552,6 +6552,41 @@ object SparkEntry {
             THEN (2 * tp * 1000000) // (n_pred + n_truth) END AS f1_micro
         FROM agg""")),
 
+    // Time-decay multi-touch attribution: q149's linear credit with a
+    // one-day half-life — weights are dyadic integers (1e6 >> days), so
+    // the decay is exact with no libm pow; per-cell credit is one pinned
+    // IEEE multiply+divide rounded back to the micro grid.
+    "q212_decay_attribution" -> Q(
+      (s, dir) => Analytics.decayAttribution(t(s, dir, "events"),
+          "user_id", "ts", "event_type", "value", "view", "purchase", 7)
+        .orderBy("view_hour"),
+      Some("""WITH v AS (SELECT user_id AS u,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS vt,
+            hour(CAST(ts AS TIMESTAMP)) AS view_hour
+          FROM events WHERE event_type = 'view'),
+        p AS (SELECT user_id AS u, event_id AS pid,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS pt,
+            CAST(round(value * 1e6) AS BIGINT) AS v_micro
+          FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+        pairs AS (SELECT p.pid, p.v_micro, v.view_hour,
+            1000000 // (CAST(1 AS BIGINT)
+              << CAST((p.pt - v.vt) // 86400000000 AS INT)) AS w
+          FROM p JOIN v ON p.u = v.u AND v.vt <= p.pt
+            AND v.vt >= p.pt - 604800000000),
+        per_purchase AS (SELECT pid, v_micro,
+            CAST(SUM(w) AS BIGINT) AS w_tot
+          FROM pairs GROUP BY 1, 2),
+        per_cell AS (SELECT pr.view_hour,
+            CAST(round(CAST(pp.v_micro AS DOUBLE) * CAST(pr.w_h AS DOUBLE)
+              / CAST(pp.w_tot AS DOUBLE)) AS BIGINT) AS credit_micro
+          FROM (SELECT pid, view_hour, CAST(SUM(w) AS BIGINT) AS w_h
+                FROM pairs GROUP BY 1, 2) pr
+          JOIN per_purchase pp USING (pid))
+        SELECT CAST(view_hour AS INTEGER) AS view_hour,
+          CAST(COUNT(*) AS BIGINT) AS n_cells,
+          CAST(SUM(credit_micro) AS BIGINT) AS attributed_micro
+        FROM per_cell GROUP BY 1 ORDER BY 1""")),
+
     // ----- SQL API surface ---------------------------------------------------
 
     // The spark.sql face of the engine: the same ANSI text runs on both

@@ -199,6 +199,56 @@ object Analytics {
         sum(col("credit_micro")).as("attributed_micro"))
   }
 
+  /** Time-decay multi-touch attribution — [[linearAttribution]] with
+    * recency weighting: a view `d` whole days before the purchase earns
+    * weight 0.5^d (one-day half-life), so last-touch dominates without
+    * zeroing the assist. Decay stays EXACT by construction: the weight is
+    * the integer 1e6 >> d (dyadic halving on the micro grid — no
+    * `pow(0.5, Δt)` libm call, which engines disagree on in the last
+    * ulps); per-cell credit v·w_cell/w_total is one pinned IEEE
+    * multiply+divide over exact integers, rounded back to the grid
+    * before the order-independent final sum.
+    *
+    * Same scale shape as the linear form: the purchase-view pair join is
+    * user-bucketed and window-bounded; aggregates ride the (purchase)
+    * then (hour) grids.
+    */
+  def decayAttribution(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, valueCol: String, viewType: String,
+      purchaseType: String, windowDays: Int,
+      purchaseIdCol: String = "event_id"): DataFrame = {
+    val micros = (c: Column) => unix_micros(c.cast("timestamp"))
+    val windowMicros = windowDays.toLong * 86400L * 1000000L
+    val v = events.filter(col(typeCol) === viewType)
+      .select(col(userCol).as("u"), micros(col(tsCol)).as("vt"),
+        hour(col(tsCol).cast("timestamp")).as("view_hour"))
+    val p = events.filter(col(typeCol) === purchaseType &&
+        col(valueCol).isNotNull)
+      .select(col(userCol).as("u"), col(purchaseIdCol).as("pid"),
+        micros(col(tsCol)).as("pt"),
+        round(col(valueCol) * 1e6).cast("long").as("v_micro"))
+    val pairs = p.as("p").join(v.as("v"),
+        col("p.u") === col("v.u")
+          && col("v.vt") <= col("p.pt")
+          && col("v.vt") >= col("p.pt") - windowMicros)
+      .select(col("p.pid").as("pid"), col("p.v_micro").as("v_micro"),
+        col("v.view_hour").as("view_hour"),
+        // whole days of staleness → dyadic weight 1e6 >> d, exact
+        expr("1000000 div (cast(1 as bigint) << cast((pt - vt) div 86400000000 as int))")
+          .as("w"))
+    val perPurchase = pairs.groupBy("pid", "v_micro")
+      .agg(sum(col("w")).as("w_tot"))
+    val perCell = pairs.groupBy("pid", "view_hour")
+      .agg(sum(col("w")).as("w_h"))
+      .join(perPurchase, "pid")
+      .select(col("view_hour"),
+        round(col("v_micro").cast("double") * col("w_h").cast("double")
+          / col("w_tot").cast("double")).cast("long").as("credit_micro"))
+    perCell.groupBy("view_hour")
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("credit_micro")).as("attributed_micro"))
+  }
+
   /** Seasonality profile of an event stream: per (day-of-week,
     * hour-of-day) cell, the event count, the number of calendar days of
     * that weekday in the corpus span (absent cells are genuine zeros —

@@ -165,6 +165,33 @@ class StreamingSpec extends SparkSpec {
     assert(bout == Map((5L, 300L) -> 300L, (5L, 100L) -> 200L))
   }
 
+  test("StreamRollingMedian: exact trailing median continues across " +
+      "batches, warm-up guard holds, state is bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // rows: (key, dayIndex, count) — the TemporalSpec fixture split
+    // across two micro-batches; the day-5 spike must be scored against
+    // state carried over from batch 1
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = StreamRollingMedian.monitor(mem.toDS(), 7)
+      .writeStream.format("memory").queryName("srmed")
+      .outputMode("append").start()
+    mem.addData(("a", 1L, 4L), ("a", 2L, 5L), ("a", 3L, 4L))
+    q.processAllAvailable()
+    mem.addData(("a", 4L, 5L), ("a", 5L, 100L))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("srmed").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getInt(3), r.getLong(4), r.getBoolean(5)))).toMap
+    // identical to Temporal.rollingMedianAnomaly on the same counts:
+    // odd [4,4,5]→8; even [4,4,5,5]→9; [4,4,5,5,100]→10 and flags
+    assert(out == Map(
+      ("a", 1L) -> ((1, 8L, false)), ("a", 2L) -> ((2, 9L, false)),
+      ("a", 3L) -> ((3, 8L, false)), ("a", 4L) -> ((4, 9L, false)),
+      ("a", 5L) -> ((5, 10L, true))))
+  }
+
   test("incrementalDedupStream: stream-static anti-join vs corpus, then " +
       "bounded-state within-stream dedup") {
     import spark.implicits._
