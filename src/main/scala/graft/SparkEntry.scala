@@ -6587,6 +6587,41 @@ object SparkEntry {
           CAST(SUM(credit_micro) AS BIGINT) AS attributed_micro
         FROM per_cell GROUP BY 1 ORDER BY 1""")),
 
+    // Pairwise earth mover's distance between source length
+    // distributions — the transport-cost drift measure (PSI/KS/KL are
+    // already in the family; EMD charges by how far the mass moved).
+    // Cross-multiplied integer CDFs on a 20-bucket grid; two pinned
+    // divisions at the end.
+    "q213_emd_lengths" -> Q(
+      (s, dir) => Quality.emdPairwise(t(s, dir, "documents"), "source",
+          "n_chars", 20)
+        .orderBy("group_a", "group_b"),
+      Some("""WITH base AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS x
+            FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+        bounds AS (SELECT min(x) AS lo, max(x) AS hi FROM base),
+        counts AS (SELECT g, ((x - (SELECT lo FROM bounds)) * 20)
+              // ((SELECT hi FROM bounds) - (SELECT lo FROM bounds) + 1) AS b,
+            COUNT(*) AS c
+          FROM base GROUP BY 1, 2),
+        totals AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY 1),
+        grid AS (SELECT t.g, t.n, r.b, COALESCE(c.c, 0) AS c
+          FROM totals t CROSS JOIN (SELECT unnest(range(20)) AS b) r
+          LEFT JOIN counts c ON c.g = t.g AND c.b = r.b),
+        cum AS (SELECT g, n, b,
+            CAST(SUM(c) OVER (PARTITION BY g ORDER BY b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS cum
+          FROM grid),
+        pairs AS (SELECT a.g AS group_a, b.g AS group_b,
+            a.n AS n_a, b.n AS n_b,
+            CAST(SUM(abs(a.cum * b.n - b.cum * a.n)) AS DECIMAL(38,0)) AS s
+          FROM cum a JOIN cum b ON a.b = b.b AND a.g < b.g
+          GROUP BY 1, 2, 3, 4)
+        SELECT group_a, group_b, n_a, n_b,
+          CAST(s AS DOUBLE)
+            / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) / 20.0 AS emd
+        FROM pairs ORDER BY group_a, group_b""")),
+
     // ----- SQL API surface ---------------------------------------------------
 
     // The spark.sql face of the engine: the same ANSI text runs on both

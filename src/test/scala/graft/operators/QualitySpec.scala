@@ -57,6 +57,20 @@ class QualitySpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("tau_b")))
   }
 
+  test("emdPairwise: all mass shifted one of two buckets = exactly 0.5; " +
+      "identical distributions = 0") {
+    import spark.implicits._
+    val df = (Seq.fill(4)(("a", 0L)) ++ Seq.fill(2)(("b", 9L)) ++
+      Seq.fill(3)(("c", 0L))).toDF("g", "x")
+    val out = Quality.emdPairwise(df, "g", "x", buckets = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Double]("emd")).toMap
+    // a: cum [4,4]; b: cum [0,2] → Σ|cumA·nB−cumB·nA| = 8 → 8/(4·2)/2
+    assert(out(("a", "b")) == 0.5)
+    assert(out(("a", "c")) == 0.0) // same shape, different sizes
+    assert(out(("b", "c")) == 0.5)
+  }
+
   test("missingness counts nulls per column as a long table " +
       "(test_detect_missing_values)") {
     import spark.implicits._
