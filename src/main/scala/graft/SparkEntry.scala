@@ -6622,6 +6622,40 @@ object SparkEntry {
             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) / 20.0 AS emd
         FROM pairs ORDER BY group_a, group_b""")),
 
+    // Pairwise two-proportion z-tests between languages on the quality
+    // pass rate (score ≥ 0.5 on the micro grid) — the proportions member
+    // of the A/B family (q134 Welch compares means, q150 Wilson
+    // intervals one rate; this tests rate differences). Exact (n, k)
+    // counts; z is a pinned IEEE sequence; degenerate pooled rates null.
+    "q214_quality_ztest" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val scored = TextOps.qualityFeatures(docs, "doc_id", "text")
+          .select(col("doc_id"), col("quality_score_micro"))
+        val withLang = docs.select(col("doc_id"), col("lang"))
+          .join(scored, "doc_id")
+        Quality.twoProportionZ(withLang, "lang",
+            col("quality_score_micro") >= 500000L)
+          .orderBy("group_a", "group_b")
+      },
+      Some(s"""WITH ${qualityMicroSql("doc_id, lang")},
+        per AS (SELECT lang AS g, COUNT(*) AS n,
+            COUNT(CASE WHEN quality_score_micro >= 500000 THEN 1 END) AS k
+          FROM __qm WHERE lang IS NOT NULL GROUP BY 1)
+        SELECT a.g AS group_a, b.g AS group_b,
+          a.n AS n_a, a.k AS k_a, b.n AS n_b, b.k AS k_b,
+          CASE WHEN (CAST(a.k + b.k AS DOUBLE) / CAST(a.n + b.n AS DOUBLE))
+                 * (1.0 - CAST(a.k + b.k AS DOUBLE) / CAST(a.n + b.n AS DOUBLE))
+                 * (1.0 / CAST(a.n AS DOUBLE) + 1.0 / CAST(b.n AS DOUBLE)) > 0
+            THEN (CAST(a.k AS DOUBLE) / CAST(a.n AS DOUBLE)
+                  - CAST(b.k AS DOUBLE) / CAST(b.n AS DOUBLE))
+              / sqrt((CAST(a.k + b.k AS DOUBLE) / CAST(a.n + b.n AS DOUBLE))
+                 * (1.0 - CAST(a.k + b.k AS DOUBLE) / CAST(a.n + b.n AS DOUBLE))
+                 * (1.0 / CAST(a.n AS DOUBLE) + 1.0 / CAST(b.n AS DOUBLE)))
+            END AS z
+        FROM per a JOIN per b ON a.g < b.g
+        ORDER BY group_a, group_b""")),
+
     // ----- SQL API surface ---------------------------------------------------
 
     // The spark.sql face of the engine: the same ANSI text runs on both

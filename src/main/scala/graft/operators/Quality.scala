@@ -1194,6 +1194,39 @@ object Quality {
           / lit(buckets.toDouble)).as("emd"))
   }
 
+  /** Pairwise two-proportion z-test between every two groups' hit rates
+    * — the proportions member of the A/B family ([[welchPairs]] compares
+    * means, [[groupedWilson]] intervals ONE rate; this tests rate
+    * DIFFERENCES): z = (p̂₁−p̂₂)/√(p̂(1−p̂)(1/n₁+1/n₂)) with the pooled p̂.
+    * Same exactness contract as Welch: per-group (n, k) are exact
+    * counts, z is a fixed IEEE op sequence on them — engine-identical.
+    * No p-value on purpose (normal CDFs are libm territory); downstream
+    * thresholds |z|, which is the decision procedure anyway.
+    *
+    * Degenerate pairs (pooled rate 0 or 1 → zero denominator) yield
+    * null z. The pair join runs on the |groups|-row aggregate only.
+    */
+  def twoProportionZ(df: DataFrame, groupCol: String,
+      hitCol: Column): DataFrame = {
+    val agg = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n"), count(when(hitCol, lit(1))).as("k"))
+    def dbl(c: Column) = c.cast("double")
+    val p1 = dbl(col("a.k")) / dbl(col("a.n"))
+    val p2 = dbl(col("b.k")) / dbl(col("b.n"))
+    val pp = dbl(col("a.k") + col("b.k")) / dbl(col("a.n") + col("b.n"))
+    val den = sqrt(pp * (lit(1.0) - pp)
+      * (lit(1.0) / dbl(col("a.n")) + lit(1.0) / dbl(col("b.n"))))
+    // |groups| rows per side — broadcast the right side so the inequality
+    // pair join plans as a BNLJ over the tiny aggregate (q134's shape),
+    // never a cartesian of raw relations
+    agg.as("a").join(broadcast(agg.as("b")), col("a.g") < col("b.g"))
+      .select(col("a.g").as("group_a"), col("b.g").as("group_b"),
+        col("a.n").as("n_a"), col("a.k").as("k_a"),
+        col("b.n").as("n_b"), col("b.k").as("k_b"),
+        when(den > 0, (p1 - p2) / den).as("z"))
+  }
+
   /** In-place partial-pivot Gaussian elimination for the tiny (m ≤ ~8)
     * Newton system — deterministic fixed op sequence on the driver.
     */

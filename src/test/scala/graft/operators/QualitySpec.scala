@@ -71,6 +71,30 @@ class QualitySpec extends SparkSpec {
     assert(out(("b", "c")) == 0.5)
   }
 
+  test("twoProportionZ: pooled-variance hand example exact; degenerate " +
+      "pooled rate yields null z") {
+    import spark.implicits._
+    val df = (Seq.fill(2)(("a", true)) ++ Seq.fill(2)(("a", false)) ++
+      Seq.fill(4)(("b", false)) ++ Seq.fill(3)(("c", true)))
+      .toDF("g", "hit")
+    val out = Quality.twoProportionZ(df, "g", col("hit"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        Option(r.getAs[Any]("z")).map(_.asInstanceOf[Double])).toMap
+    // a: 2/4, b: 0/4 → pp=.25; z = .5/sqrt(.25·.75·(1/4+1/4))
+    assert(out(("a", "b")) ==
+      Some(0.5 / math.sqrt(0.25 * 0.75 * (0.25 + 0.25))))
+    // b: 0/4 vs c: 3/3 all-hit → pp=3/7, defined z; a-c defined too
+    assert(out(("b", "c")).isDefined && out(("b", "c")).get < 0)
+  }
+
+  test("twoProportionZ: both groups all-hit (pooled rate 1) → null z") {
+    import spark.implicits._
+    val df = (Seq.fill(3)(("a", true)) ++ Seq.fill(2)(("b", true)))
+      .toDF("g", "hit")
+    val r = Quality.twoProportionZ(df, "g", col("hit")).collect()(0)
+    assert(r.isNullAt(r.fieldIndex("z")))
+  }
+
   test("missingness counts nulls per column as a long table " +
       "(test_detect_missing_values)") {
     import spark.implicits._
