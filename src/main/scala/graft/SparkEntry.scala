@@ -6656,6 +6656,60 @@ object SparkEntry {
         FROM per a JOIN per b ON a.g < b.g
         ORDER BY group_a, group_b""")),
 
+    // Out-of-vocabulary audit of the holdout: per language, what
+    // fraction of test-split tokens (and distinct types) never appear in
+    // the train split — the coverage number that decides whether a
+    // tokenizer/vocab trained on 90% generalizes to the held-out 10%.
+    // Composes q51's SQL-replayable md5 split with the token relation;
+    // rates on the integer micro grid. One vocab-keyed equi join; the
+    // train vocabulary is reduced to distinct types before joining.
+    "q215_oov_rate" -> Q(
+      (s, dir) => {
+        val toks = graft.CacheScope.register(
+          Sampling.hashSplit(t(s, dir, "documents"), "doc_id", "exp1",
+              Seq("train" -> 0.90, "val" -> 0.05, "test" -> 0.05))
+            .filter(col("text").isNotNull)
+            .select(col("lang"), col("split"),
+              explode(TextFns.tokens(col("text"))).as("w")))
+        val trainVocab = toks.filter(col("split") === "train")
+          .select("w").distinct().withColumn("__in", lit(1))
+        toks.filter(col("split") === "test")
+          .join(trainVocab, Seq("w"), "left")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_test_tokens"),
+            count(when(col("__in").isNull, lit(1))).as("n_oov_tokens"),
+            countDistinct(col("w")).as("n_test_types"),
+            countDistinct(when(col("__in").isNull, col("w")))
+              .as("n_oov_types"))
+          .select(col("lang"), col("n_test_tokens"), col("n_oov_tokens"),
+            col("n_test_types"), col("n_oov_types"),
+            expr("(n_oov_tokens * 1000000) div n_test_tokens")
+              .as("oov_token_rate_micro"),
+            expr("(n_oov_types * 1000000) div n_test_types")
+              .as("oov_type_rate_micro"))
+          .orderBy("lang")
+      },
+      Some("""WITH sp AS (SELECT doc_id, lang, text,
+            CAST('0x' || substr(md5('exp1:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 AS bkt
+          FROM documents WHERE text IS NOT NULL),
+        a AS (SELECT lang,
+            CASE WHEN bkt < 9000 THEN 'train' WHEN bkt < 9500 THEN 'val'
+                 ELSE 'test' END AS split,
+            unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+          FROM sp),
+        tv AS (SELECT DISTINCT w FROM a WHERE split = 'train'),
+        te AS (SELECT lang, a.w, (tv.w IS NOT NULL) AS seen
+          FROM a LEFT JOIN tv ON a.w = tv.w WHERE split = 'test')
+        SELECT lang, COUNT(*) AS n_test_tokens,
+          COUNT(CASE WHEN NOT seen THEN 1 END) AS n_oov_tokens,
+          COUNT(DISTINCT w) AS n_test_types,
+          COUNT(DISTINCT CASE WHEN NOT seen THEN w END) AS n_oov_types,
+          (COUNT(CASE WHEN NOT seen THEN 1 END) * 1000000) // COUNT(*)
+            AS oov_token_rate_micro,
+          (COUNT(DISTINCT CASE WHEN NOT seen THEN w END) * 1000000)
+            // COUNT(DISTINCT w) AS oov_type_rate_micro
+        FROM te GROUP BY 1 ORDER BY lang""")),
+
     // ----- SQL API surface ---------------------------------------------------
 
     // The spark.sql face of the engine: the same ANSI text runs on both
