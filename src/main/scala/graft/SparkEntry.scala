@@ -6710,6 +6710,39 @@ object SparkEntry {
             // COUNT(DISTINCT w) AS oov_type_rate_micro
         FROM te GROUP BY 1 ORDER BY lang""")),
 
+    // Small-quantity-order revenue (the TPC-H Q17 shape): revenue from
+    // lineitems whose quantity is below 50% of that part's average
+    // quantity — the correlated-scalar-subquery plan. Spark formulates
+    // it as ONE per-part aggregate joined back (no correlated re-scan);
+    // the oracle states the classic correlated form, so the two
+    // formulations check each other. The threshold compares exact
+    // micro integers (2·qty·n vs sum), never a float average.
+    "q216_small_qty_revenue" -> Q(
+      (s, dir) => {
+        val li = graft.CacheScope.register(t(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_quantity"),
+            col("l_extendedprice"),
+            round(col("l_quantity") * 1e6).cast("long").as("__qm")))
+        val perPart = li.groupBy("l_partkey")
+          .agg(sum("__qm").as("__sq"), count(lit(1)).as("__nq"))
+        li.join(perPart, "l_partkey")
+          // qty < 0.5·avg ⇔ 2·qty·n < sum — exact integers
+          .filter(col("__qm") * 2L * col("__nq") < col("__sq"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(round(col("l_extendedprice") * 1e2).cast("long"))
+              .as("revenue_cents"))
+      },
+      Some("""SELECT COUNT(*) AS n_items,
+          CAST(SUM(CAST(round(l_extendedprice * 1e2) AS BIGINT)) AS BIGINT)
+            AS revenue_cents
+        FROM lineitem l1
+        WHERE CAST(round(l1.l_quantity * 1e6) AS BIGINT) * 2 *
+            (SELECT COUNT(*) FROM lineitem l2
+             WHERE l2.l_partkey = l1.l_partkey)
+          < (SELECT CAST(SUM(CAST(round(l3.l_quantity * 1e6) AS BIGINT))
+                AS BIGINT) FROM lineitem l3
+             WHERE l3.l_partkey = l1.l_partkey)""")),
+
     // ----- SQL API surface ---------------------------------------------------
 
     // The spark.sql face of the engine: the same ANSI text runs on both
