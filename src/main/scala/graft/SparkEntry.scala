@@ -6743,6 +6743,87 @@ object SparkEntry {
                 AS BIGINT) FROM lineitem l3
              WHERE l3.l_partkey = l1.l_partkey)""")),
 
+    // Entity-resolution clusters: q156's Jaro-Winkler record links →
+    // connected components → canonical (min-id) representative per
+    // entity — the "golden record" step record linkage exists for; A~B
+    // and B~C must merge {A,B,C} even when A~C misses the bar. The
+    // oracle replays the JW links with DuckDB's own jaro_winkler and the
+    // q55 recursive min-label closure.
+    "q217_entity_clusters" -> Q(
+      (s, dir) => {
+        val links = Dedup.jaroWinklerLinkage(t(s, dir, "documents"),
+          "doc_id", "text", 3, 0.5, 0.9)
+        Graphs.connectedComponents(links, "id_a", "id_b")
+          .select(col("id").as("doc_id"), col("component").as("entity_id"),
+            count(lit(1)).over(Window.partitionBy(col("component")))
+              .as("entity_size"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE ${nearDupEdgesCte(0.5)},
+        nt AS (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+               FROM documents),
+        links AS (SELECT p.id_a, p.id_b
+          FROM prs p JOIN nt a ON a.doc_id = p.id_a
+                     JOIN nt b ON b.doc_id = p.id_b
+          WHERE jaro_winkler_similarity(a.t, b.t) >= 0.9),
+        jedges AS (SELECT id_a AS src, id_b AS dst FROM links
+                   UNION SELECT id_b, id_a FROM links),
+        walk(id, lbl) AS (
+          SELECT src, src FROM jedges
+          UNION
+          SELECT e.src, w.lbl FROM jedges e JOIN walk w ON w.id = e.dst),
+        comp AS (SELECT id AS doc_id, MIN(lbl) AS entity_id FROM walk
+                 GROUP BY id)
+        SELECT doc_id, entity_id,
+          COUNT(*) OVER (PARTITION BY entity_id) AS entity_size
+        FROM comp ORDER BY doc_id""")),
+
+    // Weekly churn accounting: per week, active users, churned (active
+    // previous week, absent this week) and new (first-ever week) — the
+    // retention dashboard's flow face (q126's cohort matrix is the stock
+    // face). Presence reduces to the (user, week) grid before any join;
+    // week pairs join on exact 7-day date arithmetic (gap-safe).
+    "q218_churn" -> Q(
+      (s, dir) => {
+        val pres = graft.CacheScope.register(
+          t(s, dir, "events").filter(col("ts").isNotNull)
+            .select(col("user_id"),
+              date_trunc("week", col("ts")).cast("date").as("week"))
+            .distinct())
+        val first = pres.groupBy("user_id").agg(min("week").as("__fw"))
+        // churn INTO week w = users present at w−7d, absent at w; the
+        // left join below keeps only observed activity weeks, so the +7
+        // shift past the last week cannot invent a row
+        val churned = pres.select(col("user_id"),
+            date_add(col("week"), 7).as("week")).as("p")
+          .join(pres.as("c"), Seq("user_id", "week"), "left_anti")
+          .groupBy("week").agg(count(lit(1)).as("n_churned"))
+        pres.join(first, "user_id")
+          .groupBy("week")
+          .agg(count(lit(1)).as("n_active"),
+            count(when(col("week") === col("__fw"), lit(1))).as("n_new"))
+          .join(churned, Seq("week"), "left")
+          .select(col("week"), col("n_active"), col("n_new"),
+            coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+          .orderBy("week")
+      },
+      Some("""WITH pres AS (SELECT DISTINCT user_id,
+            CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week
+          FROM events WHERE ts IS NOT NULL),
+        first AS (SELECT user_id, MIN(week) AS fw FROM pres GROUP BY 1),
+        churn AS (SELECT p.week + 7 AS week, COUNT(*) AS n_churned
+          FROM pres p
+          WHERE NOT EXISTS (SELECT 1 FROM pres c
+            WHERE c.user_id = p.user_id AND c.week = p.week + 7)
+          GROUP BY 1),
+        act AS (SELECT week, COUNT(*) AS n_active,
+            COUNT(CASE WHEN week = fw THEN 1 END) AS n_new
+          FROM pres JOIN first USING (user_id) GROUP BY week)
+        SELECT a.week, a.n_active, a.n_new,
+          COALESCE(c.n_churned, 0) AS n_churned
+        FROM act a LEFT JOIN churn c ON c.week = a.week
+        ORDER BY a.week""")),
+
     // ----- SQL API surface ---------------------------------------------------
 
     // The spark.sql face of the engine: the same ANSI text runs on both
