@@ -6824,6 +6824,93 @@ object SparkEntry {
         FROM act a LEFT JOIN churn c ON c.week = a.week
         ORDER BY a.week""")),
 
+    // Dedup threshold-sensitivity sweep: pair counts and affected-doc
+    // counts at Jaccard ≥ 0.5/0.6/0.7/0.8/0.9 from ONE exact-pair pass —
+    // the policy curve behind choosing τ (the single most consequential
+    // dedup knob: too low merges topical neighbors, too high keeps
+    // templated spam). Thresholds compare the already-gated exact
+    // jaccard doubles; no re-scan per threshold.
+    "q219_threshold_sweep" -> Q(
+      (s, dir) => {
+        val pairs = graft.CacheScope.register(
+          Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id",
+            "text", 3, 0.5, prefixFilter = true))
+        val ids = pairs.select(explode(array(col("id_a"), col("id_b")))
+          .as("id"), col("jaccard"))
+        val pc = pairs.agg(
+          count(lit(1)).as("pairs_050"),
+          count(when(col("jaccard") >= 0.6, lit(1))).as("pairs_060"),
+          count(when(col("jaccard") >= 0.7, lit(1))).as("pairs_070"),
+          count(when(col("jaccard") >= 0.8, lit(1))).as("pairs_080"),
+          count(when(col("jaccard") >= 0.9, lit(1))).as("pairs_090"))
+        val dc = ids.agg(
+          countDistinct(col("id")).as("docs_050"),
+          countDistinct(when(col("jaccard") >= 0.7, col("id"))).as("docs_070"),
+          countDistinct(when(col("jaccard") >= 0.9, col("id"))).as("docs_090"))
+        pc.crossJoin(broadcast(dc))
+      },
+      Some(s"""WITH ${nearDupEdgesCte(0.5)},
+        ids AS (SELECT id_a AS id, jaccard FROM prs
+                UNION ALL SELECT id_b, jaccard FROM prs)
+        SELECT
+          (SELECT COUNT(*) FROM prs) AS pairs_050,
+          (SELECT COUNT(CASE WHEN jaccard >= 0.6 THEN 1 END) FROM prs) AS pairs_060,
+          (SELECT COUNT(CASE WHEN jaccard >= 0.7 THEN 1 END) FROM prs) AS pairs_070,
+          (SELECT COUNT(CASE WHEN jaccard >= 0.8 THEN 1 END) FROM prs) AS pairs_080,
+          (SELECT COUNT(CASE WHEN jaccard >= 0.9 THEN 1 END) FROM prs) AS pairs_090,
+          (SELECT COUNT(DISTINCT id) FROM ids) AS docs_050,
+          (SELECT COUNT(DISTINCT CASE WHEN jaccard >= 0.7 THEN id END) FROM ids) AS docs_070,
+          (SELECT COUNT(DISTINCT CASE WHEN jaccard >= 0.9 THEN id END) FROM ids) AS docs_090""")),
+
+    // Sample-ratio-mismatch check of the q51 hash split: observed
+    // train/val/test counts vs the declared 90/5/5 expectation, with the
+    // goodness-of-fit chi-square statistic — the A/B-infrastructure
+    // alarm that catches a broken bucketing function before any metric
+    // is read (q180 tests independence; this tests FIT to a declared
+    // ratio). Expected counts and the statistic are pinned IEEE ops over
+    // exact integers.
+    "q220_srm_check" -> Q(
+      (s, dir) => {
+        val counts = graft.CacheScope.register(
+          Sampling.hashSplit(t(s, dir, "documents"), "doc_id", "exp1",
+              Seq("train" -> 0.90, "val" -> 0.05, "test" -> 0.05))
+            .groupBy("split").agg(count(lit(1)).as("n")))
+        val tot = counts.agg(sum("n").as("t"))
+        val frac = when(col("split") === "train", lit(0.90))
+          .when(col("split") === "val", lit(0.05)).otherwise(lit(0.05))
+        counts.crossJoin(broadcast(tot))
+          .select(col("split"), col("n"), col("t"),
+            (col("t").cast("double") * frac).as("expected"))
+          .select(col("split"), col("n"),
+            col("expected"),
+            ((col("n").cast("double") - col("expected"))
+              * (col("n").cast("double") - col("expected"))
+              / col("expected")).as("chi2_term"))
+          .orderBy("split")
+      },
+      Some("""WITH b AS (SELECT doc_id,
+            CAST('0x' || substr(md5('exp1:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 AS bkt
+          FROM documents),
+        a AS (SELECT CASE WHEN bkt < 9000 THEN 'train'
+                          WHEN bkt < 9500 THEN 'val'
+                          ELSE 'test' END AS split FROM b),
+        counts AS (SELECT split, COUNT(*) AS n FROM a GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM counts)
+        SELECT split, n,
+          CAST((SELECT t FROM tot) AS DOUBLE)
+            * (CASE WHEN split = 'train' THEN 0.90
+                    WHEN split = 'val' THEN 0.05 ELSE 0.05 END) AS expected,
+          (CAST(n AS DOUBLE) - CAST((SELECT t FROM tot) AS DOUBLE)
+             * (CASE WHEN split = 'train' THEN 0.90
+                     WHEN split = 'val' THEN 0.05 ELSE 0.05 END))
+          * (CAST(n AS DOUBLE) - CAST((SELECT t FROM tot) AS DOUBLE)
+             * (CASE WHEN split = 'train' THEN 0.90
+                     WHEN split = 'val' THEN 0.05 ELSE 0.05 END))
+          / (CAST((SELECT t FROM tot) AS DOUBLE)
+             * (CASE WHEN split = 'train' THEN 0.90
+                     WHEN split = 'val' THEN 0.05 ELSE 0.05 END)) AS chi2_term
+        FROM counts ORDER BY split""")),
+
     // ----- SQL API surface ---------------------------------------------------
 
     // The spark.sql face of the engine: the same ANSI text runs on both
