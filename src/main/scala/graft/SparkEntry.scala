@@ -6911,6 +6911,47 @@ object SparkEntry {
                      WHEN split = 'val' THEN 0.05 ELSE 0.05 END)) AS chi2_term
         FROM counts ORDER BY split""")),
 
+    // Stationary distribution of the q127 event-transition Markov chain
+    // — where the user-flow matrix settles at equilibrium ("what share
+    // of attention each surface ultimately owns"). q155's truncating
+    // integer fixed point without damping, 3 unrolled iterations over
+    // the |event_types| state grid; the oracle replays every iteration
+    // bit-for-bit.
+    "q221_markov_stationary" -> Q(
+      (s, dir) => {
+        val counts = Analytics.transitionMatrix(t(s, dir, "events"),
+          "user_id", "event_type", "ts", "event_id")
+        Graphs.markovStationary(counts, "from_type", "to_type", "n", 3)
+          .withColumnRenamed("from_type", "event_type")
+          .orderBy("event_type")
+      },
+      Some {
+        def iter(p: Int, c: Int) =
+          s"""in$c AS (SELECT c.dst AS st,
+              CAST(SUM((CAST(rp.r AS HUGEINT) * c.n) // rt.tot) AS BIGINT) AS s
+            FROM c JOIN r$p rp ON rp.st = c.src
+                   JOIN rowtot rt ON rt.src = c.src GROUP BY 1),
+          d$c AS (SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS d
+            FROM r$p LEFT JOIN rowtot ON st = src WHERE tot IS NULL),
+          r$c AS (SELECT s.st,
+              COALESCE(i.s, 0) + (SELECT d FROM d$c) // (SELECT k FROM nn) AS r
+            FROM states s LEFT JOIN in$c i USING (st))"""
+        s"""WITH pairs AS (SELECT event_type AS src0,
+              lead(event_type) OVER (PARTITION BY user_id
+                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS dst0
+            FROM events),
+          c AS (SELECT src0 AS src, dst0 AS dst, COUNT(*) AS n FROM pairs
+            WHERE dst0 IS NOT NULL GROUP BY 1, 2),
+          states AS (SELECT src AS st FROM c UNION SELECT dst FROM c),
+          nn AS (SELECT COUNT(*) AS k FROM states),
+          rowtot AS (SELECT src, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1),
+          r0 AS (SELECT st, 1000000000000 // (SELECT k FROM nn) AS r FROM states),
+          ${iter(0, 1)}, ${iter(1, 2)}, ${iter(2, 3)}
+          SELECT st AS event_type, r AS pi_scaled,
+            CAST(r AS DOUBLE) / 1000000000000 AS pi
+          FROM r3 ORDER BY event_type"""
+      }),
+
     // ----- SQL API surface ---------------------------------------------------
 
     // The spark.sql face of the engine: the same ANSI text runs on both

@@ -442,4 +442,48 @@ object Graphs {
     parent.keys.toSeq.map(id => (id, find(id)))
       .toDF("id", "component")
   }
+
+  /** Stationary distribution of a Markov chain given as a transition-
+    * COUNT relation (from, to, n) — the equilibrium share of time spent
+    * in each state, i.e. where the q127 transition matrix settles. The
+    * same truncating integer fixed point as [[pageRank]] (no damping):
+    * π'_j = Σ_i (π_i·n_ij) div rowtot_i on the 1e12 grid, dangling
+    * states' mass redistributed uniformly, `iters` unrolled iterations
+    * from the uniform start — bit-replayable in SQL, no doubles until
+    * the final display division.
+    *
+    * Scale shape: everything after the input aggregation lives on the
+    * |states| / |states|² grids (state spaces are dimension-sized, not
+    * corpus-sized); products ride DECIMAL(38,0) so π·n stays exact at
+    * any count magnitude.
+    */
+  def markovStationary(counts: DataFrame, fromCol: String, toCol: String,
+      nCol: String, iters: Int): DataFrame = {
+    require(iters >= 1)
+    val scale = 1000000000000L
+    val c = graft.CacheScope.register(counts.select(
+      col(fromCol).as("src"), col(toCol).as("dst"),
+      col(nCol).cast("long").as("n")))
+    val states = graft.CacheScope.register(
+      c.select(col("src").as("st")).union(c.select(col("dst"))).distinct())
+    val nn = broadcast(states.agg(count(lit(1)).as("k")))
+    val rowTot = c.groupBy("src").agg(sum("n").as("tot"))
+    var pi = states.crossJoin(nn)
+      .select(col("st"), expr(s"$scale div k").as("r"))
+    for (_ <- 1 to iters) {
+      val inflow = c.join(rowTot, "src")
+        .join(pi.withColumnRenamed("st", "src"), "src")
+        .groupBy(col("dst").as("st"))
+        .agg(sum(expr("(CAST(r AS DECIMAL(38,0)) * n) div tot")).as("__in"))
+      val dangling = broadcast(
+        pi.join(rowTot.withColumnRenamed("src", "st"), Seq("st"), "left_anti")
+          .agg(coalesce(sum("r"), lit(0L)).as("d")))
+      pi = states.join(inflow, Seq("st"), "left")
+        .crossJoin(dangling).crossJoin(nn)
+        .select(col("st"),
+          (coalesce(col("__in"), lit(0L)) + expr("d div k")).as("r"))
+    }
+    pi.select(col("st").as(fromCol), col("r").as("pi_scaled"),
+      (col("r").cast("double") / lit(scale.toDouble)).as("pi"))
+  }
 }

@@ -31,6 +31,7 @@ class PlanLintSpec extends SparkSpec {
     "q214_quality_ztest" -> "inequality pair join over the broadcast |groups|-row aggregate (q134's shape)",
     "q219_threshold_sweep" -> "crossJoin of two broadcast 1-row aggregates (q110/q163 shape)",
     "q220_srm_check" -> "crossJoin against the broadcast 1-row total aggregate (q110/q163 shape)",
+    "q221_markov_stationary" -> "crossJoins against broadcast 1-row dangling/state-count aggregates per unrolled iteration (q155 shape)",
     "q102_hard_negatives" -> "broadcast bounded query set, =!= self-match + label-inequality conditions",
     "q25_embedding_near_dup" -> "exact all-pairs baseline BY DESIGN; the scale path is q25b's banded LSH",
     "q41_merge_upsert" -> "broadcast updates batch (deltas << base)",

@@ -11,6 +11,24 @@ class GraphsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
+  test("markovStationary: symmetric 2-state chain stays uniform; biased " +
+      "chain matches the hand-unrolled truncating fixed point") {
+    import spark.implicits._
+    val sym = Seq(("a", "b", 1L), ("b", "a", 1L)).toDF("f", "t", "n")
+    val symPi = Graphs.markovStationary(sym, "f", "t", "n", 3)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("pi_scaled")).toMap
+    assert(symPi == Map("a" -> 500000000000L, "b" -> 500000000000L))
+
+    // a→a:3, a→b:1, b→a:1 — hand-unrolled on the 1e12 grid:
+    // r1=(875e9, 125e9), r2=(781.25e9, 218.75e9),
+    // r3=(804.6875e9, 195.3125e9)
+    val biased = Seq(("a", "a", 3L), ("a", "b", 1L), ("b", "a", 1L))
+      .toDF("f", "t", "n")
+    val pi = Graphs.markovStationary(biased, "f", "t", "n", 3)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("pi_scaled")).toMap
+    assert(pi == Map("a" -> 804687500000L, "b" -> 195312500000L))
+  }
+
   test("driver union-find and distributed label propagation agree") {
     val edges = Seq((3L, 7L), (7L, 9L), (9L, 12L), (20L, 25L), (1L, 25L))
     assert(cc(edges) == cc(edges, driverThreshold = 0L)) // force the loop
