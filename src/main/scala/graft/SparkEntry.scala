@@ -6952,6 +6952,44 @@ object SparkEntry {
           FROM r3 ORDER BY event_type"""
       }),
 
+    // Conversion-delay quantiles: p25/p50/p90 of first-view → first-
+    // purchase latency per converting user — the "how long does the
+    // funnel take" number q124's conversion RATE can't give. Delays are
+    // exact integer microseconds; percentile ≡ quantile_cont keeps the
+    // interpolation engine-identical (q37's contract). One per-user
+    // aggregate, then a quantile over the |converters| relation.
+    "q222_conversion_delay" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val per = ev.filter(col("event_type").isin("view", "purchase"))
+          .groupBy("user_id")
+          .agg(min(when(col("event_type") === "view",
+              unix_micros(col("ts").cast("timestamp")))).as("fv"),
+            min(when(col("event_type") === "purchase",
+              unix_micros(col("ts").cast("timestamp")))).as("fp"))
+          .filter(col("fv").isNotNull && col("fp").isNotNull
+            && col("fp") >= col("fv"))
+          .select((col("fp") - col("fv")).as("delay_us"))
+        per.agg(count(lit(1)).as("n_converters"),
+          expr("percentile(delay_us, 0.25)").as("p25_us"),
+          expr("percentile(delay_us, 0.5)").as("p50_us"),
+          expr("percentile(delay_us, 0.9)").as("p90_us"))
+      },
+      Some("""WITH per AS (SELECT user_id,
+            MIN(CASE WHEN event_type = 'view'
+              THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS fv,
+            MIN(CASE WHEN event_type = 'purchase'
+              THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS fp
+          FROM events WHERE event_type IN ('view', 'purchase')
+          GROUP BY 1),
+        d AS (SELECT fp - fv AS delay_us FROM per
+          WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp >= fv)
+        SELECT COUNT(*) AS n_converters,
+          quantile_cont(delay_us, 0.25) AS p25_us,
+          quantile_cont(delay_us, 0.5) AS p50_us,
+          quantile_cont(delay_us, 0.9) AS p90_us
+        FROM d""")),
+
     // ----- SQL API surface ---------------------------------------------------
 
     // The spark.sql face of the engine: the same ANSI text runs on both
