@@ -6990,6 +6990,54 @@ object SparkEntry {
           quantile_cont(delay_us, 0.9) AS p90_us
         FROM d""")),
 
+    // Cumulative conversion curve: share of converters whose first-view →
+    // first-purchase delay fits within 1 hour / 1 day / 7 days — the CDF
+    // checkpoints that turn q222's quantiles into SLA numbers. One pass
+    // over the per-user delay relation; shares on the integer micro grid.
+    "q223_conversion_curve" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val per = ev.filter(col("event_type").isin("view", "purchase"))
+          .groupBy("user_id")
+          .agg(min(when(col("event_type") === "view",
+              unix_micros(col("ts").cast("timestamp")))).as("fv"),
+            min(when(col("event_type") === "purchase",
+              unix_micros(col("ts").cast("timestamp")))).as("fp"))
+          .filter(col("fv").isNotNull && col("fp").isNotNull
+            && col("fp") >= col("fv"))
+          .select((col("fp") - col("fv")).as("d"))
+        per.agg(count(lit(1)).as("n_converters"),
+            count(when(col("d") <= 3600L * 1000000L, lit(1))).as("within_1h"),
+            count(when(col("d") <= 86400L * 1000000L, lit(1))).as("within_1d"),
+            count(when(col("d") <= 7L * 86400L * 1000000L, lit(1)))
+              .as("within_7d"))
+          .select(col("n_converters"), col("within_1h"), col("within_1d"),
+            col("within_7d"),
+            expr("(within_1h * 1000000) div n_converters").as("share_1h_micro"),
+            expr("(within_1d * 1000000) div n_converters").as("share_1d_micro"),
+            expr("(within_7d * 1000000) div n_converters").as("share_7d_micro"))
+      },
+      Some("""WITH per AS (SELECT user_id,
+            MIN(CASE WHEN event_type = 'view'
+              THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS fv,
+            MIN(CASE WHEN event_type = 'purchase'
+              THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS fp
+          FROM events WHERE event_type IN ('view', 'purchase')
+          GROUP BY 1),
+        d AS (SELECT fp - fv AS d FROM per
+          WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp >= fv)
+        SELECT COUNT(*) AS n_converters,
+          COUNT(CASE WHEN d <= 3600000000 THEN 1 END) AS within_1h,
+          COUNT(CASE WHEN d <= 86400000000 THEN 1 END) AS within_1d,
+          COUNT(CASE WHEN d <= 604800000000 THEN 1 END) AS within_7d,
+          (COUNT(CASE WHEN d <= 3600000000 THEN 1 END) * 1000000) // COUNT(*)
+            AS share_1h_micro,
+          (COUNT(CASE WHEN d <= 86400000000 THEN 1 END) * 1000000) // COUNT(*)
+            AS share_1d_micro,
+          (COUNT(CASE WHEN d <= 604800000000 THEN 1 END) * 1000000) // COUNT(*)
+            AS share_7d_micro
+        FROM d""")),
+
     // ----- SQL API surface ---------------------------------------------------
 
     // The spark.sql face of the engine: the same ANSI text runs on both
