@@ -126,4 +126,60 @@ class ProductAnalyticsBoundarySpec extends SparkSpec {
     assert(math.abs(dev(1) - (0.5 - 0.3010299956639812)) < 1e-15)
     assert(math.abs(dev(9) - (0.5 - 0.04575749056067514)) < 1e-15)
   }
+
+  private def writeEventsFull(dir: String,
+      rows: Seq[(Long, Long, String, String, Double)]): Unit = {
+    import spark.implicits._
+    rows.toDF("event_id", "user_id", "event_type", "__ts", "value")
+      .withColumn("ts", to_timestamp(col("__ts")).cast("timestamp_ntz"))
+      .drop("__ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+  }
+
+  test("q212 decay attribution: whole-day halving at exactly 24h, window " +
+      "edge at exactly/over 7 days") {
+    val dir = tmpDir()
+    writeEventsFull(dir, Seq(
+      // user 1: two views — 26h before (d=1, weight 5e5, hour 10) and
+      // 2h before (d=0, weight 1e6, hour 10 previous day → hour 10? no:)
+      (1L, 1L, "view", "2024-01-08 10:00:00", 0.0),     // 2h before, d=0, hour 10
+      (2L, 1L, "view", "2024-01-07 11:00:00", 0.0),     // 25h before, d=1, hour 11
+      (3L, 1L, "purchase", "2024-01-08 12:00:00", 1.0),
+      // user 2: ONE view exactly 7 days before → still in window, d=7
+      (4L, 2L, "view", "2024-01-01 09:00:00", 0.0),
+      (5L, 2L, "purchase", "2024-01-08 09:00:00", 2.0),
+      // user 3: view 7 days + 1 second before → OUTSIDE the window
+      (6L, 3L, "view", "2024-01-01 07:59:59", 0.0),
+      (7L, 3L, "purchase", "2024-01-08 08:00:00", 5.0)))
+    val out = q("q212_decay_attribution", dir)
+      .map(r => r.getInt(0) -> r.getAs[Long]("attributed_micro")).toMap
+    // hour 10: round(1e6·1e6/1.5e6) = 666667; hour 11: round(1e6·5e5/1.5e6)
+    assert(out(10) == 666667L, s"got $out")
+    assert(out(11) == 333333L, s"got $out")
+    // exactly-7d view is the sole touch → full credit (2e6 micro), hour 9
+    assert(out(9) == 2000000L, s"got $out")
+    // the 7d+1s view earns nothing: hour 7 absent entirely
+    assert(!out.contains(7), s"got $out")
+  }
+
+  test("q218 churn: Sunday-night vs Monday-morning week edge; churn " +
+      "counted in the absent week; first week is all-new") {
+    val dir = tmpDir()
+    writeEvents(dir, Seq(
+      ("A", "view", "2024-01-02 10:00:00"),  // week of Mon 2024-01-01
+      ("A", "view", "2024-01-09 10:00:00"),  // week of Mon 2024-01-08
+      ("B", "view", "2024-01-07 23:59:59"),  // Sunday night → STILL week 1
+      ("D", "view", "2024-01-07 23:59:59"),  // week 1 ...
+      ("D", "view", "2024-01-08 00:00:00"),  // ... and Monday 00:00 → week 2
+      ("C", "view", "2024-01-10 10:00:00"))) // first appears week 2
+    val out = q("q218_churn", dir)
+      .map(r => r.getDate(0).toString ->
+        ((r.getAs[Long]("n_active"), r.getAs[Long]("n_new"),
+          r.getAs[Long]("n_churned")))).toMap
+    // week1: A,B,D active, all new, nothing churned into it
+    assert(out("2024-01-01") == ((3L, 3L, 0L)), s"got $out")
+    // week2: A,C,D active (D's Monday-00:00 row lands here, so D is NOT
+    // churned); only B churned; C is the one new user
+    assert(out("2024-01-08") == ((3L, 1L, 1L)), s"got $out")
+  }
 }
