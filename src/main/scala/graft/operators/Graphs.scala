@@ -458,32 +458,65 @@ object Graphs {
     * any count magnitude.
     */
   def markovStationary(counts: DataFrame, fromCol: String, toCol: String,
-      nCol: String, iters: Int): DataFrame = {
+      nCol: String, iters: Int,
+      driverEdgeThreshold: Long = 1L << 18): DataFrame = {
     require(iters >= 1)
     val scale = 1000000000000L
+    val spark = counts.sparkSession
     val c = graft.CacheScope.register(counts.select(
       col(fromCol).as("src"), col(toCol).as("dst"),
       col(nCol).cast("long").as("n")))
-    val states = graft.CacheScope.register(
-      c.select(col("src").as("st")).union(c.select(col("dst"))).distinct())
-    val nn = broadcast(states.agg(count(lit(1)).as("k")))
-    val rowTot = c.groupBy("src").agg(sum("n").as("tot"))
-    var pi = states.crossJoin(nn)
-      .select(col("st"), expr(s"$scale div k").as("r"))
-    for (_ <- 1 to iters) {
-      val inflow = c.join(rowTot, "src")
-        .join(pi.withColumnRenamed("st", "src"), "src")
-        .groupBy(col("dst").as("st"))
-        .agg(sum(expr("(CAST(r AS DECIMAL(38,0)) * n) div tot")).as("__in"))
-      val dangling = broadcast(
-        pi.join(rowTot.withColumnRenamed("src", "st"), Seq("st"), "left_anti")
-          .agg(coalesce(sum("r"), lit(0L)).as("d")))
-      pi = states.join(inflow, Seq("st"), "left")
-        .crossJoin(dangling).crossJoin(nn)
-        .select(col("st"),
-          (coalesce(col("__in"), lit(0L)) + expr("d div k")).as("r"))
+    val nEdges = c.count()
+    if (nEdges <= driverEdgeThreshold) {
+      // Fast path: the transition matrix of a CATEGORICAL state space is
+      // dimension²-bounded (the connectedComponents ≤2^18-edge argument)
+      // — a driver fixed point replaces 3·iters tiny shuffle jobs whose
+      // scheduling overhead dwarfs the arithmetic. BigInt quotients keep
+      // the truncating integer recursion exact at any count magnitude;
+      // identical arithmetic to the distributed fallback below.
+      val es = c.collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2)))
+      val states = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+      val k = states.length.toLong
+      val tot = es.groupBy(_._1).map { case (s, g) => s -> g.map(_._3).sum }
+      var r = states.map(st => st -> scale / k).toMap
+      for (_ <- 1 to iters) {
+        val in = scala.collection.mutable.HashMap.empty[String, Long]
+          .withDefaultValue(0L)
+        es.foreach { case (src, dst, n) =>
+          in(dst) += ((BigInt(r(src)) * n) / tot(src)).toLong
+        }
+        val d = states.filterNot(tot.contains).map(r).sum
+        r = states.map(st => st -> (in(st) + d / k)).toMap
+      }
+      import spark.implicits._
+      states.map(st => (st, r(st), r(st).toDouble / scale.toDouble))
+        .toSeq.toDF(fromCol, "pi_scaled", "pi")
+    } else {
+      val statesDf = graft.CacheScope.register(
+        c.select(col("src").as("st")).union(c.select(col("dst"))).distinct())
+      val nn = broadcast(statesDf.agg(count(lit(1)).as("k")))
+      val rowTot = c.groupBy("src").agg(sum("n").as("tot"))
+      var pi = statesDf.crossJoin(nn)
+        .select(col("st"), expr(s"$scale div k").as("r"))
+      for (_ <- 1 to iters) {
+        // pi is read twice per iteration (inflow + dangling) — persist it
+        // or the reference tree re-executes 2^iters times
+        pi = graft.CacheScope.register(pi)
+        val inflow = c.join(rowTot, "src")
+          .join(pi.withColumnRenamed("st", "src"), "src")
+          .groupBy(col("dst").as("st"))
+          .agg(sum(expr("(CAST(r AS DECIMAL(38,0)) * n) div tot")).as("__in"))
+        val dangling = broadcast(
+          pi.join(rowTot.withColumnRenamed("src", "st"), Seq("st"), "left_anti")
+            .agg(coalesce(sum("r"), lit(0L)).as("d")))
+        pi = statesDf.join(inflow, Seq("st"), "left")
+          .crossJoin(dangling).crossJoin(nn)
+          .select(col("st"),
+            (coalesce(col("__in"), lit(0L)) + expr("d div k")).as("r"))
+      }
+      pi.select(col("st").as(fromCol), col("r").as("pi_scaled"),
+        (col("r").cast("double") / lit(scale.toDouble)).as("pi"))
     }
-    pi.select(col("st").as(fromCol), col("r").as("pi_scaled"),
-      (col("r").cast("double") / lit(scale.toDouble)).as("pi"))
   }
 }

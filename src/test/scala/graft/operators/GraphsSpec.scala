@@ -27,6 +27,13 @@ class GraphsSpec extends SparkSpec {
     val pi = Graphs.markovStationary(biased, "f", "t", "n", 3)
       .collect().map(r => r.getString(0) -> r.getAs[Long]("pi_scaled")).toMap
     assert(pi == Map("a" -> 804687500000L, "b" -> 195312500000L))
+
+    // the distributed fallback (forced via threshold 0) computes the
+    // SAME truncating integer recursion bit-for-bit
+    val piDist = Graphs.markovStationary(biased, "f", "t", "n", 3,
+        driverEdgeThreshold = 0L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("pi_scaled")).toMap
+    assert(piDist == pi)
   }
 
   test("driver union-find and distributed label propagation agree") {
