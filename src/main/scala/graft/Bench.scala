@@ -53,15 +53,23 @@ object Bench {
 
   /** Per-query costs from the most recent FULL-SUITE line of
     * bench_history.jsonl (tolerant "name":number scan — no JSON lib).
-    * Empty map when the file is absent/unreadable (first run on a box).
+    * Lines measured at the CURRENT scale factor are preferred (relative
+    * costs shift between SFs: fixed plan overheads dominate at sf0.001,
+    * data volume at sf0.1 — packing from the wrong SF un-balances the
+    * chunks); any full-suite line is the fallback. Empty map when the
+    * file is absent/unreadable (first run on a box).
     */
   private[graft] def historyCosts(path: java.nio.file.Path =
-      java.nio.file.Paths.get("bench_history.jsonl")): Map[String, Double] = {
+      java.nio.file.Paths.get("bench_history.jsonl"),
+      sfDir: Option[String] = None): Map[String, Double] = {
     val pair = "\"(q[^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r
     try {
       import scala.jdk.CollectionConverters._
       val lines = java.nio.file.Files.readAllLines(path).asScala
-      lines.reverseIterator.find(_.contains("\"queries\":{")) match {
+      val full = lines.filter(_.contains("\"queries\":{"))
+      val sameSf = sfDir.map(d => full.filter(_.contains(s""""sf":"$d"""")))
+        .filter(_.nonEmpty)
+      sameSf.getOrElse(full).lastOption match {
         case Some(line) =>
           val body = line.split("\"queries\":\\{", 2)(1)
           pair.findAllMatchIn(body)
@@ -142,8 +150,50 @@ object Bench {
     out
   }
 
+  /** Machine/load fingerprint (round-7 verdict #3: the driver's
+    * round-close BENCH artifacts were twice contaminated by concurrent
+    * load the numbers couldn't reveal). Records 1-minute loadavg, core
+    * count, and how many OTHER java processes (excluding this one and the
+    * sbt launcher ancestry) are alive — plus a derived `contaminated`
+    * flag so a round-over-round reader can discard smeared tails instead
+    * of trusting them. Heuristic, not a gate: the bench still runs, it
+    * just self-labels.
+    */
+  private[graft] def envFingerprint(): String = {
+    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val load1 = os.getSystemLoadAverage
+    val cores = Runtime.getRuntime.availableProcessors
+    val self = ProcessHandle.current()
+    val ancestors = Iterator.iterate(Option(self))(
+        _.flatMap(p => Option(p.parent().orElse(null))))
+      .takeWhile(_.isDefined).take(8).flatten.map(_.pid()).toSet
+    val otherJvms =
+      try {
+        import scala.jdk.CollectionConverters._
+        val family = ancestors ++
+          self.descendants().iterator().asScala.map(_.pid()).toSet
+        ProcessHandle.allProcesses().iterator().asScala.count { p =>
+          !family.contains(p.pid()) &&
+            p.info().command().map[Boolean](_.endsWith("java")).orElse(false)
+        }
+      } catch { case _: Exception => -1 }
+    val cpuModel =
+      try {
+        val src = scala.io.Source.fromFile("/proc/cpuinfo")
+        try src.getLines().find(_.startsWith("model name"))
+          .map(_.split(":", 2)(1).trim).getOrElse("unknown")
+        finally src.close()
+      } catch { case _: Exception => "unknown" }
+    // a bench that owns the box sees loadavg << cores and zero foreign
+    // JVMs; half-the-cores of pre-existing load means the tail is smeared
+    val contaminated = load1 > cores / 2.0 || otherJvms > 0
+    s""""env":{"load1":$load1,"cores":$cores,"other_jvms":$otherJvms,""" +
+      s""""cpu":"${cpuModel.replace("\"", "'")}","contaminated":$contaminated}"""
+  }
+
   private def toJsonLine(results: Seq[(String, Double)], sfDir: String,
-      reps: Int, chunk: Int, fallback: Seq[String] = Nil): String = {
+      reps: Int, chunk: Int, fallback: Seq[String] = Nil,
+      env: Option[String] = None): String = {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
@@ -151,7 +201,8 @@ object Bench {
     // SHARED parent JVM: their numbers are not isolated medians
     val fb = if (fallback.isEmpty) ""
       else fallback.sorted.map("\"" + _ + "\"").mkString(",\"fallback\":[", ",", "]")
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"stat":"median","isolation":"jvm-per-$chunk"$fb}"""
+    val envPart = env.map("," + _).getOrElse("")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"stat":"median","isolation":"jvm-per-$chunk"$fb$envPart}"""
   }
 
   /** Fork one child JVM measuring `chunkNames`; returns its per-query map,
@@ -218,13 +269,17 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = allNames(only)
+    // fingerprint the box BEFORE any work: pre-existing load / foreign
+    // JVMs at start are what invalidate the numbers (our own forked
+    // chunk children must not count)
+    val env = if (isChild) None else Some(envFingerprint())
 
     val fallback = Seq.newBuilder[String]
     val results: Seq[(String, Double)] =
       if (isChild || chunk <= 0) measureInProcess(names, sfDir, cpus, reps)
       else {
         val tmpDir = java.nio.file.Files.createTempDirectory("graft-bench")
-        val chunks = packChunks(names, chunk, historyCosts())
+        val chunks = packChunks(names, chunk, historyCosts(sfDir = Some(sfDir)))
         chunks.zipWithIndex.foreach { case (cn, i) =>
           System.err.println(s"[bench] chunk $i: ${cn.mkString(",")}")
         }
@@ -235,7 +290,7 @@ object Bench {
       }
 
     val line = toJsonLine(results, sfDir, reps, if (isChild) 0 else chunk,
-      fallback.result())
+      fallback.result(), env)
     println(line)
     // The driver's BENCH_r{N}.json preserves only a truncated tail of this
     // stdout line (~q42 onward), which blinds round-over-round comparison

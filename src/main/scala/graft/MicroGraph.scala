@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scale-linearity probe for the distributed graph family (round-7
+  * verdict #5): connectedComponents / pageRank / hits forced down their
+  * DISTRIBUTED paths (driver fast paths disabled / out of range) on
+  * synthetic graphs ABOVE the 2^18-edge driver threshold, at 1x and 10x
+  * edges. The O(E)-per-round claim predicts: wall time ~10x (same round
+  * count, 10x per-round shuffle volume) and an IDENTICAL Spark job count
+  * at both scales (rounds are data-size-independent; jobs measure
+  * rounds). Super-linear wall or a growing job count means a round
+  * degenerated (lineage growth, a driver collect, a pair explosion).
+  *
+  * Deterministic pseudo-random graph: edge i connects
+  * (xxhash64(i) mod n, xxhash64(i') mod n) — no RNG, reproducible across
+  * runs/boxes. Results go to stdout; record them in BENCH_NOTES.md.
+  *
+  * Usage: SPARK_GRAFT_CPUS=8 sbt "runMain graft.MicroGraph"
+  */
+object MicroGraph {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = GraftSession.builder(master = s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    @volatile var jobs = 0
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = jobs += 1
+    })
+
+    def time(name: String)(body: => Long): Unit = {
+      // listener events are async: give the bus a beat to settle between
+      // phases so job counts attribute to the right phase
+      Thread.sleep(400)
+      val j0 = jobs
+      val t0 = System.nanoTime()
+      val n = body
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(400)
+      println(f"[micrograph] $name%-44s $secs%7.2fs  jobs=${jobs - j0}%3d  (n=$n)")
+    }
+
+    /** nEdges pseudo-random edges over nEdges/8 nodes (avg degree ~16
+      * after symmetrization) — same generator at every scale. */
+    def randomEdges(nEdges: Long): DataFrame = {
+      val nNodes = math.max(nEdges / 8, 2L)
+      spark.range(nEdges).select(
+        pmod(xxhash64(col("id")), lit(nNodes)).as("a"),
+        pmod(xxhash64(col("id") * 2 + 1), lit(nNodes)).as("b"))
+    }
+
+    for (scale <- Seq(1L, 10L)) {
+      val nEdges = 400000L * scale // 1x already > 2^18 = 262,144
+      val e = CacheScope.register(randomEdges(nEdges))
+      time(s"materialize edges ${scale}x ($nEdges)")(e.count())
+
+      time(s"connectedComponents distributed ${scale}x") {
+        operators.Graphs.connectedComponents(e, "a", "b",
+          maxIter = 25, driverThreshold = 0L).count()
+      }
+      CacheScope.releaseAll()
+
+      val e2 = CacheScope.register(randomEdges(nEdges))
+      e2.count()
+      val nodes = CacheScope.register(
+        e2.select(col("a").as("id")).union(e2.select(col("b"))).distinct())
+      time(s"pageRank 3 iters ${scale}x") {
+        operators.Graphs.pageRank(nodes, "id", e2, "a", "b", iters = 3).count()
+      }
+      CacheScope.releaseAll()
+
+      val e3 = CacheScope.register(randomEdges(nEdges))
+      e3.count()
+      time(s"hits 2 iters ${scale}x") {
+        operators.Graphs.hits(e3, "a", "b", iters = 2).count()
+      }
+      CacheScope.releaseAll()
+
+      val e4 = CacheScope.register(randomEdges(nEdges))
+      e4.count()
+      time(s"markovStationary distributed ${scale}x") {
+        operators.Graphs.markovStationary(
+          e4.withColumn("n", lit(1L)), "a", "b", "n", iters = 3,
+          driverEdgeThreshold = 0L).count()
+      }
+      CacheScope.releaseAll()
+    }
+    spark.stop()
+  }
+}

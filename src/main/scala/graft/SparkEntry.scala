@@ -26,6 +26,24 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     GraftSession.table(s, dir, name)
 
+  /** THE shared banded-MinHash near-dup pair relation (3-gram shingles,
+    * 64 hash families, 16 bands, jaccard ≥ 0.8) that the whole dedup /
+    * graph / curation family consumes — q21/q55/q64/q95/q118/q141/q154/
+    * q164/q171/q185/q199/q200/q211/q217 and friends all read the SAME
+    * pairs, so they must derive them through ONE builder (round-7
+    * verdict #8): the relation is CacheScope-registered here, so within
+    * a query every consumer (CC fixpoint + pageRank, histogram + gini,
+    * ...) shares one materialization instead of re-running the LSH
+    * pipeline, and Spark's plan-matching cache lookup makes even
+    * call sites that separately re-derive `documents` hit the same
+    * blocks. Cross-QUERY the cache is dropped by the harness's
+    * releaseAll — by design (bench isolation).
+    */
+  private def lshPairs(s: SparkSession, dir: String): DataFrame =
+    graft.CacheScope.register(
+      Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+        3, 64, 16, 0.8))
+
   // Exact cosine top-5 for query vectors vec_id < 10 (quantized-exact dot
   // products) — shared by q24 (brute-force path) and q31b (IVF at full
   // probing, where the approximate index degenerates to the exact answer).
@@ -459,8 +477,7 @@ object SparkEntry {
     // vec_id in the testdata).
     "q64_multisignal_clusters" -> Q(
       (s, dir) => {
-        val textPairs = Dedup.minhashNearDups(t(s, dir, "documents"),
-            "doc_id", "text", 3, 64, 16, 0.8)
+        val textPairs = lshPairs(s, dir)
           .select("id_a", "id_b")
         val embPairs = Similarity.nearDupLshBanded(t(s, dir, "embeddings"),
             "vec_id", "embedding", 0.45, planesPerBand = 6, bands = 16,
@@ -571,8 +588,7 @@ object SparkEntry {
     // (1 - 0.889^4)^16 ~ 1.6e-7, and the fixed seeded-xxhash64 families
     // make the outcome deterministic — verified equal at sf0.001/0.01.
     "q21_minhash_lsh" -> Q(
-      (s, dir) => Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id",
-          "text", 3, 64, 16, 0.8)
+      (s, dir) => lshPairs(s, dir)
         .orderBy("id_a", "id_b"),
       Some("""WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
                FROM documents),
@@ -600,8 +616,7 @@ object SparkEntry {
     // exact pairs.
     "q55_dup_clusters" -> Q(
       (s, dir) => {
-        val pairs = Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id",
-          "text", 3, 64, 16, 0.8)
+        val pairs = lshPairs(s, dir)
         Graphs.connectedComponents(pairs, "id_a", "id_b")
           .select(col("id").as("doc_id"), col("component"),
             count(lit(1)).over(Window.partitionBy(col("component")))
@@ -825,17 +840,33 @@ object SparkEntry {
         FROM documents ORDER BY doc_id""")),
 
     // IVF approximate top-k (k-means coarse quantizer, nProbe cells probed,
-    // exact ranking inside). Approximate by design → no SQL oracle; the
-    // driver records the rows-only check. Exact-recall equivalence at full
-    // probing is asserted in SimilaritySpec.
+    // exact ranking inside). The neighbor lists are approximate by design,
+    // so the query emits the CONTRACT instead of the lists: overall
+    // recall@5 of the partial-probe IVF against the exact kNN must reach
+    // 0.9 (the SimilaritySpec bound — round-7 verdict #4 turns it into a
+    // driver-checkable oracle row). The oracle recomputes n_queries and
+    // asserts the bound held; a recall regression now hash-mismatches
+    // instead of passing rows-only. Exact-recall equivalence at FULL
+    // probing keeps its own value-level oracle in q31b.
     "q31_knn_ivf" -> Q(
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        Similarity.knnIvf(emb, emb.filter(col("vec_id") < 10), "vec_id",
-            "embedding", 5, nlist = 16, nProbe = 4)
-          .orderBy(col("query_id"), col("cos").desc, col("id"))
+        val q = emb.filter(col("vec_id") < 10)
+        val ivf = Similarity.knnIvf(emb, q, "vec_id", "embedding", 5,
+            nlist = 16, nProbe = 4)
+          .select(col("query_id"), col("id"))
+        val exact = Similarity.knnExact(emb, q, "vec_id", "embedding", 5)
+          .select(col("query_id"), col("id"))
+        exact.join(ivf, Seq("query_id", "id"), "left_semi")
+          .agg(count(lit(1)).as("__hits"))
+          .crossJoin(broadcast(exact.agg(
+            countDistinct(col("query_id")).as("n_queries"),
+            count(lit(1)).as("__pairs"))))
+          .select(col("n_queries"),
+            (col("__hits") * 10 >= col("__pairs") * 9).as("recall_ok"))
       },
-      None),
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        true AS recall_ok FROM embeddings WHERE vec_id < 10""")),
 
     // IVF at FULL probing (nProbe = nlist): every cell is scanned, so the
     // result is definitionally the exact top-k — which gives the IVF
@@ -1309,33 +1340,90 @@ object SparkEntry {
         FROM embeddings ORDER BY vec_id""")),
 
     // Sketch face of A7 (distinct counts at 100 TB): HyperLogLog++
-    // approximate distincts. Engine-specific sketch → rows-only check;
-    // the exact face is q13.
+    // approximate distincts. The sketch values are engine-specific, so
+    // the query emits the error CONTRACT instead of the raw estimates:
+    // |approx − exact| ≤ 2·rsd·exact (rsd = 0.05 default — the
+    // QualitySpec bound, exported as an oracle-checkable boolean per
+    // round-7 verdict #4). The exact faces ride along and ARE
+    // value-checked; the exact standalone face is q13.
     "q46_approx_distinct" -> Q(
       (s, dir) => t(s, dir, "events").agg(
-        approx_count_distinct(col("user_id")).as("approx_users"),
-        approx_count_distinct(col("props")).as("approx_props"),
-        count(lit(1)).as("n")),
-      None),
+          countDistinct(col("user_id")).as("exact_users"),
+          countDistinct(col("props")).as("exact_props"),
+          count(lit(1)).as("n"),
+          approx_count_distinct(col("user_id")).as("__au"),
+          approx_count_distinct(col("props")).as("__ap"))
+        .select(col("exact_users"), col("exact_props"), col("n"),
+          (abs(col("__au") - col("exact_users")) * 10
+            <= col("exact_users")).as("users_bound_ok"),
+          (abs(col("__ap") - col("exact_props")) * 10
+            <= col("exact_props")).as("props_bound_ok")),
+      Some("""SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        CAST(COUNT(DISTINCT props) AS BIGINT) AS exact_props,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        true AS users_bound_ok, true AS props_bound_ok FROM events""")),
 
     // Approximate per-group quantiles — the fixed-memory scale path next
     // to q37's exact percentile (which buffers every value per group).
-    // Approximate ⇒ rows-only; QualitySpec bounds the rank error vs the
-    // exact quantiles (twin pattern of q31/q46).
+    // The sketch VALUES are engine-specific, so the query emits the rank
+    // CONTRACT (round-7 verdict #4): the returned p50/p90 must sit
+    // within 2·n/accuracy ranks of the target rank, checked by counting
+    // the group's values around each approx value (one extra broadcast
+    // probe pass); max_val is exact and value-checked. QualitySpec keeps
+    // the tighter n/accuracy bound on a controlled distribution.
     "q73_approx_quantiles" -> Q(
-      (s, dir) => Sketches.approxQuantilesByGroup(
-          t(s, dir, "documents"), "source", "n_chars", 100)
-        .orderBy("source"),
-      None),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val approx = Sketches.approxQuantilesByGroup(
+          docs, "source", "n_chars", 100)
+        val probe = docs.select(col("source"), col("n_chars"))
+          .join(broadcast(approx), "source")
+          .groupBy("source")
+          .agg(count(col("n_chars")).as("n"),
+            max(col("n_chars")).as("max_val"),
+            sum(when(col("n_chars") <= col("p50"), 1L).otherwise(0L)).as("le50"),
+            sum(when(col("n_chars") < col("p50"), 1L).otherwise(0L)).as("lt50"),
+            sum(when(col("n_chars") <= col("p90"), 1L).otherwise(0L)).as("le90"),
+            sum(when(col("n_chars") < col("p90"), 1L).otherwise(0L)).as("lt90"))
+        // rank-window check on the integer grid: some attainable rank of
+        // the returned value (lt..le) must fall within 2n/accuracy of
+        // the target rank p·n (scaled by 100 to stay integral)
+        def rankOk(lt: org.apache.spark.sql.Column,
+            le: org.apache.spark.sql.Column,
+            pPct: Int): org.apache.spark.sql.Column = {
+          val slack = col("n") * 2 // 2n/accuracy · 100, accuracy = 100
+          val target = col("n") * pPct
+          (le * 100 >= target - slack) && (lt * 100 <= target + slack)
+        }
+        probe.select(col("source"), col("n"), col("max_val"),
+            rankOk(col("lt50"), col("le50"), 50).as("p50_rank_ok"),
+            rankOk(col("lt90"), col("le90"), 90).as("p90_rank_ok"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, CAST(COUNT(n_chars) AS BIGINT) AS n,
+        MAX(n_chars) AS max_val, true AS p50_rank_ok, true AS p90_rank_ok
+        FROM documents GROUP BY source ORDER BY source""")),
 
     // Heavy hitters with Count-Min-Sketch verification: exact top-25
     // tokens probed against a one-pass fixed-memory CMS of the full
-    // token stream. Approximate ⇒ rows-only; QualitySpec enforces the
-    // CMS contract (never under, over by <= eps*N).
+    // token stream. The CMS estimates are engine-specific, so the query
+    // emits the CMS CONTRACT as a boolean (round-7 verdict #4): never
+    // under the exact count, over by ≤ ceil(eps·N). The token ranking
+    // and exact counts ARE value-checked by the oracle's own tokenizer.
     "q74_heavy_hitters_cms" -> Q(
       (s, dir) => Sketches.heavyHittersCms(
-        t(s, dir, "documents"), "text", 25, 0.001, 0.99),
-      None),
+          t(s, dir, "documents"), "text", 25, 0.001, 0.99)
+        .select(col("token"), col("n_exact"),
+          (col("n_cms") >= col("n_exact") &&
+            (col("n_cms") - col("n_exact")) * 1000 <= col("n_total"))
+            .as("cms_bound_ok")),
+      Some("""WITH toks AS (
+          SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+          FROM documents),
+        counted AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_exact
+          FROM toks WHERE token <> '' GROUP BY token)
+        SELECT token, n_exact, true AS cms_bound_ok FROM counted
+        ORDER BY n_exact DESC, token LIMIT 25""")),
 
     // Correlated subqueries: EXISTS + NOT EXISTS through the SQL surface.
     "q44_exists_subquery" -> Q(
@@ -2150,7 +2238,7 @@ object SparkEntry {
     "q95_cluster_survivors" -> Q(
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", 3, 64, 16, 0.8)
+        val pairs = lshPairs(s, dir)
         val clusters = Graphs.connectedComponents(pairs, "id_a", "id_b")
         val scored = TextOps.qualityFeatures(docs, "doc_id", "text")
           .select(col("doc_id"), col("quality_score_micro"))
@@ -2849,9 +2937,7 @@ object SparkEntry {
     // integer division, not an order-dependent double fold.
     "q118_cluster_cohesion" -> Q(
       (s, dir) => {
-        val pairs = graft.CacheScope.register(
-          Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id",
-            "text", 3, 64, 16, 0.8))
+        val pairs = lshPairs(s, dir)
         val cc = Graphs.connectedComponents(pairs, "id_a", "id_b")
         val members = cc.groupBy("component").agg(count(lit(1)).as("n_members"))
         pairs
@@ -3552,7 +3638,7 @@ object SparkEntry {
     "q141_split_leakage" -> Q(
       (s, dir) => {
         val docs = graft.CacheScope.register(t(s, dir, "documents"))
-        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", 3, 64, 16, 0.8)
+        val pairs = lshPairs(s, dir)
         val split = Sampling.hashSplit(docs, "doc_id", "exp1",
             Seq("train" -> 0.90, "val" -> 0.05, "test" -> 0.05))
           .select(col("doc_id"), col("split"))
@@ -3618,18 +3704,23 @@ object SparkEntry {
            / (n - 1)) / 1e14 AS cov
         FROM p ORDER BY i, j""")),
 
-    // PCA projection onto the top-8 principal components: driver-side
+    // PCA contract check for the top-8 principal components: driver-side
     // deterministic Jacobi eigen over q142's exact covariance (d x d,
-    // bounded), then a map-only projection against literal component
-    // arrays. Eigen rotation is not SQL-expressible -> rows-only check;
-    // SimilaritySpec pins orthonormality, eigenvalue ordering, and that
-    // projected coordinates are decorrelated with variance = eigenvalue.
+    // bounded), then a map-only projection scan. The eigen ROTATION is
+    // not SQL-expressible, so the query emits the eigendecomposition's
+    // defining invariants as oracle-checkable booleans per component
+    // pair (round-7 verdict #4): basis orthonormality and that the
+    // projected coordinates diagonalize the covariance (cov = eigenvalue
+    // on the diagonal, ~0 off it). The projection itself (coordinates,
+    // eigenvalue ordering, determinism) stays pinned in SimilaritySpec
+    // via Similarity.pcaProject.
     "q143_pca_project" -> Q(
-      (s, dir) => Similarity.pcaProject(t(s, dir, "embeddings"),
-          "vec_id", "embedding", 8)
-        .withColumnRenamed("id", "vec_id")
-        .orderBy("vec_id", "component"),
-      None),
+      (s, dir) => Similarity.pcaContractCheck(t(s, dir, "embeddings"),
+        "vec_id", "embedding", 8),
+      Some("""SELECT CAST(a.range AS INT) AS i, CAST(b.range AS INT) AS j,
+        true AS ortho_ok, true AS cov_ok
+        FROM range(8) a, range(8) b WHERE a.range <= b.range
+        ORDER BY i, j""")),
 
     // Which sources cover the same embedding region: pairwise L2 between
     // per-source centroids. Centroids are micro-grid integers (rounded
@@ -3890,7 +3981,7 @@ object SparkEntry {
     "q154_dup_quality_corr" -> Q(
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", 3, 64, 16, 0.8)
+        val pairs = lshPairs(s, dir)
         val comps = Graphs.connectedComponents(pairs, "id_a", "id_b")
           .select(col("id").as("doc_id"), col("component"))
         val sizes = comps.groupBy("component").agg(count(lit(1)).as("__cs"))
@@ -4420,7 +4511,7 @@ object SparkEntry {
     "q155_pagerank" -> Q(
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", 3, 64, 16, 0.8)
+        val pairs = lshPairs(s, dir)
         Graphs.pageRank(docs.select(col("doc_id")), "doc_id",
             pairs, "id_a", "id_b", iters = 3)
           .orderBy(desc("rank_micro"), col("doc_id"))
@@ -4556,13 +4647,13 @@ object SparkEntry {
     // Logistic quality calibrator (distributed Newton/IRLS, 4 iterations):
     // fits P(lang = 'en' | quality score, log token count) over the corpus
     // — the one-probability replacement for hand-weighted filter scores.
-    // NO SQL oracle by design (an iterative optimizer isn't expressible as
-    // one replayable query); the contract is spec-enforced in QualitySpec:
-    // bit-identical coefficients across partitionings, exact match to a
-    // local reference implementation of the same fixed-point reduction,
-    // monotone log-likelihood, and correct separation direction. The
-    // exactness scheme (1e-9-grid DECIMAL sums) makes the driver's
-    // rows>0 dump reproducible bit-for-bit.
+    // An iterative optimizer's COEFFICIENTS aren't expressible as one
+    // replayable SQL query, so the query emits the optimizer's CONTRACT
+    // per iteration (round-7 verdict #4): the exact nano-grid
+    // log-likelihood must be non-decreasing across Newton steps (exact
+    // long comparisons — deterministic in any engine). Coefficient
+    // values, cross-partitioning bit-identity, and the local-reference
+    // match stay spec-enforced in QualitySpec.
     "q160_logistic_calibrator" -> Q(
       (s, dir) => {
         val docs = t(s, dir, "documents")
@@ -4573,13 +4664,18 @@ object SparkEntry {
         val labeled = docs.select(col("doc_id"),
             (col("lang") === "en").cast("double").as("y"))
           .join(f, "doc_id")
-        Quality.logisticCalibrator(labeled, "y", Seq("q", "lt"), iters = 4)
-          .select(col("iter"), col("loglik_nano"), col("beta_intercept"),
-            col("betas")(0).as("beta_quality"),
-            col("betas")(1).as("beta_logtokens"))
+        val fit = Quality.logisticCalibrator(labeled, "y", Seq("q", "lt"),
+          iters = 4)
+        val prev = fit.select((col("iter") + 1).as("iter"),
+          col("loglik_nano").as("__prev"))
+        fit.join(prev, Seq("iter"), "left")
+          .select(col("iter"),
+            (col("__prev").isNull || col("loglik_nano") >= col("__prev"))
+              .as("loglik_monotone_ok"))
           .orderBy("iter")
       },
-      None),
+      Some("""SELECT CAST(range + 1 AS INT) AS iter,
+        true AS loglik_monotone_ok FROM range(4) ORDER BY iter""")),
 
     // BM25-ranked keyword search over the corpus (Okapi, k1=1.2 b=0.75):
     // the retrieval face q58's TF-IDF vectors don't expose. The rational
@@ -4625,7 +4721,7 @@ object SparkEntry {
     "q162_triangle_census" -> Q(
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", 3, 64, 16, 0.8)
+        val pairs = lshPairs(s, dir)
         Graphs.triangleStats(pairs, "id_a", "id_b")
           .withColumnRenamed("id", "doc_id")
           .orderBy("doc_id")
@@ -4698,10 +4794,9 @@ object SparkEntry {
     "q164_pagerank_survivors" -> Q(
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        // pairs feed BOTH the CC fixpoint and pageRank — cache, or the
-        // LSH pipeline executes twice
-        val pairs = graft.CacheScope.register(
-          Dedup.minhashNearDups(docs, "doc_id", "text", 3, 64, 16, 0.8))
+        // pairs feed BOTH the CC fixpoint and pageRank — the shared
+        // builder's cache keeps the LSH pipeline to one execution
+        val pairs = lshPairs(s, dir)
         val comps = Graphs.connectedComponents(pairs, "id_a", "id_b")
         val ranks = Graphs.pageRank(docs.select(col("doc_id")), "doc_id",
           pairs, "id_a", "id_b", iters = 3)
@@ -4922,9 +5017,8 @@ object SparkEntry {
       (s, dir) => {
         val docs = t(s, dir, "documents")
         // pairs feed BOTH the CC fixpoint and the modularity joins —
-        // cache, or the whole LSH pipeline executes twice
-        val pairs = graft.CacheScope.register(
-          Dedup.minhashNearDups(docs, "doc_id", "text", 3, 64, 16, 0.8))
+        // the shared builder's cache keeps the LSH pipeline to one run
+        val pairs = lshPairs(s, dir)
         val comps = Graphs.connectedComponents(pairs, "id_a", "id_b")
         Graphs.modularity(pairs, "id_a", "id_b", comps, "id", "component")
           .orderBy(col("community").asc_nulls_last)
@@ -5272,7 +5366,7 @@ object SparkEntry {
     "q181_label_prop" -> Q(
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", 3, 64, 16, 0.8)
+        val pairs = lshPairs(s, dir)
         val seeds = docs.select(col("doc_id"),
           when(pmod(col("doc_id"), lit(10)) === 0, col("lang")).as("seed"))
         Graphs.labelPropagation(seeds, "doc_id", "seed", pairs,
@@ -5540,7 +5634,7 @@ object SparkEntry {
     "q189_component_sizes" -> Q(
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", 3, 64, 16, 0.8)
+        val pairs = lshPairs(s, dir)
         Graphs.connectedComponents(pairs, "id_a", "id_b")
           .groupBy("component").agg(count(lit(1)).as("size"))
           .groupBy("size").agg(count(lit(1)).as("n_components"))
@@ -5563,7 +5657,7 @@ object SparkEntry {
     "q190_degree_powerlaw" -> Q(
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", 3, 64, 16, 0.8)
+        val pairs = lshPairs(s, dir)
         val deg = pairs
           .select(explode(array(col("id_a"), col("id_b"))).as("id"))
           .groupBy("id").agg(count(lit(1)).as("degree"))
@@ -5623,8 +5717,7 @@ object SparkEntry {
     "q191_assortativity" -> Q(
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val pairs = graft.CacheScope.register(
-          Dedup.minhashNearDups(docs, "doc_id", "text", 3, 64, 16, 0.8))
+        val pairs = lshPairs(s, dir)
         val deg = pairs
           .select(explode(array(col("id_a"), col("id_b"))).as("id"))
           .groupBy("id").agg(count(lit(1)).as("d"))
@@ -5861,7 +5954,7 @@ object SparkEntry {
     "q196_weighted_pagerank" -> Q(
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", 3, 64, 16, 0.8)
+        val pairs = lshPairs(s, dir)
           .select(col("id_a"), col("id_b"),
             round(col("jaccard") * 1e6).cast("long").as("w_micro"))
         Graphs.weightedPageRank(docs.select(col("doc_id")), "doc_id",
@@ -5994,7 +6087,7 @@ object SparkEntry {
     "q199_cross_source_dups" -> Q(
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", 3, 64, 16, 0.8)
+        val pairs = lshPairs(s, dir)
         val src = docs.select(col("doc_id"), col("source"))
         pairs
           .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")),
@@ -6487,8 +6580,7 @@ object SparkEntry {
     "q211_estimator_pr" -> Q(
       (s, dir) => {
         val docs = graft.CacheScope.register(t(s, dir, "documents"))
-        val truth = Dedup.minhashNearDups(docs, "doc_id", "text", 3, 64, 16,
-            0.8)
+        val truth = lshPairs(s, dir)
           .select(col("id_a"), col("id_b"), lit(1).as("t"))
         val pred = Dedup.simhashNearDups(
             Dedup.simhash(docs, "doc_id", "text"), 3, 4)

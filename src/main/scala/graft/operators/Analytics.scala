@@ -212,11 +212,19 @@ object Analytics {
     * Same scale shape as the linear form: the purchase-view pair join is
     * user-bucketed and window-bounded; aggregates ride the (purchase)
     * then (hour) grids.
+    *
+    * `windowDays` is bounded at 19: the dyadic weight 1e6 >> d hits 0 at
+    * d = 20 (and Spark's `<<` wraps the shift count at 64), so a wider
+    * window would let an all-stale purchase divide by w_tot = 0 — the
+    * same explicit-depth contract as [[ewmaTrailing]]'s depth ≤ 32.
     */
   def decayAttribution(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, valueCol: String, viewType: String,
       purchaseType: String, windowDays: Int,
       purchaseIdCol: String = "event_id"): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 19,
+      s"windowDays must be in [1, 19] (dyadic weight 1e6 >> d underflows " +
+        s"to 0 at d = 20), got $windowDays")
     val micros = (c: Column) => unix_micros(c.cast("timestamp"))
     val windowMicros = windowDays.toLong * 86400L * 1000000L
     val v = events.filter(col(typeCol) === viewType)

@@ -473,15 +473,18 @@ object Graphs {
       // — a driver fixed point replaces 3·iters tiny shuffle jobs whose
       // scheduling overhead dwarfs the arithmetic. BigInt quotients keep
       // the truncating integer recursion exact at any count magnitude;
-      // identical arithmetic to the distributed fallback below.
-      val es = c.collect().map(r => (r.getString(0), r.getString(1),
-        r.getLong(2)))
-      val states = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+      // identical arithmetic to the distributed fallback below. State ids
+      // are read GENERICALLY (Any keys) and the output is built by
+      // joining the driver-computed π back onto the distinct-states
+      // relation, so the state column keeps the input's type — same
+      // schema as the distributed path for int/long/string chains alike.
+      val es = c.collect().map(r => (r.get(0), r.get(1), r.getLong(2)))
+      val states: Seq[Any] = (es.map(_._1) ++ es.map(_._2)).distinct
       val k = states.length.toLong
       val tot = es.groupBy(_._1).map { case (s, g) => s -> g.map(_._3).sum }
-      var r = states.map(st => st -> scale / k).toMap
+      var r: Map[Any, Long] = states.map(st => st -> scale / k).toMap
       for (_ <- 1 to iters) {
-        val in = scala.collection.mutable.HashMap.empty[String, Long]
+        val in = scala.collection.mutable.HashMap.empty[Any, Long]
           .withDefaultValue(0L)
         es.foreach { case (src, dst, n) =>
           in(dst) += ((BigInt(r(src)) * n) / tot(src)).toLong
@@ -490,8 +493,14 @@ object Graphs {
         r = states.map(st => st -> (in(st) + d / k)).toMap
       }
       import spark.implicits._
-      states.map(st => (st, r(st), r(st).toDouble / scale.toDouble))
-        .toSeq.toDF(fromCol, "pi_scaled", "pi")
+      val keyOf = (st: Any) => if (st == null) "\u0000" else String.valueOf(st)
+      val piDf = broadcast(states.map(st => (keyOf(st), r(st)))
+        .toSeq.toDF("__key", "pi_scaled"))
+      c.select(col("src").as("st")).union(c.select(col("dst"))).distinct()
+        .join(piDf, coalesce(col("st").cast("string"), lit("\u0000"))
+          === col("__key"))
+        .select(col("st").as(fromCol), col("pi_scaled"),
+          (col("pi_scaled").cast("double") / lit(scale.toDouble)).as("pi"))
     } else {
       val statesDf = graft.CacheScope.register(
         c.select(col("src").as("st")).union(c.select(col("dst"))).distinct())

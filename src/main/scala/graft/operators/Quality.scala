@@ -1159,7 +1159,14 @@ object Quality {
     * Scale shape: one shuffle to the (group, bucket) grid; cumsums and
     * the pair join live on that |groups|·buckets grid only (the q97
     * bounded-grid argument) — never on raw rows. Products ride
-    * DECIMAL(38,0) so cum·n stays exact at any corpus size.
+    * DECIMAL(38,0) so both the bucketing (x−lo)·buckets and the CDF
+    * cross-products cum·n stay exact at any value range / corpus size
+    * (a raw-long product would wrap for |hi−lo| > 2⁶³/buckets).
+    *
+    * Input contract: values are binned on the INTEGER grid — fractional
+    * inputs are truncated by the cast(long) (pre-scale to micros if
+    * sub-integer resolution matters), matching the engine-portable
+    * integer-CDF arithmetic the EMD identity needs.
     */
   def emdPairwise(df: DataFrame, groupCol: String, valueCol: String,
       buckets: Int = 20): DataFrame = {
@@ -1170,7 +1177,8 @@ object Quality {
     val bounds = broadcast(base.agg(min("x").as("lo"), max("x").as("hi")))
     val counts = base.crossJoin(bounds)
       .select(col("g"),
-        expr(s"((x - lo) * $buckets) div (hi - lo + 1)").as("b"))
+        expr(s"((cast(x as decimal(38,0)) - lo) * $buckets)" +
+          " div (cast(hi as decimal(38,0)) - lo + 1)").as("b"))
       .groupBy("g", "b").agg(count(lit(1)).as("c"))
     val totals = counts.groupBy("g").agg(sum("c").as("n"))
     val grid = totals
@@ -1195,7 +1203,7 @@ object Quality {
   }
 
   /** Pairwise two-proportion z-test between every two groups' hit rates
-    * — the proportions member of the A/B family ([[welchPairs]] compares
+    * — the proportions member of the A/B family ([[welchTTest]] compares
     * means, [[groupedWilson]] intervals ONE rate; this tests rate
     * DIFFERENCES): z = (p̂₁−p̂₂)/√(p̂(1−p̂)(1/n₁+1/n₂)) with the pooled p̂.
     * Same exactness contract as Welch: per-group (n, k) are exact

@@ -24,7 +24,10 @@ object Sketches {
     * CMS contract: estimate >= true count, and <= true + eps·N with
     * probability >= confidence — the spec enforces both sides.
     *
-    * Returns (token, n_exact, n_cms), exact-descending.
+    * Returns (token, n_exact, n_cms, n_total), exact-descending —
+    * `n_total` (the stream length N) rides along so callers can evaluate
+    * the eps·N overshoot bound declaratively (the q74 oracle emits the
+    * bound CHECK, not the engine-specific sketch values).
     */
   def heavyHittersCms(df: DataFrame, textCol: String, k: Int,
       eps: Double, confidence: Double): DataFrame = {
@@ -46,6 +49,7 @@ object Sketches {
     probe.map { case (t, n) => (t, n, bc.value.estimateCount(t)) }(
         Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong))
       .toDF("token", "n_exact", "n_cms")
+      .withColumn("n_total", lit(cms.totalCount()))
       .orderBy(col("n_exact").desc, col("token"))
   }
 

@@ -571,6 +571,53 @@ object Warehouse {
     } finally stream.close()
   }
 
+  /** Materialize a generation's deletion vectors into an exportable
+    * file set: tombstoned keys are keyed, not file/row-position, so a
+    * pure-metadata Delta reader cannot apply them — the export instead
+    * rewrites the generation's LIVE rows (snapshot minus tombstones)
+    * under `<gen>/_delta_materialized/` and points the log version's add
+    * actions there (round-7 verdict #7: without this, a Delta read after
+    * [[deleteWhere]] resurrected soft-deleted keys — GDPR-relevant).
+    * The underscore prefix keeps the copy invisible to the native
+    * manifest read path. A `.dv-state` marker records which delete
+    * sidecars the copy reflects, so re-export only rewrites when NEW
+    * tombstones landed (same incremental contract as the log itself);
+    * generations without tombstones export their original files with
+    * zero data movement. Cost when rewriting: O(generation live rows) —
+    * the same deferred cost [[compactDeletes]] pays, just staged in the
+    * export area instead of a new generation.
+    */
+  private def materializedExportFiles(spark: SparkSession, table: String,
+      gen: String): Seq[String] = {
+    val delFiles = listDeleteFiles(table, gen)
+    if (delFiles.isEmpty) return generationDataFiles(table, gen)
+    val outDir = Paths.get(table, gen, "_delta_materialized")
+    val marker = outDir.resolve(".dv-state")
+    val state = delFiles.map(f => Paths.get(f).getFileName.toString)
+      .mkString("\n")
+    val fresh = Files.exists(marker) &&
+      new String(Files.readAllBytes(marker), "UTF-8") == state
+    if (!fresh) {
+      deleteRecursively(outDir)
+      val keys = spark.read.parquet(delFiles: _*).distinct()
+      val k = keys.columns.head
+      spark.read.parquet(s"$table/$gen")
+        .join(broadcast(keys), Seq(k), "left_anti")
+        .write.mode("overwrite").parquet(outDir.toString)
+      Files.write(marker, state.getBytes("UTF-8"))
+    }
+    val stream = Files.list(outDir)
+    try {
+      val out = Seq.newBuilder[String]
+      stream.forEach { p =>
+        val n = p.getFileName.toString
+        if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+          out += s"$gen/_delta_materialized/$n"
+      }
+      out.result().sorted
+    } finally stream.close()
+  }
+
   /** Export the COMMITTED history of a versioned table as a Delta
     * transaction log at `<table>/_delta_log`, one log version per
     * committed generation (oldest = version 0). Version 0 carries the
@@ -578,15 +625,20 @@ object Warehouse {
     * from its predecessor re-emits metaData in its version (Delta's
     * schema-evolution convention). Every later version removes the prior
     * generation's files and adds its own — the full-rewrite semantics of
-    * [[publishVersioned]] expressed as add/remove actions. Returns the
-    * number of log versions written. Deterministic: the table id is a
-    * name-UUID of the table path, and timestamps come from the data
-    * files' own modification times, so re-exporting an unchanged table
-    * rewrites byte-identical actions (modulo filesystem mtimes).
+    * [[publishVersioned]] expressed as add/remove actions. Generations
+    * carrying [[deleteWhere]] tombstones export a MATERIALIZED live-row
+    * copy instead of their raw files (see
+    * [[materializedExportFiles]]) so a Delta reader honors the deletes.
+    * Returns the number of log versions written. Deterministic: the
+    * table id is a name-UUID of the table path, and timestamps come from
+    * the data files' own modification times, so re-exporting an
+    * unchanged table rewrites byte-identical actions (modulo filesystem
+    * mtimes).
     *
     * Scale note: the log write is pure metadata — O(files) driver work,
     * the same bounded collect class as the manifest itself; no data scan
-    * except one schema read per generation (footer-only).
+    * except one schema read per generation (footer-only) and the
+    * one-off tombstone materialization above.
     */
   def exportDeltaLog(spark: SparkSession, table: String): Int = {
     val gens = committedGenerations(table)
@@ -598,7 +650,7 @@ object Warehouse {
     var prevFiles: Seq[String] = Seq.empty
     var prevSchema: String = null
     gens.zipWithIndex.foreach { case (gen, v) =>
-      val files = generationDataFiles(table, gen)
+      val files = materializedExportFiles(spark, table, gen)
       val schemaJson = spark.read.parquet(s"$table/$gen").schema.json
       val actions = Seq.newBuilder[String]
       if (v == 0)

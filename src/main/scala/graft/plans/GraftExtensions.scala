@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{ArrayDotProduct, ArrayIntersectCount, BloomMightContain, JaroWinkler, NfcNormalize}
+import graft.functions.{ArrayDotProduct, ArrayIntersectCount, BloomMightContain, JaroWinkler, NfcNormalize, PqAssign}
 
 /** Session extensions registering graft's native expressions so they are
   * callable from SQL and `call_function` (`spark.sql.extensions` or
@@ -47,6 +47,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 1, "nfc_normalize takes exactly 1 argument")
         NfcNormalize(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("pq_assign"),
+      new ExpressionInfo(classOf[PqAssign].getName, "pq_assign"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 5,
+          "pq_assign takes (vec, m, ksub, dsub, books_flat)")
+        def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+            name: String): Int = {
+          require(e.foldable, s"pq_assign $name must be a literal")
+          e.eval(null) match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"pq_assign $name must be an integer literal, got $other")
+          }
+        }
+        PqAssign(children.head, intLit(children(1), "m"),
+          intLit(children(2), "ksub"), intLit(children(3), "dsub"),
+          children(4))
       }))
     ext.injectFunction((
       FunctionIdentifier("jaro_winkler"),

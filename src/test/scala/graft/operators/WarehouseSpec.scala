@@ -348,4 +348,38 @@ class WarehouseSpec extends SparkSpec {
     // pre-purge generation (with its tombstones) survives as history
     assert(Warehouse.readVersionedAt(spark, table, gen1).count() == 10L)
   }
+
+  test("deletion vectors survive the Delta-log export: a Delta-layout " +
+      "read after deleteWhere excludes the deleted keys, and new " +
+      "tombstones refresh an existing export") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft-wh-dv-delta").toString + "/t"
+    val dest = Files.createTempDirectory("graft-wh-dv-delta").toString + "/imp"
+    Warehouse.publishVersioned(spark,
+      (1L to 10L).map(i => (i, s"row$i")).toDF("id", "v"), table)
+    assert(Warehouse.deleteWhere(spark, table, "id", col("id") <= 3L) == 3L)
+    assert(Warehouse.exportDeltaLog(spark, table) == 1)
+    // a pure-metadata Delta reader (deltaVersions replay + parquet read
+    // of the live file set) must NOT resurrect the soft-deleted keys
+    def deltaLiveIds(): Set[Long] = {
+      val files = Warehouse.deltaVersions(spark, table).last._2
+      spark.read.parquet(files.map(f => s"$table/$f"): _*)
+        .select("id").collect().map(_.getLong(0)).toSet
+    }
+    assert(deltaLiveIds() == (4L to 10L).toSet)
+    // the import side of the round trip honors them too
+    Warehouse.importDeltaLog(spark, table, dest)
+    assert(Warehouse.readVersioned(spark, dest)
+      .select("id").collect().map(_.getLong(0)).toSet == (4L to 10L).toSet)
+    // the raw generation files are untouched (soft delete stays soft)
+    assert(Warehouse.readVersioned(spark, table).count() == 10L)
+    // a LATER tombstone invalidates the materialized copy on re-export
+    assert(Warehouse.deleteWhere(spark, table, "id", col("id") === 7L) == 1L)
+    assert(Warehouse.exportDeltaLog(spark, table) == 1)
+    assert(deltaLiveIds() == ((4L to 10L).toSet - 7L))
+    // re-export with NO new tombstones reuses the materialized copy
+    // (marker fresh): same live set, no error
+    assert(Warehouse.exportDeltaLog(spark, table) == 1)
+    assert(deltaLiveIds() == ((4L to 10L).toSet - 7L))
+  }
 }
