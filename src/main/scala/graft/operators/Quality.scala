@@ -160,6 +160,35 @@ object Quality {
     * Returns (column_name, n_rows, n_nulls, n_distinct, min_micro,
     * max_micro) — one row per profiled column.
     */
+  /** k-anonymity / l-diversity audit — the release-governance check a
+    * training-data pipeline runs before publishing any table that pairs
+    * quasi-identifiers with a sensitive attribute (Sweeney, "k-anonymity:
+    * a model for protecting privacy", 2002; Machanavajjhala et al.,
+    * "l-diversity", 2007). Per distinct quasi-identifier combination:
+    * the equivalence-class size `n`, the number of distinct sensitive
+    * values `n_sensitive`, and the two pass/fail verdicts — a class
+    * smaller than `k` re-identifies its members; a class whose sensitive
+    * attribute is near-constant discloses it even at size ≥ k. NULL
+    * quasi-identifier values form their own class (a null zip code is
+    * still a linkable value); NULL sensitive values don't count toward
+    * diversity.
+    *
+    * Exact and engine-portable (counts and comparisons only). Scale
+    * shape: ONE hash aggregate to the QI grid with a partial
+    * count-distinct — no self-joins, no windows; the output is
+    * |QI-combinations|-sized, never row-sized.
+    */
+  def kAnonymityAudit(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, k: Long, l: Long): DataFrame = {
+    require(qiCols.nonEmpty && k >= 1 && l >= 1)
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .select(qiCols.map(col) ++ Seq(col("n"), col("n_sensitive"),
+        (col("n") >= k).as("k_anonymous"),
+        (col("n_sensitive") >= l).as("l_diverse")): _*)
+  }
+
   def profileTable(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column")
     import org.apache.spark.sql.types._

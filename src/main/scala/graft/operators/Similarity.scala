@@ -1284,6 +1284,85 @@ object Similarity {
         (sqrt(col("__d2").cast("double")) / lit(1e7)).as("dist"))
   }
 
+  /** Simplified (centroid-based) silhouette of a labeled embedding
+    * space: per vector, a = L2 distance to its OWN group's centroid,
+    * b = the minimum distance to any OTHER group's centroid, and the
+    * silhouette s = (b − a) / max(a, b) — the medoid-free variant
+    * (Rousseeuw's silhouette with centroids standing in for mean
+    * pairwise distances), the standard O(n·k) answer to "are my source
+    * labels actually separated in embedding space?" that the O(n²) full
+    * silhouette can't give at corpus scale. Feeds mixture decisions: a
+    * source with silhouette ≈ 0 duplicates another source's region.
+    *
+    * Exactness: centroids are micro-grid integers (rounded exact-DECIMAL
+    * means — [[groupCentroidDistances]]'s contract) collected to the
+    * driver (|groups|·d longs, the codebook-bounded-collect class) and
+    * re-emitted as literals; each d² is an exact BIGINT sum of long
+    * squares; per-vector s is two pinned IEEE ops (sqrt, divide) rounded
+    * ONCE to the micro grid, and the per-group mean is the exact integer
+    * mean of those micro values — fully oracle-replayable.
+    *
+    * Scale shape: one aggregation scan to the (group, pos) centroid grid,
+    * one bounded driver collect, then ONE map-only scan computing all k
+    * distances per vector from literals (no join, no shuffle) into a
+    * |groups|-row aggregate.
+    *
+    * Returns (grp, n_vecs, sum_sil_micro, mean_silhouette), ordered by
+    * caller. Groups with a single member still score (a = dist to own
+    * centroid = 0 when alone at the centroid).
+    */
+  def sourceSilhouette(embs: DataFrame, groupCol: String,
+      vecCol: String): DataFrame = {
+    val qv = transform(quantized(col(vecCol)), x => x.cast("long"))
+    val comps = graft.Parallelism.fanOut(
+        embs.select(col(groupCol).as("grp"), col(vecCol)))
+      .select(col("grp"), posexplode(qv).as(Seq("pos", "v")))
+    val cents = comps.groupBy("grp", "pos")
+      .agg(count(lit(1)).as("n"), sum(col("v").cast("decimal(38,0)")).as("s"))
+      .select(col("grp"), col("pos"),
+        round(col("s").cast("double") / col("n")).cast("long").as("mu"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (g, rows) =>
+        val d = rows.map(_.getInt(1)).max + 1
+        val mu = new Array[Long](d)
+        rows.foreach(r => mu(r.getInt(1)) = r.getLong(2))
+        g -> mu
+      }
+    require(cents.size >= 2, "sourceSilhouette needs >= 2 groups")
+    val groups = cents.keys.toSeq.sorted
+    // all k distances from literal centroids in one map-only projection:
+    // d2_g = sum over pos of (v - mu_g)^2, exact BIGINT
+    def d2To(g: String): Column = {
+      val muLit = array(cents(g).map(lit(_)): _*)
+      aggregate(zip_with(qv, muLit, (x, m) => (x - m) * (x - m)),
+        lit(0L), (acc, x) => acc + x)
+    }
+    val dArr = array(groups.map(g =>
+      struct(lit(g).as("g"), d2To(g).as("d2"))): _*)
+    val scored = graft.Parallelism.fanOut(
+        embs.select(col(groupCol).as("grp"), col(vecCol)))
+      .select(col("grp"), dArr.as("__ds"))
+      .select(col("grp"),
+        sqrt(element_at(filter(col("__ds"), e => e("g") === col("grp")), 1)("d2")
+          .cast("double")).as("__a"),
+        sqrt(array_min(transform(filter(col("__ds"), e => e("g") =!= col("grp")),
+          e => e("d2"))).cast("double")).as("__b"))
+      .select(col("grp"),
+        round(when(greatest(col("__a"), col("__b")) > 0,
+            (col("__b") - col("__a")) / greatest(col("__a"), col("__b")))
+          .otherwise(lit(0.0)) * 1e6).cast("long").as("__s_micro"))
+    scored.groupBy("grp")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("__s_micro")).as("sum_sil_micro"))
+      .select(col("grp"), col("n_vecs"), col("sum_sil_micro"),
+        // ONE final IEEE division of two exact integers — engine-portable
+        // (an integral div would floor/truncate differently for negative
+        // totals across engines)
+        (col("sum_sil_micro").cast("double")
+          / (col("n_vecs").cast("double") * 1e6)).as("mean_silhouette"))
+  }
+
   /** PCA projection onto the top-k principal components of the exact
     * covariance matrix. The eigenproblem is solved on the driver (d x d,
     * bounded — same contract as the k-means centroid collects); the

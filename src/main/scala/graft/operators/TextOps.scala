@@ -514,6 +514,65 @@ object TextOps {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** DSIR-style importance weights: score every document by how much
+    * more likely its hashed-unigram bag is under the TARGET distribution
+    * (rows matching `targetPred`) than under the RAW corpus distribution
+    * — Data Selection via Importance Resampling (Xie et al., "Data
+    * Selection for Language Models via Importance Resampling", NeurIPS
+    * 2023), the standard "make the crawl look like the reference corpus"
+    * selector, minus the Gumbel noise (selection here is the
+    * deterministic sign of the log-weight; callers wanting a fixed
+    * budget rank on `logw_micro` with id ties).
+    *
+    *   logw(d) = Σ_b c_db · [lnμ(ct_b+1) − lnμ(Nt+B) − lnμ(cr_b+1) + lnμ(Nr+B)]
+    *
+    * with c_db the doc's count in hash bucket b, ct/cr the target/raw
+    * bucket totals, B the bucket count. Every ln is taken OF AN INTEGER
+    * and rounded to micro units before any arithmetic (the q62
+    * libm-proofing trick), so logw_micro is an exact BIGINT any engine
+    * reproduces; buckets ride [[hashedBow]]'s oracle-replayable h60.
+    *
+    * Scale shape: one token scan fanned out to (doc, bucket) counts
+    * (map-side combine), the B-row target/raw bucket tables broadcast
+    * back onto it, one (doc) re-aggregate. The per-bucket model is
+    * 2·B longs — fixed memory at any corpus size, the property that
+    * lets DSIR score petabyte crawls.
+    *
+    * Returns (id, n_tokens, logw_micro, selected = logw_micro > 0),
+    * one row per document with ≥ 1 token.
+    */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int): DataFrame = {
+    require(buckets > 0, s"bucket count must be positive: $buckets")
+    def lnMicro(c: Column): Column =
+      round(log(c.cast("double")) * 1e6).cast("long")
+    val docBuckets = graft.CacheScope.register(
+      graft.Parallelism.fanOut(
+          df.select(col(idCol).as("id"), col(textCol).as("__t"),
+            targetPred.as("__is_target")))
+        .select(col("id"), col("__is_target"),
+          explode(TextFns.tokens(col("__t"))).as("__tok"))
+        .groupBy(col("id"), col("__is_target"),
+          pmod(Hashing.h60(col("__tok")), lit(buckets.toLong)).as("b"))
+        .agg(count(lit(1)).as("c")))
+    val model = broadcast(docBuckets
+      .groupBy("b")
+      .agg(sum(when(col("__is_target"), col("c")).otherwise(0L)).as("ct"),
+        sum(col("c")).as("cr")))
+    val totals = broadcast(model.agg(
+      sum(col("ct")).as("nt"), sum(col("cr")).as("nr")))
+    docBuckets
+      .join(model, "b")
+      .crossJoin(totals)
+      .groupBy("id")
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * (lnMicro(col("ct") + 1) - lnMicro(col("nt") + buckets)
+          - lnMicro(col("cr") + 1) + lnMicro(col("nr") + buckets)))
+          .as("logw_micro"))
+      .select(col("id"), col("n_tokens"), col("logw_micro"),
+        (col("logw_micro") > 0).as("selected"))
+  }
+
   /** Multiclass Naive Bayes classifier over hashed bag-of-words features
     * — the fastText/CCNet-style "model-based domain/quality filter"
     * reduced to exact integer arithmetic. Trains on `labelCol` with

@@ -25,6 +25,8 @@ class PlanLintSpec extends SparkSpec {
     "q15_watermark_filter" -> "broadcast per-key max-watermark aggregate, non-equi ts bound",
     "q24_knn_exact" -> "broadcast bounded query set, =!= self-match exclusion",
     "q31_knn_ivf" -> "knnExact recall reference (q24's broadcast bounded query set) + crossJoin of two broadcast 1-row recall-contract aggregates",
+    "q160_logistic_calibrator" -> "crossJoins of the broadcast 1-row first-iterate and row-count relations (nano-noise tolerance for the improvement contract)",
+    "q224_dsir_weights" -> "crossJoin against the broadcast 1-row target/raw token-total aggregate (q110/q163 shape)",
     "q202_retrieval_mrr" -> "knnExactAgg's broadcast bounded query set (q24's shape); label joins are equi",
     "q206_bigram_pmi" -> "crossJoin against the broadcast 1-row totals aggregate (q110/q163 shape)",
     "q209_simpson_paradox" -> "crossJoin against the broadcast 1-row pooled-slope aggregate (q110/q163 shape)",

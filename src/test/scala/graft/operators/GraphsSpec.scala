@@ -150,4 +150,40 @@ class GraphsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a == b)
   }
+
+  test("kCore: a clique survives, chains and pendants peel away in a " +
+      "cascade, and the empty core is an empty frame") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} + pendant 8 on node 1 + chain 5-6-7
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 8L), (5L, 6L), (6L, 7L)).toDF("a", "b")
+    val core3 = Graphs.kCore(edges, "a", "b", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // only the clique: pendant 8 drops round 1 (deg 1); node 1 keeps
+    // degree 3 WITHIN the core (the pendant edge is gone)
+    assert(core3 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    val core2 = Graphs.kCore(edges, "a", "b", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // chain peels in CASCADE: 5 and 7 (deg 1) drop round 1, leaving 6
+    // with deg 0 to drop round 2 — clique survives, pendant drops
+    assert(core2.keySet == Set(1L, 2L, 3L, 4L))
+    // k above the max degree: everything peels, empty result
+    assert(Graphs.kCore(edges, "a", "b", k = 5).count() == 0L)
+  }
+
+  test("kCore: result is partitioning-independent and matches a fresh " +
+      "run bit-for-bit") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (4L, 6L), (5L, 6L)).toDF("a", "b")
+    val a = Graphs.kCore(edges, "a", "b", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graphs.kCore(edges.repartition(7), "a", "b", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    // two triangles bridged by 3-4: every node keeps degree >= 2, so
+    // nothing peels and the bridge edge STAYS in the 2-core (its ends
+    // carry it: degree 3 each)
+    assert(a == Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 3L, 5L -> 2L, 6L -> 2L))
+  }
 }

@@ -585,4 +585,24 @@ class QualitySpec extends SparkSpec {
     }
     x
   }
+
+  test("kAnonymityAudit: class sizes and diversity flags match a hand " +
+      "count; null QI forms its own class; null sensitive ignored") {
+    import spark.implicits._
+    val df = Seq(
+      // class (a, 1): 3 rows, sensitive {x, y} -> k_anonymous@3, l_diverse@2
+      ("a", 1, "x"), ("a", 1, "y"), ("a", 1, "x"),
+      // class (a, 2): 2 rows, sensitive {x} -> too small, not diverse
+      ("a", 2, "x"), ("a", 2, "x"),
+      // class (null, 1): 3 rows, one null sensitive -> diversity counts {z, w}
+      (null, 1, "z"), (null, 1, "w"), (null, 1, null)
+    ).toDF("qa", "qb", "sens")
+    val out = Quality.kAnonymityAudit(df, Seq("qa", "qb"), "sens", 3L, 2L)
+      .collect().map(r => (Option(r.getString(0)), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5)))).toMap
+    assert(out.size == 3)
+    assert(out((Some("a"), 1)) == ((3L, 2L, true, true)))
+    assert(out((Some("a"), 2)) == ((2L, 1L, false, false)))
+    assert(out((None, 1)) == ((3L, 2L, true, true)))
+  }
 }

@@ -450,4 +450,40 @@ class SimilaritySpec extends SparkSpec {
     // assertion is that neither call crashed on a stale-model dim mismatch
     assert(math.abs(math.abs(c1) - math.abs(c2)) < 1e-6 * math.max(1.0, math.abs(c1)))
   }
+
+  test("sourceSilhouette: perfectly separated singletons score exactly 1; " +
+      "a vector sitting on another group's centroid scores negative") {
+    import spark.implicits._
+    val sep = Seq(
+      (1L, "a", Array(1.0f, 0.0f)),
+      (2L, "b", Array(0.0f, 1.0f))
+    ).toDF("id", "grp", "vec")
+    val out = Similarity.sourceSilhouette(sep, "grp", "vec")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    // singleton at its own centroid: a = 0, b = |c_a - c_b| > 0 -> s = 1
+    assert(out == Map("a" -> ((1L, 1000000L)), "b" -> ((1L, 1000000L))))
+
+    // group a has an outlier ON b's centroid: its a > 0, b = 0 -> s = -1
+    val mixed = Seq(
+      (1L, "a", Array(1.0f, 0.0f)),
+      (2L, "a", Array(1.0f, 0.0f)),
+      (3L, "a", Array(-1.0f, 0.0f)), // pulls a's centroid to (1/3, 0)
+      (4L, "b", Array(-1.0f, 0.0f)),
+      (5L, "b", Array(-1.0f, 0.0f))
+    ).toDF("id", "grp", "vec")
+    val m = Similarity.sourceSilhouette(mixed, "grp", "vec")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(m("a")._1 == 3L && m("b")._1 == 2L)
+    // vector 3 sits exactly on b's centroid: s_3 = -1; the two core a
+    // vectors are closer to a's centroid than to b's: s > 0 -> the group
+    // mean is pulled below the core vectors' score but stays > -1
+    assert(m("a")._3 < m("b")._3)
+    assert(m("b")._3 == 1.0) // both b vectors AT b's centroid, far from a's
+    // determinism across partitionings
+    val m2 = Similarity.sourceSilhouette(mixed.repartition(5), "grp", "vec")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(m2 == m.map { case (k, v) => k -> v._2 })
+  }
 }

@@ -760,4 +760,36 @@ class TextMultimodalSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
     assert(out2.toSeq == out.toSeq)
   }
+
+  test("dsirWeights: target-vocabulary docs weigh positive, off-target " +
+      "negative, and the weight replays the closed form exactly") {
+    import spark.implicits._
+    // target (tgt=true) speaks alpha; raw background speaks beta; counts
+    // large enough that the add-one/B smoothing does not swamp the signal
+    def rep(w: String, n: Int) = Seq.fill(n)(w).mkString(" ")
+    val docs = Seq(
+      (1L, rep("alpha", 30), true),
+      (2L, rep("alpha", 20) + " beta", true),
+      (3L, rep("beta", 30), false),
+      (4L, rep("beta", 20) + " alpha", false),
+      (5L, "alpha beta", false)
+    ).toDF("doc_id", "text", "is_t")
+    val out = TextOps.dsirWeights(docs, "doc_id", "text", $"is_t", 64)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(out(1L)._1 == 30L) // n_tokens
+    // closed form: ct(alpha)=50, ct(beta)=1, nt=51; cr(alpha)=52,
+    // cr(beta)=52, nr=104; B=64 buckets; alpha/beta hash to DISTINCT
+    // buckets (md5 prefixes mod 64 = 59 vs 43)
+    def ln6(x: Long): Long = math.round(math.log(x.toDouble) * 1e6)
+    val wAlpha = ln6(50 + 1) - ln6(51 + 64) - ln6(52 + 1) + ln6(104 + 64)
+    val wBeta = ln6(1 + 1) - ln6(51 + 64) - ln6(52 + 1) + ln6(104 + 64)
+    assert(out(1L)._2 == 30 * wAlpha)
+    assert(out(3L)._2 == 30 * wBeta)
+    assert(out(2L)._2 == 20 * wAlpha + wBeta)
+    // alpha is the target signature: positive weight; beta negative
+    assert(wAlpha > 0 && wBeta < 0)
+    assert(out(1L)._3 && !out(3L)._3)
+  }
 }
