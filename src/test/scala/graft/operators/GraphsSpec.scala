@@ -181,6 +181,12 @@ class GraphsSpec extends SparkSpec {
     val b = Graphs.kCore(edges.repartition(7), "a", "b", k = 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a == b)
+    // the driver fast path and the forced distributed loop agree
+    // bit-for-bit (same simultaneous-peel rounds, same degrees)
+    val dist = Graphs.kCore(edges, "a", "b", k = 2,
+        driverEdgeThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == dist)
     // two triangles bridged by 3-4: every node keeps degree >= 2, so
     // nothing peels and the bridge edge STAYS in the 2-core (its ends
     // carry it: degree 3 each)
