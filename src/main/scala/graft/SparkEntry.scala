@@ -7273,6 +7273,198 @@ object SparkEntry {
           CAST(SUM(sm) AS DOUBLE) / (COUNT(*) * 1e6) AS mean_silhouette
         FROM s GROUP BY source ORDER BY source""")),
 
+    // Incremental materialized-view maintenance: the per-customer order
+    // rollup kept fresh from a CDC delta (inserts o_orderkey%7=0,
+    // deletes %11=0 retracted with −1 weights) WITHOUT rescanning the
+    // base facts — one full-outer coalesce-add on the key over AGGREGATE
+    // rows only, groups whose count retracts to 0 vanish. The oracle is
+    // the full recompute over the equivalent live set, so the gate pins
+    // the self-maintainability identity itself.
+    "q228_incremental_view" -> Q(
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(col("o_custkey"),
+          col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+        val baseFacts = o.filter(col("o_orderkey") % 7 =!= 0)
+        val view0 = Warehouse.viewPartialAgg(baseFacts, Seq("o_custkey"),
+          Seq("price_cents"), lit(1))
+        val delta = o.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("__op", lit(1))
+          .unionByName(baseFacts.filter(col("o_orderkey") % 11 === 0)
+            .withColumn("__op", lit(-1)))
+        val deltaAgg = Warehouse.viewPartialAgg(delta, Seq("o_custkey"),
+          Seq("price_cents"), col("__op"))
+        Warehouse.incrementalViewMerge(view0, deltaAgg, Seq("o_custkey"))
+          .orderBy("o_custkey")
+      },
+      Some("""WITH live AS (SELECT o_custkey,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+          FROM orders
+          WHERE o_orderkey % 7 = 0 OR o_orderkey % 11 <> 0)
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt,
+          CAST(SUM(pc) AS BIGINT) AS sum_price_cents
+        FROM live GROUP BY 1 ORDER BY 1""")),
+
+    // EXACT percentiles with NO sort: iterative histogram selection over
+    // lineitem's price grid — each level is one map-side-combined
+    // 65536-bin histogram and the range narrows 65536×, so any 64-bit
+    // domain resolves in ≤ 4 scans (the third point of the quantile
+    // triangle: q37 exact-but-buffering, q73 fixed-memory-but-approx,
+    // this one exact AND fixed-memory). The oracle pays the full sort.
+    "q229_order_statistics" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(round(col("l_extendedprice") * 100).cast("long").as("v"))
+        val n = li.count()
+        def k(p: Int): Long = (p * n + 99) / 100
+        Quality.exactOrderStatistics(li, "v",
+          Seq(k(25), k(50), k(75), k(99)).distinct)
+      },
+      Some("""WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+            FROM lineitem),
+        r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v),
+        n AS (SELECT COUNT(*) AS n FROM v),
+        ks AS (SELECT DISTINCT (p * n + 99) // 100 AS k
+          FROM (VALUES (25), (50), (75), (99)) t(p), n)
+        SELECT CAST(k AS BIGINT) AS rank_pos, v AS value_at
+        FROM r JOIN ks ON rn = k ORDER BY rank_pos, value_at""")),
+
+    // Reciprocal-rank fusion of the lexical (BM25 top-50) and vector
+    // (exact-cosine top-50 around vec 0) retrievers — the standard
+    // hybrid-search combiner; both ranks are deterministic ((score desc,
+    // id)), the contribution ⌊10⁶/(60+r)⌋ is one integer division, so
+    // the fused score is an order-independent BIGINT both engines agree
+    // on bit-exactly.
+    "q230_rrf_fusion" -> Q(
+      (s, dir) => {
+        val lex = TextOps.bm25Search(t(s, dir, "documents"),
+            "doc_id", "text", Seq("hash", "join", "vector"), 50)
+          .select(col("id"), col("score_micro").cast("double").as("score"))
+        val emb = t(s, dir, "embeddings")
+        val vec = Similarity.knnExactAgg(emb,
+            emb.filter(col("vec_id") === 0), "vec_id", "embedding", 50)
+          .select(col("id"), col("cos").as("score"))
+        Similarity.rrfFuse(Seq(lex, vec), "id", "score", 60, 20)
+          .withColumnRenamed("id", "doc_id")
+      },
+      Some("""WITH base AS (SELECT doc_id,
+            string_split_regex(lower(trim(text)), '\s+') AS l
+          FROM documents),
+        d AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS dl, l FROM base),
+        nn AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS s FROM d),
+        hits AS (SELECT doc_id, dl, unnest(l) AS term FROM d),
+        tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM hits
+               WHERE term IN ('hash', 'join', 'vector')
+               GROUP BY 1, 2, 3),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        idf AS (SELECT term,
+            CAST(round(ln((((CAST((SELECT n FROM nn) AS DOUBLE) - CAST(df AS DOUBLE)) + 0.5)
+                           / (CAST(df AS DOUBLE) + 0.5)) + 1.0) * 1e6) AS BIGINT) AS idf_micro
+          FROM df),
+        scored AS (SELECT tf.doc_id,
+            CAST(round((CAST(idf_micro AS DOUBLE) * ((22.0 * CAST(tf AS DOUBLE)) * CAST((SELECT s FROM nn) AS DOUBLE)))
+              / ((((10.0 * CAST((SELECT s FROM nn) AS DOUBLE)) * CAST(tf AS DOUBLE))
+                  + (3.0 * CAST((SELECT s FROM nn) AS DOUBLE)))
+                 + ((9.0 * CAST((SELECT n FROM nn) AS DOUBLE)) * CAST(dl AS DOUBLE)))) AS BIGINT) AS c
+          FROM tf JOIN idf USING (term)),
+        lex AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score_micro
+          FROM scored GROUP BY 1
+          ORDER BY score_micro DESC, doc_id LIMIT 50),
+        lexr AS (SELECT doc_id AS id,
+            row_number() OVER (ORDER BY score_micro DESC, doc_id) AS r
+          FROM lex),
+        vq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        vs AS (SELECT vec_id AS id,
+            list_aggregate(list_transform(range(1, len(qv) + 1),
+              i -> round(CAST(qv[i] AS DOUBLE) * 1e7) * round(CAST(embedding[i] AS DOUBLE) * 1e7)), 'sum')
+            / SQRT(
+              list_aggregate(list_transform(range(1, len(qv) + 1),
+                i -> round(CAST(qv[i] AS DOUBLE) * 1e7) * round(CAST(qv[i] AS DOUBLE) * 1e7)), 'sum')
+              * list_aggregate(list_transform(range(1, len(embedding) + 1),
+                i -> round(CAST(embedding[i] AS DOUBLE) * 1e7) * round(CAST(embedding[i] AS DOUBLE) * 1e7)), 'sum')) AS cos
+          FROM embeddings, vq WHERE vec_id <> 0
+          ORDER BY cos DESC, id LIMIT 50),
+        vr AS (SELECT id, row_number() OVER (ORDER BY cos DESC, id) AS r
+          FROM vs),
+        c AS (SELECT id, 1000000 // (r + 60) AS c FROM lexr
+              UNION ALL
+              SELECT id, 1000000 // (r + 60) AS c FROM vr)
+        SELECT id AS doc_id, CAST(SUM(c) AS BIGINT) AS rrf_micro,
+          CAST(COUNT(*) AS BIGINT) AS n_lists
+        FROM c GROUP BY 1
+        ORDER BY rrf_micro DESC, doc_id LIMIT 20""")),
+
+    // Grouped HLL distincts with the MERGE proof: per-event-type user
+    // sketches, global distinct from hll_union_agg over those sketches
+    // alone — the rollup-without-raw-data property that replaces
+    // COUNT(DISTINCT) at 100 TB. Sketch registers are engine-specific,
+    // so the row emits the error contract next to the exact count (the
+    // q46 pattern); the ALL row's estimate came only from the merge.
+    "q231_hll_sketch_merge" -> Q(
+      (s, dir) => Sketches.distinctSketchMerged(
+        t(s, dir, "events"), "event_type", "user_id"),
+      Some("""SELECT CAST(event_type AS VARCHAR) AS g,
+          CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+          true AS bound_ok
+        FROM events WHERE event_type IS NOT NULL GROUP BY 1
+        UNION ALL
+        SELECT 'ALL', CAST(COUNT(DISTINCT user_id) AS BIGINT), true
+        FROM events WHERE event_type IS NOT NULL
+        ORDER BY g""")),
+
+    // Holt linear-trend smoothing of daily order revenue (α = 1/2,
+    // β = 1/4 dyadic gains, truncating integer division) — level+trend
+    // forecasting between q157's EWMA and q183's seasonality. The
+    // distributed work is one calendar-bounded day-grid aggregate; the
+    // oracle replays the recurrence exactly with a recursive CTE.
+    "q232_holt_linear" -> Q(
+      (s, dir) => Temporal.holtLinear(t(s, dir, "orders"),
+        "o_orderdate", "o_totalprice"),
+      Some("""WITH RECURSIVE obs AS (SELECT CAST(o_orderdate AS DATE) AS d,
+            CAST(SUM(CAST(round(o_totalprice * 1e6) AS BIGINT)) AS BIGINT) AS s
+          FROM orders GROUP BY 1),
+        mm AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM obs),
+        rec AS (
+          SELECT o.d, o.s, o.s AS l, CAST(0 AS BIGINT) AS b
+          FROM obs o, mm WHERE o.d = mm.lo
+          UNION ALL
+          SELECT r.d + 1, COALESCE(o.s, 0),
+            (COALESCE(o.s, 0) + r.l + r.b) // 2,
+            (((COALESCE(o.s, 0) + r.l + r.b) // 2) - r.l + 3 * r.b) // 4
+          FROM rec r
+          LEFT JOIN obs o ON o.d = r.d + 1, mm
+          WHERE r.d < mm.hi)
+        SELECT d AS day, s AS actual_micro, l AS level_micro,
+          b AS trend_micro, l + b AS forecast_next_micro
+        FROM rec ORDER BY day""")),
+
+    // Bucketed-layout aggregation: lineitem is published bucketed by
+    // l_orderkey ([[Warehouse.writeBucketed]]), so the per-order rollup
+    // plans with ZERO shuffle exchanges below the final presentation
+    // sort — the storage layout already satisfies the aggregation's
+    // hash-distribution requirement (a plain scan pays one full-data
+    // exchange here; plan_stats pins the difference). The write-once /
+    // aggregate-shuffle-free trade is THE bucketing story at 100 TB.
+    "q233_bucketed_agg" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"),
+            round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        val path = s"${sys.props("java.io.tmpdir")}/graft_bucketed/" +
+          s"li_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+        Warehouse.writeBucketed(s, li, "graft_li_bucketed", path,
+          "l_orderkey", 16)
+        s.table("graft_li_bucketed")
+          .groupBy("l_orderkey")
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("cents")).as("revenue_cents"))
+          .orderBy("l_orderkey")
+      },
+      Some("""SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+          CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+            AS revenue_cents
+        FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
     // ----- SQL API surface ---------------------------------------------------
 
     // The spark.sql face of the engine: the same ANSI text runs on both

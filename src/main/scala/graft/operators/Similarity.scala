@@ -257,6 +257,42 @@ object Similarity {
       .toDF("step", "id", "rel_micro", "mmr_scaled")
   }
 
+  /** RECIPROCAL-RANK FUSION of retrieval lists — the standard hybrid
+    * search combiner (Cormack et al. 2009): each list contributes
+    * ⌊10⁶ / (kConst + rank)⌋ to every id it ranks, and ids are returned
+    * by descending fused score. Pure rank fusion — BM25's unbounded
+    * log-scores and cosine's [−1, 1] need no calibration to be combined,
+    * which is why RRF is the default lexical+vector fuser in production
+    * retrieval stacks (and in training-data curation: "keep what EITHER
+    * signal ranks high").
+    *
+    * Inputs are (id, score) relations ALREADY truncated to their top-N
+    * by the upstream retrievers (bm25Search / knnExactAgg emit ≤ k
+    * rows) — the single-partition rank window here is over those ≤ N
+    * rows, never a corpus (the mmrRerank bounded-input precedent). Ranks
+    * are made deterministic by the (score desc, id) tie order; the
+    * contribution is one integer division, so the fused sum is an
+    * order-independent BIGINT.
+    *
+    * Returns (id, rrf_micro, n_lists) — top `topK` by (rrf desc, id).
+    */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, scoreCol: String,
+      kConst: Int = 60, topK: Int = 20): DataFrame = {
+    require(lists.nonEmpty && kConst >= 1 && topK >= 1)
+    val contribs = lists.map { l =>
+      val w = Window.orderBy(col(scoreCol).desc, col(idCol))
+      l.select(col(idCol).as("id"), col(scoreCol))
+        .withColumn("__rank", row_number().over(w))
+        .select(col("id"),
+          expr(s"1000000 div (__rank + $kConst)").cast("long").as("__c"))
+    }
+    contribs.reduce(_.unionByName(_))
+      .groupBy("id")
+      .agg(sum(col("__c")).as("rrf_micro"), count(lit(1)).as("n_lists"))
+      .orderBy(desc("rrf_micro"), col("id"))
+      .limit(topK)
+  }
+
   /** Deterministic pseudo-random hyperplanes: coefficient (p, d) is derived
     * from h60(s"plane:p:d"), mapped to [-0.5, 0.5). Returned as a literal
     * array-of-arrays column so the dot products stay in codegen.

@@ -66,4 +66,39 @@ object Sketches {
       .agg(expr(s"approx_percentile($valCol, 0.5, $accuracy)").as("p50"),
         expr(s"approx_percentile($valCol, 0.9, $accuracy)").as("p90"),
         max(col(valCol)).as("max_val"))
+
+  /** Grouped DataSketches-HLL distincts with a MERGE proof: one sketch
+    * per group, the global count from `hll_union_agg` over the per-group
+    * sketches — the property that makes sketches the 100 TB answer to
+    * COUNT(DISTINCT): per-partition/per-day sketches are built once and
+    * re-aggregated to ANY rollup without touching raw data again
+    * (exact distincts cannot merge: |A ∪ B| ≠ |A| + |B|).
+    *
+    * The sketch registers are engine-specific, so the relation emits the
+    * error CONTRACT as a boolean next to the exact count (the q46
+    * pattern): |est − exact| ≤ exact/20 + 10 — ≥ 3σ of the lgK = 12
+    * default (rsd ≈ 1.6 %) plus absolute slack for near-exact sparse
+    * mode. Returns one row per group plus an `ALL` row whose estimate
+    * came ONLY from the merged per-group sketches.
+    */
+  def distinctSketchMerged(df: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    val sk = graft.CacheScope.register(
+      df.filter(col(groupCol).isNotNull)
+        .groupBy(col(groupCol).cast("string").as("g"))
+        .agg(hll_sketch_agg(col(valCol)).as("__sk"),
+          countDistinct(col(valCol)).as("exact_distinct")))
+    def ok(est: org.apache.spark.sql.Column,
+        exact: org.apache.spark.sql.Column) =
+      (abs(est - exact) * 20 <= exact + 200).as("bound_ok")
+    val per = sk.select(col("g"), col("exact_distinct"),
+      ok(hll_sketch_estimate(col("__sk")), col("exact_distinct")))
+    val glob = sk.agg(
+        hll_sketch_estimate(hll_union_agg(col("__sk"))).as("__est"))
+      .crossJoin(broadcast(df.filter(col(groupCol).isNotNull)
+        .agg(countDistinct(col(valCol)).as("exact_distinct"))))
+      .select(lit("ALL").as("g"), col("exact_distinct"),
+        ok(col("__est"), col("exact_distinct")))
+    per.unionByName(glob).orderBy("g")
+  }
 }

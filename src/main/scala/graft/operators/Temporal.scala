@@ -514,4 +514,59 @@ object Temporal {
           (col("cnt") * 4 > col("median_x2") * 3 ||
            col("cnt") * 4 < col("median_x2")))
   }
+
+  /** HOLT LINEAR-TREND smoothing (double exponential) of a daily measure
+    * — the level+trend forecaster between [[ewmaTrailing]] (level only,
+    * lags any trend) and a seasonal model (q183 profiles seasonality
+    * separately). Fixed dyadic gains α = 1/2, β = 1/4 on the integer
+    * micro grid with truncating division, so the whole recurrence is
+    * engine-exact:
+    *
+    *   l₁ = s₁, b₁ = 0
+    *   lₜ = (sₜ + lₜ₋₁ + bₜ₋₁) / 2
+    *   bₜ = (lₜ − lₜ₋₁ + 3·bₜ₋₁) / 4          (both / truncating)
+    *
+    * and the h-step-ahead forecast is lₜ + h·bₜ.
+    *
+    * Scale shape: the distributed work is ONE shuffle aggregating the
+    * corpus to its day grid; the sequential fixed point then runs on
+    * the driver over the CALENDAR-bounded series (≤ thousands of rows
+    * at any corpus scale — the dailyCusum/markovStationary bounded-
+    * domain argument; a per-key variant would ride a flatMapGroups over
+    * the same bounded series per key). Missing days carry s = 0 via the
+    * gap-filled grid, so the recurrence index is true calendar time.
+    *
+    * Returns (day, actual_micro, level_micro, trend_micro,
+    * forecast_next_micro) per day, forecast_next = that day's l + b.
+    */
+  def holtLinear(df: DataFrame, tsCol: String, valCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val day = col(tsCol).cast("date")
+    val observed = df.filter(col(tsCol).isNotNull && col(valCol).isNotNull)
+      .groupBy(day.as("d"))
+      .agg(sum(round(col(valCol) * 1e6).cast("long")).as("s"))
+    val bounds = observed.agg(min("d").as("lo"), max("d").as("hi"))
+    val grid = bounds.select(explode(sequence(col("lo"), col("hi"))).as("d"))
+      .join(observed, Seq("d"), "left")
+      .select(col("d"), coalesce(col("s"), lit(0L)).as("s"))
+      .orderBy("d")
+    val series = grid.collect().map(r =>
+      (r.getDate(0), r.getLong(1))) // calendar-bounded driver rows
+    require(series.nonEmpty, "holtLinear: empty input")
+    val out = Array.newBuilder[(java.sql.Date, Long, Long, Long, Long)]
+    var l = series.head._2
+    var b = 0L
+    out += ((series.head._1, series.head._2, l, b, l + b))
+    series.drop(1).foreach { case (d, s) =>
+      val lPrev = l
+      l = (s + lPrev + b) / 2
+      b = (l - lPrev + 3 * b) / 4
+      out += ((d, s, l, b, l + b))
+    }
+    import spark.implicits._
+    out.result().toSeq
+      .toDF("day", "actual_micro", "level_micro", "trend_micro",
+        "forecast_next_micro")
+      .orderBy("day")
+  }
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Plain-parquet warehouse maintenance (no Delta/Iceberg jars in this
@@ -724,6 +724,84 @@ object Warehouse {
       val df = spark.read.parquet(files.map(f => s"$deltaRoot/$f"): _*)
       publishVersioned(spark, df, destTable)
     }
+  }
+
+  /** Partial aggregate of a fact slice in the shape
+    * [[incrementalViewMerge]] maintains: per `keys` group, `cnt` (signed
+    * row count) and one `sum_<c>` per measure, every measure pre-weighted
+    * by `opCol` (+1 insert / −1 delete — a CDC delta stream; pass a
+    * `lit(1)` column for a plain snapshot). Measures must already be on
+    * the integer micro grid (the house DECIMAL/micro convention) so
+    * partial sums commute bit-exactly across engines and partitionings.
+    */
+  def viewPartialAgg(facts: DataFrame, keys: Seq[String],
+      measures: Seq[String], opCol: Column): DataFrame = {
+    require(keys.nonEmpty && measures.nonEmpty, "need keys and measures")
+    facts.groupBy(keys.map(col): _*)
+      .agg(sum(opCol.cast("long")).as("cnt"),
+        measures.map(c =>
+          sum(col(c).cast("long") * opCol.cast("long")).as(s"sum_$c")): _*)
+  }
+
+  /** Incremental materialized-view maintenance: merge a CDC delta's
+    * partial aggregate into a stored aggregate view WITHOUT rescanning
+    * the base fact table — the maintenance shape that keeps a 100 TB
+    * fact's rollup fresh for the price of the day's delta. Both inputs
+    * are in [[viewPartialAgg]] layout (`keys…, cnt, sum_*`); deletes
+    * arrive as −1-weighted delta rows, so the merge is a full-outer
+    * coalesce-add on the group keys and a group whose merged `cnt`
+    * reaches 0 vanishes from the view (all its rows were retracted —
+    * SUM/COUNT are self-maintainable under insert+delete, the textbook
+    * IVM result).
+    *
+    * Scale shape: ONE shuffle on the group keys over |view| + |delta
+    * groups| AGGREGATE rows — the base facts are never read. With a
+    * key-partitioned stored view the untouched partitions never even
+    * rewrite (the merge output is partitionable by the same keys).
+    */
+  def incrementalViewMerge(view: DataFrame, deltaAgg: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val sums = view.columns.filter(_.startsWith("sum_")).toSeq
+    require(sums.nonEmpty && view.columns.contains("cnt"),
+      "view must be in viewPartialAgg layout")
+    require(deltaAgg.columns.sorted.sameElements(view.columns.sorted),
+      s"delta layout ${deltaAgg.columns.mkString(",")} != view layout")
+    val b = view.select(keys.map(col) ++ ("cnt" +: sums).map(c =>
+      col(c).as(s"__b_$c")): _*)
+    val d = deltaAgg.select(keys.map(col) ++ ("cnt" +: sums).map(c =>
+      col(c).as(s"__d_$c")): _*)
+    def merged(c: String): Column =
+      coalesce(col(s"__b_$c"), lit(0L)) + coalesce(col(s"__d_$c"), lit(0L))
+    b.join(d, keys, "full_outer")
+      .select(keys.map(col) ++ ("cnt" +: sums).map(c =>
+        merged(c).as(c)): _*)
+      .filter(col("cnt") > 0)
+  }
+
+  /** Publish `df` BUCKETED by `key` (hash-partitioned files + catalog
+    * metadata, Hive-style layout): every downstream aggregation or
+    * co-located join ON THE BUCKET KEY plans with ZERO shuffle
+    * exchanges, because the storage layout already satisfies the
+    * required hash distribution. This is the storage-side answer to the
+    * 100 TB shuffle problem — pay the distribution ONCE at write time,
+    * amortize it over every keyed read (the lakehouse cousin of
+    * [[zorderBy]], which buys scan pruning the same way).
+    *
+    * External table at a caller-chosen path; idempotent (drops +
+    * overwrites). `sortBy(key)` within buckets additionally enables
+    * sort-merge reads without a per-task sort.
+    */
+  def writeBucketed(spark: SparkSession, df: DataFrame, table: String,
+      path: String, key: String, buckets: Int): Unit = {
+    require(buckets >= 1 && table.matches("[A-Za-z0-9_]+"),
+      s"bad bucket spec: $table/$buckets")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
   }
 
   /** A8-style snapshot check: rows in the directory. */

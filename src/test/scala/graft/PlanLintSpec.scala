@@ -64,7 +64,9 @@ class PlanLintSpec extends SparkSpec {
     "q192_source_concentration" -> "broadcast 1-row token-total aggregate (crossJoin share denominator)",
     "q198_inventory_abc" -> "broadcast 1-row revenue-total aggregate (crossJoin classification denominator)",
     "q186_fano_burstiness" -> "broadcast 1-row hour-span aggregate against the |types|-row moment aggregate",
-    "q187_lead_lag" -> "broadcast 1-row (n, Sx, Sy) and denominator aggregates over the hour grid (q168's shape for two series)")
+    "q187_lead_lag" -> "broadcast 1-row (n, Sx, Sy) and denominator aggregates over the hour grid (q168's shape for two series)",
+    "q230_rrf_fusion" -> "knnExactAgg's broadcast bounded query set (q24's =!= shape) feeding the vector list",
+    "q231_hll_sketch_merge" -> "crossJoin against the broadcast 1-row exact-distinct aggregate (q110/q163 shape)")
 
   /** Queries allowed to plan a GLOBAL window (no partition columns, or a
     * constant partition) — each must window over a provably BOUNDED
@@ -90,7 +92,8 @@ class PlanLintSpec extends SparkSpec {
     "q179_kaplan_meier" -> "at-risk/survival cumulations over the duration-day grid (calendar-bounded)",
     "q182_ks_test" -> "CDF cumulations over the merged DISTINCT-score count grid (q97's bounded-grid argument)",
     "q192_source_concentration" -> "rank/cumulative windows over the per-source aggregate (one row per source)",
-    "q198_inventory_abc" -> "rank/cumulative windows over the per-part revenue aggregate (part-dimension grid, not the fact table)")
+    "q198_inventory_abc" -> "rank/cumulative windows over the per-part revenue aggregate (part-dimension grid, not the fact table)",
+    "q230_rrf_fusion" -> "rank windows over the ≤50-row retrieval lists (upstream limit(k) — the q70 bounded-input argument)")
 
   test("no query plans a global window over an unbounded relation") {
     import org.apache.spark.sql.execution.SparkPlan

@@ -605,4 +605,57 @@ class QualitySpec extends SparkSpec {
     assert(out((Some("a"), 2)) == ((2L, 1L, false, false)))
     assert(out((None, 1)) == ((3L, 2L, true, true)))
   }
+
+  test("exactOrderStatistics: matches the sorted array on a skewed fixture " +
+      "with duplicates and negatives, multi-level narrowing, partitioning-" +
+      "independent, degenerate all-equal input resolves at init") {
+    import spark.implicits._
+    val vals: Seq[Long] = Seq(-1000000L, -5L, -5L, 0L, 3L, 3L, 3L, 7L,
+      1000L, 123456789L, 123456789L, 999999999999L)
+    val df = vals.toDF("x")
+    val sorted = vals.sorted
+    val ranks = Seq(1L, 3L, 6L, 7L, vals.length.toLong)
+    // buckets = 4 over a ~10¹² domain forces ~20 narrowing levels — the
+    // level loop itself is exercised, not just the first histogram
+    val out = Quality.exactOrderStatistics(df, "x", ranks,
+        buckets = 4, maxLevels = 40)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ranks.foreach(k => assert(out(k) == sorted((k - 1).toInt),
+      s"rank $k: got ${out(k)} want ${sorted((k - 1).toInt)}"))
+    val out7 = Quality.exactOrderStatistics(df.repartition(7), "x", ranks,
+        buckets = 4, maxLevels = 40)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == out7)
+    // default 65536 buckets: the same answers in ≤ 3 levels
+    val outWide = Quality.exactOrderStatistics(df, "x", ranks)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(outWide == out)
+    // all-equal input: min == max short-circuits before any histogram
+    val eq = Seq.fill(5)(42L).toDF("x")
+    assert(Quality.exactOrderStatistics(eq, "x", Seq(1L, 3L, 5L))
+      .collect().forall(_.getLong(1) == 42L))
+    // out-of-range rank refuses
+    intercept[IllegalArgumentException] {
+      Quality.exactOrderStatistics(eq, "x", Seq(6L))
+    }
+  }
+
+  test("distinctSketchMerged: exact counts value-checked, bounds hold, " +
+      "ALL row's estimate comes from the merged per-group sketches") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (s"g${i % 3}", (i % 97).toLong))
+      .toDF("g", "u")
+    val out = Sketches.distinctSketchMerged(df, "g", "u").collect()
+    val m = out.map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(m("ALL")._1 == 97)
+    assert(m.keySet == Set("ALL", "g0", "g1", "g2"))
+    // exact per-group distincts: i%3 partitions 1..500; each residue class
+    // still covers most of 0..96 — recompute directly
+    (0 to 2).foreach { g =>
+      val exact = (1 to 500).filter(_ % 3 == g).map(_ % 97).distinct.size
+      assert(m(s"g$g")._1 == exact)
+    }
+    assert(out.forall(_.getBoolean(2)), "an HLL bound contract failed")
+  }
 }

@@ -486,4 +486,25 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(m2 == m.map { case (k, v) => k -> v._2 })
   }
+
+  test("rrfFuse: hand-checked contributions, score ties broken by id, " +
+      "ids in both lists sum both ranks, final order (rrf desc, id)") {
+    import spark.implicits._
+    // list 1 ranks: 3→1 (9.0), then the 5.0 tie breaks by id: 1→2, 2→3
+    val l1 = Seq((3L, 9.0), (1L, 5.0), (2L, 5.0)).toDF("id", "score")
+    // list 2 ranks: 2→1, 9→2
+    val l2 = Seq((2L, 0.9), (9L, 0.8)).toDF("id", "score")
+    val out = Similarity.rrfFuse(Seq(l1, l2), "id", "score",
+        kConst = 60, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def c(r: Int): Long = 1000000L / (60 + r)
+    val expected = Map(3L -> c(1), 1L -> c(2), 2L -> (c(3) + c(1)),
+      9L -> c(2))
+    out.foreach { case (id, rrf, _) => assert(rrf == expected(id),
+      s"id $id: got $rrf want ${expected(id)}") }
+    // 2 fused from BOTH lists (32266) leads; 1 and 9 tie at c(2) → id asc
+    assert(out.map(_._1).toSeq == Seq(2L, 3L, 1L, 9L))
+    assert(out.find(_._1 == 2L).get._3 == 2L) // n_lists
+    assert(out.filter(_._1 != 2L).forall(_._3 == 1L))
+  }
 }

@@ -208,4 +208,32 @@ class TemporalSpec extends SparkSpec {
       }
     }
   }
+
+  test("holtLinear: hand-replayed dyadic recurrence — gap day carries " +
+      "s = 0, trend goes negative with exact truncating division") {
+    import spark.implicits._
+    val rows = Seq(
+      ("2024-01-01 00:00:00", 4.0),
+      ("2024-01-01 12:00:00", 6.0), // day 1: s = 10e6
+      ("2024-01-02 09:00:00", 20.0), // day 2: s = 20e6
+      // day 3 missing → gap-filled s = 0
+      ("2024-01-04 01:00:00", 8.0)) // day 4: s = 8e6
+      .toDF("ts", "v")
+      .select(col("ts").cast("timestamp").as("ts"), col("v"))
+    val out = Temporal.holtLinear(rows, "ts", "v")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    // l1 = 10e6, b1 = 0
+    // l2 = (20e6 + 10e6 + 0)/2 = 15e6; b2 = (15e6 − 10e6 + 0)/4 = 1.25e6
+    // l3 = (0 + 15e6 + 1.25e6)/2 = 8125000
+    //   b3 = (8125000 − 15e6 + 3·1250000)/4 = −3125000/4 = −781250
+    // l4 = (8e6 + 8125000 − 781250)/2 = 7671875
+    //   b4 = (7671875 − 8125000 − 2343750)/4 = −2796875/4 = −699218
+    //   (truncation toward zero, NOT floor — pinned here)
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 10000000L, 10000000L, 0L, 10000000L),
+      ("2024-01-02", 20000000L, 15000000L, 1250000L, 16250000L),
+      ("2024-01-03", 0L, 8125000L, -781250L, 7343750L),
+      ("2024-01-04", 8000000L, 7671875L, -699218L, 6972657L)))
+  }
 }

@@ -382,4 +382,52 @@ class WarehouseSpec extends SparkSpec {
     assert(Warehouse.exportDeltaLog(spark, table) == 1)
     assert(deltaLiveIds() == ((4L to 10L).toSet - 7L))
   }
+
+  test("incrementalViewMerge: inserts add, deletes retract, a group " +
+      "counted down to zero vanishes, new groups appear — matches the " +
+      "full recompute over the live facts") {
+    import spark.implicits._
+    val base = Seq(("a", 10L), ("a", 20L), ("b", 5L), ("c", 1L))
+      .toDF("k", "m")
+    val view0 = Warehouse.viewPartialAgg(base, Seq("k"), Seq("m"), lit(1))
+    // CDC delta: insert a=70 and d=9 (new group), retract c's only row
+    // and one of a's
+    val delta = Seq(("a", 70L, 1), ("d", 9L, 1), ("c", 1L, -1),
+      ("a", 20L, -1)).toDF("k", "m", "op")
+    val deltaAgg = Warehouse.viewPartialAgg(delta, Seq("k"), Seq("m"),
+      col("op"))
+    val merged = Warehouse.incrementalViewMerge(view0, deltaAgg, Seq("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // live facts: a → {10, 70}, b → {5}, d → {9}; c fully retracted
+    assert(merged == Set(("a", 2L, 80L), ("b", 1L, 5L), ("d", 1L, 9L)))
+    // layout mismatch refuses instead of silently mis-merging
+    intercept[IllegalArgumentException] {
+      Warehouse.incrementalViewMerge(view0,
+        deltaAgg.withColumnRenamed("sum_m", "sum_x"), Seq("k"))
+    }
+  }
+
+  test("writeBucketed: aggregation on the bucket key plans ZERO shuffle " +
+      "exchanges (the storage layout satisfies the distribution) and " +
+      "matches the plain groupBy bit-for-bit") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (i.toLong % 37, i.toLong)).toDF("k", "v")
+    val path = java.nio.file.Files.createTempDirectory("graft_bkt")
+      .toString + "/t"
+    Warehouse.writeBucketed(spark, df, "graft_bkt_spec", path, "k", 8)
+    val agg = spark.table("graft_bkt_spec").groupBy("k")
+      .agg(sum(col("v")).as("s"))
+    val planText = agg.queryExecution.executedPlan.toString
+    assert(!planText.contains("Exchange"),
+      s"bucketed aggregation planned an exchange:\n$planText")
+    val got = agg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = df.groupBy("k").agg(sum(col("v")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // idempotent republish (drop + overwrite)
+    Warehouse.writeBucketed(spark, df, "graft_bkt_spec", path, "k", 8)
+    assert(spark.table("graft_bkt_spec").count() == 1000)
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_spec")
+  }
 }
