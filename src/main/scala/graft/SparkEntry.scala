@@ -7465,6 +7465,330 @@ object SparkEntry {
             AS revenue_cents
         FROM lineitem GROUP BY 1 ORDER BY 1""")),
 
+    // Mann-Whitney U between two sources' length distributions — exact
+    // doubled-U + tie cubes on the distinct-value grid, z assembled from
+    // the exact integers (pinned IEEE); the nonparametric A/B answer to
+    // "is src1 stochastically longer than src0?".
+    "q234_mann_whitney" -> Q(
+      (s, dir) => Quality.mannWhitneyU(t(s, dir, "documents"),
+        "source", "n_chars", "src0", "src1"),
+      Some("""WITH base AS (SELECT source AS g, n_chars AS v FROM documents
+            WHERE source IN ('src0', 'src1') AND n_chars IS NOT NULL),
+          grid AS (SELECT v,
+            COUNT(*) FILTER (WHERE g = 'src0') AS na,
+            COUNT(*) FILTER (WHERE g = 'src1') AS nb
+            FROM base GROUP BY v),
+          cum AS (SELECT v, na, nb,
+            SUM(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW) - nb AS blt
+            FROM grid),
+          agg AS (SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+            CAST(SUM(nb) AS BIGINT) AS n_b,
+            CAST(SUM(na * (blt * 2 + nb)) AS BIGINT) AS u2_a,
+            CAST(SUM(CAST(na + nb AS HUGEINT) * (na + nb) * (na + nb)
+              - (na + nb)) AS BIGINT) AS tie_cubes
+            FROM cum)
+        SELECT 'src0' AS group_a, 'src1' AS group_b, n_a, n_b, u2_a,
+          tie_cubes,
+          CASE WHEN n_a > 0 AND n_b > 0 AND
+              CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+                ((CAST(n_a + n_b AS DOUBLE) + 1)
+                 - CAST(tie_cubes AS DOUBLE)
+                   / (CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1))) > 0
+            THEN (CAST(u2_a AS DOUBLE)
+                  - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) / 2.0
+              / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+                ((CAST(n_a + n_b AS DOUBLE) + 1)
+                 - CAST(tie_cubes AS DOUBLE)
+                   / (CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1))))
+          END AS z
+        FROM agg""")),
+
+    // One-way ANOVA F across return-flag groups of l_quantity — exact
+    // per-group integer moments, chiSquare-convention micro-rounded
+    // group contributions, pinned final divisions.
+    "q235_anova_f" -> Q(
+      (s, dir) => Quality.anovaF(t(s, dir, "lineitem"),
+        "l_returnflag", "l_quantity"),
+      Some("""WITH base AS (SELECT l_returnflag AS g,
+            CAST(round(l_quantity * 1e6) AS BIGINT) AS x
+          FROM lineitem
+          WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL),
+        pg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+            CAST(SUM(x) AS BIGINT) AS sg,
+            SUM(CAST(x AS HUGEINT) * x) AS qg
+          FROM base GROUP BY g),
+        terms AS (SELECT ng, sg,
+            CAST(round(CAST(sg AS DOUBLE) / 1e6 * (CAST(sg AS DOUBLE) / 1e6)
+              / CAST(ng AS DOUBLE) * 1e6) AS BIGINT) AS bterm,
+            CAST(round((CAST(qg AS DOUBLE) / 1e12
+              - CAST(sg AS DOUBLE) / 1e6 * (CAST(sg AS DOUBLE) / 1e6)
+                / CAST(ng AS DOUBLE)) * 1e6) AS BIGINT) AS wterm
+          FROM pg),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+            CAST(SUM(ng) AS BIGINT) AS n, CAST(SUM(sg) AS BIGINT) AS s,
+            CAST(SUM(bterm) AS BIGINT) AS bm,
+            CAST(SUM(wterm) AS BIGINT) AS ssw_micro
+          FROM terms),
+        fin AS (SELECT k, n,
+            bm - CAST(round(CAST(s AS DOUBLE) / 1e6 * (CAST(s AS DOUBLE) / 1e6)
+              / CAST(n AS DOUBLE) * 1e6) AS BIGINT) AS ssb_micro,
+            ssw_micro, k - 1 AS df_between, n - k AS df_within
+          FROM tot)
+        SELECT k, n, ssb_micro, ssw_micro, df_between, df_within,
+          CASE WHEN df_between > 0 AND df_within > 0 AND ssw_micro > 0
+            THEN (CAST(ssb_micro AS DOUBLE) / CAST(df_between AS DOUBLE))
+               / (CAST(ssw_micro AS DOUBLE) / CAST(df_within AS DOUBLE))
+          END AS f
+        FROM fin""")),
+
+    // Referential-integrity audit of the star schema's four FK edges —
+    // orphan child rows / childless parents per relationship, the
+    // post-load warehouse constraint sweep.
+    "q236_fk_orphans" -> Q(
+      (s, dir) => Seq(
+          ("orders.custkey", "orders", "o_custkey", "customer", "c_custkey"),
+          ("lineitem.orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+          ("lineitem.partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+          ("lineitem.suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"))
+        .map { case (name, c, ck, p, pk) =>
+          Quality.referentialAudit(t(s, dir, c), ck, t(s, dir, p), pk, name)
+        }
+        .reduce(_ unionByName _)
+        .orderBy("relationship"),
+      Some {
+        def rel(name: String, c: String, ck: String, p: String, pk: String) =
+          s"""SELECT '$name' AS relationship,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM $c) AS n_child,
+            (SELECT CAST(COUNT(*) - COUNT($ck) AS BIGINT) FROM $c) AS n_null_fk,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM $c
+              WHERE $ck IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM $p WHERE $pk = $ck))
+              AS n_orphan_rows,
+            (SELECT CAST(COUNT(DISTINCT $ck) AS BIGINT) FROM $c
+              WHERE $ck IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM $p WHERE $pk = $ck))
+              AS n_distinct_orphan_keys,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM
+              (SELECT DISTINCT $pk AS k FROM $p) pp
+              WHERE NOT EXISTS (SELECT 1 FROM $c WHERE $ck = pp.k))
+              AS n_childless_parents"""
+        Seq(
+          rel("orders.custkey", "orders", "o_custkey", "customer", "c_custkey"),
+          rel("lineitem.orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+          rel("lineitem.partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+          rel("lineitem.suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"))
+          .mkString("", " UNION ALL ", " ORDER BY relationship")
+      }),
+
+    // Theil-Sen robust slope of daily revenue — exact median of the
+    // calendar-bounded pairwise-slope grid, doubled to stay integral.
+    "q237_theil_sen" -> Q(
+      (s, dir) => Temporal.theilSen(t(s, dir, "orders"),
+        "o_orderdate", "o_totalprice"),
+      Some("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+            CAST(SUM(CAST(round(o_totalprice * 1e6) AS BIGINT)) AS BIGINT) AS s
+          FROM orders
+          WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+          GROUP BY 1),
+        sl AS (SELECT CAST((CAST(b.s AS HUGEINT) - a.s) * 1000
+              // date_diff('day', a.d, b.d) AS BIGINT) AS sl
+          FROM daily a JOIN daily b ON a.d < b.d),
+        r AS (SELECT sl, row_number() OVER (ORDER BY sl) AS rn,
+            COUNT(*) OVER () AS np FROM sl),
+        med AS (SELECT CASE WHEN COUNT(*) = 1 THEN CAST(SUM(sl) * 2 AS BIGINT)
+            ELSE CAST(SUM(sl) AS BIGINT) END AS slope2x_millimicro
+          FROM r WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2)
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM sl) AS n_pairs,
+          slope2x_millimicro,
+          CAST(slope2x_millimicro AS DOUBLE) / 2.0 / 1e9 AS slope_per_day
+        FROM med""")),
+
+    // Pairwise Jensen-Shannon divergence between source vocabularies —
+    // micro-log grid over exact count products, exact directional sums.
+    "q238_js_divergence" -> Q(
+      (s, dir) => TextOps.jsDivergencePairwise(t(s, dir, "documents"),
+        "source", "text"),
+      Some("""WITH toks AS (SELECT source AS g,
+            unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+          FROM documents WHERE source IS NOT NULL),
+        counts AS (SELECT g, w, CAST(COUNT(*) AS BIGINT) AS c
+          FROM toks GROUP BY 1, 2),
+        totals AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n
+          FROM counts GROUP BY 1),
+        dir AS (SELECT ta.g AS ga, tb.g AS gb, ta.n AS na, tb.n AS nb,
+            a.w AS w, a.c AS c, COALESCE(b.c, 0) AS cb
+          FROM counts a
+          JOIN totals ta ON a.g = ta.g
+          JOIN totals tb ON ta.g <> tb.g
+          LEFT JOIN counts b ON b.g = tb.g AND b.w = a.w),
+        sums AS (SELECT ga, gb, na, nb,
+            CAST(SUM(c * (CAST(round(ln(CAST(c * 2 * nb AS DOUBLE)) * 1e6) AS BIGINT)
+              - CAST(round(ln(CAST(c * nb + cb * na AS DOUBLE)) * 1e6) AS BIGINT)))
+              AS BIGINT) AS s
+          FROM dir GROUP BY 1, 2, 3, 4)
+        SELECT f.ga AS group_a, f.gb AS group_b, f.na AS n_tokens_a,
+          f.nb AS n_tokens_b, f.s AS js_sum_a_micro, r.s AS js_sum_b_micro,
+          (CAST(f.s AS DOUBLE) / CAST(f.na AS DOUBLE)
+           + CAST(r.s AS DOUBLE) / CAST(f.nb AS DOUBLE)) / 2.0 / 1e6 AS js_nats
+        FROM sums f JOIN sums r ON f.ga = r.gb AND f.gb = r.ga
+        WHERE f.ga < f.gb ORDER BY group_a, group_b""")),
+
+    // Resource-allocation link prediction on the co-purchase graph
+    // (support ≥ 2 edges): the top predicted "next co-purchase" pairs —
+    // non-adjacent parts whose co-purchase neighborhoods overlap
+    // (1/deg on the exact 1e12 integer grid, no logs/floats). The
+    // near-dup graph is pure cliques (every in-cluster pair is already
+    // an edge), so the basket graph is where RA has real candidates.
+    "q239_ra_links" -> Q(
+      (s, dir) => {
+        val items = t(s, dir, "lineitem")
+          .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+          .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
+          .distinct()
+        val pairs = items.as("a").join(items.as("b"),
+            col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
+          .groupBy(col("a.it").as("pa"), col("b.it").as("pb"))
+          .agg(count(lit(1)).as("sup")).filter(col("sup") >= 2)
+        Graphs.resourceAllocation(pairs, "pa", "pb", 50)
+      },
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+            FROM lineitem
+            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+          prs AS (SELECT a.it AS id_a, b.it AS id_b
+            FROM items a JOIN items b ON a.bk = b.bk AND a.it < b.it
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+            UNION SELECT id_b, id_a FROM prs),
+          deg AS (SELECT src AS z, CAST(COUNT(*) AS BIGINT) AS dz
+            FROM edges GROUP BY 1),
+          wed AS (SELECT x.dst AS u, y.dst AS v, x.src AS z
+            FROM edges x JOIN edges y ON x.src = y.src AND x.dst < y.dst),
+          cand AS (SELECT w.u, w.v, w.z FROM wed w
+            WHERE NOT EXISTS (SELECT 1 FROM prs p
+              WHERE p.id_a = w.u AND p.id_b = w.v)),
+          scored AS (SELECT cand.u, cand.v,
+              CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+              CAST(SUM(1000000000000 // dz) AS BIGINT) AS ra_score_micro
+            FROM cand JOIN deg ON cand.z = deg.z GROUP BY 1, 2)
+          SELECT u AS id_a, v AS id_b, common_neighbors, ra_score_micro,
+            CAST(ra_score_micro AS DOUBLE) / 1e12 AS ra_score
+          FROM scored
+          ORDER BY ra_score_micro DESC, id_a, id_b LIMIT 50""")),
+
+    // Per-node local clustering coefficient of the near-dup graph —
+    // wedge enumeration + edge semi-join, lcc on the exact micro grid.
+    "q240_local_clustering" -> Q(
+      (s, dir) => Graphs.localClustering(lshPairs(s, dir), "id_a", "id_b")
+        .orderBy("id"),
+      Some(s"""WITH ${nearDupEdgesCte(0.8)},
+          deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM edges GROUP BY 1),
+          wed AS (SELECT x.src AS id, x.dst AS u, y.dst AS v
+            FROM edges x JOIN edges y ON x.src = y.src AND x.dst < y.dst),
+          tri AS (SELECT w.id, CAST(COUNT(*) AS BIGINT) AS t
+            FROM wed w JOIN prs p ON w.u = p.id_a AND w.v = p.id_b
+            GROUP BY 1)
+          SELECT d.id, d.degree,
+            COALESCE(t.t, 0) AS triangles,
+            CASE WHEN d.degree >= 2
+              THEN (2 * COALESCE(t.t, 0) * 1000000)
+                // (d.degree * (d.degree - 1))
+              ELSE 0 END AS lcc_micro,
+            CAST(CASE WHEN d.degree >= 2
+              THEN (2 * COALESCE(t.t, 0) * 1000000)
+                // (d.degree * (d.degree - 1))
+              ELSE 0 END AS DOUBLE) / 1e6 AS lcc
+          FROM deg d LEFT JOIN tri t ON d.id = t.id ORDER BY d.id""")),
+
+    // Holt-Winters additive weekly smoothing of daily event value — the
+    // rotating 7-slot seasonal register as recursive-CTE columns.
+    "q241_holt_winters" -> Q(
+      (s, dir) => Temporal.holtWinters(t(s, dir, "events"), "ts", "value", 7),
+      Some {
+        val y = "COALESCE(o.s, 0)"
+        val l2 = s"(($y - r.s1) + r.l + r.b) // 2"
+        val b2 = s"($l2 - r.l + 3 * r.b) // 4"
+        val snew = s"($y - $l2 + r.s1) // 2"
+        s"""WITH RECURSIVE obs AS (SELECT CAST(ts AS DATE) AS d,
+              CAST(SUM(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS s
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+            GROUP BY 1),
+          mm AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM obs),
+          rec AS (
+            SELECT o.d, o.s AS y, o.s AS l, CAST(0 AS BIGINT) AS b,
+              CAST(0 AS BIGINT) AS sea,
+              CAST(0 AS BIGINT) AS s1, CAST(0 AS BIGINT) AS s2,
+              CAST(0 AS BIGINT) AS s3, CAST(0 AS BIGINT) AS s4,
+              CAST(0 AS BIGINT) AS s5, CAST(0 AS BIGINT) AS s6,
+              CAST(0 AS BIGINT) AS s7
+            FROM obs o, mm WHERE o.d = mm.lo
+            UNION ALL
+            SELECT r.d + 1, $y, $l2, $b2, $snew,
+              r.s2, r.s3, r.s4, r.s5, r.s6, r.s7, $snew
+            FROM rec r LEFT JOIN obs o ON o.d = r.d + 1, mm
+            WHERE r.d < mm.hi)
+          SELECT d AS day, y AS actual_micro, l AS level_micro,
+            b AS trend_micro, sea AS seasonal_micro,
+            l + b + s1 AS forecast_next_micro
+          FROM rec ORDER BY day"""
+      }),
+
+    // Compaction (OPTIMIZE) planning over day-slice units of the event
+    // stream: deterministic cumulative next-fit into 2000-row bins.
+    "q242_compaction_plan" -> Q(
+      (s, dir) => Warehouse.compactionPlan(
+        t(s, dir, "events").filter(col("ts").isNotNull)
+          .groupBy(col("ts").cast("date").as("day"))
+          .agg(count(lit(1)).as("n")),
+        "day", "n", 2000L),
+      Some("""WITH units AS (SELECT CAST(ts AS DATE) AS k,
+            CAST(COUNT(*) AS BIGINT) AS sz
+          FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        c AS (SELECT k, sz,
+            SUM(sz) OVER (ORDER BY sz DESC, k ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW) AS cum
+          FROM units)
+        SELECT CAST((cum - sz) // 2000 AS BIGINT) AS bin,
+          CAST(COUNT(*) AS BIGINT) AS n_units,
+          CAST(SUM(sz) AS BIGINT) AS total_size,
+          MIN(k) AS min_key, MAX(k) AS max_key
+        FROM c GROUP BY 1 ORDER BY 1""")),
+
+    // Page-Hinkley drift statistic over daily revenue — adaptive-mean
+    // cumulative deviation + prefix-min, all exact micro integers.
+    "q243_page_hinkley" -> Q(
+      (s, dir) => Temporal.pageHinkley(t(s, dir, "orders"),
+        "o_orderdate", "o_totalprice", 0L, 10000000000000L),
+      Some("""WITH obs AS (SELECT CAST(o_orderdate AS DATE) AS d,
+            CAST(SUM(CAST(round(o_totalprice * 1e6) AS BIGINT)) AS BIGINT) AS s
+          FROM orders
+          WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+          GROUP BY 1),
+        mm AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM obs),
+        g AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+            AS DATE) AS d FROM mm),
+        gx AS (SELECT g.d, COALESCE(o.s, 0) AS x
+          FROM g LEFT JOIN obs o ON o.d = g.d),
+        w1 AS (SELECT d, x,
+            row_number() OVER (ORDER BY d) AS t,
+            SUM(x) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW) AS cx
+          FROM gx),
+        w2 AS (SELECT d, x, CAST(cx // t AS BIGINT) AS mean_micro FROM w1),
+        w3 AS (SELECT d, x, mean_micro,
+            CAST(SUM(x - mean_micro - 0) OVER (ORDER BY d ROWS BETWEEN
+              UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS m_micro
+          FROM w2),
+        w4 AS (SELECT d, x, mean_micro, m_micro,
+            CAST(m_micro - MIN(m_micro) OVER (ORDER BY d ROWS BETWEEN
+              UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ph_micro
+          FROM w3)
+        SELECT d AS day, x AS x_micro, mean_micro, m_micro, ph_micro,
+          ph_micro > 10000000000000 AS alarm
+        FROM w4 ORDER BY day""")),
+
     // ----- SQL API surface ---------------------------------------------------
 
     // The spark.sql face of the engine: the same ANSI text runs on both

@@ -619,4 +619,99 @@ object Graphs {
         (col("r").cast("double") / lit(scale.toDouble)).as("pi"))
     }
   }
+
+  /** Per-node LOCAL clustering coefficient over an undirected edge list —
+    * "how clique-like is this node's neighborhood?": q162's triangle
+    * census answers it globally; per node it separates hub-of-a-clique
+    * (dup cluster core, lcc → 1) from bridge nodes (lcc → 0), the
+    * standard transitivity diagnostic (Watts–Strogatz 1998).
+    *
+    * Edge-iterator shape: canonical (min < max) distinct edges; wedges
+    * enumerated by self-joining the symmetric adjacency on the center
+    * node with an ordered (b < c) endpoint pair; a semi-join against the
+    * canonical edge set closes each wedge into a triangle. Cost is
+    * Σ_v deg(v)² wedge rows + one hash semi-join — bounded by the
+    * degree profile (on near-dup graphs degrees are cluster-sized),
+    * never all-pairs. lcc rides the exact integer grid:
+    * lcc_micro = (2·tri·1e6) div (deg·(deg−1)).
+    *
+    * Returns (id, degree, triangles, lcc_micro, lcc) per node with
+    * degree ≥ 1; single-degree nodes report lcc = 0 (undefined → 0 by
+    * the usual convention, kept explicit for engine parity).
+    */
+  def localClustering(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val canon = graft.CacheScope.register(
+      edges.select(
+          least(col(aCol).cast("long"), col(bCol).cast("long")).as("u"),
+          greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("v"))
+        .filter(col("u").isNotNull && col("v").isNotNull && col("u") < col("v"))
+        .distinct())
+    val adj = graft.CacheScope.register(
+      canon.select(col("u").as("ctr"), col("v").as("nb"))
+        .unionAll(canon.select(col("v").as("ctr"), col("u").as("nb"))))
+    val deg = adj.groupBy(col("ctr").as("id"))
+      .agg(count(lit(1)).as("degree"))
+    val wedges = adj.as("x").join(adj.as("y"),
+        col("x.ctr") === col("y.ctr") && col("x.nb") < col("y.nb"))
+      .select(col("x.ctr").as("id"), col("x.nb").as("u"), col("y.nb").as("v"))
+    val tri = wedges.join(canon, Seq("u", "v"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    deg.join(tri, Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("lcc_micro",
+        when(col("degree") >= 2,
+          expr("(2 * triangles * 1000000) div (degree * (degree - 1))"))
+          .otherwise(lit(0L)))
+      .withColumn("lcc", col("lcc_micro").cast("double") / lit(1e6))
+  }
+
+  /** RESOURCE-ALLOCATION link prediction (Zhou, Lü & Zhang 2009) over an
+    * undirected edge list: for every NON-adjacent pair (a, b) sharing at
+    * least one neighbor, RA(a,b) = Σ_{z ∈ N(a)∩N(b)} 1/deg(z) — the
+    * common-neighbor score family's best simple member (Adamic-Adar with
+    * 1/deg replacing 1/log deg), and on a near-dup graph the "missed
+    * edge" detector: two documents never paired by LSH whose neighbors
+    * overlap heavily are a cluster the thresholds split. 1/deg rides the
+    * exact integer grid as 1e12 div deg (no logs, no floats — engine-
+    * exact sums), an anti-join removes existing edges, and the top-k
+    * lands via one ordered limit.
+    *
+    * Cost: Σ_z deg(z)² candidate pairs grouped to their (a, b) sums —
+    * the [[localClustering]] wedge bound, never |V|² — plus two hash
+    * joins against the degree and edge relations.
+    *
+    * Returns the top-`k` rows (id_a, id_b, common_neighbors,
+    * ra_score_micro, ra_score) ordered by (score desc, id_a, id_b);
+    * ra_score_micro is on the 1e12 grid.
+    */
+  def resourceAllocation(edges: DataFrame, aCol: String, bCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1)
+    val canon = graft.CacheScope.register(
+      edges.select(
+          least(col(aCol).cast("long"), col(bCol).cast("long")).as("u"),
+          greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("v"))
+        .filter(col("u").isNotNull && col("v").isNotNull && col("u") < col("v"))
+        .distinct())
+    val adj = graft.CacheScope.register(
+      canon.select(col("u").as("ctr"), col("v").as("nb"))
+        .unionAll(canon.select(col("v").as("ctr"), col("u").as("nb"))))
+    val deg = adj.groupBy(col("ctr").as("z"))
+      .agg(count(lit(1)).as("dz"))
+    val cand = adj.as("x").join(adj.as("y"),
+        col("x.ctr") === col("y.ctr") && col("x.nb") < col("y.nb"))
+      .select(col("x.nb").as("u"), col("y.nb").as("v"),
+        col("x.ctr").as("z"))
+      .join(canon, Seq("u", "v"), "left_anti") // non-adjacent pairs only
+    cand.join(deg, "z")
+      .groupBy("u", "v")
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(expr("1000000000000 div dz")).as("ra_score_micro"))
+      .select(col("u").as("id_a"), col("v").as("id_b"),
+        col("common_neighbors"), col("ra_score_micro"),
+        (col("ra_score_micro").cast("double") / lit(1e12)).as("ra_score"))
+      .orderBy(col("ra_score_micro").desc, col("id_a"), col("id_b"))
+      .limit(k)
+  }
 }

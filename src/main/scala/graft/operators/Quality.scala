@@ -1345,6 +1345,147 @@ object Quality {
       .toDF("rank_pos", "value_at").orderBy("rank_pos", "value_at")
   }
 
+  /** Mann-Whitney U (Wilcoxon rank-sum) between two named groups on an
+    * integer-grid value column — the nonparametric member of the A/B
+    * family ([[welchTTest]] assumes means matter, [[ksTest]] reports the
+    * worst CDF gap; MWU asks "does one group stochastically dominate?",
+    * the right test for skewed size/latency-like measures).
+    *
+    * Computed on the bounded distinct-VALUE grid, never on raw rows
+    * (the [[emdPairwise]] shape): one shuffle to (value → n_a, n_b)
+    * counts, a cumulative window over that grid, and the exact identity
+    *   2·U_a = Σ_v n_a(v) · (2·cum_b(<v) + n_b(v))
+    * (ties contribute half each, so DOUBLING keeps everything integral —
+    * no midrank fractions). The normal-approximation z carries the full
+    * tie correction Σ(t³−t) through DECIMAL(38,0); the only floats are
+    * the final pinned divisions and one sqrt, bit-identical across
+    * engines from the same exact integers.
+    *
+    * The global window runs over the distinct-value grid only (bounded
+    * by the value domain, e.g. ≤ max document length for n_chars — the
+    * q97 bounded-grid argument), not the corpus.
+    *
+    * Returns one row: (group_a, group_b, n_a, n_b, u2_a, tie_cubes,
+    * z) where u2_a = 2·U_a exact and tie_cubes = Σ(t³−t) exact.
+    */
+  def mannWhitneyU(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull &&
+        col(groupCol).isin(groupA, groupB))
+      .select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+    val grid = base.groupBy("v").agg(
+      count(when(col("g") === groupA, lit(1))).as("na"),
+      count(when(col("g") === groupB, lit(1))).as("nb"))
+    // distinct-value grid only: bounded by the value domain, not rows
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid
+      .withColumn("cum_b_le", sum("nb").over(w))
+      .withColumn("cum_b_lt", col("cum_b_le") - col("nb"))
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val agg = cum.agg(
+      sum("na").cast("long").as("n_a"),
+      sum("nb").cast("long").as("n_b"),
+      sum(col("na") * (col("cum_b_lt") * 2 + col("nb"))).cast("long")
+        .as("u2_a"),
+      sum(d(col("na") + col("nb")) * d(col("na") + col("nb"))
+          * d(col("na") + col("nb")) - d(col("na") + col("nb")))
+        .cast("decimal(38,0)").as("__t3"))
+    // z = (U_a − n_a·n_b/2) / sqrt(n_a·n_b/12 · ((n+1) − Σ(t³−t)/(n(n−1))))
+    //   — assembled from exact integers, two pinned divisions + one sqrt
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val n = (col("n_a") + col("n_b")).cast("double")
+    val varU = na * nb / lit(12.0) *
+      ((n + 1) - col("__t3").cast("double") / (n * (n - 1)))
+    agg.select(lit(groupA).as("group_a"), lit(groupB).as("group_b"),
+      col("n_a"), col("n_b"), col("u2_a"),
+      col("__t3").cast("long").as("tie_cubes"),
+      when(col("n_a") > 0 && col("n_b") > 0 && varU > 0,
+        (col("u2_a").cast("double") - na * nb) / lit(2.0) / sqrt(varU))
+        .as("z"))
+  }
+
+  /** One-way ANOVA F across ALL groups of a micro-grid measure — the
+    * k-group generalization of [[welchTTest]] (equal-variance, omnibus
+    * "do ANY means differ?"). One aggregation pass to per-group exact
+    * integer moments (n, Σx_micro, Σx_micro² in DECIMAL(38,0) — map-side
+    * partial combine, |groups| result rows), then per-group SSB/SSW
+    * contributions micro-rounded from those exact integers (the
+    * [[chiSquare]] per-cell convention: double math inside, rounded to a
+    * long per group, exact BIGINT sum across groups — bit-identical in
+    * any engine and any partitioning). F is assembled from the micro
+    * sums with pinned final divisions.
+    *
+    * Returns one row: (k, n, ssb_micro, ssw_micro, df_between,
+    * df_within, f).
+    */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val base = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        round(col(valueCol) * 1e6).cast("long").as("x"))
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val perGroup = base.groupBy("g").agg(
+      count(lit(1)).as("ng"),
+      sum(col("x")).as("sg"),
+      sum(d(col("x")) * d(col("x"))).cast("decimal(38,0)").as("qg"))
+    // value-unit per-group terms from exact integers; micro-round each
+    // group's contribution, then exact-sum (chiSquare's convention)
+    val sgd = col("sg").cast("double") / lit(1e6)
+    val qgd = col("qg").cast("double") / lit(1e12)
+    val bTerm = round(sgd * sgd / col("ng").cast("double") * 1e6)
+      .cast("long")
+    val totals = perGroup.agg(
+      count(lit(1)).as("k"),
+      sum("ng").cast("long").as("n"),
+      sum("sg").cast("long").as("__s"),
+      sum(bTerm).as("__b_micro"),
+      sum(round((qgd - sgd * sgd / col("ng").cast("double")) * 1e6)
+        .cast("long")).as("ssw_micro"))
+    val grand = col("__s").cast("double") / lit(1e6)
+    val ssb = col("__b_micro") -
+      round(grand * grand / col("n").cast("double") * 1e6).cast("long")
+    totals.select(col("k"), col("n"),
+        ssb.as("ssb_micro"), col("ssw_micro"),
+        (col("k") - 1).as("df_between"), (col("n") - col("k")).as("df_within"))
+      .withColumn("f",
+        when(col("df_between") > 0 && col("df_within") > 0 &&
+            col("ssw_micro") > 0,
+          (col("ssb_micro").cast("double") / col("df_between").cast("double"))
+            / (col("ssw_micro").cast("double") / col("df_within").cast("double"))))
+  }
+
+  /** Referential-integrity audit of one FK relationship: child rows whose
+    * key has no parent (orphans) and parents never referenced (childless)
+    * — the warehouse constraint check a star schema runs after every
+    * load. Two aggregate-then-anti-join passes whose join sides are the
+    * DISTINCT key relations (bounded by key cardinality, not fact rows);
+    * null FKs are counted separately, not treated as orphans (SQL FK
+    * semantics).
+    *
+    * Returns one row: (relationship, n_child, n_null_fk, n_orphan_rows,
+    * n_distinct_orphan_keys, n_childless_parents).
+    */
+  def referentialAudit(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String, relName: String): DataFrame = {
+    val ck = child.select(col(childKey).as("k"))
+    val pk = graft.CacheScope.register(
+      parent.select(col(parentKey).as("k")).distinct())
+    val childKeys = ck.filter(col("k").isNotNull)
+      .groupBy("k").agg(count(lit(1)).as("c"))
+    val orphans = childKeys.join(pk, Seq("k"), "left_anti")
+      .agg(coalesce(sum("c"), lit(0L)).as("n_orphan_rows"),
+        count(lit(1)).as("n_distinct_orphan_keys"))
+    val childless = pk.join(childKeys, Seq("k"), "left_anti")
+      .agg(count(lit(1)).as("n_childless_parents"))
+    val counts = ck.agg(count(lit(1)).as("n_child"),
+      (count(lit(1)) - count(col("k"))).as("n_null_fk"))
+    counts.crossJoin(broadcast(orphans)).crossJoin(broadcast(childless))
+      .select(lit(relName).as("relationship"), col("n_child"),
+        col("n_null_fk"), col("n_orphan_rows"),
+        col("n_distinct_orphan_keys"), col("n_childless_parents"))
+  }
+
   /** In-place partial-pivot Gaussian elimination for the tiny (m ≤ ~8)
     * Newton system — deterministic fixed op sequence on the driver.
     */

@@ -569,4 +569,158 @@ object Temporal {
         "forecast_next_micro")
       .orderBy("day")
   }
+
+  /** HOLT-WINTERS additive seasonal smoothing (triple exponential,
+    * period-`period` seasonality) of a daily measure — the seasonal
+    * member of the [[ewmaTrailing]] → [[holtLinear]] ladder: level +
+    * trend + a rotating seasonal register, so a weekly-shaped metric
+    * forecasts next-day without the 7-day lag a trend-only model pays.
+    * Dyadic gains α = 1/2, β = 1/4, γ = 1/2 on the integer micro grid
+    * with truncating division (engine-exact; DuckDB `//` and Scala `/`
+    * both truncate toward zero):
+    *
+    *   t = 1:  l₁ = s₁, b₁ = 0, seasonal register all 0
+    *   t ≥ 2:  lₜ = ((sₜ − seaₜ₋ₚ) + lₜ₋₁ + bₜ₋₁) / 2
+    *           bₜ = (lₜ − lₜ₋₁ + 3·bₜ₋₁) / 4
+    *           seaₜ = (sₜ − lₜ + seaₜ₋ₚ) / 2
+    *
+    * where seaₜ₋ₚ is the register head (written `period` days earlier).
+    * Scale shape is [[holtLinear]]'s: one shuffle to the gap-filled
+    * calendar day grid, then a driver recurrence over the
+    * calendar-bounded series; the oracle replays the same recurrence as
+    * a recursive CTE carrying the `period`-slot register as rotating
+    * columns.
+    *
+    * Returns (day, actual_micro, level_micro, trend_micro,
+    * seasonal_micro, forecast_next_micro) where forecast_next =
+    * l + b + (the register slot the NEXT day will consume).
+    */
+  def holtWinters(df: DataFrame, tsCol: String, valCol: String,
+      period: Int = 7): DataFrame = {
+    require(period >= 2 && period <= 366, s"period out of range: $period")
+    val spark = df.sparkSession
+    val day = col(tsCol).cast("date")
+    val observed = df.filter(col(tsCol).isNotNull && col(valCol).isNotNull)
+      .groupBy(day.as("d"))
+      .agg(sum(round(col(valCol) * 1e6).cast("long")).as("s"))
+    val bounds = observed.agg(min("d").as("lo"), max("d").as("hi"))
+    val grid = bounds.select(explode(sequence(col("lo"), col("hi"))).as("d"))
+      .join(observed, Seq("d"), "left")
+      .select(col("d"), coalesce(col("s"), lit(0L)).as("s"))
+      .orderBy("d")
+    val series = grid.collect().map(r =>
+      (r.getDate(0), r.getLong(1))) // calendar-bounded driver rows
+    require(series.nonEmpty, "holtWinters: empty input")
+    val sea = Array.fill(period)(0L) // rotating register, head = index 0
+    var head = 0
+    val out = Array.newBuilder[(java.sql.Date, Long, Long, Long, Long, Long)]
+    var l = series.head._2
+    var b = 0L
+    // t = 1: register untouched; next day consumes the current head
+    out += ((series.head._1, series.head._2, l, b, 0L, l + b + sea(head)))
+    series.drop(1).foreach { case (d, s) =>
+      val slot = sea(head)
+      val lPrev = l
+      l = ((s - slot) + lPrev + b) / 2
+      b = (l - lPrev + 3 * b) / 4
+      val snew = (s - l + slot) / 2
+      sea(head) = snew
+      head = (head + 1) % period
+      out += ((d, s, l, b, snew, l + b + sea(head)))
+    }
+    import spark.implicits._
+    out.result().toSeq
+      .toDF("day", "actual_micro", "level_micro", "trend_micro",
+        "seasonal_micro", "forecast_next_micro")
+      .orderBy("day")
+  }
+
+  /** THEIL-SEN robust slope of a daily measure: the exact median of all
+    * pairwise slopes over the day grid — a single outlier day drags an
+    * OLS fit (q132) arbitrarily; the pairwise-slope median has a 29%
+    * breakdown point (Sen 1968). Fully distributed, no driver state:
+    * one shuffle aggregates the corpus to its OBSERVED day grid (micro
+    * sums), the pair relation lives on that calendar-bounded grid only
+    * (d·(d−1)/2 pairs for d observed days — the q97 bounded-grid
+    * argument, never raw rows), and each slope is the exact truncating
+    * quotient (Δy_micro · 1000) div Δdays routed through DECIMAL(38,0)
+    * so the ×1000 sub-micro scaling can't overflow at any daily
+    * magnitude. The even-count median is returned DOUBLED (sum of the
+    * two middle slopes — [[dailyAnomalies]]' median_x2 convention) so
+    * the result stays integral; the one float is the final pinned
+    * division.
+    *
+    * Returns one row: (n_days, n_pairs, slope2x_millimicro,
+    * slope_per_day) with slope_per_day = slope2x / 2 / 1e9 in value
+    * units/day.
+    */
+  def theilSen(df: DataFrame, tsCol: String, valCol: String): DataFrame = {
+    val daily = graft.CacheScope.register(
+      df.filter(col(tsCol).isNotNull && col(valCol).isNotNull)
+        .groupBy(col(tsCol).cast("date").as("d"))
+        .agg(sum(round(col(valCol) * 1e6).cast("long")).as("s")))
+    // calendar-bounded pair join: broadcast the right side so the
+    // inequality condition plans as a BNLJ over the tiny day aggregate
+    // (q134's shape), never a cartesian of raw relations
+    val slopes = daily.as("a").join(broadcast(daily.as("b")),
+        col("a.d") < col("b.d"))
+      .select(expr(
+        "cast((cast(b.s as decimal(38,0)) - a.s) * 1000 as decimal(38,0))" +
+          " div datediff(b.d, a.d)").cast("long").as("sl"))
+    // global window over the bounded pair grid (d² of CALENDAR days)
+    val ranked = slopes.withColumn("rn",
+      row_number().over(Window.orderBy(col("sl"))))
+    val counts = daily.agg(count(lit(1)).as("n_days"))
+      .crossJoin(broadcast(slopes.agg(count(lit(1)).as("n_pairs"))))
+    counts.crossJoin(broadcast(
+        ranked.crossJoin(broadcast(slopes.agg(count(lit(1)).as("np"))))
+          .filter(col("rn") === (col("np") + 1) / 2 ||
+            col("rn") === (col("np") + 2) / 2)
+          .agg(when(count(lit(1)) === 1, sum("sl") * 2)
+            .otherwise(sum("sl")).as("slope2x_millimicro"))))
+      .select(col("n_days"), col("n_pairs"), col("slope2x_millimicro"),
+        (col("slope2x_millimicro").cast("double") / lit(2.0) / lit(1e9))
+          .as("slope_per_day"))
+  }
+
+  /** PAGE-HINKLEY change detection over a daily measure: the classic
+    * sequential drift statistic PHₜ = mₜ − min_{i≤t} mᵢ where
+    * mₜ = Σ_{i≤t} (xᵢ − mean(x₁..xᵢ) − δ) — [[dailyCusum]] tracks drift
+    * against a FIXED global mean (needs the whole series twice);
+    * Page-Hinkley is the one-sided online form whose running mean adapts,
+    * the standard streaming-drift monitor (Page 1954, Hinkley 1971).
+    * Everything lives on the gap-filled calendar day grid in exact micro
+    * integers with truncating division: running mean = cumsum div t,
+    * deviations and their cumsum stay BIGINT, and the prefix-min window
+    * completes the statistic — three windows over the bounded grid, no
+    * driver state, no floats at all.
+    *
+    * `deltaMicro` is the drift dead-band, `lambdaMicro` the alarm
+    * threshold (both in micro value units). Returns per day: (day,
+    * x_micro, mean_micro, m_micro, ph_micro, alarm).
+    */
+  def pageHinkley(df: DataFrame, tsCol: String, valCol: String,
+      deltaMicro: Long, lambdaMicro: Long): DataFrame = {
+    val observed = df.filter(col(tsCol).isNotNull && col(valCol).isNotNull)
+      .groupBy(col(tsCol).cast("date").as("d"))
+      .agg(sum(round(col(valCol) * 1e6).cast("long")).as("s"))
+    val grid = observed.agg(min("d").as("lo"), max("d").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("d"))
+      .join(observed, Seq("d"), "left")
+      .select(col("d"), coalesce(col("s"), lit(0L)).as("x"))
+    // calendar-bounded global windows (the holtLinear day-grid argument)
+    val w = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("__t", count(lit(1)).over(w))
+      .withColumn("mean_micro", expr("sum(x) over (order by d rows between" +
+        " unbounded preceding and current row) div __t"))
+      .withColumn("m_micro",
+        sum(col("x") - col("mean_micro") - lit(deltaMicro)).over(w))
+      .withColumn("ph_micro", col("m_micro") - min("m_micro").over(w))
+      .select(col("d").as("day"), col("x").as("x_micro"), col("mean_micro"),
+        col("m_micro"), col("ph_micro"),
+        (col("ph_micro") > lambdaMicro).as("alarm"))
+      .orderBy("day")
+  }
 }

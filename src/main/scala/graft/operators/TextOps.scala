@@ -1507,4 +1507,68 @@ object TextOps {
         lit(206835.0) - lit(1015.0) * (wd / sd) - lit(84600.0) * (vd / wd))
         .as("flesch_milli"))
   }
+
+  /** Pairwise JENSEN-SHANNON divergence between every two groups'
+    * unigram distributions — the symmetric, always-finite member of the
+    * distribution-distance family ([[unigramKl]] is per-doc-vs-corpus
+    * and blows up on unshared support; q139's PSI needs a bucket grid;
+    * JS is THE mixture-design distance: "how far apart are these two
+    * sources' vocabularies, in nats?").
+    *
+    * With per-group counts a_w (total A) and b_w (total B),
+    *   JS = ½·Σ (a_w/A)·ln(2·a_w·B / (a_w·B + b_w·A))
+    *      + ½·Σ (b_w/B)·ln(2·b_w·A / (b_w·A + a_w·B))
+    * — every log ARGUMENT is a product of exact counts (< 2^53, exact in
+    * a double), so both engines round the same micro-log grid
+    * (L(x) = round(ln(x)·1e6), the [[unigramKl]] convention) and weight
+    * it by exact integer counts; tokens absent from the other group
+    * contribute their L(2·c·N) − L(c·N) ≈ ln 2 term with NO infinities
+    * (JS ≤ ln 2 always). The directional sums are exact BIGINTs; the
+    * only floats are the two pinned final divisions.
+    *
+    * Scale shape: one shuffle to the (group, token) count grid; the
+    * direction relation is vocab × (k−1) groups rows (k = |groups|,
+    * bounded), anchored by a broadcast of the k-row totals; never a
+    * token-level pair join across raw rows.
+    *
+    * Returns per unordered pair: (group_a, group_b, n_tokens_a,
+    * n_tokens_b, js_sum_a_micro, js_sum_b_micro, js_nats) with
+    * js_nats = (S_a/A + S_b/B) / 2 / 1e6.
+    */
+  def jsDivergencePairwise(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val toks = graft.Parallelism.fanOut(df.select(col(groupCol), col(textCol)))
+      .filter(col(groupCol).isNotNull)
+      .select(col(groupCol).as("g"), explode(TextFns.tokens(col(textCol))).as("__w"))
+    val counts = graft.CacheScope.register(
+      toks.groupBy("g", "__w").agg(count(lit(1)).as("c")))
+    val totals = counts.groupBy("g").agg(sum("c").cast("long").as("n"))
+    def lnMicro(c: Column): Column =
+      round(log(c.cast("double")) * 1e6).cast("long")
+    // directional rows: every token of group ga against every OTHER
+    // group gb (vocab × (k−1) rows; missing other-side count → 0)
+    val dir = counts
+      .join(broadcast(totals.select(col("g").as("ga"), col("n").as("na"))),
+        col("g") === col("ga"))
+      .join(broadcast(totals.select(col("g").as("gb"), col("n").as("nb"))),
+        col("ga") =!= col("gb"))
+      .join(counts.select(col("g").as("gb"), col("__w"), col("c").as("cb")),
+        Seq("gb", "__w"), "left")
+      .select(col("ga"), col("gb"), col("na"), col("nb"), col("c"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val sums = dir.groupBy("ga", "gb", "na", "nb")
+      .agg(sum(col("c") * (lnMicro(col("c") * 2 * col("nb"))
+          - lnMicro(col("c") * col("nb") + col("cb") * col("na"))))
+        .cast("long").as("s"))
+    sums.filter(col("ga") < col("gb")).as("f")
+      .join(sums.filter(col("ga") > col("gb")).as("r"),
+        col("f.ga") === col("r.gb") && col("f.gb") === col("r.ga"))
+      .select(col("f.ga").as("group_a"), col("f.gb").as("group_b"),
+        col("f.na").as("n_tokens_a"), col("f.nb").as("n_tokens_b"),
+        col("f.s").as("js_sum_a_micro"), col("r.s").as("js_sum_b_micro"),
+        ((col("f.s").cast("double") / col("f.na").cast("double")
+          + col("r.s").cast("double") / col("f.nb").cast("double"))
+          / lit(2.0) / lit(1e6)).as("js_nats"))
+      .orderBy("group_a", "group_b")
+  }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Plain-parquet warehouse maintenance (no Delta/Iceberg jars in this
@@ -807,6 +808,42 @@ object Warehouse {
   /** A8-style snapshot check: rows in the directory. */
   def snapshotCount(spark: SparkSession, dir: String): Long =
     spark.read.parquet(dir).count()
+
+  /** COMPACTION (OPTIMIZE) planner: assign size-carrying units (files,
+    * partitions, day-slices) to target-sized rewrite bins — the planning
+    * step of Delta's OPTIMIZE / Iceberg's rewrite_data_files, and the
+    * same shape Spark's own FilePartition packing runs at scan time. A
+    * small-file-ridden table is the #1 100 TB read-amplification bug;
+    * this emits the deterministic rewrite job list that fixes it.
+    *
+    * Deterministic cumulative next-fit: units ordered by (size DESC,
+    * key) — big units first, so no bin except the last runs short —
+    * then bin = (cumsum − size) div target: a unit opens a new bin
+    * exactly when the PRIOR units already fill the current quota.
+    * Unlike stateful first-fit this is one window over the unit grid
+    * (no recursion, engine-replayable), and every bin's total lands in
+    * [target − max_unit, target + max_unit).
+    *
+    * Input is any (key, size) relation — the unit grid, bounded by file/
+    * partition count, never data rows. Returns per bin: (bin, n_units,
+    * total_size, min_key, max_key) ordered by bin.
+    */
+  def compactionPlan(units: DataFrame, keyCol: String, sizeCol: String,
+      targetSize: Long): DataFrame = {
+    require(targetSize >= 1, s"targetSize must be positive: $targetSize")
+    val base = units.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).as("k"), col(sizeCol).cast("long").as("sz"))
+    // global window over the bounded unit grid (file-count-sized)
+    val w = Window.orderBy(col("sz").desc, col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("__cum", sum("sz").over(w))
+      .withColumn("bin", expr(s"(__cum - sz) div ${targetSize}L"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_units"), sum("sz").as("total_size"),
+        min("k").as("min_key"), max("k").as("max_key"))
+      .orderBy("bin")
+  }
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {

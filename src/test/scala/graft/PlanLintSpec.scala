@@ -66,7 +66,10 @@ class PlanLintSpec extends SparkSpec {
     "q186_fano_burstiness" -> "broadcast 1-row hour-span aggregate against the |types|-row moment aggregate",
     "q187_lead_lag" -> "broadcast 1-row (n, Sx, Sy) and denominator aggregates over the hour grid (q168's shape for two series)",
     "q230_rrf_fusion" -> "knnExactAgg's broadcast bounded query set (q24's =!= shape) feeding the vector list",
-    "q231_hll_sketch_merge" -> "crossJoin against the broadcast 1-row exact-distinct aggregate (q110/q163 shape)")
+    "q231_hll_sketch_merge" -> "crossJoin against the broadcast 1-row exact-distinct aggregate (q110/q163 shape)",
+    "q236_fk_orphans" -> "assembly crossJoins of broadcast 1-row audit aggregates per relationship (q163 shape)",
+    "q237_theil_sen" -> "inequality pair join over the broadcast calendar-day aggregate + assembly crossJoins of 1-row count/median aggregates (q134's shape)",
+    "q238_js_divergence" -> "group-inequality join against the broadcast |sources|-row totals aggregate (pair fan-out over the bounded source set, q134's shape)")
 
   /** Queries allowed to plan a GLOBAL window (no partition columns, or a
     * constant partition) — each must window over a provably BOUNDED
@@ -93,7 +96,11 @@ class PlanLintSpec extends SparkSpec {
     "q182_ks_test" -> "CDF cumulations over the merged DISTINCT-score count grid (q97's bounded-grid argument)",
     "q192_source_concentration" -> "rank/cumulative windows over the per-source aggregate (one row per source)",
     "q198_inventory_abc" -> "rank/cumulative windows over the per-part revenue aggregate (part-dimension grid, not the fact table)",
-    "q230_rrf_fusion" -> "rank windows over the ≤50-row retrieval lists (upstream limit(k) — the q70 bounded-input argument)")
+    "q230_rrf_fusion" -> "rank windows over the ≤50-row retrieval lists (upstream limit(k) — the q70 bounded-input argument)",
+    "q234_mann_whitney" -> "cumulative window over the DISTINCT-value count grid (q97's bounded-grid argument)",
+    "q237_theil_sen" -> "rank window over the calendar-bounded pairwise-slope grid (≤ days² rows at any corpus scale)",
+    "q242_compaction_plan" -> "cumulative window over the unit grid (file/partition count, never data rows)",
+    "q243_page_hinkley" -> "running prefix windows over the calendar day grid (q169's calendar-bounded argument)")
 
   test("no query plans a global window over an unbounded relation") {
     import org.apache.spark.sql.execution.SparkPlan

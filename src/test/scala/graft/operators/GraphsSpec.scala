@@ -192,4 +192,31 @@ class GraphsSpec extends SparkSpec {
     // carry it: degree 3 each)
     assert(a == Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 3L, 5L -> 2L, 6L -> 2L))
   }
+
+  test("localClustering: triangle + tail degrees, triangles, exact lcc") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val out = Graphs.localClustering(edges, "a", "b").collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("degree"), r.getAs[Long]("triangles"),
+          r.getAs[Long]("lcc_micro")))).toMap
+    assert(out(1L) == ((2L, 1L, 1000000L)))
+    assert(out(2L) == ((2L, 1L, 1000000L)))
+    // node 3: degree 3, one closed pair of three -> 2*1e6/6
+    assert(out(3L) == ((3L, 1L, 333333L)))
+    assert(out(4L) == ((1L, 0L, 0L))) // degree-1 convention: lcc = 0
+  }
+
+  test("resourceAllocation: non-adjacent pairs scored 1/deg of shared hub") {
+    import spark.implicits._
+    // star around 2: leaves 1, 3, 4 pairwise non-adjacent, hub degree 3
+    val edges = Seq((1L, 2L), (2L, 3L), (2L, 4L)).toDF("a", "b")
+    val out = Graphs.resourceAllocation(edges, "a", "b", 10).collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        (r.getAs[Long]("common_neighbors"), r.getAs[Long]("ra_score_micro"))))
+      .toMap
+    val third = 1000000000000L / 3
+    assert(out == Map((1L, 3L) -> ((1L, third)), (1L, 4L) -> ((1L, third)),
+      (3L, 4L) -> ((1L, third))))
+  }
 }

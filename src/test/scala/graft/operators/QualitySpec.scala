@@ -658,4 +658,46 @@ class QualitySpec extends SparkSpec {
     }
     assert(out.forall(_.getBoolean(2)), "an HLL bound contract failed")
   }
+
+  test("mannWhitneyU: exact doubled U, tie cubes, and z on a tiny fixture") {
+    import spark.implicits._
+    val df = (Seq(1, 2, 3).map(("a", _)) ++ Seq(2, 3, 4).map(("b", _)))
+      .toDF("g", "v")
+    val r = Quality.mannWhitneyU(df, "g", "v", "a", "b").collect().head
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 3L)
+    // a-over-b dominance: wins {3>2} = 1, ties {2,3} = 2 halves -> U = 2
+    assert(r.getAs[Long]("u2_a") == 4L)
+    // tie profile t = [1,2,2,1] -> sum(t^3 - t) = 12
+    assert(r.getAs[Long]("tie_cubes") == 12L)
+    // z = (U - 9/2)/sqrt(9/12 * (7 - 12/30))
+    val varU = 3.0 * 3.0 / 12.0 * ((6.0 + 1) - 12.0 / (6.0 * 5.0))
+    assert(r.getAs[Double]("z") == (4.0 - 9.0) / 2.0 / math.sqrt(varU))
+  }
+
+  test("anovaF: exact micro sums of squares and F on a tiny fixture") {
+    import spark.implicits._
+    val df = (Seq(1, 2, 3).map(v => ("a", v.toDouble)) ++
+      Seq(4, 5, 6).map(v => ("b", v.toDouble))).toDF("g", "v")
+    val r = Quality.anovaF(df, "g", "v").collect().head
+    assert(r.getAs[Long]("k") == 2L && r.getAs[Long]("n") == 6L)
+    // group means 2 and 5, grand 3.5: SSB = 3*1.5^2*2 = 13.5, SSW = 4
+    assert(r.getAs[Long]("ssb_micro") == 13500000L)
+    assert(r.getAs[Long]("ssw_micro") == 4000000L)
+    assert(r.getAs[Long]("df_between") == 1L && r.getAs[Long]("df_within") == 4L)
+    assert(r.getAs[Double]("f") == 13.5)
+  }
+
+  test("referentialAudit: orphans, null FKs, and childless parents") {
+    import spark.implicits._
+    val child = Seq(Some(1L), Some(1L), Some(2L), None).toDF("fk")
+    val parent = Seq(1L, 3L).toDF("pk")
+    val r = Quality.referentialAudit(child, "fk", parent, "pk", "c.fk")
+      .collect().head
+    assert(r.getAs[String]("relationship") == "c.fk")
+    assert(r.getAs[Long]("n_child") == 4L)
+    assert(r.getAs[Long]("n_null_fk") == 1L)
+    assert(r.getAs[Long]("n_orphan_rows") == 1L)      // the key-2 row
+    assert(r.getAs[Long]("n_distinct_orphan_keys") == 1L)
+    assert(r.getAs[Long]("n_childless_parents") == 1L) // key 3
+  }
 }

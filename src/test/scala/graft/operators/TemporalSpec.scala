@@ -236,4 +236,71 @@ class TemporalSpec extends SparkSpec {
       ("2024-01-03", 0L, 8125000L, -781250L, 7343750L),
       ("2024-01-04", 8000000L, 7671875L, -699218L, 6972657L)))
   }
+
+  test("theilSen: outlier-robust exact median of pairwise slopes") {
+    import spark.implicits._
+    // y = 10,12,14,100,18 on five consecutive days: six of ten pairwise
+    // slopes are exactly 2/day; the median ignores the 100 outlier
+    val df = Seq(
+      ("2024-01-01", 10.0), ("2024-01-02", 12.0), ("2024-01-03", 14.0),
+      ("2024-01-04", 100.0), ("2024-01-05", 18.0)
+    ).map { case (d, v) => (ts(s"$d 12:00:00"), v) }.toDF("t", "v")
+    val r = Temporal.theilSen(df, "t", "v").collect().head
+    assert(r.getAs[Long]("n_days") == 5L)
+    assert(r.getAs[Long]("n_pairs") == 10L)
+    // both middle slopes are 2e9 millimicro/day -> doubled 4e9
+    assert(r.getAs[Long]("slope2x_millimicro") == 4000000000L)
+    assert(r.getAs[Double]("slope_per_day") == 2.0)
+  }
+
+  test("pageHinkley: adaptive-mean drift statistic and alarm threshold") {
+    import spark.implicits._
+    val df = (1 to 6).map { i =>
+      (ts(f"2024-01-0$i%d 12:00:00"), if (i <= 4) 10.0 else 20.0)
+    }.toDF("t", "v")
+    val out = Temporal.pageHinkley(df, "t", "v", 0L, 10000000L)
+      .orderBy("day").collect()
+      .map(r => (r.getAs[Long]("mean_micro"), r.getAs[Long]("m_micro"),
+        r.getAs[Long]("ph_micro"), r.getAs[Boolean]("alarm")))
+    // flat prefix: mean = x, deviations 0, no alarm
+    assert(out.take(4).forall(_ == (10000000L, 0L, 0L, false)))
+    // t5: mean 6e7 div 5 = 12e6, dev 8e6 -> ph 8e6, below lambda
+    assert(out(4) == (12000000L, 8000000L, 8000000L, false))
+    // t6: mean 8e7 div 6 = 13333333, dev 6666667, m 14666667 > lambda
+    assert(out(5) == (13333333L, 14666667L, 14666667L, true))
+  }
+
+  test("holtWinters: rotating seasonal register matches a direct replay") {
+    import spark.implicits._
+    val vals = Seq(10.0, 20.0, 30.0, 12.0, 22.0, 32.0, 14.0, 24.0)
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      (ts(f"2024-01-${i + 1}%02d 12:00:00"), v)
+    }.toDF("t", "v")
+    val out = Temporal.holtWinters(df, "t", "v", period = 3)
+      .orderBy("day").collect()
+      .map(r => (r.getAs[Long]("level_micro"), r.getAs[Long]("trend_micro"),
+        r.getAs[Long]("seasonal_micro"), r.getAs[Long]("forecast_next_micro")))
+    // independent replay of the recurrence (micro grid, truncating /)
+    val s = Array.fill(3)(0L)
+    var head = 0
+    var l = (vals.head * 1e6).toLong
+    var b = 0L
+    val exp = Seq.newBuilder[(Long, Long, Long, Long)]
+    exp += ((l, b, 0L, l + b + s(head)))
+    vals.drop(1).foreach { v =>
+      val y = (v * 1e6).toLong
+      val slot = s(head)
+      val lp = l
+      l = ((y - slot) + lp + b) / 2
+      b = (l - lp + 3 * b) / 4
+      val snew = (y - l + slot) / 2
+      s(head) = snew
+      head = (head + 1) % 3
+      exp += ((l, b, snew, l + b + s(head)))
+    }
+    assert(out.toSeq == exp.result())
+    // the register carries period-3 structure: slot written at t is the
+    // one consumed at t+3 (forecast at t includes the NEXT slot)
+    assert(out.length == 8)
+  }
 }

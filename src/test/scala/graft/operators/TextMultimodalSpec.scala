@@ -792,4 +792,23 @@ class TextMultimodalSpec extends SparkSpec {
     assert(wAlpha > 0 && wBeta < 0)
     assert(out(1L)._3 && !out(3L)._3)
   }
+
+  test("jsDivergencePairwise: zero on identical, ln 2 on disjoint, " +
+      "symmetric bounded values") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", "alpha beta gamma"), ("s2", "alpha beta gamma"),
+      ("s3", "delta epsilon zeta")).toDF("src", "text")
+    val out = TextOps.jsDivergencePairwise(docs, "src", "text").collect()
+      .map(r => ((r.getAs[String]("group_a"), r.getAs[String]("group_b")),
+        (r.getAs[Long]("js_sum_a_micro"), r.getAs[Long]("js_sum_b_micro"),
+          r.getAs[Double]("js_nats")))).toMap
+    // identical distributions: every log term is exactly 0
+    assert(out(("s1", "s2")) == ((0L, 0L, 0.0)))
+    // disjoint vocabularies: JS = ln 2 (micro-rounded)
+    assert(math.abs(out(("s1", "s3"))._3 - math.log(2.0)) < 1e-5)
+    assert(math.abs(out(("s2", "s3"))._3 - math.log(2.0)) < 1e-5)
+    // symmetric sums: equal-size sides of the disjoint pair agree
+    assert(out(("s1", "s3"))._1 == out(("s1", "s3"))._2)
+  }
 }

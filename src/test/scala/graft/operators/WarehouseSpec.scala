@@ -430,4 +430,18 @@ class WarehouseSpec extends SparkSpec {
     assert(spark.table("graft_bkt_spec").count() == 1000)
     spark.sql("DROP TABLE IF EXISTS graft_bkt_spec")
   }
+
+  test("compactionPlan: deterministic cumulative next-fit bins") {
+    import spark.implicits._
+    val units = Seq(("a", 700L), ("b", 600L), ("c", 300L), ("d", 200L),
+      ("e", 100L)).toDF("k", "sz")
+    val out = Warehouse.compactionPlan(units, "k", "sz", 1000L)
+      .collect().map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n_units"),
+        r.getAs[Long]("total_size"), r.getAs[String]("min_key"),
+        r.getAs[String]("max_key")))
+    // desc order: 700 (cum 700, bin 0), 600 (cum 1300, bin 0) closes the
+    // quota; 300/200/100 land in bin 1
+    assert(out.toSeq == Seq((0L, 2L, 1300L, "a", "b"),
+      (1L, 3L, 600L, "c", "e")))
+  }
 }
