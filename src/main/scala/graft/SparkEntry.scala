@@ -4482,6 +4482,44 @@ object SparkEntry {
     sb.toString
   }
 
+  /** DuckDB replay of [[graft.operators.Graphs.kTruss]]: `rounds`
+    * unrolled support-and-peel rounds over the canonical near-dup edge
+    * relation — each round computes per-edge triangle support via the
+    * wedge join over the CURRENT edge set's symmetric adjacency and
+    * keeps edges with support ≥ k−2; a final support pass annotates the
+    * converged set. Convergence within the bound is REQUIRED by the
+    * operator, so fixed unrolling reaches the same fixpoint.
+    */
+  private def kTrussOracleSql(k: Int, rounds: Int): String = {
+    // MATERIALIZED: each e/a CTE is referenced 3×/2× per round — inlined
+    // they re-expand the whole shingle pipeline per reference and exhaust
+    // DuckDB's file-handle budget on the unrolled plan
+    val sb = new StringBuilder(
+      s"WITH ${nearDupEdgesCte(0.8)},\n        e0 AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM prs)")
+    for (r <- 0 until rounds) sb.append(s""",
+        a$r AS MATERIALIZED (SELECT u AS ctr, v AS nb FROM e$r
+                UNION ALL SELECT v, u FROM e$r),
+        s$r AS MATERIALIZED (SELECT e.u, e.v, COUNT(*) AS sup FROM e$r e
+                JOIN a$r x ON e.u = x.ctr
+                JOIN a$r y ON e.v = y.ctr AND x.nb = y.nb
+                GROUP BY 1, 2),
+        e${r + 1} AS MATERIALIZED (SELECT e.u, e.v FROM e$r e
+                JOIN s$r s ON e.u = s.u AND e.v = s.v
+                WHERE s.sup >= ${k - 2})""")
+    sb.append(s""",
+        af AS MATERIALIZED (SELECT u AS ctr, v AS nb FROM e$rounds
+               UNION ALL SELECT v, u FROM e$rounds),
+        sf AS MATERIALIZED (SELECT e.u, e.v, COUNT(*) AS sup FROM e$rounds e
+               JOIN af x ON e.u = x.ctr
+               JOIN af y ON e.v = y.ctr AND x.nb = y.nb
+               GROUP BY 1, 2)
+        SELECT e.u AS id_a, e.v AS id_b,
+          CAST(COALESCE(s.sup, 0) AS BIGINT) AS support
+        FROM e$rounds e LEFT JOIN sf s ON e.u = s.u AND e.v = s.v
+        ORDER BY id_a, id_b""")
+    sb.toString
+  }
+
   /** One unrolled fixed-point PageRank iteration (oracle side) — integer
     * arithmetic identical to [[graft.operators.Graphs.pageRank]]:
     * contribution `r // outdeg`, damping `(85 * x) // 100`, dangling mass
@@ -7788,6 +7826,149 @@ object SparkEntry {
         SELECT d AS day, x AS x_micro, mean_micro, m_micro, ph_micro,
           ph_micro > 10000000000000 AS alarm
         FROM w4 ORDER BY day""")),
+
+    // Nelson-Aalen cumulative hazard of view→purchase conversion — the
+    // hazard-sum sibling of q179's Kaplan-Meier (same subjects relation),
+    // all exact integer quotients, no logs.
+    "q244_nelson_aalen" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("v0"))
+        val buys = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("pt"))
+        val firstBuy = views.join(buys, Seq("user_id"), "left")
+          .groupBy("user_id", "v0")
+          .agg(min(when(col("pt") >= col("v0"), col("pt"))).as("p1"))
+        val mx = ev.agg(max(col("ts")).as("m"))
+        val subjects = firstBuy.crossJoin(broadcast(mx))
+          .select(
+            when(col("p1").isNotNull,
+              datediff(col("p1").cast("date"), col("v0").cast("date")))
+              .otherwise(
+                datediff(col("m").cast("date"), col("v0").cast("date")))
+              .as("dur"),
+            col("p1").isNotNull.as("ev"))
+        Temporal.nelsonAalen(subjects, "dur", "ev").orderBy("t")
+      },
+      Some("""WITH v AS (SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS v0
+              FROM events WHERE event_type = 'view' GROUP BY 1),
+        b AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS pt FROM events
+              WHERE event_type = 'purchase'),
+        s0 AS (SELECT v.user_id, v.v0,
+            MIN(CASE WHEN b.pt >= v.v0 THEN b.pt END) AS p1
+          FROM v LEFT JOIN b ON b.user_id = v.user_id GROUP BY 1, 2),
+        mx AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS m FROM events),
+        subj AS (SELECT CASE WHEN p1 IS NOT NULL
+              THEN date_diff('day', CAST(v0 AS DATE), CAST(p1 AS DATE))
+              ELSE date_diff('day', CAST(v0 AS DATE),
+                CAST((SELECT m FROM mx) AS DATE)) END AS t,
+            p1 IS NOT NULL AS e FROM s0),
+        grid AS (SELECT t, SUM(CASE WHEN e THEN 1 ELSE 0 END) AS d_event,
+            SUM(CASE WHEN e THEN 0 ELSE 1 END) AS d_censored
+          FROM subj GROUP BY 1),
+        tot AS (SELECT SUM(d_event + d_censored) AS n FROM grid),
+        risked AS (SELECT t, d_event, d_censored,
+            (SELECT n FROM tot) - COALESCE(SUM(d_event + d_censored)
+              OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING), 0) AS n_risk
+          FROM grid),
+        terms AS (SELECT t, n_risk, d_event, d_censored,
+            (d_event * 1000000) // n_risk AS hazard_micro FROM risked)
+        SELECT CAST(t AS BIGINT) AS t, CAST(n_risk AS BIGINT) AS n_risk,
+          CAST(d_event AS BIGINT) AS d_event,
+          CAST(d_censored AS BIGINT) AS d_censored,
+          CAST(hazard_micro AS BIGINT) AS hazard_micro,
+          CAST(SUM(hazard_micro) OVER (ORDER BY t) AS BIGINT)
+            AS cum_hazard_micro
+        FROM terms ORDER BY t""")),
+
+    // CUPED variance-reduced A/B readout over the event stream: pre-period
+    // (before Jan 16) value as covariate, post-period as metric, h60 arm
+    // split, pooled θ from one exact-integer moment row.
+    "q245_cuped" -> Q(
+      (s, dir) => Analytics.cupedAdjust(t(s, dir, "events"), "user_id",
+        "ts", "value", "2024-01-16 00:00:00", "cuped1"),
+      Some(s"""WITH base AS (SELECT user_id AS u,
+            CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00' AS pre,
+            CAST(round(value * 1e6) AS BIGINT) AS v
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            AND value IS NOT NULL),
+        pu AS (SELECT u,
+            CAST(SUM(CASE WHEN pre THEN v ELSE 0 END) AS BIGINT) AS x,
+            CAST(SUM(CASE WHEN pre THEN 0 ELSE v END) AS BIGINT) AS y
+          FROM base GROUP BY 1),
+        mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+            SUM(CAST(x AS HUGEINT) * y) AS sxy,
+            SUM(CAST(x AS HUGEINT) * x) AS sxx FROM pu),
+        th AS (SELECT n, sx,
+            CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx > 0
+              THEN CAST(((CAST(n AS HUGEINT) * sxy
+                    - CAST(sx AS HUGEINT) * sy) * 1000000)
+                  // (CAST(n AS HUGEINT) * sxx
+                    - CAST(sx AS HUGEINT) * sx) AS BIGINT)
+              ELSE 0 END AS theta_micro
+          FROM mom),
+        arms AS (SELECT CASE WHEN
+              ${graft.functions.Hashing.h60Sql("'cuped1:' || u")} % 2 = 0
+              THEN 'a' ELSE 'b' END AS arm,
+            CAST(COUNT(*) AS BIGINT) AS n_users,
+            CAST(SUM(x) AS BIGINT) AS sum_x_micro,
+            CAST(SUM(y) AS BIGINT) AS sum_y_micro
+          FROM pu GROUP BY 1)
+        SELECT arm, n_users, sum_x_micro, sum_y_micro,
+          CAST(sum_y_micro AS DOUBLE) / CAST(n_users AS DOUBLE) / 1e6
+            AS mean_y,
+          CAST(theta_micro AS DOUBLE) / 1e6 AS theta,
+          CAST(sum_y_micro AS DOUBLE) / CAST(n_users AS DOUBLE) / 1e6
+          - (CAST(theta_micro AS DOUBLE) / 1e6)
+            * (CAST(sum_x_micro AS DOUBLE) / CAST(n_users AS DOUBLE) / 1e6
+               - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1e6) AS mean_y_adj
+        FROM arms CROSS JOIN th ORDER BY arm""")),
+
+    // Poisson-bootstrap 95% CI for mean document length — the
+    // distributed bootstrap (per-row hash-deterministic Poisson(1)
+    // weights, integer-threshold sampler, exact replicate means).
+    "q246_poisson_bootstrap" -> Q(
+      (s, dir) => Quality.poissonBootstrapMeanCi(t(s, dir, "documents"),
+        "doc_id", "n_chars", 64, "boot1"),
+      Some {
+        val kCase = Quality.poissonCdf60
+          .map(t => s"(CASE WHEN h >= $t THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH base AS (SELECT CAST(doc_id AS VARCHAR) AS id,
+              CAST(n_chars AS BIGINT) AS x FROM documents
+            WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+          f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST((SUM(CAST(x AS HUGEINT)) * 1000000) // COUNT(*) AS BIGINT)
+                AS mean_micro FROM base),
+          rep AS (SELECT b, x,
+              ${graft.functions.Hashing.h60Sql("'boot1:' || b || ':' || id")}
+                AS h
+            FROM base CROSS JOIN (SELECT unnest(range(0, 64)) AS b)),
+          kk AS (SELECT b, x, $kCase AS k FROM rep),
+          rs AS (SELECT b, SUM(CAST(k AS HUGEINT) * x) AS skx,
+              CAST(SUM(k) AS BIGINT) AS sk FROM kk GROUP BY b),
+          means AS (SELECT b, CASE WHEN sk > 0
+              THEN CAST((skx * 1000000) // sk AS BIGINT)
+              ELSE (SELECT mean_micro FROM f) END AS m FROM rs),
+          r AS (SELECT m, row_number() OVER (ORDER BY m, b) AS rn FROM means)
+          SELECT n_rows, CAST(64 AS BIGINT) AS b_reps, mean_micro,
+            (SELECT m FROM r WHERE rn = 2) AS ci_lo_micro,
+            (SELECT m FROM r WHERE rn = 63) AS ci_hi_micro
+          FROM f"""
+      }),
+
+    // k-truss (k = 3) of the near-dup graph: edges in ≥ 1 triangle after
+    // iterative peel — the edge-level cohesion core (q226's kCore peels
+    // vertices; this peels edges, so triangle-free bridge edges between
+    // cliques drop). k = 3 because the sf0.01 dup clusters are mostly
+    // 3-cliques (per-edge support 1): k = 4 peels the whole graph there.
+    "q247_ktruss" -> Q(
+      (s, dir) => Graphs.kTruss(lshPairs(s, dir), "id_a", "id_b",
+        k = 3, maxRounds = 4),
+      Some(kTrussOracleSql(3, 4))),
 
     // ----- SQL API surface ---------------------------------------------------
 

@@ -358,6 +358,78 @@ object Analytics {
     * basket-bounded, and monetary is quantized to a 1e-2 grid by the
     * DECIMAL cast), joined back to the aggregate by value.
     */
+  /** CUPED (Controlled-experiment Using Pre-Experiment Data, Deng et al.
+    * WSDM 2013) adjusted per-arm metric means — THE industry-standard
+    * variance-reduction step for A/B readouts: each user's post-period
+    * metric y is shifted by θ·(x − x̄) where x is their PRE-period value
+    * of the same metric and θ = cov(x,y)/var(x), cancelling the
+    * between-user variance the randomization already balanced.
+    *
+    * Mechanics: one scan aggregates per-user (x, y) micro sums split at
+    * `splitTs` (users = distinct ids among non-null-value events); arms
+    * are the deterministic h60(salt:user) % 2 split (q51's convention);
+    * θ comes from ONE pooled exact-integer moment row (n, Σx, Σy, Σxy,
+    * Σx² — products in DECIMAL(38,0)); per-arm adjusted means are
+    * assembled with pinned IEEE ops from the exact per-arm sums. Scale
+    * shape: one shuffle to the user grid, one |arms|-row aggregate, a
+    * broadcast 1-row moment join — the fact table is never re-scanned.
+    *
+    * Returns per arm: (arm, n_users, sum_x_micro, sum_y_micro, mean_y,
+    * theta, mean_y_adj).
+    */
+  def cupedAdjust(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, splitTs: String, salt: String): DataFrame = {
+    val base = events.filter(col(userCol).isNotNull &&
+        col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(userCol).as("u"),
+        (col(tsCol).cast("timestamp") < lit(splitTs).cast("timestamp"))
+          .as("pre"),
+        round(col(valueCol) * 1e6).cast("long").as("v"))
+    val perUser = graft.CacheScope.register(
+      base.groupBy("u").agg(
+        sum(when(col("pre"), col("v")).otherwise(0L)).as("x"),
+        sum(when(col("pre"), 0L).otherwise(col("v"))).as("y")))
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val moments = broadcast(perUser.agg(
+      count(lit(1)).as("n"),
+      sum("x").cast("long").as("sx"),
+      sum("y").cast("long").as("sy"),
+      sum(d(col("x")) * d(col("y"))).cast("decimal(38,0)").as("sxy"),
+      sum(d(col("x")) * d(col("x"))).cast("decimal(38,0)").as("sxx")))
+    val arms = perUser
+      .withColumn("arm",
+        when(pmod(graft.functions.Hashing.h60(
+          concat(lit(s"$salt:"), col("u").cast("string"))), lit(2L)) === 0,
+          "a").otherwise("b"))
+      .groupBy("arm").agg(count(lit(1)).as("n_users"),
+        sum("x").cast("long").as("sum_x_micro"),
+        sum("y").cast("long").as("sum_y_micro"))
+    // θ = (n·Σxy − Σx·Σy) / (n·Σx² − Σx·Σx), pinned double assembly
+    val nD = col("n").cast("double")
+    // θ on the exact integer grid: n·Σxy and n·Σx² stay inside
+    // DECIMAL(38,0), so θ_micro is a truncating decimal quotient — a
+    // raw double assembly of these ~10²⁵ products rounds differently
+    // across engines (observed 1e-13 drift); the micro grid doesn't
+    val thetaMicro = when(
+      expr("cast(n as decimal(38,0)) * sxx - cast(sx as decimal(38,0)) * sx") > 0,
+      expr("""cast(((cast(n as decimal(38,0)) * sxy
+                - cast(sx as decimal(38,0)) * sy) * 1000000)
+              div (cast(n as decimal(38,0)) * sxx
+                - cast(sx as decimal(38,0)) * sx) as bigint)"""))
+      .otherwise(lit(0L))
+    val theta = thetaMicro.cast("double") / lit(1e6)
+    val meanY = col("sum_y_micro").cast("double") /
+      col("n_users").cast("double") / lit(1e6)
+    val meanXArm = col("sum_x_micro").cast("double") /
+      col("n_users").cast("double") / lit(1e6)
+    val meanXPool = col("sx").cast("double") / nD / lit(1e6)
+    arms.crossJoin(moments)
+      .select(col("arm"), col("n_users"), col("sum_x_micro"),
+        col("sum_y_micro"), meanY.as("mean_y"), theta.as("theta"),
+        (meanY - theta * (meanXArm - meanXPool)).as("mean_y_adj"))
+      .orderBy("arm")
+  }
+
   def rfmSegments(orders: DataFrame, custCol: String, tsCol: String,
       valueCol: String): DataFrame = {
     val base = graft.CacheScope.register(

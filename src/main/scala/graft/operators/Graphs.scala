@@ -620,6 +620,102 @@ object Graphs {
     }
   }
 
+  /** k-TRUSS decomposition over an undirected edge list: iteratively
+    * remove edges supported by fewer than k−2 triangles until stable —
+    * the EDGE-level cohesion filter next to [[kCore]]'s vertex-level
+    * one (a k-core can be a sparse star-of-stars; every k-truss edge
+    * sits in k−2 triangles, so surviving components are genuinely
+    * clique-like — the community-core standard, Cohen 2008).
+    *
+    * Each round: per-edge support = |N(u) ∩ N(v)| via the
+    * [[localClustering]] wedge join (Σdeg² rows), filter
+    * support ≥ k−2, lineage cut, repeat. Rounds are O(Σdeg²) each;
+    * convergence within `maxRounds` is REQUIRED (kCore's contract) so
+    * the oracle's fixed unrolling reaches the same fixpoint. A
+    * driver fast path below `driverEdgeThreshold` runs the identical
+    * peel on collected arrays (the kCore/markovStationary
+    * bounded-domain argument) — bit-identical output, spec-pinned.
+    *
+    * Returns surviving edges (id_a, id_b, support) with support
+    * measured in the FINAL edge set.
+    */
+  def kTruss(edges: DataFrame, aCol: String, bCol: String, k: Int,
+      maxRounds: Int = 6, driverEdgeThreshold: Long = 1L << 18): DataFrame = {
+    require(k >= 3 && maxRounds >= 1)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var canon = graft.CacheScope.register(
+      edges.select(
+          least(col(aCol).cast("long"), col(bCol).cast("long")).as("u"),
+          greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("v"))
+        .filter(col("u").isNotNull && col("v").isNotNull && col("u") < col("v"))
+        .distinct())
+    var nEdges = canon.count()
+    if (nEdges <= driverEdgeThreshold) {
+      var cur = canon.as[(Long, Long)].collect()
+      var converged = false
+      var round = 0
+      def supports(es: Array[(Long, Long)]): Map[(Long, Long), Int] = {
+        val nbrs = scala.collection.mutable.HashMap
+          .empty[Long, scala.collection.mutable.HashSet[Long]]
+        es.foreach { case (u, v) =>
+          nbrs.getOrElseUpdate(u, scala.collection.mutable.HashSet.empty) += v
+          nbrs.getOrElseUpdate(v, scala.collection.mutable.HashSet.empty) += u
+        }
+        es.map { case (u, v) =>
+          val (small, large) =
+            if (nbrs(u).size <= nbrs(v).size) (nbrs(u), nbrs(v))
+            else (nbrs(v), nbrs(u))
+          (u, v) -> small.count(large.contains)
+        }.toMap
+      }
+      while (!converged && round < maxRounds) {
+        val sup = supports(cur)
+        val next = cur.filter(e => sup(e) >= k - 2)
+        converged = next.length == cur.length
+        cur = next
+        round += 1
+      }
+      require(converged || cur.isEmpty,
+        s"kTruss(k=$k) did not stabilize in $maxRounds rounds — raise maxRounds")
+      val finalSup = supports(cur)
+      return cur.toSeq.sorted
+        .map { case (u, v) => (u, v, finalSup((u, v)).toLong) }
+        .toDF("id_a", "id_b", "support")
+        .orderBy("id_a", "id_b")
+    }
+    def supportDf(c: DataFrame): DataFrame = {
+      val adj = c.select(col("u").as("ctr"), col("v").as("nb"))
+        .unionAll(c.select(col("v").as("ctr"), col("u").as("nb")))
+      c.as("e")
+        .join(adj.as("x"), col("e.u") === col("x.ctr"))
+        .join(adj.as("y"),
+          col("e.v") === col("y.ctr") && col("x.nb") === col("y.nb"))
+        .groupBy(col("e.u").as("u"), col("e.v").as("v"))
+        .agg(count(lit(1)).as("support"))
+    }
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val next = canon
+        .join(supportDf(canon).filter(col("support") >= k - 2)
+          .select("u", "v"), Seq("u", "v"), "left_semi")
+        .localCheckpoint(true)
+      val m = next.count()
+      converged = m == nEdges
+      canon = next
+      nEdges = m
+      round += 1
+    }
+    require(converged || nEdges == 0,
+      s"kTruss(k=$k) did not stabilize in $maxRounds rounds — raise maxRounds")
+    canon.join(supportDf(canon)
+        .withColumnRenamed("support", "support"), Seq("u", "v"), "left")
+      .select(col("u").as("id_a"), col("v").as("id_b"),
+        coalesce(col("support"), lit(0L)).as("support"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Per-node LOCAL clustering coefficient over an undirected edge list —
     * "how clique-like is this node's neighborhood?": q162's triangle
     * census answers it globally; per node it separates hub-of-a-clique

@@ -1486,6 +1486,87 @@ object Quality {
         col("n_distinct_orphan_keys"), col("n_childless_parents"))
   }
 
+  /** Truncated-Poisson(1) CDF thresholds on the 2⁶⁰ hash grid: weight
+    * k(row, rep) = #{j : h60 ≥ T_j} reproduces P(k) = e⁻¹/k! for
+    * k ≤ 7 (all mass above 8 — ~10⁻⁶ — truncates into k = 8). The
+    * thresholds are fixed integer literals, so the sampler is EXACTLY
+    * replayable in any engine — no float comparisons at eval time.
+    */
+  val poissonCdf60: Seq[Long] = {
+    val two60 = 1152921504606846976.0 // 2^60
+    var p = math.exp(-1.0)
+    var c = p
+    (0 to 7).map { j =>
+      if (j > 0) { p /= j; c += p }
+      (c * two60).toLong
+    }
+  }
+
+  /** POISSON-BOOTSTRAP confidence interval for a mean (Chamandy et al.,
+    * "Estimating Uncertainty for Massive Data Streams", Google 2012) —
+    * the distributed bootstrap: instead of resampling n rows WITH
+    * replacement (which needs coordinated global sampling), each row
+    * enters replicate b with an independent Poisson(1) weight, an
+    * o(1/√n)-accurate surrogate that needs only a deterministic
+    * per-(row, replicate) hash. Everything is exactly replayable: the
+    * weight is [[poissonCdf60]] integer threshold counts over
+    * h60(salt:b:id), replicate means are truncating micro quotients of
+    * exact integer sums, and the CI bounds are order statistics of the
+    * `reps` replicate means with a (mean, b) deterministic tie-break.
+    *
+    * Scale shape: the explode(×reps) multiplies rows BEFORE map-side
+    * partial aggregation, so the shuffle carries ≤ reps·partitions
+    * partial rows, never reps×corpus; the rank window runs over the
+    * reps-row grid only. An all-zero-weight replicate (probability
+    * e^(−n·reps)) degenerates to the full-sample mean, keeping the
+    * order statistics total.
+    *
+    * Returns one row: (n_rows, b_reps, mean_micro, ci_lo_micro,
+    * ci_hi_micro) — a 95% percentile-bootstrap CI on the 1e6 grid.
+    */
+  def poissonBootstrapMeanCi(df: DataFrame, idCol: String, valCol: String,
+      reps: Int, salt: String): DataFrame = {
+    require(reps >= 4 && reps <= 4096, s"reps out of range: $reps")
+    val base = graft.CacheScope.register(
+      df.filter(col(idCol).isNotNull && col(valCol).isNotNull)
+        .select(col(idCol).cast("string").as("__id"),
+          col(valCol).cast("long").as("x")))
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val full = broadcast(base.agg(
+      count(lit(1)).as("n_rows"),
+      expr("cast((cast(sum(x) as decimal(38,0)) * 1000000) div count(1) as bigint)")
+        .as("mean_micro")))
+    val h = graft.functions.Hashing.h60(
+      concat(lit(s"$salt:"), col("b").cast("string"), lit(":"), col("__id")))
+    val kExpr = poissonCdf60
+      .map(t => when(h >= t, 1L).otherwise(0L)).reduce(_ + _)
+    val repSums = base
+      .select(col("__id"), col("x"),
+        explode(sequence(lit(0), lit(reps - 1))).as("b"))
+      .select(col("b"), col("x"), kExpr.as("k"))
+      .groupBy("b")
+      .agg(sum(d(col("k")) * d(col("x"))).cast("decimal(38,0)").as("skx"),
+        sum(col("k")).as("sk"))
+    val means = repSums.crossJoin(full)
+      .select(col("b"),
+        when(col("sk") > 0,
+          expr("cast((skx * 1000000) div sk as bigint)"))
+          .otherwise(col("mean_micro")).as("m"))
+    // rank window over the reps-row replicate grid only
+    val ranked = means.withColumn("rn",
+      row_number().over(Window.orderBy(col("m"), col("b"))))
+    val lo = math.max(1, math.ceil(0.025 * reps).toInt)
+    val hi = math.min(reps, math.ceil(0.975 * reps).toInt)
+    full.crossJoin(broadcast(
+        ranked.filter(col("rn") === lo)
+          .select(col("m").as("ci_lo_micro"))))
+      .crossJoin(broadcast(
+        ranked.filter(col("rn") === hi)
+          .select(col("m").as("ci_hi_micro"))))
+      .select(col("n_rows"), lit(reps.toLong).as("b_reps"),
+        col("mean_micro"), col("ci_lo_micro"), col("ci_hi_micro"))
+  }
+
   /** In-place partial-pivot Gaussian elimination for the tiny (m ≤ ~8)
     * Newton system — deterministic fixed op sequence on the driver.
     */

@@ -432,6 +432,45 @@ object Temporal {
       sum(term).over(wInc).as("log_surv_micro"))
   }
 
+  /** NELSON-AALEN cumulative hazard over (duration, event) subjects —
+    * [[kaplanMeier]]'s sibling estimator: KM multiplies survival factors
+    * (log-summed), NA sums the hazard increments d/n directly, the
+    * better-behaved quantity for comparing risk ACROSS strata and the
+    * standard input to proportional-hazards diagnostics. Same machinery:
+    * one shuffle to the duration grid, risk sets by prefix subtraction,
+    * and the per-time hazard on the exact integer grid —
+    * hazard_micro = (d_event · 1e6) div n_risk, truncating division,
+    * engine-replayable with no logs at all (exacter than KM's micro-ln
+    * terms). Cumulative hazard is the running BIGINT sum.
+    *
+    * Returns (t, n_risk, d_event, d_censored, hazard_micro,
+    * cum_hazard_micro) per distinct duration.
+    */
+  def nelsonAalen(subjects: DataFrame, durCol: String,
+      eventCol: String): DataFrame = {
+    val grid = subjects
+      .filter(col(durCol).isNotNull && col(eventCol).isNotNull)
+      .groupBy(col(durCol).cast("long").as("t"))
+      .agg(sum(when(col(eventCol), 1L).otherwise(0L)).as("d_event"),
+        sum(when(col(eventCol), 0L).otherwise(1L)).as("d_censored"))
+    val tot = grid.agg(sum(col("d_event") + col("d_censored")).as("n"))
+    val wBefore = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wInc = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risked = grid.crossJoin(broadcast(tot))
+      .select(col("t"), col("d_event"), col("d_censored"),
+        (col("n") - coalesce(
+          sum(col("d_event") + col("d_censored")).over(wBefore), lit(0L)))
+          .as("n_risk"))
+    risked
+      .withColumn("hazard_micro",
+        expr("(d_event * 1000000) div n_risk"))
+      .select(col("t"), col("n_risk"), col("d_event"), col("d_censored"),
+        col("hazard_micro"),
+        sum(col("hazard_micro")).over(wInc).as("cum_hazard_micro"))
+  }
+
   /** CUSUM changepoint curve over a daily micro-integer measure: per
     * day, the running sum of mean-centered daily totals, scaled by n to
     * stay integer —

@@ -69,7 +69,10 @@ class PlanLintSpec extends SparkSpec {
     "q231_hll_sketch_merge" -> "crossJoin against the broadcast 1-row exact-distinct aggregate (q110/q163 shape)",
     "q236_fk_orphans" -> "assembly crossJoins of broadcast 1-row audit aggregates per relationship (q163 shape)",
     "q237_theil_sen" -> "inequality pair join over the broadcast calendar-day aggregate + assembly crossJoins of 1-row count/median aggregates (q134's shape)",
-    "q238_js_divergence" -> "group-inequality join against the broadcast |sources|-row totals aggregate (pair fan-out over the bounded source set, q134's shape)")
+    "q238_js_divergence" -> "group-inequality join against the broadcast |sources|-row totals aggregate (pair fan-out over the bounded source set, q134's shape)",
+    "q244_nelson_aalen" -> "q179's shape: broadcast 1-row subject-total and max-ts aggregates (risk-set base, censoring horizon)",
+    "q245_cuped" -> "crossJoin against the broadcast 1-row pooled-moment aggregate (q110/q163 shape)",
+    "q246_poisson_bootstrap" -> "crossJoins of broadcast 1-row full-mean and CI-bound aggregates (q110/q163 shape)")
 
   /** Queries allowed to plan a GLOBAL window (no partition columns, or a
     * constant partition) — each must window over a provably BOUNDED
@@ -100,7 +103,9 @@ class PlanLintSpec extends SparkSpec {
     "q234_mann_whitney" -> "cumulative window over the DISTINCT-value count grid (q97's bounded-grid argument)",
     "q237_theil_sen" -> "rank window over the calendar-bounded pairwise-slope grid (≤ days² rows at any corpus scale)",
     "q242_compaction_plan" -> "cumulative window over the unit grid (file/partition count, never data rows)",
-    "q243_page_hinkley" -> "running prefix windows over the calendar day grid (q169's calendar-bounded argument)")
+    "q243_page_hinkley" -> "running prefix windows over the calendar day grid (q169's calendar-bounded argument)",
+    "q244_nelson_aalen" -> "risk-set/hazard cumulations over the duration-day grid (q179's calendar-bounded argument)",
+    "q246_poisson_bootstrap" -> "rank window over the reps-row replicate-mean grid (64 rows by construction)")
 
   test("no query plans a global window over an unbounded relation") {
     import org.apache.spark.sql.execution.SparkPlan

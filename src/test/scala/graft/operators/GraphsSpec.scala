@@ -219,4 +219,21 @@ class GraphsSpec extends SparkSpec {
     assert(out == Map((1L, 3L) -> ((1L, third)), (1L, 4L) -> ((1L, third)),
       (3L, 4L) -> ((1L, third))))
   }
+
+  test("kTruss: triangle edges survive k=3, bridge and tail edges peel; " +
+      "driver and distributed paths agree bit-exactly") {
+    import spark.implicits._
+    // triangle {1,2,3} + bridge 3-4 + tail 4-5
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val viaDriver = Graphs.kTruss(edges, "a", "b", k = 3, maxRounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaDriver == Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L)))
+    val viaDistributed = Graphs.kTruss(edges, "a", "b", k = 3,
+        maxRounds = 4, driverEdgeThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaDistributed == viaDriver)
+    // k=4 on the same graph: every edge has support 1 < 2 -> empty truss
+    assert(Graphs.kTruss(edges, "a", "b", k = 4, maxRounds = 4).count() == 0)
+  }
 }

@@ -182,4 +182,29 @@ class ProductAnalyticsBoundarySpec extends SparkSpec {
     // churned); only B churned; C is the one new user
     assert(out("2024-01-08") == ((3L, 1L, 1L)), s"got $out")
   }
+
+  test("q245 cupedAdjust: y = x + c per user gives theta exactly 1 and " +
+      "adjusted means equal to shifted pooled pre-mean") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // four users: pre-period value v, post-period value v + 5
+    val rows = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0))
+      .flatMap { case (u, v) => Seq(
+        (u, Timestamp.valueOf("2024-01-10 00:00:00"), v),
+        (u, Timestamp.valueOf("2024-01-20 00:00:00"), v + 5.0))
+      }.toDF("user_id", "ts", "value")
+    val out = Analytics.cupedAdjust(rows, "user_id", "ts", "value",
+      "2024-01-16 00:00:00", "spec1").collect()
+    assert(out.map(_.getAs[String]("arm")).toSeq.sorted.sameElements(
+      out.map(_.getAs[String]("arm")).toSeq)) // ordered by arm
+    out.foreach { r =>
+      assert(r.getAs[Double]("theta") == 1.0)
+      // adj = mean_y - 1.0 * (mean_x_arm - mean_x_pool)
+      //     = (mean_x_arm + 5) - mean_x_arm + mean_x_pool = 5 + 25
+      assert(r.getAs[Double]("mean_y_adj") == 30.0)
+    }
+    // per-arm RAW means differ (hash split is not balanced on 4 users)
+    // unless both arms happen to average 25 pre -- guard the useful case
+    assert(out.map(_.getAs[Long]("n_users")).sum == 4L)
+  }
 }

@@ -700,4 +700,33 @@ class QualitySpec extends SparkSpec {
     assert(r.getAs[Long]("n_distinct_orphan_keys") == 1L)
     assert(r.getAs[Long]("n_childless_parents") == 1L) // key 3
   }
+
+  test("poissonCdf60: increasing thresholds below 2^60, masses match " +
+      "Poisson(1) pmf") {
+    val t = Quality.poissonCdf60
+    assert(t == t.sorted && t.distinct == t)
+    assert(t.last < (1L << 60))
+    // first mass = e^-1 on the 2^60 grid
+    assert(t.head == (math.exp(-1.0) * math.pow(2.0, 60)).toLong)
+  }
+
+  test("poissonBootstrapMeanCi: constant column collapses the CI to the " +
+      "mean; weights average ~1") {
+    import spark.implicits._
+    val const = (1 to 200).map(i => (i.toLong, 42L)).toDF("id", "v")
+    val r = Quality.poissonBootstrapMeanCi(const, "id", "v", 64, "t1")
+      .collect().head
+    assert(r.getAs[Long]("n_rows") == 200L)
+    assert(r.getAs[Long]("b_reps") == 64L)
+    assert(r.getAs[Long]("mean_micro") == 42000000L)
+    assert(r.getAs[Long]("ci_lo_micro") == 42000000L)
+    assert(r.getAs[Long]("ci_hi_micro") == 42000000L)
+    // spread fixture: CI brackets the mean and is genuinely non-degenerate
+    val spread = (1 to 200).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+    val s = Quality.poissonBootstrapMeanCi(spread, "id", "v", 64, "t1")
+      .collect().head
+    assert(s.getAs[Long]("ci_lo_micro") < s.getAs[Long]("ci_hi_micro"))
+    assert(s.getAs[Long]("ci_lo_micro") <= s.getAs[Long]("mean_micro"))
+    assert(s.getAs[Long]("ci_hi_micro") >= s.getAs[Long]("mean_micro"))
+  }
 }

@@ -303,4 +303,19 @@ class TemporalSpec extends SparkSpec {
     // one consumed at t+3 (forecast at t includes the NEXT slot)
     assert(out.length == 8)
   }
+
+  test("nelsonAalen: exact integer hazard increments and running sum") {
+    import spark.implicits._
+    val subjects = Seq((1L, true), (1L, false), (2L, true), (2L, true),
+      (3L, false)).toDF("dur", "ev")
+    val out = Temporal.nelsonAalen(subjects, "dur", "ev")
+      .orderBy("t").collect()
+      .map(r => (r.getAs[Long]("t"), r.getAs[Long]("n_risk"),
+        r.getAs[Long]("d_event"), r.getAs[Long]("d_censored"),
+        r.getAs[Long]("hazard_micro"), r.getAs[Long]("cum_hazard_micro")))
+    // t=1: 1/5 -> 200000; t=2: 2/3 -> 666666 (truncating); t=3: 0
+    assert(out.toSeq == Seq((1L, 5L, 1L, 1L, 200000L, 200000L),
+      (2L, 3L, 2L, 0L, 666666L, 866666L),
+      (3L, 1L, 0L, 1L, 0L, 866666L)))
+  }
 }
