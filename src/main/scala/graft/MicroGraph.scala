@@ -33,7 +33,14 @@ object MicroGraph {
       override def onJobStart(js: SparkListenerJobStart): Unit = jobs += 1
     })
 
-    def time(name: String)(body: => Long): Unit = {
+    // SPARK_GRAFT_MICROGRAPH_ONLY: comma-separated name substrings to
+    // re-probe a single operator without paying the whole sweep
+    val only = sys.env.get("SPARK_GRAFT_MICROGRAPH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    def enabled(name: String): Boolean =
+      only.forall(_.exists(name.contains))
+
+    def time(name: String)(body: => Long): Unit = if (enabled(name)) {
       // listener events are async: give the bus a beat to settle between
       // phases so job counts attribute to the right phase
       Thread.sleep(400)
@@ -86,6 +93,31 @@ object MicroGraph {
       time(s"markovStationary distributed ${scale}x") {
         operators.Graphs.markovStationary(
           e4.withColumn("n", lit(1L)), "a", "b", "n", iters = 3,
+          driverEdgeThreshold = 0L).count()
+      }
+      CacheScope.releaseAll()
+
+      // Wedge-join family (Σdeg² per pass): constant avg degree at both
+      // scales, so wedge volume — and wall — should scale ~linearly with
+      // E, and job counts stay flat.
+      val e5 = CacheScope.register(randomEdges(nEdges))
+      e5.count()
+      time(s"localClustering ${scale}x") {
+        operators.Graphs.localClustering(e5, "a", "b").count()
+      }
+      CacheScope.releaseAll()
+
+      val e6 = CacheScope.register(randomEdges(nEdges))
+      e6.count()
+      time(s"resourceAllocation top-50 ${scale}x") {
+        operators.Graphs.resourceAllocation(e6, "a", "b", 50).count()
+      }
+      CacheScope.releaseAll()
+
+      val e7 = CacheScope.register(randomEdges(nEdges))
+      e7.count()
+      time(s"kTruss k=3 distributed ${scale}x") {
+        operators.Graphs.kTruss(e7, "a", "b", k = 3, maxRounds = 8,
           driverEdgeThreshold = 0L).count()
       }
       CacheScope.releaseAll()

@@ -793,17 +793,22 @@ object Graphs {
     val adj = graft.CacheScope.register(
       canon.select(col("u").as("ctr"), col("v").as("nb"))
         .unionAll(canon.select(col("v").as("ctr"), col("u").as("nb"))))
-    val deg = adj.groupBy(col("ctr").as("z"))
-      .agg(count(lit(1)).as("dz"))
-    val cand = adj.as("x").join(adj.as("y"),
+    val deg = adj.groupBy("ctr").agg(count(lit(1)).as("dz"))
+    // weight the ADJACENCY (2E rows) before the wedge self-join, so the
+    // Σdeg² wedge relation flows straight into map-side partial
+    // aggregation — joining deg onto the wedge relation instead costs a
+    // full extra shuffle of the probe's largest intermediate; the
+    // existing-edge anti-join likewise runs on the post-aggregate pair
+    // grid, not the raw wedge rows
+    val adjW = graft.CacheScope.register(
+      adj.join(deg, "ctr")
+        .select(col("ctr"), col("nb"), expr("1000000000000 div dz").as("w")))
+    adjW.as("x").join(adjW.as("y"),
         col("x.ctr") === col("y.ctr") && col("x.nb") < col("y.nb"))
-      .select(col("x.nb").as("u"), col("y.nb").as("v"),
-        col("x.ctr").as("z"))
-      .join(canon, Seq("u", "v"), "left_anti") // non-adjacent pairs only
-    cand.join(deg, "z")
-      .groupBy("u", "v")
+      .groupBy(col("x.nb").as("u"), col("y.nb").as("v"))
       .agg(count(lit(1)).as("common_neighbors"),
-        sum(expr("1000000000000 div dz")).as("ra_score_micro"))
+        sum(col("x.w")).as("ra_score_micro"))
+      .join(canon, Seq("u", "v"), "left_anti") // non-adjacent pairs only
       .select(col("u").as("id_a"), col("v").as("id_b"),
         col("common_neighbors"), col("ra_score_micro"),
         (col("ra_score_micro").cast("double") / lit(1e12)).as("ra_score"))
