@@ -4520,6 +4520,45 @@ object SparkEntry {
     sb.toString
   }
 
+  /** DuckDB replay of [[graft.operators.Graphs.personalizedPageRank]]
+    * over the near-dup graph with seeds `id < seedMax`: the pageRank
+    * unrolling with teleport and dangling mass directed at seeds only.
+    */
+  private def pprOracleSql(seedMax: Long, iters: Int): String = {
+    val scale = 1000000000000L
+    val seedShare = s"CASE WHEN u.id < $seedMax THEN " +
+      s"(15 * ($scale // (SELECT ns FROM nn))) // 100 ELSE 0 END"
+    val sb = new StringBuilder(
+      s"""WITH ${nearDupEdgesCte(0.8)},
+        nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+        deg AS MATERIALIZED (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS outdeg
+          FROM edges GROUP BY 1),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM nodes
+          WHERE id < $seedMax),
+        r0 AS (SELECT id, CASE WHEN id < $seedMax
+            THEN $scale // (SELECT ns FROM nn) ELSE 0 END AS r FROM nodes)""")
+    for (i <- 1 to iters) sb.append(s""",
+        d$i AS (SELECT COALESCE(SUM(r), 0) AS dt
+          FROM r${i - 1} LEFT JOIN deg USING (id) WHERE outdeg IS NULL),
+        in$i AS (SELECT e.dst AS id, SUM(rp.r // dg.outdeg) AS s
+          FROM edges e
+          JOIN r${i - 1} rp ON e.src = rp.id
+          JOIN deg dg ON e.src = dg.id
+          GROUP BY 1),
+        r$i AS (SELECT u.id,
+            ($seedShare)
+            + (85 * (COALESCE(i.s, 0)
+                + CASE WHEN u.id < $seedMax
+                  THEN (SELECT dt FROM d$i) // (SELECT ns FROM nn)
+                  ELSE 0 END)) // 100 AS r
+          FROM nodes u LEFT JOIN in$i i ON u.id = i.id)""")
+    sb.append(s"""
+        SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_micro,
+          id < $seedMax AS is_seed
+        FROM r$iters ORDER BY doc_id""")
+    sb.toString
+  }
+
   /** One unrolled fixed-point PageRank iteration (oracle side) — integer
     * arithmetic identical to [[graft.operators.Graphs.pageRank]]:
     * contribution `r // outdeg`, damping `(85 * x) // 100`, dangling mass
@@ -7969,6 +8008,99 @@ object SparkEntry {
       (s, dir) => Graphs.kTruss(lshPairs(s, dir), "id_a", "id_b",
         k = 3, maxRounds = 4),
       Some(kTrussOracleSql(3, 4))),
+
+    // Personalized PageRank from the doc_id < 100 seed set over the
+    // near-dup graph — seed-expansion ("what's related to THESE docs"),
+    // teleport + dangling mass to seeds only, exact integer fixed point.
+    "q248_personalized_pagerank" -> Q(
+      (s, dir) => {
+        val pairs = lshPairs(s, dir)
+        val nodes = pairs.select(col("id_a").as("id"))
+          .union(pairs.select(col("id_b"))).distinct()
+        Graphs.personalizedPageRank(nodes, "id", pairs, "id_a", "id_b",
+            id => id < 100, iters = 3)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some(pprOracleSql(100, 3))),
+
+    // Log-rank test between two hash arms' view→purchase conversion
+    // survival — exact O−E and hypergeometric variance on the integer
+    // grid over the duration grid (q179's subjects + q245's arm split).
+    "q249_log_rank" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("v0"))
+        val buys = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("pt"))
+        val firstBuy = views.join(buys, Seq("user_id"), "left")
+          .groupBy("user_id", "v0")
+          .agg(min(when(col("pt") >= col("v0"), col("pt"))).as("p1"))
+        val mx = ev.agg(max(col("ts")).as("m"))
+        val subjects = firstBuy.crossJoin(broadcast(mx))
+          .select(
+            when(pmod(graft.functions.Hashing.h60(
+              concat(lit("lr1:"), col("user_id").cast("string"))), lit(2L))
+              === 0, "a").otherwise("b").as("arm"),
+            when(col("p1").isNotNull,
+              datediff(col("p1").cast("date"), col("v0").cast("date")))
+              .otherwise(
+                datediff(col("m").cast("date"), col("v0").cast("date")))
+              .as("dur"),
+            col("p1").isNotNull.as("ev"))
+        Temporal.logRankTest(subjects, "arm", "dur", "ev", "a", "b")
+      },
+      Some(s"""WITH v AS (SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS v0
+              FROM events WHERE event_type = 'view' GROUP BY 1),
+        b AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS pt FROM events
+              WHERE event_type = 'purchase'),
+        s0 AS (SELECT v.user_id, v.v0,
+            MIN(CASE WHEN b.pt >= v.v0 THEN b.pt END) AS p1
+          FROM v LEFT JOIN b ON b.user_id = v.user_id GROUP BY 1, 2),
+        mx AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS m FROM events),
+        subj AS (SELECT
+            CASE WHEN ${graft.functions.Hashing.h60Sql("'lr1:' || user_id")}
+              % 2 = 0 THEN 'a' ELSE 'b' END AS arm,
+            CASE WHEN p1 IS NOT NULL
+              THEN date_diff('day', CAST(v0 AS DATE), CAST(p1 AS DATE))
+              ELSE date_diff('day', CAST(v0 AS DATE),
+                CAST((SELECT m FROM mx) AS DATE)) END AS t,
+            p1 IS NOT NULL AS e FROM s0),
+        grid AS (SELECT t,
+            SUM(CASE WHEN arm = 'a' AND e THEN 1 ELSE 0 END) AS da,
+            SUM(CASE WHEN arm = 'b' AND e THEN 1 ELSE 0 END) AS db,
+            SUM(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS ta,
+            SUM(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS tb
+          FROM subj GROUP BY 1),
+        tot AS (SELECT CAST(SUM(ta) AS BIGINT) AS na,
+            CAST(SUM(tb) AS BIGINT) AS nb FROM grid),
+        risked AS (SELECT t, da, db,
+            (SELECT na FROM tot) - COALESCE(SUM(ta) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ra,
+            (SELECT nb FROM tot) - COALESCE(SUM(tb) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rb
+          FROM grid),
+        terms AS (SELECT da, db,
+            (CAST(da + db AS HUGEINT) * ra * 1000000) // (ra + rb)
+              AS e_micro,
+            CASE WHEN ra + rb > 1 THEN
+              (CAST(da + db AS HUGEINT) * ra * rb * ((ra + rb) - (da + db))
+                * 1000000)
+              // (CAST(ra + rb AS HUGEINT) * (ra + rb) * ((ra + rb) - 1))
+            ELSE 0 END AS v_micro
+          FROM risked)
+        SELECT (SELECT na FROM tot) AS n_a, (SELECT nb FROM tot) AS n_b,
+          CAST(SUM(da) AS BIGINT) AS events_a,
+          CAST(SUM(db) AS BIGINT) AS events_b,
+          CAST(SUM(da) * 1000000 - SUM(e_micro) AS BIGINT)
+            AS o_minus_e_micro,
+          CAST(SUM(v_micro) AS BIGINT) AS var_micro,
+          CASE WHEN SUM(v_micro) > 0 THEN
+            (CAST(SUM(da) * 1000000 - SUM(e_micro) AS DOUBLE) / 1e6)
+              / sqrt(CAST(SUM(v_micro) AS DOUBLE) / 1e6)
+          END AS z
+        FROM terms""")),
 
     // ----- SQL API surface ---------------------------------------------------
 

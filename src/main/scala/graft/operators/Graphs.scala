@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -235,6 +235,66 @@ object Graphs {
       it += 1
     }
     rank.select(col("id").as(idCol), col("r").as("rank_micro"))
+  }
+
+  /** PERSONALIZED PageRank: [[pageRank]] with the teleport vector
+    * concentrated on a SEED set instead of uniform — "what's related to
+    * THESE documents?", the standard seed-expansion primitive (local
+    * community detection, related-item retrieval, contamination
+    * neighborhoods). Identical integer fixed-point contract: ranks on
+    * the scaleMicro grid, contribution `r div outdeg`, damping
+    * `(85·x) div 100`, dangling mass redistributed — but to the seeds,
+    * as is the teleport share, so non-seed mass arrives only through
+    * edges. All truncating integer ops, bit-identical in any
+    * partitioning and replayable in SQL.
+    *
+    * `seedPred` must be a deterministic predicate over the node id (it
+    * is evaluated on both the node relation and inside the oracle).
+    * Returns (idCol, rank_micro, is_seed).
+    */
+  def personalizedPageRank(nodes: DataFrame, idCol: String,
+      edges: DataFrame, aCol: String, bCol: String,
+      seedPred: Column => Column, iters: Int = 3,
+      scaleMicro: Long = 1000000000000L): DataFrame = {
+    val sym = graft.CacheScope.register(
+      edges.select(explode(array(
+          struct(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")),
+          struct(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst"))))
+        .as("__e"))
+        .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull)
+        .distinct())
+    val deg = graft.CacheScope.register(
+      sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg")))
+    val ids = graft.CacheScope.register(
+      nodes.select(col(idCol).cast("long").as("id"))
+        .withColumn("seed", seedPred(col("id"))))
+    val nSeeds = ids.filter(col("seed")).count()
+    require(nSeeds > 0, "personalizedPageRank: no seed nodes")
+    val init = scaleMicro / nSeeds
+    val base = (15L * init) / 100L
+    var rank = ids.select(col("id"), col("seed"),
+      when(col("seed"), init).otherwise(0L).as("r"))
+    var it = 0
+    while (it < iters) {
+      val dangTotal = rank.join(deg, Seq("id"), "left_anti")
+        .agg(coalesce(sum(col("r")), lit(0L))).first().getLong(0)
+      val dangShare = dangTotal / nSeeds
+      val in = sym
+        .join(rank.select(col("id").as("src"), col("r")), "src")
+        .join(deg.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), expr("r div outdeg").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("s"))
+      rank = ids.join(in, Seq("id"), "left")
+        .select(col("id"), col("seed"),
+          (when(col("seed"), base).otherwise(0L) +
+            expr(s"(85 * (coalesce(s, 0L) + " +
+              s"if(seed, ${dangShare}L, 0L))) div 100")).as("r"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    rank.select(col("id").as(idCol), col("r").as("rank_micro"),
+      col("seed").as("is_seed"))
   }
 
   /** WEIGHTED PageRank: [[pageRank]] with per-edge integer micro weights

@@ -471,6 +471,70 @@ object Temporal {
         sum(col("hazard_micro")).over(wInc).as("cum_hazard_micro"))
   }
 
+  /** LOG-RANK TEST between two groups' survival experiences (Mantel
+    * 1966) — the hypothesis test the [[kaplanMeier]]/[[nelsonAalen]]
+    * curves feed: at every event time, compare group A's OBSERVED events
+    * against the EXPECTED count were the groups exchangeable, and
+    * normalize by the hypergeometric variance. The standard A/B answer
+    * for time-to-event metrics ("does arm B convert FASTER?"), where a
+    * means test on durations is wrong under censoring.
+    *
+    * Everything rides the exact integer grid: per event time t,
+    *   e_micro  = (d_t · nA_t · 1e6) div n_t
+    *   v_micro  = (d_t · nA_t · nB_t · (n_t − d_t) · 1e6)
+    *              div (n_t · n_t · (n_t − 1))          [0 when n_t ≤ 1]
+    * with all products in DECIMAL(38,0) (n⁴·1e6 stays inside 38 digits
+    * to n ~ 10⁷ subjects); O−E and V are exact BIGINT sums and z is two
+    * pinned IEEE ops. At-risk counts come from prefix windows over the
+    * duration grid (calendar-bounded, the [[kaplanMeier]] shape).
+    *
+    * Returns one row: (n_a, n_b, events_a, events_b, o_minus_e_micro,
+    * var_micro, z) — z > 0 means group A saw MORE events than expected.
+    */
+  def logRankTest(subjects: DataFrame, groupCol: String, durCol: String,
+      eventCol: String, groupA: String, groupB: String): DataFrame = {
+    val base = subjects.filter(col(durCol).isNotNull &&
+        col(eventCol).isNotNull && col(groupCol).isin(groupA, groupB))
+      .select((col(groupCol) === groupA).as("ga"),
+        col(durCol).cast("long").as("t"), col(eventCol).as("ev"))
+    val grid = base.groupBy("t").agg(
+      sum(when(col("ga") && col("ev"), 1L).otherwise(0L)).as("da"),
+      sum(when(!col("ga") && col("ev"), 1L).otherwise(0L)).as("db"),
+      sum(when(col("ga"), 1L).otherwise(0L)).as("ta"),
+      sum(when(col("ga"), 0L).otherwise(1L)).as("tb"))
+    val tot = grid.agg(sum("ta").as("na"), sum("tb").as("nb"))
+    val wBefore = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risked = grid.crossJoin(broadcast(tot))
+      .select(col("t"), col("da"), col("db"), col("na"), col("nb"),
+        (col("na") - coalesce(sum(col("ta")).over(wBefore), lit(0L)))
+          .as("ra"),
+        (col("nb") - coalesce(sum(col("tb")).over(wBefore), lit(0L)))
+          .as("rb"))
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val terms = risked
+      .withColumn("d_t", col("da") + col("db"))
+      .withColumn("n_t", col("ra") + col("rb"))
+      .select(col("da"), col("db"), col("na"), col("nb"),
+        expr("cast((cast(d_t as decimal(38,0)) * ra * 1000000)" +
+          " div n_t as bigint)").as("e_micro"),
+        when(col("n_t") > 1,
+          expr("cast((cast(d_t as decimal(38,0)) * ra * rb * (n_t - d_t)" +
+            " * 1000000) div (cast(n_t as decimal(38,0)) * n_t * (n_t - 1))" +
+            " as bigint)")).otherwise(lit(0L)).as("v_micro"))
+    terms.groupBy("na", "nb").agg(
+        sum("da").as("events_a"), sum("db").as("events_b"),
+        (sum(col("da")) * 1000000L - sum(col("e_micro")))
+          .as("o_minus_e_micro"),
+        sum("v_micro").as("var_micro"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        col("events_a"), col("events_b"), col("o_minus_e_micro"),
+        col("var_micro"),
+        when(col("var_micro") > 0,
+          (col("o_minus_e_micro").cast("double") / lit(1e6))
+            / sqrt(col("var_micro").cast("double") / lit(1e6))).as("z"))
+  }
+
   /** CUSUM changepoint curve over a daily micro-integer measure: per
     * day, the running sum of mean-centered daily totals, scaled by n to
     * stay integer —

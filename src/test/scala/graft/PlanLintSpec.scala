@@ -72,7 +72,8 @@ class PlanLintSpec extends SparkSpec {
     "q238_js_divergence" -> "group-inequality join against the broadcast |sources|-row totals aggregate (pair fan-out over the bounded source set, q134's shape)",
     "q244_nelson_aalen" -> "q179's shape: broadcast 1-row subject-total and max-ts aggregates (risk-set base, censoring horizon)",
     "q245_cuped" -> "crossJoin against the broadcast 1-row pooled-moment aggregate (q110/q163 shape)",
-    "q246_poisson_bootstrap" -> "crossJoins of broadcast 1-row full-mean and CI-bound aggregates (q110/q163 shape)")
+    "q246_poisson_bootstrap" -> "crossJoins of broadcast 1-row full-mean and CI-bound aggregates (q110/q163 shape)",
+    "q249_log_rank" -> "q179's shape: broadcast 1-row group-total and max-ts aggregates (risk-set base, censoring horizon)")
 
   /** Queries allowed to plan a GLOBAL window (no partition columns, or a
     * constant partition) — each must window over a provably BOUNDED
@@ -105,7 +106,8 @@ class PlanLintSpec extends SparkSpec {
     "q242_compaction_plan" -> "cumulative window over the unit grid (file/partition count, never data rows)",
     "q243_page_hinkley" -> "running prefix windows over the calendar day grid (q169's calendar-bounded argument)",
     "q244_nelson_aalen" -> "risk-set/hazard cumulations over the duration-day grid (q179's calendar-bounded argument)",
-    "q246_poisson_bootstrap" -> "rank window over the reps-row replicate-mean grid (64 rows by construction)")
+    "q246_poisson_bootstrap" -> "rank window over the reps-row replicate-mean grid (64 rows by construction)",
+    "q249_log_rank" -> "at-risk prefix cumulations over the duration-day grid (q179's calendar-bounded argument)")
 
   test("no query plans a global window over an unbounded relation") {
     import org.apache.spark.sql.execution.SparkPlan

@@ -236,4 +236,35 @@ class GraphsSpec extends SparkSpec {
     // k=4 on the same graph: every edge has support 1 < 2 -> empty truss
     assert(Graphs.kTruss(edges, "a", "b", k = 4, maxRounds = 4).count() == 0)
   }
+
+  test("personalizedPageRank: mass concentrates at the seed; all-seeds " +
+      "degenerates to uniform pageRank bit-exactly") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val ppr = Graphs.personalizedPageRank(nodes, "id", edges, "a", "b",
+        id => id === 1L, iters = 3)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("rank_micro"), r.getAs[Boolean]("is_seed")))).toMap
+    assert(ppr(1L)._2 && !ppr(2L)._2)
+    // hand-unrolled 3-iteration fixed point (path 1-2-3-4, seed 1,
+    // damping 85/100, teleport 150e9 to the seed): the degree-1 seed
+    // donates its whole mass to node 2 each round, and the odd/even hop
+    // parity of a path leaves node 4 ahead of node 3 at iteration 3 —
+    // the exact integer values pin the arithmetic
+    assert(ppr(1L)._1 == 204187500000L)
+    assert(ppr(2L)._1 == 588093750000L)
+    assert(ppr(3L)._1 == 54187500000L)
+    assert(ppr(4L)._1 == 153531250000L)
+    // with EVERY node a seed, the teleport vector is uniform: PPR must
+    // reproduce pageRank bit-exactly (same fixed-point arithmetic)
+    val uniform = Graphs.personalizedPageRank(nodes, "id", edges, "a", "b",
+        _ => org.apache.spark.sql.functions.lit(true), iters = 3)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rank_micro"))
+      .toMap
+    val pr = Graphs.pageRank(nodes, "id", edges, "a", "b", iters = 3)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rank_micro"))
+      .toMap
+    assert(uniform == pr)
+  }
 }

@@ -318,4 +318,27 @@ class TemporalSpec extends SparkSpec {
       (2L, 3L, 2L, 0L, 666666L, 866666L),
       (3L, 1L, 0L, 1L, 0L, 866666L)))
   }
+
+  test("logRankTest: exchangeable groups give O-E = 0; hand-computed z " +
+      "on a separated fixture") {
+    import spark.implicits._
+    // identical survival experience in both groups
+    val same = Seq(("a", 1L, true), ("a", 2L, false),
+      ("b", 1L, true), ("b", 2L, false)).toDF("g", "dur", "ev")
+    val r0 = Temporal.logRankTest(same, "g", "dur", "ev", "a", "b")
+      .collect().head
+    assert(r0.getAs[Long]("o_minus_e_micro") == 0L)
+    assert(r0.getAs[Double]("z") == 0.0)
+    // group a events at t=1 and t=2, group b censored at the same times:
+    // E = 0.5 + 0.5, V = 0.25 + 0.25 -> z = 1/sqrt(0.5)
+    val sep = Seq(("a", 1L, true), ("a", 2L, true),
+      ("b", 1L, false), ("b", 2L, false)).toDF("g", "dur", "ev")
+    val r1 = Temporal.logRankTest(sep, "g", "dur", "ev", "a", "b")
+      .collect().head
+    assert(r1.getAs[Long]("n_a") == 2L && r1.getAs[Long]("n_b") == 2L)
+    assert(r1.getAs[Long]("events_a") == 2L && r1.getAs[Long]("events_b") == 0L)
+    assert(r1.getAs[Long]("o_minus_e_micro") == 1000000L)
+    assert(r1.getAs[Long]("var_micro") == 500000L)
+    assert(r1.getAs[Double]("z") == 1.0 / math.sqrt(0.5))
+  }
 }
