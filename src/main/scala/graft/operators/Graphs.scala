@@ -198,7 +198,9 @@ object Graphs {
     */
   def pageRank(nodes: DataFrame, idCol: String, edges: DataFrame,
       aCol: String, bCol: String, iters: Int = 3,
-      scaleMicro: Long = 1000000000000L): DataFrame = {
+      scaleMicro: Long = 1000000000000L,
+      driverEdgeThreshold: Long = 1L << 18): DataFrame = {
+    val spark = edges.sparkSession
     val sym = graft.CacheScope.register(
       edges.select(explode(array(
           struct(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")),
@@ -209,11 +211,38 @@ object Graphs {
         .distinct())
     val deg = graft.CacheScope.register(
       sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg")))
-    val ids = nodes.select(col(idCol).cast("long").as("id"))
+    val ids = graft.CacheScope.register(
+      nodes.select(col(idCol).cast("long").as("id")))
     val n = ids.count()
     require(n > 0, "pageRank: empty node universe")
     val init = scaleMicro / n
     val base = (15L * init) / 100L
+    if (n <= driverEdgeThreshold && sym.count() <= driverEdgeThreshold) {
+      // Fast path (the connectedComponents/markovStationary bounded-
+      // domain argument): iters tiny shuffle rounds cost more in
+      // scheduling than the arithmetic — run the IDENTICAL truncating-
+      // integer fixed point on collected arrays; exact integer sums are
+      // order-independent, so the result is bit-equal to the
+      // distributed loop (spec-pinned).
+      import spark.implicits._
+      val es = sym.as[(Long, Long)].collect()
+      val degM = es.groupBy(_._1).map { case (s, g) => s -> g.length.toLong }
+      val idArr = ids.as[Long].collect()
+      var r = scala.collection.mutable.HashMap(
+        idArr.map(_ -> init).toIndexedSeq: _*)
+      for (_ <- 1 to iters) {
+        val dangShare =
+          idArr.iterator.filterNot(degM.contains).map(r).sum / n
+        val in = scala.collection.mutable.HashMap.empty[Long, Long]
+          .withDefaultValue(0L)
+        es.foreach { case (s, d) => in(d) += r(s) / degM(s) }
+        r = scala.collection.mutable.HashMap(idArr.map(id =>
+          id -> (base + (85L * (in.getOrElse(id, 0L) + dangShare)) / 100L))
+          .toIndexedSeq: _*)
+      }
+      return idArr.sorted.map(id => (id, r(id))).toSeq
+        .toDF(idCol, "rank_micro")
+    }
     var rank = ids.withColumn("r", lit(init))
     var it = 0
     while (it < iters) {
@@ -255,7 +284,9 @@ object Graphs {
   def personalizedPageRank(nodes: DataFrame, idCol: String,
       edges: DataFrame, aCol: String, bCol: String,
       seedPred: Column => Column, iters: Int = 3,
-      scaleMicro: Long = 1000000000000L): DataFrame = {
+      scaleMicro: Long = 1000000000000L,
+      driverEdgeThreshold: Long = 1L << 18): DataFrame = {
+    val spark = edges.sparkSession
     val sym = graft.CacheScope.register(
       edges.select(explode(array(
           struct(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")),
@@ -273,6 +304,31 @@ object Graphs {
     require(nSeeds > 0, "personalizedPageRank: no seed nodes")
     val init = scaleMicro / nSeeds
     val base = (15L * init) / 100L
+    if (ids.count() <= driverEdgeThreshold &&
+        sym.count() <= driverEdgeThreshold) {
+      // bounded-domain driver fixed point, bit-equal to the loop below
+      // (the [[pageRank]] fast-path contract)
+      import spark.implicits._
+      val idSeed = ids.as[(Long, Boolean)].collect()
+      val es = sym.as[(Long, Long)].collect()
+      val degM = es.groupBy(_._1).map { case (s, g) => s -> g.length.toLong }
+      var r = scala.collection.mutable.HashMap(idSeed.map { case (id, sd) =>
+        id -> (if (sd) init else 0L) }.toIndexedSeq: _*)
+      for (_ <- 1 to iters) {
+        val dangShare = idSeed.iterator
+          .filterNot { case (id, _) => degM.contains(id) }
+          .map { case (id, _) => r(id) }.sum / nSeeds
+        val in = scala.collection.mutable.HashMap.empty[Long, Long]
+          .withDefaultValue(0L)
+        es.foreach { case (s, d) => in(d) += r(s) / degM(s) }
+        r = scala.collection.mutable.HashMap(idSeed.map { case (id, sd) =>
+          id -> ((if (sd) base else 0L) +
+            (85L * (in.getOrElse(id, 0L) + (if (sd) dangShare else 0L))) / 100L)
+        }.toIndexedSeq: _*)
+      }
+      return idSeed.sortBy(_._1).map { case (id, sd) => (id, r(id), sd) }
+        .toSeq.toDF(idCol, "rank_micro", "is_seed")
+    }
     var rank = ids.select(col("id"), col("seed"),
       when(col("seed"), init).otherwise(0L).as("r"))
     var it = 0
@@ -310,7 +366,9 @@ object Graphs {
     */
   def weightedPageRank(nodes: DataFrame, idCol: String, edges: DataFrame,
       aCol: String, bCol: String, wMicroCol: String, iters: Int = 3,
-      scaleMicro: Long = 1000000000000L): DataFrame = {
+      scaleMicro: Long = 1000000000000L,
+      driverEdgeThreshold: Long = 1L << 18): DataFrame = {
+    val spark = edges.sparkSession
     val sym = graft.CacheScope.register(
       edges.select(explode(array(
           struct(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"),
@@ -325,11 +383,34 @@ object Graphs {
         .groupBy("src", "dst").agg(max("w").as("w")))
     val outW = graft.CacheScope.register(
       sym.groupBy(col("src").as("id")).agg(sum(col("w")).as("w_out")))
-    val ids = nodes.select(col(idCol).cast("long").as("id"))
+    val ids = graft.CacheScope.register(
+      nodes.select(col(idCol).cast("long").as("id")))
     val n = ids.count()
     require(n > 0, "weightedPageRank: empty node universe")
     val init = scaleMicro / n
     val base = (15L * init) / 100L
+    if (n <= driverEdgeThreshold && sym.count() <= driverEdgeThreshold) {
+      // bounded-domain driver fixed point, bit-equal to the loop below
+      // (the [[pageRank]] fast-path contract)
+      import spark.implicits._
+      val es = sym.as[(Long, Long, Long)].collect()
+      val wOut = es.groupBy(_._1).map { case (s, g) => s -> g.map(_._3).sum }
+      val idArr = ids.as[Long].collect()
+      var r = scala.collection.mutable.HashMap(
+        idArr.map(_ -> init).toIndexedSeq: _*)
+      for (_ <- 1 to iters) {
+        val dangShare =
+          idArr.iterator.filterNot(wOut.contains).map(r).sum / n
+        val in = scala.collection.mutable.HashMap.empty[Long, Long]
+          .withDefaultValue(0L)
+        es.foreach { case (s, d, w) => in(d) += (r(s) * w) / wOut(s) }
+        r = scala.collection.mutable.HashMap(idArr.map(id =>
+          id -> (base + (85L * (in.getOrElse(id, 0L) + dangShare)) / 100L))
+          .toIndexedSeq: _*)
+      }
+      return idArr.sorted.map(id => (id, r(id))).toSeq
+        .toDF(idCol, "rank_micro")
+    }
     var rank = ids.withColumn("r", lit(init))
     var it = 0
     while (it < iters) {
@@ -531,7 +612,9 @@ object Graphs {
     * Returns (id, side ∈ {hub, authority}, score_scaled).
     */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 2, scale: Long = 1000000000L): DataFrame = {
+      iters: Int = 2, scale: Long = 1000000000L,
+      driverEdgeThreshold: Long = 1L << 18): DataFrame = {
+    val spark = edges.sparkSession
     val e = graft.CacheScope.register(
       edges.select(col(srcCol).cast("long").as("src"),
           col(dstCol).cast("long").as("dst"))
@@ -540,6 +623,32 @@ object Graphs {
     val hubs0 = e.select(col("src").as("id")).distinct()
     val nHubs = hubs0.count()
     require(nHubs > 0, "hits: no source nodes")
+    if (e.count() <= driverEdgeThreshold) {
+      // bounded-domain driver fixed point, bit-equal to the loop below
+      // (the [[pageRank]] fast-path contract): exact integer sums are
+      // order-independent, normalizations are the same truncating
+      // quotients
+      import spark.implicits._
+      val es = e.as[(Long, Long)].collect()
+      var h: Map[Long, Long] =
+        es.map(_._1).distinct.map(_ -> scale / nHubs).toMap
+      var a: Map[Long, Long] = Map.empty
+      for (_ <- 1 to iters) {
+        val aRaw = scala.collection.mutable.HashMap.empty[Long, Long]
+          .withDefaultValue(0L)
+        es.foreach { case (s, d) => aRaw(d) += h(s) }
+        val aTot = aRaw.valuesIterator.sum
+        a = aRaw.iterator.map { case (k, v) => k -> (v * scale) / aTot }.toMap
+        val hRaw = scala.collection.mutable.HashMap.empty[Long, Long]
+          .withDefaultValue(0L)
+        es.foreach { case (s, d) => a.get(d).foreach(v => hRaw(s) += v) }
+        val hTot = hRaw.valuesIterator.sum
+        h = hRaw.iterator.map { case (k, v) => k -> (v * scale) / hTot }.toMap
+      }
+      return (h.toSeq.sorted.map { case (id, v) => (id, "hub", v) } ++
+          a.toSeq.sorted.map { case (id, v) => (id, "authority", v) })
+        .toDF("id", "side", "score_scaled")
+    }
     var hub = hubs0.withColumn("h", lit(scale / nHubs))
     var auth: DataFrame = null
     var it = 0

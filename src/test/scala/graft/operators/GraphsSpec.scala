@@ -267,4 +267,29 @@ class GraphsSpec extends SparkSpec {
       .toMap
     assert(uniform == pr)
   }
+
+  test("pageRank family driver fast paths are bit-equal to the forced " +
+      "distributed loops") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("a", "b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("id") // 5 is dangling
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.toSeq.toList).toSet
+    assert(m(Graphs.pageRank(nodes, "id", edges, "a", "b", iters = 3)) ==
+      m(Graphs.pageRank(nodes, "id", edges, "a", "b", iters = 3,
+        driverEdgeThreshold = 0L)))
+    val wEdges = edges.withColumn("w",
+      org.apache.spark.sql.functions.lit(500000L))
+    assert(m(Graphs.weightedPageRank(nodes, "id", wEdges, "a", "b", "w",
+        iters = 3)) ==
+      m(Graphs.weightedPageRank(nodes, "id", wEdges, "a", "b", "w",
+        iters = 3, driverEdgeThreshold = 0L)))
+    assert(m(Graphs.hits(edges, "a", "b", iters = 2)) ==
+      m(Graphs.hits(edges, "a", "b", iters = 2, driverEdgeThreshold = 0L)))
+    assert(m(Graphs.personalizedPageRank(nodes, "id", edges, "a", "b",
+        id => id <= 2L, iters = 3)) ==
+      m(Graphs.personalizedPageRank(nodes, "id", edges, "a", "b",
+        id => id <= 2L, iters = 3, driverEdgeThreshold = 0L)))
+  }
 }
