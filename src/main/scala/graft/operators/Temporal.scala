@@ -764,21 +764,31 @@ object Temporal {
         .agg(sum(round(col(valCol) * 1e6).cast("long")).as("s")))
     // calendar-bounded pair join: broadcast the right side so the
     // inequality condition plans as a BNLJ over the tiny day aggregate
-    // (q134's shape), never a cartesian of raw relations
-    val slopes = daily.as("a").join(broadcast(daily.as("b")),
-        col("a.d") < col("b.d"))
-      .select(expr(
-        "cast((cast(b.s as decimal(38,0)) - a.s) * 1000 as decimal(38,0))" +
-          " div datediff(b.d, a.d)").cast("long").as("sl"))
+    // (q134's shape), never a cartesian of raw relations. The pair
+    // relation feeds the pair count, the median-rank denominator and
+    // the rank window — register it so the d² join runs once.
+    val slopes = graft.CacheScope.register(
+      daily.as("a").join(broadcast(daily.as("b")),
+          col("a.d") < col("b.d"))
+        .select(expr(
+          "cast((cast(b.s as decimal(38,0)) - a.s) * 1000 as decimal(38,0))" +
+            " div datediff(b.d, a.d)").cast("long").as("sl")))
     // global window over the bounded pair grid (d² of CALENDAR days)
     val ranked = slopes.withColumn("rn",
       row_number().over(Window.orderBy(col("sl"))))
+    // one pair-count aggregate reused for both the reported n_pairs and
+    // the median-rank targets; rank selection uses INTEGRAL div so the
+    // even-count lower-middle rank (np+1) div 2 actually matches (Column
+    // `/` is float division: (np+1)/2 = x.5 for even np never equals rn,
+    // which doubled the upper-middle slope instead of summing both)
+    val nPairs = graft.CacheScope.register(
+      slopes.agg(count(lit(1)).as("n_pairs")))
     val counts = daily.agg(count(lit(1)).as("n_days"))
-      .crossJoin(broadcast(slopes.agg(count(lit(1)).as("n_pairs"))))
+      .crossJoin(broadcast(nPairs))
     counts.crossJoin(broadcast(
-        ranked.crossJoin(broadcast(slopes.agg(count(lit(1)).as("np"))))
-          .filter(col("rn") === (col("np") + 1) / 2 ||
-            col("rn") === (col("np") + 2) / 2)
+        ranked.crossJoin(broadcast(nPairs.select(col("n_pairs").as("np"))))
+          .filter(col("rn") === expr("(np + 1) div 2") ||
+            col("rn") === expr("(np + 2) div 2"))
           .agg(when(count(lit(1)) === 1, sum("sl") * 2)
             .otherwise(sum("sl")).as("slope2x_millimicro"))))
       .select(col("n_days"), col("n_pairs"), col("slope2x_millimicro"),

@@ -1556,9 +1556,14 @@ object TextOps {
         Seq("gb", "__w"), "left")
       .select(col("ga"), col("gb"), col("na"), col("nb"), col("c"),
         coalesce(col("cb"), lit(0L)).as("cb"))
+    // log args multiply IN DOUBLE: a LongType product (c·nb) silently
+    // wraps negative past 2^63 and log() of it returns null, dropping
+    // terms — in double the product is exact below 2^53 (same micro-log
+    // grid as the BIGINT route) and merely rounds above, never wraps
+    def d(c: Column): Column = c.cast("double")
     val sums = dir.groupBy("ga", "gb", "na", "nb")
-      .agg(sum(col("c") * (lnMicro(col("c") * 2 * col("nb"))
-          - lnMicro(col("c") * col("nb") + col("cb") * col("na"))))
+      .agg(sum(col("c") * (lnMicro(d(col("c")) * 2 * d(col("nb")))
+          - lnMicro(d(col("c")) * d(col("nb")) + d(col("cb")) * d(col("na")))))
         .cast("long").as("s"))
     sums.filter(col("ga") < col("gb")).as("f")
       .join(sums.filter(col("ga") > col("gb")).as("r"),

@@ -253,6 +253,24 @@ class TemporalSpec extends SparkSpec {
     assert(r.getAs[Double]("slope_per_day") == 2.0)
   }
 
+  test("theilSen: even pair count sums BOTH (distinct) middle slopes — " +
+      "integral rank division regression") {
+    import spark.implicits._
+    // y = 10,13,14,20 on four consecutive days -> six pairwise slopes
+    // (millimicro/day): 3e9, 2e9, 10e9 div 3 = 3333333333, 1e9, 3.5e9,
+    // 6e9; sorted middle two are 3e9 and 3333333333 — DISTINCT, so a
+    // float-division rank selector ((np+1)/2 = 3.5 never matching rank 3)
+    // would double the upper-middle instead of summing both
+    val df = Seq(
+      ("2024-01-01", 10.0), ("2024-01-02", 13.0), ("2024-01-03", 14.0),
+      ("2024-01-04", 20.0)
+    ).map { case (d, v) => (ts(s"$d 12:00:00"), v) }.toDF("t", "v")
+    val r = Temporal.theilSen(df, "t", "v").collect().head
+    assert(r.getAs[Long]("n_pairs") == 6L)
+    assert(r.getAs[Long]("slope2x_millimicro") == 3000000000L + 3333333333L)
+    assert(r.getAs[Double]("slope_per_day") == 6333333333.0 / 2.0 / 1e9)
+  }
+
   test("pageHinkley: adaptive-mean drift statistic and alarm threshold") {
     import spark.implicits._
     val df = (1 to 6).map { i =>
