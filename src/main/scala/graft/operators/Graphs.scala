@@ -235,7 +235,11 @@ object Graphs {
           idArr.iterator.filterNot(degM.contains).map(r).sum / n
         val in = scala.collection.mutable.HashMap.empty[Long, Long]
           .withDefaultValue(0L)
-        es.foreach { case (s, d) => in(d) += r(s) / degM(s) }
+        // r.get mirrors the distributed loop's inner join with rank: an
+        // edge source outside the node universe contributes nothing
+        // instead of throwing
+        es.foreach { case (s, d) =>
+          r.get(s).foreach(v => in(d) += v / degM(s)) }
         r = scala.collection.mutable.HashMap(idArr.map(id =>
           id -> (base + (85L * (in.getOrElse(id, 0L) + dangShare)) / 100L))
           .toIndexedSeq: _*)
@@ -320,7 +324,11 @@ object Graphs {
           .map { case (id, _) => r(id) }.sum / nSeeds
         val in = scala.collection.mutable.HashMap.empty[Long, Long]
           .withDefaultValue(0L)
-        es.foreach { case (s, d) => in(d) += r(s) / degM(s) }
+        // r.get mirrors the distributed loop's inner join with rank: an
+        // edge source outside the node universe contributes nothing
+        // instead of throwing
+        es.foreach { case (s, d) =>
+          r.get(s).foreach(v => in(d) += v / degM(s)) }
         r = scala.collection.mutable.HashMap(idSeed.map { case (id, sd) =>
           id -> ((if (sd) base else 0L) +
             (85L * (in.getOrElse(id, 0L) + (if (sd) dangShare else 0L))) / 100L)
@@ -403,7 +411,10 @@ object Graphs {
           idArr.iterator.filterNot(wOut.contains).map(r).sum / n
         val in = scala.collection.mutable.HashMap.empty[Long, Long]
           .withDefaultValue(0L)
-        es.foreach { case (s, d, w) => in(d) += (r(s) * w) / wOut(s) }
+        // r.get mirrors the distributed loop's inner join with rank (an
+        // out-of-universe source contributes nothing, never throws)
+        es.foreach { case (s, d, w) =>
+          r.get(s).foreach(v => in(d) += (v * w) / wOut(s)) }
         r = scala.collection.mutable.HashMap(idArr.map(id =>
           id -> (base + (85L * (in.getOrElse(id, 0L) + dangShare)) / 100L))
           .toIndexedSeq: _*)
@@ -796,10 +807,16 @@ object Graphs {
     * sits in k−2 triangles, so surviving components are genuinely
     * clique-like — the community-core standard, Cohen 2008).
     *
-    * Each round: per-edge support = |N(u) ∩ N(v)| via the
-    * [[localClustering]] wedge join (Σdeg² rows), filter
-    * support ≥ k−2, lineage cut, repeat. Rounds are O(Σdeg²) each;
-    * convergence within `maxRounds` is REQUIRED (kCore's contract) so
+    * The TRIANGLE relation is enumerated ONCE via the
+    * [[localClustering]] wedge join (Σdeg² rows) and cached; because the
+    * edge set only shrinks, every triangle of a peeled subgraph is a
+    * triangle of the initial graph, so each round's per-edge support is
+    * just "initial triangles whose three edges are all still alive" —
+    * three semi-joins plus a count over the (usually far smaller)
+    * triangle relation, NOT a fresh wedge join. The Σdeg² wedge cost is
+    * paid exactly once; rounds are O(|triangles|) each (the round-8
+    * probe's 4.1× wall at 10× edges came from re-wedging every round).
+    * Convergence within `maxRounds` is REQUIRED (kCore's contract) so
     * the oracle's fixed unrolling reaches the same fixpoint. A
     * driver fast path below `driverEdgeThreshold` runs the identical
     * peel on collected arrays (the kCore/markovStationary
@@ -853,16 +870,40 @@ object Graphs {
         .toDF("id_a", "id_b", "support")
         .orderBy("id_a", "id_b")
     }
-    def supportDf(c: DataFrame): DataFrame = {
-      val adj = c.select(col("u").as("ctr"), col("v").as("nb"))
-        .unionAll(c.select(col("v").as("ctr"), col("u").as("nb")))
-      c.as("e")
+    // ONE wedge join enumerates every triangle of the initial graph as a
+    // canonical sorted triple (t1 < t2 < t3); each triangle surfaces 3×
+    // (once per canonical edge, apex = the common neighbor), distinct
+    // collapses them. Cached: every peel round reuses this relation.
+    val tri = graft.CacheScope.register {
+      val adj = canon.select(col("u").as("ctr"), col("v").as("nb"))
+        .unionAll(canon.select(col("v").as("ctr"), col("u").as("nb")))
+      canon.as("e")
         .join(adj.as("x"), col("e.u") === col("x.ctr"))
         .join(adj.as("y"),
           col("e.v") === col("y.ctr") && col("x.nb") === col("y.nb"))
-        .groupBy(col("e.u").as("u"), col("e.v").as("v"))
-        .agg(count(lit(1)).as("support"))
+        .select(sort_array(array(col("e.u"), col("e.v"), col("x.nb"))).as("t"))
+        .select(element_at(col("t"), 1).as("t1"),
+          element_at(col("t"), 2).as("t2"),
+          element_at(col("t"), 3).as("t3"))
+        .distinct()
     }
+    // support of edge e in the CURRENT subgraph = initial triangles
+    // containing e whose other two edges are also alive (subgraph
+    // triangles ⊆ initial triangles since edges only ever shrink)
+    def supportDf(alive: DataFrame): DataFrame =
+      tri
+        .join(alive.select(col("u").as("t1"), col("v").as("t2")),
+          Seq("t1", "t2"), "left_semi")
+        .join(alive.select(col("u").as("t1"), col("v").as("t3")),
+          Seq("t1", "t3"), "left_semi")
+        .join(alive.select(col("u").as("t2"), col("v").as("t3")),
+          Seq("t2", "t3"), "left_semi")
+        .select(explode(array(
+            struct(col("t1").as("u"), col("t2").as("v")),
+            struct(col("t1").as("u"), col("t3").as("v")),
+            struct(col("t2").as("u"), col("t3").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("support"))
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -878,8 +919,7 @@ object Graphs {
     }
     require(converged || nEdges == 0,
       s"kTruss(k=$k) did not stabilize in $maxRounds rounds — raise maxRounds")
-    canon.join(supportDf(canon)
-        .withColumnRenamed("support", "support"), Seq("u", "v"), "left")
+    canon.join(supportDf(canon), Seq("u", "v"), "left")
       .select(col("u").as("id_a"), col("v").as("id_b"),
         coalesce(col("support"), lit(0L)).as("support"))
       .orderBy("id_a", "id_b")
@@ -983,5 +1023,87 @@ object Graphs {
         (col("ra_score_micro").cast("double") / lit(1e12)).as("ra_score"))
       .orderBy(col("ra_score_micro").desc, col("id_a"), col("id_b"))
       .limit(k)
+  }
+
+  /** HARMONIC centrality within a hop radius: for every node with ≥ 1
+    * edge, Σ_{0 < d(u,v) ≤ maxDepth} 1e6 div d(u,v) — the
+    * distance-based centrality that is well-defined on DISCONNECTED
+    * graphs (closeness blows up across components; harmonic just sums
+    * reciprocals — Boldi & Vigna 2014), which near-dup graphs always
+    * are. Ranks the "middle" of a duplication neighborhood: a doc one
+    * hop from everything (the template source) outscores chain ends
+    * even when degrees tie — the canonical-pick signal [[pageRank]]
+    * approximates by mass flow, measured here by exact distances.
+    *
+    * Truncated at `maxDepth` (the standard bounded variant): each BFS
+    * level is one frontier ⋈ edges join + an anti-join against the
+    * known set — multi-source BFS whose state is the (root, node)
+    * reachable-pair relation, Σ comp_size² rows. That is the
+    * cluster-bounded-graph budget (near-dup components are
+    * cluster-sized); on a giant-component graph the maxDepth cap is
+    * the scale bound, exactly as in the streaming-graph literature.
+    * Distances are exact integers; 1e6 div d is the usual truncating
+    * micro grid, so both engines sum identical longs.
+    *
+    * Fast path below `driverEdgeThreshold` runs the identical BFS on
+    * collected adjacency (the [[kCore]] bounded-domain argument),
+    * bit-equal output, spec-pinned against the forced distributed loop.
+    *
+    * Returns (id, n_reached, harmonic_micro) for nodes with ≥ 1 edge,
+    * n_reached = nodes within maxDepth (self excluded).
+    */
+  def harmonicCentrality(edges: DataFrame, aCol: String, bCol: String,
+      maxDepth: Int = 4, driverEdgeThreshold: Long = 1L << 18): DataFrame = {
+    require(maxDepth >= 1)
+    val spark = edges.sparkSession
+    val sym = graft.CacheScope.register(
+      edges.select(explode(array(
+          struct(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")),
+          struct(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst"))))
+        .as("__e"))
+        .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull &&
+          col("src") =!= col("dst"))
+        .distinct())
+    if (sym.count() <= driverEdgeThreshold) {
+      import spark.implicits._
+      val adj = sym.as[(Long, Long)].collect().groupBy(_._1)
+        .map { case (s, g) => s -> g.map(_._2) }
+      val out = adj.keys.toSeq.sorted.map { root =>
+        val dist = scala.collection.mutable.HashMap(root -> 0)
+        var frontier = Seq(root)
+        var d = 0
+        while (frontier.nonEmpty && d < maxDepth) {
+          d += 1
+          frontier = frontier.flatMap(adj.getOrElse(_, Array.empty[Long]))
+            .distinct.filterNot(dist.contains)
+          frontier.foreach(dist(_) = d)
+        }
+        val reached = dist.toSeq.filter(_._2 > 0)
+        (root, reached.size.toLong,
+          reached.map(1000000L / _._2).sum)
+      }
+      return out.toDF("id", "n_reached", "harmonic_micro")
+    }
+    var all = sym.select(col("src").as("root"), col("src").as("node"))
+      .distinct().withColumn("d", lit(0))
+    var frontier = all
+    var d = 0
+    var frontierRows = 1L
+    while (frontierRows > 0 && d < maxDepth) {
+      d += 1
+      frontier = frontier
+        .join(sym.withColumnRenamed("src", "node"), "node")
+        .select(col("root"), col("dst").as("node")).distinct()
+        .join(all, Seq("root", "node"), "left_anti")
+        .withColumn("d", lit(d))
+        .localCheckpoint(true)
+      frontierRows = frontier.count()
+      if (frontierRows > 0) all = all.unionByName(frontier).localCheckpoint(true)
+    }
+    all.filter(col("d") > 0)
+      .groupBy(col("root").as("id"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("1000000 div d")).as("harmonic_micro"))
   }
 }

@@ -151,6 +151,61 @@ class GraphsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("pageRank family: an edge whose endpoint is OUTSIDE the node " +
+      "universe contributes nothing — fast path matches the distributed " +
+      "join semantics instead of throwing") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L)
+    // edge (3,99): 99 is not in `nodes` — the distributed loop drops its
+    // contribution via the inner join with rank; the driver fast path
+    // must do the same (round-8 regression: r(99) threw)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 99L))
+    val fast = pr(nodes, edges)
+    val dist = Graphs.pageRank(nodes.toDF("id"), "id",
+        edges.toDF("a", "b"), "a", "b", iters = 3,
+        driverEdgeThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == dist)
+    assert(fast.keySet == Set(1L, 2L, 3L))
+    val wFast = Graphs.weightedPageRank(nodes.toDF("id"), "id",
+        edges.map { case (a, b) => (a, b, 500000L) }.toDF("a", "b", "w"),
+        "a", "b", "w", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wDist = Graphs.weightedPageRank(nodes.toDF("id"), "id",
+        edges.map { case (a, b) => (a, b, 500000L) }.toDF("a", "b", "w"),
+        "a", "b", "w", iters = 3, driverEdgeThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wFast == wDist)
+    val pFast = Graphs.personalizedPageRank(nodes.toDF("id"), "id",
+        edges.toDF("a", "b"), "a", "b", _ === 1L, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pDist = Graphs.personalizedPageRank(nodes.toDF("id"), "id",
+        edges.toDF("a", "b"), "a", "b", _ === 1L, iters = 3,
+        driverEdgeThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pFast == pDist)
+  }
+
+  test("harmonicCentrality: exact hand-computed sums on a path graph, " +
+      "depth cap honored, fast and distributed paths bit-equal") {
+    import spark.implicits._
+    // path 1-2-3-4-5, maxDepth 2
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_reached"), r.getAs[Long]("harmonic_micro"))).toMap
+    val fast = m(Graphs.harmonicCentrality(edges, "a", "b", maxDepth = 2))
+    // node 3 (center): d=1 to {2,4}, d=2 to {1,5} -> 2e6 + 2*5e5 = 3e6
+    assert(fast(3L) == ((4L, 3000000L)))
+    // node 1 (end): d=1 to 2, d=2 to 3; 4 and 5 beyond the cap
+    assert(fast(1L) == ((2L, 1500000L)))
+    assert(fast(2L) == ((3L, 2500000L))) // 1,3 at d=1; 4 at d=2
+    val dist = m(Graphs.harmonicCentrality(edges, "a", "b", maxDepth = 2,
+      driverEdgeThreshold = 0L))
+    assert(fast == dist)
+    graft.CacheScope.releaseAll()
+  }
+
   test("kCore: a clique survives, chains and pendants peel away in a " +
       "cascade, and the empty core is an empty frame") {
     import spark.implicits._
