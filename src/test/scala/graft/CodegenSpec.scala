@@ -24,8 +24,6 @@ import org.apache.spark.sql.functions._
   */
 class CodegenSpec extends SparkSpec {
 
-  private val sfDir = "/root/testdata/sf0.001"
-
   /** Run `body` with whole-stage-codegen fallback disabled (compile
     * failures throw) and restore the previous setting after. */
   private def strictCodegen[A](body: => A): A = {
@@ -108,13 +106,32 @@ class CodegenSpec extends SparkSpec {
     assert(gen == interp)
   }
 
+  /** Queries ALLOWED to return an empty relation at the correctness
+    * scale factor. An empty result hash-matching an empty oracle is a
+    * vacuous gate (the round-8 q226 lesson: its k=3 core was 0 rows at
+    * sf0.01, so rows+hash "matched" while checking nothing) — any query
+    * that legitimately returns 0 rows at sf0.01 must be listed HERE with
+    * a reason, or the sweep fails. */
+  private val emptyResultAllowlist: Map[String, String] = Map.empty
+
   test("every registry query executes with codegen fallback DISABLED " +
       "(a Janino 64KB-limit breach fails here instead of shipping " +
-      "interpreted)") {
+      "interpreted) AND returns a non-vacuous (>= 1 row) result at the " +
+      "correctness scale factor unless explicitly allowlisted") {
+    // sf0.01 — the driver's correctness gate scale, so the row-count
+    // assert certifies the EXACT relation the oracle compare will hash
+    val sweepDir = "/root/testdata/sf0.01"
     strictCodegen {
       val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
         case (name, fn) =>
-          try { fn(spark, sfDir).collect(); None }
+          try {
+            val n = fn(spark, sweepDir).collect().length
+            if (n == 0 && !emptyResultAllowlist.contains(name))
+              Some(s"$name: 0 rows at sf0.01 — vacuous oracle gate; " +
+                "re-parameterize the query (q226 got k=2) or allowlist " +
+                "it with a reason")
+            else None
+          }
           catch {
             case e: Throwable =>
               Some(s"$name: ${e.getClass.getSimpleName}: " +
@@ -122,7 +139,7 @@ class CodegenSpec extends SparkSpec {
           } finally CacheScope.releaseAll()
       }
       assert(failures.isEmpty,
-        s"queries failing under strict codegen:\n${failures.mkString("\n")}")
+        s"queries failing the strict-codegen/non-vacuity sweep:\n${failures.mkString("\n")}")
     }
   }
 }
