@@ -25,6 +25,14 @@ object Probe {
       (plan("q03_region_revenue").split("BroadcastHashJoin").length - 1 >= 3))
     println("[probe] q02 filter pushed to scan: " +
       plan("q02_day_slice").contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual"))
+    // q250: the stored LSH index must scan pre-bucketed with ZERO
+    // exchanges on its branches — the only hash exchanges in the probe
+    // plan are the NEW batch's shingle aggregate and the candidate
+    // distinct (plus the presentation range sort)
+    val p250 = plan("q250_persisted_lsh_index")
+    println("[probe] q250 index side shuffle-free (2 hash exchanges total, " +
+      "both on the probe batch): " +
+      ((p250.split("Exchange hashpartitioning").length - 1) == 2))
     // operator-level shuffle claims (probed without the driver-contract
     // final sort, and ignoring the fan-out's round-robin repartition —
     // the only legitimate exchange in a "shuffle-free" projection op)

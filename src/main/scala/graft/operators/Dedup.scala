@@ -466,6 +466,138 @@ object Dedup {
     }
   }
 
+  /** Persistable LSH INDEX for a document corpus, as the two relations a
+    * warehouse stores once and every later batch probes: the BAND
+    * relation (id, band, bucket — `bands` rows per doc) and the DOC
+    * relation (id, shs, sz — the distinct-shingle array + size the exact
+    * confirm needs). Both derive from ONE cached [[shingleArrays]] pass;
+    * signatures and banding are pure projections on top of it.
+    *
+    * The 100 TB daily-ingest dedup shape is NOT "re-derive the whole
+    * corpus' signatures per run" (what [[minhashNearDups]] does for a
+    * one-shot batch): it is write-once / probe-daily. Publish the band
+    * relation BUCKETED BY `bucket` and the doc relation BUCKETED BY `id`
+    * ([[Warehouse.writeBucketed]]): the storage layout then already
+    * satisfies both probe-join distributions, so probing N new documents
+    * against a B-row historical index shuffles ONLY the new batch
+    * (index side: zero exchanges — q250 pins the plan), and maintenance
+    * is an incremental bucketed APPEND of the new batch's rows — the
+    * historical corpus is never re-shingled, re-hashed, or re-shuffled.
+    */
+  def lshIndexRelations(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, bands: Int): (DataFrame, DataFrame) = {
+    val arr = graft.CacheScope.register(shingleArrays(docs, idCol, textCol, n))
+    (lshBands(minhashSignaturesArr(arr, k), k, bands), arr)
+  }
+
+  /** Probe a NEW batch against a persisted [[lshIndexRelations]] index —
+    * the stream-static near-dup join ([[graft.streaming.StreamNearDup]])
+    * in its batch form. The new docs run the same shingle/sign/band
+    * projections; candidates are (band, bucket) equi-join hits against
+    * the STORED band relation; the exact-Jaccard confirm fetches shingle
+    * arrays from the stored doc relation (id_a side) and the new batch
+    * (id_b side). LSH only prunes — the confirm decides — so the result
+    * is exactly the cross-batch near-dup pairs [[minhashNearDups]] over
+    * the union corpus would report (at the same banded recall).
+    *
+    * Returns (id_a = indexed doc, id_b = new doc, inter, size_a, size_b,
+    * jaccard) with jaccard ≥ minJac.
+    */
+  def lshIndexProbe(indexBands: DataFrame, indexDocs: DataFrame,
+      docs: DataFrame, idCol: String, textCol: String, n: Int, k: Int,
+      bands: Int, minJac: Double): DataFrame = {
+    val (pb, pd) = lshIndexRelations(docs, idCol, textCol, n, k, bands)
+    // distinct ids BEFORE touching the arrays: a pair hitting multiple
+    // bands must confirm exactly once, and the distinct shuffles two
+    // longs per candidate, never shingle arrays
+    val cands = indexBands
+      .select(col("id").as("id_a"), col("band"), col("bucket"))
+      .join(pb.select(col("id").as("id_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(indexDocs.select(col("id").as("id_a"), col("shs").as("__sa"),
+        col("sz").as("size_a")), "id_a")
+      .join(pd.select(col("id").as("id_b"), col("shs").as("__sb"),
+        col("sz").as("size_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("__sa"), col("__sb"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("size_a") + col("size_b") - col("inter")))
+      .filter(col("jaccard") >= minJac)
+      .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
+  }
+
+  /** EMPIRICAL LSH band planner: for every (bands, rows) factorization
+    * of a k-slot MinHash signature, measure the ACTUAL banded candidate
+    * volume and the actual recall/precision against the exact-Jaccard
+    * pairs at `minJacTruth` — the deployment table the analytic S-curve
+    * 1−(1−s^r)^b only approximates (it assumes independent uniform
+    * permutations; real corpora have correlated shingles and skewed
+    * similarity mass). "Which (b, r) do I run at threshold t" is THE
+    * pre-launch question for a 100 TB dedup pass — answered here on a
+    * sample corpus for the cost of one signature pass plus |divisors|
+    * bucket self-joins.
+    *
+    * Signatures use the md5-based seeded [[graft.functions.Hashing.h60]]
+    * families (NOT the xxhash production fast path) precisely so the
+    * whole sweep — including each candidate set itself — replays in the
+    * oracle engine. s_star = (1/b)^(1/r) (the S-curve inflection) is
+    * computed once driver-side and emitted as a literal to both plans.
+    *
+    * Returns one row per factorization: (bands, rows_per_band,
+    * s_star_micro, n_cand, n_truth, tp, recall_micro, precision_micro).
+    */
+  def bandPlannerEmpirical(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, minJacTruth: Double): DataFrame = {
+    require(k >= 2)
+    val sh = graft.CacheScope.register(shingleSets(docs, idCol, textCol, n))
+    val aggs = (0 until k).map(i => min(Hashing.h60(col("sh"), i)).as(s"s$i"))
+    val sigs = graft.CacheScope.register(
+      sh.groupBy("id").agg(aggs.head, aggs.tail: _*))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val truth = graft.CacheScope.register(
+      sh.as("a").join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("id").as("id_a"), col("sz").as("sza")), "id_a")
+        .join(sizes.select(col("id").as("id_b"), col("sz").as("szb")), "id_b")
+        .filter(col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")) >= minJacTruth)
+        .select("id_a", "id_b"))
+    val perSplit = (1 to k).filter(k % _ == 0).map { b =>
+      val r = k / b
+      val bandCols = (0 until b).map { j =>
+        val slots = (j * r until (j + 1) * r).map(i => col(s"s$i"))
+        struct(lit(j).as("band"),
+          Hashing.h60(concat_ws(",", slots: _*), j).as("bucket"))
+      }
+      val bandRel = sigs
+        .select(col("id"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("id"), col("bb.band").as("band"),
+          col("bb.bucket").as("bucket"))
+      val cand = bandRel.as("a").join(bandRel.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+      val sStarMicro = math.round(math.pow(1.0 / b, 1.0 / r) * 1e6)
+      cand.withColumn("c", lit(1))
+        .join(truth.withColumn("t", lit(1)), Seq("id_a", "id_b"), "full_outer")
+        .agg(sum(coalesce(col("c"), lit(0))).cast("long").as("n_cand"),
+          sum(coalesce(col("t"), lit(0))).cast("long").as("n_truth"),
+          count(when(col("c").isNotNull && col("t").isNotNull, lit(1)))
+            .as("tp"))
+        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          lit(sStarMicro).as("s_star_micro"),
+          col("n_cand"), col("n_truth"), col("tp"),
+          expr("if(n_truth > 0, (tp * 1000000) div n_truth, null)")
+            .as("recall_micro"),
+          expr("if(n_cand > 0, (tp * 1000000) div n_cand, null)")
+            .as("precision_micro"))
+    }
+    perSplit.reduce(_.unionByName(_)).orderBy("bands")
+  }
+
   /** Edit-distance near-duplicate pairs: [[minhashNearDups]] candidates
     * re-confirmed by LEVENSHTEIN distance over the normalized text — the
     * dedup rule for "same document, light edits" where token-set Jaccard

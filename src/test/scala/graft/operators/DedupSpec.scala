@@ -258,6 +258,69 @@ class DedupSpec extends SparkSpec {
     assert(crossArray == crossPostings)
   }
 
+  test("lshIndexProbe: probing a new batch against the stored index " +
+      "reports exactly the cross-batch pairs of the one-shot union run, " +
+      "and index maintenance is a plain append (index(b1)+index(b2) == " +
+      "index(b1 ∪ b2))") {
+    val docs = graft.GraftSession.table(spark, "/root/testdata/sf0.001",
+      "documents")
+    val b1 = docs.filter(col("doc_id") % 2 === 0)
+    val b2 = docs.filter(col("doc_id") % 2 === 1)
+    val (ib, idocs) = Dedup.lshIndexRelations(b1, "doc_id", "text", 3, 64, 16)
+    val probed = Dedup.lshIndexProbe(ib, idocs, b2, "doc_id", "text",
+        3, 64, 16, 0.8)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    graft.CacheScope.releaseAll()
+    // one-shot union run, restricted to cross-parity pairs (canonical
+    // id_a < id_b order -> orient to (even, odd))
+    val union = Dedup.minhashNearDups(docs, "doc_id", "text", 3, 64, 16, 0.8)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("jaccard"))
+      .collect { case ((a, b), j) if a % 2 != b % 2 =>
+        (if (a % 2 == 0) (a, b) else (b, a)) -> j }
+      .toMap
+    graft.CacheScope.releaseAll()
+    assert(probed.nonEmpty)
+    assert(probed == union)
+    // maintenance contract: per-doc index rows are batch-independent, so
+    // appending batch-2's rows to batch-1's index IS the union index
+    val (ib2, idocs2) = Dedup.lshIndexRelations(b2, "doc_id", "text", 3, 64, 16)
+    val (ibU, idocsU) = Dedup.lshIndexRelations(docs, "doc_id", "text", 3, 64, 16)
+    def bandRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Int]("band"),
+        r.getAs[Long]("bucket"))).toSet
+    assert(bandRows(ib) ++ bandRows(ib2) == bandRows(ibU))
+    def docRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("sz"),
+        r.getSeq[Long](r.fieldIndex("shs")).sorted.toIndexedSeq)).toSet
+    assert(docRows(idocs) ++ docRows(idocs2) == docRows(idocsU))
+    graft.CacheScope.releaseAll()
+  }
+
+  test("bandPlannerEmpirical: nested power-of-two splits give monotone " +
+      "candidate volume and recall; truth set constant across rows") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rows = Dedup.bandPlannerEmpirical(docs, "doc_id", "text", 3, 16, 0.8)
+      .collect()
+      .map(r => (r.getAs[Int]("bands"), r.getAs[Long]("n_cand"),
+        r.getAs[Long]("n_truth"), r.getAs[Long]("tp")))
+      .sortBy(_._1)
+    graft.CacheScope.releaseAll()
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 4, 8, 16))
+    // same exact-Jaccard truth on every row
+    assert(rows.map(_._3).distinct.length == 1 && rows.head._3 > 0)
+    // 16 = 2^4: every split's bands refine the next coarser one's, so a
+    // band match at fewer bands implies matches at more bands ->
+    // candidates and true positives are monotone non-decreasing in b
+    assert(rows.sliding(2).forall { case Array(x, y) =>
+      x._2 <= y._2 && x._4 <= y._4 })
+    // single-slot bands (b=16) catch every >= 0.8 pair on this corpus
+    assert(rows.last._4 == rows.last._3)
+  }
+
   test("minhash ESTIMATOR calibration: matching-slot fraction tracks the " +
       "exact Jaccard on real pairs (per-pair band, unbiased-ish mean)") {
     import org.apache.spark.sql.functions._
