@@ -114,9 +114,15 @@ object Bench {
     binItems.toSeq.map(_.result().sorted)
   }
 
-  /** Measure `names` in THIS JVM (median-of-reps, hygiene between queries). */
+  /** Measure `names` in THIS JVM (median-of-reps, hygiene between
+    * queries). Returns every rep's wall time per query — the median is
+    * derived at serialization; the full vector ships in the output JSON
+    * (round-8 verdict #2: the driver-run artifact diverged 3–6× from the
+    * clean snapshot on the LSH family with a clean fingerprint — a
+    * median alone cannot show whether one rep smeared or all did).
+    */
   private def measureInProcess(names: Seq[String], sfDir: String, cpus: String,
-      reps: Int): Seq[(String, Double)] = {
+      reps: Int): Seq[(String, Seq[Double])] = {
     val spark = GraftSession.builder(master = s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
@@ -127,10 +133,6 @@ object Bench {
       df.write.format("noop").mode("overwrite").save()
     // warm the JVM/codegen paths once so measured numbers are steady-state
     try run(SparkEntry.entry(spark)) catch { case _: Throwable => () }
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-    }
     val out = names.map { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to reps).map { _ =>
@@ -144,10 +146,15 @@ object Bench {
       // next query's median doesn't absorb this one's memory debt
       spark.catalog.clearCache()
       System.gc()
-      name -> median(times)
+      name -> times
     }
     spark.stop()
     out
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
   }
 
   /** Machine/load fingerprint (round-7 verdict #3: the driver's
@@ -191,25 +198,32 @@ object Bench {
       s""""cpu":"${cpuModel.replace("\"", "'")}","contaminated":$contaminated}"""
   }
 
-  private def toJsonLine(results: Seq[(String, Double)], sfDir: String,
+  private def toJsonLine(results: Seq[(String, Seq[Double])], sfDir: String,
       reps: Int, chunk: Int, fallback: Seq[String] = Nil,
-      env: Option[String] = None): String = {
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      env: Option[String] = None, chunksMeta: Seq[String] = Nil): String = {
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + median(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // the full per-rep vectors (same order the reps ran): a smeared
+    // single rep vs uniformly-slow reps are different diagnoses
+    val rd = results.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.map(r => median(r._2)).sum else 0.0
     // fallback = queries whose fork failed and were re-measured in the
     // SHARED parent JVM: their numbers are not isolated medians
     val fb = if (fallback.isEmpty) ""
       else fallback.sorted.map("\"" + _ + "\"").mkString(",\"fallback\":[", ",", "]")
     val envPart = env.map("," + _).getOrElse("")
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"stat":"median","isolation":"jvm-per-$chunk"$fb$envPart}"""
+    val chunksPart = if (chunksMeta.isEmpty) ""
+      else chunksMeta.mkString(",\"chunks\":[", ",", "]")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"stat":"median","isolation":"jvm-per-$chunk"$fb$envPart,"reps_detail":$rd$chunksPart}"""
   }
 
   /** Fork one child JVM measuring `chunkNames`; returns its per-query map,
     * or None if the fork failed (caller falls back to in-process).
     */
   private def runChunkForked(chunkNames: Seq[String],
-      outFile: java.nio.file.Path): Option[Seq[(String, Double)]] = {
+      outFile: java.nio.file.Path): Option[Seq[(String, Seq[Double])]] = {
     import scala.jdk.CollectionConverters._
     val javaBin = java.nio.file.Paths.get(
       System.getProperty("java.home"), "bin", "java").toString
@@ -238,15 +252,17 @@ object Bench {
         System.err.println(s"[bench] child JVM exited $code for chunk ${chunkNames.head}..${chunkNames.last}")
         None
       } else {
-        // child wrote {"...","queries":{"name":sec,...},...} — tolerant
-        // key-value scan (no brittle brace splitting, no JSON lib); only
-        // accept the names we asked this chunk to measure
+        // child wrote ...,"reps_detail":{"name":[t1,t2,...],...} — parse
+        // the FULL rep vectors (tolerant scan, no JSON lib); only accept
+        // the names we asked this chunk to measure
         val line = new String(java.nio.file.Files.readAllBytes(outFile), "UTF-8")
         val want = chunkNames.toSet
-        val pair = "\"(q[^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r
+        val pair = "\"(q[^\"]+)\"\\s*:\\s*\\[([0-9.eE+,\\s-]*)\\]".r
         val pairs = pair.findAllMatchIn(line)
-          .map(m => m.group(1) -> m.group(2).toDouble)
-          .filter { case (k, _) => want.contains(k) }.toSeq
+          .map(m => m.group(1) ->
+            m.group(2).split(",").map(_.trim).filter(_.nonEmpty)
+              .map(_.toDouble).toSeq)
+          .filter { case (k, v) => want.contains(k) && v.nonEmpty }.toSeq
         if (pairs.size == chunkNames.size) Some(pairs)
         else {
           System.err.println(s"[bench] child wrote ${pairs.size}/${chunkNames.size} results for chunk ${chunkNames.head}..; falling back in-process")
@@ -275,7 +291,14 @@ object Bench {
     val env = if (isChild) None else Some(envFingerprint())
 
     val fallback = Seq.newBuilder[String]
-    val results: Seq[(String, Double)] =
+    val chunksMeta = Seq.newBuilder[String]
+    // per-chunk box sample (round-8 verdict #2: the LSH family swung
+    // 3–6× between same-box runs whose START fingerprint was clean — a
+    // load/wall sample bracketing each chunk localizes WHEN the box or
+    // the chunk composition went bad, instead of one pre-run snapshot)
+    def load1(): Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val results: Seq[(String, Seq[Double])] =
       if (isChild || chunk <= 0) measureInProcess(names, sfDir, cpus, reps)
       else {
         val tmpDir = java.nio.file.Files.createTempDirectory("graft-bench")
@@ -284,13 +307,20 @@ object Bench {
           System.err.println(s"[bench] chunk $i: ${cn.mkString(",")}")
         }
         chunks.zipWithIndex.flatMap { case (cn, i) =>
-          runChunkForked(cn, tmpDir.resolve(s"chunk$i.json"))
+          val l0 = load1()
+          val t0 = System.nanoTime()
+          val r = runChunkForked(cn, tmpDir.resolve(s"chunk$i.json"))
             .getOrElse { fallback ++= cn; measureInProcess(cn, sfDir, cpus, reps) }
+          val wall = (System.nanoTime() - t0) / 1e9
+          chunksMeta += f"""{"i":$i,"n":${cn.size},"wall":$wall%.1f,""" +
+            f""""load1_start":$l0%.2f,"load1_end":${load1()}%.2f,""" +
+            s""""first":"${cn.head}"}"""
+          r
         }.sortBy(_._1)
       }
 
     val line = toJsonLine(results, sfDir, reps, if (isChild) 0 else chunk,
-      fallback.result(), env)
+      fallback.result(), env, chunksMeta.result())
     println(line)
     // The driver's BENCH_r{N}.json preserves only a truncated tail of this
     // stdout line (~q42 onward), which blinds round-over-round comparison
