@@ -4470,15 +4470,119 @@ object SparkEntry {
     * the early-exit loop reach the same fixpoint.
     */
   private def kCoreOracleSql(k: Int, rounds: Int): String = {
+    // MATERIALIZED (the kTrussOracleSql lesson): each e CTE is referenced
+    // 3× by the next level — inlined, DuckDB re-expands the whole shingle
+    // pipeline ~3^rounds times and the oracle never finishes
     val sb = new StringBuilder(
-      s"WITH ${nearDupEdgesCte(0.8)},\n        e0 AS (SELECT src, dst FROM edges)")
+      s"WITH ${nearDupEdgesCte(0.8)},\n        e0 AS MATERIALIZED (SELECT src, dst FROM edges)")
     for (r <- 1 to rounds) sb.append(s""",
-        k$r AS (SELECT src FROM e${r - 1} GROUP BY src HAVING COUNT(*) >= $k),
-        e$r AS (SELECT e.src, e.dst FROM e${r - 1} e
+        k$r AS MATERIALIZED (SELECT src FROM e${r - 1} GROUP BY src HAVING COUNT(*) >= $k),
+        e$r AS MATERIALIZED (SELECT e.src, e.dst FROM e${r - 1} e
                 JOIN k$r a ON e.src = a.src JOIN k$r b ON e.dst = b.src)""")
     sb.append(s"""
         SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_degree
         FROM e$rounds GROUP BY src ORDER BY doc_id""")
+    sb.toString
+  }
+
+  /** DuckDB replay of [[graft.operators.Graphs.harmonicCentrality]] over
+    * the near-dup graph: level relation l_d = nodes reachable by a walk
+    * of length exactly d (distinct per level, so walks never explode);
+    * the shortest-path distance is the FIRST level a node appears in
+    * (a shorter walk would contradict minimality), so MIN(d) over the
+    * unioned levels is the exact BFS distance and the harmonic sum is
+    * the same truncating 1e6 div d grid the operator uses.
+    */
+  private def harmonicOracleSql(maxDepth: Int): String = {
+    val sb = new StringBuilder(
+      s"WITH ${nearDupEdgesCte(0.8)},\n        l1 AS MATERIALIZED (SELECT DISTINCT src AS root, dst AS node FROM edges)")
+    for (d <- 2 to maxDepth) sb.append(s""",
+        l$d AS MATERIALIZED (SELECT DISTINCT p.root, e.dst AS node
+               FROM l${d - 1} p JOIN edges e ON p.node = e.src)""")
+    val unions = (1 to maxDepth)
+      .map(d => s"SELECT root, node, $d AS d FROM l$d")
+      .mkString("\n            UNION ALL ")
+    sb.append(s""",
+        dm AS (SELECT root, node, MIN(d) AS d FROM (
+            $unions) lv WHERE node <> root GROUP BY 1, 2)
+        SELECT root AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_reached,
+          CAST(SUM(1000000 // d) AS BIGINT) AS harmonic_micro
+        FROM dm GROUP BY 1 ORDER BY doc_id""")
+    sb.toString
+  }
+
+  /** DuckDB replay of [[graft.operators.Dedup.bandPlannerEmpirical]]:
+    * the same seeded-h60 signature families, the same per-band bucket
+    * hash over comma-joined slot values, the same exact-Jaccard truth
+    * set — every candidate set is re-derived in SQL, so the sweep's
+    * recall/precision numbers are value-pinned, not just spot-checked.
+    */
+  private def bandPlannerOracleSql(k: Int, minJac: Double): String = {
+    import graft.functions.Hashing.h60Sql
+    val sigCols = (0 until k)
+      .map(i => s"MIN(${h60Sql("CAST(sh AS VARCHAR)", i)}) AS s$i")
+      .mkString(",\n            ")
+    val sb = new StringBuilder(
+      s"""WITH toks AS (SELECT doc_id,
+            string_split_regex(lower(trim(text)), '\\s+') AS l
+          FROM documents),
+        grams AS (SELECT doc_id, unnest(list_distinct(list_transform(
+              range(1, greatest(len(l) - 1, 1)),
+              i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS g
+          FROM toks WHERE len(l) >= 3),
+        sh AS MATERIALIZED (SELECT doc_id,
+            CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS sh FROM grams),
+        sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz
+          FROM sh GROUP BY 1),
+        sig AS MATERIALIZED (SELECT doc_id,
+            $sigCols
+          FROM sh GROUP BY doc_id),
+        truth AS MATERIALIZED (SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2) i
+          JOIN sizes sa ON id_a = sa.doc_id
+          JOIN sizes sb ON id_b = sb.doc_id
+          WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= $minJac)""")
+    val splits = (1 to k).filter(k % _ == 0)
+    splits.foreach { b =>
+      val r = k / b
+      val bandSelects = (0 until b).map { j =>
+        val joined = (j * r until (j + 1) * r)
+          .map(i => s"CAST(s$i AS VARCHAR)").mkString(" || ',' || ")
+        s"SELECT doc_id, $j AS band, ${h60Sql(joined, j)} AS bucket FROM sig"
+      }.mkString("\n            UNION ALL ")
+      sb.append(s""",
+        bands_$b AS (
+            $bandSelects),
+        cand_$b AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id_a,
+            b.doc_id AS id_b
+          FROM bands_$b a JOIN bands_$b b
+            ON a.band = b.band AND a.bucket = b.bucket
+              AND a.doc_id < b.doc_id),
+        stat_$b AS (SELECT
+            CAST(COUNT(CASE WHEN c.id_a IS NOT NULL THEN 1 END) AS BIGINT)
+              AS n_cand,
+            CAST(COUNT(CASE WHEN t.id_a IS NOT NULL THEN 1 END) AS BIGINT)
+              AS n_truth,
+            CAST(COUNT(CASE WHEN c.id_a IS NOT NULL
+              AND t.id_a IS NOT NULL THEN 1 END) AS BIGINT) AS tp
+          FROM cand_$b c
+          FULL OUTER JOIN truth t ON c.id_a = t.id_a AND c.id_b = t.id_b)""")
+    }
+    val finals = splits.map { b =>
+      val r = k / b
+      val sStarMicro = math.round(math.pow(1.0 / b, 1.0 / r) * 1e6)
+      s"""SELECT $b AS bands, $r AS rows_per_band,
+          CAST($sStarMicro AS BIGINT) AS s_star_micro,
+          n_cand, n_truth, tp,
+          CASE WHEN n_truth > 0 THEN (tp * 1000000) // n_truth END
+            AS recall_micro,
+          CASE WHEN n_cand > 0 THEN (tp * 1000000) // n_cand END
+            AS precision_micro
+        FROM stat_$b"""
+    }.mkString("\n        UNION ALL ")
+    sb.append(s"\n        $finals\n        ORDER BY bands")
     sb.toString
   }
 
@@ -7294,17 +7398,22 @@ object SparkEntry {
           COUNT(DISTINCT user_id) >= 100 AS l_diverse
         FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
 
-    // k-core of the near-dup graph (k = 3): the boilerplate/template
-    // nucleus that survives iterative peeling — degree-3-within-core
-    // members only. The oracle unrolls the peel the same fixed number of
-    // rounds the operator is bounded to (stable sets make extra rounds
-    // the identity; the operator REQUIRES convergence within the bound).
+    // k-core of the near-dup graph (k = 2): the cyclic duplication
+    // nuclei that survive iterative peeling — members with ≥2 neighbors
+    // INSIDE the core (chains and pendants peel away; triangles and
+    // larger cycles remain). k = 2 (not 3) so the checked result is
+    // NON-VACUOUS at sf0.01 (a 3-doc triangle survives; the k=3 core is
+    // empty there, and an empty hash-match gates nothing). The oracle
+    // unrolls the peel the same fixed number of rounds the operator is
+    // bounded to (stable sets make extra rounds the identity; the
+    // operator REQUIRES convergence within the bound — k=2 converges in
+    // 1 round at both checked scales).
     "q226_kcore" -> Q(
       (s, dir) => Graphs.kCore(lshPairs(s, dir), "id_a", "id_b",
-          k = 3, maxRounds = 6)
+          k = 2, maxRounds = 6)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id"),
-      Some(kCoreOracleSql(3, 6))),
+      Some(kCoreOracleSql(2, 6))),
 
     // Centroid silhouette of sources in embedding space: "are source
     // labels separated, or does source X duplicate Y's region?" — the
@@ -8101,6 +8210,175 @@ object SparkEntry {
               / sqrt(CAST(SUM(v_micro) AS DOUBLE) / 1e6)
           END AS z
         FROM terms""")),
+
+    // Persisted-LSH-index incremental dedup — the production daily-ingest
+    // architecture (q233's bucketed layout + q63's incremental-probe
+    // semantics + StreamNearDup's stream-static shape, composed): batch-1
+    // (even doc_ids) is indexed ONCE — band relation published bucketed
+    // by `bucket`, shingle-doc relation bucketed by `id`
+    // ([[operators.Warehouse.writeBucketed]]) — then batch-2 (odd
+    // doc_ids) probes the STORED tables: only the new batch shingles/
+    // signs/shuffles, the historical side scans pre-bucketed with zero
+    // exchanges (plan-pinned in plan_stats). Maintenance is a bucketed
+    // APPEND of the new batch's rows (DedupSpec pins append(b1)+
+    // append(b2) row-equal to index(b1 ∪ b2)). The oracle replays both
+    // batches and confirms every cross-batch pair at exact Jaccard ≥ 0.8.
+    "q250_persisted_lsh_index" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val b1 = docs.filter(col("doc_id") % 2 === 0)
+        val b2 = docs.filter(col("doc_id") % 2 === 1)
+        val (ib, idocs) = Dedup.lshIndexRelations(b1, "doc_id", "text",
+          3, 64, 16)
+        val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val base = s"${sys.props("java.io.tmpdir")}/graft_lsh_index"
+        Warehouse.writeBucketed(s, ib, "graft_lsh_bands",
+          s"$base/bands_$sfx", "bucket", 16)
+        Warehouse.writeBucketed(s, idocs, "graft_lsh_docs",
+          s"$base/docs_$sfx", "id", 16)
+        Dedup.lshIndexProbe(s.table("graft_lsh_bands"),
+            s.table("graft_lsh_docs"), b2, "doc_id", "text", 3, 64, 16, 0.8)
+          .select("id_a", "id_b", "jaccard")
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+            string_split_regex(lower(trim(text)), '\s+') AS l
+          FROM documents),
+        grams AS (SELECT doc_id, unnest(list_distinct(list_transform(
+              range(1, greatest(len(l) - 1, 1)),
+              i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS g
+          FROM toks WHERE len(l) >= 3),
+        sh AS MATERIALIZED (SELECT doc_id,
+            CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS sh FROM grams),
+        sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz
+          FROM sh GROUP BY 1),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            COUNT(*) AS inter
+          FROM sh a JOIN sh b ON a.sh = b.sh
+          WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+          GROUP BY 1, 2)
+        SELECT id_a, id_b,
+          CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+        FROM inter
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8
+        ORDER BY id_a, id_b""")),
+
+    // Harmonic centrality within 4 hops of the near-dup graph — the
+    // distance-based canonical-pick signal (well-defined on the always-
+    // disconnected dup graph, unlike closeness); exact BFS distances on
+    // the 1e6 div d truncating grid, multi-source frontier joins bounded
+    // by Σ component_size², depth-capped. Oracle: min-first-appearance
+    // over unrolled walk levels = exact BFS distance.
+    "q251_harmonic_centrality" -> Q(
+      (s, dir) => Graphs.harmonicCentrality(lshPairs(s, dir),
+          "id_a", "id_b", maxDepth = 4)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+      Some(harmonicOracleSql(4))),
+
+    // Empirical LSH band-planner sweep: every (b, r) factorization of a
+    // 16-slot replayable-minhash signature, scored by ACTUAL candidate
+    // volume and actual recall/precision against the exact pairs at
+    // τ = 0.8 — the pre-deployment table for the 100 TB dedup pass (the
+    // analytic S-curve assumes independent uniform permutations; this
+    // measures the real corpus). Value-pinned end to end: the oracle
+    // re-derives every candidate set from the same seeded-h60 families.
+    "q252_band_planner" -> Q(
+      (s, dir) => Dedup.bandPlannerEmpirical(t(s, dir, "documents"),
+        "doc_id", "text", 3, 16, 0.8),
+      Some(bandPlannerOracleSql(16, 0.8))),
+
+    // Chapman capture–recapture over two INDEPENDENT near-dup detectors
+    // (SimHash-banded Hamming ≤ 3 vs shingle-containment ≥ 0.8 —
+    // different failure modes): estimates the latent dup-pair population
+    // and hence how many pairs BOTH detectors missed — the dedup-recall
+    // QA number a "we deduped everything" claim silently hides.
+    "q253_capture_recapture" -> Q(
+      (s, dir) => {
+        val docs = graft.CacheScope.register(t(s, dir, "documents"))
+        val a = Dedup.simhashNearDups(
+            Dedup.simhash(docs, "doc_id", "text"), 3, 4)
+          .select("id_a", "id_b")
+        val b = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.8)
+          .select("id_a", "id_b")
+        Quality.captureRecapture(a, b)
+      },
+      Some("""WITH tw AS (SELECT doc_id,
+            unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+          FROM documents),
+        th AS (SELECT doc_id,
+            CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM tw),
+        bits AS (SELECT doc_id, j,
+            SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          FROM th CROSS JOIN range(60) r(j) GROUP BY 1, 2),
+        sig AS (SELECT doc_id, CAST(SUM(CASE WHEN s >= 0
+            THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+          FROM bits GROUP BY doc_id),
+        pa AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+        toks AS (SELECT doc_id,
+            string_split_regex(lower(trim(text)), '\s+') AS l
+          FROM documents),
+        grams AS (SELECT doc_id, unnest(list_distinct(list_transform(
+              range(1, greatest(len(l) - 1, 1)),
+              i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS g
+          FROM toks WHERE len(l) >= 3),
+        sh AS MATERIALIZED (SELECT doc_id,
+            CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS sh FROM grams),
+        sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz
+          FROM sh GROUP BY 1),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            COUNT(*) AS inter
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pb AS (SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON id_a = sa.doc_id
+          JOIN sizes sb ON id_b = sb.doc_id
+          WHERE CAST(inter AS DOUBLE) / sa.sz >= 0.8
+             OR CAST(inter AS DOUBLE) / sb.sz >= 0.8),
+        u AS (SELECT (a.id_a IS NOT NULL) AS ina,
+            (b.id_a IS NOT NULL) AS inb
+          FROM pa a FULL OUTER JOIN pb b
+            ON a.id_a = b.id_a AND a.id_b = b.id_b),
+        agg AS (SELECT
+            CAST(COUNT(CASE WHEN ina THEN 1 END) AS BIGINT) AS n_a,
+            CAST(COUNT(CASE WHEN inb THEN 1 END) AS BIGINT) AS n_b,
+            CAST(COUNT(CASE WHEN ina AND inb THEN 1 END) AS BIGINT)
+              AS n_both,
+            CAST(COUNT(*) AS BIGINT) AS n_union
+          FROM u)
+        SELECT n_a, n_b, n_both, n_union,
+          ((n_a + 1) * (n_b + 1) * 1000) // (n_both + 1) - 1000
+            AS chapman_milli,
+          GREATEST(((n_a + 1) * (n_b + 1) * 1000) // (n_both + 1) - 1000
+            - n_union * 1000, 0) AS est_missed_milli
+        FROM agg""")),
+
+    // Distribution-free 95% CI for the MEDIAN line-item price via
+    // binomial order-statistic ranks — selected by the q229 iterative
+    // histogram, so the CI costs no sort and no per-row state at any n
+    // (the scalable sibling of q246's bootstrap-mean CI). The oracle
+    // pays the full sort and the same rank formula.
+    "q254_median_ci" -> Q(
+      (s, dir) => Quality.medianCi95(
+        t(s, dir, "lineitem")
+          .select(round(col("l_extendedprice") * 100).cast("long").as("v")),
+        "v"),
+      Some("""WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+            AS v FROM lineitem),
+        nn AS (SELECT COUNT(*) AS n FROM v),
+        ks AS (SELECT GREATEST(1,
+            CAST(floor((n - 1.96 * sqrt(n)) / 2) AS BIGINT)) AS lo,
+            (n + 1) // 2 AS med, n FROM nn),
+        ranks AS (SELECT 'ci_lo' AS which, lo AS k FROM ks
+          UNION ALL SELECT 'median', med FROM ks
+          UNION ALL SELECT 'ci_hi', n + 1 - lo FROM ks),
+        r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v)
+        SELECT which, CAST(k AS BIGINT) AS rank_pos, v AS value_at
+        FROM r JOIN ranks ON rn = k ORDER BY rank_pos""")),
 
     // ----- SQL API surface ---------------------------------------------------
 

@@ -1567,6 +1567,78 @@ object Quality {
         col("mean_micro"), col("ci_lo_micro"), col("ci_hi_micro"))
   }
 
+  /** CHAPMAN capture–recapture estimate of a latent pair population from
+    * two INDEPENDENT imperfect detectors — the dedup-recall QA trick:
+    * run two different near-dup detectors (e.g. SimHash-banded and
+    * shingle-containment — different failure modes), count each
+    * detector's pairs and their overlap, and the Lincoln–Petersen/
+    * Chapman estimator bounds how many true dup pairs BOTH missed:
+    * N̂ = (n_a+1)(n_b+1)/(n_both+1) − 1 (Chapman 1951, the
+    * bias-corrected form). n̂ − |A ∪ B| is the estimated blind spot —
+    * the number a "we deduped everything" claim silently hides.
+    *
+    * Assumes detector independence (standard caveat); carried on the
+    * exact integer grid: chapman_milli is the truncating
+    * ((n_a+1)(n_b+1)·1000) div (n_both+1) − 1000, so both engines agree
+    * bit-for-bit. One full-outer join of two pair relations (each
+    * already sub-quadratic by its own blocking) + a scalar aggregate.
+    *
+    * Returns one row: (n_a, n_b, n_both, n_union, chapman_milli,
+    * est_missed_milli).
+    */
+  def captureRecapture(pairsA: DataFrame, pairsB: DataFrame): DataFrame = {
+    val a = pairsA.select("id_a", "id_b").distinct().withColumn("a", lit(1))
+    val b = pairsB.select("id_a", "id_b").distinct().withColumn("b", lit(1))
+    a.join(b, Seq("id_a", "id_b"), "full_outer")
+      .agg(sum(coalesce(col("a"), lit(0))).cast("long").as("n_a"),
+        sum(coalesce(col("b"), lit(0))).cast("long").as("n_b"),
+        count(when(col("a").isNotNull && col("b").isNotNull, lit(1)))
+          .as("n_both"),
+        count(lit(1)).as("n_union"))
+      .select(col("n_a"), col("n_b"), col("n_both"), col("n_union"),
+        (expr("((n_a + 1) * (n_b + 1) * 1000) div (n_both + 1)") - 1000)
+          .as("chapman_milli"))
+      .withColumn("est_missed_milli",
+        greatest(col("chapman_milli") - col("n_union") * 1000, lit(0L)))
+  }
+
+  /** Distribution-free 95% CI for the MEDIAN via order statistics — no
+    * bootstrap, no resampling, NO full sort: the classic binomial
+    * argument (the number of observations below the true median is
+    * Binomial(n, ½)) gives ranks l = max(1, ⌊(n − 1.96√n)/2⌋) and
+    * u = n + 1 − l whose order statistics bracket the median with ≥95%
+    * coverage (normal approximation of the binomial quantile — the
+    * textbook large-n form, deterministic in both engines: one sqrt,
+    * one multiply, one floor of an exactly-representable n).
+    *
+    * The three ranks are then selected by [[exactOrderStatistics]]'s
+    * iterative histogram — O(log_buckets(range)) scans, fixed memory —
+    * so the whole CI costs no sort and no per-row state at any n: the
+    * scalable alternative to q246's Poisson-bootstrap CI when the
+    * statistic is the median rather than the mean.
+    *
+    * Returns (which, rank_pos, value_at) rows: ci_lo / median / ci_hi
+    * (median rank = ⌊(n+1)/2⌋, the lower-middle convention).
+    */
+  def medianCi95(df: DataFrame, valCol: String): DataFrame = {
+    val vals = graft.CacheScope.register(
+      df.select(col(valCol).cast("long").as("v")).filter(col("v").isNotNull))
+    val n = vals.count()
+    require(n >= 16, s"medianCi95 needs n >= 16 for the normal-approx ranks: $n")
+    val lo = math.max(1L,
+      math.floor((n - 1.96 * math.sqrt(n.toDouble)) / 2.0).toLong)
+    val hi = n + 1 - lo
+    val med = (n + 1) / 2
+    require(lo < med && med < hi, s"degenerate CI ranks ($lo, $med, $hi)")
+    exactOrderStatistics(vals, "v", Seq(lo, med, hi))
+      .withColumn("which",
+        when(col("rank_pos") === lo, "ci_lo")
+          .when(col("rank_pos") === hi, "ci_hi")
+          .otherwise("median"))
+      .select("which", "rank_pos", "value_at")
+      .orderBy("rank_pos")
+  }
+
   /** In-place partial-pivot Gaussian elimination for the tiny (m ≤ ~8)
     * Newton system — deterministic fixed op sequence on the driver.
     */

@@ -729,4 +729,37 @@ class QualitySpec extends SparkSpec {
     assert(s.getAs[Long]("ci_lo_micro") <= s.getAs[Long]("mean_micro"))
     assert(s.getAs[Long]("ci_hi_micro") >= s.getAs[Long]("mean_micro"))
   }
+
+  test("captureRecapture: hand-computed Chapman estimate and blind-spot " +
+      "bound") {
+    import spark.implicits._
+    // detector A sees 4 pairs, B sees 3, overlap 2, union 5
+    val a = Seq((1L, 2L), (1L, 3L), (4L, 5L), (6L, 7L)).toDF("id_a", "id_b")
+    val b = Seq((1L, 2L), (4L, 5L), (8L, 9L)).toDF("id_a", "id_b")
+    val r = Quality.captureRecapture(a, b).collect().head
+    assert(r.getAs[Long]("n_a") == 4L)
+    assert(r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[Long]("n_both") == 2L)
+    assert(r.getAs[Long]("n_union") == 5L)
+    // Chapman: (5*4*1000) div 3 - 1000 = 6666 - 1000 = 5666 (N̂ ≈ 5.67)
+    assert(r.getAs[Long]("chapman_milli") == 5666L)
+    assert(r.getAs[Long]("est_missed_milli") == 666L)
+    // identical detectors -> estimate collapses to the observed set
+    val same = Quality.captureRecapture(a, a).collect().head
+    assert(same.getAs[Long]("chapman_milli") == 4000L)
+    assert(same.getAs[Long]("est_missed_milli") == 0L)
+  }
+
+  test("medianCi95: order-statistic ranks bracket the median on 1..100 " +
+      "with the textbook normal-approx width") {
+    import spark.implicits._
+    val df = (1 to 100).map(_.toLong).toDF("v")
+    val rows = Quality.medianCi95(df, "v").collect()
+      .map(r => r.getAs[String]("which") ->
+        (r.getAs[Long]("rank_pos"), r.getAs[Long]("value_at"))).toMap
+    // n=100: lo = floor((100 - 19.6)/2) = 40, hi = 61, med = 50
+    assert(rows("ci_lo") == ((40L, 40L)))
+    assert(rows("median") == ((50L, 50L)))
+    assert(rows("ci_hi") == ((61L, 61L)))
+  }
 }
