@@ -870,23 +870,19 @@ object Graphs {
         .toDF("id_a", "id_b", "support")
         .orderBy("id_a", "id_b")
     }
-    // ONE wedge join enumerates every triangle of the initial graph as a
-    // canonical sorted triple (t1 < t2 < t3); each triangle surfaces 3×
-    // (once per canonical edge, apex = the common neighbor), distinct
-    // collapses them. Cached: every peel round reuses this relation.
-    val tri = graft.CacheScope.register {
-      val adj = canon.select(col("u").as("ctr"), col("v").as("nb"))
-        .unionAll(canon.select(col("v").as("ctr"), col("u").as("nb")))
-      canon.as("e")
-        .join(adj.as("x"), col("e.u") === col("x.ctr"))
-        .join(adj.as("y"),
-          col("e.v") === col("y.ctr") && col("x.nb") === col("y.nb"))
-        .select(sort_array(array(col("e.u"), col("e.v"), col("x.nb"))).as("t"))
-        .select(element_at(col("t"), 1).as("t1"),
-          element_at(col("t"), 2).as("t2"),
-          element_at(col("t"), 3).as("t3"))
-        .distinct()
-    }
+    // ONE oriented wedge join enumerates every triangle of the initial
+    // graph EXACTLY once as t1 < t2 < t3: the canonical (u < v) edge set
+    // chains (a,b)⋈(b,c) into ordered wedges (Σ_b indeg·outdeg rows —
+    // about a quarter of the symmetric Σdeg² volume, with no 3× apex
+    // duplication and no distinct) and a semi-join against (a,c) closes
+    // them. Cached: every peel round reuses this relation.
+    val tri = graft.CacheScope.register(
+      canon.as("e1")
+        .join(canon.as("e2"), col("e1.v") === col("e2.u"))
+        .select(col("e1.u").as("t1"), col("e1.v").as("t2"),
+          col("e2.v").as("t3"))
+        .join(canon.select(col("u").as("t1"), col("v").as("t3")),
+          Seq("t1", "t3"), "left_semi"))
     // support of edge e in the CURRENT subgraph = initial triangles
     // containing e whose other two edges are also alive (subgraph
     // triangles ⊆ initial triangles since edges only ever shrink)
