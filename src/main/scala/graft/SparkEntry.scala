@@ -4586,6 +4586,47 @@ object SparkEntry {
     sb.toString
   }
 
+  /** DuckDB replay of [[graft.operators.Similarity.matryoshkaRecall]]:
+    * the q24 quantized-cosine top-k, once over the full vector length
+    * and once per prefix truncation, intersected per dim. Same
+    * (cos DESC, id) deterministic ranking both engines replay.
+    */
+  private def matryoshkaOracleSql(k: Int, dims: Seq[Int]): String = {
+    def qd(a: String, n: String): String =
+      s"""list_aggregate(list_transform(range(1, $n),
+            i -> round(CAST($a[i] AS DOUBLE) * 1e7) * round(CAST($a[i] AS DOUBLE) * 1e7)), 'sum')"""
+    def dot(n: String): String =
+      s"""list_aggregate(list_transform(range(1, $n),
+            i -> round(CAST(q.qv[i] AS DOUBLE) * 1e7) * round(CAST(c.cv[i] AS DOUBLE) * 1e7)), 'sum')"""
+    def top(nExpr: String, name: String): String =
+      s"""$name AS MATERIALIZED (SELECT query_id, id FROM (
+          SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, id) AS rn
+          FROM (SELECT q.query_id, c.id,
+              ${dot(nExpr)} / SQRT(${qd("q.qv", nExpr)} * ${qd("c.cv", nExpr)}) AS cos
+            FROM q JOIN c ON q.query_id <> c.id) s) r WHERE rn <= $k)"""
+    val tops = (top("len(q.qv) + 1", "top_full") +:
+      dims.sorted.map(d => top(s"${d + 1}", s"top_$d"))).mkString(",\n        ")
+    val ovs = dims.sorted.map(d =>
+      s"""ov_$d AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM top_$d t
+          JOIN top_full f ON t.query_id = f.query_id AND t.id = f.id)""")
+      .mkString(",\n        ")
+    val finals = dims.sorted.map(d =>
+      s"""SELECT $d AS dims,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM q) AS n_queries,
+          n AS n_overlap,
+          (n * 1000000) // ((SELECT CAST(COUNT(*) AS BIGINT) FROM q) * $k)
+            AS recall_micro
+        FROM ov_$d""").mkString("\n        UNION ALL ")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id AS id, embedding AS cv FROM embeddings),
+        $tops,
+        $ovs
+        $finals
+        ORDER BY dims"""
+  }
+
   /** DuckDB replay of [[graft.operators.Graphs.kTruss]]: `rounds`
     * unrolled support-and-peel rounds over the canonical near-dup edge
     * relation — each round computes per-edge triangle support via the
@@ -8379,6 +8420,47 @@ object SparkEntry {
         r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v)
         SELECT which, CAST(k AS BIGINT) AS rank_pos, v AS value_at
         FROM r JOIN ranks ON rn = k ORDER BY rank_pos""")),
+
+    // OPTIMIZE executed end-to-end on a versioned table: publish
+    // lineitem shredded into 64 small files, soft-delete a key slice,
+    // then compactExecute — size-binned narrow rewrites (no shuffle),
+    // tombstones MATERIALIZED (never resurrected), new generation in the
+    // same commit chain (time travel intact — WarehouseSpec pins file
+    // counts and history). The oracle gate is CONTENT invariance: the
+    // compacted table must aggregate exactly like the raw facts minus
+    // the deleted keys.
+    "q255_compaction_execute" -> Q(
+      (s, dir) => {
+        val table = s"${sys.props("java.io.tmpdir")}/graft_compact/" +
+          s"li_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+        Warehouse.resetTable(table)
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        Warehouse.publishVersioned(s, li.repartition(64), table)
+        Warehouse.deleteWhere(s, table, "l_orderkey",
+          col("l_orderkey") % 100 === 0)
+        Warehouse.compactExecute(s, table, targetSize = 1L << 20)
+        Warehouse.readVersioned(s, table)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+          CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+            AS sum_cents
+        FROM lineitem WHERE l_orderkey % 100 <> 0
+        GROUP BY 1 ORDER BY 1""")),
+
+    // Matryoshka truncation sweep: recall@10 of prefix-truncated
+    // exact-cosine top-10 (dims 8/16/32) against the full 64-dim answer
+    // for query vectors vec_id < 10 — "how small can the serving index's
+    // vectors be before rerank recall degrades". Deterministic (cos
+    // DESC, id) ranking on the quantized grid, value-pinned per dim.
+    "q256_matryoshka_recall" -> Q(
+      (s, dir) => Similarity.matryoshkaRecall(t(s, dir, "embeddings"),
+        "vec_id", "embedding", col("vec_id") < 10, 10, Seq(8, 16, 32)),
+      Some(matryoshkaOracleSql(10, Seq(8, 16, 32)))),
 
     // ----- SQL API surface ---------------------------------------------------
 

@@ -1542,4 +1542,44 @@ object Similarity {
     meanRows.foreach(r => mu(r.getInt(0)) = r.getAs[Double]("mu"))
     (mu, comps, order.map(vals))
   }
+
+  /** MATRYOSHKA truncation evaluation: recall@k of exact-cosine top-k
+    * computed on PREFIX-truncated embeddings against the full-dimension
+    * top-k — the deployment table for Matryoshka-style representations
+    * (Kusupati et al., NeurIPS 2022): how many leading dimensions can
+    * the serving index keep before recall@k degrades, i.e. can you run
+    * a d/8-dim ANN index and rerank the survivors with full vectors.
+    *
+    * Both sides use the [[knnExactAgg]] bounded top-k (map-side k-row
+    * buffers, no window sort) over the 1e7-grid quantized dot, so every
+    * per-dim sweep is one broadcast-join scan of the corpus; ranking is
+    * the deterministic (cos DESC, id) both engines replay. recall is
+    * reported on the truncating micro grid: (overlap · 1e6) div
+    * (n_queries · k).
+    *
+    * Returns one row per truncation: (dims, n_queries, n_overlap,
+    * recall_micro), ordered by dims.
+    */
+  def matryoshkaRecall(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, dims: Seq[Int]): DataFrame = {
+    require(k >= 1 && dims.nonEmpty)
+    val corpus = graft.CacheScope.register(
+      emb.select(col(idCol), col(vecCol)))
+    val full = graft.CacheScope.register(
+      knnExactAgg(corpus, corpus.filter(queryPred), idCol, vecCol, k)
+        .select("query_id", "id"))
+    val nq = corpus.filter(queryPred).count()
+    require(nq > 0, "matryoshkaRecall: no query vectors")
+    dims.sorted.map { d =>
+      val sliced = corpus.select(col(idCol),
+        slice(col(vecCol), 1, d).as(vecCol))
+      knnExactAgg(sliced, sliced.filter(queryPred), idCol, vecCol, k)
+        .select("query_id", "id")
+        .join(full, Seq("query_id", "id"), "left_semi")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(d).as("dims"), lit(nq).as("n_queries"),
+          col("n_overlap"),
+          expr(s"(n_overlap * 1000000) div ${nq * k}").as("recall_micro"))
+    }.reduce(_.unionByName(_)).orderBy("dims")
+  }
 }

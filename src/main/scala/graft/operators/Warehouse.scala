@@ -845,6 +845,76 @@ object Warehouse {
       .orderBy("bin")
   }
 
+  /** EXECUTE a [[compactionPlan]] over the live generation of a
+    * versioned table — the OPTIMIZE run itself, not just the job list.
+    * The current data files are binned by on-disk size with the SAME
+    * deterministic next-fit as [[compactionPlan]] (size DESC, then
+    * path; bin = prior-cumsum div target); every multi-file bin is
+    * rewritten by one NARROW coalesce(1) job (file-merge compaction
+    * must never pay a cluster exchange — at 100 TB this runs per
+    * partition directory, many narrow jobs, zero shuffles), single-file
+    * bins are hard-copied through untouched, and the result is
+    * published as the NEXT generation of the same commit chain: rows
+    * identical, history intact ([[readVersionedAt]] still serves the
+    * pre-compaction generation until [[vacuum]] ages it out), and the
+    * small-file read amplification is gone.
+    *
+    * Outstanding deletion vectors are MATERIALIZED on the way — with
+    * tombstones present every bin is rewritten through the clean view
+    * and nothing is copied through (copy-through would resurrect
+    * soft-deleted keys — the round-7 Delta-export lesson), so the new
+    * generation starts tombstone-free, exactly like [[compactDeletes]].
+    *
+    * Returns the executed plan: (bin, n_files_in, bytes_in) per output
+    * bin, ordered by bin.
+    */
+  def compactExecute(spark: SparkSession, table: String,
+      targetSize: Long): DataFrame = {
+    require(targetSize >= 1, s"targetSize must be positive: $targetSize")
+    import spark.implicits._
+    val gen = liveGeneration(table).getOrElse(
+      sys.error(s"no published generation in $table"))
+    val files = generationDataFiles(table, gen)
+    require(files.nonEmpty, s"no data files in $table/$gen")
+    val del = deletedKeys(spark, table, gen)
+    // file metadata is a driver-sized relation (the compactionPlan
+    // contract); replay its exact next-fit so plan and execution agree
+    val ordered = files.map(f => f -> Files.size(Paths.get(table, f)))
+      .sortBy { case (f, sz) => (-sz, f) }
+    var cum = 0L
+    val assigned = ordered.map { case (f, sz) =>
+      val bin = cum / targetSize
+      cum += sz
+      (bin, f, sz)
+    }
+    val newGen = f"gen-${nextGenNumber(table)}%08d"
+    Files.createDirectories(Paths.get(table, newGen))
+    val byBin = assigned.groupBy(_._1).toSeq.sortBy(_._1)
+    byBin.foreach { case (bin, fs) =>
+      if (fs.size == 1 && del.isEmpty) {
+        Files.copy(Paths.get(table, fs.head._2),
+          Paths.get(table, newGen, f"copy-$bin%05d.parquet"),
+          StandardCopyOption.COPY_ATTRIBUTES)
+      } else {
+        var df = spark.read.parquet(fs.map(t => s"$table/${t._2}"): _*)
+        del.foreach { d =>
+          df = df.join(broadcast(d), Seq(d.columns.head), "left_anti")
+        }
+        df.coalesce(1).write.mode("append").parquet(s"$table/$newGen")
+      }
+    }
+    writeAtomic(Paths.get(table, CommitsName),
+      (committedGenerations(table) :+ newGen).mkString("\n"))
+    writeAtomic(Paths.get(table, ManifestName), newGen)
+    byBin.map { case (bin, fs) =>
+      (bin, fs.size.toLong, fs.map(_._3).sum) }
+      .toDF("bin", "n_files_in", "bytes_in").orderBy("bin")
+  }
+
+  /** Drop a versioned table directory entirely (fixture reset). */
+  def resetTable(table: String): Unit =
+    deleteRecursively(Paths.get(table))
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       Files.walk(p).sorted(java.util.Comparator.reverseOrder())

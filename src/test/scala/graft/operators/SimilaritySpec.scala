@@ -507,4 +507,23 @@ class SimilaritySpec extends SparkSpec {
     assert(out.find(_._1 == 2L).get._3 == 2L) // n_lists
     assert(out.filter(_._1 != 2L).forall(_._3 == 1L))
   }
+
+  test("matryoshkaRecall: full-length truncation recalls exactly 1.0; " +
+      "shorter prefixes stay in [0, 1]; query count pinned") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.matryoshkaRecall(emb, "vec_id", "embedding",
+        col("vec_id") < 5, 5, Seq(8, 64))
+      .collect()
+      .map(r => r.getAs[Int]("dims") ->
+        (r.getAs[Long]("n_queries"), r.getAs[Long]("n_overlap"),
+          r.getAs[Long]("recall_micro"))).toMap
+    graft.CacheScope.releaseAll()
+    // 64 = the full vector length: the "truncated" top-k IS the full
+    // top-k, so overlap is perfect by construction
+    assert(out(64) == ((5L, 25L, 1000000L)))
+    val (nq8, ov8, rec8) = out(8)
+    assert(nq8 == 5L && ov8 >= 0L && ov8 <= 25L)
+    assert(rec8 == (ov8 * 1000000L) / 25L)
+  }
 }

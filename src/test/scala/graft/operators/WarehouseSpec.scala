@@ -444,4 +444,39 @@ class WarehouseSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 2L, 1300L, "a", "b"),
       (1L, 3L, 600L, "c", "e")))
   }
+
+  test("compactExecute: small files merge into size bins, tombstones " +
+      "materialize, history serves the pre-compaction generation") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft-wh-optimize").toString + "/t"
+    val g1 = Warehouse.publishVersioned(spark,
+      (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .repartition(16), table)
+    Warehouse.deleteWhere(spark, table, "id", col("id") % 10 === 0)
+    def genFiles(g: String) =
+      new java.io.File(s"$table/$g").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    assert(genFiles(g1) == 16)
+    // one huge bin: everything merges into a single rewritten file
+    val plan = Warehouse.compactExecute(spark, table, targetSize = 1L << 30)
+      .collect()
+    assert(plan.length == 1 && plan.head.getAs[Long]("n_files_in") == 16L)
+    val g2 = Warehouse.liveGeneration(table).get
+    assert(g2 != g1 && genFiles(g2) == 1)
+    // tombstones were materialized, never resurrected
+    val live = Warehouse.readVersioned(spark, table)
+    assert(live.count() == 900)
+    assert(live.filter(col("id") % 10 === 0).count() == 0)
+    // ...and the clean-read path agrees (new generation has no sidecars)
+    assert(Warehouse.readVersionedClean(spark, table).count() == 900)
+    // time travel still serves the pre-compaction generation raw
+    assert(Warehouse.readVersionedAt(spark, table, g1).count() == 1000)
+    // copy-through path: no tombstones + tiny target -> every file is
+    // its own bin and is hard-copied, rows identical
+    val before = genFiles(g2)
+    Warehouse.compactExecute(spark, table, targetSize = 1L)
+    val g3 = Warehouse.liveGeneration(table).get
+    assert(genFiles(g3) == before)
+    assert(Warehouse.readVersioned(spark, table).count() == 900)
+  }
 }
