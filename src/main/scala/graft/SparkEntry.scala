@@ -4586,6 +4586,55 @@ object SparkEntry {
     sb.toString
   }
 
+  /** DuckDB replay of [[graft.operators.Graphs.betweenness]] over an
+    * `edges(src, dst)` CTE: walk levels give exact BFS distances
+    * (min-first-appearance, the harmonic trick), σ accumulates level by
+    * level over predecessor frontiers, and the dependency pass runs the
+    * levels backward with the identical truncating
+    * (σv·(1e6+δw)) // σw term — every δ an exact BIGINT.
+    */
+  private def betweennessOracleSql(edgesCte: String, maxDepth: Int): String = {
+    val sb = new StringBuilder(s"WITH $edgesCte,\n" +
+      "        l1 AS MATERIALIZED (SELECT DISTINCT src AS root, dst AS node FROM edges)")
+    for (d <- 2 to maxDepth) sb.append(s""",
+        l$d AS MATERIALIZED (SELECT DISTINCT p.root, e.dst AS node
+               FROM l${d - 1} p JOIN edges e ON p.node = e.src)""")
+    val unions = (1 to maxDepth)
+      .map(d => s"SELECT root, node, $d AS d FROM l$d")
+      .mkString("\n            UNION ALL ")
+    sb.append(s""",
+        dm AS MATERIALIZED (SELECT root, node, MIN(d) AS d FROM (
+            $unions) lv WHERE node <> root GROUP BY 1, 2),
+        sig_0 AS (SELECT DISTINCT src AS root, src AS node,
+            CAST(1 AS BIGINT) AS sigma FROM edges)""")
+    for (d <- 1 to maxDepth) sb.append(s""",
+        sig_$d AS MATERIALIZED (SELECT m.root, m.node,
+            CAST(SUM(sp.sigma) AS BIGINT) AS sigma
+          FROM dm m JOIN edges e ON m.node = e.dst
+          JOIN sig_${d - 1} sp ON sp.root = m.root AND sp.node = e.src
+          WHERE m.d = $d GROUP BY 1, 2)""")
+    sb.append(s""",
+        del_$maxDepth AS (SELECT root, node, sigma,
+          CAST(0 AS BIGINT) AS delta FROM sig_$maxDepth)""")
+    for (d <- (maxDepth - 1) to 1 by -1) sb.append(s""",
+        del_$d AS MATERIALIZED (SELECT c.root, c.node, c.sigma,
+            COALESCE(SUM((c.sigma * (1000000 + w.delta)) // w.sigma),
+              0) AS delta
+          FROM sig_$d c
+          LEFT JOIN edges e ON c.node = e.src
+          LEFT JOIN del_${d + 1} w ON w.root = c.root AND w.node = e.dst
+          GROUP BY 1, 2, 3)""")
+    val delUnion = (1 to maxDepth)
+      .map(d => s"SELECT node, delta FROM del_$d")
+      .mkString("\n            UNION ALL ")
+    sb.append(s"""
+        SELECT node AS id, CAST(SUM(delta) AS BIGINT) AS betweenness_micro,
+          CAST(SUM(delta) AS DOUBLE) / 2.0 / 1e6 AS betweenness
+        FROM ($delUnion) dl
+        GROUP BY 1 ORDER BY id""")
+    sb.toString
+  }
+
   /** DuckDB replay of [[graft.operators.Similarity.matryoshkaRecall]]:
     * the q24 quantized-cosine top-k, once over the full vector length
     * and once per prefix truncation, intersected per dim. Same
@@ -8451,6 +8500,36 @@ object SparkEntry {
             AS sum_cents
         FROM lineitem WHERE l_orderkey % 100 <> 0
         GROUP BY 1 ORDER BY 1""")),
+
+    // Exact Brandes betweenness over the co-purchase graph (parts
+    // co-occurring in >= 2 orders): which parts BRIDGE purchase
+    // communities — the structural signal degree/PageRank miss (a
+    // 2-degree bridge can carry every cross-community shortest path).
+    // Every dependency term rides the truncating integer grid
+    // (sigma_v*(1e6+delta_w)) div sigma_w, so the whole recursion is
+    // BIGINT-exact and the oracle replays it level by level.
+    "q257_betweenness" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+        val co = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("id_a"),
+            col("b.l_partkey").as("id_b"))
+          .agg(count(lit(1)).as("co"))
+          .filter(col("co") >= 2)
+        Graphs.betweenness(co, "id_a", "id_b", maxDepth = 16)
+          .orderBy("id")
+      },
+      Some(betweennessOracleSql(
+        """co AS MATERIALIZED (SELECT a.l_partkey AS id_a,
+            b.l_partkey AS id_b
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM co
+          UNION ALL SELECT id_b, id_a FROM co)""", 16))),
 
     // Matryoshka truncation sweep: recall@10 of prefix-truncated
     // exact-cosine top-10 (dims 8/16/32) against the full 64-dim answer

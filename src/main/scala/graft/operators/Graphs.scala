@@ -1021,6 +1021,154 @@ object Graphs {
       .limit(k)
   }
 
+  /** EXACT BETWEENNESS centrality (Brandes 2001) over an undirected
+    * edge list — "which documents BRIDGE duplication clusters": a node
+    * on many shortest paths stitches otherwise-separate template
+    * families (boilerplate gluing two sources), the structural signal
+    * degree/PageRank/harmonic all miss (a bridge can have degree 2 and
+    * minimal rank yet carry every cross-cluster path).
+    *
+    * Level-synchronous Brandes: a forward multi-source BFS accumulates
+    * σ(root, v) (shortest-path counts — integer sums over predecessor
+    * frontiers), then the dependency accumulation runs levels backward
+    * with every term on the exact integer grid:
+    *
+    *   δ_micro(v) += (σ(v) · (1e6 + δ_micro(w))) div σ(w)
+    *
+    * — the pageRank truncating-division trick: per-term truncation makes
+    * each δ an exact BIGINT sum (order-independent, partition-
+    * independent, oracle-replayable), where naive double accumulation
+    * would be summation-order-sensitive in its last bits. Betweenness
+    * is the over-roots sum; the undirected double-count stays in the
+    * reported micro value (each unordered pair contributes from both
+    * endpoints — the standard /2 is applied only in the derived double
+    * column).
+    *
+    * REQUIRES every BFS to exhaust within `maxDepth` (the kCore
+    * convergence contract — near-dup components have cluster-bounded
+    * diameter); a deeper graph fails loudly rather than silently
+    * truncating path sets. State is the (root, node) reachable-pair
+    * relation (Σ comp_size² rows — the harmonicCentrality budget);
+    * rounds are frontier ⋈ edges joins, 2·maxDepth of them total.
+    * Magnitude: σ · (1e6 + δ) ≤ σ_max · n · 1e6 — exact in a long for
+    * any cluster-sized component (σ_max · n ≪ 9e12).
+    *
+    * Fast path below `driverEdgeThreshold` runs the identical
+    * level-synchronous recursion on collected adjacency — bit-equal,
+    * spec-pinned against the forced distributed loop.
+    *
+    * Returns (id, betweenness_micro, betweenness) for nodes with ≥ 1
+    * edge; betweenness = micro / 2 / 1e6 (unordered-pair convention).
+    */
+  def betweenness(edges: DataFrame, aCol: String, bCol: String,
+      maxDepth: Int = 6, driverEdgeThreshold: Long = 1L << 18): DataFrame = {
+    require(maxDepth >= 1)
+    val spark = edges.sparkSession
+    val sym = graft.CacheScope.register(
+      edges.select(explode(array(
+          struct(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")),
+          struct(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst"))))
+        .as("__e"))
+        .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull &&
+          col("src") =!= col("dst"))
+        .distinct())
+    if (sym.count() <= driverEdgeThreshold) {
+      import spark.implicits._
+      val adj = sym.as[(Long, Long)].collect().groupBy(_._1)
+        .map { case (s, g) => s -> g.map(_._2) }
+      val bet = scala.collection.mutable.HashMap.empty[Long, Long]
+        .withDefaultValue(0L)
+      adj.keys.foreach { root =>
+        val dist = scala.collection.mutable.HashMap(root -> 0)
+        val sigma = scala.collection.mutable.HashMap(root -> 1L)
+        val levels = scala.collection.mutable.ArrayBuffer(Seq(root))
+        var d = 0
+        while (levels.last.nonEmpty) {
+          require(d < maxDepth,
+            s"betweenness: BFS from $root not exhausted in $maxDepth levels — raise maxDepth")
+          d += 1
+          val next = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+          levels.last.foreach { u =>
+            adj.getOrElse(u, Array.empty[Long]).foreach { v =>
+              if (!dist.contains(v) || dist(v) == d)
+                if (!dist.contains(v)) { dist(v) = d; next(v) = sigma(u) }
+                else if (next.contains(v)) next(v) += sigma(u)
+            }
+          }
+          sigma ++= next
+          levels += next.keys.toSeq
+        }
+        val delta = scala.collection.mutable.HashMap.empty[Long, Long]
+          .withDefaultValue(0L)
+        for (dd <- (levels.size - 2) to 0 by -1) {
+          levels(dd).foreach { v =>
+            adj.getOrElse(v, Array.empty[Long]).foreach { w =>
+              if (dist.get(w).contains(dd + 1))
+                delta(v) += (sigma(v) * (1000000L + delta(w))) / sigma(w)
+            }
+            if (dd > 0) bet(v) += delta(v)
+          }
+        }
+      }
+      return adj.keys.toSeq.sorted.map(v => (v, bet(v)))
+        .toDF("id", "betweenness_micro")
+        .select(col("id"), col("betweenness_micro"),
+          (col("betweenness_micro").cast("double") / lit(2.0) / lit(1e6))
+            .as("betweenness"))
+    }
+    // forward: level-synchronous multi-source BFS carrying sigma
+    var frontier = sym.select(col("src").as("root"), col("src").as("node"))
+      .distinct().withColumn("sigma", lit(1L))
+      .localCheckpoint(true)
+    val levels = scala.collection.mutable.ArrayBuffer(frontier)
+    var all = frontier.select("root", "node")
+    var d = 0
+    var frontierRows = frontier.count()
+    while (frontierRows > 0) {
+      require(d < maxDepth,
+        s"betweenness: BFS not exhausted in $maxDepth levels — raise maxDepth")
+      d += 1
+      frontier = frontier
+        .join(sym.withColumnRenamed("src", "node"), "node")
+        .groupBy(col("root"), col("dst").as("node"))
+        .agg(sum("sigma").as("sigma"))
+        .join(all, Seq("root", "node"), "left_anti")
+        .localCheckpoint(true)
+      frontierRows = frontier.count()
+      if (frontierRows > 0) {
+        levels += frontier
+        all = all.unionByName(frontier.select("root", "node"))
+          .localCheckpoint(true)
+      }
+    }
+    // backward: dependency accumulation, deepest level first
+    var perLevelDeltas = List.empty[DataFrame]
+    var succ = levels.last.withColumn("delta", lit(0L))
+    perLevelDeltas ::= succ
+    for (dd <- (levels.size - 2) to 1 by -1) {
+      val cur = levels(dd)
+      val terms = cur
+        .join(sym.withColumnRenamed("src", "node"), "node")
+        .join(succ.select(col("root"), col("node").as("dst"),
+          col("sigma").as("__sw"), col("delta").as("__dw")), Seq("root", "dst"))
+        .select(col("root"), col("node"),
+          expr("(sigma * (1000000 + __dw)) div __sw").as("__t"))
+        .groupBy("root", "node").agg(sum("__t").as("__dsum"))
+      succ = cur.join(terms, Seq("root", "node"), "left")
+        .select(col("root"), col("node"), col("sigma"),
+          coalesce(col("__dsum"), lit(0L)).as("delta"))
+        .localCheckpoint(true)
+      perLevelDeltas ::= succ
+    }
+    perLevelDeltas.map(_.select("node", "delta")).reduce(_.unionByName(_))
+      .groupBy(col("node").as("id"))
+      .agg(sum("delta").as("betweenness_micro"))
+      .select(col("id"), col("betweenness_micro"),
+        (col("betweenness_micro").cast("double") / lit(2.0) / lit(1e6))
+          .as("betweenness"))
+  }
+
   /** HARMONIC centrality within a hop radius: for every node with ≥ 1
     * edge, Σ_{0 < d(u,v) ≤ maxDepth} 1e6 div d(u,v) — the
     * distance-based centrality that is well-defined on DISCONNECTED

@@ -206,6 +206,37 @@ class GraphsSpec extends SparkSpec {
     graft.CacheScope.releaseAll()
   }
 
+  test("betweenness: hand-computed exact-integer Brandes on a path, " +
+      "clique members all zero, fast and distributed paths bit-equal") {
+    import spark.implicits._
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("betweenness_micro"), r.getAs[Double]("betweenness")))
+      .toMap
+    val fast = m(Graphs.betweenness(path, "a", "b"))
+    // path 1-2-3-4: node 2 carries (1,3) and (1,4) -> bc 2.0; by the
+    // exact recursion the micro sum is 2e6 (root1) + 1e6 (root3) + 1e6
+    // (root4) = 4e6, symmetric for node 3; ends carry nothing
+    assert(fast == Map(1L -> ((0L, 0.0)), 2L -> ((4000000L, 2.0)),
+      3L -> ((4000000L, 2.0)), 4L -> ((0L, 0.0))))
+    val dist = m(Graphs.betweenness(path, "a", "b",
+      driverEdgeThreshold = 0L))
+    assert(fast == dist)
+    graft.CacheScope.releaseAll()
+    // a triangle has no intermediate shortest-path nodes
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    assert(m(Graphs.betweenness(tri, "a", "b"))
+      .values.forall(_ == ((0L, 0.0))))
+    graft.CacheScope.releaseAll()
+    // diameter deeper than maxDepth fails loudly instead of truncating
+    val long = (1L to 9L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      Graphs.betweenness(long, "a", "b", maxDepth = 3)
+    }
+    graft.CacheScope.releaseAll()
+  }
+
   test("kCore: a clique survives, chains and pendants peel away in a " +
       "cascade, and the empty core is an empty frame") {
     import spark.implicits._
