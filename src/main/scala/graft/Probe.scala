@@ -29,10 +29,18 @@ object Probe {
     // exchanges on its branches — the only hash exchanges in the probe
     // plan are the NEW batch's shingle aggregate and the candidate
     // distinct (plus the presentation range sort)
+    // count DISTINCT exchange nodes: a subtree shared by two consumers
+    // (e.g. the probe batch's shingle aggregate feeding both the band
+    // join and the size join) prints once per parent in toString, but
+    // it is ONE exchange — dedupe on plan_id
     val p250 = plan("q250_persisted_lsh_index")
-    println("[probe] q250 index side shuffle-free (2 hash exchanges total, " +
-      "both on the probe batch): " +
-      ((p250.split("Exchange hashpartitioning").length - 1) == 2))
+    val h250 = "Exchange hashpartitioning[^\\n]*plan_id=(\\d+)".r
+      .findAllMatchIn(p250).map(_.group(1)).toSet.size
+    println("[probe] q250 index side shuffle-free (2 distinct hash " +
+      "exchanges, both on the probe batch): " + (h250 == 2) + s" (count=$h250)")
+    if (h250 != 2) p250.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .foreach(l => println("[probe]   " + l.trim.take(160)))
     // operator-level shuffle claims (probed without the driver-contract
     // final sort, and ignoring the fan-out's round-robin repartition —
     // the only legitimate exchange in a "shuffle-free" projection op)

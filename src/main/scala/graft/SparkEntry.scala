@@ -8531,6 +8531,79 @@ object SparkEntry {
         edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM co
           UNION ALL SELECT id_b, id_a FROM co)""", 16))),
 
+    // Degree assortativity of the co-purchase graph: do hub parts
+    // co-purchase with other hubs (r > 0) or with one-off parts
+    // (r < 0)? One O(E) moment pass — the structural summary read
+    // before paying for clustering.
+    "q266_assortativity" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+        val co = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("id_a"),
+            col("b.l_partkey").as("id_b"))
+          .agg(count(lit(1)).as("co"))
+          .filter(col("co") >= 2)
+        Graphs.assortativity(co, "id_a", "id_b")
+      },
+      Some("""WITH co AS MATERIALIZED (SELECT a.l_partkey AS id_a,
+            b.l_partkey AS id_b
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+          SELECT id_a AS src, id_b AS dst FROM co
+          UNION ALL SELECT id_b, id_a FROM co) u WHERE src <> dst),
+        deg AS (SELECT src AS id, COUNT(*) AS dg FROM edges GROUP BY 1),
+        mo AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+            CAST(SUM(a.dg) AS BIGINT) AS sx,
+            CAST(SUM(CAST(a.dg AS HUGEINT) * a.dg) AS BIGINT) AS sxx,
+            CAST(SUM(CAST(a.dg AS HUGEINT) * b.dg) AS BIGINT) AS sxy
+          FROM edges e JOIN deg a ON e.src = a.id JOIN deg b ON e.dst = b.id)
+        SELECT m, sx, sxx, sxy,
+          CASE WHEN CAST(m AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx > 0
+            THEN CAST(CAST(m AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+              / CAST(CAST(m AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+          END AS assortativity
+        FROM mo""")),
+
+    // TextRank keyword extraction: PageRank over the word co-occurrence
+    // graph (adjacent-token bigrams, co >= 3) — the corpus-keyword
+    // signal raw frequency misses; vocabulary-bounded graph, exact
+    // integer ranks, whole extraction value-pinned (h60 node ids, the
+    // q155 unrolled pageRank oracle over the word graph).
+    "q258_textrank_keywords" -> Q(
+      (s, dir) => TextOps.textRankKeywords(t(s, dir, "documents"), "text",
+        minCo = 3, iters = 3, topK = 25),
+      Some(s"""WITH toks AS (SELECT
+            string_split_regex(lower(trim(text)), '\\s+') AS l
+          FROM documents),
+        big AS (SELECT unnest(list_transform(range(1, len(l)),
+              i -> l[i] || ' ' || l[i+1])) AS g
+          FROM toks WHERE len(l) >= 2),
+        bi AS MATERIALIZED (SELECT string_split(g, ' ')[1] AS wa,
+            string_split(g, ' ')[2] AS wb, COUNT(*) AS co
+          FROM big WHERE string_split(g, ' ')[1] <> string_split(g, ' ')[2]
+          GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        wid AS MATERIALIZED (SELECT w,
+            ${graft.functions.Hashing.h60Sql("w")} AS id
+          FROM (SELECT wa AS w FROM bi UNION SELECT wb FROM bi) u),
+        edges AS MATERIALIZED (SELECT DISTINCT a.id AS src, b.id AS dst
+          FROM (SELECT wa AS x, wb AS y FROM bi
+                UNION ALL SELECT wb, wa FROM bi) p
+          JOIN wid a ON a.w = p.x JOIN wid b ON b.w = p.y),
+        deg AS (SELECT src AS id, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+        nn AS (SELECT COUNT(*) AS n FROM wid),
+        r0 AS (SELECT id, 1000000000000 // (SELECT n FROM nn) AS r FROM wid),
+        ${pageRankIterSql("0", "1")},
+        ${pageRankIterSql("1", "2")},
+        ${pageRankIterSql("2", "3")}
+        SELECT w AS word, CAST(r AS BIGINT) AS rank_micro
+        FROM r3 JOIN wid USING (id)
+        ORDER BY rank_micro DESC, word LIMIT 25""")),
+
     // Matryoshka truncation sweep: recall@10 of prefix-truncated
     // exact-cosine top-10 (dims 8/16/32) against the full 64-dim answer
     // for query vectors vec_id < 10 — "how small can the serving index's
@@ -8540,6 +8613,284 @@ object SparkEntry {
       (s, dir) => Similarity.matryoshkaRecall(t(s, dir, "embeddings"),
         "vec_id", "embedding", col("vec_id") < 10, 10, Seq(8, 16, 32)),
       Some(matryoshkaOracleSql(10, Seq(8, 16, 32)))),
+
+    // Binary (sign-bit) quantization recall@10: Hamming top-10 over
+    // 32-bits-per-word signatures vs the exact-cosine top-10, per query —
+    // the 1-bit serving-index sizing row next to q256's float-prefix
+    // truncation. Signatures, Hamming sums and tie-breaks are exact
+    // integers in both engines (see Similarity.binaryQuantRecall).
+    "q259_binary_quant_recall" -> Q(
+      (s, dir) => Similarity.binaryQuantRecall(t(s, dir, "embeddings"),
+        "vec_id", "embedding", col("vec_id") < 10, 10, 64),
+      Some("""WITH v AS (SELECT vec_id AS id, embedding AS e FROM embeddings),
+        sig AS MATERIALIZED (SELECT id, list_transform(range(0, 2),
+            w -> list_aggregate(list_transform(range(0, 32),
+              i -> CASE WHEN CAST(e[w * 32 + i + 1] AS DOUBLE) > 0
+                   THEN 1::BIGINT << i ELSE 0::BIGINT END), 'sum')) AS s
+          FROM v),
+        q AS (SELECT id AS query_id, e AS qv FROM v WHERE id < 10),
+        c AS (SELECT id, e AS cv FROM v),
+        exact AS MATERIALIZED (SELECT query_id, id FROM (
+          SELECT q.query_id, c.id, row_number() OVER (PARTITION BY q.query_id
+              ORDER BY list_aggregate(list_transform(range(1, len(qv) + 1),
+                i -> round(CAST(qv[i] AS DOUBLE) * 1e7) * round(CAST(cv[i] AS DOUBLE) * 1e7)), 'sum')
+              / SQRT(list_aggregate(list_transform(range(1, len(qv) + 1),
+                  i -> round(CAST(qv[i] AS DOUBLE) * 1e7) * round(CAST(qv[i] AS DOUBLE) * 1e7)), 'sum')
+                * list_aggregate(list_transform(range(1, len(cv) + 1),
+                  i -> round(CAST(cv[i] AS DOUBLE) * 1e7) * round(CAST(cv[i] AS DOUBLE) * 1e7)), 'sum'))
+              DESC, c.id) AS rn
+          FROM q JOIN c ON q.query_id <> c.id) r WHERE rn <= 10),
+        ham AS (SELECT qs.id AS query_id, cs.id AS id,
+            list_aggregate(list_transform(range(1, 3),
+              w -> bit_count(xor(qs.s[w], cs.s[w]))), 'sum') AS h
+          FROM sig qs JOIN sig cs ON qs.id < 10 AND cs.id <> qs.id),
+        btop AS (SELECT query_id, id FROM (SELECT query_id, id,
+            row_number() OVER (PARTITION BY query_id ORDER BY h, id) AS rn
+          FROM ham) r WHERE rn <= 10),
+        ov AS (SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+          FROM btop b JOIN exact e ON b.query_id = e.query_id AND b.id = e.id
+          GROUP BY 1)
+        SELECT query_id, COALESCE(n_overlap, 0) AS n_overlap,
+          (COALESCE(n_overlap, 0) * 1000000) // 10 AS recall_micro
+        FROM (SELECT DISTINCT query_id FROM ham) qq LEFT JOIN ov USING (query_id)
+        ORDER BY query_id""")),
+
+    // Walk-forward forecast backtest: for each of the last 28 days, the
+    // Holt-Winters one-step-ahead forecast issued from data strictly
+    // before the day vs the realized actual — exact-integer abs error
+    // and sMAPE on the micro grid (the evaluation q241's smoother needs
+    // before anyone trusts it).
+    "q263_forecast_backtest" -> Q(
+      (s, dir) => Temporal.forecastBacktest(t(s, dir, "events"),
+        "ts", "value", 7, 28),
+      Some {
+        val y = "COALESCE(o.s, 0)"
+        val l2 = s"(($y - r.s1) + r.l + r.b) // 2"
+        val b2 = s"($l2 - r.l + 3 * r.b) // 4"
+        val snew = s"($y - $l2 + r.s1) // 2"
+        s"""WITH RECURSIVE obs AS (SELECT CAST(ts AS DATE) AS d,
+              CAST(SUM(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS s
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+            GROUP BY 1),
+          mm AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM obs),
+          rec AS (
+            SELECT o.d, o.s AS y, o.s AS l, CAST(0 AS BIGINT) AS b,
+              CAST(0 AS BIGINT) AS s1, CAST(0 AS BIGINT) AS s2,
+              CAST(0 AS BIGINT) AS s3, CAST(0 AS BIGINT) AS s4,
+              CAST(0 AS BIGINT) AS s5, CAST(0 AS BIGINT) AS s6,
+              CAST(0 AS BIGINT) AS s7
+            FROM obs o, mm WHERE o.d = mm.lo
+            UNION ALL
+            SELECT r.d + 1, $y, $l2, $b2,
+              r.s2, r.s3, r.s4, r.s5, r.s6, r.s7, $snew
+            FROM rec r LEFT JOIN obs o ON o.d = r.d + 1, mm
+            WHERE r.d < mm.hi),
+          f AS (SELECT d, y,
+              lag(l + b + s1) OVER (ORDER BY d) AS p
+            FROM rec)
+          SELECT d AS day, y AS actual_micro, p AS predicted_micro,
+            abs(y - p) AS abs_err_micro,
+            CASE WHEN abs(y) + abs(p) > 0
+              THEN CAST((2000000::HUGEINT * abs(y - p))
+                // (abs(y) + abs(p)) AS BIGINT)
+              ELSE 0 END AS smape_micro
+          FROM f, mm
+          WHERE p IS NOT NULL AND d > mm.hi - 28
+          ORDER BY day"""
+      }),
+
+    // Dedup-aware split leakage: salted-hash 80/20 train-eval split,
+    // then count shared-LSH near-dup pairs straddling the boundary —
+    // eval contamination a random split bakes in (the reason production
+    // pipelines split by near-dup cluster, not by document).
+    "q262_split_leakage" -> Q(
+      (s, dir) => Dedup.splitLeakage(t(s, dir, "documents"), "doc_id",
+        lshPairs(s, dir), "id_a", "id_b", 80, "split9"),
+      Some(s"""WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l
+               FROM documents),
+        grams AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, greatest(len(l) - 1, 1)),
+                 i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS g
+               FROM toks WHERE len(l) >= 3),
+        sh AS (SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS sh FROM grams),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+                  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        pairs AS (SELECT id_a, id_b FROM inter
+                  JOIN sizes sa ON id_a = sa.doc_id
+                  JOIN sizes sb ON id_b = sb.doc_id
+                  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8),
+        assign AS (SELECT doc_id AS id,
+            CASE WHEN ${graft.functions.Hashing.h60Sql(
+              "'split9:' || CAST(doc_id AS VARCHAR)")} % 100 < 80
+              THEN 'train' ELSE 'eval' END AS split
+          FROM documents),
+        dt AS (SELECT
+            CAST(COUNT(*) FILTER (WHERE split = 'train') AS BIGINT) AS n_train_docs,
+            CAST(COUNT(*) FILTER (WHERE split = 'eval') AS BIGINT) AS n_eval_docs
+          FROM assign),
+        cl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+            CAST(COUNT(*) FILTER (WHERE sa.split = 'train' AND sb.split = 'train') AS BIGINT) AS n_train_train,
+            CAST(COUNT(*) FILTER (WHERE sa.split <> sb.split) AS BIGINT) AS n_leaked,
+            CAST(COUNT(*) FILTER (WHERE sa.split = 'eval' AND sb.split = 'eval') AS BIGINT) AS n_eval_eval
+          FROM pairs JOIN assign sa ON pairs.id_a = sa.id
+                     JOIN assign sb ON pairs.id_b = sb.id)
+        SELECT n_train_docs, n_eval_docs, n_pairs, n_train_train,
+          n_leaked, n_eval_eval,
+          (n_leaked * 1000000) // greatest(n_pairs, 1) AS leaked_micro
+        FROM dt CROSS JOIN cl""")),
+
+    // Declarative expectations audit (dbt-test / Great-Expectations /
+    // Deequ vocabulary): not-null, range, accepted-set, regex and
+    // uniqueness rules over orders — one shared scan for all row-level
+    // rules, one key-grid aggregate per uniqueness rule, exact counts.
+    "q260_expectations_audit" -> Q(
+      (s, dir) => {
+        import graft.operators.Quality.Expectation._
+        Quality.expectationsAudit(t(s, dir, "orders"), Seq(
+          NotNull("r1_custkey_not_null", "o_custkey"),
+          InRange("r2_totalprice_range", "o_totalprice", 0.0, 200000.0),
+          InSet("r3_status_in_set", "o_orderstatus", Seq("F", "O", "P")),
+          Matches("r4_priority_format", "o_orderpriority", "^[1-5]-"),
+          Unique("r5_orderkey_unique", Seq("o_orderkey")),
+          Unique("r6_cust_date_unique", Seq("o_custkey", "o_orderdate"))))
+      },
+      Some("""WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders),
+        rows_lvl AS (SELECT
+            CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS v1,
+            CAST(COUNT(*) FILTER (WHERE o_totalprice IS NOT NULL AND
+              (CAST(o_totalprice AS DOUBLE) < 0 OR CAST(o_totalprice AS DOUBLE) > 200000)) AS BIGINT) AS v2,
+            CAST(COUNT(*) FILTER (WHERE o_orderstatus IS NOT NULL AND
+              o_orderstatus NOT IN ('F', 'O', 'P')) AS BIGINT) AS v3,
+            CAST(COUNT(*) FILTER (WHERE o_orderpriority IS NOT NULL AND
+              NOT regexp_matches(o_orderpriority, '^[1-5]-')) AS BIGINT) AS v4
+          FROM orders),
+        u5 AS (SELECT (SELECT n_rows FROM n) - CAST(COUNT(*) AS BIGINT) AS v
+          FROM (SELECT DISTINCT o_orderkey FROM orders) d),
+        u6 AS (SELECT (SELECT n_rows FROM n) - CAST(COUNT(*) AS BIGINT) AS v
+          FROM (SELECT DISTINCT o_custkey, o_orderdate FROM orders) d)
+        SELECT rule, (SELECT n_rows FROM n) AS n_rows, n_violations,
+          n_violations = 0 AS pass
+        FROM (
+          SELECT 'r1_custkey_not_null' AS rule, v1 AS n_violations FROM rows_lvl
+          UNION ALL SELECT 'r2_totalprice_range', v2 FROM rows_lvl
+          UNION ALL SELECT 'r3_status_in_set', v3 FROM rows_lvl
+          UNION ALL SELECT 'r4_priority_format', v4 FROM rows_lvl
+          UNION ALL SELECT 'r5_orderkey_unique', v FROM u5
+          UNION ALL SELECT 'r6_cust_date_unique', v FROM u6) r
+        ORDER BY rule""")),
+
+    // Row quarantine (the dead-letter relation): every orders row
+    // violating at least one row-level expectation, tagged with the
+    // rules it broke — per-row blame for triage/replay, the other half
+    // of q260's counts.
+    "q264_expectations_quarantine" -> Q(
+      (s, dir) => {
+        import graft.operators.Quality.Expectation._
+        Quality.expectationsQuarantine(t(s, dir, "orders"), "o_orderkey",
+          Seq(
+            NotNull("r1_custkey_not_null", "o_custkey"),
+            InRange("r2_totalprice_range", "o_totalprice", 0.0, 200000.0),
+            InSet("r3_status_in_set", "o_orderstatus", Seq("F", "O", "P")),
+            Matches("r4_priority_format", "o_orderpriority", "^[1-5]-")))
+      },
+      Some("""WITH r AS (SELECT o_orderkey, list_filter([
+            CASE WHEN o_custkey IS NULL THEN 'r1_custkey_not_null' END,
+            CASE WHEN o_totalprice IS NOT NULL AND
+                (CAST(o_totalprice AS DOUBLE) < 0 OR
+                 CAST(o_totalprice AS DOUBLE) > 200000)
+              THEN 'r2_totalprice_range' END,
+            CASE WHEN o_orderstatus IS NOT NULL AND
+                o_orderstatus NOT IN ('F', 'O', 'P')
+              THEN 'r3_status_in_set' END,
+            CASE WHEN o_orderpriority IS NOT NULL AND
+                NOT regexp_matches(o_orderpriority, '^[1-5]-')
+              THEN 'r4_priority_format' END
+          ], x -> x IS NOT NULL) AS v
+          FROM orders)
+        SELECT o_orderkey, array_to_string(v, ',') AS violated_rules,
+          CAST(len(v) AS BIGINT) AS n_violated
+        FROM r WHERE len(v) > 0 ORDER BY o_orderkey""")),
+
+    // Difference-in-differences over the event stream: hashed arms ×
+    // pre/post at the cutoff, observation-level means from one
+    // 8-cell aggregate, DiD as the pinned IEEE sequence.
+    "q265_did_estimate" -> Q(
+      (s, dir) => Analytics.didEstimate(t(s, dir, "events"), "user_id",
+        "ts", "value", "2024-01-16 00:00:00", "did1"),
+      Some(s"""WITH base AS (SELECT
+            ${graft.functions.Hashing.h60Sql(
+              "'did1:' || CAST(user_id AS VARCHAR)")} % 2 = 0 AS a,
+            CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00' AS pre,
+            CAST(round(value * 1e6) AS BIGINT) AS v
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            AND value IS NOT NULL),
+        c AS (SELECT
+            CAST(COUNT(*) FILTER (WHERE a AND pre) AS BIGINT) AS n_pre_a,
+            CAST(SUM(CASE WHEN a AND pre THEN v ELSE 0 END) AS BIGINT) AS sum_pre_a_micro,
+            CAST(COUNT(*) FILTER (WHERE a AND NOT pre) AS BIGINT) AS n_post_a,
+            CAST(SUM(CASE WHEN a AND NOT pre THEN v ELSE 0 END) AS BIGINT) AS sum_post_a_micro,
+            CAST(COUNT(*) FILTER (WHERE NOT a AND pre) AS BIGINT) AS n_pre_b,
+            CAST(SUM(CASE WHEN NOT a AND pre THEN v ELSE 0 END) AS BIGINT) AS sum_pre_b_micro,
+            CAST(COUNT(*) FILTER (WHERE NOT a AND NOT pre) AS BIGINT) AS n_post_b,
+            CAST(SUM(CASE WHEN NOT a AND NOT pre THEN v ELSE 0 END) AS BIGINT) AS sum_post_b_micro
+          FROM base)
+        SELECT *,
+          ((CAST(sum_post_b_micro AS DOUBLE) / CAST(n_post_b AS DOUBLE) / 1e6
+            - CAST(sum_pre_b_micro AS DOUBLE) / CAST(n_pre_b AS DOUBLE) / 1e6)
+           - (CAST(sum_post_a_micro AS DOUBLE) / CAST(n_post_a AS DOUBLE) / 1e6
+              - CAST(sum_pre_a_micro AS DOUBLE) / CAST(n_pre_a AS DOUBLE) / 1e6))
+            AS did
+        FROM c""")),
+
+    // WRITE-AUDIT-PUBLISH: batch 1 (clean orders slice) passes the gate
+    // and goes live; batch 2 (same pipeline with nulls injected into
+    // o_custkey) is quarantined — the live table provably still serves
+    // batch 1's content. The oracle recomputes both verdicts and the
+    // surviving content from the raw table.
+    "q261_write_audit_publish" -> Q(
+      (s, dir) => {
+        import graft.operators.Quality.Expectation._
+        val table = s"${sys.props("java.io.tmpdir")}/graft_wap/" +
+          s"orders_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+        Warehouse.resetTable(table)
+        val orders = t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        val rules = Seq(
+          NotNull("custkey_not_null", "o_custkey"),
+          InSet("status_in_set", "o_orderstatus", Seq("F", "O", "P")))
+        val clean = orders.filter(col("o_orderkey") % 3 =!= 0)
+        val dirty = orders.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("o_custkey",
+            when(col("o_orderkey") % 9 === 0, lit(null))
+              .otherwise(col("o_custkey")))
+        val r1 = Warehouse.publishAudited(s, clean, table, rules)
+        val r2 = Warehouse.publishAudited(s, dirty, table, rules)
+        val live = Warehouse.readVersioned(s, table)
+          .agg(count(lit(1)).as("live_n_rows"),
+            sum("cents").as("live_sum_cents"))
+        import s.implicits._
+        Seq((1L, r1._2, r1._3), (2L, r2._2, r2._3))
+          .toDF("batch", "published", "n_violations")
+          .crossJoin(broadcast(live))
+          .orderBy("batch")
+      },
+      Some("""WITH b1 AS (SELECT o_orderkey,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders WHERE o_orderkey % 3 <> 0),
+        live AS (SELECT CAST(COUNT(*) AS BIGINT) AS live_n_rows,
+            CAST(SUM(cents) AS BIGINT) AS live_sum_cents FROM b1),
+        v2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM orders
+          WHERE o_orderkey % 3 = 0 AND o_orderkey % 9 = 0)
+        SELECT batch, published, n_violations, live_n_rows, live_sum_cents
+        FROM (SELECT CAST(1 AS BIGINT) AS batch, TRUE AS published,
+                CAST(0 AS BIGINT) AS n_violations
+              UNION ALL
+              SELECT CAST(2 AS BIGINT), FALSE, (SELECT v FROM v2)) b
+        CROSS JOIN live
+        ORDER BY batch""")),
 
     // ----- SQL API surface ---------------------------------------------------
 

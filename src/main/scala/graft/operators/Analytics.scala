@@ -430,6 +430,51 @@ object Analytics {
       .orderBy("arm")
   }
 
+  /** DIFFERENCE-IN-DIFFERENCES estimate over an event stream: hashed
+    * arms (h60(salt:user) % 2 — the q220/q245 assignment convention) ×
+    * pre/post periods at `splitTs`, observation-level value means per
+    * cell, DiD = (post_b − pre_b) − (post_a − pre_a) — the causal-effect
+    * estimator when only arm b received the change at the cutoff and
+    * parallel trends hold; the A/B battery's answer to "we launched
+    * without a holdout but have the before/after".
+    *
+    * All four cells come from ONE map-side-combined aggregate (row
+    * counts + exact micro sums); the four means and the DiD are a pinned
+    * IEEE division/subtraction sequence over those exact integers, so
+    * both engines agree bit-for-bit.
+    *
+    * Returns one row: (n/sum for each of pre_a, post_a, pre_b, post_b,
+    * did) — did in value units.
+    */
+  def didEstimate(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, splitTs: String, salt: String): DataFrame = {
+    val base = events.filter(col(userCol).isNotNull &&
+        col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(
+        (graft.functions.Hashing.h60(
+          concat(lit(s"$salt:"), col(userCol).cast("string"))) % 2 === 0)
+          .as("a"),
+        (col(tsCol).cast("timestamp") < lit(splitTs).cast("timestamp"))
+          .as("pre"),
+        round(col(valueCol) * 1e6).cast("long").as("v"))
+    def cell(name: String, inA: Boolean, inPre: Boolean): Seq[Column] = {
+      val in = (if (inA) col("a") else !col("a")) &&
+        (if (inPre) col("pre") else !col("pre"))
+      Seq(sum(when(in, 1L).otherwise(0L)).as(s"n_$name"),
+        sum(when(in, col("v")).otherwise(0L)).as(s"sum_${name}_micro"))
+    }
+    val cells = cell("pre_a", inA = true, inPre = true) ++
+      cell("post_a", inA = true, inPre = false) ++
+      cell("pre_b", inA = false, inPre = true) ++
+      cell("post_b", inA = false, inPre = false)
+    def mean(name: String): Column =
+      col(s"sum_${name}_micro").cast("double") /
+        col(s"n_$name").cast("double") / lit(1e6)
+    base.agg(cells.head, cells.tail: _*)
+      .withColumn("did",
+        (mean("post_b") - mean("pre_b")) - (mean("post_a") - mean("pre_a")))
+  }
+
   def rfmSegments(orders: DataFrame, custCol: String, tsCol: String,
       valueCol: String): DataFrame = {
     val base = graft.CacheScope.register(

@@ -827,4 +827,55 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
+
+  /** DEDUP-AWARE SPLIT-LEAKAGE audit: assign every document to
+    * train/eval by a salted hash split, then count near-duplicate pairs
+    * that STRADDLE the boundary — the contamination a random split
+    * silently bakes into evaluation (an eval doc whose near-twin sits in
+    * train is a memorization freebie; Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" measures exactly this
+    * leak). The production fix is splitting by near-dup CLUSTER; this
+    * operator is the audit that tells you whether you must.
+    *
+    * The split is `h60(salt:id) % 100 < trainPct` — engine-replayable,
+    * stable under re-runs and immune to input order. `pairs` is any
+    * near-dup pair relation (canonically the shared banded-MinHash
+    * pairs); the audit itself is two equi-joins of the pair relation
+    * against the doc-sized assignment relation plus driver-width
+    * aggregates — it adds nothing super-linear on top of the dedup.
+    *
+    * Returns one row: (n_train_docs, n_eval_docs, n_pairs,
+    * n_train_train, n_leaked (train↔eval), n_eval_eval, leaked_micro =
+    * leaked·1e6 div max(n_pairs, 1)).
+    */
+  def splitLeakage(docs: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String, trainPct: Int, salt: String): DataFrame = {
+    require(trainPct > 0 && trainPct < 100, s"trainPct out of (0,100): $trainPct")
+    def splitOf(c: Column): Column =
+      when(pmod(Hashing.h60(concat(lit(s"$salt:"), c.cast("string"))),
+        lit(100L)) < trainPct, lit("train")).otherwise(lit("eval"))
+    val assigned = graft.CacheScope.register(
+      docs.select(col(idCol).cast("long").as("id"),
+        splitOf(col(idCol)).as("split")))
+    val docTotals = assigned.agg(
+      sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train_docs"),
+      sum(when(col("split") === "eval", 1L).otherwise(0L)).as("n_eval_docs"))
+    val classed = pairs
+      .join(assigned.select(col("id").as(aCol), col("split").as("__sa")), aCol)
+      .join(assigned.select(col("id").as(bCol), col("split").as("__sb")), bCol)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("__sa") === "train" && col("__sb") === "train", 1L)
+          .otherwise(0L)).as("n_train_train"),
+        sum(when(col("__sa") =!= col("__sb"), 1L).otherwise(0L)).as("n_leaked"),
+        sum(when(col("__sa") === "eval" && col("__sb") === "eval", 1L)
+          .otherwise(0L)).as("n_eval_eval"))
+    docTotals.crossJoin(broadcast(classed))
+      .select(col("n_train_docs"), col("n_eval_docs"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_train_train"), lit(0L)).as("n_train_train"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+        coalesce(col("n_eval_eval"), lit(0L)).as("n_eval_eval"),
+        expr("(coalesce(n_leaked, 0) * 1000000) div greatest(coalesce(n_pairs, 0), 1)")
+          .as("leaked_micro"))
+  }
 }

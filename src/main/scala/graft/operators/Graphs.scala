@@ -1250,4 +1250,49 @@ object Graphs {
       .agg(count(lit(1)).as("n_reached"),
         sum(expr("1000000 div d")).as("harmonic_micro"))
   }
+
+  /** DEGREE ASSORTATIVITY (Newman 2002): the Pearson correlation of
+    * (deg(u), deg(v)) over every directed endpoint pair of the
+    * symmetrized edge set — do high-degree nodes attach to each other
+    * (r > 0, social-network shape) or to leaves (r < 0, hub-and-spoke /
+    * star shape)? The one-number structural summary that says whether a
+    * near-dup graph is template-hub-dominated before anyone pays for
+    * clustering it.
+    *
+    * Over the symmetric relation Σdeg(src) = Σdeg(dst) and
+    * Σdeg(src)² = Σdeg(dst)², so r = (M·Sxy − Sx²) / (M·Sxx − Sx²)
+    * with M = directed edge count — exact integer moments routed through
+    * DECIMAL(38,0) (degrees ≤ 2³¹, products < 10³⁸ for any real graph),
+    * ONE pinned double division at the end.
+    *
+    * Scale shape: one degree aggregate + two equi-joins of the edge list
+    * against the node-sized degree relation + one moment aggregate —
+    * O(E) total, no windows, no pair enumeration.
+    */
+  def assortativity(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val sym = graft.CacheScope.register(
+      edges.select(explode(array(
+          struct(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")),
+          struct(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst"))))
+        .as("__e"))
+        .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull &&
+          col("src") =!= col("dst"))
+        .distinct())
+    val deg = graft.CacheScope.register(
+      sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("dg")))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val moments = sym
+      .join(deg.select(col("id").as("src"), col("dg").as("dx")), "src")
+      .join(deg.select(col("id").as("dst"), col("dg").as("dy")), "dst")
+      .agg(count(lit(1)).as("m"),
+        sum(dec(col("dx"))).cast("long").as("sx"),
+        sum(dec(col("dx")) * dec(col("dx"))).cast("long").as("sxx"),
+        sum(dec(col("dx")) * dec(col("dy"))).cast("long").as("sxy"))
+    moments.select(col("m"), col("sx"), col("sxx"), col("sxy"),
+      when(dec(col("m")) * col("sxx") - dec(col("sx")) * col("sx") > 0,
+        (dec(col("m")) * col("sxy") - dec(col("sx")) * col("sx")).cast("double")
+          / (dec(col("m")) * col("sxx") - dec(col("sx")) * col("sx")).cast("double"))
+        .as("assortativity"))
+  }
 }

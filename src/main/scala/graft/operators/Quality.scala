@@ -1639,6 +1639,132 @@ object Quality {
       .orderBy("rank_pos")
   }
 
+  /** One declarative data-quality expectation (the dbt-test /
+    * Great-Expectations rule vocabulary). Row-level semantics follow
+    * dbt: range / set / regex rules skip NULLs (null-ness is its own
+    * `NotNull` rule, so one bad cell never double-counts); `Unique`
+    * counts every row beyond the first of each key group (NULL keys
+    * group like values — documented, and trivially excluded by pairing
+    * with a `NotNull` on the key).
+    */
+  sealed trait Expectation { def name: String }
+  object Expectation {
+    final case class NotNull(name: String, column: String) extends Expectation
+    /** Inclusive numeric bounds on the 1e6-exact double cast. */
+    final case class InRange(name: String, column: String,
+        lo: Double, hi: Double) extends Expectation
+    final case class InSet(name: String, column: String,
+        values: Seq[String]) extends Expectation
+    final case class Matches(name: String, column: String,
+        regex: String) extends Expectation
+    final case class Unique(name: String, columns: Seq[String]) extends Expectation
+  }
+
+  /** EXPECTATIONS AUDIT — the declarative per-load quality gate
+    * (dbt tests / Great Expectations / Deequ's verification suite,
+    * reduced to exact counts): every rule becomes one row
+    * (rule, n_rows, n_violations, pass), so a load pipeline can assert
+    * `WHERE NOT pass` is empty and a dashboard can trend violation
+    * counts per rule over time.
+    *
+    * Scale shape: ALL row-level rules (not-null / range / set / regex)
+    * share ONE map-side-combined aggregate over a single scan — adding a
+    * rule adds a conditional sum, not a pass; each `Unique` rule is one
+    * hash aggregate to its key grid followed by a count-only aggregate
+    * (violations = Σ(c−1), i.e. rows beyond the first per key). The
+    * per-rule result rows are 1-row relations unioned at the end —
+    * driver-size, never data-size. Referential integrity stays in
+    * [[referentialAudit]] (it needs a second relation).
+    */
+  def expectationsAudit(df: DataFrame,
+      rules: Seq[Expectation]): DataFrame = {
+    import Expectation._
+    require(rules.nonEmpty, "expectationsAudit: no rules")
+    require(rules.map(_.name).distinct.size == rules.size,
+      "expectationsAudit: duplicate rule names")
+    val src = graft.CacheScope.register(df)
+    val rowRules: Seq[(String, Column)] = rules.collect {
+      case NotNull(n, c) => n -> col(c).isNull
+      case InRange(n, c, lo, hi) =>
+        n -> (col(c).isNotNull &&
+          (col(c).cast("double") < lo || col(c).cast("double") > hi))
+      case InSet(n, c, vs) =>
+        n -> (col(c).isNotNull && !col(c).cast("string").isin(vs: _*))
+      case Matches(n, c, re) =>
+        n -> (col(c).isNotNull && !col(c).cast("string").rlike(re))
+    }
+    val base =
+      if (rowRules.isEmpty)
+        src.agg(count(lit(1)).as("__n"))
+      else
+        src.agg(count(lit(1)).as("__n"),
+          rowRules.zipWithIndex.map { case ((_, bad), i) =>
+            sum(when(bad, 1L).otherwise(0L)).as(s"__v$i")
+          }: _*)
+    val wide = graft.CacheScope.register(base)
+    val rowLevel: Option[DataFrame] =
+      if (rowRules.isEmpty) None
+      else Some(wide.select(col("__n"),
+          explode(array(rowRules.zipWithIndex.map { case ((n, _), i) =>
+            struct(lit(n).as("rule"),
+              coalesce(col(s"__v$i"), lit(0L)).as("v"))
+          }: _*)).as("__r"))
+        .select(col("__r.rule").as("rule"), col("__n").as("n_rows"),
+          col("__r.v").as("n_violations")))
+    val uniques: Seq[DataFrame] = rules.collect {
+      case Unique(n, cols0) =>
+        src.groupBy(cols0.map(col): _*).agg(count(lit(1)).as("__c"))
+          .agg(coalesce(sum(col("__c") - 1), lit(0L)).as("n_violations"))
+          .crossJoin(broadcast(wide.select(col("__n").as("n_rows"))))
+          .select(lit(n).as("rule"), col("n_rows"), col("n_violations"))
+    }
+    (rowLevel.toSeq ++ uniques).reduce(_.unionByName(_))
+      .select(col("rule"), col("n_rows"),
+        col("n_violations").cast("long").as("n_violations"),
+        (col("n_violations") === 0).as("pass"))
+      .orderBy("rule")
+  }
+
+  /** ROW QUARANTINE — the dead-letter side of [[expectationsAudit]]:
+    * every row violating at least one ROW-LEVEL rule (not-null / range /
+    * set / regex; uniqueness is a relation property, not a row property
+    * — audit it with [[expectationsAudit]]), tagged with the sorted,
+    * comma-joined names of the rules it violates. The load pattern:
+    * clean rows continue, this relation lands in the quarantine table
+    * for triage/replay — per-row blame, not just counts.
+    *
+    * One map-only projection (every rule predicate evaluates in the same
+    * scan, no shuffle before the filter); emit-order of rule names is
+    * the rule-list order, so the tag string is deterministic.
+    *
+    * Returns (idCol, violated_rules, n_violated) for violating rows
+    * only, ordered by id.
+    */
+  def expectationsQuarantine(df: DataFrame, idCol: String,
+      rules: Seq[Expectation]): DataFrame = {
+    import Expectation._
+    val rowRules: Seq[(String, Column)] = rules.collect {
+      case NotNull(n, c) => n -> col(c).isNull
+      case InRange(n, c, lo, hi) =>
+        n -> (col(c).isNotNull &&
+          (col(c).cast("double") < lo || col(c).cast("double") > hi))
+      case InSet(n, c, vs) =>
+        n -> (col(c).isNotNull && !col(c).cast("string").isin(vs: _*))
+      case Matches(n, c, re) =>
+        n -> (col(c).isNotNull && !col(c).cast("string").rlike(re))
+    }
+    require(rowRules.nonEmpty, "expectationsQuarantine: no row-level rules")
+    val tags = array(rowRules.map { case (n, bad) =>
+      when(bad, lit(n)).otherwise(lit(null).cast("string"))
+    }: _*)
+    df.select(col(idCol),
+        filter(tags, x => x.isNotNull).as("__v"))
+      .filter(size(col("__v")) > 0)
+      .select(col(idCol), array_join(col("__v"), ",").as("violated_rules"),
+        size(col("__v")).cast("long").as("n_violated"))
+      .orderBy(idCol)
+  }
+
   /** In-place partial-pivot Gaussian elimination for the tiny (m ≤ ~8)
     * Newton system — deterministic fixed op sequence on the driver.
     */

@@ -1582,4 +1582,75 @@ object Similarity {
           expr(s"(n_overlap * 1000000) div ${nq * k}").as("recall_micro"))
     }.reduce(_.unionByName(_)).orderBy("dims")
   }
+
+  /** BINARY (sign-bit) QUANTIZATION evaluation: recall@k of Hamming-space
+    * top-k over 1-bit-per-dimension signatures against the exact-cosine
+    * top-k — the other axis of the serving-index sizing table next to
+    * [[matryoshkaRecall]]'s prefix truncation: keep ALL dimensions at 1
+    * bit (32× smaller than float32, distance = XOR + popcount) instead of
+    * a float prefix. The production pattern is binary-scan + float-rerank;
+    * this query reports exactly how much the binary scan loses.
+    *
+    * Signatures pack 32 sign bits (component > 0) per BIGINT word — 32,
+    * not 64, because the replayable contract demands identical integers in
+    * both engines and a set bit 63 overflows a signed BIGINT build via
+    * `1 << 63` (DuckDB raises; Java wraps): words stay in [0, 2³²), every
+    * sum is exact, and Hamming = Σ bit_count(xor(word)) is identical
+    * everywhere. Hamming ranking ties break by ascending id (score
+    * −hamming through the same bounded [[graft.functions.TopKAggregator]]
+    * as [[knnExactAgg]] — ≤ k rows per (query, task) reach the shuffle).
+    *
+    * Scale shape: signature packing is a map-only projection (the 100 TB
+    * form stores it as an index column); queries broadcast; the corpus is
+    * scanned once per evaluation with no candidate blow-up.
+    *
+    * Returns one row per query: (query_id, n_overlap, recall_micro =
+    * overlap·1e6 div k), ordered by query_id.
+    */
+  def binaryQuantRecall(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, dim: Int): DataFrame = {
+    require(k >= 1 && dim >= 1)
+    val words = (dim + 31) / 32
+    // static unroll (dim is a compile-time parameter): each word is a sum
+    // of distinct powers of two — plain codegen'd arithmetic, no
+    // higher-order functions in the packing path
+    def signature(vec: Column): Column =
+      array((0 until words).map { w =>
+        (0 until 32).map { i =>
+          val pos = w * 32 + i + 1 // element_at is 1-based
+          if (pos <= dim)
+            when(element_at(vec, pos).cast("double") > 0, lit(1L << i))
+              .otherwise(lit(0L))
+          else lit(0L)
+        }.reduce(_ + _)
+      }: _*)
+    val corpus = graft.CacheScope.register(
+      emb.select(col(idCol), col(vecCol)))
+    val exact = knnExactAgg(corpus, corpus.filter(queryPred), idCol,
+      vecCol, k).select("query_id", "id")
+    val sigs = corpus.select(col(idCol).as("id"),
+      signature(col(vecCol)).as("__sig"))
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    val q = corpus.filter(queryPred)
+      .select(col(idCol).as("query_id"), signature(col(vecCol)).as("__qs"))
+    val hammingTop = sigs
+      .join(broadcast(q), col("query_id") =!= col("id"))
+      .select(col("query_id"), struct(
+        (-aggregate(zip_with(col("__qs"), col("__sig"),
+            (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
+          lit(0L), (acc, v) => acc + v)).cast("double").as("_1"),
+        col("id").as("_2")).as("__pair"))
+      .groupBy("query_id")
+      .agg(topk(col("__pair._1"), col("__pair._2")).as("__top"))
+      .select(col("query_id"), explode(col("__top")).as("__e"))
+      .select(col("query_id"), col("__e._2").as("id"))
+    q.select("query_id")
+      .join(hammingTop.join(exact, Seq("query_id", "id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("n_overlap")),
+        Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        expr(s"(coalesce(n_overlap, 0) * 1000000) div $k").as("recall_micro"))
+      .orderBy("query_id")
+  }
 }

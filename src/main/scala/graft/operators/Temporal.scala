@@ -738,6 +738,47 @@ object Temporal {
       .orderBy("day")
   }
 
+  /** ONE-STEP-AHEAD FORECAST BACKTEST of the Holt-Winters recurrence:
+    * for every day in the trailing `holdoutDays` window, compare the
+    * forecast the model issued the previous evening
+    * (lag(forecast_next) = l + b + next seasonal slot, computed from
+    * data strictly before the day) against the realized actual — the
+    * honest walk-forward evaluation (no refit on future data, no
+    * in-sample flattery) every forecasting deployment runs before
+    * trusting a smoother. Errors stay on the exact integer micro grid:
+    * abs_err = |a − f|, smape = (2·10⁶·|a − f|) div (|a| + |f|)
+    * (∈ [0, 2·10⁶], the symmetric MAPE convention), both routed through
+    * DECIMAL(38,0) so the ×2·10⁶ scaling cannot overflow at any daily
+    * magnitude.
+    *
+    * Scale shape: inherits [[holtWinters]]' calendar-bounded day grid
+    * (one shuffle to daily sums, driver recurrence over ≤ a few thousand
+    * days); the lag window runs on that same bounded grid.
+    *
+    * Returns per holdout day: (day, actual_micro, predicted_micro,
+    * abs_err_micro, smape_micro), ordered by day.
+    */
+  def forecastBacktest(df: DataFrame, tsCol: String, valCol: String,
+      period: Int, holdoutDays: Int): DataFrame = {
+    require(holdoutDays >= 1, s"holdoutDays must be positive: $holdoutDays")
+    val hw = graft.CacheScope.register(holtWinters(df, tsCol, valCol, period))
+    val maxD = hw.agg(max("day")).first().getDate(0)
+    val lagged = hw.select(col("day"), col("actual_micro"),
+      lag(col("forecast_next_micro"), 1)
+        .over(Window.orderBy(col("day"))).as("predicted_micro"))
+    lagged
+      .filter(col("predicted_micro").isNotNull &&
+        col("day") > date_sub(lit(maxD), holdoutDays))
+      .withColumn("abs_err_micro",
+        abs(col("actual_micro") - col("predicted_micro")))
+      .withColumn("smape_micro",
+        when(abs(col("actual_micro")) + abs(col("predicted_micro")) > 0,
+          expr("cast(cast(2000000 as decimal(38,0)) * abs_err_micro as decimal(38,0))" +
+            " div (abs(actual_micro) + abs(predicted_micro))").cast("long"))
+          .otherwise(lit(0L)))
+      .orderBy("day")
+  }
+
   /** THEIL-SEN robust slope of a daily measure: the exact median of all
     * pairwise slopes over the day grid — a single outlier day drags an
     * OLS fit (q132) arbitrarily; the pairwise-slope median has a 29%

@@ -1576,4 +1576,49 @@ object TextOps {
           / lit(2.0) / lit(1e6)).as("js_nats"))
       .orderBy("group_a", "group_b")
   }
+
+  /** TEXTRANK keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    * the word CO-OCCURRENCE graph — adjacent-token bigrams become edges
+    * (kept at co-count ≥ `minCo` so hapax noise never enters the graph),
+    * and [[Graphs.pageRank]]'s exact integer fixed point ranks the
+    * words. The corpus-keyword signal raw frequency misses: a word
+    * co-occurring with many DIFFERENT central words outranks one
+    * repeated inside a single template.
+    *
+    * Engine parity: bigrams are the 2-shingle relation (identical to
+    * the oracle's `l[i] || ' ' || l[i+1]` expansion), word node ids are
+    * [[graft.functions.Hashing.h60]] (md5-replayable), and the rank is
+    * pageRank's BIGINT micro grid — so the whole extraction, graph and
+    * ranks included, is value-pinned. Ordering (rank DESC, word) makes
+    * the top-k cut deterministic in both engines.
+    *
+    * Scale shape: one token-bigram scan (the grams projection) to a
+    * vocabulary² -bounded co-occurrence grid, then pageRank on a graph
+    * whose size is VOCABULARY-bounded, not corpus-bounded — the whole
+    * point of graph-of-words methods at 100 TB.
+    *
+    * Returns the top `topK` rows (word, rank_micro).
+    */
+  def textRankKeywords(docs: DataFrame, textCol: String, minCo: Long,
+      iters: Int, topK: Int): DataFrame = {
+    require(minCo >= 1 && topK >= 1)
+    val bi = graft.CacheScope.register(
+      graft.Parallelism.fanOut(docs.select(col(textCol).as("__t")))
+        .select(explode(TextFns.shingles(col("__t"), 2)).as("g"))
+        .select(split(col("g"), " ").getItem(0).as("wa"),
+          split(col("g"), " ").getItem(1).as("wb"))
+        .filter(col("wa") =!= col("wb"))
+        .groupBy("wa", "wb").agg(count(lit(1)).as("co"))
+        .filter(col("co") >= minCo))
+    val words = graft.CacheScope.register(
+      bi.select(col("wa").as("w")).union(bi.select(col("wb"))).distinct()
+        .select(Hashing.h60(col("w")).as("id"), col("w")))
+    val edges = bi.select(Hashing.h60(col("wa")).as("id_a"),
+      Hashing.h60(col("wb")).as("id_b"))
+    Graphs.pageRank(words.select("id"), "id", edges, "id_a", "id_b", iters)
+      .join(words, "id")
+      .orderBy(desc("rank_micro"), col("w"))
+      .limit(topK)
+      .select(col("w").as("word"), col("rank_micro"))
+  }
 }

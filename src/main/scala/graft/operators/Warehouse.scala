@@ -911,6 +911,54 @@ object Warehouse {
       .toDF("bin", "n_files_in", "bytes_in").orderBy("bin")
   }
 
+  /** WRITE–AUDIT–PUBLISH (the WAP pattern: stage → expectations gate →
+    * atomic pointer flip): `df` is written as the next generation but
+    * the manifest only flips onto it when the [[Quality.expectationsAudit]]
+    * over the STAGED files (read back — so writer bugs and partial writes
+    * are audited, not just the logical plan) reports zero violations.
+    * A rejected generation is quarantined in place: its `_audit.json`
+    * records the per-rule counts, it never enters the commit log (so
+    * time travel, history and `vacuum`'s orphan sweep treat it exactly
+    * like a crashed write), and the previous live generation keeps
+    * serving readers untouched.
+    *
+    * The underscore-prefixed audit file is invisible to parquet readers;
+    * published generations carry it too, so every live snapshot ships
+    * with the proof it passed its gate.
+    *
+    * Scale shape: staging is the normal distributed write; the audit is
+    * [[Quality.expectationsAudit]]'s one-scan aggregate over the new
+    * generation only (never the whole table); publish is the same
+    * atomic manifest flip as [[publishVersioned]].
+    *
+    * Returns (generation, published, totalViolations).
+    */
+  def publishAudited(spark: SparkSession, df: DataFrame, table: String,
+      rules: Seq[Quality.Expectation]): (String, Boolean, Long) = {
+    Files.createDirectories(Paths.get(table))
+    val gen = f"gen-${nextGenNumber(table)}%08d"
+    df.write.mode("overwrite").parquet(s"$table/$gen")
+    val staged = spark.read.parquet(s"$table/$gen")
+    val audit = Quality.expectationsAudit(staged, rules).collect()
+    val nViol = audit.map(_.getAs[Long]("n_violations")).sum
+    val verdict = audit.map(r =>
+        s"""{"rule": ${jsonEscapeQ(r.getAs[String]("rule"))}, """ +
+          s""""n_rows": ${r.getAs[Long]("n_rows")}, """ +
+          s""""n_violations": ${r.getAs[Long]("n_violations")}}""")
+      .mkString(
+        s"""{"generation": "$gen", "published": ${nViol == 0L}, "rules": [""",
+        ", ", "]}")
+    writeAtomic(Paths.get(table, gen, "_audit.json"), verdict)
+    if (nViol == 0L) {
+      writeAtomic(Paths.get(table, CommitsName),
+        (committedGenerations(table) :+ gen).mkString("\n"))
+      writeAtomic(Paths.get(table, ManifestName), gen)
+    }
+    (gen, nViol == 0L, nViol)
+  }
+
+  private def jsonEscapeQ(s: String): String = "\"" + jsonEscape(s) + "\""
+
   /** Drop a versioned table directory entirely (fixture reset). */
   def resetTable(table: String): Unit =
     deleteRecursively(Paths.get(table))

@@ -73,7 +73,12 @@ class PlanLintSpec extends SparkSpec {
     "q244_nelson_aalen" -> "q179's shape: broadcast 1-row subject-total and max-ts aggregates (risk-set base, censoring horizon)",
     "q245_cuped" -> "crossJoin against the broadcast 1-row pooled-moment aggregate (q110/q163 shape)",
     "q246_poisson_bootstrap" -> "crossJoins of broadcast 1-row full-mean and CI-bound aggregates (q110/q163 shape)",
-    "q249_log_rank" -> "q179's shape: broadcast 1-row group-total and max-ts aggregates (risk-set base, censoring horizon)")
+    "q249_log_rank" -> "q179's shape: broadcast 1-row group-total and max-ts aggregates (risk-set base, censoring horizon)",
+    "q256_matryoshka_recall" -> "knnExactAgg's broadcast bounded query set (q24's shape) per truncation sweep",
+    "q259_binary_quant_recall" -> "knnExactAgg's broadcast bounded query set + broadcast query-signature set (q24's shape), =!= self-match exclusion",
+    "q260_expectations_audit" -> "crossJoin against the broadcast 1-row table-total aggregate (q110/q163 shape)",
+    "q261_write_audit_publish" -> "crossJoin of the 2-row batch-verdict literals against the broadcast 1-row live-content aggregate",
+    "q262_split_leakage" -> "crossJoin of two broadcast 1-row count aggregates (doc totals × pair classes)")
 
   /** Queries allowed to plan a GLOBAL window (no partition columns, or a
     * constant partition) — each must window over a provably BOUNDED
@@ -107,7 +112,8 @@ class PlanLintSpec extends SparkSpec {
     "q243_page_hinkley" -> "running prefix windows over the calendar day grid (q169's calendar-bounded argument)",
     "q244_nelson_aalen" -> "risk-set/hazard cumulations over the duration-day grid (q179's calendar-bounded argument)",
     "q246_poisson_bootstrap" -> "rank window over the reps-row replicate-mean grid (64 rows by construction)",
-    "q249_log_rank" -> "at-risk prefix cumulations over the duration-day grid (q179's calendar-bounded argument)")
+    "q249_log_rank" -> "at-risk prefix cumulations over the duration-day grid (q179's calendar-bounded argument)",
+    "q263_forecast_backtest" -> "lag window over the calendar day grid (q169's calendar-bounded argument)")
 
   test("no query plans a global window over an unbounded relation") {
     import org.apache.spark.sql.execution.SparkPlan

@@ -351,4 +351,42 @@ class DedupSpec extends SparkSpec {
     val mean = errs.sum / errs.length
     assert(math.abs(mean) <= 0.06, s"mean error $mean")
   }
+
+  test("splitLeakage: counts replay the h60Local split exactly; empty " +
+      "pair relation divides safely") {
+    import spark.implicits._
+    val ids = (1L to 40L).toSeq
+    val docs = ids.map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairEdges = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L), (9L, 10L),
+      (11L, 12L), (13L, 14L))
+    val pairs = pairEdges.toDF("id_a", "id_b")
+    val out = Dedup.splitLeakage(docs, "doc_id", pairs, "id_a", "id_b",
+      80, "spec-salt").collect().head
+    graft.CacheScope.releaseAll()
+    // independent replay of the salted split on the driver
+    def splitOf(i: Long): String =
+      if (graft.functions.Hashing.h60Local(s"spec-salt:$i") % 100 < 80) "train"
+      else "eval"
+    val nTrain = ids.count(splitOf(_) == "train").toLong
+    val leaked = pairEdges.count { case (a, b) => splitOf(a) != splitOf(b) }.toLong
+    val tt = pairEdges.count { case (a, b) =>
+      splitOf(a) == "train" && splitOf(b) == "train" }.toLong
+    assert(out.getAs[Long]("n_train_docs") == nTrain)
+    assert(out.getAs[Long]("n_eval_docs") == 40L - nTrain)
+    assert(out.getAs[Long]("n_pairs") == pairEdges.length.toLong)
+    assert(out.getAs[Long]("n_train_train") == tt)
+    assert(out.getAs[Long]("n_leaked") == leaked)
+    assert(out.getAs[Long]("n_eval_eval") ==
+      pairEdges.length.toLong - tt - leaked)
+    assert(out.getAs[Long]("leaked_micro") ==
+      leaked * 1000000L / pairEdges.length)
+    // no pairs: one well-defined row, zero leak, no division blow-up
+    val empty = Dedup.splitLeakage(docs, "doc_id",
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "id_a", "id_b",
+      80, "spec-salt").collect().head
+    graft.CacheScope.releaseAll()
+    assert(empty.getAs[Long]("n_pairs") == 0L)
+    assert(empty.getAs[Long]("n_leaked") == 0L)
+    assert(empty.getAs[Long]("leaked_micro") == 0L)
+  }
 }

@@ -378,4 +378,29 @@ class GraphsSpec extends SparkSpec {
       m(Graphs.personalizedPageRank(nodes, "id", edges, "a", "b",
         id => id <= 2L, iters = 3, driverEdgeThreshold = 0L)))
   }
+
+  test("assortativity: star graph is exactly -1, regular graphs are " +
+      "null-variance, path moments match the hand computation") {
+    import spark.implicits._
+    // star: center 0, leaves 1..5
+    val star = (1L to 5L).map(l => (0L, l)).toDF("a", "b")
+    val rs = Graphs.assortativity(star, "a", "b").collect().head
+    graft.CacheScope.releaseAll()
+    assert(rs.getAs[Double]("assortativity") == -1.0)
+    // 4-cycle: every degree 2 -> zero variance -> undefined (null)
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    val rc = Graphs.assortativity(cyc, "a", "b").collect().head
+    graft.CacheScope.releaseAll()
+    assert(rc.isNullAt(rc.fieldIndex("assortativity")))
+    // path a-b-c: directed endpoints (1,2),(2,1),(2,1),(1,2)
+    // m=4, sx=6, sxx=10, sxy=8 -> r=(32-36)/(40-36)=-1
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val rp = Graphs.assortativity(path, "a", "b").collect().head
+    graft.CacheScope.releaseAll()
+    assert(rp.getAs[Long]("m") == 4L)
+    assert(rp.getAs[Long]("sx") == 6L)
+    assert(rp.getAs[Long]("sxx") == 10L)
+    assert(rp.getAs[Long]("sxy") == 8L)
+    assert(rp.getAs[Double]("assortativity") == -1.0)
+  }
 }

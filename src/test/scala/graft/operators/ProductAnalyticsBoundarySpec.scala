@@ -207,4 +207,35 @@ class ProductAnalyticsBoundarySpec extends SparkSpec {
     // unless both arms happen to average 25 pre -- guard the useful case
     assert(out.map(_.getAs[Long]("n_users")).sum == 4L)
   }
+
+  test("q265 didEstimate: a uniform post-period lift applied to one arm " +
+      "only is recovered exactly; parallel trends give DiD = 0") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val users = (1L to 20L).toSeq
+    def armA(u: Long): Boolean =
+      graft.functions.Hashing.h60Local(s"spec-did:$u") % 2 == 0
+    // pre value 10 for everyone; post: control (arm a) 12, treated +7
+    val rows = users.flatMap { u =>
+      val post = if (armA(u)) 12.0 else 12.0 + 7.0
+      Seq((u, Timestamp.valueOf("2024-01-10 00:00:00"), 10.0),
+        (u, Timestamp.valueOf("2024-01-20 00:00:00"), post))
+    }.toDF("user_id", "ts", "value")
+    val r = Analytics.didEstimate(rows, "user_id", "ts", "value",
+      "2024-01-16 00:00:00", "spec-did").collect().head
+    val nA = users.count(armA).toLong
+    assert(r.getAs[Long]("n_pre_a") == nA)
+    assert(r.getAs[Long]("n_post_b") == 20L - nA)
+    assert(r.getAs[Long]("sum_pre_a_micro") == nA * 10000000L)
+    assert(r.getAs[Long]("sum_post_b_micro") == (20L - nA) * 19000000L)
+    assert(math.abs(r.getAs[Double]("did") - 7.0) < 1e-9)
+    // parallel trends: both arms move +2 -> DiD exactly 0
+    val par = users.flatMap { u =>
+      Seq((u, Timestamp.valueOf("2024-01-10 00:00:00"), 10.0),
+        (u, Timestamp.valueOf("2024-01-20 00:00:00"), 12.0))
+    }.toDF("user_id", "ts", "value")
+    val r0 = Analytics.didEstimate(par, "user_id", "ts", "value",
+      "2024-01-16 00:00:00", "spec-did").collect().head
+    assert(r0.getAs[Double]("did") == 0.0)
+  }
 }

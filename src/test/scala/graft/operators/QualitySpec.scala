@@ -762,4 +762,69 @@ class QualitySpec extends SparkSpec {
     assert(rows("median") == ((50L, 50L)))
     assert(rows("ci_hi") == ((61L, 61L)))
   }
+
+  test("expectationsAudit: hand-counted violations per rule kind; " +
+      "nulls skip range/set/regex; unique counts rows beyond first") {
+    import spark.implicits._
+    import Quality.Expectation._
+    val df = Seq(
+      // (id, status, score)
+      (Some(1L), Some("A"), Some(10.0)),
+      (Some(1L), Some("B"), Some(50.0)), // dup id
+      (Some(1L), Some("Z"), Some(200.0)), // dup id, bad status, out of range
+      (Some(2L), None, None), // null status/score: NotNull counts, others skip
+      (None, Some("A"), Some(-1.0)) // null id, below range
+    ).toDF("id", "status", "score")
+    val out = Quality.expectationsAudit(df, Seq(
+        NotNull("n1_id", "id"),
+        NotNull("n2_status", "status"),
+        InRange("r1_score", "score", 0.0, 100.0),
+        InSet("s1_status", "status", Seq("A", "B")),
+        Matches("m1_status", "status", "^[A-B]$"),
+        Unique("u1_id", Seq("id"))))
+      .collect()
+      .map(r => r.getAs[String]("rule") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_violations"),
+          r.getAs[Boolean]("pass"))).toMap
+    graft.CacheScope.releaseAll()
+    assert(out("n1_id") == ((5L, 1L, false)))
+    assert(out("n2_status") == ((5L, 1L, false)))
+    // 200.0 and -1.0 out of range; the null score is NOT a range violation
+    assert(out("r1_score") == ((5L, 2L, false)))
+    assert(out("s1_status") == ((5L, 1L, false))) // only 'Z'
+    assert(out("m1_status") == ((5L, 1L, false))) // only 'Z'
+    // id groups: {1,1,1}, {2}, {null} -> 2 rows beyond first
+    assert(out("u1_id") == ((5L, 2L, false)))
+    // an all-clean table passes every rule
+    val clean = Seq((1L, "A", 10.0), (2L, "B", 20.0)).toDF("id", "status", "score")
+    val ok = Quality.expectationsAudit(clean, Seq(
+        NotNull("n1", "id"), InRange("r1", "score", 0.0, 100.0),
+        Unique("u1", Seq("id"))))
+      .collect()
+    graft.CacheScope.releaseAll()
+    assert(ok.forall(_.getAs[Boolean]("pass")))
+    assert(ok.forall(_.getAs[Long]("n_violations") == 0L))
+  }
+
+  test("expectationsQuarantine: violating rows tagged with every broken " +
+      "rule in rule order; clean rows absent") {
+    import spark.implicits._
+    import Quality.Expectation._
+    val df = Seq(
+      (1L, Some("A"), Some(10.0)), // clean
+      (2L, Some("Z"), Some(200.0)), // bad status + out of range
+      (3L, None, Some(50.0)), // null status
+      (4L, Some("B"), None) // null score skips the range rule -> clean
+    ).toDF("id", "status", "score")
+    val out = Quality.expectationsQuarantine(df, "id", Seq(
+        NotNull("n_status", "status"),
+        InRange("r_score", "score", 0.0, 100.0),
+        InSet("s_status", "status", Seq("A", "B"))))
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("violated_rules"),
+        r.getAs[Long]("n_violated")))
+    assert(out.toSeq == Seq(
+      (2L, "r_score,s_status", 2L),
+      (3L, "n_status", 1L)))
+  }
 }

@@ -526,4 +526,43 @@ class SimilaritySpec extends SparkSpec {
     assert(nq8 == 5L && ov8 >= 0L && ov8 <= 25L)
     assert(rec8 == (ov8 * 1000000L) / 25L)
   }
+
+  test("binaryQuantRecall: orthant-separated clusters recall 1.0; " +
+      "recall bounded on real embeddings; one row per query") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Two sign-orthant clusters of 6 vectors each (dims 0-31 positive vs
+    // dims 32-63 positive, small within-cluster jitter on magnitudes
+    // only): every vector's binary signature equals its cluster mask, so
+    // Hamming separates the clusters perfectly and cosine agrees —
+    // binary top-5 must equal exact top-5 for every query.
+    val dim = 64
+    val vecs = (0 until 12).map { i =>
+      val cluster = i % 2
+      val v = Array.tabulate(dim) { d =>
+        val active = if (cluster == 0) d < 32 else d >= 32
+        if (active) 1.0f + 0.01f * ((i * 7 + d) % 5) else -1.0f - 0.01f * ((i * 3 + d) % 5)
+      }
+      (i.toLong, v)
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.binaryQuantRecall(emb, "vec_id", "embedding",
+      col("vec_id") < 4, 5, dim).collect()
+    graft.CacheScope.releaseAll()
+    assert(out.length == 4)
+    assert(out.map(_.getAs[Long]("query_id")).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(out.forall(_.getAs[Long]("n_overlap") == 5L))
+    assert(out.forall(_.getAs[Long]("recall_micro") == 1000000L))
+    // Real embeddings: recall in [0, 1e6], overlap consistent, rows = nq
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val ro = Similarity.binaryQuantRecall(real, "vec_id", "embedding",
+      col("vec_id") < 5, 5, dim).collect()
+    graft.CacheScope.releaseAll()
+    assert(ro.length == 5)
+    assert(ro.forall { r =>
+      val ov = r.getAs[Long]("n_overlap")
+      ov >= 0L && ov <= 5L &&
+        r.getAs[Long]("recall_micro") == (ov * 1000000L) / 5L
+    })
+  }
 }

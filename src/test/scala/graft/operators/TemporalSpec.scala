@@ -322,6 +322,40 @@ class TemporalSpec extends SparkSpec {
     assert(out.length == 8)
   }
 
+  test("forecastBacktest: predicted is yesterday's forecast_next, errors " +
+      "are exact micro integers, holdout window honored") {
+    import spark.implicits._
+    val vals = Seq(10.0, 20.0, 30.0, 12.0, 22.0, 32.0, 14.0, 24.0, 34.0)
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      (ts(f"2024-01-${i + 1}%02d 12:00:00"), v)
+    }.toDF("t", "v")
+    val hw = Temporal.holtWinters(df, "t", "v", period = 3)
+      .orderBy("day").collect()
+      .map(r => (r.getAs[java.sql.Date]("day"),
+        r.getAs[Long]("actual_micro"), r.getAs[Long]("forecast_next_micro")))
+    graft.CacheScope.releaseAll()
+    val out = Temporal.forecastBacktest(df, "t", "v", period = 3,
+      holdoutDays = 4).orderBy("day").collect()
+    graft.CacheScope.releaseAll()
+    // last 4 days only (all have a prior-day forecast here)
+    assert(out.length == 4)
+    val byDay = hw.map(t3 => t3._1.toString -> t3).toMap
+    out.foreach { r =>
+      val day = r.getAs[java.sql.Date]("day")
+      val prevDay = java.sql.Date.valueOf(day.toLocalDate.minusDays(1))
+      val (_, actual, _) = byDay(day.toString)
+      val (_, _, prevForecast) = byDay(prevDay.toString)
+      assert(r.getAs[Long]("actual_micro") == actual)
+      assert(r.getAs[Long]("predicted_micro") == prevForecast)
+      assert(r.getAs[Long]("abs_err_micro") == math.abs(actual - prevForecast))
+      val denom = math.abs(actual) + math.abs(prevForecast)
+      val expSmape = if (denom > 0)
+        (BigInt(2000000) * math.abs(actual - prevForecast) / denom).toLong
+      else 0L
+      assert(r.getAs[Long]("smape_micro") == expSmape)
+    }
+  }
+
   test("nelsonAalen: exact integer hazard increments and running sum") {
     import spark.implicits._
     val subjects = Seq((1L, true), (1L, false), (2L, true), (2L, true),

@@ -811,4 +811,30 @@ class TextMultimodalSpec extends SparkSpec {
     // symmetric sums: equal-size sides of the disjoint pair agree
     assert(out(("s1", "s3"))._1 == out(("s1", "s3"))._2)
   }
+
+  test("textRankKeywords: hand-unrolled path-graph ranks, minCo filter, " +
+      "self-bigram exclusion, deterministic topK cut") {
+    import spark.implicits._
+    // Surviving graph (minCo = 2): the path aa—bb—cc from the repeated
+    // doc. "dd ee" appears once (below minCo); "ff ff" is a self-bigram
+    // (filtered); neither word set enters the graph.
+    val docs = Seq("aa bb cc", "aa bb cc", "dd ee", "ff ff ff", "ff ff ff")
+      .toDF("text")
+    val out = TextOps.textRankKeywords(docs, "text",
+        minCo = 2, iters = 1, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // One pageRank iteration on the 3-node path, exact integer replay:
+    // init = 1e12/3, base = (15*init)/100; center receives both leaves'
+    // full rank, each leaf receives half the center's.
+    val init = 1000000000000L / 3 // 333333333333
+    val base = (15L * init) / 100L // 49999999999
+    val center = base + (85L * (init * 2)) / 100L // 616666666665
+    val leaf = base + (85L * (init / 2)) / 100L // 191666666665
+    assert(out == Seq(("bb", center), ("aa", leaf), ("cc", leaf)))
+    // topK cuts after the (rank DESC, word ASC) order — deterministic
+    val top2 = TextOps.textRankKeywords(docs, "text",
+        minCo = 2, iters = 1, topK = 2)
+      .collect().map(_.getString(0)).toSeq
+    assert(top2 == Seq("bb", "aa"))
+  }
 }

@@ -479,4 +479,42 @@ class WarehouseSpec extends SparkSpec {
     assert(genFiles(g3) == before)
     assert(Warehouse.readVersioned(spark, table).count() == 900)
   }
+
+  test("publishAudited (write-audit-publish): clean batch flips the " +
+      "manifest, dirty batch is quarantined with the live table intact") {
+    import spark.implicits._
+    import graft.operators.Quality.Expectation._
+    val table = Files.createTempDirectory("graft-wh-wap").toString + "/t"
+    val rules = Seq(NotNull("id_not_null", "id"),
+      InRange("v_range", "v", 0.0, 100.0))
+    val clean = Seq((Some(1L), 10.0), (Some(2L), 20.0)).toDF("id", "v")
+    val (g1, pub1, v1) = Warehouse.publishAudited(spark, clean, table, rules)
+    assert(pub1 && v1 == 0L)
+    assert(Warehouse.liveGeneration(table).contains(g1))
+    assert(Warehouse.committedGenerations(table) == Seq(g1))
+    // every published generation carries its audit proof
+    assert(Files.exists(java.nio.file.Paths.get(table, g1, "_audit.json")))
+    // dirty batch: one null id + one out-of-range value = 2 violations
+    val dirty = Seq((Some(3L), 10.0), (None, 20.0), (Some(4L), 500.0))
+      .toDF("id", "v")
+    val (g2, pub2, v2) = Warehouse.publishAudited(spark, dirty, table, rules)
+    assert(!pub2 && v2 == 2L)
+    // quarantined: staged on disk with its audit record, but never live,
+    // never committed — readers still serve batch 1 exactly
+    assert(Warehouse.liveGeneration(table).contains(g1))
+    assert(Warehouse.committedGenerations(table) == Seq(g1))
+    assert(Files.exists(java.nio.file.Paths.get(table, g2, "_audit.json")))
+    assert(Files.readString(java.nio.file.Paths.get(table, g2, "_audit.json"))
+      .contains("\"published\": false"))
+    val live = Warehouse.readVersioned(spark, table).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Double]("v"))).sorted
+    assert(live.toSeq == Seq((1L, 10.0), (2L, 20.0)))
+    // the next clean publish skips past the quarantined number and
+    // goes live normally (the orphan never shadows it)
+    val (g3, pub3, _) = Warehouse.publishAudited(spark,
+      Seq((Some(5L), 30.0)).toDF("id", "v"), table, rules)
+    assert(pub3 && g3 > g2)
+    assert(Warehouse.readVersioned(spark, table).count() == 1)
+    graft.CacheScope.releaseAll()
+  }
 }
