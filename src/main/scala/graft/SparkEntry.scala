@@ -8655,6 +8655,35 @@ object SparkEntry {
         FROM (SELECT DISTINCT query_id FROM ham) qq LEFT JOIN ov USING (query_id)
         ORDER BY query_id""")),
 
+    // Mann-Kendall trend significance on daily revenue — the exact
+    // integer S/variance companion to q237's Theil-Sen slope (is the
+    // robust trend actually significant?), tie-corrected.
+    "q267_mann_kendall" -> Q(
+      (s, dir) => Temporal.mannKendall(t(s, dir, "orders"),
+        "o_orderdate", "o_totalprice"),
+      Some("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+            CAST(SUM(CAST(round(o_totalprice * 1e6) AS BIGINT)) AS BIGINT) AS s
+          FROM orders
+          WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+          GROUP BY 1),
+        st AS (SELECT CAST(COALESCE(SUM(CASE WHEN b.s > a.s THEN 1
+              WHEN b.s < a.s THEN -1 ELSE 0 END), 0) AS BIGINT) AS s_stat
+          FROM daily a JOIN daily b ON a.d < b.d),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+        ties AS (SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0)
+              AS BIGINT) AS tie_sum
+          FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY s) g)
+        SELECT n_days, s_stat,
+          n_days * (n_days - 1) * (2 * n_days + 5) - tie_sum AS var18_num,
+          CASE WHEN n_days * (n_days - 1) * (2 * n_days + 5) - tie_sum > 0
+            THEN (CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+                       WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+                       ELSE 0.0 END)
+              / SQRT(CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_sum
+                  AS DOUBLE) / 18.0)
+          END AS z
+        FROM nn CROSS JOIN st CROSS JOIN ties""")),
+
     // Walk-forward forecast backtest: for each of the last 28 days, the
     // Holt-Winters one-step-ahead forecast issued from data strictly
     // before the day vs the realized actual — exact-integer abs error

@@ -738,6 +738,49 @@ object Temporal {
       .orderBy("day")
   }
 
+  /** MANN-KENDALL trend test over a daily measure — the significance
+    * companion to [[theilSen]]'s slope (same pairwise machinery, same
+    * calendar-bounded grid): S = Σ_{i<j} sign(s_j − s_i) counts
+    * concordant-minus-discordant day pairs, Var(S) carries the exact
+    * tie correction [n(n−1)(2n+5) − Σₜ t(t−1)(2t+5)] / 18 (Kendall
+    * 1975), and the reported z applies the ±1 continuity correction.
+    * Everything except the final z is exact BIGINT arithmetic (n ≤ a few
+    * thousand days ⇒ n³ ≪ 2⁶³); z is ONE pinned (S∓1)/√(var18/18)
+    * double sequence, null when the variance degenerates (all days
+    * tied).
+    *
+    * Scale shape: one shuffle to the observed-day micro-sum grid, the
+    * d² pair relation rides q237's broadcast-inequality join over that
+    * bounded grid, the tie term is a value-grid aggregate — raw rows are
+    * never pair-joined.
+    *
+    * Returns one row: (n_days, s_stat, var18_num, z).
+    */
+  def mannKendall(df: DataFrame, tsCol: String, valCol: String): DataFrame = {
+    val daily = graft.CacheScope.register(
+      df.filter(col(tsCol).isNotNull && col(valCol).isNotNull)
+        .groupBy(col(tsCol).cast("date").as("d"))
+        .agg(sum(round(col(valCol) * 1e6).cast("long")).as("s")))
+    val sStat = daily.as("a").join(broadcast(daily.as("b")),
+        col("a.d") < col("b.d"))
+      .agg(coalesce(sum(signum(col("b.s") - col("a.s")).cast("long")),
+        lit(0L)).as("s_stat"))
+    val n = daily.agg(count(lit(1)).as("n_days"))
+    val tieSum = daily.groupBy("s").agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)),
+        lit(0L)).as("tie_sum"))
+    n.crossJoin(broadcast(sStat)).crossJoin(broadcast(tieSum))
+      .select(col("n_days"), col("s_stat"),
+        (col("n_days") * (col("n_days") - 1) * (col("n_days") * 2 + 5)
+          - col("tie_sum")).as("var18_num"))
+      .withColumn("z",
+        when(col("var18_num") > 0,
+          when(col("s_stat") > 0, (col("s_stat") - 1).cast("double"))
+            .when(col("s_stat") < 0, (col("s_stat") + 1).cast("double"))
+            .otherwise(lit(0.0))
+            / sqrt(col("var18_num").cast("double") / lit(18.0))))
+  }
+
   /** ONE-STEP-AHEAD FORECAST BACKTEST of the Holt-Winters recurrence:
     * for every day in the trailing `holdoutDays` window, compare the
     * forecast the model issued the previous evening

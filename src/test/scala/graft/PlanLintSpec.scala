@@ -78,7 +78,8 @@ class PlanLintSpec extends SparkSpec {
     "q259_binary_quant_recall" -> "knnExactAgg's broadcast bounded query set + broadcast query-signature set (q24's shape), =!= self-match exclusion",
     "q260_expectations_audit" -> "crossJoin against the broadcast 1-row table-total aggregate (q110/q163 shape)",
     "q261_write_audit_publish" -> "crossJoin of the 2-row batch-verdict literals against the broadcast 1-row live-content aggregate",
-    "q262_split_leakage" -> "crossJoin of two broadcast 1-row count aggregates (doc totals × pair classes)")
+    "q262_split_leakage" -> "crossJoin of two broadcast 1-row count aggregates (doc totals × pair classes)",
+    "q267_mann_kendall" -> "inequality pair join over the broadcast calendar-day aggregate + assembly crossJoins of 1-row aggregates (q237's shape)")
 
   /** Queries allowed to plan a GLOBAL window (no partition columns, or a
     * constant partition) — each must window over a provably BOUNDED

@@ -356,6 +356,40 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("mannKendall: monotone series maxes S with z > 0, constant series " +
+      "degenerates, hand-computed tie-corrected mixed case") {
+    import spark.implicits._
+    // strictly increasing, 6 days: S = 15, no ties, var18 = 6*5*17 = 510
+    val up = (1 to 6).map(i => (ts(f"2024-02-$i%02d 08:00:00"), i.toDouble))
+      .toDF("t", "v")
+    val ru = Temporal.mannKendall(up, "t", "v").collect().head
+    graft.CacheScope.releaseAll()
+    assert(ru.getAs[Long]("n_days") == 6L)
+    assert(ru.getAs[Long]("s_stat") == 15L)
+    assert(ru.getAs[Long]("var18_num") == 510L)
+    assert(ru.getAs[Double]("z") == 14.0 / math.sqrt(510.0 / 18.0))
+    // constant: everything tied -> var18_num = 0 -> z null
+    val const = (1 to 5).map(i => (ts(f"2024-02-$i%02d 08:00:00"), 7.0))
+      .toDF("t", "v")
+    val rc = Temporal.mannKendall(const, "t", "v").collect().head
+    graft.CacheScope.releaseAll()
+    assert(rc.getAs[Long]("s_stat") == 0L)
+    assert(rc.getAs[Long]("var18_num") == 0L)
+    assert(rc.isNullAt(rc.fieldIndex("z")))
+    // mixed with one tie pair: values 1, 3, 3, 2
+    // pairs: (1,3)+ (1,3)+ (1,2)+ (3,3)0 (3,2)- (3,2)- => S = 1
+    // ties: one group of 2 -> tie_sum = 2*1*9 = 18
+    // var18 = 4*3*13 - 18 = 138
+    val mixed = Seq(1.0, 3.0, 3.0, 2.0).zipWithIndex.map { case (v, i) =>
+      (ts(f"2024-02-${i + 1}%02d 08:00:00"), v)
+    }.toDF("t", "v")
+    val rm = Temporal.mannKendall(mixed, "t", "v").collect().head
+    graft.CacheScope.releaseAll()
+    assert(rm.getAs[Long]("s_stat") == 1L)
+    assert(rm.getAs[Long]("var18_num") == 138L)
+    assert(rm.getAs[Double]("z") == 0.0)
+  }
+
   test("nelsonAalen: exact integer hazard increments and running sum") {
     import spark.implicits._
     val subjects = Seq((1L, true), (1L, false), (2L, true), (2L, true),
