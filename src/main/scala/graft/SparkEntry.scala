@@ -8655,6 +8655,329 @@ object SparkEntry {
         FROM (SELECT DISTINCT query_id FROM ham) qq LEFT JOIN ov USING (query_id)
         ORDER BY query_id""")),
 
+    // Growth accounting: the 1996-vs-1997 revenue waterfall by customer
+    // lifecycle — new/expansion/contraction/churned contributions whose
+    // cent-exact sum IS the year-over-year revenue delta.
+    "q274_growth_accounting" -> Q(
+      (s, dir) => Analytics.growthAccounting(t(s, dir, "orders"),
+        "o_custkey", "o_orderdate", "o_totalprice",
+        "1996-01-01 00:00:00", "1997-01-01 00:00:00",
+        "1997-01-01 00:00:00", "1998-01-01 00:00:00"),
+      Some("""WITH per AS (SELECT o_custkey AS c,
+            CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1997-01-01'
+              THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS r1,
+            CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o_orderdate < TIMESTAMP '1998-01-01'
+              THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS r2
+          FROM orders
+          WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+            AND o_totalprice IS NOT NULL
+          GROUP BY 1
+          HAVING r1 > 0 OR r2 > 0),
+        classed AS (SELECT CASE
+            WHEN r1 <= 0 AND r2 > 0 THEN 'new'
+            WHEN r1 > 0 AND r2 <= 0 THEN 'churned'
+            WHEN r2 > r1 THEN 'expansion'
+            WHEN r2 < r1 THEN 'contraction'
+            ELSE 'flat' END AS category, r2 - r1 AS delta
+          FROM per),
+        agg AS (SELECT category, CAST(COUNT(*) AS BIGINT) AS nc,
+            CAST(SUM(delta) AS BIGINT) AS dc
+          FROM classed WHERE category <> 'flat' GROUP BY 1)
+        SELECT c.category, COALESCE(nc, CAST(0 AS BIGINT)) AS n_customers,
+          COALESCE(dc, CAST(0 AS BIGINT)) AS delta_cents
+        FROM (VALUES ('new'), ('churned'), ('expansion'), ('contraction'))
+          c(category)
+        LEFT JOIN agg ON agg.category = c.category
+        ORDER BY c.category""")),
+
+    // Mix/rate decomposition of the same year-over-year delta by region:
+    // volume effect on the truncating micro-AOV grid, rate effect as the
+    // exact remainder — the identity holds to the cent by construction.
+    "q275_mix_rate_decomposition" -> Q(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        val n = t(s, dir, "nation")
+        val joined = o.join(c, o("o_custkey") === c("c_custkey"))
+          .join(n, col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name"), col("o_orderdate"), col("o_totalprice"))
+        Analytics.mixRateDecomposition(joined, "n_name", "o_orderdate",
+          "o_totalprice",
+          "1996-01-01 00:00:00", "1997-01-01 00:00:00",
+          "1997-01-01 00:00:00", "1998-01-01 00:00:00")
+      },
+      Some("""WITH j AS (SELECT n_name AS dim, o_orderdate AS ts,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          WHERE n_name IS NOT NULL AND o_orderdate IS NOT NULL
+            AND o_totalprice IS NOT NULL),
+        f AS (SELECT dim,
+            ts >= TIMESTAMP '1996-01-01' AND ts < TIMESTAMP '1997-01-01' AS p1
+          , cents FROM j
+          WHERE (ts >= TIMESTAMP '1996-01-01' AND ts < TIMESTAMP '1997-01-01')
+             OR (ts >= TIMESTAMP '1997-01-01' AND ts < TIMESTAMP '1998-01-01')),
+        g AS (SELECT dim,
+            CAST(COUNT(*) FILTER (WHERE p1) AS BIGINT) AS n1,
+            CAST(SUM(CASE WHEN p1 THEN cents ELSE 0 END) AS BIGINT) AS r1_cents,
+            CAST(COUNT(*) FILTER (WHERE NOT p1) AS BIGINT) AS n2,
+            CAST(SUM(CASE WHEN NOT p1 THEN cents ELSE 0 END) AS BIGINT) AS r2_cents
+          FROM f GROUP BY 1),
+        a AS (SELECT dim, n1, n2, r1_cents, r2_cents,
+            CASE WHEN n1 > 0 THEN (r1_cents * 1000000) // n1
+              ELSE CAST(0 AS BIGINT) END AS aov1_microcents
+          FROM g),
+        v AS (SELECT a.*,
+            ((n2 - n1) * aov1_microcents) // 1000000 AS volume_effect_cents
+          FROM a)
+        SELECT dim, n1, n2, r1_cents, r2_cents, aov1_microcents,
+          volume_effect_cents,
+          r2_cents - r1_cents - volume_effect_cents AS rate_effect_cents
+        FROM v ORDER BY dim""")),
+
+    // Markov next-event prediction backtest: argmax transition predictor
+    // trained before the cutoff, accuracy on held-out transitions after
+    // — is q127's matrix predictive or merely descriptive?
+    "q273_markov_eval" -> Q(
+      (s, dir) => Analytics.markovEval(t(s, dir, "events"), "user_id",
+        "event_type", "ts", "event_id", "2024-01-16 00:00:00"),
+      Some("""WITH p AS (SELECT event_type AS from_type,
+            CAST(ts AS TIMESTAMP) AS t,
+            lead(event_type) OVER (PARTITION BY user_id
+              ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
+          FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+            AND ts IS NOT NULL),
+        pp AS (SELECT from_type, to_type,
+            t < TIMESTAMP '2024-01-16 00:00:00' AS train
+          FROM p WHERE to_type IS NOT NULL),
+        tc AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM pp WHERE train GROUP BY 1, 2),
+        pred AS (SELECT from_type, to_type AS predicted FROM (
+            SELECT from_type, to_type, row_number() OVER (
+              PARTITION BY from_type ORDER BY n DESC, to_type) AS rk
+            FROM tc) r WHERE rk = 1),
+        tt AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_train
+          FROM tc GROUP BY 1),
+        te AS (SELECT pp.from_type, CAST(COUNT(*) AS BIGINT) AS n_test,
+            CAST(COUNT(*) FILTER (WHERE pp.to_type = pred.predicted)
+              AS BIGINT) AS n_correct
+          FROM pp LEFT JOIN pred ON pp.from_type = pred.from_type
+          WHERE NOT train GROUP BY 1)
+        SELECT from_type, predicted, COALESCE(n_train, 0) AS n_train,
+          n_test, n_correct,
+          CAST(n_correct AS DOUBLE) / CAST(n_test AS DOUBLE) AS accuracy
+        FROM te LEFT JOIN pred USING (from_type) LEFT JOIN tt USING (from_type)
+        ORDER BY from_type""")),
+
+    // Per-event-type skewness/excess kurtosis — describe()'s higher
+    // moments from exact DECIMAL milli power sums, pinned IEEE ratios.
+    "q272_moments" -> Q(
+      (s, dir) => Quality.momentsByGroup(t(s, dir, "events"),
+        "event_type", "value"),
+      Some("""WITH base AS (SELECT event_type AS g,
+            CAST(round(value * 1e3) AS BIGINT) AS v
+          FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        grid AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+            SUM(CAST(v AS HUGEINT)) AS s1,
+            SUM(CAST(v AS HUGEINT) * v) AS s2,
+            SUM(CAST(v AS HUGEINT) * v * v) AS s3,
+            SUM(CAST(v AS HUGEINT) * v * v * v) AS s4
+          FROM base GROUP BY 1),
+        m AS (SELECT g, n,
+            CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1e3 AS mean,
+            (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1e6 AS m2,
+            (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s3 AS DOUBLE)
+              - 3.0 * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
+              + 2.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+              / 1e9 AS m3,
+            (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                * CAST(s4 AS DOUBLE)
+              - 4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                * CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE)
+              + 6.0 * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE)
+                * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
+              - 3.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                 * CAST(n AS DOUBLE)) / 1e12 AS m4
+          FROM grid)
+        SELECT g AS "group", n, mean, m2 AS variance,
+          CASE WHEN m2 > 0 THEN m3 / SQRT(m2 * m2 * m2) END AS skewness,
+          CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3.0 END AS kurtosis_excess
+        FROM m ORDER BY "group"""")),
+
+    // Benjamini-Hochberg FDR across the per-event-type A/B readouts:
+    // Welch z from exact micro moments, A&S-26.2.17 two-sided p rounded
+    // to the micro grid, integer step-up rule — the multiple-testing
+    // correction the per-segment z tests (q214/q220) need.
+    "q271_bh_fdr" -> Q(
+      (s, dir) => Quality.bhFdr(t(s, dir, "events"), "event_type",
+        "user_id", "value", "bh1"),
+      Some(s"""WITH base AS (SELECT event_type AS seg,
+            ${graft.functions.Hashing.h60Sql(
+              "'bh1:' || CAST(user_id AS VARCHAR)")} % 2 = 0 AS a,
+            CAST(round(value * 1e6) AS BIGINT) AS v
+          FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+            AND value IS NOT NULL),
+        g AS (SELECT seg,
+            CAST(COUNT(*) FILTER (WHERE a) AS BIGINT) AS na,
+            SUM(CASE WHEN a THEN CAST(v AS HUGEINT) ELSE 0 END) AS sa,
+            SUM(CASE WHEN a THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS qa,
+            CAST(COUNT(*) FILTER (WHERE NOT a) AS BIGINT) AS nb,
+            SUM(CASE WHEN NOT a THEN CAST(v AS HUGEINT) ELSE 0 END) AS sb,
+            SUM(CASE WHEN NOT a THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS qb
+          FROM base GROUP BY 1),
+        w1 AS (SELECT seg, na, nb,
+            CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 1e6 AS ma,
+            CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 1e6 AS mb,
+            (CAST(na AS DOUBLE) * CAST(qa AS DOUBLE)
+              - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+              / (CAST(na AS DOUBLE) * CAST(na AS DOUBLE)) / 1e12 AS va,
+            (CAST(nb AS DOUBLE) * CAST(qb AS DOUBLE)
+              - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
+              / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE)) / 1e12 AS vb
+          FROM g),
+        w2 AS (SELECT seg, na, nb,
+            CASE WHEN na > 0 AND nb > 0 AND
+                SQRT(va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE)) > 0
+              THEN (ma - mb)
+                / SQRT(va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE))
+            END AS z
+          FROM w1),
+        w3 AS (SELECT seg, na, nb, z,
+            CASE WHEN z IS NOT NULL THEN CAST(round(
+              2.0 * 0.3989422804014327 * EXP(-0.5 * abs(z) * abs(z))
+              * (((((1.330274429 * (1.0 / (1.0 + 0.2316419 * abs(z)))
+                  + -1.821255978) * (1.0 / (1.0 + 0.2316419 * abs(z)))
+                  + 1.781477937) * (1.0 / (1.0 + 0.2316419 * abs(z)))
+                  + -0.356563782) * (1.0 / (1.0 + 0.2316419 * abs(z)))
+                  + 0.319381530) * (1.0 / (1.0 + 0.2316419 * abs(z))))
+              * 1e6) AS BIGINT) END AS p_micro
+          FROM w2),
+        mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM w3),
+        rk AS (SELECT seg, na, nb, z, p_micro,
+            CAST(row_number() OVER (ORDER BY p_micro ASC NULLS LAST, seg)
+              AS BIGINT) AS rank
+          FROM w3),
+        ps AS (SELECT rk.*, (p_micro IS NOT NULL AND
+            p_micro * (SELECT m FROM mm) <= rank * 50000) AS pass FROM rk),
+        istar AS (SELECT COALESCE(MAX(CASE WHEN pass THEN rank END),
+            CAST(0 AS BIGINT)) AS i_star FROM ps)
+        SELECT seg AS segment, na AS n_a, nb AS n_b, z, p_micro, rank,
+          rank <= (SELECT i_star FROM istar) AS significant
+        FROM ps ORDER BY rank""")),
+
+    // Adamic-Adar link prediction on q239's basket graph — the
+    // log-damped point on the neighbor-specificity curve next to RA's
+    // 1/deg, same wedge machinery, directly comparable rankings.
+    "q270_adamic_adar" -> Q(
+      (s, dir) => {
+        val items = t(s, dir, "lineitem")
+          .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+          .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
+          .distinct()
+        val pairs = items.as("a").join(items.as("b"),
+            col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
+          .groupBy(col("a.it").as("pa"), col("b.it").as("pb"))
+          .agg(count(lit(1)).as("sup")).filter(col("sup") >= 2)
+        Graphs.adamicAdar(pairs, "pa", "pb", 50)
+      },
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+            FROM lineitem
+            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+          prs AS (SELECT a.it AS id_a, b.it AS id_b
+            FROM items a JOIN items b ON a.bk = b.bk AND a.it < b.it
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+            UNION SELECT id_b, id_a FROM prs),
+          deg AS (SELECT src AS z, CAST(COUNT(*) AS BIGINT) AS dz
+            FROM edges GROUP BY 1),
+          wed AS (SELECT x.dst AS u, y.dst AS v, x.src AS z
+            FROM edges x JOIN edges y ON x.src = y.src AND x.dst < y.dst),
+          cand AS (SELECT w.u, w.v, w.z FROM wed w
+            WHERE NOT EXISTS (SELECT 1 FROM prs p
+              WHERE p.id_a = w.u AND p.id_b = w.v)),
+          scored AS (SELECT cand.u, cand.v,
+              CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+              CAST(SUM(1000000000000000000
+                // CAST(round(ln(dz) * 1e6) AS BIGINT)) AS BIGINT)
+                AS aa_score_micro
+            FROM cand JOIN deg ON cand.z = deg.z
+            WHERE dz >= 2 GROUP BY 1, 2)
+          SELECT u AS id_a, v AS id_b, common_neighbors, aa_score_micro,
+            CAST(aa_score_micro AS DOUBLE) / 1e12 AS aa_score
+          FROM scored
+          ORDER BY aa_score_micro DESC, id_a, id_b LIMIT 50""")),
+
+    // Minimum detectable effect per event type for the hashed-arm
+    // experiment: exact DECIMAL micro moments -> pooled variance ->
+    // MDE at alpha 0.05 / power 0.80 as one pinned IEEE sequence.
+    "q269_power_mde" -> Q(
+      (s, dir) => Quality.minDetectableEffect(t(s, dir, "events"),
+        "event_type", "user_id", "value", "mde1"),
+      Some(s"""WITH base AS (SELECT event_type AS seg,
+            ${graft.functions.Hashing.h60Sql(
+              "'mde1:' || CAST(user_id AS VARCHAR)")} % 2 = 0 AS a,
+            CAST(round(value * 1e6) AS BIGINT) AS v
+          FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+            AND value IS NOT NULL),
+        g AS (SELECT seg,
+            CAST(COUNT(*) FILTER (WHERE a) AS BIGINT) AS n_a,
+            CAST(COUNT(*) FILTER (WHERE NOT a) AS BIGINT) AS n_b,
+            CAST(COUNT(*) AS BIGINT) AS n,
+            SUM(CAST(v AS HUGEINT)) AS s,
+            SUM(CAST(v AS HUGEINT) * v) AS q
+          FROM base GROUP BY 1),
+        v AS (SELECT seg, n_a, n_b,
+            CAST(CAST(n AS HUGEINT) * q - s * s AS DOUBLE)
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1e12 AS pooled_var
+          FROM g)
+        SELECT seg AS segment, n_a, n_b, pooled_var,
+          CASE WHEN n_a > 0 AND n_b > 0 AND pooled_var >= 0
+            THEN 2.8015852181129688 * SQRT(pooled_var
+              * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+          END AS mde_abs
+        FROM v ORDER BY segment""")),
+
+    // Classical additive seasonal decomposition of daily event value:
+    // centered 7-day MA trend, weekday seasonal indices (centered),
+    // residual — all exact truncating micro integers on the calendar
+    // grid.
+    "q268_seasonal_decompose" -> Q(
+      (s, dir) => Temporal.classicalDecompose(t(s, dir, "events"),
+        "ts", "value", 7),
+      Some("""WITH obs AS (SELECT CAST(ts AS DATE) AS d,
+            CAST(SUM(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS s
+          FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+          GROUP BY 1),
+        mm AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM obs),
+        grid AS (SELECT gs.d, COALESCE(o.s, 0) AS s,
+            ((datediff('day', DATE '2024-01-01', gs.d) % 7) + 7) % 7 AS slot
+          FROM (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+              AS DATE) AS d FROM mm) gs
+          LEFT JOIN obs o ON o.d = gs.d),
+        tr AS (SELECT d, s, slot,
+            CASE WHEN COUNT(*) OVER w = 7
+              THEN CAST(SUM(s) OVER w AS BIGINT) // 7 END AS trend_micro
+          FROM grid
+          WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        sr AS (SELECT slot,
+            CAST(SUM(s - trend_micro) AS BIGINT) // COUNT(*) AS sea_raw
+          FROM tr WHERE trend_micro IS NOT NULL GROUP BY 1),
+        aj AS (SELECT CAST(SUM(sea_raw) AS BIGINT) // 7 AS sea_adj FROM sr),
+        se AS (SELECT slot,
+            sea_raw - (SELECT sea_adj FROM aj) AS seasonal_micro FROM sr)
+        SELECT d AS day, s AS actual_micro, trend_micro, seasonal_micro,
+          s - trend_micro - seasonal_micro AS residual_micro
+        FROM tr LEFT JOIN se USING (slot) ORDER BY day""")),
+
     // Mann-Kendall trend significance on daily revenue — the exact
     // integer S/variance companion to q237's Theil-Sen slope (is the
     // robust trend actually significant?), tie-corrected.

@@ -152,6 +152,161 @@ object Analytics {
         (col("n").cast("double") / col("__n_from").cast("double")).as("p"))
   }
 
+  /** GROWTH ACCOUNTING — the revenue-change waterfall between two
+    * periods, by customer lifecycle: Δrevenue decomposes EXACTLY into
+    * new + expansion + contraction (negative) + churned (negative)
+    * contributions, the "why did revenue move" table every subscription
+    * and commerce warehouse serves. Per-customer period revenues come
+    * from one conditional aggregate (exact cents); classification and
+    * contributions are pure integer arithmetic, so the waterfall
+    * identity Σ delta_cents = R₂ − R₁ holds to the cent.
+    *
+    * One shuffle to the customer grid, then a ≤4-row rollup.
+    *
+    * Returns per category (new / expansion / contraction / churned):
+    * (category, n_customers, delta_cents), ordered by category; empty
+    * categories are emitted with zeros so the waterfall shape is stable.
+    */
+  def growthAccounting(orders: DataFrame, custCol: String, tsCol: String,
+      valCol: String, p1Start: String, p1End: String, p2Start: String,
+      p2End: String): DataFrame = {
+    def in(lo: String, hi: String): Column =
+      col(tsCol).cast("timestamp") >= lit(lo).cast("timestamp") &&
+        col(tsCol).cast("timestamp") < lit(hi).cast("timestamp")
+    val per = orders.filter(col(custCol).isNotNull && col(tsCol).isNotNull &&
+        col(valCol).isNotNull)
+      .select(col(custCol).as("c"),
+        when(in(p1Start, p1End), round(col(valCol) * 100).cast("long"))
+          .otherwise(0L).as("v1"),
+        when(in(p2Start, p2End), round(col(valCol) * 100).cast("long"))
+          .otherwise(0L).as("v2"))
+      .groupBy("c")
+      .agg(sum("v1").as("r1"), sum("v2").as("r2"))
+      .filter(col("r1") > 0 || col("r2") > 0)
+    val classed = per.select(
+      when(col("r1") <= 0 && col("r2") > 0, "new")
+        .when(col("r1") > 0 && col("r2") <= 0, "churned")
+        .when(col("r2") > col("r1"), "expansion")
+        .when(col("r2") < col("r1"), "contraction")
+        .otherwise("flat").as("category"),
+      (col("r2") - col("r1")).as("delta"))
+    val cats = classed.sparkSession.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row("new"), org.apache.spark.sql.Row("churned"),
+        org.apache.spark.sql.Row("expansion"),
+        org.apache.spark.sql.Row("contraction")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("category",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+    cats.join(
+        classed.filter(col("category") =!= "flat")
+          .groupBy("category")
+          .agg(count(lit(1)).as("nc"), sum("delta").as("dc")),
+        Seq("category"), "left")
+      .select(col("category"),
+        coalesce(col("nc"), lit(0L)).as("n_customers"),
+        coalesce(col("dc"), lit(0L)).as("delta_cents"))
+      .orderBy("category")
+  }
+
+  /** PERIOD-OVER-PERIOD MIX/RATE DECOMPOSITION per dimension value —
+    * "did region X's revenue move because ORDER COUNT moved (volume) or
+    * because AVERAGE ORDER VALUE moved (rate)?": ΔR = (n₂−n₁)·AOV₁ +
+    * residual, with AOV₁ on the truncating micro-cent grid and the rate
+    * effect defined as the exact remainder — so volume_effect +
+    * rate_effect = ΔR holds to the cent BY CONSTRUCTION (the truncation
+    * lives inside the reported AOV, never leaks into the identity).
+    *
+    * One conditional aggregate to the dimension grid; no windows.
+    *
+    * Returns per dimension value: (dim, n1, n2, r1_cents, r2_cents,
+    * aov1_microcents, volume_effect_cents, rate_effect_cents), ordered
+    * by dim.
+    */
+  def mixRateDecomposition(orders: DataFrame, dimCol: String, tsCol: String,
+      valCol: String, p1Start: String, p1End: String, p2Start: String,
+      p2End: String): DataFrame = {
+    def in(lo: String, hi: String): Column =
+      col(tsCol).cast("timestamp") >= lit(lo).cast("timestamp") &&
+        col(tsCol).cast("timestamp") < lit(hi).cast("timestamp")
+    val grid = orders.filter(col(dimCol).isNotNull && col(tsCol).isNotNull &&
+        col(valCol).isNotNull)
+      .filter(in(p1Start, p1End) || in(p2Start, p2End))
+      .select(col(dimCol).as("dim"),
+        in(p1Start, p1End).as("__p1"),
+        round(col(valCol) * 100).cast("long").as("cents"))
+      .groupBy("dim")
+      .agg(sum(when(col("__p1"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("__p1"), col("cents")).otherwise(0L)).as("r1_cents"),
+        sum(when(!col("__p1"), 1L).otherwise(0L)).as("n2"),
+        sum(when(!col("__p1"), col("cents")).otherwise(0L)).as("r2_cents"))
+    grid.select(col("dim"), col("n1"), col("n2"), col("r1_cents"),
+        col("r2_cents"),
+        when(col("n1") > 0, expr("(r1_cents * 1000000) div n1"))
+          .otherwise(lit(0L)).as("aov1_microcents"))
+      .withColumn("volume_effect_cents",
+        expr("((n2 - n1) * aov1_microcents) div 1000000"))
+      .withColumn("rate_effect_cents",
+        col("r2_cents") - col("r1_cents") - col("volume_effect_cents"))
+      .orderBy("dim")
+  }
+
+  /** MARKOV NEXT-EVENT PREDICTION EVALUATION — the honest train/test
+    * readout of [[transitionMatrix]]: transitions whose source event
+    * falls before `splitTs` train a per-state argmax predictor (most
+    * frequent next event, ties to the lexicographically smallest — the
+    * deterministic contract); transitions at-or-after the cutoff are the
+    * held-out test set. Accuracy per source state answers "is the
+    * transition matrix actually predictive, or just descriptive" before
+    * anyone builds on it — the same walk-forward discipline as the
+    * forecast backtest, for the categorical side.
+    *
+    * Both train counts and test hits are exact integers; accuracy is the
+    * single pinned division. Per-user lead windows (bounded by one
+    * user's activity), then everything lives on the ≤ |types|² grid.
+    *
+    * Returns per source state: (from_type, predicted, n_train, n_test,
+    * n_correct, accuracy), ordered by from_type; states never seen in
+    * training carry a null prediction and count 0 correct.
+    */
+  def markovEval(events: DataFrame, keyCol: String, typeCol: String,
+      tsCol: String, tieCol: String, splitTs: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    val pairs = graft.CacheScope.register(events
+      .filter(col(keyCol).isNotNull && col(typeCol).isNotNull &&
+        col(tsCol).isNotNull)
+      .select(col(typeCol).as("from_type"), col(tsCol).as("__ts"),
+        lead(col(typeCol), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .withColumn("__train",
+        col("__ts").cast("timestamp") < lit(splitTs).cast("timestamp")))
+    val trainCounts = pairs.filter(col("__train"))
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    val predicted = trainCounts
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("from_type")
+          .orderBy(col("n").desc, col("to_type"))))
+      .filter(col("__rk") === 1)
+      .select(col("from_type"), col("to_type").as("predicted"))
+    val trainTotals = trainCounts.groupBy("from_type")
+      .agg(sum("n").cast("long").as("n_train"))
+    val test = pairs.filter(!col("__train"))
+      .join(broadcast(predicted), Seq("from_type"), "left")
+      .groupBy("from_type")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("to_type") === col("predicted"), 1L).otherwise(0L))
+          .as("n_correct"))
+    test.join(broadcast(predicted), Seq("from_type"), "left")
+      .join(broadcast(trainTotals), Seq("from_type"), "left")
+      .select(col("from_type"), col("predicted"),
+        coalesce(col("n_train"), lit(0L)).as("n_train"),
+        col("n_test"), col("n_correct"),
+        (col("n_correct").cast("double") / col("n_test").cast("double"))
+          .as("accuracy"))
+      .orderBy("from_type")
+  }
+
   /** Linear multi-touch attribution: each purchase's value is split
     * EQUALLY across the user's qualifying views (at-or-before the
     * purchase, within `windowDays`), then rolled up by the view's

@@ -1264,6 +1264,182 @@ object Quality {
         when(den > 0, (p1 - p2) / den).as("z"))
   }
 
+  /** MINIMUM DETECTABLE EFFECT / power sizing for the hashed-arm
+    * experiment, per segment: with the arms' current sample sizes and
+    * the pooled population variance of the metric, the smallest absolute
+    * lift a two-sided α = 0.05 test detects with 80% power is
+    * MDE = (z_{α/2} + z_{β}) · σ · √(1/n_a + 1/n_b) — the "is this
+    * experiment even capable of seeing the effect we care about" table
+    * every A/B platform shows before launch.
+    *
+    * The variance comes from exact DECIMAL(38,0) micro moments
+    * (order-independent), and the constant z_{α/2} + z_{β} is ONE shared
+    * double literal (2.8015852181129688) so both engines run the same
+    * pinned IEEE sequence: var = (nQ − S²)/n²/10¹², mde = c·√(var·(1/n_a
+    * + 1/n_b)).
+    *
+    * One groupBy to the (segment, arm) moment grid, a self-pair of the
+    * two arm rows per segment — never a raw-row pair join.
+    *
+    * Returns per segment: (segment, n_a, n_b, pooled_var, mde_abs),
+    * ordered by segment.
+    */
+  def minDetectableEffect(df: DataFrame, segmentCol: String,
+      userCol: String, valueCol: String, salt: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = df.filter(col(segmentCol).isNotNull &&
+        col(userCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(segmentCol).as("seg"),
+        (graft.functions.Hashing.h60(
+          concat(lit(s"$salt:"), col(userCol).cast("string"))) % 2 === 0)
+          .as("a"),
+        round(col(valueCol) * 1e6).cast("long").as("v"))
+    val grid = base.groupBy("seg")
+      .agg(sum(when(col("a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("n_b"),
+        count(lit(1)).as("n"),
+        sum(dec(col("v"))).as("s"),
+        sum(dec(col("v")) * dec(col("v"))).as("q"))
+    val c = 2.8015852181129688 // z_{0.025} + z_{0.2}
+    val varCol = (dec(col("n")) * col("q") - col("s") * col("s")).cast("double") /
+      (col("n").cast("double") * col("n").cast("double")) / lit(1e12)
+    grid.select(col("seg").as("segment"), col("n_a"), col("n_b"),
+        varCol.as("pooled_var"),
+        when(col("n_a") > 0 && col("n_b") > 0 && varCol >= 0,
+          lit(c) * sqrt(varCol * (lit(1.0) / col("n_a").cast("double")
+            + lit(1.0) / col("n_b").cast("double")))).as("mde_abs"))
+      .orderBy("segment")
+  }
+
+  /** Per-group HIGHER MOMENTS — population skewness g₁ = m₃/m₂^1.5 and
+    * excess kurtosis g₂ = m₄/m₂² − 3 — the describe() columns the
+    * mean/variance battery lacks: g₁ says which tail drags the mean
+    * (heavy-right revenue, heavy-left latency), g₂ flags the
+    * outlier-prone groups BEFORE a z-score rule is tuned on them.
+    *
+    * Power sums S₁..S₄ are exact DECIMAL(38,0) on the MILLI grid (the
+    * 4th power forces the coarser grid: micro⁴ overflows 38 digits at
+    * any realistic group size; milli⁴ leaves 10 orders of headroom).
+    * Central moments and the two ratios are ONE pinned IEEE sequence
+    * over the exactly-cast sums, so both engines agree bit-for-bit.
+    * One map-side-combined aggregate; no second pass, no window.
+    *
+    * Returns per group: (group, n, mean, variance, skewness,
+    * kurtosis_excess) — ratios null when m₂ degenerates.
+    */
+  def momentsByGroup(df: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def dbl(c: Column) = c.cast("double")
+    val v = round(col(valCol) * 1e3).cast("long")
+    val grid = df.filter(col(groupCol).isNotNull && col(valCol).isNotNull)
+      .select(col(groupCol).as("g"), v.as("v"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("v"))).as("s1"),
+        sum(dec(col("v")) * dec(col("v"))).as("s2"),
+        sum(dec(col("v")) * dec(col("v")) * dec(col("v"))).as("s3"),
+        sum(dec(col("v")) * dec(col("v")) * dec(col("v")) * dec(col("v")))
+          .as("s4"))
+    val nD = dbl(col("n"))
+    val (s1, s2, s3, s4) = (dbl(col("s1")), dbl(col("s2")), dbl(col("s3")),
+      dbl(col("s4")))
+    val mean = s1 / nD / lit(1e3)
+    val m2 = (nD * s2 - s1 * s1) / (nD * nD) / lit(1e6)
+    val m3 = (nD * nD * s3 - lit(3.0) * nD * s1 * s2
+      + lit(2.0) * s1 * s1 * s1) / (nD * nD * nD) / lit(1e9)
+    val m4 = (nD * nD * nD * s4 - lit(4.0) * nD * nD * s1 * s3
+      + lit(6.0) * nD * s1 * s1 * s2 - lit(3.0) * s1 * s1 * s1 * s1) /
+      (nD * nD * nD * nD) / lit(1e12)
+    grid.select(col("g").as("group"), col("n"),
+        mean.as("mean"), m2.as("variance"),
+        when(m2 > 0, m3 / sqrt(m2 * m2 * m2)).as("skewness"),
+        when(m2 > 0, m4 / (m2 * m2) - lit(3.0)).as("kurtosis_excess"))
+      .orderBy("group")
+  }
+
+  /** BENJAMINI-HOCHBERG FDR control across the per-segment A/B tests —
+    * the multiple-comparison correction an experimentation platform runs
+    * when one launch is read across many segments (testing 20 segments
+    * at α = 0.05 "finds" one false effect on average; BH caps the
+    * expected false-discovery fraction at α instead).
+    *
+    * Per segment: Welch z from exact DECIMAL(38,0) micro moments of the
+    * two hashed arms (the q134/q214 pinned-IEEE contract). The two-sided
+    * p uses the Abramowitz–Stegun 26.2.17 polynomial for the normal tail
+    * — every constant and the operation ORDER are written identically in
+    * both engines, and the result is immediately rounded to the 10⁻⁶
+    * grid (p_micro), the same determinism budget as the micro-log
+    * convention (both engines' libm exp agree far beyond 10⁻⁶). The
+    * step-up rule then runs on exact integers: rank segments by
+    * (p_micro, segment), pass_raw ⇔ p_micro·m ≤ rank·alphaMicro,
+    * significant ⇔ rank ≤ max passing rank.
+    *
+    * Windows run over the |segments|-row grid only (bounded); the raw
+    * scan is ONE conditional-moment aggregate.
+    *
+    * Returns per segment: (segment, n_a, n_b, z, p_micro, rank,
+    * significant), ordered by rank.
+    */
+  def bhFdr(df: DataFrame, segmentCol: String, userCol: String,
+      valueCol: String, salt: String, alphaMicro: Long = 50000L): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def dbl(c: Column) = c.cast("double")
+    val base = df.filter(col(segmentCol).isNotNull &&
+        col(userCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(segmentCol).as("seg"),
+        (graft.functions.Hashing.h60(
+          concat(lit(s"$salt:"), col(userCol).cast("string"))) % 2 === 0)
+          .as("a"),
+        round(col(valueCol) * 1e6).cast("long").as("v"))
+    val grid = base.groupBy("seg").agg(
+      sum(when(col("a"), 1L).otherwise(0L)).as("na"),
+      sum(when(col("a"), dec(col("v"))).otherwise(dec(lit(0L)))).as("sa"),
+      sum(when(col("a"), dec(col("v")) * dec(col("v")))
+        .otherwise(dec(lit(0L)))).as("qa"),
+      sum(when(!col("a"), 1L).otherwise(0L)).as("nb"),
+      sum(when(!col("a"), dec(col("v"))).otherwise(dec(lit(0L)))).as("sb"),
+      sum(when(!col("a"), dec(col("v")) * dec(col("v")))
+        .otherwise(dec(lit(0L)))).as("qb"))
+    // Welch z, pinned sequence: means and population variances per arm
+    // in value units (micro / 1e6), se = sqrt(va/na + vb/nb)
+    val ma = dbl(col("sa")) / dbl(col("na")) / lit(1e6)
+    val mb = dbl(col("sb")) / dbl(col("nb")) / lit(1e6)
+    val va = (dbl(col("na")) * dbl(col("qa")) - dbl(col("sa")) * dbl(col("sa"))) /
+      (dbl(col("na")) * dbl(col("na"))) / lit(1e12)
+    val vb = (dbl(col("nb")) * dbl(col("qb")) - dbl(col("sb")) * dbl(col("sb"))) /
+      (dbl(col("nb")) * dbl(col("nb"))) / lit(1e12)
+    val se = sqrt(va / dbl(col("na")) + vb / dbl(col("nb")))
+    val z = when(col("na") > 0 && col("nb") > 0 && se > 0, (ma - mb) / se)
+    // A&S 26.2.17 upper-tail polynomial, identical literal order in the
+    // oracle; two-sided p rounded straight onto the micro grid
+    val az = abs(col("z"))
+    val kk = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val poly = ((((lit(1.330274429) * kk + lit(-1.821255978)) * kk
+      + lit(1.781477937)) * kk + lit(-0.356563782)) * kk + lit(0.319381530)) * kk
+    val pTwo = lit(2.0) * lit(0.3989422804014327) *
+      exp(lit(-0.5) * az * az) * poly
+    val scored = graft.CacheScope.register(
+      grid.withColumn("z", z)
+        .withColumn("p_micro",
+          when(col("z").isNotNull, round(pTwo * 1e6).cast("long"))))
+    val m = scored.agg(count(lit(1)).as("m"))
+    val ranked = scored.crossJoin(broadcast(m))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("p_micro").asc_nulls_last, col("seg"))))
+      .withColumn("__pass",
+        col("p_micro").isNotNull &&
+          col("p_micro") * col("m") <= col("rank") * alphaMicro)
+    val iStar = ranked.agg(coalesce(max(when(col("__pass"), col("rank"))),
+      lit(0)).as("i_star"))
+    ranked.crossJoin(broadcast(iStar))
+      .select(col("seg").as("segment"), col("na").cast("long").as("n_a"),
+        col("nb").cast("long").as("n_b"), col("z"), col("p_micro"),
+        col("rank").cast("long").as("rank"),
+        (col("rank") <= col("i_star")).as("significant"))
+      .orderBy("rank")
+  }
+
   /** EXACT order statistics without a global sort: iterative histogram
     * selection. Each level aggregates a ≤`buckets`-bin histogram of the
     * candidate range per still-unresolved rank (map-side partial

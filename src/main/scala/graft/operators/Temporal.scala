@@ -738,6 +738,64 @@ object Temporal {
       .orderBy("day")
   }
 
+  /** CLASSICAL ADDITIVE SEASONAL DECOMPOSITION of a daily measure
+    * (trend + seasonal + residual — the moving-average construction STL
+    * refines): trend = centered period-length moving average (defined
+    * only where the full window exists), per-slot seasonal index = mean
+    * of the detrended values in that day-of-period slot, centered so the
+    * indices sum to ~0, residual = actual − trend − seasonal. All on the
+    * exact integer micro grid with truncating division (`div` ≡ DuckDB
+    * `//`), so both engines produce identical decompositions; day-of-
+    * period is pure date arithmetic (datediff mod period — no engine
+    * week-start conventions).
+    *
+    * Scale shape: one shuffle to the calendar-filled day grid (absent
+    * days are true zeros, the [[holtWinters]] convention); the MA window
+    * and the period-slot aggregate both live on that bounded grid.
+    *
+    * Returns per day: (day, actual_micro, trend_micro, seasonal_micro,
+    * residual_micro) — trend/residual null on the half-window edges.
+    */
+  def classicalDecompose(df: DataFrame, tsCol: String, valCol: String,
+      period: Int = 7): DataFrame = {
+    require(period >= 2 && period % 2 == 1,
+      s"classicalDecompose: odd period required (centered MA), got $period")
+    val half = period / 2
+    val day = col(tsCol).cast("date")
+    val observed = df.filter(col(tsCol).isNotNull && col(valCol).isNotNull)
+      .groupBy(day.as("d"))
+      .agg(sum(round(col(valCol) * 1e6).cast("long")).as("s"))
+    val bounds = observed.agg(min("d").as("lo"), max("d").as("hi"))
+    val grid = graft.CacheScope.register(
+      bounds.select(explode(sequence(col("lo"), col("hi"))).as("d"))
+        .join(observed, Seq("d"), "left")
+        .select(col("d"), coalesce(col("s"), lit(0L)).as("s"),
+          pmod(datediff(col("d"), lit("2024-01-01").cast("date")),
+            lit(period)).as("slot")))
+    val w = Window.orderBy(col("d")).rowsBetween(-half, half)
+    val trended = graft.CacheScope.register(
+      grid.withColumn("__win_n", count(lit(1)).over(w))
+        .withColumn("trend_micro",
+          when(col("__win_n") === period,
+            expr(s"cast(sum(s) over (order by d rows between $half preceding" +
+              s" and $half following) as bigint) div $period"))))
+    val seasonalRaw = trended
+      .filter(col("trend_micro").isNotNull)
+      .groupBy("slot")
+      .agg(expr("sum(s - trend_micro) div count(1)").as("sea_raw"))
+    val adj = seasonalRaw.agg(
+      expr(s"cast(sum(sea_raw) as bigint) div $period").as("sea_adj"))
+    val seasonal = seasonalRaw.crossJoin(broadcast(adj))
+      .select(col("slot"), (col("sea_raw") - col("sea_adj")).as("seasonal_micro"))
+    trended
+      .join(broadcast(seasonal), Seq("slot"), "left")
+      .select(col("d").as("day"), col("s").as("actual_micro"),
+        col("trend_micro"), col("seasonal_micro"),
+        (col("s") - col("trend_micro") - col("seasonal_micro"))
+          .as("residual_micro"))
+      .orderBy("day")
+  }
+
   /** MANN-KENDALL trend test over a daily measure — the significance
     * companion to [[theilSen]]'s slope (same pairwise machinery, same
     * calendar-bounded grid): S = Σ_{i<j} sign(s_j − s_i) counts

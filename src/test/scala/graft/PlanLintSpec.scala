@@ -79,7 +79,9 @@ class PlanLintSpec extends SparkSpec {
     "q260_expectations_audit" -> "crossJoin against the broadcast 1-row table-total aggregate (q110/q163 shape)",
     "q261_write_audit_publish" -> "crossJoin of the 2-row batch-verdict literals against the broadcast 1-row live-content aggregate",
     "q262_split_leakage" -> "crossJoin of two broadcast 1-row count aggregates (doc totals × pair classes)",
-    "q267_mann_kendall" -> "inequality pair join over the broadcast calendar-day aggregate + assembly crossJoins of 1-row aggregates (q237's shape)")
+    "q267_mann_kendall" -> "inequality pair join over the broadcast calendar-day aggregate + assembly crossJoins of 1-row aggregates (q237's shape)",
+    "q268_seasonal_decompose" -> "crossJoin against the broadcast 1-row seasonal-centering aggregate (calendar-grid relation, q110/q163 shape)",
+    "q271_bh_fdr" -> "crossJoins of broadcast 1-row m-count and i-star aggregates over the |segments|-row grid (q110/q163 shape)")
 
   /** Queries allowed to plan a GLOBAL window (no partition columns, or a
     * constant partition) — each must window over a provably BOUNDED
@@ -114,7 +116,9 @@ class PlanLintSpec extends SparkSpec {
     "q244_nelson_aalen" -> "risk-set/hazard cumulations over the duration-day grid (q179's calendar-bounded argument)",
     "q246_poisson_bootstrap" -> "rank window over the reps-row replicate-mean grid (64 rows by construction)",
     "q249_log_rank" -> "at-risk prefix cumulations over the duration-day grid (q179's calendar-bounded argument)",
-    "q263_forecast_backtest" -> "lag window over the calendar day grid (q169's calendar-bounded argument)")
+    "q263_forecast_backtest" -> "lag window over the calendar day grid (q169's calendar-bounded argument)",
+    "q268_seasonal_decompose" -> "centered moving-average window over the calendar day grid (q169's calendar-bounded argument)",
+    "q271_bh_fdr" -> "rank window over the |segments|-row test grid (bounded by segment cardinality)")
 
   test("no query plans a global window over an unbounded relation") {
     import org.apache.spark.sql.execution.SparkPlan

@@ -379,6 +379,30 @@ class GraphsSpec extends SparkSpec {
         id => id <= 2L, iters = 3, driverEdgeThreshold = 0L)))
   }
 
+  test("adamicAdar: star-graph leaf pairs score 1/ln(deg center) on the " +
+      "integer grid; adjacent pairs excluded; ln(2) path case") {
+    import spark.implicits._
+    // star: center 9 with leaves 1..4 -> every leaf pair shares only the
+    // deg-4 center
+    val star = (1L to 4L).map(l => (9L, l)).toDF("a", "b")
+    val out = Graphs.adamicAdar(star, "a", "b", 50).collect()
+    graft.CacheScope.releaseAll()
+    assert(out.length == 6) // C(4,2) leaf pairs; center pairs are edges
+    val w4 = 1000000000000000000L / math.round(math.log(4.0) * 1e6)
+    assert(out.forall(_.getAs[Long]("common_neighbors") == 1L))
+    assert(out.forall(_.getAs[Long]("aa_score_micro") == w4))
+    assert(out.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
+    // path 1-2-3: candidate (1,3) via the deg-2 center -> 1/ln 2
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val rp = Graphs.adamicAdar(path, "a", "b", 10).collect()
+    graft.CacheScope.releaseAll()
+    val w2 = 1000000000000000000L / math.round(math.log(2.0) * 1e6)
+    assert(rp.length == 1)
+    assert(rp.head.getAs[Long]("id_a") == 1L &&
+      rp.head.getAs[Long]("id_b") == 3L &&
+      rp.head.getAs[Long]("aa_score_micro") == w2)
+  }
+
   test("assortativity: star graph is exactly -1, regular graphs are " +
       "null-variance, path moments match the hand computation") {
     import spark.implicits._

@@ -208,6 +208,69 @@ class ProductAnalyticsBoundarySpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_users")).sum == 4L)
   }
 
+  test("q274 growthAccounting: hand waterfall sums exactly to the " +
+      "revenue delta; flat customers excluded; empty categories zeroed") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val p1 = Timestamp.valueOf("1996-06-01 00:00:00")
+    val p2 = Timestamp.valueOf("1997-06-01 00:00:00")
+    // c1 new (+20), c2 churned (-10), c3 expansion (+5), c4 contraction
+    // (-3), c5 flat (excluded), c6 outside both periods (ignored)
+    val rows = Seq(
+      (1L, p2, 20.0),
+      (2L, p1, 10.0),
+      (3L, p1, 10.0), (3L, p2, 15.0),
+      (4L, p1, 10.0), (4L, p2, 7.0),
+      (5L, p1, 9.0), (5L, p2, 9.0),
+      (6L, Timestamp.valueOf("1995-01-01 00:00:00"), 99.0)
+    ).toDF("cust", "ts", "v")
+    val out = Analytics.growthAccounting(rows, "cust", "ts", "v",
+        "1996-01-01 00:00:00", "1997-01-01 00:00:00",
+        "1997-01-01 00:00:00", "1998-01-01 00:00:00")
+      .collect()
+      .map(r => r.getAs[String]("category") ->
+        (r.getAs[Long]("n_customers"), r.getAs[Long]("delta_cents"))).toMap
+    graft.CacheScope.releaseAll()
+    assert(out == Map(
+      "new" -> ((1L, 2000L)), "churned" -> ((1L, -1000L)),
+      "expansion" -> ((1L, 500L)), "contraction" -> ((1L, -300L))))
+    // waterfall identity: sum of deltas = R2 - R1 (flat contributes 0)
+    assert(out.values.map(_._2).sum == (20.0 + 15.0 + 7.0 + 9.0) * 100 -
+      (10.0 + 10.0 + 10.0 + 9.0) * 100)
+  }
+
+  test("q275 mixRateDecomposition: volume + rate effects reconstruct the " +
+      "delta to the cent, truncation absorbed by the rate term") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val p1 = Timestamp.valueOf("1996-06-01 00:00:00")
+    val p2 = Timestamp.valueOf("1997-06-01 00:00:00")
+    // region A: 3 orders of 10.01 -> 2 orders of 12.00 (volume down,
+    // AOV up; AOV1 = 1001 cents exactly representable in microcents)
+    val rows = Seq(
+      ("A", p1, 10.01), ("A", p1, 10.01), ("A", p1, 10.01),
+      ("A", p2, 12.00), ("A", p2, 12.00),
+      ("B", p2, 5.0) // appears only in period 2: n1 = 0, aov1 = 0
+    ).toDF("dim", "ts", "v")
+    val out = Analytics.mixRateDecomposition(rows, "dim", "ts", "v",
+        "1996-01-01 00:00:00", "1997-01-01 00:00:00",
+        "1997-01-01 00:00:00", "1998-01-01 00:00:00")
+      .collect().map(r => r.getAs[String]("dim") -> r).toMap
+    graft.CacheScope.releaseAll()
+    val a = out("A")
+    assert(a.getAs[Long]("n1") == 3L && a.getAs[Long]("n2") == 2L)
+    assert(a.getAs[Long]("aov1_microcents") == 1001000000L)
+    assert(a.getAs[Long]("volume_effect_cents") == -1001L)
+    // identity: volume + rate = r2 - r1 exactly
+    assert(a.getAs[Long]("volume_effect_cents") +
+      a.getAs[Long]("rate_effect_cents") ==
+      a.getAs[Long]("r2_cents") - a.getAs[Long]("r1_cents"))
+    val b = out("B")
+    assert(b.getAs[Long]("n1") == 0L && b.getAs[Long]("aov1_microcents") == 0L)
+    assert(b.getAs[Long]("volume_effect_cents") == 0L)
+    assert(b.getAs[Long]("rate_effect_cents") == 500L)
+  }
+
   test("q265 didEstimate: a uniform post-period lift applied to one arm " +
       "only is recovered exactly; parallel trends give DiD = 0") {
     import spark.implicits._

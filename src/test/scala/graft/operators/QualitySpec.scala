@@ -806,6 +806,119 @@ class QualitySpec extends SparkSpec {
     assert(ok.forall(_.getAs[Long]("n_violations") == 0L))
   }
 
+  test("minDetectableEffect: constant metric gives MDE 0; hand-replayed " +
+      "variance and MDE for a two-value metric") {
+    import spark.implicits._
+    val users = (1L to 40L).toSeq
+    // segment s1: constant value; segment s2: alternating 0/2 by user id
+    val rows = users.flatMap { u =>
+      Seq(("s1", u, 5.0), ("s2", u, if (u % 2 == 0) 2.0 else 0.0))
+    }.toDF("seg", "user_id", "v")
+    val out = Quality.minDetectableEffect(rows, "seg", "user_id", "v", "mde-spec")
+      .collect().map(r => r.getAs[String]("segment") -> r).toMap
+    graft.CacheScope.releaseAll()
+    def armA(u: Long): Boolean =
+      graft.functions.Hashing.h60Local(s"mde-spec:$u") % 2 == 0
+    val nA = users.count(armA).toLong
+    assert(out("s1").getAs[Long]("n_a") == nA)
+    assert(out("s1").getAs[Double]("pooled_var") == 0.0)
+    assert(out("s1").getAs[Double]("mde_abs") == 0.0)
+    // s2: half the values 0, half 2 -> population variance exactly 1
+    val v2 = out("s2").getAs[Double]("pooled_var")
+    assert(v2 == 1.0, s"pooled_var $v2")
+    val expMde = 2.8015852181129688 *
+      math.sqrt(1.0 * (1.0 / nA + 1.0 / (40L - nA)))
+    assert(out("s2").getAs[Double]("mde_abs") == expMde)
+  }
+
+  test("momentsByGroup: Bernoulli fixture matches the closed-form " +
+      "skewness/kurtosis; symmetric data skew-free; constant degenerates") {
+    import spark.implicits._
+    val df = (Seq.fill(3)(0.0) ++ Seq(1.0)).map(("bern", _)) ++
+      Seq(1.0, 2.0, 3.0).map(("sym", _)) ++ Seq.fill(4)(("const", 5.0))
+    val out = Quality.momentsByGroup(df.toDF("g", "v"), "g", "v")
+      .collect().map(r => r.getAs[String]("group") -> r).toMap
+    graft.CacheScope.releaseAll()
+    // Bernoulli(p = 1/4): g1 = (1-2p)/sqrt(p(1-p)), g2 = (1-6p(1-p))/(p(1-p))
+    val b = out("bern")
+    assert(b.getAs[Long]("n") == 4L)
+    assert(b.getAs[Double]("mean") == 0.25)
+    assert(b.getAs[Double]("variance") == 0.1875)
+    assert(math.abs(b.getAs[Double]("skewness") - 0.5 / math.sqrt(0.1875)) < 1e-12)
+    assert(math.abs(b.getAs[Double]("kurtosis_excess") - (-2.0 / 3.0)) < 1e-12)
+    // symmetric: third central moment exactly zero
+    assert(out("sym").getAs[Double]("skewness") == 0.0)
+    // constant: m2 = 0 -> ratios null
+    assert(out("const").isNullAt(out("const").fieldIndex("skewness")))
+    assert(out("const").isNullAt(out("const").fieldIndex("kurtosis_excess")))
+  }
+
+  test("bhFdr: full driver replay of z, A&S p, ranks and the step-up " +
+      "cut; degenerate segment ranks last and never passes") {
+    import spark.implicits._
+    val users = (1L to 60L).toSeq
+    def armA(u: Long): Boolean =
+      graft.functions.Hashing.h60Local(s"bh-spec:$u") % 2 == 0
+    def s1v(u: Long): Double =
+      (if (armA(u)) 10.0 else 30.0) + (u % 3).toDouble // effect + jitter
+    val rows = users.flatMap { u =>
+      Seq(("s1", u, s1v(u)), // strong planted effect
+        ("s2", u, (u % 5).toDouble), // arm-independent noise
+        ("s3", u, 7.0)) // constant: z undefined
+    }.toDF("seg", "user_id", "v")
+    val out = Quality.bhFdr(rows, "seg", "user_id", "v", "bh-spec")
+      .collect()
+      .map(r => (r.getAs[String]("segment"), r.getAs[Long]("n_a"),
+        Option(r.get(r.fieldIndex("z"))).map(_.asInstanceOf[Double]),
+        Option(r.get(r.fieldIndex("p_micro"))).map(_.asInstanceOf[Long]),
+        r.getAs[Long]("rank"), r.getAs[Boolean]("significant")))
+    graft.CacheScope.releaseAll()
+    // independent replay (same exact moments, same pinned sequence)
+    def replay(vals: Seq[(Long, Double)]): Option[(Double, Long)] = {
+      val a = vals.filter(t => armA(t._1)).map(t => math.round(t._2 * 1e6))
+      val b = vals.filterNot(t => armA(t._1)).map(t => math.round(t._2 * 1e6))
+      val (na, nb) = (a.length.toDouble, b.length.toDouble)
+      val (sa, sb) = (a.sum.toDouble, b.sum.toDouble)
+      val qa = a.map(v => BigDecimal(v) * BigDecimal(v)).sum.toDouble
+      val qb = b.map(v => BigDecimal(v) * BigDecimal(v)).sum.toDouble
+      val ma = sa / na / 1e6; val mb = sb / nb / 1e6
+      val va = (na * qa - sa * sa) / (na * na) / 1e12
+      val vb = (nb * qb - sb * sb) / (nb * nb) / 1e12
+      val se = math.sqrt(va / na + vb / nb)
+      if (!(na > 0 && nb > 0 && se > 0)) None
+      else {
+        val z = (ma - mb) / se
+        val az = math.abs(z)
+        val kk = 1.0 / (1.0 + 0.2316419 * az)
+        val poly = ((((1.330274429 * kk + -1.821255978) * kk
+          + 1.781477937) * kk + -0.356563782) * kk + 0.319381530) * kk
+        val p = 2.0 * 0.3989422804014327 * math.exp(-0.5 * az * az) * poly
+        Some((z, math.round(p * 1e6)))
+      }
+    }
+    val exp = Map(
+      "s1" -> replay(users.map(u => u -> s1v(u))),
+      "s2" -> replay(users.map(u => u -> (u % 5).toDouble)),
+      "s3" -> replay(users.map(u => u -> 7.0)))
+    assert(exp("s3").isEmpty)
+    val byName = out.map(t => t._1 -> t).toMap
+    assert(byName("s1")._3.get == exp("s1").get._1)
+    assert(byName("s1")._4.get == exp("s1").get._2)
+    assert(byName("s2")._4.get == exp("s2").get._2)
+    assert(byName("s3")._3.isEmpty && byName("s3")._4.isEmpty)
+    // strong effect: p ~ 0 -> rank 1 and significant; degenerate ranks
+    // last and never significant
+    assert(byName("s1")._5 == 1L && byName("s1")._6)
+    assert(byName("s3")._5 == 3L && !byName("s3")._6)
+    // step-up: s2's verdict replays the integer rule with m = 3
+    val s2Pass = exp("s2").get._2 * 3 <= byName("s2")._5 * 50000
+    val iStar = Seq(
+      (1L, exp("s1").get._2 * 3 <= 1L * 50000),
+      (byName("s2")._5, s2Pass)).filter(_._2).map(_._1)
+      .foldLeft(0L)(math.max)
+    assert(byName("s2")._6 == (byName("s2")._5 <= iStar))
+  }
+
   test("expectationsQuarantine: violating rows tagged with every broken " +
       "rule in rule order; clean rows absent") {
     import spark.implicits._

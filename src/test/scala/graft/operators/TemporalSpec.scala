@@ -356,6 +356,62 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("markovEval: argmax predictor with lexicographic ties, held-out " +
+      "accuracy per state, unseen states predict null") {
+    import spark.implicits._
+    // train (before Jan 16): u1 A,B,A,B ; u2 A,C
+    // -> counts A->B:2, A->C:1, B->A:1 ; predictions A->B, B->A
+    // test (after): u3 A,B,C -> A->B correct, B->C wrong
+    //               u4 C,A   -> C->A: no training prediction, wrong
+    def r(u: Long, ts0: String, seq: Seq[String]) =
+      seq.zipWithIndex.map { case (t, i) =>
+        (u, Timestamp.valueOf(s"$ts0 0$i:00:00"), t, i.toLong)
+      }
+    val df = (r(1L, "2024-01-10", Seq("A", "B", "A", "B")) ++
+      r(2L, "2024-01-11", Seq("A", "C")) ++
+      r(3L, "2024-01-20", Seq("A", "B", "C")) ++
+      r(4L, "2024-01-21", Seq("C", "A")))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val out = Analytics.markovEval(df, "user_id", "event_type", "ts",
+        "event_id", "2024-01-16 00:00:00")
+      .collect()
+      .map(x => x.getAs[String]("from_type") ->
+        (Option(x.getAs[String]("predicted")), x.getAs[Long]("n_train"),
+          x.getAs[Long]("n_test"), x.getAs[Long]("n_correct"),
+          x.getAs[Double]("accuracy"))).toMap
+    graft.CacheScope.releaseAll()
+    assert(out("A") == ((Some("B"), 3L, 1L, 1L, 1.0)))
+    assert(out("B") == ((Some("A"), 1L, 1L, 0L, 0.0)))
+    assert(out("C") == ((None, 0L, 1L, 0L, 0.0)))
+  }
+
+  test("classicalDecompose: pure period-3 signal decomposes to exact " +
+      "trend/seasonal with zero residual; edges null") {
+    import spark.implicits._
+    // 2024-01-01 anchor -> slots 0,1,2 repeating from day 1
+    val vals = Seq(10.0, 20.0, 30.0, 10.0, 20.0, 30.0, 10.0, 20.0, 30.0)
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      (ts(f"2024-01-${i + 1}%02d 09:00:00"), v)
+    }.toDF("t", "v")
+    val out = Temporal.classicalDecompose(df, "t", "v", period = 3)
+      .orderBy("day").collect()
+    graft.CacheScope.releaseAll()
+    assert(out.length == 9)
+    // edges: half-window (1 day) each side has no trend/residual
+    assert(out.head.isNullAt(out.head.fieldIndex("trend_micro")))
+    assert(out.last.isNullAt(out.last.fieldIndex("residual_micro")))
+    // interior: trend is the window mean 20, seasonal exactly the
+    // planted offsets (slot of 2024-01-0d is (d-1) % 3), residual 0
+    val bySlot = Map(0 -> -10000000L, 1 -> 0L, 2 -> 10000000L)
+    out.zipWithIndex.drop(1).dropRight(1).foreach { case (r, i) =>
+      assert(r.getAs[Long]("trend_micro") == 20000000L)
+      assert(r.getAs[Long]("seasonal_micro") == bySlot(i % 3))
+      assert(r.getAs[Long]("residual_micro") == 0L)
+    }
+    // seasonal indices center to zero across the period
+    assert(out.slice(1, 4).map(_.getAs[Long]("seasonal_micro")).sum == 0L)
+  }
+
   test("mannKendall: monotone series maxes S with z > 0, constant series " +
       "degenerates, hand-computed tie-corrected mixed case") {
     import spark.implicits._
