@@ -121,6 +121,20 @@ object MicroGraph {
           driverEdgeThreshold = 0L).count()
       }
       CacheScope.releaseAll()
+
+      val e8 = CacheScope.register(randomEdges(nEdges))
+      e8.count()
+      time(s"adamicAdar top-50 ${scale}x") {
+        operators.Graphs.adamicAdar(e8, "a", "b", 50).count()
+      }
+      CacheScope.releaseAll()
+
+      val e9 = CacheScope.register(randomEdges(nEdges))
+      e9.count()
+      time(s"assortativity ${scale}x") {
+        operators.Graphs.assortativity(e9, "a", "b").count()
+      }
+      CacheScope.releaseAll()
     }
     spark.stop()
   }

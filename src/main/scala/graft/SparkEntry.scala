@@ -8655,6 +8655,104 @@ object SparkEntry {
         FROM (SELECT DISTINCT query_id FROM ham) qq LEFT JOIN ov USING (query_id)
         ORDER BY query_id""")),
 
+    // Split-conformal interval for the Holt-Winters one-step forecast:
+    // first half of the 28-day holdout calibrates qhat (90% target),
+    // second half measures empirical coverage — distribution-free error
+    // bars for q263's point forecasts.
+    "q276_conformal_interval" -> Q(
+      (s, dir) => Temporal.conformalInterval(t(s, dir, "events"),
+        "ts", "value", 7, 28, alphaPct = 10),
+      Some {
+        val y = "COALESCE(o.s, 0)"
+        val l2 = s"(($y - r.s1) + r.l + r.b) // 2"
+        val b2 = s"($l2 - r.l + 3 * r.b) // 4"
+        val snew = s"($y - $l2 + r.s1) // 2"
+        s"""WITH RECURSIVE obs AS (SELECT CAST(ts AS DATE) AS d,
+              CAST(SUM(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS s
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+            GROUP BY 1),
+          mm AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM obs),
+          rec AS (
+            SELECT o.d, o.s AS y, o.s AS l, CAST(0 AS BIGINT) AS b,
+              CAST(0 AS BIGINT) AS s1, CAST(0 AS BIGINT) AS s2,
+              CAST(0 AS BIGINT) AS s3, CAST(0 AS BIGINT) AS s4,
+              CAST(0 AS BIGINT) AS s5, CAST(0 AS BIGINT) AS s6,
+              CAST(0 AS BIGINT) AS s7
+            FROM obs o, mm WHERE o.d = mm.lo
+            UNION ALL
+            SELECT r.d + 1, $y, $l2, $b2,
+              r.s2, r.s3, r.s4, r.s5, r.s6, r.s7, $snew
+            FROM rec r LEFT JOIN obs o ON o.d = r.d + 1, mm
+            WHERE r.d < mm.hi),
+          f AS (SELECT d, y, lag(l + b + s1) OVER (ORDER BY d) AS p
+            FROM rec),
+          bt AS (SELECT d, abs(y - p) AS ae,
+              row_number() OVER (ORDER BY d) AS rn
+            FROM f, mm WHERE p IS NOT NULL AND d > mm.hi - 28),
+          nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bt),
+          qh AS (SELECT ae AS qhat FROM (
+              SELECT ae, row_number() OVER (ORDER BY ae, d) AS rk
+              FROM bt WHERE rn <= (SELECT n FROM nn) // 2) c
+            WHERE rk = least((SELECT n FROM nn) // 2,
+              (((SELECT n FROM nn) // 2 + 1) * 90 + 99) // 100))
+          SELECT (SELECT n FROM nn) // 2 AS n_cal,
+            CAST(COUNT(*) AS BIGINT) AS n_eval,
+            (SELECT qhat FROM qh) AS qhat_micro,
+            CAST(COUNT(*) FILTER (WHERE ae <= (SELECT qhat FROM qh))
+              AS BIGINT) AS n_covered,
+            CAST((COUNT(*) FILTER (WHERE ae <= (SELECT qhat FROM qh))
+              * 1000000) // COUNT(*) AS BIGINT) AS coverage_micro
+          FROM bt WHERE rn > (SELECT n FROM nn) // 2"""
+      }),
+
+    // Seasonality-adjusted anomaly flags: z-scores on q268's residuals —
+    // recurring weekday structure never pages, genuine deviations do.
+    "q277_seasonal_anomalies" -> Q(
+      (s, dir) => Temporal.seasonalAnomalies(t(s, dir, "events"),
+        "ts", "value", 7),
+      Some("""WITH obs AS (SELECT CAST(ts AS DATE) AS d,
+            CAST(SUM(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS s
+          FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+          GROUP BY 1),
+        mm AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM obs),
+        grid AS (SELECT gs.d, COALESCE(o.s, 0) AS s,
+            ((datediff('day', DATE '2024-01-01', gs.d) % 7) + 7) % 7 AS slot
+          FROM (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+              AS DATE) AS d FROM mm) gs
+          LEFT JOIN obs o ON o.d = gs.d),
+        tr AS (SELECT d, s, slot,
+            CASE WHEN COUNT(*) OVER w = 7
+              THEN CAST(SUM(s) OVER w AS BIGINT) // 7 END AS trend_micro
+          FROM grid
+          WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        sr AS (SELECT slot,
+            CAST(SUM(s - trend_micro) AS BIGINT) // COUNT(*) AS sea_raw
+          FROM tr WHERE trend_micro IS NOT NULL GROUP BY 1),
+        aj AS (SELECT CAST(SUM(sea_raw) AS BIGINT) // 7 AS sea_adj FROM sr),
+        se AS (SELECT slot,
+            sea_raw - (SELECT sea_adj FROM aj) AS seasonal_micro FROM sr),
+        rres AS (SELECT d, s,
+            s - trend_micro - seasonal_micro AS resid
+          FROM tr LEFT JOIN se USING (slot)
+          WHERE s - trend_micro - seasonal_micro IS NOT NULL),
+        mo AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            SUM(CAST(resid AS HUGEINT)) AS s1,
+            SUM(CAST(resid AS HUGEINT) * resid) AS q1 FROM rres),
+        zc AS (SELECT d, s, resid,
+            CASE WHEN SQRT((CAST(n AS DOUBLE) * CAST(q1 AS DOUBLE)
+                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) > 0
+              THEN (CAST(resid AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                / SQRT((CAST(n AS DOUBLE) * CAST(q1 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+            END AS z
+          FROM rres CROSS JOIN mo)
+        SELECT d AS day, s AS actual_micro, resid AS residual_micro, z,
+          COALESCE(abs(z) > 3.0, false) AS is_anomaly
+        FROM zc ORDER BY day""")),
+
     // Growth accounting: the 1996-vs-1997 revenue waterfall by customer
     // lifecycle — new/expansion/contraction/churned contributions whose
     // cent-exact sum IS the year-over-year revenue delta.

@@ -796,6 +796,81 @@ object Temporal {
       .orderBy("day")
   }
 
+  /** SPLIT-CONFORMAL PREDICTION INTERVAL for the one-step-ahead
+    * forecast (Vovk et al.; the distribution-free wrapper the
+    * Holt-Winters point forecast needs to ship with error bars): the
+    * first half of the [[forecastBacktest]] holdout calibrates
+    * q̂ = the ⌈(n_cal+1)(1−α)⌉-th smallest |residual| (capped at n_cal),
+    * and the second half measures empirical coverage of
+    * forecast ± q̂ — if coverage ≈ 1−α, the interval is honest
+    * regardless of the error distribution.
+    *
+    * Residuals are exact micro integers; the rank selection runs over
+    * the ≤holdoutDays-row grid (bounded window); coverage is exact
+    * counts + one truncating micro quotient.
+    *
+    * Returns one row: (n_cal, n_eval, qhat_micro, n_covered,
+    * coverage_micro = covered·10⁶ div n_eval).
+    */
+  def conformalInterval(df: DataFrame, tsCol: String, valCol: String,
+      period: Int, holdoutDays: Int, alphaPct: Int = 10): DataFrame = {
+    require(alphaPct > 0 && alphaPct < 100, s"alphaPct in (0,100): $alphaPct")
+    val bt = graft.CacheScope.register(
+      forecastBacktest(df, tsCol, valCol, period, holdoutDays)
+        .withColumn("__rn", row_number().over(Window.orderBy(col("day")))))
+    val n = bt.count()
+    require(n >= 4, s"conformalInterval: holdout too small ($n)")
+    val nCal = n / 2
+    // ceil((nCal+1)(1-alpha)) with integer arithmetic, capped at nCal
+    val k = math.min(nCal,
+      ((nCal + 1) * (100 - alphaPct) + 99) / 100)
+    val qhat = bt.filter(col("__rn") <= nCal)
+      .withColumn("__rk", row_number().over(Window.orderBy(
+        col("abs_err_micro"), col("day"))))
+      .filter(col("__rk") === k)
+      .select(col("abs_err_micro").as("qhat_micro"))
+    bt.filter(col("__rn") > nCal)
+      .crossJoin(broadcast(qhat))
+      .agg(lit(nCal).as("n_cal"), count(lit(1)).as("n_eval"),
+        first(col("qhat_micro")).as("qhat_micro"),
+        sum(when(col("abs_err_micro") <= col("qhat_micro"), 1L)
+          .otherwise(0L)).as("n_covered"))
+      .withColumn("coverage_micro",
+        expr("(n_covered * 1000000) div n_eval"))
+  }
+
+  /** SEASONALITY-ADJUSTED ANOMALY FLAGS — z-scores on
+    * [[classicalDecompose]]'s RESIDUALS instead of raw values: a Sunday
+    * dip that recurs every Sunday is seasonal, not anomalous; the raw
+    * z-rule (q10) pages on it, this one doesn't. Residual mean/variance
+    * come from exact DECIMAL(38,0) micro moments; each day's z is one
+    * pinned IEEE sequence, flagged at |z| > 3.
+    *
+    * Returns per decomposed day (trend defined): (day, actual_micro,
+    * residual_micro, z, is_anomaly), ordered by day.
+    */
+  def seasonalAnomalies(df: DataFrame, tsCol: String, valCol: String,
+      period: Int = 7): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val res = graft.CacheScope.register(
+      classicalDecompose(df, tsCol, valCol, period)
+        .filter(col("residual_micro").isNotNull))
+    val mom = res.agg(count(lit(1)).as("n"),
+      sum(dec(col("residual_micro"))).as("s"),
+      sum(dec(col("residual_micro")) * dec(col("residual_micro"))).as("q"))
+    val nD = col("n").cast("double")
+    val sd = sqrt((nD * col("q").cast("double")
+      - col("s").cast("double") * col("s").cast("double")) / (nD * nD))
+    res.crossJoin(broadcast(mom))
+      .withColumn("z",
+        when(sd > 0,
+          (col("residual_micro").cast("double")
+            - col("s").cast("double") / nD) / sd))
+      .select(col("day"), col("actual_micro"), col("residual_micro"),
+        col("z"), coalesce(abs(col("z")) > 3.0, lit(false)).as("is_anomaly"))
+      .orderBy("day")
+  }
+
   /** MANN-KENDALL trend test over a daily measure — the significance
     * companion to [[theilSen]]'s slope (same pairwise machinery, same
     * calendar-bounded grid): S = Σ_{i<j} sign(s_j − s_i) counts

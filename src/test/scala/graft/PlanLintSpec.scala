@@ -81,7 +81,9 @@ class PlanLintSpec extends SparkSpec {
     "q262_split_leakage" -> "crossJoin of two broadcast 1-row count aggregates (doc totals × pair classes)",
     "q267_mann_kendall" -> "inequality pair join over the broadcast calendar-day aggregate + assembly crossJoins of 1-row aggregates (q237's shape)",
     "q268_seasonal_decompose" -> "crossJoin against the broadcast 1-row seasonal-centering aggregate (calendar-grid relation, q110/q163 shape)",
-    "q271_bh_fdr" -> "crossJoins of broadcast 1-row m-count and i-star aggregates over the |segments|-row grid (q110/q163 shape)")
+    "q271_bh_fdr" -> "crossJoins of broadcast 1-row m-count and i-star aggregates over the |segments|-row grid (q110/q163 shape)",
+    "q276_conformal_interval" -> "crossJoin against the broadcast 1-row calibration-quantile aggregate (holdout grid, q110/q163 shape)",
+    "q277_seasonal_anomalies" -> "crossJoins against the broadcast 1-row residual-moment and seasonal-centering aggregates (calendar grid, q110/q163 shape)")
 
   /** Queries allowed to plan a GLOBAL window (no partition columns, or a
     * constant partition) — each must window over a provably BOUNDED
@@ -118,7 +120,9 @@ class PlanLintSpec extends SparkSpec {
     "q249_log_rank" -> "at-risk prefix cumulations over the duration-day grid (q179's calendar-bounded argument)",
     "q263_forecast_backtest" -> "lag window over the calendar day grid (q169's calendar-bounded argument)",
     "q268_seasonal_decompose" -> "centered moving-average window over the calendar day grid (q169's calendar-bounded argument)",
-    "q271_bh_fdr" -> "rank window over the |segments|-row test grid (bounded by segment cardinality)")
+    "q271_bh_fdr" -> "rank window over the |segments|-row test grid (bounded by segment cardinality)",
+    "q276_conformal_interval" -> "rank windows over the <= holdoutDays-row backtest grid (calendar-bounded)",
+    "q277_seasonal_anomalies" -> "centered moving-average window over the calendar day grid (q268's argument)")
 
   test("no query plans a global window over an unbounded relation") {
     import org.apache.spark.sql.execution.SparkPlan

@@ -356,6 +356,67 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("conformalInterval: qhat replays the calibration order statistic " +
+      "and coverage counts the eval half exactly") {
+    import spark.implicits._
+    val vals = Seq(10.0, 20.0, 30.0, 12.0, 22.0, 32.0, 14.0, 24.0, 34.0)
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      (ts(f"2024-01-${i + 1}%02d 12:00:00"), v)
+    }.toDF("t", "v")
+    val bt = Temporal.forecastBacktest(df, "t", "v", period = 3,
+        holdoutDays = 6).orderBy("day").collect()
+      .map(_.getAs[Long]("abs_err_micro"))
+    graft.CacheScope.releaseAll()
+    assert(bt.length == 6)
+    val out = Temporal.conformalInterval(df, "t", "v", period = 3,
+      holdoutDays = 6, alphaPct = 10).collect().head
+    graft.CacheScope.releaseAll()
+    // n=6 -> nCal=3, k = min(3, ceil(4*0.9)) = 3 -> qhat = max of cal
+    val cal = bt.take(3).sorted
+    val qhat = cal(2)
+    val eval = bt.drop(3)
+    val covered = eval.count(_ <= qhat).toLong
+    assert(out.getAs[Long]("n_cal") == 3L)
+    assert(out.getAs[Long]("n_eval") == 3L)
+    assert(out.getAs[Long]("qhat_micro") == qhat)
+    assert(out.getAs[Long]("n_covered") == covered)
+    assert(out.getAs[Long]("coverage_micro") == covered * 1000000L / 3L)
+  }
+
+  test("seasonalAnomalies: clean periodic signal never pages (z null); " +
+      "a planted spike carries the max |z| and the flag matches |z|>3") {
+    import spark.implicits._
+    def mk(vals: Seq[Double]) = vals.zipWithIndex.map { case (v, i) =>
+      (ts(f"2024-01-${i + 1}%02d 12:00:00"), v)
+    }.toDF("t", "v")
+    val clean = Temporal.seasonalAnomalies(
+      mk(Seq.fill(6)(Seq(10.0, 20.0, 30.0)).flatten), "t", "v", period = 3)
+      .collect()
+    graft.CacheScope.releaseAll()
+    // pure signal: residuals identically 0 -> sd 0 -> z null, no flags
+    assert(clean.nonEmpty)
+    assert(clean.forall(r => r.isNullAt(r.fieldIndex("z"))))
+    assert(clean.forall(!_.getAs[Boolean]("is_anomaly")))
+    // spike day 10 (value 20 -> 200): max |z| lands on it; flags are
+    // exactly the |z| > 3 rule
+    val spiked = Seq.fill(6)(Seq(10.0, 20.0, 30.0)).flatten
+      .updated(9, 200.0)
+    val out = Temporal.seasonalAnomalies(mk(spiked), "t", "v", period = 3)
+      .collect()
+    graft.CacheScope.releaseAll()
+    val withZ = out.filter(r => !r.isNullAt(r.fieldIndex("z")))
+    assert(withZ.nonEmpty)
+    val maxDay = withZ.maxBy(r => math.abs(r.getAs[Double]("z")))
+      .getAs[java.sql.Date]("day").toString
+    assert(maxDay == "2024-01-10")
+    assert(out.forall { r =>
+      val flagged = r.getAs[Boolean]("is_anomaly")
+      val big = !r.isNullAt(r.fieldIndex("z")) &&
+        math.abs(r.getAs[Double]("z")) > 3.0
+      flagged == big
+    })
+  }
+
   test("markovEval: argmax predictor with lexicographic ties, held-out " +
       "accuracy per state, unseen states predict null") {
     import spark.implicits._
