@@ -135,6 +135,18 @@ object MicroGraph {
         operators.Graphs.assortativity(e9, "a", "b").count()
       }
       CacheScope.releaseAll()
+
+      // Bounded-horizon SSSP: one equi-join + min-aggregate per round,
+      // rounds constant ⇒ wall ~E, jobs flat (localCheckpoint per round
+      // adds a fixed job count independent of E).
+      val e10 = CacheScope.register(
+        randomEdges(nEdges).withColumn("w", pmod(xxhash64(col("a"),
+          col("b")), lit(1000L)) + 1))
+      e10.count()
+      time(s"ssspBounded 4 rounds ${scale}x") {
+        operators.Graphs.ssspBounded(e10, "a", "b", "w", rounds = 4).count()
+      }
+      CacheScope.releaseAll()
     }
     spark.stop()
   }

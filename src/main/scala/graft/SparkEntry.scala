@@ -8753,6 +8753,520 @@ object SparkEntry {
           COALESCE(abs(z) > 3.0, false) AS is_anomaly
         FROM zc ORDER BY day""")),
 
+    // Kruskal-Wallis rank test across event types: the distribution-free
+    // omnibus companion to q235's ANOVA — doubled midranks keep every
+    // intermediate integral, the rank-square term is an exact floor
+    // quotient per group, full tie correction.
+    "q278_kruskal_wallis" -> Q(
+      (s, dir) => Quality.kruskalWallis(t(s, dir, "events"),
+        "event_type", "value"),
+      Some("""WITH base AS (SELECT event_type AS g,
+            CAST(round(value * 1e6) AS BIGINT) AS v
+          FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        gridv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS t
+          FROM base GROUP BY 1),
+        ranked AS (SELECT v,
+            COALESCE(SUM(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+              PRECEDING AND 1 PRECEDING), 0) * 2 + t + 1 AS r2
+          FROM gridv),
+        cells AS (SELECT v, g, CAST(COUNT(*) AS BIGINT) AS c
+          FROM base GROUP BY 1, 2),
+        pg AS (SELECT g, CAST(SUM(c) AS BIGINT) AS ng,
+            SUM(CAST(c AS HUGEINT) * r2) AS r2g
+          FROM cells JOIN ranked USING (v) GROUP BY 1),
+        qq AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+            SUM((r2g * r2g) // (4 * ng)) AS sq FROM pg),
+        tt AS (SELECT CAST(SUM(t) AS BIGINT) AS n,
+            CAST(SUM(CAST(t AS HUGEINT) * t * t - t) AS BIGINT) AS tie_cubes
+          FROM gridv)
+        SELECT k, n, tie_cubes, CAST(sq AS BIGINT) AS sum_q,
+          CASE WHEN k >= 2 AND n > k AND tie_cubes < n * n * n - n
+            THEN (12.0 * CAST(sq AS DOUBLE)
+                / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1))
+                - 3.0 * (CAST(n AS DOUBLE) + 1))
+              / (1.0 - CAST(tie_cubes AS DOUBLE)
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                  - CAST(n AS DOUBLE)))
+          END AS h
+        FROM tt CROSS JOIN qq""")),
+
+    // McNemar paired test: did the same customers flip activity between
+    // 1995 and 1996? Within-subject 2x2 — only the discordant cells
+    // carry signal; continuity-corrected chi-square.
+    "q279_mcnemar" -> Q(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val pairs = o
+          .filter(col("o_custkey").isNotNull && col("o_orderdate").isNotNull)
+          .groupBy("o_custkey").agg(
+            (count(when(year(col("o_orderdate")) === 1995, lit(1))) > 0)
+              .as("a95"),
+            (count(when(year(col("o_orderdate")) === 1996, lit(1))) > 0)
+              .as("b96"))
+        Quality.mcnemar(pairs, "a95", "b96")
+      },
+      Some("""WITH pairs AS (SELECT o_custkey,
+            COUNT(*) FILTER (WHERE year(o_orderdate) = 1995) > 0 AS a,
+            COUNT(*) FILTER (WHERE year(o_orderdate) = 1996) > 0 AS b
+          FROM orders
+          WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+          GROUP BY 1),
+        cells AS (SELECT
+            CAST(COUNT(*) FILTER (WHERE a AND b) AS BIGINT) AS n11,
+            CAST(COUNT(*) FILTER (WHERE a AND NOT b) AS BIGINT) AS n10,
+            CAST(COUNT(*) FILTER (WHERE NOT a AND b) AS BIGINT) AS n01,
+            CAST(COUNT(*) FILTER (WHERE NOT a AND NOT b) AS BIGINT) AS n00
+          FROM pairs)
+        SELECT n11, n10, n01, n00,
+          CASE WHEN n10 + n01 > 0
+            THEN CAST(greatest(abs(n10 - n01) - 1, 0) AS DOUBLE)
+              * CAST(greatest(abs(n10 - n01) - 1, 0) AS DOUBLE)
+              / CAST(n10 + n01 AS DOUBLE)
+          END AS chi2_cc
+        FROM cells""")),
+
+    // Mantel-Haenszel pooled odds ratio, stratified by order year: does
+    // high priority associate with high-value orders once the yearly mix
+    // is held fixed — the Simpson's-paradox guard q103's chi-square
+    // (pooled) cannot give.
+    "q280_mantel_haenszel" -> Q(
+      (s, dir) => Quality.mantelHaenszel(
+        t(s, dir, "orders")
+          .filter(col("o_orderdate").isNotNull &&
+            col("o_orderpriority").isNotNull &&
+            col("o_totalprice").isNotNull)
+          .withColumn("yr", year(col("o_orderdate"))),
+        "yr",
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+        col("o_totalprice") > 250000.0),
+      Some("""WITH base AS (SELECT year(o_orderdate) AS st,
+            o_orderpriority IN ('1-URGENT', '2-HIGH') AS e,
+            o_totalprice > 250000.0 AS o
+          FROM orders
+          WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL
+            AND o_totalprice IS NOT NULL),
+        cells AS (SELECT st,
+            CAST(COUNT(*) FILTER (WHERE e AND o) AS BIGINT) AS a,
+            CAST(COUNT(*) FILTER (WHERE e AND NOT o) AS BIGINT) AS b,
+            CAST(COUNT(*) FILTER (WHERE NOT e AND o) AS BIGINT) AS c,
+            CAST(COUNT(*) FILTER (WHERE NOT e AND NOT o) AS BIGINT) AS d
+          FROM base GROUP BY 1),
+        terms AS (SELECT a, b, c, d, a + b + c + d AS nn FROM cells),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_strata,
+            CAST(SUM(nn) AS BIGINT) AS n_total,
+            CAST(SUM(a) AS BIGINT) AS sum_a,
+            CAST(SUM(CAST(round(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+              / CAST(nn AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT)
+              AS sum_ad_micro,
+            CAST(SUM(CAST(round(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+              / CAST(nn AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT)
+              AS sum_bc_micro,
+            CAST(SUM(CAST(round(CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+              / CAST(nn AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT)
+              AS sum_ea_micro,
+            CAST(SUM(CASE WHEN nn > 1 THEN
+              CAST(round(CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+                * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)
+                / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+                  * (CAST(nn AS DOUBLE) - 1)) * 1e6) AS BIGINT)
+              ELSE 0 END) AS BIGINT) AS sum_var_micro
+          FROM terms)
+        SELECT k_strata, n_total, sum_a, sum_ad_micro, sum_bc_micro,
+          sum_ea_micro, sum_var_micro,
+          CASE WHEN sum_bc_micro > 0
+            THEN CAST(sum_ad_micro AS DOUBLE) / CAST(sum_bc_micro AS DOUBLE)
+          END AS or_mh,
+          CASE WHEN sum_var_micro > 0
+            THEN CAST(greatest(abs(sum_a * 1000000 - sum_ea_micro)
+                - 500000, 0) AS DOUBLE)
+              * CAST(greatest(abs(sum_a * 1000000 - sum_ea_micro)
+                - 500000, 0) AS DOUBLE)
+              / (1e6 * CAST(sum_var_micro AS DOUBLE))
+          END AS chi2_mh
+        FROM tot""")),
+
+    // Granger-style lag-1 regression on the daily grid: does yesterday's
+    // order VOLUME predict today's revenue beyond yesterday's revenue?
+    // Closed-form two-predictor OLS from exact integer moments, with the
+    // restricted-vs-unrestricted F.
+    "q281_granger_lag" -> Q(
+      (s, dir) => Temporal.grangerLag(t(s, dir, "orders"),
+        "o_orderdate", "o_totalprice"),
+      Some("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+            CAST(SUM(CAST(round(o_totalprice * 1e6) AS BIGINT)) AS BIGINT)
+              AS y,
+            CAST(COUNT(*) AS BIGINT) AS x
+          FROM orders
+          WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+          GROUP BY 1),
+        lagged AS (SELECT d, y, x,
+            lag(d) OVER (ORDER BY d) AS pd,
+            lag(y) OVER (ORDER BY d) AS u,
+            lag(x) OVER (ORDER BY d) AS v
+          FROM daily),
+        p AS (SELECT y, u, v FROM lagged
+          WHERE pd IS NOT NULL AND datediff('day', pd, d) = 1),
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            SUM(CAST(y AS HUGEINT)) AS sy, SUM(CAST(u AS HUGEINT)) AS su,
+            SUM(CAST(v AS HUGEINT)) AS sv,
+            SUM(CAST(y AS HUGEINT) * y) AS syy,
+            SUM(CAST(u AS HUGEINT) * u) AS suu,
+            SUM(CAST(v AS HUGEINT) * v) AS svv,
+            SUM(CAST(y AS HUGEINT) * u) AS syu,
+            SUM(CAST(y AS HUGEINT) * v) AS syv,
+            SUM(CAST(u AS HUGEINT) * v) AS suv
+          FROM p),
+        c AS (SELECT n,
+            CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+              / CAST(n AS DOUBLE) AS cyy,
+            CAST(suu AS DOUBLE) - CAST(su AS DOUBLE) * CAST(su AS DOUBLE)
+              / CAST(n AS DOUBLE) AS cuu,
+            CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+              / CAST(n AS DOUBLE) AS cvv,
+            CAST(syu AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(su AS DOUBLE)
+              / CAST(n AS DOUBLE) AS cyu,
+            CAST(syv AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sv AS DOUBLE)
+              / CAST(n AS DOUBLE) AS cyv,
+            CAST(suv AS DOUBLE) - CAST(su AS DOUBLE) * CAST(sv AS DOUBLE)
+              / CAST(n AS DOUBLE) AS cuv
+          FROM m),
+        sol AS (SELECT n, cyy, cuu, cyu, cyv,
+            cuu * cvv - cuv * cuv AS det,
+            (cvv * cyu - cuv * cyv) / (cuu * cvv - cuv * cuv) AS b1,
+            (cuu * cyv - cuv * cyu) / (cuu * cvv - cuv * cuv) AS b2
+          FROM c),
+        fin AS (SELECT n, b1, b2, det, cuu,
+            cyy - b1 * cyu - b2 * cyv AS rss_u,
+            cyy - cyu * cyu / cuu AS rss_r
+          FROM sol)
+        SELECT n AS n_days,
+          CASE WHEN n > 3 AND det <> 0 AND cuu > 0 AND rss_u > 0
+            THEN b1 END AS b_y_lag,
+          CASE WHEN n > 3 AND det <> 0 AND cuu > 0 AND rss_u > 0
+            THEN b2 END AS b_x_lag,
+          CASE WHEN n > 3 AND det <> 0 AND cuu > 0 AND rss_u > 0
+            THEN (rss_r - rss_u) * (CAST(n AS DOUBLE) - 3) / rss_u
+          END AS f_granger
+        FROM fin""")),
+
+    // Weight-of-evidence / information value of order priority against
+    // the fulfilled flag — the per-bin direction-and-magnitude audit
+    // q103's chi-square (one global number) cannot give.
+    "q282_woe_iv" -> Q(
+      (s, dir) => Quality.woeIv(t(s, dir, "orders"),
+        "o_orderpriority", col("o_orderstatus") === "F"),
+      Some("""WITH bins AS (SELECT o_orderpriority AS bin,
+            CAST(COUNT(*) FILTER (WHERE y) AS BIGINT) AS n_pos,
+            CAST(COUNT(*) FILTER (WHERE NOT y) AS BIGINT) AS n_neg
+          FROM (SELECT o_orderpriority, o_orderstatus = 'F' AS y
+            FROM orders) b
+          WHERE bin IS NOT NULL AND y IS NOT NULL GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS tp,
+            CAST(SUM(n_neg) AS BIGINT) AS tn FROM bins),
+        wv AS (SELECT bin, n_pos, n_neg, tp, tn,
+            CASE WHEN n_pos > 0 AND n_neg > 0 AND tp > 0 AND tn > 0
+              THEN CAST(round(ln(CAST(n_pos AS DOUBLE)
+                  * CAST(tn AS DOUBLE)) * 1e6) AS BIGINT)
+                - CAST(round(ln(CAST(n_neg AS DOUBLE)
+                  * CAST(tp AS DOUBLE)) * 1e6) AS BIGINT)
+            END AS woe_micro
+          FROM bins CROSS JOIN tot),
+        wi AS (SELECT bin, n_pos, n_neg, woe_micro,
+            CAST(round((CAST(n_pos AS DOUBLE) / CAST(tp AS DOUBLE)
+              - CAST(n_neg AS DOUBLE) / CAST(tn AS DOUBLE))
+              * CAST(woe_micro AS DOUBLE)) AS BIGINT) AS iv_micro
+          FROM wv)
+        SELECT bin, n_pos, n_neg, woe_micro, iv_micro,
+          (SELECT CAST(COALESCE(SUM(iv_micro), 0) AS BIGINT) FROM wi)
+            AS iv_total_micro
+        FROM wi ORDER BY bin""")),
+
+    // Smoothed target encoding of customers against order value: the
+    // empirical-Bayes shrinkage feature (pseudo-count prior m=10 pulls
+    // one-order customers toward the global mean), exact on the integer
+    // micro grid end to end.
+    "q283_target_encoding" -> Q(
+      (s, dir) => Analytics.targetEncode(t(s, dir, "orders"),
+        "o_custkey", "o_totalprice", 10L),
+      Some("""WITH base AS (SELECT o_custkey AS category,
+            CAST(round(o_totalprice * 1e6) AS BIGINT) AS x
+          FROM orders
+          WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL),
+        pc AS (SELECT category, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(x) AS BIGINT) AS sum_micro FROM base GROUP BY 1),
+        g AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+            SUM(CAST(sum_micro AS HUGEINT)) AS s FROM pc)
+        SELECT category, n, sum_micro,
+          CAST(s // nn AS BIGINT) AS global_mean_micro,
+          CAST((CAST(sum_micro AS HUGEINT) + 10 * (s // nn)) // (n + 10)
+            AS BIGINT) AS enc_micro
+        FROM pc CROSS JOIN g ORDER BY category""")),
+
+    // Count-min sketch of the token frequency distribution (4 x 1024
+    // counters), probed at the top-20 true-frequency tokens — hash rows
+    // use the cross-engine h60 family, so the oracle replays the sketch
+    // EXACTLY: estimates are value-checked, and the one-sided
+    // estimate >= truth contract is checked per probe.
+    "q284_countmin_sketch" -> Q(
+      (s, dir) => TextOps.countMinSketch(t(s, dir, "documents"),
+        "text", depth = 4, width = 1024, topK = 20),
+      Some(s"""WITH toks AS (SELECT unnest(string_split_regex(
+              lower(trim(text)), '\\s+')) AS tok
+            FROM documents WHERE text IS NOT NULL),
+        vocab AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+          FROM toks WHERE len(tok) > 0 GROUP BY 1),
+        seeds AS (SELECT unnest(range(0, 4)) AS r),
+        sk AS (SELECT r,
+            ${graft.functions.Hashing.h60Sql(
+              "CAST(r AS VARCHAR) || ':' || tok")} % 1024 AS b, c
+          FROM vocab CROSS JOIN seeds),
+        sketch AS (SELECT r, b, CAST(SUM(c) AS BIGINT) AS cell
+          FROM sk GROUP BY 1, 2),
+        probes AS (SELECT tok, c FROM vocab ORDER BY c DESC, tok LIMIT 20),
+        pc AS (SELECT tok, c, r,
+            ${graft.functions.Hashing.h60Sql(
+              "CAST(r AS VARCHAR) || ':' || tok")} % 1024 AS b
+          FROM probes CROSS JOIN seeds),
+        est AS (SELECT tok, c, CAST(MIN(cell) AS BIGINT) AS est_count
+          FROM pc JOIN sketch USING (r, b) GROUP BY 1, 2)
+        SELECT tok AS token, c AS true_count, est_count,
+          est_count >= c AS never_under
+        FROM est ORDER BY true_count DESC, token"""),
+    ),
+
+    // Feature hashing (the hashing trick) of the document token space
+    // into 64 buckets with h60-derived signs — the per-bucket collision
+    // audit of the unbounded-vocabulary featurizer, exactly replayed by
+    // the oracle.
+    "q285_feature_hashing" -> Q(
+      (s, dir) => TextOps.featureHash(t(s, dir, "documents"),
+        "text", buckets = 64),
+      Some(s"""WITH toks AS (SELECT unnest(string_split_regex(
+              lower(trim(text)), '\\s+')) AS tok
+            FROM documents WHERE text IS NOT NULL),
+        vocab AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+          FROM toks WHERE len(tok) > 0 GROUP BY 1),
+        fh AS (SELECT
+            ${graft.functions.Hashing.h60Sql("tok", 101)} % 64 AS bucket,
+            (${graft.functions.Hashing.h60Sql("tok", 102)} % 2) * 2 - 1
+              AS sign, c
+          FROM vocab)
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          CAST(SUM(c) AS BIGINT) AS total_count,
+          CAST(SUM(sign * c) AS BIGINT) AS signed_sum
+        FROM fh GROUP BY 1 ORDER BY 1"""),
+    ),
+
+    // Approximate-quantile sketch contract: Spark's percentile_approx
+    // (the only quantile a 100 TB column gets) rank-checked against
+    // exact ranks off the distinct-value grid — the oracle checks the
+    // contract booleans (q31's bound-check convention; the sketch
+    // output itself is engine-specific).
+    "q286_quantile_sketch" -> Q(
+      (s, dir) => Quality.approxQuantileContract(t(s, dir, "orders"),
+        "o_totalprice", Seq(0.25, 0.5, 0.75, 0.95), accuracy = 1000),
+      Some("""WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders WHERE o_totalprice IS NOT NULL)
+        SELECT CAST(q_micro AS BIGINT) AS q_micro, n,
+          true AS within_bound
+        FROM (VALUES (250000), (500000), (750000), (950000)) v(q_micro)
+        CROSS JOIN nn ORDER BY q_micro""")),
+
+    // Cochran-Armitage trend: does the high-value-order rate change
+    // MONOTONICALLY across the ordered priority tiers (1-URGENT .. 5-LOW)?
+    // — the ordered alternative q103's chi-square can't target; exact
+    // integer sums, one pinned z.
+    "q287_cochran_armitage" -> Q(
+      (s, dir) => Quality.cochranArmitage(
+        t(s, dir, "orders")
+          .filter(col("o_orderpriority").isNotNull)
+          .withColumn("tier",
+            substring(col("o_orderpriority"), 1, 1).cast("long")),
+        "tier", col("o_totalprice") > 250000.0),
+      Some("""WITH base AS (SELECT
+            CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS s,
+            o_totalprice > 250000.0 AS y
+          FROM orders
+          WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+        cells AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n_i,
+            CAST(COUNT(*) FILTER (WHERE y) AS BIGINT) AS r_i
+          FROM base GROUP BY 1),
+        agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+            CAST(SUM(n_i) AS BIGINT) AS n,
+            CAST(SUM(r_i) AS BIGINT) AS r,
+            CAST(SUM(s * r_i) AS BIGINT) AS sum_sr,
+            CAST(SUM(s * n_i) AS BIGINT) AS sum_sn,
+            CAST(SUM(s * s * n_i) AS BIGINT) AS sum_s2n
+          FROM cells)
+        SELECT k, n, r, sum_sr, sum_sn, sum_s2n,
+          CASE WHEN r > 0 AND r < n
+              AND CAST(CAST(n AS HUGEINT) * sum_s2n
+                - CAST(sum_sn AS HUGEINT) * sum_sn AS DOUBLE) > 0
+            THEN CAST(CAST(n AS HUGEINT) * sum_sr
+                - CAST(r AS HUGEINT) * sum_sn AS DOUBLE)
+              * SQRT(CAST(n AS DOUBLE))
+              / SQRT(CAST(CAST(r AS HUGEINT) * (n - r) AS DOUBLE)
+                * CAST(CAST(n AS HUGEINT) * sum_s2n
+                  - CAST(sum_sn AS HUGEINT) * sum_sn AS DOUBLE))
+          END AS z
+        FROM agg""")),
+
+    // Huber robust location of order value by integer IRLS from the
+    // exact lower median — the outlier-resistant center the mean can't
+    // give and the median over-pays efficiency for; every iterate is an
+    // exact integer quotient, bit-replayed by the oracle.
+    "q288_huber_location" -> Q(
+      (s, dir) => Quality.huberLocation(t(s, dir, "orders"),
+        "o_totalprice", kMicro = 100000000000L, iters = 3),
+      Some {
+        def iter(j: Int, prev: String): String =
+          s"""i$j AS (SELECT CAST(SUM(w * CAST(x AS HUGEINT) * cnt)
+              // SUM(w * CAST(cnt AS HUGEINT)) AS BIGINT) AS mu_$j
+            FROM (SELECT x, cnt,
+                CASE WHEN abs(x - $prev) <= 100000000000
+                  THEN 1000000
+                  ELSE (100000000000 * 1000000) // abs(x - $prev) END AS w
+              FROM grid, i${j - 1}))"""
+        s"""WITH grid AS (SELECT CAST(round(o_totalprice * 1e6) AS BIGINT)
+              AS x, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+          nn AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM grid),
+          i0 AS (SELECT MIN(x) AS mu_0
+            FROM (SELECT x, SUM(cnt) OVER (ORDER BY x) AS cum FROM grid),
+              nn WHERE cum >= (n + 1) // 2),
+          ${iter(1, "mu_0")},
+          ${iter(2, "mu_1")},
+          ${iter(3, "mu_2")}
+          SELECT n, mu_0, mu_1, mu_2, mu_3
+          FROM nn, i0, i1, i2, i3"""
+      }),
+
+    // MASE forecast evaluation: the Holt-Winters backtest scored
+    // against the seasonal-naive baseline (same day last week) — the
+    // scale-free "is the smoother worth deploying?" number q263's
+    // per-day errors don't aggregate to.
+    "q289_forecast_mase" -> Q(
+      (s, dir) => Temporal.forecastMase(t(s, dir, "events"),
+        "ts", "value", 7, 28),
+      Some {
+        val y = "COALESCE(o.s, 0)"
+        val l2 = s"(($y - r.s1) + r.l + r.b) // 2"
+        val b2 = s"($l2 - r.l + 3 * r.b) // 4"
+        val snew = s"($y - $l2 + r.s1) // 2"
+        s"""WITH RECURSIVE obs AS (SELECT CAST(ts AS DATE) AS d,
+              CAST(SUM(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS s
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+            GROUP BY 1),
+          mm AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM obs),
+          rec AS (
+            SELECT o.d, o.s AS y, o.s AS l, CAST(0 AS BIGINT) AS b,
+              CAST(0 AS BIGINT) AS s1, CAST(0 AS BIGINT) AS s2,
+              CAST(0 AS BIGINT) AS s3, CAST(0 AS BIGINT) AS s4,
+              CAST(0 AS BIGINT) AS s5, CAST(0 AS BIGINT) AS s6,
+              CAST(0 AS BIGINT) AS s7
+            FROM obs o, mm WHERE o.d = mm.lo
+            UNION ALL
+            SELECT r.d + 1, $y, $l2, $b2,
+              r.s2, r.s3, r.s4, r.s5, r.s6, r.s7, $snew
+            FROM rec r LEFT JOIN obs o ON o.d = r.d + 1, mm
+            WHERE r.d < mm.hi),
+          f AS (SELECT d, y,
+              lag(l + b + s1) OVER (ORDER BY d) AS p,
+              lag(y, 7) OVER (ORDER BY d) AS nv
+            FROM rec)
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+            CAST(SUM(abs(y - p)) AS BIGINT) AS sum_err_model_micro,
+            CAST(SUM(abs(y - nv)) AS BIGINT) AS sum_err_naive_micro,
+            CASE WHEN SUM(abs(y - nv)) > 0
+              THEN CAST((CAST(SUM(abs(y - p)) AS HUGEINT) * 1000000)
+                // SUM(abs(y - nv)) AS BIGINT)
+            END AS mase_micro
+          FROM f, mm
+          WHERE p IS NOT NULL AND nv IS NOT NULL AND d > mm.hi - 28"""
+      }),
+
+    // Count-min merge law audited end-to-end: even/odd document halves
+    // sketched independently, merged cell-wise, compared EXACTLY against
+    // the whole-corpus sketch — the linearity audit that licenses
+    // per-batch sketches in an incremental pipeline.
+    "q290_cms_merge" -> Q(
+      (s, dir) => TextOps.cmsMergeCheck(t(s, dir, "documents"),
+        "doc_id", "text", depth = 4, width = 256),
+      Some {
+        def cellsCte(name: String, filt: String): String =
+          s"""${name}_v AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT doc_id, unnest(string_split_regex(
+                lower(trim(text)), '\\s+')) AS tok
+              FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL)
+            WHERE len(tok) > 0 $filt GROUP BY 1),
+          $name AS (SELECT r,
+              ${graft.functions.Hashing.h60Sql(
+                "CAST(r AS VARCHAR) || ':' || tok")} % 256 AS b,
+              CAST(SUM(c) AS BIGINT) AS cell
+            FROM ${name}_v CROSS JOIN seeds GROUP BY 1, 2)"""
+        s"""WITH seeds AS (SELECT unnest(range(0, 4)) AS r),
+          ${cellsCte("whole", "")},
+          ${cellsCte("even", "AND doc_id % 2 = 0")},
+          ${cellsCte("odd", "AND doc_id % 2 = 1")},
+          merged AS (SELECT r, b, CAST(SUM(cell) AS BIGINT) AS cell
+            FROM (SELECT * FROM even UNION ALL SELECT * FROM odd)
+            GROUP BY 1, 2),
+          j AS (SELECT w.cell AS wc, m.cell AS mc
+            FROM whole w FULL OUTER JOIN merged m USING (r, b))
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+          CAST(COALESCE(SUM(wc), 0) AS BIGINT) AS total_mass,
+          CAST(SUM(CASE WHEN COALESCE(wc, -1) <> COALESCE(mc, -2)
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+          SUM(CASE WHEN COALESCE(wc, -1) <> COALESCE(mc, -2)
+            THEN 1 ELSE 0 END) = 0 AS merge_exact
+        FROM j"""
+      }),
+
+    // Hop-bounded weighted shortest paths on the basket graph from its
+    // minimum-id part (Bellman-Ford, 4 relaxation rounds, exact integer
+    // micro distances, edge cost 10^6 div support) — the bounded-horizon
+    // SSSP feature; oracle unrolls the same rounds with MATERIALIZED
+    // levels (the q226 hygiene rule).
+    "q291_sssp_bounded" -> Q(
+      (s, dir) => {
+        val items = t(s, dir, "lineitem")
+          .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+          .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
+          .distinct()
+        val pairs = items.as("a").join(items.as("b"),
+            col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
+          .groupBy(col("a.it").as("pa"), col("b.it").as("pb"))
+          .agg(count(lit(1)).as("sup")).filter(col("sup") >= 2)
+          .withColumn("w", expr("1000000L div sup"))
+        Graphs.ssspBounded(pairs, "pa", "pb", "w", rounds = 4)
+      },
+      Some {
+        def level(j: Int): String =
+          s"""d$j AS MATERIALIZED (SELECT node, CAST(MIN(dist) AS BIGINT)
+              AS dist
+            FROM (SELECT node, dist FROM d${j - 1}
+              UNION ALL
+              SELECT e.v, d${j - 1}.dist + e.w
+              FROM d${j - 1} JOIN e ON e.u = d${j - 1}.node)
+            GROUP BY 1)"""
+        s"""WITH items AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+            FROM lineitem
+            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+          pairs AS MATERIALIZED (SELECT a.it AS pa, b.it AS pb,
+              CAST(1000000 // COUNT(*) AS BIGINT) AS w
+            FROM items a JOIN items b ON a.bk = b.bk AND a.it < b.it
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+          e AS MATERIALIZED (SELECT pa AS u, pb AS v, w FROM pairs
+            UNION ALL SELECT pb, pa, w FROM pairs),
+          d0 AS MATERIALIZED (SELECT MIN(u) AS node,
+            CAST(0 AS BIGINT) AS dist FROM e),
+          ${level(1)},
+          ${level(2)},
+          ${level(3)},
+          ${level(4)}
+          SELECT node, dist AS dist_micro FROM d4 ORDER BY node"""
+      }),
+
     // Growth accounting: the 1996-vs-1997 revenue waterfall by customer
     // lifecycle — new/expansion/contraction/churned contributions whose
     // cent-exact sum IS the year-over-year revenue delta.

@@ -662,4 +662,46 @@ object Analytics {
       .select(col("c").as(custCol), col("r_days"), col("f"), col("m_cents"),
         col("r_days_code"), col("f_code"), col("m_cents_code"))
   }
+
+  /** SMOOTHED TARGET ENCODING of a categorical column against a numeric
+    * target — the leakage-prone feature every tabular-ML pipeline wants
+    * precomputed at warehouse scale: enc(cat) = (Σtarget + m·ȳ) / (n + m)
+    * with a pseudo-count prior m pulling rare categories toward the
+    * global mean (the standard empirical-Bayes shrinkage; m = 0 is the
+    * raw per-category mean). Entirely exact integer arithmetic on the
+    * micro grid: ȳ_micro = ΣΣ div N (floor), enc_micro =
+    * (Σ_micro + m·ȳ_micro) div (n + m) — bit-identical in any engine,
+    * no float accumulation anywhere.
+    *
+    * Scale shape: one map-side-combined shuffle to |categories| rows
+    * (n, Σ), one broadcast one-row global aggregate. The encoded table
+    * is the broadcast-ready dimension a downstream join consumes; rows
+    * are never re-shuffled.
+    *
+    * Returns per category, ordered: (category, n, sum_micro,
+    * global_mean_micro, enc_micro).
+    */
+  def targetEncode(df: DataFrame, catCol: String, valCol: String,
+      priorCount: Long): DataFrame = {
+    require(priorCount >= 0, s"priorCount must be >= 0: $priorCount")
+    val base = df.filter(col(catCol).isNotNull && col(valCol).isNotNull)
+      .select(col(catCol).as("category"),
+        round(col(valCol) * 1e6).cast("long").as("x"))
+    val perCat = base.groupBy("category").agg(
+      count(lit(1)).as("n"),
+      sum("x").cast("long").as("sum_micro"))
+    val g = perCat.agg(sum("n").cast("long").as("__N"),
+      sum(col("sum_micro").cast("decimal(38,0)")).cast("decimal(38,0)")
+        .as("__S"))
+    perCat.crossJoin(broadcast(g))
+      .withColumn("global_mean_micro",
+        expr("cast(__S div __N as long)"))
+      .withColumn("enc_micro",
+        expr(s"cast((cast(sum_micro as decimal(38,0)) + " +
+          s"cast($priorCount as decimal(38,0)) * (__S div __N)) " +
+          s"div (n + $priorCount) as long)"))
+      .select(col("category"), col("n"), col("sum_micro"),
+        col("global_mean_micro"), col("enc_micro"))
+      .orderBy("category")
+  }
 }

@@ -1346,4 +1346,46 @@ object Graphs {
           / (dec(col("m")) * col("sxx") - dec(col("sx")) * col("sx")).cast("double"))
         .as("assortativity"))
   }
+
+  /** HOP-BOUNDED WEIGHTED SHORTEST PATHS (Bellman-Ford relaxation) from
+    * the minimum-id node of an undirected weighted graph: after `rounds`
+    * relaxations, dist(v) is EXACTLY the cheapest path of ≤ rounds hops
+    * — the bounded-horizon SSSP every "how close is this node to the
+    * hub?" feature needs, with the horizon made explicit instead of
+    * iterating to an unbounded fixed point. Weights are positive integer
+    * micro; distances stay exact BIGINT sums, so every engine agrees
+    * bit-for-bit.
+    *
+    * Scale shape: each round is one equi-join of the CURRENT frontier
+    * relation against the edge list plus one min-aggregate — O(E) work
+    * per round, `rounds` a small constant; the distance relation is
+    * bounded by the reachable set. No driver loop over data — only the
+    * constant unroll. The lineage is cut per round via CacheScope so
+    * the unrolled plan stays linear, not exponential.
+    *
+    * Returns (node, dist_micro) for every node within `rounds` hops,
+    * ordered by node.
+    */
+  def ssspBounded(edges: DataFrame, aCol: String, bCol: String,
+      wCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, s"rounds out of range: $rounds")
+    val half = edges.select(col(aCol).cast("long").as("u"),
+      col(bCol).cast("long").as("v"), col(wCol).cast("long").as("w"))
+    val e = graft.CacheScope.register(half.union(
+      half.select(col("v").as("u"), col("u").as("v"), col("w"))))
+    var dist = e.agg(min("u").as("node"))
+      .withColumn("dist_micro", lit(0L))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val relax = dist.join(e, dist("node") === e("u"))
+        .select(e("v").as("node"),
+          (dist("dist_micro") + e("w")).as("dist_micro"))
+      // materialize per round: cuts the unrolled lineage AND the
+      // self-join ambiguity of re-joining the same edge relation
+      dist = dist.union(relax).groupBy("node")
+        .agg(min("dist_micro").as("dist_micro"))
+        .localCheckpoint(true)
+    }
+    dist.orderBy("node")
+  }
 }

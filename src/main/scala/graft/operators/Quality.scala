@@ -1968,4 +1968,365 @@ object Quality {
     }
     x
   }
+
+  /** KRUSKAL-WALLIS H test across ALL groups of a micro-grid measure —
+    * the rank-based (distribution-free) omnibus companion to [[anovaF]]
+    * and the k-group generalization of [[mannWhitneyU]], robust to the
+    * heavy-tailed measures (revenue, latency) where ANOVA's equal-
+    * variance normality assumption fails. Computed on the bounded
+    * distinct-VALUE grid, never on raw rows: doubled midranks keep
+    * everything integral (value v with t ties below-count c_lt has
+    * 2·r̄(v) = 2·c_lt + t + 1 exactly), per-group doubled rank sums
+    * 2R_g accumulate in DECIMAL(38,0), and the rank-sum-of-squares term
+    * Σ_g R_g²/n_g is pinned as the exact FLOOR quotient
+    * (2R_g)² div (4·n_g) per group (documented convention — the sub-unit
+    * floor residue is negligible against R_g² ≥ n² and identical in any
+    * engine). H carries the full tie correction 1 − Σ(t³−t)/(n³−n); the
+    * only floats are the final pinned divisions.
+    *
+    * Scale shape: one shuffle to (value, group) cells, one to the
+    * value grid; the global cumulative window runs over the distinct-
+    * value grid only (bounded by the value domain, the [[mannWhitneyU]]
+    * argument), and the group relation is |groups| rows.
+    *
+    * Returns one row: (k, n, tie_cubes, sum_q, h) where sum_q =
+    * Σ_g (2R_g)² div (4·n_g) exact and h is null when degenerate
+    * (k < 2, n ≤ k, or all values tied).
+    */
+  def kruskalWallis(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val base = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        round(col(valueCol) * 1e6).cast("long").as("v"))
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val cells = base.groupBy("v", "g").agg(count(lit(1)).as("c"))
+    val gridV = graft.CacheScope.register(
+      base.groupBy("v").agg(count(lit(1)).as("t")))
+    // distinct-value grid only: bounded by the value domain, not rows
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = gridV
+      .withColumn("cum_lt", coalesce(sum("t").over(w), lit(0L)))
+      .select(col("v"), (col("cum_lt") * 2 + col("t") + 1).as("r2"))
+    val perGroup = cells.join(ranked, "v").groupBy("g").agg(
+      sum("c").cast("long").as("ng"),
+      sum(d(col("c")) * d(col("r2"))).cast("decimal(38,0)").as("r2g"))
+    // exact floor quotient per group; exact integer sum across groups
+    val qAgg = perGroup.agg(
+      count(lit(1)).as("k"),
+      expr("cast(sum((cast(r2g as decimal(38,0)) * r2g) div (4 * ng)) " +
+        "as decimal(38,0))").as("__q"))
+    val ties = gridV.agg(
+      sum("t").cast("long").as("n"),
+      sum(d(col("t")) * d(col("t")) * d(col("t")) - d(col("t")))
+        .cast("long").as("tie_cubes"))
+    val nD = col("n").cast("double")
+    val hUnc = lit(12.0) * col("sum_q").cast("double") / (nD * (nD + 1)) -
+      lit(3.0) * (nD + 1)
+    val corr = lit(1.0) -
+      col("tie_cubes").cast("double") / (nD * nD * nD - nD)
+    ties.crossJoin(broadcast(qAgg))
+      .select(col("k"), col("n"), col("tie_cubes"),
+        col("__q").cast("long").as("sum_q"))
+      .withColumn("h",
+        when(col("k") >= 2 && col("n") > col("k") &&
+          col("tie_cubes") < col("n") * col("n") * col("n") - col("n"),
+          hUnc / corr))
+  }
+
+  /** MCNEMAR test of paired binary outcomes — "did the same subjects
+    * flip between condition A and condition B?", the within-subject
+    * counterpart of the two-proportion z-test (which wrongly treats the
+    * conditions as independent samples when they share subjects). Input
+    * is one row per subject with two boolean columns; only the
+    * DISCORDANT cells n10/n01 carry signal. The statistic is the
+    * continuity-corrected (|n10 − n01| − 1)² / (n10 + n01), floored at
+    * zero when the discordant counts tie exactly.
+    *
+    * Scale shape: one aggregation pass (map-side partial combine) to
+    * four exact counts; the subject relation never shuffles beyond the
+    * caller's pairing aggregate.
+    *
+    * Returns one row: (n11, n10, n01, n00, chi2_cc) with chi2_cc null
+    * when no discordant pairs exist.
+    */
+  def mcnemar(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val a = col(aCol).cast("boolean")
+    val b = col(bCol).cast("boolean")
+    pairs.filter(a.isNotNull && b.isNotNull).agg(
+        count(when(a && b, lit(1))).as("n11"),
+        count(when(a && !b, lit(1))).as("n10"),
+        count(when(!a && b, lit(1))).as("n01"),
+        count(when(!a && !b, lit(1))).as("n00"))
+      .withColumn("chi2_cc",
+        when(col("n10") + col("n01") > 0, {
+          val dd = greatest(abs(col("n10") - col("n01")) - 1, lit(0L))
+            .cast("double")
+          dd * dd / (col("n10") + col("n01")).cast("double")
+        }))
+  }
+
+  /** MANTEL-HAENSZEL stratified 2×2 analysis: the pooled odds ratio
+    * OR_MH = Σᵢ(aᵢdᵢ/nᵢ) / Σᵢ(bᵢcᵢ/nᵢ) and the continuity-corrected
+    * MH chi-square across strata — the classic guard against Simpson's
+    * paradox (a confounder-stratified effect estimate where the pooled
+    * 2×2 table lies). Exposure and outcome are caller-supplied boolean
+    * Columns; each stratum's fractional terms (ad/n, bc/n, the
+    * hypergeometric mean (a+b)(a+c)/n and variance
+    * (a+b)(c+d)(a+c)(b+d)/(n²(n−1))) are micro-rounded per stratum from
+    * exact counts and exact-summed (the [[chiSquare]] per-cell
+    * convention — bit-identical in any engine and any partitioning).
+    * χ²_MH keeps the |Σa − ΣE[a]| deviation on the exact micro grid and
+    * applies the 0.5 continuity correction as the integer 500000.
+    *
+    * Scale shape: one shuffle to |strata| four-count rows, then a
+    * single-row exact-sum aggregate; raw rows are scanned once.
+    *
+    * Returns one row: (k_strata, n_total, sum_a, sum_ad_micro,
+    * sum_bc_micro, sum_ea_micro, sum_var_micro, or_mh, chi2_mh); or_mh
+    * is null when Σbc = 0, chi2_mh when ΣVar = 0.
+    */
+  def mantelHaenszel(df: DataFrame, stratumCol: String, exposure: Column,
+      outcome: Column): DataFrame = {
+    val base = df.select(col(stratumCol).as("st"),
+        exposure.cast("boolean").as("e"), outcome.cast("boolean").as("o"))
+      .filter(col("st").isNotNull && col("e").isNotNull && col("o").isNotNull)
+    val cells = base.groupBy("st").agg(
+      count(when(col("e") && col("o"), lit(1))).as("a"),
+      count(when(col("e") && !col("o"), lit(1))).as("b"),
+      count(when(!col("e") && col("o"), lit(1))).as("c"),
+      count(when(!col("e") && !col("o"), lit(1))).as("d"))
+    def D(c: Column) = c.cast("double")
+    val nn = col("a") + col("b") + col("c") + col("d")
+    val nD = D(nn)
+    val adT = round(D(col("a")) * D(col("d")) / nD * 1e6).cast("long")
+    val bcT = round(D(col("b")) * D(col("c")) / nD * 1e6).cast("long")
+    val eaT = round(D(col("a") + col("b")) * D(col("a") + col("c"))
+      / nD * 1e6).cast("long")
+    val varT = when(nn > 1,
+      round(D(col("a") + col("b")) * D(col("c") + col("d"))
+        * D(col("a") + col("c")) * D(col("b") + col("d"))
+        / (nD * nD * (nD - 1)) * 1e6).cast("long")).otherwise(lit(0L))
+    val tot = cells.agg(
+      count(lit(1)).as("k_strata"),
+      sum(nn).cast("long").as("n_total"),
+      sum("a").cast("long").as("sum_a"),
+      sum(adT).as("sum_ad_micro"),
+      sum(bcT).as("sum_bc_micro"),
+      sum(eaT).as("sum_ea_micro"),
+      sum(varT).as("sum_var_micro"))
+    val devMicro =
+      greatest(abs(col("sum_a") * 1000000L - col("sum_ea_micro")) - 500000L,
+        lit(0L)).cast("double")
+    tot
+      .withColumn("or_mh", when(col("sum_bc_micro") > 0,
+        col("sum_ad_micro").cast("double")
+          / col("sum_bc_micro").cast("double")))
+      .withColumn("chi2_mh", when(col("sum_var_micro") > 0,
+        devMicro * devMicro
+          / (lit(1e6) * col("sum_var_micro").cast("double"))))
+  }
+
+  /** COCHRAN-ARMITAGE TREND TEST of a binary outcome across ORDERED
+    * categories — "does the positive rate rise monotonically with the
+    * score?", strictly sharper than [[chiSquare]]'s any-difference
+    * alternative when the categories carry an order (priority tiers,
+    * quality buckets, dose levels). The statistic is assembled entirely
+    * from five exact integer sums (N, R, Σsᵢrᵢ, Σsᵢnᵢ, Σsᵢ²nᵢ over the
+    * |categories|-row grid): T·N = N·Σsr − R·Σsn and
+    * N³·Var = R(N−R)(N·Σs²n − (Σsn)²), so z = (N·Σsr − R·Σsn)·√N /
+    * √(R(N−R)·(N·Σs²n − (Σsn)²)) — exact DECIMAL(38,0) products, one
+    * pinned double sequence, bit-identical in any engine.
+    *
+    * Scale shape: one map-side-combined shuffle to the category grid,
+    * one single-row aggregate. Raw rows are scanned once.
+    *
+    * Returns one row: (k, n, r, sum_sr, sum_sn, sum_s2n, z) — z null
+    * when the outcome or the score is degenerate.
+    */
+  def cochranArmitage(df: DataFrame, scoreCol: String,
+      target: Column): DataFrame = {
+    val base = df.select(col(scoreCol).cast("long").as("s"),
+        target.cast("boolean").as("y"))
+      .filter(col("s").isNotNull && col("y").isNotNull)
+    val cells = base.groupBy("s").agg(
+      count(lit(1)).as("n_i"),
+      count(when(col("y"), lit(1))).as("r_i"))
+    val agg = cells.agg(
+      count(lit(1)).as("k"),
+      sum("n_i").cast("long").as("n"),
+      sum("r_i").cast("long").as("r"),
+      sum(col("s") * col("r_i")).cast("long").as("sum_sr"),
+      sum(col("s") * col("n_i")).cast("long").as("sum_sn"),
+      sum(col("s") * col("s") * col("n_i")).cast("long").as("sum_s2n"))
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val ts = d(col("n")) * d(col("sum_sr")) - d(col("r")) * d(col("sum_sn"))
+    val vn = d(col("n")) * d(col("sum_s2n")) -
+      d(col("sum_sn")) * d(col("sum_sn"))
+    val rr = d(col("r")) * (d(col("n")) - d(col("r")))
+    agg.withColumn("z",
+      when(col("r") > 0 && col("r") < col("n") && vn.cast("double") > 0,
+        ts.cast("double") * sqrt(col("n").cast("double"))
+          / sqrt(rr.cast("double") * vn.cast("double"))))
+  }
+
+  /** HUBER ROBUST LOCATION by integer IRLS — the M-estimator midpoint
+    * between the mean (efficient, outlier-fragile) and the median
+    * (robust, inefficient): starting from the exact lower median,
+    * each iteration reweights w = min(1, k/|x − μ|) and takes the
+    * weighted mean. Weights live on the integer micro grid
+    * (w_micro = 10⁶ inside the k-band, else (k_micro·10⁶) div |x−μ| —
+    * FLOOR division, the documented convention), and each new μ is the
+    * exact quotient (Σw·x·cnt) div (Σw·cnt) in DECIMAL(38,0), so every
+    * iterate is bit-identical in any engine with NO float accumulation.
+    * Positive-domain contract: `div` truncates while DuckDB `//`
+    * floors, so the micro values must be ≥ 0 (shift upstream
+    * otherwise) — same convention as [[Analytics.targetEncode]].
+    *
+    * Scale shape: one map-side-combined shuffle to the distinct-value
+    * grid; the median cumulation and every IRLS pass run on that
+    * bounded grid (the q97 argument) — `iters` is a constant, so the
+    * whole estimator is O(iters) grid aggregates after one scan.
+    *
+    * Returns one row: (n, mu_0, mu_1, …, mu_iters) — mu_0 is the exact
+    * lower median, mu_iters the final Huber location, all micro longs.
+    */
+  def huberLocation(df: DataFrame, valCol: String, kMicro: Long,
+      iters: Int = 3): DataFrame = {
+    require(kMicro > 0, s"kMicro must be positive: $kMicro")
+    require(iters >= 1 && iters <= 6, s"iters out of range: $iters")
+    val grid = graft.CacheScope.register(
+      df.filter(col(valCol).isNotNull)
+        .select(round(col(valCol) * 1e6).cast("long").as("x"))
+        .groupBy("x").agg(count(lit(1)).as("cnt")))
+    val n = grid.agg(coalesce(sum("cnt"), lit(0L)).cast("long").as("n"))
+    // exact lower median off the bounded distinct-value grid
+    val cumW = Window.orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = grid.withColumn("cum", sum("cnt").over(cumW))
+      .crossJoin(broadcast(n))
+      .filter(col("cum") >= expr("(n + 1) div 2"))
+      .agg(min("x").as("mu_0"))
+    var mus = List[DataFrame](med)
+    for (j <- 1 to iters) {
+      val prev = mus.head.select(col(s"mu_${j - 1}").as("mu"))
+      val next = grid.crossJoin(broadcast(prev))
+        .withColumn("d", abs(col("x") - col("mu")))
+        .withColumn("w", when(col("d") <= kMicro, lit(1000000L))
+          .otherwise(expr(s"(${kMicro}L * 1000000L) div d")))
+        .agg(
+          expr("cast(sum(cast(w as decimal(38,0)) * x * cnt) " +
+            "as decimal(38,0))").as("swx"),
+          expr("cast(sum(cast(w as decimal(38,0)) * cnt) " +
+            "as decimal(38,0))").as("sw"))
+        .select(expr(s"cast(swx div sw as long)").as(s"mu_$j"))
+      mus = next :: mus
+    }
+    mus.reverse.reduce((a, b) => a.crossJoin(broadcast(b)))
+      .crossJoin(broadcast(n))
+      .select((col("n") +: (0 to iters).map(j => col(s"mu_$j"))): _*)
+  }
+
+  /** APPROXIMATE-QUANTILE SKETCH CONTRACT: runs Spark's single-pass
+    * `percentile_approx` (Greenwald-Khanna style, the only quantile a
+    * 100 TB column gets — exact quantiles need a global sort) and
+    * VERIFIES its rank guarantee against exact ranks computed from the
+    * bounded distinct-value grid: the returned value's rank interval
+    * [count(<v)+1, count(≤v)] must overlap the target rank q·n within
+    * ±(n/accuracy + 1) (the sketch's ε·n band, one rank of slack for
+    * the open/closed convention). The sketch output itself is engine-
+    * specific, so the CONTRACT BOOLEANS are the oracle-checked surface
+    * (the q31/q46 bound-check convention) — a regression in the sketch
+    * path fails the gate even though no oracle can replay the sketch.
+    *
+    * Scale shape: one pass for the sketch aggregate, one map-side-
+    * combined shuffle to the distinct-value grid, then a broadcast
+    * |quantiles|-row probe join over that grid. No sort anywhere.
+    *
+    * Returns per requested quantile, ordered: (q_micro, n,
+    * within_bound) — within_bound must be uniformly true.
+    */
+  def approxQuantileContract(df: DataFrame, valCol: String,
+      quantiles: Seq[Double], accuracy: Int): DataFrame = {
+    require(quantiles.nonEmpty && quantiles.forall(q => q > 0 && q < 1),
+      s"quantiles must be in (0,1): $quantiles")
+    require(accuracy >= 10, s"accuracy too low: $accuracy")
+    val base = df.filter(col(valCol).isNotNull)
+      .select(round(col(valCol) * 1e6).cast("long").as("x"))
+    val grid = graft.CacheScope.register(
+      base.groupBy("x").agg(count(lit(1)).as("cnt")))
+    val n = grid.agg(coalesce(sum("cnt"), lit(0L)).cast("long").as("n"))
+    val approx = base.agg(percentile_approx(col("x"),
+      array(quantiles.map(lit(_)): _*), lit(accuracy)).as("vals"))
+    val qmArr = array(quantiles.map(q => lit(Math.round(q * 1e6))): _*)
+    val probes = approx.select(posexplode(col("vals")).as(Seq("i", "a")))
+      .withColumn("q_micro", element_at(qmArr, col("i").cast("int") + 1))
+    // exact rank interval of each returned value, off the bounded grid
+    val ranks = grid.crossJoin(broadcast(probes))
+      .groupBy("q_micro").agg(
+        sum(when(col("x") < col("a"), col("cnt")).otherwise(lit(0L)))
+          .cast("long").as("rank_lt"),
+        sum(when(col("x") <= col("a"), col("cnt")).otherwise(lit(0L)))
+          .cast("long").as("rank_le"))
+    val nD = col("n").cast("double")
+    val target = col("q_micro").cast("double") / lit(1e6) * nD
+    val eps = nD / lit(accuracy.toDouble) + 1.0
+    ranks.crossJoin(broadcast(n))
+      .select(col("q_micro"), col("n"),
+        ((col("rank_lt").cast("double") + 1 - eps <= target) &&
+          (col("rank_le").cast("double") + eps >= target))
+          .as("within_bound"))
+      .orderBy("q_micro")
+  }
+
+  /** WEIGHT OF EVIDENCE / INFORMATION VALUE of a categorical feature
+    * against a boolean target — the credit-scoring-vintage predictive-
+    * power audit (IV < 0.02 useless, > 0.5 suspiciously strong) that
+    * complements [[chiSquare]]'s independence test with a per-bin
+    * direction and magnitude. WoE_bin = ln(pos_bin/posTot) −
+    * ln(neg_bin/negTot), computed as the difference of two micro-rounded
+    * logs of exact integer cross-products (pos_bin·negTot vs
+    * neg_bin·posTot, multiplied in double per the overflow convention);
+    * the IV contribution micro-rounds (pos_bin/posTot − neg_bin/negTot)
+    * · WoE from those pinned values, and the total IV is the exact
+    * integer sum of the per-bin micro contributions. Bins with a zero
+    * cell get null WoE/IV (excluded from the total) rather than a
+    * fabricated smoothing constant — callers who need smoothing add the
+    * pseudo-counts upstream.
+    *
+    * Scale shape: one shuffle to |bins| rows, one broadcast one-row
+    * total; raw rows are scanned once.
+    *
+    * Returns per bin, ordered: (bin, n_pos, n_neg, woe_micro, iv_micro,
+    * iv_total_micro).
+    */
+  def woeIv(df: DataFrame, binCol: String, target: Column): DataFrame = {
+    val base = df.select(col(binCol).as("bin"),
+        target.cast("boolean").as("y"))
+      .filter(col("bin").isNotNull && col("y").isNotNull)
+    val bins = base.groupBy("bin").agg(
+      count(when(col("y"), lit(1))).as("n_pos"),
+      count(when(!col("y"), lit(1))).as("n_neg"))
+    val tot = bins.agg(sum("n_pos").cast("long").as("__tp"),
+      sum("n_neg").cast("long").as("__tn"))
+    def lnMicro(c: Column): Column = round(log(c) * 1e6).cast("long")
+    val withWoe = graft.CacheScope.register(
+      bins.crossJoin(broadcast(tot))
+        .withColumn("woe_micro",
+          when(col("n_pos") > 0 && col("n_neg") > 0 &&
+              col("__tp") > 0 && col("__tn") > 0,
+            lnMicro(col("n_pos").cast("double") * col("__tn").cast("double"))
+              - lnMicro(col("n_neg").cast("double")
+                * col("__tp").cast("double"))))
+        .withColumn("iv_micro",
+          round((col("n_pos").cast("double") / col("__tp").cast("double")
+            - col("n_neg").cast("double") / col("__tn").cast("double"))
+            * col("woe_micro").cast("double")).cast("long")))
+    val total = withWoe.agg(
+      coalesce(sum("iv_micro"), lit(0L)).as("iv_total_micro"))
+    withWoe.crossJoin(broadcast(total))
+      .select(col("bin"), col("n_pos"), col("n_neg"), col("woe_micro"),
+        col("iv_micro"), col("iv_total_micro"))
+      .orderBy("bin")
+  }
 }

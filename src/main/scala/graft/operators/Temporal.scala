@@ -1053,4 +1053,113 @@ object Temporal {
         (col("ph_micro") > lambdaMicro).as("alarm"))
       .orderBy("day")
   }
+
+  /** MASE FORECAST EVALUATION — Mean Absolute Scaled Error of the
+    * Holt-Winters one-step backtest against the SEASONAL-NAIVE baseline
+    * (ŷ_t = y_{t−period}): the scale-free score Hyndman & Koehler
+    * proposed precisely because MAPE degenerates on near-zero days and
+    * raw MAE is unit-bound. MASE < 1 ⇔ the smoother beats "same day
+    * last week" — the first question any forecast deployment must
+    * answer, which q263's per-day errors don't aggregate to. Error sums
+    * are exact integer micro; the ratio is the exact floor quotient
+    * (Σ|e_model|·10⁶) div Σ|e_naive| on the micro grid.
+    *
+    * Scale shape: inherits [[holtWinters]]' calendar-bounded day grid;
+    * both lag windows and the final aggregate run on that bounded grid.
+    *
+    * Returns one row: (n_days, sum_err_model_micro, sum_err_naive_micro,
+    * mase_micro) — mase_micro null when the naive error is zero.
+    */
+  def forecastMase(df: DataFrame, tsCol: String, valCol: String,
+      period: Int, holdoutDays: Int): DataFrame = {
+    require(holdoutDays >= 1, s"holdoutDays must be positive: $holdoutDays")
+    val hw = graft.CacheScope.register(holtWinters(df, tsCol, valCol, period))
+    val maxD = hw.agg(max("day")).first().getDate(0)
+    val w = Window.orderBy("day") // calendar-bounded day grid only
+    hw.select(col("day"), col("actual_micro"),
+        lag("forecast_next_micro", 1).over(w).as("pred"),
+        lag("actual_micro", period).over(w).as("naive"))
+      .filter(col("pred").isNotNull && col("naive").isNotNull &&
+        col("day") > date_sub(lit(maxD), holdoutDays))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(abs(col("actual_micro") - col("pred"))).cast("long")
+          .as("sum_err_model_micro"),
+        sum(abs(col("actual_micro") - col("naive"))).cast("long")
+          .as("sum_err_naive_micro"))
+      .withColumn("mase_micro",
+        when(col("sum_err_naive_micro") > 0,
+          expr("cast((cast(sum_err_model_micro as decimal(38,0)) * 1000000)" +
+            " div sum_err_naive_micro as long)")))
+  }
+
+  /** GRANGER-STYLE LAG REGRESSION on the daily grid: does yesterday's
+    * VOLUME (row count) predict today's value beyond yesterday's value?
+    * Fits the unrestricted OLS  y_t = α + β₁·y_{t−1} + β₂·x_{t−1}  and
+    * the restricted  y_t = α + β·y_{t−1}  in closed form from one pass
+    * of exact centered moments, and reports the 1-restriction F test
+    * F = (RSS_r − RSS_u)·(n−3)/RSS_u — the bivariate Granger-causality
+    * building block (lag order 1). Only CONSECUTIVE calendar days form
+    * (t−1, t) pairs; gap days contribute no pair (documented — no
+    * imputation across holes).
+    *
+    * All nine raw moments (Σy, Σu, Σv, Σyy, Σuu, Σvv, Σyu, Σyv, Σuv
+    * with u = y_{t−1} micro, v = x_{t−1} count) accumulate EXACTLY in
+    * DECIMAL(38,0) from the micro grid (day sums ≤ ~10¹³ micro ⇒
+    * squared-sum magnitudes ≤ ~10²⁹ over any calendar — headroom to
+    * 10³⁸); the normal-equations solve is a fixed pinned sequence of
+    * double ops from those exact integers, bit-identical across engines.
+    *
+    * Scale shape: one shuffle to the calendar-bounded daily grid, a lag
+    * window over that grid (≤ a few thousand rows), one single-row
+    * aggregate. Raw rows are scanned once.
+    *
+    * Returns one row: (n_days, b_y_lag, b_x_lag, f_granger) — b_x_lag is
+    * in value-micro per event; all three null when the design
+    * degenerates (n ≤ 3, singular normal equations, or RSS_u ≤ 0).
+    */
+  def grangerLag(df: DataFrame, tsCol: String, valCol: String): DataFrame = {
+    val daily = df.filter(col(tsCol).isNotNull && col(valCol).isNotNull)
+      .groupBy(col(tsCol).cast("date").as("d"))
+      .agg(sum(round(col(valCol) * 1e6).cast("long")).as("y"),
+        count(lit(1)).as("x"))
+    val w = Window.orderBy("d") // calendar-bounded daily grid only
+    val lagged = daily
+      .withColumn("pd", lag("d", 1).over(w))
+      .withColumn("u", lag("y", 1).over(w))
+      .withColumn("v", lag("x", 1).over(w))
+      .filter(col("pd").isNotNull && datediff(col("d"), col("pd")) === 1)
+    def D(c: Column) = c.cast("decimal(38,0)")
+    val m = lagged.agg(
+      count(lit(1)).as("n"),
+      sum(D(col("y"))).cast("decimal(38,0)").as("sy"),
+      sum(D(col("u"))).cast("decimal(38,0)").as("su"),
+      sum(D(col("v"))).cast("decimal(38,0)").as("sv"),
+      sum(D(col("y")) * D(col("y"))).cast("decimal(38,0)").as("syy"),
+      sum(D(col("u")) * D(col("u"))).cast("decimal(38,0)").as("suu"),
+      sum(D(col("v")) * D(col("v"))).cast("decimal(38,0)").as("svv"),
+      sum(D(col("y")) * D(col("u"))).cast("decimal(38,0)").as("syu"),
+      sum(D(col("y")) * D(col("v"))).cast("decimal(38,0)").as("syv"),
+      sum(D(col("u")) * D(col("v"))).cast("decimal(38,0)").as("suv"))
+    // pinned double sequence from exact integer moments; the oracle
+    // mirrors this exact operation order
+    def d2(n: String) = col(n).cast("double")
+    val nD = col("n").cast("double")
+    val cyy = d2("syy") - d2("sy") * d2("sy") / nD
+    val cuu = d2("suu") - d2("su") * d2("su") / nD
+    val cvv = d2("svv") - d2("sv") * d2("sv") / nD
+    val cyu = d2("syu") - d2("sy") * d2("su") / nD
+    val cyv = d2("syv") - d2("sy") * d2("sv") / nD
+    val cuv = d2("suv") - d2("su") * d2("sv") / nD
+    val det = cuu * cvv - cuv * cuv
+    val b1 = (cvv * cyu - cuv * cyv) / det
+    val b2 = (cuu * cyv - cuv * cyu) / det
+    val rssU = cyy - b1 * cyu - b2 * cyv
+    val rssR = cyy - cyu * cyu / cuu
+    val ok = col("n") > 3 && det =!= 0.0 && cuu > 0 && rssU > 0
+    m.select(col("n").as("n_days"),
+      when(ok, b1).as("b_y_lag"),
+      when(ok, b2).as("b_x_lag"),
+      when(ok, (rssR - rssU) * (nD - 3) / rssU).as("f_granger"))
+  }
 }

@@ -1621,4 +1621,137 @@ object TextOps {
       .limit(topK)
       .select(col("w").as("word"), col("rank_micro"))
   }
+
+  /** COUNT-MIN SKETCH of the token frequency distribution, probed at the
+    * top-k true-frequency tokens — the fixed-memory (depth × width
+    * counters) frequency summary whose one-sided error contract
+    * (estimate ≥ truth, always; overshoot bounded by colliding mass) is
+    * what a 100 TB pipeline keeps when the exact vocabulary grid no
+    * longer fits. Hash rows use the seeded cross-engine [[Hashing.h60]]
+    * family, so the ORACLE REPLAYS THE SKETCH EXACTLY — estimates are
+    * value-checked, not just bound-checked.
+    *
+    * Scale shape: one map-side-combined shuffle to the vocabulary grid
+    * (the sketch is a LINEAR function of token counts, so building it
+    * from the grid is identical to streaming raw increments — and
+    * cheaper); the sketch itself is depth·width rows, mergeable by
+    * construction; probes are a broadcast top-k join against it. Raw
+    * rows are scanned once.
+    *
+    * Returns top-k rows ordered by (true_count desc, token):
+    * (token, true_count, est_count, never_under) — never_under is the
+    * CMS one-sided guarantee and must be uniformly true.
+    */
+  def countMinSketch(df: DataFrame, textCol: String, depth: Int,
+      width: Int, topK: Int): DataFrame = {
+    require(depth >= 1 && width >= 2 && topK >= 1,
+      s"bad CMS shape: depth=$depth width=$width topK=$topK")
+    val vocab = graft.CacheScope.register(
+      graft.Parallelism.fanOut(df.select(col(textCol)))
+        .select(explode(TextFns.tokens(col(textCol))).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy("tok").agg(count(lit(1)).as("c")))
+    // sketch(r, b) = Σ counts of tokens hashing to bucket b in row r —
+    // a linear sketch, so the vocabulary grid builds it exactly
+    val rows = (0 until depth).map { r =>
+      vocab.select(lit(r).as("r"),
+        pmod(Hashing.h60(col("tok"), r), lit(width.toLong)).as("b"),
+        col("c"))
+    }
+    val sketch = rows.reduce(_ unionAll _)
+      .groupBy("r", "b").agg(sum("c").cast("long").as("cell"))
+    val probes = vocab.orderBy(desc("c"), col("tok")).limit(topK)
+    val probeCells = (0 until depth).map { r =>
+      probes.select(col("tok"), col("c"), lit(r).as("r"),
+        pmod(Hashing.h60(col("tok"), r), lit(width.toLong)).as("b"))
+    }.reduce(_ unionAll _)
+    probeCells.join(sketch, Seq("r", "b"))
+      .groupBy("tok", "c").agg(min("cell").as("est_count"))
+      .select(col("tok").as("token"), col("c").as("true_count"),
+        col("est_count"),
+        (col("est_count") >= col("c")).as("never_under"))
+      .orderBy(desc("true_count"), col("token"))
+  }
+
+  /** COUNT-MIN SKETCH MERGE LAW, audited end-to-end: builds the sketch
+    * independently on the even-id and odd-id document halves, merges by
+    * cell-wise sum, and compares against the whole-corpus sketch —
+    * EXACT equality is the linearity property that makes CMS the
+    * incremental/distributed counter (per-partition sketches merge into
+    * the global one with no error introduced by the merge itself). The
+    * audit that must be green before anyone ships per-batch sketches
+    * into a 100 TB incremental pipeline.
+    *
+    * Scale shape: three vocabulary-grid aggregates (whole + two halves
+    * — the audit deliberately recomputes; production reuses the halves)
+    * and a full-outer join of two depth·width-bounded cell relations.
+    *
+    * Returns one row: (n_cells, total_mass, n_mismatch, merge_exact) —
+    * merge_exact must be true.
+    */
+  def cmsMergeCheck(df: DataFrame, idCol: String, textCol: String,
+      depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad CMS shape: $depth x $width")
+    def cells(d: DataFrame): DataFrame = {
+      val vocab = graft.Parallelism.fanOut(d.select(col(textCol)))
+        .select(explode(TextFns.tokens(col(textCol))).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      (0 until depth).map { r =>
+        vocab.select(lit(r).as("r"),
+          pmod(Hashing.h60(col("tok"), r), lit(width.toLong)).as("b"),
+          col("c"))
+      }.reduce(_ union _)
+        .groupBy("r", "b").agg(sum("c").cast("long").as("cell"))
+    }
+    val base = df.filter(col(idCol).isNotNull)
+    val whole = cells(base)
+    val merged = cells(base.filter(pmod(col(idCol), lit(2L)) === 0))
+      .union(cells(base.filter(pmod(col(idCol), lit(2L)) === 1)))
+      .groupBy("r", "b").agg(sum("cell").cast("long").as("cell"))
+    whole.as("w").join(merged.as("m"), Seq("r", "b"), "full_outer")
+      .agg(
+        count(lit(1)).as("n_cells"),
+        coalesce(sum(col("w.cell")), lit(0L)).cast("long").as("total_mass"),
+        sum(when(coalesce(col("w.cell"), lit(-1L)) =!=
+          coalesce(col("m.cell"), lit(-2L)), 1L).otherwise(0L))
+          .cast("long").as("n_mismatch"))
+      .withColumn("merge_exact", col("n_mismatch") === 0L)
+  }
+
+  /** FEATURE HASHING (the hashing trick) of the token space into a
+    * fixed bucket count, reported as the per-bucket collision audit —
+    * the dimensionality cap every large-scale text featurizer applies
+    * when the vocabulary is unbounded. Bucket and sign both come from
+    * the cross-engine [[Hashing.h60]] family (sign = ±1 from the low
+    * bit of an independent seed), so the oracle replays the projection
+    * exactly; the signed sum is the unbiased-inner-product form of
+    * Weinberger et al.'s hashing kernel.
+    *
+    * Scale shape: one map-side-combined shuffle to the vocabulary grid,
+    * then a |buckets|-row aggregate — the per-document vector
+    * materialization (docs × buckets) is deliberately NOT produced
+    * here; downstream consumers derive it by the same two hashes.
+    *
+    * Returns per bucket, ordered: (bucket, n_tokens, total_count,
+    * signed_sum) where n_tokens counts distinct vocabulary words
+    * colliding into the bucket.
+    */
+  def featureHash(df: DataFrame, textCol: String, buckets: Int): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    val vocab = graft.Parallelism.fanOut(df.select(col(textCol)))
+      .select(explode(TextFns.tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    vocab
+      .select(pmod(Hashing.h60(col("tok"), 101), lit(buckets.toLong))
+          .as("bucket"),
+        (pmod(Hashing.h60(col("tok"), 102), lit(2L)) * 2 - 1).as("sign"),
+        col("c"))
+      .groupBy("bucket").agg(
+        count(lit(1)).as("n_tokens"),
+        sum("c").cast("long").as("total_count"),
+        sum(col("sign") * col("c")).cast("long").as("signed_sum"))
+      .orderBy("bucket")
+  }
 }

@@ -83,7 +83,12 @@ class PlanLintSpec extends SparkSpec {
     "q268_seasonal_decompose" -> "crossJoin against the broadcast 1-row seasonal-centering aggregate (calendar-grid relation, q110/q163 shape)",
     "q271_bh_fdr" -> "crossJoins of broadcast 1-row m-count and i-star aggregates over the |segments|-row grid (q110/q163 shape)",
     "q276_conformal_interval" -> "crossJoin against the broadcast 1-row calibration-quantile aggregate (holdout grid, q110/q163 shape)",
-    "q277_seasonal_anomalies" -> "crossJoins against the broadcast 1-row residual-moment and seasonal-centering aggregates (calendar grid, q110/q163 shape)")
+    "q277_seasonal_anomalies" -> "crossJoins against the broadcast 1-row residual-moment and seasonal-centering aggregates (calendar grid, q110/q163 shape)",
+    "q278_kruskal_wallis" -> "crossJoin against the broadcast 1-row rank-square aggregate (q110/q163 shape)",
+    "q282_woe_iv" -> "crossJoins against the broadcast 1-row pos/neg-total and IV-total aggregates (q110/q163 shape)",
+    "q283_target_encoding" -> "crossJoin against the broadcast 1-row global-moment aggregate (q110/q163 shape)",
+    "q286_quantile_sketch" -> "crossJoins of the broadcast |quantiles|-row sketch-probe set and the 1-row total aggregate over the distinct-value grid (q24's bounded-probe shape)",
+    "q288_huber_location" -> "crossJoins of the broadcast 1-row median/iterate/total aggregates per unrolled IRLS pass (q110/q163 shape)")
 
   /** Queries allowed to plan a GLOBAL window (no partition columns, or a
     * constant partition) — each must window over a provably BOUNDED
@@ -122,7 +127,11 @@ class PlanLintSpec extends SparkSpec {
     "q268_seasonal_decompose" -> "centered moving-average window over the calendar day grid (q169's calendar-bounded argument)",
     "q271_bh_fdr" -> "rank window over the |segments|-row test grid (bounded by segment cardinality)",
     "q276_conformal_interval" -> "rank windows over the <= holdoutDays-row backtest grid (calendar-bounded)",
-    "q277_seasonal_anomalies" -> "centered moving-average window over the calendar day grid (q268's argument)")
+    "q277_seasonal_anomalies" -> "centered moving-average window over the calendar day grid (q268's argument)",
+    "q278_kruskal_wallis" -> "cumulative window over the DISTINCT-value count grid (q234's bounded-grid argument)",
+    "q281_granger_lag" -> "lag window over the calendar day grid (q169's calendar-bounded argument)",
+    "q288_huber_location" -> "median cumulation over the DISTINCT-value count grid (q234's bounded-grid argument)",
+    "q289_forecast_mase" -> "lag windows over the calendar day grid (q263's calendar-bounded argument)")
 
   test("no query plans a global window over an unbounded relation") {
     import org.apache.spark.sql.execution.SparkPlan

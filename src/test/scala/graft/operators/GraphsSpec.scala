@@ -427,4 +427,22 @@ class GraphsSpec extends SparkSpec {
     assert(rp.getAs[Long]("sxy") == 8L)
     assert(rp.getAs[Double]("assortativity") == -1.0)
   }
+
+  test("ssspBounded: hop-horizon Bellman-Ford distances are exact and " +
+      "tighten with more rounds") {
+    import spark.implicits._
+    // path 1-2-3-4 (cheap) with an expensive 1-3 shortcut
+    val edges = Seq((1L, 2L, 5L), (2L, 3L, 5L), (1L, 3L, 100L),
+      (3L, 4L, 5L)).toDF("a", "b", "w")
+    def run(rounds: Int) =
+      Graphs.ssspBounded(edges, "a", "b", "w", rounds).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 2 rounds: node 3 still pays the shortcut relaxed to 10 via 2;
+    // node 4 only reachable through the expensive 1-hop-3 path so far
+    val r2 = run(2)
+    assert(r2 == Map(1L -> 0L, 2L -> 5L, 3L -> 10L, 4L -> 105L))
+    // 3 rounds: the cheap 3-hop path reaches node 4
+    val r3 = run(3)
+    assert(r3(4L) == 15L && r3(3L) == 10L && r3(1L) == 0L)
+  }
 }

@@ -574,4 +574,22 @@ class MetricsSpec extends SparkSpec {
       .orderBy("step").collect()
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("targetEncode: exact integer shrinkage toward the global mean") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 4.0)).toDF("cat", "v")
+    val out = Analytics.targetEncode(df, "cat", "v", 2L).collect()
+    val m = out.map(r => r.getAs[String]("category") -> r).toMap
+    // N=3, S=7·10⁶ → global mean 2333333 (floor)
+    assert(out.forall(_.getAs[Long]("global_mean_micro") == 2333333L))
+    // a: (3·10⁶ + 2·2333333) div 4; b: (4·10⁶ + 2·2333333) div 3
+    assert(m("a").getAs[Long]("n") == 2L)
+    assert(m("a").getAs[Long]("enc_micro") == (3000000L + 2 * 2333333L) / 4)
+    assert(m("b").getAs[Long]("enc_micro") == (4000000L + 2 * 2333333L) / 3)
+    // m = 0 degenerates to the exact per-category floor mean
+    val raw = Analytics.targetEncode(df, "cat", "v", 0L).collect()
+      .map(r => r.getAs[String]("category") -> r.getAs[Long]("enc_micro"))
+      .toMap
+    assert(raw("a") == 1500000L && raw("b") == 4000000L)
+  }
 }

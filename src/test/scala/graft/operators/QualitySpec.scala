@@ -940,4 +940,171 @@ class QualitySpec extends SparkSpec {
       (2L, "r_score,s_status", 2L),
       (3L, "n_status", 1L)))
   }
+
+  test("kruskalWallis: doubled midranks, floor rank-square quotients, " +
+      "tie correction on a hand example") {
+    import spark.implicits._
+    // values: a={1,2}, b={3,4}, c={2} → grid t=[1,2,1,1],
+    // doubled midranks r2=[2,5,8,10]; 2R_a=7, 2R_b=18, 2R_c=5
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0), ("c", 2.0))
+      .toDF("g", "v")
+    val r = Quality.kruskalWallis(df, "g", "v").collect().head
+    assert(r.getAs[Long]("k") == 3L && r.getAs[Long]("n") == 5L)
+    // sum_q = 49 div 8 + 324 div 8 + 25 div 4 = 6 + 40 + 6
+    assert(r.getAs[Long]("sum_q") == 52L)
+    assert(r.getAs[Long]("tie_cubes") == 6L) // one pair of ties: 2³−2
+    val h = (12.0 * 52.0 / (5.0 * 6.0) - 3.0 * 6.0) /
+      (1.0 - 6.0 / (5.0 * 5.0 * 5.0 - 5.0))
+    assert(r.getAs[Double]("h") == h)
+  }
+
+  test("kruskalWallis: degenerate inputs null out h") {
+    import spark.implicits._
+    // all values tied → tie_cubes = n³−n → h null
+    val tied = Seq(("a", 1.0), ("a", 1.0), ("b", 1.0)).toDF("g", "v")
+    assert(Quality.kruskalWallis(tied, "g", "v")
+      .collect().head.isNullAt(4))
+    // single group → h null
+    val one = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0)).toDF("g", "v")
+    assert(Quality.kruskalWallis(one, "g", "v").collect().head.isNullAt(4))
+  }
+
+  test("mcnemar: discordant cells and the continuity-corrected statistic") {
+    import spark.implicits._
+    val df = (Seq((true, true)) ++ Seq.fill(3)((true, false)) ++
+      Seq((false, true)) ++ Seq((false, false))).toDF("a", "b")
+    val r = Quality.mcnemar(df, "a", "b").collect().head
+    assert((r.getAs[Long]("n11"), r.getAs[Long]("n10"),
+      r.getAs[Long]("n01"), r.getAs[Long]("n00")) == ((1L, 3L, 1L, 1L)))
+    // (|3−1|−1)² / 4
+    assert(r.getAs[Double]("chi2_cc") == 0.25)
+  }
+
+  test("mcnemar: tied discordants floor at zero; none → null") {
+    import spark.implicits._
+    val tied = Seq((true, false), (false, true)).toDF("a", "b")
+    assert(Quality.mcnemar(tied, "a", "b").collect().head
+      .getAs[Double]("chi2_cc") == 0.0)
+    val concordant = Seq((true, true), (false, false)).toDF("a", "b")
+    assert(Quality.mcnemar(concordant, "a", "b").collect().head.isNullAt(4))
+  }
+
+  test("mantelHaenszel: per-stratum micro terms, pooled OR, and the " +
+      "continuity-corrected chi-square on a two-stratum hand example") {
+    import spark.implicits._
+    def stratum(st: String, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)((st, true, true)) ++ Seq.fill(b)((st, true, false)) ++
+        Seq.fill(c)((st, false, true)) ++ Seq.fill(d)((st, false, false))
+    // s1: 2/1/1/2 (n=6), s2: 3/1/1/3 (n=8)
+    val df = (stratum("s1", 2, 1, 1, 2) ++ stratum("s2", 3, 1, 1, 3))
+      .toDF("st", "e", "o")
+    val r = Quality.mantelHaenszel(df, "st", col("e"), col("o"))
+      .collect().head
+    assert(r.getAs[Long]("k_strata") == 2L)
+    assert(r.getAs[Long]("n_total") == 14L)
+    assert(r.getAs[Long]("sum_a") == 5L)
+    // ad/n: 4/6→666667, 9/8→1125000; bc/n: 1/6→166667, 1/8→125000
+    assert(r.getAs[Long]("sum_ad_micro") == 1791667L)
+    assert(r.getAs[Long]("sum_bc_micro") == 291667L)
+    // (a+b)(a+c)/n: 9/6→1500000, 16/8→2000000
+    assert(r.getAs[Long]("sum_ea_micro") == 3500000L)
+    // var: 81/180→450000, 256/448→571429
+    assert(r.getAs[Long]("sum_var_micro") == 1021429L)
+    assert(r.getAs[Double]("or_mh") == 1791667.0 / 291667.0)
+    // dev = |5·10⁶ − 3.5·10⁶| − 5·10⁵ = 10⁶
+    assert(r.getAs[Double]("chi2_mh") ==
+      1000000.0 * 1000000.0 / (1e6 * 1021429.0))
+  }
+
+  test("woeIv: per-bin WoE/IV micro values; zero cells null out and " +
+      "are excluded from the total") {
+    import spark.implicits._
+    val df = (Seq.fill(3)(("A", true)) ++ Seq(("A", false)) ++
+      Seq(("B", true)) ++ Seq.fill(3)(("B", false)) ++
+      Seq.fill(2)(("C", true))).toDF("bin", "y")
+    val out = Quality.woeIv(df, "bin", col("y")).collect()
+    val m = out.map(r => r.getAs[String]("bin") -> r).toMap
+    // totals: tp=6, tn=4
+    def woe(pos: Long, neg: Long): Long =
+      math.round(math.log(pos.toDouble * 4.0) * 1e6) -
+        math.round(math.log(neg.toDouble * 6.0) * 1e6)
+    def iv(pos: Long, neg: Long): Long =
+      math.round((pos.toDouble / 6.0 - neg.toDouble / 4.0) *
+        woe(pos, neg).toDouble)
+    assert(m("A").getAs[Long]("woe_micro") == woe(3, 1))
+    assert(m("A").getAs[Long]("iv_micro") == iv(3, 1))
+    assert(m("B").getAs[Long]("woe_micro") == woe(1, 3))
+    assert(m("B").getAs[Long]("iv_micro") == iv(1, 3))
+    assert(m("C").isNullAt(3) && m("C").isNullAt(4))
+    assert(out.forall(_.getAs[Long]("iv_total_micro") ==
+      iv(3, 1) + iv(1, 3)))
+    assert(out.map(_.getAs[String]("bin")).toSeq == Seq("A", "B", "C"))
+  }
+
+  test("approxQuantileContract: the sketch's rank guarantee holds on a " +
+      "uniform grid and under heavy ties") {
+    import spark.implicits._
+    val uniform = (1 to 1000).map(_.toDouble).toDF("v")
+    val out = Quality.approxQuantileContract(uniform, "v",
+      Seq(0.25, 0.5, 0.9), accuracy = 1000).collect()
+    assert(out.map(_.getAs[Long]("q_micro")).toSeq ==
+      Seq(250000L, 500000L, 900000L))
+    assert(out.forall(_.getAs[Long]("n") == 1000L))
+    assert(out.forall(_.getAs[Boolean]("within_bound")),
+      "sketch rank guarantee violated on the uniform grid")
+    // a massive tie block: the returned value's rank INTERVAL spans the
+    // tie mass, so the overlap check must still pass
+    val tied = (Seq.fill(500)(7.0) ++ (1 to 500).map(_.toDouble))
+      .toDF("v")
+    val t = Quality.approxQuantileContract(tied, "v",
+      Seq(0.5), accuracy = 100).collect()
+    assert(t.length == 1 && t.head.getAs[Boolean]("within_bound"))
+  }
+
+  test("cochranArmitage: exact sums and the pinned z on a hand trend") {
+    import spark.implicits._
+    // tiers 1/2/3, 4 rows each, positives 1/2/3 — a clean rising trend
+    val rows = (1 to 3).flatMap(s =>
+      (1 to 4).map(i => (s.toLong, i <= s)))
+    val df = rows.toDF("s", "y")
+    val r = Quality.cochranArmitage(df, "s", col("y")).collect().head
+    assert(r.getAs[Long]("k") == 3L && r.getAs[Long]("n") == 12L &&
+      r.getAs[Long]("r") == 6L)
+    assert(r.getAs[Long]("sum_sr") == 14L)  // 1·1 + 2·2 + 3·3
+    assert(r.getAs[Long]("sum_sn") == 24L)  // (1+2+3)·4
+    assert(r.getAs[Long]("sum_s2n") == 56L) // (1+4+9)·4
+    // T·N = 12·14 − 6·24 = 24; N·Σs²n − (Σsn)² = 96; R(N−R) = 36
+    assert(r.getAs[Double]("z") ==
+      24.0 * math.sqrt(12.0) / math.sqrt(36.0 * 96.0))
+    // degenerate outcome (all positive) → z null
+    val allPos = (1 to 3).map(s => (s.toLong, true)).toDF("s", "y")
+    assert(Quality.cochranArmitage(allPos, "s", col("y"))
+      .collect().head.isNullAt(6))
+  }
+
+  test("huberLocation: integer IRLS replayed exactly; outlier pulled in") {
+    import spark.implicits._
+    val df = Seq(1.0, 2.0, 3.0, 100.0).toDF("v")
+    val k = 1000000L // k = 1 value unit on the micro grid
+    val r = Quality.huberLocation(df, "v", k, iters = 3).collect().head
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Long]("mu_0") == 2000000L) // exact lower median
+    // independent integer replay of the IRLS recurrence
+    val xs = Seq(1000000L, 2000000L, 3000000L, 100000000L)
+    var mu = 2000000L
+    val expected = (1 to 3).map { _ =>
+      val ws = xs.map { x =>
+        val d = math.abs(x - mu)
+        if (d <= k) 1000000L else (k * 1000000L) / d
+      }
+      mu = (xs.zip(ws).map { case (x, w) => BigInt(w) * x }.sum /
+        ws.map(BigInt(_)).sum).toLong
+      mu
+    }
+    assert((1 to 3).map(j => r.getAs[Long](s"mu_$j")) == expected)
+    // the Huber location resists the 100x outlier: stays near the bulk
+    assert(r.getAs[Long]("mu_3") < 4000000L)
+    // and it sits ABOVE the median (the outlier still has bounded pull)
+    assert(r.getAs[Long]("mu_3") > 2000000L)
+  }
 }

@@ -544,4 +544,91 @@ class TemporalSpec extends SparkSpec {
     assert(r1.getAs[Long]("var_micro") == 500000L)
     assert(r1.getAs[Double]("z") == 1.0 / math.sqrt(0.5))
   }
+
+  test("grangerLag: consecutive-day pairs only, exact moments, and the " +
+      "pinned closed-form solve vs an independent recomputation") {
+    import spark.implicits._
+    // 6 consecutive days + a 3-day gap + 2 more: 6 usable (t−1, t) pairs
+    val days = Seq(1, 2, 3, 4, 5, 6, 10, 11)
+    val vals = Seq(10.0, 12.0, 11.0, 15.0, 14.0, 18.0, 20.0, 17.0)
+    val mult = Seq(1, 2, 1, 3, 2, 1, 2, 2) // daily row counts = x
+    val rows = days.zip(vals).zip(mult).flatMap { case ((d, v), m) =>
+      // m rows on day d, each worth v/m so the day sum is exactly v
+      Seq.fill(m)((Timestamp.valueOf(f"2024-01-$d%02d 12:00:00"), v / m))
+    }
+    val df = rows.toDF("ts", "value")
+    val r = Temporal.grangerLag(df, "ts", "value").collect().head
+    assert(r.getAs[Long]("n_days") == 6L) // day-10 pair excluded (gap)
+    // independent recomputation in plain Scala, same pinned order
+    val pairIdx = Seq(1, 2, 3, 4, 5, 7) // t with consecutive t−1
+    val y = pairIdx.map(i => math.round(vals(i) / mult(i) * 1e6) * mult(i))
+      .map(_.toDouble)
+    val u = pairIdx.map(i =>
+      math.round(vals(i - 1) / mult(i - 1) * 1e6) * mult(i - 1))
+      .map(_.toDouble)
+    val v = pairIdx.map(i => mult(i - 1).toDouble)
+    val n = y.size.toDouble
+    def s(a: Seq[Double]) = a.sum
+    def sp(a: Seq[Double], b: Seq[Double]) = a.zip(b).map(t => t._1 * t._2).sum
+    val (cyy, cuu, cvv) = (sp(y, y) - s(y) * s(y) / n,
+      sp(u, u) - s(u) * s(u) / n, sp(v, v) - s(v) * s(v) / n)
+    val (cyu, cyv, cuv) = (sp(y, u) - s(y) * s(u) / n,
+      sp(y, v) - s(y) * s(v) / n, sp(u, v) - s(u) * s(v) / n)
+    val det = cuu * cvv - cuv * cuv
+    val b1 = (cvv * cyu - cuv * cyv) / det
+    val b2 = (cuu * cyv - cuv * cyu) / det
+    val rssU = cyy - b1 * cyu - b2 * cyv
+    val rssR = cyy - cyu * cyu / cuu
+    assert(r.getAs[Double]("b_y_lag") == b1)
+    assert(r.getAs[Double]("b_x_lag") == b2)
+    assert(r.getAs[Double]("f_granger") == (rssR - rssU) * (n - 3) / rssU)
+  }
+
+  test("forecastMase: sums replay the backtest grid; periodic series " +
+      "has zero naive error and a null MASE") {
+    import spark.implicits._
+    // 42 consecutive days of a noisy-ish deterministic series
+    val rows = (0 until 42).map { i =>
+      val d = java.time.LocalDate.of(2024, 1, 1).plusDays(i)
+      (Timestamp.valueOf(d.atTime(12, 0)), (10 + (i * 7) % 13).toDouble)
+    }
+    val df = rows.toDF("ts", "value")
+    val r = Temporal.forecastMase(df, "ts", "value", 7, 28).collect().head
+    // independent replay off the holtWinters grid
+    val hw = Temporal.holtWinters(df, "ts", "value", 7).collect()
+      .map(x => (x.getDate(0), x.getLong(1), x.getLong(5)))
+      .sortBy(_._1.getTime)
+    val maxT = hw.last._1.getTime
+    val cut = maxT - 28L * 86400000L
+    val scored = hw.indices.filter(i => i >= 7 && hw(i)._1.getTime > cut)
+      .map { i =>
+        val (d, y, _) = hw(i)
+        (math.abs(y - hw(i - 1)._3), math.abs(y - hw(i - 7)._2))
+      }
+    assert(r.getAs[Long]("n_days") == scored.size.toLong)
+    assert(r.getAs[Long]("sum_err_model_micro") == scored.map(_._1).sum)
+    assert(r.getAs[Long]("sum_err_naive_micro") == scored.map(_._2).sum)
+    assert(r.getAs[Long]("mase_micro") ==
+      scored.map(_._1).sum * 1000000L / scored.map(_._2).sum)
+    // exactly weekly-periodic series: seasonal-naive is perfect → null
+    val periodic = (0 until 42).map { i =>
+      val d = java.time.LocalDate.of(2024, 1, 1).plusDays(i)
+      (Timestamp.valueOf(d.atTime(12, 0)), (1 + i % 7).toDouble)
+    }.toDF("ts", "value")
+    val p = Temporal.forecastMase(periodic, "ts", "value", 7, 28)
+      .collect().head
+    assert(p.getAs[Long]("sum_err_naive_micro") == 0L)
+    assert(p.isNullAt(3))
+  }
+
+  test("grangerLag: degenerate designs return nulls, not garbage") {
+    import spark.implicits._
+    // constant x every day → cvv = cuv = 0 → singular normal equations
+    val df = (1 to 5).map(d =>
+        (Timestamp.valueOf(f"2024-01-$d%02d 12:00:00"), d * 2.0))
+      .toDF("ts", "value")
+    val r = Temporal.grangerLag(df, "ts", "value").collect().head
+    assert(r.getAs[Long]("n_days") == 4L)
+    assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+  }
 }

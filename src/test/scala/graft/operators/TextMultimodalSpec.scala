@@ -837,4 +837,60 @@ class TextMultimodalSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     assert(top2 == Seq("bb", "aa"))
   }
+
+  test("countMinSketch: estimates replay the h60 sketch exactly and " +
+      "never underestimate") {
+    import spark.implicits._
+    val docs = Seq("aa bb aa cc", "bb aa dd", "cc cc aa ee ff")
+      .toDF("text")
+    val depth = 2; val width = 4
+    val out = TextOps.countMinSketch(docs, "text", depth, width, topK = 6)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    // independent replay: vocabulary counts, then the d x w cells
+    val toks = Seq("aa", "bb", "aa", "cc", "bb", "aa", "dd",
+      "cc", "cc", "aa", "ee", "ff")
+    val vocab = toks.groupBy(identity).map { case (t, l) =>
+      t -> l.size.toLong }
+    def bucket(r: Int, tok: String): Long =
+      graft.functions.Hashing.h60Local(s"$r:$tok") % width
+    val cells = (for { (t, c) <- vocab.toSeq; r <- 0 until depth }
+      yield ((r, bucket(r, t)), c))
+      .groupBy(_._1).map { case (k, l) => k -> l.map(_._2).sum }
+    def est(tok: String): Long =
+      (0 until depth).map(r => cells((r, bucket(r, tok)))).min
+    val expected = vocab.toSeq.sortBy { case (t, c) => (-c, t) }
+      .map { case (t, c) => (t, c, est(t), est(t) >= c) }
+    assert(out.toSeq == expected)
+    assert(out.forall(_._4), "CMS one-sided guarantee violated")
+  }
+
+  test("cmsMergeCheck: half sketches merge EXACTLY into the whole") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa bb aa"), (2L, "bb cc"), (3L, "aa dd ee"),
+      (4L, "cc cc ff")).toDF("doc_id", "text")
+    val r = TextOps.cmsMergeCheck(docs, "doc_id", "text",
+      depth = 3, width = 8).collect().head
+    assert(r.getAs[Boolean]("merge_exact"))
+    assert(r.getAs[Long]("n_mismatch") == 0L)
+    // total mass = depth x total token count (each token feeds d rows)
+    assert(r.getAs[Long]("total_mass") == 3L * 11L)
+    assert(r.getAs[Long]("n_cells") >= 1L)
+  }
+
+  test("featureHash: buckets, signs, and collision counts replay h60") {
+    import spark.implicits._
+    val docs = Seq("aa bb cc", "aa aa dd").toDF("text")
+    val out = TextOps.featureHash(docs, "text", buckets = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    val vocab = Map("aa" -> 3L, "bb" -> 1L, "cc" -> 1L, "dd" -> 1L)
+    def b(t: String) = graft.functions.Hashing.h60Local(s"101:$t") % 4
+    def sg(t: String) = (graft.functions.Hashing.h60Local(s"102:$t") % 2) * 2 - 1
+    val expected = vocab.toSeq.groupBy { case (t, _) => b(t) }
+      .map { case (bk, l) => bk -> ((l.size.toLong,
+        l.map(_._2).sum, l.map { case (t, c) => sg(t) * c }.sum)) }
+    assert(out == expected)
+  }
 }
