@@ -4441,6 +4441,10 @@ object SparkEntry {
     * Yields CTEs `toks, grams, sh, sizes, inter, prs(id_a, id_b)` and the
     * symmetrized `edges(src, dst)`.
     */
+  // MATERIALIZED throughout (the q226/q171 lesson): sh is referenced 3x
+  // (sizes + both sides of the pair join), sizes 2x, prs up to 3x, and
+  // edges feeds RECURSIVE walks that would otherwise re-expand the whole
+  // md5 shingle pipeline once per fixpoint iteration when inlined.
   private def nearDupEdgesCte(minJac: Double): String =
     s"""toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l
                FROM documents),
@@ -4448,18 +4452,18 @@ object SparkEntry {
                  range(1, greatest(len(l) - 1, 1)),
                  i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS g
                FROM toks WHERE len(l) >= 3),
-        sh AS (SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS sh FROM grams),
-        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        sh AS MATERIALIZED (SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS sh FROM grams),
+        sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
                   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
                   GROUP BY 1, 2),
-        prs AS (SELECT id_a, id_b,
+        prs AS MATERIALIZED (SELECT id_a, id_b,
                   CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
                   FROM inter
                   JOIN sizes sa ON id_a = sa.doc_id
                   JOIN sizes sb ON id_b = sb.doc_id
                   WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= $minJac),
-        edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+        edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM prs
                   UNION SELECT id_b, id_a FROM prs)"""
 
   /** DuckDB replay of [[graft.operators.Graphs.kCore]]: `rounds` unrolled
@@ -9266,6 +9270,33 @@ object SparkEntry {
           ${level(4)}
           SELECT node, dist AS dist_micro FROM d4 ORDER BY node"""
       }),
+
+    // MAD robust outlier audit on event values: median absolute
+    // deviation with the 3·1.4826 fence — the robust yardstick q10's
+    // sigma-based z cannot give (sigma is dragged by the outliers it
+    // hunts); everything exact integer micro.
+    "q292_mad_outliers" -> Q(
+      (s, dir) => Quality.madOutliers(t(s, dir, "events"), "value"),
+      Some("""WITH grid AS (SELECT CAST(round(value * 1e6) AS BIGINT) AS x,
+            CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM events WHERE value IS NOT NULL GROUP BY 1),
+        nn AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM grid),
+        med AS (SELECT MIN(x) AS median_micro
+          FROM (SELECT x, SUM(cnt) OVER (ORDER BY x) AS cum FROM grid) c,
+            nn WHERE cum >= (n + 1) // 2),
+        dev AS (SELECT abs(x - median_micro) AS dx,
+            CAST(SUM(cnt) AS BIGINT) AS cnt
+          FROM grid, med GROUP BY 1),
+        mad AS (SELECT MIN(dx) AS mad_micro,
+            (3 * 14826 * MIN(dx)) // 10000 AS threshold_micro
+          FROM (SELECT dx, SUM(cnt) OVER (ORDER BY dx) AS cum FROM dev) c,
+            nn WHERE cum >= (n + 1) // 2),
+        outs AS (SELECT CAST(COALESCE(SUM(CASE
+              WHEN abs(x - median_micro) > threshold_micro
+              THEN cnt ELSE 0 END), 0) AS BIGINT) AS n_outliers
+          FROM grid, med, mad)
+        SELECT n, median_micro, mad_micro, threshold_micro, n_outliers
+        FROM nn, med, mad, outs""")),
 
     // Growth accounting: the 1996-vs-1997 revenue waterfall by customer
     // lifecycle — new/expansion/contraction/churned contributions whose

@@ -2029,8 +2029,10 @@ object Quality {
       .select(col("k"), col("n"), col("tie_cubes"),
         col("__q").cast("long").as("sum_q"))
       .withColumn("h",
+        // degeneracy guard in DECIMAL: n³ overflows a long past ~2.1M rows
         when(col("k") >= 2 && col("n") > col("k") &&
-          col("tie_cubes") < col("n") * col("n") * col("n") - col("n"),
+          d(col("tie_cubes")) <
+            d(col("n")) * d(col("n")) * d(col("n")) - d(col("n")),
           hUnc / corr))
   }
 
@@ -2225,6 +2227,56 @@ object Quality {
     mus.reverse.reduce((a, b) => a.crossJoin(broadcast(b)))
       .crossJoin(broadcast(n))
       .select((col("n") +: (0 to iters).map(j => col(s"mu_$j"))): _*)
+  }
+
+  /** MAD ROBUST SCALE + OUTLIER AUDIT — median absolute deviation, the
+    * robust-scale partner of [[huberLocation]] and the correct outlier
+    * yardstick where [[outliersZScore]]'s σ is itself dragged by the
+    * outliers it is meant to find (σ has breakdown point 0; MAD, 50%).
+    * Everything stays on the exact integer micro grid: lower median and
+    * deviation median off bounded distinct-value grids, the 3·1.4826·MAD
+    * fence as the exact floor quotient (3·14826·MAD) div 10⁴ (1.4826 ≈
+    * 1/Φ⁻¹(3/4), the normal-consistency constant on the 10⁻⁴ grid), and
+    * the outlier count as an exact conditional sum — no floats anywhere.
+    *
+    * Scale shape: one shuffle to the distinct-value grid; the deviation
+    * re-grid, both median cumulations, and the fence count all run on
+    * value-domain-bounded relations (the q97 argument). Raw rows are
+    * scanned once.
+    *
+    * Returns one row: (n, median_micro, mad_micro, threshold_micro,
+    * n_outliers).
+    */
+  def madOutliers(df: DataFrame, valCol: String): DataFrame = {
+    val grid = graft.CacheScope.register(
+      df.filter(col(valCol).isNotNull)
+        .select(round(col(valCol) * 1e6).cast("long").as("x"))
+        .groupBy("x").agg(count(lit(1)).as("cnt")))
+    val n = grid.agg(coalesce(sum("cnt"), lit(0L)).cast("long").as("n"))
+    def lowerMedian(g: DataFrame, vCol: String, out: String): DataFrame = {
+      val w = Window.orderBy(vCol)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.withColumn("cum", sum("cnt").over(w))
+        .crossJoin(broadcast(n))
+        .filter(col("cum") >= expr("(n + 1) div 2"))
+        .agg(min(vCol).as(out))
+    }
+    val med = lowerMedian(grid, "x", "median_micro")
+    val dev = grid.crossJoin(broadcast(med))
+      .select(abs(col("x") - col("median_micro")).as("dx"), col("cnt"))
+      .groupBy("dx").agg(sum("cnt").as("cnt"))
+    val mad = lowerMedian(dev, "dx", "mad_micro")
+      .withColumn("threshold_micro",
+        expr("(3L * 14826L * mad_micro) div 10000L"))
+    val outliers = grid.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
+      .agg(coalesce(sum(when(
+        abs(col("x") - col("median_micro")) > col("threshold_micro"),
+        col("cnt")).otherwise(lit(0L))), lit(0L)).cast("long")
+        .as("n_outliers"))
+    n.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
+      .crossJoin(broadcast(outliers))
+      .select(col("n"), col("median_micro"), col("mad_micro"),
+        col("threshold_micro"), col("n_outliers"))
   }
 
   /** APPROXIMATE-QUANTILE SKETCH CONTRACT: runs Spark's single-pass

@@ -1061,6 +1061,27 @@ class QualitySpec extends SparkSpec {
     assert(t.length == 1 && t.head.getAs[Boolean]("within_bound"))
   }
 
+  test("madOutliers: exact medians, fence, and count on a hand fixture") {
+    import spark.implicits._
+    // values 1..9 plus a wild outlier: median 5.5? no — lower median of
+    // 10 values is the 5th smallest = 5; deviations |x−5| = 4,3,2,1,0,
+    // 1,2,3,4,995 → lower median of deviations = 2
+    val df = ((1 to 9).map(_.toDouble) :+ 1000.0).toDF("v")
+    val r = Quality.madOutliers(df, "v").collect().head
+    assert(r.getAs[Long]("n") == 10L)
+    assert(r.getAs[Long]("median_micro") == 5000000L)
+    assert(r.getAs[Long]("mad_micro") == 2000000L)
+    // fence = (3·14826·2·10⁶) div 10⁴ = 8895600 micro ≈ 8.9 units
+    assert(r.getAs[Long]("threshold_micro") == 8895600L)
+    // only the planted 1000.0 sits beyond median ± 8.9
+    assert(r.getAs[Long]("n_outliers") == 1L)
+    // constant column: MAD 0, threshold 0, no outliers
+    val const = Seq.fill(5)(3.0).toDF("v")
+    val c = Quality.madOutliers(const, "v").collect().head
+    assert(c.getAs[Long]("mad_micro") == 0L &&
+      c.getAs[Long]("n_outliers") == 0L)
+  }
+
   test("cochranArmitage: exact sums and the pinned z on a hand trend") {
     import spark.implicits._
     // tiers 1/2/3, 4 rows each, positives 1/2/3 — a clean rising trend
