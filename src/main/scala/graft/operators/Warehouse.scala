@@ -797,7 +797,14 @@ object Warehouse {
     require(buckets >= 1 && table.matches("[A-Za-z0-9_]+"),
       s"bad bucket spec: $table/$buckets")
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    df.write.mode("overwrite")
+    // repartition on the bucket key FIRST: bucketBy writes one file per
+    // (task, bucket), so an N-task upstream sprays N·buckets small files
+    // (measured: 1026 files for a 7 MB index). repartition uses the same
+    // Murmur3 HashPartitioning as the bucket id, so each bucket lands
+    // wholly in one task → exactly `buckets` files, and the downstream
+    // zero-shuffle bucketed join is unchanged.
+    df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+      .write.mode("overwrite")
       .option("path", path)
       .bucketBy(buckets, key)
       .sortBy(key)
