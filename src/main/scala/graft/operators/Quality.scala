@@ -2370,10 +2370,13 @@ object Quality {
             lnMicro(col("n_pos").cast("double") * col("__tn").cast("double"))
               - lnMicro(col("n_neg").cast("double")
                 * col("__tp").cast("double"))))
+        // guard on woe_micro: with an empty target class (__tn or __tp
+        // zero) the raw divisions would raise DIVIDE_BY_ZERO under ANSI
         .withColumn("iv_micro",
-          round((col("n_pos").cast("double") / col("__tp").cast("double")
-            - col("n_neg").cast("double") / col("__tn").cast("double"))
-            * col("woe_micro").cast("double")).cast("long")))
+          when(col("woe_micro").isNotNull,
+            round((col("n_pos").cast("double") / col("__tp").cast("double")
+              - col("n_neg").cast("double") / col("__tn").cast("double"))
+              * col("woe_micro").cast("double")).cast("long"))))
     val total = withWoe.agg(
       coalesce(sum("iv_micro"), lit(0L)).as("iv_total_micro"))
     withWoe.crossJoin(broadcast(total))

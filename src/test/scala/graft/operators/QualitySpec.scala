@@ -1061,6 +1061,27 @@ class QualitySpec extends SparkSpec {
     assert(t.length == 1 && t.head.getAs[Boolean]("within_bound"))
   }
 
+  test("woeIv: an all-positive target nulls every WoE and zeroes the " +
+      "total instead of dividing by zero") {
+    import spark.implicits._
+    val df = Seq(("A", true), ("A", true), ("B", true)).toDF("bin", "y")
+    val out = Quality.woeIv(df, "bin", col("y")).collect()
+    assert(out.length == 2)
+    assert(out.forall(r => r.isNullAt(3) && r.isNullAt(4)))
+    assert(out.forall(_.getAs[Long]("iv_total_micro") == 0L))
+  }
+
+  test("cochranArmitage: a single category has zero score variance -> " +
+      "null z, exact sums intact") {
+    import spark.implicits._
+    val df = Seq((2L, true), (2L, false), (2L, true)).toDF("s", "y")
+    val r = Quality.cochranArmitage(df, "s", col("y")).collect().head
+    assert(r.getAs[Long]("k") == 1L && r.getAs[Long]("n") == 3L &&
+      r.getAs[Long]("r") == 2L)
+    // N·Σs²n − (Σsn)² = 3·12 − 36 = 0 → degenerate
+    assert(r.isNullAt(6))
+  }
+
   test("madOutliers: exact medians, fence, and count on a hand fixture") {
     import spark.implicits._
     // values 1..9 plus a wild outlier: median 5.5? no — lower median of

@@ -630,5 +630,11 @@ class TemporalSpec extends SparkSpec {
     val r = Temporal.grangerLag(df, "ts", "value").collect().head
     assert(r.getAs[Long]("n_days") == 4L)
     assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+    // too few pairs for the 3-parameter fit (n = 2 ≤ 3) → nulls
+    val tiny = (1 to 3).map(d =>
+        (Timestamp.valueOf(f"2024-01-$d%02d 12:00:00"), d * 3.0 + d % 2))
+      .toDF("ts", "value")
+    val t = Temporal.grangerLag(tiny, "ts", "value").collect().head
+    assert(t.getAs[Long]("n_days") == 2L && t.isNullAt(3))
   }
 }
