@@ -9298,6 +9298,58 @@ object SparkEntry {
         SELECT n, median_micro, mad_micro, threshold_micro, n_outliers
         FROM nn, med, mad, outs""")),
 
+    // Durbin-Watson on the daily-revenue trend residuals: did q132's
+    // linear fit leave serial structure behind? Closed-form OLS from
+    // exact moments, residuals micro-rounded ONCE, DW from exact sums.
+    "q293_durbin_watson" -> Q(
+      (s, dir) => Temporal.durbinWatson(t(s, dir, "orders"),
+        "o_orderdate", "o_totalprice"),
+      Some("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+            CAST(SUM(CAST(round(o_totalprice * 1e6) AS BIGINT)) AS BIGINT)
+              AS y
+          FROM orders
+          WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+          GROUP BY 1),
+        lo AS (SELECT MIN(d) AS lo FROM daily),
+        wx AS (SELECT d, y,
+            CAST(datediff('day', (SELECT lo FROM lo), d) AS BIGINT) AS x
+          FROM daily),
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+            SUM(CAST(x AS HUGEINT) * x) AS sxx,
+            SUM(CAST(x AS HUGEINT) * y) AS sxy
+          FROM wx),
+        fit AS (SELECT n,
+            CASE WHEN n >= 3 AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+              THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            END AS b,
+            CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd
+          FROM m),
+        fit2 AS (SELECT n, b,
+            CASE WHEN b IS NOT NULL
+              THEN (syd - b * sxd) / CAST(n AS DOUBLE) END AS a
+          FROM fit),
+        resid AS (SELECT d,
+            CAST(round(CAST(y AS DOUBLE)
+              - (a + b * CAST(x AS DOUBLE))) AS BIGINT) AS e
+          FROM wx, fit2),
+        lagged AS (SELECT e, lag(e) OVER (ORDER BY d) AS ep FROM resid),
+        agg AS (SELECT
+            CAST(COALESCE(SUM(abs(e)), 0) AS BIGINT)
+              AS sum_abs_resid_micro,
+            SUM(CAST(e AS HUGEINT) * e) AS den,
+            SUM(CASE WHEN ep IS NOT NULL
+              THEN CAST(e - ep AS HUGEINT) * (e - ep) END) AS num
+          FROM lagged)
+        SELECT (SELECT n FROM m) AS n_days, sum_abs_resid_micro,
+          CASE WHEN den IS NOT NULL AND CAST(den AS DOUBLE) > 0
+            THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS dw
+        FROM agg""")),
+
     // Growth accounting: the 1996-vs-1997 revenue waterfall by customer
     // lifecycle — new/expansion/contraction/churned contributions whose
     // cent-exact sum IS the year-over-year revenue delta.

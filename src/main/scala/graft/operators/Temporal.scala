@@ -1054,6 +1054,72 @@ object Temporal {
       .orderBy("day")
   }
 
+  /** DURBIN-WATSON AUTOCORRELATION of the daily-trend OLS residuals —
+    * the regression diagnostic that tells you whether q132's linear fit
+    * left serial structure on the table (DW ≈ 2 none, → 0 positive,
+    * → 4 negative autocorrelation): fit y_t = a + b·t in closed form
+    * from exact DECIMAL moments over the observed-day grid, micro-round
+    * each residual ONCE (the pinned convention — identical in any
+    * engine), then DW = Σ(e_t − e_{t−1})² / Σe_t² from exact integer
+    * sums of those pinned residuals. Consecutive means consecutive
+    * OBSERVATIONS in time order (the classical definition), not
+    * consecutive calendar days.
+    *
+    * Scale shape: one shuffle to the calendar-bounded day grid, one
+    * single-row moment aggregate, one lag window over that grid. Raw
+    * rows are scanned once.
+    *
+    * Returns one row: (n_days, sum_abs_resid_micro, dw) — dw null when
+    * the fit or the residual mass degenerates (n < 3, constant day
+    * index, or a perfect fit).
+    */
+  def durbinWatson(df: DataFrame, tsCol: String, valCol: String): DataFrame = {
+    val daily = graft.CacheScope.register(
+      df.filter(col(tsCol).isNotNull && col(valCol).isNotNull)
+        .groupBy(col(tsCol).cast("date").as("d"))
+        .agg(sum(round(col(valCol) * 1e6).cast("long")).as("y")))
+    val withX = daily.crossJoin(broadcast(daily.agg(min("d").as("__lo"))))
+      .select(col("d"), col("y"),
+        datediff(col("d"), col("__lo")).cast("long").as("x"))
+    def D(c: Column) = c.cast("decimal(38,0)")
+    val m = withX.agg(
+      count(lit(1)).as("n"),
+      sum(D(col("x"))).cast("decimal(38,0)").as("sx"),
+      sum(D(col("y"))).cast("decimal(38,0)").as("sy"),
+      sum(D(col("x")) * D(col("x"))).cast("decimal(38,0)").as("sxx"),
+      sum(D(col("x")) * D(col("y"))).cast("decimal(38,0)").as("sxy"))
+    val nD = col("n").cast("double")
+    val denomFit = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    // divisions live INSIDE when branches: ANSI mode raises on /0
+    val fit = m
+      .withColumn("__b", when(col("n") >= 3 && denomFit > 0,
+        (nD * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) / denomFit))
+      .withColumn("__a", when(col("__b").isNotNull,
+        (col("sy").cast("double") - col("__b") * col("sx").cast("double"))
+          / nD))
+    val resid = withX.crossJoin(broadcast(fit.select("n", "__a", "__b")))
+      .select(col("d"), col("n"),
+        round(col("y").cast("double") -
+          (col("__a") + col("__b") * col("x").cast("double")))
+          .cast("long").as("e"))
+    val w = Window.orderBy("d") // calendar-bounded day grid only
+    val lagged = resid.withColumn("ep", lag("e", 1).over(w))
+    lagged.agg(
+        max("n").as("n_days"),
+        coalesce(sum(abs(col("e"))), lit(0L)).cast("long")
+          .as("sum_abs_resid_micro"),
+        sum(D(col("e")) * D(col("e"))).cast("decimal(38,0)").as("__den"),
+        sum(when(col("ep").isNotNull,
+          D(col("e") - col("ep")) * D(col("e") - col("ep"))))
+          .cast("decimal(38,0)").as("__num"))
+      .select(col("n_days"), col("sum_abs_resid_micro"),
+        when(col("__den").isNotNull && col("__den").cast("double") > 0,
+          col("__num").cast("double") / col("__den").cast("double"))
+          .as("dw"))
+  }
+
   /** MASE FORECAST EVALUATION — Mean Absolute Scaled Error of the
     * Holt-Winters one-step backtest against the SEASONAL-NAIVE baseline
     * (ŷ_t = y_{t−period}): the scale-free score Hyndman & Koehler

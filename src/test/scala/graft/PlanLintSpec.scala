@@ -89,7 +89,8 @@ class PlanLintSpec extends SparkSpec {
     "q283_target_encoding" -> "crossJoin against the broadcast 1-row global-moment aggregate (q110/q163 shape)",
     "q286_quantile_sketch" -> "crossJoins of the broadcast |quantiles|-row sketch-probe set and the 1-row total aggregate over the distinct-value grid (q24's bounded-probe shape)",
     "q288_huber_location" -> "crossJoins of the broadcast 1-row median/iterate/total aggregates per unrolled IRLS pass (q110/q163 shape)",
-    "q292_mad_outliers" -> "crossJoins of the broadcast 1-row median/MAD/total aggregates over the distinct-value grid (q110/q163 shape)")
+    "q292_mad_outliers" -> "crossJoins of the broadcast 1-row median/MAD/total aggregates over the distinct-value grid (q110/q163 shape)",
+    "q293_durbin_watson" -> "crossJoins of the broadcast 1-row min-date and OLS-moment aggregates over the calendar day grid (q110/q163 shape)")
 
   /** Queries allowed to plan a GLOBAL window (no partition columns, or a
     * constant partition) — each must window over a provably BOUNDED
@@ -133,7 +134,8 @@ class PlanLintSpec extends SparkSpec {
     "q281_granger_lag" -> "lag window over the calendar day grid (q169's calendar-bounded argument)",
     "q288_huber_location" -> "median cumulation over the DISTINCT-value count grid (q234's bounded-grid argument)",
     "q289_forecast_mase" -> "lag windows over the calendar day grid (q263's calendar-bounded argument)",
-    "q292_mad_outliers" -> "median cumulations over the DISTINCT-value and deviation count grids (q234's bounded-grid argument)")
+    "q292_mad_outliers" -> "median cumulations over the DISTINCT-value and deviation count grids (q234's bounded-grid argument)",
+    "q293_durbin_watson" -> "lag window over the calendar day grid (q169's calendar-bounded argument)")
 
   test("no query plans a global window over an unbounded relation") {
     import org.apache.spark.sql.execution.SparkPlan

@@ -621,6 +621,31 @@ class TemporalSpec extends SparkSpec {
     assert(p.isNullAt(3))
   }
 
+  test("durbinWatson: hand OLS residuals, exact sums, pinned DW; " +
+      "perfect fit degenerates to null") {
+    import spark.implicits._
+    // days 0..3, y = [0, 2, 1, 3] units: b = 0.8, a = 0.3 →
+    // e_micro = [−3e5, 9e5, −9e5, 3e5]
+    val df = (1 to 4).map(d =>
+        (Timestamp.valueOf(f"2024-01-$d%02d 12:00:00"),
+          Seq(0.0, 2.0, 1.0, 3.0)(d - 1)))
+      .toDF("ts", "value")
+    val r = Temporal.durbinWatson(df, "ts", "value").collect().head
+    assert(r.getAs[Long]("n_days") == 4L)
+    assert(r.getAs[Long]("sum_abs_resid_micro") == 2400000L)
+    // num = 1.2e6² + 1.8e6² + 1.2e6², den = 2·(3e5² + 9e5²)
+    val num = (1200000L * 1200000L + 1800000L * 1800000L +
+      1200000L * 1200000L).toDouble
+    val den = (2L * (300000L * 300000L + 900000L * 900000L)).toDouble
+    assert(r.getAs[Double]("dw") == num / den)
+    // an exactly-linear series has zero residual mass → dw null
+    val perfect = (1 to 5).map(d =>
+        (Timestamp.valueOf(f"2024-01-$d%02d 12:00:00"), d * 2.0))
+      .toDF("ts", "value")
+    val p = Temporal.durbinWatson(perfect, "ts", "value").collect().head
+    assert(p.getAs[Long]("sum_abs_resid_micro") == 0L && p.isNullAt(2))
+  }
+
   test("grangerLag: degenerate designs return nulls, not garbage") {
     import spark.implicits._
     // constant x every day → cvv = cuv = 0 → singular normal equations
