@@ -9350,6 +9350,675 @@ object SparkEntry {
             THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS dw
         FROM agg""")),
 
+    // Brown-Forsythe (median-centered Levene) variance homogeneity across
+    // return-flag groups — the precondition audit for q235's ANOVA F.
+    // Per-group lower medians off the distinct-value grid, exact integer
+    // deviation moments, micro-rounded per-group SS contributions.
+    "q294_levene_bf" -> Q(
+      (s, dir) => Quality.leveneBrownForsythe(t(s, dir, "lineitem"),
+        "l_returnflag", "l_extendedprice"),
+      Some("""WITH grid AS (SELECT l_returnflag AS g,
+            CAST(round(l_extendedprice * 1e6) AS BIGINT) AS x,
+            CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM lineitem
+          WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+          GROUP BY 1, 2),
+        ng AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS ng FROM grid GROUP BY 1),
+        med AS (SELECT g, MIN(x) AS med FROM
+            (SELECT g, x, SUM(cnt) OVER (PARTITION BY g ORDER BY x) AS cum
+             FROM grid) c
+          JOIN ng USING (g) WHERE cum >= (ng + 1) // 2 GROUP BY g),
+        zm AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS ng,
+            SUM(CAST(cnt AS HUGEINT) * abs(x - med)) AS sz,
+            SUM(CAST(cnt AS HUGEINT) * abs(x - med) * abs(x - med)) AS qz
+          FROM grid JOIN med USING (g) GROUP BY 1),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+            CAST(SUM(ng) AS BIGINT) AS n, SUM(sz) AS szall FROM zm),
+        terms AS (SELECT
+            CAST(SUM(CAST(round(CAST(ng AS DOUBLE) *
+              (CAST(sz AS DOUBLE) / CAST(ng AS DOUBLE) / 1e6
+                - CAST(szall AS DOUBLE) / CAST(n AS DOUBLE) / 1e6) *
+              (CAST(sz AS DOUBLE) / CAST(ng AS DOUBLE) / 1e6
+                - CAST(szall AS DOUBLE) / CAST(n AS DOUBLE) / 1e6))
+              AS BIGINT)) AS BIGINT) AS between_sum,
+            CAST(SUM(CAST(round((CAST(ng AS DOUBLE) * CAST(qz AS DOUBLE)
+                - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))
+              / CAST(ng AS DOUBLE) / 1e12) AS BIGINT)) AS BIGINT)
+              AS within_sum
+          FROM zm, tot)
+        SELECT n, k, between_sum, within_sum,
+          CAST(k - 1 AS BIGINT) AS df1, CAST(n - k AS BIGINT) AS df2,
+          CASE WHEN k >= 2 AND n > k AND within_sum > 0
+            THEN CAST(n - k AS DOUBLE) / CAST(k - 1 AS DOUBLE)
+              * CAST(between_sum AS DOUBLE)
+              / CAST(within_sum AS DOUBLE) END AS w_stat
+        FROM tot, terms""")),
+
+    // Ljung-Box whiteness test over q168's hourly-count ACF: per-lag
+    // r²/(n−k) terms pico-rounded and summed as BIGINT, Wilson-Hilferty
+    // chi²_m p through the A&S tail polynomial on the micro grid.
+    "q295_ljung_box" -> Q(
+      (s, dir) => Temporal.ljungBox(t(s, dir, "events"), "ts", 24),
+      Some("""WITH obs AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+                COUNT(*) AS c
+              FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM obs),
+        grid AS (SELECT g.h, COALESCE(o.c, 0) AS x
+          FROM (SELECT unnest(generate_series((SELECT lo FROM bounds),
+                  (SELECT hi FROM bounds), INTERVAL 1 HOUR)) AS h) g
+          LEFT JOIN obs o ON o.h = g.h),
+        tot AS (SELECT COUNT(*) AS n, SUM(x) AS s FROM grid),
+        cen AS (SELECT h, (SELECT n FROM tot) * x - (SELECT s FROM tot) AS cx
+                FROM grid),
+        den AS (SELECT SUM(cx * cx) AS den FROM cen),
+        pairs AS (SELECT k.lag, SUM(a.cx * b.cx) AS num, COUNT(*) AS n_pairs
+          FROM (SELECT unnest(range(1, 25)) AS lag) k
+          CROSS JOIN cen a
+          JOIN cen b ON b.h = a.h + k.lag * INTERVAL 1 HOUR
+          GROUP BY 1),
+        r AS (SELECT lag, n_pairs,
+            CASE WHEN (SELECT den FROM den) <> 0 THEN
+              CAST(num AS DOUBLE) / CAST((SELECT den FROM den) AS DOUBLE)
+            END AS acf
+          FROM pairs),
+        agg AS (SELECT CAST(MAX(n_pairs + lag) AS BIGINT) AS n,
+            CAST(COUNT(*) AS BIGINT) AS m,
+            CAST(SUM(CASE WHEN acf IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS nulls,
+            CAST(SUM(CAST(round(acf * acf / CAST(n_pairs AS DOUBLE) * 1e12)
+              AS BIGINT)) AS BIGINT) AS qsum
+          FROM r),
+        stat AS (SELECT n, m, nulls, qsum,
+            CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+              * CAST(qsum AS DOUBLE) / 1e12 AS q
+          FROM agg),
+        zc AS (SELECT n, m, nulls, qsum, q,
+            (cbrt(q / CAST(m AS DOUBLE))
+              - (1.0 - 2.0 / (9.0 * CAST(m AS DOUBLE))))
+              / sqrt(2.0 / (9.0 * CAST(m AS DOUBLE))) AS z
+          FROM stat),
+        pc AS (SELECT n, m, nulls, qsum, q, z,
+            0.3989422804014327 * EXP(-0.5 * abs(z) * abs(z))
+              * (((((1.330274429 * (1.0 / (1.0 + 0.2316419 * abs(z)))
+                  + -1.821255978) * (1.0 / (1.0 + 0.2316419 * abs(z)))
+                  + 1.781477937) * (1.0 / (1.0 + 0.2316419 * abs(z)))
+                  + -0.356563782) * (1.0 / (1.0 + 0.2316419 * abs(z)))
+                  + 0.319381530) * (1.0 / (1.0 + 0.2316419 * abs(z))))
+              AS tail
+          FROM zc)
+        SELECT n, m,
+          CASE WHEN nulls = 0 AND n > m THEN qsum END AS q_term_sum_pico,
+          CASE WHEN nulls = 0 AND n > m THEN q END AS lb_q,
+          CASE WHEN nulls = 0 AND n > m THEN CAST(round(
+            (CASE WHEN z >= 0 THEN tail ELSE 1.0 - tail END) * 1e6)
+            AS BIGINT) END AS p_micro
+        FROM pc""")),
+
+    // Jarque-Bera normality per event type from the q272 exact-DECIMAL
+    // raw moments; chi²₂ survival p = exp(−JB/2) in closed form.
+    "q296_jarque_bera" -> Q(
+      (s, dir) => Quality.jarqueBera(t(s, dir, "events"),
+        "event_type", "value"),
+      Some("""WITH base AS (SELECT event_type AS g,
+            CAST(round(value * 1e3) AS BIGINT) AS v
+          FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        grid AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+            SUM(CAST(v AS HUGEINT)) AS s1,
+            SUM(CAST(v AS HUGEINT) * v) AS s2,
+            SUM(CAST(v AS HUGEINT) * v * v) AS s3,
+            SUM(CAST(v AS HUGEINT) * v * v * v) AS s4
+          FROM base GROUP BY 1),
+        m AS (SELECT g, n,
+            (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1e6 AS m2,
+            (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s3 AS DOUBLE)
+              - 3.0 * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
+              + 2.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+              / 1e9 AS m3,
+            (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                * CAST(s4 AS DOUBLE)
+              - 4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                * CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE)
+              + 6.0 * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE)
+                * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
+              - 3.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                 * CAST(n AS DOUBLE)) / 1e12 AS m4
+          FROM grid),
+        jbx AS (SELECT g, n, m2,
+            m3 / SQRT(m2 * m2 * m2) AS sk,
+            m4 / (m2 * m2) - 3.0 AS ex
+          FROM m),
+        fin AS (SELECT g, n, m2, sk, ex,
+            CAST(n AS DOUBLE) * (sk * sk / 6.0 + ex * ex / 24.0) AS jb
+          FROM jbx)
+        SELECT g AS "group", n,
+          CASE WHEN m2 > 0 THEN sk END AS skewness,
+          CASE WHEN m2 > 0 THEN ex END AS kurtosis_excess,
+          CASE WHEN m2 > 0 THEN jb END AS jb,
+          CASE WHEN m2 > 0 THEN
+            CAST(round(EXP(-0.5 * jb) * 1e6) AS BIGINT) END AS p_micro
+        FROM fin ORDER BY "group"""")),
+
+    // Murphy decomposition of the q166 stopword-calibration Brier score:
+    // reliability − resolution + uncertainty + within-bin variance, the
+    // identity emitted as a column. Per-bin terms micro-rounded.
+    "q297_brier_decomposition" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val f = TextOps.qualityFeatures(docs, "doc_id", "text")
+          .select(col("doc_id"),
+            least(lit(1000000L), col("stopword_ratio_micro") * 4).as("p"))
+        val j = docs.select(col("doc_id"), col("lang")).join(f, "doc_id")
+        Quality.brierDecomposition(j, col("lang") === "en", col("p"), 10)
+      },
+      Some(s"""WITH ${qualityMicroSql("doc_id")},
+        j AS (SELECT d.lang = 'en' AS y,
+                least(1000000, q.stopword_ratio_micro * 4) AS p
+              FROM __qm q JOIN documents d USING (doc_id)
+              WHERE q.stopword_ratio_micro IS NOT NULL AND d.lang IS NOT NULL),
+        b AS (SELECT least(9, (p * 10) // 1000000) AS bin,
+                CASE WHEN y THEN 1 ELSE 0 END AS yi, p FROM j),
+        bins AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(yi) AS BIGINT) AS k, CAST(SUM(p) AS BIGINT) AS sp,
+            CAST(SUM((p - yi * 1000000) * (p - yi * 1000000)) AS BIGINT) AS bn
+          FROM b GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+            CAST(SUM(k) AS BIGINT) AS k_pos,
+            CAST(SUM(bn) AS BIGINT) AS brier_num FROM bins),
+        terms AS (SELECT
+            CAST(SUM(CAST(round(CAST(n AS DOUBLE) *
+              (CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) / 1e6
+                - CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) *
+              (CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) / 1e6
+                - CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6) AS BIGINT))
+              AS BIGINT) AS rel_sum,
+            CAST(SUM(CAST(round(CAST(n AS DOUBLE) *
+              (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                - CAST(k_pos AS DOUBLE) / CAST(n_tot AS DOUBLE)) *
+              (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                - CAST(k_pos AS DOUBLE) / CAST(n_tot AS DOUBLE)) * 1e6)
+              AS BIGINT)) AS BIGINT) AS res_sum
+          FROM bins, tot)
+        SELECT n_tot AS n, k_pos,
+          CAST(brier_num AS DOUBLE) / CAST(n_tot AS DOUBLE) / 1e12 AS brier,
+          CAST(rel_sum AS DOUBLE) / CAST(n_tot AS DOUBLE) / 1e6
+            AS reliability,
+          CAST(res_sum AS DOUBLE) / CAST(n_tot AS DOUBLE) / 1e6
+            AS resolution,
+          CAST(k_pos AS DOUBLE) / CAST(n_tot AS DOUBLE)
+            * (1.0 - CAST(k_pos AS DOUBLE) / CAST(n_tot AS DOUBLE))
+            AS uncertainty,
+          CAST(brier_num AS DOUBLE) / CAST(n_tot AS DOUBLE) / 1e12
+            - (CAST(rel_sum AS DOUBLE) / CAST(n_tot AS DOUBLE) / 1e6
+              - CAST(res_sum AS DOUBLE) / CAST(n_tot AS DOUBLE) / 1e6
+              + CAST(k_pos AS DOUBLE) / CAST(n_tot AS DOUBLE)
+                * (1.0 - CAST(k_pos AS DOUBLE) / CAST(n_tot AS DOUBLE)))
+            AS within_var
+        FROM tot, terms""")),
+
+    // Cohen's d / Hedges' g / Glass's Δ for every event-type pair — the
+    // magnitude companion to q134's Welch t, from the same exact micro
+    // moments; broadcast self-join over the |groups|-row aggregate.
+    "q298_effect_sizes" -> Q(
+      (s, dir) => Quality.effectSizes(t(s, dir, "events"),
+        "event_type", "value"),
+      Some("""WITH base AS (SELECT event_type AS g,
+            CAST(round(value * 1e6) AS BIGINT) AS v
+          FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        agg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+            SUM(CAST(v AS HUGEINT)) AS s,
+            SUM(CAST(v AS HUGEINT) * v) AS q
+          FROM base GROUP BY 1),
+        pairs AS (SELECT a.g AS group_a, b.g AS group_b,
+            a.n AS na, b.n AS nb,
+            CAST(a.s AS DOUBLE) AS sa, CAST(b.s AS DOUBLE) AS sb,
+            CAST(a.q AS DOUBLE) AS qa, CAST(b.q AS DOUBLE) AS qb
+          FROM agg a JOIN agg b ON a.g < b.g),
+        d1 AS (SELECT group_a, group_b, na, nb,
+            sa / CAST(na AS DOUBLE) / 1e6 AS ma,
+            sb / CAST(nb AS DOUBLE) / 1e6 AS mb,
+            (CAST(na AS DOUBLE) * qa - sa * sa)
+              / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0)) / 1e12
+              AS va,
+            (CAST(nb AS DOUBLE) * qb - sb * sb)
+              / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0)) / 1e12
+              AS vb
+          FROM pairs),
+        d2 AS (SELECT group_a, group_b, na, nb, ma, mb, va,
+            ((CAST(na AS DOUBLE) - 1.0) * va + (CAST(nb AS DOUBLE) - 1.0) * vb)
+              / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 2.0) AS pooled
+          FROM d1)
+        SELECT group_a, group_b, na AS n_a, nb AS n_b,
+          ma AS mean_a, mb AS mean_b,
+          CASE WHEN na >= 2 AND nb >= 2 AND pooled > 0
+            THEN (ma - mb) / sqrt(pooled) END AS cohens_d,
+          CASE WHEN na >= 2 AND nb >= 2 AND pooled > 0
+            THEN (1.0 - 3.0 / (4.0 * (CAST(na AS DOUBLE)
+                + CAST(nb AS DOUBLE)) - 9.0))
+              * ((ma - mb) / sqrt(pooled)) END AS hedges_g,
+          CASE WHEN na >= 2 AND nb >= 2 AND va > 0
+            THEN (ma - mb) / sqrt(va) END AS glass_delta
+        FROM d2 ORDER BY group_a, group_b""")),
+
+    // Single ℓ₂ changepoint on the daily-revenue calendar grid: exact
+    // DECIMAL prefix sums, pinned-IEEE two-segment SSE per candidate,
+    // argmin with earlier-day tie-break, variance-reduction ratio.
+    "q299_changepoint" -> Q(
+      (s, dir) => Temporal.changepointSse(t(s, dir, "orders"),
+        "o_orderdate", "o_totalprice"),
+      Some("""WITH obs AS (SELECT CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS d,
+            CAST(SUM(CAST(round(o_totalprice * 1e6) AS BIGINT)) AS BIGINT) AS s
+          FROM orders
+          WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+          GROUP BY 1),
+        bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM obs),
+        grid AS (SELECT CAST(g.h AS DATE) AS d, COALESCE(o.s, 0) AS s
+          FROM (SELECT unnest(generate_series(CAST((SELECT lo FROM bounds) AS TIMESTAMP),
+                  CAST((SELECT hi FROM bounds) AS TIMESTAMP), INTERVAL 1 DAY)) AS h) g
+          LEFT JOIN obs o ON o.d = CAST(g.h AS DATE)),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            SUM(CAST(s AS HUGEINT)) AS stot,
+            SUM(CAST(s AS HUGEINT) * s) AS qtot FROM grid),
+        pre AS (SELECT d, row_number() OVER (ORDER BY d) AS t,
+            SUM(CAST(s AS HUGEINT)) OVER (ORDER BY d) AS st,
+            SUM(CAST(s AS HUGEINT) * s) OVER (ORDER BY d) AS qt
+          FROM grid),
+        cand AS (SELECT d, t, st, qt FROM pre, tot WHERE t < n),
+        scored AS (SELECT d, t, st, qt,
+            (CAST(qt AS DOUBLE)
+              - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(t AS DOUBLE)
+              + (CAST((SELECT qtot FROM tot) AS DOUBLE) - CAST(qt AS DOUBLE)
+                - (CAST((SELECT stot FROM tot) AS DOUBLE) - CAST(st AS DOUBLE))
+                  * (CAST((SELECT stot FROM tot) AS DOUBLE)
+                    - CAST(st AS DOUBLE))
+                  / CAST((SELECT n FROM tot) - t AS DOUBLE))) / 1e12
+              AS sse_split
+          FROM cand),
+        best AS (SELECT * FROM scored ORDER BY sse_split, d LIMIT 1),
+        fin AS (SELECT (SELECT n FROM tot) AS n_days, d AS best_day,
+            CAST(t AS BIGINT) AS n_left,
+            CAST((SELECT n FROM tot) - t AS BIGINT) AS n_right,
+            CAST(st // t AS BIGINT) AS mean_left_micro,
+            CAST(((SELECT stot FROM tot) - st)
+              // ((SELECT n FROM tot) - t) AS BIGINT) AS mean_right_micro,
+            (CAST((SELECT qtot FROM tot) AS DOUBLE)
+              - CAST((SELECT stot FROM tot) AS DOUBLE)
+                * CAST((SELECT stot FROM tot) AS DOUBLE)
+                / CAST((SELECT n FROM tot) AS DOUBLE)) / 1e12 AS sse_total,
+            sse_split
+          FROM best)
+        SELECT n_days, best_day, n_left, n_right, mean_left_micro,
+          mean_right_micro, sse_total, sse_split,
+          CASE WHEN sse_total > 0 THEN 1.0 - sse_split / sse_total END
+            AS var_reduction
+        FROM fin""")),
+
+    // Link-prediction baselines (common neighbors / Jaccard /
+    // preferential attachment) on the q270 co-purchase graph — one
+    // wedge relation, one degree table, all-integer scores.
+    "q300_link_prediction" -> Q(
+      (s, dir) => {
+        val items = t(s, dir, "lineitem")
+          .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+          .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
+          .distinct()
+        val pairs = items.as("a").join(items.as("b"),
+            col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
+          .groupBy(col("a.it").as("pa"), col("b.it").as("pb"))
+          .agg(count(lit(1)).as("sup")).filter(col("sup") >= 2)
+        Graphs.linkPredictionSuite(pairs, "pa", "pb", 50)
+      },
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+            FROM lineitem
+            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+          prs AS (SELECT a.it AS id_a, b.it AS id_b
+            FROM items a JOIN items b ON a.bk = b.bk AND a.it < b.it
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+            UNION SELECT id_b, id_a FROM prs),
+          deg AS (SELECT src AS z, CAST(COUNT(*) AS BIGINT) AS dz
+            FROM edges GROUP BY 1),
+          wed AS (SELECT x.dst AS u, y.dst AS v
+            FROM edges x JOIN edges y ON x.src = y.src AND x.dst < y.dst),
+          cand AS (SELECT w.u, w.v, CAST(COUNT(*) AS BIGINT) AS cn
+            FROM wed w
+            WHERE NOT EXISTS (SELECT 1 FROM prs p
+              WHERE p.id_a = w.u AND p.id_b = w.v)
+            GROUP BY 1, 2),
+          scored AS (SELECT c.u, c.v, c.cn,
+              da.dz AS deg_a, db.dz AS deg_b,
+              CAST((c.cn * 1000000) // (da.dz + db.dz - c.cn) AS BIGINT)
+                AS jaccard_micro,
+              CAST(da.dz * db.dz AS BIGINT) AS pa_score
+            FROM cand c JOIN deg da ON da.z = c.u
+            JOIN deg db ON db.z = c.v)
+          SELECT u AS id_a, v AS id_b, cn AS common_neighbors,
+            deg_a, deg_b, jaccard_micro, pa_score
+          FROM scored
+          ORDER BY common_neighbors DESC, jaccard_micro DESC, id_a, id_b
+          LIMIT 50""")),
+
+    // Cronbach's alpha over the three lineitem rate/quantity items —
+    // internal-consistency reliability from ONE exact-moment aggregate;
+    // fixed-order per-item variance chain, one final alpha expression.
+    "q301_cronbach_alpha" -> Q(
+      (s, dir) => Quality.cronbachAlpha(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_discount", "l_tax")),
+      Some("""WITH base AS (SELECT
+            CAST(round(l_quantity * 1e6) AS BIGINT) AS i1,
+            CAST(round(l_discount * 1e6) AS BIGINT) AS i2,
+            CAST(round(l_tax * 1e6) AS BIGINT) AS i3
+          FROM lineitem WHERE l_quantity IS NOT NULL
+            AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            SUM(CAST(i1 AS HUGEINT)) AS s1,
+            SUM(CAST(i1 AS HUGEINT) * i1) AS q1,
+            SUM(CAST(i2 AS HUGEINT)) AS s2,
+            SUM(CAST(i2 AS HUGEINT) * i2) AS q2,
+            SUM(CAST(i3 AS HUGEINT)) AS s3,
+            SUM(CAST(i3 AS HUGEINT) * i3) AS q3,
+            SUM(CAST(i1 + i2 + i3 AS HUGEINT)) AS st,
+            SUM(CAST(i1 + i2 + i3 AS HUGEINT) * (i1 + i2 + i3)) AS qt
+          FROM base),
+        v AS (SELECT n,
+            (CAST(n AS DOUBLE) * CAST(q1 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1e12 AS v1,
+            (CAST(n AS DOUBLE) * CAST(q2 AS DOUBLE)
+              - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1e12 AS v2,
+            (CAST(n AS DOUBLE) * CAST(q3 AS DOUBLE)
+              - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1e12 AS v3,
+            (CAST(n AS DOUBLE) * CAST(qt AS DOUBLE)
+              - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1e12 AS vt
+          FROM m)
+        SELECT n, CAST(3 AS BIGINT) AS k,
+          v1 + v2 + v3 AS sum_item_var, vt AS total_var,
+          CASE WHEN n >= 2 AND vt > 0
+            THEN 3.0 / (3.0 - 1.0) * (1.0 - (v1 + v2 + v3) / vt) END
+            AS alpha
+        FROM v""")),
+
+    // Partial correlation r(quantity, extendedprice | discount): the
+    // confounder audit over q99's raw correlations — nine exact DECIMAL
+    // moments in one pass, pinned IEEE r's and the first-order partial.
+    "q302_partial_correlation" -> Q(
+      (s, dir) => Quality.partialCorrelation(t(s, dir, "lineitem"),
+        "l_quantity", "l_extendedprice", "l_discount"),
+      Some("""WITH base AS (SELECT
+            CAST(round(l_quantity * 1e6) AS BIGINT) AS x,
+            CAST(round(l_extendedprice * 1e6) AS BIGINT) AS y,
+            CAST(round(l_discount * 1e6) AS BIGINT) AS z
+          FROM lineitem WHERE l_quantity IS NOT NULL
+            AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL),
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+            SUM(CAST(z AS HUGEINT)) AS sz,
+            SUM(CAST(x AS HUGEINT) * x) AS sxx,
+            SUM(CAST(y AS HUGEINT) * y) AS syy,
+            SUM(CAST(z AS HUGEINT) * z) AS szz,
+            SUM(CAST(x AS HUGEINT) * y) AS sxy,
+            SUM(CAST(x AS HUGEINT) * z) AS sxz,
+            SUM(CAST(y AS HUGEINT) * z) AS syz
+          FROM base),
+        c AS (SELECT n,
+            CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cxy,
+            CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE) AS cxz,
+            CAST(n AS DOUBLE) * CAST(syz AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE) AS cyz,
+            CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS cxx,
+            CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS cyy,
+            CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+              - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) AS czz
+          FROM m),
+        r AS (SELECT n, cxx, cyy, czz,
+            cxy / sqrt(cxx * cyy) AS rxy,
+            cxz / sqrt(cxx * czz) AS rxz,
+            cyz / sqrt(cyy * czz) AS ryz
+          FROM c)
+        SELECT n,
+          CASE WHEN cxx > 0 AND cyy > 0 AND czz > 0 THEN rxy END AS r_xy,
+          CASE WHEN cxx > 0 AND cyy > 0 AND czz > 0 THEN rxz END AS r_xz,
+          CASE WHEN cxx > 0 AND cyy > 0 AND czz > 0 THEN ryz END AS r_yz,
+          CASE WHEN cxx > 0 AND cyy > 0 AND czz > 0
+              AND abs(rxz) < 1.0 AND abs(ryz) < 1.0
+            THEN (rxy - rxz * ryz)
+              / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)) END
+            AS r_xy_given_z
+        FROM r""")),
+
+    // Pairwise audience overlap via HLL inclusion-exclusion — exact
+    // counts + the compounded-error bound verdict are the oracle
+    // surface (q231's convention; the estimate is engine-specific).
+    "q303_hll_intersection" -> Q(
+      (s, dir) => Sketches.hllIntersection(t(s, dir, "events"),
+        "event_type", "user_id"),
+      Some("""WITH base AS (SELECT DISTINCT CAST(event_type AS VARCHAR) AS g,
+            user_id AS v
+          FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+        nd AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS nd FROM base GROUP BY 1),
+        inter AS (SELECT x.g AS ga, y.g AS gb, CAST(COUNT(*) AS BIGINT) AS ei
+          FROM base x JOIN base y ON x.v = y.v AND x.g < y.g GROUP BY 1, 2)
+        SELECT a.g AS group_a, b.g AS group_b,
+          a.nd AS exact_a, b.nd AS exact_b,
+          CAST(COALESCE(i.ei, 0) AS BIGINT) AS exact_inter,
+          true AS bound_ok
+        FROM nd a JOIN nd b ON a.g < b.g
+        LEFT JOIN inter i ON i.ga = a.g AND i.gb = b.g
+        ORDER BY group_a, group_b""")),
+
+    // IVF routing + PQ ADC shortlist + exact rerank composed (IVFADC):
+    // the ADC scan reads only the probed cells' codes. Recall contract
+    // vs the exact top-5 (the q31 convention — the shortlist itself is
+    // partial-probing-shaped, not oracle-replayable).
+    "q304_ivf_pq" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfPqSearch(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, shortlist = 50, m = 8, ksub = 32,
+          dim = 64, nlist = 16, nProbe = 6)
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        true AS recall_ok FROM embeddings WHERE vec_id < 10""")),
+
+    // RAKE multi-word keyword extraction: stopword-delimited phrase
+    // runs, degree/frequency word scores, integer phrase scores — the
+    // phrase-level complement to q258's word-level TextRank.
+    "q305_rake_keywords" -> Q(
+      (s, dir) => TextOps.rakeKeywords(t(s, dir, "documents"),
+        "doc_id", "text", 50),
+      Some {
+        val stops = graft.functions.TextFns.stopwords
+          .map(w => s"'$w'").mkString(", ")
+        s"""WITH d AS (SELECT doc_id AS doc,
+              string_split_regex(lower(trim(text)), '\\s+') AS l
+            FROM documents WHERE text IS NOT NULL),
+          t0 AS (SELECT doc, unnest(range(1, len(l) + 1)) AS pos,
+              unnest(l) AS tok FROM d),
+          t1 AS (SELECT doc, pos, tok, tok IN ($stops) AS stop
+            FROM t0 WHERE length(tok) > 0),
+          t2 AS (SELECT doc, pos, tok, stop,
+              SUM(CASE WHEN stop THEN 1 ELSE 0 END)
+                OVER (PARTITION BY doc ORDER BY pos) AS pid
+            FROM t1),
+          co AS (SELECT doc, pos, tok, pid,
+              COUNT(*) OVER (PARTITION BY doc, pid) AS plen
+            FROM t2 WHERE NOT stop),
+          ws AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq,
+              CAST(SUM(plen) AS BIGINT) AS degree
+            FROM co GROUP BY 1),
+          ph AS (SELECT co.doc, co.pid,
+              string_agg(co.tok, ' ' ORDER BY co.pos) AS phrase,
+              CAST(SUM((ws.degree * 1000000) // ws.freq) AS BIGINT)
+                AS score_micro
+            FROM co JOIN ws ON ws.tok = co.tok GROUP BY 1, 2)
+          SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+            CAST(MAX(score_micro) AS BIGINT) AS score_micro
+          FROM ph GROUP BY 1
+          ORDER BY score_micro DESC, phrase LIMIT 50"""
+      }),
+
+    // Always-valid p-values (mSPRT, N(0, 0.25) effect prior) for the
+    // hashed-arm experiment per event type — continuous peeking where
+    // q271's fixed-horizon p is only valid at one pre-registered n.
+    "q306_msprt" -> Q(
+      (s, dir) => Quality.msprt(t(s, dir, "events"), "event_type",
+        "user_id", "value", "sprt1", tauSq = 0.25),
+      Some(s"""WITH base AS (SELECT event_type AS seg,
+            ${graft.functions.Hashing.h60Sql(
+              "'sprt1:' || CAST(user_id AS VARCHAR)")} % 2 = 0 AS a,
+            CAST(round(value * 1e6) AS BIGINT) AS v
+          FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+            AND value IS NOT NULL),
+        g AS (SELECT seg,
+            CAST(COUNT(*) FILTER (WHERE a) AS BIGINT) AS na,
+            SUM(CASE WHEN a THEN CAST(v AS HUGEINT) ELSE 0 END) AS sa,
+            SUM(CASE WHEN a THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS qa,
+            CAST(COUNT(*) FILTER (WHERE NOT a) AS BIGINT) AS nb,
+            SUM(CASE WHEN NOT a THEN CAST(v AS HUGEINT) ELSE 0 END) AS sb,
+            SUM(CASE WHEN NOT a THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS qb
+          FROM base GROUP BY 1),
+        w1 AS (SELECT seg, na, nb,
+            CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 1e6 AS ma,
+            CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 1e6 AS mb,
+            (CAST(na AS DOUBLE) * CAST(qa AS DOUBLE)
+              - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+              / (CAST(na AS DOUBLE) * CAST(na AS DOUBLE)) / 1e12 AS va,
+            (CAST(nb AS DOUBLE) * CAST(qb AS DOUBLE)
+              - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
+              / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE)) / 1e12 AS vb
+          FROM g),
+        w2 AS (SELECT seg, na, nb, ma - mb AS delta,
+            va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE) AS se2
+          FROM w1),
+        w3 AS (SELECT seg, na, nb, delta, se2,
+            least(1.0, 1.0 / (sqrt(se2 / (se2 + 0.25))
+              * EXP(delta * delta * 0.25
+                / (2.0 * se2 * (se2 + 0.25))))) AS p
+          FROM w2)
+        SELECT seg AS segment, na AS n_a, nb AS n_b,
+          CASE WHEN na > 0 AND nb > 0 AND se2 > 0 THEN delta END AS delta,
+          CASE WHEN na > 0 AND nb > 0 AND se2 > 0
+            THEN CAST(round(p * 1e6) AS BIGINT) END AS p_micro,
+          CASE WHEN na > 0 AND nb > 0 AND se2 > 0
+            THEN CAST(round(p * 1e6) AS BIGINT) <= 50000 END AS significant
+        FROM w3 ORDER BY segment""")),
+
+    // Snapshot retention end-to-end: publish three versions, vacuum to
+    // keepHistory = 1, audit what stayed addressable — the expire-
+    // snapshots lifecycle (storage reclaim without losing the promised
+    // time-travel horizon) that q228/q255 write paths leave untested.
+    "q307_snapshot_retention" -> Q(
+      (s, dir) => {
+        val table = s"${sys.props("java.io.tmpdir")}/graft_retain/" +
+          s"orders_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+        Warehouse.resetTable(table)
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate").isNotNull)
+          .select(col("o_orderkey"), col("o_orderdate"))
+        val cut97 = lit("1997-01-01 00:00:00").cast("timestamp")
+        val cut98 = lit("1998-01-01 00:00:00").cast("timestamp")
+        Warehouse.publishVersioned(s, o.filter(col("o_orderdate") < cut97),
+          table)
+        Warehouse.publishVersioned(s, o.filter(col("o_orderdate") < cut98),
+          table)
+        Warehouse.publishVersioned(s, o, table)
+        val removed = Warehouse.vacuum(table, keepHistory = 1)
+        val retained = Warehouse.committedGenerations(table).sorted
+        val live = Warehouse.readVersioned(s, table)
+          .agg(count(lit(1)).as("live_rows"))
+        val hist = Warehouse.readVersionedAt(s, table, retained.head)
+          .agg(count(lit(1)).as("history_rows"))
+        live.crossJoin(broadcast(hist))
+          .select(lit(3L).as("n_published"),
+            lit(retained.size.toLong).as("n_retained"),
+            lit(removed.size.toLong).as("n_removed"),
+            col("live_rows"), col("history_rows"))
+      },
+      Some("""SELECT CAST(3 AS BIGINT) AS n_published,
+          CAST(2 AS BIGINT) AS n_retained, CAST(1 AS BIGINT) AS n_removed,
+          CAST(COUNT(*) AS BIGINT) AS live_rows,
+          CAST(COUNT(*) FILTER (WHERE o_orderdate < TIMESTAMP '1998-01-01')
+            AS BIGINT) AS history_rows
+        FROM orders WHERE o_orderdate IS NOT NULL""")),
+
+    // Rolling 7-day distinct users from mergeable daily HLL sketches;
+    // the exact fan-out adjudicates every window's estimate (q231's
+    // bound-verdict convention).
+    "q308_sliding_distinct" -> Q(
+      (s, dir) => Sketches.slidingDistinct(t(s, dir, "events"),
+        "ts", "user_id", 7),
+      Some("""WITH pairs AS (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+            user_id AS u
+          FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        hi AS (SELECT MAX(d) AS hi FROM pairs),
+        fan AS (SELECT d + CAST(o.off AS INTEGER) AS day, u
+          FROM pairs, (SELECT unnest(range(0, 7)) AS off) o, hi
+          WHERE d + CAST(o.off AS INTEGER) <= hi),
+        ex7 AS (SELECT day, CAST(COUNT(DISTINCT u) AS BIGINT) AS exact_7d
+          FROM fan GROUP BY 1),
+        ex1 AS (SELECT d AS day, CAST(COUNT(*) AS BIGINT) AS exact_1d
+          FROM pairs GROUP BY 1)
+        SELECT ex1.day, exact_1d, exact_7d, true AS bound_ok
+        FROM ex1 JOIN ex7 USING (day) ORDER BY day""")),
+
+    // Kish effective sample size of the q224 DSIR log-weights —
+    // max-stabilized micro-exp weights, exact integer sums, one pinned
+    // ESS ratio: the reweighting-collapse audit.
+    "q309_ess" -> Q(
+      (s, dir) => Sampling.effectiveSampleSize(
+        TextOps.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
+          col("lang") === "en", 512), "logw_micro"),
+      Some("""WITH toks AS (SELECT doc_id, lang = 'en' AS tgt,
+            unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+          FROM documents),
+        tb AS (SELECT doc_id, tgt,
+            CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 512 AS b,
+            CAST(COUNT(*) AS BIGINT) AS c
+          FROM toks GROUP BY 1, 2, 3),
+        model AS (SELECT b,
+            CAST(SUM(CASE WHEN tgt THEN c ELSE 0 END) AS BIGINT) AS ct,
+            CAST(SUM(c) AS BIGINT) AS cr
+          FROM tb GROUP BY 1),
+        tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt,
+            CAST(SUM(cr) AS BIGINT) AS nr FROM model),
+        lw AS (SELECT doc_id,
+            CAST(SUM(c * (CAST(round(ln(ct + 1) * 1e6) AS BIGINT)
+              - CAST(round(ln(nt + 512) * 1e6) AS BIGINT)
+              - CAST(round(ln(cr + 1) * 1e6) AS BIGINT)
+              + CAST(round(ln(nr + 512) * 1e6) AS BIGINT))) AS BIGINT)
+              AS logw
+          FROM tb JOIN model USING (b), tot GROUP BY doc_id),
+        mx AS (SELECT MAX(logw) AS mlw FROM lw),
+        w AS (SELECT CAST(round(EXP(CAST(logw - mlw AS DOUBLE) / 1e6) * 1e6)
+              AS BIGINT) AS w, mlw
+          FROM lw, mx),
+        agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, MAX(mlw) AS max_logw_micro,
+            SUM(CAST(w AS HUGEINT)) AS sw,
+            SUM(CAST(w AS HUGEINT) * w) AS sw2
+          FROM w)
+        SELECT n, max_logw_micro,
+          CAST(sw AS BIGINT) AS sum_w_micro,
+          CAST(sw2 AS BIGINT) AS sum_w2_micro2,
+          CASE WHEN sw2 > 0 THEN
+            CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sw2 AS DOUBLE)
+          END AS ess,
+          CASE WHEN sw2 > 0 THEN
+            CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sw2 AS DOUBLE)
+              / CAST(n AS DOUBLE)
+          END AS ess_ratio
+        FROM agg""")),
+
     // Growth accounting: the 1996-vs-1997 revenue waterfall by customer
     // lifecycle — new/expansion/contraction/churned contributions whose
     // cent-exact sum IS the year-over-year revenue delta.

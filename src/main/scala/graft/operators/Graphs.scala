@@ -1388,4 +1388,51 @@ object Graphs {
     }
     dist.orderBy("node")
   }
+
+  /** LINK-PREDICTION SUITE — common neighbors, Jaccard, and preferential
+    * attachment for every non-adjacent wedge pair, the three classic
+    * baselines (Liben-Nowell & Kleinberg 2003) beside [[adamicAdar]]
+    * (q270) and resource allocation (q239): CN is raw overlap, Jaccard
+    * normalizes it by the union degree (downranks hubs), PA is the
+    * "rich get richer" null model any real predictor must beat. All
+    * three come off ONE wedge relation and ONE degree table, entirely
+    * on the integer grid: jaccard_micro = (cn·10⁶) div (dᵤ + dᵥ − cn),
+    * pa_score = dᵤ·dᵥ — bit-exact in any engine.
+    *
+    * Scale shape: the adamicAdar skeleton — adjacency self-join on the
+    * wedge center (Σ deg² pairs, never all-pairs), one (u,v) aggregate,
+    * an anti-join against the existing edges, two broadcast-able degree
+    * joins, top-k. Candidates ranked by (cn, jaccard) with the pair id
+    * making the order total.
+    */
+  def linkPredictionSuite(edges: DataFrame, aCol: String, bCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1)
+    val canon = graft.CacheScope.register(
+      edges.select(
+          least(col(aCol).cast("long"), col(bCol).cast("long")).as("u"),
+          greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("v"))
+        .filter(col("u").isNotNull && col("v").isNotNull && col("u") < col("v"))
+        .distinct())
+    val adj = graft.CacheScope.register(
+      canon.select(col("u").as("ctr"), col("v").as("nb"))
+        .unionAll(canon.select(col("v").as("ctr"), col("u").as("nb"))))
+    val deg = graft.CacheScope.register(
+      adj.groupBy("ctr").agg(count(lit(1)).as("d")))
+    val cn = adj.as("x").join(adj.as("y"),
+        col("x.ctr") === col("y.ctr") && col("x.nb") < col("y.nb"))
+      .groupBy(col("x.nb").as("u"), col("y.nb").as("v"))
+      .agg(count(lit(1)).as("common_neighbors"))
+      .join(canon, Seq("u", "v"), "left_anti")
+    cn.join(deg.select(col("ctr").as("u"), col("d").as("deg_a")), "u")
+      .join(deg.select(col("ctr").as("v"), col("d").as("deg_b")), "v")
+      .select(col("u").as("id_a"), col("v").as("id_b"),
+        col("common_neighbors"), col("deg_a"), col("deg_b"),
+        expr("(common_neighbors * 1000000L) div " +
+          "(deg_a + deg_b - common_neighbors)").as("jaccard_micro"),
+        (col("deg_a") * col("deg_b")).as("pa_score"))
+      .orderBy(col("common_neighbors").desc, col("jaccard_micro").desc,
+        col("id_a"), col("id_b"))
+      .limit(k)
+  }
 }

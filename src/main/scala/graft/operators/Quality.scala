@@ -2384,4 +2384,419 @@ object Quality {
         col("iv_micro"), col("iv_total_micro"))
       .orderBy("bin")
   }
+
+  /** BROWN-FORSYTHE VARIANCE-HOMOGENEITY TEST (Levene's test with median
+    * centers — the robust variant Brown & Forsythe 1974 recommend): the
+    * precondition audit for q235's ANOVA F, whose p-value is only honest
+    * when the group variances agree. Classic Levene on means is itself
+    * dragged by the heavy tails it is supposed to detect; the median
+    * variant is the one production check.
+    *
+    * Mechanics, every step engine-pinned: values land on the 10⁻⁶ grid;
+    * each group's LOWER median comes off the per-group distinct-value
+    * grid (cum ≥ (n+1) div 2 — the [[madOutliers]] convention); the
+    * absolute deviations z = |x − med_g| are exact integers, their
+    * per-group moments exact DECIMAL(38,0). The between/within sums of
+    * squares are per-group IEEE terms over those exact moments, each
+    * rounded HALF_UP to the UNIT grid and summed as BIGINT (the chi2/PSI
+    * contribution scheme at the coarseness price-scale SS needs —
+    * group-order-independent), and
+    * W = ((N−k)/(k−1)) · between/within is the one final division pair.
+    *
+    * Scale shape: one shuffle to the (group, value) grid (map-side
+    * combined counts — the shuffle carries distinct values, not rows),
+    * per-group windows over that bounded grid, and |groups|-row
+    * aggregates after. Output ONE row:
+    * (n, k, between_sum, within_sum, df1, df2, w_stat).
+    */
+  def leveneBrownForsythe(df: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def dbl(c: Column) = c.cast("double")
+    val grid = graft.CacheScope.register(
+      df.filter(col(groupCol).isNotNull && col(valCol).isNotNull)
+        .select(col(groupCol).as("g"),
+          round(col(valCol) * 1e6).cast("long").as("x"))
+        .groupBy("g", "x").agg(count(lit(1)).as("cnt")))
+    val ng = grid.groupBy("g").agg(sum("cnt").cast("long").as("ng"))
+    val wCum = Window.partitionBy("g").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = grid.withColumn("cum", sum("cnt").over(wCum))
+      .join(ng, "g")
+      .filter(col("cum") >= expr("(ng + 1) div 2"))
+      .groupBy("g").agg(min("x").as("med"))
+    // exact integer deviations and their exact per-group moments
+    val zmom = grid.join(med, "g")
+      .select(col("g"), col("cnt"), abs(col("x") - col("med")).as("z"))
+      .groupBy("g").agg(
+        sum("cnt").cast("long").as("ng"),
+        sum(dec(col("cnt")) * dec(col("z"))).cast("decimal(38,0)").as("sz"),
+        sum(dec(col("cnt")) * dec(col("z")) * dec(col("z")))
+          .cast("decimal(38,0)").as("qz"))
+    val tot = zmom.agg(count(lit(1)).as("k"),
+      sum("ng").cast("long").as("n"),
+      sum(col("sz")).cast("decimal(38,0)").as("szall"))
+    // per-group IEEE terms in ORIGINAL units² (micro sums / 1e6), each
+    // rounded to the UNIT grid and summed as BIGINT (group-order-free).
+    // The unit grid, not micro: price-scale SS terms run ~10¹³, so a
+    // micro-grid long would overflow and the double round would already
+    // be past 2^53. Exactness window: |SS term| < 2^53 per group.
+    val terms = zmom.crossJoin(broadcast(tot))
+      .select(
+        round(
+          dbl(col("ng")) *
+            (dbl(col("sz")) / dbl(col("ng")) / lit(1e6)
+              - dbl(col("szall")) / dbl(col("n")) / lit(1e6)) *
+            (dbl(col("sz")) / dbl(col("ng")) / lit(1e6)
+              - dbl(col("szall")) / dbl(col("n")) / lit(1e6)))
+          .cast("long").as("b_unit"),
+        round((dbl(col("ng")) * dbl(col("qz"))
+          - dbl(col("sz")) * dbl(col("sz")))
+          / dbl(col("ng")) / lit(1e12)).cast("long").as("w_unit"))
+      .agg(sum("b_unit").cast("long").as("between_sum"),
+        sum("w_unit").cast("long").as("within_sum"))
+    tot.crossJoin(broadcast(terms))
+      .select(col("n"), col("k").cast("long").as("k"),
+        col("between_sum"), col("within_sum"),
+        (col("k") - 1).cast("long").as("df1"),
+        (col("n") - col("k")).cast("long").as("df2"),
+        when(col("k") >= 2 && col("n") > col("k") &&
+            col("within_sum") > 0,
+          (col("n") - col("k")).cast("double") /
+            (col("k") - 1).cast("double") *
+            col("between_sum").cast("double") /
+            col("within_sum").cast("double")).as("w_stat"))
+  }
+
+  /** JARQUE-BERA NORMALITY TEST per group — the gate in front of every
+    * test in the battery that assumes Gaussian residuals (q134/q235/
+    * q245): JB = n·(g₁²/6 + g₂²/24) from the same exact-DECIMAL raw
+    * moments as [[momentsByGroup]] (10⁻³ value grid), with the χ²₂
+    * survival p = exp(−JB/2) — CLOSED FORM, no polynomial approximation
+    * needed for two degrees of freedom — rounded to the 10⁻⁶ grid.
+    *
+    * Scale shape: ONE map-side-combined moment aggregate per group; no
+    * second scan, no window. Output per group:
+    * (group, n, skewness, kurtosis_excess, jb, p_micro), ordered.
+    */
+  def jarqueBera(df: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def dbl(c: Column) = c.cast("double")
+    val v = round(col(valCol) * 1e3).cast("long")
+    val grid = df.filter(col(groupCol).isNotNull && col(valCol).isNotNull)
+      .select(col(groupCol).as("g"), v.as("v"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("v"))).as("s1"),
+        sum(dec(col("v")) * dec(col("v"))).as("s2"),
+        sum(dec(col("v")) * dec(col("v")) * dec(col("v"))).as("s3"),
+        sum(dec(col("v")) * dec(col("v")) * dec(col("v")) * dec(col("v")))
+          .as("s4"))
+    val nD = dbl(col("n"))
+    val (s1, s2, s3, s4) = (dbl(col("s1")), dbl(col("s2")), dbl(col("s3")),
+      dbl(col("s4")))
+    // central moments in original units — the q272 pinned IEEE sequence
+    val m2 = (nD * s2 - s1 * s1) / (nD * nD) / lit(1e6)
+    val m3 = (nD * nD * s3 - lit(3.0) * nD * s1 * s2
+      + lit(2.0) * s1 * s1 * s1) / (nD * nD * nD) / lit(1e9)
+    val m4 = (nD * nD * nD * s4 - lit(4.0) * nD * nD * s1 * s3
+      + lit(6.0) * nD * s1 * s1 * s2 - lit(3.0) * s1 * s1 * s1 * s1) /
+      (nD * nD * nD * nD) / lit(1e12)
+    val sk = m3 / sqrt(m2 * m2 * m2)
+    val ex = m4 / (m2 * m2) - lit(3.0)
+    val jb = nD * (sk * sk / lit(6.0) + ex * ex / lit(24.0))
+    grid.select(col("g").as("group"), col("n"),
+        when(m2 > 0, sk).as("skewness"),
+        when(m2 > 0, ex).as("kurtosis_excess"),
+        when(m2 > 0, jb).as("jb"),
+        when(m2 > 0, round(exp(lit(-0.5) * jb) * 1e6).cast("long"))
+          .as("p_micro"))
+      .orderBy("group")
+  }
+
+  /** MURPHY DECOMPOSITION of the Brier score — reliability (calibration
+    * error), resolution (how much the bins separate the outcome), and
+    * uncertainty (the outcome's own variance): the three numbers that
+    * say WHY a probability score is good or bad, where q166's per-bin
+    * table only shows the raw curve. Identity emitted as a column:
+    * brier = reliability − resolution + uncertainty + within_var, where
+    * within_var is the within-bin forecast variance the binned
+    * decomposition cannot see (zero iff every bin's forecasts are
+    * constant).
+    *
+    * Exactness: the raw Brier numerator is an EXACT integer micro² sum
+    * (q166's brier_num_sum); reliability/resolution are per-bin IEEE
+    * terms over exact bin counts, each rounded to the 10⁻⁶ grid and
+    * summed as BIGINT (bin-order-free); uncertainty is one IEEE
+    * expression of two exact integers.
+    *
+    * Scale shape: inherits [[calibrationBins]]' one-shuffle bin grid;
+    * everything after is a ≤`bins`-row aggregate. Output ONE row.
+    */
+  def brierDecomposition(df: DataFrame, labelCol: Column, pMicroCol: Column,
+      bins: Int = 10): DataFrame = {
+    def dbl(c: Column) = c.cast("double")
+    val b = graft.CacheScope.register(
+      calibrationBins(df, labelCol, pMicroCol, bins))
+    // the total's count gets its own name up front: the crossJoin below
+    // would otherwise make `n` ambiguous against the per-bin column
+    val tot2 = b.agg(sum("n").cast("long").as("n_tot"),
+      sum("k").cast("long").as("k_pos"),
+      sum("brier_num_sum").cast("long").as("brier_num"))
+    val terms2 = b.crossJoin(broadcast(tot2))
+      .select(
+        round((dbl(col("n")) *
+          (dbl(col("sum_p_micro")) / dbl(col("n")) / lit(1e6)
+            - dbl(col("k")) / dbl(col("n"))) *
+          (dbl(col("sum_p_micro")) / dbl(col("n")) / lit(1e6)
+            - dbl(col("k")) / dbl(col("n")))) * 1e6).cast("long")
+          .as("rel_micro"),
+        round((dbl(col("n")) *
+          (dbl(col("k")) / dbl(col("n"))
+            - dbl(col("k_pos")) / dbl(col("n_tot"))) *
+          (dbl(col("k")) / dbl(col("n"))
+            - dbl(col("k_pos")) / dbl(col("n_tot")))) * 1e6).cast("long")
+          .as("res_micro"))
+      .agg(sum("rel_micro").cast("long").as("rel_micro_sum"),
+        sum("res_micro").cast("long").as("res_micro_sum"))
+    tot2.crossJoin(broadcast(terms2))
+      .select(col("n_tot").as("n"), col("k_pos"),
+        (dbl(col("brier_num")) / dbl(col("n_tot")) / lit(1e12)).as("brier"),
+        (dbl(col("rel_micro_sum")) / dbl(col("n_tot")) / lit(1e6))
+          .as("reliability"),
+        (dbl(col("res_micro_sum")) / dbl(col("n_tot")) / lit(1e6))
+          .as("resolution"),
+        (dbl(col("k_pos")) / dbl(col("n_tot")) *
+          (lit(1.0) - dbl(col("k_pos")) / dbl(col("n_tot"))))
+          .as("uncertainty"),
+        (dbl(col("brier_num")) / dbl(col("n_tot")) / lit(1e12)
+          - (dbl(col("rel_micro_sum")) / dbl(col("n_tot")) / lit(1e6)
+            - dbl(col("res_micro_sum")) / dbl(col("n_tot")) / lit(1e6)
+            + dbl(col("k_pos")) / dbl(col("n_tot")) *
+              (lit(1.0) - dbl(col("k_pos")) / dbl(col("n_tot")))))
+          .as("within_var"))
+  }
+
+  /** STANDARDIZED EFFECT SIZES for every group pair — Cohen's d (pooled
+    * sd), Hedges' g (the small-sample bias correction J = 1 − 3/(4m−9)),
+    * and Glass's Δ (control = the first group's sd): the magnitude
+    * companion to q134's Welch t — a launch readout needs "how big",
+    * not just "how unlikely", and at warehouse row counts every
+    * difference is significant while most are negligible.
+    *
+    * Exactness: per-group moments are exact DECIMAL(38,0) on the 10⁻⁶
+    * grid (the [[welchTTest]] contract); every derived statistic is a
+    * pinned IEEE sequence over those exact integers — no cross-row
+    * double summation anywhere.
+    *
+    * Scale shape: ONE moment aggregate, then a broadcast self-join over
+    * the |groups|-row table (BNLJ on the tiny aggregate only). Output
+    * per ordered pair (group_a < group_b).
+    */
+  def effectSizes(df: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = df.filter(col(groupCol).isNotNull && col(valCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        round(col(valCol) * 1e6).cast("long").as("v"))
+    val agg = base.groupBy("g").agg(
+      count(lit(1)).as("n"),
+      sum(dec(col("v"))).cast("decimal(38,0)").as("s"),
+      sum(dec(col("v")) * dec(col("v"))).cast("decimal(38,0)").as("q"))
+    val a = agg.select(col("g").as("group_a"), col("n").as("n_a"),
+      col("s").as("s_a"), col("q").as("q_a"))
+    val b = agg.select(col("g").as("group_b"), col("n").as("n_b"),
+      col("s").as("s_b"), col("q").as("q_b"))
+    val joined = a.join(broadcast(b), col("group_a") < col("group_b"))
+    def stats(side: String) = {
+      val n = col(s"n_$side").cast("double")
+      val s = col(s"s_$side").cast("double")
+      val q = col(s"q_$side").cast("double")
+      val mean = s / n / lit(1e6)
+      // unbiased variance in original units²
+      val v = (n * q - s * s) / (n * (n - lit(1.0))) / lit(1e12)
+      (n, mean, v)
+    }
+    val (na, ma, va) = stats("a")
+    val (nb, mb, vb) = stats("b")
+    val pooled = ((na - lit(1.0)) * va + (nb - lit(1.0)) * vb) /
+      (na + nb - lit(2.0))
+    val ok = col("n_a") >= 2 && col("n_b") >= 2
+    val d = (ma - mb) / sqrt(pooled)
+    val j = lit(1.0) - lit(3.0) / (lit(4.0) * (na + nb) - lit(9.0))
+    joined.select(col("group_a"), col("group_b"),
+        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+        ma.as("mean_a"), mb.as("mean_b"),
+        when(ok && pooled > 0, d).as("cohens_d"),
+        when(ok && pooled > 0, j * d).as("hedges_g"),
+        when(ok && va > 0, (ma - mb) / sqrt(va)).as("glass_delta"))
+      .orderBy("group_a", "group_b")
+  }
+
+  /** CRONBACH'S ALPHA internal-consistency coefficient over K item
+    * columns — "do these K measurements move together enough to be one
+    * scale?": α = K/(K−1) · (1 − Σ σ²ᵢ / σ²_total), the reliability
+    * audit a feature-engineering pipeline runs before collapsing
+    * correlated signals (quality sub-scores, rating facets) into one
+    * composite.
+    *
+    * Exactness: each item and the row-sum land on the 10⁻⁶ grid; ONE
+    * aggregate carries every (Σv, Σv²) as exact DECIMAL(38,0); the K
+    * per-item population variances are a FIXED-ORDER IEEE chain over
+    * those exact integers (K is a literal column list, never a cross-
+    * row double sum), and α is the one final expression. Rows with ANY
+    * null item are dropped (listwise deletion — the classical
+    * convention).
+    *
+    * Scale shape: one map-side-combined aggregate pass; output ONE row
+    * (n, k, sum_item_var, total_var, alpha).
+    */
+  def cronbachAlpha(df: DataFrame, items: Seq[String]): DataFrame = {
+    require(items.size >= 2, "cronbachAlpha needs at least 2 items")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def dbl(c: Column) = c.cast("double")
+    val valid = items.map(col(_).isNotNull).reduce(_ && _)
+    val micro = items.map(i => round(col(i) * 1e6).cast("long").as(s"__$i"))
+    val base = df.filter(valid).select(micro: _*)
+    val rowSum = items.map(i => col(s"__$i")).reduce(_ + _)
+    val aggs = items.flatMap(i => Seq(
+      sum(dec(col(s"__$i"))).cast("decimal(38,0)").as(s"s_$i"),
+      sum(dec(col(s"__$i")) * dec(col(s"__$i"))).cast("decimal(38,0)")
+        .as(s"q_$i"))) ++ Seq(
+      sum(dec(rowSum)).cast("decimal(38,0)").as("s_tot"),
+      sum(dec(rowSum) * dec(rowSum)).cast("decimal(38,0)").as("q_tot"),
+      count(lit(1)).as("n"))
+    val m = base.agg(aggs.head, aggs.tail: _*)
+    val nD = dbl(col("n"))
+    def popVar(s: Column, q: Column) =
+      (nD * dbl(q) - dbl(s) * dbl(s)) / (nD * nD) / lit(1e12)
+    // fixed left-to-right chain over the K literal items — pinned order
+    val sumItemVar = items.map(i => popVar(col(s"s_$i"), col(s"q_$i")))
+      .reduce(_ + _)
+    val totVar = popVar(col("s_tot"), col("q_tot"))
+    val kD = lit(items.size.toDouble)
+    m.select(col("n"), lit(items.size.toLong).as("k"),
+      sumItemVar.as("sum_item_var"), totVar.as("total_var"),
+      when(col("n") >= 2 && totVar > 0,
+        kD / (kD - lit(1.0)) * (lit(1.0) - sumItemVar / totVar))
+        .as("alpha"))
+  }
+
+  /** FIRST-ORDER PARTIAL CORRELATION r(x,y | z) — the association left
+    * between x and y once the shared driver z is regressed out:
+    * (r_xy − r_xz·r_yz) / √((1 − r²_xz)(1 − r²_yz)). The confounder
+    * audit for q99's raw correlation matrix — a strong x~y cell means
+    * nothing when both ride the same third column.
+    *
+    * Exactness: one aggregate carries all nine (Σ, Σ², Σ·cross) moments
+    * as exact DECIMAL(38,0) on the 10⁻⁶ grid; each pairwise r and the
+    * partial are pinned IEEE sequences over those exact integers.
+    *
+    * Scale shape: ONE map-side-combined aggregate pass; output ONE row
+    * (n, r_xy, r_xz, r_yz, r_xy_given_z).
+    */
+  def partialCorrelation(df: DataFrame, xCol: String, yCol: String,
+      zCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def dbl(c: Column) = c.cast("double")
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull &&
+        col(zCol).isNotNull)
+      .select(round(col(xCol) * 1e6).cast("long").as("x"),
+        round(col(yCol) * 1e6).cast("long").as("y"),
+        round(col(zCol) * 1e6).cast("long").as("z"))
+    val m = base.agg(count(lit(1)).as("n"),
+      sum(dec(col("x"))).cast("decimal(38,0)").as("sx"),
+      sum(dec(col("y"))).cast("decimal(38,0)").as("sy"),
+      sum(dec(col("z"))).cast("decimal(38,0)").as("sz"),
+      sum(dec(col("x")) * dec(col("x"))).cast("decimal(38,0)").as("sxx"),
+      sum(dec(col("y")) * dec(col("y"))).cast("decimal(38,0)").as("syy"),
+      sum(dec(col("z")) * dec(col("z"))).cast("decimal(38,0)").as("szz"),
+      sum(dec(col("x")) * dec(col("y"))).cast("decimal(38,0)").as("sxy"),
+      sum(dec(col("x")) * dec(col("z"))).cast("decimal(38,0)").as("sxz"),
+      sum(dec(col("y")) * dec(col("z"))).cast("decimal(38,0)").as("syz"))
+    val nD = dbl(col("n"))
+    def cov(sab: Column, sa: Column, sb: Column) =
+      nD * dbl(sab) - dbl(sa) * dbl(sb)
+    def r(sab: Column, sa: Column, sb: Column, saa: Column, sbb: Column) =
+      cov(sab, sa, sb) /
+        sqrt(cov(saa, sa, sa) * cov(sbb, sb, sb))
+    val rxy = r(col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy"))
+    val rxz = r(col("sxz"), col("sx"), col("sz"), col("sxx"), col("szz"))
+    val ryz = r(col("syz"), col("sy"), col("sz"), col("syy"), col("szz"))
+    val denomOk = cov(col("sxx"), col("sx"), col("sx")) > 0 &&
+      cov(col("syy"), col("sy"), col("sy")) > 0 &&
+      cov(col("szz"), col("sz"), col("sz")) > 0
+    val part = (rxy - rxz * ryz) /
+      sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz))
+    m.select(col("n"),
+      when(denomOk, rxy).as("r_xy"),
+      when(denomOk, rxz).as("r_xz"),
+      when(denomOk, ryz).as("r_yz"),
+      when(denomOk && abs(rxz) < 1.0 && abs(ryz) < 1.0, part)
+        .as("r_xy_given_z"))
+  }
+
+  /** MIXTURE SEQUENTIAL PROBABILITY RATIO TEST (mSPRT, Johari et al.
+    * 2017) — the ALWAYS-VALID p-value that lets an experiment be peeked
+    * at continuously: under H₀ the mixture likelihood ratio Λ is a
+    * martingale, so p = min(1, 1/Λ) holds at EVERY stopping time, where
+    * q134/q271's fixed-horizon p is only valid at one pre-registered n.
+    * Two-sample mean form with a N(0, τ²) effect prior:
+    *
+    *   Λ = √(se²/(se² + τ²)) · exp(Δ̄²·τ² / (2·se²·(se² + τ²)))
+    *
+    * with Δ̄ = mean_a − mean_b and se² = va/na + vb/nb from the exact
+    * DECIMAL micro moments of the two hashed arms (the bhFdr machinery).
+    * Every step is a pinned IEEE sequence; p is rounded to the 10⁻⁶
+    * grid (the micro-log/exp determinism budget). A diverging exponent
+    * drives Λ → ∞ and p → 0 through ordinary IEEE infinity arithmetic —
+    * deterministically in both engines.
+    *
+    * Scale shape: ONE conditional-moment aggregate per segment; output
+    * per segment (segment, n_a, n_b, delta, p_micro, significant),
+    * ordered by segment.
+    */
+  def msprt(df: DataFrame, segmentCol: String, userCol: String,
+      valueCol: String, salt: String, tauSq: Double,
+      alphaMicro: Long = 50000L): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def dbl(c: Column) = c.cast("double")
+    val base = df.filter(col(segmentCol).isNotNull &&
+        col(userCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(segmentCol).as("seg"),
+        (graft.functions.Hashing.h60(
+          concat(lit(s"$salt:"), col(userCol).cast("string"))) % 2 === 0)
+          .as("a"),
+        round(col(valueCol) * 1e6).cast("long").as("v"))
+    val grid = base.groupBy("seg").agg(
+      sum(when(col("a"), 1L).otherwise(0L)).as("na"),
+      sum(when(col("a"), dec(col("v"))).otherwise(dec(lit(0L)))).as("sa"),
+      sum(when(col("a"), dec(col("v")) * dec(col("v")))
+        .otherwise(dec(lit(0L)))).as("qa"),
+      sum(when(!col("a"), 1L).otherwise(0L)).as("nb"),
+      sum(when(!col("a"), dec(col("v"))).otherwise(dec(lit(0L)))).as("sb"),
+      sum(when(!col("a"), dec(col("v")) * dec(col("v")))
+        .otherwise(dec(lit(0L)))).as("qb"))
+    val ma = dbl(col("sa")) / dbl(col("na")) / lit(1e6)
+    val mb = dbl(col("sb")) / dbl(col("nb")) / lit(1e6)
+    val va = (dbl(col("na")) * dbl(col("qa")) - dbl(col("sa")) * dbl(col("sa"))) /
+      (dbl(col("na")) * dbl(col("na"))) / lit(1e12)
+    val vb = (dbl(col("nb")) * dbl(col("qb")) - dbl(col("sb")) * dbl(col("sb"))) /
+      (dbl(col("nb")) * dbl(col("nb"))) / lit(1e12)
+    val se2 = va / dbl(col("na")) + vb / dbl(col("nb"))
+    val delta = ma - mb
+    val lam = sqrt(se2 / (se2 + lit(tauSq))) *
+      exp(delta * delta * lit(tauSq) /
+        (lit(2.0) * se2 * (se2 + lit(tauSq))))
+    val p = least(lit(1.0), lit(1.0) / lam)
+    val ok = col("na") > 0 && col("nb") > 0 && se2 > 0
+    grid.select(col("seg").as("segment"),
+        col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+        when(ok, delta).as("delta"),
+        when(ok, round(p * 1e6).cast("long")).as("p_micro"),
+        when(ok, round(p * 1e6).cast("long") <= alphaMicro)
+          .as("significant"))
+      .orderBy("segment")
+  }
 }

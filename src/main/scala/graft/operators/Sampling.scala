@@ -302,4 +302,41 @@ object Sampling {
         when(col("__cap").isNull, col(sizeCol))
           .otherwise(least(col(sizeCol), col("__cap"))).as("allocated"))
   }
+
+  /** EFFECTIVE SAMPLE SIZE of an importance-weighted corpus — Kish's
+    * ESS = (Σw)²/Σw², the one number that says whether a DSIR/mixture
+    * reweighting (q224/q60) still carries real diversity or has
+    * collapsed onto a handful of documents (ESS ≪ n ⇒ the "sampled"
+    * corpus is effectively those few docs repeated). Weights enter as
+    * LOG micro values; they are max-stabilized (w = exp(logw − max) ∈
+    * (0, 1]) and rounded ONCE onto the 10⁻⁶ grid — the micro-exp
+    * convention — so both sums are exact integers and ESS is a pinned
+    * IEEE ratio. ESS is invariant to the common exp(max) factor, so
+    * stabilization changes nothing mathematically while keeping every
+    * exp argument ≤ 0 (no overflow at any weight scale).
+    *
+    * Scale shape: one 1-row max aggregate broadcast back, one exact
+    * integer sum pass. Output ONE row:
+    * (n, max_logw_micro, sum_w_micro, sum_w2_micro2, ess, ess_ratio).
+    */
+  def effectiveSampleSize(weights: DataFrame, logwCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def dbl(c: Column) = c.cast("double")
+    val base = weights.filter(col(logwCol).isNotNull)
+      .select(col(logwCol).cast("long").as("lw"))
+    val mx = base.agg(max("lw").as("mlw"))
+    val w = round(exp((col("lw") - col("mlw")).cast("double") / lit(1e6))
+      * 1e6).cast("long")
+    val agg = base.crossJoin(broadcast(mx))
+      .select(w.as("w"), col("mlw"))
+      .agg(count(lit(1)).as("n"), max("mlw").as("max_logw_micro"),
+        sum(dec(col("w"))).cast("decimal(38,0)").as("sw"),
+        sum(dec(col("w")) * dec(col("w"))).cast("decimal(38,0)").as("sw2"))
+    val ess = dbl(col("sw")) * dbl(col("sw")) / dbl(col("sw2"))
+    agg.select(col("n"), col("max_logw_micro"),
+      col("sw").cast("long").as("sum_w_micro"),
+      col("sw2").cast("long").as("sum_w2_micro2"),
+      when(col("sw2") > 0, ess).as("ess"),
+      when(col("sw2") > 0, ess / dbl(col("n"))).as("ess_ratio"))
+  }
 }

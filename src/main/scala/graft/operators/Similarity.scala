@@ -1653,4 +1653,110 @@ object Similarity {
         expr(s"(coalesce(n_overlap, 0) * 1000000) div $k").as("recall_micro"))
       .orderBy("query_id")
   }
+
+  /** IVF + PQ + EXACT RERANK — the assembled production ANN layout
+    * (Jégou et al. 2011's IVFADC, the FAISS default at billion scale):
+    * coarse quantizer routes each vector to one of `nlist` cells, the
+    * ADC scan runs ONLY over the `nProbe` cells nearest each query
+    * (code arithmetic, no raw vectors), and the exact cosine re-ranks
+    * the per-query shortlist. q31 proves the router, q90/q91 prove the
+    * code path — this operator proves they COMPOSE: the ADC scan reads
+    * the cell-restricted fraction of the corpus (~nProbe/nlist of the
+    * codes), which is the entire point at 100 TB.
+    *
+    * Determinism: cells and codebooks are the q31/q90 deterministic
+    * trainers; probe sets, ADC tables, shortlist and rank ties all
+    * break on id. The emitted surface is the q31 recall CONTRACT
+    * against the exact top-k (per-query recall@k ≥ `minRecallMicro`
+    * overall), since the approximate shortlist itself is parameter-
+    * shaped, not oracle-replayable at partial probing.
+    *
+    * Scale shape: one cached quantized corpus scan (cells + codes), a
+    * probe-filtered ADC scan with map-side bounded top-`shortlist`
+    * aggregation, `shortlist` exact re-rank fetches per query, one
+    * |queries|-row recall join. No window touches the corpus.
+    */
+  def ivfPqSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, shortlist: Int, m: Int, ksub: Int,
+      dim: Int, nlist: Int, nProbe: Int,
+      minRecallMicro: Long = 800000L): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nlist && shortlist >= k)
+    val dsub = dim / m
+    val cents = ivfTrain(corpus, idCol, vecCol, nlist, iters = 5)
+    val base = pqBase(corpus, idCol, vecCol)
+    val books = pqCodebooks(base, m, ksub, dim)
+    // cell assignment on the SAME argmin score as knnIvf (|c|² − 2·v·c;
+    // the quantized grid un-scaled back to raw units so the driver-side
+    // query probes below replay the identical IEEE sequence)
+    def cellScores(vd: Column): Column = array(cents.zipWithIndex.map {
+      case (cent, i) =>
+        val cnorm2 = cent.map(x => x * x).sum
+        struct((lit(cnorm2) - lit(2.0) * qdot(vd, lit(cent))).as("d2"),
+          lit(i).as("cell"))
+    }.toIndexedSeq: _*)
+    val encoded = pqEncodeWide(base, m, ksub, dim, books)
+      .withColumn("__cell",
+        array_min(cellScores(transform(col("__qv"), x => x / lit(1e7))))
+          .getField("cell"))
+    // driver-side per-query probe sets + ADC tables (queries are a
+    // bounded relation — the q91 contract)
+    val qs = queries.select(col(idCol).cast("long").as("qid"),
+        quantized(col(vecCol)).as("qv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(qs.nonEmpty, "empty query set")
+    def probeCells(qv: Array[Double]): Seq[Int] = {
+      val v = qv.map(_ / 1e7)
+      cents.indices.map { i =>
+        val cnorm2 = cents(i).map(x => x * x).sum
+        val dot = cents(i).zip(v).map { case (a, b) => a * b }.sum
+        (cnorm2 - 2.0 * dot, i)
+      }.sorted.take(nProbe).map(_._2)
+    }
+    def tab(qv: Array[Double], j: Int, c: Int): Double = {
+      val cent = books(j)(c)
+      val qsub = qv.slice(j * dsub, j * dsub + dsub)
+      cent.zip(qsub).map { case (a, b) => a * b }.sum
+    }
+    val perQuery = qs.toIndexedSeq.map { case (qid, qv) =>
+      val ip = (0 until m).map { j =>
+        element_at(lit((0 until ksub).map(c => tab(qv, j, c)).toArray),
+          col("__codes").getItem(j) + 1)
+      }.reduce(_ + _)
+      struct(lit(qid).as("query_id"), ip.as("ip"),
+        col("__cell").isInCollection(probeCells(qv)).as("probed"))
+    }
+    val topk = udaf(new graft.functions.TopKAggregator(shortlist))
+    val cands = encoded
+      .select(col("id"), explode(array(perQuery: _*)).as("__s"))
+      .filter(col("__s.probed") && col("__s.query_id") =!= col("id"))
+      .groupBy(col("__s.query_id").as("query_id"))
+      .agg(topk(col("__s.ip"), col("id")).as("__top"))
+      .select(col("query_id"), explode(col("__top")).as("__e"))
+      .select(col("query_id"), col("__e._2").as("id"))
+    // exact cosine re-rank of the shortlist off the same cached base
+    val side = base.select(col("id"), col("__qv").as("__cv"))
+      .withColumn("__cn", qnorm2(col("__cv")))
+    val qside = queries.select(col(idCol).cast("long").as("query_id"),
+        quantized(col(vecCol)).as("__q2"))
+      .withColumn("__qn", qnorm2(col("__q2")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("id"))
+    val approx = cands.join(side, "id")
+      .join(broadcast(qside), "query_id")
+      .withColumn("cos",
+        cosFrom(qdot(col("__q2"), col("__cv")), col("__qn"), col("__cn")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("id"))
+    val exact = knnExactAgg(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("id"))
+    exact.join(approx, Seq("query_id", "id"), "left_semi")
+      .agg(count(lit(1)).as("__hits"))
+      .crossJoin(broadcast(exact.agg(
+        countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("__pairs"))))
+      .select(col("n_queries"),
+        (col("__hits") * 1000000L >= col("__pairs") * minRecallMicro)
+          .as("recall_ok"))
+  }
 }

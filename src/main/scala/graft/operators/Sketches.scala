@@ -101,4 +101,110 @@ object Sketches {
         ok(col("__est"), col("exact_distinct")))
     per.unionByName(glob).orderBy("g")
   }
+
+  /** PAIRWISE DISTINCT-INTERSECTION via HLL inclusion–exclusion —
+    * "how many users do every two event segments SHARE?", the audience-
+    * overlap question that at 100 TB is answered from the per-segment
+    * sketches alone (|A∩B| ≈ est(A) + est(B) − est(A∪B), the union
+    * being one `hll_union` of already-built sketches — no re-scan, no
+    * distinct join). Inclusion–exclusion COMPOUNDS the three sketch
+    * errors, so the enforced contract is correspondingly wider:
+    * |est − exact| · 20 ≤ exact_a + exact_b + exact_union + 600 (each
+    * constituent sketch at the q46/q231 ±5%+slack budget).
+    *
+    * The oracle-checked surface is the exact counts + the bound verdict
+    * (the q231 convention — the estimate itself is engine-specific);
+    * the exact intersection rides a distinct-pair self-join that exists
+    * ONLY to adjudicate the sketch (the production path at scale is the
+    * sketch alone).
+    *
+    * Scale shape: one sketch+distinct aggregate per group, a broadcast
+    * |groups|²-pair self-join of the |groups|-row sketch table, and a
+    * distinct-grid self-join keyed on the value for the exact check.
+    */
+  def hllIntersection(df: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    val base = graft.CacheScope.register(
+      df.filter(col(groupCol).isNotNull && col(valCol).isNotNull)
+        .select(col(groupCol).cast("string").as("g"), col(valCol).as("v"))
+        .distinct())
+    val sk = graft.CacheScope.register(
+      base.groupBy("g")
+        .agg(hll_sketch_agg(col("v")).as("__sk"),
+          count(lit(1)).as("nd")))
+    val pairs = sk.as("a").join(broadcast(sk.as("b")),
+        col("a.g") < col("b.g"))
+      .select(col("a.g").as("group_a"), col("b.g").as("group_b"),
+        col("a.nd").as("exact_a"), col("b.nd").as("exact_b"),
+        (hll_sketch_estimate(col("a.__sk")) +
+          hll_sketch_estimate(col("b.__sk")) -
+          hll_sketch_estimate(hll_union(col("a.__sk"), col("b.__sk"))))
+          .as("__est"))
+    val inter = base.as("x").join(base.as("y"),
+        col("x.v") === col("y.v") && col("x.g") < col("y.g"))
+      .groupBy(col("x.g").as("group_a"), col("y.g").as("group_b"))
+      .agg(count(lit(1)).as("__ei"))
+    pairs.join(inter, Seq("group_a", "group_b"), "left")
+      .select(col("group_a"), col("group_b"), col("exact_a"),
+        col("exact_b"),
+        coalesce(col("__ei"), lit(0L)).as("exact_inter"),
+        (abs(col("__est") - coalesce(col("__ei"), lit(0L))) * 20 <=
+          col("exact_a") + col("exact_b") +
+          (col("exact_a") + col("exact_b") -
+            coalesce(col("__ei"), lit(0L))) + 600).as("bound_ok"))
+      .orderBy("group_a", "group_b")
+  }
+
+  /** SLIDING 7-DAY DISTINCT USERS from MERGEABLE daily sketches — the
+    * rolling-uniques dashboard series, built the only way it scales:
+    * one HLL sketch per day, each window estimate a UNION of seven
+    * daily sketches (sketches are mergeable; raw sets are not — the
+    * exact rolling distinct at 100 TB would re-scan a week of data per
+    * day). The exact counts ride a calendar-bounded 7-way fan-out of
+    * the distinct (day, user) grid and exist to ADJUDICATE the sketch
+    * (the q231/q303 convention: exact values + the bound verdict are
+    * the oracle surface; the estimate is engine-specific).
+    *
+    * Scale shape: one distinct (day, user) aggregate; daily sketches
+    * are a |days|-row relation; the window union re-aggregates ≤ 7
+    * sketch rows per day; the exact side fans each (day, user) pair to
+    * ≤ 7 rows — linear, never quadratic.
+    *
+    * Output per day: (day, exact_1d, exact_7d, bound_ok), ordered.
+    */
+  def slidingDistinct(df: DataFrame, tsCol: String, userCol: String,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1)
+    val pairs = graft.CacheScope.register(
+      df.filter(col(tsCol).isNotNull && col(userCol).isNotNull)
+        .select(col(tsCol).cast("date").as("d"), col(userCol).as("u"))
+        .distinct())
+    val bounds = pairs.agg(max("d").as("__hi"))
+    val fan = pairs.crossJoin(broadcast(bounds))
+      .select(explode(sequence(lit(0), lit(windowDays - 1))).as("off"),
+        col("d"), col("u"), col("__hi"))
+      .select(date_add(col("d"), col("off")).as("day"), col("u"),
+        col("__hi"))
+      .filter(col("day") <= col("__hi"))
+    val exact = fan.groupBy("day")
+      .agg(countDistinct(col("u")).as("exact_7d"))
+    val daily = graft.CacheScope.register(
+      pairs.groupBy(col("d").as("day"))
+        .agg(count(lit(1)).as("exact_1d"),
+          hll_sketch_agg(col("u")).as("__sk")))
+    val skFan = daily.crossJoin(broadcast(bounds))
+      .select(explode(sequence(lit(0), lit(windowDays - 1))).as("off"),
+        col("day"), col("__sk"), col("__hi"))
+      .select(date_add(col("day"), col("off")).as("day"), col("__sk"),
+        col("__hi"))
+      .filter(col("day") <= col("__hi"))
+      .groupBy("day")
+      .agg(hll_sketch_estimate(hll_union_agg(col("__sk"))).as("__est"))
+    daily.select(col("day"), col("exact_1d"))
+      .join(exact, "day").join(skFan, "day")
+      .select(col("day"), col("exact_1d"), col("exact_7d"),
+        (abs(col("__est") - col("exact_7d")) * 20 <=
+          col("exact_7d") + 200).as("bound_ok"))
+      .orderBy("day")
+  }
 }

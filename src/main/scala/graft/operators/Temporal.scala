@@ -1228,4 +1228,117 @@ object Temporal {
       when(ok, b2).as("b_x_lag"),
       when(ok, (rssR - rssU) * (nD - 3) / rssU).as("f_granger"))
   }
+
+  /** LJUNG-BOX PORTMANTEAU TEST on the hourly count series — "is there
+    * ANY autocorrelation in the first m lags?", the one-number whiteness
+    * gate q168's per-lag curve needs a reader for. Q = n(n+2)·Σ r²ₖ/(n−k)
+    * with the same dense-grid, n-scaled-centering ACF as [[hourlyAcf]];
+    * each lag's term r²ₖ/(n−k) is a pinned IEEE expression rounded to
+    * the 10⁻¹² grid and summed as BIGINT (lag-order-free; n−k is
+    * exactly the lag's pair count, so no global constant enters the
+    * per-term math). The χ²ₘ p-value rides the Wilson–Hilferty cube-root
+    * normal approximation through the A&S 26.2.17 tail polynomial (the
+    * [[Quality.bhFdr]] determinism budget), rounded to the 10⁻⁶ grid.
+    *
+    * Scale shape: inherits [[hourlyAcf]]'s one-shuffle grid + single
+    * lag-fan-out join; everything after is an m-row aggregate. Output
+    * ONE row: (n, m, q_term_sum_pico, lb_q, p_micro).
+    */
+  def ljungBox(df: DataFrame, tsCol: String, maxLag: Int): DataFrame = {
+    val acf = graft.CacheScope.register(hourlyAcf(df, tsCol, maxLag))
+    val agg = acf.agg(
+      max(col("n_pairs") + col("lag")).cast("long").as("n"),
+      count(lit(1)).cast("long").as("m"),
+      sum(when(col("acf").isNull, 1L).otherwise(0L)).as("__nulls"),
+      sum(round(col("acf") * col("acf") /
+        col("n_pairs").cast("double") * 1e12).cast("long"))
+        .cast("long").as("q_term_sum_pico"))
+    val nD = col("n").cast("double")
+    val mD = col("m").cast("double")
+    val q = nD * (nD + lit(2.0)) *
+      col("q_term_sum_pico").cast("double") / lit(1e12)
+    // Wilson–Hilferty: chi²_m upper tail ≈ Φ̄(z), z anchored at the
+    // cube-root transform; A&S 26.2.17 gives the one-sided tail
+    val z = (cbrt(q / mD) - (lit(1.0) - lit(2.0) / (lit(9.0) * mD))) /
+      sqrt(lit(2.0) / (lit(9.0) * mD))
+    val az = abs(z)
+    val kk = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val poly = ((((lit(1.330274429) * kk + lit(-1.821255978)) * kk
+      + lit(1.781477937)) * kk + lit(-0.356563782)) * kk
+      + lit(0.319381530)) * kk
+    val tail = lit(0.3989422804014327) * exp(lit(-0.5) * az * az) * poly
+    val p = when(z >= 0, tail).otherwise(lit(1.0) - tail)
+    val ok = col("__nulls") === 0 && col("n") > col("m")
+    agg.select(col("n"), col("m"),
+      when(ok, col("q_term_sum_pico")).as("q_term_sum_pico"),
+      when(ok, q).as("lb_q"),
+      when(ok, round(p * 1e6).cast("long")).as("p_micro"))
+  }
+
+  /** SINGLE CHANGEPOINT by exact two-segment least squares on the daily
+    * revenue grid — the ℓ₂ estimator (binary-segmentation step 1): pick
+    * the split minimizing SSE(left) + SSE(right). q169's CUSUM flags the
+    * extremum of a mean-shift statistic; this is the direct SSE argmin
+    * with the variance-reduction ratio a segmentation loop would
+    * threshold on.
+    *
+    * Mechanics: dense calendar day grid (absent days are true zeros —
+    * the [[dailyCusum]] contract), prefix sums Sₜ and Qₜ as exact
+    * DECIMAL(38,0) over one ordered window; each candidate split's SSE
+    * is a pinned IEEE expression over those exact prefixes (micro² /
+    * 10¹² → original units²), and the argmin tie-breaks on the earlier
+    * day. The global window rides the CALENDAR-bounded grid (thousands
+    * of rows at any corpus scale), never raw data.
+    *
+    * Output ONE row: (n_days, best_day, n_left, n_right,
+    * mean_left_micro, mean_right_micro — truncating div on the micro
+    * grid — sse_total, sse_split, var_reduction).
+    */
+  def changepointSse(df: DataFrame, tsCol: String,
+      valCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def dbl(c: Column) = c.cast("double")
+    val day = col(tsCol).cast("date")
+    val observed = df.filter(col(tsCol).isNotNull && col(valCol).isNotNull)
+      .groupBy(day.as("d"))
+      .agg(sum(round(col(valCol) * 1e6).cast("long")).as("s"))
+    val bounds = observed.agg(min("d").as("lo"), max("d").as("hi"))
+    val grid = graft.CacheScope.register(
+      bounds.select(explode(sequence(col("lo"), col("hi"))).as("d"))
+        .join(observed, Seq("d"), "left")
+        .select(col("d"), coalesce(col("s"), lit(0L)).as("s")))
+    val tot = grid.agg(count(lit(1)).cast("long").as("n"),
+      sum(dec(col("s"))).cast("decimal(38,0)").as("stot"),
+      sum(dec(col("s")) * dec(col("s"))).cast("decimal(38,0)").as("qtot"))
+    val w = Window.orderBy("d") // calendar-bounded day grid only
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = grid.crossJoin(broadcast(tot))
+      .withColumn("t", count(lit(1)).over(w))
+      .withColumn("st", sum(dec(col("s"))).over(w).cast("decimal(38,0)"))
+      .withColumn("qt",
+        sum(dec(col("s")) * dec(col("s"))).over(w).cast("decimal(38,0)"))
+      .filter(col("t") < col("n"))
+    val tD = col("t").cast("double")
+    val rD = (col("n") - col("t")).cast("double")
+    val sse = (dbl(col("qt")) - dbl(col("st")) * dbl(col("st")) / tD
+      + (dbl(col("qtot")) - dbl(col("qt"))
+        - (dbl(col("stot")) - dbl(col("st")))
+          * (dbl(col("stot")) - dbl(col("st"))) / rD)) / lit(1e12)
+    val scored = pre.withColumn("sse_split", sse)
+    val best = scored
+      .withColumn("__rn", row_number().over(
+        Window.orderBy(col("sse_split").asc, col("d").asc)))
+      .filter(col("__rn") === 1)
+    val sseTotal = (dbl(col("qtot"))
+      - dbl(col("stot")) * dbl(col("stot")) / col("n").cast("double")) /
+      lit(1e12)
+    best.select(col("n").as("n_days"), col("d").as("best_day"),
+      col("t").cast("long").as("n_left"),
+      (col("n") - col("t")).cast("long").as("n_right"),
+      expr("cast(st div t as long)").as("mean_left_micro"),
+      expr("cast((stot - st) div (n - t) as long)").as("mean_right_micro"),
+      sseTotal.as("sse_total"), col("sse_split"),
+      when(sseTotal > 0, lit(1.0) - col("sse_split") / sseTotal)
+        .as("var_reduction"))
+  }
 }

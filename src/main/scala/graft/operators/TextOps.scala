@@ -1754,4 +1754,60 @@ object TextOps {
         sum(col("sign") * col("c")).cast("long").as("signed_sum"))
       .orderBy("bucket")
   }
+
+  /** RAKE KEYWORD EXTRACTION (Rose et al. 2010) — the phrase-level
+    * complement to [[textRankKeywords]] (q258 ranks single words by
+    * graph centrality; RAKE surfaces MULTI-WORD terms): candidate
+    * phrases are maximal content-word runs between stopwords, each word
+    * scores degree/frequency (degree = Σ phrase lengths over its
+    * occurrences — co-occurrence mass including itself), and a phrase
+    * scores the sum of its words' scores. All-integer: word score =
+    * (degree·10⁶) div freq, phrase score = Σ word-score micros — exact
+    * in any engine and any summation order.
+    *
+    * Scale shape: one token explode, per-DOC windows only (phrase ids
+    * and lengths — never a global window), one vocabulary-grid
+    * aggregate, one phrase-grid aggregate, top-k. Shuffles carry token
+    * and phrase grids, not documents.
+    *
+    * Returns top-k (phrase, n_occurrences, score_micro) by
+    * (score desc, phrase).
+    */
+  def rakeKeywords(docs: DataFrame, idCol: String, textCol: String,
+      topK: Int): DataFrame = {
+    require(topK >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val toks = graft.Parallelism.fanOut(
+        docs.filter(col(textCol).isNotNull)
+          .select(col(idCol).as("doc"), col(textCol).as("__t")))
+      .select(col("doc"), posexplode(TextFns.tokens(col("__t")))
+        .as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0)
+    val wDoc = Window.partitionBy("doc").orderBy("pos")
+    val content = graft.CacheScope.register(
+      toks
+        .withColumn("__stop",
+          col("tok").isInCollection(graft.functions.TextFns.stopwords))
+        .withColumn("pid",
+          sum(when(col("__stop"), 1L).otherwise(0L)).over(wDoc))
+        .filter(!col("__stop"))
+        .withColumn("plen",
+          count(lit(1)).over(Window.partitionBy("doc", "pid"))))
+    val wordScores = content.groupBy("tok")
+      .agg(count(lit(1)).as("freq"), sum("plen").cast("long").as("degree"))
+      .select(col("tok"),
+        expr("(degree * 1000000L) div freq").as("w_score"))
+    val phrases = content.join(wordScores, "tok")
+      .groupBy("doc", "pid")
+      .agg(
+        array_join(transform(array_sort(
+            collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("phrase"),
+        sum("w_score").cast("long").as("score_micro"))
+    phrases.groupBy("phrase")
+      .agg(count(lit(1)).as("n_occurrences"),
+        max("score_micro").as("score_micro"))
+      .orderBy(desc("score_micro"), col("phrase"))
+      .limit(topK)
+  }
 }

@@ -90,7 +90,17 @@ class PlanLintSpec extends SparkSpec {
     "q286_quantile_sketch" -> "crossJoins of the broadcast |quantiles|-row sketch-probe set and the 1-row total aggregate over the distinct-value grid (q24's bounded-probe shape)",
     "q288_huber_location" -> "crossJoins of the broadcast 1-row median/iterate/total aggregates per unrolled IRLS pass (q110/q163 shape)",
     "q292_mad_outliers" -> "crossJoins of the broadcast 1-row median/MAD/total aggregates over the distinct-value grid (q110/q163 shape)",
-    "q293_durbin_watson" -> "crossJoins of the broadcast 1-row min-date and OLS-moment aggregates over the calendar day grid (q110/q163 shape)")
+    "q293_durbin_watson" -> "crossJoins of the broadcast 1-row min-date and OLS-moment aggregates over the calendar day grid (q110/q163 shape)",
+    "q294_levene_bf" -> "assembly crossJoins of broadcast 1-row k/N-total and SS-term aggregates over the |groups|-row grid (q163 shape)",
+    "q297_brier_decomposition" -> "crossJoins against the broadcast 1-row bin-total aggregate over the ≤bins-row grid (q110/q163 shape)",
+    "q298_effect_sizes" -> "inequality pair join over the broadcast |groups|-row moment aggregate (q134's shape)",
+    "q295_ljung_box" -> "inherits q168's broadcast 1-row (n, S) and denominator aggregates over the hour grid (crossJoin centering/normalization)",
+    "q303_hll_intersection" -> "inequality pair join over the broadcast |groups|-row sketch aggregate (q134's shape)",
+    "q304_ivf_pq" -> "knnExactAgg's broadcast bounded query set (q24's =!= shape) + crossJoin of the broadcast 1-row recall totals (q31's gate shape)",
+    "q307_snapshot_retention" -> "crossJoin of two broadcast 1-row version-count aggregates (q262's shape)",
+    "q308_sliding_distinct" -> "crossJoins against the broadcast 1-row max-day bound (q110/q163 shape)",
+    "q309_ess" -> "crossJoin against the broadcast 1-row max-log-weight aggregate (q110/q163 shape)",
+    "q299_changepoint" -> "crossJoin against the broadcast 1-row total-moment aggregate over the calendar day grid (q169's shape)")
 
   /** Queries allowed to plan a GLOBAL window (no partition columns, or a
     * constant partition) — each must window over a provably BOUNDED
@@ -135,7 +145,8 @@ class PlanLintSpec extends SparkSpec {
     "q288_huber_location" -> "median cumulation over the DISTINCT-value count grid (q234's bounded-grid argument)",
     "q289_forecast_mase" -> "lag windows over the calendar day grid (q263's calendar-bounded argument)",
     "q292_mad_outliers" -> "median cumulations over the DISTINCT-value and deviation count grids (q234's bounded-grid argument)",
-    "q293_durbin_watson" -> "lag window over the calendar day grid (q169's calendar-bounded argument)")
+    "q293_durbin_watson" -> "lag window over the calendar day grid (q169's calendar-bounded argument)",
+    "q299_changepoint" -> "prefix-sum and argmin-rank windows over the calendar day grid (q169's calendar-bounded argument)")
 
   test("no query plans a global window over an unbounded relation") {
     import org.apache.spark.sql.execution.SparkPlan

@@ -445,4 +445,32 @@ class GraphsSpec extends SparkSpec {
     val r3 = run(3)
     assert(r3(4L) == 15L && r3(3L) == 10L && r3(1L) == 0L)
   }
+
+  test("linkPredictionSuite: path-graph wedges score CN/Jaccard/PA by " +
+      "hand; adjacent pairs are excluded") {
+    import spark.implicits._
+    // path 1-2-3-4: candidates are the two wedge pairs (1,3) and (2,4),
+    // each with cn = 1, |union| = 2 → jaccard 0.5, pa = deg products
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val out = Graphs.linkPredictionSuite(path, "a", "b", 10).collect()
+    assert(out.length == 2)
+    val m = out.map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    val p13 = m((1L, 3L))
+    assert(p13.getAs[Long]("common_neighbors") == 1L)
+    assert(p13.getAs[Long]("deg_a") == 1L && p13.getAs[Long]("deg_b") == 2L)
+    assert(p13.getAs[Long]("jaccard_micro") == 500000L)
+    assert(p13.getAs[Long]("pa_score") == 2L)
+    val p24 = m((2L, 4L))
+    assert(p24.getAs[Long]("jaccard_micro") == 500000L &&
+      p24.getAs[Long]("pa_score") == 2L)
+    // close the (1,3) edge: that pair leaves the candidate set; the
+    // deg-3 center 3 now wedges (1,4) and (2,4), both at jaccard 0.5
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L)).toDF("a", "b")
+    val out2 = Graphs.linkPredictionSuite(tri, "a", "b", 10).collect()
+    val keys = out2.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keys == Set((1L, 4L), (2L, 4L)))
+    val q24 = out2.find(r => (r.getLong(0), r.getLong(1)) == (2L, 4L)).get
+    assert(q24.getAs[Long]("deg_a") == 2L && q24.getAs[Long]("deg_b") == 1L &&
+      q24.getAs[Long]("jaccard_micro") == 500000L)
+  }
 }

@@ -1149,4 +1149,225 @@ class QualitySpec extends SparkSpec {
     // and it sits ABOVE the median (the outlier still has bounded pull)
     assert(r.getAs[Long]("mu_3") > 2000000L)
   }
+
+  test("leveneBrownForsythe: hand medians, exact SS sums, and the " +
+      "pinned W on a two-group fixture") {
+    import spark.implicits._
+    // a: 1,2,3,4 (med 2, z = 1,0,1,2) — b: 10,20,30,40 (med 20,
+    // z = 10,0,10,20): z̄_a = 1, z̄_b = 10, z̄ = 5.5 →
+    // between = 4·4.5² ·2 = 162; within = 2 + 200 = 202
+    val df = (Seq(1.0, 2.0, 3.0, 4.0).map(("a", _)) ++
+      Seq(10.0, 20.0, 30.0, 40.0).map(("b", _))).toDF("g", "v")
+    val r = Quality.leveneBrownForsythe(df, "g", "v").collect().head
+    assert(r.getAs[Long]("n") == 8L && r.getAs[Long]("k") == 2L)
+    assert(r.getAs[Long]("between_sum") == 162L)
+    assert(r.getAs[Long]("within_sum") == 202L)
+    assert(r.getAs[Long]("df1") == 1L && r.getAs[Long]("df2") == 6L)
+    assert(r.getAs[Double]("w_stat") == 6.0 / 1.0 * 162.0 / 202.0)
+    // one group only: k = 1 → W null (no between-group df)
+    val one = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v")
+    val o = Quality.leveneBrownForsythe(one, "g", "v").collect().head
+    assert(o.getAs[Long]("k") == 1L && o.isNullAt(6))
+  }
+
+  test("jarqueBera: symmetric fixture has zero skew, hand kurtosis, " +
+      "closed-form p; constant group nulls out") {
+    import spark.implicits._
+    // g1 = {−1, 0, 1}: m2 = 2/3, m4 = 2/3 → excess = −1.5, skew = 0,
+    // JB = 3·(0 + 2.25/24) = 0.28125, p = exp(−JB/2)
+    val df = (Seq(-1.0, 0.0, 1.0).map(("g1", _)) ++
+      Seq.fill(4)(("g2", 7.0))).toDF("g", "v")
+    val rows = Quality.jarqueBera(df, "g", "v").collect()
+    val g1 = rows.find(_.getString(0) == "g1").get
+    assert(g1.getAs[Long]("n") == 3L)
+    assert(g1.getAs[Double]("skewness") == 0.0)
+    assert(g1.getAs[Double]("kurtosis_excess") == -1.5)
+    assert(g1.getAs[Double]("jb") == 0.28125)
+    assert(g1.getAs[Long]("p_micro") ==
+      math.round(math.exp(-0.5 * 0.28125) * 1e6))
+    // constant group: m2 = 0 → every statistic null
+    val g2 = rows.find(_.getString(0) == "g2").get
+    assert(g2.isNullAt(2) && g2.isNullAt(3) && g2.isNullAt(4) &&
+      g2.isNullAt(5))
+  }
+
+  test("brierDecomposition: hand two-bin fixture — identity holds with " +
+      "zero within-bin variance") {
+    import spark.implicits._
+    // bins of two: (0.25, FTT…) — all forecasts within a bin equal, so
+    // brier = rel − res + unc exactly and within_var = 0
+    val df = Seq((250000L, false), (250000L, true),
+      (750000L, true), (750000L, true)).toDF("p", "y")
+    val r = Quality.brierDecomposition(df, col("y"), col("p"), 2)
+      .collect().head
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("k_pos") == 3L)
+    assert(r.getAs[Double]("brier") == 0.1875)
+    assert(r.getAs[Double]("reliability") == 0.0625)
+    assert(r.getAs[Double]("resolution") == 0.0625)
+    assert(r.getAs[Double]("uncertainty") == 0.1875)
+    assert(r.getAs[Double]("within_var") == 0.0)
+  }
+
+  test("effectSizes: hand two-group fixture — pooled d, Hedges J, " +
+      "Glass delta; singleton group nulls out") {
+    import spark.implicits._
+    // a: 1,2,3 (mean 2, var 1) — b: 2,4,6 (mean 4, var 4):
+    // pooled = 2.5, d = −2/√2.5, J = 1 − 3/15 = 0.8, Δ = −2/1
+    val df = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++
+      Seq(2.0, 4.0, 6.0).map(("b", _)) :+ ("c", 9.0)).toDF("g", "v")
+    val rows = Quality.effectSizes(df, "g", "v").collect()
+    assert(rows.length == 3) // (a,b) (a,c) (b,c)
+    val ab = rows.find(x => x.getString(0) == "a" && x.getString(1) == "b").get
+    assert(ab.getAs[Long]("n_a") == 3L && ab.getAs[Long]("n_b") == 3L)
+    assert(ab.getAs[Double]("mean_a") == 2.0 &&
+      ab.getAs[Double]("mean_b") == 4.0)
+    val d = -2.0 / math.sqrt(2.5)
+    assert(ab.getAs[Double]("cohens_d") == d)
+    assert(ab.getAs[Double]("hedges_g") == (1.0 - 3.0 / 15.0) * d)
+    assert(ab.getAs[Double]("glass_delta") == -2.0)
+    // c is a singleton: every standardized size against it is null
+    val ac = rows.find(x => x.getString(0) == "a" && x.getString(1) == "c").get
+    assert(ac.isNullAt(6) && ac.isNullAt(7) && ac.isNullAt(8))
+  }
+
+  test("cronbachAlpha: two identical items are perfectly reliable; " +
+      "cancelling items null out on zero total variance") {
+    import spark.implicits._
+    // i2 = i1 → Σσ²ᵢ = 2v, σ²_total = 4v → α = 2·(1 − 1/2) = 1 exactly
+    // (the 4v doubling is a power-of-2 scale, so the doubles agree)
+    val df = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0)).toDF("i1", "i2")
+    val r = Quality.cronbachAlpha(df, Seq("i1", "i2")).collect().head
+    assert(r.getAs[Long]("n") == 3L && r.getAs[Long]("k") == 2L)
+    assert(r.getAs[Double]("alpha") == 1.0)
+    // i2 = −i1: the composite is constant → total_var = 0 → α null
+    val anti = Seq((1.0, -1.0), (2.0, -2.0), (3.0, -3.0)).toDF("i1", "i2")
+    val a = Quality.cronbachAlpha(anti, Seq("i1", "i2")).collect().head
+    assert(a.getAs[Double]("total_var") == 0.0 && a.isNullAt(4))
+  }
+
+  test("partialCorrelation: controlling for a copy of x degenerates; " +
+      "hand moments replay the pinned formula") {
+    import spark.implicits._
+    // z = x → r_xz = 1 → the partial is undefined (guarded null)
+    val copy = Seq((1.0, 2.0, 1.0), (2.0, 1.0, 2.0), (3.0, 4.0, 3.0),
+      (4.0, 3.0, 4.0)).toDF("x", "y", "z")
+    val c = Quality.partialCorrelation(copy, "x", "y", "z").collect().head
+    assert(c.getAs[Double]("r_xz") == 1.0 && c.isNullAt(4))
+    // generic fixture: replay the exact-moment IEEE chain in the test
+    val df = Seq((1.0, 2.0, 1.0), (2.0, 1.0, 1.0), (3.0, 4.0, 2.0),
+      (4.0, 3.0, 3.0)).toDF("x", "y", "z")
+    val r = Quality.partialCorrelation(df, "x", "y", "z").collect().head
+    val (xs, ys, zs) = (Seq(1L, 2L, 3L, 4L).map(_ * 1000000L),
+      Seq(2L, 1L, 4L, 3L).map(_ * 1000000L),
+      Seq(1L, 1L, 2L, 3L).map(_ * 1000000L))
+    val n = 4.0
+    def s(v: Seq[Long]) = v.sum.toDouble
+    def sq(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).map { case (p, q) => BigInt(p) * BigInt(q) }.sum.toDouble
+    def cov(ab: Double, a: Double, b: Double) = n * ab - a * b
+    val cxy = cov(sq(xs, ys), s(xs), s(ys))
+    val cxz = cov(sq(xs, zs), s(xs), s(zs))
+    val cyz = cov(sq(ys, zs), s(ys), s(zs))
+    val cxx = cov(sq(xs, xs), s(xs), s(xs))
+    val cyy = cov(sq(ys, ys), s(ys), s(ys))
+    val czz = cov(sq(zs, zs), s(zs), s(zs))
+    val rxy = cxy / math.sqrt(cxx * cyy)
+    val rxz = cxz / math.sqrt(cxx * czz)
+    val ryz = cyz / math.sqrt(cyy * czz)
+    assert(r.getAs[Double]("r_xy") == rxy)
+    assert(r.getAs[Double]("r_xy_given_z") ==
+      (rxy - rxz * ryz) /
+        math.sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)))
+  }
+
+  test("hllIntersection: exact pairwise overlaps and the compounded " +
+      "bound on a hand fixture") {
+    import spark.implicits._
+    // a: {1..4}, b: {3..6}, c: {10} — overlaps (a,b) = 2, others 0
+    val df = ((1L to 4L).map(("a", _)) ++ (3L to 6L).map(("b", _)) :+
+      ("c", 10L)).toDF("g", "u")
+    val out = Sketches.hllIntersection(df, "g", "u").collect()
+    assert(out.length == 3)
+    val ab = out.find(r => r.getString(0) == "a" && r.getString(1) == "b").get
+    assert(ab.getAs[Long]("exact_a") == 4L &&
+      ab.getAs[Long]("exact_b") == 4L &&
+      ab.getAs[Long]("exact_inter") == 2L)
+    // tiny cardinalities sit far inside the ±5%+slack compound budget
+    assert(out.forall(_.getAs[Boolean]("bound_ok")))
+    val ac = out.find(r => r.getString(0) == "a" && r.getString(1) == "c").get
+    assert(ac.getAs[Long]("exact_inter") == 0L)
+  }
+
+  test("msprt: full driver replay of the mixture LR p-value; constant " +
+      "segment nulls out on zero standard error") {
+    import spark.implicits._
+    val users = (1L to 60L).toSeq
+    def armA(u: Long): Boolean =
+      graft.functions.Hashing.h60Local(s"sprt-spec:$u") % 2 == 0
+    def v1(u: Long): Double =
+      (if (armA(u)) 10.0 else 30.0) + (u % 3).toDouble
+    val rows = users.flatMap { u =>
+      Seq(("s1", u, v1(u)), ("s2", u, 7.0))
+    }.toDF("seg", "user_id", "v")
+    val out = Quality.msprt(rows, "seg", "user_id", "v", "sprt-spec",
+      tauSq = 0.25).collect()
+    val s1 = out.find(_.getString(0) == "s1").get
+    // independent replay: exact micro moments, pinned IEEE sequence
+    val a = users.filter(armA).map(u => math.round(v1(u) * 1e6))
+    val b = users.filterNot(armA).map(u => math.round(v1(u) * 1e6))
+    val (na, nb) = (a.length.toDouble, b.length.toDouble)
+    def s(x: Seq[Long]) = x.map(BigInt(_)).sum.toDouble
+    def q(x: Seq[Long]) = x.map(v => BigInt(v) * BigInt(v)).sum.toDouble
+    val ma = s(a) / na / 1e6
+    val mb = s(b) / nb / 1e6
+    val va = (na * q(a) - s(a) * s(a)) / (na * na) / 1e12
+    val vb = (nb * q(b) - s(b) * s(b)) / (nb * nb) / 1e12
+    val se2 = va / na + vb / nb
+    val delta = ma - mb
+    val lam = math.sqrt(se2 / (se2 + 0.25)) *
+      math.exp(delta * delta * 0.25 / (2.0 * se2 * (se2 + 0.25)))
+    val p = math.min(1.0, 1.0 / lam)
+    assert(s1.getAs[Long]("n_a") == a.length.toLong)
+    assert(s1.getAs[Double]("delta") == delta)
+    assert(s1.getAs[Long]("p_micro") == math.round(p * 1e6))
+    // a 20-unit planted shift on ~60 users: decisively significant
+    assert(s1.getAs[Boolean]("significant"))
+    // constant segment: se2 = 0 → p undefined, never significant
+    val s2 = out.find(_.getString(0) == "s2").get
+    assert(s2.isNullAt(3) && s2.isNullAt(4) && s2.isNullAt(5))
+  }
+
+  test("slidingDistinct: hand 3-day windows union trailing users; " +
+      "sketch bound holds on tiny cardinalities") {
+    import spark.implicits._
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    // day1: {1,2}; day2: {2,3}; day4: {9}
+    val df = Seq((ts(1), 1L), (ts(1), 2L), (ts(2), 2L), (ts(2), 3L),
+      (ts(4), 9L)).toDF("ts", "u")
+    val out = Sketches.slidingDistinct(df, "ts", "u", 3).collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // observed days only; 3-day windows: d1 {1,2}; d2 {1,2,3};
+    // d4 {2,3,9} (d2's users still inside [d2, d4])
+    assert(out.keySet == Set("2024-01-01", "2024-01-02", "2024-01-04"))
+    assert(out("2024-01-01") == ((2L, 2L, true)))
+    assert(out("2024-01-02") == ((2L, 3L, true)))
+    assert(out("2024-01-04") == ((1L, 3L, true)))
+  }
+
+  test("effectiveSampleSize: equal weights give ESS = n; a dominating " +
+      "weight collapses ESS toward 1") {
+    import spark.implicits._
+    // equal log-weights: w = 1e6 each → ESS = (4e6)²/(4e12) = 4 = n
+    val eq = Seq(5L, 5L, 5L, 5L).toDF("lw")
+    val r = Sampling.effectiveSampleSize(eq, "lw").collect().head
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Double]("ess") == 4.0 &&
+      r.getAs[Double]("ess_ratio") == 1.0)
+    // one weight e^20 above the rest: stabilized others round to 0
+    val dom = Seq(20000000L, 0L, 0L, 0L).toDF("lw")
+    val d = Sampling.effectiveSampleSize(dom, "lw").collect().head
+    assert(d.getAs[Long]("max_logw_micro") == 20000000L)
+    assert(d.getAs[Double]("ess") == 1.0)
+  }
 }

@@ -565,4 +565,24 @@ class SimilaritySpec extends SparkSpec {
         r.getAs[Long]("recall_micro") == (ov * 1000000L) / 5L
     })
   }
+
+  test("ivfPqSearch: full probing + full shortlist recovers the exact " +
+      "top-5; q304's partial probing passes its recall gate") {
+    val emb = graft.GraftSession.table(spark, "/root/testdata/sf0.01",
+      "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    // nProbe = nlist and a corpus-sized shortlist degenerate IVFADC to
+    // the exact search — the composition must hit recall 1.0 exactly
+    val full = Similarity.ivfPqSearch(emb, queries, "vec_id", "embedding",
+      k = 5, shortlist = 400, m = 8, ksub = 32, dim = 64,
+      nlist = 16, nProbe = 16, minRecallMicro = 1000000L).collect().head
+    assert(full.getAs[Long]("n_queries") == 10L &&
+      full.getAs[Boolean]("recall_ok"))
+    graft.CacheScope.releaseAll()
+    // the registry operating point: 6/16 cells probed, shortlist 50
+    val part = Similarity.ivfPqSearch(emb, queries, "vec_id", "embedding",
+      k = 5, shortlist = 50, m = 8, ksub = 32, dim = 64,
+      nlist = 16, nProbe = 6).collect().head
+    assert(part.getAs[Boolean]("recall_ok"))
+  }
 }

@@ -662,4 +662,65 @@ class TemporalSpec extends SparkSpec {
     val t = Temporal.grangerLag(tiny, "ts", "value").collect().head
     assert(t.getAs[Long]("n_days") == 2L && t.isNullAt(3))
   }
+
+  test("ljungBox: alternating series replays the hand ACF terms; " +
+      "constant series nulls out") {
+    import spark.implicits._
+    // 8 hours alternating 1,2,1,2,... events per hour: cx = 8x−12 =
+    // ∓4; r₁ = −112/128 = −0.875 (7 pairs), r₂ = 96/128 = 0.75 (6)
+    val rows = (0 until 8).flatMap { h =>
+      val n = if (h % 2 == 0) 1 else 2
+      (0 until n).map(_ => Timestamp.valueOf(f"2024-01-01 $h%02d:30:00"))
+    }
+    val df = rows.toDF("ts")
+    val r = Temporal.ljungBox(df, "ts", 2).collect().head
+    assert(r.getAs[Long]("n") == 8L && r.getAs[Long]("m") == 2L)
+    // terms: r₁²/7 = 0.109375, r₂²/6 = 0.09375 → pico-rounded sum
+    val t1 = math.round(-0.875 * -0.875 / 7.0 * 1e12)
+    val t2 = math.round(0.75 * 0.75 / 6.0 * 1e12)
+    assert(r.getAs[Long]("q_term_sum_pico") == t1 + t2)
+    val q = 8.0 * 10.0 * (t1 + t2).toDouble / 1e12
+    assert(r.getAs[Double]("lb_q") == q)
+    // Wilson-Hilferty + A&S tail replayed with the same literals
+    val z = (math.cbrt(q / 2.0) - (1.0 - 2.0 / 18.0)) / math.sqrt(2.0 / 18.0)
+    val kk = 1.0 / (1.0 + 0.2316419 * math.abs(z))
+    val poly = ((((1.330274429 * kk + -1.821255978) * kk + 1.781477937) * kk
+      + -0.356563782) * kk + 0.319381530) * kk
+    val tail = 0.3989422804014327 * math.exp(-0.5 * z * z) * poly
+    val p = if (z >= 0) tail else 1.0 - tail
+    assert(r.getAs[Long]("p_micro") == math.round(p * 1e6))
+    // constant series: zero denominator → every acf null → q/p null
+    val const = (0 until 6)
+      .map(h => Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")).toDF("ts")
+    val c = Temporal.ljungBox(const, "ts", 2).collect().head
+    assert(c.isNullAt(2) && c.isNullAt(3) && c.isNullAt(4))
+  }
+
+  test("changepointSse: a clean level shift splits exactly at the break " +
+      "with zero split SSE") {
+    import spark.implicits._
+    // days 1..6, revenue 0,0,0,10,10,10 — the optimum is t = 3
+    val df = (1 to 6).map(d =>
+        (Timestamp.valueOf(f"2024-01-$d%02d 12:00:00"),
+          if (d <= 3) 0.0 else 10.0))
+      .toDF("ts", "value")
+    val r = Temporal.changepointSse(df, "ts", "value").collect().head
+    assert(r.getAs[Long]("n_days") == 6L)
+    assert(r.getAs[java.sql.Date]("best_day").toString == "2024-01-03")
+    assert(r.getAs[Long]("n_left") == 3L && r.getAs[Long]("n_right") == 3L)
+    assert(r.getAs[Long]("mean_left_micro") == 0L)
+    assert(r.getAs[Long]("mean_right_micro") == 10000000L)
+    // SSE_total = Q − S²/n = 3e14 − 9e14/6 = 1.5e14 micro² = 150 units²
+    assert(r.getAs[Double]("sse_total") == 150.0)
+    assert(r.getAs[Double]("sse_split") == 0.0)
+    assert(r.getAs[Double]("var_reduction") == 1.0)
+    // constant series: every split has SSE 0 — tie-break lands on the
+    // FIRST day and the reduction ratio stays null (0/0 guard)
+    val const = (1 to 4).map(d =>
+        (Timestamp.valueOf(f"2024-01-$d%02d 12:00:00"), 5.0))
+      .toDF("ts", "value")
+    val c = Temporal.changepointSse(const, "ts", "value").collect().head
+    assert(c.getAs[java.sql.Date]("best_day").toString == "2024-01-01")
+    assert(c.getAs[Double]("sse_total") == 0.0 && c.isNullAt(8))
+  }
 }

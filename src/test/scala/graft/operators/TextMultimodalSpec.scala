@@ -893,4 +893,26 @@ class TextMultimodalSpec extends SparkSpec {
         l.map(_._2).sum, l.map { case (t, c) => sg(t) * c }.sum)) }
     assert(out == expected)
   }
+
+  test("rakeKeywords: hand degree/frequency scores, stopword-delimited " +
+      "phrases, repeat phrases collapse") {
+    import spark.implicits._
+    // tokens: good apple | of | good apple pie  (of = stopword)
+    // good: freq 2, degree 2+3=5 → 2_500_000; apple: same; pie: 3/1
+    val df = Seq((1L, "good apple of good apple pie")).toDF("doc_id", "text")
+    val out = TextOps.rakeKeywords(df, "doc_id", "text", 10).collect()
+    assert(out.length == 2)
+    assert(out(0).getString(0) == "good apple pie" &&
+      out(0).getAs[Long]("score_micro") == 8000000L &&
+      out(0).getAs[Long]("n_occurrences") == 1L)
+    assert(out(1).getString(0) == "good apple" &&
+      out(1).getAs[Long]("score_micro") == 5000000L)
+    // the same phrase across docs counts occurrences, keeps one score
+    val two = Seq((1L, "fast cars"), (2L, "fast cars"))
+      .toDF("doc_id", "text")
+    val o2 = TextOps.rakeKeywords(two, "doc_id", "text", 10).collect()
+    assert(o2.length == 1 && o2(0).getString(0) == "fast cars" &&
+      o2(0).getAs[Long]("n_occurrences") == 2L &&
+      o2(0).getAs[Long]("score_micro") == 4000000L)
+  }
 }
