@@ -136,6 +136,15 @@ object MicroGraph {
       }
       CacheScope.releaseAll()
 
+      // Link-prediction suite shares adamicAdar's wedge-join shape:
+      // Σ deg² candidate pairs, two degree joins, top-k — wall ~Σ deg².
+      val e9b = CacheScope.register(randomEdges(nEdges))
+      e9b.count()
+      time(s"linkPredictionSuite top-50 ${scale}x") {
+        operators.Graphs.linkPredictionSuite(e9b, "a", "b", 50).count()
+      }
+      CacheScope.releaseAll()
+
       // Bounded-horizon SSSP: one equi-join + min-aggregate per round,
       // rounds constant ⇒ wall ~E, jobs flat (localCheckpoint per round
       // adds a fixed job count independent of E).

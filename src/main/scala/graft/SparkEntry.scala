@@ -10019,6 +10019,376 @@ object SparkEntry {
           END AS ess_ratio
         FROM agg""")),
 
+    // Two-proportion z on per-user purchase conversion between hashed
+    // arms — the RATE test beside q214's value test; pooled-variance z,
+    // A&S tail p on the micro grid.
+    "q310_two_proportion" -> Q(
+      (s, dir) => Quality.conversionZTest(t(s, dir, "events"), "user_id",
+        "prop1", col("event_type") === "purchase"),
+      Some(s"""WITH units AS (SELECT user_id AS u,
+            CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS conv
+          FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        armed AS (SELECT
+            ${graft.functions.Hashing.h60Sql(
+              "'prop1:' || CAST(u AS VARCHAR)")} % 2 = 0 AS a, conv
+          FROM units),
+        g AS (SELECT
+            CAST(COUNT(*) FILTER (WHERE a) AS BIGINT) AS na,
+            CAST(SUM(CASE WHEN a THEN conv ELSE 0 END) AS BIGINT) AS ka,
+            CAST(COUNT(*) FILTER (WHERE NOT a) AS BIGINT) AS nb,
+            CAST(SUM(CASE WHEN NOT a THEN conv ELSE 0 END) AS BIGINT) AS kb
+          FROM armed),
+        w1 AS (SELECT na, ka, nb, kb,
+            CAST(ka AS DOUBLE) / CAST(na AS DOUBLE) AS p1,
+            CAST(kb AS DOUBLE) / CAST(nb AS DOUBLE) AS p2,
+            (CAST(ka AS DOUBLE) + CAST(kb AS DOUBLE))
+              / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) AS pp
+          FROM g),
+        w2 AS (SELECT na, ka, nb, kb, p1, p2,
+            sqrt(pp * (1.0 - pp)
+              * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE)))
+              AS se
+          FROM w1),
+        w3 AS (SELECT na, ka, nb, kb, se, (p1 - p2) / se AS z FROM w2)
+        SELECT na AS n_a, nb AS n_b, ka AS k_a, kb AS k_b,
+          CASE WHEN na > 0 AND nb > 0 AND se > 0 THEN z END AS z,
+          CASE WHEN na > 0 AND nb > 0 AND se > 0 THEN CAST(round(
+            2.0 * 0.3989422804014327 * EXP(-0.5 * abs(z) * abs(z))
+            * (((((1.330274429 * (1.0 / (1.0 + 0.2316419 * abs(z)))
+                + -1.821255978) * (1.0 / (1.0 + 0.2316419 * abs(z)))
+                + 1.781477937) * (1.0 / (1.0 + 0.2316419 * abs(z)))
+                + -0.356563782) * (1.0 / (1.0 + 0.2316419 * abs(z)))
+                + 0.319381530) * (1.0 / (1.0 + 0.2316419 * abs(z))))
+            * 1e6) AS BIGINT) END AS p_micro
+        FROM w3""")),
+
+    // Standardized-mean-difference covariate balance between the hashed
+    // order-key arms over the four lineitem measures — the broken-
+    // randomization audit in front of every lift readout.
+    "q311_covariate_balance" -> Q(
+      (s, dir) => Quality.covariateBalance(t(s, dir, "lineitem"),
+        "l_orderkey", "bal1",
+        Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")),
+      Some {
+        val covs = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+        val base = s"""base AS (SELECT
+            ${graft.functions.Hashing.h60Sql(
+              "'bal1:' || CAST(l_orderkey AS VARCHAR)")} % 2 = 0 AS a,
+            ${covs.map(c =>
+              s"CAST(round($c * 1e6) AS BIGINT) AS c_$c").mkString(", ")}
+          FROM lineitem WHERE l_orderkey IS NOT NULL)"""
+        val moms = covs.map(c => s"""m_$c AS (SELECT '$c' AS covariate,
+            CAST(COUNT(*) FILTER (WHERE a AND c_$c IS NOT NULL) AS BIGINT) AS na,
+            SUM(CASE WHEN a AND c_$c IS NOT NULL THEN CAST(c_$c AS HUGEINT) ELSE 0 END) AS sa,
+            SUM(CASE WHEN a AND c_$c IS NOT NULL THEN CAST(c_$c AS HUGEINT) * c_$c ELSE 0 END) AS qa,
+            CAST(COUNT(*) FILTER (WHERE NOT a AND c_$c IS NOT NULL) AS BIGINT) AS nb,
+            SUM(CASE WHEN NOT a AND c_$c IS NOT NULL THEN CAST(c_$c AS HUGEINT) ELSE 0 END) AS sb,
+            SUM(CASE WHEN NOT a AND c_$c IS NOT NULL THEN CAST(c_$c AS HUGEINT) * c_$c ELSE 0 END) AS qb
+          FROM base)""").mkString(",\n")
+        val un = covs.map(c => s"SELECT * FROM m_$c").mkString(" UNION ALL ")
+        s"""WITH $base,
+          $moms,
+          allm AS ($un),
+          d1 AS (SELECT covariate, na, nb,
+              CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 1e6 AS ma,
+              CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 1e6 AS mb,
+              (CAST(na AS DOUBLE) * CAST(qa AS DOUBLE)
+                - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0)) / 1e12
+                AS va,
+              (CAST(nb AS DOUBLE) * CAST(qb AS DOUBLE)
+                - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
+                / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0)) / 1e12
+                AS vb
+            FROM allm)
+          SELECT covariate, na AS n_a, nb AS n_b,
+            CASE WHEN na >= 1 THEN ma END AS mean_a,
+            CASE WHEN nb >= 1 THEN mb END AS mean_b,
+            CASE WHEN na >= 2 AND nb >= 2 AND va + vb > 0
+              THEN (ma - mb) / sqrt((va + vb) / 2.0) END AS smd,
+            CASE WHEN na >= 2 AND nb >= 2 AND va + vb > 0
+              THEN abs((ma - mb) / sqrt((va + vb) / 2.0)) <= 0.1 END
+              AS balanced
+          FROM d1 ORDER BY covariate"""
+      }),
+
+    // Bradley-Terry preference strengths over event types: per user,
+    // the type with the larger exact mean value wins the pairwise
+    // comparison (cross-multiplied integer sums — no division); three
+    // truncating-integer MM iterations, oracle-replayed CTE for CTE.
+    "q312_bradley_terry" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .filter(col("user_id").isNotNull && col("event_type").isNotNull &&
+            col("value").isNotNull)
+        val ut = ev.groupBy(col("user_id").as("u"),
+            col("event_type").as("t"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 1e6).cast("long")
+              .cast("decimal(38,0)")).cast("decimal(38,0)").as("sv"))
+        val pref = ut.as("x").join(ut.as("y"),
+            col("x.u") === col("y.u") && col("x.t") < col("y.t"))
+          .select(
+            when(col("x.sv") * col("y.n") > col("y.sv") * col("x.n"),
+              col("x.t"))
+              .when(col("y.sv") * col("x.n") > col("x.sv") * col("y.n"),
+                col("y.t")).as("winner"),
+            when(col("x.sv") * col("y.n") > col("y.sv") * col("x.n"),
+              col("y.t"))
+              .when(col("y.sv") * col("x.n") > col("x.sv") * col("y.n"),
+                col("x.t")).as("loser"))
+          .filter(col("winner").isNotNull)
+        val wins = pref.groupBy(col("winner").as("a"), col("loser").as("b"))
+          .agg(count(lit(1)).as("w"))
+        Analytics.bradleyTerry(wins, "a", "b", "w", iters = 3)
+      },
+      Some {
+        def iter(prev: Int, cur: Int): String =
+          s"""t$cur AS (SELECT pt.i,
+              CAST(SUM((nij * 1000000000000) // (si.s + sj.s)) AS BIGINT)
+                AS denom
+            FROM pt JOIN s$prev si ON si.i = pt.i
+            JOIN s$prev sj ON sj.i = pt.j GROUP BY 1),
+          r$cur AS (SELECT items.i,
+              CASE WHEN denom > 0 THEN (wins * 1000000000000) // denom
+                ELSE 1000000 END AS s
+            FROM items JOIN t$cur ON t$cur.i = items.i),
+          n$cur AS (SELECT SUM(s) AS stot FROM r$cur),
+          s$cur AS MATERIALIZED (SELECT i,
+              CAST((s * (SELECT k FROM kk) * 1000000)
+                // (SELECT stot FROM n$cur) AS BIGINT) AS s
+            FROM r$cur)"""
+        s"""WITH ut AS (SELECT user_id AS u, event_type AS t,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              SUM(CAST(round(value * 1e6) AS HUGEINT)) AS sv
+            FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+              AND value IS NOT NULL
+            GROUP BY 1, 2),
+          pref AS (SELECT
+              CASE WHEN x.sv * y.n > y.sv * x.n THEN x.t
+                WHEN y.sv * x.n > x.sv * y.n THEN y.t END AS winner,
+              CASE WHEN x.sv * y.n > y.sv * x.n THEN y.t
+                WHEN y.sv * x.n > x.sv * y.n THEN x.t END AS loser
+            FROM ut x JOIN ut y ON x.u = y.u AND x.t < y.t),
+          wins AS (SELECT winner AS i, loser AS j,
+              CAST(COUNT(*) AS BIGINT) AS w
+            FROM pref WHERE winner IS NOT NULL GROUP BY 1, 2),
+          games AS (SELECT i, j, CAST(SUM(w) AS BIGINT) AS wij
+            FROM (SELECT i, j, w FROM wins
+              UNION ALL SELECT j, i, 0 FROM wins)
+            GROUP BY 1, 2),
+          pt AS MATERIALIZED (SELECT x.i, x.j, x.wij,
+              x.wij + y.wij AS nij
+            FROM games x JOIN games y ON x.i = y.j AND x.j = y.i
+            WHERE x.wij + y.wij > 0),
+          items AS MATERIALIZED (SELECT i, CAST(SUM(wij) AS BIGINT) AS wins,
+              CAST(SUM(nij) AS BIGINT) AS games
+            FROM pt GROUP BY 1),
+          kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM items),
+          s0 AS (SELECT i, CAST(1000000 AS BIGINT) AS s FROM items),
+          ${iter(0, 1)},
+          ${iter(1, 2)},
+          ${iter(2, 3)}
+          SELECT items.i AS item, wins, games,
+            CAST(s3.s AS BIGINT) AS strength_micro
+          FROM items JOIN s3 ON s3.i = items.i
+          ORDER BY strength_micro DESC, item"""
+      }),
+
+    // Rich-club curve phi(k) over the co-purchase graph: do the hub
+    // parts wire to each other? All-integer level fan-out; one
+    // truncating micro division per degree tier.
+    "q313_rich_club" -> Q(
+      (s, dir) => {
+        val items = t(s, dir, "lineitem")
+          .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+          .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
+          .distinct()
+        val pairs = items.as("a").join(items.as("b"),
+            col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
+          .groupBy(col("a.it").as("pa"), col("b.it").as("pb"))
+          .agg(count(lit(1)).as("sup")).filter(col("sup") >= 2)
+        Graphs.richClub(pairs, "pa", "pb", 8)
+      },
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+            FROM lineitem
+            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+          prs AS MATERIALIZED (SELECT a.it AS id_a, b.it AS id_b
+            FROM items a JOIN items b ON a.bk = b.bk AND a.it < b.it
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+          deg AS MATERIALIZED (SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+            FROM (SELECT id_a AS n FROM prs
+              UNION ALL SELECT id_b FROM prs) GROUP BY 1),
+          ks AS (SELECT unnest(range(1, 9)) AS k),
+          nk AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_nodes
+            FROM deg CROSS JOIN ks WHERE d > k GROUP BY 1),
+          ek AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_edges
+            FROM prs
+            JOIN deg da ON da.n = prs.id_a
+            JOIN deg db ON db.n = prs.id_b
+            CROSS JOIN ks WHERE da.d > k AND db.d > k GROUP BY 1),
+          sel AS (SELECT ks.k,
+              COALESCE(nk.n_nodes, 0) AS n_nodes,
+              COALESCE(ek.n_edges, 0) AS n_edges
+            FROM ks LEFT JOIN nk ON nk.k = ks.k
+            LEFT JOIN ek ON ek.k = ks.k)
+          SELECT CAST(k AS BIGINT) AS k, CAST(n_nodes AS BIGINT) AS n_nodes,
+            CAST(n_edges AS BIGINT) AS n_edges,
+            CASE WHEN n_nodes >= 2 THEN
+              CAST((2 * n_edges * 1000000) // (n_nodes * (n_nodes - 1))
+                AS BIGINT) END AS phi_micro
+          FROM sel ORDER BY k""")),
+
+    // Delta-method CI for revenue-per-order over customers — the
+    // correct ratio-metric error bar (both numerator and denominator
+    // are random); exact cent-grid per-customer sums feed one pinned
+    // IEEE Taylor chain.
+    "q314_delta_ratio_ci" -> Q(
+      (s, dir) => {
+        val per = t(s, dir, "orders")
+          .filter(col("o_custkey").isNotNull && col("o_totalprice").isNotNull)
+          .groupBy("o_custkey")
+          .agg((sum(round(col("o_totalprice") * 100).cast("long"))
+              .cast("double") / lit(100.0)).as("rev"),
+            count(lit(1)).cast("double").as("n_orders"))
+        Quality.deltaMethodRatioCI(per, "rev", "n_orders")
+      },
+      Some("""WITH per AS (SELECT o_custkey,
+            CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+              / 100.0 AS rev,
+            CAST(COUNT(*) AS DOUBLE) AS n_orders
+          FROM orders
+          WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+          GROUP BY 1),
+        base AS (SELECT CAST(round(rev * 1e6) AS BIGINT) AS x,
+            CAST(round(n_orders * 1e6) AS BIGINT) AS y FROM per),
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+            SUM(CAST(x AS HUGEINT) * x) AS sxx,
+            SUM(CAST(y AS HUGEINT) * y) AS syy,
+            SUM(CAST(x AS HUGEINT) * y) AS sxy
+          FROM base),
+        d1 AS (SELECT n, sx, sy,
+            (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / 1e12 AS vx,
+            (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / 1e12 AS vy,
+            (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / 1e12 AS cxy,
+            CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 1e6 AS my,
+            CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) AS r
+          FROM m),
+        d2 AS (SELECT n, sx, sy, r,
+            (vx - 2.0 * r * cxy + r * r * vy)
+              / (CAST(n AS DOUBLE) * my * my) AS var_r
+          FROM d1),
+        d3 AS (SELECT n, sx, sy, r, var_r, sqrt(var_r) AS se FROM d2)
+        SELECT n, CAST(sx AS BIGINT) AS sum_x_micro,
+          CAST(sy AS BIGINT) AS sum_y_micro,
+          CASE WHEN sy <> 0 THEN r END AS ratio,
+          CASE WHEN n >= 2 AND sy <> 0 AND var_r >= 0 THEN se END AS se,
+          CASE WHEN n >= 2 AND sy <> 0 AND var_r >= 0
+            THEN r - 1.959964 * se END AS ci_lo,
+          CASE WHEN n >= 2 AND sy <> 0 AND var_r >= 0
+            THEN r + 1.959964 * se END AS ci_hi
+        FROM d3""")),
+
+    // Delete-one-bucket jackknife of the SAME ratio — the resampling
+    // cross-check of q314's first-order Taylor; 32 hashed customer
+    // buckets, pico-grid deviation contributions.
+    "q315_jackknife_ratio" -> Q(
+      (s, dir) => {
+        val per = t(s, dir, "orders")
+          .filter(col("o_custkey").isNotNull && col("o_totalprice").isNotNull)
+          .groupBy("o_custkey")
+          .agg((sum(round(col("o_totalprice") * 100).cast("long"))
+              .cast("double") / lit(100.0)).as("rev"),
+            count(lit(1)).cast("double").as("n_orders"))
+        Quality.jackknifeRatio(per, "o_custkey", "rev", "n_orders",
+          "jk1", 32)
+      },
+      Some(s"""WITH per AS (SELECT o_custkey,
+            CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+              / 100.0 AS rev,
+            CAST(COUNT(*) AS DOUBLE) AS n_orders
+          FROM orders
+          WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+          GROUP BY 1),
+        pb AS (SELECT
+            ${graft.functions.Hashing.h60Sql(
+              "'jk1:' || CAST(o_custkey AS VARCHAR)")} % 32 AS b,
+            CAST(COUNT(*) AS BIGINT) AS nb,
+            SUM(CAST(CAST(round(rev * 1e6) AS BIGINT) AS HUGEINT)) AS bx,
+            SUM(CAST(CAST(round(n_orders * 1e6) AS BIGINT) AS HUGEINT)) AS by
+          FROM per GROUP BY 1),
+        tot AS (SELECT CAST(SUM(nb) AS BIGINT) AS n,
+            CAST(COUNT(*) AS BIGINT) AS n_buckets,
+            SUM(bx) AS tx, SUM(by) AS ty FROM pb),
+        th AS (SELECT b,
+            CASE WHEN CAST(ty AS DOUBLE) - CAST(by AS DOUBLE) <> 0.0 THEN
+              (CAST(tx AS DOUBLE) - CAST(bx AS DOUBLE))
+                / (CAST(ty AS DOUBLE) - CAST(by AS DOUBLE)) END AS theta
+          FROM pb, tot),
+        bar AS (SELECT CAST(COUNT(theta) AS BIGINT) AS bcnt,
+            CAST(SUM(CAST(round(theta * 1e6) AS BIGINT)) AS BIGINT) AS tsum
+          FROM th),
+        dev AS (SELECT CAST(SUM(CASE WHEN theta IS NOT NULL THEN
+              CAST(round((theta - CAST(tsum AS DOUBLE)
+                  / CAST(bcnt AS DOUBLE) / 1e6) *
+                (theta - CAST(tsum AS DOUBLE)
+                  / CAST(bcnt AS DOUBLE) / 1e6) * 1e12) AS BIGINT)
+            END) AS BIGINT) AS d2sum
+          FROM th, bar)
+        SELECT n, n_buckets,
+          CASE WHEN ty <> 0 THEN CAST(tx AS DOUBLE) / CAST(ty AS DOUBLE)
+            END AS ratio,
+          CASE WHEN n_buckets >= 2 AND d2sum >= 0 THEN
+            sqrt((CAST(n_buckets AS DOUBLE) - 1.0)
+              / CAST(n_buckets AS DOUBLE)
+              * CAST(d2sum AS DOUBLE) / 1e12) END AS se_jack
+        FROM tot, dev""")),
+
+    // Salt planner: q170 diagnoses the supplier-key skew, this emits
+    // the per-key prescription (ceil(count/target) salts) q76's salted
+    // join consumes — all integer.
+    "q316_salt_planner" -> Q(
+      (s, dir) => Skew.saltPlanner(t(s, dir, "lineitem"), "l_suppkey",
+        targetPerKey = 500L, topK = 25),
+      Some("""WITH counts AS (SELECT CAST(l_suppkey AS VARCHAR) AS key,
+            CAST(COUNT(*) AS BIGINT) AS n_rows
+          FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS t FROM counts)
+        SELECT key, n_rows,
+          CAST((n_rows * 1000000) // t AS BIGINT) AS share_micro,
+          CAST((n_rows + 499) // 500 AS BIGINT) AS salts,
+          n_rows > 500 AS is_hot
+        FROM counts, tot ORDER BY n_rows DESC, key LIMIT 25""")),
+
+    // IVF recall-vs-nProbe operating curve: the oracle checks the
+    // structural contract — monotone recall in probe count and exact
+    // recovery at full probing (q31b's identity); the raw recalls are
+    // index-shaped.
+    "q317_ivf_recall_curve" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfRecallCurve(emb, emb.filter(col("vec_id") < 10),
+            "vec_id", "embedding", k = 5, nlist = 16,
+            probes = Seq(1, 2, 4, 8, 16))
+          .select(col("nprobe"), col("n_queries"), col("pairs"),
+            col("monotone_ok"), col("full_exact_ok"))
+      },
+      Some("""SELECT CAST(p AS BIGINT) AS nprobe,
+          CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 10)
+            AS BIGINT) AS n_queries,
+          CAST(5 * (SELECT COUNT(*) FROM embeddings WHERE vec_id < 10)
+            AS BIGINT) AS pairs,
+          true AS monotone_ok, true AS full_exact_ok
+        FROM (VALUES (1), (2), (4), (8), (16)) v(p) ORDER BY 1""")),
+
     // Growth accounting: the 1996-vs-1997 revenue waterfall by customer
     // lifecycle — new/expansion/contraction/churned contributions whose
     // cent-exact sum IS the year-over-year revenue delta.

@@ -704,4 +704,78 @@ object Analytics {
         col("global_mean_micro"), col("enc_micro"))
       .orderBy("category")
   }
+
+  /** BRADLEY-TERRY PREFERENCE STRENGTHS from a pairwise-win table —
+    * the model behind every preference-data pipeline (RLHF comparison
+    * sets, search interleaving, A/B taste tests): P(i beats j) =
+    * sᵢ/(sᵢ+sⱼ), fitted by `iters` unrolled Hunter-2004 MM updates
+    *
+    *   sᵢ ← Wᵢ / Σ_{j≠i} nᵢⱼ/(sᵢ+sⱼ),  then rescale to Σs = k·10⁶
+    *
+    * entirely on the truncating integer micro grid (each division a
+    * BIGINT `div`, the pageRank convention), so the fixed iterate is
+    * bit-replayable by the oracle — no float fixed-point drift.
+    *
+    * Input `wins`: directed rows (aCol, bCol, wCol) = "a beat b w
+    * times". Items with zero games have no likelihood contribution and
+    * are absent from the output.
+    *
+    * Scale shape: the games grid is |items|²-bounded (items are a
+    * dimension, not the fact table); each iteration is two joins + one
+    * aggregate over that bounded grid. The FACT-scale work — counting
+    * wins — happens upstream in the caller's aggregate. Output:
+    * (item, wins, games, strength_micro), strength-descending.
+    */
+  def bradleyTerry(wins: DataFrame, aCol: String, bCol: String,
+      wCol: String, iters: Int = 3): DataFrame = {
+    require(iters >= 1)
+    val dir = wins.filter(col(aCol).isNotNull && col(bCol).isNotNull &&
+        col(wCol).isNotNull && col(wCol) > 0)
+      .select(col(aCol).as("i"), col(bCol).as("j"),
+        col(wCol).cast("long").as("w"))
+    // symmetric games grid n_ij and per-item win totals
+    val games = graft.CacheScope.register(
+      dir.select(col("i"), col("j"), col("w"))
+        .unionAll(dir.select(col("j").as("i"), col("i").as("j"),
+          lit(0L).as("w")))
+        .groupBy("i", "j")
+        .agg(sum("w").cast("long").as("wij")))
+    val pairTotals = graft.CacheScope.register(
+      games.as("x").join(games.as("y"),
+          col("x.i") === col("y.j") && col("x.j") === col("y.i"))
+        .select(col("x.i").as("i"), col("x.j").as("j"),
+          col("x.wij").as("wij"),
+          (col("x.wij") + col("y.wij")).as("nij"))
+        .filter(col("nij") > 0))
+    val items = graft.CacheScope.register(
+      pairTotals.groupBy("i")
+        .agg(sum("wij").cast("long").as("wins"),
+          sum("nij").cast("long").as("games")))
+    val k = items.count()
+    var s = items.select(col("i"), lit(1000000L).as("s"))
+    var it = 0
+    while (it < iters) {
+      val terms = pairTotals
+        .join(s.select(col("i"), col("s").as("si")), "i")
+        .join(s.select(col("i").as("j"), col("s").as("sj")), "j")
+        .groupBy("i")
+        .agg(sum(expr("(nij * 1000000000000L) div (si + sj)"))
+          .cast("long").as("denom"))
+      val raw = items.join(terms, "i")
+        .select(col("i"),
+          when(col("denom") > 0,
+            expr("(wins * 1000000000000L) div denom")).otherwise(1000000L)
+            .as("s"))
+      val tot = raw.agg(sum("s").cast("long").as("stot"))
+      s = raw.crossJoin(broadcast(tot))
+        .select(col("i"),
+          expr(s"(s * ${k}L * 1000000L) div stot").as("s"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    items.join(s, "i")
+      .select(col("i").as("item"), col("wins"), col("games"),
+        col("s").as("strength_micro"))
+      .orderBy(desc("strength_micro"), col("item"))
+  }
 }

@@ -1435,4 +1435,54 @@ object Graphs {
         col("id_a"), col("id_b"))
       .limit(k)
   }
+
+  /** RICH-CLUB COEFFICIENT curve φ(k) = 2·E_k / (N_k·(N_k−1)) — do the
+    * high-degree nodes form their own densely-wired club (Zhou &
+    * Mondragón 2004)? The hub-interconnection audit that degree
+    * distribution (q190) and assortativity (q191/q266) summarize but
+    * cannot localize: assortativity is one global number; φ(k) shows AT
+    * WHICH degree tier the clubbing starts. All-integer — counts and
+    * one truncating micro division per level.
+    *
+    * Scale shape: one degree aggregate, one two-sided degree join onto
+    * the edge list, then a `maxK`-way fan-out of edges/nodes to their
+    * qualifying levels (maxK is a small constant — linear in E, never
+    * quadratic). Output per k ∈ [1, maxK]:
+    * (k, n_nodes, n_edges, phi_micro), phi null when N_k < 2.
+    */
+  def richClub(edges: DataFrame, aCol: String, bCol: String,
+      maxK: Int): DataFrame = {
+    require(maxK >= 1)
+    val canon = graft.CacheScope.register(
+      edges.select(
+          least(col(aCol).cast("long"), col(bCol).cast("long")).as("u"),
+          greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("v"))
+        .filter(col("u").isNotNull && col("v").isNotNull && col("u") < col("v"))
+        .distinct())
+    val deg = graft.CacheScope.register(
+      canon.select(col("u").as("n"), col("v").as("m"))
+        .unionAll(canon.select(col("v").as("n"), col("u").as("m")))
+        .groupBy("n").agg(count(lit(1)).as("d")))
+    val levels = (1 to maxK).map(_.toLong)
+    val nodesK = deg
+      .select(col("d"), explode(lit(levels.toArray)).as("k"))
+      .filter(col("d") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_nodes"))
+    val edgesK = canon
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(explode(lit(levels.toArray)).as("k"), col("du"), col("dv"))
+      .filter(col("du") > col("k") && col("dv") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_edges"))
+    val spine = canon.sparkSession.range(1, maxK + 1)
+      .select(col("id").as("k"))
+    spine.join(nodesK, Seq("k"), "left").join(edgesK, Seq("k"), "left")
+      .select(col("k"),
+        coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"))
+      .withColumn("phi_micro",
+        when(col("n_nodes") >= 2,
+          expr("(2L * n_edges * 1000000L) div (n_nodes * (n_nodes - 1L))")))
+      .orderBy("k")
+  }
 }

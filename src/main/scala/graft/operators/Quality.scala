@@ -2799,4 +2799,248 @@ object Quality {
           .as("significant"))
       .orderBy("segment")
   }
+
+  /** CONVERSION Z-TEST — the experiment-arm reading of the two-
+    * proportion z: units (users) are first COLLAPSED to one converted
+    * bit each (bool_or — repeat events must not multiply-count), then
+    * the hashed arms' rates are compared. [[twoProportionZ]] (q214)
+    * tests two NAMED populations row-level; this is the per-unit
+    * hashed-assignment funnel readout, with the A&S p emitted:
+    * pooled-variance z
+    * (p̂₁ − p̂₂)/√(p̂(1−p̂)(1/n₁ + 1/n₂)), two-sided p through the A&S
+    * 26.2.17 tail polynomial on the 10⁻⁶ grid (the bhFdr budget).
+    *
+    * Exactness: conversion is a per-unit boolean aggregate (bool_or),
+    * so every input to the IEEE chain is an exact BIGINT count.
+    *
+    * Scale shape: one shuffle to the unit grid (map-side combined),
+    * one 1-row conditional-count aggregate. Output ONE row:
+    * (n_a, n_b, k_a, k_b, z, p_micro).
+    */
+  def conversionZTest(df: DataFrame, unitCol: String, salt: String,
+      successCol: Column): DataFrame = {
+    def dbl(c: Column) = c.cast("double")
+    val units = df.filter(col(unitCol).isNotNull)
+      .groupBy(col(unitCol).as("u"))
+      .agg(max(when(successCol, 1L).otherwise(0L)).as("conv"))
+      .select(
+        (graft.functions.Hashing.h60(
+          concat(lit(s"$salt:"), col("u").cast("string"))) % 2 === 0)
+          .as("a"),
+        col("conv"))
+    val g = units.agg(
+      sum(when(col("a"), 1L).otherwise(0L)).as("na"),
+      sum(when(col("a"), col("conv")).otherwise(0L)).as("ka"),
+      sum(when(!col("a"), 1L).otherwise(0L)).as("nb"),
+      sum(when(!col("a"), col("conv")).otherwise(0L)).as("kb"))
+    val (na, ka, nb, kb) = (dbl(col("na")), dbl(col("ka")),
+      dbl(col("nb")), dbl(col("kb")))
+    val p1 = ka / na
+    val p2 = kb / nb
+    val pp = (ka + kb) / (na + nb)
+    val se = sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / na + lit(1.0) / nb))
+    val z = (p1 - p2) / se
+    val az = abs(z)
+    val kk = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val poly = ((((lit(1.330274429) * kk + lit(-1.821255978)) * kk
+      + lit(1.781477937)) * kk + lit(-0.356563782)) * kk
+      + lit(0.319381530)) * kk
+    val pTwo = lit(2.0) * lit(0.3989422804014327) *
+      exp(lit(-0.5) * az * az) * poly
+    val ok = col("na") > 0 && col("nb") > 0 && se > 0
+    g.select(col("na").cast("long").as("n_a"),
+      col("nb").cast("long").as("n_b"),
+      col("ka").cast("long").as("k_a"), col("kb").cast("long").as("k_b"),
+      when(ok, z).as("z"),
+      when(ok, round(pTwo * 1e6).cast("long")).as("p_micro"))
+  }
+
+  /** COVARIATE BALANCE AUDIT — the standardized mean difference
+    * SMD = (x̄₁ − x̄₂)/√((s₁² + s₂²)/2) per covariate between the hashed
+    * arms, with the |SMD| ≤ 0.1 verdict (the conventional imbalance
+    * threshold): the pre-experiment sanity check that the assignment
+    * hash did not correlate with anything — run BEFORE believing any
+    * lift readout (q245's CUPED adjusts variance; this catches a broken
+    * randomization outright).
+    *
+    * Exactness: ONE aggregate carries per-covariate conditional
+    * DECIMAL(38,0) micro moments for both arms; each SMD is a pinned
+    * IEEE sequence; the wide row unpivots through a constant `stack`.
+    *
+    * Scale shape: one map-side-combined aggregate pass regardless of
+    * covariate count; output |covariates| rows
+    * (covariate, n_a, n_b, mean_a, mean_b, smd, balanced), ordered.
+    */
+  def covariateBalance(df: DataFrame, unitCol: String, salt: String,
+      covariates: Seq[String]): DataFrame = {
+    require(covariates.nonEmpty)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def dbl(c: Column) = c.cast("double")
+    val arm = (graft.functions.Hashing.h60(
+      concat(lit(s"$salt:"), col(unitCol).cast("string"))) % 2 === 0)
+      .as("__a")
+    val base = df.filter(col(unitCol).isNotNull)
+      .select((arm +: covariates.map(c =>
+        round(col(c) * 1e6).cast("long").as(s"__$c"))): _*)
+    val aggs = covariates.flatMap { c =>
+      val v = col(s"__$c")
+      val ok = v.isNotNull
+      Seq(
+        sum(when(col("__a") && ok, 1L).otherwise(0L)).as(s"na_$c"),
+        sum(when(col("__a") && ok, dec(v)).otherwise(dec(lit(0L))))
+          .as(s"sa_$c"),
+        sum(when(col("__a") && ok, dec(v) * dec(v)).otherwise(dec(lit(0L))))
+          .as(s"qa_$c"),
+        sum(when(!col("__a") && ok, 1L).otherwise(0L)).as(s"nb_$c"),
+        sum(when(!col("__a") && ok, dec(v)).otherwise(dec(lit(0L))))
+          .as(s"sb_$c"),
+        sum(when(!col("__a") && ok, dec(v) * dec(v)).otherwise(dec(lit(0L))))
+          .as(s"qb_$c"))
+    }
+    val wide = base.agg(aggs.head, aggs.tail: _*)
+    val rows = covariates.map { c =>
+      def side(p: String) = {
+        val n = dbl(col(s"n${p}_$c"))
+        val s = dbl(col(s"s${p}_$c"))
+        val q = dbl(col(s"q${p}_$c"))
+        val mean = s / n / lit(1e6)
+        // unbiased variance in original units²
+        val v = (n * q - s * s) / (n * (n - lit(1.0))) / lit(1e12)
+        (n, mean, v)
+      }
+      val (na, ma, va) = side("a")
+      val (nb, mb, vb) = side("b")
+      val smd = (ma - mb) / sqrt((va + vb) / lit(2.0))
+      val ok = col(s"na_$c") >= 2 && col(s"nb_$c") >= 2 && (va + vb) > 0
+      struct(lit(c).as("covariate"),
+        col(s"na_$c").cast("long").as("n_a"),
+        col(s"nb_$c").cast("long").as("n_b"),
+        when(col(s"na_$c") >= 1, ma).as("mean_a"),
+        when(col(s"nb_$c") >= 1, mb).as("mean_b"),
+        when(ok, smd).as("smd"),
+        when(ok, abs(smd) <= lit(0.1)).as("balanced"))
+    }
+    wide.select(explode(array(rows: _*)).as("__r"))
+      .select(col("__r.*"))
+      .orderBy("covariate")
+  }
+
+  /** DELTA-METHOD CI for a RATIO METRIC R = ΣX/ΣY over i.i.d. units —
+    * the correct error bar for revenue-per-order, tokens-per-document,
+    * CTR: naive per-row variance is WRONG for a ratio of sums (the
+    * denominator is random too). First-order Taylor:
+    *
+    *   var̂(R) = (v_x − 2R·c_xy + R²·v_y) / (n·ȳ²)
+    *
+    * with sample (co)variances from ONE exact-DECIMAL moment pass on
+    * the 10⁻⁶ grid; R, se and the ±1.959964·se CI are a pinned IEEE
+    * chain over those exact integers.
+    *
+    * Scale shape: one map-side-combined aggregate; output ONE row
+    * (n, sum_x_micro, sum_y_micro, ratio, se, ci_lo, ci_hi).
+    */
+  def deltaMethodRatioCI(df: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def dbl(c: Column) = c.cast("double")
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(round(col(xCol) * 1e6).cast("long").as("x"),
+        round(col(yCol) * 1e6).cast("long").as("y"))
+    val m = base.agg(count(lit(1)).as("n"),
+      sum(dec(col("x"))).cast("decimal(38,0)").as("sx"),
+      sum(dec(col("y"))).cast("decimal(38,0)").as("sy"),
+      sum(dec(col("x")) * dec(col("x"))).cast("decimal(38,0)").as("sxx"),
+      sum(dec(col("y")) * dec(col("y"))).cast("decimal(38,0)").as("syy"),
+      sum(dec(col("x")) * dec(col("y"))).cast("decimal(38,0)").as("sxy"))
+    val nD = dbl(col("n"))
+    // sample (co)variances in original units², n−1 denominator
+    val vx = (nD * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))) /
+      (nD * (nD - lit(1.0))) / lit(1e12)
+    val vy = (nD * dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy"))) /
+      (nD * (nD - lit(1.0))) / lit(1e12)
+    val cxy = (nD * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))) /
+      (nD * (nD - lit(1.0))) / lit(1e12)
+    val my = dbl(col("sy")) / nD / lit(1e6)
+    val r = dbl(col("sx")) / dbl(col("sy"))
+    val varR = (vx - lit(2.0) * r * cxy + r * r * vy) / (nD * my * my)
+    val se = sqrt(varR)
+    val ok = col("n") >= 2 && col("sy") =!= 0 && varR >= 0
+    m.select(col("n"),
+      col("sx").cast("long").as("sum_x_micro"),
+      col("sy").cast("long").as("sum_y_micro"),
+      when(col("sy") =!= 0, r).as("ratio"),
+      when(ok, se).as("se"),
+      when(ok, r - lit(1.959964) * se).as("ci_lo"),
+      when(ok, r + lit(1.959964) * se).as("ci_hi"))
+  }
+
+  /** DELETE-ONE-BUCKET JACKKNIFE for the same ratio metric — the
+    * resampling cross-check of [[deltaMethodRatioCI]] (the delta method
+    * is a first-order approximation; the jackknife sees the actual
+    * nonlinearity): units land in `buckets` deterministic hash buckets,
+    * θ₍ᵢ₎ = (ΣX − Xᵢ)/(ΣY − Yᵢ) leaves one bucket out, and
+    *
+    *   var̂ = (B−1)/B · Σᵢ (θ₍ᵢ₎ − θ̄)²
+    *
+    * Per-bucket sums are exact DECIMAL integers; θ's are pinned IEEE;
+    * each squared deviation is rounded to the 10⁻¹² grid and summed as
+    * BIGINT (bucket-order-free — the chi2/PSI contribution scheme).
+    *
+    * Scale shape: one shuffle to the `buckets`-row grid (map-side
+    * combined), windows-free two-pass assembly over those B rows.
+    * Output ONE row: (n, n_buckets, ratio, se_jack).
+    */
+  def jackknifeRatio(df: DataFrame, unitCol: String, xCol: String,
+      yCol: String, salt: String, buckets: Int = 32): DataFrame = {
+    require(buckets >= 2)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def dbl(c: Column) = c.cast("double")
+    val perBucket = graft.CacheScope.register(
+      df.filter(col(unitCol).isNotNull && col(xCol).isNotNull &&
+          col(yCol).isNotNull)
+        .select(
+          pmod(graft.functions.Hashing.h60(
+            concat(lit(s"$salt:"), col(unitCol).cast("string"))),
+            lit(buckets.toLong)).as("b"),
+          round(col(xCol) * 1e6).cast("long").as("x"),
+          round(col(yCol) * 1e6).cast("long").as("y"))
+        .groupBy("b")
+        .agg(count(lit(1)).as("nb"),
+          sum(dec(col("x"))).cast("decimal(38,0)").as("bx"),
+          sum(dec(col("y"))).cast("decimal(38,0)").as("by")))
+    val tot = perBucket.agg(sum("nb").cast("long").as("n"),
+      count(lit(1)).cast("long").as("n_buckets"),
+      sum(col("bx")).cast("decimal(38,0)").as("tx"),
+      sum(col("by")).cast("decimal(38,0)").as("ty"))
+    // θ₍ᵢ₎ per bucket — pinned IEEE over exact integer sums
+    val thetas = graft.CacheScope.register(
+      perBucket.crossJoin(broadcast(tot))
+        .select(col("b"), col("n"), col("n_buckets"), col("tx"), col("ty"),
+          when(dbl(col("ty")) - dbl(col("by")) =!= 0.0,
+            (dbl(col("tx")) - dbl(col("bx"))) /
+              (dbl(col("ty")) - dbl(col("by")))).as("theta")))
+    // a bucket holding ALL of Y makes its leave-one-out ratio undefined
+    // — that bucket drops out of the jackknife sum (counted via bcnt)
+    val bar = thetas.agg(count(col("theta")).as("bcnt"),
+      sum(round(col("theta") * 1e6).cast("long")).cast("long").as("tsum"))
+    // θ̄ from micro-rounded thetas (order-free); deviations on the pico
+    // grid summed as BIGINT — bucket-order-independent
+    val dev = thetas.crossJoin(broadcast(bar))
+      .select(when(col("theta").isNotNull, round(
+        (col("theta") - col("tsum").cast("double") /
+          col("bcnt").cast("double") / lit(1e6)) *
+        (col("theta") - col("tsum").cast("double") /
+          col("bcnt").cast("double") / lit(1e6)) * 1e12).cast("long"))
+        .as("d2"))
+      .agg(sum("d2").cast("long").as("d2sum"))
+    val bD = col("n_buckets").cast("double")
+    val varJ = (bD - lit(1.0)) / bD *
+      col("d2sum").cast("double") / lit(1e12)
+    tot.crossJoin(broadcast(dev))
+      .select(col("n"), col("n_buckets"),
+        when(col("ty") =!= 0,
+          col("tx").cast("double") / col("ty").cast("double")).as("ratio"),
+        when(col("n_buckets") >= 2 && col("d2sum") >= 0, sqrt(varJ))
+          .as("se_jack"))
+  }
 }

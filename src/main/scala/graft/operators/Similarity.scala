@@ -1759,4 +1759,53 @@ object Similarity {
         (col("__hits") * 1000000L >= col("__pairs") * minRecallMicro)
           .as("recall_ok"))
   }
+
+  /** IVF RECALL-vs-nProbe OPERATING CURVE — the tuning artifact every
+    * ANN deployment reads before picking its probe budget: recall@k
+    * against the exact top-k at each probe count in `probes`. The
+    * oracle-checkable CONTRACT is structural, not the raw recalls
+    * (those are index-shaped): recall is monotonically non-decreasing
+    * in nProbe (a superset of cells can only add candidates — the
+    * curve's defining property), and full probing (nProbe = nlist)
+    * is EXACTLY the exact search, recall 10⁶ (q31b's identity).
+    *
+    * Scale shape: ONE exact top-k (the q24 bounded aggregation) shared
+    * across all probe levels; each level is one cell-restricted
+    * broadcast-probe join — |probes| passes over the corpus, each
+    * reading ~nProbe/nlist of it.
+    *
+    * Output per probe level: (nprobe, n_queries, hits, pairs,
+    * recall_micro, monotone_ok, full_exact_ok), ordered by nprobe.
+    */
+  def ivfRecallCurve(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int, probes: Seq[Int]): DataFrame = {
+    require(probes.nonEmpty && probes.forall(p => p >= 1 && p <= nlist))
+    val sorted = probes.distinct.sorted
+    val exact = graft.CacheScope.register(
+      knnExactAgg(corpus, queries, idCol, vecCol, k)
+        .select(col("query_id"), col("id")))
+    val totals = exact.agg(
+      countDistinct(col("query_id")).as("n_queries"),
+      count(lit(1)).as("pairs"))
+    val levels = sorted.map { np =>
+      val ivf = knnIvf(corpus, queries, idCol, vecCol, k, nlist, np)
+        .select(col("query_id"), col("id"))
+      exact.join(ivf, Seq("query_id", "id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(broadcast(totals))
+        .select(lit(np.toLong).as("nprobe"), col("n_queries"),
+          col("hits").cast("long").as("hits"),
+          col("pairs").cast("long").as("pairs"),
+          expr("(hits * 1000000L) div pairs").as("recall_micro"))
+    }
+    val curve = levels.reduce(_ unionAll _)
+    val w = Window.orderBy("nprobe") // |probes|-row curve only
+    curve
+      .withColumn("monotone_ok",
+        col("recall_micro") >=
+          coalesce(lag("recall_micro", 1).over(w), lit(0L)))
+      .withColumn("full_exact_ok",
+        col("nprobe") =!= nlist || col("recall_micro") === 1000000L)
+      .orderBy("nprobe")
+  }
 }

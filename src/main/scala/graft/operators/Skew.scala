@@ -47,4 +47,35 @@ object Skew {
       .agg(sum(col("__n")).as("n"),
         measures.keys.map(n => sum(col(s"__sum_$n")).as(n)).toSeq: _*)
   }
+
+  /** SALT PLANNER — turns q170's skew DIAGNOSIS into q76's skew
+    * PRESCRIPTION: per join/aggregation key, how many salts does this
+    * key need so no single task sees more than `targetPerKey` of its
+    * rows? salts = ceil(count/target) (exact integer arithmetic), 1 for
+    * keys already under the target. The emitted plan is what a 100 TB
+    * job feeds [[saltedJoin]]/[[saltedAggregate]] per-key instead of a
+    * one-size-fits-all salt count (over-salting the long tail multiplies
+    * the small side of a salted join for no benefit).
+    *
+    * Scale shape: one map-side-combined count aggregate to the key grid
+    * plus a 1-row total broadcast back; output the `topK` hottest keys
+    * (count desc, key) — the full grid never leaves the cluster.
+    * Returns (key, n_rows, share_micro, salts, is_hot).
+    */
+  def saltPlanner(df: DataFrame, keyCol: String, targetPerKey: Long,
+      topK: Int): DataFrame = {
+    require(targetPerKey >= 1 && topK >= 1)
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("n_rows"))
+    val tot = counts.agg(sum("n_rows").cast("long").as("__t"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("key"), col("n_rows"),
+        expr("(n_rows * 1000000L) div __t").as("share_micro"),
+        expr(s"(n_rows + ${targetPerKey}L - 1L) div ${targetPerKey}L")
+          .as("salts"),
+        (col("n_rows") > targetPerKey).as("is_hot"))
+      .orderBy(col("n_rows").desc, col("key"))
+      .limit(topK)
+  }
 }

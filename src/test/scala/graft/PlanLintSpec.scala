@@ -98,6 +98,10 @@ class PlanLintSpec extends SparkSpec {
     "q303_hll_intersection" -> "inequality pair join over the broadcast |groups|-row sketch aggregate (q134's shape)",
     "q304_ivf_pq" -> "knnExactAgg's broadcast bounded query set (q24's =!= shape) + crossJoin of the broadcast 1-row recall totals (q31's gate shape)",
     "q307_snapshot_retention" -> "crossJoin of two broadcast 1-row version-count aggregates (q262's shape)",
+    "q312_bradley_terry" -> "per-MM-iteration crossJoin against the broadcast 1-row strength-total normalizer over the |items|-row grid (q110/q163 shape)",
+    "q315_jackknife_ratio" -> "crossJoins of broadcast 1-row total/theta-bar/deviation aggregates over the 32-row bucket grid (q110/q163 shape)",
+    "q316_salt_planner" -> "crossJoin against the broadcast 1-row row-total aggregate (q110/q163 shape)",
+    "q317_ivf_recall_curve" -> "knnExactAgg's broadcast bounded query set per probe level + crossJoins of the broadcast 1-row recall totals (q31's gate shape)",
     "q308_sliding_distinct" -> "crossJoins against the broadcast 1-row max-day bound (q110/q163 shape)",
     "q309_ess" -> "crossJoin against the broadcast 1-row max-log-weight aggregate (q110/q163 shape)",
     "q299_changepoint" -> "crossJoin against the broadcast 1-row total-moment aggregate over the calendar day grid (q169's shape)")
@@ -146,7 +150,8 @@ class PlanLintSpec extends SparkSpec {
     "q289_forecast_mase" -> "lag windows over the calendar day grid (q263's calendar-bounded argument)",
     "q292_mad_outliers" -> "median cumulations over the DISTINCT-value and deviation count grids (q234's bounded-grid argument)",
     "q293_durbin_watson" -> "lag window over the calendar day grid (q169's calendar-bounded argument)",
-    "q299_changepoint" -> "prefix-sum and argmin-rank windows over the calendar day grid (q169's calendar-bounded argument)")
+    "q299_changepoint" -> "prefix-sum and argmin-rank windows over the calendar day grid (q169's calendar-bounded argument)",
+    "q317_ivf_recall_curve" -> "monotonicity lag window over the |probes|-row curve (5 rows by construction)")
 
   test("no query plans a global window over an unbounded relation") {
     import org.apache.spark.sql.execution.SparkPlan

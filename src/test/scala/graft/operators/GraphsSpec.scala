@@ -473,4 +473,19 @@ class GraphsSpec extends SparkSpec {
     assert(q24.getAs[Long]("deg_a") == 2L && q24.getAs[Long]("deg_b") == 1L &&
       q24.getAs[Long]("jaccard_micro") == 500000L)
   }
+
+  test("richClub: path graph — the two inner nodes form a complete " +
+      "k=1 club; higher tiers are empty") {
+    import spark.implicits._
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val out = Graphs.richClub(path, "a", "b", 2).collect()
+    assert(out.length == 2)
+    // k=1: nodes {2,3} (deg 2 > 1), their edge (2,3) exists → phi = 1
+    assert(out(0).getAs[Long]("k") == 1L &&
+      out(0).getAs[Long]("n_nodes") == 2L &&
+      out(0).getAs[Long]("n_edges") == 1L &&
+      out(0).getAs[Long]("phi_micro") == 1000000L)
+    // k=2: nobody exceeds degree 2 → empty tier, phi undefined
+    assert(out(1).getAs[Long]("n_nodes") == 0L && out(1).isNullAt(3))
+  }
 }

@@ -592,4 +592,28 @@ class MetricsSpec extends SparkSpec {
       .toMap
     assert(raw("a") == 1500000L && raw("b") == 4000000L)
   }
+
+  test("bradleyTerry: a dominance chain orders strengths; the " +
+      "normalized micro sum is conserved; an even split ties") {
+    import spark.implicits._
+    // A beats B 3-0, B beats C 3-0, A beats C 3-0
+    val wins = Seq(("A", "B", 3L), ("B", "C", 3L), ("A", "C", 3L))
+      .toDF("a", "b", "w")
+    val out = Analytics.bradleyTerry(wins, "a", "b", "w", iters = 3)
+      .collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("A", "B", "C"))
+    val s = out.map(r => r.getString(0) -> r.getAs[Long]("strength_micro"))
+      .toMap
+    assert(s("A") > s("B") && s("B") > s("C"))
+    assert(out.map(r => r.getAs[Long]("wins")).toSeq == Seq(6L, 3L, 0L))
+    assert(out.map(r => r.getAs[Long]("games")).toSeq == Seq(6L, 6L, 6L))
+    // rescale pins the total to k·1e6 (within k units of truncation)
+    val tot = s.values.sum
+    assert(tot <= 3000000L && tot >= 3000000L - 3L)
+    // a perfectly split rivalry converges to equal strengths
+    val even = Seq(("A", "B", 2L), ("B", "A", 2L)).toDF("a", "b", "w")
+    val e = Analytics.bradleyTerry(even, "a", "b", "w", iters = 3)
+      .collect().map(r => r.getAs[Long]("strength_micro")).toSeq
+    assert(e == Seq(1000000L, 1000000L))
+  }
 }

@@ -1370,4 +1370,117 @@ class QualitySpec extends SparkSpec {
     assert(d.getAs[Long]("max_logw_micro") == 20000000L)
     assert(d.getAs[Double]("ess") == 1.0)
   }
+
+  test("conversionZTest: full driver replay of counts, pooled z, and " +
+      "the A&S p on hashed-arm conversion") {
+    import spark.implicits._
+    val users = (1L to 80L).toSeq
+    def armA(u: Long): Boolean =
+      graft.functions.Hashing.h60Local(s"tp-spec:$u") % 2 == 0
+    // arm A converts when u % 2 == 0, arm B when u % 8 == 0 — a real gap
+    def conv(u: Long): Boolean =
+      if (armA(u)) u % 2 == 0 else u % 8 == 0
+    val rows = users.flatMap { u =>
+      Seq((u, "view", 1.0)) ++
+        (if (conv(u)) Seq((u, "purchase", 1.0)) else Nil)
+    }.toDF("user_id", "event_type", "v")
+    val r = Quality.conversionZTest(rows, "user_id", "tp-spec",
+      col("event_type") === "purchase").collect().head
+    val a = users.filter(armA)
+    val b = users.filterNot(armA)
+    val (na, nb) = (a.length.toDouble, b.length.toDouble)
+    val (ka, kb) = (a.count(conv).toDouble, b.count(conv).toDouble)
+    assert(r.getAs[Long]("n_a") == a.length.toLong &&
+      r.getAs[Long]("k_a") == a.count(conv).toLong)
+    val pp = (ka + kb) / (na + nb)
+    val se = math.sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb))
+    val z = (ka / na - kb / nb) / se
+    assert(r.getAs[Double]("z") == z)
+    val az = math.abs(z)
+    val kk = 1.0 / (1.0 + 0.2316419 * az)
+    val poly = ((((1.330274429 * kk + -1.821255978) * kk + 1.781477937) * kk
+      + -0.356563782) * kk + 0.319381530) * kk
+    val p = 2.0 * 0.3989422804014327 * math.exp(-0.5 * az * az) * poly
+    assert(r.getAs[Long]("p_micro") == math.round(p * 1e6))
+  }
+
+  test("covariateBalance: the planted arm-keyed shift flags imbalanced, " +
+      "the arm-independent covariate sits far below it, flags track smd") {
+    import spark.implicits._
+    def armA(u: Long): Boolean =
+      graft.functions.Hashing.h60Local(s"cb-spec:$u") % 2 == 0
+    val units = (1L to 2000L).toSeq
+    val rows = units.map { u =>
+      // cv_ok: same generator in both arms (only hash-sampling noise);
+      // cv_bad: 10 units higher in arm A against a ~2-unit sd
+      (u, (u % 7).toDouble, (u % 7).toDouble +
+        (if (armA(u)) 10.0 else 0.0))
+    }.toDF("u", "cv_ok", "cv_bad")
+    val out = Quality.covariateBalance(rows, "u", "cb-spec",
+      Seq("cv_bad", "cv_ok")).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("cv_bad", "cv_ok"))
+    val bad = out(0); val ok = out(1)
+    // the flag IS the |smd| <= 0.1 verdict, row for row
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("balanced") ==
+        (math.abs(r.getAs[Double]("smd")) <= 0.1))
+    }
+    // hash-only noise at n=2000 sits an order below the planted shift
+    assert(math.abs(ok.getAs[Double]("smd")) <
+      bad.getAs[Double]("smd") / 10.0)
+    assert(!bad.getAs[Boolean]("balanced"))
+    assert(bad.getAs[Double]("smd") > 3.0)
+  }
+
+  test("deltaMethodRatioCI: full replay of the Taylor chain on a hand " +
+      "fixture; constant denominator recovers the plain mean se") {
+    import spark.implicits._
+    val xs = Seq(10.0, 20.0, 30.0, 40.0)
+    val ys = Seq(1.0, 2.0, 3.0, 2.0)
+    val df = xs.zip(ys).toDF("x", "y")
+    val r = Quality.deltaMethodRatioCI(df, "x", "y").collect().head
+    // independent replay over the same exact micro moments
+    val (xm, ym) = (xs.map(v => math.round(v * 1e6)),
+      ys.map(v => math.round(v * 1e6)))
+    val n = 4.0
+    def s(v: Seq[Long]) = v.map(BigInt(_)).sum.toDouble
+    def q2(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).map { case (p, w) => BigInt(p) * BigInt(w) }.sum.toDouble
+    val vx = (n * q2(xm, xm) - s(xm) * s(xm)) / (n * (n - 1.0)) / 1e12
+    val vy = (n * q2(ym, ym) - s(ym) * s(ym)) / (n * (n - 1.0)) / 1e12
+    val cxy = (n * q2(xm, ym) - s(xm) * s(ym)) / (n * (n - 1.0)) / 1e12
+    val my = s(ym) / n / 1e6
+    val rr = s(xm) / s(ym)
+    val se = math.sqrt((vx - 2.0 * rr * cxy + rr * rr * vy) / (n * my * my))
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Double]("ratio") == rr)
+    assert(r.getAs[Double]("se") == se)
+    assert(r.getAs[Double]("ci_lo") == rr - 1.959964 * se)
+    // y ≡ 1: the ratio is the mean and se reduces to sqrt(vx/n)
+    val unit = xs.map((_, 1.0)).toDF("x", "y")
+    val u = Quality.deltaMethodRatioCI(unit, "x", "y").collect().head
+    assert(u.getAs[Double]("ratio") == xs.sum / 4.0)
+    assert(math.abs(u.getAs[Double]("se") -
+      math.sqrt(vx / 4.0)) < 1e-9)
+  }
+
+  test("jackknifeRatio: two-bucket hand case replays theta deviations; " +
+      "se agrees with the closed two-bucket form") {
+    import spark.implicits._
+    // find two unit ids landing in different hash buckets (B = 2)
+    def bkt(u: Long): Long = {
+      val h = graft.functions.Hashing.h60Local(s"jk-spec:$u")
+      ((h % 2) + 2) % 2
+    }
+    val u0 = (1L to 50L).find(bkt(_) == 0L).get
+    val u1 = (1L to 50L).find(bkt(_) == 1L).get
+    val df = Seq((u0, 10.0, 1.0), (u1, 30.0, 2.0)).toDF("u", "x", "y")
+    val r = Quality.jackknifeRatio(df, "u", "x", "y", "jk-spec", 2)
+      .collect().head
+    assert(r.getAs[Long]("n") == 2L && r.getAs[Long]("n_buckets") == 2L)
+    assert(r.getAs[Double]("ratio") == 40e6 / 3e6)
+    // θ₍₀₎ = 30/2 = 15, θ₍₁₎ = 10/1 = 10, θ̄ = 12.5 →
+    // var = (1/2)·(2·2.5²) = 6.25, se = 2.5
+    assert(r.getAs[Double]("se_jack") == 2.5)
+  }
 }

@@ -193,4 +193,20 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"unexpected shuffle join in decontamination plan:\n$plan")
   }
+
+  test("saltPlanner: ceil(count/target) salts, exact shares, hot flag, " +
+      "top-k by count") {
+    import spark.implicits._
+    // keys: a x 10, b x 4, c x 1 — target 4 → a needs 3 salts
+    val df = (Seq.fill(10)("a") ++ Seq.fill(4)("b") :+ "c").toDF("k")
+    val out = Skew.saltPlanner(df, "k", targetPerKey = 4L, topK = 2)
+      .collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("a", "b"))
+    val a = out(0)
+    assert(a.getAs[Long]("n_rows") == 10L)
+    assert(a.getAs[Long]("share_micro") == 10L * 1000000L / 15L)
+    assert(a.getAs[Long]("salts") == 3L && a.getAs[Boolean]("is_hot"))
+    val b = out(1)
+    assert(b.getAs[Long]("salts") == 1L && !b.getAs[Boolean]("is_hot"))
+  }
 }

@@ -585,4 +585,19 @@ class SimilaritySpec extends SparkSpec {
       nlist = 16, nProbe = 6).collect().head
     assert(part.getAs[Boolean]("recall_ok"))
   }
+
+  test("ivfRecallCurve: recall climbs monotonically with probes and " +
+      "full probing is exactly the exact search") {
+    val emb = graft.GraftSession.table(spark, "/root/testdata/sf0.01",
+      "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val out = Similarity.ivfRecallCurve(emb, queries, "vec_id",
+      "embedding", k = 5, nlist = 16, probes = Seq(1, 4, 16)).collect()
+    assert(out.map(_.getAs[Long]("nprobe")).toSeq == Seq(1L, 4L, 16L))
+    assert(out.forall(_.getAs[Boolean]("monotone_ok")))
+    assert(out.forall(_.getAs[Boolean]("full_exact_ok")))
+    val rec = out.map(_.getAs[Long]("recall_micro"))
+    assert(rec.sorted.toSeq == rec.toSeq) // truly non-decreasing
+    assert(rec.last == 1000000L)
+  }
 }
