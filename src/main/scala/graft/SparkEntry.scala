@@ -10389,6 +10389,84 @@ object SparkEntry {
           true AS monotone_ok, true AS full_exact_ok
         FROM (VALUES (1), (2), (4), (8), (16)) v(p) ORDER BY 1""")),
 
+    // Quantile treatment effects per decile between the hashed arms —
+    // exact ceil-rank quantiles per arm via iterative histogram
+    // selection (no global sort); the distributional readout mean
+    // tests cannot give.
+    "q318_qte" -> Q(
+      (s, dir) => Quality.quantileTreatmentEffects(t(s, dir, "events"),
+        "user_id", "value", "qte1"),
+      Some(s"""WITH base AS (SELECT
+            ${graft.functions.Hashing.h60Sql(
+              "'qte1:' || CAST(user_id AS VARCHAR)")} % 2 = 0 AS a,
+            CAST(round(value * 1e6) AS BIGINT) AS v
+          FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        ra AS (SELECT v, row_number() OVER (ORDER BY v) AS rn
+          FROM base WHERE a),
+        rb AS (SELECT v, row_number() OVER (ORDER BY v) AS rn
+          FROM base WHERE NOT a),
+        na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base WHERE a),
+        nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base WHERE NOT a),
+        ks AS (SELECT CAST(k AS BIGINT) AS decile,
+            greatest(1, (k * (SELECT n FROM na) + 9) // 10) AS ka,
+            greatest(1, (k * (SELECT n FROM nb) + 9) // 10) AS kb
+          FROM (VALUES (1), (2), (3), (4), (5), (6), (7), (8), (9)) t(k))
+        SELECT decile, (SELECT n FROM na) AS n_a, (SELECT n FROM nb) AS n_b,
+          CAST(ka AS BIGINT) AS rank_a, CAST(kb AS BIGINT) AS rank_b,
+          a.v AS q_a_micro, b.v AS q_b_micro,
+          CAST(a.v - b.v AS BIGINT) AS qte_micro
+        FROM ks JOIN ra a ON a.rn = ks.ka JOIN rb b ON b.rn = ks.kb
+        ORDER BY decile""")),
+
+    // Mutual-information feature ranking of the four lineitem measures
+    // against the return flag: fixed-width integer bins, the q163
+    // integer-product-log MI per feature, MI-descending.
+    "q319_mi_ranking" -> Q(
+      (s, dir) => Quality.miFeatureRanking(t(s, dir, "lineitem"),
+        col("l_returnflag") === "R",
+        Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"), 4),
+      Some {
+        def per(f: String) = s"""base_$f AS (SELECT
+              CAST(round($f * 1e6) AS BIGINT) AS v, l_returnflag = 'R' AS t
+            FROM lineitem
+            WHERE $f IS NOT NULL AND l_returnflag IS NOT NULL),
+          bb_$f AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM base_$f),
+          bn_$f AS (SELECT least(3, ((v - (SELECT mn FROM bb_$f)) * 4)
+              // ((SELECT mx FROM bb_$f) - (SELECT mn FROM bb_$f) + 1)) AS a,
+              t AS b
+            FROM base_$f),
+          nn_$f AS (SELECT COUNT(*) AS n FROM bn_$f),
+          lnn_$f AS (SELECT CAST(round(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT)
+              AS v FROM nn_$f),
+          j_$f AS (SELECT a, b, COUNT(*) AS nab FROM bn_$f GROUP BY 1, 2),
+          ma_$f AS (SELECT a, COUNT(*) AS na FROM bn_$f GROUP BY 1),
+          mb_$f AS (SELECT b, COUNT(*) AS nb FROM bn_$f GROUP BY 1),
+          mi_$f AS (SELECT CAST(SUM(nab *
+              ((CAST(round(ln(CAST(nab AS DOUBLE)) * 1e6) AS BIGINT)
+                + (SELECT v FROM lnn_$f))
+                - CAST(round(ln(CAST(na AS DOUBLE)) * 1e6) AS BIGINT)
+                - CAST(round(ln(CAST(nb AS DOUBLE)) * 1e6) AS BIGINT)))
+              AS BIGINT) AS mi_micro_sum
+            FROM j_$f JOIN ma_$f USING (a) JOIN mb_$f USING (b)),
+          ha_$f AS (SELECT CAST(SUM(na * ((SELECT v FROM lnn_$f)
+                - CAST(round(ln(CAST(na AS DOUBLE)) * 1e6) AS BIGINT)))
+              AS BIGINT) AS h_a FROM ma_$f),
+          hb_$f AS (SELECT CAST(SUM(nb * ((SELECT v FROM lnn_$f)
+                - CAST(round(ln(CAST(nb AS DOUBLE)) * 1e6) AS BIGINT)))
+              AS BIGINT) AS h_b FROM mb_$f),
+          sel_$f AS (SELECT '$f' AS feature,
+              CAST((SELECT n FROM nn_$f) AS BIGINT) AS n, mi_micro_sum,
+              CASE WHEN h_a > 0 AND h_b > 0 THEN
+                CAST(mi_micro_sum AS DOUBLE)
+                  / sqrt(CAST(h_a AS DOUBLE) * CAST(h_b AS DOUBLE))
+              END AS nmi
+            FROM mi_$f CROSS JOIN ha_$f CROSS JOIN hb_$f)"""
+        val fs = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+        s"""WITH ${fs.map(per).mkString(",\n")}
+          ${fs.map(f => s"SELECT * FROM sel_$f").mkString(" UNION ALL ")}
+          ORDER BY mi_micro_sum DESC, feature"""
+      }),
+
     // Growth accounting: the 1996-vs-1997 revenue waterfall by customer
     // lifecycle — new/expansion/contraction/churned contributions whose
     // cent-exact sum IS the year-over-year revenue delta.

@@ -3043,4 +3043,88 @@ object Quality {
         when(col("n_buckets") >= 2 && col("d2sum") >= 0, sqrt(varJ))
           .as("se_jack"))
   }
+
+  /** QUANTILE TREATMENT EFFECTS — the per-decile difference of the two
+    * hashed arms' EXACT value quantiles: the distributional readout a
+    * mean test cannot give (a launch can leave the mean flat while
+    * compressing the tails, or lift only the top decile). Quantile
+    * convention pinned to the ceil rank: rank_τ = max(1, ⌈τ·n⌉) =
+    * (k·n + 9) div 10 for decile k — the exact value both engines agree
+    * on by integer arithmetic; each arm's quantiles come from
+    * [[exactOrderStatistics]] (iterative histogram selection — exact
+    * WITHOUT a global sort, the q229 scale path).
+    *
+    * Scale shape: one arm-tagging pass, then two bounded-memory
+    * histogram-selection runs (a handful of ≤buckets-row aggregates
+    * each); the decile spine is a 9-row broadcast. Output per decile:
+    * (decile, n_a, n_b, rank_a, rank_b, q_a_micro, q_b_micro,
+    * qte_micro), ordered.
+    */
+  def quantileTreatmentEffects(df: DataFrame, unitCol: String,
+      valueCol: String, salt: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = graft.CacheScope.register(
+      df.filter(col(unitCol).isNotNull && col(valueCol).isNotNull)
+        .select(
+          (graft.functions.Hashing.h60(
+            concat(lit(s"$salt:"), col(unitCol).cast("string"))) % 2 === 0)
+            .as("a"),
+          round(col(valueCol) * 1e6).cast("long").as("v")))
+    val armA = graft.CacheScope.register(base.filter(col("a")).select("v"))
+    val armB = graft.CacheScope.register(base.filter(!col("a")).select("v"))
+    val na = armA.count()
+    val nb = armB.count()
+    require(na > 0 && nb > 0, "quantileTreatmentEffects: an arm is empty")
+    def rank(k: Int, n: Long): Long = math.max(1L, (k * n + 9) / 10)
+    val deciles = (1 to 9).map(k => (k.toLong, rank(k, na), rank(k, nb)))
+    val qa = exactOrderStatistics(armA, "v",
+      deciles.map(_._2).distinct)
+    val qb = exactOrderStatistics(armB, "v",
+      deciles.map(_._3).distinct)
+    val spine = deciles.toDF("decile", "rank_a", "rank_b")
+    spine
+      .join(qa.withColumnRenamed("rank_pos", "rank_a")
+        .withColumnRenamed("value_at", "q_a_micro"), "rank_a")
+      .join(qb.withColumnRenamed("rank_pos", "rank_b")
+        .withColumnRenamed("value_at", "q_b_micro"), "rank_b")
+      .select(col("decile"), lit(na).as("n_a"), lit(nb).as("n_b"),
+        col("rank_a"), col("rank_b"), col("q_a_micro"), col("q_b_micro"),
+        (col("q_a_micro") - col("q_b_micro")).as("qte_micro"))
+      .orderBy("decile")
+  }
+
+  /** MUTUAL-INFORMATION FEATURE RANKING — each candidate measure is
+    * binned into `bins` fixed-width buckets over its own exact range
+    * (the psiDrift bucket convention, pure integer arithmetic) and
+    * scored by [[mutualInformation]] against the target label; features
+    * come back ordered by the exact integer-micro MI sum. The standard
+    * filter-method feature selection for a training pipeline, built so
+    * the ranking is bit-reproducible (the per-cell integer-product logs
+    * make MI order-independent where a double accumulation is not).
+    *
+    * Scale shape: per feature, one bounds aggregate broadcast back and
+    * the three MI contingency aggregates — a fixed number of map-side-
+    * combined passes per feature, unioned into a |features|-row result.
+    * Output: (feature, n, mi_micro_sum, nmi), MI-descending.
+    */
+  def miFeatureRanking(df: DataFrame, targetCol: Column,
+      features: Seq[String], bins: Int = 4): DataFrame = {
+    require(features.nonEmpty && bins >= 2)
+    val scored = features.map { f =>
+      val v = round(col(f) * 1e6).cast("long")
+      val base = df.filter(col(f).isNotNull && targetCol.isNotNull)
+        .select(v.as("__v"), targetCol.as("__t"))
+      val bounds = base.agg(min("__v").as("mn"), max("__v").as("mx"))
+      val binned = base.crossJoin(broadcast(bounds))
+        .select(least(lit(bins - 1L),
+          expr(s"((__v - mn) * $bins) div (mx - mn + 1)")).as("__bin"),
+          col("__t"))
+      mutualInformation(binned, "__bin", "__t")
+        .select(lit(f).as("feature"), col("n"), col("mi_micro_sum"),
+          col("nmi"))
+    }
+    scored.reduce(_ unionAll _)
+      .orderBy(desc("mi_micro_sum"), col("feature"))
+  }
 }

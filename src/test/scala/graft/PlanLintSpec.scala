@@ -101,6 +101,7 @@ class PlanLintSpec extends SparkSpec {
     "q312_bradley_terry" -> "per-MM-iteration crossJoin against the broadcast 1-row strength-total normalizer over the |items|-row grid (q110/q163 shape)",
     "q315_jackknife_ratio" -> "crossJoins of broadcast 1-row total/theta-bar/deviation aggregates over the 32-row bucket grid (q110/q163 shape)",
     "q316_salt_planner" -> "crossJoin against the broadcast 1-row row-total aggregate (q110/q163 shape)",
+    "q319_mi_ranking" -> "per-feature crossJoins against the broadcast 1-row bin-bounds aggregate plus q163's three 1-row MI assembly aggregates",
     "q317_ivf_recall_curve" -> "knnExactAgg's broadcast bounded query set per probe level + crossJoins of the broadcast 1-row recall totals (q31's gate shape)",
     "q308_sliding_distinct" -> "crossJoins against the broadcast 1-row max-day bound (q110/q163 shape)",
     "q309_ess" -> "crossJoin against the broadcast 1-row max-log-weight aggregate (q110/q163 shape)",

@@ -1483,4 +1483,59 @@ class QualitySpec extends SparkSpec {
     // var = (1/2)·(2·2.5²) = 6.25, se = 2.5
     assert(r.getAs[Double]("se_jack") == 2.5)
   }
+
+  test("quantileTreatmentEffects: ceil-rank deciles of two hand arms; " +
+      "a constant offset shows as a flat QTE curve") {
+    import spark.implicits._
+    def armA(u: Long): Boolean =
+      graft.functions.Hashing.h60Local(s"qte-spec:$u") % 2 == 0
+    val units = (1L to 400L).toSeq
+    // arm A ~ Uniform{1..10}+5, arm B ~ Uniform{1..10}: QTE ≡ 5 at
+    // every decile once both arms see every value (u mod 10 cycles)
+    val rows = units.map { u =>
+      val v = (u % 10 + 1).toDouble
+      (u, if (armA(u)) v + 5.0 else v)
+    }.toDF("u", "v")
+    val out = Quality.quantileTreatmentEffects(rows, "u", "v", "qte-spec")
+      .collect()
+    assert(out.map(_.getAs[Long]("decile")).toSeq == (1L to 9L))
+    // independent replay: exact ceil-rank order statistics per arm
+    val a = units.filter(armA).map(u => (u % 10 + 1 + 5) * 1000000L).sorted
+    val b = units.filterNot(armA).map(u => (u % 10 + 1) * 1000000L).sorted
+    out.foreach { r =>
+      val k = r.getAs[Long]("decile").toInt
+      val ra = math.max(1L, (k * a.length + 9) / 10)
+      val rb = math.max(1L, (k * b.length + 9) / 10)
+      assert(r.getAs[Long]("rank_a") == ra)
+      assert(r.getAs[Long]("q_a_micro") == a((ra - 1).toInt))
+      assert(r.getAs[Long]("q_b_micro") == b((rb - 1).toInt))
+      assert(r.getAs[Long]("qte_micro") == a((ra - 1).toInt) - b((rb - 1).toInt))
+      // the planted +5 shift dominates every decile (hash-sampling can
+      // move a boundary by at most one 1-unit grid step)
+      assert(math.abs(r.getAs[Long]("qte_micro") - 5000000L) <= 1000000L)
+    }
+  }
+
+  test("miFeatureRanking: a perfectly predictive feature outranks an " +
+      "uninformative one; constant feature scores zero MI") {
+    import spark.implicits._
+    val rows = (1L to 80L).map { i =>
+      val t = i % 2 == 0
+      // f_pred mirrors the target; f_flat is constant (one bin, MI 0)
+      (if (t) 1.0 else 0.0, 3.0, t)
+    }.toDF("f_pred", "f_flat", "t")
+    val out = Quality.miFeatureRanking(rows, col("t"),
+      Seq("f_flat", "f_pred"), 4).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("f_pred", "f_flat"))
+    val pred = out(0); val flat = out(1)
+    assert(flat.getAs[Long]("mi_micro_sum") == 0L)
+    // perfect 2x2 diagonal, 40/40 split: each cell contributes
+    // 40·(ln40 + lnN − ln40 − ln40) micro; MI = entropy of either
+    // margin ⇒ nmi exactly 1 (h² < 2^53 so the sqrt is exact)
+    val lnNm = math.round(math.log(80.0) * 1e6)
+    val ln40m = math.round(math.log(40.0) * 1e6)
+    assert(pred.getAs[Long]("mi_micro_sum") ==
+      80L * (lnNm + ln40m - ln40m - ln40m))
+    assert(pred.getAs[Double]("nmi") == 1.0)
+  }
 }
