@@ -10389,6 +10389,128 @@ object SparkEntry {
           true AS monotone_ok, true AS full_exact_ok
         FROM (VALUES (1), (2), (4), (8), (16)) v(p) ORDER BY 1""")),
 
+    // Seasonal/trend strength — the two Hyndman FPP scalars that
+    // summarize q268's decomposition table: variance-explained of the
+    // seasonal and trend components over the exact-integer residuals.
+    "q320_seasonal_strength" -> Q(
+      (s, dir) => Temporal.seasonalStrength(t(s, dir, "events"),
+        "ts", "value", 7),
+      Some("""WITH obs AS (SELECT CAST(ts AS DATE) AS d,
+            CAST(SUM(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS s
+          FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+          GROUP BY 1),
+        mm AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM obs),
+        grid AS (SELECT gs.d, COALESCE(o.s, 0) AS s,
+            ((datediff('day', DATE '2024-01-01', gs.d) % 7) + 7) % 7 AS slot
+          FROM (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+              AS DATE) AS d FROM mm) gs
+          LEFT JOIN obs o ON o.d = gs.d),
+        tr AS (SELECT d, s, slot,
+            CASE WHEN COUNT(*) OVER w = 7
+              THEN CAST(SUM(s) OVER w AS BIGINT) // 7 END AS trend_micro
+          FROM grid
+          WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        sr AS (SELECT slot,
+            CAST(SUM(s - trend_micro) AS BIGINT) // COUNT(*) AS sea_raw
+          FROM tr WHERE trend_micro IS NOT NULL GROUP BY 1),
+        aj AS (SELECT CAST(SUM(sea_raw) AS BIGINT) // 7 AS sea_adj FROM sr),
+        se AS (SELECT slot,
+            sea_raw - (SELECT sea_adj FROM aj) AS seasonal_micro FROM sr),
+        comp AS (SELECT
+            s - trend_micro - seasonal_micro AS r,
+            seasonal_micro + (s - trend_micro - seasonal_micro) AS srr,
+            trend_micro + (s - trend_micro - seasonal_micro) AS trr
+          FROM tr LEFT JOIN se USING (slot)
+          WHERE trend_micro IS NOT NULL AND seasonal_micro IS NOT NULL),
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            SUM(CAST(r AS HUGEINT)) AS s_r,
+            SUM(CAST(r AS HUGEINT) * r) AS q_r,
+            SUM(CAST(srr AS HUGEINT)) AS s_sr,
+            SUM(CAST(srr AS HUGEINT) * srr) AS q_sr,
+            SUM(CAST(trr AS HUGEINT)) AS s_tr,
+            SUM(CAST(trr AS HUGEINT) * trr) AS q_tr
+          FROM comp),
+        vv AS (SELECT n,
+            (CAST(n AS DOUBLE) * CAST(q_r AS DOUBLE)
+              - CAST(s_r AS DOUBLE) * CAST(s_r AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1e12 AS vr,
+            (CAST(n AS DOUBLE) * CAST(q_sr AS DOUBLE)
+              - CAST(s_sr AS DOUBLE) * CAST(s_sr AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1e12 AS vsr,
+            (CAST(n AS DOUBLE) * CAST(q_tr AS DOUBLE)
+              - CAST(s_tr AS DOUBLE) * CAST(s_tr AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1e12 AS vtr
+          FROM m)
+        SELECT n, vr AS var_resid, vsr AS var_sea_resid,
+          vtr AS var_trend_resid,
+          CASE WHEN n >= 2 AND vsr > 0
+            THEN greatest(0.0, 1.0 - vr / vsr) END AS seasonal_strength,
+          CASE WHEN n >= 2 AND vtr > 0
+            THEN greatest(0.0, 1.0 - vr / vtr) END AS trend_strength
+        FROM vv""")),
+
+    // Holm-Bonferroni step-down on the same per-segment Welch p's as
+    // q271 — FWER control beside BH's FDR; the step-down chain is a
+    // running BIGINT max of p·(m−rank+1) against alpha.
+    "q321_holm" -> Q(
+      (s, dir) => Quality.holmBonferroni(t(s, dir, "events"), "event_type",
+        "user_id", "value", "holm1"),
+      Some(s"""WITH base AS (SELECT event_type AS seg,
+            ${graft.functions.Hashing.h60Sql(
+              "'holm1:' || CAST(user_id AS VARCHAR)")} % 2 = 0 AS a,
+            CAST(round(value * 1e6) AS BIGINT) AS v
+          FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+            AND value IS NOT NULL),
+        g AS (SELECT seg,
+            CAST(COUNT(*) FILTER (WHERE a) AS BIGINT) AS na,
+            SUM(CASE WHEN a THEN CAST(v AS HUGEINT) ELSE 0 END) AS sa,
+            SUM(CASE WHEN a THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS qa,
+            CAST(COUNT(*) FILTER (WHERE NOT a) AS BIGINT) AS nb,
+            SUM(CASE WHEN NOT a THEN CAST(v AS HUGEINT) ELSE 0 END) AS sb,
+            SUM(CASE WHEN NOT a THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS qb
+          FROM base GROUP BY 1),
+        w1 AS (SELECT seg, na, nb,
+            CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 1e6 AS ma,
+            CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 1e6 AS mb,
+            (CAST(na AS DOUBLE) * CAST(qa AS DOUBLE)
+              - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+              / (CAST(na AS DOUBLE) * CAST(na AS DOUBLE)) / 1e12 AS va,
+            (CAST(nb AS DOUBLE) * CAST(qb AS DOUBLE)
+              - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
+              / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE)) / 1e12 AS vb
+          FROM g),
+        w2 AS (SELECT seg, na, nb,
+            CASE WHEN na > 0 AND nb > 0 AND
+                SQRT(va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE)) > 0
+              THEN (ma - mb)
+                / SQRT(va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE))
+            END AS z
+          FROM w1),
+        w3 AS (SELECT seg, na, nb, z,
+            CASE WHEN z IS NOT NULL THEN CAST(round(
+              2.0 * 0.3989422804014327 * EXP(-0.5 * abs(z) * abs(z))
+              * (((((1.330274429 * (1.0 / (1.0 + 0.2316419 * abs(z)))
+                  + -1.821255978) * (1.0 / (1.0 + 0.2316419 * abs(z)))
+                  + 1.781477937) * (1.0 / (1.0 + 0.2316419 * abs(z)))
+                  + -0.356563782) * (1.0 / (1.0 + 0.2316419 * abs(z)))
+                  + 0.319381530) * (1.0 / (1.0 + 0.2316419 * abs(z))))
+              * 1e6) AS BIGINT) END AS p_micro
+          FROM w2),
+        mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM w3),
+        rk AS (SELECT seg, na, nb, z, p_micro,
+            CAST(row_number() OVER (ORDER BY p_micro ASC NULLS LAST, seg)
+              AS BIGINT) AS rank
+          FROM w3),
+        cr AS (SELECT rk.*, CASE WHEN p_micro IS NOT NULL
+            THEN p_micro * ((SELECT m FROM mm) - rank + 1)
+            ELSE 9223372036854775807 END AS crit
+          FROM rk)
+        SELECT seg AS segment, na AS n_a, nb AS n_b, z, p_micro, rank,
+          MAX(crit) OVER (ORDER BY rank
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 50000
+            AS significant
+        FROM cr ORDER BY rank""")),
+
     // Quantile treatment effects per decile between the hashed arms —
     // exact ceil-rank quantiles per arm via iterative histogram
     // selection (no global sort); the distributional readout mean

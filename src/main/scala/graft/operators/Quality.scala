@@ -1381,8 +1381,14 @@ object Quality {
     * Returns per segment: (segment, n_a, n_b, z, p_micro, rank,
     * significant), ordered by rank.
     */
-  def bhFdr(df: DataFrame, segmentCol: String, userCol: String,
-      valueCol: String, salt: String, alphaMicro: Long = 50000L): DataFrame = {
+  /** Shared per-segment Welch z + A&S two-sided p over the hashed arms
+    * — the scored stage both multiple-testing corrections ([[bhFdr]]
+    * step-up, [[holmBonferroni]] step-down) rank. Returns one row per
+    * segment: (seg, na, sa, qa, nb, sb, qb, z, p_micro), CacheScope-
+    * registered (both consumers read it twice).
+    */
+  private def welchPMicroBySegment(df: DataFrame, segmentCol: String,
+      userCol: String, valueCol: String, salt: String): DataFrame = {
     def dec(c: Column) = c.cast("decimal(38,0)")
     def dbl(c: Column) = c.cast("double")
     val base = df.filter(col(segmentCol).isNotNull &&
@@ -1419,10 +1425,16 @@ object Quality {
       + lit(1.781477937)) * kk + lit(-0.356563782)) * kk + lit(0.319381530)) * kk
     val pTwo = lit(2.0) * lit(0.3989422804014327) *
       exp(lit(-0.5) * az * az) * poly
-    val scored = graft.CacheScope.register(
+    graft.CacheScope.register(
       grid.withColumn("z", z)
         .withColumn("p_micro",
           when(col("z").isNotNull, round(pTwo * 1e6).cast("long"))))
+  }
+
+  def bhFdr(df: DataFrame, segmentCol: String, userCol: String,
+      valueCol: String, salt: String, alphaMicro: Long = 50000L): DataFrame = {
+    val scored = welchPMicroBySegment(df, segmentCol, userCol, valueCol,
+      salt)
     val m = scored.agg(count(lit(1)).as("m"))
     val ranked = scored.crossJoin(broadcast(m))
       .withColumn("rank", row_number().over(
@@ -1437,6 +1449,48 @@ object Quality {
         col("nb").cast("long").as("n_b"), col("z"), col("p_micro"),
         col("rank").cast("long").as("rank"),
         (col("rank") <= col("i_star")).as("significant"))
+      .orderBy("rank")
+  }
+
+  /** HOLM-BONFERRONI STEP-DOWN — the FWER companion to [[bhFdr]]'s FDR
+    * step-up on the SAME per-segment Welch p's: reject the i-th
+    * smallest p only while EVERY j ≤ i clears p_j ≤ α/(m−j+1). FWER
+    * control is the stricter contract a launch/no-launch decision
+    * wants (BH bounds the expected false fraction; Holm bounds the
+    * probability of ANY false rejection) — uniformly more powerful
+    * than plain Bonferroni at no extra assumption.
+    *
+    * Exact arithmetic: the step-down condition is the running MAX of
+    * p_micro·(m−rank+1) staying ≤ α_micro — pure BIGINT products over
+    * the ranked |segments|-row grid; a null p (degenerate segment)
+    * ranks last and breaks the chain from its position onward exactly
+    * as an over-α p does.
+    *
+    * Scale shape: [[welchPMicroBySegment]]'s one moment aggregate, one
+    * rank window + one running-max window over the bounded segment
+    * grid. Output per segment: (segment, n_a, n_b, z, p_micro, rank,
+    * significant), rank-ordered.
+    */
+  def holmBonferroni(df: DataFrame, segmentCol: String, userCol: String,
+      valueCol: String, salt: String,
+      alphaMicro: Long = 50000L): DataFrame = {
+    val scored = welchPMicroBySegment(df, segmentCol, userCol, valueCol,
+      salt)
+    val m = scored.agg(count(lit(1)).as("m"))
+    val wRank = Window.orderBy(col("p_micro").asc_nulls_last, col("seg"))
+    val wRun = Window.orderBy("rank")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored.crossJoin(broadcast(m))
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("__crit",
+        when(col("p_micro").isNotNull,
+          col("p_micro") * (col("m") - col("rank") + 1))
+          .otherwise(lit(Long.MaxValue)))
+      .withColumn("significant",
+        max(col("__crit")).over(wRun) <= alphaMicro)
+      .select(col("seg").as("segment"), col("na").cast("long").as("n_a"),
+        col("nb").cast("long").as("n_b"), col("z"), col("p_micro"),
+        col("rank").cast("long").as("rank"), col("significant"))
       .orderBy("rank")
   }
 

@@ -1341,4 +1341,50 @@ object Temporal {
       when(sseTotal > 0, lit(1.0) - col("sse_split") / sseTotal)
         .as("var_reduction"))
   }
+
+  /** SEASONAL AND TREND STRENGTH (Hyndman & Athanasopoulos, FPP):
+    * F_seasonal = max(0, 1 − Var(R)/Var(S+R)) and
+    * F_trend = max(0, 1 − Var(R)/Var(T+R)) over [[classicalDecompose]]'s
+    * exact-integer components — the two scalars that SUMMARIZE q268's
+    * per-day decomposition table ("is there seasonality worth modeling,
+    * and how strong?"), which is what a forecasting pipeline actually
+    * branches on. Rows with an undefined centered-MA trend (the
+    * half-period edges) are excluded — the classical convention.
+    *
+    * Exactness: each component is an integer micro value; population
+    * variances ride exact DECIMAL(38,0) moments from ONE aggregate;
+    * each strength is a pinned IEEE expression.
+    *
+    * Output ONE row: (n, var_resid, var_sea_resid, var_trend_resid,
+    * seasonal_strength, trend_strength).
+    */
+  def seasonalStrength(df: DataFrame, tsCol: String, valCol: String,
+      period: Int = 7): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def dbl(c: Column) = c.cast("double")
+    val base = classicalDecompose(df, tsCol, valCol, period)
+      .filter(col("residual_micro").isNotNull)
+      .select(col("residual_micro").as("r"),
+        (col("seasonal_micro") + col("residual_micro")).as("sr"),
+        (col("trend_micro") + col("residual_micro")).as("tr"))
+    val m = base.agg(count(lit(1)).as("n"),
+      sum(dec(col("r"))).cast("decimal(38,0)").as("s_r"),
+      sum(dec(col("r")) * dec(col("r"))).cast("decimal(38,0)").as("q_r"),
+      sum(dec(col("sr"))).cast("decimal(38,0)").as("s_sr"),
+      sum(dec(col("sr")) * dec(col("sr"))).cast("decimal(38,0)").as("q_sr"),
+      sum(dec(col("tr"))).cast("decimal(38,0)").as("s_tr"),
+      sum(dec(col("tr")) * dec(col("tr"))).cast("decimal(38,0)").as("q_tr"))
+    val nD = dbl(col("n"))
+    def popVar(s: Column, q: Column) =
+      (nD * dbl(q) - dbl(s) * dbl(s)) / (nD * nD) / lit(1e12)
+    val vr = popVar(col("s_r"), col("q_r"))
+    val vsr = popVar(col("s_sr"), col("q_sr"))
+    val vtr = popVar(col("s_tr"), col("q_tr"))
+    m.select(col("n"), vr.as("var_resid"), vsr.as("var_sea_resid"),
+      vtr.as("var_trend_resid"),
+      when(col("n") >= 2 && vsr > 0,
+        greatest(lit(0.0), lit(1.0) - vr / vsr)).as("seasonal_strength"),
+      when(col("n") >= 2 && vtr > 0,
+        greatest(lit(0.0), lit(1.0) - vr / vtr)).as("trend_strength"))
+  }
 }

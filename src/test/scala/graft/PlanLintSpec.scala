@@ -102,6 +102,8 @@ class PlanLintSpec extends SparkSpec {
     "q315_jackknife_ratio" -> "crossJoins of broadcast 1-row total/theta-bar/deviation aggregates over the 32-row bucket grid (q110/q163 shape)",
     "q316_salt_planner" -> "crossJoin against the broadcast 1-row row-total aggregate (q110/q163 shape)",
     "q319_mi_ranking" -> "per-feature crossJoins against the broadcast 1-row bin-bounds aggregate plus q163's three 1-row MI assembly aggregates",
+    "q320_seasonal_strength" -> "inherits q268's crossJoin against the broadcast 1-row seasonal-centering aggregate (calendar-grid relation)",
+    "q321_holm" -> "crossJoin against the broadcast 1-row m-count aggregate over the |segments|-row grid (q271's shape)",
     "q317_ivf_recall_curve" -> "knnExactAgg's broadcast bounded query set per probe level + crossJoins of the broadcast 1-row recall totals (q31's gate shape)",
     "q308_sliding_distinct" -> "crossJoins against the broadcast 1-row max-day bound (q110/q163 shape)",
     "q309_ess" -> "crossJoin against the broadcast 1-row max-log-weight aggregate (q110/q163 shape)",
@@ -152,7 +154,9 @@ class PlanLintSpec extends SparkSpec {
     "q292_mad_outliers" -> "median cumulations over the DISTINCT-value and deviation count grids (q234's bounded-grid argument)",
     "q293_durbin_watson" -> "lag window over the calendar day grid (q169's calendar-bounded argument)",
     "q299_changepoint" -> "prefix-sum and argmin-rank windows over the calendar day grid (q169's calendar-bounded argument)",
-    "q317_ivf_recall_curve" -> "monotonicity lag window over the |probes|-row curve (5 rows by construction)")
+    "q317_ivf_recall_curve" -> "monotonicity lag window over the |probes|-row curve (5 rows by construction)",
+    "q320_seasonal_strength" -> "q268's centered moving-average window over the calendar day grid (q169's calendar-bounded argument)",
+    "q321_holm" -> "rank + running-max windows over the |segments|-row test grid (q271's bounded argument)")
 
   test("no query plans a global window over an unbounded relation") {
     import org.apache.spark.sql.execution.SparkPlan

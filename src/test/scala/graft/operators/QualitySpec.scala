@@ -1538,4 +1538,36 @@ class QualitySpec extends SparkSpec {
       80L * (lnNm + ln40m - ln40m - ln40m))
     assert(pred.getAs[Double]("nmi") == 1.0)
   }
+
+  test("holmBonferroni: step-down rule replayed on the emitted p's; a " +
+      "degenerate segment ranks last and breaks nothing before it") {
+    import spark.implicits._
+    val users = (1L to 60L).toSeq
+    def armA(u: Long): Boolean =
+      graft.functions.Hashing.h60Local(s"holm-spec:$u") % 2 == 0
+    val rows = users.flatMap { u =>
+      Seq(
+        ("s1", u, (if (armA(u)) 10.0 else 30.0) + (u % 3).toDouble),
+        ("s2", u, (u % 5).toDouble), // arm-independent noise
+        ("s3", u, 7.0)) // constant: p undefined → ranks last
+    }.toDF("seg", "user_id", "v")
+    val out = Quality.holmBonferroni(rows, "seg", "user_id", "v",
+      "holm-spec").collect()
+    assert(out.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L))
+    // independent step-down replay on the emitted p's
+    val m = out.length.toLong
+    var chainOk = true
+    out.sortBy(_.getAs[Long]("rank")).foreach { r =>
+      val crit = Option(r.get(r.fieldIndex("p_micro")))
+        .map(_.asInstanceOf[Long] * (m - r.getAs[Long]("rank") + 1))
+      chainOk = chainOk && crit.exists(_ <= 50000L)
+      assert(r.getAs[Boolean]("significant") == chainOk)
+    }
+    // the planted s1 effect is decisive; the null-p s3 is last and
+    // never significant
+    val s1 = out.find(_.getString(0) == "s1").get
+    assert(s1.getAs[Long]("rank") == 1L && s1.getAs[Boolean]("significant"))
+    val s3 = out.find(_.getString(0) == "s3").get
+    assert(s3.getAs[Long]("rank") == 3L && !s3.getAs[Boolean]("significant"))
+  }
 }

@@ -723,4 +723,29 @@ class TemporalSpec extends SparkSpec {
     assert(c.getAs[java.sql.Date]("best_day").toString == "2024-01-01")
     assert(c.getAs[Double]("sse_total") == 0.0 && c.isNullAt(8))
   }
+
+  test("seasonalStrength: a pure periodic signal scores exactly 1; a " +
+      "constant series nulls both strengths") {
+    import spark.implicits._
+    // the classicalDecompose pure period-3 fixture: residual ≡ 0 on
+    // the interior → Var(R) = 0 → both strengths exactly 1
+    val vals = Seq(10.0, 20.0, 30.0, 10.0, 20.0, 30.0, 10.0, 20.0, 30.0)
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      (ts(f"2024-01-${i + 1}%02d 09:00:00"), v)
+    }.toDF("t", "v")
+    val r = Temporal.seasonalStrength(df, "t", "v", period = 3)
+      .collect().head
+    assert(r.getAs[Long]("n") == 7L) // 9 days minus the two MA edges
+    assert(r.getAs[Double]("var_resid") == 0.0)
+    assert(r.getAs[Double]("seasonal_strength") == 1.0)
+    // the fixture's trend is CONSTANT (20 everywhere) → Var(T+R) = 0 →
+    // trend strength undefined, not 1
+    assert(r.isNullAt(5))
+    // constant series: every component variance is 0 → strengths null
+    val const = (1 to 9).map(d =>
+        (ts(f"2024-01-$d%02d 09:00:00"), 5.0)).toDF("t", "v")
+    val c = Temporal.seasonalStrength(const, "t", "v", period = 3)
+      .collect().head
+    assert(c.isNullAt(4) && c.isNullAt(5))
+  }
 }
