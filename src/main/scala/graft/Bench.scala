@@ -157,6 +157,48 @@ object Bench {
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
   }
 
+  /** CPU-pressure counters the loadavg fingerprint is blind to (round-9
+    * verdict #1: four consecutive round-close runs read 1.2–1.5× over
+    * the clean snapshot with `other_jvms 0` — load1 cannot distinguish
+    * self-load from co-tenancy, and cgroup throttling / hypervisor CPU
+    * steal are invisible to it entirely). Returns cumulative counters
+    * (steal jiffies from /proc/stat; nr_throttled + throttled_usec from
+    * the cgroup-v2 cpu.stat, v1 fallback); callers diff two samples to
+    * bracket a chunk. -1 per field when the file is unreadable.
+    */
+  private[graft] def cpuPressure(): (Long, Long, Long) = {
+    val steal =
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try src.getLines().find(_.startsWith("cpu "))
+          .map(_.trim.split("\\s+"))
+          // cpu user nice system idle iowait irq softirq steal ...
+          .filter(_.length > 8).map(_.apply(8).toLong).getOrElse(-1L)
+        finally src.close()
+      } catch { case _: Exception => -1L }
+    def cg(path: String): Option[Map[String, Long]] =
+      try {
+        val src = scala.io.Source.fromFile(path)
+        try Some(src.getLines().map(_.split("\\s+")).collect {
+          case Array(k, v) => k -> v.toLong }.toMap)
+        finally src.close()
+      } catch { case _: Exception => None }
+    val stat = cg("/sys/fs/cgroup/cpu.stat")
+      .orElse(cg("/sys/fs/cgroup/cpu/cpu.stat")).getOrElse(Map.empty)
+    // v2 reports throttled_usec; v1 reports throttled_time in NANOseconds
+    val thrUs = stat.get("throttled_usec")
+      .orElse(stat.get("throttled_time").map(_ / 1000L)).getOrElse(-1L)
+    (steal, stat.getOrElse("nr_throttled", -1L), thrUs)
+  }
+
+  /** Per-query medians from the most recent full-suite history line at
+    * this SF, for the over-band comparison (same tolerant scan as
+    * historyCosts, which deliberately reads the LAST line — i.e. the
+    * previous run, since the current run appends only at exit).
+    */
+  private def previousMedians(sfDir: String): Map[String, Double] =
+    historyCosts(sfDir = Some(sfDir))
+
   /** Machine/load fingerprint (round-7 verdict #3: the driver's
     * round-close BENCH artifacts were twice contaminated by concurrent
     * load the numbers couldn't reveal). Records 1-minute loadavg, core
@@ -223,7 +265,8 @@ object Bench {
     * or None if the fork failed (caller falls back to in-process).
     */
   private def runChunkForked(chunkNames: Seq[String],
-      outFile: java.nio.file.Path): Option[Seq[(String, Seq[Double])]] = {
+      outFile: java.nio.file.Path,
+      repsOverride: Option[Int] = None): Option[Seq[(String, Seq[Double])]] = {
     import scala.jdk.CollectionConverters._
     val javaBin = java.nio.file.Paths.get(
       System.getProperty("java.home"), "bin", "java").toString
@@ -239,6 +282,8 @@ object Bench {
     pb.environment().put("SPARK_GRAFT_BENCH_CHILD", "1")
     pb.environment().put("SPARK_GRAFT_BENCH_ONLY", chunkNames.mkString(","))
     pb.environment().put("SPARK_GRAFT_BENCH_OUT", outFile.toString)
+    repsOverride.foreach(r =>
+      pb.environment().put("SPARK_GRAFT_BENCH_REPS", r.toString))
     pb.redirectErrorStream(false)
     // the driver tail-parses THIS process's stdout for the one JSON line —
     // a child's stdout (its own chunk line + any Spark chatter) must not
@@ -298,30 +343,105 @@ object Bench {
     // the chunk composition went bad, instead of one pre-run snapshot)
     def load1(): Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    val tmpDir =
+      if (isChild || chunk <= 0) None
+      else Some(java.nio.file.Files.createTempDirectory("graft-bench"))
     val results: Seq[(String, Seq[Double])] =
       if (isChild || chunk <= 0) measureInProcess(names, sfDir, cpus, reps)
       else {
-        val tmpDir = java.nio.file.Files.createTempDirectory("graft-bench")
         val chunks = packChunks(names, chunk, historyCosts(sfDir = Some(sfDir)))
         chunks.zipWithIndex.foreach { case (cn, i) =>
           System.err.println(s"[bench] chunk $i: ${cn.mkString(",")}")
         }
         chunks.zipWithIndex.flatMap { case (cn, i) =>
           val l0 = load1()
+          val (st0, tn0, tu0) = cpuPressure()
           val t0 = System.nanoTime()
-          val r = runChunkForked(cn, tmpDir.resolve(s"chunk$i.json"))
+          val r = runChunkForked(cn, tmpDir.get.resolve(s"chunk$i.json"))
             .getOrElse { fallback ++= cn; measureInProcess(cn, sfDir, cpus, reps) }
           val wall = (System.nanoTime() - t0) / 1e9
+          val (st1, tn1, tu1) = cpuPressure()
+          // steal/throttle DELTAS across the chunk — the two pressure
+          // sources load1 cannot see (r9 verdict #1): steal_j in jiffies
+          // (10 ms each; compare to wall·cores·100 for a smear fraction),
+          // thr_n/thr_us from the cgroup CFS throttler. -1 = unreadable.
+          def d(a: Long, b: Long) = if (a < 0 || b < 0) -1L else b - a
           chunksMeta += f"""{"i":$i,"n":${cn.size},"wall":$wall%.1f,""" +
             f""""load1_start":$l0%.2f,"load1_end":${load1()}%.2f,""" +
-            s""""first":"${cn.head}"}"""
+            s""""steal_j":${d(st0, st1)},"thr_n":${d(tn0, tn1)},""" +
+            s""""thr_us":${d(tu0, tu1)},"first":"${cn.head}"}"""
           r
         }.sortBy(_._1)
       }
 
+    // SELF-ADJUDICATION (r9 verdict #1): if this full-suite total lands
+    // >1.25x over the previous full-suite run at the same SF (the
+    // shared-query comparison — new queries don't count as regression),
+    // automatically re-measure the top movers isolated (jvm-per-1,
+    // 5 reps) and embed those medians in the SAME artifact, so an
+    // over-band close run carries its own triage instead of needing a
+    // human to re-run the box.
+    var isolated: Seq[(String, Double)] = Nil
+    var ratioVsPrev = -1.0
+    if (!isChild && chunk > 0 && only.isEmpty) {
+      val prev = previousMedians(sfDir)
+      val cur = results.map { case (k, v) => k -> median(v) }.toMap
+      val shared = prev.keySet.intersect(cur.keySet)
+      val prevSum = shared.toSeq.map(prev).sum
+      val curSum = shared.toSeq.map(cur).sum
+      if (shared.nonEmpty && prevSum > 0) {
+        ratioVsPrev = curSum / prevSum
+        if (ratioVsPrev > 1.25) {
+          val movers = shared.toSeq
+            .sortBy(n => -(cur(n) - prev(n))).take(10)
+            .filter(n => cur(n) > prev(n))
+          System.err.println(f"[bench] total $ratioVsPrev%.2fx over previous" +
+            s" run — re-measuring isolated: ${movers.mkString(",")}")
+          isolated = movers.flatMap { n =>
+            runChunkForked(Seq(n), tmpDir.get.resolve(s"iso_$n.json"),
+                repsOverride = Some(5))
+              .map(r => n -> median(r.head._2))
+          }
+        }
+      }
+    }
+    val isoPart = if (isolated.isEmpty) ""
+      else isolated.map { case (k, v) => f""""$k":$v%.2f""" }
+        .mkString(""","isolated_5rep":{""", ",", "}")
+    val ratioPart = if (ratioVsPrev < 0) ""
+      else f""","ratio_vs_prev":$ratioVsPrev%.3f"""
+
     val line = toJsonLine(results, sfDir, reps, if (isChild) 0 else chunk,
-      fallback.result(), env, chunksMeta.result())
+      fallback.result(), env, chunksMeta.result()) match {
+      case l if isoPart.nonEmpty || ratioPart.nonEmpty =>
+        l.stripSuffix("}") + ratioPart + isoPart + "}"
+      case l => l
+    }
     println(line)
+    // COMPACT SUMMARY as the FINAL stdout line: the driver's BENCH_r{N}
+    // artifact preserves only the last ~2000 chars of stdout and tries
+    // to parse a JSON line out of it — the full line above has never fit
+    // (r1–r9 all carry `parsed: null`), which left the official artifact
+    // without totals. This line is ≤ ~1.9 KB by construction (totals,
+    // env, pressure deltas, band verdict, top-10 slowest, isolated
+    // re-measures) so the artifact finally stands alone; full per-query
+    // data stays in bench_full.json + bench_history.jsonl.
+    if (!isChild) {
+      val meds = results.map { case (k, v) => k -> median(v) }
+      val total = meds.map(_._2).sum
+      val slow = meds.sortBy(-_._2).take(10)
+        .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
+      val (stN, tnN, tuN) = cpuPressure()
+      val summary =
+        f"""{"metric":"total","value":$total%.1f,"unit":"sec",""" +
+        s""""n_queries":${meds.size},"sf":"$sfDir","reps":$reps,""" +
+        s""""isolation":"jvm-per-$chunk","stat":"median"""" +
+        ratioPart + isoPart +
+        s""","slowest":$slow,"cum_steal_j":$stN,"cum_thr_us":$tuN,""" +
+        s""""cum_thr_n":$tnN""" + env.map("," + _).getOrElse("") +
+        s""","detail":"bench_full.json"}"""
+      println(summary)
+    }
     // The driver's BENCH_r{N}.json preserves only a truncated tail of this
     // stdout line (~q42 onward), which blinds round-over-round comparison
     // for q01–q41 — so ALSO persist the full per-query map to a file the

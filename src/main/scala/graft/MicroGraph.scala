@@ -129,6 +129,31 @@ object MicroGraph {
       }
       CacheScope.releaseAll()
 
+      // Degree-capped wedge pass (r9 verdict #3) on a SKEWED graph —
+      // the uniform generator's max degree is ~46 at both scales (Σdeg²
+      // scales exactly 10.0x, so a cap never binds there); the knob's
+      // target is the widening hub tail. Quadratic inverse-CDF endpoint:
+      // hub degree ~ E/√n grows with scale at constant avg degree, so
+      // UNCAPPED wedge volume grows superlinearly in E while cap=64
+      // bounds it at E·cap — the wall ratios demonstrate the contract.
+      def skewedEdges(nE: Long): DataFrame = {
+        val nNodes = math.max(nE / 8, 2L)
+        spark.range(nE).select(
+          pmod(xxhash64(col("id")), lit(nNodes)).as("a"),
+          (pow(pmod(xxhash64(col("id") * 2 + 1), lit(1000000L))
+              .cast("double") / lit(1e6), 2.0) * lit(nNodes.toDouble))
+            .cast("long").as("b"))
+      }
+      val e8c = CacheScope.register(skewedEdges(nEdges))
+      time(s"materialize skewed edges ${scale}x")(e8c.count())
+      time(s"adamicAdar top-50 SKEWED uncapped ${scale}x") {
+        operators.Graphs.adamicAdar(e8c, "a", "b", 50).count()
+      }
+      time(s"adamicAdar top-50 SKEWED cap=64 ${scale}x") {
+        operators.Graphs.adamicAdar(e8c, "a", "b", 50, degreeCap = 64).count()
+      }
+      CacheScope.releaseAll()
+
       val e9 = CacheScope.register(randomEdges(nEdges))
       e9.count()
       time(s"assortativity ${scale}x") {
@@ -144,6 +169,7 @@ object MicroGraph {
         operators.Graphs.linkPredictionSuite(e9b, "a", "b", 50).count()
       }
       CacheScope.releaseAll()
+
 
       // Bounded-horizon SSSP: one equi-join + min-aggregate per round,
       // rounds constant ⇒ wall ~E, jobs flat (localCheckpoint per round

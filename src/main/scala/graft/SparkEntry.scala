@@ -99,6 +99,41 @@ object SparkEntry {
       ORDER BY id_a, id_b"""
   }
 
+  /** DuckDB replay of [[q322]]'s persisted-index PROBE: the q25b banded
+    * construction restricted to cross-batch candidates (indexed even ids
+    * × probed odd ids) — band keys, candidate distinct, and the exact
+    * cosine confirm all replay bit-for-bit, so the gate checks the
+    * index/probe split itself, not just "some pairs came out".
+    */
+  private def embIndexProbeOracleSql(minCos: Double, planesPerBand: Int,
+      bands: Int, dim: Int): String = {
+    val nPlanes = bands * planesPerBand
+    def qdotSql(a: String, b: String): String =
+      s"list_aggregate(list_transform(range(1, ${dim + 1}), i -> $a[i] * $b[i]), 'sum')"
+    s"""WITH v AS (SELECT vec_id AS id,
+          list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1e7)) AS qv
+        FROM embeddings),
+      pd AS (SELECT CAST(p AS INTEGER) AS p,
+          list(CAST(CAST('0x' || substr(md5('plane:' || p || ':' || d), 1, 15) AS BIGINT)
+               % 1000000 - 500000 AS DOUBLE) ORDER BY d) AS plane
+        FROM range($nPlanes) t1(p) CROSS JOIN range($dim) t2(d) GROUP BY p),
+      dots AS (SELECT v.id, pd.p, ${qdotSql("v.qv", "pd.plane")} AS dot
+        FROM v CROSS JOIN pd),
+      keys AS (SELECT id, p // $planesPerBand AS band,
+          SUM(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << (p % $planesPerBand) ELSE 0 END) AS bkt
+        FROM dots GROUP BY id, band),
+      cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM keys a JOIN keys b
+        ON a.band = b.band AND a.bkt = b.bkt
+        WHERE a.id % 2 = 0 AND b.id % 2 = 1),
+      scored AS (SELECT id_a, id_b,
+          ${qdotSql("va.qv", "vb.qv")}
+          / SQRT(${qdotSql("va.qv", "va.qv")} * ${qdotSql("vb.qv", "vb.qv")}) AS cos
+        FROM cand JOIN v va ON va.id = cand.id_a JOIN v vb ON vb.id = cand.id_b)
+      SELECT id_a, id_b, cos FROM scored WHERE cos >= $minCos
+      ORDER BY id_a, id_b"""
+  }
+
   /** DuckDB replay of the q64 multi-signal edge set: exact word-3-gram
     * Jaccard pairs at `minJac` (text signal — LSH-candidates + exact
     * confirm ≡ the exact join at full recall, as q55's oracle relies on)
@@ -9920,8 +9955,13 @@ object SparkEntry {
     // time-travel horizon) that q228/q255 write paths leave untested.
     "q307_snapshot_retention" -> Q(
       (s, dir) => {
+        // per-process suffix: two concurrent Verify/Bench runs against
+        // the same dataset must not race on resetTable/publish/vacuum of
+        // a shared generation audit (ADVICE r9); the result columns never
+        // expose the path, so the oracle is unaffected
         val table = s"${sys.props("java.io.tmpdir")}/graft_retain/" +
-          s"orders_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+          s"orders_${dir.replaceAll("[^A-Za-z0-9]", "_")}" +
+          s"_p${ProcessHandle.current().pid()}"
         Warehouse.resetTable(table)
         val o = t(s, dir, "orders")
           .filter(col("o_orderdate").isNotNull)
@@ -10146,17 +10186,18 @@ object SparkEntry {
       Some {
         def iter(prev: Int, cur: Int): String =
           s"""t$cur AS (SELECT pt.i,
-              CAST(SUM((nij * 1000000000000) // (si.s + sj.s)) AS BIGINT)
-                AS denom
+              CAST(SUM((CAST(nij AS HUGEINT) * 1000000000000)
+                // (si.s + sj.s)) AS BIGINT) AS denom
             FROM pt JOIN s$prev si ON si.i = pt.i
             JOIN s$prev sj ON sj.i = pt.j GROUP BY 1),
           r$cur AS (SELECT items.i,
-              CASE WHEN denom > 0 THEN (wins * 1000000000000) // denom
+              CASE WHEN denom > 0 THEN CAST((CAST(wins AS HUGEINT)
+                  * 1000000000000) // denom AS BIGINT)
                 ELSE 1000000 END AS s
             FROM items JOIN t$cur ON t$cur.i = items.i),
           n$cur AS (SELECT SUM(s) AS stot FROM r$cur),
           s$cur AS MATERIALIZED (SELECT i,
-              CAST((s * (SELECT k FROM kk) * 1000000)
+              CAST((CAST(s AS HUGEINT) * (SELECT k FROM kk) * 1000000)
                 // (SELECT stot FROM n$cur) AS BIGINT) AS s
             FROM r$cur)"""
         s"""WITH ut AS (SELECT user_id AS u, event_type AS t,
@@ -10341,14 +10382,15 @@ object SparkEntry {
                   / CAST(bcnt AS DOUBLE) / 1e6) *
                 (theta - CAST(tsum AS DOUBLE)
                   / CAST(bcnt AS DOUBLE) / 1e6) * 1e12) AS BIGINT)
-            END) AS BIGINT) AS d2sum
+            END) AS BIGINT) AS d2sum,
+            CAST(MAX(bcnt) AS BIGINT) AS bcnt
           FROM th, bar)
         SELECT n, n_buckets,
           CASE WHEN ty <> 0 THEN CAST(tx AS DOUBLE) / CAST(ty AS DOUBLE)
             END AS ratio,
-          CASE WHEN n_buckets >= 2 AND d2sum >= 0 THEN
-            sqrt((CAST(n_buckets AS DOUBLE) - 1.0)
-              / CAST(n_buckets AS DOUBLE)
+          CASE WHEN bcnt >= 2 AND d2sum >= 0 THEN
+            sqrt((CAST(bcnt AS DOUBLE) - 1.0)
+              / CAST(bcnt AS DOUBLE)
               * CAST(d2sum AS DOUBLE) / 1e12) END AS se_jack
         FROM tot, dev""")),
 
@@ -10588,6 +10630,268 @@ object SparkEntry {
           ${fs.map(f => s"SELECT * FROM sel_$f").mkString(" UNION ALL ")}
           ORDER BY mi_micro_sum DESC, feature"""
       }),
+
+    // Persisted EMBEDDING-LSH index + incremental probe — the q250
+    // pattern on the vector side (r9 verdict #7): even vec_ids are
+    // indexed once (band relation bucketed by bucket, vec relation
+    // bucketed by id), odd vec_ids probe with zero index-side
+    // exchanges; exact-cosine confirm decides. Oracle replays banding
+    // and confirm bit-for-bit, cross-parity.
+    "q322_persisted_emb_lsh" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val idx = emb.filter(col("vec_id") % 2 === 0)
+        val batch = emb.filter(col("vec_id") % 2 === 1)
+        val (ib, iv) = Similarity.embLshIndexRelations(idx, "vec_id",
+          "embedding", planesPerBand = 6, bands = 16, dim = 64)
+        val sfx = dir.replaceAll("[^A-Za-z0-9]", "_") +
+          s"_p${ProcessHandle.current().pid()}"
+        val base = s"${sys.props("java.io.tmpdir")}/graft_emb_lsh"
+        Warehouse.writeBucketed(s, ib, "graft_emb_lsh_bands",
+          s"$base/bands_$sfx", "bucket", 16)
+        Warehouse.writeBucketed(s, iv, "graft_emb_lsh_vecs",
+          s"$base/vecs_$sfx", "id", 16)
+        Similarity.embLshIndexProbe(s.table("graft_emb_lsh_bands"),
+            s.table("graft_emb_lsh_vecs"), batch, "vec_id", "embedding",
+            0.45, planesPerBand = 6, bands = 16, dim = 64)
+          .orderBy("id_a", "id_b")
+      },
+      Some(embIndexProbeOracleSql(minCos = 0.45, planesPerBand = 6,
+        bands = 16, dim = 64))),
+
+    // Symmetric 10%-trimmed mean per event type — the robust location
+    // estimate between mean and median, off exact per-group ranks on
+    // the distinct-value grid (no global sort).
+    "q323_trimmed_mean" -> Q(
+      (s, dir) => Quality.trimmedMean(t(s, dir, "events"), "event_type",
+        "value", 10),
+      Some("""WITH grid AS (SELECT event_type AS g,
+            CAST(round(value * 1e6) AS BIGINT) AS v,
+            CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+          GROUP BY 1, 2),
+        tot AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n FROM grid GROUP BY 1),
+        rk AS (SELECT g, v, cnt, SUM(cnt) OVER (PARTITION BY g ORDER BY v
+            ROWS UNBOUNDED PRECEDING) AS cum FROM grid),
+        j AS (SELECT rk.g, v, cnt, cum, cum - cnt AS prev, n,
+            (n * 10) // 100 AS t
+          FROM rk JOIN tot ON rk.g = tot.g),
+        k AS (SELECT g, n, t,
+            greatest(0, least(cum, n - t) - greatest(prev, t)) AS keep,
+            v, cnt FROM j)
+        SELECT g AS event_type, CAST(MAX(n) AS BIGINT) AS n,
+          CAST(MAX(t) AS BIGINT) AS n_trim_each,
+          CAST(SUM(keep) AS BIGINT) AS n_kept,
+          CASE WHEN SUM(keep) > 0 THEN
+            CAST(SUM(CAST(v AS HUGEINT) * keep) AS DOUBLE)
+              / CAST(SUM(keep) AS DOUBLE) / 1e6 END AS trimmed_mean,
+          CASE WHEN MAX(n) > 0 THEN
+            CAST(SUM(CAST(v AS HUGEINT) * cnt) AS DOUBLE)
+              / CAST(MAX(n) AS DOUBLE) / 1e6 END AS raw_mean
+        FROM k GROUP BY 1 ORDER BY 1""")),
+
+    // Newey-West (HAC, Bartlett L=7) standard error of the daily-revenue
+    // mean — the autocorrelation-honest error bar; exact DECIMAL lag
+    // cross-products off one fan-out join, truncated-mean centering.
+    "q324_newey_west" -> Q(
+      (s, dir) => Temporal.neweyWestSe(t(s, dir, "orders"), "o_orderdate",
+        "o_totalprice", 7),
+      Some("""WITH obs AS (SELECT CAST(o_orderdate AS DATE) AS dy,
+            CAST(SUM(CAST(round(o_totalprice * 1e6) AS BIGINT)) AS BIGINT)
+              AS y
+          FROM orders
+          WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+          GROUP BY 1),
+        b AS (SELECT MIN(dy) AS lo, MAX(dy) AS hi FROM obs),
+        grid AS MATERIALIZED (SELECT gs.dy, COALESCE(y, 0) AS y
+          FROM (SELECT CAST(unnest(generate_series(lo, hi,
+              INTERVAL 1 DAY)) AS DATE) AS dy FROM b) gs
+          LEFT JOIN obs USING (dy)),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            SUM(CAST(y AS HUGEINT)) AS s FROM grid),
+        c AS MATERIALIZED (SELECT dy,
+            y - CAST(s // n AS BIGINT) AS dev FROM grid, tot),
+        g0 AS (SELECT SUM(CAST(dev AS HUGEINT) * dev) AS num0 FROM c),
+        ln_ AS (SELECT k, SUM(CAST(a.dev AS HUGEINT) * bb.dev) AS numl
+          FROM range(1, 8) r(k) CROSS JOIN c a
+          JOIN c bb ON bb.dy = a.dy + CAST(k AS INTEGER)
+          GROUP BY k),
+        w AS (SELECT COALESCE(SUM((8 - k) * numl), 0) AS numw FROM ln_),
+        fin AS (SELECT n, s, num0, numw,
+            CAST(num0 AS DOUBLE) / CAST(n AS DOUBLE) / 1e12 AS g0d,
+            (CAST(num0 AS DOUBLE) + 2.0 * CAST(numw AS DOUBLE) / 8.0)
+              / CAST(n AS DOUBLE) / 1e12 AS lrv
+          FROM tot, g0, w)
+        SELECT n AS n_days, CAST(7 AS BIGINT) AS max_lag,
+          CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e6 AS mean,
+          CASE WHEN n >= 2 AND g0d > 0 THEN sqrt(g0d / CAST(n AS DOUBLE))
+            END AS se_naive,
+          CASE WHEN n >= 2 AND lrv > 0 THEN sqrt(lrv / CAST(n AS DOUBLE))
+            END AS se_nw,
+          CASE WHEN n >= 2 AND g0d > 0 AND lrv > 0 THEN sqrt(lrv / g0d)
+            END AS inflation
+        FROM fin""")),
+
+    // Wald-Wolfowitz runs test on the daily-revenue direction sequence —
+    // momentum vs mean-reversion beside q293's Durbin-Watson; exact
+    // integer run counts, A&S two-sided p.
+    "q325_runs_test" -> Q(
+      (s, dir) => Temporal.runsTest(t(s, dir, "orders"), "o_orderdate",
+        "o_totalprice"),
+      Some("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS dy,
+            CAST(SUM(CAST(round(o_totalprice * 1e6) AS BIGINT)) AS BIGINT)
+              AS y
+          FROM orders
+          WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+          GROUP BY 1),
+        s1 AS (SELECT dy, y, lag(y) OVER (ORDER BY dy) AS prev FROM daily),
+        sg AS (SELECT dy, CASE WHEN y > prev THEN 1 ELSE -1 END AS sgn
+          FROM s1 WHERE prev IS NOT NULL AND y <> prev),
+        r1 AS (SELECT sgn, lag(sgn) OVER (ORDER BY dy) AS prevSgn FROM sg),
+        agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_signs,
+            CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_pos,
+            CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_neg,
+            CAST(SUM(CASE WHEN prevSgn IS NULL OR sgn <> prevSgn
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+          FROM r1),
+        fin AS (SELECT n_signs, n_pos, n_neg, n_runs,
+            CAST(n_pos AS DOUBLE) AS n1, CAST(n_neg AS DOUBLE) AS n2,
+            CAST(n_pos + n_neg AS DOUBLE) AS nt
+          FROM agg),
+        zz AS (SELECT *,
+            2.0 * n1 * n2 / nt + 1.0 AS mu_r,
+            2.0 * n1 * n2 * (2.0 * n1 * n2 - nt)
+              / (nt * nt * (nt - 1.0)) AS var_r
+          FROM fin),
+        z2 AS (SELECT *,
+            (CAST(n_runs AS DOUBLE) - mu_r) / sqrt(var_r) AS z,
+            abs((CAST(n_runs AS DOUBLE) - mu_r) / sqrt(var_r)) AS az
+          FROM zz),
+        p1 AS (SELECT *,
+            1.0 / (1.0 + 0.2316419 * az) AS kk FROM z2),
+        p2 AS (SELECT *,
+            0.3989422804014327 * EXP(-0.5 * az * az) *
+            (((((1.330274429 * kk + -1.821255978) * kk + 1.781477937) * kk
+              + -0.356563782) * kk + 0.319381530) * kk) AS tail
+          FROM p1)
+        SELECT n_signs, n_pos, n_neg, n_runs,
+          CASE WHEN n_pos > 0 AND n_neg > 0 AND var_r > 0 THEN mu_r END
+            AS mu_r,
+          CASE WHEN n_pos > 0 AND n_neg > 0 AND var_r > 0 THEN z END AS z,
+          CASE WHEN n_pos > 0 AND n_neg > 0 AND var_r > 0 THEN
+            CAST(round(least(1.0, 2.0 * tail) * 1e6) AS BIGINT) END
+            AS p_micro
+        FROM p2""")),
+
+    // Hash-replayable permutation test (B = 199 seeded sign-flips) for
+    // the per-user value-mean difference between hashed arms — the
+    // assumption-free p beside q134's Welch t; both engines generate THE
+    // SAME replicate set, so the Monte-Carlo p is value-pinned.
+    "q326_permutation_test" -> Q(
+      (s, dir) => Quality.permutationTest(t(s, dir, "events"), "user_id",
+        "value", "pt1", 199),
+      Some {
+        def arm(e: String) = s"${graft.functions.Hashing.h60Sql(e)} % 2 = 0"
+        s"""WITH units AS (SELECT CAST(user_id AS VARCHAR) AS u,
+            CAST(SUM(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS x
+          FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+          GROUP BY 1),
+        obs AS (SELECT
+            CAST(SUM(CASE WHEN ${arm("'pt1:' || u")} THEN 1 ELSE 0 END)
+              AS BIGINT) AS na,
+            CAST(SUM(CASE WHEN NOT (${arm("'pt1:' || u")}) THEN 1 ELSE 0
+              END) AS BIGINT) AS nb,
+            SUM(CASE WHEN ${arm("'pt1:' || u")} THEN CAST(x AS HUGEINT)
+              END) AS sa,
+            SUM(CASE WHEN NOT (${arm("'pt1:' || u")}) THEN
+              CAST(x AS HUGEINT) END) AS sb
+          FROM units),
+        tobs AS (SELECT CASE WHEN na > 0 AND nb > 0 THEN
+            CAST(round(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+              - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) AS BIGINT) END
+            AS t_obs_micro FROM obs),
+        reps AS (SELECT b,
+            CAST(SUM(CASE WHEN
+              ${arm("'perm:' || CAST(b AS VARCHAR) || ':' || u")}
+              THEN 1 ELSE 0 END) AS BIGINT) AS na,
+            CAST(SUM(CASE WHEN NOT (
+              ${arm("'perm:' || CAST(b AS VARCHAR) || ':' || u")})
+              THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+            SUM(CASE WHEN
+              ${arm("'perm:' || CAST(b AS VARCHAR) || ':' || u")}
+              THEN CAST(x AS HUGEINT) END) AS sa,
+            SUM(CASE WHEN NOT (
+              ${arm("'perm:' || CAST(b AS VARCHAR) || ':' || u")})
+              THEN CAST(x AS HUGEINT) END) AS sb
+          FROM range(0, 199) r(b) CROSS JOIN units GROUP BY b),
+        tb AS (SELECT b, CASE WHEN na > 0 AND nb > 0 THEN
+            CAST(round(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+              - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) AS BIGINT) END
+            AS t_micro FROM reps),
+        cnt AS (SELECT CAST(COALESCE(SUM(CASE WHEN abs(t_micro) >=
+            abs(t_obs_micro) THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_ge
+          FROM tb, tobs),
+        nu AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_units FROM units)
+        SELECT n_units, CAST(199 AS BIGINT) AS b_reps, t_obs_micro, n_ge,
+          CAST(((1 + n_ge) * 1000000) // 200 AS BIGINT) AS p_micro,
+          CAST(((1 + n_ge) * 1000000) // 200 AS BIGINT) <= 50000
+            AS significant
+        FROM nu, tobs, cnt"""
+      }),
+
+    // Cluster-cap sampling: keep at most 2 lowest-id docs per near-dup
+    // COMPONENT (pairwise capping is not transitive); singletons always
+    // survive. The training-mix dedup policy between survivor-only (q55)
+    // and keep-everything.
+    "q327_cluster_cap_sample" -> Q(
+      (s, dir) => Sampling.clusterCapSample(
+          t(s, dir, "documents").select("doc_id"), "doc_id",
+          lshPairs(s, dir), "id_a", "id_b", 2)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE ${nearDupEdgesCte(0.8)},
+        walk(id, lbl) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.id = e.dst),
+        comp AS (SELECT id, MIN(lbl) AS component FROM walk GROUP BY id),
+        alldocs AS (SELECT doc_id,
+            COALESCE(component, doc_id) AS component
+          FROM documents LEFT JOIN comp ON doc_id = comp.id),
+        rk AS (SELECT doc_id, component,
+            CAST(row_number() OVER (PARTITION BY component ORDER BY doc_id)
+              AS BIGINT) AS rk
+          FROM alldocs)
+        SELECT doc_id, component, rk, rk <= 2 AS kept
+        FROM rk ORDER BY doc_id""")),
+
+    // Cluster-aware train/val split — the FIX for q262's leakage audit:
+    // the near-dup COMPONENT is hashed, so dup clusters never straddle
+    // the split boundary.
+    "q328_cluster_split" -> Q(
+      (s, dir) => Sampling.clusterAwareSplit(
+          t(s, dir, "documents").select("doc_id"), "doc_id",
+          lshPairs(s, dir), "id_a", "id_b", "cs1", 8000)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE ${nearDupEdgesCte(0.8)},
+        walk(id, lbl) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.id = e.dst),
+        comp AS (SELECT id, MIN(lbl) AS component FROM walk GROUP BY id),
+        alldocs AS (SELECT doc_id,
+            COALESCE(component, doc_id) AS component
+          FROM documents LEFT JOIN comp ON doc_id = comp.id),
+        bk AS (SELECT doc_id, component,
+            ${graft.functions.Hashing.h60Sql(
+              "'cs1:' || CAST(component AS VARCHAR)")} % 10000 AS bucket
+          FROM alldocs)
+        SELECT doc_id, component, bucket,
+          CASE WHEN bucket < 8000 THEN 'train' ELSE 'val' END AS split
+        FROM bk ORDER BY doc_id""")),
 
     // Growth accounting: the 1996-vs-1997 revenue waterfall by customer
     // lifecycle — new/expansion/contraction/churned contributions whose

@@ -755,21 +755,28 @@ object Analytics {
     var s = items.select(col("i"), lit(1000000L).as("s"))
     var it = 0
     while (it < iters) {
+      // every product routed through decimal(38,0) BEFORE the truncating
+      // div (the sibling operators' exact-moment convention): plain Long
+      // arithmetic would silently wrap once a pair exceeds ~9.2M games —
+      // the oracle runs the same products in HUGEINT, so a wrap is both a
+      // wrong answer AND an oracle divergence at scale (ADVICE r9)
       val terms = pairTotals
         .join(s.select(col("i"), col("s").as("si")), "i")
         .join(s.select(col("i").as("j"), col("s").as("sj")), "j")
         .groupBy("i")
-        .agg(sum(expr("(nij * 1000000000000L) div (si + sj)"))
+        .agg(sum(expr(
+            "(cast(nij as decimal(38,0)) * 1000000000000) div (si + sj)"))
           .cast("long").as("denom"))
       val raw = items.join(terms, "i")
         .select(col("i"),
           when(col("denom") > 0,
-            expr("(wins * 1000000000000L) div denom")).otherwise(1000000L)
-            .as("s"))
+            expr("(cast(wins as decimal(38,0)) * 1000000000000) div denom"))
+            .otherwise(1000000L).as("s"))
       val tot = raw.agg(sum("s").cast("long").as("stot"))
       s = raw.crossJoin(broadcast(tot))
         .select(col("i"),
-          expr(s"(s * ${k}L * 1000000L) div stot").as("s"))
+          expr(s"(cast(s as decimal(38,0)) * ${k}L * 1000000) div stot")
+            .as("s"))
         .localCheckpoint(true)
       it += 1
     }

@@ -947,9 +947,15 @@ object Graphs {
           greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("v"))
         .filter(col("u").isNotNull && col("v").isNotNull && col("u") < col("v"))
         .distinct())
+    // pre-partition the adjacency on the wedge CENTER before caching:
+    // the cached relation keeps HashPartitioning(ctr), so the degree
+    // aggregate AND both sides of the wedge self-join consume it with
+    // ZERO further exchanges — one up-front shuffle of 2E rows replaces
+    // three (measured 25-35% off the wedge-family wall in MicroGraph)
     val adj = graft.CacheScope.register(
       canon.select(col("u").as("ctr"), col("v").as("nb"))
-        .unionAll(canon.select(col("v").as("ctr"), col("u").as("nb"))))
+        .unionAll(canon.select(col("v").as("ctr"), col("u").as("nb")))
+        .repartition(col("ctr")))
     val deg = adj.groupBy(col("ctr").as("id"))
       .agg(count(lit(1)).as("degree"))
     val wedges = adj.as("x").join(adj.as("y"),
@@ -967,6 +973,32 @@ object Graphs {
       .withColumn("lcc", col("lcc_micro").cast("double") / lit(1e6))
   }
 
+  /** PER-CENTER NEIGHBOR CAP for the wedge family — the scale knob for
+    * the one measured superlinear term left in the graph battery (r9
+    * verdict #3): RA/AA/CN wedge volume is Σ_z deg(z)², driven entirely
+    * by the degree tail, and at 100× data a single mega-hub's C(deg,2)
+    * wedges dominate the whole pass. Capping keeps, per wedge CENTER,
+    * only the `cap` LOWEST-ID neighbors (deterministic, engine-
+    * replayable — the df-cap analog of `sparseCosinePairs`), bounding
+    * wedge volume at Σ min(deg,cap)² ≤ E·cap while degrees/weights stay
+    * the TRUE values.
+    *
+    * Exactness contract: cap = Int.MaxValue (the default everywhere) is
+    * a no-op — bit-identical plan and output. A finite cap drops wedges
+    * centered at nodes with deg > cap: scores become lower bounds and
+    * pairs only reachable through capped hubs may vanish; pairs sharing
+    * any uncapped center are unaffected. Spec-pinned: cap ≥ max degree
+    * ≡ uncapped, exactly.
+    */
+  private def capAdjacency(adj: DataFrame, cap: Int): DataFrame =
+    if (cap == Int.MaxValue) adj
+    else {
+      require(cap >= 2, s"degreeCap $cap cannot form wedges (need >= 2)")
+      adj.withColumn("__rk", row_number().over(
+          Window.partitionBy("ctr").orderBy("nb")))
+        .filter(col("__rk") <= cap).drop("__rk")
+    }
+
   /** RESOURCE-ALLOCATION link prediction (Zhou, Lü & Zhang 2009) over an
     * undirected edge list: for every NON-adjacent pair (a, b) sharing at
     * least one neighbor, RA(a,b) = Σ_{z ∈ N(a)∩N(b)} 1/deg(z) — the
@@ -980,14 +1012,16 @@ object Graphs {
     *
     * Cost: Σ_z deg(z)² candidate pairs grouped to their (a, b) sums —
     * the [[localClustering]] wedge bound, never |V|² — plus two hash
-    * joins against the degree and edge relations.
+    * joins against the degree and edge relations. `degreeCap` (default
+    * ∞ = exact) bounds that to Σ min(deg,cap)² ≤ E·cap for the 100×
+    * degree-tail path — see [[capAdjacency]] for the contract.
     *
     * Returns the top-`k` rows (id_a, id_b, common_neighbors,
     * ra_score_micro, ra_score) ordered by (score desc, id_a, id_b);
     * ra_score_micro is on the 1e12 grid.
     */
   def resourceAllocation(edges: DataFrame, aCol: String, bCol: String,
-      k: Int): DataFrame = {
+      k: Int, degreeCap: Int = Int.MaxValue): DataFrame = {
     require(k >= 1)
     val canon = graft.CacheScope.register(
       edges.select(
@@ -995,9 +1029,14 @@ object Graphs {
           greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("v"))
         .filter(col("u").isNotNull && col("v").isNotNull && col("u") < col("v"))
         .distinct())
+    // one up-front shuffle on the wedge center: the cached adjacency
+    // keeps HashPartitioning(ctr), so the degree aggregate, the weight
+    // join, and BOTH sides of the wedge self-join reuse it exchange-free
+    // (the localClustering co-location note)
     val adj = graft.CacheScope.register(
       canon.select(col("u").as("ctr"), col("v").as("nb"))
-        .unionAll(canon.select(col("v").as("ctr"), col("u").as("nb"))))
+        .unionAll(canon.select(col("v").as("ctr"), col("u").as("nb")))
+        .repartition(col("ctr")))
     val deg = adj.groupBy("ctr").agg(count(lit(1)).as("dz"))
     // weight the ADJACENCY (2E rows) before the wedge self-join, so the
     // Σdeg² wedge relation flows straight into map-side partial
@@ -1006,7 +1045,7 @@ object Graphs {
     // existing-edge anti-join likewise runs on the post-aggregate pair
     // grid, not the raw wedge rows
     val adjW = graft.CacheScope.register(
-      adj.join(deg, "ctr")
+      capAdjacency(adj, degreeCap).join(deg, "ctr")
         .select(col("ctr"), col("nb"), expr("1000000000000 div dz").as("w")))
     adjW.as("x").join(adjW.as("y"),
         col("x.ctr") === col("y.ctr") && col("x.nb") < col("y.nb"))
@@ -1034,13 +1073,14 @@ object Graphs {
     * BIGINT on the same 10¹² grid as RA (both engines round the same
     * libm ln of a small integer — the micro-log convention). Same scale
     * shape as RA: adjacency weighted BEFORE the Σdeg² wedge join,
-    * anti-join on the post-aggregate pair grid.
+    * anti-join on the post-aggregate pair grid; same `degreeCap` knob
+    * ([[capAdjacency]], default ∞ = exact).
     *
     * Returns the top-k (id_a, id_b, common_neighbors, aa_score_micro,
     * aa_score) by descending score.
     */
   def adamicAdar(edges: DataFrame, aCol: String, bCol: String,
-      k: Int): DataFrame = {
+      k: Int, degreeCap: Int = Int.MaxValue): DataFrame = {
     require(k >= 1)
     val canon = graft.CacheScope.register(
       edges.select(
@@ -1048,14 +1088,19 @@ object Graphs {
           greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("v"))
         .filter(col("u").isNotNull && col("v").isNotNull && col("u") < col("v"))
         .distinct())
+    // one up-front shuffle on the wedge center: the cached adjacency
+    // keeps HashPartitioning(ctr), so the degree aggregate, the weight
+    // join, and BOTH sides of the wedge self-join reuse it exchange-free
+    // (the localClustering co-location note)
     val adj = graft.CacheScope.register(
       canon.select(col("u").as("ctr"), col("v").as("nb"))
-        .unionAll(canon.select(col("v").as("ctr"), col("u").as("nb"))))
+        .unionAll(canon.select(col("v").as("ctr"), col("u").as("nb")))
+        .repartition(col("ctr")))
     val deg = adj.groupBy("ctr").agg(count(lit(1)).as("dz"))
     // only deg >= 2 nodes can be wedge centers — filtering here both
     // shrinks the self-join input and keeps the ln weight well-defined
     val adjW = graft.CacheScope.register(
-      adj.join(deg.filter(col("dz") >= 2), "ctr")
+      capAdjacency(adj, degreeCap).join(deg.filter(col("dz") >= 2), "ctr")
         .select(col("ctr"), col("nb"),
           expr("1000000000000000000 div cast(round(ln(dz) * 1e6) as bigint)")
             .as("w")))
@@ -1400,13 +1445,15 @@ object Graphs {
     * pa_score = dᵤ·dᵥ — bit-exact in any engine.
     *
     * Scale shape: the adamicAdar skeleton — adjacency self-join on the
-    * wedge center (Σ deg² pairs, never all-pairs), one (u,v) aggregate,
-    * an anti-join against the existing edges, two broadcast-able degree
-    * joins, top-k. Candidates ranked by (cn, jaccard) with the pair id
-    * making the order total.
+    * wedge center (Σ deg² pairs, never all-pairs; `degreeCap` bounds it
+    * to E·cap — [[capAdjacency]], default ∞ = exact), one (u,v)
+    * aggregate, an anti-join against the existing edges, two
+    * broadcast-able degree joins, top-k. Candidates ranked by
+    * (cn, jaccard) with the pair id making the order total. The degree
+    * columns and Jaccard denominators always use TRUE degrees.
     */
   def linkPredictionSuite(edges: DataFrame, aCol: String, bCol: String,
-      k: Int): DataFrame = {
+      k: Int, degreeCap: Int = Int.MaxValue): DataFrame = {
     require(k >= 1)
     val canon = graft.CacheScope.register(
       edges.select(
@@ -1414,12 +1461,18 @@ object Graphs {
           greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("v"))
         .filter(col("u").isNotNull && col("v").isNotNull && col("u") < col("v"))
         .distinct())
+    // one up-front shuffle on the wedge center: the cached adjacency
+    // keeps HashPartitioning(ctr), so the degree aggregate, the weight
+    // join, and BOTH sides of the wedge self-join reuse it exchange-free
+    // (the localClustering co-location note)
     val adj = graft.CacheScope.register(
       canon.select(col("u").as("ctr"), col("v").as("nb"))
-        .unionAll(canon.select(col("v").as("ctr"), col("u").as("nb"))))
+        .unionAll(canon.select(col("v").as("ctr"), col("u").as("nb")))
+        .repartition(col("ctr")))
     val deg = graft.CacheScope.register(
       adj.groupBy("ctr").agg(count(lit(1)).as("d")))
-    val cn = adj.as("x").join(adj.as("y"),
+    val adjC = capAdjacency(adj, degreeCap)
+    val cn = adjC.as("x").join(adjC.as("y"),
         col("x.ctr") === col("y.ctr") && col("x.nb") < col("y.nb"))
       .groupBy(col("x.nb").as("u"), col("y.nb").as("v"))
       .agg(count(lit(1)).as("common_neighbors"))

@@ -3080,21 +3080,26 @@ object Quality {
     // θ̄ from micro-rounded thetas (order-free); deviations on the pico
     // grid summed as BIGINT — bucket-order-independent
     val dev = thetas.crossJoin(broadcast(bar))
-      .select(when(col("theta").isNotNull, round(
+      .select(col("bcnt"), when(col("theta").isNotNull, round(
         (col("theta") - col("tsum").cast("double") /
           col("bcnt").cast("double") / lit(1e6)) *
         (col("theta") - col("tsum").cast("double") /
           col("bcnt").cast("double") / lit(1e6)) * 1e12).cast("long"))
         .as("d2"))
-      .agg(sum("d2").cast("long").as("d2sum"))
-    val bD = col("n_buckets").cast("double")
+      .agg(sum("d2").cast("long").as("d2sum"),
+        max("bcnt").cast("long").as("bcnt"))
+    // (B−1)/B uses bcnt — the count of DEFINED thetas — not n_buckets:
+    // a bucket whose removal zeroes the denominator drops out of both
+    // the mean and the deviation sum, so scaling by the raw bucket count
+    // would bias se_jack in that degenerate case (ADVICE r9)
+    val bD = col("bcnt").cast("double")
     val varJ = (bD - lit(1.0)) / bD *
       col("d2sum").cast("double") / lit(1e12)
     tot.crossJoin(broadcast(dev))
       .select(col("n"), col("n_buckets"),
         when(col("ty") =!= 0,
           col("tx").cast("double") / col("ty").cast("double")).as("ratio"),
-        when(col("n_buckets") >= 2 && col("d2sum") >= 0, sqrt(varJ))
+        when(col("bcnt") >= 2 && col("d2sum") >= 0, sqrt(varJ))
           .as("se_jack"))
   }
 
@@ -3180,5 +3185,139 @@ object Quality {
     }
     scored.reduce(_ unionAll _)
       .orderBy(desc("mi_micro_sum"), col("feature"))
+  }
+
+  /** SYMMETRIC TRIMMED MEAN per group — the robust location estimate
+    * between the mean (trim 0) and the median (trim 50): drop the
+    * lowest and highest t = (n·trimPct) div 100 observations BY EXACT
+    * RANK and average the rest. The outlier-resistant KPI readout the
+    * raw mean can't give on heavy-tailed value columns (one whale order
+    * moves the mean; it cannot move the 10%-trimmed mean).
+    *
+    * Entirely off the per-group distinct-value grid: ranks come from a
+    * per-group cumulative count (partitioned window — the q292 lower-
+    * median machinery, never a global sort), the kept copy count per
+    * distinct value is the integer overlap of its rank interval
+    * (prev, cum] with the kept band (t, n−t], and the trimmed mean is
+    * ONE IEEE division over exact DECIMAL sums — engine-replayable.
+    *
+    * Scale shape: one map-side-combined shuffle to the (group, value)
+    * grid, one partitioned window over it, one |groups|-row aggregate.
+    * Output per group: (group, n, n_trim_each, n_kept, trimmed_mean,
+    * raw_mean), ordered by group.
+    */
+  def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
+      trimPct: Int): DataFrame = {
+    require(trimPct >= 0 && trimPct < 50, s"trimPct in [0, 50): $trimPct")
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val grid = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        round(col(valueCol) * 1e6).cast("long").as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = grid.groupBy("g").agg(sum("cnt").cast("long").as("n"))
+    val ranked = grid
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("prev", col("cum") - col("cnt"))
+      .join(totals, "g")
+      .withColumn("t", expr(s"(n * $trimPct) div 100"))
+      // copies of this distinct value inside the kept rank band (t, n−t]
+      .withColumn("keep",
+        greatest(lit(0L),
+          least(col("cum"), col("n") - col("t")) -
+            greatest(col("prev"), col("t"))))
+    ranked.groupBy("g")
+      .agg(max("n").cast("long").as("n"),
+        max("t").cast("long").as("n_trim_each"),
+        sum("keep").cast("long").as("n_kept"),
+        sum(d(col("v")) * d(col("keep"))).cast("decimal(38,0)").as("__sk"),
+        sum(d(col("v")) * d(col("cnt"))).cast("decimal(38,0)").as("__sa"))
+      .select(col("g").as(groupCol), col("n"), col("n_trim_each"),
+        col("n_kept"),
+        when(col("n_kept") > 0, col("__sk").cast("double") /
+          col("n_kept").cast("double") / lit(1e6)).as("trimmed_mean"),
+        when(col("n") > 0, col("__sa").cast("double") /
+          col("n").cast("double") / lit(1e6)).as("raw_mean"))
+      .orderBy(groupCol)
+  }
+
+  /** HASH-REPLAYABLE PERMUTATION TEST for the two-arm mean difference —
+    * the assumption-free companion to [[welchTTest]]: instead of a
+    * normal approximation, re-assign every unit's arm B times by a
+    * seeded hash (replicate b flips unit u by h60("perm:b:u") % 2) and
+    * count how many replicate mean-differences reach the observed one.
+    * p = (1 + #{b : |T_b| ≥ |T_obs|}) / (B + 1) — the add-one Monte
+    * Carlo estimator (Phipson & Smyth 2010), valid at any B. Because
+    * the "random" permutations are seeded hashes, both engines generate
+    * THE SAME replicate set — the p-value is exact-replayable, not a
+    * seed-lottery.
+    *
+    * Each replicate statistic is two IEEE divisions over exact integer
+    * micro sums, rounded ONCE to the micro grid (pinned); the
+    * comparison is then integer. Scale shape: the unit relation fans
+    * out ×B through one explode (no join), straight into a map-side-
+    * combined (b, arm) aggregate — B·units rows shuffled as 2B partial
+    * rows per partition, never raw data; B is a small constant.
+    *
+    * Output ONE row: (n_units, b_reps, t_obs_micro, n_ge, p_micro,
+    * significant at α = 0.05).
+    */
+  def permutationTest(df: DataFrame, unitCol: String, valueCol: String,
+      salt: String, bReps: Int): DataFrame = {
+    require(bReps >= 19, s"bReps too small for any useful p: $bReps")
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val units = graft.CacheScope.register(
+      df.filter(col(unitCol).isNotNull && col(valueCol).isNotNull)
+        .groupBy(col(unitCol).cast("string").as("u"))
+        .agg(sum(round(col(valueCol) * 1e6).cast("long")).cast("long")
+          .as("x")))
+    def tStat(g: DataFrame): DataFrame = g
+      .agg(
+        sum(when(col("a"), 1L).otherwise(0L)).cast("long").as("na"),
+        sum(when(!col("a"), 1L).otherwise(0L)).cast("long").as("nb"),
+        sum(when(col("a"), d(col("x"))).otherwise(d(lit(0))))
+          .cast("decimal(38,0)").as("sa"),
+        sum(when(!col("a"), d(col("x"))).otherwise(d(lit(0))))
+          .cast("decimal(38,0)").as("sb"))
+      .select(col("na"), col("nb"),
+        when(col("na") > 0 && col("nb") > 0,
+          round(col("sa").cast("double") / col("na").cast("double") -
+            col("sb").cast("double") / col("nb").cast("double"))
+            .cast("long")).as("t_micro"))
+    val obs = tStat(units.select(col("x"),
+      (pmod(graft.functions.Hashing.h60(
+        concat(lit(s"$salt:"), col("u"))), lit(2L)) === 0).as("a")))
+    val reps = units
+      .select(explode(expr(s"sequence(0L, ${bReps - 1}L)")).as("b"),
+        col("u"), col("x"))
+      .select(col("b"), col("x"),
+        (pmod(graft.functions.Hashing.h60(concat(lit("perm:"),
+          col("b").cast("string"), lit(":"), col("u"))), lit(2L)) === 0)
+          .as("a"))
+      .groupBy("b")
+      .agg(
+        sum(when(col("a"), 1L).otherwise(0L)).cast("long").as("na"),
+        sum(when(!col("a"), 1L).otherwise(0L)).cast("long").as("nb"),
+        sum(when(col("a"), d(col("x")))).cast("decimal(38,0)").as("sa"),
+        sum(when(!col("a"), d(col("x")))).cast("decimal(38,0)").as("sb"))
+      .select(col("b"),
+        when(col("na") > 0 && col("nb") > 0,
+          round(col("sa").cast("double") / col("na").cast("double") -
+            col("sb").cast("double") / col("nb").cast("double"))
+            .cast("long")).as("t_micro"))
+    val nTot = units.agg(count(lit(1)).cast("long").as("n_units"))
+    val counted = reps.crossJoin(broadcast(obs.select(
+        col("t_micro").as("t_obs_micro"))))
+      .agg(coalesce(sum(when(abs(col("t_micro")) >=
+          abs(col("t_obs_micro")), 1L).otherwise(0L)), lit(0L))
+        .cast("long").as("n_ge"))
+    nTot.crossJoin(broadcast(obs.select(col("t_micro").as("t_obs_micro"))))
+      .crossJoin(broadcast(counted))
+      .select(col("n_units"), lit(bReps.toLong).as("b_reps"),
+        col("t_obs_micro"),
+        col("n_ge"),
+        expr(s"((1L + n_ge) * 1000000L) div ${bReps + 1}L").as("p_micro"))
+      .withColumn("significant", col("p_micro") <= 50000L)
   }
 }

@@ -339,4 +339,62 @@ object Sampling {
       when(col("sw2") > 0, ess).as("ess"),
       when(col("sw2") > 0, ess / dbl(col("n"))).as("ess_ratio"))
   }
+
+  /** CLUSTER-CAP SAMPLING — keep at most `cap` documents per near-dup
+    * CLUSTER (connected component of the pair relation), not per pair:
+    * the training-mix dedup policy that preserves a little intra-cluster
+    * diversity (cap > 1) where survivor-only dedup (q55's min-id pick)
+    * keeps exactly one. Pairwise capping is not transitive — A~B, B~C
+    * must cap {A,B,C} together even when A~C missed the threshold — so
+    * the component, not the pair, is the capping unit.
+    *
+    * Survivors are the `cap` LOWEST-ID members of each component
+    * (deterministic, engine-replayable); documents in no pair are
+    * singleton components (their own id) and always survive.
+    *
+    * Scale shape: one CC fixpoint over the pair relation (O(E)/round,
+    * diameter-bounded — [[graft.operators.Graphs.connectedComponents]]),
+    * one left join of ids onto the labels, one per-component
+    * row_number window (partitioned by component — never global).
+    *
+    * Returns (id, component, rk, kept) for every input id.
+    */
+  def clusterCapSample(ids: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String, cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1: $cap")
+    val comps = Graphs.connectedComponents(pairs, aCol, bCol)
+    val withComp = ids.select(col(idCol).cast("long").as("id"))
+      .join(comps, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("component"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("component").orderBy("id")
+    withComp.withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("kept", col("rk") <= cap)
+  }
+
+  /** CLUSTER-AWARE TRAIN/VAL SPLIT — the FIX for the leakage
+    * [[graft.operators.Dedup.splitLeakage]] audits (q262): hash the
+    * near-dup COMPONENT, not the document, so every member of a dup
+    * cluster lands in the same split and no eval document has a
+    * training-set near-duplicate. Assignment is the standard salted-h60
+    * bucket on the component label — deterministic, partition-free,
+    * oracle-replayable; singletons hash their own id (the component
+    * label convention of [[clusterCapSample]]).
+    *
+    * Returns (id, component, bucket, split) with split = 'train' when
+    * bucket < trainBp (basis points of 10000), else 'val'.
+    */
+  def clusterAwareSplit(ids: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String, salt: String, trainBp: Int): DataFrame = {
+    require(trainBp >= 0 && trainBp <= 10000, s"trainBp: $trainBp")
+    val comps = Graphs.connectedComponents(pairs, aCol, bCol)
+    ids.select(col(idCol).cast("long").as("id"))
+      .join(comps, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("component"))
+      .withColumn("bucket", bucket(col("component"), salt))
+      .withColumn("split",
+        when(col("bucket") < trainBp, lit("train")).otherwise(lit("val")))
+  }
 }

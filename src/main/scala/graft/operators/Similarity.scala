@@ -445,7 +445,19 @@ object Similarity {
   def knnIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int, nProbe: Int,
       iters: Int = 5): DataFrame = {
-    val cents = ivfTrain(corpus, idCol, vecCol, nlist, iters)
+    val cents = ivfTrainDistributed(corpus, idCol, vecCol, nlist, iters)
+    knnIvfWithCentroids(corpus, queries, idCol, vecCol, k, nProbe, cents)
+  }
+
+  /** [[knnIvf]] with a caller-supplied coarse quantizer — so a probe
+    * sweep ([[ivfRecallCurve]]) trains ONCE and every level reuses the
+    * same cells, and a persisted deployment can read centroids from its
+    * index metadata instead of re-training per query batch.
+    */
+  def knnIvfWithCentroids(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int,
+      cents: Array[Array[Double]]): DataFrame = {
+    require(cents.nonEmpty && nProbe >= 1)
     // Cell assignment stays in whole-stage codegen: the ranking
     //   argmin_c |v - c|²  =  argmin_c (|c|² - 2·v·c)
     // drops the per-row-constant |v|² term, so each cell costs one
@@ -664,6 +676,30 @@ object Similarity {
     cents
   }
 
+  /** DISTRIBUTED IVF coarse-quantizer training — [[lloydIterate]]'s
+    * grid-exact machinery (distributed assignment in whole-stage codegen,
+    * exact (cid, dim) grid means, re-quantized seeds each round) packaged
+    * as centroid arrays for [[knnIvfWithCentroids]]. This is the 100 TB
+    * path with NO sample-quality caveat: every row participates in every
+    * round, the only driver transfer is the k×dims grid means (a few KB
+    * of codegen literals per round — the accepted model-transfer bound),
+    * and the result is bit-replayable (r9 verdict #6; the sampled
+    * [[ivfTrain]] remains for bounded-plan consumers like ivfPqSearch).
+    *
+    * Centroids come back in raw vector units (gridmean / 1e7), ordered
+    * by cid — empty cells drop out, so the array can be shorter than
+    * `nlist` (probing all remaining cells is still a full probe).
+    */
+  def ivfTrainDistributed(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int): Array[Array[Double]] = {
+    val means = lloydIterate(corpus, idCol, vecCol, nlist, iters)
+      .select("cid", "pos", "centroid").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    means.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_._2).map(_._3).toArray }
+      .toArray
+  }
+
   private def nearestCellDense(v: Array[Double], cents: Array[Array[Double]]): Int = {
     var best = 0; var bestD = Double.MaxValue; var c = 0
     while (c < cents.length) {
@@ -736,6 +772,71 @@ object Similarity {
       .join(side.as("vb"), col("id_b") === col("vb.id"))
       .select(col("id_a"), col("id_b"),
         cosFrom(qdot(col("va.__v"), col("vb.__v")), col("va.__n"), col("vb.__n")).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
+  /** Persistable hyperplane-LSH INDEX for an embedding corpus — the
+    * embedding-side analog of [[graft.operators.Dedup.lshIndexRelations]]
+    * (r9 verdict #7): the BAND relation (id, band, bucket — `bands` rows
+    * per vector, sign-pattern buckets from [[lshBandBuckets]]'s
+    * deterministic integer hyperplanes) and the VEC relation (id, qv on
+    * the 1e7 grid, n2 = |qv|²) that the exact-cosine confirm reads.
+    * Both derive from ONE cached quantization pass; banding is a pure
+    * projection on top of it.
+    *
+    * The 100 TB shape is write-once / probe-per-batch: publish the band
+    * relation BUCKETED BY `bucket` and the vec relation BUCKETED BY `id`
+    * ([[graft.operators.Warehouse.writeBucketed]]); the storage layout
+    * then satisfies both probe-join distributions, so probing a new
+    * batch shuffles ONLY the batch (index side: zero exchanges — the
+    * q250 plan pin, mirrored by its embedding q-query), and maintenance
+    * is an incremental bucketed APPEND — historical vectors are never
+    * re-hashed or re-shuffled.
+    */
+  def embLshIndexRelations(embs: DataFrame, idCol: String, vecCol: String,
+      planesPerBand: Int, bands: Int, dim: Int): (DataFrame, DataFrame) = {
+    val v = graft.CacheScope.register(
+      graft.Parallelism.fanOut(embs.select(col(idCol).as("id"), col(vecCol)))
+        .select(col("id"), quantized(col(vecCol)).as("qv"))
+        .withColumn("n2", qnorm2(col("qv"))))
+    val bandRel = v.select(col("id"),
+      posexplode(lshBandBuckets(col("qv"), planesPerBand, bands, dim))
+        .as(Seq("band", "bucket")))
+    (bandRel, v)
+  }
+
+  /** Probe a NEW embedding batch against a persisted
+    * [[embLshIndexRelations]] index. The new vectors run the same
+    * quantize/band projections; candidates are (band, bucket) equi-join
+    * hits against the STORED band relation; the exact-cosine confirm
+    * fetches quantized vectors from the stored vec relation (id_a side)
+    * and the new batch (id_b side). LSH only prunes — the confirm
+    * decides — so the result is exactly the cross-batch pairs
+    * [[nearDupLshBanded]] over the union corpus reports between the two
+    * batches (same banded recall; candidate `distinct` runs BEFORE the
+    * vector joins so arrays never shuffle per duplicate band hit).
+    *
+    * Returns (id_a = indexed vector, id_b = new vector, cos) with
+    * cos ≥ minCos.
+    */
+  def embLshIndexProbe(indexBands: DataFrame, indexVecs: DataFrame,
+      embs: DataFrame, idCol: String, vecCol: String, minCos: Double,
+      planesPerBand: Int, bands: Int, dim: Int): DataFrame = {
+    val (pb, pv) = embLshIndexRelations(embs, idCol, vecCol,
+      planesPerBand, bands, dim)
+    val cands = indexBands
+      .select(col("id").as("id_a"), col("band"), col("bucket"))
+      .join(pb.select(col("id").as("id_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(indexVecs.select(col("id").as("id_a"), col("qv").as("__va"),
+        col("n2").as("__na")), "id_a")
+      .join(pv.select(col("id").as("id_b"), col("qv").as("__vb"),
+        col("n2").as("__nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        cosFrom(qdot(col("__va"), col("__vb")), col("__na"), col("__nb"))
+          .as("cos"))
       .filter(col("cos") >= minCos)
   }
 
@@ -1110,6 +1211,12 @@ object Similarity {
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
     require(qs.nonEmpty, "empty query set")
+    // per-query ADC tables become plan literals (|queries|·m·ksub of
+    // them) — bound the query relation so oversized sets fail fast
+    // instead of degrading catalyst (ADVICE r9, same bound as ivfPqSearch)
+    require(qs.length <= 512,
+      s"pqTopK embeds per-query ADC tables as plan literals: " +
+        s"${qs.length} queries exceeds the 512-query bound")
     // table(qid)(j)(c): exact double q_j·c, computed on the driver over
     // the same quantized grid the oracle replays
     def tab(qv: Array[Double], j: Int, c: Int): Double = {
@@ -1705,6 +1812,14 @@ object Similarity {
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
     require(qs.nonEmpty, "empty query set")
+    // the exploded ADC expression embeds |queries|·m·ksub literals —
+    // catalyst analysis/codegen degrades long before memory does, so an
+    // oversized query set must fail fast, not build a pathological plan
+    // (ADVICE r9); the q91 contract is a tiny bounded query relation
+    require(qs.length <= 512,
+      s"ivfPqSearch embeds per-query ADC tables as plan literals: " +
+        s"${qs.length} queries exceeds the 512-query bound — batch the " +
+        "query set or use knnIvf for large probe relations")
     def probeCells(qv: Array[Double]): Seq[Int] = {
       val v = qv.map(_ / 1e7)
       cents.indices.map { i =>
@@ -1781,6 +1896,10 @@ object Similarity {
       vecCol: String, k: Int, nlist: Int, probes: Seq[Int]): DataFrame = {
     require(probes.nonEmpty && probes.forall(p => p >= 1 && p <= nlist))
     val sorted = probes.distinct.sorted
+    // ONE distributed training shared by every probe level (a per-level
+    // re-train would both multiply the Lloyd passes by |probes| and let
+    // the levels disagree about the cells, voiding monotonicity)
+    val cents = ivfTrainDistributed(corpus, idCol, vecCol, nlist, iters = 5)
     val exact = graft.CacheScope.register(
       knnExactAgg(corpus, queries, idCol, vecCol, k)
         .select(col("query_id"), col("id")))
@@ -1788,7 +1907,8 @@ object Similarity {
       countDistinct(col("query_id")).as("n_queries"),
       count(lit(1)).as("pairs"))
     val levels = sorted.map { np =>
-      val ivf = knnIvf(corpus, queries, idCol, vecCol, k, nlist, np)
+      val ivf = knnIvfWithCentroids(corpus, queries, idCol, vecCol, k,
+          np, cents)
         .select(col("query_id"), col("id"))
       exact.join(ivf, Seq("query_id", "id"), "left_semi")
         .agg(count(lit(1)).as("hits"))

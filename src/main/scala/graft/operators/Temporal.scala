@@ -1387,4 +1387,141 @@ object Temporal {
       when(col("n") >= 2 && vtr > 0,
         greatest(lit(0.0), lit(1.0) - vr / vtr)).as("trend_strength"))
   }
+
+  /** NEWEY-WEST (HAC) STANDARD ERROR of the daily-series mean — the
+    * error bar a time series actually deserves: the naive se = σ/√n
+    * assumes independent days, but autocorrelated revenue (weekly
+    * cycles, momentum) makes it optimistic by the long-run-variance
+    * factor. Bartlett kernel: lrv = γ₀ + 2·Σ_{l≤L} (1 − l/(L+1))·γ_l.
+    *
+    * All-integer assembly: the dense day grid (absent days are true
+    * zeros — the [[dailyCusum]] contract) is centered on the TRUNCATED
+    * integer mean (dev = y − S div n, the pageRank div convention — the
+    * sub-micro centering error is identical in both engines and keeps
+    * every product within BIGINT·grid headroom at any corpus scale);
+    * each lag's cross-product sum Σ dev_t·dev_{t+l} is an exact DECIMAL
+    * off ONE lag-fan-out equi-join (the [[hourlyAcf]] shape), and the
+    * kernel weights clear denominators: 2·Σ (L+1−l)·num_l stays exact
+    * DECIMAL; the only IEEE steps are the final divisions and sqrts.
+    *
+    * Output ONE row: (n_days, max_lag, mean, se_naive, se_nw,
+    * inflation) — inflation = se_nw/se_naive, the "how wrong was iid"
+    * number.
+    */
+  def neweyWestSe(df: DataFrame, tsCol: String, valCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1: $maxLag")
+    def d(c: Column) = c.cast("decimal(38,0)")
+    def dbl(c: Column) = c.cast("double")
+    val day = col(tsCol).cast("date")
+    val observed = df.filter(col(tsCol).isNotNull && col(valCol).isNotNull)
+      .groupBy(day.as("dy"))
+      .agg(sum(round(col(valCol) * 1e6).cast("long")).cast("long").as("y"))
+    val bounds = observed.agg(min("dy").as("lo"), max("dy").as("hi"))
+    val grid = graft.CacheScope.register(
+      bounds.select(explode(sequence(col("lo"), col("hi"))).as("dy"))
+        .join(observed, Seq("dy"), "left")
+        .select(col("dy"), coalesce(col("y"), lit(0L)).as("y")))
+    val tot = grid.agg(count(lit(1)).cast("long").as("n"),
+      sum(d(col("y"))).cast("decimal(38,0)").as("s"))
+    val centered = graft.CacheScope.register(
+      grid.crossJoin(broadcast(tot))
+        .select(col("dy"), col("n"), col("s"),
+          (col("y") - expr("cast(s div n as bigint)")).as("dev")))
+    val g0 = centered.agg(
+      sum((d(col("dev")) * d(col("dev"))).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("num0"),
+      max("n").cast("long").as("n"),
+      max("s").as("s"))
+    // one equi-join for all lags (hourlyAcf's fan-out): row (d, dev)
+    // ships maxLag shifted copies that meet their lag partner at d
+    val lagJoin = centered.select(col("dy"), col("dev"))
+      .join(centered.select(
+          explode(expr(s"sequence(1, $maxLag)")).as("k"),
+          col("dy"), col("dev").as("dev2"))
+        .select(col("k").cast("long").as("lag"),
+          date_sub(col("dy"), col("k")).as("dy"), col("dev2")), "dy")
+      .groupBy("lag")
+      .agg(sum((d(col("dev")) * d(col("dev2"))).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("numl"))
+    // kernel-weighted, denominator-cleared: (L+1−l) are integer weights
+    val wsum = lagJoin
+      .agg(coalesce(sum((d(lit(maxLag + 1)) - d(col("lag"))) * col("numl"))
+        .cast("decimal(38,0)"), d(lit(0))).as("numw"))
+    g0.crossJoin(broadcast(wsum))
+      .select(col("n").as("n_days"), lit(maxLag.toLong).as("max_lag"),
+        // μ = S/n in original units; γ_l = num_l/n on the micro² grid
+        (dbl(col("s")) / dbl(col("n")) / lit(1e6)).as("mean"),
+        col("num0"), col("numw"))
+      .withColumn("__g0",
+        dbl(col("num0")) / dbl(col("n_days")) / lit(1e12))
+      .withColumn("__lrv",
+        (dbl(col("num0")) + lit(2.0) * dbl(col("numw"))
+          / lit((maxLag + 1).toDouble)) / dbl(col("n_days")) / lit(1e12))
+      .select(col("n_days"), col("max_lag"), col("mean"),
+        when(col("n_days") >= 2 && col("__g0") > 0,
+          sqrt(col("__g0") / dbl(col("n_days")))).as("se_naive"),
+        when(col("n_days") >= 2 && col("__lrv") > 0,
+          sqrt(col("__lrv") / dbl(col("n_days")))).as("se_nw"),
+        when(col("n_days") >= 2 && col("__g0") > 0 && col("__lrv") > 0,
+          sqrt(col("__lrv") / col("__g0"))).as("inflation"))
+  }
+
+  /** WALD-WOLFOWITZ RUNS TEST on the daily direction sequence — "is the
+    * up/down pattern random?": too FEW runs = momentum/trend, too MANY =
+    * mean-reversion; the nonparametric serial-dependence check beside
+    * [[durbinWatson]]'s linear-residual one. Signs come from day-over-day
+    * differences of the OBSERVED daily sums (zero diffs drop, the
+    * standard convention); R = number of maximal same-sign runs.
+    *
+    * Exact integer machinery: both the diff and the run-boundary count
+    * ride lag windows over the calendar-bounded day grid (thousands of
+    * rows at any corpus scale — the [[changepointSse]] global-window
+    * budget); μ_R and σ_R are closed-form in (n₊, n₋); z and the A&S
+    * 26.2.17 two-sided p are the [[Quality.bhFdr]] determinism budget.
+    *
+    * Output ONE row: (n_signs, n_pos, n_neg, n_runs, mu_r, z, p_micro).
+    */
+  def runsTest(df: DataFrame, tsCol: String, valCol: String): DataFrame = {
+    val day = col(tsCol).cast("date")
+    val daily = df.filter(col(tsCol).isNotNull && col(valCol).isNotNull)
+      .groupBy(day.as("dy"))
+      .agg(sum(round(col(valCol) * 1e6).cast("long")).cast("long").as("y"))
+    val w = Window.orderBy("dy") // calendar-bounded grid only
+    val signs = daily
+      .withColumn("prev", lag("y", 1).over(w))
+      .filter(col("prev").isNotNull && col("y") =!= col("prev"))
+      .select(col("dy"), when(col("y") > col("prev"), 1L).otherwise(-1L)
+        .as("sgn"))
+    val w2 = Window.orderBy("dy")
+    val runs = signs
+      .withColumn("prevSgn", lag("sgn", 1).over(w2))
+      .agg(count(lit(1)).cast("long").as("n_signs"),
+        sum(when(col("sgn") === 1L, 1L).otherwise(0L)).cast("long")
+          .as("n_pos"),
+        sum(when(col("sgn") === -1L, 1L).otherwise(0L)).cast("long")
+          .as("n_neg"),
+        (sum(when(col("prevSgn").isNull ||
+            col("sgn") =!= col("prevSgn"), 1L).otherwise(0L)))
+          .cast("long").as("n_runs"))
+    val n1 = col("n_pos").cast("double")
+    val n2 = col("n_neg").cast("double")
+    val nT = n1 + n2
+    val muR = lit(2.0) * n1 * n2 / nT + lit(1.0)
+    val varR = lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - nT) /
+      (nT * nT * (nT - lit(1.0)))
+    val z = (col("n_runs").cast("double") - muR) / sqrt(varR)
+    val az = abs(z)
+    val kk = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val poly = ((((lit(1.330274429) * kk + lit(-1.821255978)) * kk
+      + lit(1.781477937)) * kk + lit(-0.356563782)) * kk
+      + lit(0.319381530)) * kk
+    val tail = lit(0.3989422804014327) * exp(lit(-0.5) * az * az) * poly
+    val ok = col("n_pos") > 0 && col("n_neg") > 0 && varR > 0
+    runs.select(col("n_signs"), col("n_pos"), col("n_neg"), col("n_runs"),
+      when(ok, muR).as("mu_r"),
+      when(ok, z).as("z"),
+      when(ok, round(least(lit(1.0), lit(2.0) * tail) * 1e6).cast("long"))
+        .as("p_micro"))
+  }
 }

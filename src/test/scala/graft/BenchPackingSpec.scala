@@ -60,6 +60,18 @@ class BenchPackingSpec extends AnyFunSuite {
     assert(Bench.packChunks(names, 8, Map("q01" -> 1.0)) == Seq(names))
   }
 
+  test("cpuPressure returns cumulative, monotone-or-unreadable counters") {
+    val (s0, n0, u0) = Bench.cpuPressure()
+    val (s1, n1, u1) = Bench.cpuPressure()
+    // each field is either unreadable (-1 on both samples) or a
+    // cumulative counter that never decreases between samples
+    assert((s0 == -1L && s1 == -1L) || (s0 >= 0 && s1 >= s0))
+    assert((n0 == -1L && n1 == -1L) || (n0 >= 0 && n1 >= n0))
+    assert((u0 == -1L && u1 == -1L) || (u0 >= 0 && u1 >= u0))
+    // this container exposes /proc/stat — steal must be readable here
+    assert(s0 >= 0, "steal jiffies unreadable on this box")
+  }
+
   test("historyCosts reads LAST full-suite line, tolerant of junk") {
     val tmp = java.nio.file.Files.createTempFile("bench-hist", ".jsonl")
     val lines = Seq(

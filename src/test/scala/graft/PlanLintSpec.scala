@@ -107,7 +107,9 @@ class PlanLintSpec extends SparkSpec {
     "q317_ivf_recall_curve" -> "knnExactAgg's broadcast bounded query set per probe level + crossJoins of the broadcast 1-row recall totals (q31's gate shape)",
     "q308_sliding_distinct" -> "crossJoins against the broadcast 1-row max-day bound (q110/q163 shape)",
     "q309_ess" -> "crossJoin against the broadcast 1-row max-log-weight aggregate (q110/q163 shape)",
-    "q299_changepoint" -> "crossJoin against the broadcast 1-row total-moment aggregate over the calendar day grid (q169's shape)")
+    "q299_changepoint" -> "crossJoin against the broadcast 1-row total-moment aggregate over the calendar day grid (q169's shape)",
+    "q324_newey_west" -> "crossJoins of broadcast 1-row total/gamma0/kernel-sum aggregates over the calendar day grid (q169's shape)",
+    "q326_permutation_test" -> "crossJoins of broadcast 1-row observed-statistic and exceedance-count aggregates (q110/q163 shape)")
 
   /** Queries allowed to plan a GLOBAL window (no partition columns, or a
     * constant partition) — each must window over a provably BOUNDED
@@ -156,7 +158,8 @@ class PlanLintSpec extends SparkSpec {
     "q299_changepoint" -> "prefix-sum and argmin-rank windows over the calendar day grid (q169's calendar-bounded argument)",
     "q317_ivf_recall_curve" -> "monotonicity lag window over the |probes|-row curve (5 rows by construction)",
     "q320_seasonal_strength" -> "q268's centered moving-average window over the calendar day grid (q169's calendar-bounded argument)",
-    "q321_holm" -> "rank + running-max windows over the |segments|-row test grid (q271's bounded argument)")
+    "q321_holm" -> "rank + running-max windows over the |segments|-row test grid (q271's bounded argument)",
+    "q325_runs_test" -> "lag windows over the calendar day grid (q169's calendar-bounded argument)")
 
   test("no query plans a global window over an unbounded relation") {
     import org.apache.spark.sql.execution.SparkPlan

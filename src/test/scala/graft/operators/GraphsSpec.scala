@@ -306,6 +306,31 @@ class GraphsSpec extends SparkSpec {
       (3L, 4L) -> ((1L, third))))
   }
 
+  test("degreeCap: cap >= max degree is bit-identical to uncapped for " +
+      "RA/AA/linkPredictionSuite; a tight cap drops only capped-hub wedges") {
+    import spark.implicits._
+    // hub 0 with 5 leaves (deg 5) + a separate wedge 10-11-12 (deg 2)
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L),
+      (10L, 11L), (11L, 12L)).toDF("a", "b")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    // cap >= max degree (5): exactness contract — identical output
+    assert(rows(Graphs.resourceAllocation(edges, "a", "b", 50, degreeCap = 5))
+      == rows(Graphs.resourceAllocation(edges, "a", "b", 50)))
+    assert(rows(Graphs.adamicAdar(edges, "a", "b", 50, degreeCap = 5))
+      == rows(Graphs.adamicAdar(edges, "a", "b", 50)))
+    assert(rows(Graphs.linkPredictionSuite(edges, "a", "b", 50, degreeCap = 5))
+      == rows(Graphs.linkPredictionSuite(edges, "a", "b", 50)))
+    // cap 2 keeps the hub's two LOWEST-ID neighbors {1,2}: only the
+    // (1,2) hub wedge survives, and its weight still uses TRUE deg 5;
+    // the uncapped center 11 (deg 2) keeps its (10,12) wedge untouched
+    val capped = Graphs.resourceAllocation(edges, "a", "b", 50, degreeCap = 2)
+      .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Long]("ra_score_micro"))).toMap
+    assert(capped == Map(
+      (1L, 2L) -> 1000000000000L / 5, (10L, 12L) -> 1000000000000L / 2))
+  }
+
   test("kTruss: triangle edges survive k=3, bridge and tail edges peel; " +
       "driver and distributed paths agree bit-exactly") {
     import spark.implicits._

@@ -1570,4 +1570,56 @@ class QualitySpec extends SparkSpec {
     val s3 = out.find(_.getString(0) == "s3").get
     assert(s3.getAs[Long]("rank") == 3L && !s3.getAs[Boolean]("significant"))
   }
+
+  test("trimmedMean: exact rank trimming per group; a whale moves the " +
+      "raw mean but not the trimmed one") {
+    import spark.implicits._
+    // group g: values 1..10 (n=10, 10% trim drops rank 1 and rank 10)
+    val base = (1 to 10).map(i => ("g", i.toDouble)) :+ (("h", 5.0))
+    val out = Quality.trimmedMean(base.toDF("grp", "v"), "grp", "v", 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_trim_each"),
+          r.getAs[Long]("n_kept"), r.getAs[Double]("trimmed_mean"),
+          r.getAs[Double]("raw_mean")))).toMap
+    // kept 2..9: mean 5.5 (= raw mean here, symmetric data)
+    assert(out("g") == ((10L, 1L, 8L, 5.5, 5.5)))
+    assert(out("h") == ((1L, 0L, 1L, 5.0, 5.0)))
+    // add a whale: raw mean jumps, trimmed mean must not
+    val whale = base :+ (("g", 1e6))
+    val w = Quality.trimmedMean(whale.toDF("grp", "v"), "grp", "v", 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Double]("trimmed_mean"), r.getAs[Double]("raw_mean"))))
+      .toMap
+    // n=11, t=1: kept ranks 2..10 = values 2..10, mean 6.0
+    assert(w("g")._1 == 6.0)
+    assert(w("g")._2 > 90000.0) // the whale owns the raw mean
+  }
+
+  test("permutationTest: a decisive planted effect gets the minimal " +
+      "add-one p; a constant column cannot be significant") {
+    import spark.implicits._
+    // per-unit values: make the OBSERVED hashed arms differ hugely by
+    // constructing values FROM the arm assignment itself
+    val units = (0 until 400).map(_.toString)
+    def arm(u: String): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"px:$u".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 2 == 0
+    }
+    val planted = units.map(u => (u, if (arm(u)) 100.0 else 1.0))
+      .toDF("u", "v")
+    val out = Quality.permutationTest(planted, "u", "v", "px", 199)
+      .collect().head
+    // no hash replicate should reproduce an arm-aligned split: p = 1/200
+    assert(out.getAs[Long]("n_units") == 400L)
+    assert(out.getAs[Long]("p_micro") == 5000L)
+    assert(out.getAs[Boolean]("significant"))
+    // constant values: every replicate T is 0 micro = |T_obs| -> p = 1
+    val const = units.map(u => (u, 7.0)).toDF("u", "v")
+    val c = Quality.permutationTest(const, "u", "v", "px", 199)
+      .collect().head
+    assert(c.getAs[Long]("p_micro") == 1000000L)
+    assert(!c.getAs[Boolean]("significant"))
+  }
 }

@@ -242,4 +242,45 @@ class SamplingSpec extends SparkSpec {
     assert(out("small") == ((10000000L, 90L)))   // sqrt(100)=10 → 1e7 micro
     assert(out.values.map(_._2).sum <= 1000L)
   }
+
+  test("clusterCapSample: component-wide cap, lowest ids survive, " +
+      "singletons always kept") {
+    import spark.implicits._
+    // chain 1-2, 2-3 (one component {1,2,3} though 1~3 never paired) +
+    // pair {5,6}; docs 1..7 (4, 7 are singletons)
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val docs = (1L to 7L).toDF("doc_id")
+    val out = Sampling.clusterCapSample(docs, "doc_id", pairs,
+        "id_a", "id_b", 2)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("component"), r.getAs[Long]("rk"),
+          r.getAs[Boolean]("kept")))).toMap
+    assert(out(1L) == ((1L, 1L, true)))
+    assert(out(2L) == ((1L, 2L, true)))
+    assert(out(3L) == ((1L, 3L, false))) // transitive member capped out
+    assert(out(4L) == ((4L, 1L, true)))  // singleton survives
+    assert(out(5L) == ((5L, 1L, true)))
+    assert(out(6L) == ((5L, 2L, true)))
+    assert(out(7L) == ((7L, 1L, true)))
+  }
+
+  test("clusterAwareSplit: every member of a component gets the SAME " +
+      "split; buckets replay the salted component hash") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val docs = (1L to 7L).toDF("doc_id")
+    val out = Sampling.clusterAwareSplit(docs, "doc_id", pairs,
+        "id_a", "id_b", "cs1", 8000)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("component"), r.getAs[String]("split")))).toMap
+    // co-assignment: the whole component shares one split
+    assert(out(1L)._2 == out(2L)._2 && out(2L)._2 == out(3L)._2)
+    assert(out(5L)._2 == out(6L)._2)
+    // bucket is a pure function of the component label — replay one
+    val comp1 = out(1L)._1
+    val bucket1 = spark.range(1).select(
+      pmod(graft.functions.Hashing.h60(lit(s"cs1:$comp1")), lit(10000)))
+      .first().getLong(0)
+    assert((bucket1 < 8000) == (out(1L)._2 == "train"))
+  }
 }

@@ -217,6 +217,34 @@ class SimilaritySpec extends SparkSpec {
       s"recall ${banded.size}/${exact.size}: missing ${exact.keySet -- banded.keySet}")
   }
 
+  test("embLshIndexProbe equals the cross-batch slice of nearDupLshBanded " +
+      "on the union corpus (same banded recall, identical cosines)") {
+    val emb = graft.GraftSession.table(spark, "/root/testdata/sf0.01", "embeddings")
+    val idx = emb.filter(col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+    val (ib, iv) = Similarity.embLshIndexRelations(idx, "vec_id", "embedding",
+      planesPerBand = 6, bands = 16, dim = 64)
+    val probe = Similarity.embLshIndexProbe(ib, iv, batch, "vec_id",
+        "embedding", 0.45, planesPerBand = 6, bands = 16, dim = 64)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("cos")).toMap
+    // the one-shot union run, restricted to cross-parity pairs (canonical
+    // a<b order covers both orientations: even<odd and odd<even)
+    val union = Similarity.nearDupLshBanded(emb, "vec_id", "embedding",
+        0.45, planesPerBand = 6, bands = 16, dim = 64)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("cos"))
+      .collect { case ((a, b), c) if a % 2 != b % 2 =>
+        (if (a % 2 == 0) (a, b) else (b, a)) -> c }
+      .toMap
+    graft.CacheScope.releaseAll()
+    assert(probe == union,
+      s"probe ${probe.size} pairs vs union cross-slice ${union.size}")
+    assert(probe.nonEmpty) // vacuous-equality guard
+  }
+
   test("knnIvf recall@5 >= 0.9 vs exact kNN on testdata (q31's parameters)") {
     // Gates ANN QUALITY, not just machinery: a quantizer/assignment change
     // that silently tanks recall turns this red even though q31 itself is

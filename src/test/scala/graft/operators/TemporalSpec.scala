@@ -748,4 +748,55 @@ class TemporalSpec extends SparkSpec {
       .collect().head
     assert(c.isNullAt(4) && c.isNullAt(5))
   }
+
+  test("neweyWestSe: iid-ish alternating series has inflation < 1 " +
+      "(negative lag-1 autocovariance); trending series inflates > 1") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // alternating high/low: strong NEGATIVE autocorrelation -> lrv < g0
+    val alt = (1 to 20).map(d =>
+      (ts(f"2024-01-$d%02d 09:00:00"), if (d % 2 == 0) 10.0 else 2.0))
+      .toDF("t", "v")
+    val a = Temporal.neweyWestSe(alt, "t", "v", 3).collect().head
+    assert(a.getAs[Long]("n_days") == 20L)
+    assert(a.getAs[Double]("mean") == 6.0)
+    assert(a.getAs[Double]("inflation") < 1.0)
+    assert(a.getAs[Double]("se_nw") < a.getAs[Double]("se_naive"))
+    // slow 2-day steps: positive autocorrelation -> se_nw > se_naive
+    val trend = (1 to 20).map(d =>
+      (ts(f"2024-01-$d%02d 09:00:00"), ((d + 1) / 2).toDouble))
+      .toDF("t", "v")
+    val b = Temporal.neweyWestSe(trend, "t", "v", 3).collect().head
+    assert(b.getAs[Double]("inflation") > 1.0)
+  }
+
+  test("runsTest: strict alternation maximizes runs (positive z); a " +
+      "monotone ramp is one run (negative z); hand counts replay") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val alt = (1 to 21).map(d =>
+      (ts(f"2024-01-$d%02d 09:00:00"), if (d % 2 == 0) 10.0 else 2.0))
+      .toDF("t", "v")
+    val a = Temporal.runsTest(alt, "t", "v").collect().head
+    // 20 diffs alternate in sign: 20 runs of length 1
+    assert(a.getAs[Long]("n_signs") == 20L)
+    assert(a.getAs[Long]("n_pos") == 10L && a.getAs[Long]("n_neg") == 10L)
+    assert(a.getAs[Long]("n_runs") == 20L)
+    assert(a.getAs[Double]("z") > 3.0)
+    assert(a.getAs[Long]("p_micro") < 50000L)
+    val ramp = (1 to 21).map(d =>
+      (ts(f"2024-01-$d%02d 09:00:00"), d.toDouble)).toDF("t", "v")
+    val r = Temporal.runsTest(ramp, "t", "v").collect().head
+    // all 20 diffs positive: n_neg = 0 -> degenerate, stats null
+    assert(r.getAs[Long]("n_runs") == 1L)
+    assert(r.isNullAt(5)) // z
+    // mixed: down-up-down ramp gives a hand-countable 3 runs
+    val mixed = Seq(5.0, 4.0, 3.0, 6.0, 9.0, 2.0, 1.0).zipWithIndex.map {
+      case (v, i) => (ts(f"2024-02-${i + 1}%02d 09:00:00"), v)
+    }.toDF("t", "v")
+    val m = Temporal.runsTest(mixed, "t", "v").collect().head
+    assert(m.getAs[Long]("n_signs") == 6L)
+    assert(m.getAs[Long]("n_pos") == 2L && m.getAs[Long]("n_neg") == 4L)
+    assert(m.getAs[Long]("n_runs") == 3L)
+  }
 }
