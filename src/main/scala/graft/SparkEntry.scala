@@ -134,6 +134,33 @@ object SparkEntry {
       ORDER BY id_a, id_b"""
   }
 
+  /** DuckDB CTE producing the exact quantized-cosine top-`k` per query
+    * (vec_id < 10) over the FIRST `dims` dimensions — `name` is the CTE
+    * emitted; used by the retrieval-eval oracles (q329/q330) to replay
+    * both the truncated "system" ranking and the full-dim "relevance"
+    * ranking from plain SQL (the q25/q256 slice convention).
+    */
+  private def cosTopKCte(name: String, dims: Int, k: Int): String = {
+    def qd(a: String, b: String): String =
+      s"list_aggregate(list_transform(range(1, $dims + 1), " +
+        s"i -> $a[i] * $b[i]), 'sum')"
+    s"""${name}_q AS (SELECT vec_id AS query_id,
+          list_transform(list_slice(embedding, 1, $dims),
+            x -> round(CAST(x AS DOUBLE) * 1e7)) AS qv
+        FROM embeddings WHERE vec_id < 10),
+      ${name}_c AS (SELECT vec_id AS id,
+          list_transform(list_slice(embedding, 1, $dims),
+            x -> round(CAST(x AS DOUBLE) * 1e7)) AS cv
+        FROM embeddings),
+      $name AS (SELECT query_id, id, cos FROM (
+          SELECT query_id, id,
+            ${qd("qv", "cv")} / SQRT(${qd("qv", "qv")} * ${qd("cv", "cv")})
+              AS cos
+          FROM ${name}_q JOIN ${name}_c ON query_id <> id)
+        QUALIFY row_number() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, id) <= $k)"""
+  }
+
   /** DuckDB replay of the q64 multi-signal edge set: exact word-3-gram
     * Jaccard pairs at `minJac` (text signal — LSH-candidates + exact
     * confirm ≡ the exact join at full recall, as q55's oracle relies on)
@@ -10892,6 +10919,432 @@ object SparkEntry {
         SELECT doc_id, component, bucket,
           CASE WHEN bucket < 8000 THEN 'train' ELSE 'val' END AS split
         FROM bk ORDER BY doc_id""")),
+
+    // nDCG@10 of the 16-dim Matryoshka-truncated ranking against full-
+    // 64-dim graded relevance — the graded retrieval metric MRR (q202,
+    // binary) cannot give; grades are cosine buckets, the judgment pool
+    // is the exact top-10.
+    "q329_ndcg" -> Q(
+      (s, dir) => {
+        val emb = graft.CacheScope.register(t(s, dir, "embeddings"))
+        val q16 = emb.select(col("vec_id"),
+          slice(col("embedding"), 1, 16).as("embedding"))
+        val ranked = Similarity.knnExactAgg(q16,
+            q16.filter(col("vec_id") < 10), "vec_id", "embedding", 10)
+          .select(col("query_id"), col("id"), col("cos").as("score"))
+        val graded = Similarity.knnExactAgg(emb,
+            emb.filter(col("vec_id") < 10), "vec_id", "embedding", 10)
+          .select(col("query_id"), col("id"),
+            greatest(lit(0L), least(lit(3L),
+              floor((col("cos") - lit(0.25)) * lit(10.0)).cast("long")))
+              .as("rel"))
+        Similarity.ndcgAtK(ranked, graded, 10)
+      },
+      Some(s"""WITH ${cosTopKCte("trunc16", 16, 10)},
+          ${cosTopKCte("full64", 64, 10)},
+        sys AS (SELECT query_id, id, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, id) AS pos
+          FROM trunc16),
+        g AS (SELECT query_id, id,
+            greatest(0, least(3, CAST(floor((cos - 0.25) * 10.0)
+              AS BIGINT))) AS rel
+          FROM full64),
+        dcg AS (SELECT s.query_id, CAST(SUM(CAST(round(
+              (pow(2.0, COALESCE(rel, 0)) - 1.0)
+                / (ln(pos + 1.0) / ln(2.0)) * 1e6) AS BIGINT)) AS BIGINT)
+              AS dcg_micro
+          FROM sys s LEFT JOIN g
+            ON s.query_id = g.query_id AND s.id = g.id
+          GROUP BY 1),
+        ideal AS (SELECT query_id, rel, row_number() OVER (
+            PARTITION BY query_id ORDER BY rel DESC, id) AS pos FROM g),
+        idcg AS (SELECT query_id, CAST(SUM(CAST(round(
+              (pow(2.0, rel) - 1.0) / (ln(pos + 1.0) / ln(2.0)) * 1e6)
+              AS BIGINT)) AS BIGINT) AS idcg_micro
+          FROM ideal WHERE pos <= 10 GROUP BY 1)
+        SELECT COALESCE(dcg.query_id, idcg.query_id) AS query_id,
+          CAST(10 AS BIGINT) AS k,
+          COALESCE(dcg_micro, 0) AS dcg_micro,
+          COALESCE(idcg_micro, 0) AS idcg_micro,
+          CASE WHEN COALESCE(idcg_micro, 0) > 0 THEN
+            CAST(COALESCE(dcg_micro, 0) AS DOUBLE)
+              / CAST(idcg_micro AS DOUBLE) END AS ndcg
+        FROM dcg FULL OUTER JOIN idcg ON dcg.query_id = idcg.query_id
+        ORDER BY query_id""")),
+
+    // Rank-biased overlap (p = 0.9) between the 16-dim truncated and
+    // full-dim top-10 rankings — the top-weighted "how different are
+    // these two retrievers" companion to q329's quality readout.
+    "q330_rbo" -> Q(
+      (s, dir) => {
+        val emb = graft.CacheScope.register(t(s, dir, "embeddings"))
+        val q16 = emb.select(col("vec_id"),
+          slice(col("embedding"), 1, 16).as("embedding"))
+        def ranking(c: org.apache.spark.sql.DataFrame) =
+          Similarity.knnExactAgg(c, c.filter(col("vec_id") < 10),
+              "vec_id", "embedding", 10)
+            .select(col("query_id"), col("id"), col("cos").as("score"))
+        Similarity.rboAtK(ranking(q16), ranking(emb), 10, 900000L)
+      },
+      Some {
+        // print the Scala-computed constants so both engines use the
+        // SAME IEEE doubles (1.0 - 0.9 is NOT 0.1 in binary64)
+        val p = 900000L.toDouble / 1e6
+        val oneMinusP = 1.0 - p
+        s"""WITH ${cosTopKCte("trunc16", 16, 10)},
+          ${cosTopKCte("full64", 64, 10)},
+        ra AS (SELECT query_id, id, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, id) AS ra
+          FROM trunc16),
+        rb AS (SELECT query_id, id, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, id) AS rb
+          FROM full64),
+        pr AS (SELECT ra.query_id, greatest(ra.ra, rb.rb) AS rmax
+          FROM ra JOIN rb ON ra.query_id = rb.query_id AND ra.id = rb.id),
+        t AS (SELECT query_id, d, CAST(COUNT(*) AS BIGINT) AS overlap
+          FROM pr CROSS JOIN range(1, 11) r(d) WHERE rmax <= d
+          GROUP BY 1, 2),
+        tm AS (SELECT query_id,
+            CAST(SUM(CAST(round($oneMinusP * pow($p, d - 1.0)
+              * overlap / d * 1e6) AS BIGINT)) AS BIGINT) AS rbo_micro,
+            CAST(MAX(CASE WHEN d = 10 THEN overlap END) AS BIGINT)
+              AS n_overlap
+          FROM t GROUP BY 1),
+        qs AS (SELECT DISTINCT vec_id AS query_id FROM embeddings
+          WHERE vec_id < 10)
+        SELECT query_id, CAST(10 AS BIGINT) AS k,
+          COALESCE(n_overlap, 0) AS n_overlap,
+          COALESCE(rbo_micro, 0) AS rbo_micro
+        FROM qs LEFT JOIN tm USING (query_id) ORDER BY query_id"""
+      }),
+
+    // Fleiss' kappa over three heuristic quality raters per document —
+    // multi-rater chance-corrected agreement (q167's Cohen kappa is
+    // two-rater only); raters are deterministic qualityFeatures
+    // thresholds, so the panel replays in SQL.
+    "q331_fleiss_kappa" -> Q(
+      (s, dir) => {
+        val f = TextOps.qualityFeatures(t(s, dir, "documents"),
+          "doc_id", "text")
+        val votes = f.select(col("doc_id"), explode(array(
+          (coalesce(col("n_tokens"), lit(0)) >= 50).cast("string"),
+          (coalesce(col("stopword_ratio_micro"), lit(0L)) >= 250000L)
+            .cast("string"),
+          (coalesce(col("punct_ratio_micro"), lit(0L)) <= 60000L)
+            .cast("string"))).as("vote"))
+        Quality.fleissKappa(votes, "doc_id", "vote")
+      },
+      Some(s"""WITH ${qualityMicroSql("doc_id")},
+        votes AS (
+          SELECT doc_id, CAST(COALESCE(n_tokens, 0) >= 50 AS VARCHAR)
+            AS vote FROM __qm
+          UNION ALL SELECT doc_id,
+            CAST(COALESCE(stopword_ratio_micro, 0) >= 250000 AS VARCHAR)
+            FROM __qm
+          UNION ALL SELECT doc_id,
+            CAST(COALESCE(punct_ratio_micro, 0) <= 60000 AS VARCHAR)
+            FROM __qm),
+        cells AS (SELECT doc_id AS s, vote AS c,
+            CAST(COUNT(*) AS BIGINT) AS nic
+          FROM votes GROUP BY 1, 2),
+        per AS (SELECT s, CAST(SUM(nic) AS BIGINT) AS m,
+            SUM(CAST(nic AS HUGEINT) * (nic - 1)) AS agree
+          FROM cells GROUP BY 1),
+        subj AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_subjects,
+            CAST(MIN(m) AS BIGINT) AS m_min,
+            CAST(MAX(m) AS BIGINT) AS m_max,
+            SUM(agree) AS agree_sum
+          FROM per),
+        ct AS (SELECT SUM(CAST(tc AS HUGEINT) * tc) AS tc2_sum FROM (
+          SELECT c, CAST(SUM(nic) AS BIGINT) AS tc FROM cells GROUP BY 1)),
+        fin AS (SELECT n_subjects, m_max AS m_raters,
+            m_min = m_max AS balanced,
+            CASE WHEN m_min = m_max AND m_max >= 2 THEN
+              CAST(agree_sum AS DOUBLE) / (CAST(n_subjects AS DOUBLE)
+                * CAST(m_max AS DOUBLE) * (CAST(m_max AS DOUBLE) - 1.0))
+              END AS p_bar,
+            CASE WHEN m_min = m_max AND m_max >= 2 THEN
+              CAST(tc2_sum AS DOUBLE)
+                / ((CAST(n_subjects AS DOUBLE) * CAST(m_max AS DOUBLE))
+                  * (CAST(n_subjects AS DOUBLE) * CAST(m_max AS DOUBLE)))
+              END AS p_e
+          FROM subj, ct)
+        SELECT n_subjects, m_raters, p_bar, p_e,
+          CASE WHEN p_e IS NOT NULL AND p_e < 1.0
+            THEN (p_bar - p_e) / (1.0 - p_e) END AS kappa,
+          balanced
+        FROM fin""")),
+
+    // KMV (k-minimum-values) distinct sketch per event type, k = 32 —
+    // the distinct estimator whose VALUE replays in the oracle (HLL's
+    // registers are engine-private; q46/q231 can only bound): bottom-k
+    // of seeded h60 hashes, Bar-Yossef (k-1)*2^60 div h_(k).
+    "q332_kmv_distinct" -> Q(
+      (s, dir) => Sketches.kmvDistinct(t(s, dir, "events"), "event_type",
+        "user_id", 32, "kmv1"),
+      Some(s"""WITH h AS (SELECT DISTINCT event_type AS g,
+            ${graft.functions.Hashing.h60Sql(
+              "'kmv1:' || CAST(user_id AS VARCHAR)")} AS h
+          FROM events
+          WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+        ex AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+          FROM h GROUP BY 1),
+        kth AS (SELECT g, h AS kth_h FROM (
+            SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h)
+              AS rk FROM h) WHERE rk = 32),
+        est AS (SELECT ex.g, kth_h, exact_distinct,
+            CASE WHEN kth_h IS NOT NULL THEN
+              CAST((31 * CAST(1152921504606846976 AS HUGEINT)) // kth_h
+                AS BIGINT) END AS est_distinct
+          FROM ex LEFT JOIN kth USING (g))
+        SELECT g AS event_type, CAST(32 AS BIGINT) AS k, kth_h,
+          est_distinct, exact_distinct,
+          CASE WHEN est_distinct IS NOT NULL AND exact_distinct > 0 THEN
+            CAST((abs(est_distinct - exact_distinct) * 1000000)
+              // exact_distinct AS BIGINT) END AS rel_err_micro
+        FROM est ORDER BY event_type""")),
+
+    // Good-Turing frequency-of-frequencies over the document corpus —
+    // Turing-adjusted counts r* and the unseen-type mass share (the r=1
+    // row), the classical smoothing/coverage audit.
+    "q333_good_turing" -> Q(
+      (s, dir) => TextOps.goodTuring(t(s, dir, "documents"), "doc_id",
+        "text", 10),
+      Some("""WITH toks AS (SELECT unnest(string_split_regex(
+            lower(trim(text)), '\s+')) AS tok FROM documents),
+        tc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS r FROM toks
+          WHERE tok <> '' GROUP BY 1),
+        nr AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM tc
+          GROUP BY 1),
+        tot AS (SELECT CAST(SUM(r * n_r) AS BIGINT) AS n_tokens FROM nr),
+        spine AS (SELECT CAST(unnest(range(1, 11)) AS BIGINT) AS r)
+        SELECT spine.r, COALESCE(a.n_r, 0) AS n_r,
+          COALESCE(b.n_r, 0) AS n_r_next,
+          CASE WHEN a.n_r > 0 AND b.n_r > 0 THEN
+            ((spine.r + 1) * b.n_r * 1000000) // a.n_r END AS r_star_micro,
+          CASE WHEN a.n_r > 0 AND n_tokens > 0 THEN
+            (spine.r * a.n_r * 1000000) // n_tokens END AS mass_share_micro
+        FROM spine LEFT JOIN nr a ON a.r = spine.r
+        LEFT JOIN nr b ON b.r = spine.r + 1, tot
+        ORDER BY spine.r""")),
+
+    // Segmented (interrupted-time-series) regression at the known
+    // 1998-01-01 cut (mid-range of the orders calendar): pre/post OLS
+    // on daily revenue, level jump and slope bend at the cut — q299
+    // FINDS a break, this QUANTIFIES a given one.
+    "q334_segmented_regression" -> Q(
+      (s, dir) => Temporal.segmentedRegression(t(s, dir, "orders"),
+        "o_orderdate", "o_totalprice", "1998-01-01"),
+      Some("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS dy,
+            CAST(SUM(CAST(round(o_totalprice * 1e6) AS BIGINT)) AS BIGINT)
+              AS y
+          FROM orders
+          WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+          GROUP BY 1),
+        xy AS (SELECT CAST(dy - DATE '1998-01-01' AS BIGINT) AS x, y
+          FROM daily),
+        m AS (SELECT x >= 0 AS post, CAST(COUNT(*) AS BIGINT) AS n,
+            SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+            SUM(CAST(x AS HUGEINT) * x) AS sxx,
+            SUM(CAST(x AS HUGEINT) * y) AS sxy
+          FROM xy GROUP BY 1),
+        f AS (SELECT post, n,
+            CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx,
+            CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+            CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+          FROM m),
+        ff AS (SELECT post, n,
+            CASE WHEN n >= 2 AND varx <> 0.0
+              THEN (cov / varx) / 1e6 END AS slope,
+            CASE WHEN n >= 2 AND varx <> 0.0
+              THEN ((syd - (cov / varx) * sxd) / CAST(n AS DOUBLE)) / 1e6
+              END AS lvl
+          FROM f),
+        a AS (SELECT n AS n_pre, slope AS slope_pre,
+            lvl AS level_pre_at_cut FROM ff WHERE NOT post),
+        b AS (SELECT n AS n_post, slope AS slope_post,
+            lvl AS level_post_at_cut FROM ff WHERE post)
+        SELECT n_pre, n_post, slope_pre, slope_post,
+          level_pre_at_cut, level_post_at_cut,
+          level_post_at_cut - level_pre_at_cut AS level_change,
+          slope_post - slope_pre AS slope_change
+        FROM a, b""")),
+
+    // Krippendorff's alpha over each user's event-value classes —
+    // chance-corrected intra-unit agreement that accepts UNBALANCED
+    // panels (users have different event counts; q331's Fleiss cannot).
+    "q335_krippendorff_alpha" -> Q(
+      (s, dir) => Quality.krippendorffAlpha(
+        t(s, dir, "events")
+          .filter(col("user_id").isNotNull && col("value").isNotNull)
+          .select(col("user_id"),
+            (col("value") >= 1.0).cast("string").as("cat")),
+        "user_id", "cat"),
+      Some("""WITH votes AS (SELECT user_id AS s,
+            CAST(value >= 1.0 AS VARCHAR) AS c
+          FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        cells AS (SELECT s, c, CAST(COUNT(*) AS BIGINT) AS nuc
+          FROM votes GROUP BY 1, 2),
+        mu AS (SELECT s, CAST(SUM(nuc) AS BIGINT) AS mu
+          FROM cells GROUP BY 1),
+        wm AS (SELECT cells.s, c, nuc, mu
+          FROM cells JOIN mu USING (s) WHERE mu >= 2),
+        do_ AS (SELECT CAST(SUM(CAST(round(CAST(nuc AS DOUBLE)
+              * (CAST(mu AS DOUBLE) - CAST(nuc AS DOUBLE))
+              / (CAST(mu AS DOUBLE) - 1.0) * 1e6) AS BIGINT)) AS BIGINT)
+              AS d_o_micro,
+            CAST(COUNT(DISTINCT s) AS BIGINT) AS n_units,
+            CAST(SUM(nuc) AS BIGINT) AS n_values
+          FROM wm),
+        mg AS (SELECT c, CAST(SUM(nuc) AS BIGINT) AS nc
+          FROM wm GROUP BY 1),
+        nn AS (SELECT CAST(SUM(nc) AS BIGINT) AS n FROM mg),
+        de AS (SELECT CAST(SUM(CAST(nc AS HUGEINT) * (n - nc)) AS BIGINT)
+            AS d_e FROM mg, nn)
+        SELECT n_units, n_values, d_o_micro, d_e,
+          CASE WHEN d_e > 0 AND n_values >= 2 THEN
+            1.0 - (CAST(n_values AS DOUBLE) - 1.0)
+              * CAST(d_o_micro AS DOUBLE) / 1e6 / CAST(d_e AS DOUBLE)
+            END AS alpha
+        FROM do_, de""")),
+
+    // Cliff's delta between the two document sources' length
+    // distributions — the ordinal effect size q234's U test lacks a
+    // magnitude for; derived exactly from the same rank integers.
+    "q336_cliffs_delta" -> Q(
+      (s, dir) => Quality.cliffsDelta(t(s, dir, "documents"),
+        "source", "n_chars", "src0", "src1"),
+      Some("""WITH base AS (SELECT source AS g, n_chars AS v FROM documents
+            WHERE source IN ('src0', 'src1') AND n_chars IS NOT NULL),
+          grid AS (SELECT v,
+            COUNT(*) FILTER (WHERE g = 'src0') AS na,
+            COUNT(*) FILTER (WHERE g = 'src1') AS nb
+            FROM base GROUP BY v),
+          cum AS (SELECT v, na, nb,
+            SUM(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW) - nb AS blt
+            FROM grid),
+          agg AS (SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+            CAST(SUM(nb) AS BIGINT) AS n_b,
+            CAST(SUM(na * (blt * 2 + nb)) AS BIGINT) AS u2_a
+            FROM cum),
+          fin AS (SELECT n_a, n_b, u2_a,
+            CASE WHEN n_a > 0 AND n_b > 0 THEN
+              (CAST(u2_a AS DOUBLE)
+                - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+              / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) END AS delta
+            FROM agg)
+        SELECT 'src0' AS group_a, 'src1' AS group_b, n_a, n_b, u2_a,
+          delta,
+          CASE WHEN delta IS NULL THEN NULL
+            WHEN abs(delta) < 0.147 THEN 'negligible'
+            WHEN abs(delta) < 0.33 THEN 'small'
+            WHEN abs(delta) < 0.474 THEN 'medium'
+            ELSE 'large' END AS magnitude
+        FROM fin""")),
+
+    // Restricted mean survival time at tau = 14 days over q179's
+    // view-to-purchase subjects — the area under the KM curve, the
+    // one-number survival summary (median survival may not exist).
+    "q337_rmst" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("v0"))
+        val buys = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("pt"))
+        val firstBuy = views.join(buys, Seq("user_id"), "left")
+          .groupBy("user_id", "v0")
+          .agg(min(when(col("pt") >= col("v0"), col("pt"))).as("p1"))
+        val mx = ev.agg(max(col("ts")).as("m"))
+        val subjects = firstBuy.crossJoin(broadcast(mx))
+          .select(
+            when(col("p1").isNotNull,
+              datediff(col("p1").cast("date"), col("v0").cast("date")))
+              .otherwise(
+                datediff(col("m").cast("date"), col("v0").cast("date")))
+              .as("dur"),
+            col("p1").isNotNull.as("ev"))
+        Temporal.rmst(subjects, "dur", "ev", tau = 14L)
+      },
+      Some("""WITH v AS (SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS v0
+              FROM events WHERE event_type = 'view' GROUP BY 1),
+        b AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS pt FROM events
+              WHERE event_type = 'purchase'),
+        s0 AS (SELECT v.user_id, v.v0,
+            MIN(CASE WHEN b.pt >= v.v0 THEN b.pt END) AS p1
+          FROM v LEFT JOIN b ON b.user_id = v.user_id GROUP BY 1, 2),
+        mx AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS m FROM events),
+        subj AS (SELECT CASE WHEN p1 IS NOT NULL
+              THEN date_diff('day', CAST(v0 AS DATE), CAST(p1 AS DATE))
+              ELSE date_diff('day', CAST(v0 AS DATE),
+                CAST((SELECT m FROM mx) AS DATE)) END AS t,
+            p1 IS NOT NULL AS e FROM s0),
+        grid AS (SELECT t, SUM(CASE WHEN e THEN 1 ELSE 0 END) AS d_event,
+            SUM(CASE WHEN e THEN 0 ELSE 1 END) AS d_censored
+          FROM subj GROUP BY 1),
+        tot AS (SELECT SUM(d_event + d_censored) AS n FROM grid),
+        risked AS (SELECT t, d_event,
+            (SELECT n FROM tot) - COALESCE(SUM(d_event + d_censored)
+              OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING), 0) AS n_risk
+          FROM grid),
+        terms AS (SELECT t,
+            CASE WHEN d_event > 0 THEN
+              CASE WHEN n_risk - d_event > 0 THEN
+                CAST(round(ln(n_risk - d_event) * 1e6) AS BIGINT)
+                  - CAST(round(ln(n_risk) * 1e6) AS BIGINT)
+              ELSE -1000000000000 END
+            ELSE 0 END AS term FROM risked),
+        km AS (SELECT CAST(t AS BIGINT) AS t,
+            CAST(SUM(term) OVER (ORDER BY t) AS BIGINT) AS ls FROM terms),
+        seg AS (SELECT t,
+            COALESCE(lead(t) OVER (ORDER BY t), 14) AS next_t,
+            CAST(round(EXP(CAST(ls AS DOUBLE) / 1e6) * 1e6) AS BIGINT)
+              AS s_micro
+          FROM km),
+        tl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_intervals,
+            CAST(COALESCE(SUM(s_micro * greatest(0,
+              least(next_t, 14) - least(t, 14))), 0) AS BIGINT)
+              AS tail_micro
+          FROM seg),
+        hd AS (SELECT least(COALESCE(MIN(t), 14), 14) * 1000000
+            AS head_micro FROM km)
+        SELECT CAST(14 AS BIGINT) AS tau, n_intervals,
+          CAST(head_micro + tail_micro AS BIGINT) AS rmst_micro_days,
+          CAST(CAST(head_micro + tail_micro AS BIGINT) AS DOUBLE) / 1e6
+            AS rmst_days
+        FROM tl, hd""")),
+
+    // Gries' DP dispersion of the 25 most frequent tokens across the
+    // document sources — "spread or clumped", the mixture-audit signal
+    // raw frequency cannot see.
+    "q338_token_dispersion" -> Q(
+      (s, dir) => TextOps.tokenDispersion(t(s, dir, "documents"),
+        "source", "text", 25),
+      Some("""WITH toks AS (SELECT source AS part, unnest(
+            string_split_regex(lower(trim(text)), '\s+')) AS tok
+          FROM documents WHERE source IS NOT NULL),
+        cells AS (SELECT part, tok, CAST(COUNT(*) AS BIGINT) AS c
+          FROM toks WHERE tok <> '' GROUP BY 1, 2),
+        pt AS (SELECT part, CAST(SUM(c) AS BIGINT) AS pc
+          FROM cells GROUP BY 1),
+        corpus AS (SELECT CAST(SUM(pc) AS BIGINT) AS n,
+            CAST(COUNT(*) AS BIGINT) AS n_parts FROM pt),
+        tt AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS tc
+          FROM cells GROUP BY 1),
+        top AS (SELECT tok, tc FROM tt ORDER BY tc DESC, tok LIMIT 25),
+        grid AS (SELECT top.tok, top.tc, corpus.n_parts,
+            abs((COALESCE(cells.c, 0) * 1000000) // top.tc
+              - (pt.pc * 1000000) // corpus.n) AS absdiff
+          FROM top CROSS JOIN pt CROSS JOIN corpus
+          LEFT JOIN cells ON cells.tok = top.tok AND cells.part = pt.part)
+        SELECT tok AS token, CAST(MAX(tc) AS BIGINT) AS n_total,
+          CAST(MAX(n_parts) AS BIGINT) AS n_parts,
+          CAST(SUM(absdiff) // 2 AS BIGINT) AS dp_micro
+        FROM grid GROUP BY 1 ORDER BY n_total DESC, token""")),
 
     // Growth accounting: the 1996-vs-1997 revenue waterfall by customer
     // lifecycle — new/expansion/contraction/churned contributions whose

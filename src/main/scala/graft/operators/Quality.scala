@@ -3187,6 +3187,145 @@ object Quality {
       .orderBy(desc("mi_micro_sum"), col("feature"))
   }
 
+  /** CLIFF'S DELTA — the ordinal effect size behind [[mannWhitneyU]]:
+    * δ = (#(a>b) − #(a<b)) / (n_a·n_b) ∈ [−1, 1], "how often does a
+    * random A observation beat a random B one", the magnitude readout
+    * the U test's p-value lacks (and the robust companion to q298's
+    * Cohen d — no variance, no normality). Derived EXACTLY from the
+    * U machinery's integers: δ = (2U_a − n_a·n_b)/(n_a·n_b) (2U_a
+    * counts wins twice and ties once, so subtracting the pair total
+    * leaves wins − losses). One pinned IEEE division; the standard
+    * |δ| bands (0.147/0.33/0.474 — Romano et al. 2006) label it.
+    *
+    * Output ONE row: (group_a, group_b, n_a, n_b, u2_a, delta,
+    * magnitude).
+    */
+  def cliffsDelta(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val u = mannWhitneyU(df, groupCol, valueCol, groupA, groupB)
+    val nab = col("n_a").cast("double") * col("n_b").cast("double")
+    val delta = (col("u2_a").cast("double") - nab) / nab
+    val ad = abs(delta)
+    u.select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+      col("u2_a"),
+      when(col("n_a") > 0 && col("n_b") > 0, delta).as("delta"),
+      when(col("n_a") > 0 && col("n_b") > 0,
+        when(ad < 0.147, lit("negligible"))
+          .when(ad < 0.33, lit("small"))
+          .when(ad < 0.474, lit("medium"))
+          .otherwise(lit("large"))).as("magnitude"))
+  }
+
+  /** KRIPPENDORFF'S ALPHA (nominal metric) — chance-corrected agreement
+    * that, unlike [[fleissKappa]], accepts UNBALANCED panels (units with
+    * different rater counts) and drops unpairable units (m_u < 2)
+    * instead of nulling out: α = 1 − (n−1)·D_o / D_e with
+    *
+    *   D_o = Σ_u Σ_c n_uc·(m_u − n_uc)/(m_u − 1),
+    *   D_e = Σ_c n_c·(n − n_c),
+    *
+    * n the pairable-value total and n_c the category margins. Each
+    * unit's D_o term is a pinned IEEE expression micro-rounded and
+    * summed as BIGINT (the chi2 per-cell scheme — unit-order-free);
+    * D_e is exact integer. Two aggregates over the (unit, category)
+    * grid; |categories|-row assembly.
+    *
+    * Output ONE row: (n_units, n_values, d_o_micro, d_e, alpha).
+    */
+  def krippendorffAlpha(df: DataFrame, subjectCol: String,
+      categoryCol: String): DataFrame = {
+    def d(c: Column) = c.cast("decimal(38,0)")
+    def dbl(c: Column) = c.cast("double")
+    val cells = graft.CacheScope.register(
+      df.filter(col(subjectCol).isNotNull && col(categoryCol).isNotNull)
+        .groupBy(col(subjectCol).as("s"),
+          col(categoryCol).cast("string").as("c"))
+        .agg(count(lit(1)).as("nuc")))
+    val withM = cells
+      .join(cells.groupBy("s").agg(sum("nuc").cast("long").as("mu")), "s")
+      .filter(col("mu") >= 2) // pairable units only
+    val dO = withM
+      .select(round(dbl(col("nuc")) * (dbl(col("mu")) - dbl(col("nuc"))) /
+          (dbl(col("mu")) - lit(1.0)) * 1e6).cast("long").as("term"),
+        col("s"), col("nuc"))
+      .agg(sum("term").cast("long").as("d_o_micro"),
+        countDistinct("s").cast("long").as("n_units"),
+        sum("nuc").cast("long").as("n_values"))
+    val margins = withM.groupBy("c").agg(sum("nuc").cast("long").as("nc"))
+    val dE = margins
+      .crossJoin(broadcast(
+        margins.agg(sum("nc").cast("long").as("n"))))
+      .agg(sum(d(col("nc")) * (d(col("n")) - d(col("nc"))))
+        .cast("decimal(38,0)").as("d_e"))
+    dO.crossJoin(broadcast(dE))
+      .select(col("n_units"), col("n_values"), col("d_o_micro"),
+        col("d_e").cast("long").as("d_e"),
+        when(col("d_e") > 0 && col("n_values") >= 2,
+          lit(1.0) - (dbl(col("n_values")) - lit(1.0)) *
+            col("d_o_micro").cast("double") / lit(1e6) /
+            col("d_e").cast("double")).as("alpha"))
+  }
+
+  /** FLEISS' KAPPA — chance-corrected agreement for m raters per
+    * subject (Fleiss 1971), the multi-rater generalization of q167's
+    * two-rater Cohen κ: the "do my independent quality signals agree
+    * beyond chance" audit when a labeling pipeline stacks several
+    * heuristic raters. Input is the long ratings relation (subject,
+    * category) with ONE ROW PER RATER-VOTE; m must be constant across
+    * subjects (`balanced` reports it, κ nulls when violated — unequal
+    * panels need Krippendorff, out of scope).
+    *
+    * Exact assembly: per-subject category counts n_ic are integers;
+    * P̄'s numerator Σᵢ Σ_c n_ic(n_ic−1) and P̄_e's numerator Σ_c T_c²
+    * (T_c the category column totals) are exact DECIMAL sums; κ is a
+    * three-division pinned IEEE chain over them. Two aggregates on the
+    * (subject, category) grid; everything after is |categories|-row.
+    *
+    * Output ONE row: (n_subjects, m_raters, p_bar, p_e, kappa,
+    * balanced).
+    */
+  def fleissKappa(df: DataFrame, subjectCol: String,
+      categoryCol: String): DataFrame = {
+    def d(c: Column) = c.cast("decimal(38,0)")
+    def dbl(c: Column) = c.cast("double")
+    val cells = graft.CacheScope.register(
+      df.filter(col(subjectCol).isNotNull && col(categoryCol).isNotNull)
+        .groupBy(col(subjectCol).as("s"),
+          col(categoryCol).cast("string").as("c"))
+        .agg(count(lit(1)).as("nic")))
+    val perSubject = cells.groupBy("s")
+      .agg(sum("nic").cast("long").as("m"),
+        sum(d(col("nic")) * (d(col("nic")) - 1)).cast("decimal(38,0)")
+          .as("agree"))
+    val subj = perSubject.agg(
+      count(lit(1)).cast("long").as("n_subjects"),
+      min("m").cast("long").as("m_min"),
+      max("m").cast("long").as("m_max"),
+      sum(col("agree")).cast("decimal(38,0)").as("agree_sum"))
+    val catTotals = cells.groupBy("c")
+      .agg(sum("nic").cast("long").as("tc"))
+      .agg(sum(d(col("tc")) * d(col("tc"))).cast("decimal(38,0)")
+        .as("tc2_sum"))
+    subj.crossJoin(broadcast(catTotals))
+      .select(col("n_subjects"), col("m_max").as("m_raters"),
+        col("agree_sum"), col("tc2_sum"),
+        (col("m_min") === col("m_max")).as("balanced"))
+      .withColumn("__nm",
+        dbl(col("n_subjects")) * dbl(col("m_raters")))
+      .withColumn("p_bar",
+        when(col("balanced") && col("m_raters") >= 2,
+          dbl(col("agree_sum")) / (dbl(col("n_subjects")) *
+            dbl(col("m_raters")) * (dbl(col("m_raters")) - lit(1.0)))))
+      .withColumn("p_e",
+        when(col("balanced") && col("m_raters") >= 2,
+          dbl(col("tc2_sum")) / (col("__nm") * col("__nm"))))
+      .select(col("n_subjects"), col("m_raters"), col("p_bar"), col("p_e"),
+        when(col("p_e").isNotNull && col("p_e") < 1.0,
+          (col("p_bar") - col("p_e")) / (lit(1.0) - col("p_e")))
+          .as("kappa"),
+        col("balanced"))
+  }
+
   /** SYMMETRIC TRIMMED MEAN per group — the robust location estimate
     * between the mean (trim 0) and the median (trim 50): drop the
     * lowest and highest t = (n·trimPct) div 100 observations BY EXACT

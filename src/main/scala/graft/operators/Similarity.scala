@@ -775,6 +775,106 @@ object Similarity {
       .filter(col("cos") >= minCos)
   }
 
+  /** nDCG@k of a system ranking against graded relevance — THE ranked-
+    * retrieval quality metric (binary-relevance MRR, q202, cannot see
+    * "found the right doc but below a mediocre one"). `ranked` is the
+    * system output (query_id, id, score — order by score desc, id);
+    * `graded` carries integer relevance grades (query_id, id, rel).
+    * DCG@k = Σ_{pos≤k} (2^rel − 1)/log₂(pos+1) over the system order;
+    * IDCG@k re-ranks `graded` by (rel desc, id) — the ideal. Items the
+    * grade relation doesn't cover grade 0 (the standard convention).
+    *
+    * Exactness: each position's term is one pinned IEEE expression over
+    * integer (rel, pos), micro-rounded and summed as BIGINT
+    * (position-order-free — the chi2 contribution scheme); nDCG is one
+    * final IEEE division. Windows partition by query over ≤k rows.
+    *
+    * Output per query: (query_id, k, dcg_micro, idcg_micro, ndcg).
+    */
+  def ndcgAtK(ranked: DataFrame, graded: DataFrame, k: Int): DataFrame = {
+    require(k >= 1)
+    def term(rel: Column, pos: Column): Column =
+      round((pow(lit(2.0), rel.cast("double")) - lit(1.0)) /
+        log(2.0, pos.cast("double") + lit(1.0)) * 1e6).cast("long")
+    val g = graded.select(col("query_id"), col("id"),
+      col("rel").cast("long").as("rel"))
+    val wSys = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("id"))
+    val sys = ranked
+      .withColumn("pos", row_number().over(wSys))
+      .filter(col("pos") <= k)
+      .join(g, Seq("query_id", "id"), "left")
+      .select(col("query_id"),
+        term(coalesce(col("rel"), lit(0L)), col("pos")).as("t"))
+      .groupBy("query_id")
+      .agg(sum("t").cast("long").as("dcg_micro"))
+    val wIdeal = Window.partitionBy("query_id")
+      .orderBy(col("rel").desc, col("id"))
+    val ideal = g
+      .withColumn("pos", row_number().over(wIdeal))
+      .filter(col("pos") <= k)
+      .select(col("query_id"), term(col("rel"), col("pos")).as("t"))
+      .groupBy("query_id")
+      .agg(sum("t").cast("long").as("idcg_micro"))
+    sys.join(ideal, Seq("query_id"), "full_outer")
+      .select(col("query_id"), lit(k.toLong).as("k"),
+        coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"),
+        coalesce(col("idcg_micro"), lit(0L)).as("idcg_micro"))
+      .withColumn("ndcg",
+        when(col("idcg_micro") > 0,
+          col("dcg_micro").cast("double") / col("idcg_micro").cast("double")))
+      .orderBy("query_id")
+  }
+
+  /** RANK-BIASED OVERLAP (Webber, Moffat & Zobel 2010) between two
+    * top-k rankings — "how similar are these two retrieval systems",
+    * top-weighted where plain set overlap is not: RBO_min@k =
+    * Σ_{d=1..k} (1−p)·p^(d−1)·|A₁..d ∩ B₁..d|/d. `a`/`b` are
+    * (query_id, id, score) ranked by (score desc, id); pMicro is the
+    * persistence parameter on the micro grid (900000 = 0.9).
+    *
+    * Mechanics: both lists rank via ≤k-row partitioned windows; the
+    * depth-d overlap is counted from the JOINED pair relation
+    * (overlap_d = #pairs with max(rank_a, rank_b) ≤ d — one k-way
+    * fan-out over a ≤k-row relation, never a d×join); each depth's term
+    * is a pinned IEEE expression micro-rounded and summed as BIGINT.
+    *
+    * Output per query: (query_id, k, n_overlap, rbo_micro).
+    */
+  def rboAtK(a: DataFrame, b: DataFrame, k: Int, pMicro: Long): DataFrame = {
+    require(k >= 1 && pMicro > 0 && pMicro < 1000000L)
+    val p = pMicro.toDouble / 1e6
+    def ranks(df: DataFrame, out: String): DataFrame = {
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("id"))
+      df.withColumn(out, row_number().over(w)).filter(col(out) <= k)
+        .select(col("query_id"), col("id"), col(out))
+    }
+    val pairs = ranks(a, "ra").join(ranks(b, "rb"), Seq("query_id", "id"))
+      .select(col("query_id"), greatest(col("ra"), col("rb")).as("rmax"))
+    val queries = a.select("query_id").distinct()
+    val terms = pairs
+      .select(col("query_id"),
+        explode(expr(s"sequence(${1}, $k)")).as("d"), col("rmax"))
+      .filter(col("rmax") <= col("d"))
+      .groupBy("query_id", "d")
+      .agg(count(lit(1)).as("overlap"))
+      .select(col("query_id"),
+        round(lit(1.0 - p) * pow(lit(p), col("d").cast("double") - 1.0) *
+          col("overlap").cast("double") / col("d").cast("double") * 1e6)
+          .cast("long").as("t"),
+        col("overlap"), col("d"))
+    val agg = terms.groupBy("query_id")
+      .agg(sum("t").cast("long").as("rbo_micro"),
+        max(when(col("d") === k, col("overlap"))).cast("long")
+          .as("n_overlap"))
+    queries.join(agg, Seq("query_id"), "left")
+      .select(col("query_id"), lit(k.toLong).as("k"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        coalesce(col("rbo_micro"), lit(0L)).as("rbo_micro"))
+      .orderBy("query_id")
+  }
+
   /** Persistable hyperplane-LSH INDEX for an embedding corpus — the
     * embedding-side analog of [[graft.operators.Dedup.lshIndexRelations]]
     * (r9 verdict #7): the BAND relation (id, band, bucket — `bands` rows

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sketch-based scale paths for aggregations whose exact forms need a
@@ -206,5 +207,50 @@ object Sketches {
         (abs(col("__est") - col("exact_7d")) * 20 <=
           col("exact_7d") + 200).as("bound_ok"))
       .orderBy("day")
+  }
+
+  /** KMV (k-minimum-values) DISTINCT-COUNT sketch with a VALUE-EXACT
+    * oracle — unlike HLL (whose register layout is engine-private, so
+    * q46/q231 can only gate an error BOUND), the KMV estimate is a pure
+    * function of the k smallest seeded-h60 hashes: both engines compute
+    * the identical bottom-k, so the estimate itself is replayable. The
+    * Bar-Yossef estimator on the integer grid: with hashes uniform in
+    * [0, 2^60), est = (k-1) * 2^60 div h_(k) — one truncating DECIMAL
+    * division. Mergeable by construction (union = bottom-k of the
+    * pooled hash sets), the same incremental-sketch license as q290.
+    *
+    * Scale shape: one distinct-hash grid per group (map-side combined),
+    * one partitioned rank window over it (the per-group grid is bounded
+    * by the distinct-key domain, never rows), one |groups|-row join to
+    * the exact counts it adjudicates against.
+    *
+    * Output per group: (group, k, kth_h, est_distinct, exact_distinct,
+    * rel_err_micro), ordered by group.
+    */
+  def kmvDistinct(df: DataFrame, groupCol: String, keyCol: String,
+      k: Int, salt: String): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2: $k")
+    val hashes = df.filter(col(groupCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        graft.functions.Hashing.h60(
+          concat(lit(s"$salt:"), col(keyCol).cast("string"))).as("h"))
+      .distinct()
+    val exact = hashes.groupBy("g").agg(count(lit(1)).cast("long")
+      .as("exact_distinct"))
+    val w = Window.partitionBy("g").orderBy("h")
+    val kth = hashes.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === k)
+      .select(col("g"), col("h").as("kth_h"))
+    exact.join(kth, Seq("g"), "left")
+      .select(col("g").as(groupCol), lit(k.toLong).as("k"), col("kth_h"),
+        when(col("kth_h").isNotNull, expr(
+          s"cast((cast(${k - 1} as decimal(38,0)) * 1152921504606846976)" +
+            " div kth_h as bigint)")).as("est_distinct"),
+        col("exact_distinct"))
+      .withColumn("rel_err_micro",
+        when(col("est_distinct").isNotNull && col("exact_distinct") > 0,
+          expr("(abs(est_distinct - exact_distinct) * 1000000L)" +
+            " div exact_distinct")))
+      .orderBy(groupCol)
   }
 }

@@ -471,6 +471,48 @@ object Temporal {
         sum(col("hazard_micro")).over(wInc).as("cum_hazard_micro"))
   }
 
+  /** RESTRICTED MEAN SURVIVAL TIME — the area under [[kaplanMeier]]'s
+    * curve up to horizon τ: "average days survived within the first τ",
+    * the single-number summary regulators and product reviews actually
+    * want from a survival curve (median survival is undefined when the
+    * curve never crosses 0.5; hazard ratios assume proportionality).
+    * RMST(τ) = ∫₀^τ S(t)dt = Σ step-intervals S(tᵢ)·(clip(tᵢ₊₁) −
+    * clip(tᵢ)) plus the leading [0, t₁) interval at S = 1.
+    *
+    * Exactness: S(tᵢ) = exp(log_surv_micro/1e6) is ONE libm exp per
+    * grid row, micro-rounded (both engines round the same libm exp of
+    * the same micro-log — the q89/q309 budget); each interval's
+    * contribution s_micro·days is exact BIGINT; the −∞ sentinel
+    * (extinct curve) exps to 0 and contributes nothing. One extra lead
+    * window over the duration grid.
+    *
+    * Output ONE row: (tau, n_intervals, rmst_micro_days, rmst_days).
+    */
+  def rmst(subjects: DataFrame, durCol: String, eventCol: String,
+      tau: Long): DataFrame = {
+    require(tau >= 1, s"tau must be >= 1: $tau")
+    val km = kaplanMeier(subjects, durCol, eventCol)
+    val w = Window.orderBy("t") // duration grid only (calendar-bounded)
+    val sMicro = round(exp(col("log_surv_micro").cast("double") / lit(1e6))
+      * 1e6).cast("long")
+    val segs = km
+      .withColumn("next_t", coalesce(lead("t", 1).over(w), lit(tau)))
+      .select(col("t"), col("next_t"), sMicro.as("s_micro"))
+      .withColumn("span",
+        greatest(lit(0L),
+          least(col("next_t"), lit(tau)) - least(col("t"), lit(tau))))
+      .withColumn("contrib", col("s_micro") * col("span"))
+    val head = km.agg(coalesce(min("t"), lit(tau)).as("t1"))
+      .select((least(col("t1"), lit(tau)) * lit(1000000L)).as("head_micro"))
+    segs.agg(count(lit(1)).cast("long").as("n_intervals"),
+        coalesce(sum("contrib"), lit(0L)).cast("long").as("tail_micro"))
+      .crossJoin(broadcast(head))
+      .select(lit(tau).as("tau"), col("n_intervals"),
+        (col("head_micro") + col("tail_micro")).as("rmst_micro_days"))
+      .withColumn("rmst_days",
+        col("rmst_micro_days").cast("double") / lit(1e6))
+  }
+
   /** LOG-RANK TEST between two groups' survival experiences (Mantel
     * 1966) — the hypothesis test the [[kaplanMeier]]/[[nelsonAalen]]
     * curves feed: at every event time, compare group A's OBSERVED events
@@ -1386,6 +1428,68 @@ object Temporal {
         greatest(lit(0.0), lit(1.0) - vr / vsr)).as("seasonal_strength"),
       when(col("n") >= 2 && vtr > 0,
         greatest(lit(0.0), lit(1.0) - vr / vtr)).as("trend_strength"))
+  }
+
+  /** SEGMENTED (interrupted-time-series) REGRESSION at a KNOWN cut
+    * date — "what did the launch DO": [[changepointSse]] finds a break,
+    * this quantifies a GIVEN one, the two-segment parameterization of
+    * the standard ITS model: independent OLS fits on the pre and post
+    * daily series, reporting the level change at the cut (post intercept
+    * at the cut minus the pre fit's prediction there — the immediate
+    * jump) and the slope change (the trend bend).
+    *
+    * Exact assembly: per-segment OLS moments (n, Σx, Σy, Σx², Σxy) as
+    * DECIMAL(38,0) over the observed daily micro sums with x = epoch
+    * day (the q132 moment machinery); slopes/intercepts/levels are one
+    * pinned IEEE chain per segment. One grouped aggregate (2 rows),
+    * broadcast assembly.
+    *
+    * Output ONE row: (n_pre, n_post, slope_pre, slope_post,
+    * level_pre_at_cut, level_post_at_cut, level_change, slope_change)
+    * in original units per day / original units.
+    */
+  def segmentedRegression(df: DataFrame, tsCol: String, valCol: String,
+      cutDate: String): DataFrame = {
+    def d(c: Column) = c.cast("decimal(38,0)")
+    def dbl(c: Column) = c.cast("double")
+    val day = col(tsCol).cast("date")
+    val daily = df.filter(col(tsCol).isNotNull && col(valCol).isNotNull)
+      .groupBy(day.as("dy"))
+      .agg(sum(round(col(valCol) * 1e6).cast("long")).cast("long").as("y"))
+      .select(datediff(col("dy"), lit(cutDate).cast("date"))
+        .cast("long").as("x"), col("y"))
+    val m = daily
+      .groupBy((col("x") >= 0).as("post"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(d(col("x"))).cast("decimal(38,0)").as("sx"),
+        sum(d(col("y"))).cast("decimal(38,0)").as("sy"),
+        sum(d(col("x")) * d(col("x"))).cast("decimal(38,0)").as("sxx"),
+        sum(d(col("x")) * d(col("y"))).cast("decimal(38,0)").as("sxy"))
+    def seg(post: Boolean, pfx: String) = m.filter(col("post") === post)
+      .select(col("n").as(s"${pfx}n"), col("sx").as(s"${pfx}sx"),
+        col("sy").as(s"${pfx}sy"), col("sxx").as(s"${pfx}sxx"),
+        col("sxy").as(s"${pfx}sxy"))
+    def fit(pfx: String): (Column, Column, Column) = {
+      val n = dbl(col(s"${pfx}n")); val sx = dbl(col(s"${pfx}sx"))
+      val sy = dbl(col(s"${pfx}sy")); val sxx = dbl(col(s"${pfx}sxx"))
+      val sxy = dbl(col(s"${pfx}sxy"))
+      val varx = n * sxx - sx * sx
+      val slope = (n * sxy - sx * sy) / varx
+      val intercept = (sy - slope * sx) / n // micro units at x = 0 (cut)
+      (when(col(s"${pfx}n") >= 2 && varx =!= 0.0, slope / lit(1e6)),
+        when(col(s"${pfx}n") >= 2 && varx =!= 0.0, intercept / lit(1e6)),
+        varx)
+    }
+    val joined = seg(post = false, "a_").crossJoin(broadcast(
+      seg(post = true, "b_")))
+    val (slopeA, levelA, _) = fit("a_")
+    val (slopeB, levelB, _) = fit("b_")
+    joined.select(col("a_n").as("n_pre"), col("b_n").as("n_post"),
+        slopeA.as("slope_pre"), slopeB.as("slope_post"),
+        levelA.as("level_pre_at_cut"), levelB.as("level_post_at_cut"))
+      .withColumn("level_change",
+        col("level_post_at_cut") - col("level_pre_at_cut"))
+      .withColumn("slope_change", col("slope_post") - col("slope_pre"))
   }
 
   /** NEWEY-WEST (HAC) STANDARD ERROR of the daily-series mean — the

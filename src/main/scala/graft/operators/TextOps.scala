@@ -1810,4 +1810,99 @@ object TextOps {
       .orderBy(desc("score_micro"), col("phrase"))
       .limit(topK)
   }
+
+  /** GRIES' DP TOKEN DISPERSION — "is this token spread across the
+    * corpus or bunched in one source": DP = ½·Σ_parts |v_p − s_p| with
+    * v_p the token's occurrence share in part p and s_p the part's
+    * share of all tokens (Gries 2008). DP ≈ 0 = evenly dispersed
+    * (function words), DP → 1 = clumped (topical/boilerplate) — the
+    * corpus-linguistics complement to raw frequency that a mixture
+    * audit reads before upweighting a source. Frequency alone cannot
+    * see it: two tokens with equal counts can sit at opposite ends.
+    *
+    * All-integer: both shares are truncating micro divisions off exact
+    * counts; each |diff| is BIGINT; DP sums per token then halves on
+    * the micro grid. The (token, part) grid is Σ_p vocab_p-bounded;
+    * output restricted to the `topK` most frequent tokens (ordered
+    * limit on the bounded vocabulary grid).
+    *
+    * Output: (token, n_total, n_parts, dp_micro), frequency-descending.
+    */
+  def tokenDispersion(docs: DataFrame, partCol: String, textCol: String,
+      topK: Int): DataFrame = {
+    require(topK >= 1)
+    val toks = graft.Parallelism.fanOut(
+        docs.select(col(partCol).as("part"), col(textCol)))
+      .filter(col("part").isNotNull)
+      .select(col("part"), explode(TextFns.tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+    val cells = graft.CacheScope.register(
+      toks.groupBy("part", "tok").agg(count(lit(1)).as("c")))
+    val partTotals = graft.CacheScope.register(
+      cells.groupBy("part").agg(sum("c").cast("long").as("pc")))
+    val corpus = partTotals.agg(sum("pc").cast("long").as("n"),
+      count(lit(1)).cast("long").as("n_parts"))
+    val tokTotals = cells.groupBy("tok")
+      .agg(sum("c").cast("long").as("tc"))
+    val top = graft.CacheScope.register(
+      tokTotals.orderBy(desc("tc"), col("tok")).limit(topK))
+    // dense (top-token × part) grid: absent cells are v_p = 0 and still
+    // contribute |0 − s_p| — a sparse join would understate DP
+    val grid = top.crossJoin(partTotals)
+      .join(cells.withColumnRenamed("c", "ctp"), Seq("tok", "part"), "left")
+      .crossJoin(broadcast(corpus))
+      .select(col("tok"), col("tc"), col("n_parts"),
+        (abs(expr("(coalesce(ctp, 0L) * 1000000L) div tc") -
+          expr("(pc * 1000000L) div n"))).as("absdiff"))
+    grid.groupBy("tok")
+      .agg(max("tc").cast("long").as("n_total"),
+        max("n_parts").cast("long").as("n_parts"),
+        sum("absdiff").cast("long").as("__sum"))
+      .select(col("tok").as("token"), col("n_total"), col("n_parts"),
+        expr("__sum div 2").as("dp_micro"))
+      .orderBy(desc("n_total"), col("token"))
+  }
+
+  /** GOOD-TURING frequency-of-frequencies table — the classical unseen-
+    * mass estimate every smoothed LM (and every "how much vocabulary is
+    * the crawl still missing" audit) starts from: N_r = #types seen
+    * exactly r times; the Turing-adjusted count r* = (r+1)·N_{r+1}/N_r,
+    * and the r = 1 row's mass share N_1/N IS the estimated probability
+    * of the next token being a brand-new type (Good 1953).
+    *
+    * All-integer: token counts → count-of-counts grid (two map-side-
+    * combined aggregates; the N_r grid is bounded by the max token
+    * frequency, never the vocabulary); r* and the mass share are
+    * truncating BIGINT micro divisions. A missing N_{r+1} nulls r*
+    * (the standard smoothing-handoff point).
+    *
+    * Output per r ∈ [1, maxR]: (r, n_r, n_r_next, r_star_micro,
+    * mass_share_micro), ordered by r.
+    */
+  def goodTuring(docs: DataFrame, idCol: String, textCol: String,
+      maxR: Int): DataFrame = {
+    require(maxR >= 1)
+    val toks = graft.Parallelism.fanOut(docs.select(col(textCol)))
+      .select(explode(TextFns.tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("r"))
+    val nr = graft.CacheScope.register(
+      counts.groupBy("r").agg(count(lit(1)).as("n_r")))
+    val tot = nr.agg(sum(col("r") * col("n_r")).cast("long").as("n_tokens"))
+    val spine = docs.sparkSession.range(1, maxR + 1).select(col("id").as("r"))
+    spine.join(nr, Seq("r"), "left")
+      .join(nr.select((col("r") - 1).as("r"), col("n_r").as("n_r_next")),
+        Seq("r"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("r"),
+        coalesce(col("n_r"), lit(0L)).as("n_r"),
+        coalesce(col("n_r_next"), lit(0L)).as("n_r_next"),
+        when(col("n_r") > 0 && col("n_r_next") > 0,
+          expr("((r + 1) * n_r_next * 1000000L) div n_r"))
+          .as("r_star_micro"),
+        when(col("n_r") > 0 && col("n_tokens") > 0,
+          expr("(r * n_r * 1000000L) div n_tokens"))
+          .as("mass_share_micro"))
+      .orderBy("r")
+  }
 }

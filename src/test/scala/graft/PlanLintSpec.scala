@@ -109,7 +109,15 @@ class PlanLintSpec extends SparkSpec {
     "q309_ess" -> "crossJoin against the broadcast 1-row max-log-weight aggregate (q110/q163 shape)",
     "q299_changepoint" -> "crossJoin against the broadcast 1-row total-moment aggregate over the calendar day grid (q169's shape)",
     "q324_newey_west" -> "crossJoins of broadcast 1-row total/gamma0/kernel-sum aggregates over the calendar day grid (q169's shape)",
-    "q326_permutation_test" -> "crossJoins of broadcast 1-row observed-statistic and exceedance-count aggregates (q110/q163 shape)")
+    "q326_permutation_test" -> "crossJoins of broadcast 1-row observed-statistic and exceedance-count aggregates (q110/q163 shape)",
+    "q329_ndcg" -> "knnExactAgg's broadcast bounded query set (q24's =!= shape) for both the truncated ranking and the relevance pool",
+    "q330_rbo" -> "knnExactAgg's broadcast bounded query set (q24's =!= shape) for both rankings",
+    "q331_fleiss_kappa" -> "crossJoin against the broadcast 1-row category-total aggregate (q110/q163 shape)",
+    "q333_good_turing" -> "crossJoin against the broadcast 1-row token-total aggregate (q110/q163 shape)",
+    "q334_segmented_regression" -> "crossJoin of the two broadcast 1-row segment-moment aggregates (q262's shape)",
+    "q335_krippendorff_alpha" -> "crossJoins of broadcast 1-row margin-total and D_e aggregates (q110/q163 shape)",
+    "q337_rmst" -> "q179's broadcast 1-row subject-total and max-ts aggregates + the broadcast 1-row head-interval aggregate",
+    "q338_token_dispersion" -> "dense grid: broadcast 25-row top-token set crossJoined with the |parts|-row totals (both bounded aggregates) + the 1-row corpus total")
 
   /** Queries allowed to plan a GLOBAL window (no partition columns, or a
     * constant partition) — each must window over a provably BOUNDED
@@ -159,7 +167,9 @@ class PlanLintSpec extends SparkSpec {
     "q317_ivf_recall_curve" -> "monotonicity lag window over the |probes|-row curve (5 rows by construction)",
     "q320_seasonal_strength" -> "q268's centered moving-average window over the calendar day grid (q169's calendar-bounded argument)",
     "q321_holm" -> "rank + running-max windows over the |segments|-row test grid (q271's bounded argument)",
-    "q325_runs_test" -> "lag windows over the calendar day grid (q169's calendar-bounded argument)")
+    "q325_runs_test" -> "lag windows over the calendar day grid (q169's calendar-bounded argument)",
+    "q336_cliffs_delta" -> "q234's cumulative window over the DISTINCT-value count grid (bounded-grid argument)",
+    "q337_rmst" -> "q179's prefix windows + one lead window over the duration-day grid (calendar-bounded argument)")
 
   test("no query plans a global window over an unbounded relation") {
     import org.apache.spark.sql.execution.SparkPlan

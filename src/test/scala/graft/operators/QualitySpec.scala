@@ -1622,4 +1622,91 @@ class QualitySpec extends SparkSpec {
     assert(c.getAs[Long]("p_micro") == 1000000L)
     assert(!c.getAs[Boolean]("significant"))
   }
+
+  test("fleissKappa: unanimous raters give kappa 1; an unbalanced panel " +
+      "reports balanced = false with null kappa") {
+    import spark.implicits._
+    // 4 subjects x 3 raters, all raters agree per subject, 2 categories
+    val unanimous = Seq(
+      (1L, "y"), (1L, "y"), (1L, "y"),
+      (2L, "n"), (2L, "n"), (2L, "n"),
+      (3L, "y"), (3L, "y"), (3L, "y"),
+      (4L, "n"), (4L, "n"), (4L, "n")).toDF("s", "c")
+    val u = Quality.fleissKappa(unanimous, "s", "c").collect().head
+    assert(u.getAs[Long]("n_subjects") == 4L)
+    assert(u.getAs[Long]("m_raters") == 3L)
+    assert(u.getAs[Boolean]("balanced"))
+    assert(u.getAs[Double]("p_bar") == 1.0)
+    assert(u.getAs[Double]("kappa") == 1.0)
+    // drop one vote: panel no longer constant-m
+    val unbalanced = unanimous.limit(11)
+    val b = Quality.fleissKappa(unbalanced, "s", "c").collect().head
+    assert(!b.getAs[Boolean]("balanced"))
+    assert(b.isNullAt(4)) // kappa
+  }
+
+  test("kmvDistinct: estimate replays from the k-th smallest hash and " +
+      "lands near the exact count; small groups report null estimate") {
+    import spark.implicits._
+    val rows = (0 until 2000).map(i => ("big", s"u$i")) ++
+      (0 until 5).map(i => ("tiny", s"t$i"))
+    val out = graft.operators.Sketches.kmvDistinct(
+        rows.toDF("g", "u"), "g", "u", 32, "kt")
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.getAs[java.lang.Long]("est_distinct")),
+          r.getAs[Long]("exact_distinct"),
+          Option(r.getAs[java.lang.Long]("kth_h"))))).toMap
+    val (estB, exactB, kthB) = out("big")
+    assert(exactB == 2000L)
+    // replay the estimator from the reported kth hash
+    assert(estB.get ==
+      (BigInt(31) * BigInt(2).pow(60) / BigInt(kthB.get)).toLong)
+    // KMV rse ~ 1/sqrt(k-1) ~ 18%; allow 3x that
+    assert(math.abs(estB.get - 2000L) < 2000 * 0.54,
+      s"KMV estimate ${estB.get} too far from 2000")
+    // tiny group: fewer than k distinct keys -> no kth hash, null est
+    assert(out("tiny")._1.isEmpty && out("tiny")._2 == 5L)
+  }
+
+  test("cliffsDelta: all-A-above-B gives delta 1 (large); identical " +
+      "distributions give 0 (negligible)") {
+    import spark.implicits._
+    val sep = (1 to 5).map(i => ("A", 100L + i)) ++
+      (1 to 5).map(i => ("B", i.toLong))
+    val d1 = Quality.cliffsDelta(sep.toDF("g", "v"), "g", "v", "A", "B")
+      .collect().head
+    assert(d1.getAs[Double]("delta") == 1.0)
+    assert(d1.getAs[String]("magnitude") == "large")
+    val same = (1 to 5).flatMap(i => Seq(("A", i.toLong), ("B", i.toLong)))
+    val d0 = Quality.cliffsDelta(same.toDF("g", "v"), "g", "v", "A", "B")
+      .collect().head
+    assert(d0.getAs[Double]("delta") == 0.0)
+    assert(d0.getAs[String]("magnitude") == "negligible")
+  }
+
+  test("krippendorffAlpha: perfect within-unit agreement on an " +
+      "UNBALANCED panel gives alpha 1; singleton units drop out") {
+    import spark.implicits._
+    // units with 2, 3, and 4 votes (all internally unanimous) + one
+    // unpairable singleton that must not count
+    val votes = Seq(
+      (1L, "x"), (1L, "x"),
+      (2L, "y"), (2L, "y"), (2L, "y"),
+      (3L, "x"), (3L, "x"), (3L, "x"), (3L, "x"),
+      (9L, "x")).toDF("s", "c")
+    val out = Quality.krippendorffAlpha(votes, "s", "c").collect().head
+    assert(out.getAs[Long]("n_units") == 3L)
+    assert(out.getAs[Long]("n_values") == 9L)
+    assert(out.getAs[Long]("d_o_micro") == 0L)
+    assert(out.getAs[Double]("alpha") == 1.0)
+    // hand case: unit {x,y} (m=2) + unit {x,x} (m=2): D_o terms =
+    // 1*(2-1)/1 * 2 rows = 2e6 micro for the mixed unit, 0 for the pure
+    val mixed = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "x"))
+      .toDF("s", "c")
+    val m = Quality.krippendorffAlpha(mixed, "s", "c").collect().head
+    // n=4, margins x=3, y=1 -> D_e = 3*1 + 1*3 = 6; D_o = 2.0
+    assert(m.getAs[Long]("d_o_micro") == 2000000L)
+    assert(m.getAs[Long]("d_e") == 6L)
+    assert(m.getAs[Double]("alpha") == 1.0 - 3.0 * 2.0 / 6.0)
+  }
 }

@@ -628,4 +628,47 @@ class SimilaritySpec extends SparkSpec {
     assert(rec.sorted.toSeq == rec.toSeq) // truly non-decreasing
     assert(rec.last == 1000000L)
   }
+
+  test("ndcgAtK: hand-computed DCG/IDCG on a tiny ranking; perfect " +
+      "ranking scores 1") {
+    import spark.implicits._
+    // system ranks ids 1,2,3 (score desc); grades: id2=3, id1=1, id3=0
+    val ranked = Seq((1L, 1L, 0.9), (1L, 2L, 0.8), (1L, 3L, 0.7))
+      .toDF("query_id", "id", "score")
+    val graded = Seq((1L, 1L, 1L), (1L, 2L, 3L), (1L, 3L, 0L))
+      .toDF("query_id", "id", "rel")
+    val out = Similarity.ndcgAtK(ranked, graded, 3).collect().head
+    // DCG = (2^1-1)/log2(2) + (2^3-1)/log2(3) + 0 = 1 + 7/1.58496...
+    val dcg = math.round((math.pow(2, 1) - 1) / (math.log(2) / math.log(2)) * 1e6) +
+      math.round((math.pow(2, 3) - 1) / (math.log(3) / math.log(2)) * 1e6)
+    assert(out.getAs[Long]("dcg_micro") == dcg)
+    // IDCG ranks rel desc: 3 at pos1, 1 at pos2
+    val idcg = math.round(7.0 * 1e6) +
+      math.round(1.0 / (math.log(3) / math.log(2)) * 1e6)
+    assert(out.getAs[Long]("idcg_micro") == idcg)
+    assert(out.getAs[Double]("ndcg") == dcg.toDouble / idcg)
+    // ideal ordering as the system ranking -> ndcg exactly 1
+    val perfect = Seq((1L, 2L, 0.9), (1L, 1L, 0.8), (1L, 3L, 0.7))
+      .toDF("query_id", "id", "score")
+    val p = Similarity.ndcgAtK(perfect, graded, 3).collect().head
+    assert(p.getAs[Double]("ndcg") == 1.0)
+  }
+
+  test("rboAtK: identical rankings score ~1 (truncated tail mass); " +
+      "disjoint rankings score 0") {
+    import spark.implicits._
+    val a = Seq((1L, 10L, 0.9), (1L, 11L, 0.8), (1L, 12L, 0.7))
+      .toDF("query_id", "id", "score")
+    val same = Similarity.rboAtK(a, a, 3, 900000L).collect().head
+    assert(same.getAs[Long]("n_overlap") == 3L)
+    // sum_{d=1..3} 0.1*0.9^(d-1)*d/d = 0.1*(1+0.9+0.81) = 0.271
+    val expect = (1 to 3).map(d => math.round(
+      (1.0 - 0.9) * math.pow(0.9, d - 1.0) * 1e6)).sum
+    assert(same.getAs[Long]("rbo_micro") == expect)
+    val b = Seq((1L, 20L, 0.9), (1L, 21L, 0.8), (1L, 22L, 0.7))
+      .toDF("query_id", "id", "score")
+    val disj = Similarity.rboAtK(a, b, 3, 900000L).collect().head
+    assert(disj.getAs[Long]("n_overlap") == 0L)
+    assert(disj.getAs[Long]("rbo_micro") == 0L)
+  }
 }

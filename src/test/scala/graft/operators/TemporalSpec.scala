@@ -799,4 +799,44 @@ class TemporalSpec extends SparkSpec {
     assert(m.getAs[Long]("n_pos") == 2L && m.getAs[Long]("n_neg") == 4L)
     assert(m.getAs[Long]("n_runs") == 3L)
   }
+
+  test("segmentedRegression: planted level jump and slope bend are " +
+      "recovered exactly on noise-free segments") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // pre (Jan 1-10): y = 100 + 2*(x) with x in [-10, -1]
+    // post (Jan 11-20): y = 150 + 5*x with x in [0, 9] (cut = Jan 11)
+    val rows = (1 to 10).map { d =>
+      val x = d - 11
+      (ts(f"2024-01-$d%02d 09:00:00"), 100.0 + 2.0 * x)
+    } ++ (11 to 20).map { d =>
+      val x = d - 11
+      (ts(f"2024-01-$d%02d 09:00:00"), 150.0 + 5.0 * x)
+    }
+    val out = Temporal.segmentedRegression(rows.toDF("t", "v"), "t", "v",
+      "2024-01-11").collect().head
+    assert(out.getAs[Long]("n_pre") == 10L)
+    assert(out.getAs[Long]("n_post") == 10L)
+    assert(math.abs(out.getAs[Double]("slope_pre") - 2.0) < 1e-9)
+    assert(math.abs(out.getAs[Double]("slope_post") - 5.0) < 1e-9)
+    assert(math.abs(out.getAs[Double]("level_pre_at_cut") - 100.0) < 1e-9)
+    assert(math.abs(out.getAs[Double]("level_post_at_cut") - 150.0) < 1e-9)
+    assert(math.abs(out.getAs[Double]("level_change") - 50.0) < 1e-9)
+    assert(math.abs(out.getAs[Double]("slope_change") - 3.0) < 1e-9)
+  }
+
+  test("rmst: hand-computed area under a two-step KM curve; tau clips") {
+    import spark.implicits._
+    // 4 subjects: events at day 2 (2 of 4 die) and day 5 (1 of 2 dies),
+    // 1 censored at day 5. S = 1 on [0,2), 0.5 on [2,5), 0.25 after.
+    val subj = Seq((2L, true), (2L, true), (5L, true), (5L, false))
+      .toDF("dur", "ev")
+    val out = Temporal.rmst(subj, "dur", "ev", tau = 10L).collect().head
+    // exact: 2*1 + 3*0.5 + 5*0.25 = 4.75, via micro-rounded exp(ln) grid
+    assert(out.getAs[Long]("tau") == 10L)
+    assert(math.abs(out.getAs[Double]("rmst_days") - 4.75) < 1e-4)
+    // tau inside the first interval: area = tau * 1.0 exactly
+    val clipped = Temporal.rmst(subj, "dur", "ev", tau = 2L).collect().head
+    assert(clipped.getAs[Long]("rmst_micro_days") == 2000000L)
+  }
 }

@@ -915,4 +915,42 @@ class TextMultimodalSpec extends SparkSpec {
       o2(0).getAs[Long]("n_occurrences") == 2L &&
       o2(0).getAs[Long]("score_micro") == 4000000L)
   }
+
+  test("goodTuring: hand count-of-counts table; r* and unseen mass " +
+      "replay the integer divisions") {
+    import spark.implicits._
+    // tokens: a a a b b c d e -> N1=3 (c,d,e... wait b b -> N2 has b)
+    // counts: a:3, b:2, c:1, d:1, e:1 -> N1=3, N2=1, N3=1; N=8
+    val docs = Seq((1L, "a a a b"), (2L, "b c d e")).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.goodTuring(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getAs[Long]("r") ->
+        ((r.getAs[Long]("n_r"), r.getAs[Long]("n_r_next"),
+          Option(r.getAs[java.lang.Long]("r_star_micro")),
+          Option(r.getAs[java.lang.Long]("mass_share_micro"))))).toMap
+    // r=1: N1=3, N2=1, r* = 2*1*1e6/3 = 666666; mass = 3*1e6/8 = 375000
+    assert(out(1L) == ((3L, 1L, Some(666666L), Some(375000L))))
+    // r=2: N2=1, N3=1, r* = 3*1*1e6/1 = 3000000; mass = 2*1e6/8
+    assert(out(2L) == ((1L, 1L, Some(3000000L), Some(250000L))))
+    // r=3: N3=1, N4=0 -> r* null (the smoothing handoff)
+    assert(out(3L) == ((1L, 0L, None, Some(375000L))))
+  }
+
+  test("tokenDispersion: a token present everywhere in proportion " +
+      "scores ~0; a single-source token scores the complement share") {
+    import spark.implicits._
+    val docs = Seq(
+      ("p1", "the the only1"), ("p2", "the the"), ("p3", "the the"))
+      .toDF("source", "text")
+    val out = graft.operators.TextOps.tokenDispersion(docs, "source",
+        "text", 10)
+      .collect().map(r => r.getAs[String]("token") ->
+        ((r.getAs[Long]("n_total"), r.getAs[Long]("dp_micro")))).toMap
+    // "the": v = (2/6, 2/6, 2/6), s = (3/7, 2/7, 2/7) -> small DP > 0
+    // "only1": v = (1, 0, 0), s = (3/7, 2/7, 2/7)
+    //   DP = 0.5*(|1e6 - 428571| + 285714 + 285714) = 571428 (micro)
+    assert(out("only1")._1 == 1L)
+    assert(out("only1")._2 == 571428L)
+    assert(out("the")._1 == 6L)
+    assert(out("the")._2 < 100000L)
+  }
 }
