@@ -11346,6 +11346,130 @@ object SparkEntry {
           CAST(SUM(absdiff) // 2 AS BIGINT) AS dp_micro
         FROM grid GROUP BY 1 ORDER BY n_total DESC, token""")),
 
+    // 2x2 odds ratio + Woolf CI + Yule's Q of per-user conversion by
+    // hashed arm — the RELATIVE effect beside q310's absolute
+    // two-proportion difference; Haldane-corrected on zero cells.
+    "q339_odds_ratio" -> Q(
+      (s, dir) => {
+        val per = t(s, dir, "events")
+          .filter(col("user_id").isNotNull)
+          .groupBy("user_id")
+          .agg((max(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)) === 1L).as("conv"))
+          .select(
+            (pmod(graft.functions.Hashing.h60(
+              concat(lit("or1:"), col("user_id").cast("string"))),
+              lit(2L)) === 0).as("exposed"),
+            col("conv"))
+        Quality.oddsRatio2x2(per, col("exposed"), col("conv"))
+      },
+      Some(s"""WITH per AS (SELECT user_id,
+            MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+              AS conv
+          FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        tagged AS (SELECT ${graft.functions.Hashing.h60Sql(
+            "'or1:' || CAST(user_id AS VARCHAR)")} % 2 = 0 AS exp_, conv
+          FROM per),
+        cells AS (SELECT
+            CAST(SUM(CASE WHEN exp_ AND conv THEN 1 ELSE 0 END) AS BIGINT)
+              AS a,
+            CAST(SUM(CASE WHEN exp_ AND NOT conv THEN 1 ELSE 0 END)
+              AS BIGINT) AS b,
+            CAST(SUM(CASE WHEN NOT exp_ AND conv THEN 1 ELSE 0 END)
+              AS BIGINT) AS c,
+            CAST(SUM(CASE WHEN NOT exp_ AND NOT conv THEN 1 ELSE 0 END)
+              AS BIGINT) AS d
+          FROM tagged),
+        adj AS (SELECT a, b, c, d,
+            a = 0 OR b = 0 OR c = 0 OR d = 0 AS corr,
+            CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0
+              THEN CAST(a AS DOUBLE) + 0.5 ELSE CAST(a AS DOUBLE) END AS aa,
+            CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0
+              THEN CAST(b AS DOUBLE) + 0.5 ELSE CAST(b AS DOUBLE) END AS ab,
+            CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0
+              THEN CAST(c AS DOUBLE) + 0.5 ELSE CAST(c AS DOUBLE) END AS ac,
+            CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0
+              THEN CAST(d AS DOUBLE) + 0.5 ELSE CAST(d AS DOUBLE) END AS ad2
+          FROM cells),
+        fin AS (SELECT a, b, c, d, corr,
+            aa * ad2 / (ab * ac) AS orr,
+            sqrt(1.0 / aa + 1.0 / ab + 1.0 / ac + 1.0 / ad2) AS se,
+            ln(aa * ad2 / (ab * ac)) AS lor,
+            CAST(a AS DOUBLE) * CAST(d AS DOUBLE) AS adbc,
+            CAST(b AS DOUBLE) * CAST(c AS DOUBLE) AS bcad
+          FROM adj)
+        SELECT a + b + c + d AS n, a AS n_exposed_outcome,
+          b AS n_exposed_no, c AS n_unexposed_outcome,
+          d AS n_unexposed_no, orr AS odds_ratio, lor AS log_or,
+          se AS se_log_or,
+          EXP(lor - 1.959964 * se) AS ci_lo,
+          EXP(lor + 1.959964 * se) AS ci_hi,
+          CASE WHEN adbc + bcad > 0 THEN (adbc - bcad) / (adbc + bcad)
+            END AS yules_q,
+          corr AS corrected
+        FROM fin""")),
+
+    // Storey's pi0 over the SAME per-segment Welch p's as q271/q321 —
+    // the estimated true-null fraction the FDR/FWER corrections leave
+    // implicit (lambda = 0.5).
+    "q340_storey_pi0" -> Q(
+      (s, dir) => Quality.storeyPi0(t(s, dir, "events"), "event_type",
+        "user_id", "value", "bh1", 500000L),
+      Some(s"""WITH base AS (SELECT event_type AS seg,
+            ${graft.functions.Hashing.h60Sql(
+              "'bh1:' || CAST(user_id AS VARCHAR)")} % 2 = 0 AS a,
+            CAST(round(value * 1e6) AS BIGINT) AS v
+          FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+            AND value IS NOT NULL),
+        g AS (SELECT seg,
+            CAST(COUNT(*) FILTER (WHERE a) AS BIGINT) AS na,
+            SUM(CASE WHEN a THEN CAST(v AS HUGEINT) ELSE 0 END) AS sa,
+            SUM(CASE WHEN a THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS qa,
+            CAST(COUNT(*) FILTER (WHERE NOT a) AS BIGINT) AS nb,
+            SUM(CASE WHEN NOT a THEN CAST(v AS HUGEINT) ELSE 0 END) AS sb,
+            SUM(CASE WHEN NOT a THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS qb
+          FROM base GROUP BY 1),
+        w1 AS (SELECT seg, na, nb,
+            CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 1e6 AS ma,
+            CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 1e6 AS mb,
+            (CAST(na AS DOUBLE) * CAST(qa AS DOUBLE)
+              - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+              / (CAST(na AS DOUBLE) * CAST(na AS DOUBLE)) / 1e12 AS va,
+            (CAST(nb AS DOUBLE) * CAST(qb AS DOUBLE)
+              - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
+              / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE)) / 1e12 AS vb
+          FROM g),
+        w2 AS (SELECT seg,
+            CASE WHEN na > 0 AND nb > 0 AND
+                SQRT(va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE)) > 0
+              THEN (ma - mb)
+                / SQRT(va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE))
+            END AS z
+          FROM w1),
+        w3 AS (SELECT seg,
+            CASE WHEN z IS NOT NULL THEN CAST(round(
+              2.0 * 0.3989422804014327 * EXP(-0.5 * abs(z) * abs(z))
+              * (((((1.330274429 * (1.0 / (1.0 + 0.2316419 * abs(z)))
+                  + -1.821255978) * (1.0 / (1.0 + 0.2316419 * abs(z)))
+                  + 1.781477937) * (1.0 / (1.0 + 0.2316419 * abs(z)))
+                  + -0.356563782) * (1.0 / (1.0 + 0.2316419 * abs(z)))
+                  + 0.319381530) * (1.0 / (1.0 + 0.2316419 * abs(z))))
+              * 1e6) AS BIGINT) END AS p_micro
+          FROM w2),
+        mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+            CAST(SUM(CASE WHEN p_micro > 500000 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_above
+          FROM w3)
+        SELECT m, CAST(500000 AS BIGINT) AS lambda_micro,
+          n_above AS n_above_lambda,
+          CASE WHEN m > 0 THEN CAST(least(1000000,
+            (n_above * 1000000000000) // ((1000000 - 500000) * m))
+            AS BIGINT) END AS pi0_micro,
+          CASE WHEN m > 0 THEN CAST((least(1000000,
+            (n_above * 1000000000000) // ((1000000 - 500000) * m)) * m)
+            // 1000000 AS BIGINT) END AS est_true_nulls
+        FROM mm""")),
+
     // Growth accounting: the 1996-vs-1997 revenue waterfall by customer
     // lifecycle — new/expansion/contraction/churned contributions whose
     // cent-exact sum IS the year-over-year revenue delta.

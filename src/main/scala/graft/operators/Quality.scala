@@ -3187,6 +3187,86 @@ object Quality {
       .orderBy(desc("mi_micro_sum"), col("feature"))
   }
 
+  /** 2×2 ODDS RATIO with Woolf CI and YULE'S Q — the epidemiology-
+    * standard association readout for a binary exposure × binary
+    * outcome (arm × converted): OR = ad/bc, log-OR se =
+    * √(1/a+1/b+1/c+1/d) (Woolf 1955), Yule's Q = (ad−bc)/(ad+bc) the
+    * [−1,1]-normalized form. The RELATIVE effect q310's two-proportion
+    * z (absolute difference) doesn't expose. A zero cell applies the
+    * Haldane–Anscombe +0.5 correction to the log-OR chain and flags
+    * `corrected`.
+    *
+    * One boolean-grid aggregate (4 exact cells); everything after is a
+    * pinned IEEE chain over those integers. Output ONE row:
+    * (n, n_exposed_outcome, n_exposed_no, n_unexposed_outcome,
+    * n_unexposed_no, odds_ratio, log_or, se_log_or, ci_lo, ci_hi,
+    * yules_q, corrected).
+    */
+  def oddsRatio2x2(df: DataFrame, exposure: Column,
+      outcome: Column): DataFrame = {
+    val cells = df.filter(exposure.isNotNull && outcome.isNotNull)
+      .agg(
+        sum(when(exposure && outcome, 1L).otherwise(0L)).cast("long")
+          .as("a"),
+        sum(when(exposure && !outcome, 1L).otherwise(0L)).cast("long")
+          .as("b"),
+        sum(when(!exposure && outcome, 1L).otherwise(0L)).cast("long")
+          .as("c"),
+        sum(when(!exposure && !outcome, 1L).otherwise(0L)).cast("long")
+          .as("d"))
+    def dbl(c: Column) = c.cast("double")
+    val corrected = col("a") === 0 || col("b") === 0 || col("c") === 0 ||
+      col("d") === 0
+    // Haldane–Anscombe: +0.5 on every cell when any is zero
+    def adj(c: Column) = when(corrected, dbl(c) + lit(0.5)).otherwise(dbl(c))
+    val or = adj(col("a")) * adj(col("d")) / (adj(col("b")) * adj(col("c")))
+    val se = sqrt(lit(1.0) / adj(col("a")) + lit(1.0) / adj(col("b")) +
+      lit(1.0) / adj(col("c")) + lit(1.0) / adj(col("d")))
+    val lor = log(or)
+    val adbc = dbl(col("a")) * dbl(col("d"))
+    val bcad = dbl(col("b")) * dbl(col("c"))
+    cells
+      .select((col("a") + col("b") + col("c") + col("d")).as("n"),
+        col("a").as("n_exposed_outcome"), col("b").as("n_exposed_no"),
+        col("c").as("n_unexposed_outcome"), col("d").as("n_unexposed_no"),
+        or.as("odds_ratio"), lor.as("log_or"), se.as("se_log_or"),
+        exp(lor - lit(1.959964) * se).as("ci_lo"),
+        exp(lor + lit(1.959964) * se).as("ci_hi"),
+        when(adbc + bcad > 0, (adbc - bcad) / (adbc + bcad)).as("yules_q"),
+        corrected.as("corrected"))
+  }
+
+  /** STOREY'S π₀ — the estimated fraction of TRUE NULLS among the
+    * per-segment hypotheses (Storey 2002): π̂₀ = #{p > λ}/((1−λ)·m),
+    * capped at 1. The companion number q271's BH and q321's Holm leave
+    * implicit: BH controls FDR AS IF every null were true; π̂₀ < 1
+    * says how much of the p mass is genuine signal (and is the
+    * q-value correction factor). Runs on the SAME
+    * [[welchPMicroBySegment]] p's as both corrections.
+    *
+    * All-integer: the count above λ and the capped truncating division
+    * both ride the micro grid. Output ONE row: (m, lambda_micro,
+    * n_above_lambda, pi0_micro, est_true_nulls).
+    */
+  def storeyPi0(df: DataFrame, segmentCol: String, userCol: String,
+      valueCol: String, salt: String,
+      lambdaMicro: Long = 500000L): DataFrame = {
+    require(lambdaMicro > 0 && lambdaMicro < 1000000L)
+    val scored = welchPMicroBySegment(df, segmentCol, userCol, valueCol,
+      salt)
+    scored.agg(count(lit(1)).cast("long").as("m"),
+        sum(when(col("p_micro") > lambdaMicro, 1L).otherwise(0L))
+          .cast("long").as("n_above_lambda"))
+      .select(col("m"), lit(lambdaMicro).as("lambda_micro"),
+        col("n_above_lambda"),
+        when(col("m") > 0, least(lit(1000000L),
+          expr(s"(n_above_lambda * 1000000000000L) div " +
+            s"((1000000L - $lambdaMicro) * m)"))).as("pi0_micro"))
+      .withColumn("est_true_nulls",
+        when(col("pi0_micro").isNotNull,
+          expr("(pi0_micro * m) div 1000000L")))
+  }
+
   /** CLIFF'S DELTA — the ordinal effect size behind [[mannWhitneyU]]:
     * δ = (#(a>b) − #(a<b)) / (n_a·n_b) ∈ [−1, 1], "how often does a
     * random A observation beat a random B one", the magnitude readout

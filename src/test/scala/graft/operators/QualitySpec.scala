@@ -1709,4 +1709,46 @@ class QualitySpec extends SparkSpec {
     assert(m.getAs[Long]("d_e") == 6L)
     assert(m.getAs[Double]("alpha") == 1.0 - 3.0 * 2.0 / 6.0)
   }
+
+  test("oddsRatio2x2: hand 2x2 table; zero cell triggers the Haldane " +
+      "correction and flags it") {
+    import spark.implicits._
+    // a=30 exposed+outcome, b=10, c=10, d=30 -> OR = 9, Q = 0.8
+    val rows = Seq.fill(30)((true, true)) ++ Seq.fill(10)((true, false)) ++
+      Seq.fill(10)((false, true)) ++ Seq.fill(30)((false, false))
+    val out = Quality.oddsRatio2x2(rows.toDF("e", "o"), col("e"), col("o"))
+      .collect().head
+    assert(out.getAs[Long]("n") == 80L)
+    assert(out.getAs[Double]("odds_ratio") == 9.0)
+    assert(out.getAs[Double]("yules_q") == 0.8)
+    assert(!out.getAs[Boolean]("corrected"))
+    assert(out.getAs[Double]("ci_lo") > 1.0) // decisively positive
+    // zero cell: c = 0
+    val zc = Seq.fill(5)((true, true)) ++ Seq.fill(5)((true, false)) ++
+      Seq.fill(10)((false, false))
+    val z = Quality.oddsRatio2x2(zc.toDF("e", "o"), col("e"), col("o"))
+      .collect().head
+    assert(z.getAs[Boolean]("corrected"))
+    // Haldane: (5.5*10.5)/(5.5*0.5)
+    assert(z.getAs[Double]("odds_ratio") == 5.5 * 10.5 / (5.5 * 0.5))
+  }
+
+  test("storeyPi0: all-null p's (pure noise arms) estimate pi0 near 1 " +
+      "and cap at 1") {
+    import spark.implicits._
+    // constant values in every segment -> z null? no: constant values
+    // give se = 0 -> z null -> p null -> NOT counted above lambda.
+    // Instead use genuinely noisy-but-null data: value depends only on
+    // the unit hash parity in NO way (iid by unit id).
+    val rows = (0 until 600).map { i =>
+      (s"seg${i % 6}", i.toLong, (i * 37 % 101).toDouble)
+    }
+    val out = Quality.storeyPi0(rows.toDF("seg", "u", "v"), "seg", "u",
+      "v", "sp1", 500000L).collect().head
+    assert(out.getAs[Long]("m") == 6L)
+    val pi0 = out.getAs[Long]("pi0_micro")
+    assert(pi0 >= 300000L && pi0 <= 1000000L,
+      s"null panel should keep most mass above lambda: $pi0")
+    assert(out.getAs[Long]("est_true_nulls") <= 6L)
+  }
 }
