@@ -11470,6 +11470,129 @@ object SparkEntry {
             // 1000000 AS BIGINT) END AS est_true_nulls
         FROM mm""")),
 
+    // Hurst exponent (rescaled-range) of daily revenue — long-memory
+    // beside q295's fixed-lag whiteness and q325's runs test; dyadic
+    // block R/S, all regression moments integer.
+    "q341_hurst" -> Q(
+      (s, dir) => Temporal.hurstRs(t(s, dir, "orders"), "o_orderdate",
+        "o_totalprice"),
+      Some("""WITH obs AS (SELECT CAST(o_orderdate AS DATE) AS dy,
+            CAST(SUM(CAST(round(o_totalprice * 1e6) AS BIGINT)) AS BIGINT)
+              AS y
+          FROM orders
+          WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+          GROUP BY 1),
+        b AS (SELECT MIN(dy) AS lo, MAX(dy) AS hi FROM obs),
+        grid AS MATERIALIZED (SELECT
+            CAST(gs.dy - (SELECT lo FROM b) AS BIGINT) AS x,
+            COALESCE(y, 0) AS y
+          FROM (SELECT CAST(unnest(generate_series(lo, hi,
+              INTERVAL 1 DAY)) AS DATE) AS dy FROM b) gs
+          LEFT JOIN obs USING (dy)),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM grid),
+        fan AS MATERIALIZED (SELECT m, x, y, x // m AS blk
+          FROM grid CROSS JOIN (VALUES (CAST(8 AS BIGINT)), (16), (32),
+            (64)) w(m), tot
+          WHERE (x // m + 1) * m <= n),
+        wc AS (SELECT m, blk, y,
+            SUM(y) OVER (PARTITION BY m, blk ORDER BY x
+              ROWS UNBOUNDED PRECEDING) AS cum,
+            CAST(row_number() OVER (PARTITION BY m, blk ORDER BY x)
+              AS BIGINT) AS pos
+          FROM fan),
+        a1 AS (SELECT m, blk, SUM(CAST(y AS HUGEINT)) AS s,
+            SUM(CAST(y AS HUGEINT) * y) AS q
+          FROM fan GROUP BY 1, 2),
+        dv AS (SELECT wc.m, wc.blk,
+            CAST(cum AS DOUBLE) - CAST(pos AS DOUBLE)
+              * (CAST(s AS DOUBLE) / CAST(wc.m AS DOUBLE)) AS dev,
+            sqrt(CAST(q AS DOUBLE) / CAST(wc.m AS DOUBLE)
+              - (CAST(s AS DOUBLE) / CAST(wc.m AS DOUBLE))
+                * (CAST(s AS DOUBLE) / CAST(wc.m AS DOUBLE))) AS sd0
+          FROM wc JOIN a1 ON wc.m = a1.m AND wc.blk = a1.blk),
+        bs AS (SELECT m, blk, MAX(dev) - MIN(dev) AS r, MAX(sd0) AS sd
+          FROM dv GROUP BY 1, 2),
+        pw AS (SELECT m,
+            CAST(COUNT(CASE WHEN sd > 0 THEN 1 END) AS BIGINT) AS nb,
+            CAST(SUM(CASE WHEN sd > 0 THEN CAST(round(
+              ln(r / sd) / ln(2.0) * 1e6) AS BIGINT) END) AS BIGINT)
+              AS lrs_sum
+          FROM bs GROUP BY 1),
+        pts AS (SELECT CASE m WHEN 8 THEN 3 WHEN 16 THEN 4 WHEN 32 THEN 5
+              WHEN 64 THEN 6 END AS lx,
+            lrs_sum // nb AS ly_micro
+          FROM pw WHERE nb > 0),
+        reg AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+            CAST(SUM(lx) AS BIGINT) AS sx,
+            CAST(SUM(ly_micro) AS BIGINT) AS sy,
+            CAST(SUM(lx * lx) AS BIGINT) AS sxx,
+            CAST(SUM(lx * ly_micro) AS BIGINT) AS sxy
+          FROM pts),
+        fin AS (SELECT k, sx, sy, sxx, sxy,
+            CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx,
+            CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov
+          FROM reg)
+        SELECT n AS n_days, k AS n_windows,
+          CASE WHEN k >= 2 AND varx <> 0.0
+            THEN (cov / varx) / 1e6 END AS hurst,
+          CASE WHEN k >= 2 AND varx <> 0.0
+            THEN (CAST(sy AS DOUBLE) - (cov / varx)
+              * CAST(sx AS DOUBLE)) / CAST(k AS DOUBLE) / 1e6
+            END AS intercept_log2
+        FROM fin, tot""")),
+
+    // Customer top-25 revenue rank drift 1996 vs 1997 via rank-biased
+    // overlap — q330's rboAtK reused on a business ranking: how much
+    // did the head of the customer list turn over year-over-year?
+    "q342_rank_drift" -> Q(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .filter(col("o_custkey").isNotNull &&
+            col("o_orderdate").isNotNull && col("o_totalprice").isNotNull)
+        def yearRank(y: Int) = o
+          .filter(year(col("o_orderdate")) === y)
+          .groupBy(col("o_custkey"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+            .cast("long").as("cents"))
+          .select(lit(1L).as("query_id"), col("o_custkey").as("id"),
+            col("cents").cast("double").as("score"))
+        Similarity.rboAtK(yearRank(1996), yearRank(1997), 25, 900000L)
+      },
+      Some {
+        val p = 900000L.toDouble / 1e6
+        val oneMinusP = 1.0 - p
+        s"""WITH per AS (SELECT CAST(EXTRACT(year FROM o_orderdate)
+              AS INTEGER) AS yr, o_custkey,
+            CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+              AS cents
+          FROM orders
+          WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+            AND o_totalprice IS NOT NULL
+          GROUP BY 1, 2),
+        ra AS (SELECT o_custkey AS id, row_number() OVER (
+            ORDER BY CAST(cents AS DOUBLE) DESC, o_custkey) AS ra
+          FROM per WHERE yr = 1996 QUALIFY ra <= 25),
+        rb AS (SELECT o_custkey AS id, row_number() OVER (
+            ORDER BY CAST(cents AS DOUBLE) DESC, o_custkey) AS rb
+          FROM per WHERE yr = 1997 QUALIFY rb <= 25),
+        pr AS (SELECT greatest(ra.ra, rb.rb) AS rmax
+          FROM ra JOIN rb USING (id)),
+        t AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS overlap
+          FROM pr CROSS JOIN range(1, 26) r(d) WHERE rmax <= d GROUP BY 1),
+        tm AS (SELECT
+            CAST(SUM(CAST(round($oneMinusP * pow($p, d - 1.0)
+              * overlap / d * 1e6) AS BIGINT)) AS BIGINT) AS rbo_micro,
+            CAST(MAX(CASE WHEN d = 25 THEN overlap END) AS BIGINT)
+              AS n_overlap
+          FROM t)
+        SELECT CAST(1 AS BIGINT) AS query_id, CAST(25 AS BIGINT) AS k,
+          COALESCE(n_overlap, 0) AS n_overlap,
+          COALESCE(rbo_micro, 0) AS rbo_micro
+        FROM tm"""
+      }),
+
     // Growth accounting: the 1996-vs-1997 revenue waterfall by customer
     // lifecycle — new/expansion/contraction/churned contributions whose
     // cent-exact sum IS the year-over-year revenue delta.

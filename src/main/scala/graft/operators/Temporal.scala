@@ -1430,6 +1430,109 @@ object Temporal {
         greatest(lit(0.0), lit(1.0) - vr / vtr)).as("trend_strength"))
   }
 
+  /** HURST EXPONENT by rescaled-range (R/S) analysis — the long-memory
+    * diagnostic of the daily series (Hurst 1951; Mandelbrot & Wallis
+    * 1969): H ≈ 0.5 = random walk increments, H > 0.5 = persistent
+    * trends, H < 0.5 = mean-reverting — the fractal complement to
+    * [[ljungBox]]'s fixed-lag whiteness and q325's runs test. For each
+    * dyadic window size m, the series splits into ⌊n/m⌋ full blocks;
+    * per block R = range of the cumulative mean-deviation walk and
+    * S = population std; H is the OLS slope of log₂(mean R/S) on
+    * log₂(m) (exact integers 3..6 for the dyadic windows).
+    *
+    * Determinism: per-block R/S is a pinned IEEE chain over exact
+    * integer block sums; each block's log₂(R/S) is micro-rounded and
+    * summed as BIGINT (block-order-free — the chi2 scheme); the final
+    * 4-point regression is pinned IEEE over those micro means.
+    * Degenerate blocks (S = 0) drop from their window's mean.
+    *
+    * Scale shape: the (m, block) fan-out is Σ⌊n/m⌋ ≈ 0.23·n rows over
+    * the CALENDAR-bounded day grid; windows partition by (m, block)
+    * (≤ max(m) rows each); the regression grid is |windows| rows.
+    *
+    * Output ONE row: (n_days, n_windows, hurst, intercept_log2).
+    */
+  def hurstRs(df: DataFrame, tsCol: String, valCol: String,
+      windows: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    require(windows.nonEmpty && windows.forall(m =>
+      m >= 2 && (m & (m - 1)) == 0), s"dyadic windows only: $windows")
+    def d(c: Column) = c.cast("decimal(38,0)")
+    def dbl(c: Column) = c.cast("double")
+    val day = col(tsCol).cast("date")
+    val observed = df.filter(col(tsCol).isNotNull && col(valCol).isNotNull)
+      .groupBy(day.as("dy"))
+      .agg(sum(round(col(valCol) * 1e6).cast("long")).cast("long").as("y"))
+    val bounds = observed.agg(min("dy").as("lo"), max("dy").as("hi"))
+    val grid = graft.CacheScope.register(
+      bounds.select(col("lo"), explode(sequence(col("lo"), col("hi")))
+          .as("dy"))
+        .join(observed, Seq("dy"), "left")
+        .select(datediff(col("dy"), col("lo")).cast("long").as("x"),
+          coalesce(col("y"), lit(0L)).as("y")))
+    val tot = grid.agg(count(lit(1)).cast("long").as("n"))
+    val fan = grid
+      .select(explode(array(windows.map(m => lit(m.toLong)): _*)).as("m"),
+        col("x"), col("y"))
+      .crossJoin(broadcast(tot))
+      .withColumn("blk", expr("x div m"))
+      .filter((col("blk") + 1) * col("m") <= col("n")) // full blocks only
+    val wBlk = Window.partitionBy("m", "blk").orderBy("x")
+    val withCum = fan
+      .withColumn("cum", sum("y").over(wBlk))
+      .withColumn("pos", row_number().over(wBlk).cast("long"))
+    // cumulative deviation walk d_t = cum_t − t·mean, pinned IEEE over
+    // the block's exact integer sums
+    val mean = dbl(col("s")) / dbl(col("m"))
+    val blockStats = withCum
+      .join(withCum.groupBy("m", "blk")
+        .agg(sum(d(col("y"))).cast("decimal(38,0)").as("s"),
+          sum(d(col("y")) * d(col("y"))).cast("decimal(38,0)").as("q")),
+        Seq("m", "blk"))
+      .withColumn("dev", dbl(col("cum")) - dbl(col("pos")) * mean)
+      .groupBy("m", "blk")
+      .agg((max("dev") - min("dev")).as("r"),
+        max(sqrt(dbl(col("q")) / dbl(col("m")) - mean * mean)).as("sd"))
+    // window means stay on the INTEGER micro grid (truncating div) and
+    // lx = log2(m) is an exact Scala integer, so every regression moment
+    // is an order-free BIGINT sum — only the final slope/intercept are
+    // IEEE (a double sum over the 4-row grid would be partition-order
+    // sensitive in its last bits)
+    val lxExpr = windows.map(m =>
+      (m.toLong, (31 - Integer.numberOfLeadingZeros(m)).toLong))
+      .foldLeft(lit(null).cast("long")) { case (acc, (m, lx)) =>
+        when(col("m") === m, lit(lx)).otherwise(acc)
+      }
+    val perWindow = blockStats
+      .select(col("m"),
+        when(col("sd") > 0,
+          round(log(2.0, col("r") / col("sd")) * 1e6).cast("long"))
+          .as("lrs"))
+      .groupBy("m")
+      .agg(count(col("lrs")).cast("long").as("nb"),
+        sum("lrs").cast("long").as("lrs_sum"))
+      .filter(col("nb") > 0)
+      .select(lxExpr.as("lx"), expr("lrs_sum div nb").as("ly_micro"))
+    val reg = perWindow.agg(count(lit(1)).cast("long").as("k"),
+      sum("lx").cast("long").as("sx"),
+      sum("ly_micro").cast("long").as("sy"),
+      sum(col("lx") * col("lx")).cast("long").as("sxx"),
+      sum(col("lx") * col("ly_micro")).cast("long").as("sxy"))
+    val kD = col("k").cast("double")
+    val varx = kD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val cov = kD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val slopeMicro = cov / varx
+    reg.crossJoin(broadcast(tot))
+      .select(col("n").as("n_days"), col("k").as("n_windows"),
+        when(col("k") >= 2 && varx =!= 0.0, slopeMicro / lit(1e6))
+          .as("hurst"),
+        when(col("k") >= 2 && varx =!= 0.0,
+          (col("sy").cast("double") - slopeMicro *
+            col("sx").cast("double")) / kD / lit(1e6))
+          .as("intercept_log2"))
+  }
+
   /** SEGMENTED (interrupted-time-series) REGRESSION at a KNOWN cut
     * date — "what did the launch DO": [[changepointSse]] finds a break,
     * this quantifies a GIVEN one, the two-segment parameterization of

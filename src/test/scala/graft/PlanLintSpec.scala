@@ -117,7 +117,9 @@ class PlanLintSpec extends SparkSpec {
     "q334_segmented_regression" -> "crossJoin of the two broadcast 1-row segment-moment aggregates (q262's shape)",
     "q335_krippendorff_alpha" -> "crossJoins of broadcast 1-row margin-total and D_e aggregates (q110/q163 shape)",
     "q337_rmst" -> "q179's broadcast 1-row subject-total and max-ts aggregates + the broadcast 1-row head-interval aggregate",
-    "q338_token_dispersion" -> "dense grid: broadcast 25-row top-token set crossJoined with the |parts|-row totals (both bounded aggregates) + the 1-row corpus total")
+    "q338_token_dispersion" -> "dense grid: broadcast 25-row top-token set crossJoined with the |parts|-row totals (both bounded aggregates) + the 1-row corpus total",
+    "q341_hurst" -> "crossJoins of the broadcast 1-row day-count total against the calendar-grid fan-out and the 4-row regression aggregate (q169's shape)",
+    "q342_rank_drift" -> "rboAtK's |queries|-row (here 1-row) left join against the per-depth term aggregate (q330's shape)")
 
   /** Queries allowed to plan a GLOBAL window (no partition columns, or a
     * constant partition) — each must window over a provably BOUNDED
@@ -169,7 +171,8 @@ class PlanLintSpec extends SparkSpec {
     "q321_holm" -> "rank + running-max windows over the |segments|-row test grid (q271's bounded argument)",
     "q325_runs_test" -> "lag windows over the calendar day grid (q169's calendar-bounded argument)",
     "q336_cliffs_delta" -> "q234's cumulative window over the DISTINCT-value count grid (bounded-grid argument)",
-    "q337_rmst" -> "q179's prefix windows + one lead window over the duration-day grid (calendar-bounded argument)")
+    "q337_rmst" -> "q179's prefix windows + one lead window over the duration-day grid (calendar-bounded argument)",
+    "q342_rank_drift" -> "rank windows over the two single-query top-25 customer rankings (rboAtK with query_id constant -> |ranking| rows, aggregate-bounded)")
 
   test("no query plans a global window over an unbounded relation") {
     import org.apache.spark.sql.execution.SparkPlan

@@ -839,4 +839,23 @@ class TemporalSpec extends SparkSpec {
     val clipped = Temporal.rmst(subj, "dur", "ev", tau = 2L).collect().head
     assert(clipped.getAs[Long]("rmst_micro_days") == 2000000L)
   }
+
+  test("hurstRs: a persistent ramp reads H near 1; rapid alternation " +
+      "reads H well below a random walk") {
+    import spark.implicits._
+    def ts(i: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2020-01-01 09:00:00").getTime
+        + i.toLong * 86400000L)
+    // 256 days of pure trend: R/S grows ~linearly with window -> H ~ 1
+    val ramp = (0 until 256).map(i => (ts(i), i.toDouble)).toDF("t", "v")
+    val hr = Temporal.hurstRs(ramp, "t", "v").collect().head
+    assert(hr.getAs[Long]("n_days") == 256L)
+    assert(hr.getAs[Long]("n_windows") == 4L)
+    assert(hr.getAs[Double]("hurst") > 0.9)
+    // strict alternation: mean-reverting, H far below 0.5
+    val alt = (0 until 256).map(i =>
+      (ts(i), if (i % 2 == 0) 10.0 else 0.0)).toDF("t", "v")
+    val ha = Temporal.hurstRs(alt, "t", "v").collect().head
+    assert(ha.getAs[Double]("hurst") < 0.3)
+  }
 }
