@@ -38,6 +38,19 @@ package graft
   *     in the shared parent JVM, those names are listed in a "fallback"
   *     array in the output JSON (their numbers carry parent-JVM debt and
   *     must not be read as isolated medians).
+  *   - round 11: PER-REP REPACKING + STEAL-KEYED ADJUDICATION. Round 10's
+  *     clean snapshot inflated 1.30x on shared queries with only ~4 s
+  *     adjudicated real — a FIXED chunk composition makes suite position
+  *     a CONSTANT for every rep of a query, so the median cannot shed it.
+  *     Each rep is now its own pass over the full query list with a
+  *     differently-jittered LPT packing and fresh child JVMs (1 rep per
+  *     child); a query's median spans `reps` DIFFERENT co-runner sets,
+  *     turning position bias into noise the median absorbs. And the
+  *     auto-isolated re-measure now also fires on recorded CPU steal
+  *     (total steal jiffies > max(1000, 2% of chunk-wall·cores·100), or
+  *     shared-total ratio > 1.2): the r10 driver close carried 670k steal
+  *     jiffies yet its 1.244 ratio slipped under the old 1.25-only
+  *     trigger, so the dirtiest run of the round escaped its own triage.
   *
   * Env knobs: SPARK_GRAFT_BENCH_REPS (default 3),
   * SPARK_GRAFT_BENCH_CHUNK (queries per forked JVM, default 8; 0 = no
@@ -85,28 +98,44 @@ object Bench {
     * get the median known cost; with an empty cost map this degrades to a
     * stride assignment (i mod nBins), which still interleaves the
     * alphabetically-clustered heavy families.
+    *
+    * `pass` seeds a deterministic cost jitter (×[1, 1.75] per
+    * (name, pass)) so successive reps pack DIFFERENT co-runner sets
+    * (round-10 verdict #1a: fixed compositions let suite-position bias
+    * compound across all reps of a query instead of averaging out);
+    * pass 0 is jitter-free, so a single-pass run packs exactly as the
+    * historical LPT did.
     */
   private[graft] def packChunks(names: Seq[String], chunk: Int,
-      costs: Map[String, Double]): Seq[Seq[String]] = {
+      costs: Map[String, Double], pass: Int = 0): Seq[Seq[String]] = {
     if (names.isEmpty) return Seq.empty
     val nBins = (names.size + chunk - 1) / chunk
     if (nBins <= 1) return Seq(names)
     if (costs.isEmpty) {
-      // stride: q01,q09,... / q02,q10,... — keeps name-adjacent (often
-      // family-adjacent) queries in different JVMs
+      // stride, rotated by pass: q01,q09,... / q02,q10,... — keeps
+      // name-adjacent (often family-adjacent) queries in different JVMs
+      // and shifts the groupings between passes
       return (0 until nBins).map(b => names.zipWithIndex.collect {
-        case (n, i) if i % nBins == b => n })
+        case (n, i) if (i + pass) % nBins == b => n })
     }
     val known = costs.values.toSeq.sorted
     val defaultCost = known(known.size / 2)
-    val byCost = names.sortBy(n => -costs.getOrElse(n, defaultCost))
+    // deterministic per-(name, pass) jitter in [1, 1.75): enough to
+    // reorder the LPT placement pass-over-pass, small enough to keep the
+    // bins roughly cost-balanced within every pass
+    def jitter(n: String): Double =
+      if (pass == 0) 1.0
+      else 1.0 + (Integer.toUnsignedLong(
+        scala.util.hashing.MurmurHash3.stringHash(s"$pass:$n")) % 768) / 1024.0
+    def cost(n: String): Double = costs.getOrElse(n, defaultCost) * jitter(n)
+    val byCost = names.sortBy(n => -cost(n))
     val binCost = Array.fill(nBins)(0.0)
     val binItems = Array.fill(nBins)(Seq.newBuilder[String])
     val binSize = Array.fill(nBins)(0)
     byCost.foreach { n =>
       val open = (0 until nBins).filter(binSize(_) < chunk)
       val b = open.minBy(binCost(_))
-      binCost(b) += costs.getOrElse(n, defaultCost)
+      binCost(b) += cost(n)
       binItems(b) += n
       binSize(b) += 1
     }
@@ -346,57 +375,95 @@ object Bench {
     val tmpDir =
       if (isChild || chunk <= 0) None
       else Some(java.nio.file.Files.createTempDirectory("graft-bench"))
+    // accumulated across all forked chunks: total child wall and total
+    // steal jiffies, for the steal-fraction adjudication trigger below
+    var benchWall = 0.0
+    var benchSteal = 0L
     val results: Seq[(String, Seq[Double])] =
       if (isChild || chunk <= 0) measureInProcess(names, sfDir, cpus, reps)
       else {
-        val chunks = packChunks(names, chunk, historyCosts(sfDir = Some(sfDir)))
-        chunks.zipWithIndex.foreach { case (cn, i) =>
-          System.err.println(s"[bench] chunk $i: ${cn.mkString(",")}")
+        // PER-REP REPACKING (round-10 verdict #1a): each rep is its own
+        // pass with its own (jittered-LPT) chunk composition and fresh
+        // child JVMs, so a query's `reps` measurements come from
+        // DIFFERENT co-runner sets — suite-position bias becomes noise
+        // the median absorbs, instead of a constant that compounds. The
+        // per-query stat is still the median of `reps` single-rep walls.
+        val costs = historyCosts(sfDir = Some(sfDir))
+        val acc = scala.collection.mutable.Map.empty[String,
+          scala.collection.mutable.ArrayBuffer[Double]]
+        names.foreach(n =>
+          acc(n) = scala.collection.mutable.ArrayBuffer.empty[Double])
+        (0 until reps).foreach { pass =>
+          val chunks = packChunks(names, chunk, costs, pass)
+          chunks.zipWithIndex.foreach { case (cn, i) =>
+            System.err.println(s"[bench] pass $pass chunk $i: ${cn.mkString(",")}")
+          }
+          chunks.zipWithIndex.foreach { case (cn, i) =>
+            val l0 = load1()
+            val (st0, tn0, tu0) = cpuPressure()
+            val t0 = System.nanoTime()
+            val r = runChunkForked(cn,
+                tmpDir.get.resolve(s"pass${pass}_chunk$i.json"),
+                repsOverride = Some(1))
+              .getOrElse { fallback ++= cn
+                measureInProcess(cn, sfDir, cpus, 1) }
+            val wall = (System.nanoTime() - t0) / 1e9
+            val (st1, tn1, tu1) = cpuPressure()
+            // steal/throttle DELTAS across the chunk — the two pressure
+            // sources load1 cannot see (r9 verdict #1): steal_j in jiffies
+            // (10 ms each; compare to wall·cores·100 for a smear fraction),
+            // thr_n/thr_us from the cgroup CFS throttler. -1 = unreadable.
+            def d(a: Long, b: Long) = if (a < 0 || b < 0) -1L else b - a
+            benchWall += wall
+            if (d(st0, st1) > 0) benchSteal += d(st0, st1)
+            chunksMeta += f"""{"rep":$pass,"i":$i,"n":${cn.size},"wall":$wall%.1f,""" +
+              f""""load1_start":$l0%.2f,"load1_end":${load1()}%.2f,""" +
+              s""""steal_j":${d(st0, st1)},"thr_n":${d(tn0, tn1)},""" +
+              s""""thr_us":${d(tu0, tu1)},"first":"${cn.head}"}"""
+            r.foreach { case (n, ts) => acc(n) ++= ts }
+          }
         }
-        chunks.zipWithIndex.flatMap { case (cn, i) =>
-          val l0 = load1()
-          val (st0, tn0, tu0) = cpuPressure()
-          val t0 = System.nanoTime()
-          val r = runChunkForked(cn, tmpDir.get.resolve(s"chunk$i.json"))
-            .getOrElse { fallback ++= cn; measureInProcess(cn, sfDir, cpus, reps) }
-          val wall = (System.nanoTime() - t0) / 1e9
-          val (st1, tn1, tu1) = cpuPressure()
-          // steal/throttle DELTAS across the chunk — the two pressure
-          // sources load1 cannot see (r9 verdict #1): steal_j in jiffies
-          // (10 ms each; compare to wall·cores·100 for a smear fraction),
-          // thr_n/thr_us from the cgroup CFS throttler. -1 = unreadable.
-          def d(a: Long, b: Long) = if (a < 0 || b < 0) -1L else b - a
-          chunksMeta += f"""{"i":$i,"n":${cn.size},"wall":$wall%.1f,""" +
-            f""""load1_start":$l0%.2f,"load1_end":${load1()}%.2f,""" +
-            s""""steal_j":${d(st0, st1)},"thr_n":${d(tn0, tn1)},""" +
-            s""""thr_us":${d(tu0, tu1)},"first":"${cn.head}"}"""
-          r
-        }.sortBy(_._1)
+        names.sorted.map(n => n -> acc(n).toSeq)
       }
 
-    // SELF-ADJUDICATION (r9 verdict #1): if this full-suite total lands
-    // >1.25x over the previous full-suite run at the same SF (the
-    // shared-query comparison — new queries don't count as regression),
-    // automatically re-measure the top movers isolated (jvm-per-1,
-    // 5 reps) and embed those medians in the SAME artifact, so an
-    // over-band close run carries its own triage instead of needing a
-    // human to re-run the box.
+    // SELF-ADJUDICATION (r9 verdict #1, trigger widened by r10 verdict
+    // #1b): re-measure the top movers isolated (jvm-per-1, 5 reps) and
+    // embed those medians in the SAME artifact when EITHER
+    //   (a) the shared-query total lands >1.2x over the previous
+    //       full-suite run at this SF (new queries don't count), OR
+    //   (b) the run absorbed real CPU steal: total steal jiffies across
+    //       all chunks exceed max(1000 j, 2% of wall·cores·100) — the
+    //       r10 driver close carried 670k steal jiffies (~21% of its
+    //       core-time) yet its 1.244 ratio slipped under the old
+    //       1.25-only trigger, so the dirtiest run of the round escaped
+    //       its own triage.
     var isolated: Seq[(String, Double)] = Nil
     var ratioVsPrev = -1.0
+    var trigger = ""
     if (!isChild && chunk > 0 && only.isEmpty) {
       val prev = previousMedians(sfDir)
       val cur = results.map { case (k, v) => k -> median(v) }.toMap
       val shared = prev.keySet.intersect(cur.keySet)
       val prevSum = shared.toSeq.map(prev).sum
       val curSum = shared.toSeq.map(cur).sum
+      val cores = Runtime.getRuntime.availableProcessors
+      val stealBudget = math.max(1000.0, 0.02 * benchWall * cores * 100)
+      val stealDirty = benchSteal > stealBudget
       if (shared.nonEmpty && prevSum > 0) {
         ratioVsPrev = curSum / prevSum
-        if (ratioVsPrev > 1.25) {
+        trigger = (ratioVsPrev > 1.2, stealDirty) match {
+          case (true, true) => "ratio+steal"
+          case (true, false) => "ratio"
+          case (false, true) => "steal"
+          case _ => ""
+        }
+        if (trigger.nonEmpty) {
           val movers = shared.toSeq
             .sortBy(n => -(cur(n) - prev(n))).take(10)
             .filter(n => cur(n) > prev(n))
-          System.err.println(f"[bench] total $ratioVsPrev%.2fx over previous" +
-            s" run — re-measuring isolated: ${movers.mkString(",")}")
+          System.err.println(f"[bench] adjudication trigger=$trigger " +
+            f"(ratio $ratioVsPrev%.2fx, steal ${benchSteal}j vs budget " +
+            f"$stealBudget%.0fj) — re-measuring isolated: ${movers.mkString(",")}")
           isolated = movers.flatMap { n =>
             runChunkForked(Seq(n), tmpDir.get.resolve(s"iso_$n.json"),
                 repsOverride = Some(5))
@@ -408,8 +475,9 @@ object Bench {
     val isoPart = if (isolated.isEmpty) ""
       else isolated.map { case (k, v) => f""""$k":$v%.2f""" }
         .mkString(""","isolated_5rep":{""", ",", "}")
-    val ratioPart = if (ratioVsPrev < 0) ""
-      else f""","ratio_vs_prev":$ratioVsPrev%.3f"""
+    val ratioPart = (if (ratioVsPrev < 0) ""
+      else f""","ratio_vs_prev":$ratioVsPrev%.3f""") +
+      (if (trigger.isEmpty) "" else s""","adjudication_trigger":"$trigger"""")
 
     val line = toJsonLine(results, sfDir, reps, if (isChild) 0 else chunk,
       fallback.result(), env, chunksMeta.result()) match {

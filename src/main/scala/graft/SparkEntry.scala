@@ -910,8 +910,11 @@ object SparkEntry {
     // asserts the bound held; a recall regression now hash-mismatches
     // instead of passing rows-only. Exact-recall equivalence at FULL
     // probing keeps its own value-level oracle in q31b. nProbe = 6/16:
-    // measured recall@5 is 0.96 (sf0.001) / 0.94 (sf0.01) — the 0.9
-    // bound holds at every gate scale with margin, where nProbe = 4
+    // recall@5 re-measured round 11 UNDER THE DISTRIBUTED TRAINER
+    // (ivfTrainDistributed replaced the ≤10k driver-sample ivfTrain in
+    // round 10; ADVICE r10 #3 flagged the old sampled-training figures
+    // as stale) is 0.96 (sf0.001) / 0.94 (sf0.01) / 0.98 (sf0.1) — the
+    // 0.9 bound holds at every gate scale with margin, where nProbe = 4
     // sat at 0.88 on the 500-vector corpus (sf-specific assumption the
     // sf0.001 re-gate caught).
     "q31_knn_ivf" -> Q(
@@ -8019,6 +8022,56 @@ object SparkEntry {
           FROM scored
           ORDER BY ra_score_micro DESC, id_a, id_b LIMIT 50""")),
 
+    // Capped twin of q239 (r10 verdict #2): the SAME RA ranking computed
+    // through the scale-safe plan — degreeCap keeps, per wedge CENTER,
+    // only the cap lowest-id neighbors, bounding wedge volume at
+    // Σ min(deg,cap)² ≤ E·cap (uncapped is Σ deg², superlinear on a
+    // skewed hub: 15.6× wall at 10× edges on the skewed MicroGraph vs
+    // 8.1× capped). cap = 8 — NOT 64 — because the oracle must exercise
+    // the cap where it binds: the basket graph's max degree is 13 at
+    // sf0.01 / 51 at sf0.001, so 64 would be a bit-identical no-op and
+    // the row would prove nothing. The k-lowest-id cap replays exactly
+    // in SQL (row_number over dst per src); degrees/weights stay TRUE
+    // values per the capAdjacency contract, so scores are lower bounds.
+    "q239b_ra_links_capped" -> Q(
+      (s, dir) => {
+        val items = t(s, dir, "lineitem")
+          .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+          .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
+          .distinct()
+        val pairs = items.as("a").join(items.as("b"),
+            col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
+          .groupBy(col("a.it").as("pa"), col("b.it").as("pb"))
+          .agg(count(lit(1)).as("sup")).filter(col("sup") >= 2)
+        Graphs.resourceAllocation(pairs, "pa", "pb", 50, degreeCap = 8)
+      },
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+            FROM lineitem
+            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+          prs AS (SELECT a.it AS id_a, b.it AS id_b
+            FROM items a JOIN items b ON a.bk = b.bk AND a.it < b.it
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+            UNION SELECT id_b, id_a FROM prs),
+          deg AS (SELECT src AS z, CAST(COUNT(*) AS BIGINT) AS dz
+            FROM edges GROUP BY 1),
+          cedges AS (SELECT src, dst FROM (SELECT src, dst,
+              row_number() OVER (PARTITION BY src ORDER BY dst) AS rk
+            FROM edges) WHERE rk <= 8),
+          wed AS (SELECT x.dst AS u, y.dst AS v, x.src AS z
+            FROM cedges x JOIN cedges y ON x.src = y.src AND x.dst < y.dst),
+          cand AS (SELECT w.u, w.v, w.z FROM wed w
+            WHERE NOT EXISTS (SELECT 1 FROM prs p
+              WHERE p.id_a = w.u AND p.id_b = w.v)),
+          scored AS (SELECT cand.u, cand.v,
+              CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+              CAST(SUM(1000000000000 // dz) AS BIGINT) AS ra_score_micro
+            FROM cand JOIN deg ON cand.z = deg.z GROUP BY 1, 2)
+          SELECT u AS id_a, v AS id_b, common_neighbors, ra_score_micro,
+            CAST(ra_score_micro AS DOUBLE) / 1e12 AS ra_score
+          FROM scored
+          ORDER BY ra_score_micro DESC, id_a, id_b LIMIT 50""")),
+
     // Per-node local clustering coefficient of the near-dup graph —
     // wedge enumeration + edge semi-join, lcc on the exact micro grid.
     "q240_local_clustering" -> Q(
@@ -9764,6 +9817,135 @@ object SparkEntry {
           ORDER BY common_neighbors DESC, jaccard_micro DESC, id_a, id_b
           LIMIT 50""")),
 
+    // Capped twin of q300 (r10 verdict #2): the CN/Jaccard/PA suite with
+    // the wedge enumeration capped to the 8 lowest-id neighbors per
+    // center (cap = 8 binds at the oracle SFs — see q239b); the degree
+    // columns, Jaccard denominators, and PA products always use TRUE
+    // degrees per the linkPredictionSuite contract, so only the
+    // common-neighbor counts become lower bounds.
+    "q300b_link_prediction_capped" -> Q(
+      (s, dir) => {
+        val items = t(s, dir, "lineitem")
+          .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+          .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
+          .distinct()
+        val pairs = items.as("a").join(items.as("b"),
+            col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
+          .groupBy(col("a.it").as("pa"), col("b.it").as("pb"))
+          .agg(count(lit(1)).as("sup")).filter(col("sup") >= 2)
+        Graphs.linkPredictionSuite(pairs, "pa", "pb", 50, degreeCap = 8)
+      },
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+            FROM lineitem
+            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+          prs AS (SELECT a.it AS id_a, b.it AS id_b
+            FROM items a JOIN items b ON a.bk = b.bk AND a.it < b.it
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+            UNION SELECT id_b, id_a FROM prs),
+          deg AS (SELECT src AS z, CAST(COUNT(*) AS BIGINT) AS dz
+            FROM edges GROUP BY 1),
+          cedges AS (SELECT src, dst FROM (SELECT src, dst,
+              row_number() OVER (PARTITION BY src ORDER BY dst) AS rk
+            FROM edges) WHERE rk <= 8),
+          wed AS (SELECT x.dst AS u, y.dst AS v
+            FROM cedges x JOIN cedges y ON x.src = y.src AND x.dst < y.dst),
+          cand AS (SELECT w.u, w.v, CAST(COUNT(*) AS BIGINT) AS cn
+            FROM wed w
+            WHERE NOT EXISTS (SELECT 1 FROM prs p
+              WHERE p.id_a = w.u AND p.id_b = w.v)
+            GROUP BY 1, 2),
+          scored AS (SELECT c.u, c.v, c.cn,
+              da.dz AS deg_a, db.dz AS deg_b,
+              CAST((c.cn * 1000000) // (da.dz + db.dz - c.cn) AS BIGINT)
+                AS jaccard_micro,
+              CAST(da.dz * db.dz AS BIGINT) AS pa_score
+            FROM cand c JOIN deg da ON da.z = c.u
+            JOIN deg db ON db.z = c.v)
+          SELECT u AS id_a, v AS id_b, cn AS common_neighbors,
+            deg_a, deg_b, jaccard_micro, pa_score
+          FROM scored
+          ORDER BY common_neighbors DESC, jaccard_micro DESC, id_a, id_b
+          LIMIT 50""")),
+
+    // Batch face of the streaming Space-Saving summary via the merge law
+    // (r10 verdict #5): deterministic side summaries (even/odd docs,
+    // count = true + floor, err = floor, floor = (m+1)-st side count)
+    // merged per the mergeable-summaries rule, then value-checked against
+    // exact whole-corpus counts — never-under, count−err lower bound,
+    // ≤ m state, and floor-tight retention, all replayed in SQL.
+    "q343_space_saving_merge" -> Q(
+      (s, dir) => Sketches.spaceSavingMergeCheck(t(s, dir, "documents"),
+        "doc_id", "text", buckets = 4, m = 8),
+      Some {
+        val h = graft.functions.Hashing.h60Sql("tok")
+        s"""WITH toks AS (SELECT doc_id % 2 = 0 AS even,
+            unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+          FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+        tb AS (SELECT CAST($h % 4 AS BIGINT) AS b, even, tok
+          FROM toks WHERE len(tok) > 0),
+        sc AS (SELECT b, even, tok, CAST(COUNT(*) AS BIGINT) AS c
+          FROM tb GROUP BY 1, 2, 3),
+        rnk AS (SELECT *, row_number() OVER (PARTITION BY b, even
+            ORDER BY c DESC, tok) AS rk FROM sc),
+        fl AS (SELECT b, even,
+            CAST(COALESCE(MAX(CASE WHEN rk = 9 THEN c END), 0) AS BIGINT)
+              AS f
+          FROM rnk GROUP BY 1, 2),
+        summ AS (SELECT rnk.b, rnk.even, rnk.tok, c + f AS cs, f AS es
+          FROM rnk JOIN fl USING (b, even) WHERE rk <= 8),
+        spine AS (SELECT r.b,
+            CAST(COALESCE(fe.f, 0) AS BIGINT) AS fe,
+            CAST(COALESCE(fo.f, 0) AS BIGINT) AS fo
+          FROM (SELECT CAST(unnest(range(0, 4)) AS BIGINT) AS b) r
+          LEFT JOIN fl fe ON fe.b = r.b AND fe.even
+          LEFT JOIN fl fo ON fo.b = r.b AND NOT fo.even),
+        se AS (SELECT b, tok, cs AS ce, es AS ee FROM summ WHERE even),
+        so AS (SELECT b, tok, cs AS co, es AS eo FROM summ WHERE NOT even),
+        m0 AS (SELECT COALESCE(se.b, so.b) AS b,
+            COALESCE(se.tok, so.tok) AS tok, se.ce, se.ee, so.co, so.eo
+          FROM se FULL OUTER JOIN so ON se.b = so.b AND se.tok = so.tok),
+        m1 AS (SELECT m0.b, tok,
+            COALESCE(ce, fe) + COALESCE(co, fo) AS cm,
+            COALESCE(ee, fe) + COALESCE(eo, fo) AS em
+          FROM m0 JOIN spine ON m0.b = spine.b),
+        mg AS (SELECT *, row_number() OVER (PARTITION BY b
+            ORDER BY cm DESC, tok) AS rk
+          FROM m1 QUALIFY rk <= 8),
+        ex AS (SELECT b, tok, CAST(SUM(c) AS BIGINT) AS cx
+          FROM sc GROUP BY 1, 2),
+        nb AS (SELECT b, CAST(SUM(cx) AS BIGINT) AS n_bucket,
+            CAST(COUNT(*) AS BIGINT) AS n_tokens_exact
+          FROM ex GROUP BY 1),
+        ck AS (SELECT mg.b, CAST(COUNT(*) AS BIGINT) AS n_counters,
+            CAST(SUM(CASE WHEN cm < cx OR cm - em > cx THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_bound_violations,
+            MAX(CASE WHEN rk = 1 THEN mg.tok END) AS top_token,
+            CAST(MAX(CASE WHEN rk = 1 THEN cm END) AS BIGINT) AS top_count,
+            CAST(MAX(CASE WHEN rk = 1 THEN em END) AS BIGINT) AS top_err
+          FROM mg JOIN ex ON mg.b = ex.b AND mg.tok = ex.tok GROUP BY 1),
+        ms AS (SELECT ex.b, CAST(COUNT(*) AS BIGINT) AS n_retention_misses
+          FROM ex JOIN spine ON ex.b = spine.b JOIN nb ON ex.b = nb.b
+          WHERE NOT EXISTS (SELECT 1 FROM mg
+              WHERE mg.b = ex.b AND mg.tok = ex.tok)
+            AND cx * 8 > n_bucket + 8 * (fe + fo)
+          GROUP BY 1)
+        SELECT spine.b AS bucket,
+          COALESCE(n_bucket, 0) AS n_bucket,
+          COALESCE(n_tokens_exact, 0) AS n_tokens_exact,
+          COALESCE(n_counters, 0) AS n_counters,
+          fe AS floor_even, fo AS floor_odd,
+          top_token, top_count, top_err,
+          COALESCE(n_bound_violations, 0) AS n_bound_violations,
+          COALESCE(n_retention_misses, 0) AS n_retention_misses,
+          COALESCE(n_counters, 0) <= 8 AS state_ok,
+          COALESCE(n_bound_violations, 0) = 0 AS bounds_ok,
+          COALESCE(n_retention_misses, 0) = 0 AS retention_ok
+        FROM spine LEFT JOIN nb ON spine.b = nb.b
+        LEFT JOIN ck ON spine.b = ck.b LEFT JOIN ms ON spine.b = ms.b
+        ORDER BY bucket"""
+      }),
+
     // Cronbach's alpha over the three lineitem rate/quantity items —
     // internal-consistency reliability from ONE exact-moment aggregate;
     // fixed-order per-item variance chain, one final alpha expression.
@@ -10841,16 +11023,16 @@ object SparkEntry {
             AS t_obs_micro FROM obs),
         reps AS (SELECT b,
             CAST(SUM(CASE WHEN
-              ${arm("'perm:' || CAST(b AS VARCHAR) || ':' || u")}
+              ${arm("'pt1:perm:' || CAST(b AS VARCHAR) || ':' || u")}
               THEN 1 ELSE 0 END) AS BIGINT) AS na,
             CAST(SUM(CASE WHEN NOT (
-              ${arm("'perm:' || CAST(b AS VARCHAR) || ':' || u")})
+              ${arm("'pt1:perm:' || CAST(b AS VARCHAR) || ':' || u")})
               THEN 1 ELSE 0 END) AS BIGINT) AS nb,
             SUM(CASE WHEN
-              ${arm("'perm:' || CAST(b AS VARCHAR) || ':' || u")}
+              ${arm("'pt1:perm:' || CAST(b AS VARCHAR) || ':' || u")}
               THEN CAST(x AS HUGEINT) END) AS sa,
             SUM(CASE WHEN NOT (
-              ${arm("'perm:' || CAST(b AS VARCHAR) || ':' || u")})
+              ${arm("'pt1:perm:' || CAST(b AS VARCHAR) || ':' || u")})
               THEN CAST(x AS HUGEINT) END) AS sb
           FROM range(0, 199) r(b) CROSS JOIN units GROUP BY b),
         tb AS (SELECT b, CASE WHEN na > 0 AND nb > 0 THEN
@@ -11506,9 +11688,9 @@ object SparkEntry {
         dv AS (SELECT wc.m, wc.blk,
             CAST(cum AS DOUBLE) - CAST(pos AS DOUBLE)
               * (CAST(s AS DOUBLE) / CAST(wc.m AS DOUBLE)) AS dev,
-            sqrt(CAST(q AS DOUBLE) / CAST(wc.m AS DOUBLE)
+            sqrt(greatest(0.0, CAST(q AS DOUBLE) / CAST(wc.m AS DOUBLE)
               - (CAST(s AS DOUBLE) / CAST(wc.m AS DOUBLE))
-                * (CAST(s AS DOUBLE) / CAST(wc.m AS DOUBLE))) AS sd0
+                * (CAST(s AS DOUBLE) / CAST(wc.m AS DOUBLE)))) AS sd0
           FROM wc JOIN a1 ON wc.m = a1.m AND wc.blk = a1.blk),
         bs AS (SELECT m, blk, MAX(dev) - MIN(dev) AS r, MAX(sd0) AS sd
           FROM dv GROUP BY 1, 2),
@@ -11839,6 +12021,53 @@ object SparkEntry {
             FROM edges GROUP BY 1),
           wed AS (SELECT x.dst AS u, y.dst AS v, x.src AS z
             FROM edges x JOIN edges y ON x.src = y.src AND x.dst < y.dst),
+          cand AS (SELECT w.u, w.v, w.z FROM wed w
+            WHERE NOT EXISTS (SELECT 1 FROM prs p
+              WHERE p.id_a = w.u AND p.id_b = w.v)),
+          scored AS (SELECT cand.u, cand.v,
+              CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+              CAST(SUM(1000000000000000000
+                // CAST(round(ln(dz) * 1e6) AS BIGINT)) AS BIGINT)
+                AS aa_score_micro
+            FROM cand JOIN deg ON cand.z = deg.z
+            WHERE dz >= 2 GROUP BY 1, 2)
+          SELECT u AS id_a, v AS id_b, common_neighbors, aa_score_micro,
+            CAST(aa_score_micro AS DOUBLE) / 1e12 AS aa_score
+          FROM scored
+          ORDER BY aa_score_micro DESC, id_a, id_b LIMIT 50""")),
+
+    // Capped twin of q270 (r10 verdict #2) — Adamic-Adar through the
+    // Σ min(deg,cap)² ≤ E·cap wedge bound; cap = 8 so the cap actually
+    // binds at the oracle SFs (see q239b). Weights keep TRUE 1/ln(deg);
+    // only the wedge enumeration is capped to the 8 lowest-id neighbors
+    // per center, exactly replayed by the SQL row_number cap.
+    "q270b_adamic_adar_capped" -> Q(
+      (s, dir) => {
+        val items = t(s, dir, "lineitem")
+          .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+          .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
+          .distinct()
+        val pairs = items.as("a").join(items.as("b"),
+            col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
+          .groupBy(col("a.it").as("pa"), col("b.it").as("pb"))
+          .agg(count(lit(1)).as("sup")).filter(col("sup") >= 2)
+        Graphs.adamicAdar(pairs, "pa", "pb", 50, degreeCap = 8)
+      },
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+            FROM lineitem
+            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+          prs AS (SELECT a.it AS id_a, b.it AS id_b
+            FROM items a JOIN items b ON a.bk = b.bk AND a.it < b.it
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+            UNION SELECT id_b, id_a FROM prs),
+          deg AS (SELECT src AS z, CAST(COUNT(*) AS BIGINT) AS dz
+            FROM edges GROUP BY 1),
+          cedges AS (SELECT src, dst FROM (SELECT src, dst,
+              row_number() OVER (PARTITION BY src ORDER BY dst) AS rk
+            FROM edges) WHERE rk <= 8),
+          wed AS (SELECT x.dst AS u, y.dst AS v, x.src AS z
+            FROM cedges x JOIN cedges y ON x.src = y.src AND x.dst < y.dst),
           cand AS (SELECT w.u, w.v, w.z FROM wed w
             WHERE NOT EXISTS (SELECT 1 FROM prs p
               WHERE p.id_a = w.u AND p.id_b = w.v)),

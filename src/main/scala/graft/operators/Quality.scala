@@ -3464,7 +3464,9 @@ object Quality {
   /** HASH-REPLAYABLE PERMUTATION TEST for the two-arm mean difference —
     * the assumption-free companion to [[welchTTest]]: instead of a
     * normal approximation, re-assign every unit's arm B times by a
-    * seeded hash (replicate b flips unit u by h60("perm:b:u") % 2) and
+    * seeded hash (replicate b flips unit u by h60("salt:perm:b:u") % 2,
+    * so distinct salts draw INDEPENDENT replicate sets, not one shared
+    * set) and
     * count how many replicate mean-differences reach the observed one.
     * p = (1 + #{b : |T_b| ≥ |T_obs|}) / (B + 1) — the add-one Monte
     * Carlo estimator (Phipson & Smyth 2010), valid at any B. Because
@@ -3511,7 +3513,7 @@ object Quality {
       .select(explode(expr(s"sequence(0L, ${bReps - 1}L)")).as("b"),
         col("u"), col("x"))
       .select(col("b"), col("x"),
-        (pmod(graft.functions.Hashing.h60(concat(lit("perm:"),
+        (pmod(graft.functions.Hashing.h60(concat(lit(s"$salt:perm:"),
           col("b").cast("string"), lit(":"), col("u"))), lit(2L)) === 0)
           .as("a"))
       .groupBy("b")

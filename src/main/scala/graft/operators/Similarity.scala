@@ -435,8 +435,9 @@ object Similarity {
       s
     }
 
-  /** IVF-style approximate top-k: a coarse quantizer (k-means with
-    * deterministic seeding, `ivfTrain`) partitions the corpus into nlist
+  /** IVF-style approximate top-k: a coarse quantizer (distributed
+    * Lloyd's k-means with deterministic seeding,
+    * [[ivfTrainDistributed]]) partitions the corpus into nlist
     * cells; each query probes only its `nProbe` nearest centroids and
     * ranks exactly inside them. The 100 TB deployment materializes the
     * assignment once (`write.partitionBy("cell")`) so a probe prunes file
@@ -632,50 +633,6 @@ object Similarity {
       (col("gridmean") / lit(1e7)).as("centroid"), col("n_vecs"))
   }
 
-  /** Deterministic Lloyd's k-means for the IVF coarse quantizer: centroids
-    * seeded from the nlist lowest-id vectors, `iters` assign/update rounds
-    * driver-side over a sampled corpus (coarse quantizers train on samples
-    * at scale; cell QUALITY affects recall, not correctness).
-    */
-  def ivfTrain(corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, iters: Int, sampleSize: Int = 10000): Array[Array[Double]] = {
-    // Deterministic sample WITHOUT ordering the corpus: an id-range filter
-    // is a pushed-down predicate (one partial scan), where orderBy+limit is
-    // a global TakeOrdered over every row. Seeding still needs a stable
-    // order, so the (bounded) sample is sorted driver-side. A short ranged
-    // result means EITHER a small corpus (the range already holds every
-    // row — use it, no second scan of consequence) OR genuinely sparse ids
-    // (fall back to the sort); one count() tells them apart without
-    // ordering anything.
-    val ranged = corpus.filter(col(idCol) < sampleSize)
-      .select(col(idCol).cast("long"), col(vecCol)).collect()
-    val rows =
-      if (ranged.length >= math.max(nlist, sampleSize / 2)) ranged
-      else if (corpus.count() == ranged.length) ranged
-      else corpus.orderBy(col(idCol)).limit(sampleSize)
-        .select(col(idCol).cast("long"), col(vecCol)).collect()
-    val sample = rows.sortBy(_.getLong(0))
-      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
-    var cents = sample.take(nlist).map(_.clone())
-    var it = 0
-    while (it < iters) {
-      val sums = Array.fill(nlist)(new Array[Double](cents(0).length))
-      val counts = new Array[Int](nlist)
-      sample.foreach { v =>
-        val c = nearestCellDense(v, cents)
-        counts(c) += 1
-        var d = 0
-        while (d < v.length) { sums(c)(d) += v(d); d += 1 }
-      }
-      cents = Array.tabulate(nlist) { c =>
-        if (counts(c) == 0) cents(c)
-        else sums(c).map(_ / counts(c))
-      }
-      it += 1
-    }
-    cents
-  }
-
   /** DISTRIBUTED IVF coarse-quantizer training — [[lloydIterate]]'s
     * grid-exact machinery (distributed assignment in whole-stage codegen,
     * exact (cid, dim) grid means, re-quantized seeds each round) packaged
@@ -683,8 +640,10 @@ object Similarity {
     * path with NO sample-quality caveat: every row participates in every
     * round, the only driver transfer is the k×dims grid means (a few KB
     * of codegen literals per round — the accepted model-transfer bound),
-    * and the result is bit-replayable (r9 verdict #6; the sampled
-    * [[ivfTrain]] remains for bounded-plan consumers like ivfPqSearch).
+    * and the result is bit-replayable (r9 verdict #6). The old
+    * driver-sample trainer (`ivfTrain`, a ≤10k orderBy/limit/collect)
+    * was deleted in round 11 (r10 verdict #3) — every IVF consumer now
+    * trains through this path.
     *
     * Centroids come back in raw vector units (gridmean / 1e7), ordered
     * by cid — empty cells drop out, so the array can be shorter than
@@ -698,17 +657,6 @@ object Similarity {
     means.groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (_, rows) => rows.sortBy(_._2).map(_._3).toArray }
       .toArray
-  }
-
-  private def nearestCellDense(v: Array[Double], cents: Array[Array[Double]]): Int = {
-    var best = 0; var bestD = Double.MaxValue; var c = 0
-    while (c < cents.length) {
-      var d2 = 0.0; var d = 0
-      while (d < v.length) { val t = v(d) - cents(c)(d); d2 += t * t; d += 1 }
-      if (d2 < bestD) { bestD = d2; best = c }
-      c += 1
-    }
-    best
   }
 
   /** Per-band sign-pattern bucket ids for a PRE-QUANTIZED vector (see
@@ -852,7 +800,11 @@ object Similarity {
     }
     val pairs = ranks(a, "ra").join(ranks(b, "rb"), Seq("query_id", "id"))
       .select(col("query_id"), greatest(col("ra"), col("rb")).as("rmax"))
-    val queries = a.select("query_id").distinct()
+    // output spine = queries present in EITHER ranking: a query that one
+    // system answered and the other didn't reports rbo_micro = 0 rather
+    // than silently vanishing (the comparison is symmetric)
+    val queries = a.select("query_id")
+      .union(b.select("query_id")).distinct()
     val terms = pairs
       .select(col("query_id"),
         explode(expr(s"sequence(${1}, $k)")).as("d"), col("rmax"))
@@ -1889,7 +1841,7 @@ object Similarity {
       minRecallMicro: Long = 800000L): DataFrame = {
     require(nProbe >= 1 && nProbe <= nlist && shortlist >= k)
     val dsub = dim / m
-    val cents = ivfTrain(corpus, idCol, vecCol, nlist, iters = 5)
+    val cents = ivfTrainDistributed(corpus, idCol, vecCol, nlist, iters = 5)
     val base = pqBase(corpus, idCol, vecCol)
     val books = pqCodebooks(base, m, ksub, dim)
     // cell assignment on the SAME argmin score as knnIvf (|c|² − 2·v·c;

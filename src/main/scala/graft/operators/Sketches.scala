@@ -253,4 +253,129 @@ object Sketches {
             " div exact_distinct")))
       .orderBy(groupCol)
   }
+
+  /** BATCH FACE of the streaming Space-Saving summary
+    * ([[graft.streaming.HeavyHitters]] — Metwally et al. 2005) via the
+    * MERGE LAW (Agarwal et al. 2012, mergeable summaries), so the one
+    * streaming operator whose math had no CORRECTNESS row gets a
+    * value-exact oracle (r10 verdict #5). The stream-order-dependent
+    * sequential admit/evict is NOT replayable across engines; the merge
+    * law is: a Space-Saving-type summary is m counters (token,
+    * count ≥ true, err with count − err ≤ true) plus an eviction FLOOR
+    * f bounding any absent token's true count; two summaries merge by
+    *   count = Σ sides (own count, or that side's floor when absent),
+    *   err   = Σ sides (own err,   or that side's floor when absent),
+    * then truncating to the top-m by (count desc, token). This operator
+    * builds the two side summaries (even/odd `idCol`) DETERMINISTICALLY
+    * from exact side counts (count = true + floor, err = floor, floor =
+    * the (m+1)-st largest side count — the tightest valid SS-type
+    * summary of a known multiset), applies the merge law, and
+    * value-checks the contracts the streaming operator promises:
+    *   - state bound: ≤ m merged counters per bucket;
+    *   - never-under: merged count ≥ exact whole-corpus count;
+    *   - lower bound: merged count − err ≤ exact count;
+    *   - retention: every token with exact bucket count >
+    *     N_b/m + f_even + f_odd survives the merge (the tight threshold
+    *     from the actual floors, not the loose 2N/m).
+    * Tokens hash to buckets by the engine-replayable h60, so the whole
+    * construction — counters, errors, floors, checks — replays in SQL.
+    *
+    * Scale shape: one exploded (bucket, side, token) aggregate with
+    * map-side combine (the only vocabulary-sized shuffle); per-side
+    * ranks partition by (bucket, side); floors are a buckets×2-row
+    * relation (broadcast); the merge join carries ≤ 2m rows per bucket.
+    *
+    * Output per bucket: (bucket, n_bucket, n_tokens_exact, n_counters,
+    * floor_even, floor_odd, top_token, top_count, top_err,
+    * n_bound_violations, n_retention_misses, state_ok, bounds_ok,
+    * retention_ok), ordered by bucket.
+    */
+  def spaceSavingMergeCheck(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int, m: Int): DataFrame = {
+    require(buckets >= 1 && m >= 1, s"buckets=$buckets, m=$m")
+    val toks = df
+      .filter(col(textCol).isNotNull && col(idCol).isNotNull)
+      .select((col(idCol) % 2 === 0).as("even"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(pmod(graft.functions.Hashing.h60(col("tok")),
+        lit(buckets.toLong)).as("b"), col("even"), col("tok"))
+    val sideCounts = graft.CacheScope.register(
+      toks.groupBy("b", "even", "tok")
+        .agg(count(lit(1)).cast("long").as("c")))
+    val wSide = Window.partitionBy("b", "even")
+      .orderBy(col("c").desc, col("tok"))
+    val ranked = graft.CacheScope.register(
+      sideCounts.withColumn("rk", row_number().over(wSide)))
+    val floors = graft.CacheScope.register(
+      ranked.groupBy("b", "even")
+        .agg(coalesce(max(when(col("rk") === m + 1, col("c"))), lit(0L))
+            .cast("long").as("f"),
+          sum("c").cast("long").as("n_side")))
+    val summ = ranked.filter(col("rk") <= m)
+      .join(floors, Seq("b", "even"))
+      .select(col("b"), col("even"), col("tok"),
+        (col("c") + col("f")).as("cs"), col("f").as("es"))
+    val sE = summ.filter(col("even"))
+      .select(col("b"), col("tok"), col("cs").as("ce"), col("es").as("ee"))
+    val sO = summ.filter(!col("even"))
+      .select(col("b"), col("tok"), col("cs").as("co"), col("es").as("eo"))
+    // bucket spine with both side floors (0 where a side saw no tokens)
+    val spine = df.sparkSession.range(buckets).select(col("id").as("b"))
+      .join(floors.filter(col("even"))
+        .select(col("b"), col("f").as("fe")), Seq("b"), "left")
+      .join(floors.filter(!col("even"))
+        .select(col("b"), col("f").as("fo")), Seq("b"), "left")
+      .select(col("b"), coalesce(col("fe"), lit(0L)).as("fe"),
+        coalesce(col("fo"), lit(0L)).as("fo"))
+    val wMerged = Window.partitionBy("b").orderBy(col("cm").desc, col("tok"))
+    val merged = graft.CacheScope.register(
+      sE.join(sO, Seq("b", "tok"), "full_outer")
+        .join(broadcast(spine), Seq("b"))
+        .select(col("b"), col("tok"),
+          (coalesce(col("ce"), col("fe")) + coalesce(col("co"), col("fo")))
+            .as("cm"),
+          (coalesce(col("ee"), col("fe")) + coalesce(col("eo"), col("fo")))
+            .as("em"))
+        .withColumn("rk", row_number().over(wMerged))
+        .filter(col("rk") <= m))
+    val exact = graft.CacheScope.register(
+      sideCounts.groupBy("b", "tok").agg(sum("c").cast("long").as("cx")))
+    val nb = exact.groupBy("b").agg(sum("cx").cast("long").as("n_bucket"),
+      count(lit(1)).cast("long").as("n_tokens_exact"))
+    val checks = merged.join(exact, Seq("b", "tok"))
+      .groupBy("b")
+      .agg(count(lit(1)).cast("long").as("n_counters"),
+        sum(when(col("cm") < col("cx") ||
+          col("cm") - col("em") > col("cx"), 1L).otherwise(0L))
+          .cast("long").as("n_bound_violations"),
+        max(when(col("rk") === 1, col("tok"))).as("top_token"),
+        max(when(col("rk") === 1, col("cm"))).cast("long").as("top_count"),
+        max(when(col("rk") === 1, col("em"))).cast("long").as("top_err"))
+    // retention: heavy exact tokens (cx·m > n_bucket + m·(fe+fo)) that
+    // the merge dropped — must be none
+    val misses = exact.join(merged.select("b", "tok"), Seq("b", "tok"),
+        "left_anti")
+      .join(broadcast(spine), Seq("b"))
+      .join(nb.select("b", "n_bucket"), Seq("b"))
+      .filter(col("cx") * m > col("n_bucket") +
+        lit(m.toLong) * (col("fe") + col("fo")))
+      .groupBy("b").agg(count(lit(1)).cast("long").as("n_retention_misses"))
+    broadcast(spine).join(nb, Seq("b"), "left")
+      .join(checks, Seq("b"), "left").join(misses, Seq("b"), "left")
+      .select(col("b").as("bucket"),
+        coalesce(col("n_bucket"), lit(0L)).as("n_bucket"),
+        coalesce(col("n_tokens_exact"), lit(0L)).as("n_tokens_exact"),
+        coalesce(col("n_counters"), lit(0L)).as("n_counters"),
+        col("fe").as("floor_even"), col("fo").as("floor_odd"),
+        col("top_token"), col("top_count"), col("top_err"),
+        coalesce(col("n_bound_violations"), lit(0L))
+          .as("n_bound_violations"),
+        coalesce(col("n_retention_misses"), lit(0L))
+          .as("n_retention_misses"))
+      .withColumn("state_ok", col("n_counters") <= m)
+      .withColumn("bounds_ok", col("n_bound_violations") === 0L)
+      .withColumn("retention_ok", col("n_retention_misses") === 0L)
+      .orderBy("bucket")
+  }
 }

@@ -1491,7 +1491,12 @@ object Temporal {
       .withColumn("dev", dbl(col("cum")) - dbl(col("pos")) * mean)
       .groupBy("m", "blk")
       .agg((max("dev") - min("dev")).as("r"),
-        max(sqrt(dbl(col("q")) / dbl(col("m")) - mean * mean)).as("sd"))
+        // clamp: FP residue can drive q/m − mean² epsilon-negative on a
+        // near-constant block; sqrt would yield NaN, and Spark's
+        // NaN-is-greatest ordering would sneak it past the sd > 0 guard
+        // (DuckDB would instead error) — clamp to 0 so the block drops
+        max(sqrt(greatest(lit(0.0),
+          dbl(col("q")) / dbl(col("m")) - mean * mean))).as("sd"))
     // window means stay on the INTEGER micro grid (truncating div) and
     // lx = log2(m) is an exact Scala integer, so every regression moment
     // is an order-free BIGINT sum — only the final slope/intercept are

@@ -183,27 +183,137 @@ object Warehouse {
   //   - on an object store the commit is a single-key PUT — the same
   //     primitive Delta/Iceberg metadata commits reduce to (single writer
   //     assumed; concurrent writers additionally need a conditional PUT).
+  //
+  // CONCURRENT WRITERS (round-10 verdict #6 — the original protocol was
+  // single-writer: two publishers could compute the same generation
+  // number, interleave stage→flip, and lose a generation or point the
+  // manifest at a dir both had written into). Three per-generation
+  // files make every step a CAS on the local FS (each maps to a
+  // conditional PUT on an object store):
+  //   - CLAIM `gen-NNNNNNNN.claim` — created with CREATE_NEW before any
+  //     data write; reserves the number. The loser of a same-number race
+  //     gets [[ConcurrentPublishException]] (clean, retryable, BEFORE it
+  //     wastes a data write) and never touches the winner's dir.
+  //   - COMMIT `gen-NNNNNNNN/_COMMITTED` — written by the slot owner
+  //     only (no shared read-modify-write commit log any more; the
+  //     legacy `_COMMITS` file is still READ for tables published by
+  //     older code).
+  //   - LIVE `_MANIFEST.gen-NNNNNNNN` marker, CREATE_NEW — readers
+  //     resolve the HIGHEST-numbered marker, so the live pointer is
+  //     monotone by construction: a slower writer committing an older
+  //     claimed number can never flip the table backward. The legacy
+  //     single `_MANIFEST` file is still written (debuggability + old
+  //     readers) but is advisory once any marker exists.
 
   private val ManifestName = "_MANIFEST"
   private val CommitsName = "_COMMITS"
+  private val LiveMarkerPrefix = "_MANIFEST.gen-"
+  private val ClaimSuffix = ".claim"
+  private val CommittedName = "_COMMITTED"
 
-  /** The live generation name of a versioned table, if one was published. */
+  /** A generation-number claim or live-marker CAS lost to a concurrent
+    * writer. Clean and retryable: nothing was staged under the loser's
+    * name; call the publish again (it will claim the next free number).
+    */
+  final class ConcurrentPublishException(msg: String)
+    extends RuntimeException(msg)
+
+  private def listRoot(table: String)(keep: String => Boolean): Seq[String] = {
+    val root = Paths.get(table)
+    if (!Files.exists(root)) Seq.empty
+    else {
+      val stream = Files.list(root)
+      try {
+        val out = Seq.newBuilder[String]
+        stream.forEach { p =>
+          val n = p.getFileName.toString
+          if (keep(n)) out += n
+        }
+        out.result().sorted
+      } finally stream.close()
+    }
+  }
+
+  /** The live generation name of a versioned table, if one was published:
+    * the highest-numbered `_MANIFEST.gen-*` marker, or the legacy single
+    * `_MANIFEST` pointer if it names a higher generation (tables written
+    * by pre-CAS code keep resolving).
+    */
   def liveGeneration(table: String): Option[String] = {
-    val m = Paths.get(table, ManifestName)
-    if (Files.exists(m)) Some(Files.readString(m).trim).filter(_.nonEmpty)
-    else None
+    val markers = listRoot(table)(_.startsWith(LiveMarkerPrefix))
+      .map(_.stripPrefix("_MANIFEST."))
+    val legacy = {
+      val m = Paths.get(table, ManifestName)
+      if (Files.exists(m)) Some(Files.readString(m).trim).filter(_.nonEmpty)
+      else None
+    }
+    (markers ++ legacy).sorted.lastOption
   }
 
   /** Every generation that completed its data write (the commit log) —
     * the set `vacuum` may legally keep as history. An orphan dir whose
     * publish crashed mid-write is on disk but never in this list, so it
     * can never shadow a real, fully-written historical generation.
+    * Union of the per-generation `_COMMITTED` records (CAS protocol)
+    * and the legacy `_COMMITS` file (pre-CAS tables).
     */
   def committedGenerations(table: String): Seq[String] = {
     val c = Paths.get(table, CommitsName)
-    if (!Files.exists(c)) Seq.empty
-    else Files.readString(c).split('\n').map(_.trim).filter(_.nonEmpty)
-      .toIndexedSeq.sorted
+    val legacy =
+      if (!Files.exists(c)) Seq.empty[String]
+      else Files.readString(c).split('\n').map(_.trim).filter(_.nonEmpty)
+        .toIndexedSeq
+    val marked = listGenerations(table)
+      .filter(g => Files.exists(Paths.get(table, g, CommittedName)))
+    (legacy ++ marked).distinct.sorted
+  }
+
+  /** CAS-claim the next free generation number: atomically create
+    * `gen-NNNNNNNN.claim` (CREATE_NEW). The single-attempt loser of a
+    * same-number race throws [[ConcurrentPublishException]] — by design
+    * it does NOT silently take the next number, so a caller that raced
+    * knows its snapshot of the table may be stale and can re-read before
+    * retrying (the optimistic-concurrency contract).
+    */
+  private def claimGeneration(table: String): String = {
+    Files.createDirectories(Paths.get(table))
+    val gen = f"gen-${nextGenNumber(table)}%08d"
+    claimSlot(table, gen)
+    gen
+  }
+
+  /** The raw slot CAS (package-visible so the race is unit-testable
+    * deterministically): atomically create the claim file for `gen`,
+    * or throw if a concurrent writer holds it. Note a claim file that
+    * PRE-EXISTS a publish is simply skipped past by [[nextGenNumber]] —
+    * the exception fires only when two writers computed the same next
+    * number inside each other's scan→create window.
+    */
+  private[graft] def claimSlot(table: String, gen: String): Unit =
+    try Files.createFile(Paths.get(table, gen + ClaimSuffix))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new ConcurrentPublishException(
+          s"generation slot $gen of $table was claimed by a concurrent " +
+            "writer; re-read the table state and retry the publish")
+    }
+
+  /** Commit + flip a fully-staged generation: write the owned
+    * `_COMMITTED` record, then CAS-create the numbered live marker
+    * (readers resolve the max marker — monotone, never backward), then
+    * refresh the advisory legacy `_MANIFEST`.
+    */
+  private def commitAndFlip(table: String, gen: String): Unit = {
+    writeAtomic(Paths.get(table, gen, CommittedName), gen)
+    try Files.createFile(Paths.get(table, LiveMarkerPrefix +
+      gen.stripPrefix("gen-")))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new ConcurrentPublishException(
+          s"live marker for $gen of $table already exists — the slot " +
+            "was committed by another writer; retry the publish")
+    }
+    writeAtomic(Paths.get(table, ManifestName), liveGeneration(table).get)
   }
 
   private def writeAtomic(path: Path, content: String): Unit = {
@@ -234,8 +344,7 @@ object Warehouse {
     */
   def publishVersioned(spark: SparkSession, df: DataFrame, table: String,
       statsCols: Seq[String] = Seq.empty): String = {
-    Files.createDirectories(Paths.get(table))
-    val gen = f"gen-${nextGenNumber(table)}%08d"
+    val gen = claimGeneration(table)
     df.write.mode("overwrite").parquet(s"$table/$gen")
     if (statsCols.nonEmpty) {
       val written = spark.read.parquet(s"$table/$gen")
@@ -246,9 +355,7 @@ object Warehouse {
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$table/$gen/$StatsName")
     }
-    writeAtomic(Paths.get(table, CommitsName),
-      (committedGenerations(table) :+ gen).mkString("\n"))
-    writeAtomic(Paths.get(table, ManifestName), gen)
+    commitAndFlip(table, gen)
     gen
   }
 
@@ -396,7 +503,14 @@ object Warehouse {
     val keep = (live.toSeq ++
       committed.filter(g => live.forall(g < _)).takeRight(keepHistory)).toSet
     val doomed = listGenerations(table).filterNot(keep)
-    doomed.foreach(g => deleteRecursively(Paths.get(table, g)))
+    doomed.foreach { g =>
+      deleteRecursively(Paths.get(table, g))
+      // the CAS sidecars die with their generation: the claim slot and
+      // the (now-shadowed) numbered live marker
+      Files.deleteIfExists(Paths.get(table, g + ClaimSuffix))
+      Files.deleteIfExists(Paths.get(table, LiveMarkerPrefix +
+        g.stripPrefix("gen-")))
+    }
     writeAtomic(Paths.get(table, CommitsName),
       committed.filter(keep).mkString("\n"))
     doomed
@@ -423,7 +537,12 @@ object Warehouse {
       .map(_.stripPrefix("gen-").toLong)
     val fromManifest = liveGeneration(table)
       .map(_.stripPrefix("gen-").toLong)
-    ((fromDirs ++ fromManifest) :+ 0L).max + 1
+    // claimed-but-unwritten slots count too: a crashed claimant's number
+    // is never reused (its claim file stays until vacuum), so no later
+    // writer can stage into a dir another process might still be writing
+    val fromClaims = listRoot(table)(_.endsWith(ClaimSuffix))
+      .map(_.stripPrefix("gen-").stripSuffix(ClaimSuffix).toLong)
+    ((fromDirs ++ fromManifest ++ fromClaims) :+ 0L).max + 1
   }
 
   // ----- Keyed deletion vectors (soft delete without file rewrite) ----------
@@ -894,7 +1013,7 @@ object Warehouse {
       cum += sz
       (bin, f, sz)
     }
-    val newGen = f"gen-${nextGenNumber(table)}%08d"
+    val newGen = claimGeneration(table)
     Files.createDirectories(Paths.get(table, newGen))
     val byBin = assigned.groupBy(_._1).toSeq.sortBy(_._1)
     byBin.foreach { case (bin, fs) =>
@@ -910,9 +1029,20 @@ object Warehouse {
         df.coalesce(1).write.mode("append").parquet(s"$table/$newGen")
       }
     }
-    writeAtomic(Paths.get(table, CommitsName),
-      (committedGenerations(table) :+ newGen).mkString("\n"))
-    writeAtomic(Paths.get(table, ManifestName), newGen)
+    // optimistic-concurrency check (the Iceberg/Delta compaction rule):
+    // a compaction that raced a data publish must NOT shadow it — the
+    // compacted generation was built from `gen`, so if the live pointer
+    // moved while we rewrote files, abandon our claim (orphan dir; a
+    // later vacuum sweeps it) and tell the caller to retry on the new
+    // snapshot. The residual window after this check is the marker
+    // create itself, which is monotone anyway (max-marker readers).
+    if (!liveGeneration(table).contains(gen)) {
+      throw new ConcurrentPublishException(
+        s"compaction of $table based on $gen lost a race: live moved to " +
+          s"${liveGeneration(table).getOrElse("<none>")} mid-rewrite; " +
+          "retry compaction on the new snapshot")
+    }
+    commitAndFlip(table, newGen)
     byBin.map { case (bin, fs) =>
       (bin, fs.size.toLong, fs.map(_._3).sum) }
       .toDF("bin", "n_files_in", "bytes_in").orderBy("bin")
@@ -942,8 +1072,7 @@ object Warehouse {
     */
   def publishAudited(spark: SparkSession, df: DataFrame, table: String,
       rules: Seq[Quality.Expectation]): (String, Boolean, Long) = {
-    Files.createDirectories(Paths.get(table))
-    val gen = f"gen-${nextGenNumber(table)}%08d"
+    val gen = claimGeneration(table)
     df.write.mode("overwrite").parquet(s"$table/$gen")
     val staged = spark.read.parquet(s"$table/$gen")
     val audit = Quality.expectationsAudit(staged, rules).collect()
@@ -956,11 +1085,7 @@ object Warehouse {
         s"""{"generation": "$gen", "published": ${nViol == 0L}, "rules": [""",
         ", ", "]}")
     writeAtomic(Paths.get(table, gen, "_audit.json"), verdict)
-    if (nViol == 0L) {
-      writeAtomic(Paths.get(table, CommitsName),
-        (committedGenerations(table) :+ gen).mkString("\n"))
-      writeAtomic(Paths.get(table, ManifestName), gen)
-    }
+    if (nViol == 0L) commitAndFlip(table, gen)
     (gen, nViol == 0L, nViol)
   }
 

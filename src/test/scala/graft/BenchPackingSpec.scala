@@ -54,6 +54,38 @@ class BenchPackingSpec extends AnyFunSuite {
     assert(!c0.contains("q02"))
   }
 
+  test("per-pass jitter changes chunk composition but keeps the invariants") {
+    val names = (1 to 40).map(i => f"q$i%03d")
+    val costs = names.zipWithIndex.map { case (n, i) => n -> (1.0 + i % 7) }.toMap
+    val passes = (0 until 3).map(p => Bench.packChunks(names, 8, costs, p))
+    // every pass is a full, capacity-respecting partition
+    passes.foreach { chunks =>
+      assert(chunks.flatten.sorted == names.sorted)
+      assert(chunks.forall(_.size <= 8))
+    }
+    // pass 0 is jitter-free — identical to the historical packing
+    assert(passes(0) == Bench.packChunks(names, 8, costs))
+    // co-runner sets actually differ between passes (the whole point):
+    // at least one query's chunk-mates change pass-over-pass
+    def mates(chunks: Seq[Seq[String]]): Map[String, Set[String]] =
+      chunks.flatMap(c => c.map(n => n -> (c.toSet - n))).toMap
+    val m0 = mates(passes(0)); val m1 = mates(passes(1))
+    assert(names.exists(n => m0(n) != m1(n)),
+      "pass jitter produced identical compositions")
+    // and the jitter is deterministic: same pass -> same packing
+    assert(passes(1) == Bench.packChunks(names, 8, costs, 1))
+  }
+
+  test("stride fallback rotates with pass") {
+    val names = (1 to 16).map(i => f"q$i%02d")
+    val p0 = Bench.packChunks(names, 8, Map.empty, 0)
+    val p1 = Bench.packChunks(names, 8, Map.empty, 1)
+    p0.foreach(c => assert(c.size <= 8))
+    assert(p0.flatten.sorted == names.sorted)
+    assert(p1.flatten.sorted == names.sorted)
+    assert(p0 != p1, "stride fallback ignored the pass rotation")
+  }
+
   test("single chunk and empty input edge cases") {
     assert(Bench.packChunks(Nil, 8, Map.empty) == Seq.empty)
     val names = Seq("q01", "q02")

@@ -192,6 +192,54 @@ class QualitySpec extends SparkSpec {
     assert(out.getAs[Long]("max_val") == sorted.last)
   }
 
+  test("spaceSavingMergeCheck: hand-computed merge law on a tiny corpus " +
+      "(r10 verdict #5 — the batch face of the streaming Space-Saving)") {
+    import spark.implicits._
+    // one bucket, m = 2: even side counts a3 b2 c1 -> floor 1, counters
+    // a(4,1) b(3,1); odd side d3 a1 c1 -> floor 1, counters d(4,1)
+    // a(2,1); merged a=6 d=5 b=4 -> keep a, d; exact a4 b2 c2 d3, N=11
+    val docs = Seq(
+      (0L, "a a b c"), (2L, "a b"),
+      (1L, "a d d c"), (3L, "d")).toDF("doc_id", "text")
+    val out = graft.operators.Sketches
+      .spaceSavingMergeCheck(docs, "doc_id", "text", buckets = 1, m = 2)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_bucket") == 11L)
+    assert(r.getAs[Long]("n_tokens_exact") == 4L)
+    assert(r.getAs[Long]("n_counters") == 2L)
+    assert(r.getAs[Long]("floor_even") == 1L &&
+      r.getAs[Long]("floor_odd") == 1L)
+    assert(r.getAs[String]("top_token") == "a")
+    assert(r.getAs[Long]("top_count") == 6L &&
+      r.getAs[Long]("top_err") == 2L)
+    assert(r.getAs[Long]("n_bound_violations") == 0L &&
+      r.getAs[Long]("n_retention_misses") == 0L)
+    assert(r.getAs[Boolean]("state_ok") && r.getAs[Boolean]("bounds_ok") &&
+      r.getAs[Boolean]("retention_ok"))
+  }
+
+  test("spaceSavingMergeCheck: bounds, state cap, and retention hold on " +
+      "the real corpus at aggressive truncation (m = 4)") {
+    val docs = graft.GraftSession.table(spark, "/root/testdata/sf0.001",
+      "documents")
+    val out = graft.operators.Sketches
+      .spaceSavingMergeCheck(docs, "doc_id", "text", buckets = 2, m = 4)
+      .collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("state_ok"), s"state bound broken: $r")
+      assert(r.getAs[Boolean]("bounds_ok"), s"SS bounds broken: $r")
+      assert(r.getAs[Boolean]("retention_ok"), s"retention broken: $r")
+      // aggressive m on a real vocabulary MUST truncate (floors bind) —
+      // otherwise this test is vacuous
+      assert(r.getAs[Long]("floor_even") > 0L &&
+        r.getAs[Long]("floor_odd") > 0L, s"floors never bound: $r")
+    }
+    graft.CacheScope.releaseAll()
+  }
+
   test("heavyHittersCms: estimates never undercount and overshoot by " +
       "at most eps*N (the q74 contract)") {
     import spark.implicits._

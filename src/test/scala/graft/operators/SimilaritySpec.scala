@@ -671,4 +671,23 @@ class SimilaritySpec extends SparkSpec {
     assert(disj.getAs[Long]("n_overlap") == 0L)
     assert(disj.getAs[Long]("rbo_micro") == 0L)
   }
+
+  test("rboAtK: a query answered by only ONE system appears in the " +
+      "spine with rbo 0, from either side (ADVICE r10 symmetry fix)") {
+    import spark.implicits._
+    val a = Seq((1L, 10L, 0.9), (2L, 20L, 0.8))
+      .toDF("query_id", "id", "score")
+    val b = Seq((1L, 10L, 0.9), (3L, 30L, 0.7))
+      .toDF("query_id", "id", "score")
+    val ab = Similarity.rboAtK(a, b, 3, 900000L).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("rbo_micro"))
+      .toMap
+    // spine = union: q2 (a-only) AND q3 (b-only) both report 0
+    assert(ab.keySet == Set(1L, 2L, 3L))
+    assert(ab(2L) == 0L && ab(3L) == 0L && ab(1L) > 0L)
+    // and the operator is symmetric on the spine
+    val ba = Similarity.rboAtK(b, a, 3, 900000L).collect()
+      .map(_.getAs[Long]("query_id")).toSet
+    assert(ba == Set(1L, 2L, 3L))
+  }
 }
