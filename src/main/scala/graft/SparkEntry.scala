@@ -3590,6 +3590,280 @@ object SparkEntry {
           FROM bands a JOIN bands b ON a.doc_id < b.doc_id)
         WHERE hamming <= 7 ORDER BY doc_a, doc_b""")),
 
+    // Exact-integer grayscale features on the deterministic 8x8 luma
+    // grid (r10 verdict #7): 8-bin intensity histogram + 4-neighbor
+    // edge density, every value replayed bit-exactly by the oracle —
+    // the codec-agnostic half of an image-quality gate.
+    "q344_grayscale_features" -> Q(
+      (s, dir) => Multimodal.grayscaleFeatures(
+          Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text"))
+        .orderBy("doc_id"),
+      Some {
+        val hist = (0 until 8).map(b =>
+          s"""CAST(list_aggregate(list_transform(cells, x ->
+              CASE WHEN x // 32 = $b THEN 1 ELSE 0 END), 'sum')
+            AS BIGINT) AS hist_$b""").mkString(",\n          ")
+        s"""WITH hx AS (SELECT doc_id,
+              'application/x-graft-' || CAST(doc_id % 3 AS VARCHAR) AS mime,
+              hex(encode(text)) AS h,
+              CAST(octet_length(encode(text)) AS BIGINT) AS n
+            FROM documents),
+        cells AS (SELECT doc_id, mime, n, list_transform(range(64), j ->
+            16 * (strpos('0123456789ABCDEF',
+                         substring(h, 2*(1 + (j*n)//64) - 1, 1)) - 1)
+               + (strpos('0123456789ABCDEF',
+                         substring(h, 2*(1 + (j*n)//64), 1)) - 1)) AS cells
+          FROM hx),
+        feat AS (SELECT doc_id, mime, n AS n_bytes,
+          $hist,
+          CAST((list_aggregate(cells, 'sum') * 1000000) // 64 AS BIGINT)
+            AS mean_intensity_micro,
+          CAST(list_aggregate(list_transform(range(64), j ->
+              CASE WHEN j % 8 <> 7
+                AND abs(cells[j+1] - cells[j+2]) > 32 THEN 1 ELSE 0 END),
+              'sum')
+            + list_aggregate(list_transform(range(56), j ->
+              CASE WHEN abs(cells[j+1] - cells[j+9]) > 32 THEN 1 ELSE 0 END),
+              'sum') AS BIGINT) AS n_edges
+          FROM cells)
+        SELECT doc_id, mime, n_bytes, hist_0, hist_1, hist_2, hist_3,
+          hist_4, hist_5, hist_6, hist_7, mean_intensity_micro, n_edges,
+          CAST((n_edges * 1000000) // 112 AS BIGINT) AS edge_density_micro
+        FROM feat ORDER BY doc_id"""
+      }),
+
+    // Herfindahl-Hirschman revenue concentration per nation across its
+    // customers: exact DECIMAL share moments, ONE pinned division —
+    // "which market does one whale dominate" beside q274's lifecycle
+    // waterfall.
+    "q345_hhi" -> Q(
+      (s, dir) => {
+        val j = t(s, dir, "orders")
+          .join(t(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .join(t(s, dir, "nation"),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name"), col("c_custkey"), col("o_totalprice"))
+        Analytics.hhiConcentration(j, "n_name", "c_custkey", "o_totalprice")
+      },
+      Some("""WITH per AS (SELECT n_name AS g, c_custkey AS e,
+            CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+              AS c
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          WHERE n_name IS NOT NULL AND c_custkey IS NOT NULL
+            AND o_totalprice IS NOT NULL
+          GROUP BY 1, 2),
+        agg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_entities,
+            SUM(CAST(c AS HUGEINT)) AS t,
+            SUM(CAST(c AS HUGEINT) * c) AS q
+          FROM per GROUP BY 1),
+        h AS (SELECT g, n_entities, CAST(t AS BIGINT) AS total_cents,
+            CASE WHEN t > 0 THEN CAST(q AS DOUBLE)
+              / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)) END AS hhi
+          FROM agg)
+        SELECT g AS n_name, n_entities, total_cents, hhi,
+          CASE WHEN hhi > 0 THEN 1.0 / hhi END AS effective_n
+        FROM h ORDER BY n_name""")),
+
+    // Periodogram of daily order revenue at candidate periods 7/30/91/365
+    // — WHICH cycle is in the series (q268's decomposition assumes one;
+    // this ranks them). Mean-centering stays integer via the xn trick;
+    // cos/sin are micro-rounded BIGINTs, C/S exact DECIMAL sums.
+    "q346_periodogram" -> Q(
+      (s, dir) => Temporal.periodogram(t(s, dir, "orders"), "o_orderdate",
+        "o_totalprice", Seq(7, 30, 91, 365)),
+      Some {
+        val twoPi = 2.0 * math.Pi
+        s"""WITH obs AS (SELECT CAST(o_orderdate AS DATE) AS dy,
+            CAST(SUM(CAST(round(o_totalprice * 1e6) AS BIGINT)) AS BIGINT)
+              AS y
+          FROM orders
+          WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+          GROUP BY 1),
+        b AS (SELECT MIN(dy) AS lo, MAX(dy) AS hi FROM obs),
+        grid AS (SELECT CAST(gs.dy - (SELECT lo FROM b) AS BIGINT) AS x,
+            COALESCE(y, 0) AS y
+          FROM (SELECT CAST(unnest(generate_series(lo, hi,
+              INTERVAL 1 DAY)) AS DATE) AS dy FROM b) gs
+          LEFT JOIN obs USING (dy)),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            SUM(CAST(y AS HUGEINT)) AS t FROM grid),
+        fan AS (SELECT p, x, n, CAST(y AS HUGEINT) * n - t AS yc
+          FROM grid CROSS JOIN (VALUES (CAST(7 AS BIGINT)), (30), (91),
+            (365)) w(p), tot),
+        tr AS (SELECT p, n, yc,
+            CAST(round(cos($twoPi * CAST(x AS DOUBLE)
+              / CAST(p AS DOUBLE)) * 1e6) AS BIGINT) AS cm,
+            CAST(round(sin($twoPi * CAST(x AS DOUBLE)
+              / CAST(p AS DOUBLE)) * 1e6) AS BIGINT) AS sm
+          FROM fan),
+        agg AS (SELECT p, CAST(MAX(n) AS BIGINT) AS n_days,
+            SUM(yc * cm) AS c, SUM(yc * sm) AS s
+          FROM tr GROUP BY 1),
+        amp AS (SELECT p AS period, n_days,
+            CAST(c AS DOUBLE) / (CAST(n_days AS DOUBLE)
+              * CAST(n_days AS DOUBLE) * 1e12) AS c_amp,
+            CAST(s AS DOUBLE) / (CAST(n_days AS DOUBLE)
+              * CAST(n_days AS DOUBLE) * 1e12) AS s_amp
+          FROM agg)
+        SELECT period, n_days, c_amp, s_amp,
+          c_amp * c_amp + s_amp * s_amp AS power
+        FROM amp ORDER BY period"""
+      }),
+
+    // Wilcoxon signed-rank on the per-user value shift around the
+    // mid-month cut — the rank-robust paired companion to q265's DiD
+    // and q134's Welch t; doubled-rank integers, tie-corrected z,
+    // shared A&S tail.
+    "q347_wilcoxon_signed_rank" -> Q(
+      (s, dir) => Quality.wilcoxonSignedRank(t(s, dir, "events"),
+        "user_id", "ts", "value", "2024-01-16 00:00:00"),
+      Some("""WITH units AS (SELECT user_id AS u,
+            CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP) >=
+                TIMESTAMP '2024-01-16 00:00:00'
+              THEN CAST(round(value * 1e6) AS BIGINT) ELSE 0 END)
+            - SUM(CASE WHEN CAST(ts AS TIMESTAMP) <
+                TIMESTAMP '2024-01-16 00:00:00'
+              THEN CAST(round(value * 1e6) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS dd
+          FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            AND value IS NOT NULL
+          GROUP BY 1 HAVING dd <> 0),
+        gv AS (SELECT abs(dd) AS ad, CAST(COUNT(*) AS BIGINT) AS t,
+            CAST(SUM(CASE WHEN dd > 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp
+          FROM units GROUP BY 1),
+        rk AS (SELECT ad, t, tp,
+            COALESCE(SUM(t) OVER (ORDER BY ad ROWS BETWEEN UNBOUNDED
+              PRECEDING AND 1 PRECEDING), 0) * 2 + t + 1 AS r2
+          FROM gv),
+        agg AS (SELECT CAST(SUM(t) AS BIGINT) AS n,
+            CAST(SUM(tp) AS BIGINT) AS n_pos,
+            CAST(SUM(CAST(tp AS HUGEINT) * r2) AS BIGINT) AS w2_plus,
+            CAST(SUM(CAST(t AS HUGEINT) * t * t - t) AS BIGINT)
+              AS tie_cubes
+          FROM rk),
+        fin AS (SELECT *,
+            CAST(w2_plus AS DOUBLE) - CAST(n AS DOUBLE)
+              * (CAST(n AS DOUBLE) + 1) / 2.0 AS num,
+            CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)
+              * (2.0 * CAST(n AS DOUBLE) + 1) / 6.0
+              - CAST(tie_cubes AS DOUBLE) / 12.0 AS var
+          FROM agg),
+        z2 AS (SELECT *, num / sqrt(var) AS z,
+            abs(num / sqrt(var)) AS az FROM fin),
+        p1 AS (SELECT *, 1.0 / (1.0 + 0.2316419 * az) AS kq FROM z2),
+        p2 AS (SELECT *, 0.3989422804014327 * EXP(-0.5 * az * az) *
+            (((((1.330274429 * kq + -1.821255978) * kq + 1.781477937) * kq
+              + -0.356563782) * kq + 0.319381530) * kq) AS tail
+          FROM p1)
+        SELECT n AS n_pairs, n_pos, n - n_pos AS n_neg, w2_plus,
+          CASE WHEN n >= 2 AND var > 0 THEN z END AS z,
+          CASE WHEN n >= 2 AND var > 0 THEN
+            CAST(round(least(1.0, 2.0 * tail) * 1e6) AS BIGINT) END
+            AS p_micro,
+          CASE WHEN n >= 2 AND var > 0 THEN
+            CAST(round(least(1.0, 2.0 * tail) * 1e6) AS BIGINT) <= 50000
+            ELSE false END AS significant
+        FROM p2""")),
+
+    // Friedman test: do the five event types differ in daily value,
+    // judged WITHIN each day (the randomized-block companion to q203's
+    // Kruskal-Wallis)? Complete blocks only, within-block doubled
+    // midranks, Conover's tie-robust chi-square as one exact quotient.
+    "q348_friedman" -> Q(
+      (s, dir) => Quality.friedmanTest(t(s, dir, "events")
+          .withColumn("day", col("ts").cast("date")),
+        "day", "event_type", "value"),
+      Some("""WITH cells0 AS (SELECT CAST(ts AS DATE) AS blk,
+            event_type AS tr,
+            CAST(SUM(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS v
+          FROM events
+          WHERE ts IS NOT NULL AND event_type IS NOT NULL
+            AND value IS NOT NULL
+          GROUP BY 1, 2),
+        kk AS (SELECT COUNT(DISTINCT tr) AS k FROM cells0),
+        complete AS (SELECT blk FROM cells0 GROUP BY 1
+          HAVING COUNT(*) = (SELECT k FROM kk)),
+        cells AS (SELECT c.* FROM cells0 c JOIN complete USING (blk)),
+        gv AS (SELECT blk, v, CAST(COUNT(*) AS BIGINT) AS t
+          FROM cells GROUP BY 1, 2),
+        r2 AS (SELECT blk, v,
+            COALESCE(SUM(t) OVER (PARTITION BY blk ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2
+              + t + 1 AS r2
+          FROM gv),
+        rc AS (SELECT cells.blk, cells.tr, r2.r2
+          FROM cells JOIN r2 ON cells.blk = r2.blk AND cells.v = r2.v),
+        pt AS (SELECT tr, CAST(SUM(r2) AS BIGINT) AS r2j
+          FROM rc GROUP BY 1),
+        at2 AS (SELECT CAST(SUM(CAST(r2 AS HUGEINT) * r2) AS BIGINT) AS a2,
+            CAST(COUNT(DISTINCT blk) AS BIGINT) AS b,
+            CAST(COUNT(DISTINCT tr) AS BIGINT) AS k FROM rc),
+        nm AS (SELECT CAST(SUM(CAST(r2j - b * (k + 1) AS HUGEINT)
+            * (r2j - b * (k + 1))) AS BIGINT) AS num2
+          FROM pt, at2)
+        SELECT b AS n_blocks, k AS k_treatments,
+          CAST(k - 1 AS BIGINT) AS dof,
+          CASE WHEN b >= 2 AND k >= 2
+              AND CAST(a2 AS DOUBLE) - CAST(b AS DOUBLE)
+                * CAST(k AS DOUBLE) * CAST(k + 1 AS DOUBLE)
+                * CAST(k + 1 AS DOUBLE) > 0
+            THEN CAST(num2 AS DOUBLE) * CAST(k - 1 AS DOUBLE)
+              / (CAST(a2 AS DOUBLE) - CAST(b AS DOUBLE)
+                * CAST(k AS DOUBLE) * CAST(k + 1 AS DOUBLE)
+                * CAST(k + 1 AS DOUBLE)) END AS chi2
+        FROM at2, nm""")),
+
+    // Poisson overdispersion audit per event type: are per-user event
+    // counts clumpier than random (retries, bots, template floods)?
+    // Exact-integer chi2 identity, Fisher's sqrt approximation, one-
+    // sided p.
+    "q349_dispersion" -> Q(
+      (s, dir) => Quality.dispersionTest(t(s, dir, "events"),
+        "event_type", "user_id"),
+      Some("""WITH per AS (SELECT event_type AS g, user_id AS u,
+            CAST(COUNT(*) AS BIGINT) AS x
+          FROM events
+          WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+          GROUP BY 1, 2),
+        agg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(x) AS BIGINT) AS nn,
+            SUM(CAST(x AS HUGEINT) * x) AS q
+          FROM per GROUP BY 1),
+        fin AS (SELECT *,
+            sqrt(2.0 * ((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                - CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))
+              / CAST(nn AS DOUBLE)))
+            - sqrt(2.0 * CAST(n - 1 AS DOUBLE) - 1.0) AS z
+          FROM agg),
+        p1 AS (SELECT *, abs(z) AS az,
+            1.0 / (1.0 + 0.2316419 * abs(z)) AS kq FROM fin),
+        p2 AS (SELECT *, 0.3989422804014327 * EXP(-0.5 * az * az) *
+            (((((1.330274429 * kq + -1.821255978) * kq + 1.781477937) * kq
+              + -0.356563782) * kq + 0.319381530) * kq) AS tail
+          FROM p1),
+        p3 AS (SELECT *, CASE WHEN z > 0 THEN tail ELSE 1.0 - tail END
+            AS p_one FROM p2)
+        SELECT g AS event_type, n AS n_units, nn AS n_events,
+          CASE WHEN n >= 2 AND nn > 0 THEN
+            CAST((CAST(n AS HUGEINT) * q - CAST(nn AS HUGEINT) * nn)
+              * 1000000 // nn AS BIGINT) END AS chi2_micro,
+          CASE WHEN n >= 2 AND nn > 0 THEN
+            CAST((CAST(n AS HUGEINT) * q - CAST(nn AS HUGEINT) * nn)
+              * 1000000 // (CAST(nn AS HUGEINT) * (n - 1)) AS BIGINT) END
+            AS dispersion_index_micro,
+          CASE WHEN n >= 2 AND nn > 0 THEN z END AS z,
+          CASE WHEN n >= 2 AND nn > 0 THEN
+            CAST(round(least(1.0, p_one) * 1e6) AS BIGINT) END AS p_micro,
+          CASE WHEN n >= 2 AND nn > 0 THEN
+            CAST(round(least(1.0, p_one) * 1e6) AS BIGINT) <= 50000
+              AND (CAST(n AS HUGEINT) * q - CAST(nn AS HUGEINT) * nn)
+                * 1000000 // (CAST(nn AS HUGEINT) * (n - 1)) > 1000000
+            ELSE false END AS overdispersed
+        FROM p3 ORDER BY event_type""")),
+
     // Heaps-law vocabulary-growth curve: cumulative docs/tokens/vocab per
     // doc-id decile — does more of this corpus still buy new vocabulary?
     // Each token contributes at its MIN bucket (one groupBy); the only

@@ -500,6 +500,45 @@ object Analytics {
       .limit(k)
   }
 
+  /** HERFINDAHL-HIRSCHMAN CONCENTRATION INDEX per group — "how
+    * concentrated is this segment's value across its entities": HHI =
+    * Σᵢ sᵢ² over entity value shares sᵢ (1/n = perfectly even, 1 = one
+    * entity holds everything), plus the effective entity count 1/HHI —
+    * the antitrust-screen statistic, and on a training corpus the "is
+    * one source/customer dominating this slice" audit.
+    *
+    * Exactness: per-entity cent sums are exact BIGINTs; HHI = Σc² / T²
+    * with both moments carried as DECIMAL(38,0) and ONE pinned IEEE
+    * division (a per-entity share division would compound rounding n
+    * times). Scale shape: one shuffle to the (group, entity) grid, one
+    * grouped moment aggregate — never a share materialization.
+    *
+    * Returns per group: (group, n_entities, total_cents, hhi,
+    * effective_n), hhi null when the group's total is 0.
+    */
+  def hhiConcentration(df: DataFrame, groupCol: String, entityCol: String,
+      valueCol: String): DataFrame = {
+    def d(c: Column) = c.cast("decimal(38,0)")
+    def dbl(c: Column) = c.cast("double")
+    val per = df
+      .filter(col(groupCol).isNotNull && col(entityCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(entityCol).as("e"))
+      .agg(sum(round(col(valueCol) * 100).cast("long")).cast("long")
+        .as("c"))
+    per.groupBy("g")
+      .agg(count(lit(1)).cast("long").as("n_entities"),
+        sum(d(col("c"))).cast("decimal(38,0)").as("__t"),
+        sum(d(col("c")) * d(col("c"))).cast("decimal(38,0)").as("__q"))
+      .select(col("g").as(groupCol), col("n_entities"),
+        col("__t").cast("long").as("total_cents"),
+        when(col("__t") > 0, dbl(col("__q")) / (dbl(col("__t")) *
+          dbl(col("__t")))).as("hhi"))
+      .withColumn("effective_n",
+        when(col("hhi") > 0, lit(1.0) / col("hhi")))
+      .orderBy(groupCol)
+  }
+
   /** RFM (recency / frequency / monetary) customer segmentation with
     * deterministic quintile codes — the warehouse-side cohorting query.
     * Per customer: days since last order (vs the corpus max date),

@@ -68,18 +68,26 @@ object Multimodal {
     * substring + higher-order array functions) — map-only, never shuffles
     * the payload.
     */
-  def perceptualHash(media: DataFrame): DataFrame = {
+  /** The shared deterministic 64-cell (8×8 row-major) "luma grid" of a
+    * payload: cell j = payload byte at 1-based offset 1 + floor(j*n/64),
+    * decoded from the hex string because neither engine indexes raw
+    * binary. Magnitudes (j*n <= 63 * payload bytes) stay far under 2^53,
+    * so the floor(double) round-trip is exact. A real deployment swaps
+    * this position sampling for decoded-pixel block means; everything
+    * downstream ([[perceptualHash]], [[grayscaleFeatures]]) is
+    * codec-agnostic.
+    */
+  private def cellGrid64: org.apache.spark.sql.Column = {
     val n = octet_length(col("payload"))
     val h = hex(col("payload")) // uppercase hex, same as DuckDB's hex()
-    // cell j = payload byte at 1-based offset 1 + floor(j*n/64); decoded
-    // from the hex string because neither engine indexes raw binary.
-    // Magnitudes (j*n <= 63 * payload bytes) stay far under 2^53, so the
-    // floor(double) round-trip is exact.
-    val cells = transform(sequence(lit(0), lit(63)), j => {
+    transform(sequence(lit(0), lit(63)), j => {
       val pos = (floor(j * n / lit(64)) + 1).cast("int")
       conv(h.substr(lit(2) * pos - 1, lit(2)), 16, 10).cast("int")
     })
-    media.select(col("doc_id"), col("mime"), cells.as("__cells"))
+  }
+
+  def perceptualHash(media: DataFrame): DataFrame = {
+    media.select(col("doc_id"), col("mime"), cellGrid64.as("__cells"))
       .withColumn("__total", aggregate(col("__cells"), lit(0), (acc, x) => acc + x))
       .select(col("doc_id"), col("mime"),
         transform(sequence(lit(0), lit(7)), b =>
@@ -88,6 +96,49 @@ object Multimodal {
                    * 64 > col("__total"), lit(1 << k)).otherwise(lit(0)))
             .reduce(_ + _)
         ).as("bands"))
+  }
+
+  /** EXACT-INTEGER GRAYSCALE FEATURES over the deterministic 8×8 luma
+    * grid (r10 verdict #7 — a second real kernel on the multimodal
+    * column while the byte→pixel codec stays env-bound): the two
+    * classic cheap image-quality signals production media dedup runs
+    * BEFORE any model —
+    *   - an 8-bin intensity HISTOGRAM (bin = cell >> 5, cells are
+    *     bytes 0..255; Σ bins = 64) — flags flat/washed-out payloads,
+    *   - EDGE DENSITY: of the 112 4-neighbor cell pairs (56 horizontal
+    *     + 56 vertical on the 8×8 grid), the fraction with
+    *     |Δintensity| > 32, on the exact micro grid (·10⁶ div 112) —
+    *     the "is there any structure here" score (blank images ~0).
+    * All arithmetic is integer on both engines, so the oracle replays
+    * every value bit-exactly. Pure codegen'd projection — map-only,
+    * payloads never shuffle (the binaryFeatures contract).
+    */
+  def grayscaleFeatures(media: DataFrame): DataFrame = {
+    def el(i: Int) = element_at(col("__cells"), i) // 1-based
+    val hist = (0 until 8).map(b =>
+      aggregate(col("__cells"), lit(0L),
+        (acc, x) => acc + when(shiftright(x, 5) === b, 1L).otherwise(0L))
+        .as(s"hist_$b"))
+    // 4-neighbor pairs on the row-major 8x8 grid: horizontal (j, j+1)
+    // when j % 8 != 7; vertical (j, j+8) when j < 56 — 0-based j,
+    // element_at is 1-based
+    val hEdges = (0 until 64).filter(_ % 8 != 7).map(j =>
+      when(abs(el(j + 1) - el(j + 2)) > 32, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val vEdges = (0 until 56).map(j =>
+      when(abs(el(j + 1) - el(j + 9)) > 32, 1L).otherwise(0L))
+      .reduce(_ + _)
+    media
+      .select(col("doc_id"), col("mime"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        cellGrid64.as("__cells"))
+      .withColumn("__total",
+        aggregate(col("__cells"), lit(0L), (acc, x) => acc + x))
+      .select(Seq(col("doc_id"), col("mime"), col("n_bytes")) ++ hist ++
+        Seq(expr("(__total * 1000000) div 64").as("mean_intensity_micro"),
+          (hEdges + vEdges).as("n_edges")): _*)
+      .withColumn("edge_density_micro",
+        expr("(n_edges * 1000000) div 112"))
   }
 
   /** All pairs of payloads whose perceptual hashes differ in at most

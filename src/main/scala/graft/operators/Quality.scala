@@ -3541,4 +3541,211 @@ object Quality {
         expr(s"((1L + n_ge) * 1000000L) div ${bReps + 1}L").as("p_micro"))
       .withColumn("significant", col("p_micro") <= 50000L)
   }
+
+  /** WILCOXON SIGNED-RANK test of a paired before/after shift — the
+    * rank-based companion to a paired t: per unit, d = (post-period
+    * micro sum) − (pre-period micro sum) around `cutTs`; zero
+    * differences drop (the standard convention), |d| gets tie-aware
+    * midranks, and W⁺ = Σ ranks of positive d is tested against its
+    * null mean n(n+1)/4 with the tie-corrected normal approximation.
+    * Where [[welchTTest]] assumes the shift lives in the mean and
+    * [[permutationTest]] buys exactness with B replays, signed-rank is
+    * the one-pass robust middle: outlier-insensitive, no replication.
+    *
+    * Exactness: everything rides the DOUBLED-rank integer grid (2r̄ =
+    * 2·|{|d| smaller}| + ties + 1 — the [[spearman]] convention), so
+    * W2 = 2W⁺, its null mean n(n+1)/2, and the tie term Σ(t³−t) are
+    * exact BIGINTs; z = (W2 − n(n+1)/2) / sqrt(n(n+1)(2n+1)/6 −
+    * Σ(t³−t)/12) is one pinned IEEE sequence (the ×2 grid scales both
+    * moments by 2), and p is the shared A&S 26.2.17 polynomial.
+    *
+    * Scale shape: one shuffle to the unit grid, midranks over the
+    * DISTINCT-|d| grid (value-bounded, not row-bounded), one final
+    * 1-row assembly.
+    *
+    * Output ONE row: (n_pairs, n_pos, n_neg, w2_plus, z, p_micro,
+    * significant), z/p null when n < 2 or the variance degenerates.
+    */
+  def wilcoxonSignedRank(df: DataFrame, unitCol: String, tsCol: String,
+      valueCol: String, cutTs: String): DataFrame = {
+    def d(c: Column) = c.cast("decimal(38,0)")
+    def dbl(c: Column) = c.cast("double")
+    val cut = to_timestamp(lit(cutTs))
+    val units = df
+      .filter(col(unitCol).isNotNull && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .groupBy(col(unitCol).as("u"))
+      .agg((sum(when(col(tsCol) >= cut,
+          round(col(valueCol) * 1e6).cast("long")).otherwise(0L)) -
+        sum(when(col(tsCol) < cut,
+          round(col(valueCol) * 1e6).cast("long")).otherwise(0L)))
+        .cast("long").as("dd"))
+      .filter(col("dd") =!= 0L)
+      .select(col("u"), abs(col("dd")).as("ad"),
+        (col("dd") > 0).as("pos"))
+    val gridV = graft.CacheScope.register(
+      units.groupBy("ad").agg(count(lit(1)).as("t"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("tp")))
+    val w = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = gridV
+      .withColumn("cum_lt", coalesce(sum("t").over(w), lit(0L)))
+      .select(col("ad"), col("t"), col("tp"),
+        (col("cum_lt") * 2 + col("t") + 1).as("r2"))
+    val agg = ranked.agg(
+      sum("t").cast("long").as("n"),
+      sum("tp").cast("long").as("n_pos"),
+      sum(d(col("tp")) * d(col("r2"))).cast("long").as("w2_plus"),
+      sum(d(col("t")) * d(col("t")) * d(col("t")) - d(col("t")))
+        .cast("long").as("tie_cubes"))
+    val nD = dbl(col("n"))
+    val num = dbl(col("w2_plus")) - nD * (nD + 1) / lit(2.0)
+    val variance = nD * (nD + 1) * (lit(2.0) * nD + 1) / lit(6.0) -
+      dbl(col("tie_cubes")) / lit(12.0)
+    val z = num / sqrt(variance)
+    val az = abs(z)
+    val kk = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val poly = ((((lit(1.330274429) * kk + lit(-1.821255978)) * kk
+      + lit(1.781477937)) * kk + lit(-0.356563782)) * kk
+      + lit(0.319381530)) * kk
+    val tail = lit(0.3989422804014327) * exp(lit(-0.5) * az * az) * poly
+    val ok = col("n") >= 2L && variance > 0
+    agg.select(col("n").as("n_pairs"), col("n_pos"),
+      (col("n") - col("n_pos")).as("n_neg"), col("w2_plus"),
+      when(ok, z).as("z"),
+      when(ok, round(least(lit(1.0), lit(2.0) * tail) * 1e6).cast("long"))
+        .as("p_micro"))
+      .withColumn("significant",
+        col("p_micro").isNotNull && col("p_micro") <= 50000L)
+  }
+
+  /** FRIEDMAN test — "do k treatments differ, judged WITHIN each
+    * block": the repeated-measures / randomized-block companion to
+    * [[kruskalWallis]] (which wrongly pools when every block has its
+    * own level). Cells are per-(block, treatment) micro sums; only
+    * COMPLETE blocks (all k treatments present) enter, per the test's
+    * definition; ranks are within-block tie-aware midranks, and the
+    * statistic is Conover's tie-robust form χ² = (k−1)·Σⱼ(Rⱼ −
+    * b(k+1)/2)² / (A − C) with A = Σ r² over all cells and C =
+    * b·k·(k+1)²/4 (reduces to the classic 12/(bk(k+1))·ΣRⱼ² − 3b(k+1)
+    * when tie-free).
+    *
+    * Exactness: the ×2 midrank grid clears every fraction — with
+    * R2ⱼ = 2Rⱼ and A2 = Σ(2r)², χ² = (k−1)·Σⱼ(R2ⱼ − b(k+1))² /
+    * (A2 − b·k·(k+1)²): numerator and denominator are exact BIGINTs,
+    * ONE final IEEE division. Scale shape: one shuffle to the (block,
+    * treatment) cell grid, within-block windows over ≤ k rows, one
+    * k-row treatment aggregate.
+    *
+    * Output ONE row: (n_blocks, k_treatments, chi2, dof), chi2 null
+    * when blocks < 2, treatments < 2, or all ranks tie (A2 = bk(k+1)²).
+    */
+  def friedmanTest(df: DataFrame, blockCol: String, treatCol: String,
+      valueCol: String): DataFrame = {
+    def d(c: Column) = c.cast("decimal(38,0)")
+    def dbl(c: Column) = c.cast("double")
+    val cells0 = df
+      .filter(col(blockCol).isNotNull && col(treatCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .groupBy(col(blockCol).as("blk"), col(treatCol).as("tr"))
+      .agg(sum(round(col(valueCol) * 1e6).cast("long")).cast("long")
+        .as("v"))
+    val kAll = cells0.select(countDistinct(col("tr")).as("k"))
+    val complete = cells0.groupBy("blk")
+      .agg(count(lit(1)).as("__kb"))
+      .crossJoin(broadcast(kAll))
+      .filter(col("__kb") === col("k"))
+      .select("blk")
+    val cells = graft.CacheScope.register(
+      cells0.join(complete, "blk"))
+    // within-block ×2 midranks over the (blk, v) grid (≤ k rows/block)
+    val gv = cells.groupBy("blk", "v").agg(count(lit(1)).as("t"))
+    val w = Window.partitionBy("blk").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val r2 = gv.withColumn("cum_lt", coalesce(sum("t").over(w), lit(0L)))
+      .select(col("blk"), col("v"),
+        (col("cum_lt") * 2 + col("t") + 1).as("r2"))
+    val rankedCells = cells.join(r2, Seq("blk", "v"))
+    val perTreat = rankedCells.groupBy("tr")
+      .agg(sum(d(col("r2"))).cast("long").as("r2j"),
+        count(lit(1)).cast("long").as("b"))
+    val aTot = rankedCells.agg(
+      sum(d(col("r2")) * d(col("r2"))).cast("long").as("a2"),
+      countDistinct(col("blk")).cast("long").as("b"),
+      countDistinct(col("tr")).cast("long").as("k"))
+    val num = perTreat.crossJoin(broadcast(aTot.select(
+        col("b").as("__b"), col("k").as("__k"))))
+      .select((d(col("r2j")) - d(col("__b")) * d(col("__k") + 1))
+        .as("__dev"))
+      .agg(sum(col("__dev") * col("__dev")).cast("decimal(38,0)")
+        .as("num2"))
+    aTot.crossJoin(broadcast(num))
+      .select(col("b").as("n_blocks"), col("k").as("k_treatments"),
+        col("a2"), col("num2").cast("long").as("num2"))
+      .withColumn("dof", col("k_treatments") - 1)
+      .withColumn("chi2", {
+        val denom = dbl(col("a2")) - dbl(col("n_blocks")) *
+          dbl(col("k_treatments")) *
+          dbl(col("k_treatments") + 1) * dbl(col("k_treatments") + 1)
+        when(col("n_blocks") >= 2 && col("k_treatments") >= 2 &&
+          denom > 0,
+          dbl(col("num2")) * dbl(col("dof")) / denom)
+      })
+      .select("n_blocks", "k_treatments", "dof", "chi2")
+  }
+
+  /** POISSON OVERDISPERSION test per group — "are these event counts
+    * clumpier than random": per-unit event counts x_u against the
+    * Poisson null (variance = mean) via the index of dispersion, with
+    * the exact-integer identity χ² = Σ(x − x̄)²/x̄ = (n·Σx² − N²)/N (no
+    * means materialized, no rounding until the final z), dof = n − 1,
+    * and Fisher's √(2χ²) − √(2·dof − 1) normal approximation for the
+    * one-sided overdispersion p. D > 1 means burst/clump (retries, bot
+    * storms, template floods); D < 1 means suspicious regularity. Note
+    * the unit relation is zero-truncated by construction (a unit with
+    * no events is invisible), so D tests the OBSERVED-unit counts.
+    *
+    * Output per group: (group, n_units, n_events, chi2_micro,
+    * dispersion_index_micro, z, p_micro, overdispersed) — chi2 and D
+    * on the exact truncating micro grid, z/p null when n < 2 or N = 0.
+    */
+  def dispersionTest(df: DataFrame, groupCol: String,
+      unitCol: String): DataFrame = {
+    def d(c: Column) = c.cast("decimal(38,0)")
+    def dbl(c: Column) = c.cast("double")
+    val perUnit = df.filter(col(groupCol).isNotNull && col(unitCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(unitCol).as("u"))
+      .agg(count(lit(1)).cast("long").as("x"))
+    val agg = perUnit.groupBy("g")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(d(col("x"))).cast("long").as("nn"),
+        sum(d(col("x")) * d(col("x"))).cast("decimal(38,0)").as("q"))
+    val ok = col("n") >= 2L && col("nn") > 0L
+    val chi2 = (dbl(col("n")) * dbl(col("q")) -
+      dbl(col("nn")) * dbl(col("nn"))) / dbl(col("nn"))
+    val z = sqrt(lit(2.0) * chi2) -
+      sqrt(lit(2.0) * dbl(col("n") - 1) - lit(1.0))
+    val az = abs(z)
+    val kk = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val poly = ((((lit(1.330274429) * kk + lit(-1.821255978)) * kk
+      + lit(1.781477937)) * kk + lit(-0.356563782)) * kk
+      + lit(0.319381530)) * kk
+    val tail = lit(0.3989422804014327) * exp(lit(-0.5) * az * az) * poly
+    val pOne = when(z > 0, tail).otherwise(lit(1.0) - tail)
+    agg.select(col("g").as(groupCol), col("n").as("n_units"),
+      col("nn").as("n_events"),
+      when(ok, expr("cast((cast(n as decimal(38,0)) * q - " +
+        "cast(nn as decimal(38,0)) * nn) * 1000000 div nn as bigint)"))
+        .as("chi2_micro"),
+      when(ok && col("n") > 1, expr("cast((cast(n as decimal(38,0)) * q - " +
+        "cast(nn as decimal(38,0)) * nn) * 1000000 div " +
+        "(cast(nn as decimal(38,0)) * (n - 1)) as bigint)"))
+        .as("dispersion_index_micro"),
+      when(ok, z).as("z"),
+      when(ok, round(least(lit(1.0), pOne) * 1e6).cast("long"))
+        .as("p_micro"))
+      .withColumn("overdispersed",
+        col("p_micro").isNotNull && col("p_micro") <= 50000L &&
+          col("dispersion_index_micro") > 1000000L)
+      .orderBy(groupCol)
+  }
 }

@@ -1736,4 +1736,71 @@ object Temporal {
       when(ok, round(least(lit(1.0), lit(2.0) * tail) * 1e6).cast("long"))
         .as("p_micro"))
   }
+
+  /** PERIODOGRAM at caller-chosen candidate periods — "WHICH cycle is in
+    * this series": the DFT power of the mean-centered daily series at
+    * period p, P(p) = C² + S² with C = Σ_t y'_t·cos(2πt/p), S = Σ_t
+    * y'_t·sin(2πt/p). [[classicalDecompose]] ASSUMES a period; the
+    * periodogram RANKS candidates, the step before it (Schuster 1898).
+    *
+    * Exactness: the calendar-day grid (missing days = 0) gives exact
+    * micro sums y_t and total T; mean-centering stays integer via the
+    * ×n trick (y'_t·n = n·y_t − T); cos/sin values are micro-rounded
+    * BIGINTs (round(cos(2πt/p)·1e6) — the micro-log convention: both
+    * engines round the same libm value of the same IEEE argument), so
+    * C and S are order-free DECIMAL(38,0) sums and the final power is
+    * one pinned IEEE expression: ((C/n/1e6/n)² + (S/..)²) in squared
+    * mean-centered value units.
+    *
+    * Scale shape: the grid fans out ×|periods| through one explode into
+    * a map-side-combined (period) aggregate — |periods| is a small
+    * constant; no window, no join.
+    *
+    * Output per period: (period, n_days, c_amp, s_amp, power) — the
+    * cosine/sine amplitudes per sample in mean-centered value units
+    * (exact DECIMAL sums converted to double ONCE — the exactSum
+    * convention) and their squared magnitude.
+    */
+  def periodogram(df: DataFrame, tsCol: String, valCol: String,
+      periods: Seq[Int]): DataFrame = {
+    require(periods.nonEmpty && periods.forall(_ >= 2), s"bad: $periods")
+    def d(c: Column) = c.cast("decimal(38,0)")
+    def dbl(c: Column) = c.cast("double")
+    val day = col(tsCol).cast("date")
+    val observed = df.filter(col(tsCol).isNotNull && col(valCol).isNotNull)
+      .groupBy(day.as("dy"))
+      .agg(sum(round(col(valCol) * 1e6).cast("long")).cast("long").as("y"))
+    val bounds = observed.agg(min("dy").as("lo"), max("dy").as("hi"))
+    val grid = graft.CacheScope.register(
+      bounds.select(col("lo"), explode(sequence(col("lo"), col("hi")))
+          .as("dy"))
+        .join(observed, Seq("dy"), "left")
+        .select(datediff(col("dy"), col("lo")).cast("long").as("x"),
+          coalesce(col("y"), lit(0L)).as("y")))
+    val tot = grid.agg(count(lit(1)).cast("long").as("n"),
+      sum(d(col("y"))).cast("decimal(38,0)").as("t"))
+    val twoPi = 2.0 * math.Pi // inject the SAME IEEE constant in the oracle
+    val fan = grid.crossJoin(broadcast(tot))
+      .select(col("x"), col("n"),
+        (d(col("y")) * d(col("n")) - col("t")).as("yc"), // n·y − T, exact
+        explode(array(periods.map(p => lit(p.toLong)): _*)).as("p"))
+      .withColumn("cm", round(cos(lit(twoPi) * dbl(col("x")) / dbl(col("p")))
+        * 1e6).cast("long"))
+      .withColumn("sm", round(sin(lit(twoPi) * dbl(col("x")) / dbl(col("p")))
+        * 1e6).cast("long"))
+    fan.groupBy("p")
+      .agg(max("n").cast("long").as("n_days"),
+        sum(col("yc") * d(col("cm"))).cast("decimal(38,0)").as("__c"),
+        sum(col("yc") * d(col("sm"))).cast("decimal(38,0)").as("__s"))
+      .select(col("p").as("period"), col("n_days"), {
+        val scale = dbl(col("n_days")) * dbl(col("n_days")) * lit(1e12)
+        (dbl(col("__c")) / scale).as("c_amp")
+      }, {
+        val scale = dbl(col("n_days")) * dbl(col("n_days")) * lit(1e12)
+        (dbl(col("__s")) / scale).as("s_amp")
+      })
+      .withColumn("power",
+        col("c_amp") * col("c_amp") + col("s_amp") * col("s_amp"))
+      .orderBy("period")
+  }
 }

@@ -301,4 +301,25 @@ class ProductAnalyticsBoundarySpec extends SparkSpec {
       "2024-01-16 00:00:00", "spec-did").collect().head
     assert(r0.getAs[Double]("did") == 0.0)
   }
+
+  test("hhiConcentration: monopoly = 1, even split = 1/n, " +
+      "0.4/0.3/0.2/0.1 shares give exactly 0.30") {
+    import spark.implicits._
+    val rows = Seq(
+      ("mono", "e1", 50.0),
+      ("even", "e1", 25.0), ("even", "e2", 25.0),
+      ("even", "e3", 25.0), ("even", "e4", 25.0),
+      ("mix", "e1", 40.0), ("mix", "e2", 30.0),
+      ("mix", "e3", 20.0), ("mix", "e4", 10.0))
+      .toDF("g", "e", "v")
+    val out = Analytics.hhiConcentration(rows, "g", "e", "v")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(out("mono").getAs[Double]("hhi") == 1.0)
+    assert(out("mono").getAs[Double]("effective_n") == 1.0)
+    assert(out("even").getAs[Double]("hhi") == 0.25)
+    assert(out("even").getAs[Double]("effective_n") == 4.0)
+    // cents are exact: (4000^2+3000^2+2000^2+1000^2)/10000^2 = 0.30
+    assert(out("mix").getAs[Double]("hhi") == 0.30)
+    assert(out("mix").getAs[Long]("total_cents") == 10000L)
+  }
 }

@@ -192,6 +192,84 @@ class QualitySpec extends SparkSpec {
     assert(out.getAs[Long]("max_val") == sorted.last)
   }
 
+  test("wilcoxonSignedRank: hand-computed W+ on distinct and tied " +
+      "differences; zero differences drop") {
+    import spark.implicits._
+    // units u1..u5 with d = +1 +2 -3 +4 +5 (pre rows value 0 are
+    // implicit: no pre events, post sum = d); u6 has d = 0 (pre 7, post
+    // 7) and must drop. W+ = 1+2+4+5 = 12 -> w2_plus = 24.
+    val rows = Seq(
+      ("u1", "2024-01-20 00:00:00", 1.0), ("u2", "2024-01-20 00:00:00", 2.0),
+      ("u3", "2024-01-20 00:00:00", -3.0), ("u4", "2024-01-20 00:00:00", 4.0),
+      ("u5", "2024-01-20 00:00:00", 5.0),
+      ("u6", "2024-01-10 00:00:00", 7.0), ("u6", "2024-01-20 00:00:00", 7.0))
+      .toDF("user_id", "__ts", "value")
+      .withColumn("ts", to_timestamp(col("__ts")))
+    val r = Quality.wilcoxonSignedRank(rows, "user_id", "ts", "value",
+      "2024-01-16 00:00:00").collect().head
+    assert(r.getAs[Long]("n_pairs") == 5L && r.getAs[Long]("n_pos") == 4L)
+    assert(r.getAs[Long]("w2_plus") == 24L)
+    // z = (24 - 15) / sqrt(5*6*11/6) = 9/sqrt(55)
+    assert(math.abs(r.getAs[Double]("z") - 9.0 / math.sqrt(55.0)) < 1e-12)
+    // tied |d|: d = +1 -1 +2 -> midranks 1.5 1.5 3; W+ = 4.5, W2 = 9
+    val tied = Seq(("a", 1.0), ("b", -1.0), ("c", 2.0))
+      .toDF("user_id", "value")
+      .withColumn("ts", to_timestamp(lit("2024-01-20 00:00:00")))
+    val rt = Quality.wilcoxonSignedRank(tied, "user_id", "ts", "value",
+      "2024-01-16 00:00:00").collect().head
+    assert(rt.getAs[Long]("w2_plus") == 9L)
+    // var2 = 3*4*7/6 - (2^3-2)/12 = 14 - 0.5; z = 3/sqrt(13.5)
+    assert(math.abs(rt.getAs[Double]("z") - 3.0 / math.sqrt(13.5)) < 1e-12)
+  }
+
+  test("friedmanTest: textbook tie-free chi2 = 6; constant blocks " +
+      "degenerate to null; incomplete blocks drop") {
+    import spark.implicits._
+    // 3 blocks, 3 treatments, C > B > A in every block -> ranks 1/2/3,
+    // R = (3, 6, 9), chi2 = 12/(3*3*4)*(9+36+81) - 3*3*4 = 6
+    val rows = (1 to 3).flatMap(b => Seq(
+      (s"b$b", "A", 1.0), (s"b$b", "B", 2.0), (s"b$b", "C", 3.0)))
+      .toDF("blk", "tr", "v")
+    val r = Quality.friedmanTest(rows, "blk", "tr", "v").collect().head
+    assert(r.getAs[Long]("n_blocks") == 3L &&
+      r.getAs[Long]("k_treatments") == 3L && r.getAs[Long]("dof") == 2L)
+    assert(math.abs(r.getAs[Double]("chi2") - 6.0) < 1e-12)
+    // an incomplete block (missing treatment C) is excluded
+    val withPartial = rows.union(
+      Seq(("b4", "A", 9.0), ("b4", "B", 1.0)).toDF("blk", "tr", "v"))
+    val rp = Quality.friedmanTest(withPartial, "blk", "tr", "v")
+      .collect().head
+    assert(rp.getAs[Long]("n_blocks") == 3L)
+    assert(math.abs(rp.getAs[Double]("chi2") - 6.0) < 1e-12)
+    // all-equal values: every rank ties, denominator 0 -> null
+    val const = rows.withColumn("v", lit(5.0))
+    val rc = Quality.friedmanTest(const, "blk", "tr", "v").collect().head
+    assert(rc.isNullAt(rc.fieldIndex("chi2")))
+  }
+
+  test("dispersionTest: exact chi2 identity — regular counts read " +
+      "underdispersed, one whale reads overdispersed") {
+    import spark.implicits._
+    // group A: 4 units x 2 events each (perfectly regular, chi2 = 0);
+    // group B: units with counts 1,1,1,97 (one whale)
+    val rows = (
+      (1 to 4).flatMap(u => Seq.fill(2)(("A", s"a$u"))) ++
+      Seq(("B", "b1"), ("B", "b2"), ("B", "b3")) ++
+      Seq.fill(97)(("B", "b4"))
+    ).toDF("g", "u")
+    val out = Quality.dispersionTest(rows, "g", "u")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    val a = out("A")
+    assert(a.getAs[Long]("n_units") == 4L && a.getAs[Long]("n_events") == 8L)
+    assert(a.getAs[Long]("chi2_micro") == 0L)
+    assert(!a.getAs[Boolean]("overdispersed"))
+    val b = out("B")
+    // chi2 = (4*9412 - 100^2)/100 = 276.48 exactly
+    assert(b.getAs[Long]("chi2_micro") == 276480000L)
+    assert(b.getAs[Long]("dispersion_index_micro") == 92160000L)
+    assert(b.getAs[Boolean]("overdispersed"))
+  }
+
   test("spaceSavingMergeCheck: hand-computed merge law on a tiny corpus " +
       "(r10 verdict #5 — the batch face of the streaming Space-Saving)") {
     import spark.implicits._

@@ -858,4 +858,23 @@ class TemporalSpec extends SparkSpec {
     val ha = Temporal.hurstRs(alt, "t", "v").collect().head
     assert(ha.getAs[Double]("hurst") < 0.3)
   }
+
+  test("periodogram: a pure period-16 cosine peaks at 16 with amplitude " +
+      "A/2, and dwarfs the off-period candidates") {
+    import spark.implicits._
+    val days = (0 until 64).map { t =>
+      val d = java.time.LocalDate.of(2024, 1, 1).plusDays(t.toLong)
+      (s"$d 00:00:00", 100.0 * math.cos(2.0 * math.Pi * t / 16.0))
+    }.toDF("t", "v").withColumn("t", to_timestamp(col("t")))
+    val out = Temporal.periodogram(days, "t", "v", Seq(7, 16, 32))
+      .collect().map(r => r.getAs[Long]("period") -> r).toMap
+    assert(out(16L).getAs[Long]("n_days") == 64L)
+    // phase-aligned full cycles: c_amp = A/2, s_amp ~ 0
+    assert(math.abs(out(16L).getAs[Double]("c_amp") - 50.0) < 0.5)
+    assert(math.abs(out(16L).getAs[Double]("s_amp")) < 0.5)
+    val p16 = out(16L).getAs[Double]("power")
+    assert(p16 > 2000.0)
+    assert(p16 > 100.0 * out(7L).getAs[Double]("power"))
+    assert(p16 > 100.0 * out(32L).getAs[Double]("power"))
+  }
 }
