@@ -91,8 +91,12 @@ object MicroText {
 
       val c3 = CacheScope.register(corpus(nDocs)); c3.count()
       time(s"substringDedup 8-gram df>1 ${scale}x") {
+        // force the text REBUILD: a bare count() lets Catalyst prune the
+        // per-doc (pos, token) re-assembly, measuring only the id grid
         operators.TextOps.substringDedup(c3, "doc_id", "text", 8,
-          maxDocFreq = 1).count()
+            maxDocFreq = 1)
+          .agg(sum(length(col("cleaned_text")))).collect()
+        c3.count()
       }
       CacheScope.releaseAll()
 

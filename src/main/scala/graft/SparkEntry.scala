@@ -3864,6 +3864,190 @@ object SparkEntry {
             ELSE false END AS overdispersed
         FROM p3 ORDER BY event_type""")),
 
+    // Hill tail-index of document lengths per source — "is this source's
+    // length tail power-law heavy": bounded top-21 order statistics via
+    // the MinK aggregator (no per-source sort), micro-log integers, one
+    // final division; alpha < 2 means infinite variance.
+    "q350_hill_tail" -> Q(
+      (s, dir) => Quality.hillTailIndex(t(s, dir, "documents"),
+        "source", "doc_id", "n_chars", 20),
+      Some("""WITH base AS (SELECT source AS g,
+            CAST(round(n_chars * 1e6) AS BIGINT) AS vm,
+            CAST(doc_id AS VARCHAR) AS id
+          FROM documents
+          WHERE source IS NOT NULL AND doc_id IS NOT NULL
+            AND n_chars IS NOT NULL AND n_chars > 0),
+        top AS (SELECT g, vm,
+            row_number() OVER (PARTITION BY g ORDER BY vm DESC, id) AS rnk,
+            CAST(round(ln(vm) * 1e6) AS BIGINT) AS lx
+          FROM base QUALIFY rnk <= 21),
+        tl AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_tail,
+            CAST(MAX(vm) AS BIGINT) AS n_tail_max_micro,
+            CAST(MIN(vm) AS BIGINT) AS n_tail_min_micro,
+            CAST(SUM(lx) AS BIGINT) AS slx
+          FROM top WHERE rnk <= 20 GROUP BY 1),
+        thr AS (SELECT g, vm AS threshold_micro, lx AS lxk
+          FROM top WHERE rnk = 21),
+        h AS (SELECT tl.g, n_tail, n_tail_max_micro, n_tail_min_micro,
+            threshold_micro,
+            (CAST(slx AS DOUBLE) - CAST(n_tail AS DOUBLE)
+              * CAST(lxk AS DOUBLE)) / CAST(n_tail AS DOUBLE) / 1e6 AS h0
+          FROM tl LEFT JOIN thr ON tl.g = thr.g)
+        SELECT g AS source, CAST(20 AS BIGINT) AS k,
+          n_tail_max_micro, n_tail_min_micro, threshold_micro,
+          CASE WHEN n_tail = 20 AND threshold_micro IS NOT NULL AND h0 > 0
+            THEN h0 END AS hill,
+          CASE WHEN n_tail = 20 AND threshold_micro IS NOT NULL AND h0 > 0
+            THEN 1.0 / h0 END AS alpha
+        FROM h ORDER BY source""")),
+
+    // Theil T inequality of customer revenue within each nation — the
+    // decomposable entropy companion to q345's HHI; micro-log integers,
+    // exact DECIMAL weighted log sum, one live ln at assembly.
+    "q351_theil_inequality" -> Q(
+      (s, dir) => {
+        val j = t(s, dir, "orders")
+          .join(t(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .join(t(s, dir, "nation"),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name"), col("c_custkey"), col("o_totalprice"))
+        Analytics.theilIndex(j, "n_name", "c_custkey", "o_totalprice")
+      },
+      Some("""WITH per AS (SELECT n_name AS g, c_custkey AS e,
+            CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+              AS c
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          WHERE n_name IS NOT NULL AND c_custkey IS NOT NULL
+            AND o_totalprice IS NOT NULL
+          GROUP BY 1, 2 HAVING c > 0),
+        lx AS (SELECT g, c, CAST(round(ln(c) * 1e6) AS BIGINT) AS lx
+          FROM per),
+        agg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_entities,
+            CAST(SUM(c) AS BIGINT) AS total_cents,
+            SUM(CAST(c AS HUGEINT) * lx) AS s1
+          FROM lx GROUP BY 1),
+        th AS (SELECT g, n_entities, total_cents,
+            CASE WHEN n_entities >= 2 AND total_cents > 0 THEN
+              CAST(s1 AS DOUBLE) / CAST(total_cents AS DOUBLE) / 1e6
+                - CAST(CAST(round(ln(CAST(total_cents AS DOUBLE)
+                    / CAST(n_entities AS DOUBLE)) * 1e6) AS BIGINT)
+                  AS DOUBLE) / 1e6 END AS theil
+          FROM agg)
+        SELECT g AS n_name, n_entities, total_cents, theil,
+          CASE WHEN theil IS NOT NULL THEN
+            theil / (CAST(CAST(round(ln(CAST(n_entities AS DOUBLE)) * 1e6)
+              AS BIGINT) AS DOUBLE) / 1e6) END AS theil_norm
+        FROM th ORDER BY n_name""")),
+
+    // Cochran's Q: do the five event types differ in "user is a
+    // regular" (>= 3 events of the type), judged WITHIN each user —
+    // the k-treatment McNemar / binary Friedman; all-integer Q with
+    // one division.
+    "q352_cochran_q" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+        val counts = ev.groupBy(col("user_id").as("u"),
+            col("event_type").as("tr"))
+          .agg(count(lit(1)).as("c"))
+        val spine = ev.select(col("user_id").as("u")).distinct()
+          .crossJoin(broadcast(
+            ev.select(col("event_type").as("tr")).distinct()))
+        val full = spine.join(counts, Seq("u", "tr"), "left")
+          .select(col("u"), col("tr"),
+            (coalesce(col("c"), lit(0L)) >= 3L).as("regular"))
+        Quality.cochranQ(full, "u", "tr", "regular")
+      },
+      Some("""WITH counts AS (SELECT user_id AS u, event_type AS tr,
+            CAST(COUNT(*) AS BIGINT) AS c
+          FROM events
+          WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+          GROUP BY 1, 2),
+        users AS (SELECT DISTINCT user_id AS u FROM events
+          WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        types AS (SELECT DISTINCT event_type AS tr FROM events
+          WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        cells AS (SELECT u, tr,
+            CASE WHEN COALESCE(c, 0) >= 3 THEN 1 ELSE 0 END AS x
+          FROM users CROSS JOIN types LEFT JOIN counts USING (u, tr)),
+        pb AS (SELECT u, CAST(SUM(x) AS BIGINT) AS rb
+          FROM cells GROUP BY 1),
+        pt AS (SELECT tr, CAST(SUM(x) AS BIGINT) AS cj
+          FROM cells GROUP BY 1),
+        ta AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+            CAST(SUM(CAST(cj AS HUGEINT) * cj) AS BIGINT) AS c2,
+            CAST(SUM(cj) AS BIGINT) AS nsucc FROM pt),
+        ba AS (SELECT CAST(COUNT(*) AS BIGINT) AS b,
+            CAST(SUM(CAST(rb AS HUGEINT) * rb) AS BIGINT) AS r2 FROM pb)
+        SELECT b AS n_blocks, k AS k_treatments, nsucc AS n_success,
+          CAST(k - 1 AS BIGINT) AS dof,
+          CASE WHEN b >= 2 AND k >= 2
+              AND CAST(k AS DOUBLE) * CAST(nsucc AS DOUBLE)
+                - CAST(r2 AS DOUBLE) > 0
+            THEN CAST(k - 1 AS DOUBLE)
+              * (CAST(k AS DOUBLE) * CAST(c2 AS DOUBLE)
+                - CAST(nsucc AS DOUBLE) * CAST(nsucc AS DOUBLE))
+              / (CAST(k AS DOUBLE) * CAST(nsucc AS DOUBLE)
+                - CAST(r2 AS DOUBLE)) END AS q_stat
+        FROM ta, ba""")),
+
+    // Page's L trend: is daily value RANK-monotone across event types in
+    // the fixed hypothesized order click < error < purchase < signup <
+    // view (alphabetical — the replayable fixture hypothesis)? The
+    // ordered-alternative refinement of q348's Friedman.
+    "q353_page_trend" -> Q(
+      (s, dir) => Quality.pageTrend(t(s, dir, "events")
+          .withColumn("day", col("ts").cast("date")),
+        "day", "event_type", "value",
+        Seq("click", "error", "purchase", "signup", "view")),
+      Some("""WITH cells0 AS (SELECT CAST(ts AS DATE) AS blk,
+            event_type AS tr,
+            CAST(SUM(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS v,
+            CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+              WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4
+              WHEN 'view' THEN 5 END AS j
+          FROM events
+          WHERE ts IS NOT NULL AND event_type IS NOT NULL
+            AND value IS NOT NULL
+          GROUP BY 1, 2),
+        c1 AS (SELECT * FROM cells0 WHERE j IS NOT NULL),
+        complete AS (SELECT blk FROM c1 GROUP BY 1 HAVING COUNT(*) = 5),
+        cells AS (SELECT c1.* FROM c1 JOIN complete USING (blk)),
+        gv AS (SELECT blk, v, CAST(COUNT(*) AS BIGINT) AS t
+          FROM cells GROUP BY 1, 2),
+        r2 AS (SELECT blk, v,
+            COALESCE(SUM(t) OVER (PARTITION BY blk ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2
+              + t + 1 AS r2
+          FROM gv),
+        agg AS (SELECT CAST(COUNT(DISTINCT cells.blk) AS BIGINT) AS b,
+            CAST(SUM(CAST(j AS HUGEINT) * r2) AS BIGINT) AS l2
+          FROM cells JOIN r2 ON cells.blk = r2.blk AND cells.v = r2.v),
+        fin AS (SELECT b, l2,
+            (CAST(l2 AS DOUBLE) - CAST(b AS DOUBLE) * 5.0 * 6.0 * 6.0
+              / 2.0)
+            / sqrt(CAST(b AS DOUBLE) * (5.0 * 5.0 * 5.0 - 5.0)
+              * (5.0 * 5.0 * 5.0 - 5.0) / (36.0 * (5.0 - 1.0))) AS z
+          FROM agg),
+        p1 AS (SELECT *, abs(z) AS az,
+            1.0 / (1.0 + 0.2316419 * abs(z)) AS kq FROM fin),
+        p2 AS (SELECT *, 0.3989422804014327 * EXP(-0.5 * az * az) *
+            (((((1.330274429 * kq + -1.821255978) * kq + 1.781477937) * kq
+              + -0.356563782) * kq + 0.319381530) * kq) AS tail
+          FROM p1)
+        SELECT b AS n_blocks, CAST(5 AS BIGINT) AS k_treatments,
+          l2 AS l2_stat,
+          CASE WHEN b >= 2 THEN z END AS z,
+          CASE WHEN b >= 2 THEN
+            CAST(round(least(1.0, 2.0 * tail) * 1e6) AS BIGINT) END
+            AS p_micro,
+          CASE WHEN b >= 2 THEN
+            CAST(round(least(1.0, 2.0 * tail) * 1e6) AS BIGINT) <= 50000
+            ELSE false END AS significant
+        FROM p2""")),
+
     // Heaps-law vocabulary-growth curve: cumulative docs/tokens/vocab per
     // doc-id decile — does more of this corpus still buy new vocabulary?
     // Each token contributes at its MIN bucket (one groupBy); the only

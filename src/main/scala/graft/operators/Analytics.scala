@@ -539,6 +539,59 @@ object Analytics {
       .orderBy(groupCol)
   }
 
+  /** THEIL T INEQUALITY INDEX per group — the decomposable entropy
+    * member of the inequality family next to [[hhiConcentration]]'s
+    * share-square: T = Σᵢ (cᵢ/C)·ln(cᵢ/μ) = (Σᵢ cᵢ·ln cᵢ)/C − ln(C/n),
+    * 0 = perfectly even, ln(n) = one entity holds everything — so the
+    * normalized T/ln(n) compares groups of different sizes.
+    *
+    * Exactness: per-entity ln(cents) is micro-rounded ONCE (the
+    * micro-log convention — both engines round the same libm value of
+    * the same exact integer), Σ c·lnMicro rides DECIMAL(38,0), and the
+    * final assembly is one pinned IEEE sequence with a single live
+    * ln(C/n). Zero/negative-cent entities drop (ln undefined) —
+    * documented, mirrored by the oracle.
+    *
+    * Returns per group: (group, n_entities, total_cents, theil,
+    * theil_norm), null when n < 2 or total 0.
+    */
+  def theilIndex(df: DataFrame, groupCol: String, entityCol: String,
+      valueCol: String): DataFrame = {
+    def d(c: Column) = c.cast("decimal(38,0)")
+    def dbl(c: Column) = c.cast("double")
+    val per = df
+      .filter(col(groupCol).isNotNull && col(entityCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(entityCol).as("e"))
+      .agg(sum(round(col(valueCol) * 100).cast("long")).cast("long")
+        .as("c"))
+      .filter(col("c") > 0)
+      .withColumn("lx", round(log(dbl(col("c"))) * 1e6).cast("long"))
+    val agg = per.groupBy("g")
+      .agg(count(lit(1)).cast("long").as("n_entities"),
+        sum(d(col("c"))).cast("long").as("total_cents"),
+        sum(d(col("c")) * d(col("lx"))).cast("decimal(38,0)").as("__s1"))
+    val ok = col("n_entities") >= 2 && col("total_cents") > 0
+    // ln(C/n) micro-rounded — a live libm ln on an arbitrary double is
+    // the one cross-engine last-bit risk in this assembly (caught once
+    // on theil_norm's ln(n)); the micro-log convention pins both
+    val theil = dbl(col("__s1")) / dbl(col("total_cents")) / lit(1e6) -
+      round(log(dbl(col("total_cents")) / dbl(col("n_entities"))) * 1e6)
+        .cast("long").cast("double") / lit(1e6)
+    agg.select(col("g").as(groupCol), col("n_entities"),
+      col("total_cents"),
+      when(ok, theil).as("theil"))
+      .withColumn("theil_norm",
+        // ln(n) micro-rounded: a LIVE ln here diverged from DuckDB's
+        // libm in the last bit (the one float drift the q351 gate ever
+        // caught) — the micro-log convention pins the divisor
+        when(col("theil").isNotNull,
+          col("theil") /
+            (round(log(dbl(col("n_entities"))) * 1e6).cast("long")
+              .cast("double") / lit(1e6))))
+      .orderBy(groupCol)
+  }
+
   /** RFM (recency / frequency / monetary) customer segmentation with
     * deterministic quintile codes — the warehouse-side cohorting query.
     * Per customer: days since last order (vs the corpus max date),

@@ -3643,12 +3643,12 @@ object Quality {
       valueCol: String): DataFrame = {
     def d(c: Column) = c.cast("decimal(38,0)")
     def dbl(c: Column) = c.cast("double")
-    val cells0 = df
+    val cells0 = graft.CacheScope.register(df
       .filter(col(blockCol).isNotNull && col(treatCol).isNotNull &&
         col(valueCol).isNotNull)
       .groupBy(col(blockCol).as("blk"), col(treatCol).as("tr"))
       .agg(sum(round(col(valueCol) * 1e6).cast("long")).cast("long")
-        .as("v"))
+        .as("v")))
     val kAll = cells0.select(countDistinct(col("tr")).as("k"))
     val complete = cells0.groupBy("blk")
       .agg(count(lit(1)).as("__kb"))
@@ -3664,14 +3664,15 @@ object Quality {
     val r2 = gv.withColumn("cum_lt", coalesce(sum("t").over(w), lit(0L)))
       .select(col("blk"), col("v"),
         (col("cum_lt") * 2 + col("t") + 1).as("r2"))
-    val rankedCells = cells.join(r2, Seq("blk", "v"))
+    val rankedCells = graft.CacheScope.register(
+      cells.join(r2, Seq("blk", "v")))
     val perTreat = rankedCells.groupBy("tr")
       .agg(sum(d(col("r2"))).cast("long").as("r2j"),
         count(lit(1)).cast("long").as("b"))
-    val aTot = rankedCells.agg(
+    val aTot = graft.CacheScope.register(rankedCells.agg(
       sum(d(col("r2")) * d(col("r2"))).cast("long").as("a2"),
       countDistinct(col("blk")).cast("long").as("b"),
-      countDistinct(col("tr")).cast("long").as("k"))
+      countDistinct(col("tr")).cast("long").as("k")))
     val num = perTreat.crossJoin(broadcast(aTot.select(
         col("b").as("__b"), col("k").as("__k"))))
       .select((d(col("r2j")) - d(col("__b")) * d(col("__k") + 1))
@@ -3691,6 +3692,189 @@ object Quality {
           dbl(col("num2")) * dbl(col("dof")) / denom)
       })
       .select("n_blocks", "k_treatments", "dof", "chi2")
+  }
+
+  /** HILL TAIL-INDEX estimator per group — "HOW heavy is this
+    * distribution's tail": over the top-k order statistics x₍₁₎ ≥ … ≥
+    * x₍ₖ₎ ≥ x₍ₖ₊₁₎, H = (1/k)·Σᵢ ln(x₍ᵢ₎/x₍ₖ₊₁₎) estimates 1/α of a
+    * power-law tail (Hill 1975); α ≲ 2 means infinite variance — the
+    * "will a mean ever converge" diagnostic that [[dispersionTest]]'s
+    * finite-variance index can't see.
+    *
+    * Determinism + scale: the top-(k+1) sample per group comes from the
+    * bounded [[graft.functions.MinKLongStringAggregator]] fed
+    * (−valueMicro, id-as-string) — at most k+1 rows per group per task
+    * on the shuffle, NO per-group sort; ties break on the STRING id
+    * (mirrored by the oracle's ORDER BY CAST(id AS VARCHAR)). Logs are
+    * micro-rounded BIGINTs of the micro values (the constant ln(10⁶)
+    * shift cancels in the difference), so H is a ratio of exact
+    * integers with one final division.
+    *
+    * Returns per group: (group, k, n_tail_max_micro, n_tail_min_micro,
+    * threshold_micro, hill, alpha) — hill/alpha null when the group has
+    * fewer than k+1 positive values or the threshold ties the whole
+    * tail (H = 0).
+    */
+  def hillTailIndex(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k=$k too small for a tail estimate")
+    def d(c: Column) = c.cast("decimal(38,0)")
+    def dbl(c: Column) = c.cast("double")
+    val minK = udaf(new graft.functions.MinKLongStringAggregator(k + 1))
+    val base = df
+      .filter(col(groupCol).isNotNull && col(idCol).isNotNull &&
+        col(valueCol).isNotNull && col(valueCol) > 0)
+      .select(col(groupCol).as("g"),
+        round(col(valueCol) * 1e6).cast("long").as("vm"),
+        col(idCol).cast("string").as("id"))
+    val top = graft.CacheScope.register(base.groupBy("g")
+      .agg(minK(-col("vm"), col("id")).as("__top"))
+      .select(col("g"), posexplode(col("__top")).as(Seq("__i", "__kv")))
+      .select(col("g"), (col("__i") + 1).cast("long").as("rnk"),
+        (-col("__kv._1")).as("vm"))
+      .withColumn("lx", round(log(dbl(col("vm"))) * 1e6).cast("long")))
+    val tail = top.filter(col("rnk") <= k).groupBy("g")
+      .agg(count(lit(1)).cast("long").as("n_tail"),
+        max("vm").cast("long").as("n_tail_max_micro"),
+        min("vm").cast("long").as("n_tail_min_micro"),
+        sum(d(col("lx"))).cast("long").as("__slx"))
+    val thr = top.filter(col("rnk") === k + 1)
+      .select(col("g"), col("vm").as("threshold_micro"),
+        col("lx").as("__lxk"))
+    tail.join(thr, Seq("g"), "left")
+      .select(col("g").as(groupCol), lit(k.toLong).as("k"),
+        col("n_tail_max_micro"), col("n_tail_min_micro"),
+        col("threshold_micro"), {
+          val hill = (dbl(col("__slx")) -
+            dbl(col("n_tail")) * dbl(col("__lxk"))) /
+            dbl(col("n_tail")) / lit(1e6)
+          when(col("n_tail") === k && col("threshold_micro").isNotNull &&
+            hill > 0, hill).as("hill")
+        })
+      .withColumn("alpha",
+        when(col("hill").isNotNull, lit(1.0) / col("hill")))
+      .orderBy(groupCol)
+  }
+
+  /** COCHRAN'S Q test — "do k binary treatments differ, judged WITHIN
+    * each subject": the k-treatment generalization of [[mcnemar]] (and
+    * the binary-outcome face of [[friedmanTest]]). Input is one row per
+    * (block, treatment) with a boolean outcome; only COMPLETE blocks
+    * (all k treatments) enter. Q = (k−1)·(k·ΣCⱼ² − N²) / (k·N − ΣR_b²)
+    * with Cⱼ = per-treatment success totals, R_b = per-block totals,
+    * N = ΣX — every term an exact BIGINT, ONE final division; dof =
+    * k−1. Degenerates to null when every block is all-success /
+    * all-failure (denominator 0).
+    *
+    * Scale shape: one shuffle to the (block, treatment) cell grid, one
+    * block aggregate, one treatment aggregate — no windows at all.
+    *
+    * Output ONE row: (n_blocks, k_treatments, n_success, dof, q_stat).
+    */
+  def cochranQ(df: DataFrame, blockCol: String, treatCol: String,
+      outcomeCol: String): DataFrame = {
+    def d(c: Column) = c.cast("decimal(38,0)")
+    def dbl(c: Column) = c.cast("double")
+    val cells0 = graft.CacheScope.register(df
+      .filter(col(blockCol).isNotNull && col(treatCol).isNotNull &&
+        col(outcomeCol).isNotNull)
+      .groupBy(col(blockCol).as("blk"), col(treatCol).as("tr"))
+      .agg(max(col(outcomeCol).cast("boolean").cast("int")).cast("long")
+        .as("x")))
+    val kAll = cells0.select(countDistinct(col("tr")).as("k"))
+    val complete = cells0.groupBy("blk").agg(count(lit(1)).as("__kb"))
+      .crossJoin(broadcast(kAll))
+      .filter(col("__kb") === col("k")).select("blk")
+    val cells = graft.CacheScope.register(cells0.join(complete, "blk"))
+    val perBlock = cells.groupBy("blk")
+      .agg(sum("x").cast("long").as("rb"))
+    val perTreat = cells.groupBy("tr")
+      .agg(sum("x").cast("long").as("cj"))
+    val tAgg = perTreat.agg(count(lit(1)).cast("long").as("k"),
+      sum(d(col("cj")) * d(col("cj"))).cast("long").as("c2"),
+      sum(d(col("cj"))).cast("long").as("nsucc"))
+    val bAgg = perBlock.agg(count(lit(1)).cast("long").as("b"),
+      sum(d(col("rb")) * d(col("rb"))).cast("long").as("r2"))
+    tAgg.crossJoin(broadcast(bAgg))
+      .select(col("b").as("n_blocks"), col("k").as("k_treatments"),
+        col("nsucc").as("n_success"), (col("k") - 1).as("dof"), {
+          val denom = dbl(col("k")) * dbl(col("nsucc")) - dbl(col("r2"))
+          when(col("b") >= 2 && col("k") >= 2 && denom > 0,
+            dbl(col("k") - 1) *
+              (dbl(col("k")) * dbl(col("c2")) -
+                dbl(col("nsucc")) * dbl(col("nsucc"))) / denom)
+            .as("q_stat")
+        })
+  }
+
+  /** PAGE'S L TREND test — the ORDERED-alternative refinement of
+    * [[friedmanTest]] (exactly as [[cochranArmitage]] refines the
+    * chi-square): given a HYPOTHESIZED treatment ordering, L =
+    * Σⱼ j·Rⱼ over within-block midranks is large when the ranks climb
+    * with the hypothesis; Friedman asks "any difference", Page asks
+    * "THIS monotone difference" and wins power when the hypothesis is
+    * right. Complete blocks only; the normal approximation uses the
+    * classic moments E[L] = b·k(k+1)²/4, Var[L] = b·(k³−k)²/(144(k−1))
+    * (tie-free form — documented; ties on micro sums are measure-zero
+    * in practice and BOTH engines apply the same formula).
+    *
+    * Exactness: the ×2 midrank grid makes L2 = 2L an exact BIGINT; the
+    * z assembly (L2 − b·k(k+1)²/2) / sqrt(b·(k³−k)²/(36(k−1))) is one
+    * pinned IEEE sequence, p two-sided via the shared A&S polynomial.
+    *
+    * Output ONE row: (n_blocks, k_treatments, l2_stat, z, p_micro,
+    * significant).
+    */
+  def pageTrend(df: DataFrame, blockCol: String, treatCol: String,
+      valueCol: String, order: Seq[String]): DataFrame = {
+    require(order.nonEmpty && order.distinct == order,
+      s"hypothesized order must be distinct: $order")
+    def d(c: Column) = c.cast("decimal(38,0)")
+    def dbl(c: Column) = c.cast("double")
+    val jExpr = order.zipWithIndex.foldLeft(lit(null).cast("long")) {
+      case (acc, (t, i)) => when(col("tr") === t, lit(i + 1L)).otherwise(acc)
+    }
+    val cells0 = graft.CacheScope.register(df
+      .filter(col(blockCol).isNotNull && col(treatCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .groupBy(col(blockCol).as("blk"), col(treatCol).as("tr"))
+      .agg(sum(round(col(valueCol) * 1e6).cast("long")).cast("long")
+        .as("v"))
+      .withColumn("j", jExpr)
+      .filter(col("j").isNotNull)) // treatments outside the hypothesis drop
+    val complete = cells0.groupBy("blk").agg(count(lit(1)).as("__kb"))
+      .filter(col("__kb") === order.size).select("blk")
+    val cells = graft.CacheScope.register(cells0.join(complete, "blk"))
+    val gv = cells.groupBy("blk", "v").agg(count(lit(1)).as("t"))
+    val w = Window.partitionBy("blk").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val r2 = gv.withColumn("cum_lt", coalesce(sum("t").over(w), lit(0L)))
+      .select(col("blk"), col("v"),
+        (col("cum_lt") * 2 + col("t") + 1).as("r2"))
+    val agg = cells.join(r2, Seq("blk", "v"))
+      .agg(countDistinct(col("blk")).cast("long").as("b"),
+        sum(d(col("j")) * d(col("r2"))).cast("long").as("l2"))
+    val k = order.size.toLong
+    val bD = dbl(col("b"))
+    val kD = lit(k.toDouble)
+    val e2 = bD * kD * (kD + 1) * (kD + 1) / lit(2.0)
+    val var2 = bD * (kD * kD * kD - kD) * (kD * kD * kD - kD) /
+      (lit(36.0) * (kD - 1))
+    val z = (dbl(col("l2")) - e2) / sqrt(var2)
+    val az = abs(z)
+    val kk = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val poly = ((((lit(1.330274429) * kk + lit(-1.821255978)) * kk
+      + lit(1.781477937)) * kk + lit(-0.356563782)) * kk
+      + lit(0.319381530)) * kk
+    val tail = lit(0.3989422804014327) * exp(lit(-0.5) * az * az) * poly
+    val ok = col("b") >= 2L && k >= 2
+    agg.select(col("b").as("n_blocks"), lit(k).as("k_treatments"),
+      col("l2").as("l2_stat"),
+      when(ok, z).as("z"),
+      when(ok, round(least(lit(1.0), lit(2.0) * tail) * 1e6).cast("long"))
+        .as("p_micro"))
+      .withColumn("significant",
+        col("p_micro").isNotNull && col("p_micro") <= 50000L)
   }
 
   /** POISSON OVERDISPERSION test per group — "are these event counts

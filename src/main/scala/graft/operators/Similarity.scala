@@ -798,13 +798,18 @@ object Similarity {
       df.withColumn(out, row_number().over(w)).filter(col(out) <= k)
         .select(col("query_id"), col("id"), col(out))
     }
-    val pairs = ranks(a, "ra").join(ranks(b, "rb"), Seq("query_id", "id"))
+    // both rank relations feed TWO consumers each (the pair join and the
+    // union spine) — cached so the upstream rankings materialize once
+    val ra = graft.CacheScope.register(ranks(a, "ra"))
+    val rb = graft.CacheScope.register(ranks(b, "rb"))
+    val pairs = ra.join(rb, Seq("query_id", "id"))
       .select(col("query_id"), greatest(col("ra"), col("rb")).as("rmax"))
     // output spine = queries present in EITHER ranking: a query that one
     // system answered and the other didn't reports rbo_micro = 0 rather
-    // than silently vanishing (the comparison is symmetric)
-    val queries = a.select("query_id")
-      .union(b.select("query_id")).distinct()
+    // than silently vanishing (the comparison is symmetric); the top-k
+    // filter keeps rank 1, so the ranked relations carry every query_id
+    val queries = ra.select("query_id")
+      .union(rb.select("query_id")).distinct()
     val terms = pairs
       .select(col("query_id"),
         explode(expr(s"sequence(${1}, $k)")).as("d"), col("rmax"))

@@ -119,7 +119,10 @@ class PlanLintSpec extends SparkSpec {
     "q337_rmst" -> "q179's broadcast 1-row subject-total and max-ts aggregates + the broadcast 1-row head-interval aggregate",
     "q338_token_dispersion" -> "dense grid: broadcast 25-row top-token set crossJoined with the |parts|-row totals (both bounded aggregates) + the 1-row corpus total",
     "q341_hurst" -> "crossJoins of the broadcast 1-row day-count total against the calendar-grid fan-out and the 4-row regression aggregate (q169's shape)",
-    "q342_rank_drift" -> "rboAtK's |queries|-row (here 1-row) left join against the per-depth term aggregate (q330's shape)")
+    "q342_rank_drift" -> "rboAtK's |queries|-row (here 1-row) left join against the per-depth term aggregate (q330's shape)",
+    "q346_periodogram" -> "crossJoin against the broadcast 1-row (n, T) centering aggregate over the calendar day grid (q169's shape)",
+    "q348_friedman" -> "crossJoins of broadcast 1-row treatment-count / moment / numerator aggregates (q110/q163 shape)",
+    "q352_cochran_q" -> "user spine crossJoined with the broadcast |event-types|-row (5-row) treatment relation, plus the 1-row block/treatment moment crossJoin")
 
   /** Queries allowed to plan a GLOBAL window (no partition columns, or a
     * constant partition) — each must window over a provably BOUNDED
@@ -172,7 +175,8 @@ class PlanLintSpec extends SparkSpec {
     "q325_runs_test" -> "lag windows over the calendar day grid (q169's calendar-bounded argument)",
     "q336_cliffs_delta" -> "q234's cumulative window over the DISTINCT-value count grid (bounded-grid argument)",
     "q337_rmst" -> "q179's prefix windows + one lead window over the duration-day grid (calendar-bounded argument)",
-    "q342_rank_drift" -> "rank windows over the two single-query top-25 customer rankings (rboAtK with query_id constant -> |ranking| rows, aggregate-bounded)")
+    "q342_rank_drift" -> "rank windows over the two single-query top-25 customer rankings (rboAtK with query_id constant -> |ranking| rows, aggregate-bounded)",
+    "q347_wilcoxon_signed_rank" -> "midrank cumulation over the DISTINCT-|d| count grid (q234's bounded-grid argument)")
 
   test("no query plans a global window over an unbounded relation") {
     import org.apache.spark.sql.execution.SparkPlan

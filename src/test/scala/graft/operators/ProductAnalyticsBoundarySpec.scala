@@ -322,4 +322,22 @@ class ProductAnalyticsBoundarySpec extends SparkSpec {
     assert(out("mix").getAs[Double]("hhi") == 0.30)
     assert(out("mix").getAs[Long]("total_cents") == 10000L)
   }
+
+  test("theilIndex: even split reads ~0, near-monopoly reads near ln(n)") {
+    import spark.implicits._
+    val rows = Seq(
+      ("even", "e1", 25.0), ("even", "e2", 25.0),
+      ("even", "e3", 25.0), ("even", "e4", 25.0),
+      ("mono", "e1", 9999.99), ("mono", "e2", 0.01),
+      ("mono", "e3", 0.01), ("mono", "e4", 0.01))
+      .toDF("g", "e", "v")
+    val out = Analytics.theilIndex(rows, "g", "e", "v")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    // perfectly even: only the micro-log rounding residue survives
+    assert(math.abs(out("even").getAs[Double]("theil")) < 1e-6)
+    // one entity holds ~all value: T -> ln(4), normalized -> 1
+    assert(out("mono").getAs[Double]("theil") > 1.3)
+    assert(out("mono").getAs[Double]("theil_norm") > 0.94)
+    assert(out("mono").getAs[Double]("theil_norm") <= 1.0)
+  }
 }

@@ -192,6 +192,71 @@ class QualitySpec extends SparkSpec {
     assert(out.getAs[Long]("max_val") == sorted.last)
   }
 
+  test("hillTailIndex: exact geometric tail gives H = 2.5 ln2 at k = 4; " +
+      "groups without k+1 values report null") {
+    import spark.implicits._
+    // x_i = 2^i, i = 1..25: top-5 are 2^25..2^21, so
+    // H = mean(4,3,2,1)·ln2 = 2.5·ln2 (micro-log rounding ~1e-6)
+    val rows = (1 to 25).map(i => ("big", i.toLong, math.pow(2.0, i))) ++
+      Seq(("tiny", 1L, 8.0), ("tiny", 2L, 4.0), ("tiny", 3L, 2.0))
+    val df = rows.toDF("g", "id", "v")
+    val out = Quality.hillTailIndex(df, "g", "id", "v", 4)
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    val h = out("big").getAs[Double]("hill")
+    assert(math.abs(h - 2.5 * math.log(2.0)) < 1e-4, s"hill=$h")
+    assert(math.abs(out("big").getAs[Double]("alpha") - 1.0 / h) < 1e-12)
+    assert(out("big").getAs[Long]("threshold_micro") ==
+      (math.pow(2.0, 21) * 1e6).toLong)
+    // 3 values < k+1 = 5: no threshold order statistic -> null estimate
+    assert(out("tiny").isNullAt(out("tiny").fieldIndex("hill")))
+  }
+
+  test("cochranQ: hand-computed 4x3 fixture Q = 8/3; all-success " +
+      "degenerates to null; incomplete blocks drop") {
+    import spark.implicits._
+    val rows = Seq(
+      ("b1", "t1", true), ("b1", "t2", true), ("b1", "t3", false),
+      ("b2", "t1", true), ("b2", "t2", false), ("b2", "t3", false),
+      ("b3", "t1", true), ("b3", "t2", true), ("b3", "t3", true),
+      ("b4", "t1", true), ("b4", "t2", false), ("b4", "t3", true))
+      .toDF("blk", "tr", "x")
+    val r = Quality.cochranQ(rows, "blk", "tr", "x").collect().head
+    assert(r.getAs[Long]("n_blocks") == 4L &&
+      r.getAs[Long]("k_treatments") == 3L &&
+      r.getAs[Long]("n_success") == 8L && r.getAs[Long]("dof") == 2L)
+    // Q = 2*(3*24 - 64)/(3*8 - 18) = 16/6
+    assert(math.abs(r.getAs[Double]("q_stat") - 16.0 / 6.0) < 1e-12)
+    // every block all-success: kN - sum(R^2) = 0 -> null
+    val allTrue = rows.withColumn("x", lit(true))
+    val rd = Quality.cochranQ(allTrue, "blk", "tr", "x").collect().head
+    assert(rd.isNullAt(rd.fieldIndex("q_stat")))
+    // a block missing a treatment is excluded entirely
+    val withPartial = rows.union(
+      Seq(("b5", "t1", true)).toDF("blk", "tr", "x"))
+    val rp = Quality.cochranQ(withPartial, "blk", "tr", "x").collect().head
+    assert(rp.getAs[Long]("n_blocks") == 4L)
+    assert(math.abs(rp.getAs[Double]("q_stat") - 16.0 / 6.0) < 1e-12)
+  }
+
+  test("pageTrend: perfectly monotone blocks hit max L with z = " +
+      "6/sqrt(6); anti-monotone flips the sign") {
+    import spark.implicits._
+    val mono = (1 to 3).flatMap(b => Seq(
+      (s"b$b", "t1", 1.0), (s"b$b", "t2", 2.0), (s"b$b", "t3", 3.0)))
+      .toDF("blk", "tr", "v")
+    val order = Seq("t1", "t2", "t3")
+    val r = Quality.pageTrend(mono, "blk", "tr", "v", order).collect().head
+    // R_j = 3j -> L = 3*(1+4+9) = 42 = max, L2 = 84; E[L] = 36,
+    // Var[L] = 3*(24^2)/288 = 6 -> z = 6/sqrt(6)
+    assert(r.getAs[Long]("n_blocks") == 3L &&
+      r.getAs[Long]("l2_stat") == 84L)
+    assert(math.abs(r.getAs[Double]("z") - 6.0 / math.sqrt(6.0)) < 1e-12)
+    assert(r.getAs[Boolean]("significant"))
+    val anti = Quality.pageTrend(mono, "blk", "tr", "v", order.reverse)
+      .collect().head
+    assert(math.abs(anti.getAs[Double]("z") + 6.0 / math.sqrt(6.0)) < 1e-12)
+  }
+
   test("wilcoxonSignedRank: hand-computed W+ on distinct and tied " +
       "differences; zero differences drop") {
     import spark.implicits._
