@@ -4048,6 +4048,172 @@ object SparkEntry {
             ELSE false END AS significant
         FROM p2""")),
 
+    // G-test (likelihood-ratio chi-square) on q180's lang x source
+    // contingency — the additive information-theoretic twin; zero cells
+    // contribute exactly 0, so only the joint relation is scanned.
+    "q354_g_test" -> Q(
+      (s, dir) => Quality.gTest(t(s, dir, "documents"), "lang", "source"),
+      Some("""WITH base AS (SELECT lang AS a, source AS b FROM documents
+            WHERE lang IS NOT NULL AND source IS NOT NULL),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+        joint AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS o
+          FROM base GROUP BY 1, 2),
+        ma AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS na
+          FROM base GROUP BY 1),
+        mb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS nb
+          FROM base GROUP BY 1),
+        ka AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM ma),
+        kb AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM mb),
+        cells AS (SELECT o,
+            CAST(round(ln(CAST(o * n AS DOUBLE)) * 1e6) AS BIGINT)
+              - CAST(round(ln(CAST(na * nb AS DOUBLE)) * 1e6) AS BIGINT)
+              AS dl
+          FROM joint JOIN ma USING (a) JOIN mb USING (b), nn),
+        agg AS (SELECT CAST(SUM(CAST(o AS HUGEINT) * dl) AS BIGINT)
+              AS g_micro_sum,
+            CAST(COUNT(*) AS BIGINT) AS n_cells_observed
+          FROM cells)
+        SELECT nn.n, n_cells_observed,
+          CAST((ka.k - 1) * (kb.k - 1) AS BIGINT) AS dof,
+          g_micro_sum,
+          2.0 * CAST(g_micro_sum AS DOUBLE) / 1e6 AS g_stat
+        FROM agg, nn, ka, kb""")),
+
+    // Benjamini-Yekutieli beside BH on q271's per-segment Welch p's —
+    // the dependence-robust FDR verdict; the comparison rides exact
+    // integers (harmonic number on the 1e-12 grid).
+    "q355_by_fdr" -> Q(
+      (s, dir) => Quality.byFdr(t(s, dir, "events"), "event_type",
+        "user_id", "value", "by1"),
+      Some(s"""WITH base AS (SELECT event_type AS seg,
+            ${graft.functions.Hashing.h60Sql(
+              "'by1:' || CAST(user_id AS VARCHAR)")} % 2 = 0 AS a,
+            CAST(round(value * 1e6) AS BIGINT) AS v
+          FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+            AND value IS NOT NULL),
+        g AS (SELECT seg,
+            CAST(COUNT(*) FILTER (WHERE a) AS BIGINT) AS na,
+            SUM(CASE WHEN a THEN CAST(v AS HUGEINT) ELSE 0 END) AS sa,
+            SUM(CASE WHEN a THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS qa,
+            CAST(COUNT(*) FILTER (WHERE NOT a) AS BIGINT) AS nb,
+            SUM(CASE WHEN NOT a THEN CAST(v AS HUGEINT) ELSE 0 END) AS sb,
+            SUM(CASE WHEN NOT a THEN CAST(v AS HUGEINT) * v ELSE 0 END)
+              AS qb
+          FROM base GROUP BY 1),
+        w1 AS (SELECT seg, na, nb,
+            CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 1e6 AS ma,
+            CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 1e6 AS mb,
+            (CAST(na AS DOUBLE) * CAST(qa AS DOUBLE)
+              - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+              / (CAST(na AS DOUBLE) * CAST(na AS DOUBLE)) / 1e12 AS va,
+            (CAST(nb AS DOUBLE) * CAST(qb AS DOUBLE)
+              - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
+              / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE)) / 1e12 AS vb
+          FROM g),
+        w2 AS (SELECT seg, na, nb,
+            CASE WHEN na > 0 AND nb > 0 AND
+                SQRT(va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE)) > 0
+              THEN (ma - mb)
+                / SQRT(va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE))
+            END AS z
+          FROM w1),
+        w3 AS (SELECT seg, na, nb, z,
+            CASE WHEN z IS NOT NULL THEN CAST(round(
+              2.0 * 0.3989422804014327 * EXP(-0.5 * abs(z) * abs(z))
+              * (((((1.330274429 * (1.0 / (1.0 + 0.2316419 * abs(z)))
+                  + -1.821255978) * (1.0 / (1.0 + 0.2316419 * abs(z)))
+                  + 1.781477937) * (1.0 / (1.0 + 0.2316419 * abs(z)))
+                  + -0.356563782) * (1.0 / (1.0 + 0.2316419 * abs(z)))
+                  + 0.319381530) * (1.0 / (1.0 + 0.2316419 * abs(z))))
+              * 1e6) AS BIGINT) END AS p_micro
+          FROM w2),
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM w3),
+        rk AS (SELECT *, CAST(row_number() OVER (
+            ORDER BY p_micro ASC NULLS LAST, seg) AS BIGINT) AS rank
+          FROM w3),
+        h AS (SELECT CAST(SUM(1000000000000 // rank) AS BIGINT) AS h12
+          FROM rk),
+        fl AS (SELECT rk.*, m.m, h.h12,
+            p_micro IS NOT NULL AND p_micro * m <= rank * 50000 AS pbh,
+            p_micro IS NOT NULL AND CAST(p_micro AS HUGEINT) * m * h12
+              <= CAST(rank AS HUGEINT) * 50000 * 1000000000000 AS pby
+          FROM rk, m, h),
+        st AS (SELECT COALESCE(MAX(CASE WHEN pbh THEN rank END), 0)
+              AS ibh,
+            COALESCE(MAX(CASE WHEN pby THEN rank END), 0) AS iby
+          FROM fl)
+        SELECT seg AS segment, na AS n_a, nb AS n_b, z, p_micro, rank,
+          h12 AS harmonic_12,
+          rank <= ibh AS significant_bh,
+          rank <= iby AS significant_by
+        FROM fl, st ORDER BY rank""")),
+
+    // Jonckheere-Terpstra: does order value climb across the five
+    // priority tiers in their labeled order — the independent-groups
+    // ordered alternative beside q278's Kruskal-Wallis; J2 exact over
+    // per-tier cumulative value grids.
+    "q356_jonckheere" -> Q(
+      (s, dir) => Quality.jonckheereTerpstra(t(s, dir, "orders"),
+        "o_orderpriority", "o_totalprice",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")),
+      Some("""WITH base AS (SELECT CASE o_orderpriority
+              WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+              WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4
+              WHEN '5-LOW' THEN 5 END AS gi,
+            CAST(round(o_totalprice * 1e6) AS BIGINT) AS v
+          FROM orders
+          WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+        b2 AS (SELECT * FROM base WHERE gi IS NOT NULL),
+        cells AS (SELECT gi, v, CAST(COUNT(*) AS BIGINT) AS c
+          FROM b2 GROUP BY 1, 2),
+        grp AS (SELECT DISTINCT gi FROM cells),
+        spine AS (SELECT DISTINCT v FROM cells),
+        grid0 AS (SELECT g.gi, s.v, COALESCE(c.c, 0) AS c
+          FROM spine s CROSS JOIN grp g
+          LEFT JOIN cells c ON c.gi = g.gi AND c.v = s.v),
+        grid AS (SELECT gi, v, c,
+            COALESCE(SUM(c) OVER (PARTITION BY gi ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS cum_lt
+          FROM grid0),
+        j2 AS (SELECT CAST(SUM(CAST(j.c AS HUGEINT)
+              * (CAST(i.cum_lt AS HUGEINT) * 2 + i.c)) AS BIGINT)
+              AS j2_stat
+          FROM grid i JOIN grid j ON i.v = j.v AND i.gi < j.gi),
+        sz AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+            CAST(SUM(ng) AS BIGINT) AS n,
+            CAST(SUM(CAST(ng AS HUGEINT) * ng) AS BIGINT) AS sn2,
+            SUM(CAST(ng AS HUGEINT) * ng * (CAST(ng AS HUGEINT) * 2 + 3))
+              AS sn23
+          FROM (SELECT gi, CAST(SUM(c) AS BIGINT) AS ng
+            FROM cells GROUP BY 1)),
+        fin AS (SELECT n, k, j2_stat,
+            (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+              * (2.0 * CAST(n AS DOUBLE) + 3)
+              - CAST(sn23 AS DOUBLE)) / 18.0 AS var2,
+            (CAST(j2_stat AS DOUBLE)
+              - (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                - CAST(sn2 AS DOUBLE)) / 2.0)
+            / sqrt((CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+              * (2.0 * CAST(n AS DOUBLE) + 3)
+              - CAST(sn23 AS DOUBLE)) / 18.0) AS z
+          FROM sz, j2),
+        p1 AS (SELECT *, abs(z) AS az,
+            1.0 / (1.0 + 0.2316419 * abs(z)) AS kq FROM fin),
+        p2 AS (SELECT *, 0.3989422804014327 * EXP(-0.5 * az * az) *
+            (((((1.330274429 * kq + -1.821255978) * kq + 1.781477937) * kq
+              + -0.356563782) * kq + 0.319381530) * kq) AS tail
+          FROM p1)
+        SELECT n AS n_total, k AS k_groups, j2_stat,
+          CASE WHEN k >= 2 AND var2 > 0 THEN z END AS z,
+          CASE WHEN k >= 2 AND var2 > 0 THEN
+            CAST(round(least(1.0, 2.0 * tail) * 1e6) AS BIGINT) END
+            AS p_micro,
+          CASE WHEN k >= 2 AND var2 > 0 THEN
+            CAST(round(least(1.0, 2.0 * tail) * 1e6) AS BIGINT) <= 50000
+            ELSE false END AS significant
+        FROM p2""")),
+
     // Heaps-law vocabulary-growth curve: cumulative docs/tokens/vocab per
     // doc-id decile — does more of this corpus still buy new vocabulary?
     // Each token contributes at its MIN bucket (one groupBy); the only

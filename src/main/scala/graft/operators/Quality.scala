@@ -926,6 +926,49 @@ object Quality {
           .as("cramers_v"))
   }
 
+  /** G-TEST of independence (likelihood-ratio chi-square) over the same
+    * contingency as [[chiSquare]]: G = 2·Σ O·ln(O/E) — the
+    * information-theoretic twin (G = 2N·MI in nats), additive across
+    * partitions where Pearson's χ² is not, and the better-calibrated
+    * statistic when some expected counts are small-ish.
+    *
+    * Exactness: ln(O/E) = ln(O·n) − ln(nₐ·n_b) with BOTH logs
+    * micro-rounded (each argument an exact integer < 2^53 — the
+    * chiSquare exactness window), so every cell contribution
+    * O·(lnm₁ − lnm₂) is an exact BIGINT and G is one final division by
+    * 1e6 (÷2 folded in). Zero-observed cells contribute exactly 0 in a
+    * G-test (lim x·ln x = 0), so only the JOINT relation is scanned —
+    * no marginal cross join at all, one shuffle to the contingency
+    * grid.
+    *
+    * Output ONE row: (n, n_cells_observed, dof, g_micro_sum, g_stat).
+    */
+  def gTest(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    def d(c: Column) = c.cast("decimal(38,0)")
+    def dbl(c: Column) = c.cast("double")
+    val base = graft.CacheScope.register(
+      df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+        .select(col(aCol).as("__a"), col(bCol).as("__b")))
+    val n = base.count()
+    require(n > 0, "gTest: no complete-case rows")
+    val joint = base.groupBy("__a", "__b").agg(count(lit(1)).as("o"))
+    val ma = base.groupBy("__a").agg(count(lit(1)).as("na"))
+    val mb = base.groupBy("__b").agg(count(lit(1)).as("nb"))
+    val ka = ma.count()
+    val kb = mb.count()
+    def lnm(c: Column) = round(log(dbl(c)) * 1e6).cast("long")
+    joint.join(ma, "__a").join(mb, "__b")
+      .select(col("o"),
+        (lnm(col("o") * n) - lnm(col("na") * col("nb"))).as("__dl"))
+      .agg(sum(d(col("o")) * d(col("__dl"))).cast("long")
+          .as("g_micro_sum"),
+        count(lit(1)).as("n_cells_observed"))
+      .select(lit(n).as("n"), col("n_cells_observed"),
+        lit((ka - 1) * (kb - 1)).as("dof"),
+        col("g_micro_sum"),
+        (lit(2.0) * dbl(col("g_micro_sum")) / lit(1e6)).as("g_stat"))
+  }
+
   /** Two-sample Kolmogorov-Smirnov statistic over an integer score —
     * the distribution-shift audit between two corpus slices (does the
     * quality-score distribution of English docs differ from the rest?):
@@ -1449,6 +1492,59 @@ object Quality {
         col("nb").cast("long").as("n_b"), col("z"), col("p_micro"),
         col("rank").cast("long").as("rank"),
         (col("rank") <= col("i_star")).as("significant"))
+      .orderBy("rank")
+  }
+
+  /** BENJAMINI-YEKUTIELI step-up — [[bhFdr]] hardened for ARBITRARY
+    * dependence among the tests (BH's FDR guarantee assumes positive
+    * dependence; BY divides the threshold by the harmonic number
+    * c(m) = Σ₁..m 1/i and holds under ANY correlation structure —
+    * overlapping segments, shared users). Both verdicts emit side by
+    * side: BY ⊆ BH by construction, and the gap IS the price of the
+    * dependence insurance.
+    *
+    * Exactness: the BY comparison p·m·H ≤ rank·α·10¹² rides entirely on
+    * integers — H = Σᵢ (10¹² div i) is the harmonic number on the exact
+    * truncating 1e-12 grid (both engines sum the same m integer
+    * quotients; m = |segments|, a bounded constant).
+    *
+    * Output per segment: (segment, n_a, n_b, z, p_micro, rank,
+    * harmonic_12, significant_bh, significant_by), ranked by p.
+    */
+  def byFdr(df: DataFrame, segmentCol: String, userCol: String,
+      valueCol: String, salt: String, alphaMicro: Long = 50000L): DataFrame = {
+    val scored = welchPMicroBySegment(df, segmentCol, userCol, valueCol,
+      salt)
+    val m = scored.agg(count(lit(1)).as("m"))
+    // harmonic number on the exact 1e-12 grid, built from the m-row
+    // rank spine itself (no driver loop): H = sum over i <= m of
+    // floor(1e12 / i)
+    val ranked = scored.crossJoin(broadcast(m))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("p_micro").asc_nulls_last, col("seg"))))
+    val harmonic = ranked
+      .agg(sum(expr("1000000000000L div rank")).cast("long").as("h12"))
+    val withH = ranked.crossJoin(broadcast(harmonic))
+      .withColumn("__pass_bh",
+        col("p_micro").isNotNull &&
+          col("p_micro") * col("m") <= col("rank") * alphaMicro)
+      .withColumn("__pass_by",
+        col("p_micro").isNotNull &&
+          col("p_micro").cast("decimal(38,0)") * col("m") * col("h12") <=
+            col("rank").cast("decimal(38,0)") * alphaMicro *
+              lit(1000000000000L))
+    val iStars = withH.agg(
+      coalesce(max(when(col("__pass_bh"), col("rank"))), lit(0))
+        .as("i_bh"),
+      coalesce(max(when(col("__pass_by"), col("rank"))), lit(0))
+        .as("i_by"))
+    withH.crossJoin(broadcast(iStars))
+      .select(col("seg").as("segment"), col("na").cast("long").as("n_a"),
+        col("nb").cast("long").as("n_b"), col("z"), col("p_micro"),
+        col("rank").cast("long").as("rank"),
+        col("h12").as("harmonic_12"),
+        (col("rank") <= col("i_bh")).as("significant_bh"),
+        (col("rank") <= col("i_by")).as("significant_by"))
       .orderBy("rank")
   }
 
@@ -2088,6 +2184,85 @@ object Quality {
           d(col("tie_cubes")) <
             d(col("n")) * d(col("n")) * d(col("n")) - d(col("n")),
           hUnc / corr))
+  }
+
+  /** JONCKHEERE-TERPSTRA trend test — the ORDERED alternative for
+    * INDEPENDENT groups (what [[pageTrend]] is to [[friedmanTest]],
+    * this is to [[kruskalWallis]]): with groups in a hypothesized
+    * order, J = Σ_{i<j} U_ij counts cross-group pairs that agree with
+    * the ordering; monotone shift ⇒ J far above its null mean.
+    *
+    * Exactness: everything rides the DOUBLED grid — J2 = 2J =
+    * Σ_{i<j} Σ_v c_j(v)·(2·cum_i(<v) + c_i(v)) over the per-group
+    * cumulative count grids on the GLOBAL distinct-value spine (ties
+    * count half, hence exactly +c_i(v) on the ×2 grid). The spine fans
+    * out ×k through one broadcast (bounded-grid argument: the spine is
+    * the distinct-VALUE domain, never rows); per-group cumulations are
+    * k partitioned windows; the cross-group term is one equi-join on
+    * the value. z uses the classic tie-free moments E[J2] =
+    * (N² − Σnᵢ²)/2, Var[J2] = (N²(2N+3) − Σnᵢ²(2nᵢ+3))/18 (documented;
+    * both engines replay the same formula), p two-sided via the shared
+    * A&S polynomial.
+    *
+    * Output ONE row: (n_total, k_groups, j2_stat, z, p_micro,
+    * significant).
+    */
+  def jonckheereTerpstra(df: DataFrame, groupCol: String,
+      valueCol: String, order: Seq[String]): DataFrame = {
+    require(order.nonEmpty && order.distinct == order,
+      s"hypothesized order must be distinct: $order")
+    def d(c: Column) = c.cast("decimal(38,0)")
+    def dbl(c: Column) = c.cast("double")
+    val giExpr = order.zipWithIndex.foldLeft(lit(null).cast("long")) {
+      case (acc, (g, i)) =>
+        when(col(groupCol) === g, lit(i + 1L)).otherwise(acc)
+    }
+    val base = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(giExpr.as("gi"),
+        round(col(valueCol) * 1e6).cast("long").as("v"))
+      .filter(col("gi").isNotNull)
+    val cells = graft.CacheScope.register(
+      base.groupBy("gi", "v").agg(count(lit(1)).as("c")))
+    val groups = cells.select("gi").distinct()
+    val spine = cells.select("v").distinct()
+    val w = Window.partitionBy("gi").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val grid = graft.CacheScope.register(
+      spine.crossJoin(broadcast(groups))
+        .join(cells, Seq("gi", "v"), "left")
+        .select(col("gi"), col("v"), coalesce(col("c"), lit(0L)).as("c"))
+        .withColumn("cum_lt", coalesce(sum("c").over(w), lit(0L))))
+    val j2 = grid.as("i").join(grid.as("j"),
+        col("i.v") === col("j.v") && col("i.gi") < col("j.gi"))
+      .agg(sum(d(col("j.c")) *
+          (d(col("i.cum_lt")) * 2 + d(col("i.c"))))
+        .cast("long").as("j2_stat"))
+    val sizes = cells.groupBy("gi").agg(sum("c").cast("long").as("ng"))
+      .agg(count(lit(1)).cast("long").as("k"),
+        sum(d(col("ng"))).cast("long").as("n"),
+        sum(d(col("ng")) * d(col("ng"))).cast("long").as("sn2"),
+        sum(d(col("ng")) * d(col("ng")) *
+          (d(col("ng")) * 2 + 3)).cast("decimal(38,0)").as("sn23"))
+    val nD = dbl(col("n"))
+    val e2 = (nD * nD - dbl(col("sn2"))) / lit(2.0)
+    val var2 = (nD * nD * (lit(2.0) * nD + 3) - dbl(col("sn23"))) /
+      lit(18.0)
+    val z = (dbl(col("j2_stat")) - e2) / sqrt(var2)
+    val az = abs(z)
+    val kk = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val poly = ((((lit(1.330274429) * kk + lit(-1.821255978)) * kk
+      + lit(1.781477937)) * kk + lit(-0.356563782)) * kk
+      + lit(0.319381530)) * kk
+    val tail = lit(0.3989422804014327) * exp(lit(-0.5) * az * az) * poly
+    val ok = col("k") >= 2L && var2 > 0
+    sizes.crossJoin(broadcast(j2))
+      .select(col("n").as("n_total"), col("k").as("k_groups"),
+        col("j2_stat"),
+        when(ok, z).as("z"),
+        when(ok, round(least(lit(1.0), lit(2.0) * tail) * 1e6)
+          .cast("long")).as("p_micro"))
+      .withColumn("significant",
+        col("p_micro").isNotNull && col("p_micro") <= 50000L)
   }
 
   /** MCNEMAR test of paired binary outcomes — "did the same subjects

@@ -122,7 +122,9 @@ class PlanLintSpec extends SparkSpec {
     "q342_rank_drift" -> "rboAtK's |queries|-row (here 1-row) left join against the per-depth term aggregate (q330's shape)",
     "q346_periodogram" -> "crossJoin against the broadcast 1-row (n, T) centering aggregate over the calendar day grid (q169's shape)",
     "q348_friedman" -> "crossJoins of broadcast 1-row treatment-count / moment / numerator aggregates (q110/q163 shape)",
-    "q352_cochran_q" -> "user spine crossJoined with the broadcast |event-types|-row (5-row) treatment relation, plus the 1-row block/treatment moment crossJoin")
+    "q352_cochran_q" -> "user spine crossJoined with the broadcast |event-types|-row (5-row) treatment relation, plus the 1-row block/treatment moment crossJoin",
+    "q355_by_fdr" -> "q271's crossJoins of broadcast 1-row m-count / harmonic / i-star aggregates over the |segments|-row grid",
+    "q356_jonckheere" -> "distinct-value spine crossJoined with the broadcast |groups|-row (5-row) tier relation (q234's bounded-grid argument), plus the 1-row J2/moment assembly crossJoin")
 
   /** Queries allowed to plan a GLOBAL window (no partition columns, or a
     * constant partition) — each must window over a provably BOUNDED
@@ -176,7 +178,8 @@ class PlanLintSpec extends SparkSpec {
     "q336_cliffs_delta" -> "q234's cumulative window over the DISTINCT-value count grid (bounded-grid argument)",
     "q337_rmst" -> "q179's prefix windows + one lead window over the duration-day grid (calendar-bounded argument)",
     "q342_rank_drift" -> "rank windows over the two single-query top-25 customer rankings (rboAtK with query_id constant -> |ranking| rows, aggregate-bounded)",
-    "q347_wilcoxon_signed_rank" -> "midrank cumulation over the DISTINCT-|d| count grid (q234's bounded-grid argument)")
+    "q347_wilcoxon_signed_rank" -> "midrank cumulation over the DISTINCT-|d| count grid (q234's bounded-grid argument)",
+    "q355_by_fdr" -> "rank window over the |segments|-row test grid (q271's bounded argument)")
 
   test("no query plans a global window over an unbounded relation") {
     import org.apache.spark.sql.execution.SparkPlan

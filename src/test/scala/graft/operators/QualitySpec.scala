@@ -192,6 +192,72 @@ class QualitySpec extends SparkSpec {
     assert(out.getAs[Long]("max_val") == sorted.last)
   }
 
+  test("gTest: hand-computed 2x2 fixture; perfectly independent table " +
+      "reads ~0; G tracks 2N*MI") {
+    import spark.implicits._
+    // 2x2 with counts (a1,b1)=30 (a1,b2)=10 (a2,b1)=10 (a2,b2)=30:
+    // n=80, marginals all 40; G = 2*sum O*ln(O*80/1600)
+    val rows = (
+      Seq.fill(30)(("a1", "b1")) ++ Seq.fill(10)(("a1", "b2")) ++
+      Seq.fill(10)(("a2", "b1")) ++ Seq.fill(30)(("a2", "b2"))
+    ).toDF("a", "b")
+    val r = Quality.gTest(rows, "a", "b").collect().head
+    val expect = 2.0 * (2 * 30 * math.log(30.0 * 80 / 1600) +
+      2 * 10 * math.log(10.0 * 80 / 1600))
+    assert(r.getAs[Long]("n") == 80L && r.getAs[Long]("dof") == 1L)
+    assert(math.abs(r.getAs[Double]("g_stat") - expect) < 1e-3)
+    // independence: every O = E exactly -> every dl = 0 -> G = 0
+    val indep = (
+      Seq.fill(20)(("a1", "b1")) ++ Seq.fill(20)(("a1", "b2")) ++
+      Seq.fill(20)(("a2", "b1")) ++ Seq.fill(20)(("a2", "b2"))
+    ).toDF("a", "b")
+    val ri = Quality.gTest(indep, "a", "b").collect().head
+    assert(ri.getAs[Long]("g_micro_sum") == 0L)
+  }
+
+  test("byFdr: BY rejections are always a subset of BH; harmonic number " +
+      "exact on the 1e-12 grid") {
+    val ev = graft.GraftSession.table(spark, "/root/testdata/sf0.001",
+      "events")
+    val out = Quality.byFdr(ev, "event_type", "user_id", "value", "spec-by")
+      .collect()
+    assert(out.nonEmpty)
+    val m = out.length
+    val expectH = (1 to m).map(i => 1000000000000L / i).sum
+    assert(out.forall(_.getAs[Long]("harmonic_12") == expectH))
+    // BY is strictly more conservative: never rejects what BH keeps
+    assert(out.forall(r => !r.getAs[Boolean]("significant_by") ||
+      r.getAs[Boolean]("significant_bh")))
+    graft.CacheScope.releaseAll()
+  }
+
+  test("jonckheereTerpstra: fully separated increasing groups hit max " +
+      "J2; reversed hypothesis flips the z sign; ties count once") {
+    import spark.implicits._
+    // g1 = {1,2}, g2 = {3,4}, g3 = {5,6}: every cross pair agrees ->
+    // J = 3 pairs * 4 = 12, J2 = 24; E[J2] = (36-12)/2 = 12;
+    // Var[J2] = (36*15 - 3*4*7)/18 = 456/18
+    val rows = Seq(("g1", 1.0), ("g1", 2.0), ("g2", 3.0), ("g2", 4.0),
+      ("g3", 5.0), ("g3", 6.0)).toDF("g", "v")
+    val order = Seq("g1", "g2", "g3")
+    val r = Quality.jonckheereTerpstra(rows, "g", "v", order)
+      .collect().head
+    assert(r.getAs[Long]("n_total") == 6L && r.getAs[Long]("k_groups") == 3L)
+    assert(r.getAs[Long]("j2_stat") == 24L)
+    assert(math.abs(r.getAs[Double]("z") -
+      12.0 / math.sqrt(456.0 / 18.0)) < 1e-12)
+    val rev = Quality.jonckheereTerpstra(rows, "g", "v", order.reverse)
+      .collect().head
+    assert(rev.getAs[Long]("j2_stat") == 0L)
+    assert(math.abs(rev.getAs[Double]("z") +
+      12.0 / math.sqrt(456.0 / 18.0)) < 1e-12)
+    // a tie across groups counts ONCE on the x2 grid: g1={1}, g2={1}
+    val tied = Seq(("g1", 1.0), ("g2", 1.0)).toDF("g", "v")
+    val rt = Quality.jonckheereTerpstra(tied, "g", "v",
+      Seq("g1", "g2")).collect().head
+    assert(rt.getAs[Long]("j2_stat") == 1L)
+  }
+
   test("hillTailIndex: exact geometric tail gives H = 2.5 ln2 at k = 4; " +
       "groups without k+1 values report null") {
     import spark.implicits._
