@@ -4214,6 +4214,30 @@ object SparkEntry {
             ELSE false END AS significant
         FROM p2""")),
 
+    // Persisted IVF index (the q250/q322 pattern for the kNN family):
+    // cell relation bucketed by cell + k x dims centroid model as
+    // parquet; the probe reads the stored model, routes itself, and
+    // ranks inside the stored cells. Probed at FULL nProbe so the
+    // result is definitionally the exact top-5 (the q31b contract) —
+    // a value-level oracle for the persisted layout itself.
+    "q357_persisted_ivf" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val (cellRel, centRel) = Similarity.ivfIndexRelations(emb,
+          "vec_id", "embedding", nlist = 16, iters = 5)
+        val sfx = dir.replaceAll("[^A-Za-z0-9]", "_") +
+          s"_p${ProcessHandle.current().pid()}"
+        val base = s"${sys.props("java.io.tmpdir")}/graft_ivf"
+        Warehouse.writeBucketed(s, cellRel, "graft_ivf_cells",
+          s"$base/cells_$sfx", "cell", 16)
+        centRel.write.mode("overwrite").parquet(s"$base/cents_$sfx")
+        Similarity.ivfIndexProbe(s.table("graft_ivf_cells"),
+          s.read.parquet(s"$base/cents_$sfx"),
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, nProbe = 16)
+      },
+      Some(knnTop5OracleSql)),
+
     // Heaps-law vocabulary-growth curve: cumulative docs/tokens/vocab per
     // doc-id decile — does more of this corpus still buy new vocabulary?
     // Each token contributes at its MIN bucket (one groupBy); the only

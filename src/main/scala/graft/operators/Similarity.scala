@@ -832,6 +832,102 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** Persistable IVF INDEX for a vector corpus — the kNN-side member of
+    * the persisted-index family beside [[embLshIndexRelations]] (near-dup
+    * side) and [[graft.operators.Dedup.lshIndexRelations]] (text side):
+    * the CELL relation (id, cell, qv, n2 — one row per vector, routed by
+    * the distributed-Lloyd coarse quantizer, quantized vector + norm
+    * stored so probes never touch raw embeddings) and the CENTROID
+    * relation (cell, pos, w — the k×dims model, a few KB of parquet).
+    *
+    * The 100 TB shape is write-once / probe-per-batch: publish the cell
+    * relation BUCKETED BY `cell` ([[graft.operators.Warehouse.writeBucketed]])
+    * and the model as plain parquet; a query batch reads the tiny model,
+    * routes itself driver-side, and probes the stored cells with ZERO
+    * index-side exchanges (bucketed scan + broadcast query join — the
+    * q250/q322 plan contract); the per-query shuffle carries at most
+    * k rows per task (bounded TopK aggregation, never the probed cells).
+    * Maintenance is assignment + bucketed APPEND of the new batch — the
+    * historical corpus is never re-shuffled or re-trained inline;
+    * retraining cadence is an offline decision against recall telemetry
+    * ([[ivfRecallCurve]]).
+    */
+  def ivfIndexRelations(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int): (DataFrame, DataFrame) = {
+    val cents = ivfTrainDistributed(corpus, idCol, vecCol, nlist, iters)
+    def cellScores(vd: Column): Column = array(cents.zipWithIndex.map {
+      case (cent, i) =>
+        val cnorm2 = cent.map(x => x * x).sum
+        struct((lit(cnorm2) - lit(2.0) * qdot(vd, lit(cent))).as("d2"),
+          lit(i).as("cell"))
+    }.toIndexedSeq: _*)
+    val cellRel = graft.Parallelism.fanOut(
+        corpus.select(col(idCol).as("id"), col(vecCol)))
+      .withColumn("__vd", col(vecCol).cast("array<double>"))
+      .select(col("id"), quantized(col(vecCol)).as("qv"),
+        array_min(cellScores(col("__vd"))).getField("cell").as("cell"))
+      .withColumn("n2", qnorm2(col("qv")))
+    val centroidRel = {
+      val rows = cents.zipWithIndex.flatMap { case (c, i) =>
+        c.zipWithIndex.map { case (w, p) => (i, p, w) }
+      }.toIndexedSeq
+      val spark2 = corpus.sparkSession
+      import spark2.implicits._
+      rows.toDF("cell", "pos", "w")
+    }
+    (cellRel, centroidRel)
+  }
+
+  /** Probe a query batch against a persisted [[ivfIndexRelations]]
+    * index: rebuild the k×dims model from the stored centroid relation
+    * (the only driver transfer — the accepted model-transfer bound),
+    * route each query to its `nProbe` nearest cells with the SAME
+    * argmin score the index writer used, and exact-rank inside the
+    * probed cells off the STORED quantized vectors. At nProbe = nlist
+    * this is definitionally the exact top-k (the q31b contract), which
+    * is what gives the persisted layout a value-level oracle.
+    *
+    * Returns (query_id, id, cos), top-k per query by (cos desc, id).
+    */
+  def ivfIndexProbe(cellRel: DataFrame, centroidRel: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int): DataFrame = {
+    require(k >= 1 && nProbe >= 1)
+    val cents: Array[Array[Double]] = centroidRel
+      .select(col("cell").cast("int"), col("pos").cast("int"),
+        col("w").cast("double"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rs) => rs.sortBy(_._2).map(_._3).toArray }.toArray
+    require(cents.nonEmpty, "empty centroid relation")
+    def cellScores(vd: Column): Column = array(cents.zipWithIndex.map {
+      case (cent, i) =>
+        val cnorm2 = cent.map(x => x * x).sum
+        struct((lit(cnorm2) - lit(2.0) * qdot(vd, lit(cent))).as("d2"),
+          lit(i).as("cell"))
+    }.toIndexedSeq: _*)
+    val q = queries
+      .withColumn("__vd", col(vecCol).cast("array<double>"))
+      .select(col(idCol).cast("long").as("query_id"),
+        quantized(col(vecCol)).as("__qv"),
+        explode(transform(
+          slice(array_sort(cellScores(col("__vd"))), 1,
+            math.min(nProbe, cents.length)),
+          s => s.getField("cell"))).as("cell"))
+      .withColumn("__qn", qnorm2(col("__qv")))
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    cellRel.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("cos",
+        cosFrom(qdot(col("__qv"), col("qv")), col("__qn"), col("n2")))
+      .groupBy("query_id")
+      .agg(topk(col("cos"), col("id")).as("__top"))
+      .select(col("query_id"), explode(col("__top")).as("__e"))
+      .select(col("query_id"), col("__e._2").as("id"),
+        col("__e._1").as("cos"))
+      .orderBy(col("query_id"), col("cos").desc, col("id"))
+  }
+
   /** Persistable hyperplane-LSH INDEX for an embedding corpus — the
     * embedding-side analog of [[graft.operators.Dedup.lshIndexRelations]]
     * (r9 verdict #7): the BAND relation (id, band, bucket — `bands` rows

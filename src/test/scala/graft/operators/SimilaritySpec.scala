@@ -654,6 +654,44 @@ class SimilaritySpec extends SparkSpec {
     assert(p.getAs[Double]("ndcg") == 1.0)
   }
 
+  test("ivfIndexProbe: parquet-roundtripped index replays " +
+      "knnIvfWithCentroids bit-for-bit at partial probing; full probing " +
+      "is the exact search") {
+    val emb = graft.GraftSession.table(spark, "/root/testdata/sf0.01",
+      "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val (cellRel, centRel) = Similarity.ivfIndexRelations(emb, "vec_id",
+      "embedding", nlist = 16, iters = 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-idx")
+    cellRel.write.parquet(s"$dir/cells")
+    centRel.write.parquet(s"$dir/cents")
+    graft.CacheScope.releaseAll()
+    val cellsBack = spark.read.parquet(s"$dir/cells")
+    val centsBack = spark.read.parquet(s"$dir/cents")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("id"),
+        r.getAs[Double]("cos"))).toSeq
+    val probed = rows(Similarity.ivfIndexProbe(cellsBack, centsBack,
+      queries, "vec_id", "embedding", k = 5, nProbe = 6))
+    // the inline path with the SAME deterministic trainer
+    val cents = Similarity.ivfTrainDistributed(emb, "vec_id", "embedding",
+      16, 5)
+    graft.CacheScope.releaseAll()
+    val inline = rows(Similarity.knnIvfWithCentroids(emb, queries,
+        "vec_id", "embedding", 5, 6, cents)
+      .orderBy(col("query_id"), col("cos").desc, col("id")))
+    assert(probed == inline,
+      "persisted probe diverged from the inline IVF at nProbe=6")
+    // full probing degenerates to the exact top-5
+    val full = rows(Similarity.ivfIndexProbe(cellsBack, centsBack,
+      queries, "vec_id", "embedding", k = 5, nProbe = 16))
+    val exact = rows(Similarity.knnExact(emb, queries, "vec_id",
+        "embedding", 5)
+      .orderBy(col("query_id"), col("cos").desc, col("id")))
+    assert(full == exact, "full-probe persisted IVF != exact kNN")
+    graft.CacheScope.releaseAll()
+  }
+
   test("rboAtK: identical rankings score ~1 (truncated tail mass); " +
       "disjoint rankings score 0") {
     import spark.implicits._
