@@ -4238,6 +4238,117 @@ object SparkEntry {
       },
       Some(knnTop5OracleSql)),
 
+    // Kendall's W: do three deterministic quality "judges" (token
+    // volume, stopword density, low-punctuation) agree on the RANKING
+    // of the 20 sources? The effect-size face of q348's Friedman, over
+    // the q331 rater panel's features.
+    "q358_kendall_w" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val f = TextOps.qualityFeatures(docs, "doc_id", "text")
+          .join(docs.select("doc_id", "source"), "doc_id")
+        val per = f.groupBy("source").agg(
+          sum(col("n_tokens")).cast("long").as("j1"),
+          sum(coalesce(col("stopword_ratio_micro"), lit(0L))).cast("long")
+            .as("j2"),
+          sum(coalesce(col("punct_ratio_micro"), lit(0L))).cast("long")
+            .as("j3"))
+        val rows = per.select(lit("tokens").as("judge"), col("source"),
+            col("j1").cast("double").as("v"))
+          .unionAll(per.select(lit("stopword").as("judge"), col("source"),
+            col("j2").cast("double").as("v")))
+          .unionAll(per.select(lit("lowpunct").as("judge"), col("source"),
+            (-col("j3")).cast("double").as("v")))
+        Quality.kendallW(rows, "judge", "source", "v")
+      },
+      Some(s"""WITH ${qualityMicroSql("doc_id, source")},
+        per AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS j1,
+            CAST(SUM(COALESCE(stopword_ratio_micro, 0)) AS BIGINT) AS j2,
+            CAST(SUM(COALESCE(punct_ratio_micro, 0)) AS BIGINT) AS j3
+          FROM __qm GROUP BY 1),
+        rows0 AS (SELECT 'tokens' AS blk, source AS tr,
+            CAST(j1 AS DOUBLE) AS vr FROM per
+          UNION ALL SELECT 'stopword', source, CAST(j2 AS DOUBLE) FROM per
+          UNION ALL SELECT 'lowpunct', source, -CAST(j3 AS DOUBLE)
+            FROM per),
+        cells0 AS (SELECT blk, tr,
+            CAST(SUM(CAST(round(vr * 1e6) AS BIGINT)) AS BIGINT) AS v
+          FROM rows0 GROUP BY 1, 2),
+        kk AS (SELECT COUNT(DISTINCT tr) AS k FROM cells0),
+        complete AS (SELECT blk FROM cells0 GROUP BY 1
+          HAVING COUNT(*) = (SELECT k FROM kk)),
+        cells AS (SELECT c.* FROM cells0 c JOIN complete USING (blk)),
+        gv AS (SELECT blk, v, CAST(COUNT(*) AS BIGINT) AS t
+          FROM cells GROUP BY 1, 2),
+        r2 AS (SELECT blk, v,
+            COALESCE(SUM(t) OVER (PARTITION BY blk ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2
+              + t + 1 AS r2
+          FROM gv),
+        rc AS (SELECT cells.blk, cells.tr, r2.r2
+          FROM cells JOIN r2 ON cells.blk = r2.blk AND cells.v = r2.v),
+        pt AS (SELECT tr, CAST(SUM(r2) AS BIGINT) AS r2j
+          FROM rc GROUP BY 1),
+        at2 AS (SELECT CAST(SUM(CAST(r2 AS HUGEINT) * r2) AS BIGINT) AS a2,
+            CAST(COUNT(DISTINCT blk) AS BIGINT) AS b,
+            CAST(COUNT(DISTINCT tr) AS BIGINT) AS k FROM rc),
+        nm AS (SELECT CAST(SUM(CAST(r2j - b * (k + 1) AS HUGEINT)
+            * (r2j - b * (k + 1))) AS BIGINT) AS num2
+          FROM pt, at2),
+        fr AS (SELECT b, k,
+            CASE WHEN b >= 2 AND k >= 2
+                AND CAST(a2 AS DOUBLE) - CAST(b AS DOUBLE)
+                  * CAST(k AS DOUBLE) * CAST(k + 1 AS DOUBLE)
+                  * CAST(k + 1 AS DOUBLE) > 0
+              THEN CAST(num2 AS DOUBLE) * CAST(k - 1 AS DOUBLE)
+                / (CAST(a2 AS DOUBLE) - CAST(b AS DOUBLE)
+                  * CAST(k AS DOUBLE) * CAST(k + 1 AS DOUBLE)
+                  * CAST(k + 1 AS DOUBLE)) END AS chi2
+          FROM at2, nm)
+        SELECT b AS n_judges, k AS k_items, chi2,
+          CASE WHEN chi2 IS NOT NULL AND b > 0 AND k - 1 > 0
+            THEN chi2 / CAST(b * (k - 1) AS DOUBLE) END AS w
+        FROM fr""")),
+
+    // Mixed-language (code-switching) audit: the langId argmax run on
+    // the two token-halves independently — flags translation-glued /
+    // boilerplate-wrapped docs a one-vote language filter passes.
+    "q359_code_switch" -> Q(
+      (s, dir) => TextOps.codeSwitchAudit(t(s, dir, "documents"),
+        "doc_id", "text").orderBy("doc_id"),
+      Some {
+        def halfScores(h: String, p: String) =
+          TextOps.langLexicons.map { case (lang, lex) =>
+            val list = lex.map(w => s"'$w'").mkString(", ")
+            s"len(list_filter($h, t -> t IN ($list))) AS ${p}_$lang"
+          }.mkString(",\n            ")
+        val langs = TextOps.langLexicons.map(_._1)
+        def caseChain(p: String) = {
+          val g = s"greatest(${langs.map(l => s"${p}_$l").mkString(", ")})"
+          langs.map(l => s"WHEN ${p}_$l >= $g AND ${p}_$l > 0 THEN '$l'")
+            .mkString(" ")
+        }
+        s"""WITH t AS (SELECT doc_id,
+              string_split_regex(lower(trim(text)), '\\s+') AS l
+            FROM documents),
+          h AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n,
+              list_slice(l, 1, len(l) // 2) AS h1,
+              list_slice(l, len(l) // 2 + 1, len(l)) AS h2
+            FROM t),
+          sc AS (SELECT doc_id, n,
+            ${halfScores("h1", "a")},
+            ${halfScores("h2", "b")}
+            FROM h),
+          pred AS (SELECT doc_id, n,
+              CASE ${caseChain("a")} ELSE 'und' END AS lang_first,
+              CASE ${caseChain("b")} ELSE 'und' END AS lang_second
+            FROM sc)
+          SELECT doc_id, n AS n_tokens, lang_first, lang_second,
+            lang_first <> lang_second AND lang_first <> 'und'
+              AND lang_second <> 'und' AS mixed
+          FROM pred ORDER BY doc_id"""
+      }),
+
     // Heaps-law vocabulary-growth curve: cumulative docs/tokens/vocab per
     // doc-id decile — does more of this corpus still buy new vocabulary?
     // Each token contributes at its MIN bucket (one groupBy); the only

@@ -4052,6 +4052,28 @@ object Quality {
         col("p_micro").isNotNull && col("p_micro") <= 50000L)
   }
 
+  /** KENDALL'S W coefficient of concordance — "how much do b judges
+    * AGREE on the ranking of k items": the effect-size face of
+    * [[friedmanTest]] (W = χ²_F / (b·(k−1))), 0 = no agreement,
+    * 1 = every judge ranks identically. Where Fleiss' kappa
+    * ([[fleissKappa]]) measures agreement on CATEGORIES, W measures
+    * agreement on ORDER — the right audit for "do my quality heuristics
+    * rank sources the same way". Ties and completeness handling are
+    * exactly Friedman's (Conover's tie-robust form underneath).
+    *
+    * Output ONE row: (n_judges, k_items, chi2, w), null when Friedman
+    * degenerates.
+    */
+  def kendallW(df: DataFrame, judgeCol: String, itemCol: String,
+      valueCol: String): DataFrame =
+    friedmanTest(df, judgeCol, itemCol, valueCol)
+      .select(col("n_blocks").as("n_judges"),
+        col("k_treatments").as("k_items"), col("chi2"),
+        when(col("chi2").isNotNull && col("n_blocks") > 0 &&
+          col("dof") > 0,
+          col("chi2") / (col("n_blocks") * col("dof")).cast("double"))
+          .as("w"))
+
   /** POISSON OVERDISPERSION test per group — "are these event counts
     * clumpier than random": per-unit event counts x_u against the
     * Poisson null (variance = mean) via the index of dispersion, with

@@ -61,6 +61,49 @@ object TextOps {
       .drop("__toks" +: langLexicons.map { case (l, _) => s"__s_$l" }: _*)
   }
 
+  /** MIXED-LANGUAGE (code-switching) AUDIT — "is this document ONE
+    * language or two stitched together": [[langId]] votes once per
+    * document, so a half-English/half-German page gets whichever half
+    * outweighs the other and the mixture is invisible. This audit runs
+    * the SAME lexicon argmax on the two token-halves independently and
+    * flags documents whose halves disagree (both halves decided, i.e.
+    * not 'und') — the curation gate for translation-glued or
+    * boilerplate-wrapped pages that one-vote language filters pass.
+    *
+    * Deterministic and oracle-replayable end to end: halves are exact
+    * token slices (first ⌊n/2⌋ / rest), scores are integer lexicon hit
+    * counts, the argmax chain is [[langId]]'s (ties → lexicon order,
+    * zero hits → 'und'). Pure projection — one tokenization, no shuffle
+    * beyond the caller's sort.
+    *
+    * Output per doc: (id, n_tokens, lang_first, lang_second, mixed).
+    */
+  def codeSwitchAudit(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = graft.Parallelism.fanOut(df.select(col(idCol), col(textCol)))
+      .withColumn("__toks", TextFns.tokens(col(textCol)))
+      .withColumn("__n", size(col("__toks")))
+      .withColumn("__h1", slice(col("__toks"), lit(1),
+        expr("__n div 2").cast("int")))
+      .withColumn("__h2", slice(col("__toks"),
+        (expr("__n div 2") + 1).cast("int"),
+        expr("__n - __n div 2").cast("int")))
+    def predict(half: String): Column = {
+      val scores = langLexicons.map { case (lang, lex) =>
+        lang -> size(filter(col(half), t => t.isInCollection(lex)))
+      }
+      val all = scores.map(_._2)
+      scores.foldRight(lit("und")) { case ((lang, s), rest) =>
+        when(s >= greatest(all: _*) && s > 0, lang).otherwise(rest)
+      }
+    }
+    toks.select(col(idCol), col("__n").cast("long").as("n_tokens"),
+      predict("__h1").as("lang_first"), predict("__h2").as("lang_second"))
+      .withColumn("mixed",
+        col("lang_first") =!= col("lang_second") &&
+          col("lang_first") =!= "und" && col("lang_second") =!= "und")
+  }
+
   /** Character n-grams of the normalized text (overlapping, length n) —
     * the classic language-ID feature. `Column.substr` with column offsets
     * keeps this in codegen.

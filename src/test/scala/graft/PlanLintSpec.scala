@@ -124,7 +124,8 @@ class PlanLintSpec extends SparkSpec {
     "q348_friedman" -> "crossJoins of broadcast 1-row treatment-count / moment / numerator aggregates (q110/q163 shape)",
     "q352_cochran_q" -> "user spine crossJoined with the broadcast |event-types|-row (5-row) treatment relation, plus the 1-row block/treatment moment crossJoin",
     "q355_by_fdr" -> "q271's crossJoins of broadcast 1-row m-count / harmonic / i-star aggregates over the |segments|-row grid",
-    "q356_jonckheere" -> "distinct-value spine crossJoined with the broadcast |groups|-row (5-row) tier relation (q234's bounded-grid argument), plus the 1-row J2/moment assembly crossJoin")
+    "q356_jonckheere" -> "distinct-value spine crossJoined with the broadcast |groups|-row (5-row) tier relation (q234's bounded-grid argument), plus the 1-row J2/moment assembly crossJoin",
+    "q358_kendall_w" -> "friedmanTest's crossJoins of broadcast 1-row treatment-count / moment / numerator aggregates (q348's shape)")
 
   /** Queries allowed to plan a GLOBAL window (no partition columns, or a
     * constant partition) — each must window over a provably BOUNDED

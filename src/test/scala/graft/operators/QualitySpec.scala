@@ -192,6 +192,25 @@ class QualitySpec extends SparkSpec {
     assert(out.getAs[Long]("max_val") == sorted.last)
   }
 
+  test("kendallW: unanimous judges score exactly 1; split judges score " +
+      "0; ties route through Friedman's machinery") {
+    import spark.implicits._
+    val unanimous = (1 to 3).flatMap(j => Seq(
+      (s"j$j", "A", 1.0), (s"j$j", "B", 2.0), (s"j$j", "C", 3.0)))
+      .toDF("judge", "item", "v")
+    val r = Quality.kendallW(unanimous, "judge", "item", "v")
+      .collect().head
+    assert(r.getAs[Long]("n_judges") == 3L && r.getAs[Long]("k_items") == 3L)
+    assert(r.getAs[Double]("w") == 1.0)
+    // two judges in exact opposition: rank sums equalize -> W = 0
+    val split = Seq(
+      ("j1", "A", 1.0), ("j1", "B", 2.0), ("j1", "C", 3.0),
+      ("j2", "A", 3.0), ("j2", "B", 2.0), ("j2", "C", 1.0))
+      .toDF("judge", "item", "v")
+    val rs = Quality.kendallW(split, "judge", "item", "v").collect().head
+    assert(rs.getAs[Double]("w") == 0.0)
+  }
+
   test("gTest: hand-computed 2x2 fixture; perfectly independent table " +
       "reads ~0; G tracks 2N*MI") {
     import spark.implicits._

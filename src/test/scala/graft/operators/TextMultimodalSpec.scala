@@ -38,6 +38,31 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out(0L) == "en" && out(1L) == "de" && out(2L) == "und")
   }
 
+  test("codeSwitchAudit: a half-English/half-German doc flags mixed; " +
+      "uniform and undecidable docs do not") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "the the the agg agg agg"),   // halves: en | de -> mixed
+      (1L, "the the the the"),           // en | en -> not mixed
+      (2L, "xy zz qq ww"),               // und | und -> not mixed
+      (3L, "agg agg the"))               // h1 = [agg] de, h2 = [agg the]
+      .toDF("doc_id", "text")            //   tie agg/the -> de (lexicon
+                                         //   order) -> NOT mixed
+    val out = TextOps.codeSwitchAudit(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[String]("lang_first") == "en" &&
+      out(0L).getAs[String]("lang_second") == "de" &&
+      out(0L).getAs[Boolean]("mixed"))
+    assert(out(1L).getAs[String]("lang_first") == "en" &&
+      !out(1L).getAs[Boolean]("mixed"))
+    assert(out(2L).getAs[String]("lang_first") == "und" &&
+      !out(2L).getAs[Boolean]("mixed"))
+    assert(out(3L).getAs[String]("lang_first") == "de" &&
+      out(3L).getAs[String]("lang_second") == "de" &&
+      !out(3L).getAs[Boolean]("mixed"))
+    assert(out(0L).getAs[Long]("n_tokens") == 6L)
+  }
+
   test("charNgrams and char-profile language ID") {
     import spark.implicits._
     val df = Seq((0L, "aber die und"), (1L, "the and with"), (2L, "zz"))
