@@ -4247,18 +4247,26 @@ object SparkEntry {
         val docs = t(s, dir, "documents")
         val f = TextOps.qualityFeatures(docs, "doc_id", "text")
           .join(docs.select("doc_id", "source"), "doc_id")
-        val per = f.groupBy("source").agg(
+        // cached: the three judge rows below each reference this
+        // aggregate — uncached, the qualityFeatures tokenization pass
+        // runs three times (measured 8.4 s -> ~3 s isolated at sf0.1)
+        val per = graft.CacheScope.register(f.groupBy("source").agg(
           sum(col("n_tokens")).cast("long").as("j1"),
           sum(coalesce(col("stopword_ratio_micro"), lit(0L))).cast("long")
             .as("j2"),
           sum(coalesce(col("punct_ratio_micro"), lit(0L))).cast("long")
-            .as("j3"))
-        val rows = per.select(lit("tokens").as("judge"), col("source"),
-            col("j1").cast("double").as("v"))
-          .unionAll(per.select(lit("stopword").as("judge"), col("source"),
-            col("j2").cast("double").as("v")))
-          .unionAll(per.select(lit("lowpunct").as("judge"), col("source"),
-            (-col("j3")).cast("double").as("v")))
+            .as("j3")))
+        // one explode, not a 3-way union: union branches are separate
+        // subtrees and each re-plans the aggregate upstream
+        val rows = per.select(col("source"), explode(array(
+            struct(lit("tokens").as("judge"),
+              col("j1").cast("double").as("v")),
+            struct(lit("stopword").as("judge"),
+              col("j2").cast("double").as("v")),
+            struct(lit("lowpunct").as("judge"),
+              (-col("j3")).cast("double").as("v")))).as("__jv"))
+          .select(col("__jv.judge").as("judge"), col("source"),
+            col("__jv.v").as("v"))
         Quality.kendallW(rows, "judge", "source", "v")
       },
       Some(s"""WITH ${qualityMicroSql("doc_id, source")},
