@@ -6565,6 +6565,59 @@ object SparkEntry {
           CAST(MIN(v) AS BIGINT) AS at_value
         FROM dev WHERE dev = (SELECT d_num FROM mx)""")),
 
+    // Two-sample Anderson-Darling on q182's exact pair (en vs rest
+    // quality scores) — the tail-weighted drift member beside KS (single
+    // largest gap) and EMD (transport cost); per-grid-point terms
+    // micro-rounded and summed order-free.
+    "q360_anderson_darling" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val f = TextOps.qualityFeatures(docs, "doc_id", "text")
+          .select(col("doc_id"), col("quality_score_micro"))
+        val j = docs.select(col("doc_id"), col("lang")).join(f, "doc_id")
+        Quality.andersonDarling2(j, col("lang") === "en",
+          col("quality_score_micro"))
+      },
+      Some {
+        def dev(ki: String, ni: String) =
+          s"(CAST(nn AS HUGEINT) * $ki - CAST($ni AS HUGEINT) * b)"
+        def term(ki: String, ni: String) =
+          s"""CAST(round(CAST(l AS DOUBLE) *
+              CAST(${dev(ki, ni)} * ${dev(ki, ni)} AS DOUBLE)
+            / (CAST(b AS DOUBLE) * CAST(nn - b AS DOUBLE)
+              * CAST(nn AS DOUBLE) * CAST($ni AS DOUBLE)) * 1e6)
+            AS BIGINT)"""
+        s"""WITH ${qualityMicroSql("doc_id")},
+        j AS (SELECT d.lang = 'en' AS g,
+                CAST(q.quality_score_micro AS BIGINT) AS v
+              FROM __qm q JOIN documents d USING (doc_id)
+              WHERE q.quality_score_micro IS NOT NULL
+                AND d.lang IS NOT NULL),
+        grid AS (SELECT v,
+            CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+            CAST(SUM(CASE WHEN g THEN 0 ELSE 1 END) AS BIGINT) AS c2
+          FROM j GROUP BY 1),
+        tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+            CAST(SUM(c2) AS BIGINT) AS n2 FROM grid),
+        cum AS (SELECT v, c1 + c2 AS l,
+            CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) AS k1,
+            CAST(SUM(c2) OVER (ORDER BY v) AS BIGINT) AS k2
+          FROM grid),
+        f AS (SELECT l, k1, k2, n1, n2, n1 + n2 AS nn, k1 + k2 AS b
+          FROM cum, tot WHERE k1 + k2 < n1 + n2),
+        t AS (SELECT n1, n2,
+            ${term("k1", "n1")} AS t1,
+            ${term("k2", "n2")} AS t2
+          FROM f),
+        agg AS (SELECT n1, n2, CAST(COUNT(*) AS BIGINT) AS n_grid,
+            CAST(SUM(t1) + SUM(t2) AS BIGINT) AS a2_micro_sum
+          FROM t GROUP BY 1, 2)
+        SELECT n1, n2, n_grid, a2_micro_sum,
+          CASE WHEN n1 > 0 AND n2 > 0 THEN
+            CAST(a2_micro_sum AS DOUBLE) / 1e6 END AS a2
+        FROM agg"""
+      }),
+
     // 7×24 seasonality profile of the event stream — per (dow, hod)
     // cell: count, weekday calendar days, exact micro events/day mean
     // and deviation from the global events/hour grand mean. Absent

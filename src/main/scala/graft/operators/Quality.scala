@@ -1007,6 +1007,66 @@ object Quality {
         col("at_value"))
   }
 
+  /** TWO-SAMPLE ANDERSON-DARLING statistic (Scholz & Stephens 1987,
+    * tie-aware A²_kN at k = 2) — the TAIL-SENSITIVE member of the drift
+    * family: [[ksTest]] sees only the single largest CDF gap (middle-
+    * heavy), [[emdPairwise]] charges by distance moved; AD weights the
+    * squared gap by 1/(F(1−F)), so a divergence in the tails — exactly
+    * where a contaminated or truncated corpus slice hides — dominates
+    * the statistic. Under H₀, E[A²] ≈ 1; values ≫ 1 flag a shift.
+    *
+    * A²₂N = Σ_{i∈{1,2}} (1/nᵢ) Σ_{j: B_j<N} l_j·(N·M_ij − nᵢ·B_j)² /
+    * (B_j·(N−B_j)·N) over the distinct-value grid (l_j = ties at v_j,
+    * B_j/M_ij = cumulative counts). Exactness: the deviation
+    * N·M_ij − nᵢ·B_j rides DECIMAL (its square exceeds 2^53 at ~30k
+    * rows), each grid term is ONE pinned IEEE expression micro-rounded
+    * and summed as BIGINT (the chi2 per-cell scheme — order-free), and
+    * A² is a final division. Scale shape: [[ksTest]]'s distinct-value
+    * grid cumulations, one 1-row total, no joins beyond the broadcast.
+    *
+    * Output ONE row: (n1, n2, n_grid, a2_micro_sum, a2).
+    */
+  def andersonDarling2(df: DataFrame, sampleCol: Column,
+      valueCol: Column): DataFrame = {
+    def d(c: Column) = c.cast("decimal(38,0)")
+    def dbl(c: Column) = c.cast("double")
+    val grid = df.filter(valueCol.isNotNull && sampleCol.isNotNull)
+      .groupBy(valueCol.cast("long").as("v"))
+      .agg(sum(when(sampleCol, 1L).otherwise(0L)).as("c1"),
+        sum(when(sampleCol, 0L).otherwise(1L)).as("c2"))
+    val tot = grid.agg(sum("c1").cast("long").as("n1"),
+      sum("c2").cast("long").as("n2"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid
+      .select(col("v"), (col("c1") + col("c2")).as("l"),
+        sum("c1").over(w).as("k1"), sum("c2").over(w).as("k2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("nn", col("n1") + col("n2"))
+      .withColumn("b", col("k1") + col("k2"))
+      .filter(col("b") < col("nn")) // the last grid point contributes 0/0
+    def termMicro(ki: Column, ni: Column): Column = {
+      val devSq = {
+        val dev = d(col("nn")) * d(ki) - d(ni) * d(col("b"))
+        dbl(dev * dev)
+      }
+      // pinned sequence: l·dev² / (B·(N−B)·N·nᵢ), each factor exact
+      round(dbl(col("l")) * devSq /
+        (dbl(col("b")) * dbl(col("nn") - col("b")) * dbl(col("nn")) *
+          dbl(ni)) * 1e6).cast("long")
+    }
+    cum
+      .select(col("n1"), col("n2"),
+        termMicro(col("k1"), col("n1")).as("t1"),
+        termMicro(col("k2"), col("n2")).as("t2"))
+      .groupBy("n1", "n2")
+      .agg(count(lit(1)).cast("long").as("n_grid"),
+        (sum("t1") + sum("t2")).cast("long").as("a2_micro_sum"))
+      .select(col("n1"), col("n2"), col("n_grid"), col("a2_micro_sum"),
+        when(col("n1") > 0 && col("n2") > 0,
+          dbl(col("a2_micro_sum")) / lit(1e6)).as("a2"))
+  }
+
   /** Conditional entropy rate H(next | current) of a first-order
     * transition process, from a (from, to, n) count relation — "how
     * predictable is the next event given the current one": H = 0 means

@@ -125,7 +125,8 @@ class PlanLintSpec extends SparkSpec {
     "q352_cochran_q" -> "user spine crossJoined with the broadcast |event-types|-row (5-row) treatment relation, plus the 1-row block/treatment moment crossJoin",
     "q355_by_fdr" -> "q271's crossJoins of broadcast 1-row m-count / harmonic / i-star aggregates over the |segments|-row grid",
     "q356_jonckheere" -> "distinct-value spine crossJoined with the broadcast |groups|-row (5-row) tier relation (q234's bounded-grid argument), plus the 1-row J2/moment assembly crossJoin",
-    "q358_kendall_w" -> "friedmanTest's crossJoins of broadcast 1-row treatment-count / moment / numerator aggregates (q348's shape)")
+    "q358_kendall_w" -> "friedmanTest's crossJoins of broadcast 1-row treatment-count / moment / numerator aggregates (q348's shape)",
+    "q360_anderson_darling" -> "q182's crossJoin against the broadcast 1-row (n1, n2) totals over the distinct-value score grid")
 
   /** Queries allowed to plan a GLOBAL window (no partition columns, or a
     * constant partition) — each must window over a provably BOUNDED
@@ -180,7 +181,8 @@ class PlanLintSpec extends SparkSpec {
     "q337_rmst" -> "q179's prefix windows + one lead window over the duration-day grid (calendar-bounded argument)",
     "q342_rank_drift" -> "rank windows over the two single-query top-25 customer rankings (rboAtK with query_id constant -> |ranking| rows, aggregate-bounded)",
     "q347_wilcoxon_signed_rank" -> "midrank cumulation over the DISTINCT-|d| count grid (q234's bounded-grid argument)",
-    "q355_by_fdr" -> "rank window over the |segments|-row test grid (q271's bounded argument)")
+    "q355_by_fdr" -> "rank window over the |segments|-row test grid (q271's bounded argument)",
+    "q360_anderson_darling" -> "CDF cumulations over the DISTINCT-value score grid (q182/q234's bounded-grid argument)")
 
   test("no query plans a global window over an unbounded relation") {
     import org.apache.spark.sql.execution.SparkPlan

@@ -192,6 +192,28 @@ class QualitySpec extends SparkSpec {
     assert(out.getAs[Long]("max_val") == sorted.last)
   }
 
+  test("andersonDarling2: identical samples score exactly 0; disjoint " +
+      "samples match the hand-computed A2 = 5/3") {
+    import spark.implicits._
+    // identical per-value counts with n1 = n2: every deviation
+    // N*M - n*B = 0 -> A2 exactly 0
+    val same = Seq((true, 1L), (false, 1L), (true, 2L), (false, 2L))
+      .toDF("g", "v")
+    val r0 = Quality.andersonDarling2(same, col("g"), col("v"))
+      .collect().head
+    assert(r0.getAs[Long]("a2_micro_sum") == 0L)
+    assert(r0.getAs[Double]("a2") == 0.0)
+    // fully separated: s1 = {1,2}, s2 = {3,4} -> terms 1/6, 1/2, 1/6
+    // per sample, A2 = 2*(5/6) = 5/3 (micro-rounded per term)
+    val disj = Seq((true, 1L), (true, 2L), (false, 3L), (false, 4L))
+      .toDF("g", "v")
+    val r1 = Quality.andersonDarling2(disj, col("g"), col("v"))
+      .collect().head
+    assert(r1.getAs[Long]("n_grid") == 3L) // the last grid point drops
+    assert(r1.getAs[Long]("a2_micro_sum") == 1666668L)
+    assert(math.abs(r1.getAs[Double]("a2") - 5.0 / 3.0) < 1e-5)
+  }
+
   test("kendallW: unanimous judges score exactly 1; split judges score " +
       "0; ties route through Friedman's machinery") {
     import spark.implicits._
