@@ -46,20 +46,75 @@ package graft
   *     differently-jittered LPT packing and fresh child JVMs (1 rep per
   *     child); a query's median spans `reps` DIFFERENT co-runner sets,
   *     turning position bias into noise the median absorbs. And the
-  *     auto-isolated re-measure now also fires on recorded CPU steal
-  *     (total steal jiffies > max(1000, 2% of chunk-wall·cores·100), or
-  *     shared-total ratio > 1.2): the r10 driver close carried 670k steal
-  *     jiffies yet its 1.244 ratio slipped under the old 1.25-only
-  *     trigger, so the dirtiest run of the round escaped its own triage.
+  *     auto-isolated re-measure now also fires on recorded CPU steal.
+  *   - round 12: FIT THE DRIVER'S BUDGET (round-11 verdict #1: the
+  *     driver's bench run hit its timeout — rc=124, no parsed result —
+  *     because 366 queries x 3 repacked passes x jvm-per-8 means ~138
+  *     child JVMs whose ~15 s startups alone burn ~2000 s). Four changes:
+  *       (a) REPS default 3 -> 2, with a THIRD rep only for "flagged"
+  *           queries whose two walls disagree >1.5x (and max > 0.5 s) —
+  *           the median of 3 then resolves which rep smeared.
+  *       (b) TWO CONCURRENT LANES: chunks within a pass run in 2 child
+  *           JVMs at once, each pinned (taskset) to a disjoint half of
+  *           the cores with local[cores/2] + shuffle partitions to match,
+  *           so the lanes cannot steal from each other. Wall-clock
+  *           halves; per-query walls are measured at lane width (16
+  *           cores on the 32-core box) — a ONE-TIME basis change vs
+  *           the <=r11 32-core history, called out in BENCH_NOTES and
+  *           normalized by the canary (d).
+  *       (c) HARD DEADLINE: SPARK_GRAFT_BENCH_DEADLINE_SEC (default
+  *           2600) minus a reserve for the post-suite steps. Pass 0
+  *           always completes (every query gets >=1 rep); later passes
+  *           and the flagged-rep pass stop claiming chunks once the
+  *           deadline nears. The run ALWAYS prints its JSON lines —
+  *           "deadline_truncated":true + "passes_completed" label a
+  *           degraded run instead of a dead one.
+  *       (d) BOX-SPEED CANARY (round-11 verdict #2): the 46-query
+  *           round-1 subset runs BEFORE and AFTER the suite at FULL core
+  *           width (single lane), chunked exactly like the suite; both
+  *           sums embed in the artifact ("canary_pre"/"canary_post").
+  *           The snapshot acceptance rule: both canaries must land in
+  *           the established band (<=95 s; the clean-box history reads
+  *           60-90 s) or the artifact self-labels "canary_ok":false and
+  *           must not become the next round's ratio denominator. The
+  *           ratio-vs-previous adjudication trigger uses the
+  *           canary-NORMALIZED ratio when the previous history line
+  *           carries a canary (box-speed shifts divide out; plan
+  *           regressions don't).
   *
-  * Env knobs: SPARK_GRAFT_BENCH_REPS (default 3),
+  * Env knobs: SPARK_GRAFT_BENCH_REPS (default 2),
   * SPARK_GRAFT_BENCH_CHUNK (queries per forked JVM, default 8; 0 = no
-  * forking, single-JVM legacy mode), SPARK_GRAFT_BENCH_ONLY
-  * (comma-separated query names, for isolated re-measurement of a suspect
-  * query). A run with ONLY set writes bench_only.json so it never
-  * clobbers the full-suite artifact.
+  * forking, single-JVM legacy mode), SPARK_GRAFT_BENCH_LANES (default 2
+  * when >=16 cores), SPARK_GRAFT_BENCH_DEADLINE_SEC (default 2600),
+  * SPARK_GRAFT_BENCH_CANARY (0 disables the bracketing canaries),
+  * SPARK_GRAFT_BENCH_ONLY (comma-separated query names, for isolated
+  * re-measurement of a suspect query). A run with ONLY set writes
+  * bench_only.json so it never clobbers the full-suite artifact.
   */
 object Bench {
+
+  /** The round-1 query subset (BENCH_r01's 46 queries, byte-stable since
+    * round 1) — the cross-round box-speed canary. Registry growth must
+    * never change this list: its whole value is that every round since
+    * round 1 has a directly comparable number for it (BASELINE.md 86.0 s;
+    * clean-box band 60-90 s at local[32], sf0.1).
+    */
+  private[graft] val canaryNames: Seq[String] = Seq(
+    "q01_pricing_summary", "q02_day_slice", "q03_region_revenue",
+    "q04_top_customers", "q05_hourly_agg", "q06_dedup_keep_last_hour",
+    "q07_dedup_keep_first", "q08_dup_audit", "q09_missingness",
+    "q10_outliers_zscore", "q11_whitelist_filter", "q12_trailing_count",
+    "q13_distinct_counts", "q14_json_coerce", "q15_watermark_filter",
+    "q16_validity_split", "q17_partition_summary", "q18_running_total",
+    "q19_exact_dedup", "q20_ngram_jaccard", "q21_minhash_lsh",
+    "q22_simhash_sigs", "q23_simhash_pairs", "q24_knn_exact",
+    "q25_embedding_near_dup", "q26_lang_id", "q27_quality_by_lang",
+    "q28_token_counts", "q29_binary_features", "q30_sql_api",
+    "q31_knn_ivf", "q32_asof_join", "q33_sessionize", "q34_curation",
+    "q35_rollup", "q36_pivot", "q37_quantiles", "q38_json_path",
+    "q39_set_ops", "q40_datetime_funcs", "q41_merge_upsert",
+    "q42_string_funcs", "q43_window_funcs", "q44_exists_subquery",
+    "q45_array_funcs", "q46_approx_distinct")
 
   private def allNames(only: Option[Set[String]]): Seq[String] =
     SparkEntry.queries.keys.toSeq.sorted.filter(n => only.forall(_.contains(n)))
@@ -90,6 +145,26 @@ object Bench {
         case None => Map.empty
       }
     } catch { case _: Exception => Map.empty }
+  }
+
+  /** canary_pre sum from the most recent full-suite history line at this
+    * SF, if that line carried one (round-12+ lines do). Used to normalize
+    * the ratio-vs-previous adjudication trigger: a uniformly slower box
+    * moves the canary and the suite by the same factor, so
+    * ratio / canaryRatio isolates plan/suite effects from box speed.
+    */
+  private[graft] def previousCanary(path: java.nio.file.Path =
+      java.nio.file.Paths.get("bench_history.jsonl"),
+      sfDir: String): Option[Double] = {
+    val re = "\"canary_pre\"\\s*:\\s*\\{[^}]*\"sum\"\\s*:\\s*([0-9.eE+-]+)".r
+    try {
+      import scala.jdk.CollectionConverters._
+      val lines = java.nio.file.Files.readAllLines(path).asScala
+      lines.filter(l => l.contains("\"queries\":{") &&
+          l.contains(s""""sf":"$sfDir""""))
+        .flatMap(l => re.findFirstMatchIn(l).map(_.group(1).toDouble))
+        .lastOption
+    } catch { case _: Exception => None }
   }
 
   /** Pack `names` into ceil(n/chunk)-many chunks of at most `chunk`
@@ -290,12 +365,22 @@ object Bench {
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"stat":"median","isolation":"jvm-per-$chunk"$fb$envPart,"reps_detail":$rd$chunksPart}"""
   }
 
+  /** true once, if taskset is runnable on this box (checked lazily). */
+  private lazy val tasksetAvailable: Boolean =
+    try { new ProcessBuilder("taskset", "-V").start().waitFor() == 0 }
+    catch { case _: Exception => false }
+
   /** Fork one child JVM measuring `chunkNames`; returns its per-query map,
     * or None if the fork failed (caller falls back to in-process).
+    * `cpus` sets the child's local[N] + shuffle partitions; `coreRange`
+    * (lo, hi inclusive) pins the child to those cores via taskset so
+    * concurrent lanes cannot steal from each other.
     */
   private def runChunkForked(chunkNames: Seq[String],
       outFile: java.nio.file.Path,
-      repsOverride: Option[Int] = None): Option[Seq[(String, Seq[Double])]] = {
+      repsOverride: Option[Int] = None,
+      cpus: Option[String] = None,
+      coreRange: Option[(Int, Int)] = None): Option[Seq[(String, Seq[Double])]] = {
     import scala.jdk.CollectionConverters._
     val javaBin = java.nio.file.Paths.get(
       System.getProperty("java.home"), "bin", "java").toString
@@ -305,7 +390,11 @@ object Bench {
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala.toSeq
       .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
-    val cmd = Seq(javaBin) ++ jvmArgs ++
+    val pin = coreRange match {
+      case Some((lo, hi)) if tasksetAvailable => Seq("taskset", "-c", s"$lo-$hi")
+      case _ => Seq.empty
+    }
+    val cmd = pin ++ Seq(javaBin) ++ jvmArgs ++
       Seq("-cp", System.getProperty("java.class.path"), "graft.Bench")
     val pb = new ProcessBuilder(cmd.asJava)
     pb.environment().put("SPARK_GRAFT_BENCH_CHILD", "1")
@@ -313,6 +402,7 @@ object Bench {
     pb.environment().put("SPARK_GRAFT_BENCH_OUT", outFile.toString)
     repsOverride.foreach(r =>
       pb.environment().put("SPARK_GRAFT_BENCH_REPS", r.toString))
+    cpus.foreach(c => pb.environment().put("SPARK_GRAFT_CPUS", c))
     pb.redirectErrorStream(false)
     // the driver tail-parses THIS process's stdout for the one JSON line —
     // a child's stdout (its own chunk line + any Spark chatter) must not
@@ -350,12 +440,85 @@ object Bench {
     }
   }
 
+  /** Run `chunks` through `lanes` concurrent forked children, each lane
+    * pinned to its own disjoint core range (`laneCpus` cores each).
+    * Chunks are claimed from a shared queue; when `mayStop()` turns true
+    * the remaining unclaimed chunks are skipped (deadline truncation).
+    * Returns (per-query rep vectors, chunk meta lines, chunks whose fork
+    * failed, names of chunks skipped by the deadline).
+    */
+  private def runChunksLanes(chunks: Seq[Seq[String]], lanes: Int,
+      laneCpus: Int, tmpDir: java.nio.file.Path, tag: String,
+      mayStop: () => Boolean):
+      (Seq[(String, Seq[Double])], Seq[String], Seq[Seq[String]], Seq[String]) = {
+    val next = new java.util.concurrent.atomic.AtomicInteger(0)
+    val lock = new Object
+    val acc = Seq.newBuilder[(String, Seq[Double])]
+    val meta = Seq.newBuilder[String]
+    val failed = Seq.newBuilder[Seq[String]]
+    val skipped = Seq.newBuilder[String]
+    def load1(): Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val workers = (0 until lanes).map { lane =>
+      val t = new Thread(() => {
+        var done = false
+        while (!done) {
+          val i = next.getAndIncrement()
+          if (i >= chunks.size) done = true
+          else if (mayStop()) { lock.synchronized { skipped ++= chunks(i) } }
+          else {
+            val cn = chunks(i)
+            val range = (lane * laneCpus, (lane + 1) * laneCpus - 1)
+            val l0 = load1()
+            val (st0, tn0, tu0) = cpuPressure()
+            val t0 = System.nanoTime()
+            val r = runChunkForked(cn, tmpDir.resolve(s"${tag}_chunk$i.json"),
+              repsOverride = Some(1), cpus = Some(laneCpus.toString),
+              coreRange = if (lanes > 1) Some(range) else None)
+            val wall = (System.nanoTime() - t0) / 1e9
+            val (st1, tn1, tu1) = cpuPressure()
+            def d(a: Long, b: Long) = if (a < 0 || b < 0) -1L else b - a
+            lock.synchronized {
+              meta += f"""{"tag":"$tag","i":$i,"lane":$lane,"n":${cn.size},""" +
+                f""""wall":$wall%.1f,"load1_start":$l0%.2f,""" +
+                f""""load1_end":${load1()}%.2f,"steal_j":${d(st0, st1)},""" +
+                s""""thr_n":${d(tn0, tn1)},"thr_us":${d(tu0, tu1)},""" +
+                s""""first":"${cn.head}"}"""
+              r match {
+                case Some(rs) => acc ++= rs
+                case None => failed += cn
+              }
+            }
+          }
+        }
+      }, s"bench-lane-$lane")
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+    workers.foreach(_.join())
+    (acc.result(), meta.result(), failed.result(), skipped.result())
+  }
+
   def main(args: Array[String]): Unit = {
+    val mainT0 = System.nanoTime()
+    def elapsed(): Double = (System.nanoTime() - mainT0) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val chunk = sys.env.getOrElse("SPARK_GRAFT_BENCH_CHUNK", "8").toInt
     val isChild = sys.env.contains("SPARK_GRAFT_BENCH_CHILD")
+    val nCpus = try cpus.toInt catch { case _: Exception => 4 }
+    val lanes = sys.env.get("SPARK_GRAFT_BENCH_LANES").map(_.toInt)
+      .getOrElse(if (nCpus >= 16) 2 else 1).max(1)
+    val laneCpus = (nCpus / lanes).max(1)
+    val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC",
+      "2600").toDouble
+    // reserve for the post-suite steps (flagged third reps, post canary,
+    // adjudication, serialization) — passes >0 stop claiming chunks when
+    // elapsed crosses deadline - reserve
+    val reserveSec = 500.0
+    val canaryOn = sys.env.getOrElse("SPARK_GRAFT_BENCH_CANARY", "1") != "0"
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = allNames(only)
@@ -363,22 +526,48 @@ object Bench {
     // JVMs at start are what invalidate the numbers (our own forked
     // chunk children must not count)
     val env = if (isChild) None else Some(envFingerprint())
+    val fullSuite = !isChild && chunk > 0 && only.isEmpty
 
     val fallback = Seq.newBuilder[String]
     val chunksMeta = Seq.newBuilder[String]
-    // per-chunk box sample (round-8 verdict #2: the LSH family swung
-    // 3–6× between same-box runs whose START fingerprint was clean — a
-    // load/wall sample bracketing each chunk localizes WHEN the box or
-    // the chunk composition went bad, instead of one pre-run snapshot)
-    def load1(): Double = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
     val tmpDir =
       if (isChild || chunk <= 0) None
       else Some(java.nio.file.Files.createTempDirectory("graft-bench"))
-    // accumulated across all forked chunks: total child wall and total
-    // steal jiffies, for the steal-fraction adjudication trigger below
-    var benchWall = 0.0
-    var benchSteal = 0L
+
+    // --- BOX-SPEED CANARY (pre): the 46-query round-1 subset at FULL
+    // core width, single lane, chunked like the suite, 1 rep. Its sum is
+    // the cross-round box-speed number every round since r1 can compare.
+    def runCanary(tag: String): Option[(Double, Double)] = {
+      val present = canaryNames.filter(SparkEntry.queries.contains)
+      if (present.size != canaryNames.size) {
+        System.err.println(s"[bench] canary subset incomplete (${present.size}/46) — skipping")
+        return None
+      }
+      val cChunks = packChunks(present, chunk,
+        historyCosts(sfDir = Some(sfDir)).filter(kv => present.contains(kv._1)))
+      val t0 = System.nanoTime()
+      val (rs, meta, failed, _) = runChunksLanes(cChunks, 1, nCpus,
+        tmpDir.get, tag, () => false)
+      val wall = (System.nanoTime() - t0) / 1e9
+      chunksMeta ++= meta
+      val failedNames = failed.flatten
+      val sum = rs.map(r => median(r._2)).sum
+      if (failedNames.nonEmpty) {
+        System.err.println(s"[bench] $tag: ${failedNames.size} canary queries lost to fork failures")
+        return None
+      }
+      System.err.println(f"[bench] $tag sum=$sum%.1f s wall=$wall%.1f s")
+      Some((wall, sum))
+    }
+    val canaryPre = if (fullSuite && canaryOn) runCanary("canary_pre") else None
+
+    // accumulated steal across the whole run (bracket, not per-chunk sum:
+    // concurrent lanes overlap in time, so per-chunk deltas double-count)
+    val (stealStart, _, _) = cpuPressure()
+
+    var passesCompleted = 0
+    var deadlineTruncated = false
+    var flaggedRep3: Seq[String] = Nil
     val results: Seq[(String, Seq[Double])] =
       if (isChild || chunk <= 0) measureInProcess(names, sfDir, cpus, reps)
       else {
@@ -386,103 +575,181 @@ object Bench {
         // pass with its own (jittered-LPT) chunk composition and fresh
         // child JVMs, so a query's `reps` measurements come from
         // DIFFERENT co-runner sets — suite-position bias becomes noise
-        // the median absorbs, instead of a constant that compounds. The
-        // per-query stat is still the median of `reps` single-rep walls.
+        // the median absorbs, instead of a constant that compounds.
         val costs = historyCosts(sfDir = Some(sfDir))
         val acc = scala.collection.mutable.Map.empty[String,
           scala.collection.mutable.ArrayBuffer[Double]]
         names.foreach(n =>
           acc(n) = scala.collection.mutable.ArrayBuffer.empty[Double])
-        (0 until reps).foreach { pass =>
-          val chunks = packChunks(names, chunk, costs, pass)
-          chunks.zipWithIndex.foreach { case (cn, i) =>
-            System.err.println(s"[bench] pass $pass chunk $i: ${cn.mkString(",")}")
+        var pass = 0
+        var stop = false
+        while (pass < reps && !stop) {
+          // pass 0 always runs to completion (every query needs >=1 rep);
+          // later passes stop claiming chunks at the deadline horizon
+          val mayStop: () => Boolean =
+            if (pass == 0) () => false
+            else () => elapsed() > deadlineSec - reserveSec
+          if (pass > 0 && elapsed() > deadlineSec - reserveSec) {
+            deadlineTruncated = true
+            stop = true
+          } else {
+            val chunks = packChunks(names, chunk, costs, pass)
+            chunks.zipWithIndex.foreach { case (cn, i) =>
+              System.err.println(s"[bench] pass $pass chunk $i: ${cn.mkString(",")}")
+            }
+            val (rs, meta, failed, skipped) = runChunksLanes(chunks, lanes,
+              laneCpus, tmpDir.get, s"p$pass", mayStop)
+            chunksMeta ++= meta
+            rs.foreach { case (n, ts) => acc(n) ++= ts }
+            // fork-failed chunks: re-measure in the parent JVM AFTER the
+            // lanes finish (two concurrent SparkContexts in one JVM are
+            // not a thing) — 1 rep, full width, labeled as fallback
+            failed.foreach { cn =>
+              fallback ++= cn
+              measureInProcess(cn, sfDir, cpus, 1)
+                .foreach { case (n, ts) => acc(n) ++= ts }
+            }
+            if (skipped.nonEmpty) {
+              deadlineTruncated = true
+              System.err.println(s"[bench] pass $pass: deadline skipped ${skipped.size} queries")
+            } else if (pass == 0 || skipped.isEmpty) {
+              passesCompleted += 1
+            }
+            pass += 1
           }
-          chunks.zipWithIndex.foreach { case (cn, i) =>
-            val l0 = load1()
-            val (st0, tn0, tu0) = cpuPressure()
-            val t0 = System.nanoTime()
-            val r = runChunkForked(cn,
-                tmpDir.get.resolve(s"pass${pass}_chunk$i.json"),
-                repsOverride = Some(1))
-              .getOrElse { fallback ++= cn
-                measureInProcess(cn, sfDir, cpus, 1) }
-            val wall = (System.nanoTime() - t0) / 1e9
-            val (st1, tn1, tu1) = cpuPressure()
-            // steal/throttle DELTAS across the chunk — the two pressure
-            // sources load1 cannot see (r9 verdict #1): steal_j in jiffies
-            // (10 ms each; compare to wall·cores·100 for a smear fraction),
-            // thr_n/thr_us from the cgroup CFS throttler. -1 = unreadable.
-            def d(a: Long, b: Long) = if (a < 0 || b < 0) -1L else b - a
-            benchWall += wall
-            if (d(st0, st1) > 0) benchSteal += d(st0, st1)
-            chunksMeta += f"""{"rep":$pass,"i":$i,"n":${cn.size},"wall":$wall%.1f,""" +
-              f""""load1_start":$l0%.2f,"load1_end":${load1()}%.2f,""" +
-              s""""steal_j":${d(st0, st1)},"thr_n":${d(tn0, tn1)},""" +
-              s""""thr_us":${d(tu0, tu1)},"first":"${cn.head}"}"""
-            r.foreach { case (n, ts) => acc(n) ++= ts }
+        }
+        // FLAGGED THIRD REP (round-11 verdict #1 option a): queries whose
+        // two walls disagree >1.5x get one more rep in a fresh chunking,
+        // so the 3-rep median resolves which rep smeared. Skipped when
+        // the deadline is near or reps were already >=3.
+        if (reps == 2 && passesCompleted >= 2 &&
+            elapsed() < deadlineSec - reserveSec) {
+          val flagged = names.filter { n =>
+            val ts = acc(n)
+            ts.size >= 2 && ts.min > 0 && ts.max / ts.min > 1.5 && ts.max > 0.5
+          }
+          if (flagged.nonEmpty) {
+            System.err.println(s"[bench] flagged for rep 3 (${flagged.size}): ${flagged.mkString(",")}")
+            val fChunks = packChunks(flagged, chunk, costs, pass = reps)
+            val (rs, meta, failed, skipped) = runChunksLanes(fChunks, lanes,
+              laneCpus, tmpDir.get, "rep3",
+              () => elapsed() > deadlineSec - reserveSec / 2)
+            chunksMeta ++= meta
+            rs.foreach { case (n, ts) => acc(n) ++= ts }
+            failed.flatten.foreach(_ => ())  // flagged fallback: keep 2-rep median
+            flaggedRep3 = flagged.filterNot(
+              (skipped ++ failed.flatten).toSet)
           }
         }
         names.sorted.map(n => n -> acc(n).toSeq)
       }
 
+    // --- BOX-SPEED CANARY (post): brackets the suite so a box that went
+    // bad MID-run is caught (a clean pre + dirty post = unattributable
+    // suite numbers; the acceptance rule requires BOTH in band).
+    val canaryPost = if (fullSuite && canaryOn) runCanary("canary_post") else None
+    val canaryBandHi = 95.0
+    val canaryOk = (canaryPre, canaryPost) match {
+      case (Some((_, s1)), Some((_, s2))) => s1 <= canaryBandHi && s2 <= canaryBandHi
+      case _ => false
+    }
+
+    val (stealEnd, _, _) = cpuPressure()
+    val benchSteal =
+      if (stealStart < 0 || stealEnd < 0) 0L else stealEnd - stealStart
+    val benchWall = elapsed()
+
     // SELF-ADJUDICATION (r9 verdict #1, trigger widened by r10 verdict
-    // #1b): re-measure the top movers isolated (jvm-per-1, 5 reps) and
-    // embed those medians in the SAME artifact when EITHER
+    // #1b, canary-normalized + steal-hoisted in r12): re-measure the top
+    // movers isolated (jvm-per-1, 5 reps, lane width for like-for-like)
+    // and embed those medians in the SAME artifact when EITHER
     //   (a) the shared-query total lands >1.2x over the previous
-    //       full-suite run at this SF (new queries don't count), OR
-    //   (b) the run absorbed real CPU steal: total steal jiffies across
-    //       all chunks exceed max(1000 j, 2% of wall·cores·100) — the
-    //       r10 driver close carried 670k steal jiffies (~21% of its
-    //       core-time) yet its 1.244 ratio slipped under the old
-    //       1.25-only trigger, so the dirtiest run of the round escaped
-    //       its own triage.
+    //       full-suite run at this SF — using the canary-NORMALIZED
+    //       ratio when the previous line carries a canary, so a
+    //       uniformly slower box does not fire the trigger but a plan
+    //       regression still does, OR
+    //   (b) the run absorbed real CPU steal (total steal jiffies exceed
+    //       max(1000 j, 2% of wall·cores·100)) — checked INDEPENDENTLY
+    //       of (a), so a steal-dirty first-run-at-this-SF still
+    //       self-adjudicates (ADVICE r11: the old code nested the steal
+    //       check under the prev-history guard).
     var isolated: Seq[(String, Double)] = Nil
     var ratioVsPrev = -1.0
+    var ratioNorm = -1.0
     var trigger = ""
-    if (!isChild && chunk > 0 && only.isEmpty) {
-      val prev = previousMedians(sfDir)
+    if (fullSuite) {
       val cur = results.map { case (k, v) => k -> median(v) }.toMap
-      val shared = prev.keySet.intersect(cur.keySet)
-      val prevSum = shared.toSeq.map(prev).sum
-      val curSum = shared.toSeq.map(cur).sum
       val cores = Runtime.getRuntime.availableProcessors
       val stealBudget = math.max(1000.0, 0.02 * benchWall * cores * 100)
       val stealDirty = benchSteal > stealBudget
+      val prev = previousMedians(sfDir)
+      val shared = prev.keySet.intersect(cur.keySet)
+      val prevSum = shared.toSeq.map(prev).sum
+      var ratioDirty = false
       if (shared.nonEmpty && prevSum > 0) {
-        ratioVsPrev = curSum / prevSum
-        trigger = (ratioVsPrev > 1.2, stealDirty) match {
-          case (true, true) => "ratio+steal"
-          case (true, false) => "ratio"
-          case (false, true) => "steal"
-          case _ => ""
-        }
-        if (trigger.nonEmpty) {
-          val movers = shared.toSeq
-            .sortBy(n => -(cur(n) - prev(n))).take(10)
-            .filter(n => cur(n) > prev(n))
-          System.err.println(f"[bench] adjudication trigger=$trigger " +
-            f"(ratio $ratioVsPrev%.2fx, steal ${benchSteal}j vs budget " +
-            f"$stealBudget%.0fj) — re-measuring isolated: ${movers.mkString(",")}")
-          isolated = movers.flatMap { n =>
-            runChunkForked(Seq(n), tmpDir.get.resolve(s"iso_$n.json"),
-                repsOverride = Some(5))
-              .map(r => n -> median(r.head._2))
-          }
+        ratioVsPrev = shared.toSeq.map(cur).sum / prevSum
+        val canaryFactor = for {
+          (_, preSum) <- canaryPre
+          prevCan <- previousCanary(sfDir = sfDir) if prevCan > 0
+        } yield preSum / prevCan
+        ratioNorm = canaryFactor.map(f => ratioVsPrev / f).getOrElse(-1.0)
+        val effective = if (ratioNorm > 0) ratioNorm else ratioVsPrev
+        ratioDirty = effective > 1.2
+      }
+      trigger = (ratioDirty, stealDirty) match {
+        case (true, true) => "ratio+steal"
+        case (true, false) => "ratio"
+        case (false, true) => "steal"
+        case _ => ""
+      }
+      if (trigger.nonEmpty && elapsed() < deadlineSec - 60) {
+        // movers vs history when history exists; top-cost otherwise
+        // (a steal-dirty first run still triages its heaviest queries)
+        val movers =
+          if (shared.nonEmpty)
+            shared.toSeq.sortBy(n => -(cur(n) - prev(n))).take(10)
+              .filter(n => cur(n) > prev(n))
+          else cur.toSeq.sortBy(-_._2).take(10).map(_._1)
+        System.err.println(f"[bench] adjudication trigger=$trigger " +
+          f"(ratio $ratioVsPrev%.2fx, norm $ratioNorm%.2fx, steal " +
+          f"${benchSteal}j) — re-measuring isolated: ${movers.mkString(",")}")
+        isolated = movers.flatMap { n =>
+          if (elapsed() >= deadlineSec - 30) None
+          else runChunkForked(Seq(n), tmpDir.get.resolve(s"iso_$n.json"),
+              repsOverride = Some(5), cpus = Some(laneCpus.toString))
+            .map(r => n -> median(r.head._2))
         }
       }
     }
     val isoPart = if (isolated.isEmpty) ""
       else isolated.map { case (k, v) => f""""$k":$v%.2f""" }
-        .mkString(""","isolated_5rep":{""", ",", "}")
+        .mkString(s""","isolated_cpus":$laneCpus,"isolated_5rep":{""", ",", "}")
     val ratioPart = (if (ratioVsPrev < 0) ""
       else f""","ratio_vs_prev":$ratioVsPrev%.3f""") +
+      (if (ratioNorm < 0) ""
+      else f""","ratio_vs_prev_canary_norm":$ratioNorm%.3f""") +
       (if (trigger.isEmpty) "" else s""","adjudication_trigger":"$trigger"""")
+    def canaryJson(c: Option[(Double, Double)], tag: String): String =
+      c.map { case (w, s) =>
+        f""","$tag":{"wall":$w%.1f,"sum":$s%.2f}""" }.getOrElse("")
+    val canaryPart =
+      if (!fullSuite || !canaryOn) ""
+      else canaryJson(canaryPre, "canary_pre") +
+        canaryJson(canaryPost, "canary_post") +
+        s""","canary_band_hi":$canaryBandHi,"canary_ok":$canaryOk"""
+    val harnessPart =
+      if (isChild || chunk <= 0) ""
+      else s""","lanes":$lanes,"lane_cpus":$laneCpus,""" +
+        s""""passes_completed":$passesCompleted,""" +
+        s""""deadline_truncated":$deadlineTruncated""" +
+        (if (flaggedRep3.isEmpty) ""
+         else flaggedRep3.sorted.map("\"" + _ + "\"")
+           .mkString(""","flagged_rep3":[""", ",", "]"))
 
+    val extras = ratioPart + isoPart + canaryPart + harnessPart
     val line = toJsonLine(results, sfDir, reps, if (isChild) 0 else chunk,
       fallback.result(), env, chunksMeta.result()) match {
-      case l if isoPart.nonEmpty || ratioPart.nonEmpty =>
-        l.stripSuffix("}") + ratioPart + isoPart + "}"
+      case l if extras.nonEmpty => l.stripSuffix("}") + extras + "}"
       case l => l
     }
     println(line)
@@ -491,22 +758,21 @@ object Bench {
     // to parse a JSON line out of it — the full line above has never fit
     // (r1–r9 all carry `parsed: null`), which left the official artifact
     // without totals. This line is ≤ ~1.9 KB by construction (totals,
-    // env, pressure deltas, band verdict, top-10 slowest, isolated
-    // re-measures) so the artifact finally stands alone; full per-query
-    // data stays in bench_full.json + bench_history.jsonl.
+    // env, pressure deltas, band verdict, canaries, top-10 slowest,
+    // isolated re-measures) so the artifact finally stands alone; full
+    // per-query data stays in bench_full.json + bench_history.jsonl.
     if (!isChild) {
       val meds = results.map { case (k, v) => k -> median(v) }
       val total = meds.map(_._2).sum
       val slow = meds.sortBy(-_._2).take(10)
         .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
-      val (stN, tnN, tuN) = cpuPressure()
       val summary =
         f"""{"metric":"total","value":$total%.1f,"unit":"sec",""" +
         s""""n_queries":${meds.size},"sf":"$sfDir","reps":$reps,""" +
         s""""isolation":"jvm-per-$chunk","stat":"median"""" +
-        ratioPart + isoPart +
-        s""","slowest":$slow,"cum_steal_j":$stN,"cum_thr_us":$tuN,""" +
-        s""""cum_thr_n":$tnN""" + env.map("," + _).getOrElse("") +
+        ratioPart + isoPart + canaryPart + harnessPart +
+        f""","bench_wall":$benchWall%.0f,"slowest":$slow,""" +
+        s""""cum_steal_j":$benchSteal""" + env.map("," + _).getOrElse("") +
         s""","detail":"bench_full.json"}"""
       println(summary)
     }

@@ -4228,6 +4228,31 @@ object SparkEntry {
         val sfx = dir.replaceAll("[^A-Za-z0-9]", "_") +
           s"_p${ProcessHandle.current().pid()}"
         val base = s"${sys.props("java.io.tmpdir")}/graft_ivf"
+        // the per-PID suffix isolates concurrent bench lanes, but a
+        // finished process can't delete its own tree (the probe reads it
+        // lazily at execution) — so each run sweeps SIBLING trees whose
+        // embedded pid is no longer alive, bounding tmp growth to the
+        // set of live processes (ADVICE r11: these accumulated forever)
+        try {
+          val root = java.nio.file.Paths.get(base)
+          if (java.nio.file.Files.isDirectory(root)) {
+            val pidRe = ".*_p(\\d+)$".r
+            val ls = java.nio.file.Files.list(root)
+            try ls.forEach { p =>
+              p.getFileName.toString match {
+                case pidRe(pid) if ProcessHandle.of(pid.toLong)
+                    .map[Boolean](_ => false).orElse(true) =>
+                  import scala.jdk.CollectionConverters._
+                  val walk = java.nio.file.Files.walk(p)
+                  try walk.sorted(java.util.Comparator.reverseOrder())
+                    .iterator().asScala
+                    .foreach(java.nio.file.Files.deleteIfExists(_))
+                  finally walk.close()
+                case _ => ()
+              }
+            } finally ls.close()
+          }
+        } catch { case _: Exception => () }
         Warehouse.writeBucketed(s, cellRel, "graft_ivf_cells",
           s"$base/cells_$sfx", "cell", 16)
         centRel.write.mode("overwrite").parquet(s"$base/cents_$sfx")
@@ -8816,7 +8841,7 @@ object SparkEntry {
             col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
           .groupBy(col("a.it").as("pa"), col("b.it").as("pb"))
           .agg(count(lit(1)).as("sup")).filter(col("sup") >= 2)
-        Graphs.resourceAllocation(pairs, "pa", "pb", 50)
+        Graphs.resourceAllocation(pairs, "pa", "pb", 50, exact = true)
       },
       Some("""WITH items AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
             FROM lineitem
@@ -10605,7 +10630,7 @@ object SparkEntry {
             col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
           .groupBy(col("a.it").as("pa"), col("b.it").as("pb"))
           .agg(count(lit(1)).as("sup")).filter(col("sup") >= 2)
-        Graphs.linkPredictionSuite(pairs, "pa", "pb", 50)
+        Graphs.linkPredictionSuite(pairs, "pa", "pb", 50, exact = true)
       },
       Some("""WITH items AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
             FROM lineitem
@@ -12827,7 +12852,7 @@ object SparkEntry {
             col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
           .groupBy(col("a.it").as("pa"), col("b.it").as("pb"))
           .agg(count(lit(1)).as("sup")).filter(col("sup") >= 2)
-        Graphs.adamicAdar(pairs, "pa", "pb", 50)
+        Graphs.adamicAdar(pairs, "pa", "pb", 50, exact = true)
       },
       Some("""WITH items AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
             FROM lineitem

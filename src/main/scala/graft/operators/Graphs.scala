@@ -990,6 +990,15 @@ object Graphs {
     * any uncapped center are unaffected. Spec-pinned: cap ≥ max degree
     * ≡ uncapped, exactly.
     */
+  /** Default wedge-center neighbor cap for RA/AA/linkPredictionSuite —
+    * the 100× user gets the degree-tail-bounded plan WITHOUT knowing the
+    * knob (round-11 verdict #7: cap=∞-by-default meant the exact plan,
+    * quadratic in the hub degree, was what a scale user ran into). Exact
+    * scores remain one explicit `exact = true` away; the registry's
+    * oracle queries pass it, their capped b-twins pass a finite cap.
+    */
+  val DefaultDegreeCap: Int = 64
+
   private def capAdjacency(adj: DataFrame, cap: Int): DataFrame =
     if (cap == Int.MaxValue) adj
     else {
@@ -1021,8 +1030,10 @@ object Graphs {
     * ra_score_micro is on the 1e12 grid.
     */
   def resourceAllocation(edges: DataFrame, aCol: String, bCol: String,
-      k: Int, degreeCap: Int = Int.MaxValue): DataFrame = {
+      k: Int, degreeCap: Int = DefaultDegreeCap,
+      exact: Boolean = false): DataFrame = {
     require(k >= 1)
+    val effCap = if (exact) Int.MaxValue else degreeCap
     val canon = graft.CacheScope.register(
       edges.select(
           least(col(aCol).cast("long"), col(bCol).cast("long")).as("u"),
@@ -1045,7 +1056,7 @@ object Graphs {
     // existing-edge anti-join likewise runs on the post-aggregate pair
     // grid, not the raw wedge rows
     val adjW = graft.CacheScope.register(
-      capAdjacency(adj, degreeCap).join(deg, "ctr")
+      capAdjacency(adj, effCap).join(deg, "ctr")
         .select(col("ctr"), col("nb"), expr("1000000000000 div dz").as("w")))
     adjW.as("x").join(adjW.as("y"),
         col("x.ctr") === col("y.ctr") && col("x.nb") < col("y.nb"))
@@ -1080,8 +1091,10 @@ object Graphs {
     * aa_score) by descending score.
     */
   def adamicAdar(edges: DataFrame, aCol: String, bCol: String,
-      k: Int, degreeCap: Int = Int.MaxValue): DataFrame = {
+      k: Int, degreeCap: Int = DefaultDegreeCap,
+      exact: Boolean = false): DataFrame = {
     require(k >= 1)
+    val effCap = if (exact) Int.MaxValue else degreeCap
     val canon = graft.CacheScope.register(
       edges.select(
           least(col(aCol).cast("long"), col(bCol).cast("long")).as("u"),
@@ -1100,7 +1113,7 @@ object Graphs {
     // only deg >= 2 nodes can be wedge centers — filtering here both
     // shrinks the self-join input and keeps the ln weight well-defined
     val adjW = graft.CacheScope.register(
-      capAdjacency(adj, degreeCap).join(deg.filter(col("dz") >= 2), "ctr")
+      capAdjacency(adj, effCap).join(deg.filter(col("dz") >= 2), "ctr")
         .select(col("ctr"), col("nb"),
           expr("1000000000000000000 div cast(round(ln(dz) * 1e6) as bigint)")
             .as("w")))
@@ -1453,8 +1466,10 @@ object Graphs {
     * columns and Jaccard denominators always use TRUE degrees.
     */
   def linkPredictionSuite(edges: DataFrame, aCol: String, bCol: String,
-      k: Int, degreeCap: Int = Int.MaxValue): DataFrame = {
+      k: Int, degreeCap: Int = DefaultDegreeCap,
+      exact: Boolean = false): DataFrame = {
     require(k >= 1)
+    val effCap = if (exact) Int.MaxValue else degreeCap
     val canon = graft.CacheScope.register(
       edges.select(
           least(col(aCol).cast("long"), col(bCol).cast("long")).as("u"),
@@ -1471,7 +1486,7 @@ object Graphs {
         .repartition(col("ctr")))
     val deg = graft.CacheScope.register(
       adj.groupBy("ctr").agg(count(lit(1)).as("d")))
-    val adjC = capAdjacency(adj, degreeCap)
+    val adjC = capAdjacency(adj, effCap)
     val cn = adjC.as("x").join(adjC.as("y"),
         col("x.ctr") === col("y.ctr") && col("x.nb") < col("y.nb"))
       .groupBy(col("x.nb").as("u"), col("y.nb").as("v"))

@@ -1050,10 +1050,16 @@ object Quality {
         val dev = d(col("nn")) * d(ki) - d(ni) * d(col("b"))
         dbl(dev * dev)
       }
-      // pinned sequence: l·dev² / (B·(N−B)·N·nᵢ), each factor exact
-      round(dbl(col("l")) * devSq /
-        (dbl(col("b")) * dbl(col("nn") - col("b")) * dbl(col("nn")) *
-          dbl(ni)) * 1e6).cast("long")
+      // pinned sequence: l·dev² / (B·(N−B)·N·nᵢ), each factor exact.
+      // nᵢ = 0 (one sample empty) would divide to NaN, which
+      // round(..).cast(long) silently turns into 0 while DuckDB's CAST
+      // errors (ADVICE r11) — guard the degenerate case to an explicit 0
+      // (the empty sample's ECDF contributes no deviation mass anyway).
+      when(ni > 0,
+        round(dbl(col("l")) * devSq /
+          (dbl(col("b")) * dbl(col("nn") - col("b")) * dbl(col("nn")) *
+            dbl(ni)) * 1e6).cast("long"))
+        .otherwise(lit(0L))
     }
     cum
       .select(col("n1"), col("n2"),

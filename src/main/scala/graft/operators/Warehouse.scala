@@ -511,9 +511,24 @@ object Warehouse {
       Files.deleteIfExists(Paths.get(table, LiveMarkerPrefix +
         g.stripPrefix("gen-")))
     }
+    // burned-slot claims: a claim file whose generation directory never
+    // appeared (claim won, data write crashed) is invisible to the doomed
+    // loop above — sweep any such orphan BELOW the live generation number
+    // (nextGenNumber never reuses a claimed slot, so nothing can still be
+    // writing there; claims at/above live may belong to an in-flight
+    // publish and are left alone). ADVICE r11: these otherwise accumulate
+    // forever.
+    val liveNum = live.map(_.stripPrefix("gen-").toLong).getOrElse(Long.MaxValue)
+    val dirs = listGenerations(table).toSet
+    val orphanClaims = listRoot(table)(_.endsWith(ClaimSuffix))
+      .filter { c =>
+        val g = c.stripSuffix(ClaimSuffix)
+        !dirs.contains(g) && g.stripPrefix("gen-").toLong < liveNum
+      }
+    orphanClaims.foreach(c => Files.deleteIfExists(Paths.get(table, c)))
     writeAtomic(Paths.get(table, CommitsName),
       committed.filter(keep).mkString("\n"))
-    doomed
+    doomed ++ orphanClaims
   }
 
   private def listGenerations(table: String): Seq[String] = {

@@ -314,13 +314,21 @@ class GraphsSpec extends SparkSpec {
       (10L, 11L), (11L, 12L)).toDF("a", "b")
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq).toSeq
-    // cap >= max degree (5): exactness contract — identical output
+    // cap >= max degree (5): exactness contract — identical output for
+    // an explicit cap, the bounded DEFAULT (64 > every degree here), and
+    // the exact = true opt-out (r11 verdict #7: the default is finite)
     assert(rows(Graphs.resourceAllocation(edges, "a", "b", 50, degreeCap = 5))
       == rows(Graphs.resourceAllocation(edges, "a", "b", 50)))
+    assert(rows(Graphs.resourceAllocation(edges, "a", "b", 50))
+      == rows(Graphs.resourceAllocation(edges, "a", "b", 50, exact = true)))
     assert(rows(Graphs.adamicAdar(edges, "a", "b", 50, degreeCap = 5))
       == rows(Graphs.adamicAdar(edges, "a", "b", 50)))
+    assert(rows(Graphs.adamicAdar(edges, "a", "b", 50))
+      == rows(Graphs.adamicAdar(edges, "a", "b", 50, exact = true)))
     assert(rows(Graphs.linkPredictionSuite(edges, "a", "b", 50, degreeCap = 5))
       == rows(Graphs.linkPredictionSuite(edges, "a", "b", 50)))
+    assert(rows(Graphs.linkPredictionSuite(edges, "a", "b", 50))
+      == rows(Graphs.linkPredictionSuite(edges, "a", "b", 50, exact = true)))
     // cap 2 keeps the hub's two LOWEST-ID neighbors {1,2}: only the
     // (1,2) hub wedge survives, and its weight still uses TRUE deg 5;
     // the uncapped center 11 (deg 2) keeps its (10,12) wedge untouched
@@ -329,6 +337,24 @@ class GraphsSpec extends SparkSpec {
         r.getAs[Long]("ra_score_micro"))).toMap
     assert(capped == Map(
       (1L, 2L) -> 1000000000000L / 5, (10L, 12L) -> 1000000000000L / 2))
+  }
+
+  test("degreeCap default (64) actually bounds the default path: a hub " +
+      "over the cap keeps only its 64 lowest-id neighbors' wedges") {
+    import spark.implicits._
+    // hub 0 with 70 leaves: exact RA has C(70,2) pairs, default C(64,2)
+    val edges = (1L to 70L).map(l => (0L, l)).toDF("a", "b")
+    val dflt = Graphs.resourceAllocation(edges, "a", "b", 5000)
+    val expl = Graphs.resourceAllocation(edges, "a", "b", 5000,
+      degreeCap = Graphs.DefaultDegreeCap)
+    val exact = Graphs.resourceAllocation(edges, "a", "b", 5000, exact = true)
+    assert(dflt.count() == 64L * 63 / 2)
+    assert(exact.count() == 70L * 69 / 2)
+    assert(dflt.collect().map(_.toSeq).toSeq
+      == expl.collect().map(_.toSeq).toSeq)
+    // capped wedges still weight by the TRUE hub degree (70)
+    assert(dflt.select("ra_score_micro").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(1000000000000L / 70))
   }
 
   test("kTruss: triangle edges survive k=3, bridge and tail edges peel; " +
