@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFns
+import graft.functions.{TextFns, UnigramTokenizer, UrlFns}
 import graft.operators.{Analytics, Clean, Curation, Dedup, Graphs, Joins, Multimodal, Quality, Sampling, Similarity, Sketches, Skew, Temporal, TextOps, Warehouse}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -6642,6 +6642,156 @@ object SparkEntry {
             CAST(a2_micro_sum AS DOUBLE) / 1e6 END AS a2
         FROM agg"""
       }),
+
+    // Unigram-LM (SentencePiece-class) subword tokenization over the
+    // corpus word relation: the shipped piece table (trained by
+    // UnigramTrainer's Viterbi-EM, driver ≡ distributed spec-pinned)
+    // segments every distinct word by exact integer Viterbi, and the
+    // per-source rollup aggregates piece counts / total log-prob /
+    // fertility. The oracle replays the SAME DP in DuckDB: the piece
+    // scores are spliced in as integer literals and the recursion
+    // carries the last-4 DP states, so segmentation is value-checked
+    // end to end, not trusted. Scale shape: the DP runs once per
+    // DISTINCT word (cached, vocabulary-bounded), the corpus-sized word
+    // relation only joins and aggregates.
+    "q361_unigram_lm" -> Q(
+      (s, dir) => {
+        val tok = UnigramTokenizer.fromResource()
+        val docs = t(s, dir, "documents")
+        val words = docs.select(col("source"),
+            explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+              .as("w"))
+          .filter(length(col("w")).between(1, 24))
+        val stats = graft.CacheScope.register(
+          words.select("w").distinct()
+            .select(col("w"), tok.statsExpr(col("w")).as("st"))
+            .select(col("w"), col("st.s").as("sc"), col("st.n").as("np")))
+        words.join(stats, "w")
+          .groupBy("source").agg(
+            count(lit(1)).as("n_words"),
+            countDistinct(col("w")).as("n_distinct_words"),
+            sum(length(col("w"))).cast("long").as("sum_chars"),
+            sum(col("np")).as("sum_pieces"),
+            sum(col("sc")).as("sum_score_micro"),
+            (sum(col("np")).cast("double") / count(lit(1)))
+              .as("avg_pieces_per_word"))
+          .orderBy("source")
+      },
+      Some {
+        val pieces = UnigramTokenizer.fromResource().piecesSqlValues
+        // candidate ending at position i+1 with piece length k: the
+        // piece starts at i+2-k; prev state s_{k-1}/n_{k-1} is dp[i+1-k]
+        def key(k: Int) =
+          s"(s${k - 1} + p$k.s) * 1048576 - (n${k - 1} + 1) * 256 + $k"
+        val keys = (1 to 4).map(k => s"(${key(k)})")
+        val best = keys.map(k => s"COALESCE($k, -4611686018427387904)")
+          .mkString("greatest(", ", ", ")")
+        def pick(expr: Int => String) =
+          (1 to 4).map(k => s"WHEN ${keys(k - 1)} IS NOT NULL AND " +
+            s"$best = ${keys(k - 1)} THEN ${expr(k)}")
+            .mkString("CASE ", " ", " END")
+        s"""WITH RECURSIVE pcs(p, s) AS (SELECT * FROM (VALUES $pieces)),
+        wsrc AS (SELECT source,
+            unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+          FROM documents),
+        wmm AS (SELECT source, w FROM wsrc
+          WHERE length(w) BETWEEN 1 AND 24),
+        words AS (SELECT DISTINCT w FROM wmm),
+        dp AS (
+          SELECT w, 0 AS i,
+            CAST(0 AS BIGINT) AS s0, CAST(0 AS BIGINT) AS n0,
+            CAST(NULL AS BIGINT) AS s1, CAST(NULL AS BIGINT) AS n1,
+            CAST(NULL AS BIGINT) AS s2, CAST(NULL AS BIGINT) AS n2,
+            CAST(NULL AS BIGINT) AS s3, CAST(NULL AS BIGINT) AS n3
+          FROM words
+          UNION ALL
+          SELECT dp.w, dp.i + 1,
+            ${pick(k => s"s${k - 1} + p$k.s")},
+            ${pick(k => s"n${k - 1} + 1")},
+            dp.s0, dp.n0, dp.s1, dp.n1, dp.s2, dp.n2
+          FROM dp
+          LEFT JOIN pcs p1 ON p1.p = substr(dp.w, dp.i + 1, 1)
+          LEFT JOIN pcs p2 ON dp.i >= 1 AND p2.p = substr(dp.w, dp.i, 2)
+          LEFT JOIN pcs p3 ON dp.i >= 2 AND p3.p = substr(dp.w, dp.i - 1, 3)
+          LEFT JOIN pcs p4 ON dp.i >= 3 AND p4.p = substr(dp.w, dp.i - 2, 4)
+          WHERE dp.i < length(dp.w)),
+        stats AS (SELECT w, s0 AS sc, n0 AS np FROM dp
+          WHERE i = length(w))
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+          CAST(COUNT(DISTINCT w) AS BIGINT) AS n_distinct_words,
+          CAST(SUM(length(w)) AS BIGINT) AS sum_chars,
+          CAST(SUM(np) AS BIGINT) AS sum_pieces,
+          CAST(SUM(sc) AS BIGINT) AS sum_score_micro,
+          CAST(SUM(np) AS DOUBLE) / COUNT(*) AS avg_pieces_per_word
+        FROM wmm JOIN stats USING (w)
+        GROUP BY source ORDER BY source"""
+      }),
+
+    // URL/host canonicalization + per-host dedup rollup — the web-corpus
+    // first stage (r11 verdict #5). The corpus has no URL column, so
+    // deterministic messy URLs are planted in-query (the q52 planted-PII
+    // pattern): mixed-case scheme/host, default and explicit ports,
+    // tracking params, unsorted query keys, fragments. UrlFns.canonical
+    // (all codegen'd regexp/array expressions) folds them; the per-host
+    // rollup joins the q19 exact-dup fingerprints for a dup-rate per
+    // canonical host. The oracle replays the canonicalization from the
+    // SAME regexes via UrlFns.canonicalSql — rule drift hash-fails.
+    "q362_url_canonical" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val id = col("doc_id")
+        val url = concat(
+          when(id % 2 === 0, "HTTPS").otherwise("Http"), lit("://"),
+          lit("WWW.Site-"), (id % 23).cast("string"), lit(".Example.COM"),
+          when(id % 4 === 0, ":443").when(id % 4 === 1, ":80")
+            .when(id % 4 === 2, ":8080").otherwise(""),
+          lit("/Docs/"), (id % 11).cast("string"),
+          lit("?utm_source=feed&b="), (id % 5).cast("string"),
+          lit("&a="), (id % 7).cast("string"),
+          when(id % 6 === 0, "&gclid=XYZ").otherwise(""),
+          when(id % 5 === 0, concat(lit("#sec-"), (id % 3).cast("string")))
+            .otherwise(""))
+        val c = docs.select(col("doc_id"), col("text"),
+          UrlFns.canonical(url).as("canonical_url"),
+          UrlFns.host(url).as("host"))
+        val g = c.withColumn("group_size", count(lit(1)).over(
+          Window.partitionBy(TextFns.prefixFingerprint(col("text"), 80))))
+        g.groupBy("host").agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(col("canonical_url")).as("n_distinct_urls"),
+            sum(when(col("group_size") > 1, 1L).otherwise(0L))
+              .as("n_dup_docs"),
+            (sum(when(col("group_size") > 1, 1L).otherwise(0L))
+              .cast("double") / count(lit(1))).as("dup_rate"),
+            min(col("canonical_url")).as("sample_url"))
+          .orderBy("host")
+      },
+      Some(s"""WITH u AS (SELECT doc_id, text,
+          (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'Http' END)
+          || '://WWW.Site-' || CAST(doc_id % 23 AS VARCHAR) || '.Example.COM'
+          || (CASE doc_id % 4 WHEN 0 THEN ':443' WHEN 1 THEN ':80'
+              WHEN 2 THEN ':8080' ELSE '' END)
+          || '/Docs/' || CAST(doc_id % 11 AS VARCHAR)
+          || '?utm_source=feed&b=' || CAST(doc_id % 5 AS VARCHAR)
+          || '&a=' || CAST(doc_id % 7 AS VARCHAR)
+          || (CASE WHEN doc_id % 6 = 0 THEN '&gclid=XYZ' ELSE '' END)
+          || (CASE WHEN doc_id % 5 = 0
+              THEN '#sec-' || CAST(doc_id % 3 AS VARCHAR) ELSE '' END)
+          AS url FROM documents),
+        c AS (SELECT doc_id, text,
+            ${UrlFns.canonicalSql("url")} AS canonical_url,
+            ${UrlFns.hostSql("url")} AS host FROM u),
+        g AS (SELECT *, COUNT(*) OVER (PARTITION BY
+            md5(substr(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 80)))
+            AS group_size FROM c)
+        SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(COUNT(DISTINCT canonical_url) AS BIGINT) AS n_distinct_urls,
+          CAST(SUM(CASE WHEN group_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_dup_docs,
+          CAST(SUM(CASE WHEN group_size > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+            / COUNT(*) AS dup_rate,
+          MIN(canonical_url) AS sample_url
+        FROM g GROUP BY host ORDER BY host""")),
 
     // 7×24 seasonality profile of the event stream — per (dow, hod)
     // cell: count, weekday calendar days, exact micro events/day mean

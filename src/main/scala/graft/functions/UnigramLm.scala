@@ -157,14 +157,24 @@ object UnigramTrainer {
   private def scoreMicro(c: Long, tot: Long): Long =
     math.rint(math.log(c.toDouble / tot.toDouble) * 1e6).toLong
 
+  /** The characters every vocabulary must contain whatever the corpus
+    * shows (SentencePiece's character-coverage idea): q361's word
+    * relation is [a-z]+, so a letter unseen at the TRAINING scale must
+    * still be segmentable at a larger one — the sf0.001 corpus taught
+    * round 12 this the hard way (no 'x', no 'z').
+    */
+  val RequiredChars: Seq[String] = ('a' to 'z').map(_.toString)
+
   /** Seed selection from raw substring counts: every single character
-    * observed, plus multi-char substrings with count ≥ minCount, capped
-    * to the top `seedCap` multis by (count desc, piece asc). Shared by
-    * both trainers so selection can never diverge.
+    * observed PLUS the required alphabet (floored at count 1), plus
+    * multi-char substrings with count ≥ minCount, capped to the top
+    * `seedCap` multis by (count desc, piece asc). Shared by both
+    * trainers so selection can never diverge.
     */
   private def seedSelect(counts: Map[String, Long], minCount: Long,
       seedCap: Int): Map[String, Long] = {
-    val singles = counts.filter(_._1.length == 1)
+    val singles = counts.filter(_._1.length == 1) ++
+      RequiredChars.map(c => c -> math.max(counts.getOrElse(c, 0L), 1L))
     val multis = counts.filter { case (p, c) => p.length > 1 && c >= minCount }
       .toSeq.sortBy { case (p, c) => (-c, p) }.take(seedCap)
     singles ++ multis

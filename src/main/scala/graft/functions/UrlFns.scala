@@ -54,8 +54,13 @@ object UrlFns {
   def path(u: Column): Column =
     regexp_extract(u, "^[^:/?#]+://[^/?#]*([^?#]*)", 1)
 
-  /** Raw query string between '?' and fragment ('' when absent). */
-  def query(u: Column): Column = regexp_extract(u, "\\?([^#]*)", 1)
+  /** Raw query string between '?' and fragment ('' when absent). The
+    * fragment is stripped FIRST: in `/p#x?y` the `?y` belongs to the
+    * fragment, not the query (a spec fixture caught the unordered regex
+    * matching it).
+    */
+  def query(u: Column): Column =
+    regexp_extract(regexp_replace(u, "#.*", ""), "\\?(.*)", 1)
 
   /** Query params minus tracking keys, sorted bytewise, re-joined. */
   def canonicalQuery(u: Column): Column = {
@@ -82,6 +87,12 @@ object UrlFns {
       when(q =!= "", concat(lit("?"), q)).otherwise(""))
   }
 
+  /** DuckDB replay of [[host]] over SQL expression `e`. */
+  def hostSql(e: String): String = {
+    val hp = s"lower(regexp_extract($e, '^[^:/?#]+://([^/?#]*)', 1))"
+    s"regexp_replace(regexp_extract($hp, '^([^:]*)', 1), '^www\\.', '')"
+  }
+
   /** DuckDB replay of [[canonical]] over SQL expression `e` — the same
     * regexes, the same param filter, the same bytewise sort (list_sort
     * on ASCII = sort_array on ASCII).
@@ -89,10 +100,10 @@ object UrlFns {
   def canonicalSql(e: String): String = {
     val sch = s"lower(regexp_extract($e, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
     val hp = s"lower(regexp_extract($e, '^[^:/?#]+://([^/?#]*)', 1))"
-    val host = s"regexp_replace(regexp_extract($hp, '^([^:]*)', 1), '^www\\.', '')"
+    val host = hostSql(e)
     val prt = s"regexp_extract($hp, ':([0-9]+)" + "$', 1)"
     val pth = s"regexp_extract($e, '^[^:/?#]+://[^/?#]*([^?#]*)', 1)"
-    val q = s"regexp_extract($e, '\\?([^#]*)', 1)"
+    val q = s"regexp_extract(regexp_replace($e, '#.*', ''), '\\?(.*)', 1)"
     val keyOf = "regexp_extract(p, '^([^=]*)', 1)"
     val keep = trackingKeys.map(k => s"$keyOf <> '$k'").mkString(" AND ")
     val params = s"list_filter(string_split($q, '&'), " +
