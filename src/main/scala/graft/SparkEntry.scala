@@ -26,6 +26,40 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     GraftSession.table(s, dir, name)
 
+  /** Per-invocation scratch root under java.io.tmpdir for queries that
+    * persist an index/table as part of their pipeline (q357, q363). The
+    * per-PID suffix isolates concurrent bench lanes; each call sweeps
+    * SIBLING trees whose embedded pid is dead (a finished process cannot
+    * delete its own tree — the result reads it lazily at execution), so
+    * tmp growth is bounded by live processes (ADVICE r11).
+    */
+  private def tmpWorkDir(family: String, dir: String): String = {
+    val sfx = dir.replaceAll("[^A-Za-z0-9]", "_") +
+      s"_p${ProcessHandle.current().pid()}"
+    val base = s"${sys.props("java.io.tmpdir")}/$family"
+    try {
+      val root = java.nio.file.Paths.get(base)
+      if (java.nio.file.Files.isDirectory(root)) {
+        val pidRe = ".*_p(\\d+)$".r
+        val ls = java.nio.file.Files.list(root)
+        try ls.forEach { p =>
+          p.getFileName.toString match {
+            case pidRe(pid) if ProcessHandle.of(pid.toLong)
+                .map[Boolean](_ => false).orElse(true) =>
+              import scala.jdk.CollectionConverters._
+              val walk = java.nio.file.Files.walk(p)
+              try walk.sorted(java.util.Comparator.reverseOrder())
+                .iterator().asScala
+                .foreach(java.nio.file.Files.deleteIfExists(_))
+              finally walk.close()
+            case _ => ()
+          }
+        } finally ls.close()
+      }
+    } catch { case _: Exception => () }
+    s"$base/$sfx"
+  }
+
   /** THE shared banded-MinHash near-dup pair relation (3-gram shingles,
     * 64 hash families, 16 bands, jaccard ≥ 0.8) that the whole dedup /
     * graph / curation family consumes — q21/q55/q64/q95/q118/q141/q154/
@@ -4225,39 +4259,12 @@ object SparkEntry {
         val emb = t(s, dir, "embeddings")
         val (cellRel, centRel) = Similarity.ivfIndexRelations(emb,
           "vec_id", "embedding", nlist = 16, iters = 5)
-        val sfx = dir.replaceAll("[^A-Za-z0-9]", "_") +
-          s"_p${ProcessHandle.current().pid()}"
-        val base = s"${sys.props("java.io.tmpdir")}/graft_ivf"
-        // the per-PID suffix isolates concurrent bench lanes, but a
-        // finished process can't delete its own tree (the probe reads it
-        // lazily at execution) — so each run sweeps SIBLING trees whose
-        // embedded pid is no longer alive, bounding tmp growth to the
-        // set of live processes (ADVICE r11: these accumulated forever)
-        try {
-          val root = java.nio.file.Paths.get(base)
-          if (java.nio.file.Files.isDirectory(root)) {
-            val pidRe = ".*_p(\\d+)$".r
-            val ls = java.nio.file.Files.list(root)
-            try ls.forEach { p =>
-              p.getFileName.toString match {
-                case pidRe(pid) if ProcessHandle.of(pid.toLong)
-                    .map[Boolean](_ => false).orElse(true) =>
-                  import scala.jdk.CollectionConverters._
-                  val walk = java.nio.file.Files.walk(p)
-                  try walk.sorted(java.util.Comparator.reverseOrder())
-                    .iterator().asScala
-                    .foreach(java.nio.file.Files.deleteIfExists(_))
-                  finally walk.close()
-                case _ => ()
-              }
-            } finally ls.close()
-          }
-        } catch { case _: Exception => () }
+        val wd = tmpWorkDir("graft_ivf", dir)
         Warehouse.writeBucketed(s, cellRel, "graft_ivf_cells",
-          s"$base/cells_$sfx", "cell", 16)
-        centRel.write.mode("overwrite").parquet(s"$base/cents_$sfx")
+          s"$wd/cells", "cell", 16)
+        centRel.write.mode("overwrite").parquet(s"$wd/cents")
         Similarity.ivfIndexProbe(s.table("graft_ivf_cells"),
-          s.read.parquet(s"$base/cents_$sfx"),
+          s.read.parquet(s"$wd/cents"),
           emb.filter(col("vec_id") < 10), "vec_id", "embedding",
           k = 5, nProbe = 16)
       },
@@ -6792,6 +6799,64 @@ object SparkEntry {
             / COUNT(*) AS dup_rate,
           MIN(canonical_url) AS sample_url
         FROM g GROUP BY host ORDER BY host""")),
+
+    // Hidden partitioning + partition evolution probe (the q159-style
+    // pruning gate for Warehouse.publishHiddenPartitioned): the events
+    // table is published TWICE into a scratch versioned table — g1 with
+    // day(ts), g2 (the live generation) with hour(ts) — and one range
+    // read probes EACH generation under its OWN stored transform. Emits
+    // per layout: total partition dirs, dirs kept by the range prune,
+    // and the exact row count read through the pruned scan. The oracle
+    // recomputes all three from the raw events (partitions are derived
+    // purely from data, so the directory counts are value-checkable);
+    // a pruning regression (kept == total) hash-fails, not just slows.
+    "q363_hidden_partitioning" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events").filter(col("ts").isNotNull)
+          .select("event_id", "user_id", "ts")
+        val tbl = tmpWorkDir("graft_hidden", dir) + "/events"
+        val g1 = Warehouse.publishHiddenPartitioned(s, ev, tbl,
+          Warehouse.TimeTransform("ts", "day"))
+        val g2 = Warehouse.publishHiddenPartitioned(s, ev, tbl,
+          Warehouse.TimeTransform("ts", "hour"))
+        val (lo, hi) = ("2024-01-10 06:00:00", "2024-01-12 18:00:00")
+        def probe(gen: String, layout: String) = {
+          val (kept, total) = Warehouse.hiddenRangePrune(tbl, gen, lo, hi)
+          Warehouse.hiddenRangeRead(s, tbl, lo, hi, Some(gen))
+            .agg(count(lit(1)).as("n_rows"))
+            .select(lit(layout).as("layout"),
+              lit(total.toLong).as("total_partitions"),
+              lit(kept.size.toLong).as("kept_partitions"),
+              col("n_rows"))
+        }
+        probe(g1, "day(ts)").unionAll(probe(g2, "hour(ts)"))
+          .orderBy("layout")
+      },
+      Some("""WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS t FROM events
+               WHERE ts IS NOT NULL),
+        d AS (SELECT 'day(ts)' AS layout,
+            CAST(COUNT(DISTINCT strftime(t, '%Y-%m-%d')) AS BIGINT)
+              AS total_partitions,
+            CAST(COUNT(DISTINCT CASE WHEN strftime(t, '%Y-%m-%d')
+                BETWEEN '2024-01-10' AND '2024-01-12'
+                THEN strftime(t, '%Y-%m-%d') END) AS BIGINT)
+              AS kept_partitions,
+            CAST(SUM(CASE WHEN t >= TIMESTAMP '2024-01-10 06:00:00'
+                AND t <= TIMESTAMP '2024-01-12 18:00:00'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_rows
+          FROM ev),
+        h AS (SELECT 'hour(ts)' AS layout,
+            CAST(COUNT(DISTINCT strftime(t, '%Y-%m-%d-%H')) AS BIGINT)
+              AS total_partitions,
+            CAST(COUNT(DISTINCT CASE WHEN strftime(t, '%Y-%m-%d-%H')
+                BETWEEN '2024-01-10-06' AND '2024-01-12-18'
+                THEN strftime(t, '%Y-%m-%d-%H') END) AS BIGINT)
+              AS kept_partitions,
+            CAST(SUM(CASE WHEN t >= TIMESTAMP '2024-01-10 06:00:00'
+                AND t <= TIMESTAMP '2024-01-12 18:00:00'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_rows
+          FROM ev)
+        SELECT * FROM d UNION ALL SELECT * FROM h ORDER BY layout""")),
 
     // 7×24 seasonality profile of the event stream — per (dow, hod)
     // cell: count, weekday calendar days, exact micro events/day mean

@@ -490,6 +490,170 @@ object Warehouse {
     }
   }
 
+  // ----- Hidden partitioning / partition evolution (Iceberg-style) ---------
+
+  /** A declared partition TRANSFORM: the user filters on the DATA column
+    * and never references the partition layout — the engine maps
+    * predicates through the transform (Iceberg's "hidden partitioning").
+    * The transform is metadata OF THE GENERATION (stored in its
+    * `_partspec`), so the layout can evolve mid-history: a generation
+    * published `day(ts)` prunes by day, a later one published `hour(ts)`
+    * prunes by hour, and every reader — live or time-travel — derives
+    * its pruning from the generation it actually reads (round-11 verdict
+    * #6: the one table-format capability with no analog here yet).
+    */
+  sealed trait HiddenTransform {
+    def source: String
+
+    /** Serialized form stored in `_partspec` (parse with
+      * [[parseTransform]]). */
+    def spec: String
+
+    /** Partition value as a STRING column. Time transforms format so the
+      * value is a fixed-width PREFIX of `yyyy-MM-dd-HH` — lexicographic
+      * comparison on values IS chronological comparison, which makes
+      * range pruning one string between() any engine evaluates alike.
+      */
+    def value(c: Column): Column
+  }
+
+  /** Calendar transform: unit ∈ day | hour | month. */
+  final case class TimeTransform(source: String, unit: String)
+      extends HiddenTransform {
+    private val fmt = unit match {
+      case "day" => "yyyy-MM-dd"
+      case "hour" => "yyyy-MM-dd-HH"
+      case "month" => "yyyy-MM"
+      case u => sys.error(s"unknown time transform unit: $u")
+    }
+    override def spec: String = s"$unit($source)"
+    override def value(c: Column): Column =
+      date_format(c.cast("timestamp_ntz"), fmt)
+
+    /** Partition-value floor of a `yyyy-MM-dd HH:mm:ss` literal — a
+      * prefix take (plus the space→dash of the hour format), never a
+      * datetime library, so driver and SQL replay agree bytewise.
+      */
+    def floor(tsLiteral: String): String =
+      tsLiteral.replace(' ', '-').take(fmt.length)
+  }
+
+  /** Hash-bucket transform (equality pruning only — a range predicate
+    * on the source column cannot prune buckets, by construction).
+    */
+  final case class BucketTransform(source: String, n: Int)
+      extends HiddenTransform {
+    require(n >= 1)
+    override def spec: String = s"bucket($n,$source)"
+    override def value(c: Column): Column =
+      pmod(xxhash64(c), lit(n.toLong)).cast("string")
+  }
+
+  def parseTransform(spec: String): HiddenTransform = {
+    val time = "(day|hour|month)\\(([^)]+)\\)".r
+    val bucket = "bucket\\((\\d+),([^)]+)\\)".r
+    spec.trim match {
+      case time(u, c) => TimeTransform(c, u)
+      case bucket(n, c) => BucketTransform(c, n.toInt)
+      case s => sys.error(s"unparseable partition transform: $s")
+    }
+  }
+
+  private val PartColName = "__part"
+  private val PartSpecName = "_partspec"
+
+  /** Publish `df` as the next generation of `table`, physically laid out
+    * by `transform` (one directory per partition value) with the
+    * transform spec recorded in the generation's `_partspec` — same
+    * crash ordering as [[publishVersioned]] (data+spec before commit).
+    * Rows with a null transform source are dropped: a null partition
+    * would land in a default directory no range predicate could ever
+    * keep honestly.
+    */
+  def publishHiddenPartitioned(spark: SparkSession, df: DataFrame,
+      table: String, transform: HiddenTransform): String = {
+    val gen = claimGeneration(table)
+    df.filter(col(transform.source).isNotNull)
+      .withColumn(PartColName, transform.value(col(transform.source)))
+      .write.mode("overwrite").partitionBy(PartColName)
+      .parquet(s"$table/$gen")
+    writeAtomic(Paths.get(table, gen, PartSpecName), transform.spec)
+    commitAndFlip(table, gen)
+    gen
+  }
+
+  /** The transform a generation was published with (None: not a
+    * hidden-partitioned generation). */
+  def hiddenTransformOf(table: String, gen: String): Option[HiddenTransform] = {
+    val p = Paths.get(table, gen, PartSpecName)
+    if (Files.exists(p)) Some(parseTransform(Files.readString(p).trim))
+    else None
+  }
+
+  /** Driver-side pruning probe: (kept partition values, total partition
+    * count) for a closed `[lo, hi]` range on the generation's SOURCE
+    * column, under THAT generation's own transform. `lo`/`hi` are
+    * `yyyy-MM-dd HH:mm:ss` literals; pruning is the lexicographic
+    * between() on value strings the transform's prefix property
+    * guarantees correct. Metadata-scale: one directory listing.
+    */
+  def hiddenRangePrune(table: String, gen: String, lo: String,
+      hi: String): (Seq[String], Int) = {
+    val tf = hiddenTransformOf(table, gen) match {
+      case Some(t: TimeTransform) => t
+      case Some(other) => sys.error(
+        s"range pruning needs a time transform, found ${other.spec}")
+      case None => sys.error(s"$gen of $table has no partition spec")
+    }
+    val vals = listRoot(s"$table/$gen")(_.startsWith(PartColName + "="))
+      .map(_.stripPrefix(PartColName + "="))
+    val (fl, fh) = (tf.floor(lo), tf.floor(hi))
+    (vals.filter(v => v >= fl && v <= fh).sorted, vals.size)
+  }
+
+  /** Range read through the hidden layout: partition pruning via a
+    * predicate on the discovered partition column (Catalyst turns it
+    * into PartitionFilters — directories outside the range are never
+    * listed into the scan), then the EXACT row filter on the source
+    * column (partitions are coarser than the predicate). Works on the
+    * live generation or any committed one (time travel): each reads
+    * under ITS OWN stored transform — partition evolution.
+    */
+  def hiddenRangeRead(spark: SparkSession, table: String, lo: String,
+      hi: String, gen: Option[String] = None): DataFrame = {
+    val g = gen.orElse(liveGeneration(table)).getOrElse(
+      sys.error(s"no published generation in $table"))
+    val tf = hiddenTransformOf(table, g) match {
+      case Some(t: TimeTransform) => t
+      case Some(other) => sys.error(
+        s"range read needs a time transform, found ${other.spec}")
+      case None => sys.error(s"$g of $table has no partition spec")
+    }
+    spark.read.parquet(s"$table/$g")
+      .filter(col(PartColName) >= tf.floor(lo) &&
+        col(PartColName) <= tf.floor(hi))
+      .filter(col(tf.source).cast("timestamp_ntz")
+        .between(lit(lo).cast("timestamp_ntz"), lit(hi).cast("timestamp_ntz")))
+      .drop(PartColName)
+  }
+
+  /** Equality read for a bucket-transformed generation: the literal is
+    * hashed through the SAME bucket expression (constant-folded), so
+    * Catalyst prunes to the one matching bucket directory, then the
+    * exact equality filter runs inside it.
+    */
+  def hiddenEqualRead(spark: SparkSession, table: String, value: Column,
+      gen: Option[String] = None): DataFrame = {
+    val g = gen.orElse(liveGeneration(table)).getOrElse(
+      sys.error(s"no published generation in $table"))
+    val tf = hiddenTransformOf(table, g).getOrElse(
+      sys.error(s"$g of $table has no partition spec"))
+    spark.read.parquet(s"$table/$g")
+      .filter(col(PartColName) === tf.value(value) &&
+        col(tf.source) === value)
+      .drop(PartColName)
+  }
+
   /** Drop every generation but the live one and the `keepHistory` most
     * recently COMMITTED before it (reader grace / time travel — only
     * fully-written generations count; a partially-written orphan from a

@@ -619,4 +619,89 @@ class WarehouseSpec extends SparkSpec {
     assert(Warehouse.readVersionedAt(spark, table, "gen-00000002")
       .count() == 20)
   }
+
+  test("hidden partitioning: day(ts) layout prunes by day, reads exact rows") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft-wh-hidden").toString + "/t"
+    // 4 days x 4 rows, on the hour
+    val rows = for (d <- 1 to 4; h <- Seq(0, 6, 12, 18))
+      yield (d * 100 + h, f"2024-03-0$d $h%02d:30:00")
+    val df = rows.toDF("id", "s")
+      .select(col("id"), col("s").cast("timestamp_ntz").as("ts"))
+    val g1 = Warehouse.publishHiddenPartitioned(spark, df, table,
+      Warehouse.TimeTransform("ts", "day"))
+    assert(Warehouse.hiddenTransformOf(table, g1).map(_.spec)
+      .contains("day(ts)"))
+    // range spanning half of day 2 through half of day 3
+    val (lo, hi) = ("2024-03-02 06:00:00", "2024-03-03 12:00:00")
+    val (kept, total) = Warehouse.hiddenRangePrune(table, g1, lo, hi)
+    assert(total == 4 && kept == Seq("2024-03-02", "2024-03-03"))
+    val got = Warehouse.hiddenRangeRead(spark, table, lo, hi)
+      .select("id").collect().map(_.getInt(0)).sorted.toSeq
+    // day 2: hours 6,12,18 (6:30.. >= 6:00); day 3: hours 0,6 (12:30 > hi)
+    assert(got == Seq(206, 212, 218, 300, 306))
+    // pruned read ≡ unpruned filter (exactness contract)
+    val full = spark.read.parquet(s"$table/$g1").drop("__part")
+      .filter(col("ts").between(lit(lo).cast("timestamp_ntz"),
+        lit(hi).cast("timestamp_ntz")))
+      .select("id").collect().map(_.getInt(0)).sorted.toSeq
+    assert(got == full)
+  }
+
+  test("partition evolution: g1 day(ts), g2 hour(ts) — each generation " +
+      "prunes under its OWN stored transform, live and time-travel") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft-wh-evolution").toString + "/t"
+    val rows = for (d <- 1 to 3; h <- Seq(0, 8, 16))
+      yield (d * 100 + h, f"2024-03-0$d $h%02d:15:00")
+    val df = rows.toDF("id", "s")
+      .select(col("id"), col("s").cast("timestamp_ntz").as("ts"))
+    val g1 = Warehouse.publishHiddenPartitioned(spark, df, table,
+      Warehouse.TimeTransform("ts", "day"))
+    val g2 = Warehouse.publishHiddenPartitioned(spark, df, table,
+      Warehouse.TimeTransform("ts", "hour"))
+    assert(Warehouse.liveGeneration(table).contains(g2))
+    assert(Warehouse.hiddenTransformOf(table, g2).map(_.spec)
+      .contains("hour(ts)"))
+    val (lo, hi) = ("2024-03-01 08:00:00", "2024-03-02 08:30:00")
+    // live (hourly): 9 hour-partitions total, kept = 01-08, 01-16,
+    // 02-00, 02-08 (four hour dirs inside the range's floor bounds)
+    val (keptH, totalH) = Warehouse.hiddenRangePrune(table, g2, lo, hi)
+    assert(totalH == 9)
+    assert(keptH == Seq("2024-03-01-08", "2024-03-01-16",
+      "2024-03-02-00", "2024-03-02-08"))
+    // time travel to g1 (daily): 3 day-partitions, kept = days 1 and 2
+    val (keptD, totalD) = Warehouse.hiddenRangePrune(table, g1, lo, hi)
+    assert(totalD == 3 && keptD == Seq("2024-03-01", "2024-03-02"))
+    // both reads return the SAME exact rows despite different layouts
+    def ids(gen: String) =
+      Warehouse.hiddenRangeRead(spark, table, lo, hi, Some(gen))
+        .select("id").collect().map(_.getInt(0)).sorted.toSeq
+    assert(ids(g2) == Seq(108, 116, 200, 208))
+    assert(ids(g1) == ids(g2))
+    // the live plan actually partition-prunes: the scan's partition
+    // filters reference __part, and only 4 of 9 directories survive
+    val plan = Warehouse.hiddenRangeRead(spark, table, lo, hi)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__part"))
+  }
+
+  test("hidden bucket transform: equality read prunes to one bucket dir") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft-wh-bucket").toString + "/t"
+    val df = (1L to 200L).toDF("id").withColumn("v", col("id") * 10)
+    Warehouse.publishHiddenPartitioned(spark, df, table,
+      Warehouse.BucketTransform("id", 8))
+    val gen = Warehouse.liveGeneration(table).get
+    assert(Warehouse.hiddenTransformOf(table, gen).map(_.spec)
+      .contains("bucket(8,id)"))
+    val got = Warehouse.hiddenEqualRead(spark, table, lit(42L))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("v"))).toSeq
+    assert(got == Seq((42L, 420L)))
+    // all 200 ids land somewhere and every bucket dir is 0..7
+    val dirs = new java.io.File(s"$table/$gen").listFiles()
+      .map(_.getName).filter(_.startsWith("__part=")).toSeq
+    assert(dirs.nonEmpty &&
+      dirs.forall(d => (0 to 7).map(b => s"__part=$b").contains(d)))
+  }
 }
