@@ -928,6 +928,58 @@ object Similarity {
       .orderBy(col("query_id"), col("cos").desc, col("id"))
   }
 
+  /** APPEND-MODE-LEGAL face of [[ivfIndexProbe]] for streaming queries
+    * (round-11 verdict #8): flags every (query, corpus id) pair inside
+    * the probed IVF cells whose exact cosine clears `minCos`. The plan
+    * is pure per-row projections (centroid scoring, probe-cell explode)
+    * plus ONE stream-static inner join against the persisted cell
+    * relation and a filter — no aggregation, no sort, no watermark, no
+    * state store (the [[graft.streaming.StreamNearDup]] contract; top-k
+    * is a stream AGGREGATION, so the ranked face stays batch — run it in
+    * a foreachBatch sink if per-query ranking matters per micro-batch).
+    * Per-query independence makes cross-batch flags ≡ one batch probe
+    * over the union, spec-pinned in StreamingSpec.
+    *
+    * 100 TB shape: identical to the batch probe — the index side stays
+    * bucketed-by-cell on disk (zero index exchanges), each micro-batch
+    * shuffles only itself.
+    */
+  def ivfIndexProbeFlags(cellRel: DataFrame, centroidRel: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      nProbe: Int, minCos: Double): DataFrame = {
+    require(nProbe >= 1)
+    val cents: Array[Array[Double]] = centroidRel
+      .select(col("cell").cast("int"), col("pos").cast("int"),
+        col("w").cast("double"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rs) => rs.sortBy(_._2).map(_._3).toArray }.toArray
+    require(cents.nonEmpty, "empty centroid relation")
+    def cellScores(vd: Column): Column = array(cents.zipWithIndex.map {
+      case (cent, i) =>
+        val cnorm2 = cent.map(x => x * x).sum
+        struct((lit(cnorm2) - lit(2.0) * qdot(vd, lit(cent))).as("d2"),
+          lit(i).as("cell"))
+    }.toIndexedSeq: _*)
+    val q = queries
+      .withColumn("__vd", col(vecCol).cast("array<double>"))
+      .select(col(idCol).cast("long").as("query_id"),
+        quantized(col(vecCol)).as("__qv"),
+        explode(transform(
+          slice(array_sort(cellScores(col("__vd"))), 1,
+            math.min(nProbe, cents.length)),
+          s => s.getField("cell"))).as("cell"))
+      .withColumn("__qn", qnorm2(col("__qv")))
+    // stream side LEFT (no broadcast hint — a hint on a streaming side
+    // is illegal; batch callers get AQE's choice instead)
+    q.join(cellRel, Seq("cell"))
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("cos",
+        cosFrom(qdot(col("__qv"), col("qv")), col("__qn"), col("n2")))
+      .filter(col("cos") >= lit(minCos))
+      .select(col("query_id"), col("id"), col("cos"))
+  }
+
   /** Persistable hyperplane-LSH INDEX for an embedding corpus — the
     * embedding-side analog of [[graft.operators.Dedup.lshIndexRelations]]
     * (r9 verdict #7): the BAND relation (id, band, bucket — `bands` rows
