@@ -6858,6 +6858,36 @@ object SparkEntry {
           FROM ev)
         SELECT * FROM d UNION ALL SELECT * FROM h ORDER BY layout""")),
 
+    // Batch face of the STREAMING ANN probe (ivfIndexProbeFlags — the
+    // r11 verdict #8 stream-static fragment): at FULL probing the
+    // flagged set is definitionally every (query, corpus) pair at
+    // cos ≥ minCos, so the stateless fragment gets a value-level DuckDB
+    // oracle (the q31b trick applied to q25's threshold form); the
+    // cross-batch streaming equivalence is pinned in StreamingSpec.
+    "q364_ann_stream_flags" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val (cellRel, centRel) = Similarity.ivfIndexRelations(emb,
+          "vec_id", "embedding", nlist = 16, iters = 5)
+        Similarity.ivfIndexProbeFlags(cellRel, centRel,
+            emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+            nProbe = 16, minCos = 0.3)
+          .orderBy("query_id", "id")
+      },
+      Some("""WITH v AS (SELECT vec_id AS id,
+            list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1e7)) AS e
+          FROM embeddings),
+        n AS (SELECT id, e,
+            list_aggregate(list_transform(e, x -> x * x), 'sum') AS n2
+          FROM v),
+        q AS (SELECT id AS query_id, e AS qe, n2 AS qn FROM n WHERE id < 10),
+        scored AS (SELECT q.query_id, b.id,
+            list_aggregate(list_transform(range(1, len(q.qe) + 1),
+              i -> q.qe[i] * b.e[i]), 'sum') / SQRT(q.qn * b.n2) AS cos
+          FROM q JOIN n b ON q.query_id <> b.id)
+        SELECT query_id, id, cos FROM scored WHERE cos >= 0.3
+        ORDER BY query_id, id""")),
+
     // 7×24 seasonality profile of the event stream — per (dow, hod)
     // cell: count, weekday calendar days, exact micro events/day mean
     // and deviation from the global events/hour grand mean. Absent
