@@ -6888,6 +6888,85 @@ object SparkEntry {
         SELECT query_id, id, cos FROM scored WHERE cos >= 0.3
         ORDER BY query_id, id""")),
 
+    // Luhn-checksum PII audit — the validity check every card-number
+    // scanner runs after its regex (a 16-digit hit failing Luhn is a
+    // random number, not PII). Deterministic candidates planted from
+    // doc_id (the q52/q362 pattern): half carry the TRUE check digit,
+    // half an off-by-one; the audit must separate them exactly. The
+    // checksum (and the check-digit construction) is the same unrolled
+    // double-and-fold arithmetic in Spark and the DuckDB oracle.
+    "q365_luhn_audit" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val id = col("doc_id")
+        val base = concat(lit("4"),
+          lpad(((id * 7919) % 100000000000000L).cast("string"), 14, "0"))
+        val check = TextFns.luhnCheckDigit(base)
+        val cand = concat(base,
+          when(id % 2 === 0, check).otherwise((check + 1) % 10)
+            .cast("string"))
+        docs.select(col("source"), cand.as("cand"))
+          .withColumn("valid", TextFns.luhnValid(col("cand")))
+          .groupBy("source").agg(
+            count(lit(1)).as("n_candidates"),
+            sum(when(col("valid"), 1L).otherwise(0L)).as("n_luhn_valid"),
+            sum(when(col("valid"), 0L).otherwise(1L)).as("n_luhn_invalid"))
+          .orderBy("source")
+      },
+      Some(s"""WITH b AS (SELECT doc_id, source,
+          '4' || lpad(CAST((doc_id * 7919) % 100000000000000 AS VARCHAR),
+            14, '0') AS base
+        FROM documents),
+        c AS (SELECT doc_id, source, base || CAST(CASE
+            WHEN doc_id % 2 = 0 THEN ${TextFns.luhnCheckDigitSql("base")}
+            ELSE (${TextFns.luhnCheckDigitSql("base")} + 1) % 10 END
+            AS VARCHAR) AS cand
+          FROM b),
+        v AS (SELECT source,
+            (${TextFns.luhnSumSql("cand")} % 10 = 0) AS valid FROM c)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+          CAST(SUM(CASE WHEN valid THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_luhn_valid,
+          CAST(SUM(CASE WHEN valid THEN 0 ELSE 1 END) AS BIGINT)
+            AS n_luhn_invalid
+        FROM v GROUP BY source ORDER BY source""")),
+
+    // Sentence segmentation stats per source — the context-length facts
+    // a packing/chunking stage reads in SENTENCES (q56/q59 count
+    // tokens): RE2-safe terminator split shared verbatim with the
+    // oracle, whitespace-token lengths per sentence, per-source rollup.
+    "q366_sentence_stats" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        TextOps.sentenceStats(docs, "doc_id", "text")
+          .join(docs.select("doc_id", "source"), "doc_id")
+          .groupBy("source").agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_sentences")).as("n_sentences"),
+            sum(col("n_sentence_tokens")).as("n_sentence_tokens"),
+            max(col("max_sentence_tokens")).as("max_sentence_tokens"),
+            (sum(col("n_sentence_tokens")).cast("double") /
+              sum(col("n_sentences"))).as("avg_sentence_tokens"))
+          .orderBy("source")
+      },
+      Some("""WITH s AS (SELECT doc_id, source,
+          list_filter(string_split_regex(
+            regexp_replace(trim(text), '[.!?]+\s*$', ''), '[.!?]+\s+'),
+            x -> trim(x) <> '') AS sents
+        FROM documents),
+        p AS (SELECT source, len(sents) AS ns,
+            COALESCE(list_aggregate(list_transform(sents,
+              x -> len(string_split_regex(trim(x), '\s+'))), 'sum'), 0) AS nt,
+            COALESCE(list_aggregate(list_transform(sents,
+              x -> len(string_split_regex(trim(x), '\s+'))), 'max'), 0) AS mx
+          FROM s)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(ns) AS BIGINT) AS n_sentences,
+          CAST(SUM(nt) AS BIGINT) AS n_sentence_tokens,
+          CAST(MAX(mx) AS BIGINT) AS max_sentence_tokens,
+          CAST(SUM(nt) AS DOUBLE) / SUM(ns) AS avg_sentence_tokens
+        FROM p GROUP BY source ORDER BY source""")),
+
     // 7×24 seasonality profile of the event stream — per (dow, hod)
     // cell: count, weekday calendar days, exact micro events/day mean
     // and deviation from the global events/hour grand mean. Absent

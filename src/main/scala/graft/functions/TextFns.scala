@@ -61,4 +61,60 @@ object TextFns {
 
   /** 60-bit rolling-hash-style numeric fingerprint (see Hashing.h60). */
   def fingerprint60(c: Column): Column = Hashing.h60(normalized(c))
+
+  /** LUHN checksum sum over a digit string (the card/IMEI check every
+    * PII scanner runs to cut regex false positives — a 16-digit regex
+    * hit that fails Luhn is a random number, not a card). From the
+    * RIGHTMOST digit: every second digit doubles, 9-folds (2d − 9 when
+    * 2d > 9), all sum. Valid numbers have sum % 10 == 0. Pure builtin
+    * higher-order expressions over the digit array; [[luhnSumSql]] is
+    * the DuckDB twin built from the same per-index arithmetic.
+    */
+  def luhnValid(digits: Column): Column = luhnSum(digits) % 10 === 0
+
+  /** The Luhn sum itself (doubled-and-folded digit total). */
+  def luhnSum(digits: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(digits)), i => {
+        // i-th digit FROM THE RIGHT
+        val d = digits.substr(length(digits) - i + 1, lit(1)).cast("long")
+        when(i % 2 === 0,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      }),
+      lit(0L), (acc, v) => acc + v)
+
+  /** The check digit that makes `base` (digits, check appended at the
+    * end) Luhn-valid: (10 − S') % 10 where S' is the Luhn sum of the
+    * base computed at its post-append parities — i.e. every second
+    * digit from the right OF THE BASE doubles starting with the first.
+    */
+  def luhnCheckDigit(base: Column): Column = {
+    val s = aggregate(
+      transform(sequence(lit(1), length(base)), i => {
+        val d = base.substr(length(base) - i + 1, lit(1)).cast("long")
+        when(i % 2 === 1,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      }),
+      lit(0L), (acc, v) => acc + v)
+    (lit(10L) - s % 10) % 10
+  }
+
+  /** DuckDB replay of the Luhn sum over SQL digit-string expression `e`. */
+  def luhnSumSql(e: String): String =
+    s"""list_aggregate(list_transform(range(1, length($e) + 1),
+       i -> CASE WHEN i % 2 = 0 THEN
+         CASE WHEN 2 * CAST(substr($e, length($e) - i + 1, 1) AS BIGINT) > 9
+           THEN 2 * CAST(substr($e, length($e) - i + 1, 1) AS BIGINT) - 9
+           ELSE 2 * CAST(substr($e, length($e) - i + 1, 1) AS BIGINT) END
+         ELSE CAST(substr($e, length($e) - i + 1, 1) AS BIGINT) END), 'sum')"""
+
+  /** DuckDB replay of [[luhnCheckDigit]]. */
+  def luhnCheckDigitSql(e: String): String =
+    s"""((10 - list_aggregate(list_transform(range(1, length($e) + 1),
+       i -> CASE WHEN i % 2 = 1 THEN
+         CASE WHEN 2 * CAST(substr($e, length($e) - i + 1, 1) AS BIGINT) > 9
+           THEN 2 * CAST(substr($e, length($e) - i + 1, 1) AS BIGINT) - 9
+           ELSE 2 * CAST(substr($e, length($e) - i + 1, 1) AS BIGINT) END
+         ELSE CAST(substr($e, length($e) - i + 1, 1) AS BIGINT) END), 'sum')
+       % 10) % 10)"""
 }

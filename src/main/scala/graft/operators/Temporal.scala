@@ -1803,4 +1803,5 @@ object Temporal {
         col("c_amp") * col("c_amp") + col("s_amp") * col("s_amp"))
       .orderBy("period")
   }
+
 }

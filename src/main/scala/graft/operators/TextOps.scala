@@ -252,6 +252,29 @@ object TextOps {
         size(TextFns.bpeTokens(col(textCol))).as("n_bpe_tokens"),
         bpe.tokenCountExpr(col(textCol)).as("n_real_bpe_tokens"))
 
+  /** Sentence segmentation stats — the context-length facts a packing /
+    * chunking stage reads (q56/q59 count tokens; training-time document
+    * truncation decisions are made in SENTENCES). Splitter: strip one
+    * trailing terminator run, then split on `[.!?]+` followed by
+    * whitespace (RE2-safe, identical in Spark's Java regex and DuckDB's
+    * RE2); a sentence's length is its whitespace token count. Per doc:
+    * n_sentences, n_sentence_tokens (Σ over sentences),
+    * max_sentence_tokens. Pure per-row projection — no shuffle.
+    */
+  def sentenceStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val stripped = regexp_replace(trim(col(textCol)), "[.!?]+\\s*$", "")
+    val sentences = filter(split(stripped, "[.!?]+\\s+"),
+      s => trim(s) =!= "")
+    val tokCounts = transform(sentences, s => size(split(trim(s), "\\s+")))
+    graft.Parallelism.fanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        size(sentences).cast("long").as("n_sentences"),
+        coalesce(aggregate(tokCounts, lit(0L), (a, v) => a + v), lit(0L))
+          .as("n_sentence_tokens"),
+        coalesce(array_max(tokCounts).cast("long"), lit(0L))
+          .as("max_sentence_tokens"))
+  }
+
   /** PII patterns shared by [[redactPii]] and its oracle — RE2-safe (no
     * backrefs/lookaround) so Spark (Java regex) and DuckDB (RE2) agree.
     */

@@ -1003,4 +1003,28 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out("the")._1 == 6L)
     assert(out("the")._2 < 100000L)
   }
+
+  test("sentenceStats: terminator runs split, trailing run stripped, " +
+      "token counts per sentence, punctuation-free text is one sentence") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "First sentence here. Second one!  Third, a bit longer one?"),
+      (2L, "no terminators at all just words"),
+      (3L, "Trailing only."),
+      (4L, "Multi!!! Bang?! Done..."),
+      (5L, "")).toDF("doc_id", "text")
+    val out = TextOps.sentenceStats(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // doc 1: 3 sentences of 3 / 2 / 5 whitespace tokens
+    assert(out(1L) == ((3L, 10L, 5L)))
+    // doc 2: one unterminated sentence of 6 tokens
+    assert(out(2L) == ((1L, 6L, 6L)))
+    // doc 3: the trailing run is stripped, one 2-token sentence
+    assert(out(3L) == ((1L, 2L, 2L)))
+    // doc 4: runs of !!!/?! split like single terminators
+    assert(out(4L) == ((3L, 3L, 1L)))
+    // doc 5: empty text → zero everywhere
+    assert(out(5L) == ((0L, 0L, 0L)))
+  }
 }
