@@ -6967,6 +6967,86 @@ object SparkEntry {
           CAST(SUM(nt) AS DOUBLE) / SUM(ns) AS avg_sentence_tokens
         FROM p GROUP BY source ORDER BY source""")),
 
+    // ROUGE-N eval scoring (Lin 2004) — the n-gram overlap metric
+    // summarization/distillation pipelines grade model outputs with,
+    // over a deterministic (candidate, reference) pairing (adjacent
+    // doc_ids within a source — the pairing is an INPUT to the
+    // operator; eval sets arrive pre-paired). Clipped multiset overlap
+    // as exact BIGINTs; ROUGE-1 and ROUGE-2 P/R/F per pair.
+    "q367_rouge_overlap" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val w = Window.partitionBy("source").orderBy("doc_id")
+        val pairs = graft.CacheScope.register(
+          docs.select(col("source"), col("doc_id").as("id_a"),
+              lead(col("doc_id"), 1).over(w).as("id_b"))
+            .filter(col("id_b").isNotNull).select("id_a", "id_b"))
+        val r1 = TextOps.rougeOverlap(docs, "doc_id", "text", pairs, 1)
+          .select(col("id_a"), col("id_b"),
+            col("overlap").as("n1_overlap"), col("cand_n").as("n1_cand"),
+            col("ref_n").as("n1_ref"), col("p").as("rouge1_p"),
+            col("r").as("rouge1_r"), col("f").as("rouge1_f"))
+        val r2 = TextOps.rougeOverlap(docs, "doc_id", "text", pairs, 2)
+          .select(col("id_a"), col("id_b"),
+            col("overlap").as("n2_overlap"), col("p").as("rouge2_p"),
+            col("r").as("rouge2_r"), col("f").as("rouge2_f"))
+        r1.join(r2, Seq("id_a", "id_b")).orderBy("id_a")
+      },
+      Some("""WITH toks AS (SELECT doc_id, source,
+            string_split_regex(lower(trim(text)), '\s+') AS l
+          FROM documents),
+        prs AS (SELECT doc_id AS id_a,
+            lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS id_b
+          FROM toks QUALIFY id_b IS NOT NULL),
+        g1 AS (SELECT doc_id, unnest(l) AS g FROM toks),
+        c1 AS (SELECT doc_id, g, COUNT(*) AS c FROM g1 GROUP BY 1, 2),
+        t1 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS tot FROM c1
+               GROUP BY 1),
+        g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(l)),
+            i -> l[i] || ' ' || l[i + 1])) AS g
+          FROM toks WHERE len(l) >= 2),
+        c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+        t2 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS tot FROM c2
+               GROUP BY 1),
+        o1 AS (SELECT p.id_a, p.id_b,
+            CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS ov
+          FROM prs p JOIN c1 a ON a.doc_id = p.id_a
+          JOIN c1 b ON b.doc_id = p.id_b AND b.g = a.g GROUP BY 1, 2),
+        o2 AS (SELECT p.id_a, p.id_b,
+            CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS ov
+          FROM prs p JOIN c2 a ON a.doc_id = p.id_a
+          JOIN c2 b ON b.doc_id = p.id_b AND b.g = a.g GROUP BY 1, 2),
+        f AS (SELECT p.id_a, p.id_b,
+            COALESCE(o1.ov, 0) AS n1_overlap,
+            COALESCE(ta.tot, 0) AS n1_cand, COALESCE(tb.tot, 0) AS n1_ref,
+            COALESCE(o2.ov, 0) AS n2_overlap,
+            COALESCE(t2a.tot, 0) AS n2_cand, COALESCE(t2b.tot, 0) AS n2_ref
+          FROM prs p
+          LEFT JOIN o1 ON o1.id_a = p.id_a AND o1.id_b = p.id_b
+          LEFT JOIN t1 ta ON ta.doc_id = p.id_a
+          LEFT JOIN t1 tb ON tb.doc_id = p.id_b
+          LEFT JOIN o2 ON o2.id_a = p.id_a AND o2.id_b = p.id_b
+          LEFT JOIN t2 t2a ON t2a.doc_id = p.id_a
+          LEFT JOIN t2 t2b ON t2b.doc_id = p.id_b),
+        m AS (SELECT *,
+            CASE WHEN n1_cand > 0
+              THEN CAST(n1_overlap AS DOUBLE) / n1_cand ELSE 0.0 END AS p1,
+            CASE WHEN n1_ref > 0
+              THEN CAST(n1_overlap AS DOUBLE) / n1_ref ELSE 0.0 END AS r1,
+            CASE WHEN n2_cand > 0
+              THEN CAST(n2_overlap AS DOUBLE) / n2_cand ELSE 0.0 END AS p2,
+            CASE WHEN n2_ref > 0
+              THEN CAST(n2_overlap AS DOUBLE) / n2_ref ELSE 0.0 END AS r2
+          FROM f)
+        SELECT id_a, id_b, n1_overlap, n1_cand, n1_ref,
+          p1 AS rouge1_p, r1 AS rouge1_r,
+          CASE WHEN p1 + r1 > 0 THEN 2.0 * p1 * r1 / (p1 + r1)
+            ELSE 0.0 END AS rouge1_f,
+          n2_overlap, p2 AS rouge2_p, r2 AS rouge2_r,
+          CASE WHEN p2 + r2 > 0 THEN 2.0 * p2 * r2 / (p2 + r2)
+            ELSE 0.0 END AS rouge2_f
+        FROM m ORDER BY id_a""")),
+
     // 7×24 seasonality profile of the event stream — per (dow, hod)
     // cell: count, weekday calendar days, exact micro events/day mean
     // and deviation from the global events/hour grand mean. Absent

@@ -275,6 +275,59 @@ object TextOps {
           .as("max_sentence_tokens"))
   }
 
+  /** ROUGE-N overlap between (candidate, reference) document pairs —
+    * the n-gram eval metric summarization/distillation pipelines score
+    * model outputs with (ROUGE-1/2 precision, recall, F1; Lin 2004).
+    * Counts are CLIPPED multiset overlap: Σ_g min(count_cand(g),
+    * count_ref(g)) — a candidate repeating a reference gram scores it
+    * at most as often as the reference contains it. All counts exact
+    * BIGINTs; P/R/F are one guarded IEEE division chain each, pinned
+    * identically in the oracle.
+    *
+    * The pairing is an INPUT (eval sets arrive as candidate/reference
+    * pairs); `pairs` must carry (id_a = candidate, id_b = reference).
+    * Scale shape: per-doc gram counts (one explode + groupBy), two hash
+    * joins from the pair relation into the gram relation keyed
+    * (id, gram), one aggregate per pair — never all-pairs, never a
+    * gram cross join.
+    */
+  def rougeOverlap(docs: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, n: Int): DataFrame = {
+    val grams = graft.CacheScope.register(
+      graft.Parallelism.fanOut(docs.select(col(idCol), col(textCol)))
+        .select(col(idCol).as("id"),
+          explode(TextFns.shinglesOfTokens(TextFns.tokens(col(textCol)), n))
+            .as("g"))
+        .groupBy("id", "g").agg(count(lit(1)).as("c")))
+    val totals = grams.groupBy("id").agg(sum("c").cast("long").as("tot"))
+    val ov = pairs
+      .join(grams.select(col("id").as("id_a"), col("g"),
+        col("c").as("__ca")), "id_a")
+      .join(grams.select(col("id").as("id_b"), col("g"),
+        col("c").as("__cb")), Seq("id_b", "g"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(least(col("__ca"), col("__cb"))).cast("long").as("overlap"))
+    val p = when(col("cand_n") > 0,
+      col("overlap").cast("double") / col("cand_n"))
+    val r = when(col("ref_n") > 0,
+      col("overlap").cast("double") / col("ref_n"))
+    pairs
+      .join(ov, Seq("id_a", "id_b"), "left")
+      .join(totals.select(col("id").as("id_a"), col("tot").as("cand_n")),
+        Seq("id_a"), "left")
+      .join(totals.select(col("id").as("id_b"), col("tot").as("ref_n")),
+        Seq("id_b"), "left")
+      .select(col("id_a"), col("id_b"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"),
+        coalesce(col("cand_n"), lit(0L)).as("cand_n"),
+        coalesce(col("ref_n"), lit(0L)).as("ref_n"))
+      .withColumn("p", coalesce(p, lit(0.0)))
+      .withColumn("r", coalesce(r, lit(0.0)))
+      .withColumn("f", when(col("p") + col("r") > 0,
+        lit(2.0) * col("p") * col("r") / (col("p") + col("r")))
+        .otherwise(lit(0.0)))
+  }
+
   /** PII patterns shared by [[redactPii]] and its oracle — RE2-safe (no
     * backrefs/lookaround) so Spark (Java regex) and DuckDB (RE2) agree.
     */

@@ -1027,4 +1027,29 @@ class TextMultimodalSpec extends SparkSpec {
     // doc 5: empty text → zero everywhere
     assert(out(5L) == ((0L, 0L, 0L)))
   }
+
+  test("rougeOverlap: clipped multiset n-gram overlap, hand-computed P/R/F") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"), (2L, "the cat lay on the mat"),
+      (3L, "a a a"), (4L, "a b")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val r1 = TextOps.rougeOverlap(docs, "doc_id", "text", pairs, 1)
+      .collect().map(r => (r.getAs[Long]("id_a"),
+        (r.getAs[Long]("overlap"), r.getAs[Double]("p"),
+          r.getAs[Double]("r"), r.getAs[Double]("f")))).toMap
+    // unigrams: {the:2, cat, on, mat} shared → 5 of 6/6
+    assert(r1(1L)._1 == 5L)
+    assert(math.abs(r1(1L)._2 - 5.0 / 6) < 1e-12 &&
+      math.abs(r1(1L)._4 - 5.0 / 6) < 1e-12)
+    // clipping: "a a a" vs "a b" → min(3,1) = 1, p = 1/3, r = 1/2, f = 0.4
+    assert(r1(3L) == ((1L, 1.0 / 3, 0.5, 0.4)))
+    val r2 = TextOps.rougeOverlap(docs, "doc_id", "text", pairs, 2)
+      .collect().map(r => r.getAs[Long]("id_a") ->
+        ((r.getAs[Long]("overlap"), r.getAs[Double]("f")))).toMap
+    // bigrams: "the cat", "on the", "the mat" shared → 3 of 5/5
+    assert(r2(1L)._1 == 3L && math.abs(r2(1L)._2 - 0.6) < 1e-12)
+    // "a a" vs "a b": no shared bigram
+    assert(r2(3L) == ((0L, 0.0)))
+  }
 }
