@@ -660,6 +660,14 @@ object Graphs {
           a.toSeq.sorted.map { case (id, v) => (id, "authority", v) })
         .toDF("id", "side", "score_scaled")
     }
+    // Pre-partition the (cached) edge relation by EACH half-step's join
+    // key once, outside the loop (guide §2.4 "two operations keyed the
+    // same way share one exchange"): the cached partitioning is what the
+    // per-iteration joins require, so each iteration shuffles only the
+    // current score vector — the edge list crosses the wire twice total
+    // instead of 2×iters times.
+    val eBySrc = graft.CacheScope.register(e.repartition(col("src")))
+    val eByDst = graft.CacheScope.register(e.repartition(col("dst")))
     var hub = hubs0.withColumn("h", lit(scale / nHubs))
     var auth: DataFrame = null
     var it = 0
@@ -667,13 +675,13 @@ object Graphs {
       // checkpoint the RAW sums before the total scalar: the total and
       // the normalization both read them, and without the cut the edge
       // join would execute twice per half-step
-      val aRaw = e.join(hub.withColumnRenamed("id", "src"), "src")
+      val aRaw = eBySrc.join(hub.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(sum(col("h")).as("a"))
         .localCheckpoint(true)
       val aTot = aRaw.agg(sum("a")).first().getLong(0)
       auth = aRaw.select(col("id"),
         expr(s"(a * ${scale}L) div ${aTot}L").as("a"))
-      val hRaw = e.join(auth.withColumnRenamed("id", "dst"), "dst")
+      val hRaw = eByDst.join(auth.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(sum(col("a")).as("h"))
         .localCheckpoint(true)
       val hTot = hRaw.agg(sum("h")).first().getLong(0)

@@ -457,14 +457,38 @@ object Similarity {
     */
   def knnIvfWithCentroids(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int,
+      cents: Array[Array[Double]]): DataFrame =
+    knnIvfProbe(ivfAssignCells(corpus, idCol, vecCol, cents), queries,
+      idCol, vecCol, k, nProbe, cents)
+
+  /** Corpus-side cell assignment of [[knnIvfWithCentroids]] as its own
+    * relation (id, __cv, __cell, __cn) so a multi-probe-level consumer
+    * ([[ivfRecallCurve]]) can compute it ONCE — the assignment does not
+    * depend on nProbe. Cell assignment stays in whole-stage codegen: the
+    * ranking argmin_c |v - c|² = argmin_c (|c|² - 2·v·c) drops the
+    * per-row-constant |v|² term; native pq_assign argmin (bit-identical
+    * to array_min over the (d2, cell) struct scores; see [[nearestCell]])
+    * keeps one source-stable codegen shape across probe levels /
+    * centroid refreshes. */
+  private def ivfAssignCells(corpus: DataFrame, idCol: String,
+      vecCol: String, cents: Array[Array[Double]]): DataFrame = {
+    require(cents.nonEmpty)
+    graft.Parallelism.fanOut(
+        corpus.select(col(idCol).as("id"), col(vecCol)))
+      .withColumn("__vd", col(vecCol).cast("array<double>"))
+      .select(col("id"), quantized(col(vecCol)).as("__cv"),
+        nearestCell(col("__vd"), cents.toIndexedSeq).as("__cell"))
+      .withColumn("__cn", qnorm2(col("__cv")))
+  }
+
+  /** Probe phase of [[knnIvfWithCentroids]] over a pre-assigned corpus
+    * relation (see [[ivfAssignCells]]). Query-side cell routing keeps the
+    * declarative array_sort on (d2, cell) structs — the query relation is
+    * bounded, so the per-plan literal cost is irrelevant there. */
+  private def knnIvfProbe(c: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int,
       cents: Array[Array[Double]]): DataFrame = {
     require(cents.nonEmpty && nProbe >= 1)
-    // Cell assignment stays in whole-stage codegen: the ranking
-    //   argmin_c |v - c|²  =  argmin_c (|c|² - 2·v·c)
-    // drops the per-row-constant |v|² term, so each cell costs one
-    // codegen'd `array_dot` against a centroid literal plus a constant —
-    // no Scala-UDF ser/de boundary per row. argmin / arg-top-nProbe fall
-    // out of struct ordering: array_min / array_sort on (d2, cell).
     def cellScores(vd: Column): Column = array(cents.zipWithIndex.map {
       case (cent, i) =>
         val cnorm2 = cent.map(x => x * x).sum
@@ -472,12 +496,6 @@ object Similarity {
           lit(i).as("cell"))
     }: _*)
     val vd = col("__vd")
-    val c = graft.Parallelism.fanOut(
-        corpus.select(col(idCol).as("id"), col(vecCol)))
-      .withColumn("__vd", col(vecCol).cast("array<double>"))
-      .select(col("id"), quantized(col(vecCol)).as("__cv"),
-        array_min(cellScores(vd)).getField("cell").as("__cell"))
-      .withColumn("__cn", qnorm2(col("__cv")))
     val q = queries
       .withColumn("__vd", col(vecCol).cast("array<double>"))
       .select(col(idCol).as("query_id"), quantized(col(vecCol)).as("__qv"),
@@ -539,6 +557,42 @@ object Similarity {
         lit(cid).as("cid"))
     }.toIndexedSeq: _*)
 
+  /** Nearest-centroid ASSIGNMENT via the native [[graft.functions.PqAssign]]
+    * with m = 1: bit-identical argmin semantics to
+    * `array_min(centroidScores(...)).getField("cid")` — d2 = |c|² − 2·v·c
+    * with ascending-index sums (the ArrayDotProduct order, min-length
+    * convention) and strict-< first-minimum ties, i.e. the smallest
+    * POSITION, which under the ascending-cid centroid order is the
+    * smallest cid (r12 optimization). Why the native form: the
+    * declarative score array embeds |c|² as k scalar DOUBLE literals in
+    * the generated source, so every Lloyd round (new centroids → new
+    * constants) is a fresh Janino compilation — measured as the bulk of
+    * ivfTrainDistributed's per-round wall at bench scale. pq_assign
+    * carries centroids as a driver REFERENCE object: the generated code
+    * is byte-identical across rounds (codegen cache hit) and stays a
+    * fixed small loop at any k (the PqAssign 64 KB-limit argument).
+    * Returns the 0-based centroid POSITION as the declarative form's
+    * IntegerType "cell". */
+  private def nearestCell(vec: Column, cents: Seq[Array[Double]]): Column = {
+    require(cents.nonEmpty)
+    val dim = cents.head.length
+    require(cents.forall(_.length == dim), "ragged centroid set")
+    val flat = cents.flatten.toArray
+    element_at(call_function("pq_assign", vec, lit(1), lit(cents.size),
+      lit(dim), lit(flat)), 1)
+  }
+
+  /** [[nearestCell]] mapped back to REAL centroid ids (possibly
+    * non-contiguous after empty-cell dropout): `ss` must be ascending by
+    * cid, so position-ties == cid-ties. LongType like the declarative
+    * "cid". */
+  private def nearestCid(vec: Column, ss: Seq[(Long, Array[Double])]): Column = {
+    require(ss.sliding(2).forall(w => w.size < 2 || w(0)._1 < w(1)._1),
+      "centroids must be ascending by cid")
+    element_at(lit(ss.map(_._1).toArray),
+      nearestCell(vec, ss.map(_._2)) + 1)
+  }
+
   /** Nearest-centroid (Rocchio) classification with confusion matrix —
     * the cheapest embedding-space classifier and the standard probe for
     * "are these labels linearly clusterable": train = per-label grid-mean
@@ -566,19 +620,18 @@ object Similarity {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (l, rows) => (l, rows.sortBy(_._2).map(_._3).toArray) }
-    val scores = centroidScores(cents) _
     base
-      .withColumn("predicted", array_min(scores(col("__qv"))).getField("cid"))
+      .withColumn("predicted", nearestCid(col("__qv"), cents))
       .groupBy(col("lbl").as("label"), col("predicted"))
       .agg(count(lit(1)).as("n"))
   }
 
   def lloydStep(embs: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
-    val scores = centroidScores(seedCentroids(embs, idCol, vecCol, k)) _
+    val seeds = seedCentroids(embs, idCol, vecCol, k)
     graft.Parallelism.fanOut(embs.select(col(idCol).as("id"), col(vecCol)))
       .select(col("id"), quantized(col(vecCol)).as("__qv"))
-      .withColumn("cid", array_min(scores(col("__qv"))).getField("cid"))
+      .withColumn("cid", nearestCid(col("__qv"), seeds))
       .select(col("cid"), posexplode(col("__qv")).as(Seq("pos", "v")))
       .groupBy("cid", "pos")
       .agg(((sum(col("v")) / count(lit(1))) / lit(1e7)).as("centroid"),
@@ -607,9 +660,8 @@ object Similarity {
         .select(col("id"), quantized(col(vecCol)).as("__qv")))
     var seeds: Seq[(Long, Array[Double])] = seedCentroids(embs, idCol, vecCol, k)
     def assignGridMeans(ss: Seq[(Long, Array[Double])]): DataFrame = {
-      val scores = centroidScores(ss) _
       base
-        .withColumn("cid", array_min(scores(col("__qv"))).getField("cid"))
+        .withColumn("cid", nearestCid(col("__qv"), ss))
         .select(col("cid"), posexplode(col("__qv")).as(Seq("pos", "v")))
         .groupBy("cid", "pos")
         .agg(round(sum(col("v")) / count(lit(1))).as("gridmean"),
@@ -855,17 +907,13 @@ object Similarity {
   def ivfIndexRelations(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int): (DataFrame, DataFrame) = {
     val cents = ivfTrainDistributed(corpus, idCol, vecCol, nlist, iters)
-    def cellScores(vd: Column): Column = array(cents.zipWithIndex.map {
-      case (cent, i) =>
-        val cnorm2 = cent.map(x => x * x).sum
-        struct((lit(cnorm2) - lit(2.0) * qdot(vd, lit(cent))).as("d2"),
-          lit(i).as("cell"))
-    }.toIndexedSeq: _*)
     val cellRel = graft.Parallelism.fanOut(
         corpus.select(col(idCol).as("id"), col(vecCol)))
       .withColumn("__vd", col(vecCol).cast("array<double>"))
+      // native pq_assign argmin — bit-identical to the declarative
+      // array_min(cellScores) form (see nearestCell)
       .select(col("id"), quantized(col(vecCol)).as("qv"),
-        array_min(cellScores(col("__vd"))).getField("cell").as("cell"))
+        nearestCell(col("__vd"), cents.toIndexedSeq).as("cell"))
       .withColumn("n2", qnorm2(col("qv")))
     val centroidRel = {
       val rows = cents.zipWithIndex.flatMap { case (c, i) =>
@@ -1099,7 +1147,7 @@ object Similarity {
     */
   def semDedup(embs: DataFrame, idCol: String, vecCol: String,
       k: Int, minCos: Double): DataFrame = {
-    val scores = centroidScores(seedCentroids(embs, idCol, vecCol, k)) _
+    val seeds = seedCentroids(embs, idCol, vecCol, k)
     // quantize + assign + norm ONCE per vector in a cached projection —
     // both sides of the intra-cluster join and the final survivor join
     // read it, so the corpus is scanned a single time
@@ -1107,7 +1155,7 @@ object Similarity {
       graft.Parallelism.fanOut(
           embs.select(col(idCol).cast("long").as("id"), col(vecCol)))
         .select(col("id"), quantized(col(vecCol)).as("qv"))
-        .withColumn("cid", array_min(scores(col("qv"))).getField("cid"))
+        .withColumn("cid", nearestCid(col("qv"), seeds))
         .withColumn("n2", qnorm2(col("qv"))))
     val a = m.select(col("cid"), col("id").as("id_a"), col("qv").as("qa"),
       col("n2").as("na"))
@@ -1999,17 +2047,13 @@ object Similarity {
     val books = pqCodebooks(base, m, ksub, dim)
     // cell assignment on the SAME argmin score as knnIvf (|c|² − 2·v·c;
     // the quantized grid un-scaled back to raw units so the driver-side
-    // query probes below replay the identical IEEE sequence)
-    def cellScores(vd: Column): Column = array(cents.zipWithIndex.map {
-      case (cent, i) =>
-        val cnorm2 = cent.map(x => x * x).sum
-        struct((lit(cnorm2) - lit(2.0) * qdot(vd, lit(cent))).as("d2"),
-          lit(i).as("cell"))
-    }.toIndexedSeq: _*)
+    // query probes below replay the identical IEEE sequence) — native
+    // pq_assign argmin, bit-identical to the declarative form (see
+    // nearestCell)
     val encoded = pqEncodeWide(base, m, ksub, dim, books)
       .withColumn("__cell",
-        array_min(cellScores(transform(col("__qv"), x => x / lit(1e7))))
-          .getField("cell"))
+        nearestCell(transform(col("__qv"), x => x / lit(1e7)),
+          cents.toIndexedSeq))
     // driver-side per-query probe sets + ADC tables (queries are a
     // bounded relation — the q91 contract)
     val qs = queries.select(col(idCol).cast("long").as("qid"),
@@ -2068,8 +2112,11 @@ object Similarity {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .select(col("query_id"), col("id"))
-    val exact = knnExactAgg(corpus, queries, idCol, vecCol, k)
-      .select(col("query_id"), col("id"))
+    // cached: referenced twice (the semi-join probe AND the totals
+    // aggregate) — uncached, the full exact top-k scan runs twice
+    val exact = graft.CacheScope.register(
+      knnExactAgg(corpus, queries, idCol, vecCol, k)
+        .select(col("query_id"), col("id")))
     exact.join(approx, Seq("query_id", "id"), "left_semi")
       .agg(count(lit(1)).as("__hits"))
       .crossJoin(broadcast(exact.agg(
@@ -2111,8 +2158,17 @@ object Similarity {
     val totals = exact.agg(
       countDistinct(col("query_id")).as("n_queries"),
       count(lit(1)).as("pairs"))
+    // cell assignment is nProbe-independent: ONE shared relation for all
+    // probe levels. Deliberately NOT cached: the relation carries the
+    // quantized __cv arrays, and the columnar cache (de)serializes array
+    // columns generically — measured costlier than re-running the fused
+    // scan+assign (pq_assign keeps one stable codegen shape, so repeat
+    // levels pay execution only). At 100 TB each level reading
+    // ~nProbe/nlist of the corpus through the fused scan is the designed
+    // shape (see the scale-shape note above).
+    val assigned = ivfAssignCells(corpus, idCol, vecCol, cents)
     val levels = sorted.map { np =>
-      val ivf = knnIvfWithCentroids(corpus, queries, idCol, vecCol, k,
+      val ivf = knnIvfProbe(assigned, queries, idCol, vecCol, k,
           np, cents)
         .select(col("query_id"), col("id"))
       exact.join(ivf, Seq("query_id", "id"), "left_semi")

@@ -575,6 +575,20 @@ object Warehouse {
     val gen = claimGeneration(table)
     df.filter(col(transform.source).isNotNull)
       .withColumn(PartColName, transform.value(col(transform.source)))
+      // Cluster rows by partition value BEFORE the dynamic-partition
+      // write (guide §6 / Iceberg write.distribution-mode=hash): without
+      // it every task opens a writer for every partition value it sees,
+      // and worse, a compact input scans as ONE task that writes ALL
+      // dirs sequentially (measured: the sf0.1 hour(ts) publish = 720
+      // dirs from one scan task, 11.6 s of serial file open/commit).
+      // The partition count is PINNED (session shuffle partitions) so
+      // AQE cannot coalesce the dir-count-bound write back onto one
+      // task — this write is file-operation-bound, not byte-bound, so
+      // parallelism-first beats size-targeted coalescing. At real scale
+      // shuffle.partitions is sized to the cluster and each writer task
+      // handles partition-count/tasks dirs with one file per dir.
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col(PartColName))
       .write.mode("overwrite").partitionBy(PartColName)
       .parquet(s"$table/$gen")
     writeAtomic(Paths.get(table, gen, PartSpecName), transform.spec)
